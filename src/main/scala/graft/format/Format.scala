@@ -1,0 +1,113 @@
+package graft.format
+
+/** Codec byte tags. Tag space mirrors the reference's
+  * (`/root/reference/src/compression/mod.rs:64-107`) so the on-disk spec is
+  * recognizable, but page payload layouts are THIS library's own spec.
+  */
+object Codec {
+  val None: Byte = 0
+  val Lz4: Byte = 1
+  val Zstd: Byte = 2
+  val Snappy: Byte = 3
+  val Rle: Byte = 10
+  val Dict: Byte = 11
+  val OneValue: Byte = 12
+  val Freq: Byte = 13
+  val Bitpack: Byte = 14
+  val DeltaBitpack: Byte = 15
+  val Patas: Byte = 16
+
+  def isCommon(c: Byte): Boolean = c >= 0 && c <= 3
+
+  def byName(s: String): Byte = s.toLowerCase match {
+    case "none" | "uncompressed" => None
+    case "lz4"                   => Lz4
+    case "zstd"                  => Zstd
+    case "snappy"                => Snappy
+    case "rle"                   => Rle
+    case "dict"                  => Dict
+    case "onevalue"              => OneValue
+    case "freq"                  => Freq
+    case "bitpack" | "bitpacking" => Bitpack
+    case "deltabitpack" | "delta_bitpacking" => DeltaBitpack
+    case "patas"                 => Patas
+    case other => throw new IllegalArgumentException(s"unknown codec: $other")
+  }
+}
+
+/** Physical lanes. Logical Spark types (Date/Timestamp/Decimal/String) map
+  * onto these; the logical type round-trips via the schema in the footer
+  * (same approach as the reference, SURVEY.md §1.3).
+  */
+object Lane {
+  val Bool = 0
+  val I8 = 1
+  val I16 = 2
+  val I32 = 3
+  val I64 = 4
+  val F32 = 5
+  val F64 = 6
+  val Bin = 7 // strings, binary, big decimals
+
+  /** plain-encoded bytes per value (Bin/Bool handled specially) */
+  def width(lane: Int): Int = lane match {
+    case I8 => 1
+    case I16 => 2
+    case I32 | F32 => 4
+    case I64 | F64 => 8
+    case _ => -1
+  }
+}
+
+/** Writer knobs (reference analogue: `WriteOptions`,
+  * `/root/reference/src/write/common.rs:36-45`).
+  *
+  * @param defaultCodec       the common (block) codec used when no special
+  *                           codec wins
+  * @param compressRatio      a special codec is chosen only if its estimated
+  *                           ratio beats this threshold (and the sampled
+  *                           common-codec ratio)
+  * @param pageSize           rows per page (unit of compression + skipping)
+  * @param forcedCodec        test hook: force one codec for every page
+  * @param adaptive           enable the stats-driven per-page codec chooser
+  */
+final case class WriteOptions(
+    defaultCodec: Byte = Codec.Lz4,
+    compressRatio: Double = 1.2,
+    pageSize: Int = 8192,
+    forcedCodec: Option[Byte] = scala.None,
+    adaptive: Boolean = true,
+    zstdLevel: Int = 3)
+
+/** Per-page metadata persisted in the footer.
+  * `numValues` counts LEAF values (for nested children this can differ from
+  * top-level row count). min/max are optional zone-map stats (our format
+  * extension — the reference computes but never persists stats, SURVEY §2.2).
+  * statsKind: 0=none, 1=long min/max, 2=double min/max.
+  */
+final case class PageMeta(
+    length: Int,
+    numValues: Int,
+    statsKind: Byte = 0,
+    minLong: Long = 0L,
+    maxLong: Long = 0L,
+    nullCount: Int = -1)
+
+/** Per-leaf-column metadata: byte offset of the first page + page list. */
+final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
+  def totalBytes: Long = {
+    var s = 0L; var i = 0
+    while (i < pages.length) { s += pages(i).length; i += 1 }
+    s
+  }
+  def totalValues: Long = {
+    var s = 0L; var i = 0
+    while (i < pages.length) { s += pages(i).numValues; i += 1 }
+    s
+  }
+}
+
+object FormatConstants {
+  val Magic: Array[Byte] = "GRAFT001".getBytes("UTF-8") // 8 bytes
+  val FooterTailLen: Int = 16 // schemaSize u32 | metaSize u32 | magic 8B
+}

@@ -1,0 +1,170 @@
+package graft.format
+
+/** Positional-read abstraction so the same reader serves local files and
+  * Hadoop/object-store streams (the reference's async footer pre-read,
+  * `/root/reference/src/read/reader.rs:180-225`, becomes a ranged tail read).
+  */
+trait SeekableInput extends java.io.Closeable {
+  def length: Long
+  def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit
+  final def readRange(pos: Long, len: Int): Array[Byte] = {
+    val b = new Array[Byte](len)
+    readFully(pos, b, 0, len)
+    b
+  }
+}
+
+final class LocalFileInput(path: java.nio.file.Path) extends SeekableInput {
+  private val ch = java.nio.channels.FileChannel.open(path, java.nio.file.StandardOpenOption.READ)
+  val length: Long = ch.size()
+  def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(dst, off, len)
+    var p = pos
+    while (bb.hasRemaining) {
+      val r = ch.read(bb, p)
+      if (r < 0) throw new java.io.EOFException(s"eof at $p in $path")
+      p += r
+    }
+  }
+  def close(): Unit = ch.close()
+}
+
+final case class Footer(schemaJson: String, leaves: Array[ColumnMeta])
+
+object GraftFileReader {
+  private val TailPreRead = 64 * 1024 // one ranged read covers most footers
+
+  def readFooter(in: SeekableInput): Footer = {
+    val fileLen = in.length
+    require(fileLen >= 32, s"file too small: $fileLen")
+    val preLen = math.min(fileLen, TailPreRead.toLong).toInt
+    var tail = in.readRange(fileLen - preLen, preLen)
+    var tailStartsAt = fileLen - preLen
+
+    // tail: ... schema | meta | schemaSize u32 | metaSize u32 | magic 8B
+    val magicOff = preLen - 8
+    var cur = new ByteCursor(tail, preLen - 16)
+    val schemaSize = cur.getIntLE()
+    val metaSize = cur.getIntLE()
+    if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(tail, magicOff, magicOff + 8), FormatConstants.Magic))
+      throw new java.io.IOException("bad trailing magic: not a graft file")
+
+    val footerLen = schemaSize.toLong + metaSize + 16
+    if (footerLen > preLen) {
+      tail = in.readRange(fileLen - footerLen, footerLen.toInt)
+      tailStartsAt = fileLen - footerLen
+    }
+    val base = tail.length - 16 - metaSize - schemaSize
+    val schemaJson = new String(tail, base, schemaSize, "UTF-8")
+    cur = new ByteCursor(tail, base + schemaSize)
+    val nLeaves = cur.getIntLE()
+    val leaves = new Array[ColumnMeta](nLeaves)
+    var i = 0
+    while (i < nLeaves) {
+      val offset = cur.getLongLE()
+      val nPages = cur.getIntLE()
+      val pages = new Array[PageMeta](nPages)
+      var p = 0
+      while (p < nPages) {
+        val len = cur.getIntLE()
+        val nv = cur.getIntLE()
+        val kind = cur.getByte().toByte
+        pages(p) =
+          if (kind != 0) PageMeta(len, nv, kind, cur.getLongLE(), cur.getLongLE(), cur.getIntLE())
+          else PageMeta(len, nv)
+        p += 1
+      }
+      leaves(i) = ColumnMeta(offset, pages)
+      i += 1
+    }
+    Footer(schemaJson, leaves)
+  }
+}
+
+/** Decodes the pages of one leaf column. The whole leaf byte range is
+  * fetched in ONE ranged read (object-store friendly), then pages decode
+  * lazily off the in-memory buffer.
+  */
+final class LeafReader(in: SeekableInput, meta: ColumnMeta, lane: Int, nullable: Boolean) {
+  private lazy val bytes: Array[Byte] =
+    in.readRange(meta.offset, meta.totalBytes.toInt)
+  private lazy val pageOffsets: Array[Int] = {
+    val o = new Array[Int](meta.pages.length + 1)
+    var i = 0
+    while (i < meta.pages.length) { o(i + 1) = o(i) + meta.pages(i).length; i += 1 }
+    o
+  }
+
+  def numPages: Int = meta.pages.length
+
+  def readPage(p: Int): Vec = {
+    val cur = new ByteCursor(bytes, pageOffsets(p))
+    PageDeserializer.readPage(lane, nullable, meta.pages(p).numValues, cur)
+  }
+
+  /** Decode all pages and concatenate into one Vec (batch-read path,
+    * reference analogue `/root/reference/src/read/batch_read.rs`).
+    */
+  def readAll(): Vec = {
+    val pages = (0 until numPages).map(readPage)
+    VecConcat.concat(lane, pages)
+  }
+}
+
+object VecConcat {
+  def concat(lane: Int, pages: Seq[Vec]): Vec = {
+    val total = pages.map(_.n).sum
+    val anyNulls = pages.exists(_.nulls != null)
+    val nulls = if (anyNulls) new Array[Boolean](total) else null
+    if (anyNulls) {
+      var p0 = 0
+      pages.foreach { pg =>
+        if (pg.nulls != null) System.arraycopy(pg.nulls, 0, nulls, p0, pg.n)
+        p0 += pg.n
+      }
+    }
+    lane match {
+      case Lane.Bool =>
+        val v = new Array[Boolean](total)
+        var p0 = 0
+        pages.foreach { pg => System.arraycopy(pg.asInstanceOf[BoolVec].values, 0, v, p0, pg.n); p0 += pg.n }
+        BoolVec(total, nulls, v)
+      case Lane.I8 | Lane.I16 | Lane.I32 =>
+        val v = new Array[Int](total)
+        var p0 = 0
+        pages.foreach { pg => System.arraycopy(pg.asInstanceOf[IntVec].values, 0, v, p0, pg.n); p0 += pg.n }
+        IntVec(total, nulls, v)
+      case Lane.I64 =>
+        val v = new Array[Long](total)
+        var p0 = 0
+        pages.foreach { pg => System.arraycopy(pg.asInstanceOf[LongVec].values, 0, v, p0, pg.n); p0 += pg.n }
+        LongVec(total, nulls, v)
+      case Lane.F32 =>
+        val v = new Array[Float](total)
+        var p0 = 0
+        pages.foreach { pg => System.arraycopy(pg.asInstanceOf[FloatVec].values, 0, v, p0, pg.n); p0 += pg.n }
+        FloatVec(total, nulls, v)
+      case Lane.F64 =>
+        val v = new Array[Double](total)
+        var p0 = 0
+        pages.foreach { pg => System.arraycopy(pg.asInstanceOf[DoubleVec].values, 0, v, p0, pg.n); p0 += pg.n }
+        DoubleVec(total, nulls, v)
+      case Lane.Bin =>
+        val byteTotal = pages.map(p => p.asInstanceOf[BinaryVec].offsets(p.n)).sum
+        val offs = new Array[Int](total + 1)
+        val bytes = new Array[Byte](byteTotal)
+        var p0 = 0
+        var b0 = 0
+        pages.foreach { pg =>
+          val bv = pg.asInstanceOf[BinaryVec]
+          var i = 0
+          while (i < bv.n) { offs(p0 + i + 1) = b0 + bv.offsets(i + 1); i += 1 }
+          System.arraycopy(bv.bytes, 0, bytes, b0, bv.offsets(bv.n))
+          b0 += bv.offsets(bv.n)
+          p0 += bv.n
+        }
+        BinaryVec(total, nulls, offs, bytes)
+    }
+  }
+}

@@ -1,0 +1,136 @@
+package graft.format
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming writer for one `.graft` file.
+  *
+  * File layout (this library's spec; structural analogue of the reference's
+  * `/root/reference/src/write/writer.rs:91-167`):
+  * {{{
+  *   magic "GRAFT001" (8B)
+  *   leaf 0 pages | leaf 1 pages | ...          (depth-first leaf order)
+  *   schema bytes (UTF-8 JSON of the Spark StructType)
+  *   meta block:
+  *     u32 leafCount
+  *     per leaf: u64 offset | u32 pageCount
+  *       per page: u32 length | u32 numValues | u8 statsKind
+  *                 [u64 min | u64 max | u32 nullCount]  (iff statsKind != 0)
+  *   u32 schemaSize | u32 metaSize | magic (8B)
+  * }}}
+  * Like the reference (writer.rs:108-112), exactly one chunk per file —
+  * callers roll files.
+  */
+final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
+    opts: WriteOptions = WriteOptions()) {
+
+  private var pos: Long = 0L
+  private var state = 0 // 0=new 1=started 2=chunk written 3=finished
+  private val metasBuf = ArrayBuffer[ColumnMeta]()
+  private val pageBuf = new ByteBuf(1 << 16)
+  private val scratch = new ByteBuf(1 << 16)
+
+  def metas: Array[ColumnMeta] = metasBuf.toArray
+  def bytesWritten: Long = pos
+
+  private def emit(b: ByteBuf): Unit = { b.writeTo(out); pos += b.length; b.reset() }
+
+  def start(): Unit = {
+    require(state == 0, "already started")
+    out.write(FormatConstants.Magic)
+    pos += FormatConstants.Magic.length
+    state = 1
+  }
+
+  def writeChunk(cols: Seq[ColumnTree], numRows: Int): Unit = {
+    require(state == 1, "writeChunk: writer not in started state (one chunk per file)")
+    val bounds = pageBounds(numRows, opts.pageSize)
+    cols.foreach(writeTree(_, bounds))
+    state = 2
+  }
+
+  private def pageBounds(n: Int, pageSize: Int): Array[Int] = {
+    val nPages = if (n == 0) 0 else (n + pageSize - 1) / pageSize
+    val b = new Array[Int](nPages + 1)
+    var i = 0
+    while (i <= nPages) { b(i) = math.min(i * pageSize, n); i += 1 }
+    b
+  }
+
+  private def writeTree(t: ColumnTree, bounds: Array[Int]): Unit = t match {
+    case LeafCol(lane, nullable, vec) =>
+      writeLeaf(lane, nullable, vec, bounds)
+    case ListCol(nullable, lengths, child) =>
+      writeLeaf(Lane.I32, nullable, lengths, bounds)
+      writeTree(child, childBounds(lengths, bounds))
+    case StructCol(nullable, n, nulls, children) =>
+      if (nullable) writeLeaf(Lane.Bool, nullable = true,
+        BoolVec(n, nulls, new Array[Boolean](n)), bounds)
+      children.foreach(writeTree(_, bounds))
+    case MapCol(nullable, lengths, key, value) =>
+      writeLeaf(Lane.I32, nullable, lengths, bounds)
+      val cb = childBounds(lengths, bounds)
+      writeTree(key, cb)
+      writeTree(value, cb)
+  }
+
+  /** Translate parent-level page bounds into child value bounds via the
+    * running sum of per-row lengths.
+    */
+  private def childBounds(lengths: IntVec, bounds: Array[Int]): Array[Int] = {
+    val cb = new Array[Int](bounds.length)
+    var bi = 0
+    var row = 0
+    var cum = 0
+    while (bi < bounds.length) {
+      while (row < bounds(bi)) { cum += lengths.values(row); row += 1 }
+      cb(bi) = cum
+      bi += 1
+    }
+    cb
+  }
+
+  private def writeLeaf(lane: Int, nullable: Boolean, vec: Vec, bounds: Array[Int]): Unit = {
+    val offset = pos
+    val nPages = math.max(bounds.length - 1, 0)
+    val pages = new Array[PageMeta](nPages)
+    var p = 0
+    while (p < nPages) {
+      pageBuf.reset()
+      pages(p) = PageSerializer.writePage(lane, vec, bounds(p), bounds(p + 1),
+        nullable, opts, pageBuf, scratch)
+      emit(pageBuf)
+      p += 1
+    }
+    metasBuf += ColumnMeta(offset, pages)
+  }
+
+  def finish(): Unit = {
+    require(state == 2 || state == 1, "finish: bad state")
+    val schemaBytes = schemaJson.getBytes("UTF-8")
+    val buf = new ByteBuf(1 << 14)
+    buf.putBytes(schemaBytes)
+    val metaStart = buf.length
+    buf.putIntLE(metasBuf.length)
+    metasBuf.foreach { cm =>
+      buf.putLongLE(cm.offset)
+      buf.putIntLE(cm.pages.length)
+      cm.pages.foreach { pm =>
+        buf.putIntLE(pm.length)
+        buf.putIntLE(pm.numValues)
+        buf.putByte(pm.statsKind)
+        if (pm.statsKind != 0) {
+          buf.putLongLE(pm.minLong)
+          buf.putLongLE(pm.maxLong)
+          buf.putIntLE(pm.nullCount)
+        }
+      }
+    }
+    val metaSize = buf.length - metaStart
+    buf.putIntLE(schemaBytes.length)
+    buf.putIntLE(metaSize)
+    buf.putBytes(FormatConstants.Magic)
+    emit(buf)
+    out.flush()
+    state = 3
+  }
+}

@@ -1,0 +1,310 @@
+package graft.format
+
+/** Page encode/decode.
+  *
+  * On-disk page layout (this library's spec; structure parallels the
+  * reference's, `/root/reference/README.md:36-80`, but is not byte-compatible):
+  * {{{
+  *   nullable leaf:   u32 nullCount | [bitmap ceil(n/8), bit=1 means NULL]  (omitted if nullCount==0)
+  *   value body:      u8 codec | u32 compressedLen | u32 rawLen | payload
+  * }}}
+  * Plain (pre-block-compression) value layouts per lane:
+  *  - Bool:  LSB-first bitmap, ceil(n/8) bytes
+  *  - I8/I16/I32/I64/F32/F64: fixed-width little-endian values, all slots
+  *    (null slots carry don't-care bytes — the validity bitmap is
+  *    authoritative, mirroring the reference's RLE/Dict null semantics,
+  *    SURVEY.md §7.4)
+  *  - Bin:   (n+1) u32 page-rebased offsets, then the value bytes
+  */
+object BitmapUtil {
+  def write(bits: Array[Boolean], from: Int, until: Int, out: ByteBuf): Unit = {
+    val n = until - from
+    val nBytes = (n + 7) >>> 3
+    val start = out.reserve(nBytes)
+    java.util.Arrays.fill(out.arr, start, start + nBytes, 0.toByte)
+    var i = 0
+    while (i < n) {
+      if (bits(from + i)) out.arr(start + (i >>> 3)) = (out.arr(start + (i >>> 3)) | (1 << (i & 7))).toByte
+      i += 1
+    }
+  }
+  def read(src: Array[Byte], off: Int, n: Int): Array[Boolean] = {
+    val res = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      res(i) = (src(off + (i >>> 3)) & (1 << (i & 7))) != 0
+      i += 1
+    }
+    res
+  }
+}
+
+object PageSerializer {
+
+  /** Encode rows [from, until) of `vec` as one page appended to `out`.
+    * Returns the page's footer metadata (length, value count, zone-map stats).
+    */
+  def writePage(lane: Int, vec: Vec, from: Int, until: Int, nullable: Boolean,
+      opts: WriteOptions, out: ByteBuf, scratch: ByteBuf): PageMeta = {
+    val pageStart = out.length
+    val n = until - from
+
+    // --- null header ---
+    var nullCount = 0
+    val nulls = vec.nulls
+    if (nullable) {
+      if (nulls != null) {
+        var i = from
+        while (i < until) { if (nulls(i)) nullCount += 1; i += 1 }
+      }
+      out.putIntLE(nullCount)
+      if (nullCount > 0) BitmapUtil.write(nulls, from, until, out)
+    }
+
+    // --- stats (zone maps; persisted, unlike the reference — SURVEY §2.2) ---
+    val stats = PageStats.compute(lane, vec, from, until)
+
+    // --- value body ---
+    val wrote = SpecialCodecs.tryWrite(lane, vec, from, until, stats, nullCount, opts, out, scratch)
+    if (!wrote) {
+      scratch.reset()
+      plainEncode(lane, vec, from, until, scratch)
+      val codec: Byte = opts.forcedCodec match {
+        case Some(c) if Codec.isCommon(c) => c
+        case _ => opts.defaultCodec
+      }
+      writeBlockBody(codec, scratch, out, opts.zstdLevel)
+    }
+
+    PageMeta(out.length - pageStart, n, stats.kind, stats.minLong, stats.maxLong, nullCount)
+  }
+
+  private[format] def writeBlockBody(codec: Byte, plain: ByteBuf, out: ByteBuf, zstdLevel: Int): Unit = {
+    if (codec == Codec.None) {
+      out.putByte(Codec.None)
+      out.putIntLE(plain.length)
+      out.putIntLE(plain.length)
+      out.putBytes(plain.arr, 0, plain.length)
+    } else {
+      out.putByte(codec)
+      val lenPos = out.reserve(8)
+      val maxLen = BlockCompression.maxCompressedLength(codec, plain.length)
+      val dstPos = out.reserve(maxLen)
+      val clen = BlockCompression.compress(codec, plain.arr, 0, plain.length, out.arr, dstPos, zstdLevel)
+      out.len = dstPos + clen
+      out.patchIntLE(lenPos, clen)
+      out.patchIntLE(lenPos + 4, plain.length)
+    }
+  }
+
+  private[format] def plainEncode(lane: Int, vec: Vec, from: Int, until: Int, out: ByteBuf): Unit = {
+    val n = until - from
+    lane match {
+      case Lane.Bool =>
+        val v = vec.asInstanceOf[BoolVec].values
+        BitmapUtil.write(v, from, until, out)
+      case Lane.I8 =>
+        val v = vec.asInstanceOf[IntVec].values
+        val p = out.reserve(n)
+        var i = 0
+        while (i < n) { out.arr(p + i) = v(from + i).toByte; i += 1 }
+      case Lane.I16 =>
+        val v = vec.asInstanceOf[IntVec].values
+        val p = out.reserve(2 * n)
+        var i = 0
+        while (i < n) {
+          val x = v(from + i)
+          out.arr(p + 2 * i) = x.toByte
+          out.arr(p + 2 * i + 1) = (x >>> 8).toByte
+          i += 1
+        }
+      case Lane.I32 =>
+        val v = vec.asInstanceOf[IntVec].values
+        val p = out.reserve(4 * n)
+        var i = 0
+        while (i < n) { putInt(out.arr, p + 4 * i, v(from + i)); i += 1 }
+      case Lane.I64 =>
+        val v = vec.asInstanceOf[LongVec].values
+        val p = out.reserve(8 * n)
+        var i = 0
+        while (i < n) { putLong(out.arr, p + 8 * i, v(from + i)); i += 1 }
+      case Lane.F32 =>
+        val v = vec.asInstanceOf[FloatVec].values
+        val p = out.reserve(4 * n)
+        var i = 0
+        while (i < n) { putInt(out.arr, p + 4 * i, java.lang.Float.floatToRawIntBits(v(from + i))); i += 1 }
+      case Lane.F64 =>
+        val v = vec.asInstanceOf[DoubleVec].values
+        val p = out.reserve(8 * n)
+        var i = 0
+        while (i < n) { putLong(out.arr, p + 8 * i, java.lang.Double.doubleToRawLongBits(v(from + i))); i += 1 }
+      case Lane.Bin =>
+        val bv = vec.asInstanceOf[BinaryVec]
+        val base = bv.offsets(from)
+        val p = out.reserve(4 * (n + 1))
+        var i = 0
+        while (i <= n) { putInt(out.arr, p + 4 * i, bv.offsets(from + i) - base); i += 1 }
+        out.putBytes(bv.bytes, base, bv.offsets(until) - base)
+    }
+  }
+
+  @inline private[format] def putInt(a: Array[Byte], p: Int, v: Int): Unit = {
+    a(p) = v.toByte; a(p + 1) = (v >>> 8).toByte
+    a(p + 2) = (v >>> 16).toByte; a(p + 3) = (v >>> 24).toByte
+  }
+  @inline private[format] def putLong(a: Array[Byte], p: Int, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { a(p + i) = (v >>> (8 * i)).toByte; i += 1 }
+  }
+}
+
+object PageDeserializer {
+
+  /** Decode one page (positioned at its start) into a Vec of `numValues`. */
+  def readPage(lane: Int, nullable: Boolean, numValues: Int, cur: ByteCursor): Vec = {
+    var nulls: Array[Boolean] = null
+    if (nullable) {
+      val nullCount = cur.getIntLE()
+      if (nullCount > 0) {
+        nulls = BitmapUtil.read(cur.arr, cur.pos, numValues)
+        cur.skip((numValues + 7) >>> 3)
+      }
+    }
+    val codec = cur.getByte().toByte
+    val clen = cur.getIntLE()
+    val rawLen = cur.getIntLE()
+    if (Codec.isCommon(codec)) {
+      val plain = new Array[Byte](rawLen)
+      BlockCompression.decompress(codec, cur.arr, cur.pos, clen, plain, 0, rawLen)
+      cur.skip(clen)
+      plainDecode(lane, numValues, nulls, plain)
+    } else {
+      val v = SpecialCodecs.read(codec, lane, numValues, nulls, cur, clen, rawLen)
+      v
+    }
+  }
+
+  private[format] def plainDecode(lane: Int, n: Int, nulls: Array[Boolean], plain: Array[Byte]): Vec = lane match {
+    case Lane.Bool =>
+      BoolVec(n, nulls, BitmapUtil.read(plain, 0, n))
+    case Lane.I8 =>
+      val v = new Array[Int](n)
+      var i = 0
+      while (i < n) { v(i) = plain(i).toInt; i += 1 }
+      IntVec(n, nulls, v)
+    case Lane.I16 =>
+      val v = new Array[Int](n)
+      var i = 0
+      while (i < n) { v(i) = ((plain(2 * i) & 0xff) | (plain(2 * i + 1) << 8)).toShort.toInt; i += 1 }
+      IntVec(n, nulls, v)
+    case Lane.I32 =>
+      val v = new Array[Int](n)
+      var i = 0
+      while (i < n) { v(i) = getInt(plain, 4 * i); i += 1 }
+      IntVec(n, nulls, v)
+    case Lane.I64 =>
+      val v = new Array[Long](n)
+      var i = 0
+      while (i < n) { v(i) = getLong(plain, 8 * i); i += 1 }
+      LongVec(n, nulls, v)
+    case Lane.F32 =>
+      val v = new Array[Float](n)
+      var i = 0
+      while (i < n) { v(i) = java.lang.Float.intBitsToFloat(getInt(plain, 4 * i)); i += 1 }
+      FloatVec(n, nulls, v)
+    case Lane.F64 =>
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) { v(i) = java.lang.Double.longBitsToDouble(getLong(plain, 8 * i)); i += 1 }
+      DoubleVec(n, nulls, v)
+    case Lane.Bin =>
+      val offs = new Array[Int](n + 1)
+      var i = 0
+      while (i <= n) { offs(i) = getInt(plain, 4 * i); i += 1 }
+      val byteLen = offs(n)
+      val bytes = new Array[Byte](byteLen)
+      System.arraycopy(plain, 4 * (n + 1), bytes, 0, byteLen)
+      BinaryVec(n, nulls, offs, bytes)
+  }
+
+  @inline private[format] def getInt(a: Array[Byte], p: Int): Int =
+    (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8) | ((a(p + 2) & 0xff) << 16) | ((a(p + 3) & 0xff) << 24)
+  @inline private[format] def getLong(a: Array[Byte], p: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (a(p + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+}
+
+/** Per-page statistics: zone maps + input to the adaptive codec chooser.
+  * (Reference analogue: `gen_stats`, `/root/reference/src/compression/integer/mod.rs:164-229`.)
+  */
+final case class PageStats(kind: Byte, minLong: Long, maxLong: Long)
+
+object PageStats {
+  def compute(lane: Int, vec: Vec, from: Int, until: Int): PageStats = {
+    val nulls = vec.nulls
+    lane match {
+      case Lane.I8 | Lane.I16 | Lane.I32 =>
+        val v = vec.asInstanceOf[IntVec].values
+        var min = Long.MaxValue; var max = Long.MinValue; var any = false
+        var i = from
+        while (i < until) {
+          if (nulls == null || !nulls(i)) {
+            val x = v(i).toLong
+            if (x < min) min = x
+            if (x > max) max = x
+            any = true
+          }
+          i += 1
+        }
+        if (any) PageStats(1, min, max) else PageStats(0, 0, 0)
+      case Lane.I64 =>
+        val v = vec.asInstanceOf[LongVec].values
+        var min = Long.MaxValue; var max = Long.MinValue; var any = false
+        var i = from
+        while (i < until) {
+          if (nulls == null || !nulls(i)) {
+            val x = v(i)
+            if (x < min) min = x
+            if (x > max) max = x
+            any = true
+          }
+          i += 1
+        }
+        if (any) PageStats(1, min, max) else PageStats(0, 0, 0)
+      case Lane.F32 =>
+        val v = vec.asInstanceOf[FloatVec].values
+        var min = Double.MaxValue; var max = Double.MinValue; var any = false
+        var i = from
+        while (i < until) {
+          if (nulls == null || !nulls(i)) {
+            val x = v(i).toDouble
+            if (x < min) min = x
+            if (x > max) max = x
+            any = true
+          }
+          i += 1
+        }
+        if (any) PageStats(2, java.lang.Double.doubleToRawLongBits(min), java.lang.Double.doubleToRawLongBits(max))
+        else PageStats(0, 0, 0)
+      case Lane.F64 =>
+        val v = vec.asInstanceOf[DoubleVec].values
+        var min = Double.MaxValue; var max = Double.MinValue; var any = false
+        var i = from
+        while (i < until) {
+          if (nulls == null || !nulls(i)) {
+            val x = v(i)
+            if (x < min) min = x
+            if (x > max) max = x
+            any = true
+          }
+          i += 1
+        }
+        if (any) PageStats(2, java.lang.Double.doubleToRawLongBits(min), java.lang.Double.doubleToRawLongBits(max))
+        else PageStats(0, 0, 0)
+      case _ => PageStats(0, 0, 0)
+    }
+  }
+}
