@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Routes the driver-provided parquet tables through the graft format:
+  * every query in SparkEntry reads `.graft` files, proving the storage layer
+  * end-to-end. Conversion happens once per (sfDir, table) per machine and is
+  * cached under /tmp (marker file, cross-JVM safe).
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val lock = new Object
+
+  private def strRoot(sfDir: String): String =
+    "/tmp/graft_str/" + sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
+
+  /** Read a table as a graft-format DataFrame (converting from parquet on
+    * first use).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val dir = s"${strRoot(sfDir)}/$name"
+    ensureConverted(spark, sfDir, name, dir)
+    spark.read.format("graft").load(dir)
+  }
+
+  /** Read the original parquet (for oracle-parity pre-processing only). */
+  def parquet(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts arrives as timestamp[ns] (long nanos under the legacy flag);
+    // normalize to a real timestamp so engine + oracle agree
+    if (name == "events") raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else raw
+  }
+
+  private def ensureConverted(spark: SparkSession, sfDir: String, name: String, dir: String): Unit =
+    lock.synchronized {
+      val marker = new java.io.File(s"$dir/_GRAFT_DONE")
+      if (marker.exists()) return
+      parquet(spark, sfDir, name)
+        .write.format("graft").mode("overwrite").save(dir)
+      marker.createNewFile()
+    }
+}

@@ -55,7 +55,7 @@ final class BoolVecBuilder(initial: Int = 1024) extends VecBuilder {
     ensure()
     if (nullsArr == null) nullsArr = new Array[Boolean](vals.length)
     else if (n >= nullsArr.length) nullsArr = java.util.Arrays.copyOf(nullsArr, vals.length)
-    nullsArr(n) = true; hasNull = true; n += 1
+    nullsArr(n) = true; hasNull = true; vals(n) = false; n += 1
   }
   def size: Int = n
   def result(): Vec = BoolVec(n,
@@ -80,7 +80,8 @@ final class IntVecBuilder(initial: Int = 1024) extends VecBuilder {
       nullsArr = new Array[Boolean](vals.length)
       if (prev != null) System.arraycopy(prev, 0, nullsArr, 0, prev.length)
     }
-    nullsArr(n) = true; hasNull = true; n += 1
+    // null slots carry a deterministic 0 — nested lengths leaves depend on it
+    nullsArr(n) = true; hasNull = true; vals(n) = 0; n += 1
   }
   def size: Int = n
   def result(): Vec = IntVec(n,
@@ -105,7 +106,7 @@ final class LongVecBuilder(initial: Int = 1024) extends VecBuilder {
       nullsArr = new Array[Boolean](vals.length)
       if (prev != null) System.arraycopy(prev, 0, nullsArr, 0, prev.length)
     }
-    nullsArr(n) = true; hasNull = true; n += 1
+    nullsArr(n) = true; hasNull = true; vals(n) = 0L; n += 1
   }
   def size: Int = n
   def result(): Vec = LongVec(n,
@@ -130,7 +131,7 @@ final class FloatVecBuilder(initial: Int = 1024) extends VecBuilder {
       nullsArr = new Array[Boolean](vals.length)
       if (prev != null) System.arraycopy(prev, 0, nullsArr, 0, prev.length)
     }
-    nullsArr(n) = true; hasNull = true; n += 1
+    nullsArr(n) = true; hasNull = true; vals(n) = 0f; n += 1
   }
   def size: Int = n
   def result(): Vec = FloatVec(n,
@@ -155,7 +156,7 @@ final class DoubleVecBuilder(initial: Int = 1024) extends VecBuilder {
       nullsArr = new Array[Boolean](vals.length)
       if (prev != null) System.arraycopy(prev, 0, nullsArr, 0, prev.length)
     }
-    nullsArr(n) = true; hasNull = true; n += 1
+    nullsArr(n) = true; hasNull = true; vals(n) = 0d; n += 1
   }
   def size: Int = n
   def result(): Vec = DoubleVec(n,

@@ -1,0 +1,176 @@
+package graft.spark
+
+import graft.format._
+import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+import org.apache.spark.sql.types._
+
+/** Read-side assembly: decoded leaf page Vecs → Spark WritableColumnVectors
+  * (one ColumnarBatch per page group — the reference's streaming-read unit,
+  * `/root/reference/src/read/deserialize.rs:100-253`).
+  */
+abstract class FieldFiller {
+  def leafCount: Int
+  /** Fill `rows` entries of `vector` from this field's leaf pages located at
+    * `leafPages(base ..< base+leafCount)`.
+    */
+  def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit
+
+  protected def applyNulls(vector: WritableColumnVector, nulls: Array[Boolean], rows: Int): Unit = {
+    if (nulls != null) {
+      var i = 0
+      while (i < rows) { if (nulls(i)) vector.putNull(i); i += 1 }
+    }
+  }
+}
+
+object FieldFiller {
+  // Fillers are built from the FILE's field type+nullability — the same
+  // (dt, nullable) pair that defines the leaf layout (GraftSchema.leafCount).
+  def apply(dt: DataType, nullable: Boolean): FieldFiller = dt match {
+    case ArrayType(et, cn) => new ArrayFiller(et, cn)
+    case MapType(kt, vt, vcn) => new MapFiller(kt, vt, vcn)
+    case s: StructType =>
+      if (nullable) new NullableStructWrapper(new StructFiller(s)) else new StructFiller(s)
+    case _ => new AtomicFiller(dt)
+  }
+
+  def forField(f: StructField): FieldFiller = apply(f.dataType, f.nullable)
+}
+
+final class AtomicFiller(dt: DataType) extends FieldFiller {
+  val leafCount = 1
+
+  def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
+    val vec = leafPages(base)
+    dt match {
+      case BooleanType =>
+        val v = vec.asInstanceOf[BoolVec].values
+        var i = 0
+        while (i < rows) { vector.putBoolean(i, v(i)); i += 1 }
+      case ByteType =>
+        val v = vec.asInstanceOf[IntVec].values
+        var i = 0
+        while (i < rows) { vector.putByte(i, v(i).toByte); i += 1 }
+      case ShortType =>
+        val v = vec.asInstanceOf[IntVec].values
+        var i = 0
+        while (i < rows) { vector.putShort(i, v(i).toShort); i += 1 }
+      case IntegerType | DateType =>
+        vector.putInts(0, rows, vec.asInstanceOf[IntVec].values, 0)
+      case LongType | TimestampType | TimestampNTZType =>
+        vector.putLongs(0, rows, vec.asInstanceOf[LongVec].values, 0)
+      case FloatType =>
+        vector.putFloats(0, rows, vec.asInstanceOf[FloatVec].values, 0)
+      case DoubleType =>
+        vector.putDoubles(0, rows, vec.asInstanceOf[DoubleVec].values, 0)
+      case StringType | BinaryType =>
+        val bv = vec.asInstanceOf[BinaryVec]
+        var i = 0
+        while (i < rows) {
+          if (!bv.isNull(i)) vector.putByteArray(i, bv.bytes, bv.offsets(i), bv.offsets(i + 1) - bv.offsets(i))
+          i += 1
+        }
+      case d: DecimalType if d.precision <= Decimal.MAX_INT_DIGITS =>
+        val v = vec.asInstanceOf[LongVec].values
+        var i = 0
+        while (i < rows) { vector.putInt(i, v(i).toInt); i += 1 }
+      case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+        vector.putLongs(0, rows, vec.asInstanceOf[LongVec].values, 0)
+      case _: DecimalType =>
+        val bv = vec.asInstanceOf[BinaryVec]
+        var i = 0
+        while (i < rows) {
+          if (!bv.isNull(i)) vector.putByteArray(i, bv.bytes, bv.offsets(i), bv.offsets(i + 1) - bv.offsets(i))
+          i += 1
+        }
+      case NullType =>
+        vector.putNulls(0, rows)
+      case other => throw new UnsupportedOperationException(s"graft: unsupported type $other")
+    }
+    applyNulls(vector, vec.nulls, rows)
+  }
+}
+
+final class ArrayFiller(et: DataType, containsNull: Boolean) extends FieldFiller {
+  private val child = FieldFiller(et, containsNull)
+  val leafCount: Int = 1 + GraftSchema.leafCount(et, containsNull)
+
+  def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
+    val lengths = leafPages(base).asInstanceOf[IntVec]
+    var total = 0
+    var i = 0
+    while (i < rows) { total += lengths.values(i); i += 1 }
+    val childVector = vector.getChild(0)
+    childVector.reset()
+    childVector.reserve(total)
+    child.fill(childVector, leafPages, base + 1, total)
+    var off = 0
+    i = 0
+    while (i < rows) {
+      if (lengths.isNull(i)) vector.putNull(i)
+      else { vector.putArray(i, off, lengths.values(i)); off += lengths.values(i) }
+      i += 1
+    }
+  }
+}
+
+final class MapFiller(kt: DataType, vt: DataType, valueContainsNull: Boolean) extends FieldFiller {
+  private val keyFiller = FieldFiller(kt, nullable = false)
+  private val valFiller = FieldFiller(vt, valueContainsNull)
+  private val keyLeaves = GraftSchema.leafCount(kt, nullable = false)
+  private val valLeaves = GraftSchema.leafCount(vt, valueContainsNull)
+  val leafCount: Int = 1 + keyLeaves + valLeaves
+
+  def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
+    val lengths = leafPages(base).asInstanceOf[IntVec]
+    var total = 0
+    var i = 0
+    while (i < rows) { total += lengths.values(i); i += 1 }
+    val kv = vector.getChild(0)
+    val vv = vector.getChild(1)
+    kv.reset(); kv.reserve(total)
+    vv.reset(); vv.reserve(total)
+    keyFiller.fill(kv, leafPages, base + 1, total)
+    valFiller.fill(vv, leafPages, base + 1 + keyLeaves, total)
+    var off = 0
+    i = 0
+    while (i < rows) {
+      if (lengths.isNull(i)) vector.putNull(i)
+      else { vector.putArray(i, off, lengths.values(i)); off += lengths.values(i) }
+      i += 1
+    }
+  }
+}
+
+/** Non-nullable struct: no marker leaf, just children. */
+final class StructFiller(st: StructType) extends FieldFiller {
+  private[spark] val children: Array[FieldFiller] =
+    st.fields.map(f => FieldFiller(f.dataType, f.nullable))
+  private[spark] val childLeafCounts: Array[Int] =
+    st.fields.map(f => GraftSchema.leafCount(f.dataType, f.nullable))
+  val leafCount: Int = childLeafCounts.sum
+
+  def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
+    var b = base
+    var j = 0
+    while (j < children.length) {
+      val cv = vector.getChild(j)
+      cv.reset()
+      cv.reserve(rows)
+      children(j).fill(cv, leafPages, b, rows)
+      b += childLeafCounts(j)
+      j += 1
+    }
+  }
+}
+
+/** Nullable struct: consumes the Bool marker leaf, then delegates. */
+final class NullableStructWrapper(inner: StructFiller) extends FieldFiller {
+  val leafCount: Int = 1 + inner.leafCount
+
+  def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
+    val marker = leafPages(base)
+    inner.fill(vector, leafPages, base + 1, rows)
+    applyNulls(vector, marker.nulls, rows)
+  }
+}

@@ -1,0 +1,248 @@
+package graft.spark
+
+import graft.format._
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+import java.util.OptionalLong
+
+/** DataSource V2 provider for the graft columnar format ("graft", alias
+  * "strawboat"). Spark capability mapping per SURVEY.md §2.1: the format
+  * supplies scan/sink + column pruning + page skipping; everything relational
+  * above the scan is stock Catalyst.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = GraftUtil.pathOf(options)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    GraftUtil.inferSchema(path, conf)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "graft: 'path' option is required")
+    new GraftTable(schema, path)
+  }
+}
+
+/** `spark.read.format("strawboat")` alias — same engine, reference-familiar name. */
+class StrawboatDataSource extends GraftDataSource {
+  override def shortName(): String = "strawboat"
+}
+
+object GraftUtil {
+  val Extension = ".graft"
+
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft: 'path' option is required")
+    p
+  }
+
+  def listDataFiles(dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[FileStatus] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory) fs.listStatus(p).toSeq
+      else Seq(st)
+    files.filter(f => f.isFile && f.getPath.getName.endsWith(Extension) &&
+      !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.toString)
+  }
+
+  def inferSchema(dir: String, conf: org.apache.hadoop.conf.Configuration): StructType = {
+    val files = listDataFiles(dir, conf)
+    require(files.nonEmpty, s"graft: no $Extension files under $dir to infer schema from")
+    val head = files.head
+    val in = new HadoopSeekableInput(
+      head.getPath.getFileSystem(conf), head.getPath, head.getLen)
+    try {
+      val footer = GraftFileReader.readFooter(in)
+      DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+    } finally in.close()
+  }
+}
+
+final class GraftTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val s = new java.util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tableSchema, path,
+      SparkSession.active.sessionState.newHadoopConf())
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(info, path)
+}
+
+final class GraftScanBuilder(tableSchema: StructType, path: String,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var projected: StructType = tableSchema
+
+  /** Top-level column pruning (reference analogue: independent per-column
+    * byte ranges, SURVEY.md §2.2). Nested pruning falls back to the full
+    * top-level column.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fields.map(_.name).toSet
+    projected = StructType(tableSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = new GraftScan(tableSchema, projected, path, conf)
+}
+
+final class GraftScan(tableSchema: StructType, projected: StructType, path: String,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val files = GraftUtil.listDataFiles(path, conf)
+
+  override def readSchema(): StructType = projected
+  override def toBatch: Batch = this
+  override def description(): String = s"graft scan of $path (${projected.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => GraftInputPartition(f.getPath.toString, f.getLen): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(new SerializableHadoopConf(conf), projected.json)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // compressed bytes underestimate in-memory size; scale to keep join
+    // planning (broadcast thresholds) honest
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_.getLen).sum * 3)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+final case class GraftInputPartition(filePath: String, fileLen: Long) extends InputPartition
+
+final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: String)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarReader(p.filePath, p.fileLen, conf.value,
+      DataType.fromJson(projectedJson).asInstanceOf[StructType])
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val inner = createColumnarReader(partition)
+    new PartitionReader[InternalRow] {
+      private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+      override def next(): Boolean = {
+        while (!rows.hasNext) {
+          if (!inner.next()) return false
+          rows = inner.get().rowIterator()
+        }
+        true
+      }
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** Per-file columnar reader: one ColumnarBatch per page group; only the
+  * projected leaves' byte ranges are ever fetched.
+  */
+final class GraftColumnarReader(filePath: String, fileLen: Long,
+    conf: org.apache.hadoop.conf.Configuration, projected: StructType)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val hPath = new Path(filePath)
+  private val input = new HadoopSeekableInput(hPath.getFileSystem(conf), hPath, fileLen)
+  private val footer = GraftFileReader.readFooter(input)
+  private val fileSchema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+  private val (fieldOffsets, totalLeaves) = GraftSchema.fieldLeafOffsets(fileSchema)
+  require(totalLeaves == footer.leaves.length,
+    s"graft: schema/leaf mismatch in $filePath (${footer.leaves.length} leaves, schema wants $totalLeaves)")
+
+  // projected field -> (file field index, base leaf index, filler)
+  private val plan: Array[(Int, Int, FieldFiller)] = projected.fields.map { pf =>
+    val fi = fileSchema.fieldIndex(pf.name)
+    val ff = fileSchema.fields(fi)
+    (fi, fieldOffsets(fi), FieldFiller.forField(ff))
+  }
+
+  // every top-level field's first leaf is row-aligned (see ColumnTree docs)
+  private val rowPages: Array[PageMeta] =
+    if (footer.leaves.isEmpty) Array.empty
+    else footer.leaves(if (plan.nonEmpty) plan(0)._2 else 0).pages
+
+  private val leafReaders = new Array[LeafReader](totalLeaves)
+  private val leafSpecsAll: Array[(Int, Boolean)] =
+    fileSchema.fields.flatMap(f => GraftSchema.leafSpecs(f.dataType, f.nullable)).toArray
+  plan.foreach { case (fi, base, filler) =>
+    var i = base
+    while (i < base + filler.leafCount) {
+      val (lane, nullable) = leafSpecsAll(i)
+      leafReaders(i) = new LeafReader(input, footer.leaves(i), lane, nullable)
+      i += 1
+    }
+  }
+
+  private val maxRows = if (rowPages.isEmpty) 0 else rowPages.map(_.numValues).max
+  private val vectors: Array[OnHeapColumnVector] =
+    if (projected.isEmpty) Array.empty
+    else OnHeapColumnVector.allocateColumns(math.max(maxRows, 1), projected)
+  private val batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
+  private val pageVecs = new Array[Vec](totalLeaves)
+
+  private var page = -1
+
+  override def next(): Boolean = {
+    page += 1
+    if (page >= rowPages.length) return false
+    val rows = rowPages(page).numValues
+    var f = 0
+    while (f < plan.length) {
+      val (_, base, filler) = plan(f)
+      var i = base
+      while (i < base + filler.leafCount) {
+        pageVecs(i) = leafReaders(i).readPage(page)
+        i += 1
+      }
+      f += 1
+    }
+    var v = 0
+    while (v < vectors.length) { vectors(v).reset(); v += 1 }
+    f = 0
+    while (f < plan.length) {
+      val (_, base, filler) = plan(f)
+      filler.fill(vectors(f), pageVecs, base, rows)
+      f += 1
+    }
+    batch.setNumRows(rows)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = input.close()
+}

@@ -1,0 +1,67 @@
+package graft.spark
+
+import graft.format._
+import org.apache.spark.sql.types._
+
+/** Maps Spark logical types onto the format's physical lanes and defines the
+  * canonical depth-first leaf layout shared by writer and reader.
+  * (Reference analogue: the arrow→parquet-leaf shredding in
+  * `/root/reference/src/write/common.rs:60-75`; ours is the offsets+validity
+  * decomposition documented on [[graft.format.ColumnTree]].)
+  */
+object GraftSchema {
+
+  def laneFor(dt: DataType): Int = dt match {
+    case BooleanType => Lane.Bool
+    case ByteType => Lane.I8
+    case ShortType => Lane.I16
+    case IntegerType | DateType => Lane.I32
+    case LongType | TimestampType | TimestampNTZType => Lane.I64
+    case FloatType => Lane.F32
+    case DoubleType => Lane.F64
+    case StringType | BinaryType => Lane.Bin
+    case d: DecimalType => if (d.precision <= Decimal.MAX_LONG_DIGITS) Lane.I64 else Lane.Bin
+    case NullType => Lane.Bool
+    case other => throw new UnsupportedOperationException(s"graft: unsupported type $other")
+  }
+
+  def isAtomic(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
+  /** Number of on-disk leaves a field occupies (must mirror the writer's
+    * ColumnTree flattening exactly).
+    */
+  def leafCount(dt: DataType, nullable: Boolean): Int = dt match {
+    case ArrayType(et, cn) => 1 + leafCount(et, cn)
+    case MapType(kt, vt, vcn) => 1 + leafCount(kt, nullable = false) + leafCount(vt, vcn)
+    case s: StructType =>
+      (if (nullable) 1 else 0) + s.fields.map(f => leafCount(f.dataType, f.nullable)).sum
+    case _ => 1
+  }
+
+  /** Start leaf index of each top-level field, plus the total leaf count. */
+  def fieldLeafOffsets(schema: StructType): (Array[Int], Int) = {
+    val offs = new Array[Int](schema.fields.length)
+    var acc = 0
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      offs(i) = acc
+      acc += leafCount(f.dataType, f.nullable)
+    }
+    (offs, acc)
+  }
+
+  /** Depth-first (lane, nullable) specs for every leaf of a field — the
+    * reader uses this to decode pages without consulting value data.
+    */
+  def leafSpecs(dt: DataType, nullable: Boolean): Seq[(Int, Boolean)] = dt match {
+    case ArrayType(et, cn) => (Lane.I32, nullable) +: leafSpecs(et, cn)
+    case MapType(kt, vt, vcn) =>
+      (Lane.I32, nullable) +: (leafSpecs(kt, nullable = false) ++ leafSpecs(vt, vcn))
+    case s: StructType =>
+      val marker = if (nullable) Seq((Lane.Bool, true)) else Seq.empty
+      marker ++ s.fields.flatMap(f => leafSpecs(f.dataType, f.nullable))
+    case _ => Seq((laneFor(dt), nullable))
+  }
+}

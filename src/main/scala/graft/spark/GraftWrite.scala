@@ -1,0 +1,138 @@
+package graft.spark
+
+import graft.format._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable.ArrayBuffer
+
+/** DSv2 write path: per-task DataWriter buffers rows columnar, encodes one
+  * chunk per file, rolls files at maxRowsPerFile (the reference's
+  * one-row-group-per-file constraint, `/root/reference/src/write/writer.rs:108-112`,
+  * handled by rolling — SURVEY.md §7.4).
+  */
+final class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val opts = GraftWriteOptions.fromOptions(info.options)
+    new GraftWriteImpl(info.schema(), path, opts, doTruncate,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+final case class GraftWriteOptions(
+    writeOptions: WriteOptions,
+    maxRowsPerFile: Int)
+
+object GraftWriteOptions {
+  def fromOptions(o: org.apache.spark.sql.util.CaseInsensitiveStringMap): GraftWriteOptions = {
+    val codec = Option(o.get("compression")).map(Codec.byName).getOrElse(Codec.Lz4)
+    val forced = Option(o.get("forcecodec")).map(Codec.byName)
+    GraftWriteOptions(
+      WriteOptions(
+        defaultCodec = if (Codec.isCommon(codec)) codec else Codec.Lz4,
+        compressRatio = Option(o.get("compressratio")).map(_.toDouble).getOrElse(1.2),
+        pageSize = Option(o.get("pagesize")).map(_.toInt).getOrElse(8192),
+        forcedCodec = if (forced.isDefined) forced else if (!Codec.isCommon(codec)) Some(codec) else None,
+        adaptive = Option(o.get("adaptive")).map(_.toBoolean).getOrElse(true),
+        zstdLevel = Option(o.get("zstdlevel")).map(_.toInt).getOrElse(3)),
+      maxRowsPerFile = Option(o.get("maxrowsperfile")).map(_.toInt).getOrElse(1 << 20))
+  }
+}
+
+final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOptions,
+    doTruncate: Boolean, conf: SerializableHadoopConf) extends Write {
+  override def toBatch: BatchWrite = new GraftBatchWrite(schema, path, opts, doTruncate, conf)
+}
+
+final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOptions,
+    doTruncate: Boolean, conf: SerializableHadoopConf) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (doTruncate && fs.exists(dir)) {
+      GraftUtil.listDataFiles(path, conf.value).foreach(f => fs.delete(f.getPath, false))
+    }
+    fs.mkdirs(dir)
+    new GraftWriterFactory(schema.json, path, opts, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class GraftCommitMessage(files: Seq[String], rows: Long) extends WriterCommitMessage
+
+final class GraftWriterFactory(schemaJson: String, path: String, opts: GraftWriteOptions,
+    conf: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(schemaJson, path, opts, conf, partitionId, taskId)
+}
+
+final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOptions,
+    conf: SerializableHadoopConf, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  import org.apache.spark.sql.types.DataType
+
+  private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  private val dir = new Path(path)
+  private val fs: FileSystem = dir.getFileSystem(conf.value)
+  private val uuid = java.util.UUID.randomUUID().toString.take(8)
+
+  private val appenders: Array[FieldAppender] =
+    schema.fields.map(f => FieldAppender(f.dataType, f.nullable))
+
+  private var rowsInFile = 0
+  private var totalRows = 0L
+  private var fileSeq = 0
+  private val committed = ArrayBuffer[(Path, Path)]() // (tmp, final)
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < appenders.length) { appenders(i).appendFrom(row, i); i += 1 }
+    rowsInFile += 1
+    if (rowsInFile >= opts.maxRowsPerFile) rollFile()
+  }
+
+  private def rollFile(): Unit = {
+    if (rowsInFile == 0) return
+    val name = f"part-$partitionId%05d-$uuid-$fileSeq%04d${GraftUtil.Extension}"
+    val tmp = new Path(dir, s".$name.tmp")
+    val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+    try {
+      val w = new GraftFileWriter(out, schemaJson, opts.writeOptions)
+      w.start()
+      w.writeChunk(appenders.map(_.tree()).toSeq, rowsInFile)
+      w.finish()
+    } finally out.close()
+    committed += ((tmp, new Path(dir, name)))
+    appenders.foreach(_.clear())
+    totalRows += rowsInFile
+    rowsInFile = 0
+    fileSeq += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    rollFile()
+    committed.foreach { case (tmp, dst) =>
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"graft: failed to rename $tmp to $dst")
+    }
+    GraftCommitMessage(committed.map(_._2.toString).toSeq, totalRows)
+  }
+
+  override def abort(): Unit =
+    committed.foreach { case (tmp, _) => fs.delete(tmp, false) }
+
+  override def close(): Unit = ()
+}
