@@ -1,8 +1,10 @@
 package graft.format
 
-/** Dispatch point for the non-block codecs (OneValue, RLE, Dict, Freq,
-  * Bitpacking, DeltaBitpacking, Patas). Implementations land with M3;
-  * until then every page falls back to the common block codec.
+/** Dispatch point for the non-block codecs, per lane family:
+  * integers: OneValue/Rle/Dict/Freq/Bitpack/DeltaBitpack;
+  * floats:   Patas + the integer family over raw bit patterns
+  *           (the reference's OrderedFloat trick, double/mod.rs);
+  * binary:   OneValue/Dict/Freq; booleans: OneValue/Rle.
   */
 object SpecialCodecs {
 
@@ -10,13 +12,81 @@ object SpecialCodecs {
     * if a codec-framed body was written to `out`.
     */
   def tryWrite(lane: Int, vec: Vec, from: Int, until: Int, stats: PageStats,
-      nullCount: Int, opts: WriteOptions, out: ByteBuf, scratch: ByteBuf): Boolean =
-    false
+      nullCount: Int, opts: WriteOptions, out: ByteBuf, scratch: ByteBuf): Boolean = {
+    val n = until - from
+    if (n == 0) return false
+    lane match {
+      case Lane.I8 | Lane.I16 | Lane.I32 | Lane.I64 =>
+        val (eff, _) = IntCodecs.effectiveValues(vec, from, until, lane)
+        IntCodecs.tryWrite(eff, n, Lane.width(lane), opts, 0L, out)
 
-  /** Decode a special-codec value body (cursor positioned after the
-    * u8|u32|u32 frame header).
+      case Lane.F32 | Lane.F64 =>
+        val width = Lane.width(lane)
+        val (eff, _) = IntCodecs.effectiveValues(vec, from, until, lane)
+        opts.forcedCodec match {
+          case Some(Codec.Patas) =>
+            FloatCodecs.encode(eff, n, width, out)
+            true
+          case Some(_) =>
+            IntCodecs.tryWrite(eff, n, width, opts, 0L, out)
+          case None =>
+            if (!opts.adaptive) false
+            else {
+              val s = IntCodecs.computeStats(eff)
+              val (intCodec, intSize) = IntCodecs.chooseCodec(s, n, width, 0L)
+              val patasSize = FloatCodecs.estimateSize(eff, n, width)
+              val plain = n.toLong * width
+              if (patasSize < intSize && plain.toDouble / patasSize >= opts.compressRatio) {
+                FloatCodecs.encode(eff, n, width, out)
+                true
+              } else if (intCodec >= 0 && plain.toDouble / intSize >= opts.compressRatio) {
+                IntCodecs.encode(intCodec, eff, n, width, s, opts, 0L, out)
+                true
+              } else false
+            }
+        }
+
+      case Lane.Bin =>
+        BinaryCodecs.tryWrite(vec.asInstanceOf[BinaryVec], from, until, opts, out)
+
+      case Lane.Bool =>
+        BoolCodecs.tryWrite(vec.asInstanceOf[BoolVec], from, until, opts, out)
+    }
+  }
+
+  /** Decode a special-codec value body (cursor positioned at the payload,
+    * i.e. after the u8|u32|u32 frame header).
     */
   def read(codec: Byte, lane: Int, numValues: Int, nulls: Array[Boolean],
-      cur: ByteCursor, clen: Int, rawLen: Int): Vec =
-    throw new java.io.IOException(s"unsupported codec byte $codec for lane $lane")
+      cur: ByteCursor, clen: Int, rawLen: Int): Vec = lane match {
+    case Lane.I8 | Lane.I16 | Lane.I32 =>
+      val v = IntCodecs.readSpecial(codec, cur, numValues, Lane.width(lane), clen)
+      val out = new Array[Int](numValues)
+      var i = 0
+      while (i < numValues) { out(i) = v(i).toInt; i += 1 }
+      IntVec(numValues, nulls, out)
+    case Lane.I64 =>
+      LongVec(numValues, nulls,
+        IntCodecs.readSpecial(codec, cur, numValues, 8, clen))
+    case Lane.F32 =>
+      val bits =
+        if (codec == Codec.Patas) FloatCodecs.read(cur, numValues, clen)
+        else IntCodecs.readSpecial(codec, cur, numValues, 4, clen)
+      val out = new Array[Float](numValues)
+      var i = 0
+      while (i < numValues) { out(i) = java.lang.Float.intBitsToFloat(bits(i).toInt); i += 1 }
+      FloatVec(numValues, nulls, out)
+    case Lane.F64 =>
+      val bits =
+        if (codec == Codec.Patas) FloatCodecs.read(cur, numValues, clen)
+        else IntCodecs.readSpecial(codec, cur, numValues, 8, clen)
+      val out = new Array[Double](numValues)
+      var i = 0
+      while (i < numValues) { out(i) = java.lang.Double.longBitsToDouble(bits(i)); i += 1 }
+      DoubleVec(numValues, nulls, out)
+    case Lane.Bin =>
+      BinaryCodecs.read(codec, cur, numValues, nulls, clen)
+    case Lane.Bool =>
+      BoolCodecs.read(codec, cur, numValues, nulls, clen)
+  }
 }

@@ -1,0 +1,235 @@
+package graft.format
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Codec-targeted shapes from FIXTURES.md F3 (mirroring the reference's
+  * tests/it/io.rs corpus): each special codec is (a) chosen by the adaptive
+  * chooser on its natural shape, (b) correct on round-trip, (c) correct when
+  * forced.
+  */
+class CodecSpec extends AnyFunSuite {
+
+  private def writeRead(lane: Int, nullable: Boolean, vec: Vec, opts: WriteOptions):
+      (Vec, Array[GraftStat.PageInfo]) = {
+    val f = Files.createTempFile("graft-codec", ".graft")
+    try {
+      val os = new java.io.BufferedOutputStream(Files.newOutputStream(f))
+      val w = new GraftFileWriter(os, "{}", opts)
+      w.start()
+      w.writeChunk(Seq(LeafCol(lane, nullable, vec)), vec.n)
+      w.finish()
+      os.close()
+      val specs = Array((lane, nullable))
+      val stat = GraftStat.describeFile(f, specs)
+      val in = new LocalFileInput(f)
+      try {
+        val footer = GraftFileReader.readFooter(in)
+        (new LeafReader(in, footer.leaves(0), lane, nullable).readAll(), stat(0).pages)
+      } finally in.close()
+    } finally Files.deleteIfExists(f)
+  }
+
+  private def assertEq(expected: Vec, got: Vec): Unit = {
+    assert(got.n == expected.n)
+    var i = 0
+    while (i < expected.n) {
+      assert(got.isNull(i) == expected.isNull(i), s"null mismatch at $i")
+      if (!expected.isNull(i)) (expected, got) match {
+        case (a: BoolVec, b: BoolVec) => assert(a.values(i) == b.values(i), s"at $i")
+        case (a: IntVec, b: IntVec) => assert(a.values(i) == b.values(i), s"at $i")
+        case (a: LongVec, b: LongVec) => assert(a.values(i) == b.values(i), s"at $i")
+        case (a: FloatVec, b: FloatVec) => assert(a.values(i) == b.values(i), s"at $i")
+        case (a: DoubleVec, b: DoubleVec) => assert(a.values(i) == b.values(i), s"at $i")
+        case (a: BinaryVec, b: BinaryVec) => assert(java.util.Arrays.equals(a(i), b(i)), s"at $i")
+        case other => fail(s"type mismatch $other")
+      }
+      i += 1
+    }
+  }
+
+  private def nullsFor(n: Int, density: Double, seed: Long): Array[Boolean] =
+    if (density <= 0) null
+    else { val r = new scala.util.Random(seed); Array.fill(n)(r.nextDouble() < density) }
+
+  private val adaptive = WriteOptions(pageSize = 2048, compressRatio = 1.2)
+
+  test("sorted ints choose DeltaBitpack and round-trip") {
+    val n = 10240
+    val vec = IntVec(n, null, Array.tabulate(n)(i => i * 3))
+    val (got, pages) = writeRead(Lane.I32, nullable = false, vec, adaptive)
+    assert(pages.forall(_.codec == Codec.DeltaBitpack), pages.map(_.codec).mkString(","))
+    assertEq(vec, got)
+  }
+
+  test("low-cardinality ints choose Dict and round-trip (with nulls)") {
+    val n = 10240
+    val r = new scala.util.Random(42)
+    val nulls = nullsFor(n, 0.2, 7)
+    val vals = Array.fill(n)(Array(3, 17, 123456, -9, 42, 7, 8, 100)(r.nextInt(8)))
+    val vec = IntVec(n, nulls, vals)
+    val (got, pages) = writeRead(Lane.I32, nullable = true, vec, adaptive)
+    assert(pages.forall(p => p.codec == Codec.Dict || p.codec == Codec.Bitpack),
+      pages.map(_.codec).mkString(","))
+    assertEq(vec, got)
+  }
+
+  test("constant column chooses OneValue") {
+    val n = 8192
+    val vec = LongVec(n, null, Array.fill(n)(123456789L))
+    val (got, pages) = writeRead(Lane.I64, nullable = false, vec, adaptive)
+    assert(pages.forall(_.codec == Codec.OneValue))
+    assertEq(vec, got)
+  }
+
+  test("dominant value with outliers chooses Freq") {
+    val n = 10240
+    val vals = Array.fill(n)(20)
+    val r = new scala.util.Random(1)
+    (0 until 15).foreach(_ => vals(r.nextInt(n)) = 1000000)
+    val vec = IntVec(n, null, vals)
+    val (got, pages) = writeRead(Lane.I32, nullable = false, vec, adaptive)
+    // RLE can legitimately beat Freq on long constant runs — accept either
+    assert(pages.forall(p => p.codec == Codec.Freq || p.codec == Codec.OneValue ||
+      p.codec == Codec.Rle), pages.map(_.codec).mkString(","))
+    assert(pages.exists(_.codec == Codec.Freq))
+    assertEq(vec, got)
+  }
+
+  test("small-range ints choose Bitpack") {
+    val n = 10240
+    val r = new scala.util.Random(42)
+    val vec = IntVec(n, null, Array.fill(n)(r.nextInt(8) + 1000))
+    val (got, pages) = writeRead(Lane.I32, nullable = false, vec, adaptive)
+    assert(pages.forall(_.codec == Codec.Bitpack), pages.map(_.codec).mkString(","))
+    assertEq(vec, got)
+  }
+
+  test("runs choose RLE") {
+    val n = 10240
+    val vec = IntVec(n, null, Array.tabulate(n)(i => (i / 500) * 7))
+    val (got, pages) = writeRead(Lane.I32, nullable = false, vec, adaptive)
+    assert(pages.forall(p => p.codec == Codec.Rle || p.codec == Codec.DeltaBitpack),
+      pages.map(_.codec).mkString(","))
+    assertEq(vec, got)
+  }
+
+  test("slowly-varying doubles choose Patas and round-trip") {
+    val n = 8192
+    // quantized (money-like) doubles: XORs have many trailing-zero bytes, and
+    // high cardinality + sawtooth order keep Dict/DeltaBitpack/Bitpack out
+    val vals = Array.tabulate(n)(i => 1000.0 + (i % 4073) * 0.25 - (i % 7) * 128.0)
+    val vec = DoubleVec(n, null, vals)
+    val (got, pages) = writeRead(Lane.F64, nullable = false, vec, adaptive)
+    assert(pages.forall(_.codec == Codec.Patas), pages.map(_.codec).mkString(","))
+    assertEq(vec, got)
+  }
+
+  test("low-cardinality doubles choose Dict-on-bits (with nulls)") {
+    val n = 8192
+    val r = new scala.util.Random(4)
+    val choices = Array(1.5, 2.25, -17.75, 1e9)
+    val vec = DoubleVec(n, nullsFor(n, 0.3, 11), Array.fill(n)(choices(r.nextInt(4))))
+    val (got, pages) = writeRead(Lane.F64, nullable = true, vec, adaptive)
+    assert(pages.forall(_.codec == Codec.Dict), pages.map(_.codec).mkString(","))
+    assertEq(vec, got)
+  }
+
+  test("low-cardinality strings choose Dict; dominant string chooses Freq; constant OneValue") {
+    val n = 8192
+    val r = new scala.util.Random(5)
+    def mk(vals: Int => String, nullDensity: Double, seed: Long): BinaryVec = {
+      val b = new BinaryVecBuilder()
+      val nulls = nullsFor(n, nullDensity, seed)
+      (0 until n).foreach { i =>
+        if (nulls != null && nulls(i)) b.appendNull() else b.append(vals(i).getBytes("UTF-8"))
+      }
+      b.result().asInstanceOf[BinaryVec]
+    }
+    val modes = Array("AIR", "RAIL", "SHIP", "TRUCK")
+    val dictV = mk(_ => modes(r.nextInt(4)), 0.1, 21)
+    val (gotD, pagesD) = writeRead(Lane.Bin, nullable = true, dictV, adaptive)
+    assert(pagesD.forall(_.codec == Codec.Dict), pagesD.map(_.codec).mkString(","))
+    assertEq(dictV, gotD)
+
+    val freqV = mk(i => if (i % 100 == 7) s"rare-$i" else "dominant", 0.0, 0)
+    val (gotF, pagesF) = writeRead(Lane.Bin, nullable = false, freqV, adaptive)
+    assert(pagesF.forall(p => p.codec == Codec.Freq || p.codec == Codec.Dict),
+      pagesF.map(_.codec).mkString(","))
+    assertEq(freqV, gotF)
+
+    val oneV = mk(_ => "same", 0.0, 0)
+    val (gotO, pagesO) = writeRead(Lane.Bin, nullable = false, oneV, adaptive)
+    assert(pagesO.forall(_.codec == Codec.OneValue))
+    assertEq(oneV, gotO)
+  }
+
+  test("booleans: constant OneValue, runs RLE, random plain") {
+    val n = 8192
+    val allTrue = BoolVec(n, null, Array.fill(n)(true))
+    val (g1, p1) = writeRead(Lane.Bool, nullable = false, allTrue, adaptive)
+    assert(p1.forall(_.codec == Codec.OneValue))
+    assertEq(allTrue, g1)
+
+    val runs = BoolVec(n, null, Array.tabulate(n)(i => (i / 1000) % 2 == 0))
+    val (g2, p2) = writeRead(Lane.Bool, nullable = false, runs, adaptive)
+    assert(p2.forall(_.codec == Codec.Rle), p2.map(_.codec).mkString(","))
+    assertEq(runs, g2)
+
+    val r = new scala.util.Random(9)
+    val rand = BoolVec(n, nullsFor(n, 0.2, 33), Array.fill(n)(r.nextBoolean()))
+    val (g3, p3) = writeRead(Lane.Bool, nullable = true, rand, adaptive)
+    assert(p3.forall(p => Codec.isCommon(p.codec)))
+    assertEq(rand, g3)
+  }
+
+  test("forced codecs round-trip on random data where feasible") {
+    val n = 4096
+    val r = new scala.util.Random(42)
+    val ints = IntVec(n, nullsFor(n, 0.1, 13), Array.fill(n)(r.nextInt(1000)))
+    for (codec <- Seq(Codec.Rle, Codec.Dict, Codec.Freq, Codec.Bitpack)) {
+      val (got, pages) = writeRead(Lane.I32, nullable = true, ints,
+        WriteOptions(pageSize = 1024, forcedCodec = Some(codec)))
+      assert(pages.forall(_.codec == codec), s"forced $codec got ${pages.map(_.codec).mkString(",")}")
+      assertEq(ints, got)
+    }
+    val dbl = DoubleVec(n, nullsFor(n, 0.2, 17), Array.fill(n)(r.nextDouble() * 1e6))
+    val (gotP, pagesP) = writeRead(Lane.F64, nullable = true, dbl,
+      WriteOptions(pageSize = 1024, forcedCodec = Some(Codec.Patas)))
+    assert(pagesP.forall(_.codec == Codec.Patas))
+    assertEq(dbl, gotP)
+
+    val longs = LongVec(n, null, Array.tabulate(n)(i => i.toLong * 1000003))
+    val (gotL, pagesL) = writeRead(Lane.I64, nullable = false, longs,
+      WriteOptions(pageSize = 1024, forcedCodec = Some(Codec.DeltaBitpack)))
+    assert(pagesL.forall(_.codec == Codec.DeltaBitpack))
+    assertEq(longs, gotL)
+  }
+
+  test("random data round-trips under adaptive chooser (all lanes, null densities)") {
+    val n = 10000
+    for (density <- Seq(0.0, 0.1, 0.5)) {
+      val r = new scala.util.Random(42)
+      def nn(seed: Long) = nullsFor(n, density, seed)
+      val cols: Seq[(Int, Vec)] = Seq(
+        Lane.Bool -> BoolVec(n, nn(1), Array.fill(n)(r.nextBoolean())),
+        Lane.I8 -> IntVec(n, nn(2), Array.fill(n)(r.nextInt(256) - 128)),
+        Lane.I16 -> IntVec(n, nn(3), Array.fill(n)(r.nextInt(65536) - 32768)),
+        Lane.I32 -> IntVec(n, nn(4), Array.fill(n)(r.nextInt())),
+        Lane.I64 -> LongVec(n, nn(5), Array.fill(n)(r.nextLong())),
+        Lane.F32 -> FloatVec(n, nn(6), Array.fill(n)(r.nextFloat())),
+        Lane.F64 -> DoubleVec(n, nn(7), Array.fill(n)(r.nextDouble())),
+        Lane.Bin -> {
+          val b = new BinaryVecBuilder()
+          val nl = nn(8)
+          (0 until n).foreach(i => if (nl != null && nl(i)) b.appendNull()
+            else b.append(r.nextInt(1000).toString.getBytes))
+          b.result()
+        })
+      cols.foreach { case (lane, vec) =>
+        val (got, _) = writeRead(lane, density > 0, vec, adaptive)
+        assertEq(vec, got)
+      }
+    }
+  }
+}
