@@ -39,6 +39,19 @@ object SparkDemo {
       println("NO ERROR")
     } catch { case e: Exception => println(s"error: ${e.getMessage.linesIterator.next()}") }
 
+    println("--- nested + nullable lists through graft ---")
+    spark.sql("""SELECT id,
+        CASE WHEN id % 5 = 0 THEN NULL ELSE sequence(0, cast(id % 4 AS INT)) END AS xs,
+        named_struct('k', concat('n', id), 'v', map(cast(id AS INT), cast(id * 2 AS BIGINT))) AS rec
+      FROM range(10000)""")
+      .write.format("graft").mode("overwrite").save("/tmp/graft-demo/nested")
+    val nested = spark.read.format("graft").load("/tmp/graft-demo/nested")
+    nested.createOrReplaceTempView("nested")
+    spark.sql("""SELECT count(*) AS rows, count(xs) AS non_null_lists,
+        sum(aggregate(coalesce(xs, array()), 0, (a, x) -> a + x)) AS sum_elems,
+        sum(rec.v[cast(id AS INT)]) AS sum_map_vals
+      FROM nested""").show()
+
     println("--- probe: append mode doubles rows ---")
     li.limit(10).write.format("graft").mode("append").save("/tmp/graft-demo/app")
     li.limit(10).write.format("graft").mode("append").save("/tmp/graft-demo/app")

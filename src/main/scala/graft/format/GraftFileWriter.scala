@@ -82,7 +82,10 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
     var row = 0
     var cum = 0
     while (bi < bounds.length) {
-      while (row < bounds(bi)) { cum += lengths.values(row); row += 1 }
+      while (row < bounds(bi)) {
+        if (lengths.nulls == null || !lengths.nulls(row)) cum += lengths.values(row)
+        row += 1
+      }
       cb(bi) = cum
       bi += 1
     }

@@ -97,9 +97,11 @@ final class ArrayFiller(et: DataType, containsNull: Boolean) extends FieldFiller
 
   def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
     val lengths = leafPages(base).asInstanceOf[IntVec]
+    // null slots may decode as last-non-null (codec fill semantics) — a null
+    // list has length 0 by definition
     var total = 0
     var i = 0
-    while (i < rows) { total += lengths.values(i); i += 1 }
+    while (i < rows) { if (!lengths.isNull(i)) total += lengths.values(i); i += 1 }
     val childVector = vector.getChild(0)
     childVector.reset()
     childVector.reserve(total)
@@ -125,7 +127,7 @@ final class MapFiller(kt: DataType, vt: DataType, valueContainsNull: Boolean) ex
     val lengths = leafPages(base).asInstanceOf[IntVec]
     var total = 0
     var i = 0
-    while (i < rows) { total += lengths.values(i); i += 1 }
+    while (i < rows) { if (!lengths.isNull(i)) total += lengths.values(i); i += 1 }
     val kv = vector.getChild(0)
     val vv = vector.getChild(1)
     kv.reset(); kv.reserve(total)

@@ -1,0 +1,120 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full type-matrix + nested round-trips (FIXTURES.md F1/F4 analogues):
+  * struct, list, map, list_list, list_struct, list_map, struct_list,
+  * decimal/date/timestamp logical types, deeply mixed shapes.
+  */
+class NestedTypesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rt(name: String, sql: String): Unit = {
+    val dir = s"/tmp/graft-test/nested/$name"
+    val src = spark.sql(sql)
+    src.write.format("graft").option("pagesize", "256").mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema == src.schema, s"$name schema: got ${back.schema} want ${src.schema}")
+    val a = src.selectExpr("to_json(struct(*)) as r").collect().map(_.getString(0)).sorted
+    val b = back.selectExpr("to_json(struct(*)) as r").collect().map(_.getString(0)).sorted
+    assert(a.length == b.length, s"$name count")
+    assert(a.sameElements(b), s"$name rows differ;\n first diff: ${
+      a.zip(b).find(p => p._1 != p._2).getOrElse(("", ""))}")
+  }
+
+  test("struct of atomic + nulls") {
+    rt("struct", """
+      SELECT id,
+        CASE WHEN id % 7 = 0 THEN NULL
+             ELSE named_struct('name', concat('n', id), 'age', CASE WHEN id % 5 = 0 THEN NULL ELSE cast(id % 90 AS INT) END)
+        END AS person
+      FROM range(1000)""")
+  }
+
+  test("list of int with nulls") {
+    rt("list", """
+      SELECT id,
+        CASE WHEN id % 11 = 0 THEN NULL
+             ELSE transform(sequence(0, cast(id % 4 AS INT)), x -> CASE WHEN x = 2 THEN NULL ELSE cast(x * id AS INT) END)
+        END AS xs
+      FROM range(1000)""")
+  }
+
+  test("map int->string with nullable values") {
+    rt("map", """
+      SELECT id,
+        CASE WHEN id % 13 = 0 THEN NULL
+             ELSE map_from_arrays(
+               sequence(0, cast(id % 3 AS INT)),
+               transform(sequence(0, cast(id % 3 AS INT)), x -> CASE WHEN x = 1 THEN NULL ELSE concat('v', x) END))
+        END AS m
+      FROM range(1000)""")
+  }
+
+  test("list of list") {
+    rt("list_list", """
+      SELECT id, transform(sequence(0, cast(id % 3 AS INT)),
+        i -> CASE WHEN i = 1 THEN NULL ELSE sequence(0, i) END) AS xss
+      FROM range(500)""")
+  }
+
+  test("list of struct") {
+    rt("list_struct", """
+      SELECT id, transform(sequence(0, cast(id % 3 AS INT)),
+        i -> named_struct('name', concat('x', i), 'age', cast(i AS INT))) AS people
+      FROM range(500)""")
+  }
+
+  test("list of map") {
+    rt("list_map", """
+      SELECT id, transform(sequence(0, cast(id % 2 AS INT)),
+        i -> map(cast(i AS INT), concat('m', i))) AS ms
+      FROM range(500)""")
+  }
+
+  test("struct of list") {
+    rt("struct_list", """
+      SELECT id, named_struct('name', concat('n', id),
+        'scores', sequence(0, cast(id % 4 AS INT))) AS rec
+      FROM range(500)""")
+  }
+
+  test("decimals small and large, dates, timestamps") {
+    rt("logical_types", """
+      SELECT id,
+        cast(id * 1.5 AS DECIMAL(10,2)) AS d10,
+        cast(id AS DECIMAL(18,0)) * 1000000 AS d18,
+        cast(concat('123456789012345678901234567890.', id % 100) AS DECIMAL(38,8)) AS d38,
+        date_add(date'1995-01-01', cast(id % 1000 AS INT)) AS dt,
+        timestamp_millis(946684800000 + id * 977777) AS ts,
+        CASE WHEN id % 3 = 0 THEN NULL ELSE cast(id % 100 - 50 AS TINYINT) END AS i8,
+        cast(id AS SMALLINT) AS i16,
+        cast(id AS FLOAT) / 3.0 AS f32,
+        encode(concat('bin', id), 'utf-8') AS bin
+      FROM range(1000)""")
+  }
+
+  test("deep mix: array of struct of array of map") {
+    rt("deep", """
+      SELECT id, transform(sequence(0, cast(id % 2 AS INT)), i ->
+        named_struct(
+          'tags', transform(sequence(0, i), j -> map(concat('k', j), cast(j * id AS BIGINT))),
+          'w', cast(i AS DOUBLE) / 7.0)) AS recs
+      FROM range(300)""")
+  }
+
+  test("empty arrays and empty strings") {
+    rt("empties", """
+      SELECT id, array() AS empty_arr,
+        CASE WHEN id % 2 = 0 THEN '' ELSE concat('s', id) END AS s,
+        map() AS empty_map
+      FROM range(100)""")
+  }
+}
