@@ -1,0 +1,366 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.3-2.7: joins, aggregations,
+  * windows, sorts/limits, set ops — all stock Catalyst over graft scans).
+  *
+  * Numeric convention (see SparkEntry): double aggregates pass through
+  * decimal(20,4) so Spark and the DuckDB oracle do exact arithmetic in the
+  * same value domain, then cast to double; averages divide AFTER the cast.
+  */
+object Relational {
+
+  private def dec(c: String): Column = col(c).cast("decimal(20,4)")
+  private def dsum(c: String): Column = sum(dec(c)).cast("double")
+  /** revenue term l_extendedprice * (1 - l_discount), exact */
+  private def revenueTerm: Column =
+    (dec("l_extendedprice") * (lit(1).cast("decimal(20,4)") - dec("l_discount")))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "q4_order_priority" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q5_local_supplier" -> { (s, dir) =>
+      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val joined = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      joined.groupBy(col("n_name"))
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "q10_returned_items" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("l_returnflag") === "R" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    "q12_priority_by_flag" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q13_order_count_distribution" -> { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    "q14_promo_share" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", revenueTerm).otherwise(lit(0).cast("decimal(20,4)")))
+            .cast("double") * 100.0 /
+            sum(revenueTerm).cast("double")).as("promo_share"),
+          count(lit(1)).as("n"))
+    },
+
+    "q18_large_orders" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey").as("big_orderkey"))
+        .agg(dsum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("big_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    "q_window_top_orders" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    "q_window_running_revenue" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("running_value", sum(col("value").cast("decimal(20,4)")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    "q_setops_customers" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val buyers = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+      val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val both = buyers.intersect(rich)
+      val onlyRich = rich.except(buyers)
+      val either = buyers.union(rich).distinct()
+      both.agg(count(lit(1)).as("n")).withColumn("setop", lit("intersect"))
+        .unionByName(onlyRich.agg(count(lit(1)).as("n")).withColumn("setop", lit("except")))
+        .unionByName(either.agg(count(lit(1)).as("n")).withColumn("setop", lit("union_distinct")))
+        .select(col("setop"), col("n"))
+        .orderBy(col("setop"))
+    },
+
+    "q_distinct_agg" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_nationkey")).as("nations"),
+          count(lit(1)).as("customers"),
+          dsum("c_acctbal").as("total_balance"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    "q_topk_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    "q_rollup_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total"))
+        .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    },
+
+    "q_events_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    "q_events_sessions" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    "q_asof_purchase_view" -> { (s, dir) =>
+      // as-of join via the union+window pattern: each purchase picks up the
+      // value of the user's most recent prior-or-same-time view
+      val e = t(s, dir, "events")
+      val tagged = e.filter(col("event_type").isin("purchase", "view"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_view_value",
+          last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("last_view_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |  CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name, CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_priority_by_flag" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_order_count_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueSql ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+         |    * 100.0 / CAST(sum($revenueSql) AS DOUBLE) AS promo_share,
+         |  count(*) AS n
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS big_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) > 150)
+        |  ON o_orderkey = big_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running_revenue" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(20,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_setops_customers" ->
+      """WITH buyers AS (SELECT c_custkey FROM customer
+        |                WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
+        |     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT setop, n FROM (
+        |  SELECT 'intersect' AS setop, count(*) AS n FROM (SELECT * FROM buyers INTERSECT SELECT * FROM rich)
+        |  UNION ALL
+        |  SELECT 'except', count(*) FROM (SELECT * FROM rich EXCEPT SELECT * FROM buyers)
+        |  UNION ALL
+        |  SELECT 'union_distinct', count(*) FROM (SELECT * FROM buyers UNION SELECT * FROM rich))
+        |ORDER BY setop""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS nations,
+        |  count(*) AS customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS total_balance
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q_rollup_orders" ->
+      """SELECT n_name, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM orders, customer, nation
+        |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderstatus)
+        |ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_sessions" ->
+      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof_purchase_view" ->
+      """SELECT user_id, event_id, last_view_value FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+        |  FROM events WHERE event_type IN ('purchase','view'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin)
+}
