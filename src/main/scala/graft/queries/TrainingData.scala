@@ -1,0 +1,380 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables (all reading through graft storage):
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * and text analysis (language-ID, quality scoring, token stats,
+  * fingerprinting).
+  *
+  * Determinism notes:
+  *  - oracle-checked ops use only integer arithmetic, IEEE double division /
+  *    sqrt of integers, and engine-portable functions (md5, ascii, split);
+  *  - xxhash64-based ops (minhash/simhash/LSH) have no DuckDB equivalent →
+  *    no oracle entry (driver records rows-only);
+  *  - float embeddings are quantized via floor(x*1000) so similarity ranking
+  *    is integer-exact on both engines.
+  */
+object TrainingData {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+
+  /** quantized embedding as array<bigint> */
+  private val quantized = "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- deduplication ----------------
+
+    "d_dedup_exact" -> { (s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("total_docs"),
+        countDistinct(md5(col("text"))).as("distinct_texts"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+    },
+
+    "d_dedup_minhash_lsh" -> { (s, dir) =>
+      // shingle -> 64 minhashes -> 8 bands of 8 -> bucket-join candidates ->
+      // signature-similarity confirm. Scale path: the band join is a plain
+      // shuffle join on (band, hash) — no pairwise blowup outside buckets.
+      val d = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("shingles", expr(
+          """CASE WHEN size(w) >= 3
+             THEN transform(sequence(0, size(w)-3),
+                  i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
+             ELSE array(text) END"""))
+        .withColumn("sig", expr(
+          """aggregate(shingles,
+               array_repeat(cast(9223372036854775807 as bigint), 64),
+               (acc, sh) -> zip_with(acc,
+                 transform(sequence(0, 63),
+                   h -> pmod((h*2+1) * pmod(xxhash64(sh), 1000000007) + h*12345+1, 1000000007)),
+                 (a, b) -> least(a, b)))"""))
+        .select(col("doc_id"), col("sig"))
+      d.cache()
+      val bands = d.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 7), b -> named_struct(
+               'band', b,
+               'bh', xxhash64(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string))))))"""))
+          .as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val a = bands.select(col("band"), col("bh"), col("doc_id").as("ida"), col("sig").as("siga"))
+      val b = bands.select(col("band"), col("bh"), col("doc_id").as("idb"), col("sig").as("sigb"))
+      val cand = a.join(b, Seq("band", "bh")).filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), col("siga"), col("sigb")).distinct()
+      val confirmed = cand.withColumn("est_jacc",
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) / 64.0"))
+      val bucketGroups = bands.groupBy(col("band"), col("bh")).count().filter(col("count") >= 2)
+      confirmed.agg(
+        count(lit(1)).as("candidate_pairs"),
+        sum(when(col("est_jacc") >= 0.7, 1L).otherwise(0L)).as("confirmed_pairs"))
+        .crossJoin(bucketGroups.agg(count(lit(1)).as("multi_buckets")))
+        .crossJoin(d.agg(count(lit(1)).as("n_docs")))
+        .select(col("n_docs"), col("multi_buckets"), col("candidate_pairs"), col("confirmed_pairs"))
+    },
+
+    "d_dedup_simhash" -> { (s, dir) =>
+      val d2 = docs(s, dir)
+        .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 63), cast(0 as bigint),
+               (acc, b) -> acc + CASE
+                 WHEN size(filter(hs, h -> ((h >> b) & 1) = 1)) * 2 >= size(hs)
+                 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""))
+        .select(col("doc_id"), col("simhash"))
+      d2.cache()
+      val chunks = d2.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), c -> named_struct('c', c, 'ck', (simhash >> (c*16)) & 65535))")).as("cc"))
+        .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
+      val a = chunks.select(col("c"), col("ck"), col("doc_id").as("ida"), col("simhash").as("sa"))
+      val b = chunks.select(col("c"), col("ck"), col("doc_id").as("idb"), col("simhash").as("sb"))
+      val cand = a.join(b, Seq("c", "ck")).filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), col("sa"), col("sb")).distinct()
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      cand.agg(count(lit(1)).as("candidate_pairs"),
+          sum(when(col("hamming") <= 6, 1L).otherwise(0L)).as("near_dup_pairs"))
+        .crossJoin(d2.agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("distinct_simhashes")))
+        .select(col("n_docs"), col("distinct_simhashes"), col("candidate_pairs"), col("near_dup_pairs"))
+    },
+
+    "d_ngram_jaccard" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+      val cand = d.select(col("doc_id").as("ida"), col("source").as("sa"), col("n_chars").as("ca"))
+        .join(d.select(col("doc_id").as("idb"), col("source").as("sb"), col("n_chars").as("cb")),
+          col("sa") === col("sb") && col("ida") < col("idb") &&
+            abs(col("ca") - col("cb")) <= 2)
+        .select(col("ida"), col("idb"))
+      val inter = tok.select(col("doc_id").as("ida"), col("w"))
+        .join(tok.select(col("doc_id").as("idb"), col("w")), Seq("w"))
+        .filter(col("ida") < col("idb"))
+        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("common"))
+      cand.join(inter, Seq("ida", "idb"))
+        .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nw", "words_a"), Seq("ida"))
+        .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nw", "words_b"), Seq("idb"))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("words_a") + col("words_b") - col("common")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+          col("words_a"), col("words_b"), col("common"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    "d_dedup_embedding" -> { (s, dir) =>
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+      val a = e.select(col("vec_id").as("va"), col("label"), col("q").as("qa"), col("nn").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("label"), col("q").as("qb"), col("nn").as("nb"))
+      a.join(b, Seq("label")).filter(col("va") < col("vb"))
+        .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cosine") >= 0.3)
+        .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ---------------- similarity search ----------------
+
+    "s_ann_bruteforce" -> { (s, dir) =>
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+      val queriesDf = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qv"))
+      val targets = e.select(col("vec_id").as("tid"), col("q").as("tv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
+      queriesDf.crossJoin(targets).filter(col("qid") =!= col("tid"))
+        .withColumn("dot", expr("aggregate(zip_with(qv, tv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("tid"), col("dot"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    "s_ann_lsh" -> { (s, dir) =>
+      // 6 deterministic integer hyperplanes -> 64 sign buckets; queries
+      // multiprobe the exact bucket + all 1-bit flips (7 probes); exact
+      // int-dot rerank of candidates. The scale path: bucketing is a map +
+      // shuffle-join on bucket id, never all-pairs; recall/probe-count trade
+      // off via the probe list.
+      val planes = "transform(sequence(0, 5), p -> transform(sequence(0, 63), j -> ((p*131 + j*37) % 19) - 9))"
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .withColumn("bucket", expr(
+          s"""aggregate(sequence(0, 5), cast(0 as bigint),
+                (acc, p) -> acc + CASE WHEN
+                  aggregate(zip_with(q, element_at($planes, p + 1), (x, c) -> x * c),
+                            cast(0 as bigint), (a2, x2) -> a2 + x2) >= 0
+                  THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""))
+      e.cache()
+      val queriesDf = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
+        .withColumn("bucket", explode(expr(
+          "concat(array(bucket), transform(sequence(0, 5), b -> bucket ^ shiftleft(cast(1 as bigint), b)))")))
+      val targets = e.select(col("vec_id").as("tid"), col("q").as("tv"), col("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
+      queriesDf.join(targets, Seq("bucket")).filter(col("qid") =!= col("tid"))
+        .dropDuplicates("qid", "tid") // multiprobe can hit a pair twice
+        .withColumn("dot", expr("aggregate(zip_with(qv, tv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("tid"), col("dot"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // ---------------- text analysis ----------------
+
+    "t_language_id" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("s_en", expr("size(filter(w, x -> x IN ('the','a','fast','slow')))"))
+        .withColumn("s_de", expr("size(filter(w, x -> x IN ('join','hash','merge','batch')))"))
+        .withColumn("s_es", expr("size(filter(w, x -> x IN ('data','table','row','scan')))"))
+        .withColumn("s_fr", expr("size(filter(w, x -> x IN ('filter','order','column','small')))"))
+        .withColumn("s_zh", expr("size(filter(w, x -> x IN ('customer','query','value','part')))"))
+        .withColumn("predicted", expr(
+          """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END"""))
+        .withColumn("agrees", (col("predicted") === col("lang")).cast("int"))
+        .select(col("doc_id"), col("lang"), col("s_en"), col("s_de"), col("s_es"),
+          col("s_fr"), col("s_zh"), col("predicted"), col("agrees"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t_quality_score" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("chars", length(col("text")))
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_words", size(col("w")))
+        .withColumn("stop_hits", expr("size(filter(w, x -> x IN ('the','a')))"))
+        .withColumn("punct", expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))"))
+        .withColumn("mean_wlen",
+          (col("chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
+        .withColumn("score",
+          least(col("chars").cast("double") / lit(500.0), lit(1.0)) * 0.4 +
+            col("stop_ratio") * 0.3 +
+            (lit(1.0) - col("punct").cast("double") / col("chars")) * 0.3)
+        .select(col("doc_id"), col("chars"), col("n_words"), col("stop_hits"),
+          col("punct"), col("mean_wlen"), col("stop_ratio"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t_token_stats" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .withColumn("re_tokens", expr("size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))"))
+        .withColumn("chars", length(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("re_tokens")).as("re_tokens"),
+          sum(col("chars")).as("chars"),
+          (sum(col("chars")).cast("double") / sum(col("ws_tokens"))).as("chars_per_token"))
+        .orderBy(col("lang"))
+    },
+
+    "t_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("m", expr(
+          "transform(split(text, ' '), w -> cast(ascii(substr(w, 1, 1)) * 131 + length(w) as bigint))"))
+        .withColumn("fp", expr(
+          """aggregate(slice(m, 2, size(m) - 1), element_at(m, 1),
+               (acc, x) -> (acc * 31 + x) % 1000000007)"""))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------- multimodal plumbing (decode stubbed) ----------------
+
+    "m_multimodal_meta" -> { (s, dir) =>
+      import s.implicits._
+      // real Spark plumbing: binary payload column + partition-wise "decode".
+      // The image/audio decode itself is STUBBED (no codec libs in this
+      // environment) with a deterministic fake: metadata derived from bytes.
+      val blobs = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      blobs.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decoder: a real implementation would parse image headers /
+          // decode frames here, one batch per partition.
+          val len = bytes.length
+          val first = if (len > 0) bytes(0) & 0xff else 0
+          val last = if (len > 0) bytes(len - 1) & 0xff else 0
+          (id, len.toLong, first.toLong, last.toLong,
+            64L + first % 64, 64L + last % 64)
+        }
+      }.toDF("doc_id", "byte_len", "first_byte", "last_byte", "fake_width", "fake_height")
+        .orderBy(col("doc_id"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_texts,
+        |  count(*) - count(DISTINCT md5(text)) AS dup_docs
+        |FROM documents""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS nw FROM tok GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+        |         FROM documents a JOIN documents b
+        |           ON a.source = b.source AND a.doc_id < b.doc_id
+        |          AND abs(a.n_chars - b.n_chars) <= 2),
+        |inter AS (SELECT ta.doc_id AS ida, tb.doc_id AS idb, count(*) AS common
+        |          FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id < tb.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT c.ida AS doc_a, c.idb AS doc_b, sa.nw AS words_a, sb.nw AS words_b,
+        |  i.common, CAST(i.common AS DOUBLE) / (sa.nw + sb.nw - i.common) AS jaccard
+        |FROM cand c
+        |JOIN inter i ON i.ida = c.ida AND i.idb = c.idb
+        |JOIN sizes sa ON sa.doc_id = c.ida
+        |JOIN sizes sb ON sb.doc_id = c.idb
+        |WHERE CAST(i.common AS DOUBLE) / (sa.nw + sb.nw - i.common) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d_dedup_embedding" ->
+      """WITH t AS (SELECT vec_id, label,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |norms AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.q * b.q) AS dot
+        |         FROM t a JOIN t b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+        |         GROUP BY 1, 2)
+        |SELECT d.va AS vec_a, d.vb AS vec_b,
+        |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+        |FROM dots d JOIN norms na ON na.vec_id = d.va JOIN norms nb ON nb.vec_id = d.vb
+        |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "s_ann_bruteforce" ->
+      """WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |dots AS (SELECT a.vec_id AS qid, b.vec_id AS tid, sum(a.q * b.q) AS dot
+        |         FROM t a JOIN t b ON a.pos = b.pos AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |         GROUP BY 1, 2)
+        |SELECT qid, tid, dot, rank FROM (
+        |  SELECT qid, tid, dot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, tid) AS rank
+        |  FROM dots)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "t_language_id" ->
+      """SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('join','hash','merge','batch'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('data','table','row','scan'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('filter','order','column','small'))) AS s_fr,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('customer','query','value','part'))) AS s_zh,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted,
+        |  CAST(predicted = lang AS INT) AS agrees
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality_score" ->
+      """SELECT doc_id, length(text) AS chars,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS stop_hits,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct,
+        |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) / len(string_split(text,' ')) AS mean_wlen,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |    + (CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS DOUBLE)
+        |       / len(string_split(text,' '))) * 0.3
+        |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)) * 0.3 AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_token_stats" ->
+      """SELECT lang, count(*) AS docs,
+        |  sum(len(string_split(text, ' '))) AS ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS re_tokens,
+        |  sum(length(text)) AS chars,
+        |  CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))) AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ' '),
+        |                w -> CAST(ascii(substr(w, 1, 1)) * 131 + length(w) AS BIGINT)),
+        |              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
+        |  64 + CAST(ascii(substr(text, 1, 1)) AS BIGINT) % 64 AS fake_width,
+        |  64 + CAST(ascii(substr(text, length(text), 1)) AS BIGINT) % 64 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
