@@ -28,7 +28,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ graft.queries.Relational.queries ++ graft.queries.TrainingData.queries
+    baseQueries ++ graft.queries.Relational.queries ++
+      graft.queries.TrainingData.queries ++ graft.queries.Streaming.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> { (s, dir) =>
@@ -61,7 +62,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    baseOracles ++ graft.queries.Relational.oracles ++ graft.queries.TrainingData.oracles
+    baseOracles ++ graft.queries.Relational.oracles ++
+      graft.queries.TrainingData.oracles ++ graft.queries.Streaming.oracles
 
   private def baseOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -18,9 +18,12 @@ object Tables {
     "/tmp/graft_str/" + sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
 
   /** Read a table as a graft-format DataFrame (converting from parquet on
-    * first use).
+    * first use). GRAFT_TABLES_FORMAT=parquet bypasses graft — used only to
+    * measure the parquet baseline with identical query code.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (sys.env.get("GRAFT_TABLES_FORMAT").contains("parquet"))
+      return parquet(spark, sfDir, name)
     val dir = s"${strRoot(sfDir)}/$name"
     ensureConverted(spark, sfDir, name, dir)
     spark.read.format("graft").load(dir)

@@ -27,6 +27,16 @@ object SparkDemo {
     q.explain("formatted")
     println(s"projected rows: ${q.count()}")
 
+    println("--- zone-map pruning at the SQL surface ---")
+    spark.range(200000).selectExpr("id as k", "id * 3 as v").orderBy("k").coalesce(1)
+      .write.format("graft").mode("overwrite").save("/tmp/graft-demo/sorted")
+    val sorted = spark.read.format("graft").load("/tmp/graft-demo/sorted")
+    graft.spark.GraftMetrics.pageGroupsSkipped.set(0)
+    graft.spark.GraftMetrics.pageGroupsRead.set(0)
+    val zq = sorted.filter(org.apache.spark.sql.functions.col("k").between(150000, 151000))
+    println(s"scan node: ${zq.queryExecution.executedPlan.collectLeaves().head.toString.linesIterator.next()}")
+    println(s"rows=${zq.count()} pageGroupsSkipped=${graft.spark.GraftMetrics.pageGroupsSkipped.get()} read=${graft.spark.GraftMetrics.pageGroupsRead.get()}")
+
     println("--- probe: load dir with no graft files ---")
     try {
       spark.read.format("graft").load("/tmp/graft-demo-empty").count()

@@ -99,9 +99,12 @@ final class GraftTable(tableSchema: StructType, path: String)
 
 final class GraftScanBuilder(tableSchema: StructType, path: String,
     conf: org.apache.hadoop.conf.Configuration)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var projected: StructType = tableSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty
 
   /** Top-level column pruning (reference analogue: independent per-column
     * byte ranges, SURVEY.md §2.2). Nested pruning falls back to the full
@@ -112,24 +115,41 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     projected = StructType(tableSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan = new GraftScan(tableSchema, projected, path, conf)
+  /** Zone-map page pruning: accepts min/max-decidable predicates for page
+    * skipping, but returns every filter as residual so Spark still applies
+    * them row-level (pruning is sound, not exact).
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    val (usable, preds) = ZoneMapFilter.compile(tableSchema, filters)
+    pushed = usable
+    pagePreds = preds
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new GraftScan(tableSchema, projected, path, conf, pagePreds)
 }
 
 final class GraftScan(tableSchema: StructType, projected: StructType, path: String,
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val files = GraftUtil.listDataFiles(path, conf)
 
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
-  override def description(): String = s"graft scan of $path (${projected.fieldNames.mkString(",")})"
+  override def description(): String =
+    s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
+      (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.map(_.field).distinct.mkString(",")}]" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => GraftInputPartition(f.getPath.toString, f.getLen): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(new SerializableHadoopConf(conf), projected.json)
+    new GraftReaderFactory(new SerializableHadoopConf(conf), projected.json, pagePreds)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // compressed bytes underestimate in-memory size; scale to keep join
@@ -141,7 +161,8 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
 
 final case class GraftInputPartition(filePath: String, fileLen: Long) extends InputPartition
 
-final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: String)
+final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: String,
+    pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -149,7 +170,7 @@ final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: Stri
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p.filePath, p.fileLen, conf.value,
-      DataType.fromJson(projectedJson).asInstanceOf[StructType])
+      DataType.fromJson(projectedJson).asInstanceOf[StructType], pagePreds)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -172,8 +193,15 @@ final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: Stri
 /** Per-file columnar reader: one ColumnarBatch per page group; only the
   * projected leaves' byte ranges are ever fetched.
   */
+/** Counters observable from tests (single-JVM local mode). */
+object GraftMetrics {
+  val pageGroupsSkipped = new java.util.concurrent.atomic.AtomicLong()
+  val pageGroupsRead = new java.util.concurrent.atomic.AtomicLong()
+}
+
 final class GraftColumnarReader(filePath: String, fileLen: Long,
-    conf: org.apache.hadoop.conf.Configuration, projected: StructType)
+    conf: org.apache.hadoop.conf.Configuration, projected: StructType,
+    pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val hPath = new Path(filePath)
@@ -215,11 +243,33 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   private val batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
   private val pageVecs = new Array[Vec](totalLeaves)
 
+  // zone-map pruning: per pred, the page metas of its field's first leaf
+  private val predPages: Array[(ZoneMapFilter.PagePred, Array[PageMeta])] =
+    pagePreds.flatMap { pr =>
+      val fi = fileSchema.fieldNames.indexOf(pr.field)
+      if (fi < 0) None else Some((pr, footer.leaves(fieldOffsets(fi)).pages))
+    }
+
   private var page = -1
 
-  override def next(): Boolean = {
+  @annotation.tailrec
+  private def advance(): Boolean = {
     page += 1
     if (page >= rowPages.length) return false
+    var skip = false
+    var i = 0
+    while (!skip && i < predPages.length) {
+      val (pr, pages) = predPages(i)
+      if (pr.canSkip(pages(page))) skip = true
+      i += 1
+    }
+    if (skip) { GraftMetrics.pageGroupsSkipped.incrementAndGet(); advance() }
+    else true
+  }
+
+  override def next(): Boolean = {
+    if (!advance()) return false
+    GraftMetrics.pageGroupsRead.incrementAndGet()
     val rows = rowPages(page).numValues
     var f = 0
     while (f < plan.length) {

@@ -1,0 +1,156 @@
+package graft.spark
+
+import graft.format.PageMeta
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Zone-map predicate evaluation: decides whether a page group can possibly
+  * contain rows matching the pushed filters, from per-page min/max/nullCount
+  * alone. This is the format extension the reference lacks (its write-time
+  * stats are never persisted — SURVEY.md §2.2); pages that cannot match are
+  * skipped before decode.
+  *
+  * Filters are advisory: Spark still applies them row-level above the scan,
+  * so pruning only needs to be sound (never skip a page that could match),
+  * not complete.
+  */
+object ZoneMapFilter {
+
+  /** (field name -> (kind, lo, hi)) domain bounds extracted from a filter
+    * value; kind 1 = long domain, 2 = double domain, matching PageMeta.statsKind.
+    */
+  sealed trait PagePred extends Serializable {
+    def field: String
+    /** true iff the page can be SKIPPED */
+    def canSkip(pm: PageMeta): Boolean
+  }
+
+  private def dblOf(bits: Long): Double = java.lang.Double.longBitsToDouble(bits)
+
+  private final case class Cmp(field: String, kind: Int, op: Int, v: Either[Long, Double])
+      extends PagePred {
+    // op: 0 =, 1 >, 2 >=, 3 <, 4 <=
+    def canSkip(pm: PageMeta): Boolean = {
+      if (pm.statsKind != kind) return false
+      if (pm.nullCount == pm.numValues && pm.numValues > 0) return true // all null
+      (kind, v) match {
+        case (1, Left(x)) =>
+          op match {
+            case 0 => x < pm.minLong || x > pm.maxLong
+            case 1 => pm.maxLong <= x
+            case 2 => pm.maxLong < x
+            case 3 => pm.minLong >= x
+            case 4 => pm.minLong > x
+            case _ => false
+          }
+        case (2, Right(x)) =>
+          val min = dblOf(pm.minLong)
+          val max = dblOf(pm.maxLong)
+          op match {
+            case 0 => x < min || x > max
+            case 1 => max <= x
+            case 2 => max < x
+            case 3 => min >= x
+            case 4 => min > x
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+  }
+
+  private final case class AllNullSkip(field: String) extends PagePred {
+    // IsNotNull: skip pages where every value is null
+    def canSkip(pm: PageMeta): Boolean =
+      pm.nullCount >= 0 && pm.numValues > 0 && pm.nullCount == pm.numValues
+  }
+
+  private final case class InSet(field: String, kind: Int, longs: Array[Long],
+      dbls: Array[Double]) extends PagePred {
+    def canSkip(pm: PageMeta): Boolean = {
+      if (pm.statsKind != kind) return false
+      if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
+      if (kind == 1) longs.forall(x => x < pm.minLong || x > pm.maxLong)
+      else {
+        val min = dblOf(pm.minLong)
+        val max = dblOf(pm.maxLong)
+        dbls.forall(x => x < min || x > max)
+      }
+    }
+  }
+
+  /** Convert a literal to the column's stats domain. Returns None for
+    * unsupported (string/binary/bool/nested) columns or values.
+    */
+  private def toDomain(dt: DataType, value: Any): Option[(Int, Either[Long, Double])] = {
+    if (value == null) return None
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((1, Left(value.asInstanceOf[Number].longValue())))
+      case DateType => value match {
+        case d: java.sql.Date => Some((1, Left(d.toLocalDate.toEpochDay)))
+        case d: java.time.LocalDate => Some((1, Left(d.toEpochDay)))
+        case _ => None
+      }
+      case TimestampType | TimestampNTZType => value match {
+        case t: java.sql.Timestamp =>
+          Some((1, Left(t.getTime * 1000L + (t.getNanos / 1000) % 1000)))
+        case i: java.time.Instant =>
+          Some((1, Left(i.getEpochSecond * 1000000L + i.getNano / 1000)))
+        case l: java.time.LocalDateTime =>
+          Some((1, Left(l.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+            l.getNano / 1000)))
+        case _ => None
+      }
+      case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => value match {
+        case b: java.math.BigDecimal =>
+          try Some((1, Left(b.setScale(d.scale).unscaledValue().longValueExact())))
+          catch { case _: ArithmeticException => None }
+        case _ => None
+      }
+      case FloatType | DoubleType =>
+        Some((2, Right(value.asInstanceOf[Number].doubleValue())))
+      case _ => None
+    }
+  }
+
+  /** Compile the subset of `filters` usable for page pruning. Returned
+    * filters are the ones reflected in pushedFilters() / explain output.
+    */
+  def compile(schema: StructType, filters: Array[Filter]): (Array[Filter], Array[PagePred]) = {
+    val usable = Array.newBuilder[Filter]
+    val preds = Array.newBuilder[PagePred]
+
+    def fieldType(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType).filter(GraftSchema.isAtomic)
+
+    filters.foreach {
+      case f @ EqualTo(a, v) =>
+        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 0, d) }
+      case f @ GreaterThan(a, v) =>
+        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 1, d) }
+      case f @ GreaterThanOrEqual(a, v) =>
+        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 2, d) }
+      case f @ LessThan(a, v) =>
+        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 3, d) }
+      case f @ LessThanOrEqual(a, v) =>
+        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 4, d) }
+      case f @ IsNotNull(a) if fieldType(a).isDefined =>
+        usable += f; preds += AllNullSkip(a)
+      case f @ In(a, vs) if vs != null && vs.nonEmpty && vs.length <= 64 =>
+        fieldType(a).foreach { dt =>
+          val ds = vs.flatMap(v => toDomain(dt, v))
+          if (ds.length == vs.length) {
+            val kind = ds.head._1
+            if (ds.forall(_._1 == kind)) {
+              usable += f
+              if (kind == 1) preds += InSet(a, 1, ds.map(_._2.swap.toOption.get), Array.empty)
+              else preds += InSet(a, 2, Array.empty, ds.map(_._2.toOption.get))
+            }
+          }
+        }
+      case _ =>
+    }
+    (usable.result(), preds.result())
+  }
+}

@@ -1,0 +1,72 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ZoneMapSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("range filter on sorted data skips page groups and stays correct") {
+    val dir = "/tmp/graft-test/zonemap"
+    // 100k rows sorted by k -> page zone maps are tight, 13 pages at 8192
+    spark.range(100000).selectExpr("id as k", "id * 2 as v", "cast(id as double) / 7 as d")
+      .orderBy("k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+
+    val g = spark.read.format("graft").load(dir)
+
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    val hit = g.filter(col("k") >= 90000 && col("k") < 95000)
+    assert(hit.count() == 5000)
+    val skipped = GraftMetrics.pageGroupsSkipped.get()
+    val read = GraftMetrics.pageGroupsRead.get()
+    assert(skipped >= 10, s"expected >=10 skipped page groups, got $skipped (read=$read)")
+    assert(read <= 3, s"expected <=3 read page groups, got $read")
+
+    // values, not just counts
+    assert(hit.agg(sum(col("v"))).head.getLong(0) == (90000L until 95000L).map(_ * 2).sum)
+
+    // double-domain predicate
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(col("d") < 10.0).count() == 70)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+
+    // equality that matches nothing -> everything skipped
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(col("k") === -5).count() == 0)
+    assert(GraftMetrics.pageGroupsRead.get() == 0)
+  }
+
+  test("pruning never drops matching rows on unsorted data") {
+    val dir = "/tmp/graft-test/zonemap-unsorted"
+    spark.range(50000).selectExpr("cast(hash(id) as bigint) as k", "id as v")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val expected = spark.range(50000).selectExpr("cast(hash(id) as bigint) as k", "id as v")
+      .filter(col("k") > 0).count()
+    assert(g.filter(col("k") > 0).count() == expected)
+  }
+
+  test("timestamp range pruning on sorted events") {
+    val dir = "/tmp/graft-test/zonemap-ts"
+    spark.sql("SELECT timestamp_millis(1700000000000 + id * 60000) AS ts, id FROM range(50000)")
+      .orderBy("ts").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    val n = g.filter(col("ts") < lit("2023-11-15 00:00:00").cast("timestamp")).count()
+    assert(n == spark.read.format("graft").load(dir)
+      .collect().count(r => r.getTimestamp(0).getTime < 1700006400000L) || n > 0)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 1, "timestamp pages should be skipped")
+  }
+}
