@@ -29,7 +29,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ graft.queries.Relational.queries ++
-      graft.queries.TrainingData.queries ++ graft.queries.Streaming.queries
+      graft.queries.TrainingData.queries ++ graft.queries.Streaming.queries ++
+      graft.queries.Functions.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> { (s, dir) =>
@@ -63,7 +64,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     baseOracles ++ graft.queries.Relational.oracles ++
-      graft.queries.TrainingData.oracles ++ graft.queries.Streaming.oracles
+      graft.queries.TrainingData.oracles ++ graft.queries.Streaming.oracles ++
+      graft.queries.Functions.oracles
 
   private def baseOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar-function & grouping-extension coverage (SURVEY.md §2.2 "expression
+  * evaluation / scalar functions — supplied by Spark built-ins"): JSON
+  * extraction, string/date/math functions, CUBE grouping sets, ntile
+  * windows. Determinism: integer arithmetic, string ops, and comparisons
+  * only — no float accumulation outside the decimal convention.
+  */
+object Functions {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    "q_cube_status_priority" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    "q_ntile_quartiles" -> { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy(col("quartile"))
+    },
+
+    "q_scalar_funcs" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 1000 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+          length(col("o_orderpriority")).as("pri_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+          abs(col("o_custkey") - 1000).as("absdiff"),
+          pmod(col("o_orderkey"), lit(7)).as("m7"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_ntile_quartiles" ->
+      """SELECT quartile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (SELECT o_totalprice,
+        |        ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        |      FROM orders)
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
+        |  length(o_orderpriority) AS pri_len,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+        |  abs(o_custkey - 1000) AS absdiff,
+        |  o_orderkey % 7 AS m7
+        |FROM orders WHERE o_orderkey % 1000 = 0 ORDER BY o_orderkey""".stripMargin)
+}

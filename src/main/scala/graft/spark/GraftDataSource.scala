@@ -152,10 +152,38 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
     new GraftReaderFactory(new SerializableHadoopConf(conf), projected.json, pagePreds)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // compressed bytes underestimate in-memory size; scale to keep join
-    // planning (broadcast thresholds) honest
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_.getLen).sum * 3)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    // same basis as parquet's estimate (compressed file bytes) so broadcast
+    // decisions match the native path on identical data
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_.getLen).sum)
+    override def numRows(): OptionalLong = GraftScan.rowCount(files, conf)
+  }
+}
+
+object GraftScan {
+  private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Exact row count from footers (first leaf is row-aligned). One 64KiB
+    * tail read per file, cached by (path, len); skipped for very large file
+    * lists to keep planning cheap.
+    */
+  def rowCount(files: Seq[FileStatus], conf: org.apache.hadoop.conf.Configuration): OptionalLong = {
+    if (files.isEmpty || files.length > 256) return OptionalLong.empty()
+    var total = 0L
+    files.foreach { f =>
+      val key = f.getPath.toString + "#" + f.getLen
+      val cached = rowCountCache.get(key)
+      if (cached != null) total += cached
+      else {
+        val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
+        try {
+          val footer = GraftFileReader.readFooter(in)
+          val n = if (footer.leaves.isEmpty) 0L else footer.leaves(0).totalValues
+          rowCountCache.put(key, n)
+          total += n
+        } finally in.close()
+      }
+    }
+    OptionalLong.of(total)
   }
 }
 
