@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
 object Functions {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_minmax" -> { (s, dir) =>
+      // answered footer-only by the aggregate pushdown (no data pages read)
+      Tables.load(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          count(col("l_quantity")).as("n_qty"),
+          min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"),
+          min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"))
+    },
+
     "q_json_extract" -> { (s, dir) =>
       Tables.load(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -60,6 +70,13 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_count_minmax" ->
+      """SELECT count(*) AS n,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  count(l_quantity) AS n_qty,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

@@ -1,0 +1,161 @@
+package graft.spark
+
+import graft.format._
+import org.apache.hadoop.fs.FileStatus
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+
+/** Footer-only aggregate pushdown: COUNT(*), COUNT(col), MIN(col), MAX(col)
+  * over stats-bearing lanes are answered from per-page metadata — zero data
+  * pages fetched. Partial pushdown: each file yields one row of partial
+  * values; Spark's final aggregate merges them (so multi-file and
+  * multi-partition semantics stay exact).
+  *
+  * At 100 TB this turns full-table COUNT/MIN/MAX into one 64KiB footer read
+  * per file.
+  */
+object GraftAggPushdown {
+
+  sealed trait AggSpec extends Serializable
+  case object CountStar extends AggSpec
+  final case class CountCol(field: String) extends AggSpec
+  final case class MinCol(field: String, dt: DataType) extends AggSpec
+  final case class MaxCol(field: String, dt: DataType) extends AggSpec
+
+  private def statsBearing(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType => true
+    case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
+    case _ => false
+  }
+
+  private def fieldOf(ref: Array[NamedReference]): Option[String] = ref match {
+    case Array(f) if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Translate Spark's Aggregation; None if anything is unsupported. */
+  def compile(schema: StructType, agg: Aggregation): Option[(Seq[AggSpec], StructType)] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val specs = agg.aggregateExpressions().map {
+      case _: CountStar => Some((CountStar: AggSpec, StructField("count(*)", LongType, nullable = false)))
+      case c: Count if !c.isDistinct =>
+        fieldOf(Array(c.column()).collect { case n: NamedReference => n }).flatMap { f =>
+          schema.fields.find(_.name == f).filter(fd => statsBearing(fd.dataType))
+            .map(_ => (CountCol(f): AggSpec, StructField(s"count($f)", LongType, nullable = false)))
+        }
+      case m: Min =>
+        fieldOf(Array(m.column()).collect { case n: NamedReference => n }).flatMap { f =>
+          schema.fields.find(_.name == f).filter(fd => statsBearing(fd.dataType))
+            .map(fd => (MinCol(f, fd.dataType): AggSpec, StructField(s"min($f)", fd.dataType)))
+        }
+      case m: Max =>
+        fieldOf(Array(m.column()).collect { case n: NamedReference => n }).flatMap { f =>
+          schema.fields.find(_.name == f).filter(fd => statsBearing(fd.dataType))
+            .map(fd => (MaxCol(f, fd.dataType): AggSpec, StructField(s"max($f)", fd.dataType)))
+        }
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) None
+    else Some((specs.flatten.map(_._1).toSeq, StructType(specs.flatten.map(_._2))))
+  }
+
+  /** Evaluate the partial aggregates for one file from its footer. */
+  def evaluate(footer: Footer, fileSchema: StructType, specs: Seq[AggSpec]): InternalRow = {
+    val (offsets, _) = GraftSchema.fieldLeafOffsets(fileSchema)
+    def pagesOf(field: String): Array[PageMeta] =
+      footer.leaves(offsets(fileSchema.fieldIndex(field))).pages
+    val rowCount: Long =
+      if (footer.leaves.isEmpty) 0L else footer.leaves(0).totalValues
+
+    val row = new GenericInternalRow(specs.length)
+    specs.zipWithIndex.foreach { case (spec, i) =>
+      spec match {
+        case CountStar => row.setLong(i, rowCount)
+        case CountCol(f) =>
+          var nonNull = 0L
+          pagesOf(f).foreach { pm =>
+            // statsKind==0 on a stats-bearing lane means zero non-null values
+            if (pm.statsKind != 0) nonNull += pm.numValues - math.max(pm.nullCount, 0)
+          }
+          row.setLong(i, nonNull)
+        case MinCol(f, dt) => setExtremum(row, i, dt, pagesOf(f), isMin = true)
+        case MaxCol(f, dt) => setExtremum(row, i, dt, pagesOf(f), isMin = false)
+      }
+    }
+    row
+  }
+
+  private def setExtremum(row: GenericInternalRow, i: Int, dt: DataType,
+      pages: Array[PageMeta], isMin: Boolean): Unit = {
+    val stats = pages.filter(_.statsKind != 0)
+    if (stats.isEmpty) { row.setNullAt(i); return }
+    dt match {
+      case FloatType | DoubleType =>
+        val vals = stats.map(pm => java.lang.Double.longBitsToDouble(if (isMin) pm.minLong else pm.maxLong))
+        val v = if (isMin) vals.min else vals.max
+        if (dt == FloatType) row.setFloat(i, v.toFloat) else row.setDouble(i, v)
+      case _ =>
+        val longs = stats.map(pm => if (isMin) pm.minLong else pm.maxLong)
+        val v = if (isMin) longs.min else longs.max
+        dt match {
+          case ByteType => row.setByte(i, v.toByte)
+          case ShortType => row.setShort(i, v.toShort)
+          case IntegerType | DateType => row.setInt(i, v.toInt)
+          case LongType | TimestampType | TimestampNTZType => row.setLong(i, v)
+          case d: DecimalType =>
+            row.update(i, Decimal.createUnsafe(v, d.precision, d.scale))
+          case _ => row.setNullAt(i)
+        }
+    }
+  }
+}
+
+/** Scan producing one partial-aggregate row per file, footer-only. */
+final class GraftAggScan(path: String, conf: org.apache.hadoop.conf.Configuration,
+    specs: Seq[GraftAggPushdown.AggSpec], aggSchema: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft footer-only aggregate scan of $path (${aggSchema.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftUtil.listDataFiles(path, conf)
+      .map(f => GraftInputPartition(f.getPath.toString, f.getLen): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory(new SerializableHadoopConf(conf), specs, aggSchema.json)
+}
+
+final class GraftAggReaderFactory(conf: SerializableHadoopConf,
+    specs: Seq[GraftAggPushdown.AggSpec], aggSchemaJson: String)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (done) return false
+        val hPath = new org.apache.hadoop.fs.Path(p.filePath)
+        val in = new HadoopSeekableInput(hPath.getFileSystem(conf.value), hPath, p.fileLen)
+        try {
+          val footer = GraftFileReader.readFooter(in)
+          val fileSchema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+          row = GraftAggPushdown.evaluate(footer, fileSchema, specs)
+        } finally in.close()
+        done = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -100,11 +100,14 @@ final class GraftTable(tableSchema: StructType, path: String)
 final class GraftScanBuilder(tableSchema: StructType, path: String,
     conf: org.apache.hadoop.conf.Configuration)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var projected: StructType = tableSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty
+  private var hadFilters = false
+  private var aggPlan: Option[(Seq[GraftAggPushdown.AggSpec], StructType)] = None
 
   /** Top-level column pruning (reference analogue: independent per-column
     * byte ranges, SURVEY.md §2.2). Nested pruning falls back to the full
@@ -122,6 +125,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
     val (usable, preds) = ZoneMapFilter.compile(tableSchema, filters)
+    hadFilters = filters.nonEmpty
     pushed = usable
     pagePreds = preds
     filters
@@ -129,7 +133,26 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new GraftScan(tableSchema, projected, path, conf, pagePreds)
+  /** Footer-only COUNT/MIN/MAX (partial pushdown; Spark merges per-file
+    * rows). Only when no filters exist — we never fully consume filters, so
+    * Spark shouldn't offer aggregates otherwise, but guard anyway.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (hadFilters) return false
+    GraftAggPushdown.compile(tableSchema, agg) match {
+      case Some(plan) => aggPlan = Some(plan); true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = aggPlan match {
+    case Some((specs, aggSchema)) => new GraftAggScan(path, conf, specs, aggSchema)
+    case None => new GraftScan(tableSchema, projected, path, conf, pagePreds)
+  }
 }
 
 final class GraftScan(tableSchema: StructType, projected: StructType, path: String,

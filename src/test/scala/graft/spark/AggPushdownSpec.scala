@@ -1,0 +1,61 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggPushdownSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+
+  test("count/min/max answered from footers only") {
+    val dir = "/tmp/graft-test/aggpush"
+    spark.sql("""SELECT id AS k, cast(id AS DOUBLE) / 3 AS d,
+        timestamp_millis(1700000000000 + id * 1000) AS ts,
+        CASE WHEN id % 10 = 0 THEN NULL ELSE id * 2 END AS v,
+        concat('s', id) AS name
+      FROM range(100000)""")
+      .coalesce(2).write.format("graft").mode("overwrite").save(dir)
+
+    val g = spark.read.format("graft").load(dir)
+    val agg = g.agg(count(lit(1)).as("n"), min(col("k")).as("mink"),
+      max(col("k")).as("maxk"), count(col("v")).as("nv"),
+      min(col("d")).as("mind"), max(col("ts")).as("maxts"))
+
+    assert(scanDesc(agg).contains("footer-only aggregate"),
+      s"expected footer-only scan, got:\n${scanDesc(agg)}")
+
+    val r = agg.head()
+    assert(r.getLong(0) == 100000L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 99999L)
+    assert(r.getLong(3) == 90000L) // every 10th v is null
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getTimestamp(5).getTime == 1700000000000L + 99999L * 1000)
+  }
+
+  test("aggregate with filter or string min does NOT get pushed, stays correct") {
+    val dir = "/tmp/graft-test/aggpush"
+    val g = spark.read.format("graft").load(dir)
+
+    val filtered = g.filter(col("k") < 100).agg(count(lit(1)))
+    assert(!scanDesc(filtered).contains("footer-only"))
+    assert(filtered.head().getLong(0) == 100L)
+
+    val strMin = g.agg(min(col("name")))
+    assert(!scanDesc(strMin).contains("footer-only"))
+    assert(strMin.head().getString(0) == "s0")
+
+    val grouped = g.groupBy(col("k") % 2).agg(count(lit(1)))
+    assert(!scanDesc(grouped).contains("footer-only"))
+    assert(grouped.count() == 2)
+  }
+}
