@@ -82,18 +82,35 @@ object GraftFileReader {
   }
 }
 
-/** Decodes the pages of one leaf column. The whole leaf byte range is
-  * fetched in ONE ranged read (object-store friendly), then pages decode
-  * lazily off the in-memory buffer.
+/** Decodes the pages of one leaf column. Without pruning, the whole leaf
+  * byte range is fetched in ONE ranged read (object-store friendly). With a
+  * `needed` page mask (zone-map pruning), only contiguous runs of needed
+  * pages are fetched — pruned byte ranges are never read.
   */
-final class LeafReader(in: SeekableInput, meta: ColumnMeta, lane: Int, nullable: Boolean) {
-  private lazy val bytes: Array[Byte] =
-    in.readRange(meta.offset, meta.totalBytes.toInt)
+final class LeafReader(in: SeekableInput, meta: ColumnMeta, lane: Int, nullable: Boolean,
+    needed: Array[Boolean] = null) {
   private lazy val pageOffsets: Array[Int] = {
     val o = new Array[Int](meta.pages.length + 1)
     var i = 0
     while (i < meta.pages.length) { o(i + 1) = o(i) + meta.pages(i).length; i += 1 }
     o
+  }
+  private lazy val bytes: Array[Byte] = {
+    val total = meta.totalBytes.toInt
+    if (needed == null) in.readRange(meta.offset, total)
+    else {
+      val buf = new Array[Byte](total)
+      var p = 0
+      while (p < meta.pages.length) {
+        if (needed(p)) {
+          var q = p
+          while (q < meta.pages.length && needed(q)) q += 1
+          in.readFully(meta.offset + pageOffsets(p), buf, pageOffsets(p), pageOffsets(q) - pageOffsets(p))
+          p = q
+        } else p += 1
+      }
+      buf
+    }
   }
 
   def numPages: Int = meta.pages.length

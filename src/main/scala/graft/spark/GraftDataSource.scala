@@ -274,6 +274,31 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   private val rowPages: Array[PageMeta] =
     if (footer.leaves.isEmpty) Array.empty
     else footer.leaves(if (plan.nonEmpty) plan(0)._2 else 0).pages
+  private def rowPagesLen: Int = rowPages.length
+
+  // zone-map pruning: decide needed page groups BEFORE any data IO, so
+  // pruned byte ranges are never fetched
+  private val predPages: Array[(ZoneMapFilter.PagePred, Array[PageMeta])] =
+    pagePreds.flatMap { pr =>
+      val fi = fileSchema.fieldNames.indexOf(pr.field)
+      if (fi < 0) None else Some((pr, footer.leaves(fieldOffsets(fi)).pages))
+    }
+
+  private val neededMask: Array[Boolean] = {
+    val m = new Array[Boolean](rowPagesLen)
+    var p = 0
+    while (p < m.length) {
+      var skip = false
+      var i = 0
+      while (!skip && i < predPages.length) {
+        if (predPages(i)._1.canSkip(predPages(i)._2(p))) skip = true
+        i += 1
+      }
+      m(p) = !skip
+      p += 1
+    }
+    m
+  }
 
   private val leafReaders = new Array[LeafReader](totalLeaves)
   private val leafSpecsAll: Array[(Int, Boolean)] =
@@ -282,7 +307,8 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     var i = base
     while (i < base + filler.leafCount) {
       val (lane, nullable) = leafSpecsAll(i)
-      leafReaders(i) = new LeafReader(input, footer.leaves(i), lane, nullable)
+      leafReaders(i) = new LeafReader(input, footer.leaves(i), lane, nullable,
+        if (predPages.isEmpty) null else neededMask)
       i += 1
     }
   }
@@ -294,27 +320,13 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   private val batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
   private val pageVecs = new Array[Vec](totalLeaves)
 
-  // zone-map pruning: per pred, the page metas of its field's first leaf
-  private val predPages: Array[(ZoneMapFilter.PagePred, Array[PageMeta])] =
-    pagePreds.flatMap { pr =>
-      val fi = fileSchema.fieldNames.indexOf(pr.field)
-      if (fi < 0) None else Some((pr, footer.leaves(fieldOffsets(fi)).pages))
-    }
-
   private var page = -1
 
   @annotation.tailrec
   private def advance(): Boolean = {
     page += 1
     if (page >= rowPages.length) return false
-    var skip = false
-    var i = 0
-    while (!skip && i < predPages.length) {
-      val (pr, pages) = predPages(i)
-      if (pr.canSkip(pages(page))) skip = true
-      i += 1
-    }
-    if (skip) { GraftMetrics.pageGroupsSkipped.incrementAndGet(); advance() }
+    if (!neededMask(page)) { GraftMetrics.pageGroupsSkipped.incrementAndGet(); advance() }
     else true
   }
 
