@@ -29,6 +29,14 @@ object Tables {
     spark.read.format("graft").load(dir)
   }
 
+  /** Graft directory of a converted table (for streaming reads etc.);
+    * ensures the conversion exists first.
+    */
+  def graftDir(spark: SparkSession, sfDir: String, name: String): String = {
+    load(spark, sfDir, name)
+    s"${strRoot(sfDir)}/$name"
+  }
+
   /** Read the original parquet (for oracle-parity pre-processing only). */
   def parquet(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

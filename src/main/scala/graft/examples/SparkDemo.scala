@@ -67,6 +67,24 @@ object SparkDemo {
     li.limit(10).write.format("graft").mode("append").save("/tmp/graft-demo/app")
     println(s"append rows: ${spark.read.format("graft").load("/tmp/graft-demo/app").count()} (want 20)")
 
+    println("--- native streaming source: readStream.format(graft) ---")
+    val sdir = "/tmp/graft-demo/streamsrc"
+    spark.range(1000).selectExpr("id as k", "id * 2 as v")
+      .write.format("graft").mode("overwrite").save(sdir)
+    val sschema = spark.read.format("graft").load(sdir).schema
+    val sq = spark.readStream.format("graft").schema(sschema).load(sdir)
+      .groupBy().agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("demo_stream").start()
+    sq.processAllAvailable()
+    println(s"batch 1 count: ${spark.table("demo_stream").head().getLong(0)} (want 1000)")
+    spark.range(1000, 1500).selectExpr("id as k", "id * 2 as v")
+      .write.format("graft").mode("append").save(sdir)
+    sq.processAllAvailable()
+    println(s"after arrival: ${spark.table("demo_stream").head().getLong(0)} (want 1500)")
+    sq.stop()
+
     spark.stop()
   }
 }

@@ -13,15 +13,15 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_hourly" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val name = "graft_stream_hourly"
       s.streams.active.filter(q => q.name == name).foreach(_.stop())
-      val staticSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(staticSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts2", timestamp_micros((col("ts") / 1000).cast("long")))
-        .withWatermark("ts2", "1 hour")
-        .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+      // stream THROUGH the graft format: native readStream.format("graft")
+      // (GraftMicroBatchStream), not a parquet staging path
+      val gdir = graft.Tables.graftDir(s, dir, "events")
+      val staticSchema = s.read.format("graft").load(gdir).schema
+      val stream = s.readStream.format("graft").schema(staticSchema).load(gdir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
         .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))

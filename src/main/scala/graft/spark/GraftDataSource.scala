@@ -88,6 +88,7 @@ final class GraftTable(tableSchema: StructType, path: String)
     s.add(TableCapability.BATCH_READ)
     s.add(TableCapability.BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
+    s.add(TableCapability.MICRO_BATCH_READ)
     s
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -164,6 +165,9 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
 
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json)
   override def description(): String =
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
       (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.map(_.field).distinct.mkString(",")}]" else "")
