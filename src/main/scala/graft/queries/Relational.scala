@@ -269,8 +269,8 @@ object Relational {
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q12_priority_by_flag" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem, orders
         |WHERE l_orderkey = o_orderkey
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -347,7 +347,7 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_events_sessions" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
         |  FROM (SELECT user_id, ts,

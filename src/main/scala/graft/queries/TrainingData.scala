@@ -321,7 +321,7 @@ object TrainingData {
         |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
         |             generate_subscripts(embedding, 1) AS pos
         |           FROM embeddings),
-        |dots AS (SELECT a.vec_id AS qid, b.vec_id AS tid, sum(a.q * b.q) AS dot
+        |dots AS (SELECT a.vec_id AS qid, b.vec_id AS tid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
         |         FROM t a JOIN t b ON a.pos = b.pos AND a.vec_id < 10 AND b.vec_id <> a.vec_id
         |         GROUP BY 1, 2)
         |SELECT qid, tid, dot, rank FROM (
@@ -358,9 +358,9 @@ object TrainingData {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_token_stats" ->
       """SELECT lang, count(*) AS docs,
-        |  sum(len(string_split(text, ' '))) AS ws_tokens,
-        |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS re_tokens,
-        |  sum(length(text)) AS chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS re_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
         |  CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))) AS chars_per_token
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t_fingerprint" ->
