@@ -83,7 +83,9 @@ final case class WriteOptions(
   * `numValues` counts LEAF values (for nested children this can differ from
   * top-level row count). min/max are optional zone-map stats (our format
   * extension — the reference computes but never persists stats, SURVEY §2.2).
-  * statsKind: 0=none, 1=long min/max, 2=double min/max.
+  * statsKind: 0=none, 1=long min/max, 2=double min/max (NaN-free),
+  * 3=double min/max over non-NaN values with NaN present in the page
+  * (min=max=NaN bits iff the page is all-NaN).
   */
 final case class PageMeta(
     length: Int,

@@ -49,9 +49,16 @@ object PageSerializer {
     val pageStart = out.length
     val n = until - from
 
+    // A leaf written non-nullable persists no validity bitmap, so any null
+    // slots in the builder vec (e.g. a non-nullable array's lengths under a
+    // null parent struct) must encode their deterministic 0 value — codecs
+    // must NOT see the mask, or last-non-null filling would persist garbage
+    // the reader cannot distinguish from data.
+    val evec = if (!nullable && vec.nulls != null) stripNulls(vec) else vec
+
     // --- null header ---
     var nullCount = 0
-    val nulls = vec.nulls
+    val nulls = evec.nulls
     if (nullable) {
       if (nulls != null) {
         var i = from
@@ -62,13 +69,13 @@ object PageSerializer {
     }
 
     // --- stats (zone maps; persisted, unlike the reference — SURVEY §2.2) ---
-    val stats = PageStats.compute(lane, vec, from, until)
+    val stats = PageStats.compute(lane, evec, from, until)
 
     // --- value body ---
-    val wrote = SpecialCodecs.tryWrite(lane, vec, from, until, stats, nullCount, opts, out, scratch)
+    val wrote = SpecialCodecs.tryWrite(lane, evec, from, until, stats, nullCount, opts, out, scratch)
     if (!wrote) {
       scratch.reset()
-      plainEncode(lane, vec, from, until, scratch)
+      plainEncode(lane, evec, from, until, scratch)
       val codec: Byte = opts.forcedCodec match {
         case Some(c) if Codec.isCommon(c) => c
         case _ => opts.defaultCodec
@@ -77,6 +84,15 @@ object PageSerializer {
     }
 
     PageMeta(out.length - pageStart, n, stats.kind, stats.minLong, stats.maxLong, nullCount)
+  }
+
+  private def stripNulls(vec: Vec): Vec = vec match {
+    case v: BoolVec => v.copy(nulls = null)
+    case v: IntVec => v.copy(nulls = null)
+    case v: LongVec => v.copy(nulls = null)
+    case v: FloatVec => v.copy(nulls = null)
+    case v: DoubleVec => v.copy(nulls = null)
+    case v: BinaryVec => v.copy(nulls = null)
   }
 
   private[format] def writeBlockBody(codec: Byte, plain: ByteBuf, out: ByteBuf, zstdLevel: Int): Unit = {
@@ -276,35 +292,38 @@ object PageStats {
         if (any) PageStats(1, min, max) else PageStats(0, 0, 0)
       case Lane.F32 =>
         val v = vec.asInstanceOf[FloatVec].values
-        var min = Double.MaxValue; var max = Double.MinValue; var any = false
-        var i = from
-        while (i < until) {
-          if (nulls == null || !nulls(i)) {
-            val x = v(i).toDouble
-            if (x < min) min = x
-            if (x > max) max = x
-            any = true
-          }
-          i += 1
-        }
-        if (any) PageStats(2, java.lang.Double.doubleToRawLongBits(min), java.lang.Double.doubleToRawLongBits(max))
-        else PageStats(0, 0, 0)
+        floatStats(from, until, nulls, i => v(i).toDouble)
       case Lane.F64 =>
         val v = vec.asInstanceOf[DoubleVec].values
-        var min = Double.MaxValue; var max = Double.MinValue; var any = false
-        var i = from
-        while (i < until) {
-          if (nulls == null || !nulls(i)) {
-            val x = v(i)
-            if (x < min) min = x
-            if (x > max) max = x
-            any = true
-          }
-          i += 1
-        }
-        if (any) PageStats(2, java.lang.Double.doubleToRawLongBits(min), java.lang.Double.doubleToRawLongBits(max))
-        else PageStats(0, 0, 0)
+        floatStats(from, until, nulls, i => v(i))
       case _ => PageStats(0, 0, 0)
     }
+  }
+
+  /** Float stats must be NaN-aware: Spark orders NaN above every value and
+    * NaN = NaN is true, so a page whose NaN rows would match a `>`/`>=`
+    * predicate must never be pruned on its non-NaN max. min/max cover the
+    * non-NaN values (total order, so -0.0 < 0.0 like parquet); NaN presence
+    * is flagged as statsKind 3 (both NaN bits if the page is all-NaN).
+    */
+  private def floatStats(from: Int, until: Int, nulls: Array[Boolean], at: Int => Double): PageStats = {
+    var min = Double.NaN; var max = Double.NaN
+    var anyNum = false; var hasNaN = false
+    var i = from
+    while (i < until) {
+      if (nulls == null || !nulls(i)) {
+        val x = at(i)
+        if (x != x) hasNaN = true
+        else if (!anyNum) { min = x; max = x; anyNum = true }
+        else {
+          if (java.lang.Double.compare(x, min) < 0) min = x
+          if (java.lang.Double.compare(x, max) > 0) max = x
+        }
+      }
+      i += 1
+    }
+    if (!anyNum && !hasNaN) PageStats(0, 0, 0)
+    else PageStats(if (hasNaN) 3 else 2,
+      java.lang.Double.doubleToRawLongBits(min), java.lang.Double.doubleToRawLongBits(max))
   }
 }

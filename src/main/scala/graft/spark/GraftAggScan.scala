@@ -96,8 +96,20 @@ object GraftAggPushdown {
     if (stats.isEmpty) { row.setNullAt(i); return }
     dt match {
       case FloatType | DoubleType =>
-        val vals = stats.map(pm => java.lang.Double.longBitsToDouble(if (isMin) pm.minLong else pm.maxLong))
-        val v = if (isMin) vals.min else vals.max
+        // statsKind 3 = page contains NaN. Spark orders NaN above every other
+        // value, so such a page's true max is NaN; its min is the stored
+        // non-NaN min (NaN bits iff the page is all-NaN, which is then also
+        // correct: min over only-NaN rows is NaN). Combine with the same
+        // total order (NaN greatest, -0.0 < 0.0) Spark uses.
+        val vals = stats.map { pm =>
+          if (isMin) java.lang.Double.longBitsToDouble(pm.minLong)
+          else if (pm.statsKind == 3) Double.NaN
+          else java.lang.Double.longBitsToDouble(pm.maxLong)
+        }
+        val v = vals.reduce { (a, b) =>
+          val c = java.lang.Double.compare(a, b)
+          if (isMin) { if (c <= 0) a else b } else { if (c >= 0) a else b }
+        }
         if (dt == FloatType) row.setFloat(i, v.toFloat) else row.setDouble(i, v)
       case _ =>
         val longs = stats.map(pm => if (isMin) pm.minLong else pm.maxLong)

@@ -59,18 +59,41 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
-    if (doTruncate && fs.exists(dir)) {
-      GraftUtil.listDataFiles(path, conf.value).foreach(f => fs.delete(f.getPath, false))
-    }
     fs.mkdirs(dir)
     new GraftWriterFactory(schema.json, path, opts, conf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** All-or-nothing swap: tasks only stage `.tmp` files (invisible to
+    * readers, which list by extension); the old table contents are deleted
+    * and the staged files renamed here, after every task has succeeded. A
+    * failed or aborted overwrite therefore leaves the previous table intact.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    if (doTruncate)
+      GraftUtil.listDataFiles(path, conf.value).foreach(f => fs.delete(f.getPath, false))
+    messages.foreach {
+      case GraftCommitMessage(pairs, _) =>
+        pairs.foreach { case (tmp, dst) =>
+          if (!fs.rename(new Path(tmp), new Path(dst)))
+            throw new java.io.IOException(s"graft: failed to rename $tmp to $dst")
+        }
+      case _ =>
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.foreach {
+      case GraftCommitMessage(pairs, _) =>
+        pairs.foreach { case (tmp, _) => fs.delete(new Path(tmp), false) }
+      case _ =>
+    }
+  }
 }
 
-final case class GraftCommitMessage(files: Seq[String], rows: Long) extends WriterCommitMessage
+/** (staged tmp path, final path) per rolled file. */
+final case class GraftCommitMessage(files: Seq[(String, String)], rows: Long) extends WriterCommitMessage
 
 final class GraftWriterFactory(schemaJson: String, path: String, opts: GraftWriteOptions,
     conf: SerializableHadoopConf) extends DataWriterFactory {
@@ -124,11 +147,9 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
 
   override def commit(): WriterCommitMessage = {
     rollFile()
-    committed.foreach { case (tmp, dst) =>
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"graft: failed to rename $tmp to $dst")
-    }
-    GraftCommitMessage(committed.map(_._2.toString).toSeq, totalRows)
+    // renames happen at job commit (GraftBatchWrite.commit) so a failed job
+    // never exposes partial output or loses the pre-overwrite table
+    GraftCommitMessage(committed.map(p => (p._1.toString, p._2.toString)).toSeq, totalRows)
   }
 
   override def abort(): Unit =

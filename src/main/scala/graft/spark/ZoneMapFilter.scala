@@ -31,10 +31,9 @@ object ZoneMapFilter {
       extends PagePred {
     // op: 0 =, 1 >, 2 >=, 3 <, 4 <=
     def canSkip(pm: PageMeta): Boolean = {
-      if (pm.statsKind != kind) return false
       if (pm.nullCount == pm.numValues && pm.numValues > 0) return true // all null
       (kind, v) match {
-        case (1, Left(x)) =>
+        case (1, Left(x)) if pm.statsKind == 1 =>
           op match {
             case 0 => x < pm.minLong || x > pm.maxLong
             case 1 => pm.maxLong <= x
@@ -43,13 +42,20 @@ object ZoneMapFilter {
             case 4 => pm.minLong > x
             case _ => false
           }
-        case (2, Right(x)) =>
+        case (2, Right(x)) if pm.statsKind == 2 || pm.statsKind == 3 =>
+          // statsKind 3 = page contains NaN. Spark orders NaN above every
+          // value and NaN = NaN is true, so NaN rows match any >/>= bound
+          // (never skip) and an = NaN probe (never skip); NaN never matches
+          // </<= or a finite = probe, so those may still prune on the
+          // non-NaN min/max. All-NaN pages store NaN bits, and every
+          // comparison below is then false — conservatively kept.
+          val nanPage = pm.statsKind == 3
           val min = dblOf(pm.minLong)
           val max = dblOf(pm.maxLong)
           op match {
-            case 0 => x < min || x > max
-            case 1 => max <= x
-            case 2 => max < x
+            case 0 => !(nanPage && x.isNaN) && (x < min || x > max)
+            case 1 => !nanPage && max <= x
+            case 2 => !nanPage && max < x
             case 3 => min >= x
             case 4 => min > x
             case _ => false
@@ -68,14 +74,16 @@ object ZoneMapFilter {
   private final case class InSet(field: String, kind: Int, longs: Array[Long],
       dbls: Array[Double]) extends PagePred {
     def canSkip(pm: PageMeta): Boolean = {
-      if (pm.statsKind != kind) return false
       if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
-      if (kind == 1) longs.forall(x => x < pm.minLong || x > pm.maxLong)
-      else {
+      if (kind == 1) pm.statsKind == 1 && longs.forall(x => x < pm.minLong || x > pm.maxLong)
+      else if (pm.statsKind == 2 || pm.statsKind == 3) {
+        // NaN page (kind 3): a NaN probe value matches the page's NaN rows
+        // (Spark NaN = NaN), so only prune when every probe is finite and
+        // outside the non-NaN bounds.
         val min = dblOf(pm.minLong)
         val max = dblOf(pm.maxLong)
-        dbls.forall(x => x < min || x > max)
-      }
+        dbls.forall(x => !(pm.statsKind == 3 && x.isNaN) && (x < min || x > max))
+      } else false
     }
   }
 

@@ -42,6 +42,24 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(r.getTimestamp(5).getTime == 1700000000000L + 99999L * 1000)
   }
 
+  test("footer min/max respect Spark NaN semantics") {
+    val dir = "/tmp/graft-test/aggpush-nan"
+    spark.range(10000).selectExpr(
+        "CASE WHEN id % 17 = 0 THEN cast('NaN' AS DOUBLE) ELSE cast(id AS DOUBLE) / 7 END AS d",
+        "cast('NaN' AS DOUBLE) AS allnan")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val agg = g.agg(min(col("d")).as("mind"), max(col("d")).as("maxd"),
+      min(col("allnan")).as("minn"), max(col("allnan")).as("maxn"))
+    assert(scanDesc(agg).contains("footer-only aggregate"),
+      s"expected footer-only scan, got:\n${scanDesc(agg)}")
+    val r = agg.head()
+    assert(r.getDouble(0) == 1.0 / 7) // id=0 is NaN, min over finite values
+    assert(r.getDouble(1).isNaN)      // Spark max over a set containing NaN is NaN
+    assert(r.getDouble(2).isNaN)
+    assert(r.getDouble(3).isNaN)
+  }
+
   test("aggregate with filter or string min does NOT get pushed, stays correct") {
     val dir = "/tmp/graft-test/aggpush"
     val g = spark.read.format("graft").load(dir)

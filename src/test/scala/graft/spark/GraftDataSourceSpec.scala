@@ -73,6 +73,28 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("failed overwrite leaves previous table contents intact") {
+    val dir = "/tmp/graft-test/atomic-overwrite"
+    spark.range(1000).selectExpr("id", "id * 2 AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 1000)
+
+    // overwrite job that fails mid-task must not delete the old files
+    intercept[Exception] {
+      spark.range(500)
+        .selectExpr("id", "CASE WHEN id = 250 THEN raise_error('boom') ELSE cast(id AS string) END AS v")
+        .write.format("graft").mode("overwrite").save(dir)
+    }
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 1000, "old table lost by failed overwrite")
+    assert(back.selectExpr("sum(v)").head.getLong(0) == (0L until 1000L).map(_ * 2).sum)
+
+    // a successful overwrite swaps cleanly and leaves no stale files
+    spark.range(200).selectExpr("id", "id * 3 AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 200)
+  }
+
   test("strawboat alias works") {
     val dir = "/tmp/graft-test/region-alias"
     spark.read.parquet(s"$sf/region.parquet")

@@ -110,6 +110,27 @@ class NestedTypesSpec extends AnyFunSuite {
       FROM range(300)""")
   }
 
+  test("non-nullable array/map children under a null struct (special codecs)") {
+    // The array/map fields are non-nullable (sequence/map never null) so
+    // their lengths leaves persist no validity bitmap; a null parent struct
+    // still appends a slot there. Special codecs must encode that slot's
+    // deterministic 0 — filling it with the previous length desynchronizes
+    // the child leaf offsets on read. Constant lengths force OneValue/Rle.
+    rt("nn_child_null_struct", """
+      SELECT id,
+        CASE WHEN id % 3 = 0 THEN NULL
+             ELSE named_struct('xs', sequence(0, 3), 'm', map('a', id), 'w', id * 2)
+        END AS rec
+      FROM range(2000)""")
+    // varied lengths -> Dict/Bitpack lanes take the same path
+    rt("nn_child_null_struct_varied", """
+      SELECT id,
+        CASE WHEN id % 5 = 0 THEN NULL
+             ELSE named_struct('xs', sequence(0, cast(id % 7 AS INT)))
+        END AS rec
+      FROM range(2000)""")
+  }
+
   test("empty arrays and empty strings") {
     rt("empties", """
       SELECT id, array() AS empty_arr,

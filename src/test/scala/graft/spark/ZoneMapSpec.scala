@@ -57,6 +57,27 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(g.filter(col("k") > 0).count() == expected)
   }
 
+  test("NaN pages are never pruned for predicates NaN satisfies") {
+    val dir = "/tmp/graft-test/zonemap-nan"
+    // rows 9000+ are NaN; sorted so they cluster in the tail pages
+    spark.range(10000).selectExpr("id",
+        "CASE WHEN id >= 9000 THEN cast('NaN' AS DOUBLE) ELSE cast(id AS DOUBLE) / 100.0 END AS d")
+      .orderBy("id").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+
+    // Spark orders NaN above every value: all 1000 NaN rows match > bound
+    // even though every page's non-NaN max is tiny
+    assert(g.filter(col("d") > 1e9).count() == 1000)
+    assert(g.filter(col("d") >= 50.0).count() == 5000) // 4000 finite + 1000 NaN
+    // NaN = NaN is true in Spark
+    assert(g.filter(col("d") === Double.NaN).count() == 1000)
+    // NaN never satisfies < — pruning on non-NaN min must still work
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter(col("d") < 10.0).count() == 1000)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 1, "finite < bound should still prune")
+  }
+
   test("timestamp range pruning on sorted events") {
     val dir = "/tmp/graft-test/zonemap-ts"
     spark.sql("SELECT timestamp_millis(1700000000000 + id * 60000) AS ts, id FROM range(50000)")
