@@ -89,4 +89,9 @@ final class ByteCursor(val arr: Array[Byte], var pos: Int) {
   def getFloatLE(): Float = java.lang.Float.intBitsToFloat(getIntLE())
   def getDoubleLE(): Double = java.lang.Double.longBitsToDouble(getLongLE())
   def skip(n: Int): Unit = pos += n
+  def getBytes(n: Int): Array[Byte] = {
+    val b = java.util.Arrays.copyOfRange(arr, pos, pos + n)
+    pos += n
+    b
+  }
 }

@@ -85,7 +85,11 @@ final case class WriteOptions(
   * extension — the reference computes but never persists stats, SURVEY §2.2).
   * statsKind: 0=none, 1=long min/max, 2=double min/max (NaN-free),
   * 3=double min/max over non-NaN values with NaN present in the page
-  * (min=max=NaN bits iff the page is all-NaN).
+  * (min=max=NaN bits iff the page is all-NaN),
+  * 4=binary bounds in minBin/maxBin (truncated like parquet: minBin is the
+  * ≤16-byte prefix of the true min, so a valid lower bound; maxBin is the
+  * exact max if ≤16 bytes, else the truncated prefix incremented upward —
+  * null maxBin means no finite upper bound survived the increment).
   */
 final case class PageMeta(
     length: Int,
@@ -93,7 +97,9 @@ final case class PageMeta(
     statsKind: Byte = 0,
     minLong: Long = 0L,
     maxLong: Long = 0L,
-    nullCount: Int = -1)
+    nullCount: Int = -1,
+    minBin: Array[Byte] = null,
+    maxBin: Array[Byte] = null)
 
 /** Per-leaf-column metadata: byte offset of the first page + page list. */
 final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {

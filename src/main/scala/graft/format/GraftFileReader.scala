@@ -71,7 +71,14 @@ object GraftFileReader {
         val nv = cur.getIntLE()
         val kind = cur.getByte().toByte
         pages(p) =
-          if (kind != 0) PageMeta(len, nv, kind, cur.getLongLE(), cur.getLongLE(), cur.getIntLE())
+          if (kind == 4) {
+            val minLen = cur.getByte() & 0xff
+            val minBin = cur.getBytes(minLen)
+            val maxLen = cur.getByte() & 0xff
+            val maxBin = if (maxLen == 0xff) null else cur.getBytes(maxLen)
+            PageMeta(len, nv, kind, 0L, 0L, cur.getIntLE(), minBin, maxBin)
+          } else if (kind != 0)
+            PageMeta(len, nv, kind, cur.getLongLE(), cur.getLongLE(), cur.getIntLE())
           else PageMeta(len, nv)
         p += 1
       }
@@ -114,6 +121,12 @@ final class LeafReader(in: SeekableInput, meta: ColumnMeta, lane: Int, nullable:
   }
 
   def numPages: Int = meta.pages.length
+
+  /** Raw page access for callers that decode straight into their own
+    * columnar sinks (e.g. Spark vectors) without a Vec materialization.
+    */
+  def pageBytes: Array[Byte] = bytes
+  def pageStart(p: Int): Int = pageOffsets(p)
 
   def readPage(p: Int): Vec = {
     val cur = new ByteCursor(bytes, pageOffsets(p))

@@ -121,7 +121,15 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
         buf.putIntLE(pm.length)
         buf.putIntLE(pm.numValues)
         buf.putByte(pm.statsKind)
-        if (pm.statsKind != 0) {
+        if (pm.statsKind == 4) {
+          // u8 minLen | minBytes | u8 maxLen | maxBytes | u32 nullCount
+          // (maxLen 0xFF = no finite upper bound)
+          buf.putByte(pm.minBin.length.toByte)
+          buf.putBytes(pm.minBin)
+          if (pm.maxBin == null) buf.putByte(0xFF.toByte)
+          else { buf.putByte(pm.maxBin.length.toByte); buf.putBytes(pm.maxBin) }
+          buf.putIntLE(pm.nullCount)
+        } else if (pm.statsKind != 0) {
           buf.putLongLE(pm.minLong)
           buf.putLongLE(pm.maxLong)
           buf.putIntLE(pm.nullCount)

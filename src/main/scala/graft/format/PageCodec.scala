@@ -83,7 +83,8 @@ object PageSerializer {
       writeBlockBody(codec, scratch, out, opts.zstdLevel)
     }
 
-    PageMeta(out.length - pageStart, n, stats.kind, stats.minLong, stats.maxLong, nullCount)
+    PageMeta(out.length - pageStart, n, stats.kind, stats.minLong, stats.maxLong, nullCount,
+      stats.minBin, stats.maxBin)
   }
 
   private def stripNulls(vec: Vec): Vec = vec match {
@@ -256,7 +257,8 @@ object PageDeserializer {
 /** Per-page statistics: zone maps + input to the adaptive codec chooser.
   * (Reference analogue: `gen_stats`, `/root/reference/src/compression/integer/mod.rs:164-229`.)
   */
-final case class PageStats(kind: Byte, minLong: Long, maxLong: Long)
+final case class PageStats(kind: Byte, minLong: Long, maxLong: Long,
+    minBin: Array[Byte] = null, maxBin: Array[Byte] = null)
 
 object PageStats {
   def compute(lane: Int, vec: Vec, from: Int, until: Int): PageStats = {
@@ -296,7 +298,59 @@ object PageStats {
       case Lane.F64 =>
         val v = vec.asInstanceOf[DoubleVec].values
         floatStats(from, until, nulls, i => v(i))
+      case Lane.Bin =>
+        binStats(vec.asInstanceOf[BinaryVec], from, until, nulls)
       case _ => PageStats(0, 0, 0)
+    }
+  }
+
+  val BinStatTrunc = 16
+
+  /** Binary zone maps, parquet-style truncation: min rounds DOWN (a prefix
+    * is ≤ its string in unsigned-lex order), max rounds UP (prefix with its
+    * last non-0xFF byte incremented; null if all 0xFF — no finite bound).
+    * Sound for UTF-8 strings because Spark compares them as unsigned bytes.
+    */
+  private def binStats(bv: BinaryVec, from: Int, until: Int, nulls: Array[Boolean]): PageStats = {
+    var minI = -1
+    var maxI = -1
+    var i = from
+    while (i < until) {
+      if (nulls == null || !nulls(i)) {
+        if (minI < 0 || cmpAt(bv, i, minI) < 0) minI = i
+        if (maxI < 0 || cmpAt(bv, i, maxI) > 0) maxI = i
+      }
+      i += 1
+    }
+    if (minI < 0) return PageStats(0, 0, 0)
+    val minB = sliceAt(bv, minI, BinStatTrunc)
+    val maxLen = bv.offsets(maxI + 1) - bv.offsets(maxI)
+    val maxB =
+      if (maxLen <= BinStatTrunc) sliceAt(bv, maxI, BinStatTrunc)
+      else incrementUp(sliceAt(bv, maxI, BinStatTrunc))
+    PageStats(4, 0, 0, minB, maxB)
+  }
+
+  @inline private def cmpAt(bv: BinaryVec, a: Int, b: Int): Int =
+    java.util.Arrays.compareUnsigned(
+      bv.bytes, bv.offsets(a), bv.offsets(a + 1),
+      bv.bytes, bv.offsets(b), bv.offsets(b + 1))
+
+  private def sliceAt(bv: BinaryVec, i: Int, maxLen: Int): Array[Byte] = {
+    val off = bv.offsets(i)
+    val len = math.min(bv.offsets(i + 1) - off, maxLen)
+    java.util.Arrays.copyOfRange(bv.bytes, off, off + len)
+  }
+
+  /** Smallest byte string > every string with this prefix, or null. */
+  def incrementUp(prefix: Array[Byte]): Array[Byte] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix(i) == 0xFF.toByte) i -= 1
+    if (i < 0) null
+    else {
+      val b = java.util.Arrays.copyOfRange(prefix, 0, i + 1)
+      b(i) = (b(i) + 1).toByte
+      b
     }
   }
 

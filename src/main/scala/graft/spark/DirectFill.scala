@@ -1,0 +1,161 @@
+package graft.spark
+
+import graft.format._
+import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+import org.apache.spark.sql.types._
+
+/** Reusable decompression buffer — one per partition reader, grown on demand,
+  * so the hot scan loop stops allocating a fresh plain-bytes array per page.
+  */
+final class ScratchBuf(initial: Int = 64 * 1024) {
+  private var buf = new Array[Byte](initial)
+  def ensure(n: Int): Array[Byte] = {
+    if (buf.length < n) {
+      var cap = buf.length
+      while (cap < n && cap > 0) cap <<= 1
+      buf = new Array[Byte](if (cap < n) n else cap)
+    }
+    buf
+  }
+}
+
+/** Decodes one leaf page straight into a Spark `WritableColumnVector`,
+  * skipping the intermediate `Vec` materialization the nested-assembly path
+  * uses. For block-codec pages the decompressed plain bytes are bulk-copied
+  * with the vector's primitive byte[] put*s (little-endian, matching the page
+  * layout); strings land as ONE arraycopy into the vector's byte child plus
+  * per-row (offset,length) entries, instead of a per-row `putByteArray`.
+  * Special-codec pages decode through the existing codec readers, then
+  * bulk-put their typed arrays.
+  *
+  * This is the scan fast path for top-level atomic columns — the nested
+  * types keep the `FieldFiller`/Vec assembly (they need lengths/validity
+  * leaves joined across leaves anyway).
+  */
+final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
+
+  // physical shape switch, resolved once at plan time
+  private val kind: Int = dt match {
+    case BooleanType => 0
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType | DateType => 3
+    case LongType | TimestampType | TimestampNTZType => 4
+    case FloatType => 5
+    case DoubleType => 6
+    case StringType | BinaryType => 7
+    case d: DecimalType if d.precision <= Decimal.MAX_INT_DIGITS => 8 // I64 lane -> int vector
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => 4
+    case _: DecimalType => 7 // binary lane
+    case NullType => 9
+    case _ => -1
+  }
+
+  def supported: Boolean = kind >= 0
+
+  @inline private def getIntLE(a: Array[Byte], p: Int): Int =
+    (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8) | ((a(p + 2) & 0xff) << 16) | ((a(p + 3) & 0xff) << 24)
+
+  @inline private def getLongLE(a: Array[Byte], p: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (a(p + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Decode the page at `bytes[pos..)` (n values) into `vector`. */
+  def fill(vector: WritableColumnVector, bytes: Array[Byte], pos: Int, n: Int,
+      scratch: ScratchBuf): Unit = {
+    val cur = new ByteCursor(bytes, pos)
+    var nulls: Array[Boolean] = null
+    if (nullable) {
+      val nullCount = cur.getIntLE()
+      if (nullCount > 0) {
+        nulls = BitmapUtil.read(cur.arr, cur.pos, n)
+        cur.skip((n + 7) >>> 3)
+      }
+    }
+    val codec = cur.getByte().toByte
+    val clen = cur.getIntLE()
+    val rawLen = cur.getIntLE()
+    if (Codec.isCommon(codec)) {
+      val plain = scratch.ensure(rawLen)
+      BlockCompression.decompress(codec, cur.arr, cur.pos, clen, plain, 0, rawLen)
+      fromPlain(vector, plain, n)
+    } else {
+      fromVec(vector, SpecialCodecs.read(codec, lane, n, nulls, cur, clen, rawLen), n)
+    }
+    if (nulls != null) {
+      var i = 0
+      while (i < n) { if (nulls(i)) vector.putNull(i); i += 1 }
+    }
+  }
+
+  private def fromPlain(vector: WritableColumnVector, plain: Array[Byte], n: Int): Unit =
+    kind match {
+      case 0 =>
+        var i = 0
+        while (i < n) { vector.putBoolean(i, (plain(i >>> 3) & (1 << (i & 7))) != 0); i += 1 }
+      case 1 => vector.putBytes(0, n, plain, 0)
+      case 2 => vector.putShorts(0, n, plain, 0)
+      case 3 => vector.putInts(0, n, plain, 0)
+      case 4 => vector.putLongs(0, n, plain, 0)
+      case 5 => vector.putFloats(0, n, plain, 0)
+      case 6 => vector.putDoubles(0, n, plain, 0)
+      case 7 =>
+        // (n+1) page-rebased u32 offsets, then the value bytes
+        val header = 4 * (n + 1)
+        val total = getIntLE(plain, 4 * n)
+        val ad = vector.arrayData()
+        ad.reserve(total)
+        if (total > 0) ad.putBytes(0, total, plain, header)
+        var i = 0
+        var prev = 0
+        while (i < n) {
+          val next = getIntLE(plain, 4 * (i + 1))
+          vector.putArray(i, prev, next - prev)
+          prev = next
+          i += 1
+        }
+      case 8 =>
+        var i = 0
+        while (i < n) { vector.putInt(i, getLongLE(plain, 8 * i).toInt); i += 1 }
+      case 9 => vector.putNulls(0, n)
+    }
+
+  private def fromVec(vector: WritableColumnVector, vec: Vec, n: Int): Unit = kind match {
+    case 0 =>
+      val v = vec.asInstanceOf[BoolVec].values
+      var i = 0
+      while (i < n) { vector.putBoolean(i, v(i)); i += 1 }
+    case 1 =>
+      val v = vec.asInstanceOf[IntVec].values
+      var i = 0
+      while (i < n) { vector.putByte(i, v(i).toByte); i += 1 }
+    case 2 =>
+      val v = vec.asInstanceOf[IntVec].values
+      var i = 0
+      while (i < n) { vector.putShort(i, v(i).toShort); i += 1 }
+    case 3 => vector.putInts(0, n, vec.asInstanceOf[IntVec].values, 0)
+    case 4 => vector.putLongs(0, n, vec.asInstanceOf[LongVec].values, 0)
+    case 5 => vector.putFloats(0, n, vec.asInstanceOf[FloatVec].values, 0)
+    case 6 => vector.putDoubles(0, n, vec.asInstanceOf[DoubleVec].values, 0)
+    case 7 =>
+      val bv = vec.asInstanceOf[BinaryVec]
+      val base = bv.offsets(0)
+      val total = bv.offsets(n) - base
+      val ad = vector.arrayData()
+      ad.reserve(total)
+      if (total > 0) ad.putBytes(0, total, bv.bytes, base)
+      var i = 0
+      while (i < n) {
+        vector.putArray(i, bv.offsets(i) - base, bv.offsets(i + 1) - bv.offsets(i))
+        i += 1
+      }
+    case 8 =>
+      val v = vec.asInstanceOf[LongVec].values
+      var i = 0
+      while (i < n) { vector.putInt(i, v(i).toInt); i += 1 }
+    case 9 => vector.putNulls(0, n)
+  }
+}

@@ -64,10 +64,17 @@ final class AtomicFiller(dt: DataType) extends FieldFiller {
       case DoubleType =>
         vector.putDoubles(0, rows, vec.asInstanceOf[DoubleVec].values, 0)
       case StringType | BinaryType =>
+        // one bulk copy into the vector's byte child + per-row (off,len)
+        // entries — null slots get zero-length spans, masked by applyNulls
         val bv = vec.asInstanceOf[BinaryVec]
+        val base0 = bv.offsets(0)
+        val total = bv.offsets(rows) - base0
+        val ad = vector.arrayData()
+        ad.reserve(total)
+        if (total > 0) ad.putBytes(0, total, bv.bytes, base0)
         var i = 0
         while (i < rows) {
-          if (!bv.isNull(i)) vector.putByteArray(i, bv.bytes, bv.offsets(i), bv.offsets(i + 1) - bv.offsets(i))
+          vector.putArray(i, bv.offsets(i) - base0, bv.offsets(i + 1) - bv.offsets(i))
           i += 1
         }
       case d: DecimalType if d.precision <= Decimal.MAX_INT_DIGITS =>

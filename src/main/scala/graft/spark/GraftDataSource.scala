@@ -324,6 +324,17 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   private val batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
   private val pageVecs = new Array[Vec](totalLeaves)
 
+  // fast path: top-level atomic columns decode page bytes straight into the
+  // Spark vector (no Vec materialization, reused decompression buffer)
+  private val scratch = new ScratchBuf()
+  private val direct: Array[DirectFill] = plan.map { case (fi, base, filler) =>
+    if (filler.isInstanceOf[AtomicFiller]) {
+      val (lane, nullable) = leafSpecsAll(base)
+      val df = new DirectFill(fileSchema.fields(fi).dataType, lane, nullable)
+      if (df.supported) df else null
+    } else null
+  }
+
   private var page = -1
 
   @annotation.tailrec
@@ -338,22 +349,22 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     if (!advance()) return false
     GraftMetrics.pageGroupsRead.incrementAndGet()
     val rows = rowPages(page).numValues
+    var v = 0
+    while (v < vectors.length) { vectors(v).reset(); v += 1 }
     var f = 0
     while (f < plan.length) {
       val (_, base, filler) = plan(f)
-      var i = base
-      while (i < base + filler.leafCount) {
-        pageVecs(i) = leafReaders(i).readPage(page)
-        i += 1
+      if (direct(f) != null) {
+        val lr = leafReaders(base)
+        direct(f).fill(vectors(f), lr.pageBytes, lr.pageStart(page), rows, scratch)
+      } else {
+        var i = base
+        while (i < base + filler.leafCount) {
+          pageVecs(i) = leafReaders(i).readPage(page)
+          i += 1
+        }
+        filler.fill(vectors(f), pageVecs, base, rows)
       }
-      f += 1
-    }
-    var v = 0
-    while (v < vectors.length) { vectors(v).reset(); v += 1 }
-    f = 0
-    while (f < plan.length) {
-      val (_, base, filler) = plan(f)
-      filler.fill(vectors(f), pageVecs, base, rows)
       f += 1
     }
     batch.setNumRows(rows)

@@ -65,6 +65,50 @@ object ZoneMapFilter {
     }
   }
 
+  /** String/binary bounds (statsKind 4). minBin is a valid lower bound and
+    * maxBin a valid upper bound for every value in the page (truncation
+    * rounds them outward — PageStats.binStats), so comparisons against the
+    * bounds prune soundly; null maxBin disables upper-bound tests.
+    */
+  private final case class CmpBin(field: String, op: Int, x: Array[Byte]) extends PagePred {
+    // op: 0 =, 1 >, 2 >=, 3 <, 4 <=, 5 startsWith
+    def canSkip(pm: PageMeta): Boolean = {
+      if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
+      if (pm.statsKind != 4) return false
+      val aboveMax = pm.maxBin != null && ZoneMapFilter.cmpBytes(x, pm.maxBin) > 0
+      val maxLeX = pm.maxBin != null && ZoneMapFilter.cmpBytes(pm.maxBin, x) <= 0
+      op match {
+        case 0 => aboveMax || ZoneMapFilter.cmpBytes(x, pm.minBin) < 0
+        case 1 => maxLeX
+        case 2 => pm.maxBin != null && ZoneMapFilter.cmpBytes(pm.maxBin, x) < 0
+        case 3 => ZoneMapFilter.cmpBytes(pm.minBin, x) >= 0
+        case 4 => ZoneMapFilter.cmpBytes(pm.minBin, x) > 0
+        case 5 =>
+          // no value with prefix x exists if max < x, or min >= smallest
+          // byte string above every x-prefixed value
+          if (pm.maxBin != null && ZoneMapFilter.cmpBytes(pm.maxBin, x) < 0) true
+          else {
+            val hi = graft.format.PageStats.incrementUp(x)
+            hi != null && ZoneMapFilter.cmpBytes(pm.minBin, hi) >= 0
+          }
+        case _ => false
+      }
+    }
+  }
+
+  private final case class InSetBin(field: String, xs: Array[Array[Byte]]) extends PagePred {
+    def canSkip(pm: PageMeta): Boolean = {
+      if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
+      if (pm.statsKind != 4) return false
+      xs.forall(x =>
+        (pm.maxBin != null && ZoneMapFilter.cmpBytes(x, pm.maxBin) > 0) ||
+          ZoneMapFilter.cmpBytes(x, pm.minBin) < 0)
+    }
+  }
+
+  private[spark] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
   private final case class AllNullSkip(field: String) extends PagePred {
     // IsNotNull: skip pages where every value is null
     def canSkip(pm: PageMeta): Boolean =
@@ -122,6 +166,21 @@ object ZoneMapFilter {
     }
   }
 
+  /** UTF-8 bytes of a string probe / raw binary probe — the byte domain
+    * statsKind 4 bounds are compared in (Spark compares strings the same way).
+    */
+  private def toBinDomain(dt: DataType, value: Any): Option[Array[Byte]] = {
+    if (value == null) return None
+    dt match {
+      case StringType => Some(value.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case BinaryType => value match {
+        case b: Array[Byte] => Some(b)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Compile the subset of `filters` usable for page pruning. Returned
     * filters are the ones reflected in pushedFilters() / explain output.
     */
@@ -132,22 +191,31 @@ object ZoneMapFilter {
     def fieldType(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType).filter(GraftSchema.isAtomic)
 
+    def cmpPred(a: String, v: Any, op: Int): Option[PagePred] =
+      fieldType(a).flatMap { dt =>
+        toDomain(dt, v).map { case (k, d) => Cmp(a, k, op, d): PagePred }
+          .orElse(toBinDomain(dt, v).map(b => CmpBin(a, op, b): PagePred))
+      }
+
     filters.foreach {
       case f @ EqualTo(a, v) =>
-        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 0, d) }
+        for (p <- cmpPred(a, v, 0)) { usable += f; preds += p }
       case f @ GreaterThan(a, v) =>
-        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 1, d) }
+        for (p <- cmpPred(a, v, 1)) { usable += f; preds += p }
       case f @ GreaterThanOrEqual(a, v) =>
-        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 2, d) }
+        for (p <- cmpPred(a, v, 2)) { usable += f; preds += p }
       case f @ LessThan(a, v) =>
-        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 3, d) }
+        for (p <- cmpPred(a, v, 3)) { usable += f; preds += p }
       case f @ LessThanOrEqual(a, v) =>
-        for (dt <- fieldType(a); (k, d) <- toDomain(dt, v)) { usable += f; preds += Cmp(a, k, 4, d) }
+        for (p <- cmpPred(a, v, 4)) { usable += f; preds += p }
+      case f @ StringStartsWith(a, v) =>
+        for (p <- cmpPred(a, v, 5)) { usable += f; preds += p }
       case f @ IsNotNull(a) if fieldType(a).isDefined =>
         usable += f; preds += AllNullSkip(a)
       case f @ In(a, vs) if vs != null && vs.nonEmpty && vs.length <= 64 =>
         fieldType(a).foreach { dt =>
           val ds = vs.flatMap(v => toDomain(dt, v))
+          val bs = vs.flatMap(v => toBinDomain(dt, v))
           if (ds.length == vs.length) {
             val kind = ds.head._1
             if (ds.forall(_._1 == kind)) {
@@ -155,6 +223,9 @@ object ZoneMapFilter {
               if (kind == 1) preds += InSet(a, 1, ds.map(_._2.swap.toOption.get), Array.empty)
               else preds += InSet(a, 2, Array.empty, ds.map(_._2.toOption.get))
             }
+          } else if (bs.length == vs.length) {
+            usable += f
+            preds += InSetBin(a, bs)
           }
         }
       case _ =>

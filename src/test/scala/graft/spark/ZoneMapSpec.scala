@@ -57,6 +57,45 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(g.filter(col("k") > 0).count() == expected)
   }
 
+  test("string zone maps prune pages and stay correct") {
+    val dir = "/tmp/graft-test/zonemap-str"
+    spark.range(100000)
+      .selectExpr("id", "format_string('k%08d', id) AS s",
+        "concat('averylongcommonprefix_', format_string('%08d', id)) AS long_s")
+      .orderBy("id").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(col("s") === "k00000005").count() == 1)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
+      s"string equality should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+    assert(GraftMetrics.pageGroupsRead.get() <= 2)
+
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter(col("s") >= "k00090000").count() == 10000)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter(col("s").startsWith("k00001")).count() == 100000 / 100)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+
+    // IN-set over strings
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter(col("s").isin("k00000001", "k00000002")).count() == 2)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+
+    // >16-byte values share a truncated prefix: bounds must stay sound
+    // (counts exact) even when pruning degrades
+    assert(g.filter(col("long_s") === "averylongcommonprefix_00000005").count() == 1)
+    assert(g.filter(col("long_s") < "averylongcommonprefix_00001000").count() == 1000)
+    // probe below/above the whole range prunes everything
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(col("s") === "a").count() == 0)
+    assert(GraftMetrics.pageGroupsRead.get() == 0)
+  }
+
   test("NaN pages are never pruned for predicates NaN satisfies") {
     val dir = "/tmp/graft-test/zonemap-nan"
     // rows 9000+ are NaN; sorted so they cluster in the tail pages
