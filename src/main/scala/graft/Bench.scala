@@ -5,14 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times headline queries over graft storage at
   * SPARK_GRAFT_SF_DIR; prints ONE JSON line. parquet->graft conversion
   * happens before timing (storage format benchmarks measure scans, not
-  * ingest). Set SPARK_GRAFT_BASELINE=parquet to time the same queries over
+  * ingest). Set GRAFT_TABLES_FORMAT=parquet to time the same queries over
   * parquet instead (for local comparison).
   */
 object Bench {
 
   /** Queries that scale linearly and represent each capability family.
-    * (d_ngram_jaccard / d_dedup_embedding are intentionally excluded: their
-    * verify-scale pair blowup is quadratic in doc count.)
+    * Quadratic verify-only baselines (d_ngram_jaccard, d_dedup_embedding,
+    * s_ann_bruteforce — a cartesian recall oracle) are intentionally
+    * excluded: a 100 TB engine's headline numbers must be scale-shaped.
     */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
@@ -20,7 +21,7 @@ object Bench {
     "q13_order_count_distribution", "q_window_top_orders", "q_events_hourly",
     "q_asof_purchase_view", "q_topk_orders",
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_simhash",
-    "s_ann_bruteforce", "s_ann_lsh", "t_token_stats", "t_fingerprint",
+    "s_ann_lsh", "t_token_stats", "t_fingerprint",
     "t_quality_score", "t_language_id", "m_multimodal_meta")
 
   def main(args: Array[String]): Unit = {
