@@ -16,6 +16,12 @@ object Codec {
   val Bitpack: Byte = 14
   val DeltaBitpack: Byte = 15
   val Patas: Byte = 16
+  /** i128 page whose values all sign-extend from 64 bits: payload is a
+    * nested I64 value-body frame over the low words, so narrow decimals get
+    * the whole integer codec family (reference analogue: i128 through the
+    * integer traits, `/root/reference/src/compression/integer/traits.rs:30-39`).
+    */
+  val Wide: Byte = 17
 
   def isCommon(c: Byte): Boolean = c >= 0 && c <= 3
 
@@ -47,7 +53,8 @@ object Lane {
   val I64 = 4
   val F32 = 5
   val F64 = 6
-  val Bin = 7 // strings, binary, big decimals
+  val Bin = 7 // strings, binary
+  val I128 = 8 // decimals with precision 19-38 (two's-complement hi/lo words)
 
   /** plain-encoded bytes per value (Bin/Bool handled specially) */
   def width(lane: Int): Int = lane match {
@@ -55,7 +62,54 @@ object Lane {
     case I16 => 2
     case I32 | F32 => 4
     case I64 | F64 => 8
+    case I128 => 16
     case _ => -1
+  }
+}
+
+/** 128-bit two's-complement helpers (hi word signed, lo word unsigned). */
+object Int128 {
+  def hiOf(bi: java.math.BigInteger): Long = bi.shiftRight(64).longValue
+  def loOf(bi: java.math.BigInteger): Long = bi.longValue
+
+  def compare(ahi: Long, alo: Long, bhi: Long, blo: Long): Int = {
+    val c = java.lang.Long.compare(ahi, bhi)
+    if (c != 0) c else java.lang.Long.compareUnsigned(alo, blo)
+  }
+
+  /** 16-byte big-endian with the sign bit flipped: unsigned lexicographic
+    * order equals signed numeric order, so these slot into the binary
+    * (statsKind 4) zone-map machinery with EXACT (untruncated) bounds.
+    */
+  def orderedBytes(hi: Long, lo: Long): Array[Byte] = {
+    val b = new Array[Byte](16)
+    writeBE(hi ^ Long.MinValue, lo, b)
+    b
+  }
+
+  def fromOrderedBytes(b: Array[Byte]): java.math.BigInteger = {
+    val raw = b.clone()
+    raw(0) = (raw(0) ^ 0x80).toByte
+    new java.math.BigInteger(raw)
+  }
+
+  def writeBE(hi: Long, lo: Long, b: Array[Byte]): Unit = {
+    var i = 0
+    while (i < 8) {
+      b(i) = (hi >>> (56 - 8 * i)).toByte
+      b(8 + i) = (lo >>> (56 - 8 * i)).toByte
+      i += 1
+    }
+  }
+
+  /** Length of the minimal two's-complement suffix of a 16-byte BE buffer
+    * (drop redundant sign-extension bytes; parquet/Spark-compatible).
+    */
+  def minimalLen(b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 15 && ((b(i) == 0 && (b(i + 1) & 0x80) == 0) ||
+        (b(i) == -1 && (b(i + 1) & 0x80) != 0))) i += 1
+    16 - i
   }
 }
 

@@ -195,6 +195,17 @@ object VecConcat {
           p0 += bv.n
         }
         BinaryVec(total, nulls, offs, bytes)
+      case Lane.I128 =>
+        val hi = new Array[Long](total)
+        val lo = new Array[Long](total)
+        var p0 = 0
+        pages.foreach { pg =>
+          val dv = pg.asInstanceOf[DecimalVec]
+          System.arraycopy(dv.hi, 0, hi, p0, pg.n)
+          System.arraycopy(dv.lo, 0, lo, p0, pg.n)
+          p0 += pg.n
+        }
+        DecimalVec(total, nulls, hi, lo)
     }
   }
 }

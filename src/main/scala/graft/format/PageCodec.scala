@@ -94,6 +94,7 @@ object PageSerializer {
     case v: FloatVec => v.copy(nulls = null)
     case v: DoubleVec => v.copy(nulls = null)
     case v: BinaryVec => v.copy(nulls = null)
+    case v: DecimalVec => v.copy(nulls = null)
   }
 
   private[format] def writeBlockBody(codec: Byte, plain: ByteBuf, out: ByteBuf, zstdLevel: Int): Unit = {
@@ -162,6 +163,15 @@ object PageSerializer {
         var i = 0
         while (i <= n) { putInt(out.arr, p + 4 * i, bv.offsets(from + i) - base); i += 1 }
         out.putBytes(bv.bytes, base, bv.offsets(until) - base)
+      case Lane.I128 =>
+        val dv = vec.asInstanceOf[DecimalVec]
+        val p = out.reserve(16 * n)
+        var i = 0
+        while (i < n) {
+          putLong(out.arr, p + 16 * i, dv.lo(from + i))
+          putLong(out.arr, p + 16 * i + 8, dv.hi(from + i))
+          i += 1
+        }
     }
   }
 
@@ -242,6 +252,12 @@ object PageDeserializer {
       val bytes = new Array[Byte](byteLen)
       System.arraycopy(plain, 4 * (n + 1), bytes, 0, byteLen)
       BinaryVec(n, nulls, offs, bytes)
+    case Lane.I128 =>
+      val lo = new Array[Long](n)
+      val hi = new Array[Long](n)
+      var i = 0
+      while (i < n) { lo(i) = getLong(plain, 16 * i); hi(i) = getLong(plain, 16 * i + 8); i += 1 }
+      DecimalVec(n, nulls, hi, lo)
   }
 
   @inline private[format] def getInt(a: Array[Byte], p: Int): Int =
@@ -300,6 +316,24 @@ object PageStats {
         floatStats(from, until, nulls, i => v(i))
       case Lane.Bin =>
         binStats(vec.asInstanceOf[BinaryVec], from, until, nulls)
+      case Lane.I128 =>
+        // exact 128-bit bounds in the order-preserving byte encoding — they
+        // ride the binary (kind 4) zone-map path untruncated
+        val dv = vec.asInstanceOf[DecimalVec]
+        var minI = -1
+        var maxI = -1
+        var i = from
+        while (i < until) {
+          if (nulls == null || !nulls(i)) {
+            if (minI < 0 || Int128.compare(dv.hi(i), dv.lo(i), dv.hi(minI), dv.lo(minI)) < 0) minI = i
+            if (maxI < 0 || Int128.compare(dv.hi(i), dv.lo(i), dv.hi(maxI), dv.lo(maxI)) > 0) maxI = i
+          }
+          i += 1
+        }
+        if (minI < 0) PageStats(0, 0, 0)
+        else PageStats(4, 0, 0,
+          Int128.orderedBytes(dv.hi(minI), dv.lo(minI)),
+          Int128.orderedBytes(dv.hi(maxI), dv.lo(maxI)))
       case _ => PageStats(0, 0, 0)
     }
   }

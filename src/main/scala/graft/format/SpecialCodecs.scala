@@ -51,6 +51,36 @@ object SpecialCodecs {
 
       case Lane.Bool =>
         BoolCodecs.tryWrite(vec.asInstanceOf[BoolVec], from, until, opts, out)
+
+      case Lane.I128 =>
+        // values that all sign-extend from 64 bits (the common case for
+        // decimal 19-38 data) delegate to the long codec family via a
+        // nested I64 value-body frame; wider values fall to block codecs
+        // over the 16-byte plain layout
+        val dv = vec.asInstanceOf[DecimalVec]
+        var fits = true
+        var i = from
+        while (fits && i < until) { if (dv.hi(i) != (dv.lo(i) >> 63)) fits = false; i += 1 }
+        if (!fits) false
+        else {
+          val inner = LongVec(dv.n, dv.nulls, dv.lo)
+          out.putByte(Codec.Wide)
+          val lenPos = out.reserve(8)
+          val start = out.length
+          val wrote = tryWrite(Lane.I64, inner, from, until, stats, nullCount, opts, out, scratch)
+          if (!wrote) {
+            scratch.reset()
+            PageSerializer.plainEncode(Lane.I64, inner, from, until, scratch)
+            val bc = opts.forcedCodec match {
+              case Some(c) if Codec.isCommon(c) => c
+              case _ => opts.defaultCodec
+            }
+            PageSerializer.writeBlockBody(bc, scratch, out, opts.zstdLevel)
+          }
+          out.patchIntLE(lenPos, out.length - start)
+          out.patchIntLE(lenPos + 4, 16 * n)
+          true
+        }
     }
   }
 
@@ -88,5 +118,22 @@ object SpecialCodecs {
       BinaryCodecs.read(codec, cur, numValues, nulls, clen)
     case Lane.Bool =>
       BoolCodecs.read(codec, cur, numValues, nulls, clen)
+    case Lane.I128 =>
+      require(codec == Codec.Wide, s"graft: unexpected codec $codec for i128 lane")
+      val innerCodec = cur.getByte().toByte
+      val iclen = cur.getIntLE()
+      val irawLen = cur.getIntLE()
+      val lo =
+        if (Codec.isCommon(innerCodec)) {
+          val plain = new Array[Byte](irawLen)
+          BlockCompression.decompress(innerCodec, cur.arr, cur.pos, iclen, plain, 0, irawLen)
+          cur.skip(iclen)
+          PageDeserializer.plainDecode(Lane.I64, numValues, null, plain)
+            .asInstanceOf[LongVec].values
+        } else IntCodecs.readSpecial(innerCodec, cur, numValues, 8, iclen)
+      val hi = new Array[Long](numValues)
+      var i = 0
+      while (i < numValues) { hi(i) = lo(i) >> 63; i += 1 }
+      DecimalVec(numValues, nulls, hi, lo)
   }
 }

@@ -23,6 +23,8 @@ final case class BinaryVec(n: Int, nulls: Array[Boolean], offsets: Array[Int], b
   def apply(i: Int): Array[Byte] =
     java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i + 1))
 }
+/** lane I128 (decimal 19-38): two's-complement (hi, lo) word pairs */
+final case class DecimalVec(n: Int, nulls: Array[Boolean], hi: Array[Long], lo: Array[Long]) extends Vec
 
 // ---------------------------------------------------------------------------
 // Growable builders (used by the Spark DataWriter and by tests)
@@ -207,6 +209,36 @@ final class BinaryVecBuilder(initial: Int = 1024) extends VecBuilder {
   def clear(): Unit = { n = 0; byteLen = 0; hasNull = false; nullsArr = null; offs(0) = 0 }
 }
 
+final class DecimalVecBuilder(initial: Int = 1024) extends VecBuilder {
+  private var his = new Array[Long](initial)
+  private var los = new Array[Long](initial)
+  private var nullsArr: Array[Boolean] = null
+  private var n = 0
+  private var hasNull = false
+  private def ensure(): Unit = {
+    if (n >= his.length) {
+      his = java.util.Arrays.copyOf(his, his.length * 2)
+      los = java.util.Arrays.copyOf(los, los.length * 2)
+    }
+  }
+  def append(hi: Long, lo: Long): Unit = { ensure(); his(n) = hi; los(n) = lo; n += 1 }
+  def appendNull(): Unit = {
+    ensure()
+    if (nullsArr == null || n >= nullsArr.length) {
+      val prev = nullsArr
+      nullsArr = new Array[Boolean](his.length)
+      if (prev != null) System.arraycopy(prev, 0, nullsArr, 0, prev.length)
+    }
+    nullsArr(n) = true; hasNull = true; his(n) = 0L; los(n) = 0L; n += 1
+  }
+  def size: Int = n
+  def result(): Vec = DecimalVec(n,
+    if (hasNull) java.util.Arrays.copyOf(nullsArr, n) else null,
+    java.util.Arrays.copyOf(his, n),
+    java.util.Arrays.copyOf(los, n))
+  def clear(): Unit = { n = 0; hasNull = false; nullsArr = null }
+}
+
 object VecBuilder {
   def forLane(lane: Int): VecBuilder = lane match {
     case Lane.Bool => new BoolVecBuilder()
@@ -215,5 +247,6 @@ object VecBuilder {
     case Lane.F32 => new FloatVecBuilder()
     case Lane.F64 => new DoubleVecBuilder()
     case Lane.Bin => new BinaryVecBuilder()
+    case Lane.I128 => new DecimalVecBuilder()
   }
 }

@@ -51,6 +51,26 @@ object Functions {
         .orderBy(col("quartile"))
     },
 
+    "q_decimal128" -> { (s, dir) =>
+      // decimal(25,4) whose unscaled values exceed 64 bits: exercises the
+      // i128 lane end-to-end (write, wide/block codecs, zone-map pruning on
+      // the >= filter, decimal aggregation). Exact integer-derived values,
+      // so Spark and DuckDB agree bit-for-bit.
+      val out = "/tmp/graft_q/dec128_" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_orderkey").cast("decimal(25,4)") * lit(1000000000000L))
+            .cast("decimal(25,4)").as("big"))
+        .orderBy("l_orderkey")
+        .write.format("graft").mode("overwrite").save(out)
+      s.read.format("graft").load(out)
+        .filter(col("big") >= lit(new java.math.BigDecimal("30000000000000000.0000")))
+        .agg(count(lit(1)).as("n"),
+          sum(col("big")).cast("decimal(38,4)").cast("string").as("sum_big"),
+          min(col("big")).cast("string").as("min_big"),
+          max(col("big")).cast("string").as("max_big"))
+    },
+
     "q_scalar_funcs" -> { (s, dir) =>
       Tables.load(s, dir, "orders")
         .filter(col("o_orderkey") % 1000 === 0)
@@ -94,6 +114,14 @@ object Functions {
         |        ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
         |      FROM orders)
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "q_decimal128" ->
+      """WITH t AS (SELECT CAST(CAST(l_orderkey AS DECIMAL(25,4)) * 1000000000000 AS DECIMAL(25,4)) AS big
+        |           FROM lineitem)
+        |SELECT count(*) AS n,
+        |  CAST(CAST(sum(big) AS DECIMAL(38,4)) AS VARCHAR) AS sum_big,
+        |  CAST(min(big) AS VARCHAR) AS min_big,
+        |  CAST(max(big) AS VARCHAR) AS max_big
+        |FROM t WHERE big >= CAST('30000000000000000.0000' AS DECIMAL(25,4))""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,

@@ -55,9 +55,11 @@ final class AtomicAppender(dt: DataType, nullable: Boolean) extends FieldAppende
       val lb = b.asInstanceOf[LongVecBuilder]
       (s, o) => lb.append(s.getDecimal(o, d.precision, d.scale).toUnscaledLong)
     case d: DecimalType =>
-      val sb = b.asInstanceOf[BinaryVecBuilder]
-      (s, o) => sb.append(s.getDecimal(o, d.precision, d.scale)
-        .toJavaBigDecimal.unscaledValue.toByteArray)
+      val db = b.asInstanceOf[DecimalVecBuilder]
+      (s, o) => {
+        val bi = s.getDecimal(o, d.precision, d.scale).toJavaBigDecimal.unscaledValue
+        db.append(Int128.hiOf(bi), Int128.loOf(bi))
+      }
     case NullType => (_, _) => b.appendNull()
     case other => throw new UnsupportedOperationException(s"graft: unsupported type $other")
   }

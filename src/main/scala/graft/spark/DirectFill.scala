@@ -46,9 +46,17 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
     case StringType | BinaryType => 7
     case d: DecimalType if d.precision <= Decimal.MAX_INT_DIGITS => 8 // I64 lane -> int vector
     case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => 4
-    case _: DecimalType => 7 // binary lane
+    case _: DecimalType => 10 // i128 lane -> byte-array-backed vector
     case NullType => 9
     case _ => -1
+  }
+
+  private val be16 = new Array[Byte](16)
+
+  @inline private def putDec128(vector: WritableColumnVector, i: Int, hi: Long, lo: Long): Unit = {
+    Int128.writeBE(hi, lo, be16)
+    val len = Int128.minimalLen(be16)
+    vector.putByteArray(i, be16, 16 - len, len)
   }
 
   def supported: Boolean = kind >= 0
@@ -121,6 +129,12 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
         var i = 0
         while (i < n) { vector.putInt(i, getLongLE(plain, 8 * i).toInt); i += 1 }
       case 9 => vector.putNulls(0, n)
+      case 10 =>
+        var i = 0
+        while (i < n) {
+          putDec128(vector, i, getLongLE(plain, 16 * i + 8), getLongLE(plain, 16 * i))
+          i += 1
+        }
     }
 
   private def fromVec(vector: WritableColumnVector, vec: Vec, n: Int): Unit = kind match {
@@ -157,5 +171,9 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
       var i = 0
       while (i < n) { vector.putInt(i, v(i).toInt); i += 1 }
     case 9 => vector.putNulls(0, n)
+    case 10 =>
+      val dv = vec.asInstanceOf[DecimalVec]
+      var i = 0
+      while (i < n) { putDec128(vector, i, dv.hi(i), dv.lo(i)); i += 1 }
   }
 }

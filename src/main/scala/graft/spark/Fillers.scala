@@ -83,11 +83,16 @@ final class AtomicFiller(dt: DataType) extends FieldFiller {
         while (i < rows) { vector.putInt(i, v(i).toInt); i += 1 }
       case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
         vector.putLongs(0, rows, vec.asInstanceOf[LongVec].values, 0)
-      case _: DecimalType =>
-        val bv = vec.asInstanceOf[BinaryVec]
+      case _: DecimalType => // precision > 18: i128 lane, byte-array-backed vector
+        val dv = vec.asInstanceOf[DecimalVec]
+        val buf = new Array[Byte](16)
         var i = 0
         while (i < rows) {
-          if (!bv.isNull(i)) vector.putByteArray(i, bv.bytes, bv.offsets(i), bv.offsets(i + 1) - bv.offsets(i))
+          if (!dv.isNull(i)) {
+            Int128.writeBE(dv.hi(i), dv.lo(i), buf)
+            val len = Int128.minimalLen(buf)
+            vector.putByteArray(i, buf, 16 - len, len)
+          }
           i += 1
         }
       case NullType =>

@@ -29,7 +29,10 @@ object GraftAggPushdown {
   private def statsBearing(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType | FloatType | DoubleType => true
-    case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
+    // decimals >18 digits carry exact (untruncated) 128-bit bounds; strings
+    // stay excluded — their bounds are prefix-truncated, sound for pruning
+    // but not exact extrema
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -111,6 +114,15 @@ object GraftAggPushdown {
           if (isMin) { if (c <= 0) a else b } else { if (c >= 0) a else b }
         }
         if (dt == FloatType) row.setFloat(i, v.toFloat) else row.setDouble(i, v)
+      case d: DecimalType if d.precision > Decimal.MAX_LONG_DIGITS =>
+        val bins = stats.filter(_.statsKind == 4).map(pm => if (isMin) pm.minBin else pm.maxBin)
+        if (bins.isEmpty || bins.exists(_ == null)) { row.setNullAt(i); return }
+        val best = bins.reduce { (a, b) =>
+          val c = java.util.Arrays.compareUnsigned(a, b)
+          if (isMin) { if (c <= 0) a else b } else { if (c >= 0) a else b }
+        }
+        val bd = new java.math.BigDecimal(Int128.fromOrderedBytes(best), d.scale)
+        row.update(i, Decimal(bd, d.precision, d.scale))
       case _ =>
         val longs = stats.map(pm => if (isMin) pm.minLong else pm.maxLong)
         val v = if (isMin) longs.min else longs.max

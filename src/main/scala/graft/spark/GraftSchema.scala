@@ -20,7 +20,7 @@ object GraftSchema {
     case FloatType => Lane.F32
     case DoubleType => Lane.F64
     case StringType | BinaryType => Lane.Bin
-    case d: DecimalType => if (d.precision <= Decimal.MAX_LONG_DIGITS) Lane.I64 else Lane.Bin
+    case d: DecimalType => if (d.precision <= Decimal.MAX_LONG_DIGITS) Lane.I64 else Lane.I128
     case NullType => Lane.Bool
     case other => throw new UnsupportedOperationException(s"graft: unsupported type $other")
   }

@@ -177,6 +177,21 @@ object ZoneMapFilter {
         case b: Array[Byte] => Some(b)
         case _ => None
       }
+      case d: DecimalType if d.precision > Decimal.MAX_LONG_DIGITS =>
+        // i128 pages store exact bounds in the order-preserving encoding
+        val jbd = value match {
+          case b: java.math.BigDecimal => b
+          case b: scala.math.BigDecimal => b.bigDecimal
+          case b: Decimal => b.toJavaBigDecimal
+          case _ => null
+        }
+        if (jbd == null) None
+        else
+          try {
+            val bi = jbd.setScale(d.scale).unscaledValue()
+            Some(graft.format.Int128.orderedBytes(
+              graft.format.Int128.hiOf(bi), graft.format.Int128.loOf(bi)))
+          } catch { case _: ArithmeticException => None }
       case _ => None
     }
   }

@@ -110,6 +110,17 @@ class NestedTypesSpec extends AnyFunSuite {
       FROM range(300)""")
   }
 
+  test("narrow decimal(25,4) rides the Wide codec delegation with nulls") {
+    // unscaled values fit in 64 bits -> the i128 page delegates to the long
+    // codec family (Codec.Wide); mix in nulls and a constant column
+    rt("decimal128_narrow", """
+      SELECT id,
+        CASE WHEN id % 9 = 0 THEN NULL ELSE CAST(id AS DECIMAL(25,4)) * 1.5 END AS d25,
+        CAST(42 AS DECIMAL(30,10)) AS d30_const,
+        CAST(-1 * CAST(id AS DECIMAL(25,4)) AS DECIMAL(25,4)) AS d25_neg
+      FROM range(3000)""")
+  }
+
   test("non-nullable array/map children under a null struct (special codecs)") {
     // The array/map fields are non-nullable (sequence/map never null) so
     // their lengths leaves persist no validity bitmap; a null parent struct

@@ -96,6 +96,31 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(GraftMetrics.pageGroupsRead.get() == 0)
   }
 
+  test("decimal128 zone maps prune pages; footer min/max exact") {
+    val dir = "/tmp/graft-test/zonemap-dec"
+    // unscaled values ~ id * 1e20 exceed 64 bits -> genuine i128 stats
+    spark.range(100000)
+      .selectExpr("id",
+        "CAST(CAST(id AS DECIMAL(18,4)) * 10000000000000000 AS DECIMAL(38,4)) AS big")
+      .orderBy("id").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    val hi = g.filter(org.apache.spark.sql.functions.col("big") >=
+      lit(new java.math.BigDecimal("900000000000000000000.0000")))
+    assert(hi.count() == 10000)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
+      s"decimal >= should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+
+    // footer-only min/max on an i128 column is exact (untruncated bounds)
+    val mm = g.agg(min(col("big")).as("lo"), max(col("big")).as("hi"))
+    val r = mm.head()
+    assert(r.getDecimal(0).toPlainString == "0.0000")
+    assert(r.getDecimal(1).toPlainString == "999990000000000000000.0000")
+  }
+
   test("NaN pages are never pruned for predicates NaN satisfies") {
     val dir = "/tmp/graft-test/zonemap-nan"
     // rows 9000+ are NaN; sorted so they cluster in the tail pages
