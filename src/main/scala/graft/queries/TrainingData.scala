@@ -59,19 +59,25 @@ object TrainingData {
                  (a, b) -> least(a, b)))"""))
         .select(col("doc_id"), col("sig"))
       d.cache()
-      val bands = d.select(col("doc_id"), col("sig"),
+      // the band join carries only (band, bh, doc_id); the 64-long signatures
+      // are re-joined AFTER the candidate pairs are deduped, so the widest
+      // shuffle moves ids, not signatures (the scale-critical difference)
+      val bands = d.select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 7), b -> named_struct(
                'band', b,
                'bh', xxhash64(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string))))))"""))
           .as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val a = bands.select(col("band"), col("bh"), col("doc_id").as("ida"), col("sig").as("siga"))
-      val b = bands.select(col("band"), col("bh"), col("doc_id").as("idb"), col("sig").as("sigb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val a = bands.select(col("band"), col("bh"), col("doc_id").as("ida"))
+      val b = bands.select(col("band"), col("bh"), col("doc_id").as("idb"))
       val cand = a.join(b, Seq("band", "bh")).filter(col("ida") < col("idb"))
-        .select(col("ida"), col("idb"), col("siga"), col("sigb")).distinct()
-      val confirmed = cand.withColumn("est_jacc",
-        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) / 64.0"))
+        .select(col("ida"), col("idb")).distinct()
+      val confirmed = cand
+        .join(d.select(col("doc_id").as("ida"), col("sig").as("siga")), Seq("ida"))
+        .join(d.select(col("doc_id").as("idb"), col("sig").as("sigb")), Seq("idb"))
+        .withColumn("est_jacc",
+          expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) / 64.0"))
       val bucketGroups = bands.groupBy(col("band"), col("bh")).count().filter(col("count") >= 2)
       confirmed.agg(
         count(lit(1)).as("candidate_pairs"),
@@ -130,11 +136,32 @@ object TrainingData {
     },
 
     "d_dedup_embedding" -> { (s, dir) =>
+      // hyperplane-bucket blocking INSIDE label blocks (same deterministic
+      // planes as s_ann_lsh): a candidate pair must share a label and have
+      // sign-buckets within Hamming distance 1 (self + 1-bit multiprobe),
+      // then exact integer-cosine confirms. A hot label now splits across 64
+      // buckets instead of degenerating to within-label all-pairs. The
+      // DuckDB oracle applies the identical bucket predicate
+      // (bit_count(xor(bucket_a, bucket_b)) <= 1), so results stay
+      // hash-exact.
+      val planes = "transform(sequence(0, 5), p -> transform(sequence(0, 63), j -> ((p*131 + j*37) % 19) - 9))"
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
-      val a = e.select(col("vec_id").as("va"), col("label"), col("q").as("qa"), col("nn").as("na"))
-      val b = e.select(col("vec_id").as("vb"), col("label"), col("q").as("qb"), col("nn").as("nb"))
-      a.join(b, Seq("label")).filter(col("va") < col("vb"))
+        .withColumn("bucket", expr(
+          s"""aggregate(sequence(0, 5), cast(0 as bigint),
+                (acc, p) -> acc + CASE WHEN
+                  aggregate(zip_with(q, element_at($planes, p + 1), (x, c) -> x * c),
+                            cast(0 as bigint), (a2, x2) -> a2 + x2) >= 0
+                  THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""))
+      val a = e.select(col("vec_id").as("va"), col("label"), col("q").as("qa"),
+          col("nn").as("na"), col("bucket"))
+        .withColumn("pbucket", explode(expr(
+          "concat(array(bucket), transform(sequence(0, 5), b -> bucket ^ shiftleft(cast(1 as bigint), b)))")))
+        .drop("bucket")
+      val b = e.select(col("vec_id").as("vb"), col("label").as("lb"), col("q").as("qb"),
+        col("nn").as("nb"), col("bucket").as("bucketb"))
+      a.join(b, col("pbucket") === col("bucketb") && col("label") === col("lb") &&
+          col("va") < col("vb"))
         .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
         .withColumn("cosine", col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -308,13 +335,22 @@ object TrainingData {
         |             generate_subscripts(embedding, 1) AS pos
         |           FROM embeddings),
         |norms AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
+        |pd AS (SELECT t.vec_id, p.p,
+        |         sum(t.q * (((p.p*131 + (t.pos-1)*37) % 19) - 9)) AS pdot
+        |       FROM t, (SELECT unnest(generate_series(0, 5)) AS p) p
+        |       GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |              CAST(sum(CASE WHEN pdot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |            FROM pd GROUP BY 1),
         |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.q * b.q) AS dot
         |         FROM t a JOIN t b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
         |         GROUP BY 1, 2)
         |SELECT d.va AS vec_a, d.vb AS vec_b,
         |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
         |FROM dots d JOIN norms na ON na.vec_id = d.va JOIN norms nb ON nb.vec_id = d.vb
-        |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.3
+        |JOIN buckets ba ON ba.vec_id = d.va JOIN buckets bb ON bb.vec_id = d.vb
+        |WHERE bit_count(xor(ba.bucket, bb.bucket)) <= 1
+        |  AND CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
     "s_ann_bruteforce" ->
       """WITH t AS (SELECT vec_id,
