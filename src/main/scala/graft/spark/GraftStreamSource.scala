@@ -2,26 +2,45 @@ package graft.spark
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.types.StructType
 
 /** File-based micro-batch streaming over a graft directory: each batch is
   * the set of `.graft` files that appeared since the last offset (files are
   * immutable once renamed into place — the writer's tmp+rename commit makes
   * this safe). This is the FileStreamSource pattern re-expressed for DSv2,
   * giving `spark.readStream.format("graft")` natively (SURVEY.md §2.9).
+  *
+  * The offset is a compact modification-time watermark, NOT the full file
+  * list: `t` is the newest modTime included and `names` holds only the file
+  * names inside the lateness window `[t - lateness, t]`. A file counts as
+  * covered by an offset when its modTime is older than the window start
+  * (assumed already processed) or its name is listed. Offset size is
+  * therefore bounded by the arrival rate x lateness window, independent of
+  * the directory's total history — the unbounded-offset fix for long-running
+  * streams. Files whose modTime lags more than `lateness` behind the newest
+  * file at capture time (e.g. a straggler task whose rename lands very late)
+  * would be missed; `lateness` (hadoop conf `graft.stream.lateness.ms`,
+  * default 5 min) bounds that window.
   */
-final case class GraftStreamOffset(files: Seq[String]) extends Offset {
-  override def json(): String =
-    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+final case class GraftStreamOffset(t: Long, names: Seq[String]) extends Offset {
+  override def json(): String = {
+    val ns = names.sorted.map(f =>
+      "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    s"""{"t":$t,"names":$ns}"""
+  }
 }
 
 object GraftStreamOffset {
+  val Empty: GraftStreamOffset = GraftStreamOffset(Long.MinValue, Seq.empty)
+
   def fromJson(s: String): GraftStreamOffset = {
-    // minimal parser for the ["a","b"] arrays we emit
+    // minimal parser for the {"t":N,"names":["a","b"]} objects we emit
     val t = s.trim
-    if (t == "[]" || t.isEmpty) return GraftStreamOffset(Seq.empty)
-    val inner = t.stripPrefix("[").stripSuffix("]")
+    val tIdx = t.indexOf("\"t\":")
+    val nIdx = t.indexOf("\"names\":")
+    require(tIdx >= 0 && nIdx >= 0, s"graft: bad stream offset: $s")
+    val tVal = t.substring(tIdx + 4, t.indexOf(',', tIdx)).trim.toLong
+    val arr = t.substring(t.indexOf('[', nIdx), t.lastIndexOf(']') + 1)
+    val inner = arr.stripPrefix("[").stripSuffix("]")
     val files = scala.collection.mutable.ArrayBuffer[String]()
     val sb = new StringBuilder
     var inStr = false
@@ -32,29 +51,54 @@ object GraftStreamOffset {
       else if (c == '"') { if (inStr) { files += sb.toString; sb.clear() }; inStr = !inStr }
       else if (inStr) sb.append(c)
     }
-    GraftStreamOffset(files.toSeq)
+    GraftStreamOffset(tVal, files.toSeq)
   }
 }
 
 final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     projectedJson: String) extends MicroBatchStream {
 
-  private def currentFiles(): Map[String, Long] =
+  private def lateness: Long =
+    conf.value.getLong("graft.stream.lateness.ms", 5 * 60 * 1000L)
+
+  /** (name, modTime, len) of every data file currently in the directory. */
+  private def listNow(): Seq[(String, Long, Long)] =
     GraftUtil.listDataFiles(path, conf.value)
-      .map(f => f.getPath.toString -> f.getLen).toMap
+      .map(f => (f.getPath.toString, f.getModificationTime, f.getLen))
 
-  override def initialOffset(): Offset = GraftStreamOffset(Seq.empty)
+  /** Is (name, modTime) included by `off`? Older than the lateness window =
+    * implicitly covered; inside the window only if listed by name.
+    */
+  private def covered(t: Long, names: Set[String], name: String, modTime: Long): Boolean = {
+    if (t == Long.MinValue) return false
+    modTime < t - lateness || names.contains(name)
+  }
 
-  override def latestOffset(): Offset = GraftStreamOffset(currentFiles().keys.toSeq.sorted)
+  override def initialOffset(): Offset = GraftStreamOffset.Empty
+
+  override def latestOffset(): Offset = {
+    val files = listNow()
+    if (files.isEmpty) GraftStreamOffset.Empty
+    else {
+      val maxT = files.map(_._2).max
+      GraftStreamOffset(maxT, files.collect { case (n, mt, _) if mt >= maxT - lateness => n }.sorted)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = GraftStreamOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GraftStreamOffset].files.toSet
-    val target = end.asInstanceOf[GraftStreamOffset].files
-    val lens = currentFiles()
-    target.filterNot(seen).flatMap(f => lens.get(f).map(len =>
-      GraftInputPartition(f, len): InputPartition)).toArray
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset]
+    val sNames = s.names.toSet
+    val eNames = e.names.toSet
+    // batch = files covered by `end` but not by `start` (a file inside end's
+    // window that end didn't list waits for the next batch)
+    listNow()
+      .filter { case (name, mt, _) => covered(e.t, eNames, name, mt) }
+      .filterNot { case (name, mt, _) => covered(s.t, sNames, name, mt) }
+      .map { case (name, _, len) => GraftInputPartition(name, len): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

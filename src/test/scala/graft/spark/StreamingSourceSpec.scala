@@ -38,4 +38,39 @@ class StreamingSourceSpec extends AnyFunSuite {
       assert(r2.getLong(1) == (0L until 150L).map(_ * 2).sum)
     } finally q.stop()
   }
+
+  test("stream offset stays compact as the directory grows") {
+    val dir = "/tmp/graft-test/stream-offset"
+    spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    hconf.setLong("graft.stream.lateness.ms", 0L)
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+
+    val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val b1 = ms.planInputPartitions(GraftStreamOffset.Empty, o1)
+
+    Thread.sleep(50)
+    spark.range(10, 20).selectExpr("id as k").write.format("graft").mode("append").save(dir)
+    val o2 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val b2 = ms.planInputPartitions(o1, o2)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val total = GraftUtil.listDataFiles(dir, conf).size
+    val wave1 = b1.length
+    // every file lands in exactly one batch
+    assert(b1.length + b2.length == total,
+      s"b1=${b1.length} b2=${b2.length} total=$total")
+    val names1 = b1.map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    val names2 = b2.map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    assert(names1.intersect(names2).isEmpty)
+
+    // the offset lists at most the newest wave, never the whole history
+    assert(o2.names.size <= total - wave1,
+      s"offset should not accumulate history: ${o2.names.size} names, total=$total")
+
+    // offsets survive json round-trip
+    assert(GraftStreamOffset.fromJson(o2.json()) == o2)
+    assert(GraftStreamOffset.fromJson(GraftStreamOffset.Empty.json()) == GraftStreamOffset.Empty)
+  }
 }
