@@ -131,7 +131,11 @@ final case class WriteOptions(
     pageSize: Int = 8192,
     forcedCodec: Option[Byte] = scala.None,
     adaptive: Boolean = true,
-    zstdLevel: Int = 3)
+    zstdLevel: Int = 3,
+    /** cross-check the analytic special-codec choice against a deterministic
+      * sampled estimate of the block codec (reference analogue: the
+      * trial-compression sampler, integer/mod.rs:310-347) */
+    sampledChooser: Boolean = true)
 
 /** Per-page metadata persisted in the footer.
   * `numValues` counts LEAF values (for nested children this can differ from

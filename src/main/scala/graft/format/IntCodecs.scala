@@ -155,10 +155,54 @@ object IntCodecs {
 
     val (bestCodec, bestSize) = chooseCodec(s, n, width, forbid)
     val plain = n.toLong * width
-    if (bestCodec >= 0 && plain.toDouble / bestSize >= opts.compressRatio) {
-      encode(bestCodec, v, n, width, s, opts, forbid, out)
-      true
-    } else false
+    if (bestCodec < 0 || plain.toDouble / bestSize < opts.compressRatio) return false
+    // The analytic sizes above are near-exact for the special codecs, but
+    // say nothing about what the block codec would achieve — mixed data can
+    // make e.g. RLE's 12-bytes-per-run layout lose to zstd. Cross-check with
+    // a deterministic sampled block-codec estimate and step aside when the
+    // block codec measures smaller (caller falls through to it).
+    if (opts.sampledChooser && blockSampledSize(v, n, width, opts) < bestSize) return false
+    encode(bestCodec, v, n, width, s, opts, forbid, out)
+    true
+  }
+
+  /** Deterministic sampled size estimate of block-compressing this page:
+    * up to 10 evenly spaced 256-value runs are trial-compressed with the
+    * default block codec and the measured ratio scaled to the full page.
+    * Same inputs always sample the same runs, so files stay byte-identical
+    * across writes. (Reference analogue: `seq_box_compress_sample`,
+    * integer/mod.rs:310-347.)
+    */
+  private[format] def blockSampledSize(v: Array[Long], n: Int, width: Int,
+      opts: WriteOptions): Long = {
+    val codec = opts.defaultCodec
+    if (codec == Codec.None) return Long.MaxValue
+    val runLen = math.min(n, 256)
+    val runs = math.max(1, math.min(10, n / runLen))
+    val stride = if (runs <= 1) 0.0 else (n - runLen).toDouble / (runs - 1)
+    val plainBuf = new ByteBuf(runLen * width + 16)
+    val dst = new Array[Byte](BlockCompression.maxCompressedLength(codec, runLen * width))
+    var sampledPlain = 0L
+    var sampledComp = 0L
+    var k = 0
+    while (k < runs) {
+      val off = math.round(k * stride).toInt
+      plainBuf.reset()
+      var i = off
+      width match {
+        case 1 => while (i < off + runLen) { plainBuf.putByte(v(i).toInt); i += 1 }
+        case 2 => while (i < off + runLen) { plainBuf.putShortLE(v(i).toInt); i += 1 }
+        case 4 => while (i < off + runLen) { plainBuf.putIntLE(v(i).toInt); i += 1 }
+        case _ => while (i < off + runLen) { plainBuf.putLongLE(v(i)); i += 1 }
+      }
+      val clen = BlockCompression.compress(codec, plainBuf.arr, 0, plainBuf.length,
+        dst, 0, opts.zstdLevel)
+      sampledPlain += plainBuf.length
+      sampledComp += clen
+      k += 1
+    }
+    if (sampledPlain <= 0) Long.MaxValue
+    else 9L + (n.toLong * width * sampledComp + sampledPlain - 1) / sampledPlain
   }
 
   /** Estimated best special codec + its size, or (-1, MaxValue) if none is

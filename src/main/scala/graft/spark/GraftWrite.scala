@@ -43,7 +43,8 @@ object GraftWriteOptions {
         pageSize = Option(o.get("pagesize")).map(_.toInt).getOrElse(8192),
         forcedCodec = if (forced.isDefined) forced else if (!Codec.isCommon(codec)) Some(codec) else None,
         adaptive = Option(o.get("adaptive")).map(_.toBoolean).getOrElse(true),
-        zstdLevel = Option(o.get("zstdlevel")).map(_.toInt).getOrElse(3)),
+        zstdLevel = Option(o.get("zstdlevel")).map(_.toInt).getOrElse(3),
+        sampledChooser = Option(o.get("chooser")).forall(_ != "analytic")),
       maxRowsPerFile = Option(o.get("maxrowsperfile")).map(_.toInt).getOrElse(1 << 20))
   }
 }

@@ -54,6 +54,83 @@ class CodecSpec extends AnyFunSuite {
 
   private val adaptive = WriteOptions(pageSize = 2048, compressRatio = 1.2)
 
+  private def fileBytes(lane: Int, vec: Vec, opts: WriteOptions): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new GraftFileWriter(bos, "{}", opts)
+    w.start()
+    w.writeChunk(Seq(LeafCol(lane, nullable = false, vec)), vec.n)
+    w.finish()
+    bos.toByteArray
+  }
+
+  test("sampled chooser beats analytic mis-rank and stays deterministic") {
+    // short runs (3) of small-range pseudo-random longs: the analytic
+    // chooser ranks Bitpack/RLE viable, but zstd on the byte stream (mostly
+    // zero high bytes + repeated runs) is actually smaller — only the
+    // sampled trial detects that
+    val n = 8192
+    val vals = Array.tabulate(n)(i => math.abs((i / 3) * 2654435761L) % (1L << 40))
+    val vec = LongVec(n, null, vals)
+    val analytic = WriteOptions(defaultCodec = Codec.Zstd, sampledChooser = false)
+    val sampled = WriteOptions(defaultCodec = Codec.Zstd, sampledChooser = true)
+
+    val aBytes = fileBytes(Lane.I64, vec, analytic)
+    val sBytes = fileBytes(Lane.I64, vec, sampled)
+
+    // choosers disagree: analytic picks a special codec, sampled measures
+    // the block codec as smaller
+    val (gotA, pagesA) = writeRead(Lane.I64, nullable = false, vec, analytic)
+    val (gotS, pagesS) = writeRead(Lane.I64, nullable = false, vec, sampled)
+    assert(pagesA.forall(p => !Codec.isCommon(p.codec)),
+      s"analytic should pick a special codec, got ${pagesA.map(_.codec).mkString(",")}")
+    assert(pagesS.forall(p => Codec.isCommon(p.codec)),
+      s"sampled should fall to the block codec, got ${pagesS.map(_.codec).mkString(",")}")
+    // and the sampled choice wins on ACTUAL file size
+    assert(sBytes.length < aBytes.length,
+      s"sampled ${sBytes.length}B should beat analytic ${aBytes.length}B")
+    // both decode identically
+    assertEq(vec, gotA)
+    assertEq(vec, gotS)
+    // deterministic output across writes
+    assert(java.util.Arrays.equals(sBytes, fileBytes(Lane.I64, vec, sampled)))
+  }
+
+  test("codec tree exposes dict cardinality, freq exceptions, bitpack widths") {
+    val n = 4096
+    // dict shape: 8 distinct values
+    val dvals = Array.tabulate(n)(i => Array(3L, 17L, 123456L, -9L, 42L, 7L, 8L, 100L)(i % 8))
+    val (_, dictPages) = writeRead(Lane.I64, nullable = false, LongVec(n, null, dvals),
+      WriteOptions(forcedCodec = Some(Codec.Dict)))
+    assert(dictPages.forall(_.body.codec == Codec.Dict))
+    assert(dictPages.forall(_.body.cardinality == 8),
+      dictPages.map(_.body.cardinality).mkString(","))
+    // the dict indices are a nested frame with its own codec
+    assert(dictPages.forall(_.body.children.nonEmpty))
+
+    // freq shape: dominant value + 1% exceptions
+    val fvals = Array.tabulate(n)(i => if (i % 100 == 0) i.toLong else 5L)
+    val (_, freqPages) = writeRead(Lane.I64, nullable = false, LongVec(n, null, fvals),
+      WriteOptions(forcedCodec = Some(Codec.Freq)))
+    assert(freqPages.forall(_.body.codec == Codec.Freq))
+    assert(freqPages.map(_.body.exceptions).sum == (n + 99) / 100, // i = 0, 100, ..., 4000
+      freqPages.map(_.body.exceptions).mkString(","))
+    assert(freqPages.forall(_.body.children.nonEmpty))
+
+    // bitpack shape: range 0..1023 -> 10 bits
+    val bvals = Array.tabulate(n)(i => (i % 1024).toLong)
+    val (_, bpPages) = writeRead(Lane.I64, nullable = false, LongVec(n, null, bvals),
+      WriteOptions(forcedCodec = Some(Codec.Bitpack)))
+    assert(bpPages.forall(_.body.codec == Codec.Bitpack))
+    assert(bpPages.forall(_.body.bits == 10), bpPages.map(_.body.bits).mkString(","))
+
+    // rle shape: run count surfaces
+    val rvals = Array.tabulate(n)(i => (i / 512).toLong)
+    val (_, rlePages) = writeRead(Lane.I64, nullable = false, LongVec(n, null, rvals),
+      WriteOptions(forcedCodec = Some(Codec.Rle)))
+    assert(rlePages.forall(_.body.codec == Codec.Rle))
+    assert(rlePages.map(_.body.runs).sum == n / 512, rlePages.map(_.body.runs).mkString(","))
+  }
+
   test("sorted ints choose DeltaBitpack and round-trip") {
     val n = 10240
     val vec = IntVec(n, null, Array.tabulate(n)(i => i * 3))
