@@ -42,9 +42,40 @@ object Functions {
     },
 
     "q_ntile_quartiles" -> { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.load(s, dir, "orders")
-        .withColumn("quartile", ntile(4).over(w))
+      // Exact global ntile WITHOUT the single-task global window: rows are
+      // range-bucketed by a deterministic function of the sort key (bounds
+      // from the footer-only min/max — no sampling, so bucket assignment is
+      // reproducible across jobs), per-bucket counts give each bucket's
+      // global rank offset (32-row driver-side window), and row_number
+      // inside each bucket + offset reconstructs the exact global rank.
+      // Identical output to ntile(4) OVER (ORDER BY ...), but every stage is
+      // partition-parallel — the 100 TB-safe shape of a global rank.
+      val o = Tables.load(s, dir, "orders")
+      val mm = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+      val lo = mm.getDouble(0)
+      val hi = mm.getDouble(1)
+      val buckets = 32
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      val pid = least(greatest(
+        floor((col("o_totalprice") - lit(lo)) / lit(span) * buckets), lit(0.0)),
+        lit((buckets - 1).toDouble)).cast("int")
+      val base = o.select(col("o_totalprice"), col("o_orderkey")).withColumn("pid", pid)
+      val woff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offsets = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(woff), lit(0L)))
+        .withColumn("total", sum(col("cnt")).over(wtot))
+        .select(col("pid"), col("offset"), col("total"))
+      val wrank = Window.partitionBy(col("pid")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      base.join(broadcast(offsets), Seq("pid"))
+        .withColumn("rnk", row_number().over(wrank).cast("long") + col("offset"))
+        .withColumn("quartile", expr(
+          """CASE WHEN rnk <= (total % 4) * (total DIV 4 + 1)
+             THEN CAST((rnk - 1) DIV (total DIV 4 + 1) AS INT) + 1
+             ELSE CAST(total % 4 AS INT) +
+                  CAST((rnk - (total % 4) * (total DIV 4 + 1) - 1)
+                       DIV greatest(total DIV 4, 1) AS INT) + 1
+             END"""))
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))

@@ -271,6 +271,11 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   private val plan: Array[(Int, Int, FieldFiller)] = projected.fields.map { pf =>
     val fi = fileSchema.fieldIndex(pf.name)
     val ff = fileSchema.fields(fi)
+    // schema drift across a directory (table schema inferred from the first
+    // footer) must fail loudly, not decode garbage through mismatched lanes
+    require(ff.dataType == pf.dataType,
+      s"graft: schema drift in $filePath: field '${pf.name}' is ${ff.dataType} " +
+        s"but the table schema expects ${pf.dataType}")
     (fi, fieldOffsets(fi), FieldFiller.forField(ff))
   }
 
