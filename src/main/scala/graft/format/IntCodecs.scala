@@ -34,6 +34,9 @@ object IntCodecs {
     var topCount = 0
     var sorted = true
     var maxDelta = 0L
+    /** a sorted-adjacent difference exceeded Long range (x - prev wrapped
+      * negative) — DeltaBitpack must not run on such a page */
+    var deltaOverflow = false
     var hasNull = false
   }
 
@@ -101,7 +104,11 @@ object IntCodecs {
       else {
         if (x != prev) s.runCount += 1
         if (x < prev) s.sorted = false
-        else if (x - prev > s.maxDelta) s.maxDelta = x - prev
+        else {
+          val d = x - prev
+          if (d < 0) s.deltaOverflow = true // wrapped: true delta > Long.MaxValue
+          else if (d > s.maxDelta) s.maxDelta = d
+        }
       }
       prev = x
       // hash insert (h != 0 sentinel trick: use cnts==0 as empty)
@@ -141,8 +148,8 @@ object IntCodecs {
     forced match {
       case Some(c) if !Codec.isCommon(c) && allowed(c) =>
         val feasible = c match {
-          case Codec.Bitpack => s.max - s.min >= 0 && bitsFor(s.max - s.min) <= 56
-          case Codec.DeltaBitpack => s.sorted && !s.hasNull && bitsFor(s.maxDelta) <= 56
+          case Codec.Bitpack => s.max - s.min >= 0 // range within u64: any bit width packs
+          case Codec.DeltaBitpack => s.sorted && !s.hasNull && !s.deltaOverflow
           case Codec.Patas => false // float lanes handle Patas before delegating here
           case _ => true
         }
@@ -227,11 +234,11 @@ object IntCodecs {
         val ex = n - s.topCount
         consider(Codec.Freq, width.toLong + 8 + ex.toLong * 2 + 16 + 18 + ex.toLong * width)
       }
-      // bits<=56 keeps the byte-at-a-time accumulator overflow-free
+      // range < 0 means max - min exceeds u64: no packing possible
       val range = s.max - s.min
-      if (range >= 0 && bitsFor(range) <= 56)
+      if (range >= 0)
         consider(Codec.Bitpack, 9L + packedBytes(n, bitsFor(range)))
-      if (s.sorted && !s.hasNull && bitsFor(s.maxDelta) <= 56)
+      if (s.sorted && !s.hasNull && !s.deltaOverflow)
         consider(Codec.DeltaBitpack, 9L + packedBytes(n, bitsFor(s.maxDelta)))
     }
     (bestCodec, bestSize)
@@ -353,29 +360,39 @@ object IntCodecs {
     }
   }
 
-  /** LSB-first bitpacking of (v - base) at `bits` per value. */
+  /** LSB-first bitpacking of (v - base) at `bits` per value (any width up
+    * to 64 — the accumulator spills whole 64-bit words, so no width guard).
+    */
   private def packInto(v: Array[Long], n: Int, base: Long, bits: Int, out: ByteBuf): Unit = {
     if (bits == 0) return
     val total = ((n.toLong * bits + 7) / 8).toInt
     val p = out.reserve(total)
     java.util.Arrays.fill(out.arr, p, p + total, 0.toByte)
-    require(bits <= 56, s"bitpack width $bits exceeds accumulator budget")
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     var acc = 0L
     var accBits = 0
     var bytePos = p
     var i = 0
     while (i < n) {
-      acc |= (v(i) - base) << accBits
-      accBits += bits
-      while (accBits >= 8) {
-        out.arr(bytePos) = acc.toByte
-        bytePos += 1
-        acc >>>= 8
-        accBits -= 8
+      val x = (v(i) - base) & mask
+      acc |= x << accBits // low (64 - accBits) bits of x
+      val fits = 64 - accBits
+      if (bits < fits) accBits += bits
+      else {
+        // word full: spill all 8 bytes, carry x's high remainder
+        var b = 0
+        while (b < 8) { out.arr(bytePos) = (acc >>> (8 * b)).toByte; bytePos += 1; b += 1 }
+        acc = if (fits == 64) 0L else x >>> fits
+        accBits = bits - fits
       }
       i += 1
     }
-    if (accBits > 0) out.arr(bytePos) = acc.toByte
+    while (accBits > 0) {
+      out.arr(bytePos) = acc.toByte
+      bytePos += 1
+      acc >>>= 8
+      accBits -= 8
+    }
   }
 
   /** Decode a codec-framed integer body (cursor at frame start). */
@@ -469,19 +486,32 @@ object IntCodecs {
       return
     }
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val arr = cur.arr
     var acc = 0L
     var accBits = 0
     var p = cur.pos
     var i = 0
     while (i < n) {
-      while (accBits < bits) {
-        acc |= (cur.arr(p) & 0xffL) << accBits
-        p += 1
-        accBits += 8
+      if (accBits >= bits) {
+        out(i) = (acc & mask) + base
+        acc = if (bits == 64) 0L else acc >>> bits
+        accBits -= bits
+      } else {
+        // refill a whole word (reads past the payload are masked out and the
+        // caller repositions the cursor from the frame length afterwards)
+        var next = 0L
+        var nb = 0
+        while (nb < 8 && p < arr.length) {
+          next |= (arr(p) & 0xffL) << (8 * nb)
+          p += 1
+          nb += 1
+        }
+        val low = accBits
+        out(i) = ((acc | (next << low)) & mask) + base
+        val consumed = bits - low
+        acc = if (consumed == 64) 0L else next >>> consumed
+        accBits = nb * 8 - consumed
       }
-      out(i) = (acc & mask) + base
-      acc >>>= bits
-      accBits -= bits
       i += 1
     }
   }

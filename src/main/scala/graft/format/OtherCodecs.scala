@@ -10,15 +10,23 @@ import org.roaringbitmap.RoaringBitmap
   */
 object FloatCodecs {
 
+  /** Ring depth for reference selection: each value may XOR against any of
+    * the last 128 decoded values, not just the previous one (reference
+    * analogue: the best-of-ring selection in
+    * `/root/reference/src/compression/double/patas.rs:36-202`). The header
+    * byte is (ext << 7 | tz << 4 | sig); ext=0 means "XOR vs previous"
+    * (1-byte header, identical cost to the plain XOR-prev scheme on smooth
+    * series), ext=1 is followed by a u8 back-offset (2..128) so oscillating
+    * series pay one byte to reach a closer reference.
+    */
+  val RingDepth = 128
+
   /** patterns: raw bit patterns (u32 in low bits for F32). width = 4 or 8. */
   def estimateSize(patterns: Array[Long], n: Int, width: Int): Long = {
     var size = 0L
-    var prev = 0L
     var i = 0
     while (i < n) {
-      val x = patterns(i) ^ prev
-      size += 1 + sigBytes(x, tzBytes(x, width), width)
-      prev = patterns(i)
+      size += bestCost(patterns, i, width)
       i += 1
     }
     size
@@ -30,21 +38,49 @@ object FloatCodecs {
     if (xor == 0) 0
     else width - tz - math.min((java.lang.Long.numberOfLeadingZeros(xor) - (8 - width) * 8) >> 3, width - 1 - tz)
 
+  /** Encoded bytes for value i under the best reference choice. */
+  @inline private def bestCost(patterns: Array[Long], i: Int, width: Int): Int = {
+    val (off, xor) = bestRef(patterns, i, width)
+    val payload = sigBytes(xor, tzBytes(xor, width), width)
+    (if (off <= 1) 1 else 2) + payload
+  }
+
+  /** (backOffset, xor) minimizing payload bytes; prefers the previous value
+    * on ties (and only pays the extra offset byte when it strictly wins).
+    * Deterministic: fixed scan order, strict improvement required.
+    */
+  private def bestRef(patterns: Array[Long], i: Int, width: Int): (Int, Long) = {
+    val prevRef = if (i == 0) 0L else patterns(i - 1)
+    val prevXor = patterns(i) ^ prevRef
+    var bestOff = 1
+    var bestXor = prevXor
+    var bestCost = 1 + sigBytes(prevXor, tzBytes(prevXor, width), width)
+    var off = 2
+    val maxOff = math.min(i, RingDepth)
+    while (off <= maxOff) {
+      val x = patterns(i) ^ patterns(i - off)
+      val c = 2 + sigBytes(x, tzBytes(x, width), width)
+      if (c < bestCost) { bestOff = off; bestXor = x; bestCost = c }
+      off += 1
+    }
+    (bestOff, bestXor)
+  }
+
   def encode(patterns: Array[Long], n: Int, width: Int, out: ByteBuf): Unit = {
     out.putByte(Codec.Patas)
     val lenPos = out.reserve(8)
     val start = out.length
-    var prev = 0L
     var i = 0
     while (i < n) {
-      val x = patterns(i) ^ prev
+      val (off, x) = bestRef(patterns, i, width)
       val tz = tzBytes(x, width)
       val sig = sigBytes(x, tz, width)
-      out.putByte((tz << 4) | sig)
+      val ext = if (off > 1) 0x80 else 0
+      out.putByte(ext | (tz << 4) | sig)
+      if (off > 1) out.putByte(off - 1) // 1..127 encodes back-offset 2..128
       var b = 0
       var shifted = x >>> (tz * 8)
       while (b < sig) { out.putByte((shifted & 0xff).toInt); shifted >>>= 8; b += 1 }
-      prev = patterns(i)
       i += 1
     }
     out.patchIntLE(lenPos, out.length - start)
@@ -54,18 +90,19 @@ object FloatCodecs {
   def read(cur: ByteCursor, n: Int, clen: Int): Array[Long] = {
     val end = cur.pos + clen
     val out = new Array[Long](n)
-    var prev = 0L
     var i = 0
     while (i < n) {
       val h = cur.getByte()
-      val tz = h >>> 4
+      val ext = (h & 0x80) != 0
+      val tz = (h >>> 4) & 0x7
       val sig = h & 0xf
+      val off = if (ext) cur.getByte() + 1 else 1
       var x = 0L
       var b = 0
       while (b < sig) { x |= (cur.getByte().toLong & 0xff) << (8 * b); b += 1 }
       x <<= tz * 8
-      prev = prev ^ x
-      out(i) = prev
+      val ref = if (i - off < 0) 0L else out(i - off)
+      out(i) = ref ^ x
       i += 1
     }
     cur.pos = end

@@ -63,6 +63,58 @@ class CodecSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("bitpack handles widths above 56 bits; delta overflow falls back safely") {
+    val n = 4096
+    // range needs 62 bits -> previously fell to block codecs
+    val r = new scala.util.Random(11)
+    val wide = Array.fill(n)(r.nextLong() & ((1L << 62) - 1))
+    val wvec = LongVec(n, null, wide)
+    val (gotW, pagesW) = writeRead(Lane.I64, nullable = false, wvec,
+      WriteOptions(forcedCodec = Some(Codec.Bitpack)))
+    assert(pagesW.forall(_.codec == Codec.Bitpack))
+    assert(pagesW.forall(p => p.body.bits > 56), pagesW.map(_.body.bits).mkString(","))
+    assertEq(wvec, gotW)
+
+    // full-width: negative + positive extremes (range wraps past u64 -> the
+    // chooser must NOT pick Bitpack/Delta, and round-trip must still hold)
+    val extremes = Array.tabulate(n)(i =>
+      if (i % 2 == 0) Long.MinValue + (i % 97) else Long.MaxValue - (i % 89))
+    val evec = LongVec(n, null, extremes)
+    val (gotE, _) = writeRead(Lane.I64, nullable = false, evec, adaptive)
+    assertEq(evec, gotE)
+
+    // sorted but delta > Long.MaxValue inside one page: DeltaBitpack must
+    // refuse (the wrapped delta used to under-size the bit width and
+    // corrupt silently)
+    val overflow = Array.tabulate(n)(i =>
+      if (i < 1000) Long.MinValue + i else Long.MaxValue - (n - i))
+    val ovec = LongVec(n, null, overflow)
+    val (gotO, pagesO) = writeRead(Lane.I64, nullable = false, ovec,
+      WriteOptions(pageSize = 8192))
+    assert(pagesO.forall(_.codec != Codec.DeltaBitpack),
+      s"delta overflow page must not choose DeltaBitpack: ${pagesO.map(_.codec).mkString(",")}")
+    assertEq(ovec, gotO)
+  }
+
+  test("patas ring reference beats XOR-prev on interleaved series") {
+    val n = 8192
+    // two interleaved drifting series: XOR against the previous value flips
+    // nearly every byte, but the offset-2 reference (same series) differs
+    // only in low mantissa bytes
+    val vals = Array.tabulate(n) { i =>
+      if (i % 2 == 0) 1000.0 + (i / 2) * 1e-6 else -55555.5 - (i / 2) * 1e-6
+    }
+    val vec = DoubleVec(n, null, vals)
+    val (got, pages) = writeRead(Lane.F64, nullable = false, vec,
+      WriteOptions(forcedCodec = Some(Codec.Patas)))
+    assert(pages.forall(_.codec == Codec.Patas))
+    assertEq(vec, got)
+    // prev-only XOR needs ~9 bytes/value here; the ring reference stays
+    // comfortably below that
+    val bytes = pages.map(_.compressedLen.toLong).sum
+    assert(bytes < n * 7L, s"ring patas should beat prev-only XOR, got $bytes bytes")
+  }
+
   test("sampled chooser beats analytic mis-rank and stays deterministic") {
     // short runs (3) of small-range pseudo-random longs: the analytic
     // chooser ranks Bitpack/RLE viable, but zstd on the byte stream (mostly
