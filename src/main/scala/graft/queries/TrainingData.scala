@@ -285,24 +285,25 @@ object TrainingData {
     // ---------------- multimodal plumbing (decode stubbed) ----------------
 
     "m_multimodal_meta" -> { (s, dir) =>
-      import s.implicits._
-      // real Spark plumbing: binary payload column + partition-wise "decode".
-      // The image/audio decode itself is STUBBED (no codec libs in this
-      // environment) with a deterministic fake: metadata derived from bytes.
-      val blobs = docs(s, dir)
+      // Multimodal plumbing over an opaque binary payload column. Header
+      // metadata (lengths, magic bytes, derived dimensions) stays COLUMNAR —
+      // binary built-ins inside whole-stage codegen, no lambda in the scan
+      // path. A real frame/image decode (the only step that genuinely needs
+      // an opaque library call) would slot in as a mapPartitions /
+      // mapInPandas batch stage AFTER this metadata pruning; it is stubbed
+      // here because the environment ships no codec libs — the fake_width/
+      // fake_height columns stand in for its deterministic output.
+      docs(s, dir)
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      blobs.mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          // STUB decoder: a real implementation would parse image headers /
-          // decode frames here, one batch per partition.
-          val len = bytes.length
-          val first = if (len > 0) bytes(0) & 0xff else 0
-          val last = if (len > 0) bytes(len - 1) & 0xff else 0
-          (id, len.toLong, first.toLong, last.toLong,
-            64L + first % 64, 64L + last % 64)
-        }
-      }.toDF("doc_id", "byte_len", "first_byte", "last_byte", "fake_width", "fake_height")
+        .withColumn("byte_len", length(col("payload")).cast("long"))
+        .withColumn("first_byte", expr(
+          "CAST(coalesce(conv(hex(substring(payload, 1, 1)), 16, 10), '0') AS BIGINT)"))
+        .withColumn("last_byte", expr(
+          "CAST(coalesce(conv(hex(substring(payload, -1, 1)), 16, 10), '0') AS BIGINT)"))
+        .withColumn("fake_width", lit(64L) + col("first_byte") % 64)
+        .withColumn("fake_height", lit(64L) + col("last_byte") % 64)
+        .select(col("doc_id"), col("byte_len"), col("first_byte"), col("last_byte"),
+          col("fake_width"), col("fake_height"))
         .orderBy(col("doc_id"))
     })
 
