@@ -172,8 +172,35 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
       (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.map(_.field).distinct.mkString(",")}]" else "")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => GraftInputPartition(f.getPath.toString, f.getLen): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // parquet-style sizing: min(maxPartitionBytes, max(openCost, total/parallelism))
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    val maxBytes = sqlConf.filesMaxPartitionBytes
+    val openCost = sqlConf.filesOpenCostInBytes
+    val parallelism = math.max(SparkSession.active.sparkContext.defaultParallelism, 1)
+    val totalBytes = files.map(f => f.getLen + openCost).sum
+    val targetBytes = math.max(math.min(maxBytes, math.max(openCost, totalBytes / parallelism)), 1L)
+
+    val parts = Array.newBuilder[InputPartition]
+    files.foreach { f =>
+      val path = f.getPath.toString
+      val nPages =
+        if (files.length > 256) 1 // keep planning cheap on huge file lists
+        else GraftScan.numRowPages(f, conf)
+      val nSplits = math.max(1, math.min(nPages.toLong, (f.getLen + targetBytes - 1) / targetBytes).toInt)
+      if (nSplits <= 1) parts += GraftInputPartition(path, f.getLen)
+      else {
+        var k = 0
+        while (k < nSplits) {
+          val lo = (k.toLong * nPages / nSplits).toInt
+          val hi = ((k + 1).toLong * nPages / nSplits).toInt
+          if (hi > lo) parts += GraftInputPartition(path, f.getLen, lo, hi)
+          k += 1
+        }
+      }
+    }
+    parts.result()
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(new SerializableHadoopConf(conf), projected.json, pagePreds)
@@ -188,6 +215,21 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
 
 object GraftScan {
   private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val pageCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
+  /** Row-page-group count of a file (one 64KiB footer read, cached). */
+  def numRowPages(f: FileStatus, conf: org.apache.hadoop.conf.Configuration): Int = {
+    val key = f.getPath.toString + "#" + f.getLen
+    val cached = pageCountCache.get(key)
+    if (cached != null) return cached.intValue()
+    val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
+    try {
+      val footer = GraftFileReader.readFooter(in)
+      val n = if (footer.leaves.isEmpty) 1 else footer.leaves(0).pages.length
+      pageCountCache.put(key, n)
+      n
+    } finally in.close()
+  }
 
   /** Exact row count from footers (first leaf is row-aligned). One 64KiB
     * tail read per file, cached by (path, len); skipped for very large file
@@ -214,7 +256,14 @@ object GraftScan {
   }
 }
 
-final case class GraftInputPartition(filePath: String, fileLen: Long) extends InputPartition
+/** pageLo/pageHi bound the row-page-group range this split covers
+  * ([pageLo, pageHi), -1/-1 = whole file). Splitting files by page range is
+  * what lets a 1M-row graft file fan out across executors like parquet's
+  * maxPartitionBytes splits — one partition per FILE caps parallelism at
+  * the file count, which is the wrong granularity at 100 TB.
+  */
+final case class GraftInputPartition(filePath: String, fileLen: Long,
+    pageLo: Int = -1, pageHi: Int = -1) extends InputPartition
 
 final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: String,
     pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
@@ -225,7 +274,8 @@ final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: Stri
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p.filePath, p.fileLen, conf.value,
-      DataType.fromJson(projectedJson).asInstanceOf[StructType], pagePreds)
+      DataType.fromJson(projectedJson).asInstanceOf[StructType], pagePreds,
+      p.pageLo, p.pageHi)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -256,7 +306,8 @@ object GraftMetrics {
 
 final class GraftColumnarReader(filePath: String, fileLen: Long,
     conf: org.apache.hadoop.conf.Configuration, projected: StructType,
-    pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
+    pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
+    pageLo: Int = -1, pageHi: Int = -1)
     extends PartitionReader[ColumnarBatch] {
 
   private val hPath = new Path(filePath)
@@ -293,10 +344,14 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
       if (fi < 0) None else Some((pr, footer.leaves(fieldOffsets(fi)).pages))
     }
 
+  // this split's page-group range (whole file when unset)
+  private val rangeLo = if (pageLo < 0) 0 else pageLo
+  private val rangeHi = if (pageHi < 0) rowPagesLen else math.min(pageHi, rowPagesLen)
+
   private val neededMask: Array[Boolean] = {
     val m = new Array[Boolean](rowPagesLen)
-    var p = 0
-    while (p < m.length) {
+    var p = rangeLo
+    while (p < rangeHi) {
       var skip = false
       var i = 0
       while (!skip && i < predPages.length) {
@@ -309,6 +364,8 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     m
   }
 
+  private val wholeFile = rangeLo == 0 && rangeHi == rowPagesLen
+
   private val leafReaders = new Array[LeafReader](totalLeaves)
   private val leafSpecsAll: Array[(Int, Boolean)] =
     fileSchema.fields.flatMap(f => GraftSchema.leafSpecs(f.dataType, f.nullable)).toArray
@@ -316,8 +373,10 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     var i = base
     while (i < base + filler.leafCount) {
       val (lane, nullable) = leafSpecsAll(i)
+      // the IO mask (false outside this split's range) keeps ranged fetches
+      // to only this split's contiguous page runs
       leafReaders(i) = new LeafReader(input, footer.leaves(i), lane, nullable,
-        if (predPages.isEmpty) null else neededMask)
+        if (predPages.isEmpty && wholeFile) null else neededMask)
       i += 1
     }
   }
@@ -340,12 +399,12 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     } else null
   }
 
-  private var page = -1
+  private var page = rangeLo - 1
 
   @annotation.tailrec
   private def advance(): Boolean = {
     page += 1
-    if (page >= rowPages.length) return false
+    if (page >= rangeHi) return false
     if (!neededMask(page)) { GraftMetrics.pageGroupsSkipped.incrementAndGet(); advance() }
     else true
   }
