@@ -36,10 +36,17 @@ object SpecialCodecs {
               val (intCodec, intSize) = IntCodecs.chooseCodec(s, n, width, 0L)
               val patasSize = FloatCodecs.estimateSize(eff, n, width)
               val plain = n.toLong * width
-              if (patasSize < intSize && plain.toDouble / patasSize >= opts.compressRatio) {
+              // same sampled block-codec cross-check as the int lanes: step
+              // aside when the measured block estimate beats both candidates
+              val blockEst =
+                if (opts.sampledChooser) IntCodecs.blockSampledSize(eff, n, width, opts)
+                else Long.MaxValue
+              if (patasSize < intSize && patasSize <= blockEst &&
+                  plain.toDouble / patasSize >= opts.compressRatio) {
                 FloatCodecs.encode(eff, n, width, out)
                 true
-              } else if (intCodec >= 0 && plain.toDouble / intSize >= opts.compressRatio) {
+              } else if (intCodec >= 0 && intSize <= blockEst &&
+                  plain.toDouble / intSize >= opts.compressRatio) {
                 IntCodecs.encode(intCodec, eff, n, width, s, opts, 0L, out)
                 true
               } else false
