@@ -366,6 +366,33 @@ object TrainingData {
         |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, tid) AS rank
         |  FROM dots)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s_ann_lsh" ->
+      // the bucket predicate mirrors Spark's multiprobe exactly: a target is
+      // a candidate iff its sign-bucket is within Hamming distance 1 of the
+      // query's (self + all 1-bit flips)
+      """WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |pd AS (SELECT t.vec_id, p.p,
+        |         sum(t.q * (((p.p*131 + (t.pos-1)*37) % 19) - 9)) AS pdot
+        |       FROM t, (SELECT unnest(generate_series(0, 5)) AS p) p
+        |       GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |              CAST(sum(CASE WHEN pdot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |            FROM pd GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS qid, b.vec_id AS tid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |         FROM t a JOIN t b ON a.pos = b.pos AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |         GROUP BY 1, 2),
+        |cand AS (SELECT d.qid, d.tid, d.dot FROM dots d
+        |         JOIN buckets bq ON bq.vec_id = d.qid
+        |         JOIN buckets bt ON bt.vec_id = d.tid
+        |         WHERE bit_count(xor(bq.bucket, bt.bucket)) <= 1)
+        |SELECT qid, tid, dot, rank FROM (
+        |  SELECT qid, tid, dot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, tid) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "t_language_id" ->
       """SELECT doc_id, lang,
         |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow'))) AS s_en,
