@@ -55,9 +55,12 @@ object FloatCodecs {
     var bestOff = 1
     var bestXor = prevXor
     var bestCost = 1 + sigBytes(prevXor, tzBytes(prevXor, width), width)
+    // a ring candidate costs at least 2 (header + offset byte), so nothing
+    // can improve once bestCost <= 2 — result-identical early exit that
+    // keeps runs/smooth series at O(1) per value instead of O(ring)
     var off = 2
     val maxOff = math.min(i, RingDepth)
-    while (off <= maxOff) {
+    while (off <= maxOff && bestCost > 2) {
       val x = patterns(i) ^ patterns(i - off)
       val c = 2 + sigBytes(x, tzBytes(x, width), width)
       if (c < bestCost) { bestOff = off; bestXor = x; bestCost = c }
