@@ -95,6 +95,49 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dir).count() == 200)
   }
 
+  test("differential fuzz: filtered graft reads equal parquet on the same data") {
+    import org.apache.spark.sql.functions._
+    // mixed types incl. NaN, nulls, negative decimals, strings; written
+    // unsorted so zone maps are loose and every page survives some filters
+    val df = spark.range(60000).selectExpr(
+      "id",
+      "cast(hash(id) as bigint) AS k",
+      "CASE WHEN id % 97 = 0 THEN NULL ELSE cast(hash(id, 1) % 1000 as int) END AS small",
+      "CASE WHEN id % 31 = 0 THEN cast('NaN' as double) WHEN id % 13 = 0 THEN NULL ELSE cast(hash(id, 2) % 100000 as double) / 7 END AS d",
+      "concat('s', cast(hash(id, 3) % 500 as string)) AS s",
+      "CASE WHEN id % 11 = 0 THEN NULL ELSE cast(cast(hash(id, 4) as decimal(25,4)) * 10000000 as decimal(38,4)) END AS dec",
+      "timestamp_millis(1700000000000 + (hash(id, 5) % 100000) * 1000) AS ts")
+    val gdir = "/tmp/graft-test/fuzz-graft"
+    val pdir = "/tmp/graft-test/fuzz-parquet"
+    df.repartition(3).write.format("graft").option("pagesize", "1024")
+      .mode("overwrite").save(gdir)
+    df.repartition(3).write.mode("overwrite").parquet(pdir)
+    val g = spark.read.format("graft").load(gdir)
+    val p = spark.read.parquet(pdir)
+
+    val filters: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      _.filter(col("k") > 0),
+      _.filter(col("small") === 250),
+      _.filter(col("small").isNull),
+      _.filter(col("d") >= 5000.0), // matches NaN rows too (Spark NaN ordering)
+      _.filter(col("d") === Double.NaN),
+      _.filter(col("d") < 100.0),
+      _.filter(col("s") === "s42"),
+      _.filter(col("s") > "s8"),
+      _.filter(col("s").startsWith("s12")),
+      _.filter(col("dec") < lit(new java.math.BigDecimal("0.0000"))),
+      _.filter(col("dec").isNotNull && col("dec") > lit(new java.math.BigDecimal("10000000000000000.0000"))),
+      _.filter(col("ts") < lit("2023-11-15 00:00:00").cast("timestamp")),
+      _.filter(col("k").isin(1L, -1L, 42L) || col("small").isin(1, 999)))
+
+    filters.zipWithIndex.foreach { case (f, i) =>
+      val a = f(g).selectExpr("cast(to_json(struct(*)) as string) r")
+      val b = f(p).selectExpr("cast(to_json(struct(*)) as string) r")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"filter #$i diverged between graft and parquet")
+    }
+  }
+
   test("strawboat alias works") {
     val dir = "/tmp/graft-test/region-alias"
     spark.read.parquet(s"$sf/region.parquet")
