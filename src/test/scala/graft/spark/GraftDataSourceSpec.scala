@@ -138,6 +138,22 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("schema drift across files fails loudly, not silently") {
+    val dir = "/tmp/graft-test/schema-drift"
+    spark.range(100).selectExpr("id AS k", "cast(id as string) AS v")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    // second file: same column names, different type for v
+    spark.range(100).selectExpr("id AS k", "cast(id as double) AS v")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(dir).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("schema drift")),
+      s"expected a schema-drift error, got: ${causes(e).mkString(" | ")}")
+  }
+
   test("strawboat alias works") {
     val dir = "/tmp/graft-test/region-alias"
     spark.read.parquet(s"$sf/region.parquet")
