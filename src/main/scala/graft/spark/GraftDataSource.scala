@@ -158,10 +158,37 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
 
 final class GraftScan(tableSchema: StructType, projected: StructType, path: String,
     conf: org.apache.hadoop.conf.Configuration,
-    pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    initialPagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private lazy val files = GraftUtil.listDataFiles(path, conf)
+
+  // compile-time zone-map predicates, later extended by runtime filters
+  // (Spark re-plans partitions and creates the reader factory after
+  // filter(), so both pick up the merged set)
+  private var pagePreds: Array[ZoneMapFilter.PagePred] = initialPagePreds
+
+  /** Runtime filtering (the DSv2 analogue of dynamic partition pruning):
+    * Spark hands us join-key IN-sets at execution time; they merge into the
+    * zone-map predicates so selective joins skip fact page IO.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    projected.fields // must be a subset of the scan output, not the full table
+      .filter(f => GraftSchema.isAtomic(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val (_, preds) = ZoneMapFilter.compile(tableSchema, filters)
+    if (preds.nonEmpty) {
+      pagePreds = pagePreds ++ preds
+      // Spark instantiates the reader factory during planning (for
+      // supportsColumnar), BEFORE runtime filters arrive — refresh the
+      // cached instance so executors receive the merged predicate set
+      // (task serialization happens after this call)
+      if (factory != null) factory.pagePreds = pagePreds
+    }
+  }
 
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
@@ -202,8 +229,13 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
     parts.result()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(new SerializableHadoopConf(conf), projected.json, pagePreds)
+  private var factory: GraftReaderFactory = null
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    if (factory == null)
+      factory = new GraftReaderFactory(new SerializableHadoopConf(conf), projected.json, pagePreds)
+    factory
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     // same basis as parquet's estimate (compressed file bytes) so broadcast
@@ -266,7 +298,7 @@ final case class GraftInputPartition(filePath: String, fileLen: Long,
     pageLo: Int = -1, pageHi: Int = -1) extends InputPartition
 
 final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: String,
-    pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
+    @volatile var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true

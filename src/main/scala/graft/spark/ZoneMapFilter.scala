@@ -227,7 +227,11 @@ object ZoneMapFilter {
         for (p <- cmpPred(a, v, 5)) { usable += f; preds += p }
       case f @ IsNotNull(a) if fieldType(a).isDefined =>
         usable += f; preds += AllNullSkip(a)
-      case f @ In(a, vs) if vs != null && vs.nonEmpty && vs.length <= 64 =>
+      case f @ In(a, vs) if vs != null && vs.nonEmpty =>
+        // ≤64 values: exact per-value membership test against the bounds.
+        // Larger sets (typical for runtime join-key filters): collapse to the
+        // set's [min, max] envelope — O(1) per page instead of O(|set|),
+        // still sound (a page outside the envelope contains no set member).
         fieldType(a).foreach { dt =>
           val ds = vs.flatMap(v => toDomain(dt, v))
           val bs = vs.flatMap(v => toBinDomain(dt, v))
@@ -235,12 +239,25 @@ object ZoneMapFilter {
             val kind = ds.head._1
             if (ds.forall(_._1 == kind)) {
               usable += f
-              if (kind == 1) preds += InSet(a, 1, ds.map(_._2.swap.toOption.get), Array.empty)
-              else preds += InSet(a, 2, Array.empty, ds.map(_._2.toOption.get))
+              if (kind == 1) {
+                val ls = ds.map(_._2.swap.toOption.get)
+                if (vs.length <= 64) preds += InSet(a, 1, ls, Array.empty)
+                else { preds += Cmp(a, 1, 2, Left(ls.min)); preds += Cmp(a, 1, 4, Left(ls.max)) }
+              } else {
+                val xs = ds.map(_._2.toOption.get)
+                if (vs.length <= 64) preds += InSet(a, 2, Array.empty, xs)
+                else { preds += Cmp(a, 2, 2, Right(xs.min)); preds += Cmp(a, 2, 4, Right(xs.max)) }
+              }
             }
           } else if (bs.length == vs.length) {
             usable += f
-            preds += InSetBin(a, bs)
+            if (vs.length <= 64) preds += InSetBin(a, bs)
+            else {
+              val lo = bs.reduce((x, y) => if (cmpBytes(x, y) <= 0) x else y)
+              val hi = bs.reduce((x, y) => if (cmpBytes(x, y) >= 0) x else y)
+              preds += CmpBin(a, 2, lo)
+              preds += CmpBin(a, 4, hi)
+            }
           }
         }
       case _ =>

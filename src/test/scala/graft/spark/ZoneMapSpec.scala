@@ -142,6 +142,30 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(GraftMetrics.pageGroupsSkipped.get() >= 1, "finite < bound should still prune")
   }
 
+  test("runtime join-key filters prune fact pages (DPP analogue)") {
+    val factDir = "/tmp/graft-test/rtf-fact"
+    val dimDir = "/tmp/graft-test/rtf-dim"
+    // fact sorted by key -> tight zone maps; dim filter selects a narrow key band
+    spark.range(200000).selectExpr("id AS fk", "id * 2 AS v")
+      .orderBy("fk").coalesce(1)
+      .write.format("graft").mode("overwrite").save(factDir)
+    spark.range(1000).selectExpr("id + 150000 AS k", "id % 7 AS cat")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dimDir)
+
+    val fact = spark.read.format("graft").load(factDir)
+    val dim = spark.read.format("graft").load(dimDir).filter(col("cat") === 3)
+
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    val joined = fact.join(dim.hint("broadcast"), col("fk") === col("k"))
+    val n = joined.count()
+    assert(n == dim.count(), s"join row count $n")
+    val skipped = GraftMetrics.pageGroupsSkipped.get()
+    val read = GraftMetrics.pageGroupsRead.get()
+    assert(skipped >= 10,
+      s"runtime filter should prune fact pages outside the dim key range: skipped=$skipped read=$read")
+  }
+
   test("timestamp range pruning on sorted events") {
     val dir = "/tmp/graft-test/zonemap-ts"
     spark.sql("SELECT timestamp_millis(1700000000000 + id * 60000) AS ts, id FROM range(50000)")
