@@ -271,6 +271,26 @@ object TrainingData {
         .orderBy(col("lang"))
     },
 
+    "t_repetition" -> { (s, dir) =>
+      // within-document repetition: fraction of duplicate word-3-grams — a
+      // standard training-data quality signal (heavily repeated boilerplate
+      // scores near 1). Pure map over documents; integer counts + one IEEE
+      // division keep it oracle-exact.
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("grams", expr(
+          """CASE WHEN size(w) >= 3
+             THEN transform(sequence(0, size(w)-3),
+                  i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
+             ELSE array(text) END"""))
+        .withColumn("total", size(col("grams")))
+        .withColumn("uniq", size(array_distinct(col("grams"))))
+        .withColumn("rep_ratio",
+          (col("total") - col("uniq")).cast("double") / col("total"))
+        .select(col("doc_id"), col("total"), col("uniq"), col("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     "t_fingerprint" -> { (s, dir) =>
       docs(s, dir)
         .withColumn("m", expr(
@@ -427,6 +447,19 @@ object TrainingData {
         |  CAST(sum(length(text)) AS BIGINT) AS chars,
         |  CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))) AS chars_per_token
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |         THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+        |         ELSE [text] END AS grams
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INT) AS total,
+        |  CAST(len(list_distinct(grams)) AS INT) AS uniq,
+        |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_transform(string_split(text, ' '),
