@@ -39,6 +39,22 @@ object TrainingData {
         (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
     },
 
+    "d_dedup_canonical" -> { (s, dir) =>
+      // the step AFTER duplicate detection in a real pipeline: inside each
+      // candidate block (same blocking key the Jaccard dedup uses), pick the
+      // canonical representative (min doc_id) and report the block's size
+      // and how many DISTINCT texts it holds — the keep/drop decision input.
+      docs(s, dir)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("group_size"),
+          countDistinct(md5(col("text"))).as("distinct_texts"))
+        .filter(col("group_size") >= 2)
+        .select(col("source"), col("n_chars"), col("keep_id"),
+          col("group_size"), col("distinct_texts"))
+        .orderBy(col("source"), col("n_chars"))
+    },
+
     "d_dedup_minhash_lsh" -> { (s, dir) =>
       // shingle -> 64 minhashes -> 8 bands of 8 -> bucket-join candidates ->
       // signature-similarity confirm. Scale path: the band join is a plain
@@ -216,6 +232,29 @@ object TrainingData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    "s_embedding_centroids" -> { (s, dir) =>
+      // per-label centroid + each vector's quantized distance rank to its
+      // centroid: the embedding-QA pass that surfaces outliers/mislabeled
+      // rows. Long-form (label, pos) aggregation — a plain shuffle on the
+      // composite key, no vector collects on the driver.
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      val cent = e.groupBy(col("label"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      // distance scaled by n^2 stays in exact integer space ((x*n - sx)^2),
+      // so ranking is order-invariant and bit-exact cross-engine (n is
+      // constant within a label, so the ranking is the true distance order)
+      val dist = e.join(cent, Seq("label", "pos"))
+        .withColumn("dd", col("x") * col("n") - col("sx"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("dd") * col("dd")).as("qdist"))
+      val w = Window.partitionBy(col("label")).orderBy(col("qdist").desc, col("vec_id"))
+      dist.withColumn("outlier_rank", row_number().over(w))
+        .filter(col("outlier_rank") <= 5)
+        .select(col("label"), col("vec_id"), col("qdist"), col("outlier_rank"))
+        .orderBy(col("label"), col("outlier_rank"))
+    },
+
     // ---------------- text analysis ----------------
 
     "t_language_id" -> { (s, dir) =>
@@ -332,6 +371,28 @@ object TrainingData {
       """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_texts,
         |  count(*) - count(DISTINCT md5(text)) AS dup_docs
         |FROM documents""".stripMargin,
+    "d_dedup_canonical" ->
+      """SELECT source, n_chars, keep_id, group_size, distinct_texts FROM (
+        |  SELECT source, n_chars, min(doc_id) AS keep_id, count(*) AS group_size,
+        |    count(DISTINCT md5(text)) AS distinct_texts
+        |  FROM documents GROUP BY source, n_chars)
+        |WHERE group_size >= 2 ORDER BY source, n_chars""".stripMargin,
+    "s_embedding_centroids" ->
+      """WITH t AS (SELECT vec_id, label,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS x,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |cent AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |         FROM t GROUP BY 1, 2),
+        |dist AS (SELECT t.vec_id, t.label,
+        |           CAST(sum((t.x * c.n - c.sx) * (t.x * c.n - c.sx)) AS BIGINT) AS qdist
+        |         FROM t JOIN cent c ON c.label = t.label AND c.pos = t.pos
+        |         GROUP BY 1, 2)
+        |SELECT label, vec_id, qdist, outlier_rank FROM (
+        |  SELECT label, vec_id, qdist,
+        |    row_number() OVER (PARTITION BY label ORDER BY qdist DESC, vec_id) AS outlier_rank
+        |  FROM dist)
+        |WHERE outlier_rank <= 5 ORDER BY label, outlier_rank""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS nw FROM tok GROUP BY 1),
