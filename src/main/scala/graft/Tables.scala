@@ -17,7 +17,7 @@ object Tables {
   // bump the version segment whenever the written footer/stats change, so
   // cached conversions from an older writer get redone
   private def strRoot(sfDir: String): String =
-    "/tmp/graft_str_v4/" + sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    "/tmp/graft_str_v5/" + sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
 
   /** Read a table as a graft-format DataFrame (converting from parquet on
     * first use). GRAFT_TABLES_FORMAT=parquet bypasses graft — used only to
@@ -53,8 +53,11 @@ object Tables {
     lock.synchronized {
       val marker = new java.io.File(s"$dir/_GRAFT_DONE")
       if (marker.exists()) return
+      // ingest profile: LZ4-HC blocks — same fast decode as lz4, ~25%
+      // smaller text; write cost is paid once per conversion
       parquet(spark, sfDir, name)
-        .write.format("graft").mode("overwrite").save(dir)
+        .write.format("graft").option("compression", "lz4hc")
+        .mode("overwrite").save(dir)
       marker.createNewFile()
     }
 }

@@ -20,13 +20,17 @@ object BlockCompression {
     case c => throw new IllegalArgumentException(s"not a block codec: $c")
   }
 
-  /** Compress src[off, off+len) into dst at dstOff; returns compressed size. */
+  /** Compress src[off, off+len) into dst at dstOff; returns compressed size.
+    * `lz4hc` selects the high-compression LZ4 encoder — same frame, same
+    * (fast) decompression, ~25% smaller on text, slower to compress.
+    */
   def compress(codec: Byte, src: Array[Byte], off: Int, len: Int,
-      dst: Array[Byte], dstOff: Int, zstdLevel: Int = 3): Int = codec match {
+      dst: Array[Byte], dstOff: Int, zstdLevel: Int = 3, lz4hc: Boolean = false): Int = codec match {
     case Codec.None =>
       System.arraycopy(src, off, dst, dstOff, len); len
     case Codec.Lz4 =>
-      lz4Factory.fastCompressor().compress(src, off, len, dst, dstOff, dst.length - dstOff)
+      val c = if (lz4hc) lz4Factory.highCompressor() else lz4Factory.fastCompressor()
+      c.compress(src, off, len, dst, dstOff, dst.length - dstOff)
     case Codec.Zstd =>
       val r = Zstd.compressByteArray(dst, dstOff, dst.length - dstOff, src, off, len, zstdLevel)
       if (Zstd.isError(r)) throw new java.io.IOException(s"zstd: ${Zstd.getErrorName(r)}")

@@ -135,7 +135,10 @@ final case class WriteOptions(
     /** cross-check the analytic special-codec choice against a deterministic
       * sampled estimate of the block codec (reference analogue: the
       * trial-compression sampler, integer/mod.rs:310-347) */
-    sampledChooser: Boolean = true)
+    sampledChooser: Boolean = true,
+    /** use the LZ4 high-compression encoder for block bodies (same frame,
+      * same fast decode; slower writes, ~25% smaller text) */
+    lz4hc: Boolean = false)
 
 /** Per-page metadata persisted in the footer.
   * `numValues` counts LEAF values (for nested children this can differ from

@@ -203,7 +203,7 @@ object IntCodecs {
         case _ => while (i < off + runLen) { plainBuf.putLongLE(v(i)); i += 1 }
       }
       val clen = BlockCompression.compress(codec, plainBuf.arr, 0, plainBuf.length,
-        dst, 0, opts.zstdLevel)
+        dst, 0, opts.zstdLevel, opts.lz4hc)
       sampledPlain += plainBuf.length
       sampledComp += clen
       k += 1
@@ -356,7 +356,7 @@ object IntCodecs {
         case 4 => while (i < n) { plain.putIntLE(v(i).toInt); i += 1 }
         case _ => while (i < n) { plain.putLongLE(v(i)); i += 1 }
       }
-      PageSerializer.writeBlockBody(opts.defaultCodec, plain, out, opts.zstdLevel)
+      PageSerializer.writeBlockBody(opts.defaultCodec, plain, out, opts.zstdLevel, opts.lz4hc)
     }
   }
 

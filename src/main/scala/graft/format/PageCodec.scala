@@ -80,7 +80,7 @@ object PageSerializer {
         case Some(c) if Codec.isCommon(c) => c
         case _ => opts.defaultCodec
       }
-      writeBlockBody(codec, scratch, out, opts.zstdLevel)
+      writeBlockBody(codec, scratch, out, opts.zstdLevel, opts.lz4hc)
     }
 
     PageMeta(out.length - pageStart, n, stats.kind, stats.minLong, stats.maxLong, nullCount,
@@ -97,7 +97,8 @@ object PageSerializer {
     case v: DecimalVec => v.copy(nulls = null)
   }
 
-  private[format] def writeBlockBody(codec: Byte, plain: ByteBuf, out: ByteBuf, zstdLevel: Int): Unit = {
+  private[format] def writeBlockBody(codec: Byte, plain: ByteBuf, out: ByteBuf,
+      zstdLevel: Int, lz4hc: Boolean = false): Unit = {
     if (codec == Codec.None) {
       out.putByte(Codec.None)
       out.putIntLE(plain.length)
@@ -108,7 +109,7 @@ object PageSerializer {
       val lenPos = out.reserve(8)
       val maxLen = BlockCompression.maxCompressedLength(codec, plain.length)
       val dstPos = out.reserve(maxLen)
-      val clen = BlockCompression.compress(codec, plain.arr, 0, plain.length, out.arr, dstPos, zstdLevel)
+      val clen = BlockCompression.compress(codec, plain.arr, 0, plain.length, out.arr, dstPos, zstdLevel, lz4hc)
       out.len = dstPos + clen
       out.patchIntLE(lenPos, clen)
       out.patchIntLE(lenPos + 4, plain.length)

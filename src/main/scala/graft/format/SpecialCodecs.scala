@@ -82,7 +82,7 @@ object SpecialCodecs {
               case Some(c) if Codec.isCommon(c) => c
               case _ => opts.defaultCodec
             }
-            PageSerializer.writeBlockBody(bc, scratch, out, opts.zstdLevel)
+            PageSerializer.writeBlockBody(bc, scratch, out, opts.zstdLevel, opts.lz4hc)
           }
           out.patchIntLE(lenPos, out.length - start)
           out.patchIntLE(lenPos + 4, 16 * n)

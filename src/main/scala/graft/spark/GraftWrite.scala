@@ -34,7 +34,10 @@ final case class GraftWriteOptions(
 
 object GraftWriteOptions {
   def fromOptions(o: org.apache.spark.sql.util.CaseInsensitiveStringMap): GraftWriteOptions = {
-    val codec = Option(o.get("compression")).map(Codec.byName).getOrElse(Codec.Lz4)
+    val compName = Option(o.get("compression")).map(_.toLowerCase)
+    val hc = compName.contains("lz4hc")
+    val codec = compName.map(n => if (n == "lz4hc") Codec.Lz4 else Codec.byName(n))
+      .getOrElse(Codec.Lz4)
     val forced = Option(o.get("forcecodec")).map(Codec.byName)
     GraftWriteOptions(
       WriteOptions(
@@ -44,7 +47,8 @@ object GraftWriteOptions {
         forcedCodec = if (forced.isDefined) forced else if (!Codec.isCommon(codec)) Some(codec) else None,
         adaptive = Option(o.get("adaptive")).map(_.toBoolean).getOrElse(true),
         zstdLevel = Option(o.get("zstdlevel")).map(_.toInt).getOrElse(3),
-        sampledChooser = Option(o.get("chooser")).forall(_ != "analytic")),
+        sampledChooser = Option(o.get("chooser")).forall(_ != "analytic"),
+        lz4hc = hc),
       maxRowsPerFile = Option(o.get("maxrowsperfile")).map(_.toInt).getOrElse(1 << 20))
   }
 }
