@@ -74,6 +74,9 @@ object TrainingData {
                    h -> pmod((h*2+1) * pmod(xxhash64(sh), 1000000007) + h*12345+1, 1000000007)),
                  (a, b) -> least(a, b)))"""))
         .select(col("doc_id"), col("sig"))
+      // cached because bands + the two signature rejoins reuse it; the frame
+      // is (id, 64 longs) — a fraction of the raw text — and Dataset.cache's
+      // MEMORY_AND_DISK level spills rather than OOMs at scale
       d.cache()
       // the band join carries only (band, bh, doc_id); the 64-long signatures
       // are re-joined AFTER the candidate pairs are deduped, so the widest
