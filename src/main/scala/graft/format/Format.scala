@@ -177,6 +177,11 @@ final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
 }
 
 object FormatConstants {
-  val Magic: Array[Byte] = "GRAFT001".getBytes("UTF-8") // 8 bytes
+  // version bumped to 002 when decimals >18 digits moved from the binary
+  // lane to the i128 lane (and patas gained ring references) — 001 files
+  // would decode silently wrong under the new lane mapping, so the reader
+  // rejects them by version instead
+  val Magic: Array[Byte] = "GRAFT002".getBytes("UTF-8") // 8 bytes
+  val MagicV1: Array[Byte] = "GRAFT001".getBytes("UTF-8")
   val FooterTailLen: Int = 16 // schemaSize u32 | metaSize u32 | magic 8B
 }

@@ -46,9 +46,14 @@ object GraftFileReader {
     var cur = new ByteCursor(tail, preLen - 16)
     val schemaSize = cur.getIntLE()
     val metaSize = cur.getIntLE()
-    if (!java.util.Arrays.equals(
-        java.util.Arrays.copyOfRange(tail, magicOff, magicOff + 8), FormatConstants.Magic))
+    val trailing = java.util.Arrays.copyOfRange(tail, magicOff, magicOff + 8)
+    if (!java.util.Arrays.equals(trailing, FormatConstants.Magic)) {
+      if (java.util.Arrays.equals(trailing, FormatConstants.MagicV1))
+        throw new java.io.IOException(
+          "graft: file was written by format version 001 (pre-i128 lane); " +
+            "its pages are not decodable by this version — rewrite the table")
       throw new java.io.IOException("bad trailing magic: not a graft file")
+    }
 
     val footerLen = schemaSize.toLong + metaSize + 16
     if (footerLen > preLen) {
@@ -102,21 +107,38 @@ final class LeafReader(in: SeekableInput, meta: ColumnMeta, lane: Int, nullable:
     while (i < meta.pages.length) { o(i + 1) = o(i) + meta.pages(i).length; i += 1 }
     o
   }
-  private lazy val bytes: Array[Byte] = {
-    val total = meta.totalBytes.toInt
-    if (needed == null) in.readRange(meta.offset, total)
+
+  // with a page mask, allocate only the span between the first and last
+  // needed page — a page-range split of a large file must not allocate the
+  // whole leaf per task
+  private lazy val spanBase: Int = {
+    if (needed == null) 0
     else {
-      val buf = new Array[Byte](total)
       var p = 0
-      while (p < meta.pages.length) {
-        if (needed(p)) {
-          var q = p
-          while (q < meta.pages.length && needed(q)) q += 1
-          in.readFully(meta.offset + pageOffsets(p), buf, pageOffsets(p), pageOffsets(q) - pageOffsets(p))
-          p = q
-        } else p += 1
+      while (p < meta.pages.length && !needed(p)) p += 1
+      if (p >= meta.pages.length) 0 else pageOffsets(p)
+    }
+  }
+  private lazy val bytes: Array[Byte] = {
+    if (needed == null) in.readRange(meta.offset, meta.totalBytes.toInt)
+    else {
+      var last = meta.pages.length - 1
+      while (last >= 0 && !needed(last)) last -= 1
+      if (last < 0) new Array[Byte](0)
+      else {
+        val buf = new Array[Byte](pageOffsets(last + 1) - spanBase)
+        var p = 0
+        while (p <= last) {
+          if (needed(p)) {
+            var q = p
+            while (q <= last && needed(q)) q += 1
+            in.readFully(meta.offset + pageOffsets(p), buf,
+              pageOffsets(p) - spanBase, pageOffsets(q) - pageOffsets(p))
+            p = q
+          } else p += 1
+        }
+        buf
       }
-      buf
     }
   }
 
@@ -126,10 +148,10 @@ final class LeafReader(in: SeekableInput, meta: ColumnMeta, lane: Int, nullable:
     * columnar sinks (e.g. Spark vectors) without a Vec materialization.
     */
   def pageBytes: Array[Byte] = bytes
-  def pageStart(p: Int): Int = pageOffsets(p)
+  def pageStart(p: Int): Int = pageOffsets(p) - spanBase
 
   def readPage(p: Int): Vec = {
-    val cur = new ByteCursor(bytes, pageOffsets(p))
+    val cur = new ByteCursor(bytes, pageOffsets(p) - spanBase)
     PageDeserializer.readPage(lane, nullable, meta.pages(p).numValues, cur)
   }
 

@@ -59,7 +59,11 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
     vector.putByteArray(i, be16, 16 - len, len)
   }
 
-  def supported: Boolean = kind >= 0
+  // the plain-page bulk copies (putInts/putLongs/... from byte[]) are raw
+  // native-order copies of our little-endian page bytes — on a big-endian
+  // JVM fall back to the Vec path, which decodes LE explicitly
+  def supported: Boolean =
+    kind >= 0 && java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
 
   @inline private def getIntLE(a: Array[Byte], p: Int): Int =
     (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8) | ((a(p + 2) & 0xff) << 16) | ((a(p + 3) & 0xff) << 24)

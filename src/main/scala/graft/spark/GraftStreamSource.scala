@@ -32,14 +32,27 @@ final case class GraftStreamOffset(t: Long, names: Seq[String]) extends Offset {
 object GraftStreamOffset {
   val Empty: GraftStreamOffset = GraftStreamOffset(Long.MinValue, Seq.empty)
 
+  /** Sentinel `t` for offsets recovered from the legacy full-file-list
+    * format: coverage is by name membership only (matching the legacy
+    * semantics), never by the modTime window.
+    */
+  val LegacyT: Long = Long.MinValue + 1
+
   def fromJson(s: String): GraftStreamOffset = {
-    // minimal parser for the {"t":N,"names":["a","b"]} objects we emit
     val t = s.trim
+    // legacy checkpoints (pre-watermark) serialized a bare ["a","b"] array:
+    // recover them as name-membership-only coverage so restarts keep working
+    if (t.startsWith("[")) return GraftStreamOffset(LegacyT, parseArray(t))
+    // minimal parser for the {"t":N,"names":["a","b"]} objects we emit
     val tIdx = t.indexOf("\"t\":")
     val nIdx = t.indexOf("\"names\":")
     require(tIdx >= 0 && nIdx >= 0, s"graft: bad stream offset: $s")
     val tVal = t.substring(tIdx + 4, t.indexOf(',', tIdx)).trim.toLong
     val arr = t.substring(t.indexOf('[', nIdx), t.lastIndexOf(']') + 1)
+    GraftStreamOffset(tVal, parseArray(arr))
+  }
+
+  private def parseArray(arr: String): Seq[String] = {
     val inner = arr.stripPrefix("[").stripSuffix("]")
     val files = scala.collection.mutable.ArrayBuffer[String]()
     val sb = new StringBuilder
@@ -51,7 +64,7 @@ object GraftStreamOffset {
       else if (c == '"') { if (inStr) { files += sb.toString; sb.clear() }; inStr = !inStr }
       else if (inStr) sb.append(c)
     }
-    GraftStreamOffset(tVal, files.toSeq)
+    files.toSeq
   }
 }
 
@@ -71,7 +84,10 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     */
   private def covered(t: Long, names: Set[String], name: String, modTime: Long): Boolean = {
     if (t == Long.MinValue) return false
-    modTime < t - lateness || names.contains(name)
+    // overflow-safe window start; legacy offsets (t = LegacyT) degrade to
+    // pure name membership
+    val windowStart = if (t < Long.MinValue + lateness) Long.MinValue else t - lateness
+    modTime < windowStart || names.contains(name)
   }
 
   override def initialOffset(): Offset = GraftStreamOffset.Empty

@@ -65,18 +65,27 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
+    // sweep staging leftovers of previously crashed jobs (their task aborts
+    // never ran); fresh stages use new uuids so this cannot race this job
+    val it = fs.listStatus(dir)
+    it.foreach { f =>
+      if (f.isFile && f.getPath.getName.endsWith(GraftUtil.Extension + ".tmp"))
+        fs.delete(f.getPath, false)
+    }
     new GraftWriterFactory(schema.json, path, opts, conf)
   }
 
   /** All-or-nothing swap: tasks only stage `.tmp` files (invisible to
-    * readers, which list by extension); the old table contents are deleted
-    * and the staged files renamed here, after every task has succeeded. A
-    * failed or aborted overwrite therefore leaves the previous table intact.
+    * readers, which list by extension); after every task has succeeded the
+    * staged files are renamed in and THEN the old contents deleted, so a
+    * crash mid-commit leaves old+new visible (duplicates, recoverable)
+    * rather than an empty table. A failed or aborted overwrite leaves the
+    * previous table intact.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
-    if (doTruncate)
-      GraftUtil.listDataFiles(path, conf.value).foreach(f => fs.delete(f.getPath, false))
+    val oldFiles =
+      if (doTruncate) GraftUtil.listDataFiles(path, conf.value).map(_.getPath) else Seq.empty
     messages.foreach {
       case GraftCommitMessage(pairs, _) =>
         pairs.foreach { case (tmp, dst) =>
@@ -85,6 +94,7 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
         }
       case _ =>
     }
+    oldFiles.foreach(fs.delete(_, false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

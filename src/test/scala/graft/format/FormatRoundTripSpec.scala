@@ -105,6 +105,30 @@ class FormatRoundTripSpec extends AnyFunSuite {
     assert(got.head.n == 0)
   }
 
+  test("format version 001 files are rejected with a clear error") {
+    val n = 100
+    val v = IntVec(n, null, Array.tabulate(n)(identity))
+    val f = Files.createTempFile("graft-v1", ".graft")
+    try {
+      val os = new java.io.BufferedOutputStream(Files.newOutputStream(f))
+      val w = new GraftFileWriter(os, "{}", WriteOptions())
+      w.start()
+      w.writeChunk(Seq(LeafCol(Lane.I32, nullable = false, v)), n)
+      w.finish()
+      os.close()
+      // rewrite the trailing magic to the previous version
+      val raf = new java.io.RandomAccessFile(f.toFile, "rw")
+      raf.seek(raf.length() - 8)
+      raf.write(FormatConstants.MagicV1)
+      raf.close()
+      val in = new LocalFileInput(f)
+      try {
+        val e = intercept[java.io.IOException](GraftFileReader.readFooter(in))
+        assert(e.getMessage.contains("version 001"), e.getMessage)
+      } finally in.close()
+    } finally Files.deleteIfExists(f)
+  }
+
   test("page stats are persisted (zone maps)") {
     val n = 5000
     val v = IntVec(n, null, Array.tabulate(n)(i => i))

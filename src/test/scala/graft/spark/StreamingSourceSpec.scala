@@ -72,5 +72,11 @@ class StreamingSourceSpec extends AnyFunSuite {
     // offsets survive json round-trip
     assert(GraftStreamOffset.fromJson(o2.json()) == o2)
     assert(GraftStreamOffset.fromJson(GraftStreamOffset.Empty.json()) == GraftStreamOffset.Empty)
+
+    // legacy (pre-watermark) checkpoints serialized a bare file array —
+    // they must still parse, with name-membership-only coverage
+    val legacy = GraftStreamOffset.fromJson("""["/a/b.graft","/a/c.graft"]""")
+    assert(legacy.t == GraftStreamOffset.LegacyT)
+    assert(legacy.names == Seq("/a/b.graft", "/a/c.graft"))
   }
 }
