@@ -93,13 +93,15 @@ final class GraftTable(tableSchema: StructType, path: String)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, path,
-      SparkSession.active.sessionState.newHadoopConf())
+      SparkSession.active.sessionState.newHadoopConf(),
+      options.getBoolean("runtimefilter", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info, path)
 }
 
 final class GraftScanBuilder(tableSchema: StructType, path: String,
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    runtimeFilter: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -152,13 +154,14 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
 
   override def build(): Scan = aggPlan match {
     case Some((specs, aggSchema)) => new GraftAggScan(path, conf, specs, aggSchema)
-    case None => new GraftScan(tableSchema, projected, path, conf, pagePreds)
+    case None => new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter)
   }
 }
 
 final class GraftScan(tableSchema: StructType, projected: StructType, path: String,
     conf: org.apache.hadoop.conf.Configuration,
-    initialPagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
+    initialPagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
+    runtimeFilter: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -172,10 +175,19 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
   /** Runtime filtering (the DSv2 analogue of dynamic partition pruning):
     * Spark hands us join-key IN-sets at execution time; they merge into the
     * zone-map predicates so selective joins skip fact page IO.
+    *
+    * Gated behind `.option("runtimefilter", true)`, DEFAULT OFF: advertising
+    * attributes makes Spark plan a pruning subquery/exchange for EVERY
+    * eligible join, and at typical join cardinalities the delivered filter
+    * degrades to literal `true` (over the in-set size threshold) — measured
+    * as a net bench loss (~2s / 13% at sf0.1) with zero pages pruned. Enable
+    * it for selective dim-filtered joins on sorted/clustered fact keys, where
+    * the IN-set envelope genuinely skips page IO (see ZoneMapSpec).
     */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    projected.fields // must be a subset of the scan output, not the full table
-      .filter(f => GraftSchema.isAtomic(f.dataType))
+    if (!runtimeFilter) Array.empty
+    else projected.fields // must be a subset of the scan output, not the full table
+      .filter(f => ZoneMapFilter.prunable(f.dataType)) // only zone-map-bearing lanes can act on the IN-set
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
@@ -197,7 +209,7 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
     new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json)
   override def description(): String =
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
-      (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.map(_.field).distinct.mkString(",")}]" else "")
+      (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // parquet-style sizing: min(maxPartitionBytes, max(openCost, total/parallelism))
@@ -369,12 +381,15 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   private def rowPagesLen: Int = rowPages.length
 
   // zone-map pruning: decide needed page groups BEFORE any data IO, so
-  // pruned byte ranges are never fetched
-  private val predPages: Array[(ZoneMapFilter.PagePred, Array[PageMeta])] =
-    pagePreds.flatMap { pr =>
-      val fi = fileSchema.fieldNames.indexOf(pr.field)
-      if (fi < 0) None else Some((pr, footer.leaves(fieldOffsets(fi)).pages))
-    }
+  // pruned byte ranges are never fetched. Preds referencing a field this
+  // file doesn't carry are dropped (pruning is advisory).
+  private val predFieldPages: Map[String, Array[PageMeta]] =
+    pagePreds.flatMap(_.fields).distinct.flatMap { name =>
+      val fi = fileSchema.fieldNames.indexOf(name)
+      if (fi < 0) None else Some(name -> footer.leaves(fieldOffsets(fi)).pages)
+    }.toMap
+  private val activePreds: Array[ZoneMapFilter.PagePred] =
+    pagePreds.filter(_.fields.forall(predFieldPages.contains))
 
   // this split's page-group range (whole file when unset)
   private val rangeLo = if (pageLo < 0) 0 else pageLo
@@ -384,10 +399,11 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     val m = new Array[Boolean](rowPagesLen)
     var p = rangeLo
     while (p < rangeHi) {
+      val metaAt: String => PageMeta = name => predFieldPages(name)(p)
       var skip = false
       var i = 0
-      while (!skip && i < predPages.length) {
-        if (predPages(i)._1.canSkip(predPages(i)._2(p))) skip = true
+      while (!skip && i < activePreds.length) {
+        if (activePreds(i).canSkip(metaAt)) skip = true
         i += 1
       }
       m(p) = !skip
@@ -408,7 +424,7 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
       // the IO mask (false outside this split's range) keeps ranged fetches
       // to only this split's contiguous page runs
       leafReaders(i) = new LeafReader(input, footer.leaves(i), lane, nullable,
-        if (predPages.isEmpty && wholeFile) null else neededMask)
+        if (activePreds.isEmpty && wholeFile) null else neededMask)
       i += 1
     }
   }

@@ -16,21 +16,45 @@ import org.apache.spark.sql.types._
   */
 object ZoneMapFilter {
 
-  /** (field name -> (kind, lo, hi)) domain bounds extracted from a filter
-    * value; kind 1 = long domain, 2 = double domain, matching PageMeta.statsKind.
+  /** A page-group skip test. `fields` lists every column the predicate
+    * consults; `canSkip(meta)` resolves each field's PageMeta for the current
+    * page group via `meta` and returns true iff the whole group can be
+    * skipped. Composites (AllOf/AnyOf) may span multiple fields, which is why
+    * evaluation takes a resolver rather than a single PageMeta.
     */
   sealed trait PagePred extends Serializable {
+    def fields: Seq[String]
+    /** true iff the page group can be SKIPPED */
+    def canSkip(meta: String => PageMeta): Boolean
+  }
+
+  /** Single-column predicate: the common case, evaluated on its own PageMeta. */
+  sealed trait LeafPred extends PagePred {
     def field: String
-    /** true iff the page can be SKIPPED */
-    def canSkip(pm: PageMeta): Boolean
+    final def fields: Seq[String] = Seq(field)
+    final def canSkip(meta: String => PageMeta): Boolean = canSkipMeta(meta(field))
+    def canSkipMeta(pm: PageMeta): Boolean
+  }
+
+  /** Conjunction: skip if ANY branch skips (a row must satisfy all). */
+  private final case class AllOf(ps: Array[PagePred]) extends PagePred {
+    def fields: Seq[String] = ps.flatMap(_.fields).distinct.toSeq
+    def canSkip(meta: String => PageMeta): Boolean = ps.exists(_.canSkip(meta))
+  }
+
+  /** Disjunction: skip only if EVERY branch skips (soundness for OR). */
+  private final case class AnyOf(ps: Array[PagePred]) extends PagePred {
+    def fields: Seq[String] = ps.flatMap(_.fields).distinct.toSeq
+    def canSkip(meta: String => PageMeta): Boolean = ps.forall(_.canSkip(meta))
   }
 
   private def dblOf(bits: Long): Double = java.lang.Double.longBitsToDouble(bits)
 
+  /** kind 1 = long domain, 2 = double domain, matching PageMeta.statsKind. */
   private final case class Cmp(field: String, kind: Int, op: Int, v: Either[Long, Double])
-      extends PagePred {
+      extends LeafPred {
     // op: 0 =, 1 >, 2 >=, 3 <, 4 <=
-    def canSkip(pm: PageMeta): Boolean = {
+    def canSkipMeta(pm: PageMeta): Boolean = {
       if (pm.nullCount == pm.numValues && pm.numValues > 0) return true // all null
       (kind, v) match {
         case (1, Left(x)) if pm.statsKind == 1 =>
@@ -70,9 +94,9 @@ object ZoneMapFilter {
     * rounds them outward — PageStats.binStats), so comparisons against the
     * bounds prune soundly; null maxBin disables upper-bound tests.
     */
-  private final case class CmpBin(field: String, op: Int, x: Array[Byte]) extends PagePred {
+  private final case class CmpBin(field: String, op: Int, x: Array[Byte]) extends LeafPred {
     // op: 0 =, 1 >, 2 >=, 3 <, 4 <=, 5 startsWith
-    def canSkip(pm: PageMeta): Boolean = {
+    def canSkipMeta(pm: PageMeta): Boolean = {
       if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
       if (pm.statsKind != 4) return false
       val aboveMax = pm.maxBin != null && ZoneMapFilter.cmpBytes(x, pm.maxBin) > 0
@@ -96,8 +120,8 @@ object ZoneMapFilter {
     }
   }
 
-  private final case class InSetBin(field: String, xs: Array[Array[Byte]]) extends PagePred {
-    def canSkip(pm: PageMeta): Boolean = {
+  private final case class InSetBin(field: String, xs: Array[Array[Byte]]) extends LeafPred {
+    def canSkipMeta(pm: PageMeta): Boolean = {
       if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
       if (pm.statsKind != 4) return false
       xs.forall(x =>
@@ -109,15 +133,31 @@ object ZoneMapFilter {
   private[spark] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
     java.util.Arrays.compareUnsigned(a, b)
 
-  private final case class AllNullSkip(field: String) extends PagePred {
+  private final case class AllNullSkip(field: String) extends LeafPred {
     // IsNotNull: skip pages where every value is null
-    def canSkip(pm: PageMeta): Boolean =
+    def canSkipMeta(pm: PageMeta): Boolean =
       pm.nullCount >= 0 && pm.numValues > 0 && pm.nullCount == pm.numValues
   }
 
+  /** Not(a = v): skippable only when every non-null value in the page equals
+    * v (min == max == v) — null rows never satisfy NOT(=) either.
+    */
+  private final case class NotEq(field: String, kind: Int, v: Either[Long, Double])
+      extends LeafPred {
+    def canSkipMeta(pm: PageMeta): Boolean = {
+      if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
+      (kind, v) match {
+        case (1, Left(x)) if pm.statsKind == 1 => pm.minLong == x && pm.maxLong == x
+        case (2, Right(x)) if pm.statsKind == 2 => // NaN pages (kind 3) never skip
+          !x.isNaN && dblOf(pm.minLong) == x && dblOf(pm.maxLong) == x
+        case _ => false
+      }
+    }
+  }
+
   private final case class InSet(field: String, kind: Int, longs: Array[Long],
-      dbls: Array[Double]) extends PagePred {
-    def canSkip(pm: PageMeta): Boolean = {
+      dbls: Array[Double]) extends LeafPred {
+    def canSkipMeta(pm: PageMeta): Boolean = {
       if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
       if (kind == 1) pm.statsKind == 1 && longs.forall(x => x < pm.minLong || x > pm.maxLong)
       else if (pm.statsKind == 2 || pm.statsKind == 3) {
@@ -196,13 +236,38 @@ object ZoneMapFilter {
     }
   }
 
+  /** Types whose pages carry zone-map stats a pushed predicate can act on
+    * (the long/double/binary stats domains above). Used to decide which
+    * columns are worth advertising for runtime join-key filtering.
+    */
+  def prunable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType |
+         StringType | BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   /** Compile the subset of `filters` usable for page pruning. Returned
     * filters are the ones reflected in pushedFilters() / explain output.
+    * Recurses into And/Or/Not: an OR skips a page only when BOTH branches
+    * skip it; a NOT is rewritten to the complementary comparison (sound under
+    * SQL null semantics — null rows satisfy neither the filter nor its
+    * complement, and all-null pages are handled by each leaf).
     */
   def compile(schema: StructType, filters: Array[Filter]): (Array[Filter], Array[PagePred]) = {
     val usable = Array.newBuilder[Filter]
     val preds = Array.newBuilder[PagePred]
+    filters.foreach { f =>
+      compileOne(schema, f) match {
+        case Some(p) => usable += f; preds += p
+        case None =>
+      }
+    }
+    (usable.result(), preds.result())
+  }
 
+  private def compileOne(schema: StructType, filter: Filter): Option[PagePred] = {
     def fieldType(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType).filter(GraftSchema.isAtomic)
 
@@ -212,56 +277,73 @@ object ZoneMapFilter {
           .orElse(toBinDomain(dt, v).map(b => CmpBin(a, op, b): PagePred))
       }
 
-    filters.foreach {
-      case f @ EqualTo(a, v) =>
-        for (p <- cmpPred(a, v, 0)) { usable += f; preds += p }
-      case f @ GreaterThan(a, v) =>
-        for (p <- cmpPred(a, v, 1)) { usable += f; preds += p }
-      case f @ GreaterThanOrEqual(a, v) =>
-        for (p <- cmpPred(a, v, 2)) { usable += f; preds += p }
-      case f @ LessThan(a, v) =>
-        for (p <- cmpPred(a, v, 3)) { usable += f; preds += p }
-      case f @ LessThanOrEqual(a, v) =>
-        for (p <- cmpPred(a, v, 4)) { usable += f; preds += p }
-      case f @ StringStartsWith(a, v) =>
-        for (p <- cmpPred(a, v, 5)) { usable += f; preds += p }
-      case f @ IsNotNull(a) if fieldType(a).isDefined =>
-        usable += f; preds += AllNullSkip(a)
-      case f @ In(a, vs) if vs != null && vs.nonEmpty =>
+    filter match {
+      case EqualTo(a, v) => cmpPred(a, v, 0)
+      case GreaterThan(a, v) => cmpPred(a, v, 1)
+      case GreaterThanOrEqual(a, v) => cmpPred(a, v, 2)
+      case LessThan(a, v) => cmpPred(a, v, 3)
+      case LessThanOrEqual(a, v) => cmpPred(a, v, 4)
+      case StringStartsWith(a, v) => cmpPred(a, v, 5)
+      case IsNotNull(a) if fieldType(a).isDefined => Some(AllNullSkip(a))
+      case In(a, vs) if vs != null && vs.nonEmpty =>
         // ≤64 values: exact per-value membership test against the bounds.
         // Larger sets (typical for runtime join-key filters): collapse to the
         // set's [min, max] envelope — O(1) per page instead of O(|set|),
         // still sound (a page outside the envelope contains no set member).
-        fieldType(a).foreach { dt =>
+        fieldType(a).flatMap { dt =>
           val ds = vs.flatMap(v => toDomain(dt, v))
           val bs = vs.flatMap(v => toBinDomain(dt, v))
-          if (ds.length == vs.length) {
+          if (ds.length == vs.length && ds.forall(_._1 == ds.head._1)) {
             val kind = ds.head._1
-            if (ds.forall(_._1 == kind)) {
-              usable += f
-              if (kind == 1) {
-                val ls = ds.map(_._2.swap.toOption.get)
-                if (vs.length <= 64) preds += InSet(a, 1, ls, Array.empty)
-                else { preds += Cmp(a, 1, 2, Left(ls.min)); preds += Cmp(a, 1, 4, Left(ls.max)) }
-              } else {
-                val xs = ds.map(_._2.toOption.get)
-                if (vs.length <= 64) preds += InSet(a, 2, Array.empty, xs)
-                else { preds += Cmp(a, 2, 2, Right(xs.min)); preds += Cmp(a, 2, 4, Right(xs.max)) }
-              }
+            if (kind == 1) {
+              val ls = ds.map(_._2.swap.toOption.get)
+              if (vs.length <= 64) Some(InSet(a, 1, ls, Array.empty))
+              else Some(AllOf(Array(Cmp(a, 1, 2, Left(ls.min)), Cmp(a, 1, 4, Left(ls.max)))))
+            } else {
+              val xs = ds.map(_._2.toOption.get)
+              if (vs.length <= 64) Some(InSet(a, 2, Array.empty, xs))
+              else Some(AllOf(Array(Cmp(a, 2, 2, Right(xs.min)), Cmp(a, 2, 4, Right(xs.max)))))
             }
           } else if (bs.length == vs.length) {
-            usable += f
-            if (vs.length <= 64) preds += InSetBin(a, bs)
+            if (vs.length <= 64) Some(InSetBin(a, bs))
             else {
               val lo = bs.reduce((x, y) => if (cmpBytes(x, y) <= 0) x else y)
               val hi = bs.reduce((x, y) => if (cmpBytes(x, y) >= 0) x else y)
-              preds += CmpBin(a, 2, lo)
-              preds += CmpBin(a, 4, hi)
+              Some(AllOf(Array(CmpBin(a, 2, lo), CmpBin(a, 4, hi))))
             }
-          }
+          } else None
         }
-      case _ =>
+      case And(l, r) =>
+        // a partially-compilable AND still prunes on the compilable side
+        (compileOne(schema, l), compileOne(schema, r)) match {
+          case (Some(x), Some(y)) => Some(AllOf(Array(x, y)))
+          case (x, y) => x.orElse(y)
+        }
+      case Or(l, r) =>
+        // both branches must compile, else the OR as a whole can't prune
+        for { x <- compileOne(schema, l); y <- compileOne(schema, r) }
+          yield AnyOf(Array(x, y))
+      case Not(EqualTo(a, v)) =>
+        fieldType(a).flatMap(dt => toDomain(dt, v).map { case (k, d) => NotEq(a, k, d) })
+      case Not(child) => invert(child).flatMap(compileOne(schema, _))
+      case _ => None
     }
-    (usable.result(), preds.result())
+  }
+
+  /** Complement of a filter under three-valued logic restricted to rows the
+    * zone map reasons about. NaN-safe: Spark orders NaN above all doubles in
+    * both the original and complementary comparison, and NaN pages
+    * (statsKind 3) never skip >/>= or =, so the rewrite stays sound.
+    */
+  private def invert(f: Filter): Option[Filter] = f match {
+    case GreaterThan(a, v) => Some(LessThanOrEqual(a, v))
+    case GreaterThanOrEqual(a, v) => Some(LessThan(a, v))
+    case LessThan(a, v) => Some(GreaterThanOrEqual(a, v))
+    case LessThanOrEqual(a, v) => Some(GreaterThan(a, v))
+    case IsNull(a) => Some(IsNotNull(a))
+    case Not(inner) => Some(inner)
+    case Or(l, r) => for { il <- invert(l); ir <- invert(r) } yield And(il, ir)
+    case And(l, r) => for { il <- invert(l); ir <- invert(r) } yield Or(il, ir)
+    case _ => None
   }
 }

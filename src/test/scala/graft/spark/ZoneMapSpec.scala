@@ -152,7 +152,9 @@ class ZoneMapSpec extends AnyFunSuite {
     spark.range(1000).selectExpr("id + 150000 AS k", "id % 7 AS cat")
       .coalesce(1).write.format("graft").mode("overwrite").save(dimDir)
 
-    val fact = spark.read.format("graft").load(factDir)
+    // runtime filtering is opt-in (default off: the planned pruning subquery
+    // costs more than it saves when the delivered IN-set degrades to `true`)
+    val fact = spark.read.format("graft").option("runtimefilter", "true").load(factDir)
     val dim = spark.read.format("graft").load(dimDir).filter(col("cat") === 3)
 
     GraftMetrics.pageGroupsSkipped.set(0)
@@ -164,6 +166,43 @@ class ZoneMapSpec extends AnyFunSuite {
     val read = GraftMetrics.pageGroupsRead.get()
     assert(skipped >= 10,
       s"runtime filter should prune fact pages outside the dim key range: skipped=$skipped read=$read")
+  }
+
+  test("OR / NOT predicates prune pages (skip only when both branches skip)") {
+    val dir = "/tmp/graft-test/zonemap-or"
+    spark.range(100000).selectExpr("id AS k", "cast(id AS double) AS d")
+      .orderBy("k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+
+    // two narrow bands at opposite ends: the middle pages skip both branches
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    val n = g.filter(col("k") < 1000 || col("k") >= 99000).count()
+    assert(n == 2000)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 8,
+      s"OR of two bands should skip middle pages: skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+    assert(GraftMetrics.pageGroupsRead.get() <= 4)
+
+    // OR across two different columns
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter(col("k") < 500 || col("d") >= 99500.0).count() == 1000)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 8, "cross-column OR should prune")
+
+    // NOT rewrites to the complementary comparison
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter(!(col("k") < 99000)).count() == 1000)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10, "NOT(<) should prune like >=")
+
+    // Not(EqualTo) on a constant page: all-same-value pages are skippable
+    val cdir = "/tmp/graft-test/zonemap-noteq"
+    spark.range(50000).selectExpr("(CASE WHEN id < 40000 THEN 7 ELSE id END) AS k")
+      .orderBy("k").coalesce(1).write.format("graft").mode("overwrite").save(cdir)
+    val gc = spark.read.format("graft").load(cdir)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(gc.filter(col("k") =!= 7).count() == 10000)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 3,
+      "constant pages should skip under NOT(=)")
   }
 
   test("timestamp range pruning on sorted events") {
