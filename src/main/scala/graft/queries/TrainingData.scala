@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * Determinism notes:
   *  - oracle-checked ops use only integer arithmetic, IEEE double division /
   *    sqrt of integers, and engine-portable functions (md5, ascii, split);
-  *  - xxhash64-based ops (minhash/simhash/LSH) have no DuckDB equivalent →
-  *    no oracle entry (driver records rows-only);
+  *  - minhash/simhash run in a PORTABLE hash mode for the correctness
+  *    entries: the base hash is the first 15 hex nibbles of md5(s) folded
+  *    into an int64, reproducible in DuckDB via list_reduce/strpos. The
+  *    xxhash64 fast path is kept for throughput (Bench overrides to it);
   *  - float embeddings are quantized via floor(x*1000) so similarity ranking
   *    is integer-exact on both engines.
   */
@@ -27,6 +29,17 @@ object TrainingData {
 
   /** quantized embedding as array<bigint> */
   private val quantized = "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint))"
+
+  /** Portable 60-bit base hash of each element of a string-array column:
+    * first 15 hex nibbles of md5, folded big-endian into an int64. DuckDB
+    * mirror: list_reduce(list_transform(generate_series(1,15),
+    * i -> strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1),
+    * (acc, d) -> acc * 16 + d). md5 is hoisted so it runs once per element.
+    */
+  private def portableHashArr(arrCol: String): String =
+    s"""transform(transform($arrCol, s0 -> substr(md5(s0), 1, 15)),
+        h -> aggregate(sequence(1, 15), cast(0 as bigint),
+          (acc, i) -> acc * 16 + (instr('0123456789abcdef', substr(h, i, 1)) - 1)))"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -55,80 +68,9 @@ object TrainingData {
         .orderBy(col("source"), col("n_chars"))
     },
 
-    "d_dedup_minhash_lsh" -> { (s, dir) =>
-      // shingle -> 64 minhashes -> 8 bands of 8 -> bucket-join candidates ->
-      // signature-similarity confirm. Scale path: the band join is a plain
-      // shuffle join on (band, hash) — no pairwise blowup outside buckets.
-      val d = docs(s, dir)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("shingles", expr(
-          """CASE WHEN size(w) >= 3
-             THEN transform(sequence(0, size(w)-3),
-                  i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
-             ELSE array(text) END"""))
-        .withColumn("sig", expr(
-          """aggregate(shingles,
-               array_repeat(cast(9223372036854775807 as bigint), 64),
-               (acc, sh) -> zip_with(acc,
-                 transform(sequence(0, 63),
-                   h -> pmod((h*2+1) * pmod(xxhash64(sh), 1000000007) + h*12345+1, 1000000007)),
-                 (a, b) -> least(a, b)))"""))
-        .select(col("doc_id"), col("sig"))
-      // cached because bands + the two signature rejoins reuse it; the frame
-      // is (id, 64 longs) — a fraction of the raw text — and Dataset.cache's
-      // MEMORY_AND_DISK level spills rather than OOMs at scale
-      d.cache()
-      // the band join carries only (band, bh, doc_id); the 64-long signatures
-      // are re-joined AFTER the candidate pairs are deduped, so the widest
-      // shuffle moves ids, not signatures (the scale-critical difference)
-      val bands = d.select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 7), b -> named_struct(
-               'band', b,
-               'bh', xxhash64(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string))))))"""))
-          .as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val a = bands.select(col("band"), col("bh"), col("doc_id").as("ida"))
-      val b = bands.select(col("band"), col("bh"), col("doc_id").as("idb"))
-      val cand = a.join(b, Seq("band", "bh")).filter(col("ida") < col("idb"))
-        .select(col("ida"), col("idb")).distinct()
-      val confirmed = cand
-        .join(d.select(col("doc_id").as("ida"), col("sig").as("siga")), Seq("ida"))
-        .join(d.select(col("doc_id").as("idb"), col("sig").as("sigb")), Seq("idb"))
-        .withColumn("est_jacc",
-          expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) / 64.0"))
-      val bucketGroups = bands.groupBy(col("band"), col("bh")).count().filter(col("count") >= 2)
-      confirmed.agg(
-        count(lit(1)).as("candidate_pairs"),
-        sum(when(col("est_jacc") >= 0.7, 1L).otherwise(0L)).as("confirmed_pairs"))
-        .crossJoin(bucketGroups.agg(count(lit(1)).as("multi_buckets")))
-        .crossJoin(d.agg(count(lit(1)).as("n_docs")))
-        .select(col("n_docs"), col("multi_buckets"), col("candidate_pairs"), col("confirmed_pairs"))
-    },
+    "d_dedup_minhash_lsh" -> { (s, dir) => minhashLsh(s, dir, portable = true) },
 
-    "d_dedup_simhash" -> { (s, dir) =>
-      val d2 = docs(s, dir)
-        .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), cast(0 as bigint),
-               (acc, b) -> acc + CASE
-                 WHEN size(filter(hs, h -> ((h >> b) & 1) = 1)) * 2 >= size(hs)
-                 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""))
-        .select(col("doc_id"), col("simhash"))
-      d2.cache()
-      val chunks = d2.select(col("doc_id"), col("simhash"),
-        explode(expr("transform(sequence(0, 3), c -> named_struct('c', c, 'ck', (simhash >> (c*16)) & 65535))")).as("cc"))
-        .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
-      val a = chunks.select(col("c"), col("ck"), col("doc_id").as("ida"), col("simhash").as("sa"))
-      val b = chunks.select(col("c"), col("ck"), col("doc_id").as("idb"), col("simhash").as("sb"))
-      val cand = a.join(b, Seq("c", "ck")).filter(col("ida") < col("idb"))
-        .select(col("ida"), col("idb"), col("sa"), col("sb")).distinct()
-        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
-      cand.agg(count(lit(1)).as("candidate_pairs"),
-          sum(when(col("hamming") <= 6, 1L).otherwise(0L)).as("near_dup_pairs"))
-        .crossJoin(d2.agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("distinct_simhashes")))
-        .select(col("n_docs"), col("distinct_simhashes"), col("candidate_pairs"), col("near_dup_pairs"))
-    },
+    "d_dedup_simhash" -> { (s, dir) => simhashDedup(s, dir, portable = true) },
 
     "d_ngram_jaccard" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -369,7 +311,158 @@ object TrainingData {
         .orderBy(col("doc_id"))
     })
 
+  /** MinHash+LSH near-dup detection: shingle -> 64 minhashes -> 8 bands of
+    * 8 -> bucket-join candidates -> signature-similarity confirm. Scale
+    * path: the band join is a plain shuffle join on (band, hash) — no
+    * pairwise blowup outside buckets.
+    *
+    * portable=true uses the md5-nibble base hash (DuckDB-reproducible, the
+    * correctness entry); portable=false uses xxhash64 (the throughput path,
+    * what Bench times). Both share the identical plan shape.
+    */
+  def minhashLsh(s: SparkSession, dir: String, portable: Boolean): DataFrame = {
+    val baseHash =
+      if (portable) portableHashArr("shingles")
+      else "transform(shingles, sh -> pmod(xxhash64(sh), 1000000007))"
+    val bandHash =
+      if (portable) "md5(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string))))"
+      else "cast(xxhash64(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string)))) as string)"
+    val d = docs(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(w) >= 3
+           THEN transform(sequence(0, size(w)-3),
+                i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
+           ELSE array(text) END"""))
+      .withColumn("hb", expr(baseHash))
+      .withColumn("sig", expr(
+        """aggregate(hb,
+             array_repeat(cast(9223372036854775807 as bigint), 64),
+             (acc, v) -> zip_with(acc,
+               transform(sequence(0, 63),
+                 h -> pmod((h*2+1) * pmod(v, 1000000007) + h*12345+1, 1000000007)),
+               (a, b) -> least(a, b)))"""))
+      .select(col("doc_id"), col("sig"))
+    // cached because bands + the two signature rejoins reuse it; the frame
+    // is (id, 64 longs) — a fraction of the raw text — and Dataset.cache's
+    // MEMORY_AND_DISK level spills rather than OOMs at scale
+    d.cache()
+    // the band join carries only (band, bh, doc_id); the 64-long signatures
+    // are re-joined AFTER the candidate pairs are deduped, so the widest
+    // shuffle moves ids, not signatures (the scale-critical difference)
+    val bands = d.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, 7), b -> named_struct(
+             'band', b,
+             'bh', $bandHash))"""))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = bands.select(col("band"), col("bh"), col("doc_id").as("ida"))
+    val b = bands.select(col("band"), col("bh"), col("doc_id").as("idb"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val confirmed = cand
+      .join(d.select(col("doc_id").as("ida"), col("sig").as("siga")), Seq("ida"))
+      .join(d.select(col("doc_id").as("idb"), col("sig").as("sigb")), Seq("idb"))
+      .withColumn("est_jacc",
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) / 64.0"))
+    val bucketGroups = bands.groupBy(col("band"), col("bh")).count().filter(col("count") >= 2)
+    confirmed.agg(
+      count(lit(1)).as("candidate_pairs"),
+      sum(when(col("est_jacc") >= 0.7, 1L).otherwise(0L)).as("confirmed_pairs"))
+      .crossJoin(bucketGroups.agg(count(lit(1)).as("multi_buckets")))
+      .crossJoin(d.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("multi_buckets"), col("candidate_pairs"), col("confirmed_pairs"))
+  }
+
+  /** SimHash near-dup detection with 4-chunk blocking. portable=true hashes
+    * words via the md5-nibble fold (60-bit simhash, 4 chunks of 15 bits);
+    * portable=false keeps xxhash64 (64-bit, 4 chunks of 16). Hamming
+    * threshold 6 in both.
+    */
+  def simhashDedup(s: SparkSession, dir: String, portable: Boolean): DataFrame = {
+    val wordHash =
+      if (portable) portableHashArr("split(text, ' ')")
+      else "transform(split(text, ' '), w -> xxhash64(w))"
+    val nbits = if (portable) 60 else 64
+    val chunkBits = nbits / 4
+    val chunkMask = (1 << chunkBits) - 1
+    val d2 = docs(s, dir)
+      .withColumn("hs", expr(wordHash))
+      .withColumn("simhash", expr(
+        s"""aggregate(sequence(0, ${nbits - 1}), cast(0 as bigint),
+             (acc, b) -> acc + CASE
+               WHEN size(filter(hs, h -> ((h >> b) & 1) = 1)) * 2 >= size(hs)
+               THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""))
+      .select(col("doc_id"), col("simhash"))
+    d2.cache()
+    val chunks = d2.select(col("doc_id"), col("simhash"),
+      explode(expr(s"transform(sequence(0, 3), c -> named_struct('c', c, 'ck', (simhash >> (c*$chunkBits)) & $chunkMask))")).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
+    val a = chunks.select(col("c"), col("ck"), col("doc_id").as("ida"), col("simhash").as("sa"))
+    val b = chunks.select(col("c"), col("ck"), col("doc_id").as("idb"), col("simhash").as("sb"))
+    val cand = a.join(b, Seq("c", "ck")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("sa"), col("sb")).distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+    cand.agg(count(lit(1)).as("candidate_pairs"),
+        sum(when(col("hamming") <= 6, 1L).otherwise(0L)).as("near_dup_pairs"))
+      .crossJoin(d2.agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("distinct_simhashes")))
+      .select(col("n_docs"), col("distinct_simhashes"), col("candidate_pairs"), col("near_dup_pairs"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "d_dedup_minhash_lsh" ->
+      // mirrors the portable-hash Spark plan bit-for-bit: md5-nibble base
+      // hash, 64 affine minhashes mod 1e9+7, 8 md5 band hashes, bucket join,
+      // signature-agreement confirm
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |         THEN list_transform(generate_series(1, len(w) - 2),
+        |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |         ELSE [text] END) AS sh FROM d),
+        |hb AS (SELECT doc_id, list_reduce(list_transform(generate_series(1, 15),
+        |         i -> CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)),
+        |         (acc, dg) -> acc * 16 + dg) AS hb FROM sh),
+        |mh AS (SELECT doc_id, hs.h,
+        |         min(((hs.h*2+1) * (hb % 1000000007) + hs.h*12345 + 1) % 1000000007) AS mh
+        |       FROM hb, (SELECT unnest(generate_series(0, 63)) AS h) hs GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM mh GROUP BY 1),
+        |bands AS (SELECT doc_id, bs.b AS band,
+        |            md5(array_to_string(list_transform(generate_series(bs.b*8+1, bs.b*8+8),
+        |              i -> CAST(sig[i] AS VARCHAR)), ',')) AS bh
+        |          FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) bs),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |conf AS (SELECT c.ida, c.idb,
+        |           len(list_filter(list_transform(generate_series(1, 64),
+        |             i -> sa.sig[i] = sb.sig[i]), p -> p)) / 64.0 AS est_jacc
+        |         FROM cand c JOIN sig sa ON sa.doc_id = c.ida JOIN sig sb ON sb.doc_id = c.idb)
+        |SELECT
+        |  (SELECT count(*) FROM d) AS n_docs,
+        |  (SELECT count(*) FROM (SELECT band, bh FROM bands GROUP BY 1, 2 HAVING count(*) >= 2)) AS multi_buckets,
+        |  (SELECT count(*) FROM conf) AS candidate_pairs,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN est_jacc >= 0.7 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM conf) AS confirmed_pairs""".stripMargin,
+    "d_dedup_simhash" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wh AS (SELECT doc_id, list_reduce(list_transform(generate_series(1, 15),
+        |         i -> CAST(strpos('0123456789abcdef', substr(md5(w1), i, 1)) - 1 AS BIGINT)),
+        |         (acc, dg) -> acc * 16 + dg) AS h
+        |       FROM (SELECT doc_id, unnest(w) AS w1 FROM d) t),
+        |bits AS (SELECT doc_id, bs.b,
+        |           CASE WHEN sum(CASE WHEN ((h >> bs.b) & 1) = 1 THEN 1 ELSE 0 END) * 2 >= count(*)
+        |                THEN (CAST(1 AS BIGINT) << bs.b) ELSE CAST(0 AS BIGINT) END AS bval
+        |         FROM wh, (SELECT unnest(generate_series(0, 59)) AS b) bs
+        |         GROUP BY doc_id, bs.b),
+        |sh AS (SELECT doc_id, CAST(sum(bval) AS BIGINT) AS simhash FROM bits GROUP BY 1),
+        |ch AS (SELECT doc_id, simhash, cs.c, (simhash >> (cs.c*15)) & 32767 AS ck
+        |       FROM sh, (SELECT unnest(generate_series(0, 3)) AS c) cs),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.simhash AS sa, b.simhash AS sb
+        |         FROM ch a JOIN ch b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+        |SELECT
+        |  (SELECT count(*) FROM sh) AS n_docs,
+        |  (SELECT count(DISTINCT simhash) FROM sh) AS distinct_simhashes,
+        |  (SELECT count(*) FROM cand) AS candidate_pairs,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN bit_count(xor(sa, sb)) <= 6 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM cand) AS near_dup_pairs""".stripMargin,
     "d_dedup_exact" ->
       """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_texts,
         |  count(*) - count(DISTINCT md5(text)) AS dup_docs

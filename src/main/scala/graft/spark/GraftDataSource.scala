@@ -388,8 +388,10 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
       val fi = fileSchema.fieldNames.indexOf(name)
       if (fi < 0) None else Some(name -> footer.leaves(fieldOffsets(fi)).pages)
     }.toMap
+  // composites are decomposed per-file: AND branches on columns this file
+  // carries still prune even when a sibling branch references a missing field
   private val activePreds: Array[ZoneMapFilter.PagePred] =
-    pagePreds.filter(_.fields.forall(predFieldPages.contains))
+    pagePreds.flatMap(ZoneMapFilter.restrict(_, predFieldPages.contains))
 
   // this split's page-group range (whole file when unset)
   private val rangeLo = if (pageLo < 0) 0 else pageLo

@@ -248,6 +248,25 @@ object ZoneMapFilter {
     case _ => false
   }
 
+  /** Restrict a predicate to the fields a given file carries. Conjunctions
+    * keep every branch whose fields all resolve (sound: dropping an AND
+    * branch only weakens pruning); disjunctions survive only if ALL branches
+    * resolve (an unresolvable OR branch could match anything). Used by the
+    * reader so a composite spanning a missing column still prunes on the
+    * columns the file does have.
+    */
+  def restrict(p: PagePred, has: String => Boolean): Option[PagePred] = p match {
+    case AllOf(ps) =>
+      val kept = ps.flatMap(restrict(_, has))
+      if (kept.isEmpty) None
+      else if (kept.length == 1) Some(kept(0))
+      else Some(AllOf(kept))
+    case AnyOf(ps) =>
+      val kept = ps.flatMap(restrict(_, has))
+      if (kept.length == ps.length) Some(AnyOf(kept)) else None
+    case leaf => if (leaf.fields.forall(has(_))) Some(leaf) else None
+  }
+
   /** Compile the subset of `filters` usable for page pruning. Returned
     * filters are the ones reflected in pushedFilters() / explain output.
     * Recurses into And/Or/Not: an OR skips a page only when BOTH branches
@@ -302,6 +321,11 @@ object ZoneMapFilter {
             } else {
               val xs = ds.map(_._2.toOption.get)
               if (vs.length <= 64) Some(InSet(a, 2, Array.empty, xs))
+              else if (xs.exists(_.isNaN)) None
+              // a NaN probe matches NaN-page rows, and the <=hi envelope leg
+              // (Cmp op 4) has no nanPage guard — so only build the envelope
+              // from NaN-free sets; with NaN present min/max would be
+              // order-dependent anyway and never pruned
               else Some(AllOf(Array(Cmp(a, 2, 2, Right(xs.min)), Cmp(a, 2, 4, Right(xs.max)))))
             }
           } else if (bs.length == vs.length) {
@@ -336,6 +360,7 @@ object ZoneMapFilter {
     * (statsKind 3) never skip >/>= or =, so the rewrite stays sound.
     */
   private def invert(f: Filter): Option[Filter] = f match {
+    case e: EqualTo => Some(Not(e)) // compileOne's Not(EqualTo) case → NotEq
     case GreaterThan(a, v) => Some(LessThanOrEqual(a, v))
     case GreaterThanOrEqual(a, v) => Some(LessThan(a, v))
     case LessThan(a, v) => Some(GreaterThanOrEqual(a, v))

@@ -147,6 +147,29 @@ class CodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(sBytes, fileBytes(Lane.I64, vec, sampled)))
   }
 
+  test("float lane: sampled chooser falls back to block codec on noisy pages") {
+    // same mis-rank shape as the long-lane case, viewed as double bit
+    // patterns (positive denormals): the analytic float chooser ranks a
+    // delegated integer codec (or Patas) viable, but zstd on the byte
+    // stream is measurably smaller — only the sampled trial detects that
+    val n = 8192
+    val vals = Array.tabulate(n)(i =>
+      java.lang.Double.longBitsToDouble(math.abs((i / 3) * 2654435761L) % (1L << 40)))
+    val vec = DoubleVec(n, null, vals)
+    val analytic = WriteOptions(defaultCodec = Codec.Zstd, sampledChooser = false)
+    val sampled = WriteOptions(defaultCodec = Codec.Zstd, sampledChooser = true)
+
+    val (gotA, pagesA) = writeRead(Lane.F64, nullable = false, vec, analytic)
+    val (gotS, pagesS) = writeRead(Lane.F64, nullable = false, vec, sampled)
+    assert(pagesA.forall(p => !Codec.isCommon(p.codec)),
+      s"analytic should pick a special codec, got ${pagesA.map(_.codec).mkString(",")}")
+    assert(pagesS.forall(p => Codec.isCommon(p.codec)),
+      s"sampled should fall to the block codec, got ${pagesS.map(_.codec).mkString(",")}")
+    assert(fileBytes(Lane.F64, vec, sampled).length < fileBytes(Lane.F64, vec, analytic).length)
+    assertEq(vec, gotA)
+    assertEq(vec, gotS)
+  }
+
   test("codec tree exposes dict cardinality, freq exceptions, bitpack widths") {
     val n = 4096
     // dict shape: 8 distinct values

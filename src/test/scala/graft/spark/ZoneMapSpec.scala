@@ -205,6 +205,49 @@ class ZoneMapSpec extends AnyFunSuite {
       "constant pages should skip under NOT(=)")
   }
 
+  test("composites decompose per-file; Not over nested EqualTo prunes; NaN IN-sets stay sound") {
+    import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan, In, LessThan, Not, Or}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import graft.format.PageMeta
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType), StructField("d", DoubleType)))
+
+    // AND spanning two fields, file carries only 'a': still prunes on 'a'
+    val (_, preds) = ZoneMapFilter.compile(schema,
+      Array(And(GreaterThan("a", 100L), LessThan("b", 50L))))
+    assert(preds.length == 1)
+    val restricted = ZoneMapFilter.restrict(preds(0), Set("a"))
+    assert(restricted.isDefined, "AND branch on a present field must survive restriction")
+    assert(restricted.get.canSkip(_ => PageMeta(0, 100, 1.toByte, 0L, 90L, 0)),
+      "a in [0,90] fails a>100: skip")
+    assert(ZoneMapFilter.restrict(preds(0), Set.empty[String]).isEmpty)
+
+    // OR with an unresolvable branch must NOT survive (could match anything)
+    val (_, orPreds) = ZoneMapFilter.compile(schema,
+      Array(Or(GreaterThan("a", 100L), LessThan("b", 50L))))
+    assert(ZoneMapFilter.restrict(orPreds(0), Set("a")).isEmpty)
+
+    // invert has an EqualTo case: Not(Or(a = 7, a > 1000)) compiles and
+    // skips a constant a=7 page, keeps a [5,9] page
+    val (_, notPreds) = ZoneMapFilter.compile(schema,
+      Array(Not(Or(EqualTo("a", 7L), GreaterThan("a", 1000L)))))
+    assert(notPreds.length == 1, "Not(Or(=, >)) should compile")
+    assert(notPreds(0).canSkip(_ => PageMeta(0, 100, 1.toByte, 7L, 7L, 0)))
+    assert(!notPreds(0).canSkip(_ => PageMeta(0, 100, 1.toByte, 5L, 9L, 0)))
+
+    // >64-value double IN-set: NaN-free compiles to an envelope; a NaN probe
+    // disables compilation (the <=hi leg has no NaN-page guard)
+    val clean = (1 to 70).map(i => java.lang.Double.valueOf(i * 1.0)).toArray[Any]
+    val (_, inPreds) = ZoneMapFilter.compile(schema, Array(In("d", clean)))
+    assert(inPreds.length == 1)
+    assert(inPreds(0).canSkip(_ =>
+      PageMeta(0, 100, 2.toByte, java.lang.Double.doubleToLongBits(200.0),
+        java.lang.Double.doubleToLongBits(300.0), 0)))
+    val withNaN = clean :+ java.lang.Double.valueOf(Double.NaN).asInstanceOf[Any]
+    val (_, nanPreds) = ZoneMapFilter.compile(schema, Array(In("d", withNaN)))
+    assert(nanPreds.isEmpty, "NaN probe in a large IN-set must disable the envelope")
+  }
+
   test("timestamp range pruning on sorted events") {
     val dir = "/tmp/graft-test/zonemap-ts"
     spark.sql("SELECT timestamp_millis(1700000000000 + id * 60000) AS ts, id FROM range(50000)")
