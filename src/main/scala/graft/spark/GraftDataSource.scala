@@ -94,14 +94,16 @@ final class GraftTable(tableSchema: StructType, path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, path,
       SparkSession.active.sessionState.newHadoopConf(),
-      options.getBoolean("runtimefilter", false))
+      options.getBoolean("runtimefilter", false),
+      Option(options.get("manifest")).map(_.toBoolean))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info, path)
 }
 
 final class GraftScanBuilder(tableSchema: StructType, path: String,
     conf: org.apache.hadoop.conf.Configuration,
-    runtimeFilter: Boolean = false)
+    runtimeFilter: Boolean = false,
+    manifestOpt: Option[Boolean] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -154,14 +156,16 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
 
   override def build(): Scan = aggPlan match {
     case Some((specs, aggSchema)) => new GraftAggScan(path, conf, specs, aggSchema)
-    case None => new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter)
+    case None =>
+      new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt)
   }
 }
 
 final class GraftScan(tableSchema: StructType, projected: StructType, path: String,
     conf: org.apache.hadoop.conf.Configuration,
     initialPagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
-    runtimeFilter: Boolean = false)
+    runtimeFilter: Boolean = false,
+    manifestOpt: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -206,7 +210,7 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json)
+    new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json, manifestOpt)
   override def description(): String =
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
       (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "")

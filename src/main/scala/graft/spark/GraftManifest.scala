@@ -1,0 +1,66 @@
+package graft.spark
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Sink-side commit manifest: every successful batch write publishes one
+  * manifest file under `<table>/_graft_manifest/` listing the data files
+  * (name + byte length) that commit added, via the same tmp+rename pattern
+  * the data files use. The streaming source diffs manifests instead of
+  * data-file modification times, so a data file whose rename lands
+  * arbitrarily late still enters exactly one batch — its manifest entry is
+  * published only AFTER the rename completes, stamped with the commit time.
+  * (This is the FileStreamSink metadata-log pattern re-expressed for the
+  * graft layout; batch readers never see the manifest — GraftUtil
+  * .listDataFiles keeps only top-level `*.graft` files.)
+  *
+  * Manifest names are `<zero-padded epoch millis>-<uuid8>`, so the commit
+  * timestamp is embedded in the name itself: visibility skew between two
+  * manifests is bounded by one tiny-file rename (milliseconds), not by task
+  * duration — which is what makes a small watermark window sound here where
+  * it wasn't for data-file modTimes.
+  */
+object GraftManifest {
+  val DirName = "_graft_manifest"
+
+  def dir(tableDir: Path): Path = new Path(tableDir, DirName)
+
+  /** Commit timestamp embedded in a manifest name. */
+  def nameT(name: String): Long = name.takeWhile(_ != '-').toLong
+
+  def publish(fs: FileSystem, tableDir: Path, entries: Seq[(String, Long)]): Unit = {
+    if (entries.isEmpty) return
+    val d = dir(tableDir)
+    fs.mkdirs(d)
+    val name = f"${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = new Path(d, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.map { case (n, l) => s"$n\t$l" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(d, name)))
+      throw new java.io.IOException(s"graft: failed to publish manifest $name")
+  }
+
+  /** Sorted names of all published manifests (chronological — the embedded
+    * millis prefix is zero-padded).
+    */
+  def list(fs: FileSystem, tableDir: Path): Seq[String] = {
+    val d = dir(tableDir)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.collect {
+      case f if f.isFile && !f.getPath.getName.startsWith(".") => f.getPath.getName
+    }.sorted
+  }
+
+  /** (data file name, byte length) entries of one manifest. */
+  def read(fs: FileSystem, tableDir: Path, name: String): Seq[(String, Long)] = {
+    val in = fs.open(new Path(dir(tableDir), name))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        .filter(_.nonEmpty).map { line =>
+          val i = line.lastIndexOf('\t')
+          (line.substring(0, i), line.substring(i + 1).toLong)
+        }
+    } finally in.close()
+  }
+}

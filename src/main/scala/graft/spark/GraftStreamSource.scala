@@ -16,16 +16,29 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * (assumed already processed) or its name is listed. Offset size is
   * therefore bounded by the arrival rate x lateness window, independent of
   * the directory's total history — the unbounded-offset fix for long-running
-  * streams. Files whose modTime lags more than `lateness` behind the newest
-  * file at capture time (e.g. a straggler task whose rename lands very late)
-  * would be missed; `lateness` (hadoop conf `graft.stream.lateness.ms`,
-  * default 5 min) bounds that window.
+  * streams. In plain modTime mode, files whose modTime lags more than
+  * `lateness` behind the newest file at capture time (e.g. a straggler task
+  * whose rename lands very late) would be missed; `lateness` (hadoop conf
+  * `graft.stream.lateness.ms`, default 5 min) bounds that window.
+  *
+  * When the directory carries a sink-side commit manifest (written by every
+  * graft batch/stream write since the manifest landed — GraftManifest), the
+  * source switches to MANIFEST offsets (`manifest=true`): the same bounded
+  * watermark+window structure, but over manifest names whose timestamps are
+  * assigned at COMMIT (after the data renames complete). A data file renamed
+  * in arbitrarily late still lands in exactly one batch, because it only
+  * becomes stream-visible through its commit's manifest; the window only has
+  * to absorb the visibility skew of one tiny manifest rename. Unmanifested
+  * files dropped into a manifest-bearing directory by external means are
+  * ignored in this mode (same contract as Spark's FileStreamSink readers).
   */
-final case class GraftStreamOffset(t: Long, names: Seq[String]) extends Offset {
+final case class GraftStreamOffset(t: Long, names: Seq[String],
+    manifest: Boolean = false) extends Offset {
   override def json(): String = {
     val ns = names.sorted.map(f =>
       "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
-    s"""{"t":$t,"names":$ns}"""
+    val m = if (manifest) "\"m\":1," else ""
+    s"""{$m"t":$t,"names":$ns}"""
   }
 }
 
@@ -49,7 +62,7 @@ object GraftStreamOffset {
     require(tIdx >= 0 && nIdx >= 0, s"graft: bad stream offset: $s")
     val tVal = t.substring(tIdx + 4, t.indexOf(',', tIdx)).trim.toLong
     val arr = t.substring(t.indexOf('[', nIdx), t.lastIndexOf(']') + 1)
-    GraftStreamOffset(tVal, parseArray(arr))
+    GraftStreamOffset(tVal, parseArray(arr), manifest = t.contains("\"m\":1"))
   }
 
   private def parseArray(arr: String): Seq[String] = {
@@ -69,7 +82,19 @@ object GraftStreamOffset {
 }
 
 final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
-    projectedJson: String) extends MicroBatchStream {
+    projectedJson: String, manifestOpt: Option[Boolean] = None) extends MicroBatchStream {
+
+  private val tableDir = new org.apache.hadoop.fs.Path(path)
+  private def fs = tableDir.getFileSystem(conf.value)
+
+  /** Sticky for the stream's lifetime: manifest offsets when the sink-side
+    * commit manifest exists at start (or `.option("manifest", true/false)`
+    * forces it). Checkpoints written in one mode must keep that mode — the
+    * offset itself carries the marker, and planInputPartitions dispatches on
+    * the end offset so restarts stay consistent.
+    */
+  private val manifestMode: Boolean =
+    manifestOpt.getOrElse(GraftManifest.list(fs, tableDir).nonEmpty)
 
   private def lateness: Long =
     conf.value.getLong("graft.stream.lateness.ms", 5 * 60 * 1000L)
@@ -93,11 +118,22 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
   override def initialOffset(): Offset = GraftStreamOffset.Empty
 
   override def latestOffset(): Offset = {
-    val files = listNow()
-    if (files.isEmpty) GraftStreamOffset.Empty
-    else {
-      val maxT = files.map(_._2).max
-      GraftStreamOffset(maxT, files.collect { case (n, mt, _) if mt >= maxT - lateness => n }.sorted)
+    if (manifestMode) {
+      val names = GraftManifest.list(fs, tableDir)
+      if (names.isEmpty) GraftStreamOffset.Empty
+      else {
+        val maxT = names.map(GraftManifest.nameT).max
+        GraftStreamOffset(maxT,
+          names.filter(n => GraftManifest.nameT(n) >= maxT - lateness),
+          manifest = true)
+      }
+    } else {
+      val files = listNow()
+      if (files.isEmpty) GraftStreamOffset.Empty
+      else {
+        val maxT = files.map(_._2).max
+        GraftStreamOffset(maxT, files.collect { case (n, mt, _) if mt >= maxT - lateness => n }.sorted)
+      }
     }
   }
 
@@ -108,13 +144,30 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     val e = end.asInstanceOf[GraftStreamOffset]
     val sNames = s.names.toSet
     val eNames = e.names.toSet
-    // batch = files covered by `end` but not by `start` (a file inside end's
-    // window that end didn't list waits for the next batch)
-    listNow()
-      .filter { case (name, mt, _) => covered(e.t, eNames, name, mt) }
-      .filterNot { case (name, mt, _) => covered(s.t, sNames, name, mt) }
-      .map { case (name, _, len) => GraftInputPartition(name, len): InputPartition }
-      .toArray
+    if (e.manifest) {
+      // batch = data files of every manifest covered by `end` but not by
+      // `start`; each file belongs to exactly one manifest, so exactly-once
+      // needs no file-level dedup
+      GraftManifest.list(fs, tableDir)
+        .filter(n => covered(e.t, eNames, n, GraftManifest.nameT(n)))
+        .filterNot(n => covered(s.t, sNames, n, GraftManifest.nameT(n)))
+        .flatMap(n => GraftManifest.read(fs, tableDir, n))
+        .map { case (name, len) =>
+          // qualified like the FileStatus paths of modTime mode
+          GraftInputPartition(
+            fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString, len):
+            InputPartition
+        }
+        .toArray
+    } else {
+      // batch = files covered by `end` but not by `start` (a file inside
+      // end's window that end didn't list waits for the next batch)
+      listNow()
+        .filter { case (name, mt, _) => covered(e.t, eNames, name, mt) }
+        .filterNot { case (name, mt, _) => covered(s.t, sNames, name, mt) }
+        .map { case (name, _, len) => GraftInputPartition(name, len): InputPartition }
+        .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -83,32 +83,48 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     * previous table intact.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(conf.value)
+    val tableDir = new Path(path)
+    val fs = tableDir.getFileSystem(conf.value)
     val oldFiles =
       if (doTruncate) GraftUtil.listDataFiles(path, conf.value).map(_.getPath) else Seq.empty
     messages.foreach {
-      case GraftCommitMessage(pairs, _) =>
-        pairs.foreach { case (tmp, dst) =>
+      case GraftCommitMessage(files, _) =>
+        files.foreach { case (tmp, dst, _) =>
           if (!fs.rename(new Path(tmp), new Path(dst)))
             throw new java.io.IOException(s"graft: failed to rename $tmp to $dst")
         }
       case _ =>
     }
+    // streaming manifest AFTER the data renames (every listed file is
+    // visible) and BEFORE old-file deletion — a crash between the two leaves
+    // old+new data plus an accurate manifest of the new files. A truncating
+    // overwrite also resets the manifest history: stale manifests would
+    // reference the files deleted below.
+    val added = messages.toSeq.flatMap {
+      case GraftCommitMessage(files, _) =>
+        files.map { case (_, dst, len) => (new Path(dst).getName, len) }
+      case _ => Seq.empty
+    }
+    val oldManifests =
+      if (doTruncate) GraftManifest.list(fs, tableDir) else Seq.empty
+    GraftManifest.publish(fs, tableDir, added)
+    oldManifests.foreach(n => fs.delete(new Path(GraftManifest.dir(tableDir), n), false))
     oldFiles.foreach(fs.delete(_, false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
-      case GraftCommitMessage(pairs, _) =>
-        pairs.foreach { case (tmp, _) => fs.delete(new Path(tmp), false) }
+      case GraftCommitMessage(files, _) =>
+        files.foreach { case (tmp, _, _) => fs.delete(new Path(tmp), false) }
       case _ =>
     }
   }
 }
 
-/** (staged tmp path, final path) per rolled file. */
-final case class GraftCommitMessage(files: Seq[(String, String)], rows: Long) extends WriterCommitMessage
+/** (staged tmp path, final path, byte length) per rolled file. */
+final case class GraftCommitMessage(files: Seq[(String, String, Long)], rows: Long)
+    extends WriterCommitMessage
 
 final class GraftWriterFactory(schemaJson: String, path: String, opts: GraftWriteOptions,
     conf: SerializableHadoopConf) extends DataWriterFactory {
@@ -133,7 +149,7 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
   private var rowsInFile = 0
   private var totalRows = 0L
   private var fileSeq = 0
-  private val committed = ArrayBuffer[(Path, Path)]() // (tmp, final)
+  private val committed = ArrayBuffer[(Path, Path, Long)]() // (tmp, final, bytes)
 
   override def write(row: InternalRow): Unit = {
     var i = 0
@@ -146,14 +162,15 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     if (rowsInFile == 0) return
     val name = f"part-$partitionId%05d-$uuid-$fileSeq%04d${GraftUtil.Extension}"
     val tmp = new Path(dir, s".$name.tmp")
-    val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+    val counting = new CountingOutputStream(fs.create(tmp, true))
+    val out = new java.io.BufferedOutputStream(counting, 1 << 16)
     try {
       val w = new GraftFileWriter(out, schemaJson, opts.writeOptions)
       w.start()
       w.writeChunk(appenders.map(_.tree()).toSeq, rowsInFile)
       w.finish()
     } finally out.close()
-    committed += ((tmp, new Path(dir, name)))
+    committed += ((tmp, new Path(dir, name), counting.count))
     appenders.foreach(_.clear())
     totalRows += rowsInFile
     rowsInFile = 0
@@ -164,11 +181,23 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     rollFile()
     // renames happen at job commit (GraftBatchWrite.commit) so a failed job
     // never exposes partial output or loses the pre-overwrite table
-    GraftCommitMessage(committed.map(p => (p._1.toString, p._2.toString)).toSeq, totalRows)
+    GraftCommitMessage(committed.map(p => (p._1.toString, p._2.toString, p._3)).toSeq, totalRows)
   }
 
   override def abort(): Unit =
-    committed.foreach { case (tmp, _) => fs.delete(tmp, false) }
+    committed.foreach { case (tmp, _, _) => fs.delete(tmp, false) }
 
   override def close(): Unit = ()
+}
+
+/** Byte counter under the buffered writer: the staged file's final length,
+  * recorded in the commit message so the manifest carries lengths without
+  * per-file driver RPCs at job commit.
+  */
+private final class CountingOutputStream(u: java.io.OutputStream) extends java.io.OutputStream {
+  var count = 0L
+  override def write(b: Int): Unit = { u.write(b); count += 1 }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = { u.write(b, off, len); count += len }
+  override def flush(): Unit = u.flush()
+  override def close(): Unit = u.close()
 }

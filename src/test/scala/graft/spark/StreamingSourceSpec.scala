@@ -39,6 +39,48 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("manifest mode: a data file renamed in 10 minutes late lands in exactly one batch") {
+    val dir = "/tmp/graft-test/stream-manifest-late"
+    spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val msPlain = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson,
+      manifestOpt = Some(false))
+    val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(o1.manifest, "writer-produced directories carry a commit manifest")
+    val b1 = ms.planInputPartitions(GraftStreamOffset.Empty, o1)
+    val o1p = msPlain.latestOffset().asInstanceOf[GraftStreamOffset]
+
+    // a straggler commit whose data-file rename "landed" 10 minutes late:
+    // backdate the new data files' modTimes far beyond the lateness window
+    val before = GraftUtil.listDataFiles(dir, hconf).map(_.getPath.toString).toSet
+    spark.range(10, 15).selectExpr("id as k").write.format("graft").mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    val late = GraftUtil.listDataFiles(dir, hconf).filterNot(f => before(f.getPath.toString))
+    assert(late.nonEmpty)
+    late.foreach(f => fs.setTimes(f.getPath, System.currentTimeMillis() - 10 * 60 * 1000L, -1))
+
+    val o2 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val b2 = ms.planInputPartitions(o1, o2)
+    val b2names = b2.map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    late.foreach(f => assert(b2names.contains(f.getPath.toString),
+      s"late file ${f.getPath} must land in the next manifest batch"))
+    // exactly once: never delivered in batch 1, and not re-delivered later
+    val b1names = b1.map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    assert(b1names.intersect(b2names).isEmpty)
+    val o3 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(ms.planInputPartitions(o2, o3).isEmpty)
+
+    // contrast: the plain modTime source silently drops the backdated file —
+    // the gap the manifest closes
+    val o2p = msPlain.latestOffset().asInstanceOf[GraftStreamOffset]
+    val p2 = msPlain.planInputPartitions(o1p, o2p)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    late.foreach(f => assert(!p2.contains(f.getPath.toString),
+      "modTime mode drops a file older than the lateness window"))
+  }
+
   test("stream offset stays compact as the directory grows") {
     val dir = "/tmp/graft-test/stream-offset"
     spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
