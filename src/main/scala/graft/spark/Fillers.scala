@@ -15,6 +15,13 @@ abstract class FieldFiller {
     */
   def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit
 
+  /** Leaf indices (relative to this filler's base) that fill() actually
+    * consumes. Every leaf by default; pruned struct fillers skip dropped
+    * children's ranges, and the reader never creates LeafReaders (so never
+    * fetches bytes) for unlisted leaves.
+    */
+  lazy val neededLeaves: Array[Int] = Array.tabulate(leafCount)(identity)
+
   protected def applyNulls(vector: WritableColumnVector, nulls: Array[Boolean], rows: Int): Unit = {
     if (nulls != null) {
       var i = 0
@@ -35,6 +42,23 @@ object FieldFiller {
   }
 
   def forField(f: StructField): FieldFiller = apply(f.dataType, f.nullable)
+
+  /** Filler for a projected field whose type may be a struct-pruned subset
+    * of the file's type: leaf offsets follow the FULL file layout (so the
+    * on-disk leaf indices stay correct) while only the projected children
+    * are decoded and filled. Non-struct shapes must match the file exactly
+    * (array/map element pruning is not attempted — SURVEY.md §2.2).
+    */
+  def forProjected(file: StructField, proj: StructField): FieldFiller =
+    if (file.dataType == proj.dataType) apply(file.dataType, file.nullable)
+    else (file.dataType, proj.dataType) match {
+      case (fs: StructType, ps: StructType) =>
+        val inner = new PrunedStructFiller(fs, ps)
+        if (file.nullable) new NullableStructWrapper(inner) else inner
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft: projected type ${proj.dataType} is not a pruned subset of file type ${file.dataType}")
+    }
 }
 
 final class AtomicFiller(dt: DataType) extends FieldFiller {
@@ -178,9 +202,47 @@ final class StructFiller(st: StructType) extends FieldFiller {
   }
 }
 
+/** Struct filler for a PRUNED projection: the output struct's children are a
+  * (recursively pruned) subset of the file struct's, but child leaf offsets
+  * are computed over the FULL file layout, so dropped children's leaves are
+  * never touched — the reader consults neededLeaves and never fetches or
+  * decodes them. (Reference precedent: per-leaf independence makes sub-field
+  * pruning structurally free — `/root/reference/src/read/reader.rs` reads
+  * leaves independently.)
+  */
+final class PrunedStructFiller(fileSt: StructType, projSt: StructType) extends FieldFiller {
+  private val fileLeafCounts: Array[Int] =
+    fileSt.fields.map(f => GraftSchema.leafCount(f.dataType, f.nullable))
+  private val fileOffsets: Array[Int] = fileLeafCounts.scanLeft(0)(_ + _)
+  private val childIdx: Array[Int] = projSt.fields.map(pf => fileSt.fieldIndex(pf.name))
+  private val children: Array[FieldFiller] =
+    projSt.fields.zip(childIdx).map { case (pf, fi) =>
+      FieldFiller.forProjected(fileSt.fields(fi), pf)
+    }
+  val leafCount: Int = fileLeafCounts.sum // spans the whole file field
+
+  override lazy val neededLeaves: Array[Int] =
+    children.zipWithIndex.flatMap { case (c, j) =>
+      c.neededLeaves.map(fileOffsets(childIdx(j)) + _)
+    }
+
+  def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
+    var j = 0
+    while (j < children.length) {
+      val cv = vector.getChild(j)
+      cv.reset()
+      cv.reserve(rows)
+      children(j).fill(cv, leafPages, base + fileOffsets(childIdx(j)), rows)
+      j += 1
+    }
+  }
+}
+
 /** Nullable struct: consumes the Bool marker leaf, then delegates. */
-final class NullableStructWrapper(inner: StructFiller) extends FieldFiller {
+final class NullableStructWrapper(inner: FieldFiller) extends FieldFiller {
   val leafCount: Int = 1 + inner.leafCount
+
+  override lazy val neededLeaves: Array[Int] = 0 +: inner.neededLeaves.map(_ + 1)
 
   def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
     val marker = leafPages(base)

@@ -114,13 +114,18 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   private var hadFilters = false
   private var aggPlan: Option[(Seq[GraftAggPushdown.AggSpec], StructType)] = None
 
-  /** Top-level column pruning (reference analogue: independent per-column
-    * byte ranges, SURVEY.md §2.2). Nested pruning falls back to the full
-    * top-level column.
+  /** Column pruning (reference analogue: independent per-column byte
+    * ranges, SURVEY.md §2.2). Struct sub-fields prune to their leaf ranges
+    * too: the projected type keeps only the requested children (in file
+    * order), and the reader never fetches the dropped children's leaves.
+    * Array/map element pruning is not attempted (full field read).
     */
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    val names = requiredSchema.fields.map(_.name).toSet
-    projected = StructType(tableSchema.fields.filter(f => names.contains(f.name)))
+    val byName = requiredSchema.fields.map(f => f.name -> f).toMap
+    projected = StructType(tableSchema.fields.collect {
+      case f if byName.contains(f.name) =>
+        f.copy(dataType = GraftSchema.prunedType(f.dataType, byName(f.name).dataType))
+    })
   }
 
   /** Zone-map page pruning: accepts min/max-decidable predicates for page
@@ -350,6 +355,10 @@ final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: Stri
 object GraftMetrics {
   val pageGroupsSkipped = new java.util.concurrent.atomic.AtomicLong()
   val pageGroupsRead = new java.util.concurrent.atomic.AtomicLong()
+  /** Bytes fetched through HadoopSeekableInput (data + footers); test-only
+    * observability for pruning assertions (local mode — same JVM).
+    */
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong()
 }
 
 final class GraftColumnarReader(filePath: String, fileLen: Long,
@@ -366,16 +375,18 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   require(totalLeaves == footer.leaves.length,
     s"graft: schema/leaf mismatch in $filePath (${footer.leaves.length} leaves, schema wants $totalLeaves)")
 
-  // projected field -> (file field index, base leaf index, filler)
+  // projected field -> (file field index, base leaf index, filler). The
+  // projected type may be a struct-pruned subset of the file's; the filler
+  // then reads only the kept children's leaves within the file layout.
   private val plan: Array[(Int, Int, FieldFiller)] = projected.fields.map { pf =>
     val fi = fileSchema.fieldIndex(pf.name)
     val ff = fileSchema.fields(fi)
     // schema drift across a directory (table schema inferred from the first
     // footer) must fail loudly, not decode garbage through mismatched lanes
-    require(ff.dataType == pf.dataType,
+    require(GraftSchema.isPrunedSubset(ff.dataType, pf.dataType),
       s"graft: schema drift in $filePath: field '${pf.name}' is ${ff.dataType} " +
         s"but the table schema expects ${pf.dataType}")
-    (fi, fieldOffsets(fi), FieldFiller.forField(ff))
+    (fi, fieldOffsets(fi), FieldFiller.forProjected(ff, pf))
   }
 
   // every top-level field's first leaf is row-aligned (see ColumnTree docs)
@@ -424,14 +435,15 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   private val leafSpecsAll: Array[(Int, Boolean)] =
     fileSchema.fields.flatMap(f => GraftSchema.leafSpecs(f.dataType, f.nullable)).toArray
   plan.foreach { case (fi, base, filler) =>
-    var i = base
-    while (i < base + filler.leafCount) {
+    // only the filler's needed leaves get readers: a pruned-away struct
+    // child's byte ranges are never fetched
+    filler.neededLeaves.foreach { rel =>
+      val i = base + rel
       val (lane, nullable) = leafSpecsAll(i)
       // the IO mask (false outside this split's range) keeps ranged fetches
       // to only this split's contiguous page runs
       leafReaders(i) = new LeafReader(input, footer.leaves(i), lane, nullable,
         if (activePreds.isEmpty && wholeFile) null else neededMask)
-      i += 1
     }
   }
 
@@ -476,10 +488,12 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
         val lr = leafReaders(base)
         direct(f).fill(vectors(f), lr.pageBytes, lr.pageStart(page), rows, scratch)
       } else {
-        var i = base
-        while (i < base + filler.leafCount) {
+        val nl = filler.neededLeaves
+        var k = 0
+        while (k < nl.length) {
+          val i = base + nl(k)
           pageVecs(i) = leafReaders(i).readPage(page)
-          i += 1
+          k += 1
         }
         filler.fill(vectors(f), pageVecs, base, rows)
       }

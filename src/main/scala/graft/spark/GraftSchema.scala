@@ -52,6 +52,34 @@ object GraftSchema {
     (offs, acc)
   }
 
+  /** Is `proj` the file type itself, or a struct-pruned subset of it?
+    * Struct nodes may drop children (names + nullability of kept children
+    * must match, recursively); all other shapes must be identical — the leaf
+    * layout math depends on it.
+    */
+  def isPrunedSubset(file: DataType, proj: DataType): Boolean = (file, proj) match {
+    case (a, b) if a == b => true
+    case (fs: StructType, ps: StructType) =>
+      ps.fields.forall(pf => fs.fields.find(_.name == pf.name).exists(ff =>
+        ff.nullable == pf.nullable && isPrunedSubset(ff.dataType, pf.dataType)))
+    case _ => false
+  }
+
+  /** Intersect a requested (possibly nested-pruned) type with the table's:
+    * struct children are filtered to the requested names (kept in FILE order,
+    * recursively); any other shape keeps the full table type. The result is
+    * always an isPrunedSubset of `file`.
+    */
+  def prunedType(file: DataType, req: DataType): DataType = (file, req) match {
+    case (fs: StructType, rs: StructType) =>
+      val keep = rs.fieldNames.toSet
+      StructType(fs.fields.filter(f => keep.contains(f.name)).map { ff =>
+        val rf = rs.fields(rs.fieldIndex(ff.name))
+        ff.copy(dataType = prunedType(ff.dataType, rf.dataType))
+      })
+    case _ => file
+  }
+
   /** Depth-first (lane, nullable) specs for every leaf of a field — the
     * reader uses this to decode pages without consulting value data.
     */

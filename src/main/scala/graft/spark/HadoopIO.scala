@@ -27,7 +27,9 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
 final class HadoopSeekableInput(fs: FileSystem, path: Path, val length: Long)
     extends SeekableInput {
   private val in: FSDataInputStream = fs.open(path)
-  def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit =
+  def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit = {
+    GraftMetrics.bytesRead.addAndGet(len)
     in.readFully(pos, dst, off, len)
+  }
   def close(): Unit = in.close()
 }

@@ -29,6 +29,53 @@ class NestedTypesSpec extends AnyFunSuite {
       a.zip(b).find(p => p._1 != p._2).getOrElse(("", ""))}")
   }
 
+  test("struct sub-field pruning reads only the selected leaf's bytes") {
+    val dir = "/tmp/graft-test/nested/prune"
+    // s.small is a few bytes/row; s.big dominates the file — a pruned scan of
+    // s.small must not fetch s.big's leaves
+    spark.sql("""
+      SELECT id, named_struct(
+        'small', cast(id % 100 AS INT),
+        'big', repeat(concat('x', cast(id AS STRING)), 50),
+        'nested', named_struct('a', id * 2, 'b', repeat('y', 100))) AS s
+      FROM range(20000)""")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+
+    val g = spark.read.format("graft").load(dir)
+
+    // baseline: an atomic-column scan pays the same fixed footer tail-read
+    // (64 KiB) — compare data deltas above it, not absolutes
+    GraftMetrics.bytesRead.set(0)
+    g.selectExpr("sum(id)").head
+    val idBytes = GraftMetrics.bytesRead.get()
+
+    GraftMetrics.bytesRead.set(0)
+    val full = g.selectExpr("sum(length(s.big))").head.getLong(0)
+    val fullDelta = GraftMetrics.bytesRead.get() - idBytes
+    assert(full > 0 && fullDelta > 0)
+
+    GraftMetrics.bytesRead.set(0)
+    val small = g.selectExpr("sum(s.small)").head.getLong(0)
+    val smallDelta = GraftMetrics.bytesRead.get() - idBytes
+    assert(small == (0 until 20000).map(_ % 100).sum)
+
+    GraftMetrics.bytesRead.set(0)
+    val nested = g.selectExpr("sum(s.nested.a)").head.getLong(0)
+    val nestedDelta = GraftMetrics.bytesRead.get() - idBytes
+    assert(nested == (0L until 20000L).map(_ * 2).sum)
+
+    // the pruned scans must be dramatically cheaper than touching s.big
+    assert(smallDelta * 8 < fullDelta,
+      s"s.small scan read +$smallDelta B vs +$fullDelta B for s.big — sub-field pruning not effective")
+    assert(nestedDelta * 8 < fullDelta,
+      s"s.nested.a scan read +$nestedDelta B vs +$fullDelta B — recursive pruning not effective")
+
+    // correctness of mixed projections: pruned + full struct in one query
+    val r = g.selectExpr("s.small AS sm", "s.nested.b AS nb", "s.big AS bg")
+      .filter("id < 3").selectExpr("sm", "length(nb)", "length(bg)").collect()
+    assert(r.length == 3 && r.forall(_.getInt(1) == 100))
+  }
+
   test("struct of atomic + nulls") {
     rt("struct", """
       SELECT id,
