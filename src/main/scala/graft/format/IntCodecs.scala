@@ -416,9 +416,14 @@ object IntCodecs {
     } else readSpecial(codec, cur, n, width, clen)
   }
 
-  def readSpecial(codec: Byte, cur: ByteCursor, n: Int, width: Int, clen: Int): Array[Long] = {
+  /** Decode a special-codec payload into `out0` when provided (must hold ≥ n
+    * values; scan hot loops reuse one buffer across pages), else a fresh
+    * array. Only entries [0, n) are written/meaningful.
+    */
+  def readSpecial(codec: Byte, cur: ByteCursor, n: Int, width: Int, clen: Int,
+      out0: Array[Long] = null): Array[Long] = {
     val end = cur.pos + clen
-    val out = new Array[Long](n)
+    val out = if (out0 != null && out0.length >= n) out0 else new Array[Long](n)
     def getValue(): Long = width match {
       case 1 => cur.getByte().toByte.toLong
       case 2 => cur.getShortLE().toShort.toLong
@@ -428,7 +433,7 @@ object IntCodecs {
     codec match {
       case Codec.OneValue =>
         val v = getValue()
-        java.util.Arrays.fill(out, v)
+        java.util.Arrays.fill(out, 0, n, v)
       case Codec.Rle =>
         val runs = cur.getIntLE()
         var pos = 0
@@ -457,7 +462,7 @@ object IntCodecs {
           new java.io.ByteArrayInputStream(cur.arr, cur.pos, rbLen)))
         cur.skip(rbLen)
         val exceptions = readFrame(cur, ex, width)
-        java.util.Arrays.fill(out, top)
+        java.util.Arrays.fill(out, 0, n, top)
         val it = rb.getIntIterator
         var k = 0
         while (it.hasNext) { out(it.next()) = exceptions(k); k += 1 }
@@ -482,7 +487,7 @@ object IntCodecs {
 
   private def unpack(cur: ByteCursor, n: Int, bits: Int, base: Long, out: Array[Long]): Unit = {
     if (bits == 0) {
-      java.util.Arrays.fill(out, base)
+      java.util.Arrays.fill(out, 0, n, base)
       return
     }
     val mask = if (bits == 64) -1L else (1L << bits) - 1

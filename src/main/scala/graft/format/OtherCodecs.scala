@@ -90,9 +90,11 @@ object FloatCodecs {
     out.patchIntLE(lenPos + 4, n * width)
   }
 
-  def read(cur: ByteCursor, n: Int, clen: Int): Array[Long] = {
+  def read(cur: ByteCursor, n: Int, clen: Int, out0: Array[Long] = null): Array[Long] = {
     val end = cur.pos + clen
-    val out = new Array[Long](n)
+    // ring references only look backward at entries written THIS page, so a
+    // reused buffer cannot leak stale values
+    val out = if (out0 != null && out0.length >= n) out0 else new Array[Long](n)
     var i = 0
     while (i < n) {
       val h = cur.getByte()

@@ -28,8 +28,11 @@ object BitmapUtil {
       i += 1
     }
   }
-  def read(src: Array[Byte], off: Int, n: Int): Array[Boolean] = {
-    val res = new Array[Boolean](n)
+  def read(src: Array[Byte], off: Int, n: Int): Array[Boolean] =
+    read(src, off, n, new Array[Boolean](n))
+
+  /** Decode into a caller-owned buffer (≥ n entries; all [0,n) overwritten). */
+  def read(src: Array[Byte], off: Int, n: Int, res: Array[Boolean]): Array[Boolean] = {
     var i = 0
     while (i < n) {
       res(i) = (src(off + (i >>> 3)) & (1 << (i & 7))) != 0

@@ -75,6 +75,28 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
     v
   }
 
+  // per-reader reusable decode buffers: the scan loop would otherwise
+  // allocate a fresh long[pageRows] (and nulls array) for every
+  // special-codec page (the reference recycles its scratch the same way,
+  // /root/reference/src/read/mod.rs:55-57)
+  private var longScratch: Array[Long] = null
+  private var nullScratch: Array[Boolean] = null
+  private def ensureLongs(n: Int): Array[Long] = {
+    if (longScratch == null || longScratch.length < n) longScratch = new Array[Long](n)
+    longScratch
+  }
+  private def ensureNulls(n: Int): Array[Boolean] = {
+    if (nullScratch == null || nullScratch.length < n) nullScratch = new Array[Boolean](n)
+    nullScratch
+  }
+
+  // lanes whose special codecs decode to a long[] we can bulk/loop-put
+  // without the intermediate Vec (integer family + floats via raw bits)
+  private val longLane: Boolean = lane match {
+    case Lane.I8 | Lane.I16 | Lane.I32 | Lane.I64 | Lane.F32 | Lane.F64 => true
+    case _ => false
+  }
+
   /** Decode the page at `bytes[pos..)` (n values) into `vector`. */
   def fill(vector: WritableColumnVector, bytes: Array[Byte], pos: Int, n: Int,
       scratch: ScratchBuf): Unit = {
@@ -83,7 +105,7 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
     if (nullable) {
       val nullCount = cur.getIntLE()
       if (nullCount > 0) {
-        nulls = BitmapUtil.read(cur.arr, cur.pos, n)
+        nulls = BitmapUtil.read(cur.arr, cur.pos, n, ensureNulls(n))
         cur.skip((n + 7) >>> 3)
       }
     }
@@ -94,6 +116,11 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
       val plain = scratch.ensure(rawLen)
       BlockCompression.decompress(codec, cur.arr, cur.pos, clen, plain, 0, rawLen)
       fromPlain(vector, plain, n)
+    } else if (longLane) {
+      val v =
+        if (codec == Codec.Patas) FloatCodecs.read(cur, n, clen, ensureLongs(n))
+        else IntCodecs.readSpecial(codec, cur, n, Lane.width(lane), clen, ensureLongs(n))
+      fromLongs(vector, v, n)
     } else {
       fromVec(vector, SpecialCodecs.read(codec, lane, n, nulls, cur, clen, rawLen), n)
     }
@@ -102,6 +129,28 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
       while (i < n) { if (nulls(i)) vector.putNull(i); i += 1 }
     }
   }
+
+  /** Bulk/loop-put a decoded long[] (≥ n entries) by physical kind. */
+  private def fromLongs(vector: WritableColumnVector, v: Array[Long], n: Int): Unit =
+    kind match {
+      case 1 =>
+        var i = 0
+        while (i < n) { vector.putByte(i, v(i).toByte); i += 1 }
+      case 2 =>
+        var i = 0
+        while (i < n) { vector.putShort(i, v(i).toShort); i += 1 }
+      case 3 | 8 =>
+        var i = 0
+        while (i < n) { vector.putInt(i, v(i).toInt); i += 1 }
+      case 4 => vector.putLongs(0, n, v, 0)
+      case 5 =>
+        var i = 0
+        while (i < n) { vector.putFloat(i, java.lang.Float.intBitsToFloat(v(i).toInt)); i += 1 }
+      case 6 =>
+        var i = 0
+        while (i < n) { vector.putDouble(i, java.lang.Double.longBitsToDouble(v(i))); i += 1 }
+      case other => throw new IllegalStateException(s"graft: kind $other is not a long lane")
+    }
 
   private def fromPlain(vector: WritableColumnVector, plain: Array[Byte], n: Int): Unit =
     kind match {
