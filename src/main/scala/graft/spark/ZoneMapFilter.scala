@@ -286,9 +286,33 @@ object ZoneMapFilter {
     (usable.result(), preds.result())
   }
 
+  /** Resolve a pushed-filter attribute to an atomic type: a top-level column
+    * first (so a column literally named "a.b" wins), else a dotted path
+    * through structs only — struct leaves stay row-aligned with the page
+    * grid, which is what makes their zone maps usable; array/map paths
+    * change cardinality and are rejected.
+    */
+  private[spark] def resolveAtomic(schema: StructType, name: String): Option[DataType] = {
+    schema.fields.find(_.name == name).map(_.dataType).filter(GraftSchema.isAtomic) match {
+      case some @ Some(_) => some
+      case None if name.contains('.') =>
+        var dt: DataType = schema
+        name.split('.').foreach { p =>
+          dt match {
+            case st: StructType => st.fields.find(_.name == p) match {
+              case Some(f) => dt = f.dataType
+              case None => return None
+            }
+            case _ => return None
+          }
+        }
+        Some(dt).filter(GraftSchema.isAtomic)
+      case None => None
+    }
+  }
+
   private def compileOne(schema: StructType, filter: Filter): Option[PagePred] = {
-    def fieldType(name: String): Option[DataType] =
-      schema.fields.find(_.name == name).map(_.dataType).filter(GraftSchema.isAtomic)
+    def fieldType(name: String): Option[DataType] = resolveAtomic(schema, name)
 
     def cmpPred(a: String, v: Any, op: Int): Option[PagePred] =
       fieldType(a).flatMap { dt =>

@@ -248,6 +248,33 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(nanPreds.isEmpty, "NaN probe in a large IN-set must disable the envelope")
   }
 
+  test("struct sub-field predicates prune pages") {
+    val dir = "/tmp/graft-test/zonemap-nested"
+    spark.range(100000)
+      .selectExpr("id", "named_struct('k', id, 'tag', concat('t', cast(id % 5 AS STRING))) AS s")
+      .orderBy("id").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(col("s.k") >= 90000 && col("s.k") < 95000).count() == 5000)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
+      s"nested long predicate should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+    assert(GraftMetrics.pageGroupsRead.get() <= 3)
+
+    // nested predicate + nested pruning together: only s.k's leaf is read,
+    // and only its matching pages
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.selectExpr("s.k").filter(col("s.k") === 12345).count() == 1)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+
+    // probe outside the whole range prunes everything
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(col("s.k") === -1).count() == 0)
+    assert(GraftMetrics.pageGroupsRead.get() == 0)
+  }
+
   test("timestamp range pruning on sorted events") {
     val dir = "/tmp/graft-test/zonemap-ts"
     spark.sql("SELECT timestamp_millis(1700000000000 + id * 60000) AS ts, id FROM range(50000)")
