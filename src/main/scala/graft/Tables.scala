@@ -17,7 +17,7 @@ object Tables {
   // bump the version segment whenever the written footer/stats change, so
   // cached conversions from an older writer get redone
   private def strRoot(sfDir: String): String =
-    "/tmp/graft_str_v6/" + sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    "/tmp/graft_str_v7/" + sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
 
   /** Read a table as a graft-format DataFrame (converting from parquet on
     * first use). GRAFT_TABLES_FORMAT=parquet bypasses graft — used only to

@@ -23,10 +23,13 @@ object FloatCodecs {
 
   /** patterns: raw bit patterns (u32 in low bits for F32). width = 4 or 8. */
   def estimateSize(patterns: Array[Long], n: Int, width: Int): Long = {
+    val ring = new RefIndex(width)
     var size = 0L
     var i = 0
     while (i < n) {
-      size += bestCost(patterns, i, width)
+      val (off, xor) = bestRef(patterns, i, width, ring)
+      ring.insert(patterns(i), i)
+      size += (if (off <= 1) 1 else 2) + sigBytes(xor, tzBytes(xor, width), width)
       i += 1
     }
     size
@@ -38,33 +41,44 @@ object FloatCodecs {
     if (xor == 0) 0
     else width - tz - math.min((java.lang.Long.numberOfLeadingZeros(xor) - (8 - width) * 8) >> 3, width - 1 - tz)
 
-  /** Encoded bytes for value i under the best reference choice. */
-  @inline private def bestCost(patterns: Array[Long], i: Int, width: Int): Int = {
-    val (off, xor) = bestRef(patterns, i, width)
-    val payload = sigBytes(xor, tzBytes(xor, width), width)
-    (if (off <= 1) 1 else 2) + payload
+  /** Hash-indexed ring (the reference's design, patas.rs:36-202): maps the
+    * high bits of a pattern — exponent + upper mantissa, the bytes XOR churn
+    * rarely touches — to the most recent index carrying them. Reference
+    * selection drops from O(RingDepth) to O(1) per value at write with no
+    * format change (the offset byte addresses the same 2..128 window).
+    */
+  private final class RefIndex(width: Int) {
+    private val Bits = 10
+    private val idx = new Array[Int](1 << Bits) // last index + 1 per key; 0 = empty
+    @inline private def key(p: Long): Int = {
+      val hi = if (width == 8) p >>> 24 else (p & 0xffffffffL) >>> 12
+      (((hi * 0x9E3779B97F4A7C15L) >>> (64 - Bits)).toInt) & ((1 << Bits) - 1)
+    }
+    @inline def lookup(p: Long): Int = idx(key(p)) - 1
+    @inline def insert(p: Long, i: Int): Unit = idx(key(p)) = i + 1
   }
 
-  /** (backOffset, xor) minimizing payload bytes; prefers the previous value
-    * on ties (and only pays the extra offset byte when it strictly wins).
-    * Deterministic: fixed scan order, strict improvement required.
+  /** (backOffset, xor) minimizing payload bytes between the previous value
+    * and the ring's hash-matched candidate; prefers the previous value on
+    * ties (the ring only pays its extra offset byte when it strictly wins).
+    * Deterministic: fixed probe order, strict improvement required.
     */
-  private def bestRef(patterns: Array[Long], i: Int, width: Int): (Int, Long) = {
+  private def bestRef(patterns: Array[Long], i: Int, width: Int, ring: RefIndex): (Int, Long) = {
     val prevRef = if (i == 0) 0L else patterns(i - 1)
     val prevXor = patterns(i) ^ prevRef
     var bestOff = 1
     var bestXor = prevXor
     var bestCost = 1 + sigBytes(prevXor, tzBytes(prevXor, width), width)
     // a ring candidate costs at least 2 (header + offset byte), so nothing
-    // can improve once bestCost <= 2 — result-identical early exit that
-    // keeps runs/smooth series at O(1) per value instead of O(ring)
-    var off = 2
-    val maxOff = math.min(i, RingDepth)
-    while (off <= maxOff && bestCost > 2) {
-      val x = patterns(i) ^ patterns(i - off)
-      val c = 2 + sigBytes(x, tzBytes(x, width), width)
-      if (c < bestCost) { bestOff = off; bestXor = x; bestCost = c }
-      off += 1
+    // can improve once bestCost <= 2
+    if (bestCost > 2) {
+      val j = ring.lookup(patterns(i))
+      val off = i - j
+      if (j >= 0 && off >= 2 && off <= RingDepth) {
+        val x = patterns(i) ^ patterns(j)
+        val c = 2 + sigBytes(x, tzBytes(x, width), width)
+        if (c < bestCost) { bestOff = off; bestXor = x; bestCost = c }
+      }
     }
     (bestOff, bestXor)
   }
@@ -73,9 +87,11 @@ object FloatCodecs {
     out.putByte(Codec.Patas)
     val lenPos = out.reserve(8)
     val start = out.length
+    val ring = new RefIndex(width)
     var i = 0
     while (i < n) {
-      val (off, x) = bestRef(patterns, i, width)
+      val (off, x) = bestRef(patterns, i, width, ring)
+      ring.insert(patterns(i), i)
       val tz = tzBytes(x, width)
       val sig = sigBytes(x, tz, width)
       val ext = if (off > 1) 0x80 else 0
