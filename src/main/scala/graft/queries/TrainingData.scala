@@ -154,10 +154,13 @@ object TrainingData {
       // shuffle-join on bucket id, never all-pairs; recall/probe-count trade
       // off via the probe list.
       val planes = "transform(sequence(0, 5), p -> transform(sequence(0, 63), j -> ((p*131 + j*37) % 19) - 9))"
-      // NOT cached: the query branch collapses to a pushdown-filtered
-      // handful of rows BEFORE bucket evaluation, so deriving both sides
-      // from the plan costs one full bucket pass (targets) + a trivial one —
-      // cheaper at 100 TB than materializing the whole bucketed table
+      // cached, but NARROWED first: only (vec_id, q, bucket) — the raw
+      // embedding/label columns are dropped before materialization, so the
+      // cached frame is the minimal rerank input (~the quantized vector +
+      // two longs per row). Spark cannot reuse a projection across the two
+      // join branches without it (no cross-branch CSE), and the bucket
+      // expression is the expensive part; at 100 TB the equivalent is a
+      // checkpointed bucket table, not a bigger cache.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("bucket", expr(
           s"""aggregate(sequence(0, 5), cast(0 as bigint),
@@ -165,6 +168,8 @@ object TrainingData {
                   aggregate(zip_with(q, element_at($planes, p + 1), (x, c) -> x * c),
                             cast(0 as bigint), (a2, x2) -> a2 + x2) >= 0
                   THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""))
+        .select(col("vec_id"), col("q"), col("bucket"))
+      e.cache()
       val queriesDf = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
         .withColumn("bucket", explode(expr(
