@@ -72,6 +72,54 @@ object TrainingData {
 
     "d_dedup_simhash" -> { (s, dir) => simhashDedup(s, dir, portable = true) },
 
+    "d_dedup_clusters" -> { (s, dir) =>
+      // the step AFTER pair detection: connected components over the
+      // confirmed near-dup pairs (same blocking + jaccard >= 0.5 edges as
+      // d_ngram_jaccard), via min-label propagation to fixpoint. Each
+      // iteration is one join + groupBy over the (tiny) edge frontier; the
+      // driver only checks a changed-count per round (the standard iterative
+      // pattern — labels/edges are never collected). Iterations are bounded
+      // by component diameter; the cap is a runaway guard.
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+      val cand = d.select(col("doc_id").as("ida"), col("source").as("sa"), col("n_chars").as("ca"))
+        .join(d.select(col("doc_id").as("idb"), col("source").as("sb"), col("n_chars").as("cb")),
+          col("sa") === col("sb") && col("ida") < col("idb") &&
+            abs(col("ca") - col("cb")) <= 2)
+        .select(col("ida"), col("idb"))
+      val inter = tok.select(col("doc_id").as("ida"), col("w"))
+        .join(tok.select(col("doc_id").as("idb"), col("w")), Seq("w"))
+        .filter(col("ida") < col("idb"))
+        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("common"))
+      val pairs = cand.join(inter, Seq("ida", "idb"))
+        .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nw", "wa"), Seq("ida"))
+        .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nw", "wb"), Seq("idb"))
+        .filter(col("common").cast("double") / (col("wa") + col("wb") - col("common")) >= 0.5)
+        .select(col("ida"), col("idb"))
+      val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
+        .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
+      edges.cache()
+      var labels = d.select(col("doc_id").as("id"), col("doc_id").as("lab"))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 30) {
+        val nbrMin = edges.join(labels, edges("b") === labels("id"))
+          .groupBy(col("a")).agg(min(col("lab")).as("nmin"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+          .select(col("id"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        next.cache()
+        changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("id"))
+          .filter(col("lab") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      val cs = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(cs.filter(col("cluster_size") >= 2), Seq("lab"))
+        .select(col("lab").as("cluster_rep"), col("id").as("doc_id"), col("cluster_size"))
+        .orderBy(col("cluster_rep"), col("doc_id"))
+    },
+
     "d_ngram_jaccard" -> { (s, dir) =>
       val d = docs(s, dir)
       val tok = d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -185,6 +233,24 @@ object TrainingData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    "s_knn_recall" -> { (s, dir) =>
+      // evaluation harness for the similarity-search pair: recall@5 of the
+      // LSH index against the exact brute-force baseline, per query vector.
+      // Both sides reuse the declared queries, so this measures exactly what
+      // ships; the join is (10 queries x 5 ranks) — negligible.
+      val exact = queries("s_ann_bruteforce")(s, dir)
+        .select(col("qid"), col("tid"))
+      val approx = queries("s_ann_lsh")(s, dir)
+        .select(col("qid").as("aqid"), col("tid").as("atid"))
+      val hits = exact.join(approx,
+          col("qid") === col("aqid") && col("tid") === col("atid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(when(col("atid").isNotNull, 1L).otherwise(0L)).as("hits"))
+      hits.withColumn("recall", col("hits").cast("double") / 5.0)
+        .select(col("qid"), col("hits"), col("recall"))
+        .orderBy(col("qid"))
+    },
+
     "s_embedding_centroids" -> { (s, dir) =>
       // per-label centroid + each vector's quantized distance rank to its
       // centroid: the embedding-QA pass that surfaces outliers/mislabeled
@@ -281,6 +347,25 @@ object TrainingData {
           (col("total") - col("uniq")).cast("double") / col("total"))
         .select(col("doc_id"), col("total"), col("uniq"), col("rep_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    "t_ngram_topk" -> { (s, dir) =>
+      // per-language bigram frequency profile (top 10 by count, gram as the
+      // tie-break): the vocabulary-statistics pass of a corpus audit. Plain
+      // groupBy + window — one shuffle each, scale-safe.
+      val grams = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("lang"), explode(expr(
+          """CASE WHEN size(w) >= 2
+             THEN transform(sequence(0, size(w)-2),
+                  i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))
+             ELSE array(text) END""")).as("gram"))
+      val counts = grams.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("gram"), col("cnt"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
     },
 
     "t_fingerprint" -> { (s, dir) =>
@@ -419,6 +504,74 @@ object TrainingData {
   }
 
   val oracles: Map[String, String] = Map(
+    "d_dedup_clusters" ->
+      // connected components as a recursive label walk: reach(id, lab) holds
+      // every label that can reach id along confirmed near-dup edges; the
+      // component representative is min(lab) — identical to the Spark side's
+      // min-label propagation fixpoint
+      """WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS nw FROM tok GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM documents a JOIN documents b
+        |         ON a.source = b.source AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 2),
+        |inter AS (SELECT ta.doc_id AS ida, tb.doc_id AS idb, count(*) AS common
+        |          FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id < tb.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT c.ida, c.idb FROM cand c
+        |          JOIN inter i ON i.ida = c.ida AND i.idb = c.idb
+        |          JOIN sizes sa ON sa.doc_id = c.ida JOIN sizes sb ON sb.doc_id = c.idb
+        |          WHERE CAST(i.common AS DOUBLE) / (sa.nw + sb.nw - i.common) >= 0.5),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION ALL SELECT idb, ida FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.id
+        |),
+        |labels AS (SELECT id, CAST(min(lab) AS BIGINT) AS lab FROM reach GROUP BY 1),
+        |cs AS (SELECT lab, count(*) AS cluster_size FROM labels GROUP BY 1)
+        |SELECT l.lab AS cluster_rep, l.id AS doc_id, CAST(cs.cluster_size AS BIGINT) AS cluster_size
+        |FROM labels l JOIN cs ON cs.lab = l.lab
+        |WHERE cs.cluster_size >= 2
+        |ORDER BY cluster_rep, doc_id""".stripMargin,
+    "s_knn_recall" ->
+      """WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |dots AS (SELECT a.vec_id AS qid, b.vec_id AS tid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |         FROM t a JOIN t b ON a.pos = b.pos AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |         GROUP BY 1, 2),
+        |exact AS (SELECT qid, tid FROM (
+        |  SELECT qid, tid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, tid) AS rank
+        |  FROM dots) WHERE rank <= 5),
+        |pd AS (SELECT t.vec_id, p.p,
+        |         sum(t.q * (((p.p*131 + (t.pos-1)*37) % 19) - 9)) AS pdot
+        |       FROM t, (SELECT unnest(generate_series(0, 5)) AS p) p
+        |       GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |              CAST(sum(CASE WHEN pdot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |            FROM pd GROUP BY 1),
+        |capprox AS (SELECT d.qid, d.tid, d.dot FROM dots d
+        |         JOIN buckets bq ON bq.vec_id = d.qid
+        |         JOIN buckets bt ON bt.vec_id = d.tid
+        |         WHERE bit_count(xor(bq.bucket, bt.bucket)) <= 1),
+        |approx AS (SELECT qid, tid FROM (
+        |  SELECT qid, tid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, tid) AS rank
+        |  FROM capprox) WHERE rank <= 5)
+        |SELECT e.qid,
+        |  CAST(coalesce(sum(CASE WHEN a.tid IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+        |  CAST(coalesce(sum(CASE WHEN a.tid IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / 5.0 AS recall
+        |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.tid = e.tid
+        |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+    "t_ngram_topk" ->
+      """WITH g AS (SELECT lang, unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+        |            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+        |            ELSE [text] END) AS gram FROM documents),
+        |counts AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT lang, gram, CAST(cnt AS BIGINT) AS cnt, rank FROM (
+        |  SELECT lang, gram, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |  FROM counts)
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "d_dedup_minhash_lsh" ->
       // mirrors the portable-hash Spark plan bit-for-bit: md5-nibble base
       // hash, 64 affine minhashes mod 1e9+7, 8 md5 band hashes, bucket join,
