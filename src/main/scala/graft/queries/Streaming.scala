@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy: statefulQueries is declared later in the file
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = statefulQueries ++ Map(
     "s_stream_hourly" -> { (s, dir) =>
       val name = "graft_stream_hourly"
       s.streams.active.filter(q => q.name == name).foreach(_.stop())
@@ -35,9 +36,68 @@ object Streaming {
       s.table(name).orderBy(col("hour"), col("event_type"))
     })
 
+  /** Streaming events row for the stateful sessionization query. */
+  case class Ev(user_id: Long, us: Long, event_id: Long)
+
+  /** Per-user running session state: (last event micros, sessions, events). */
+  case class SessionState(lastUs: Long, sessions: Long, events: Long)
+
+  val statefulQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_stream_sessions" -> { (s, dir) =>
+      // custom streaming state (SURVEY §2.9): per-user sessionization with a
+      // 30-minute gap via KeyValueGroupedDataset.flatMapGroupsWithState —
+      // the same semantics as the batch q_events_sessions window query, so
+      // the DuckDB batch oracle checks it exactly. Events of one user are
+      // sorted inside the group function (bounded by per-user event count);
+      // the conversion dir is one commit = one micro-batch, so state sees
+      // each user once. A live multi-commit stream would additionally need
+      // out-of-order merge across batches — the standard caveat for
+      // event-time state over file arrival order.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val name = "graft_stream_sessions"
+      s.streams.active.filter(q => q.name == name).foreach(_.stop())
+      val gdir = graft.Tables.graftDir(s, dir, "events")
+      val staticSchema = s.read.format("graft").load(gdir).schema
+      val ev = s.readStream.format("graft").schema(staticSchema).load(gdir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .as[Ev]
+
+      def sessionize(user: Long, it: Iterator[Ev],
+          st: GroupState[SessionState]): Iterator[(Long, Long, Long)] = {
+        val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+        var state = st.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+        evs.foreach { e =>
+          val newSession =
+            state.lastUs == Long.MinValue || e.us - state.lastUs > 1800L * 1000000L
+          state = SessionState(e.us,
+            state.sessions + (if (newSession) 1L else 0L), state.events + 1L)
+        }
+        st.update(state)
+        Iterator((user, state.sessions, state.events))
+      }
+
+      val out = ev.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(sessionize)
+        .toDF("user_id", "n_sessions", "n_events")
+      val q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name).orderBy(col("user_id"))
+    })
+
   val oracles: Map[String, String] = Map(
     "s_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "s_stream_sessions" ->
+      // identical semantics to the batch q_events_sessions oracle
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -44,20 +44,28 @@ object FieldFiller {
   def forField(f: StructField): FieldFiller = apply(f.dataType, f.nullable)
 
   /** Filler for a projected field whose type may be a struct-pruned subset
-    * of the file's type: leaf offsets follow the FULL file layout (so the
-    * on-disk leaf indices stay correct) while only the projected children
-    * are decoded and filled. Non-struct shapes must match the file exactly
-    * (array/map element pruning is not attempted — SURVEY.md §2.2).
+    * of the file's type — including struct elements nested under arrays and
+    * map values: leaf offsets follow the FULL file layout (so the on-disk
+    * leaf indices stay correct) while only the projected children are
+    * decoded and filled.
     */
   def forProjected(file: StructField, proj: StructField): FieldFiller =
-    if (file.dataType == proj.dataType) apply(file.dataType, file.nullable)
-    else (file.dataType, proj.dataType) match {
+    forProjectedType(file.dataType, file.nullable, proj.dataType)
+
+  private[spark] def forProjectedType(fileDt: DataType, nullable: Boolean,
+      projDt: DataType): FieldFiller =
+    if (fileDt == projDt) apply(fileDt, nullable)
+    else (fileDt, projDt) match {
       case (fs: StructType, ps: StructType) =>
         val inner = new PrunedStructFiller(fs, ps)
-        if (file.nullable) new NullableStructWrapper(inner) else inner
-      case other =>
+        if (nullable) new NullableStructWrapper(inner) else inner
+      case (ArrayType(fe, fn), ArrayType(pe, _)) =>
+        new ArrayFiller(fe, fn, pe)
+      case (MapType(fk, fv, fn), MapType(_, pv, _)) =>
+        new MapFiller(fk, fv, fn, pv)
+      case _ =>
         throw new IllegalArgumentException(
-          s"graft: projected type ${proj.dataType} is not a pruned subset of file type ${file.dataType}")
+          s"graft: projected type $projDt is not a pruned subset of file type $fileDt")
     }
 }
 
@@ -127,9 +135,16 @@ final class AtomicFiller(dt: DataType) extends FieldFiller {
   }
 }
 
-final class ArrayFiller(et: DataType, containsNull: Boolean) extends FieldFiller {
-  private val child = FieldFiller(et, containsNull)
+/** `projEt` may be a struct-pruned subset of the file element type `et`;
+  * the leaf span always covers the FULL file element layout.
+  */
+final class ArrayFiller(et: DataType, containsNull: Boolean, projEt: DataType)
+    extends FieldFiller {
+  def this(et: DataType, containsNull: Boolean) = this(et, containsNull, et)
+  private val child = FieldFiller.forProjectedType(et, containsNull, projEt)
   val leafCount: Int = 1 + GraftSchema.leafCount(et, containsNull)
+
+  override lazy val neededLeaves: Array[Int] = 0 +: child.neededLeaves.map(_ + 1)
 
   def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
     val lengths = leafPages(base).asInstanceOf[IntVec]
@@ -152,12 +167,20 @@ final class ArrayFiller(et: DataType, containsNull: Boolean) extends FieldFiller
   }
 }
 
-final class MapFiller(kt: DataType, vt: DataType, valueContainsNull: Boolean) extends FieldFiller {
+/** `projVt` may be a struct-pruned subset of the file value type `vt`. */
+final class MapFiller(kt: DataType, vt: DataType, valueContainsNull: Boolean,
+    projVt: DataType) extends FieldFiller {
+  def this(kt: DataType, vt: DataType, valueContainsNull: Boolean) =
+    this(kt, vt, valueContainsNull, vt)
   private val keyFiller = FieldFiller(kt, nullable = false)
-  private val valFiller = FieldFiller(vt, valueContainsNull)
+  private val valFiller = FieldFiller.forProjectedType(vt, valueContainsNull, projVt)
   private val keyLeaves = GraftSchema.leafCount(kt, nullable = false)
   private val valLeaves = GraftSchema.leafCount(vt, valueContainsNull)
   val leafCount: Int = 1 + keyLeaves + valLeaves
+
+  override lazy val neededLeaves: Array[Int] =
+    (0 +: keyFiller.neededLeaves.map(_ + 1)) ++
+      valFiller.neededLeaves.map(_ + 1 + keyLeaves)
 
   def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
     val lengths = leafPages(base).asInstanceOf[IntVec]

@@ -62,6 +62,10 @@ object GraftSchema {
     case (fs: StructType, ps: StructType) =>
       ps.fields.forall(pf => fs.fields.find(_.name == pf.name).exists(ff =>
         ff.nullable == pf.nullable && isPrunedSubset(ff.dataType, pf.dataType)))
+    case (ArrayType(fe, fn), ArrayType(pe, pn)) =>
+      fn == pn && isPrunedSubset(fe, pe)
+    case (MapType(fk, fv, fn), MapType(pk, pv, pn)) =>
+      fn == pn && fk == pk && isPrunedSubset(fv, pv)
     case _ => false
   }
 
@@ -77,6 +81,10 @@ object GraftSchema {
         val rf = rs.fields(rs.fieldIndex(ff.name))
         ff.copy(dataType = prunedType(ff.dataType, rf.dataType))
       })
+    case (ArrayType(fe, fn), ArrayType(re, _)) =>
+      ArrayType(prunedType(fe, re), fn)
+    case (MapType(fk, fv, fn), MapType(rk, rv, _)) if fk == rk =>
+      MapType(fk, prunedType(fv, rv), fn)
     case _ => file
   }
 

@@ -76,6 +76,35 @@ class NestedTypesSpec extends AnyFunSuite {
     assert(r.length == 3 && r.forall(_.getInt(1) == 100))
   }
 
+  test("array-of-struct element pruning reads only the selected leaf's bytes") {
+    val dir = "/tmp/graft-test/nested/prune-arr"
+    spark.sql("""
+      SELECT id, transform(sequence(0, 2), i -> named_struct(
+        'a', id * 10 + i,
+        'big', repeat(concat('z', cast(id AS STRING)), 40))) AS arr
+      FROM range(20000)""")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+
+    GraftMetrics.bytesRead.set(0)
+    g.selectExpr("sum(id)").head
+    val idBytes = GraftMetrics.bytesRead.get()
+
+    GraftMetrics.bytesRead.set(0)
+    val full = g.selectExpr("sum(aggregate(arr, 0L, (acc, x) -> acc + length(x.big)))")
+      .head.getLong(0)
+    val fullDelta = GraftMetrics.bytesRead.get() - idBytes
+    assert(full > 0 && fullDelta > 0)
+
+    GraftMetrics.bytesRead.set(0)
+    val a = g.selectExpr("sum(aggregate(arr.a, 0L, (acc, x) -> acc + x))").head.getLong(0)
+    val aDelta = GraftMetrics.bytesRead.get() - idBytes
+    assert(a == (0L until 20000L).map(i => i * 30 + 3).sum)
+
+    assert(aDelta * 8 < fullDelta,
+      s"arr.a scan read +$aDelta B vs +$fullDelta B for arr.big — element pruning not effective")
+  }
+
   test("struct of atomic + nulls") {
     rt("struct", """
       SELECT id,
