@@ -211,6 +211,53 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    "q_median_order_value" -> { (s, dir) =>
+      // exact per-group LOWER median by rank selection: the median is an
+      // actual data row's value (no interpolation arithmetic), so it is
+      // bit-identical cross-engine; (cnt+1)/2 is integer floor division in
+      // both. One window + one count agg — scale-safe per group.
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val counts = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+      o.withColumn("rn", row_number().over(w))
+        .join(counts, Seq("o_orderpriority"))
+        .filter(col("rn") === expr("(cnt + 1) div 2")) // integer floor division
+        .select(col("o_orderpriority"), col("o_totalprice").as("median_price"), col("cnt"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q_corr_qty_price" -> { (s, dir) =>
+      // Pearson correlation from EXACT decimal power sums (summation-order
+      // free); the only floating-point steps are the final casts, products,
+      // sqrt and divide — a fixed expression tree evaluated identically by
+      // both engines. One shuffle (the groupBy).
+      // narrow input decimals so products stay under precision 38 — a
+      // (20,4)x(20,4) product would trip Spark's precision-loss scale
+      // truncation (scale 8 -> 6) and diverge from DuckDB's exact result
+      val li = t(s, dir, "lineitem")
+        .withColumn("qd", col("l_quantity").cast("decimal(12,4)"))
+        .withColumn("pd", col("l_extendedprice").cast("decimal(14,4)"))
+      val agg = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("qd")).cast("double").as("sx"),
+        sum(col("pd")).cast("double").as("sy"),
+        sum((col("qd") * col("qd")).cast("decimal(30,8)")).cast("double").as("sxx"),
+        sum((col("pd") * col("pd")).cast("decimal(30,8)")).cast("double").as("syy"),
+        sum((col("qd") * col("pd")).cast("decimal(30,8)")).cast("double").as("sxy"))
+      // quantized to micro-units: DuckDB's decimal->double conversion
+      // double-rounds when the unscaled sum exceeds 2^53, so the raw double
+      // differs in its last bits cross-engine; floor(x*1e6) is the project
+      // convention for surfacing derived floats hash-exactly
+      agg.withColumn("corr_qp",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        .withColumn("corr_micro", floor(col("corr_qp") * 1000000.0).cast("long"))
+        .select(col("l_returnflag"), col("n"), col("corr_micro"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "q_asof_purchase_view" -> { (s, dir) =>
       // as-of join via the union+window pattern: each purchase picks up the
       // value of the user's most recent prior-or-same-time view
@@ -354,6 +401,27 @@ object Relational {
         |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_median_order_value" ->
+      """WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1),
+        |r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn
+        |      FROM orders)
+        |SELECT r.o_orderpriority, r.o_totalprice AS median_price, CAST(c.cnt AS BIGINT) AS cnt
+        |FROM r JOIN c ON c.o_orderpriority = r.o_orderpriority
+        |WHERE r.rn = (c.cnt + 1) // 2
+        |ORDER BY r.o_orderpriority""".stripMargin,
+    "q_corr_qty_price" ->
+      """SELECT l_returnflag, n,
+        |  CAST(floor((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1000000.0) AS BIGINT) AS corr_micro
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |ORDER BY l_returnflag""".stripMargin,
     "q_asof_purchase_view" ->
       """SELECT user_id, event_id, last_view_value FROM (
         |  SELECT user_id, event_id, event_type,
