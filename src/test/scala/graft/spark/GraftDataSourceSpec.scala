@@ -138,6 +138,53 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("differential fuzz: nested sub-field projections equal parquet") {
+    import org.apache.spark.sql.functions._
+    // nullable structs, nested structs, array-of-struct — every pruning
+    // shape the projected-filler code paths handle, compared against
+    // parquet on identical data under the same projections and filters
+    val df = spark.range(30000).selectExpr(
+      "id",
+      """named_struct(
+          'a', CASE WHEN id % 7 = 0 THEN NULL ELSE cast(id % 1000 AS INT) END,
+          'b', concat('b', cast(id % 50 AS STRING)),
+          'inner', named_struct('x', id * 3,
+            'y', CASE WHEN id % 5 = 0 THEN NULL ELSE cast(id AS DOUBLE) / 3 END)) AS s""",
+      """CASE WHEN id % 11 = 0 THEN NULL
+         ELSE named_struct('p', id % 17, 'q', concat('q', cast(id % 9 AS STRING))) END AS ns""",
+      """transform(sequence(0, cast(id % 4 AS INT)),
+         i -> named_struct('u', id + i, 'w', concat('w', cast(i AS STRING)))) AS arr""")
+    val gdir = "/tmp/graft-test/fuzz-nested-graft"
+    val pdir = "/tmp/graft-test/fuzz-nested-parquet"
+    df.repartition(2).write.format("graft").option("pagesize", "1024")
+      .mode("overwrite").save(gdir)
+    df.repartition(2).write.mode("overwrite").parquet(pdir)
+    val g = spark.read.format("graft").load(gdir)
+    val p = spark.read.parquet(pdir)
+
+    val cases: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      _.selectExpr("s.a"),
+      _.selectExpr("s.inner.x"),
+      _.selectExpr("s.inner.y"),
+      _.selectExpr("ns.p", "ns.q"),
+      _.selectExpr("arr.u"),
+      _.selectExpr("arr.w", "id"),
+      _.selectExpr("id", "s.b", "ns.p"),
+      _.selectExpr("s.inner.x", "arr.u"),
+      // nested predicate + pruned projection together
+      _.filter(col("s.inner.x") > 45000).selectExpr("s.a", "s.inner.x"),
+      _.filter(col("ns.p") === 3).selectExpr("ns.q"),
+      // pruned and full reads of the same struct in one plan
+      _.selectExpr("s.a AS pa", "s AS full_s"))
+
+    cases.zipWithIndex.foreach { case (f, i) =>
+      val a = f(g).selectExpr("cast(to_json(struct(*)) as string) r")
+      val b = f(p).selectExpr("cast(to_json(struct(*)) as string) r")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"nested case #$i diverged between graft and parquet")
+    }
+  }
+
   test("schema drift across files fails loudly, not silently") {
     val dir = "/tmp/graft-test/schema-drift"
     spark.range(100).selectExpr("id AS k", "cast(id as string) AS v")
