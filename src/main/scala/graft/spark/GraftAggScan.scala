@@ -67,11 +67,16 @@ object GraftAggPushdown {
     else Some((specs.flatten.map(_._1).toSeq, StructType(specs.flatten.map(_._2))))
   }
 
-  /** Evaluate the partial aggregates for one file from its footer. */
+  /** Evaluate the partial aggregates for one file from its footer. A column
+    * the file doesn't carry (additive schema evolution) is all-null there:
+    * COUNT(col) contributes 0 and MIN/MAX contribute null.
+    */
   def evaluate(footer: Footer, fileSchema: StructType, specs: Seq[AggSpec]): InternalRow = {
     val (offsets, _) = GraftSchema.fieldLeafOffsets(fileSchema)
-    def pagesOf(field: String): Array[PageMeta] =
-      footer.leaves(offsets(fileSchema.fieldIndex(field))).pages
+    def pagesOf(field: String): Array[PageMeta] = {
+      val fi = fileSchema.fieldNames.indexOf(field)
+      if (fi < 0) Array.empty else footer.leaves(offsets(fi)).pages
+    }
     val rowCount: Long =
       if (footer.leaves.isEmpty) 0L else footer.leaves(0).totalValues
 

@@ -391,21 +391,33 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   // projected field -> (file field index, base leaf index, filler). The
   // projected type may be a struct-pruned subset of the file's; the filler
   // then reads only the kept children's leaves within the file layout.
+  // A projected NULLABLE column the file doesn't carry at all is served as
+  // nulls (additive schema evolution: files written before the column was
+  // added stay readable) — marked with fi = -1 and no filler.
   private val plan: Array[(Int, Int, FieldFiller)] = projected.fields.map { pf =>
-    val fi = fileSchema.fieldIndex(pf.name)
-    val ff = fileSchema.fields(fi)
-    // schema drift across a directory (table schema inferred from the first
-    // footer) must fail loudly, not decode garbage through mismatched lanes
-    require(GraftSchema.isPrunedSubset(ff.dataType, pf.dataType),
-      s"graft: schema drift in $filePath: field '${pf.name}' is ${ff.dataType} " +
-        s"but the table schema expects ${pf.dataType}")
-    (fi, fieldOffsets(fi), FieldFiller.forProjected(ff, pf))
+    val fi = fileSchema.fieldNames.indexOf(pf.name)
+    if (fi < 0) {
+      require(pf.nullable,
+        s"graft: $filePath lacks non-nullable column '${pf.name}' (additive " +
+          "schema evolution can only null-fill nullable columns)")
+      (-1, -1, null: FieldFiller)
+    } else {
+      val ff = fileSchema.fields(fi)
+      // schema drift across a directory (table schema inferred from the first
+      // footer) must fail loudly, not decode garbage through mismatched lanes
+      require(GraftSchema.isPrunedSubset(ff.dataType, pf.dataType),
+        s"graft: schema drift in $filePath: field '${pf.name}' is ${ff.dataType} " +
+          s"but the table schema expects ${pf.dataType}")
+      (fi, fieldOffsets(fi), FieldFiller.forProjected(ff, pf))
+    }
   }
 
-  // every top-level field's first leaf is row-aligned (see ColumnTree docs)
+  // every top-level field's first leaf is row-aligned (see ColumnTree docs),
+  // so the FILE's leaf 0 supplies the page grid regardless of projection
+  // (plan(0) may be a null-filled evolution column with no leaves)
   private val rowPages: Array[PageMeta] =
     if (footer.leaves.isEmpty) Array.empty
-    else footer.leaves(if (plan.nonEmpty) plan(0)._2 else 0).pages
+    else footer.leaves(0).pages
   private def rowPagesLen: Int = rowPages.length
 
   /** Leaf index a predicate field name resolves to: a top-level column's
@@ -480,6 +492,7 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   private val leafSpecsAll: Array[(Int, Boolean)] =
     fileSchema.fields.flatMap(f => GraftSchema.leafSpecs(f.dataType, f.nullable)).toArray
   plan.foreach { case (fi, base, filler) =>
+    if (fi >= 0)
     // only the filler's needed leaves get readers: a pruned-away struct
     // child's byte ranges are never fetched
     filler.neededLeaves.foreach { rel =>
@@ -503,7 +516,7 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   // Spark vector (no Vec materialization, reused decompression buffer)
   private val scratch = new ScratchBuf()
   private val direct: Array[DirectFill] = plan.map { case (fi, base, filler) =>
-    if (filler.isInstanceOf[AtomicFiller]) {
+    if (fi >= 0 && filler.isInstanceOf[AtomicFiller]) {
       val (lane, nullable) = leafSpecsAll(base)
       val df = new DirectFill(fileSchema.fields(fi).dataType, lane, nullable)
       if (df.supported) df else null
@@ -528,8 +541,10 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     while (v < vectors.length) { vectors(v).reset(); v += 1 }
     var f = 0
     while (f < plan.length) {
-      val (_, base, filler) = plan(f)
-      if (direct(f) != null) {
+      val (fi, base, filler) = plan(f)
+      if (fi < 0) {
+        vectors(f).putNulls(0, rows) // evolution column absent in this file
+      } else if (direct(f) != null) {
         val lr = leafReaders(base)
         direct(f).fill(vectors(f), lr.pageBytes, lr.pageStart(page), rows, scratch)
       } else {

@@ -185,6 +185,34 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("additive schema evolution: old files null-fill newly added columns") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = "/tmp/graft-test/schema-evolve"
+    spark.range(100).selectExpr("id AS k", "id * 2 AS a")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    spark.range(100, 200).selectExpr("id AS k", "id * 2 AS a", "concat('n', id) AS b")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    val schema = new StructType()
+      .add("k", LongType, nullable = false)
+      .add("a", LongType, nullable = false)
+      .add("b", StringType, nullable = true)
+    val g = spark.read.format("graft").schema(schema).load(dir)
+    assert(g.count() == 200)
+    assert(g.filter(col("b").isNull).count() == 100)
+    assert(g.filter(col("b") === "n150").count() == 1)
+    assert(g.filter(col("k") >= 150 && col("b").isNotNull).count() == 50)
+    assert(g.agg(org.apache.spark.sql.functions.sum(col("a"))).head.getLong(0) ==
+      (0L until 200L).map(_ * 2).sum)
+    // footer-only aggregate pushdown across mixed-schema files: the old
+    // file contributes 0 to COUNT(k-range of b) and null to MIN/MAX
+    val mm = g.agg(
+      org.apache.spark.sql.functions.count(col("k")),
+      org.apache.spark.sql.functions.min(col("k")),
+      org.apache.spark.sql.functions.max(col("k"))).head
+    assert(mm.getLong(0) == 200 && mm.getLong(1) == 0 && mm.getLong(2) == 199)
+  }
+
   test("schema drift across files fails loudly, not silently") {
     val dir = "/tmp/graft-test/schema-drift"
     spark.range(100).selectExpr("id AS k", "cast(id as string) AS v")
