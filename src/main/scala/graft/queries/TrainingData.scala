@@ -368,6 +368,25 @@ object TrainingData {
         .orderBy(col("lang"), col("rank"))
     },
 
+    "t_sample_stratified" -> { (s, dir) =>
+      // deterministic stratified sampling: ~1/7 of documents per language,
+      // selected by a portable content-independent hash of the doc id —
+      // reproducible across engines, runs, and partitionings (what a
+      // training-data pipeline needs from a sample; no rand()). Pure map +
+      // one summary agg.
+      val hashed = docs(s, dir)
+        .withColumn("hid", expr(
+          """aggregate(sequence(1, 15), cast(0 as bigint),
+               (acc, i) -> acc * 16 + (instr('0123456789abcdef',
+                 substr(md5(cast(doc_id as string)), i, 1)) - 1))"""))
+        .withColumn("keep", (pmod(col("hid"), lit(7)) === 0).cast("int"))
+      hashed.groupBy(col("lang")).agg(
+          count(lit(1)).as("docs"),
+          sum(col("keep")).as("sampled"),
+          sum(when(col("keep") === 1, col("n_chars")).otherwise(0L)).as("sampled_chars"))
+        .orderBy(col("lang"))
+    },
+
     "t_fingerprint" -> { (s, dir) =>
       docs(s, dir)
         .withColumn("m", expr(
@@ -778,6 +797,16 @@ object TrainingData {
         |  CAST(len(list_distinct(grams)) AS INT) AS uniq,
         |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    "t_sample_stratified" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |    (acc, dg) -> acc * 16 + dg) % 7 AS bucket
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+        |  CAST(sum(CASE WHEN bucket = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_transform(string_split(text, ' '),
