@@ -112,10 +112,15 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
     val codec = cur.getByte().toByte
     val clen = cur.getIntLE()
     val rawLen = cur.getIntLE()
+    // binary vectors may carry a dictionary from a previous page: always
+    // reset it, and re-arm only on the dict fast path below
+    if (kind == 7) vector.setDictionary(null)
     if (Codec.isCommon(codec)) {
       val plain = scratch.ensure(rawLen)
       BlockCompression.decompress(codec, cur.arr, cur.pos, clen, plain, 0, rawLen)
       fromPlain(vector, plain, n)
+    } else if (kind == 7 && codec == Codec.Dict) {
+      fillBinDict(vector, cur, n)
     } else if (longLane) {
       val v =
         if (codec == Codec.Patas) FloatCodecs.read(cur, n, clen, ensureLongs(n))
@@ -128,6 +133,32 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
       var i = 0
       while (i < n) { if (nulls(i)) vector.putNull(i); i += 1 }
     }
+  }
+
+  /** Dict-coded string/binary page → Spark dictionary vector: the page's
+    * dictionary entries are cut once and shared via `setDictionary`, and
+    * only the int ids land in the vector — no per-row string
+    * materialization, the same lazy shape Spark's parquet reader uses for
+    * dictionary-encoded columns. (Low-cardinality flag/category columns are
+    * exactly the ones the adaptive chooser dict-encodes.)
+    */
+  private def fillBinDict(vector: WritableColumnVector, cur: ByteCursor, n: Int): Unit = {
+    val dictN = cur.getIntLE()
+    val dOffs = new Array[Int](dictN + 1)
+    var i = 0
+    while (i <= dictN) { dOffs(i) = cur.getIntLE(); i += 1 }
+    val entries = new Array[Array[Byte]](dictN)
+    i = 0
+    while (i < dictN) {
+      entries(i) = java.util.Arrays.copyOfRange(cur.arr, cur.pos + dOffs(i), cur.pos + dOffs(i + 1))
+      i += 1
+    }
+    cur.skip(dOffs(dictN))
+    val idx = IntCodecs.readFrame(cur, n, 4)
+    vector.setDictionary(new GraftDictionary(entries))
+    val ids = vector.reserveDictionaryIds(n)
+    i = 0
+    while (i < n) { ids.putInt(i, idx(i).toInt); i += 1 }
   }
 
   /** Bulk/loop-put a decoded long[] (≥ n entries) by physical kind. */
@@ -229,4 +260,21 @@ final class DirectFill(dt: DataType, lane: Int, nullable: Boolean) {
       var i = 0
       while (i < n) { putDec128(vector, i, dv.hi(i), dv.lo(i)); i += 1 }
   }
+}
+
+/** Page dictionary for string/binary columns: entries are pre-cut shared
+  * byte arrays, so decodeToBinary is an array lookup (Spark wraps it in a
+  * UTF8String without copying).
+  */
+private final class GraftDictionary(entries: Array[Array[Byte]])
+    extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToBinary(id: Int): Array[Byte] = entries(id)
+  override def decodeToInt(id: Int): Int =
+    throw new UnsupportedOperationException("graft dictionary holds binary entries")
+  override def decodeToLong(id: Int): Long =
+    throw new UnsupportedOperationException("graft dictionary holds binary entries")
+  override def decodeToFloat(id: Int): Float =
+    throw new UnsupportedOperationException("graft dictionary holds binary entries")
+  override def decodeToDouble(id: Int): Double =
+    throw new UnsupportedOperationException("graft dictionary holds binary entries")
 }
