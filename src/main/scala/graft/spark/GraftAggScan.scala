@@ -36,10 +36,20 @@ object GraftAggPushdown {
     case _ => false
   }
 
+  /** Dotted field path of the aggregated column — a top-level name or a
+    * struct path (nested stats exist for struct leaves; array/map paths are
+    * rejected by the type resolution below).
+    */
   private def fieldOf(ref: Array[NamedReference]): Option[String] = ref match {
-    case Array(f) if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+    case Array(f) if f.fieldNames().nonEmpty => Some(f.fieldNames().mkString("."))
     case _ => None
   }
+
+  /** Resolve a (possibly dotted) path to its atomic type: top-level exact
+    * name first, else a struct walk — same rules as zone-map predicates.
+    */
+  private def typeOf(schema: StructType, name: String): Option[DataType] =
+    ZoneMapFilter.resolveAtomic(schema, name)
 
   /** Translate Spark's Aggregation; None if anything is unsupported. */
   def compile(schema: StructType, agg: Aggregation): Option[(Seq[AggSpec], StructType)] = {
@@ -48,18 +58,18 @@ object GraftAggPushdown {
       case _: CountStar => Some((CountStar: AggSpec, StructField("count(*)", LongType, nullable = false)))
       case c: Count if !c.isDistinct =>
         fieldOf(Array(c.column()).collect { case n: NamedReference => n }).flatMap { f =>
-          schema.fields.find(_.name == f).filter(fd => statsBearing(fd.dataType))
+          typeOf(schema, f).filter(statsBearing)
             .map(_ => (CountCol(f): AggSpec, StructField(s"count($f)", LongType, nullable = false)))
         }
       case m: Min =>
         fieldOf(Array(m.column()).collect { case n: NamedReference => n }).flatMap { f =>
-          schema.fields.find(_.name == f).filter(fd => statsBearing(fd.dataType))
-            .map(fd => (MinCol(f, fd.dataType): AggSpec, StructField(s"min($f)", fd.dataType)))
+          typeOf(schema, f).filter(statsBearing)
+            .map(dt => (MinCol(f, dt): AggSpec, StructField(s"min($f)", dt)))
         }
       case m: Max =>
         fieldOf(Array(m.column()).collect { case n: NamedReference => n }).flatMap { f =>
-          schema.fields.find(_.name == f).filter(fd => statsBearing(fd.dataType))
-            .map(fd => (MaxCol(f, fd.dataType): AggSpec, StructField(s"max($f)", fd.dataType)))
+          typeOf(schema, f).filter(statsBearing)
+            .map(dt => (MaxCol(f, dt): AggSpec, StructField(s"max($f)", dt)))
         }
       case _ => None
     }
@@ -72,11 +82,11 @@ object GraftAggPushdown {
     * COUNT(col) contributes 0 and MIN/MAX contribute null.
     */
   def evaluate(footer: Footer, fileSchema: StructType, specs: Seq[AggSpec]): InternalRow = {
-    val (offsets, _) = GraftSchema.fieldLeafOffsets(fileSchema)
-    def pagesOf(field: String): Array[PageMeta] = {
-      val fi = fileSchema.fieldNames.indexOf(field)
-      if (fi < 0) Array.empty else footer.leaves(offsets(fi)).pages
-    }
+    def pagesOf(field: String): Array[PageMeta] =
+      GraftSchema.leafIndexOfPath(fileSchema, field) match {
+        case Some(li) => footer.leaves(li).pages
+        case None => Array.empty
+      }
     val rowCount: Long =
       if (footer.leaves.isEmpty) 0L else footer.leaves(0).totalValues
 

@@ -420,45 +420,13 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     else footer.leaves(0).pages
   private def rowPagesLen: Int = rowPages.length
 
-  /** Leaf index a predicate field name resolves to: a top-level column's
-    * first leaf, or a dotted struct path walked through the file layout
-    * (markers + preceding siblings' leaf counts). Struct sub-field leaves
-    * are row-aligned with the page grid, so their PageMeta indexes by the
-    * same page number.
-    */
-  private def predLeafIndex(name: String): Option[Int] = {
-    val fi = fileSchema.fieldNames.indexOf(name)
-    if (fi >= 0) return Some(fieldOffsets(fi))
-    if (!name.contains('.')) return None
-    val parts = name.split('.')
-    val top = fileSchema.fieldNames.indexOf(parts.head)
-    if (top < 0) return None
-    var base = fieldOffsets(top)
-    var f = fileSchema.fields(top)
-    parts.tail.foreach { p =>
-      f.dataType match {
-        case st: StructType =>
-          if (f.nullable) base += 1 // null marker leaf
-          val ci = st.fieldNames.indexOf(p)
-          if (ci < 0) return None
-          var j = 0
-          while (j < ci) {
-            base += GraftSchema.leafCount(st.fields(j).dataType, st.fields(j).nullable)
-            j += 1
-          }
-          f = st.fields(ci)
-        case _ => return None
-      }
-    }
-    if (GraftSchema.isAtomic(f.dataType)) Some(base) else None
-  }
-
   // zone-map pruning: decide needed page groups BEFORE any data IO, so
-  // pruned byte ranges are never fetched. Preds referencing a field this
-  // file doesn't carry are dropped (pruning is advisory).
+  // pruned byte ranges are never fetched. Pred fields resolve to leaves via
+  // the shared (possibly dotted struct-path) walk; fields this file doesn't
+  // carry are dropped (pruning is advisory).
   private val predFieldPages: Map[String, Array[PageMeta]] =
     pagePreds.flatMap(_.fields).distinct.flatMap { name =>
-      predLeafIndex(name).map(li => name -> footer.leaves(li).pages)
+      GraftSchema.leafIndexOfPath(fileSchema, name).map(li => name -> footer.leaves(li).pages)
     }.toMap
   // composites are decomposed per-file: AND branches on columns this file
   // carries still prune even when a sibling branch references a missing field

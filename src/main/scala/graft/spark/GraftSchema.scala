@@ -88,6 +88,40 @@ object GraftSchema {
     case _ => file
   }
 
+  /** Leaf index a (possibly dotted struct-path) field name resolves to in a
+    * file schema: a top-level column's first leaf, or the sub-field's leaf
+    * reached by walking null markers + preceding siblings' leaf counts.
+    * Struct sub-field leaves stay row-aligned with the page grid; array/map
+    * paths (which change cardinality) resolve to None.
+    */
+  def leafIndexOfPath(schema: StructType, name: String): Option[Int] = {
+    val (offsets, _) = fieldLeafOffsets(schema)
+    val fi = schema.fieldNames.indexOf(name)
+    if (fi >= 0) return Some(offsets(fi))
+    if (!name.contains('.')) return None
+    val parts = name.split('.')
+    val top = schema.fieldNames.indexOf(parts.head)
+    if (top < 0) return None
+    var base = offsets(top)
+    var f = schema.fields(top)
+    parts.tail.foreach { p =>
+      f.dataType match {
+        case st: StructType =>
+          if (f.nullable) base += 1 // null marker leaf
+          val ci = st.fieldNames.indexOf(p)
+          if (ci < 0) return None
+          var j = 0
+          while (j < ci) {
+            base += leafCount(st.fields(j).dataType, st.fields(j).nullable)
+            j += 1
+          }
+          f = st.fields(ci)
+        case _ => return None
+      }
+    }
+    if (isAtomic(f.dataType)) Some(base) else None
+  }
+
   /** Depth-first (lane, nullable) specs for every leaf of a field — the
     * reader uses this to decode pages without consulting value data.
     */

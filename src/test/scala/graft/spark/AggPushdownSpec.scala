@@ -42,6 +42,23 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(r.getTimestamp(5).getTime == 1700000000000L + 99999L * 1000)
   }
 
+  test("nested struct sub-field min/max answered from footers only") {
+    val dir = "/tmp/graft-test/aggpush-nested"
+    spark.sql("""SELECT id, named_struct('a', id * 3,
+        'inner', named_struct('x', CASE WHEN id % 4 = 0 THEN NULL ELSE cast(id AS DOUBLE) / 2 END)) AS s
+      FROM range(50000)""")
+      .coalesce(2).write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val agg = g.agg(min(col("s.a")).as("mina"), max(col("s.a")).as("maxa"),
+      count(col("s.inner.x")).as("nx"), max(col("s.inner.x")).as("maxx"))
+    assert(scanDesc(agg).contains("footer-only aggregate"),
+      s"nested agg should push to footers:\n${scanDesc(agg)}")
+    val r = agg.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 49999L * 3)
+    assert(r.getLong(2) == 50000L - 12500L)
+    assert(r.getDouble(3) == 49999.0 / 2)
+  }
+
   test("footer min/max respect Spark NaN semantics") {
     val dir = "/tmp/graft-test/aggpush-nan"
     spark.range(10000).selectExpr(
