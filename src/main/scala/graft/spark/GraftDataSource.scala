@@ -58,13 +58,66 @@ object GraftUtil {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty
     val st = fs.getFileStatus(p)
-    val files =
-      if (st.isDirectory) fs.listStatus(p).toSeq
-      else Seq(st)
-    files.filter(f => f.isFile && f.getPath.getName.endsWith(Extension) &&
-      !f.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.toString)
+    if (!st.isDirectory)
+      return Seq(st).filter(f => f.getPath.getName.endsWith(Extension) &&
+        !f.getPath.getName.startsWith("."))
+    // recurse into hive-style partition subdirs (k=v/...); metadata dirs
+    // (_graft_manifest etc.) and hidden entries are skipped
+    val out = Seq.newBuilder[FileStatus]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { f =>
+      val name = f.getPath.getName
+      if (name.startsWith(".") || name.startsWith("_")) ()
+      else if (f.isDirectory) { if (name.contains('=')) walk(f.getPath) }
+      else if (f.isFile && name.endsWith(Extension)) out += f
+    }
+    walk(p)
+    out.result().sortBy(_.getPath.toString)
   }
+
+  /** Hive-style `k=v` partition-path segments of a data file relative to the
+    * table root (empty for an unpartitioned layout).
+    */
+  def partitionSegments(tableDir: Path, file: Path): Seq[(String, String)] = {
+    var segs = List.empty[(String, String)]
+    var d = file.getParent
+    while (d != null && d != tableDir && d.getName.contains('=')) {
+      val n = d.getName
+      val i = n.indexOf('=')
+      segs = (n.substring(0, i), unescapePathValue(n.substring(i + 1))) :: segs
+      d = d.getParent
+    }
+    segs
+  }
+
+  /** Deterministic path-safe rendering of a partition value (URL-style
+    * escaping of separator/metacharacters; null -> the hive default token).
+    */
+  def escapePathValue(v: String): String =
+    if (v == null) "__HIVE_DEFAULT_PARTITION__"
+    else {
+      val sb = new StringBuilder
+      v.foreach {
+        case c if c == '/' || c == '\\' || c == '=' || c == '%' || c == ':' ||
+          c == '#' || c < ' ' => sb.append(f"%%${c.toInt}%02X")
+        case c => sb.append(c)
+      }
+      if (sb.isEmpty) "__EMPTY__" else sb.toString
+    }
+
+  def unescapePathValue(s: String): String =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else if (s == "__EMPTY__") ""
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
 
   def inferSchema(dir: String, conf: org.apache.hadoop.conf.Configuration): StructType = {
     val files = listDataFiles(dir, conf)
@@ -162,7 +215,8 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   override def build(): Scan = aggPlan match {
     case Some((specs, aggSchema)) => new GraftAggScan(path, conf, specs, aggSchema)
     case None =>
-      new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt)
+      new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
+        pushed)
   }
 }
 
@@ -170,11 +224,32 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
     conf: org.apache.hadoop.conf.Configuration,
     initialPagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
     runtimeFilter: Boolean = false,
-    manifestOpt: Option[Boolean] = None)
+    manifestOpt: Option[Boolean] = None,
+    pushedRaw: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
-  private lazy val files = GraftUtil.listDataFiles(path, conf)
+  // hive-style partition-directory pruning: a file under k=v/ subdirs is
+  // dropped when a pushed filter is decidably false on those values — whole
+  // directories of footers are never touched. Undecidable filters keep the
+  // file (Spark re-applies everything row-level; partition columns are also
+  // stored in the data, so this is purely an IO optimization).
+  private lazy val files = {
+    val all = GraftUtil.listDataFiles(path, conf)
+    if (pushedRaw.isEmpty) all
+    else {
+      val tableDir = new Path(path)
+      val kept = all.filter { f =>
+        val segs = GraftUtil.partitionSegments(tableDir, f.getPath)
+        segs.isEmpty || {
+          val m = segs.toMap
+          pushedRaw.forall(PartitionPrune.mayMatch(_, m))
+        }
+      }
+      GraftMetrics.filesPruned.addAndGet(all.size - kept.size)
+      kept
+    }
+  }
 
   // compile-time zone-map predicates, later extended by runtime filters
   // (Spark re-plans partitions and creates the reader factory after
@@ -365,9 +440,35 @@ final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: Stri
   * projected leaves' byte ranges are ever fetched.
   */
 /** Counters observable from tests (single-JVM local mode). */
+/** Decides whether a pushed filter can possibly match a file given its
+  * partition-path values (string-rendered). Sound: anything undecidable
+  * keeps the file.
+  */
+object PartitionPrune {
+  import org.apache.spark.sql.sources._
+
+  private def render(v: Any): String = if (v == null) null else v.toString
+
+  def mayMatch(f: Filter, part: Map[String, String]): Boolean = f match {
+    case EqualTo(a, v) if part.contains(a) =>
+      val pv = part(a)
+      pv != null && pv == render(v)
+    case In(a, vs) if part.contains(a) && vs != null =>
+      val pv = part(a)
+      pv != null && vs.exists(v => render(v) == pv)
+    case IsNull(a) if part.contains(a) => part(a) == null
+    case IsNotNull(a) if part.contains(a) => part(a) != null
+    case And(l, r) => mayMatch(l, part) && mayMatch(r, part)
+    case Or(l, r) => mayMatch(l, part) || mayMatch(r, part)
+    case _ => true
+  }
+}
+
 object GraftMetrics {
   val pageGroupsSkipped = new java.util.concurrent.atomic.AtomicLong()
   val pageGroupsRead = new java.util.concurrent.atomic.AtomicLong()
+  /** Files dropped by partition-directory pruning (test observability). */
+  val filesPruned = new java.util.concurrent.atomic.AtomicLong()
   /** Bytes fetched through HadoopSeekableInput (data + footers); test-only
     * observability for pruning assertions (local mode — same JVM).
     */

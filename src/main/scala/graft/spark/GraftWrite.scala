@@ -30,7 +30,8 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
 
 final case class GraftWriteOptions(
     writeOptions: WriteOptions,
-    maxRowsPerFile: Int)
+    maxRowsPerFile: Int,
+    partitionBy: Seq[String] = Seq.empty)
 
 object GraftWriteOptions {
   def fromOptions(o: org.apache.spark.sql.util.CaseInsensitiveStringMap): GraftWriteOptions = {
@@ -49,7 +50,9 @@ object GraftWriteOptions {
         zstdLevel = Option(o.get("zstdlevel")).map(_.toInt).getOrElse(3),
         sampledChooser = Option(o.get("chooser")).forall(_ != "analytic"),
         lz4hc = hc),
-      maxRowsPerFile = Option(o.get("maxrowsperfile")).map(_.toInt).getOrElse(1 << 20))
+      maxRowsPerFile = Option(o.get("maxrowsperfile")).map(_.toInt).getOrElse(1 << 20),
+      partitionBy = Option(o.get("partitionby")).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty))
   }
 }
 
@@ -66,12 +69,15 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
     // sweep staging leftovers of previously crashed jobs (their task aborts
-    // never ran); fresh stages use new uuids so this cannot race this job
-    val it = fs.listStatus(dir)
-    it.foreach { f =>
+    // never ran), including inside partition subdirs; fresh stages use new
+    // uuids so this cannot race this job
+    def sweep(d: Path): Unit = fs.listStatus(d).foreach { f =>
       if (f.isFile && f.getPath.getName.endsWith(GraftUtil.Extension + ".tmp"))
         fs.delete(f.getPath, false)
+      else if (f.isDirectory && f.getPath.getName.contains('='))
+        sweep(f.getPath)
     }
+    sweep(dir)
     new GraftWriterFactory(schema.json, path, opts, conf)
   }
 
@@ -100,9 +106,16 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     // old+new data plus an accurate manifest of the new files. A truncating
     // overwrite also resets the manifest history: stale manifests would
     // reference the files deleted below.
+    // manifest entries are table-relative so partition subdir files resolve
+    val baseStr = tableDir.toString
     val added = messages.toSeq.flatMap {
       case GraftCommitMessage(files, _) =>
-        files.map { case (_, dst, len) => (new Path(dst).getName, len) }
+        files.map { case (_, dst, len) =>
+          val rel =
+            if (dst.startsWith(baseStr + "/")) dst.substring(baseStr.length + 1)
+            else new Path(dst).getName
+          (rel, len)
+        }
       case _ => Seq.empty
     }
     val oldManifests =
@@ -136,49 +149,89 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     conf: SerializableHadoopConf, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  import org.apache.spark.sql.types.DataType
+  import org.apache.spark.sql.types._
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val dir = new Path(path)
   private val fs: FileSystem = dir.getFileSystem(conf.value)
   private val uuid = java.util.UUID.randomUUID().toString.take(8)
 
-  private val appenders: Array[FieldAppender] =
-    schema.fields.map(f => FieldAppender(f.dataType, f.nullable))
+  // hive-style layout: .option("partitionby", "a,b") routes each row into a
+  // `a=x/b=y/` subdir (values escaped). Partition columns STAY in the data —
+  // constant per file, they cost ~nothing (OneValue/RLE pages) and keep
+  // every file self-describing; the subdirs are a directory-level zone map
+  // the scan prunes on before any footer IO.
+  private val partIdx: Array[Int] = opts.partitionBy.map { c =>
+    val i = schema.fieldIndex(c)
+    schema.fields(i).dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType | StringType => i
+      case dt => throw new IllegalArgumentException(
+        s"graft: partitionby column '$c' has unsupported type $dt " +
+          "(boolean/integral/string only)")
+    }
+  }.toArray
 
-  private var rowsInFile = 0
+  private def partitionDirOf(row: InternalRow): String =
+    partIdx.map { i =>
+      val f = schema.fields(i)
+      val v =
+        if (row.isNullAt(i)) null
+        else f.dataType match {
+          case StringType => row.getUTF8String(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case ByteType => row.getByte(i).toString
+          case ShortType => row.getShort(i).toString
+          case IntegerType => row.getInt(i).toString
+          case LongType => row.getLong(i).toString
+          case _ => throw new IllegalStateException("unreachable")
+        }
+      s"${f.name}=${GraftUtil.escapePathValue(v)}"
+    }.mkString("/")
+
+  /** Buffered rows + rolling state for one output directory. */
+  private final class PartState(val relDir: String) {
+    val appenders: Array[FieldAppender] =
+      schema.fields.map(f => FieldAppender(f.dataType, f.nullable))
+    var rowsInFile = 0
+    var fileSeq = 0
+  }
+
+  private val parts = scala.collection.mutable.LinkedHashMap[String, PartState]()
   private var totalRows = 0L
-  private var fileSeq = 0
   private val committed = ArrayBuffer[(Path, Path, Long)]() // (tmp, final, bytes)
 
   override def write(row: InternalRow): Unit = {
+    val key = if (partIdx.isEmpty) "" else partitionDirOf(row)
+    val st = parts.getOrElseUpdate(key, new PartState(key))
     var i = 0
-    while (i < appenders.length) { appenders(i).appendFrom(row, i); i += 1 }
-    rowsInFile += 1
-    if (rowsInFile >= opts.maxRowsPerFile) rollFile()
+    while (i < st.appenders.length) { st.appenders(i).appendFrom(row, i); i += 1 }
+    st.rowsInFile += 1
+    if (st.rowsInFile >= opts.maxRowsPerFile) rollFile(st)
   }
 
-  private def rollFile(): Unit = {
-    if (rowsInFile == 0) return
-    val name = f"part-$partitionId%05d-$uuid-$fileSeq%04d${GraftUtil.Extension}"
-    val tmp = new Path(dir, s".$name.tmp")
+  private def rollFile(st: PartState): Unit = {
+    if (st.rowsInFile == 0) return
+    val name = f"part-$partitionId%05d-$uuid-${st.fileSeq}%04d${GraftUtil.Extension}"
+    val outDir = if (st.relDir.isEmpty) dir else new Path(dir, st.relDir)
+    if (st.relDir.nonEmpty) fs.mkdirs(outDir)
+    val tmp = new Path(outDir, s".$name.tmp")
     val counting = new CountingOutputStream(fs.create(tmp, true))
     val out = new java.io.BufferedOutputStream(counting, 1 << 16)
     try {
       val w = new GraftFileWriter(out, schemaJson, opts.writeOptions)
       w.start()
-      w.writeChunk(appenders.map(_.tree()).toSeq, rowsInFile)
+      w.writeChunk(st.appenders.map(_.tree()).toSeq, st.rowsInFile)
       w.finish()
     } finally out.close()
-    committed += ((tmp, new Path(dir, name), counting.count))
-    appenders.foreach(_.clear())
-    totalRows += rowsInFile
-    rowsInFile = 0
-    fileSeq += 1
+    committed += ((tmp, new Path(outDir, name), counting.count))
+    st.appenders.foreach(_.clear())
+    totalRows += st.rowsInFile
+    st.rowsInFile = 0
+    st.fileSeq += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    rollFile()
+    parts.values.foreach(rollFile)
     // renames happen at job commit (GraftBatchWrite.commit) so a failed job
     // never exposes partial output or loses the pre-overwrite table
     GraftCommitMessage(committed.map(p => (p._1.toString, p._2.toString, p._3)).toSeq, totalRows)

@@ -185,6 +185,56 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-style partitioned writes prune whole directories on pushed filters") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft-test/partitioned"
+    spark.range(30000)
+      .selectExpr("id", "concat('L', cast(id % 5 AS STRING)) AS lang", "id % 3 AS bucket")
+      .repartition(4)
+      .write.format("graft").option("partitionby", "lang,bucket")
+      .mode("overwrite").save(dir)
+
+    // layout: lang=Lx/bucket=y/ subdirs
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.count(_.startsWith("lang=")) == 5, subdirs.mkString(","))
+
+    val g = spark.read.format("graft").load(dir)
+    assert(g.count() == 30000)
+
+    // equality filter reads only the matching directory's files
+    GraftMetrics.filesPruned.set(0)
+    assert(g.filter(col("lang") === "L3").count() == 6000)
+    assert(GraftMetrics.filesPruned.get() > 0, "lang=L3 filter should prune directories")
+
+    // composite across both partition levels
+    GraftMetrics.filesPruned.set(0)
+    assert(g.filter(col("lang") === "L1" && col("bucket") === 2).count() ==
+      (0 until 30000).count(i => i % 5 == 1 && i % 3 == 2))
+    val prunedBoth = GraftMetrics.filesPruned.get()
+    GraftMetrics.filesPruned.set(0)
+    assert(g.filter(col("lang") === "L1").count() == 6000)
+    assert(prunedBoth > GraftMetrics.filesPruned.get(),
+      "two-level filter should prune more files than one-level")
+
+    // IN-set and non-partition filters stay correct
+    assert(g.filter(col("lang").isin("L0", "L4")).count() == 12000)
+    assert(g.filter(col("id") < 100).count() == 100)
+
+    // values round-trip exactly (partition cols live in the data)
+    assert(g.filter(col("lang") === "L2" && col("id") === 12).count() == 1)
+
+    // streaming reads the partitioned layout through the commit manifest
+    val schema = g.schema
+    val stream = spark.readStream.format("graft").schema(schema).load(dir)
+      .groupBy().count()
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_part_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_part_stream").head().getLong(0) == 30000L)
+    } finally q.stop()
+  }
+
   test("additive schema evolution: old files null-fill newly added columns") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StringType, StructType}
