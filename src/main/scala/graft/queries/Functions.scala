@@ -24,6 +24,28 @@ object Functions {
           min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"))
     },
 
+    "q_partitioned_scan" -> { (s, dir) =>
+      // exercises the hive-style partitioned layout in the correctness
+      // gate: documents are staged partitioned by lang, the filtered scan
+      // prunes whole lang= directories before any footer IO, and the
+      // aggregate must match DuckDB over the unpartitioned source rows
+      val stage = s"/tmp/graft_part_stage/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}/documents"
+      val marker = new java.io.File(s"$stage/_GRAFT_PART_DONE")
+      if (!marker.exists()) {
+        Tables.parquet(s, dir, "documents")
+          .write.format("graft").option("partitionby", "lang")
+          .mode("overwrite").save(stage)
+        marker.createNewFile()
+      }
+      s.read.format("graft").load(stage)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
     "q_json_extract" -> { (s, dir) =>
       Tables.load(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -121,6 +143,12 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_partitioned_scan" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS sources
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_count_minmax" ->
       """SELECT count(*) AS n,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
