@@ -109,11 +109,14 @@ object TrainingData {
         val next = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
           .select(col("id"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
         next.cache()
+        val prev = labels
         changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("id"))
           .filter(col("lab") =!= col("old")).count()
+        prev.unpersist() // superseded frames must not pin the storage pool
         labels = next
         iter += 1
       }
+      edges.unpersist()
       val cs = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
       labels.join(cs.filter(col("cluster_size") >= 2), Seq("lab"))
         .select(col("lab").as("cluster_rep"), col("id").as("doc_id"), col("cluster_size"))

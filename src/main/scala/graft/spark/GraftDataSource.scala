@@ -75,12 +75,17 @@ object GraftUtil {
   }
 
   /** Hive-style `k=v` partition-path segments of a data file relative to the
-    * table root (empty for an unpartitioned layout).
+    * table root (empty for an unpartitioned layout). The walk stops at the
+    * table root by scheme-insensitive path comparison — FileStatus paths are
+    * fully qualified while the option path may not be, so Path equality
+    * would never fire and a table root itself named `k=v` would fabricate a
+    * segment.
     */
   def partitionSegments(tableDir: Path, file: Path): Seq[(String, String)] = {
+    val rootPath = tableDir.toUri.getPath
     var segs = List.empty[(String, String)]
     var d = file.getParent
-    while (d != null && d != tableDir && d.getName.contains('=')) {
+    while (d != null && d.toUri.getPath != rootPath && d.getName.contains('=')) {
       val n = d.getName
       val i = n.indexOf('=')
       segs = (n.substring(0, i), unescapePathValue(n.substring(i + 1))) :: segs
@@ -91,9 +96,13 @@ object GraftUtil {
 
   /** Deterministic path-safe rendering of a partition value (URL-style
     * escaping of separator/metacharacters; null -> the hive default token).
+    * Values that would collide with the sentinel tokens are %-escaped so the
+    * mapping stays injective.
     */
   def escapePathValue(v: String): String =
     if (v == null) "__HIVE_DEFAULT_PARTITION__"
+    else if (v == "__HIVE_DEFAULT_PARTITION__" || v == "__EMPTY__")
+      "%5F" + v.substring(1) // literal sentinel: escape the first underscore
     else {
       val sb = new StringBuilder
       v.foreach {

@@ -87,14 +87,22 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
   private val tableDir = new org.apache.hadoop.fs.Path(path)
   private def fs = tableDir.getFileSystem(conf.value)
 
-  /** Sticky for the stream's lifetime: manifest offsets when the sink-side
-    * commit manifest exists at start (or `.option("manifest", true/false)`
-    * forces it). Checkpoints written in one mode must keep that mode — the
-    * offset itself carries the marker, and planInputPartitions dispatches on
-    * the end offset so restarts stay consistent.
+  /** Checkpoints written in one mode must keep that mode across restarts:
+    * the restored offset's marker (seen via deserializeOffset /
+    * planInputPartitions before any new offset is captured) pins the mode;
+    * otherwise `.option("manifest", ...)` decides, else auto-detection on
+    * the directory. Switching away from a non-empty offset of the other
+    * mode would redeliver already-processed files.
     */
-  private val manifestMode: Boolean =
-    manifestOpt.getOrElse(GraftManifest.list(fs, tableDir).nonEmpty)
+  @volatile private var stickyMode: Option[Boolean] = None
+
+  private def pinMode(off: GraftStreamOffset): Unit =
+    if (off != GraftStreamOffset.Empty && stickyMode.isEmpty)
+      stickyMode = Some(off.manifest)
+
+  private def manifestMode: Boolean =
+    stickyMode.getOrElse(
+      manifestOpt.getOrElse(GraftManifest.list(fs, tableDir).nonEmpty))
 
   private def lateness: Long =
     conf.value.getLong("graft.stream.lateness.ms", 5 * 60 * 1000L)
@@ -123,41 +131,66 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
       if (names.isEmpty) GraftStreamOffset.Empty
       else {
         val maxT = names.map(GraftManifest.nameT).max
-        GraftStreamOffset(maxT,
+        val off = GraftStreamOffset(maxT,
           names.filter(n => GraftManifest.nameT(n) >= maxT - lateness),
           manifest = true)
+        pinMode(off)
+        off
       }
     } else {
       val files = listNow()
       if (files.isEmpty) GraftStreamOffset.Empty
       else {
         val maxT = files.map(_._2).max
-        GraftStreamOffset(maxT, files.collect { case (n, mt, _) if mt >= maxT - lateness => n }.sorted)
+        val off = GraftStreamOffset(maxT,
+          files.collect { case (n, mt, _) if mt >= maxT - lateness => n }.sorted)
+        pinMode(off)
+        off
       }
     }
   }
 
-  override def deserializeOffset(json: String): Offset = GraftStreamOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = {
+    val off = GraftStreamOffset.fromJson(json)
+    pinMode(off) // a restored checkpoint pins the mode before any capture
+    off
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset]
+    pinMode(s); pinMode(e)
     val sNames = s.names.toSet
     val eNames = e.names.toSet
     if (e.manifest) {
       // batch = data files of every manifest covered by `end` but not by
       // `start`; each file belongs to exactly one manifest, so exactly-once
       // needs no file-level dedup
-      GraftManifest.list(fs, tableDir)
+      val manifests = GraftManifest.list(fs, tableDir)
+      val entries = manifests
         .filter(n => covered(e.t, eNames, n, GraftManifest.nameT(n)))
         .filterNot(n => covered(s.t, sNames, n, GraftManifest.nameT(n)))
         .flatMap(n => GraftManifest.read(fs, tableDir, n))
         .map { case (name, len) =>
-          // qualified like the FileStatus paths of modTime mode
-          GraftInputPartition(
-            fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString, len):
-            InputPartition
+          (fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString, len)
         }
+      // first batch of a fresh stream backfills files no manifest covers
+      // (history written before the manifest-publishing writer landed) —
+      // batch and stream views of an upgraded table must agree. Later
+      // external unmanifested drops remain out of scope (same contract as
+      // FileStreamSink readers).
+      val backfill =
+        if (s != GraftStreamOffset.Empty) Seq.empty
+        else {
+          val manifested = manifests
+            .flatMap(n => GraftManifest.read(fs, tableDir, n))
+            .map { case (name, _) =>
+              fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString
+            }.toSet
+          listNow().collect { case (n, _, len) if !manifested.contains(n) => (n, len) }
+        }
+      (entries ++ backfill)
+        .map { case (name, len) => GraftInputPartition(name, len): InputPartition }
         .toArray
     } else {
       // batch = files covered by `end` but not by `start` (a file inside

@@ -198,6 +198,7 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
 
   private val parts = scala.collection.mutable.LinkedHashMap[String, PartState]()
   private var totalRows = 0L
+  private var buffered = 0L // rows held across ALL partition states
   private val committed = ArrayBuffer[(Path, Path, Long)]() // (tmp, final, bytes)
 
   override def write(row: InternalRow): Unit = {
@@ -206,7 +207,15 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     var i = 0
     while (i < st.appenders.length) { st.appenders(i).appendFrom(row, i); i += 1 }
     st.rowsInFile += 1
+    buffered += 1
     if (st.rowsInFile >= opts.maxRowsPerFile) rollFile(st)
+    // high-cardinality partition keys must not accumulate one full buffer
+    // per key: when the AGGREGATE buffered row count reaches one file's
+    // worth, flush the largest state (produces smaller files instead of
+    // OOMing the executor — the pre-repartition-by-key layout stays the
+    // caller's lever for big files)
+    else if (buffered >= opts.maxRowsPerFile)
+      rollFile(parts.values.maxBy(_.rowsInFile))
   }
 
   private def rollFile(st: PartState): Unit = {
@@ -226,6 +235,7 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     committed += ((tmp, new Path(outDir, name), counting.count))
     st.appenders.foreach(_.clear())
     totalRows += st.rowsInFile
+    buffered -= st.rowsInFile
     st.rowsInFile = 0
     st.fileSeq += 1
   }

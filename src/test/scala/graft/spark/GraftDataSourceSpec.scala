@@ -223,6 +223,18 @@ class GraftDataSourceSpec extends AnyFunSuite {
     // values round-trip exactly (partition cols live in the data)
     assert(g.filter(col("lang") === "L2" && col("id") === 12).count() == 1)
 
+    // sentinel-colliding and empty/null partition values stay injective
+    val sdir = "/tmp/graft-test/partitioned-sentinel"
+    spark.sql("""SELECT * FROM VALUES (1, '__EMPTY__'), (2, ''), (3, CAST(NULL AS STRING)),
+        (4, '__HIVE_DEFAULT_PARTITION__') AS t(id, c)""")
+      .coalesce(1).write.format("graft").option("partitionby", "c").mode("overwrite").save(sdir)
+    val sg = spark.read.format("graft").load(sdir)
+    assert(sg.count() == 4)
+    assert(sg.filter(col("c") === "__EMPTY__").count() == 1)
+    assert(sg.filter(col("c") === "").count() == 1)
+    assert(sg.filter(col("c").isNull).count() == 1)
+    assert(sg.filter(col("c") === "__HIVE_DEFAULT_PARTITION__").count() == 1)
+
     // streaming reads the partitioned layout through the commit manifest
     val schema = g.schema
     val stream = spark.readStream.format("graft").schema(schema).load(dir)

@@ -81,6 +81,48 @@ class StreamingSourceSpec extends AnyFunSuite {
       "modTime mode drops a file older than the lateness window"))
   }
 
+  test("restored checkpoint pins the offset mode; manifest mode backfills unmanifested history") {
+    val dir = "/tmp/graft-test/stream-mode-pin"
+    spark.range(20).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+
+    // a restart from a pre-manifest (modTime) checkpoint must NOT flip to
+    // manifest offsets even though the directory now carries manifests —
+    // that would redeliver files the old offset already covered
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val restored = ms.deserializeOffset(
+      s"""{"t":${System.currentTimeMillis()},"names":[]}""").asInstanceOf[GraftStreamOffset]
+    assert(!restored.manifest)
+    assert(!ms.latestOffset().asInstanceOf[GraftStreamOffset].manifest,
+      "latestOffset must stay in the restored checkpoint's mode")
+
+    // a fresh manifest-mode stream over a directory with unmanifested
+    // history (simulating files from a pre-manifest writer) delivers that
+    // history in its first batch exactly once
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    val manifestDir = GraftManifest.dir(new org.apache.hadoop.fs.Path(dir))
+    val firstManifest = GraftManifest.list(fs, new org.apache.hadoop.fs.Path(dir)).head
+    val legacyFile = GraftUtil.listDataFiles(dir, hconf).head
+    // drop one file from every manifest record by rewriting the manifest
+    val entries = GraftManifest.read(fs, new org.apache.hadoop.fs.Path(dir), firstManifest)
+      .filterNot(_._1 == legacyFile.getPath.getName)
+    fs.delete(new org.apache.hadoop.fs.Path(manifestDir, firstManifest), false)
+    GraftManifest.publish(fs, new org.apache.hadoop.fs.Path(dir), entries)
+
+    val ms2 = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val o1 = ms2.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(o1.manifest)
+    val b1 = ms2.planInputPartitions(GraftStreamOffset.Empty, o1)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    assert(b1.contains(legacyFile.getPath.toString),
+      "unmanifested history must backfill into the first batch")
+    assert(b1.size == GraftUtil.listDataFiles(dir, hconf).size)
+    // and never again
+    val o2 = ms2.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(ms2.planInputPartitions(o1, o2).isEmpty)
+  }
+
   test("stream offset stays compact as the directory grows") {
     val dir = "/tmp/graft-test/stream-offset"
     spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
