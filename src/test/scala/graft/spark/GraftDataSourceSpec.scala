@@ -291,6 +291,22 @@ class GraftDataSourceSpec extends AnyFunSuite {
       s"expected a schema-drift error, got: ${causes(e).mkString(" | ")}")
   }
 
+  test("SQL DDL: CREATE TABLE USING graft + INSERT + SELECT") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/tmp/graft-test/sql-ddl"
+    spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+    spark.range(500).selectExpr("id AS k", "concat('v', id) AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    spark.sql(s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_sql_t").head.getLong(0) == 500)
+      assert(spark.sql("SELECT v FROM graft_sql_t WHERE k = 42").head.getString(0) == "v42")
+      spark.sql("INSERT INTO graft_sql_t SELECT id AS k, concat('w', id) AS v FROM range(500, 600)")
+      assert(spark.table("graft_sql_t").count() == 600)
+      assert(spark.table("graft_sql_t").filter(col("v") === "w550").count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+  }
+
   test("strawboat alias works") {
     val dir = "/tmp/graft-test/region-alias"
     spark.read.parquet(s"$sf/region.parquet")
