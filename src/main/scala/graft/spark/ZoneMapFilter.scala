@@ -133,6 +133,25 @@ object ZoneMapFilter {
   private[spark] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
     java.util.Arrays.compareUnsigned(a, b)
 
+  /** Guard for predicates whose skip logic is only valid on NaN-free pages:
+    * defers to `inner` except on pages that contain NaN (statsKind 3), which
+    * are never skipped. Used when a NaN probe was dropped from an IN-set
+    * envelope — the dropped probe still matches NaN rows (Spark NaN = NaN).
+    */
+  private final case class UnlessNanPage(field: String, inner: PagePred) extends PagePred {
+    def fields: Seq[String] = inner.fields
+    def canSkip(meta: String => PageMeta): Boolean =
+      meta(field).statsKind != 3 && inner.canSkip(meta)
+  }
+
+  /** All probes were NaN: only NaN-bearing pages (statsKind 3) can match, so
+    * every NaN-free double page skips. (All-null pages skip via statsKind 2
+    * being recorded for them only when values exist.)
+    */
+  private final case class OnlyNanMatches(field: String) extends LeafPred {
+    def canSkipMeta(pm: PageMeta): Boolean = pm.statsKind == 2
+  }
+
   private final case class AllNullSkip(field: String) extends LeafPred {
     // IsNotNull: skip pages where every value is null
     def canSkipMeta(pm: PageMeta): Boolean =
@@ -345,12 +364,20 @@ object ZoneMapFilter {
             } else {
               val xs = ds.map(_._2.toOption.get)
               if (vs.length <= 64) Some(InSet(a, 2, Array.empty, xs))
-              else if (xs.exists(_.isNaN)) None
-              // a NaN probe matches NaN-page rows, and the <=hi envelope leg
-              // (Cmp op 4) has no nanPage guard — so only build the envelope
-              // from NaN-free sets; with NaN present min/max would be
-              // order-dependent anyway and never pruned
-              else Some(AllOf(Array(Cmp(a, 2, 2, Right(xs.min)), Cmp(a, 2, 4, Right(xs.max)))))
+              else {
+                // envelope over the FINITE probes only (a NaN probe would
+                // poison min/max under IEEE ordering); a dropped NaN probe
+                // still matches NaN-page rows, so the envelope is wrapped in
+                // UnlessNanPage — NaN-bearing pages are never skipped
+                val fin = xs.filter(x => !x.isNaN)
+                if (fin.isEmpty) Some(OnlyNanMatches(a))
+                else {
+                  val env = AllOf(Array(
+                    Cmp(a, 2, 2, Right(fin.min)), Cmp(a, 2, 4, Right(fin.max))))
+                  if (fin.length < xs.length) Some(UnlessNanPage(a, env))
+                  else Some(env)
+                }
+              }
             }
           } else if (bs.length == vs.length) {
             if (vs.length <= 64) Some(InSetBin(a, bs))

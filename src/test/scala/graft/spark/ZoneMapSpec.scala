@@ -236,16 +236,26 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(!notPreds(0).canSkip(_ => PageMeta(0, 100, 1.toByte, 5L, 9L, 0)))
 
     // >64-value double IN-set: NaN-free compiles to an envelope; a NaN probe
-    // disables compilation (the <=hi leg has no NaN-page guard)
+    // keeps the finite-value envelope but never skips NaN-bearing pages
     val clean = (1 to 70).map(i => java.lang.Double.valueOf(i * 1.0)).toArray[Any]
     val (_, inPreds) = ZoneMapFilter.compile(schema, Array(In("d", clean)))
     assert(inPreds.length == 1)
-    assert(inPreds(0).canSkip(_ =>
-      PageMeta(0, 100, 2.toByte, java.lang.Double.doubleToLongBits(200.0),
-        java.lang.Double.doubleToLongBits(300.0), 0)))
+    def dblPage(kind: Int, lo: Double, hi: Double) = PageMeta(0, 100, kind.toByte,
+      java.lang.Double.doubleToLongBits(lo), java.lang.Double.doubleToLongBits(hi), 0)
+    assert(inPreds(0).canSkip(_ => dblPage(2, 200.0, 300.0)))
     val withNaN = clean :+ java.lang.Double.valueOf(Double.NaN).asInstanceOf[Any]
     val (_, nanPreds) = ZoneMapFilter.compile(schema, Array(In("d", withNaN)))
-    assert(nanPreds.isEmpty, "NaN probe in a large IN-set must disable the envelope")
+    assert(nanPreds.length == 1, "NaN probe must not disable the finite envelope")
+    assert(nanPreds(0).canSkip(_ => dblPage(2, 200.0, 300.0)),
+      "NaN-free page outside the finite envelope still skips")
+    assert(!nanPreds(0).canSkip(_ => dblPage(3, 200.0, 300.0)),
+      "NaN-bearing page matches the dropped NaN probe: never skip")
+    // all probes NaN: every NaN-free double page skips, NaN pages don't
+    val allNaN = Array.fill[Any](65)(java.lang.Double.valueOf(Double.NaN))
+    val (_, onlyNan) = ZoneMapFilter.compile(schema, Array(In("d", allNaN)))
+    assert(onlyNan.length == 1)
+    assert(onlyNan(0).canSkip(_ => dblPage(2, 1.0, 2.0)))
+    assert(!onlyNan(0).canSkip(_ => dblPage(3, 1.0, 2.0)))
   }
 
   test("struct sub-field predicates prune pages") {
