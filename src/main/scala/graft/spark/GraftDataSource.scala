@@ -168,13 +168,29 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     manifestOpt: Option[Boolean] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var projected: StructType = tableSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty
   private var hadFilters = false
   private var aggPlan: Option[(Seq[GraftAggPushdown.AggSpec], StructType)] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** Partial limit pushdown: the scan plans only enough leading page groups
+    * to cover `limit` rows (footer row counts), so `table.limit(20)` on a
+    * 100 TB directory touches one file's first pages instead of planning
+    * every split. Spark keeps its own Limit (isPartiallyPushed = true
+    * default), so correctness never depends on the cap. Spark only offers
+    * the limit when no residual filters exist — and every filter we accept
+    * stays residual — so a planned page can't lose rows to row-level
+    * filtering; zone-map preds are likewise empty here.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit >= 0) pushedLimit = Some(limit)
+    pushedLimit.isDefined
+  }
 
   /** Column pruning (reference analogue: independent per-column byte
     * ranges, SURVEY.md §2.2). Struct sub-fields prune to their leaf ranges
@@ -225,7 +241,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     case Some((specs, aggSchema)) => new GraftAggScan(path, conf, specs, aggSchema)
     case None =>
       new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
-        pushed)
+        pushed, pushedLimit)
   }
 }
 
@@ -234,7 +250,8 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
     initialPagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
     runtimeFilter: Boolean = false,
     manifestOpt: Option[Boolean] = None,
-    pushedRaw: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushedRaw: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -278,7 +295,10 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
     * the IN-set envelope genuinely skips page IO (see ZoneMapSpec).
     */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (!runtimeFilter) Array.empty
+    // under a pushed limit, a runtime filter could prune pages BELOW the
+    // limit boundary and change which rows feed a parent join — keep the
+    // two features mutually exclusive
+    if (!runtimeFilter || limit.isDefined) Array.empty
     else projected.fields // must be a subset of the scan output, not the full table
       .filter(f => ZoneMapFilter.prunable(f.dataType)) // only zone-map-bearing lanes can act on the IN-set
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
@@ -302,9 +322,31 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
     new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json, manifestOpt)
   override def description(): String =
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
-      (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "")
+      (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "") +
+      limit.map(l => s" limit=$l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
+    limit.foreach { lim =>
+      // plan only the leading page groups whose footer row counts cover the
+      // limit; Spark's retained Limit takes the exact first `lim` rows
+      val parts = Array.newBuilder[InputPartition]
+      var remaining = math.max(lim, 1).toLong // limit 0: still emit one page so schema paths stay exercised
+      val it = files.iterator
+      while (remaining > 0 && it.hasNext) {
+        val f = it.next()
+        val pageRows = GraftScan.pageRowCounts(f, conf)
+        if (pageRows.isEmpty) parts += GraftInputPartition(f.getPath.toString, f.getLen)
+        else {
+          var hi = 0
+          while (hi < pageRows.length && remaining > 0) {
+            remaining -= pageRows(hi); hi += 1
+          }
+          parts += (if (hi >= pageRows.length) GraftInputPartition(f.getPath.toString, f.getLen)
+            else GraftInputPartition(f.getPath.toString, f.getLen, 0, hi))
+        }
+      }
+      return parts.result()
+    }
     // parquet-style sizing: min(maxPartitionBytes, max(openCost, total/parallelism))
     val sqlConf = org.apache.spark.sql.internal.SQLConf.get
     val maxBytes = sqlConf.filesMaxPartitionBytes
@@ -366,6 +408,25 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
 object GraftScan {
   private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val pageCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  private val pageRowsCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  /** Per-row-page-group row counts of a file (leaf 0 is row-aligned). One
+    * cached 64KiB footer read; used by the limit-pushdown planner.
+    */
+  def pageRowCounts(f: FileStatus, conf: org.apache.hadoop.conf.Configuration): Array[Int] = {
+    val key = f.getPath.toString + "#" + f.getLen
+    val cached = pageRowsCache.get(key)
+    if (cached != null) return cached
+    val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
+    try {
+      val footer = GraftFileReader.readFooter(in)
+      val arr =
+        if (footer.leaves.isEmpty) Array.empty[Int]
+        else footer.leaves(0).pages.map(_.numValues)
+      pageRowsCache.put(key, arr)
+      arr
+    } finally in.close()
+  }
 
   /** Row-page-group count of a file (one 64KiB footer read, cached). */
   def numRowPages(f: FileStatus, conf: org.apache.hadoop.conf.Configuration): Int = {

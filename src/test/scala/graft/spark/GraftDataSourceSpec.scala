@@ -307,6 +307,36 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
   }
 
+  test("limit pushdown plans only leading pages") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/tmp/graft-test/limit-pushdown"
+    // ~13 page groups (default 8192 rows/page), one file
+    spark.range(100000).selectExpr("id AS k", "concat('v', id) AS v")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.limit(10).collect().length == 10)
+    assert(GraftMetrics.pageGroupsRead.get() <= 1,
+      s"limit(10) should read one page group, read=${GraftMetrics.pageGroupsRead.get()}")
+
+    // limit spanning several pages still returns exactly n rows
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.limit(20000).collect().length == 20000)
+    val read = GraftMetrics.pageGroupsRead.get()
+    assert(read >= 3 && read <= 4, s"limit(20000) should read ~3 page groups, read=$read")
+
+    // values are the true leading rows (file order), not arbitrary ones
+    assert(g.limit(3).select("k").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+
+    // a residual filter blocks the limit pushdown path; results stay exact
+    assert(g.filter(col("k") >= 99990).limit(5).collect().length == 5)
+
+    // explain surfaces the pushed limit on the scan node
+    val plan = g.limit(7).queryExecution.executedPlan.toString
+    assert(plan.contains("limit=7"), s"scan description should show limit, got:\n$plan")
+  }
+
   test("strawboat alias works") {
     val dir = "/tmp/graft-test/region-alias"
     spark.read.parquet(s"$sf/region.parquet")
