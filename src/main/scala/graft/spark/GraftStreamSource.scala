@@ -87,12 +87,17 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
   private val tableDir = new org.apache.hadoop.fs.Path(path)
   private def fs = tableDir.getFileSystem(conf.value)
 
-  /** Checkpoints written in one mode must keep that mode across restarts:
-    * the restored offset's marker (seen via deserializeOffset /
+  /** Checkpoints written in one mode keep that mode across restarts by
+    * default: the restored offset's marker (seen via deserializeOffset /
     * planInputPartitions before any new offset is captured) pins the mode;
-    * otherwise `.option("manifest", ...)` decides, else auto-detection on
-    * the directory. Switching away from a non-empty offset of the other
-    * mode would redeliver already-processed files.
+    * auto-detection on the directory applies only to fresh checkpoints.
+    * An EXPLICIT `.option("manifest", true)` outranks the pin and upgrades a
+    * modTime checkpoint in place — planInputPartitions diffs the manifest
+    * end offset against the modTime start at file level, so nothing is
+    * redelivered or dropped across the switch. The reverse (explicit
+    * `manifest=false` against a manifest checkpoint) is rejected: modTime
+    * offsets cannot express which manifested files were already processed
+    * once their modTimes age out of the lateness window.
     */
   @volatile private var stickyMode: Option[Boolean] = None
 
@@ -101,8 +106,8 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
       stickyMode = Some(off.manifest)
 
   private def manifestMode: Boolean =
-    stickyMode.getOrElse(
-      manifestOpt.getOrElse(GraftManifest.list(fs, tableDir).nonEmpty))
+    manifestOpt.orElse(stickyMode)
+      .getOrElse(GraftManifest.list(fs, tableDir).nonEmpty)
 
   private def lateness: Long =
     conf.value.getLong("graft.stream.lateness.ms", 5 * 60 * 1000L)
@@ -160,27 +165,38 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     val s = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset]
     pinMode(s); pinMode(e)
+    if (e == GraftStreamOffset.Empty) return Array.empty
+    if (s.manifest && !e.manifest)
+      throw new IllegalStateException(
+        "graft: stream checkpoint was written with manifest offsets; " +
+          "manifest=false cannot express its progress (files older than the " +
+          "lateness window would be redelivered). Remove the option or keep " +
+          "manifest=true.")
     val sNames = s.names.toSet
     val eNames = e.names.toSet
     if (e.manifest) {
       // batch = data files of every manifest covered by `end` but not by
       // `start`; each file belongs to exactly one manifest, so exactly-once
-      // needs no file-level dedup
+      // needs no file-level dedup. A modTime-mode `start` (explicit
+      // checkpoint upgrade) can't cover manifests — its coverage is applied
+      // per FILE below, against the data files' own modTimes.
+      val upgrade = !s.manifest && s != GraftStreamOffset.Empty
       val manifests = GraftManifest.list(fs, tableDir)
-      val entries = manifests
-        .filter(n => covered(e.t, eNames, n, GraftManifest.nameT(n)))
-        .filterNot(n => covered(s.t, sNames, n, GraftManifest.nameT(n)))
-        .flatMap(n => GraftManifest.read(fs, tableDir, n))
-        .map { case (name, len) =>
-          (fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString, len)
-        }
-      // first batch of a fresh stream backfills files no manifest covers
+      val endManifests = manifests.filter(n => covered(e.t, eNames, n, GraftManifest.nameT(n)))
+      val entries =
+        (if (upgrade) endManifests
+         else endManifests.filterNot(n => covered(s.t, sNames, n, GraftManifest.nameT(n))))
+          .flatMap(n => GraftManifest.read(fs, tableDir, n))
+          .map { case (name, len) =>
+            (fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString, len)
+          }
+      // the first manifest batch backfills files no manifest covers
       // (history written before the manifest-publishing writer landed) —
       // batch and stream views of an upgraded table must agree. Later
       // external unmanifested drops remain out of scope (same contract as
       // FileStreamSink readers).
       val backfill =
-        if (s != GraftStreamOffset.Empty) Seq.empty
+        if (s != GraftStreamOffset.Empty && !upgrade) Seq.empty
         else {
           val manifested = manifests
             .flatMap(n => GraftManifest.read(fs, tableDir, n))
@@ -189,7 +205,17 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
             }.toSet
           listNow().collect { case (n, _, len) if !manifested.contains(n) => (n, len) }
         }
-      (entries ++ backfill)
+      val all = entries ++ backfill
+      // upgrade batch: drop files the modTime checkpoint already processed
+      val fresh =
+        if (!upgrade) all
+        else {
+          val modTimes = listNow().map { case (n, mt, _) => n -> mt }.toMap
+          all.filterNot { case (n, _) =>
+            modTimes.get(n).exists(mt => covered(s.t, sNames, n, mt))
+          }
+        }
+      fresh
         .map { case (name, len) => GraftInputPartition(name, len): InputPartition }
         .toArray
     } else {

@@ -123,6 +123,48 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(ms2.planInputPartitions(o1, o2).isEmpty)
   }
 
+  test("explicit manifest=true upgrades a modTime checkpoint without redelivery") {
+    val dir = "/tmp/graft-test/stream-upgrade"
+    spark.range(20).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+
+    // wave 1 processed under modTime offsets (a pre-manifest-era checkpoint)
+    val msPlain = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson,
+      manifestOpt = Some(false))
+    val o1 = msPlain.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(!o1.manifest)
+    val b1 = msPlain.planInputPartitions(GraftStreamOffset.Empty, o1)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+
+    Thread.sleep(20)
+    spark.range(20, 30).selectExpr("id as k").write.format("graft").mode("append").save(dir)
+
+    // restart from o1 with manifest=true: the upgrade batch delivers exactly
+    // the files the modTime checkpoint had not processed
+    val msUp = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson,
+      manifestOpt = Some(true))
+    val restored = msUp.deserializeOffset(o1.json()).asInstanceOf[GraftStreamOffset]
+    val o2 = msUp.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(o2.manifest, "explicit manifest=true must outrank the restored mode pin")
+    val b2 = msUp.planInputPartitions(restored, o2)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    val total = GraftUtil.listDataFiles(dir, hconf).map(_.getPath.toString).toSet
+    assert(b1.intersect(b2).isEmpty, "upgrade batch must not redeliver processed files")
+    assert(b1 ++ b2 == total, s"upgrade batch must close the gap: missing ${total -- b1 -- b2}")
+    // subsequent batches run in pure manifest mode and stay empty until new data
+    val o3 = msUp.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(msUp.planInputPartitions(o2, o3).isEmpty)
+
+    // the reverse direction is rejected loudly
+    val msDown = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson,
+      manifestOpt = Some(false))
+    val err = intercept[IllegalStateException] {
+      msDown.planInputPartitions(o2, msDown.latestOffset())
+    }
+    assert(err.getMessage.contains("manifest"))
+  }
+
   test("stream offset stays compact as the directory grows") {
     val dir = "/tmp/graft-test/stream-offset"
     spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
