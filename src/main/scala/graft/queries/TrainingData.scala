@@ -41,6 +41,30 @@ object TrainingData {
         h -> aggregate(sequence(1, 15), cast(0 as bigint),
           (acc, i) -> acc * 16 + (instr('0123456789abcdef', substr(h, i, 1)) - 1)))"""
 
+  /** Materialization point for an intermediate frame reused by several
+    * downstream branches. Default is `Dataset.cache` (MEMORY_AND_DISK) —
+    * right at local/bench scale. `spark.conf.set("graft.pipeline.materialize",
+    * "table")` instead writes the frame to a graft scratch table and reads
+    * it back: the frame then lives in the storage tier (one column-pruned
+    * ranged-read scan per reuse) rather than pinning the executors' storage
+    * pool — the shape a 100 TB signature/bucket frame needs. `none` skips
+    * materialization (recompute per branch). Scratch tables are isolated
+    * per Spark application under `graft.pipeline.scratch`.
+    */
+  private def materialize(df: DataFrame, name: String): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("graft.pipeline.materialize").getOrElse("cache") match {
+      case "table" =>
+        val root = s.conf.getOption("graft.pipeline.scratch")
+          .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-scratch")
+        val dir = s"$root/${s.sparkContext.applicationId}/$name"
+        df.write.format("graft").mode("overwrite").save(dir)
+        s.read.format("graft").load(dir)
+      case "none" => df
+      case _ => df.cache()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- deduplication ----------------
@@ -212,15 +236,14 @@ object TrainingData {
       // join branches without it (no cross-branch CSE), and the bucket
       // expression is the expensive part; at 100 TB the equivalent is a
       // checkpointed bucket table, not a bigger cache.
-      val e = embs(s, dir).withColumn("q", expr(quantized))
+      val e = materialize(embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("bucket", expr(
           s"""aggregate(sequence(0, 5), cast(0 as bigint),
                 (acc, p) -> acc + CASE WHEN
                   aggregate(zip_with(q, element_at($planes, p + 1), (x, c) -> x * c),
                             cast(0 as bigint), (a2, x2) -> a2 + x2) >= 0
                   THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""))
-        .select(col("vec_id"), col("q"), col("bucket"))
-      e.cache()
+        .select(col("vec_id"), col("q"), col("bucket")), "ann_buckets")
       val queriesDf = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
         .withColumn("bucket", explode(expr(
@@ -442,7 +465,11 @@ object TrainingData {
     val bandHash =
       if (portable) "md5(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string))))"
       else "cast(xxhash64(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string)))) as string)"
-    val d = docs(s, dir)
+    // materialized because bands + the two signature rejoins reuse it; the
+    // frame is (id, 64 longs) — a fraction of the raw text. Default is
+    // cache (spills at MEMORY_AND_DISK); graft.pipeline.materialize=table
+    // checkpoints it to a graft scratch table instead — the 100 TB shape.
+    val d = materialize(docs(s, dir)
       .withColumn("w", split(col("text"), " "))
       .withColumn("shingles", expr(
         """CASE WHEN size(w) >= 3
@@ -457,11 +484,8 @@ object TrainingData {
                transform(sequence(0, 63),
                  h -> pmod((h*2+1) * pmod(v, 1000000007) + h*12345+1, 1000000007)),
                (a, b) -> least(a, b)))"""))
-      .select(col("doc_id"), col("sig"))
-    // cached because bands + the two signature rejoins reuse it; the frame
-    // is (id, 64 longs) — a fraction of the raw text — and Dataset.cache's
-    // MEMORY_AND_DISK level spills rather than OOMs at scale
-    d.cache()
+      .select(col("doc_id"), col("sig")),
+      if (portable) "minhash_sigs_portable" else "minhash_sigs")
     // the band join carries only (band, bh, doc_id); the 64-long signatures
     // are re-joined AFTER the candidate pairs are deduped, so the widest
     // shuffle moves ids, not signatures (the scale-critical difference)
@@ -502,15 +526,15 @@ object TrainingData {
     val nbits = if (portable) 60 else 64
     val chunkBits = nbits / 4
     val chunkMask = (1 << chunkBits) - 1
-    val d2 = docs(s, dir)
+    val d2 = materialize(docs(s, dir)
       .withColumn("hs", expr(wordHash))
       .withColumn("simhash", expr(
         s"""aggregate(sequence(0, ${nbits - 1}), cast(0 as bigint),
              (acc, b) -> acc + CASE
                WHEN size(filter(hs, h -> ((h >> b) & 1) = 1)) * 2 >= size(hs)
                THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""))
-      .select(col("doc_id"), col("simhash"))
-    d2.cache()
+      .select(col("doc_id"), col("simhash")),
+      if (portable) "simhash_portable" else "simhash")
     val chunks = d2.select(col("doc_id"), col("simhash"),
       explode(expr(s"transform(sequence(0, 3), c -> named_struct('c', c, 'ck', (simhash >> (c*$chunkBits)) & $chunkMask))")).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
