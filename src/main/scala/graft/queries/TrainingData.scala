@@ -171,6 +171,32 @@ object TrainingData {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    "d_dedup_segments" -> { (s, dir) =>
+      // segment-level (line-level analogue) boilerplate dedup, the
+      // CCNet/RefinedWeb pass that strips text repeated ACROSS documents:
+      // split each doc into consecutive 4-word segments, hash them (md5 —
+      // engine-portable; the narrow join/shuffle key at scale), and flag
+      // segments occurring in >= 2 distinct docs. Per-source report of how
+      // much of the corpus is cross-document boilerplate. Scale shape:
+      // one hash-agg + one hash-join on a 32-char key, never pairwise.
+      val segs = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("seg", explode(expr(
+          """transform(sequence(0, cast(ceil(size(w)/4.0) as int) - 1),
+               i -> array_join(slice(w, i*4+1, 4), ' '))""")))
+        .select(col("doc_id"), col("source"), md5(col("seg")).as("seg_h"))
+      val counts = segs.groupBy(col("seg_h")).agg(countDistinct(col("doc_id")).as("ndocs"))
+      segs.join(counts, Seq("seg_h"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("total_segments"),
+          countDistinct(col("seg_h")).as("distinct_segments"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("boilerplate_occurrences"),
+          (sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+            .as("boilerplate_ratio"))
+        .orderBy(col("source"))
+    },
+
     "d_dedup_embedding" -> { (s, dir) =>
       // hyperplane-bucket blocking INSIDE label blocks (same deterministic
       // planes as s_ann_lsh): a candidate pair must share a label and have
@@ -353,6 +379,21 @@ object TrainingData {
           sum(col("chars")).as("chars"),
           (sum(col("chars")).cast("double") / sum(col("ws_tokens"))).as("chars_per_token"))
         .orderBy(col("lang"))
+    },
+
+    "t_vocab_profile" -> { (s, dir) =>
+      // per-source vocabulary profile: token volume, distinct vocabulary,
+      // and hapax legomena (words occurring exactly once in the source) —
+      // the corpus-composition stats a data audit reports before training.
+      // Two hash-aggs on (source, word) then source; no joins.
+      docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("total_tokens"),
+          count(lit(1)).as("distinct_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_tokens"))
+        .orderBy(col("source"))
     },
 
     "t_repetition" -> { (s, dir) =>
@@ -714,6 +755,20 @@ object TrainingData {
         |JOIN sizes sb ON sb.doc_id = c.idb
         |WHERE CAST(i.common AS DOUBLE) / (sa.nw + sb.nw - i.common) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d_dedup_segments" ->
+      """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |segs AS (SELECT doc_id, source,
+        |           md5(unnest(list_transform(range(0, CAST(ceil(len(w)/4.0) AS INT)),
+        |             i -> array_to_string(w[i*4+1 : i*4+4], ' ')))) AS seg_h
+        |         FROM words),
+        |counts AS (SELECT seg_h, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY 1)
+        |SELECT source,
+        |  count(*) AS total_segments,
+        |  count(DISTINCT s.seg_h) AS distinct_segments,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS boilerplate_occurrences,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS boilerplate_ratio
+        |FROM segs s JOIN counts c ON c.seg_h = s.seg_h
+        |GROUP BY source ORDER BY source""".stripMargin,
     "d_dedup_embedding" ->
       """WITH t AS (SELECT vec_id, label,
         |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
@@ -811,6 +866,15 @@ object TrainingData {
         |  CAST(sum(length(text)) AS BIGINT) AS chars,
         |  CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))) AS chars_per_token
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_vocab_profile" ->
+      """WITH wc AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT source, w, count(*) AS c FROM wc GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS total_tokens,
+        |  count(*) AS distinct_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+        |FROM counts GROUP BY source ORDER BY source""".stripMargin,
     "t_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,
