@@ -33,6 +33,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // single-node bench tuning, applied identically to the graft and
+      // parquet (GRAFT_TABLES_FORMAT) runs: with 32 local cores and no
+      // spill pressure, a shuffled hash join beats sort-merge for the
+      // fact-fact joins (measured ~0.2s on q5). A multi-executor deployment
+      // at real scale should keep Spark's default (SMJ degrades gracefully
+      // under skew/spill; AQE re-plans either way).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
