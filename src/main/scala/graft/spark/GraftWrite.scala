@@ -31,7 +31,9 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
 final case class GraftWriteOptions(
     writeOptions: WriteOptions,
     maxRowsPerFile: Int,
-    partitionBy: Seq[String] = Seq.empty)
+    partitionBy: Seq[String] = Seq.empty,
+    sortBy: Seq[String] = Seq.empty,
+    clusterBy: Seq[String] = Seq.empty)
 
 object GraftWriteOptions {
   def fromOptions(o: org.apache.spark.sql.util.CaseInsensitiveStringMap): GraftWriteOptions = {
@@ -52,12 +54,48 @@ object GraftWriteOptions {
         lz4hc = hc),
       maxRowsPerFile = Option(o.get("maxrowsperfile")).map(_.toInt).getOrElse(1 << 20),
       partitionBy = Option(o.get("partitionby")).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty),
+      sortBy = Option(o.get("sortby")).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty),
+      clusterBy = Option(o.get("clusterby")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty))
   }
 }
 
+/** Layout-aware write: `.option("clusterby", "a,b")` hash-partitions rows by
+  * the keys before writing (same keys land in the same files — co-located
+  * joins, tight zone maps on the keys) and `.option("sortby", "a,b")` sorts
+  * within each task (sortby alone range-partitions first, producing a
+  * GLOBALLY sorted table — disjoint per-file zone-map ranges, the layout
+  * that makes range predicates prune ~all pages). Spark inserts the
+  * shuffle/sort via RequiresDistributionAndOrdering; the writer itself is
+  * unchanged, so layout is declared, not hand-rolled.
+  */
 final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOptions,
-    doTruncate: Boolean, conf: SerializableHadoopConf) extends Write {
+    doTruncate: Boolean, conf: SerializableHadoopConf)
+    extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  private def sortOrders(cols: Seq[String]): Array[SortOrder] =
+    cols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution =
+    if (opts.clusterBy.nonEmpty)
+      Distributions.clustered(opts.clusterBy.map(Expressions.column).toArray[
+        org.apache.spark.sql.connector.expressions.Expression])
+    else if (opts.sortBy.nonEmpty) Distributions.ordered(sortOrders(opts.sortBy))
+    else Distributions.unspecified()
+
+  // within-task sort: explicit sortby, else the cluster keys (clustered
+  // files get sorted pages on their keys for free)
+  override def requiredOrdering(): Array[SortOrder] =
+    sortOrders(if (opts.sortBy.nonEmpty) opts.sortBy else opts.clusterBy)
+
+  // layout is an optimization, not a correctness requirement: let AQE pick
+  // partition counts / skip the shuffle when the data is already distributed
+  override def distributionStrictlyRequired(): Boolean = false
+
   override def toBatch: BatchWrite = new GraftBatchWrite(schema, path, opts, doTruncate, conf)
 }
 

@@ -337,6 +337,55 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(plan.contains("limit=7"), s"scan description should show limit, got:\n$plan")
   }
 
+  test("sortby/clusterby write options shape the layout for zone-map pruning") {
+    import org.apache.spark.sql.functions.col
+    // shuffled input: every page spans nearly the whole key range
+    val src = spark.range(100000)
+      .selectExpr("cast(pmod(id * 2654435761, 100000) as bigint) AS k", "id AS v")
+
+    val unsortedDir = "/tmp/graft-test/layout-unsorted"
+    src.coalesce(2).write.format("graft").mode("overwrite").save(unsortedDir)
+    val sortedDir = "/tmp/graft-test/layout-sorted"
+    src.write.format("graft").option("sortby", "k").mode("overwrite").save(sortedDir)
+
+    def pagesRead(dir: String): Long = {
+      GraftMetrics.pageGroupsRead.set(0)
+      val n = spark.read.format("graft").load(dir)
+        .filter(col("k") >= 40000 && col("k") < 41000).count()
+      assert(n == 1000)
+      GraftMetrics.pageGroupsRead.get()
+    }
+    val unsorted = pagesRead(unsortedDir)
+    val sorted = pagesRead(sortedDir)
+    assert(sorted < unsorted,
+      s"sorted layout must prune more: sorted=$sorted unsorted=$unsorted")
+    assert(sorted <= 2, s"a 1% range over a sorted table should hit ~1 page, got $sorted")
+
+    // global sort: per-file key ranges are disjoint
+    val hconf = spark.sessionState.newHadoopConf()
+    val ranges = GraftUtil.listDataFiles(sortedDir, hconf).map { f =>
+      val df = spark.read.format("graft").load(f.getPath.toString)
+      val r = df.selectExpr("min(k)", "max(k)").head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"sortby alone must produce disjoint file ranges, got $ranges")
+      case _ =>
+    }
+
+    // clusterby: a key never spans two files
+    val clusteredDir = "/tmp/graft-test/layout-clustered"
+    spark.range(100000).selectExpr("pmod(id, 97) AS k", "id AS v")
+      .write.format("graft").option("clusterby", "k").mode("overwrite").save(clusteredDir)
+    val keySets = GraftUtil.listDataFiles(clusteredDir, hconf).map { f =>
+      spark.read.format("graft").load(f.getPath.toString)
+        .select("k").distinct().collect().map(_.getLong(0)).toSet
+    }
+    assert(keySets.map(_.size).sum == 97,
+      s"clusterby must co-locate keys: per-file key sets overlap (${keySets.map(_.size)})")
+  }
+
   test("strawboat alias works") {
     val dir = "/tmp/graft-test/region-alias"
     spark.read.parquet(s"$sf/region.parquet")
