@@ -151,6 +151,7 @@ final class GraftTable(tableSchema: StructType, path: String)
     s.add(TableCapability.BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
     s.add(TableCapability.MICRO_BATCH_READ)
+    s.add(TableCapability.STREAMING_WRITE)
     s
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -27,11 +27,18 @@ object GraftManifest {
   /** Commit timestamp embedded in a manifest name. */
   def nameT(name: String): Long = name.takeWhile(_ != '-').toLong
 
-  def publish(fs: FileSystem, tableDir: Path, entries: Seq[(String, Long)]): Unit = {
+  /** `tag` overrides the random name suffix; the streaming sink passes a
+    * deterministic `q<queryId>e<epoch>` tag so an epoch's manifest doubles
+    * as its idempotency marker (a replayed epoch commit finds it by suffix
+    * and skips re-publishing).
+    */
+  def publish(fs: FileSystem, tableDir: Path, entries: Seq[(String, Long)],
+      tag: Option[String] = None): Unit = {
     if (entries.isEmpty) return
     val d = dir(tableDir)
     fs.mkdirs(d)
-    val name = f"${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val suffix = tag.getOrElse(java.util.UUID.randomUUID().toString.take(8))
+    val name = f"${System.currentTimeMillis()}%013d-$suffix"
     val tmp = new Path(d, s".$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(entries.map { case (n, l) => s"$n\t$l" }.mkString("", "\n", "\n")

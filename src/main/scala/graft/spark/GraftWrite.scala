@@ -24,7 +24,8 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
   override def build(): Write = {
     val opts = GraftWriteOptions.fromOptions(info.options)
     new GraftWriteImpl(info.schema(), path, opts, doTruncate,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      info.queryId())
   }
 }
 
@@ -72,7 +73,7 @@ object GraftWriteOptions {
   * unchanged, so layout is declared, not hand-rolled.
   */
 final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOptions,
-    doTruncate: Boolean, conf: SerializableHadoopConf)
+    doTruncate: Boolean, conf: SerializableHadoopConf, queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -97,6 +98,82 @@ final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOpt
   override def distributionStrictlyRequired(): Boolean = false
 
   override def toBatch: BatchWrite = new GraftBatchWrite(schema, path, opts, doTruncate, conf)
+
+  /** Native streaming sink (`df.writeStream.format("graft")`), append mode.
+    * Epoch commits are idempotent: data files carry deterministic
+    * (queryId, epoch, partition, seq) names, so a replayed epoch re-stages
+    * the same targets, and the epoch's manifest (tagged `q<id>e<epoch>`)
+    * doubles as the commit marker — found by suffix, the replay just
+    * discards its staged tmps. Complete/update modes are rejected: a file
+    * sink can't atomically replace a table per epoch.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (doTruncate) throw new UnsupportedOperationException(
+      "graft: streaming sink supports append output mode only")
+    new GraftStreamingWrite(schema, path, opts, conf, queryId)
+  }
+}
+
+final class GraftStreamingWrite(schema: StructType, path: String, opts: GraftWriteOptions,
+    conf: SerializableHadoopConf, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def qid: String = {
+    val s = queryId.filter(_.isLetterOrDigit)
+    if (s.isEmpty) "q0" else s.take(8)
+  }
+  private def epochTag(epochId: Long): String = s"q${qid}e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val dir = new Path(path)
+    dir.getFileSystem(conf.value).mkdirs(dir)
+    new GraftStreamingWriterFactory(schema.json, path, opts, conf, qid)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val tableDir = new Path(path)
+    val fs = tableDir.getFileSystem(conf.value)
+    val tag = epochTag(epochId)
+    if (GraftManifest.list(fs, tableDir).exists(_.endsWith("-" + tag))) {
+      // replayed epoch: the previous attempt committed fully — drop restaged tmps
+      abort(epochId, messages)
+      return
+    }
+    messages.foreach {
+      case GraftCommitMessage(files, _) =>
+        files.foreach { case (tmp, dst, _) =>
+          val dstP = new Path(dst)
+          // deterministic names: a dst left by a partially-committed earlier
+          // attempt of this same epoch is the same file — keep it
+          if (fs.exists(dstP)) fs.delete(new Path(tmp), false)
+          else if (!fs.rename(new Path(tmp), dstP))
+            throw new java.io.IOException(s"graft: failed to rename $tmp to $dst")
+        }
+      case _ =>
+    }
+    val baseStr = tableDir.toString
+    val added = messages.toSeq.flatMap {
+      case GraftCommitMessage(files, _) =>
+        files.map { case (_, dst, len) =>
+          val rel =
+            if (dst.startsWith(baseStr + "/")) dst.substring(baseStr.length + 1)
+            else new Path(dst).getName
+          (rel, len)
+        }
+      case _ => Seq.empty
+    }
+    GraftManifest.publish(fs, tableDir, added, tag = Some(tag))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.foreach {
+      case GraftCommitMessage(files, _) =>
+        files.foreach { case (tmp, _, _) => fs.delete(new Path(tmp), false) }
+      case _ =>
+    }
+  }
 }
 
 final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOptions,
@@ -177,6 +254,15 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
 final case class GraftCommitMessage(files: Seq[(String, String, Long)], rows: Long)
     extends WriterCommitMessage
 
+final class GraftStreamingWriterFactory(schemaJson: String, path: String,
+    opts: GraftWriteOptions, conf: SerializableHadoopConf, qid: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(schemaJson, path, opts, conf, partitionId, taskId,
+      nameToken = Some(f"q$qid-e$epochId%06d"))
+}
+
 final class GraftWriterFactory(schemaJson: String, path: String, opts: GraftWriteOptions,
     conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -184,15 +270,18 @@ final class GraftWriterFactory(schemaJson: String, path: String, opts: GraftWrit
 }
 
 final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOptions,
-    conf: SerializableHadoopConf, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+    conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
+    nameToken: Option[String] = None) extends DataWriter[InternalRow] {
 
   import org.apache.spark.sql.types._
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val dir = new Path(path)
   private val fs: FileSystem = dir.getFileSystem(conf.value)
-  private val uuid = java.util.UUID.randomUUID().toString.take(8)
+  // batch writes use a random token (concurrent jobs never collide);
+  // streaming passes a deterministic (queryId, epoch) token so epoch
+  // replays re-stage the SAME final names (idempotent epoch commit)
+  private val uuid = nameToken.getOrElse(java.util.UUID.randomUUID().toString.take(8))
 
   // hive-style layout: .option("partitionby", "a,b") routes each row into a
   // `a=x/b=y/` subdir (values escaped). Partition columns STAY in the data —

@@ -123,6 +123,57 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(ms2.planInputPartitions(o1, o2).isEmpty)
   }
 
+  test("native streaming sink: graft-to-graft copy is exactly-once across restarts") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = "/tmp/graft-test/stream-sink-src"
+    val dstDir = "/tmp/graft-test/stream-sink-dst"
+    val ckpt = "/tmp/graft-test/stream-sink-ckpt"
+    Seq(srcDir, dstDir, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    spark.range(100).selectExpr("id as k", "id * 3 as v")
+      .write.format("graft").mode("overwrite").save(srcDir)
+
+    val schema = spark.read.format("graft").load(srcDir).schema
+    def startQuery() = spark.readStream.format("graft").schema(schema).load(srcDir)
+      .writeStream.format("graft").option("checkpointLocation", ckpt).start(dstDir)
+
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.format("graft").load(dstDir).count() == 100)
+    } finally q1.stop()
+
+    // restart from the checkpoint; a new wave arrives
+    spark.range(100, 150).selectExpr("id as k", "id * 3 as v")
+      .write.format("graft").mode("append").save(srcDir)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.format("graft").load(dstDir)
+      assert(out.count() == 150, "restart must deliver only the new wave, exactly once")
+      assert(out.agg(org.apache.spark.sql.functions.sum(col("v"))).head.getLong(0) ==
+        (0L until 150L).map(_ * 3).sum)
+    } finally q2.stop()
+
+    // sink manifests carry the epoch tag, so the dst table is itself a
+    // manifest-mode streamable source
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dstDir).getFileSystem(hconf)
+    val manifests = GraftManifest.list(fs, new org.apache.hadoop.fs.Path(dstDir))
+    assert(manifests.nonEmpty && manifests.forall(_.contains("-q")),
+      s"sink manifests must carry the epoch tag: $manifests")
+
+    // complete mode is rejected loudly
+    val err = intercept[Exception] {
+      spark.readStream.format("graft").schema(schema).load(srcDir)
+        .groupBy().count()
+        .writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation", ckpt + "2").start(dstDir + "2")
+        .processAllAvailable()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("explicit manifest=true upgrades a modTime checkpoint without redelivery") {
     val dir = "/tmp/graft-test/stream-upgrade"
     spark.range(20).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
