@@ -55,15 +55,44 @@ object TrainingData {
     val s = df.sparkSession
     s.conf.getOption("graft.pipeline.materialize").getOrElse("cache") match {
       case "table" =>
-        val root = s.conf.getOption("graft.pipeline.scratch")
+        val explicitRoot = s.conf.getOption("graft.pipeline.scratch")
+        // the java.io.tmpdir default is NODE-LOCAL: on a real cluster the
+        // executors would write their own /tmp while the driver read back its
+        // own — require shared storage to be named explicitly there
+        if (explicitRoot.isEmpty && !s.sparkContext.isLocal)
+          throw new IllegalArgumentException(
+            "graft: pipeline materialize=table on a non-local master requires " +
+              "graft.pipeline.scratch to point at storage shared by all executors " +
+              "(the java.io.tmpdir default is node-local)")
+        val root = explicitRoot
           .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-scratch")
-        val dir = s"$root/${s.sparkContext.applicationId}/$name"
+        val appDir = s"$root/${s.sparkContext.applicationId}"
+        registerScratchCleanup(s, appDir)
+        val dir = s"$appDir/$name"
         df.write.format("graft").mode("overwrite").save(dir)
         s.read.format("graft").load(dir)
       case "none" => df
       case _ => df.cache()
     }
   }
+
+  /** Scratch tables are transient by contract: delete this application's
+    * scratch dir when the application ends (once per app dir, first
+    * materialization registers the hook).
+    */
+  private val scratchCleanups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerScratchCleanup(s: SparkSession, appDir: String): Unit =
+    if (scratchCleanups.add(appDir)) {
+      val conf = new org.apache.hadoop.conf.Configuration(s.sparkContext.hadoopConfiguration)
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val p = new org.apache.hadoop.fs.Path(appDir)
+          try p.getFileSystem(conf).delete(p, true)
+          catch { case _: java.io.IOException => () }
+        }
+      })
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

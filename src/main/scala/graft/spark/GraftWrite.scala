@@ -140,28 +140,44 @@ final class GraftStreamingWrite(schema: StructType, path: String, opts: GraftWri
       abort(epochId, messages)
       return
     }
-    messages.foreach {
-      case GraftCommitMessage(files, _) =>
-        files.foreach { case (tmp, dst, _) =>
-          val dstP = new Path(dst)
-          // deterministic names: a dst left by a partially-committed earlier
-          // attempt of this same epoch is the same file — keep it
-          if (fs.exists(dstP)) fs.delete(new Path(tmp), false)
-          else if (!fs.rename(new Path(tmp), dstP))
-            throw new java.io.IOException(s"graft: failed to rename $tmp to $dst")
-        }
-      case _ =>
+    val files = messages.toSeq.flatMap {
+      case GraftCommitMessage(fl, _) => fl
+      case _ => Seq.empty
+    }
+    def renameIn(tmp: Path, dst: Path): Unit =
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"graft: failed to rename $tmp to $dst")
+    // A dst already in place means an earlier attempt of this epoch renamed
+    // some files but crashed before publishing the manifest. A replayed
+    // task's output need not be byte-identical to that attempt's (shuffle
+    // fetch order changes row order, hence page lengths and rollFile splits),
+    // so the REPLAY is made authoritative: stale epoch files it didn't
+    // restage are deleted, and kept dsts are replaced by the restaged tmps.
+    // Visible files == this attempt's staged files, so the staged byte
+    // counts in the commit messages are the manifest truth.
+    val replay = files.exists { case (_, dst, _) => fs.exists(new Path(dst)) }
+    if (replay) {
+      // qualified-path comparison: listed paths carry the fs scheme
+      val dstSet = files.map { case (_, d, _) => fs.makeQualified(new Path(d)).toString }.toSet
+      // file-name epoch token (differs from the manifest tag format)
+      val token = "-" + f"q$qid-e$epochId%06d" + "-"
+      GraftUtil.listDataFiles(path, conf.value)
+        .map(_.getPath)
+        .filter(p => p.getName.contains(token) &&
+          !dstSet.contains(fs.makeQualified(p).toString))
+        .foreach(fs.delete(_, false))
+    }
+    files.foreach { case (tmp, dst, _) =>
+      val dstP = new Path(dst)
+      if (replay && fs.exists(dstP)) fs.delete(dstP, false)
+      renameIn(new Path(tmp), dstP)
     }
     val baseStr = tableDir.toString
-    val added = messages.toSeq.flatMap {
-      case GraftCommitMessage(files, _) =>
-        files.map { case (_, dst, len) =>
-          val rel =
-            if (dst.startsWith(baseStr + "/")) dst.substring(baseStr.length + 1)
-            else new Path(dst).getName
-          (rel, len)
-        }
-      case _ => Seq.empty
+    val added = files.map { case (_, dst, len) =>
+      val rel =
+        if (dst.startsWith(baseStr + "/")) dst.substring(baseStr.length + 1)
+        else new Path(dst).getName
+      (rel, len)
     }
     GraftManifest.publish(fs, tableDir, added, tag = Some(tag))
   }
@@ -187,9 +203,10 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     // never ran), including inside partition subdirs; fresh stages use new
     // uuids so this cannot race this job
     def sweep(d: Path): Unit = fs.listStatus(d).foreach { f =>
-      if (f.isFile && f.getPath.getName.endsWith(GraftUtil.Extension + ".tmp"))
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".tmp") && n.contains(GraftUtil.Extension))
         fs.delete(f.getPath, false)
-      else if (f.isDirectory && f.getPath.getName.contains('='))
+      else if (f.isDirectory && n.contains('='))
         sweep(f.getPath)
     }
     sweep(dir)
@@ -350,7 +367,12 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     val name = f"part-$partitionId%05d-$uuid-${st.fileSeq}%04d${GraftUtil.Extension}"
     val outDir = if (st.relDir.isEmpty) dir else new Path(dir, st.relDir)
     if (st.relDir.nonEmpty) fs.mkdirs(outDir)
-    val tmp = new Path(outDir, s".$name.tmp")
+    // tmp is ATTEMPT-unique (taskId differs per attempt) even when the final
+    // name is deterministic (streaming): concurrent attempts of one task —
+    // speculation, or a zombie racing its retry — must not truncate each
+    // other's staged file or have abort() delete the survivor's tmp. The
+    // driver-side commit rename resolves which attempt's file wins.
+    val tmp = new Path(outDir, s".$name.a$taskId.tmp")
     val counting = new CountingOutputStream(fs.create(tmp, true))
     val out = new java.io.BufferedOutputStream(counting, 1 << 16)
     try {

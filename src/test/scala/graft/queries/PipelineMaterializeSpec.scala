@@ -26,6 +26,8 @@ class PipelineMaterializeSpec extends AnyFunSuite {
 
   test("table materialization matches cache mode and writes graft scratch tables") {
     val scratch = "/tmp/graft-test/pipeline-scratch"
+    // stale artifacts from a previous run must not satisfy the assertions
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     val cached = Seq("d_dedup_minhash_lsh", "d_dedup_simhash", "s_ann_lsh").map(q => q -> rows(q))
     try {
       spark.conf.set("graft.pipeline.materialize", "table")
@@ -33,10 +35,10 @@ class PipelineMaterializeSpec extends AnyFunSuite {
       cached.foreach { case (q, expected) =>
         assert(rows(q) == expected, s"$q: table mode diverged from cache mode")
       }
-      // the scratch frames really went through the graft format
-      val files = new java.io.File(scratch).listFiles()
-      assert(files != null && files.nonEmpty, "scratch root should hold per-app dirs")
-      val names = files.flatMap(_.listFiles()).map(_.getName)
+      // the scratch frames really went through the graft format, under THIS
+      // application's subdir
+      val appDir = new java.io.File(scratch, spark.sparkContext.applicationId)
+      val names = Option(appDir.listFiles()).toSeq.flatten.map(_.getName)
       assert(names.contains("minhash_sigs_portable"), s"got ${names.mkString(",")}")
       assert(names.contains("ann_buckets"))
     } finally {
