@@ -29,6 +29,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ graft.queries.Relational.queries ++
+      graft.queries.RelationalExt.queries ++
       graft.queries.TrainingData.queries ++ graft.queries.Streaming.queries ++
       graft.queries.Functions.queries
 
@@ -64,6 +65,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     baseOracles ++ graft.queries.Relational.oracles ++
+      graft.queries.RelationalExt.oracles ++
       graft.queries.TrainingData.oracles ++ graft.queries.Streaming.oracles ++
       graft.queries.Functions.oracles
 

@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational pack: the remaining TPC-H query shapes expressible on
+  * this schema (no partsupp table, no commit/receipt dates — those queries
+  * are re-anchored on the lineitem↔supplier/part links instead). All stock
+  * Catalyst over graft scans; the fixed 25-row nation / 5-row region dims
+  * are broadcast explicitly, everything else is left to AQE.
+  *
+  * Numeric convention matches Relational: double aggregates pass through
+  * decimal(20,4) (exact, summation-order free), divisions happen after the
+  * cast to double as one fixed expression tree both engines evaluate
+  * identically; years are cast to BIGINT on both sides (Spark year() is
+  * int32, DuckDB's is int64).
+  */
+object RelationalExt {
+
+  private def dec(c: String): Column = col(c).cast("decimal(20,4)")
+  private def dsum(c: String): Column = sum(dec(c)).cast("double")
+  private def revenueTerm: Column =
+    (dec("l_extendedprice") * (lit(1).cast("decimal(20,4)") - dec("l_discount")))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q2 reshaped (no partsupp): for each large part, the supplier
+    // with the LOWEST account balance among those that actually shipped it.
+    // Argmin via a per-part window over the distinct (part, supplier) link —
+    // partition-parallel, never a global sort.
+    "q2_min_balance_supplier" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+      val link = t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey")).distinct()
+      val w = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+      link.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s_acctbal"), col("s_name"), col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q7: shipping volume between two nations, by year and direction.
+    "q7_nation_volume" -> { (s, dir) =>
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q8: a nation's market share inside one region for one part type.
+    "q8_market_share" -> { (s, dir) =>
+      val america = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      val nCust = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cr_key"))
+      val nSupp = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(america), col("cr_key") === col("r_regionkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_1", revenueTerm)
+            .otherwise(lit(0).cast("decimal(20,4)"))).cast("double") /
+            sum(revenueTerm).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q9: profit per supplier nation per year over a part-name family;
+    // supply cost proxied by p_retailprice * l_quantity / 10 (exact decimal).
+    "q9_product_profit" -> { (s, dir) =>
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+      val amount = (revenueTerm.cast("decimal(30,8)") -
+        ((col("p_retailprice").cast("decimal(14,4)") *
+          col("l_quantity").cast("decimal(12,4)")).cast("decimal(30,8)") / 10)
+          .cast("decimal(30,8)"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 reshaped (no partsupp): parts whose shipped value exceeds a
+    // fixed fraction of the global shipped value. The global total reaches
+    // the per-part frame via a broadcast cross join (scalar), not a
+    // single-task window.
+    "q11_important_parts" -> { (s, dir) =>
+      val perPart = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(dsum("l_extendedprice").as("part_value"))
+      val total = perPart.agg(sum(col("part_value")).as("total_value"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") > col("total_value") * 0.001)
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+
+    // TPC-H Q15: the top supplier(s) by quarterly revenue — the scalar max
+    // joins back in via broadcast, so equality-with-max never sorts globally.
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenueTerm).cast("double").as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q16 reshaped: supplier variety per part group, excluding
+    // flagged suppliers (negative balance = the "complaints" analogue) via
+    // anti-join.
+    "q16_supplier_variety" -> { (s, dir) =>
+      val flagged = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_brand") =!= "Brand#1" &&
+          col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49)),
+          col("l_partkey") === col("p_partkey"))
+        .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // TPC-H Q17: revenue lost to small-quantity orders for one brand/type.
+    // The per-part average arrives by re-aggregation + equi-join (never a
+    // correlated subquery); the 20%-of-average comparison is exact decimal:
+    // qty * 5 * cnt < sum_qty.
+    "q17_small_qty_revenue" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_brand") === "Brand#3" &&
+          col("p_type") === "SMALL"), col("l_partkey") === col("p_partkey"))
+      val avgq = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("decimal(12,4)")).as("sum_qty"))
+      li.join(avgq, col("l_partkey") === col("ap_key"))
+        .filter((col("l_quantity").cast("decimal(12,4)") * 5).cast("decimal(20,4)") *
+          col("cnt") < col("sum_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).as("avg_yearly"), count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q19: disjunction of brand/size/quantity bands — one OR-of-ANDs
+    // predicate the optimizer pushes as a residual filter over the join.
+    "q19_disjunctive_bands" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#14" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#21" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(revenueTerm).cast("double").as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q22: customers above the positive-balance average with no
+    // orders, per nation. Scalar average via broadcast cross join; "no
+    // orders" via anti-join.
+    "q22_missed_customers" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec("c_acctbal")).cast("double") / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), dsum("c_acctbal").as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q2_min_balance_supplier" ->
+      """SELECT s_acctbal, s_name, p_partkey, p_name FROM (
+        |  SELECT s.s_acctbal, s.s_name, l.p_partkey, l.p_name, s.s_suppkey,
+        |    row_number() OVER (PARTITION BY l.p_partkey
+        |                       ORDER BY s.s_acctbal ASC, s.s_suppkey ASC) AS rn
+        |  FROM (SELECT DISTINCT p_partkey, p_name, l_suppkey
+        |        FROM lineitem, part
+        |        WHERE l_partkey = p_partkey AND p_size = 15 AND p_type = 'LARGE') l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+        |WHERE rn = 1
+        |ORDER BY s_acctbal DESC, p_partkey LIMIT 100""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(sum(volume) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS l_year, $revenueSql AS volume
+         |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+         |    AND c_nationkey = n2.n_nationkey
+         |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT o_year,
+         |  CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+         |    / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+         |  count(*) AS n
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, $revenueSql AS volume,
+         |    n2.n_name AS nation
+         |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+         |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+         |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+         |    AND p_type = 'ECONOMY')
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+         |FROM (
+         |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    CAST($revenueSql AS DECIMAL(30,8)) -
+         |      CAST(CAST(CAST(p_retailprice AS DECIMAL(14,4)) * CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(30,8)) / 10 AS DECIMAL(30,8)) AS amount
+         |  FROM part, supplier, lineitem, orders, nation
+         |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+         |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+         |    AND p_name LIKE '%widget%')
+         |GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pv AS (SELECT l_partkey,
+        |              CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS part_value
+        |            FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, part_value FROM pv
+        |WHERE part_value > (SELECT sum(part_value) FROM pv) * 0.001
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(sum($revenueSql) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |            FROM lineitem, part
+        |            WHERE l_partkey = p_partkey
+        |              AND p_brand = 'Brand#3' AND p_type = 'SMALL'),
+        |     a AS (SELECT l_partkey AS ap_key, count(*) AS cnt,
+        |             sum(CAST(l_quantity AS DECIMAL(12,4))) AS sum_qty
+        |           FROM li GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n
+        |FROM li JOIN a ON li.l_partkey = a.ap_key
+        |WHERE CAST(CAST(l_quantity AS DECIMAL(12,4)) * 5 AS DECIMAL(20,4)) * cnt < sum_qty""".stripMargin,
+    "q19_disjunctive_bands" ->
+      s"""SELECT CAST(sum($revenueSql) AS DOUBLE) AS revenue, count(*) AS n
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey AND (
+         |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q22_missed_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+}
