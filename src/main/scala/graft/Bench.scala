@@ -5,8 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times headline queries over graft storage at
   * SPARK_GRAFT_SF_DIR; prints ONE JSON line. parquet->graft conversion
   * happens before timing (storage format benchmarks measure scans, not
-  * ingest). Set GRAFT_TABLES_FORMAT=parquet to time the same queries over
-  * parquet instead (for local comparison).
+  * ingest).
+  *
+  * The bench is SELF-BASELINING: the same session also times the identical
+  * query code over the original parquet and emits both totals plus the
+  * ratio in the one JSON artifact, so a loaded machine shows up as both
+  * numbers moving together instead of a phantom regression. Each query is
+  * timed GRAFT_BENCH_RUNS times per format (default 2) and the per-query
+  * minimum is reported — min is the standard noise floor estimator for
+  * same-JVM reruns (JIT and page cache only ever make reruns faster).
   */
 object Bench {
 
@@ -27,6 +34,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,11 +42,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // single-node bench tuning, applied identically to the graft and
-      // parquet (GRAFT_TABLES_FORMAT) runs: with 32 local cores and no
-      // spill pressure, a shuffled hash join beats sort-merge for the
-      // fact-fact joins (measured ~0.2s on q5). A multi-executor deployment
-      // at real scale should keep Spark's default (SMJ degrades gracefully
-      // under skew/spill; AQE re-plans either way).
+      // parquet runs: with 32 local cores and no spill pressure, a shuffled
+      // hash join beats sort-merge for the fact-fact joins (measured ~0.2s
+      // on q5). A multi-executor deployment at real scale should keep
+      // Spark's default (SMJ degrades gracefully under skew/spill; AQE
+      // re-plans either way).
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,30 +63,45 @@ object Bench {
       "d_dedup_simhash" -> ((s, d) => queries.TrainingData.simhashDedup(s, d, portable = false)))
 
     def run(name: String): Double = {
+      // the df is built inside the timed scope's format setting (Tables.load
+      // is consulted at plan-build time)
       val df = fastImpl.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm up one scan+agg and one join query so first-join JIT noise does
-    // not land on q3 (the first timed join)
-    run("q1_pricing_summary")
-    run("q3_shipping_priority")
-
-    val results = headline.map { name =>
-      val sec =
-        try run(name)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+    def suite(format: String): Seq[(String, Double)] = {
+      sys.props("graft.tables.format") = format
+      try {
+        // warm up one scan+agg and one join query so first-join JIT noise
+        // does not land on q3 (the first timed join)
+        run("q1_pricing_summary")
+        run("q3_shipping_priority")
+        headline.map { name =>
+          val secs = (1 to runs).map { _ =>
+            try run(name)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name ($format) failed: ${e.getMessage}")
+              -1.0
+            }
+          }
+          name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
         }
-      name -> sec
+      } finally sys.props.remove("graft.tables.format")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def fmt(rs: Seq[(String, Double)]): (String, Double) = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      (qs, rs.map(_._2).filter(_ >= 0).sum)
+    }
+
+    val graft = suite("graft")
+    val parquet = suite("parquet")
+    val (gq, gTotal) = fmt(graft)
+    val (pq, pTotal) = fmt(parquet)
+    val ratio = if (pTotal > 0) gTotal / pTotal else -1.0
+    println(f"""{"metric":"total","value":$gTotal%.3f,"unit":"sec","queries":$gq,"sf":"$sfDir","runs":$runs,"parquet_total":$pTotal%.3f,"ratio":$ratio%.3f,"parquet_queries":$pq}""")
     spark.stop()
   }
 }

@@ -24,7 +24,11 @@ object Tables {
     * measure the parquet baseline with identical query code.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (sys.env.get("GRAFT_TABLES_FORMAT").contains("parquet"))
+    // the system property lets one JVM time both formats back-to-back (the
+    // self-baselining bench); the env var remains for whole-process runs
+    val fmt = sys.props.getOrElse("graft.tables.format",
+      sys.env.getOrElse("GRAFT_TABLES_FORMAT", "graft"))
+    if (fmt == "parquet")
       return parquet(spark, sfDir, name)
     val dir = s"${strRoot(sfDir)}/$name"
     ensureConverted(spark, sfDir, name, dir)
