@@ -63,6 +63,12 @@ object Bench {
       "d_dedup_simhash" -> ((s, d) => queries.TrainingData.simhashDedup(s, d, portable = false)))
 
     def run(name: String): Double = {
+      // drop cached intermediates from prior runs: queries that cache a
+      // frame for multi-branch reuse (minhash/simhash signatures) would
+      // otherwise serve rerun N>1 from memory and min-of-runs would time a
+      // cache scan instead of the engine (within-run reuse still happens —
+      // that is the query's intended shape)
+      spark.catalog.clearCache()
       // the df is built inside the timed scope's format setting (Tables.load
       // is consulted at plan-build time)
       val df = fastImpl.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)

@@ -155,8 +155,8 @@ object GraftAggPushdown {
 }
 
 /** Scan producing one partial-aggregate row per file, footer-only. */
-final class GraftAggScan(path: String, conf: org.apache.hadoop.conf.Configuration,
-    specs: Seq[GraftAggPushdown.AggSpec], aggSchema: StructType)
+final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.Configuration,
+    private val specs: Seq[GraftAggPushdown.AggSpec], private val aggSchema: StructType)
     extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
@@ -170,6 +170,14 @@ final class GraftAggScan(path: String, conf: org.apache.hadoop.conf.Configuratio
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory(new SerializableHadoopConf(conf), specs, aggSchema.json)
+
+  // structural equality (see GraftScan): lets identical footer-only
+  // aggregate scans share one exchange under ReuseExchange/cache lookup
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftAggScan => path == o.path && specs == o.specs && aggSchema == o.aggSchema
+    case _ => false
+  }
+  override def hashCode(): Int = (path, specs, aggSchema).hashCode()
 }
 
 final class GraftAggReaderFactory(conf: SerializableHadoopConf,

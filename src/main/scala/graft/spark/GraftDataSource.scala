@@ -141,7 +141,7 @@ object GraftUtil {
   }
 }
 
-final class GraftTable(tableSchema: StructType, path: String)
+final class GraftTable(private val tableSchema: StructType, private val path: String)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
@@ -161,6 +161,19 @@ final class GraftTable(tableSchema: StructType, path: String)
       Option(options.get("manifest")).map(_.toBoolean))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info, path)
+
+  // Structural equality by (path, schema): Spark's cache manager and
+  // ReuseExchange compare canonicalized plans, and DataSourceV2Relation
+  // equality includes the Table object — with reference equality, two
+  // `read.load(dir)` calls over the same directory would never `sameResult`,
+  // so `df.cache()` hits, cached-view reuse, and self-join exchange reuse
+  // all silently miss (measured: a cached intermediate recomputed on every
+  // reuse in the bench).
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftTable => path == o.path && tableSchema == o.tableSchema
+    case _ => false
+  }
+  override def hashCode(): Int = (path, tableSchema).hashCode()
 }
 
 final class GraftScanBuilder(tableSchema: StructType, path: String,
@@ -246,13 +259,14 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   }
 }
 
-final class GraftScan(tableSchema: StructType, projected: StructType, path: String,
+final class GraftScan(private val tableSchema: StructType, private val projected: StructType,
+    private val path: String,
     conf: org.apache.hadoop.conf.Configuration,
     initialPagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
-    runtimeFilter: Boolean = false,
-    manifestOpt: Option[Boolean] = None,
-    pushedRaw: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    limit: Option[Int] = None)
+    private val runtimeFilter: Boolean = false,
+    private val manifestOpt: Option[Boolean] = None,
+    private val pushedRaw: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    private val limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -384,6 +398,22 @@ final class GraftScan(tableSchema: StructType, projected: StructType, path: Stri
       factory = new GraftReaderFactory(new SerializableHadoopConf(conf), projected.json, pagePreds)
     factory
   }
+
+  // Structural equality over the static scan configuration (everything that
+  // determines output rows at plan time), so BatchScanExec's `sameResult`
+  // can reuse exchanges/subqueries across identical scans. The mutable
+  // runtime-filter state is deliberately excluded: BatchScanExec equality
+  // already includes the runtimeFilters expressions, so two equal GraftScans
+  // under different runtime filters are still distinguished at the exec level.
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftScan =>
+      path == o.path && tableSchema == o.tableSchema && projected == o.projected &&
+        runtimeFilter == o.runtimeFilter && manifestOpt == o.manifestOpt &&
+        limit == o.limit && pushedRaw.toSeq == o.pushedRaw.toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (path, projected, limit, runtimeFilter, pushedRaw.toSeq).hashCode()
 
   override def estimateStatistics(): Statistics = new Statistics {
     // Broadcast decisions treat sizeInBytes as an in-memory estimate.

@@ -386,6 +386,39 @@ class GraftDataSourceSpec extends AnyFunSuite {
       s"clusterby must co-locate keys: per-file key sets overlap (${keySets.map(_.size)})")
   }
 
+  test("cache and exchange reuse fire across separate reads of one table") {
+    // df.cache() keys on the canonicalized plan, whose DataSourceV2Relation
+    // includes the Table object — without structural GraftTable equality a
+    // cached frame is recomputed on every reuse (and self-join exchange
+    // reuse never fires)
+    val dir = "/tmp/graft-test/reuse-lineitem"
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .write.format("graft").mode("overwrite").save(dir)
+    val cached = spark.read.format("graft").load(dir).groupBy("l_returnflag").count()
+    cached.cache()
+    try {
+      cached.collect()
+      // a SECOND read of the same path must hit the cached frame
+      val again = spark.read.format("graft").load(dir).groupBy("l_returnflag").count()
+      // string check descends through AdaptiveSparkPlanExec (collect does not)
+      val plan = again.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"second read of the same graft path missed the cache: $plan")
+    } finally cached.unpersist()
+
+    // scan-level structural equality: identical static config compares equal,
+    // different projections/paths do not
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.get
+    val s1 = scanOf(spark.read.format("graft").load(dir).select("l_orderkey"))
+    val s2 = scanOf(spark.read.format("graft").load(dir).select("l_orderkey"))
+    val s3 = scanOf(spark.read.format("graft").load(dir).select("l_quantity"))
+    assert(s1 == s2 && s1.hashCode == s2.hashCode, "identical scans must be equal")
+    assert(s1 != s3, "different projections must not compare equal")
+  }
+
   test("strawboat alias works") {
     val dir = "/tmp/graft-test/region-alias"
     spark.read.parquet(s"$sf/region.parquet")
