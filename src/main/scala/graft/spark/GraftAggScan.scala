@@ -169,7 +169,7 @@ final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.
       .map(f => GraftInputPartition(f.getPath.toString, f.getLen): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftAggReaderFactory(new SerializableHadoopConf(conf), specs, aggSchema.json)
+    new GraftAggReaderFactory(HadoopConfBroadcast(conf), specs, aggSchema.json)
 
   // structural equality (see GraftScan): lets identical footer-only
   // aggregate scans share one exchange under ReuseExchange/cache lookup
@@ -180,7 +180,7 @@ final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.
   override def hashCode(): Int = (path, specs, aggSchema).hashCode()
 }
 
-final class GraftAggReaderFactory(conf: SerializableHadoopConf,
+final class GraftAggReaderFactory(conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
     specs: Seq[GraftAggPushdown.AggSpec], aggSchemaJson: String)
     extends PartitionReaderFactory {
 
@@ -192,7 +192,7 @@ final class GraftAggReaderFactory(conf: SerializableHadoopConf,
       override def next(): Boolean = {
         if (done) return false
         val hPath = new org.apache.hadoop.fs.Path(p.filePath)
-        val in = new HadoopSeekableInput(hPath.getFileSystem(conf.value), hPath, p.fileLen)
+        val in = new HadoopSeekableInput(hPath.getFileSystem(conf.value.value), hPath, p.fileLen)
         try {
           val footer = GraftFileReader.readFooter(in)
           val fileSchema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]

@@ -395,7 +395,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
 
   override def createReaderFactory(): PartitionReaderFactory = {
     if (factory == null)
-      factory = new GraftReaderFactory(new SerializableHadoopConf(conf), projected.json, pagePreds)
+      factory = new GraftReaderFactory(HadoopConfBroadcast(conf), projected.json, pagePreds)
     factory
   }
 
@@ -416,21 +416,29 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     (path, projected, limit, runtimeFilter, pushedRaw.toSeq).hashCode()
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // Broadcast decisions treat sizeInBytes as an in-memory estimate.
-    // Compressed file bytes under-estimate that — and graft compresses
-    // harder than parquet, so identical data flipped borderline joins to
-    // broadcast (measured: 600k-row lineitem at 10.2MB slid under the 10MB
-    // threshold parquet's 10.8MB stayed above, costing ~0.5s on q5 to build
-    // the broadcast hash relation). When footer row counts are available,
-    // estimate rows x unencoded width of the PROJECTED columns, floored by
-    // the file bytes; genuine dims stay far below any threshold either way.
+    // sizeInBytes drives the broadcast-join decision. Parquet's V1 path
+    // estimates (total file bytes) x (projected width fraction); matching
+    // that scale is what lets the SAME query data produce the SAME static
+    // broadcast plans — and a statically-broadcast fact side avoids the
+    // shuffle entirely, where AQE's later SHJ->BHJ conversion still pays
+    // the full map-side shuffle write (measured 2.5x on q5: parquet
+    // broadcast the 4-column lineitem projection at plan time while our
+    // inflated rows-x-unencoded-width estimate forced lineitem+orders
+    // shuffles AQE could not undo). Graft footers do strictly better than
+    // parquet's width-ratio heuristic: the exact on-disk bytes of only the
+    // PROJECTED fields' leaves, summed per file (cached 64KiB footer reads,
+    // same cache the row-count estimate uses). Falls back to the width
+    // ratio over raw file bytes for very large file lists.
     override def sizeInBytes(): OptionalLong = {
-      val fileBytes = files.map(_.getLen).sum
-      val rows = GraftScan.rowCount(files, conf)
-      if (rows.isPresent) {
-        val width = 8L + projected.fields.map(_.dataType.defaultSize.toLong).sum
-        OptionalLong.of(math.max(fileBytes, rows.getAsLong * width))
-      } else OptionalLong.of(fileBytes)
+      val fileBytes = math.max(files.map(_.getLen).sum, 1L)
+      val names = projected.fieldNames
+      val exact = GraftScan.projectedLeafBytes(files, names, conf)
+      if (exact.isPresent) OptionalLong.of(math.max(exact.getAsLong, 1L))
+      else {
+        val full = math.max(tableSchema.fields.map(_.dataType.defaultSize.toLong + 8L).sum, 1L)
+        val proj = projected.fields.map(_.dataType.defaultSize.toLong + 8L).sum
+        OptionalLong.of(math.max(fileBytes * proj / full, 1L))
+      }
     }
     override def numRows(): OptionalLong = GraftScan.rowCount(files, conf)
   }
@@ -440,6 +448,39 @@ object GraftScan {
   private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val pageCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
   private val pageRowsCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  // per-file (top-level field name -> on-disk bytes of its leaves), one
+  // cached footer read per file — feeds the projected-size statistics
+  private val fieldBytesCache = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+
+  /** Exact on-disk bytes of the named top-level fields' leaf pages across
+    * `files` (empty when the file list is too large to plan footer reads).
+    * Fields a file doesn't carry contribute 0 there (additive evolution).
+    */
+  def projectedLeafBytes(files: Seq[FileStatus], fieldNames: Array[String],
+      conf: org.apache.hadoop.conf.Configuration): OptionalLong = {
+    if (files.isEmpty || files.length > 256) return OptionalLong.empty()
+    var total = 0L
+    files.foreach { f =>
+      val key = f.getPath.toString + "#" + f.getLen
+      var m = fieldBytesCache.get(key)
+      if (m == null) {
+        val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
+        try {
+          val footer = GraftFileReader.readFooter(in)
+          val schema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+          val (offsets, _) = GraftSchema.fieldLeafOffsets(schema)
+          m = schema.fields.zipWithIndex.map { case (fld, i) =>
+            val lo = offsets(i)
+            val hi = if (i + 1 < offsets.length) offsets(i + 1) else footer.leaves.length
+            fld.name -> (lo until hi).map(footer.leaves(_).totalBytes).sum
+          }.toMap
+          fieldBytesCache.put(key, m)
+        } finally in.close()
+      }
+      fieldNames.foreach(n => total += m.getOrElse(n, 0L))
+    }
+    OptionalLong.of(total)
+  }
 
   /** Per-row-page-group row counts of a file (leaf 0 is row-aligned). One
     * cached 64KiB footer read; used by the limit-pushdown planner.
@@ -507,7 +548,8 @@ object GraftScan {
 final case class GraftInputPartition(filePath: String, fileLen: Long,
     pageLo: Int = -1, pageHi: Int = -1) extends InputPartition
 
-final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: String,
+final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    projectedJson: String,
     @volatile var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
     extends PartitionReaderFactory {
 
@@ -515,7 +557,7 @@ final class GraftReaderFactory(conf: SerializableHadoopConf, projectedJson: Stri
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarReader(p.filePath, p.fileLen, conf.value,
+    new GraftColumnarReader(p.filePath, p.fileLen, conf.value.value,
       DataType.fromJson(projectedJson).asInstanceOf[StructType], pagePreds,
       p.pageLo, p.pageHi)
   }

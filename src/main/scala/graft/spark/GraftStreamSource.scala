@@ -230,7 +230,7 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(conf, projectedJson)
+    new GraftReaderFactory(HadoopConfBroadcast(conf.value), projectedJson)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

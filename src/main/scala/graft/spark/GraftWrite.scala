@@ -128,7 +128,7 @@ final class GraftStreamingWrite(schema: StructType, path: String, opts: GraftWri
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftStreamingWriterFactory(schema.json, path, opts, conf, qid)
+    new GraftStreamingWriterFactory(schema.json, path, opts, HadoopConfBroadcast(conf.value), qid)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -210,7 +210,7 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
         sweep(f.getPath)
     }
     sweep(dir)
-    new GraftWriterFactory(schema.json, path, opts, conf)
+    new GraftWriterFactory(schema.json, path, opts, HadoopConfBroadcast(conf.value))
   }
 
   /** All-or-nothing swap: tasks only stage `.tmp` files (invisible to
@@ -272,7 +272,8 @@ final case class GraftCommitMessage(files: Seq[(String, String, Long)], rows: Lo
     extends WriterCommitMessage
 
 final class GraftStreamingWriterFactory(schemaJson: String, path: String,
-    opts: GraftWriteOptions, conf: SerializableHadoopConf, qid: String)
+    opts: GraftWriteOptions, conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    qid: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -281,20 +282,21 @@ final class GraftStreamingWriterFactory(schemaJson: String, path: String,
 }
 
 final class GraftWriterFactory(schemaJson: String, path: String, opts: GraftWriteOptions,
-    conf: SerializableHadoopConf) extends DataWriterFactory {
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(schemaJson, path, opts, conf, partitionId, taskId)
 }
 
 final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOptions,
-    conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    partitionId: Int, taskId: Long,
     nameToken: Option[String] = None) extends DataWriter[InternalRow] {
 
   import org.apache.spark.sql.types._
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val dir = new Path(path)
-  private val fs: FileSystem = dir.getFileSystem(conf.value)
+  private val fs: FileSystem = dir.getFileSystem(conf.value.value)
   // batch writes use a random token (concurrent jobs never collide);
   // streaming passes a deterministic (queryId, epoch) token so epoch
   // replays re-stage the SAME final names (idempotent epoch commit)
