@@ -77,24 +77,36 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def suite(format: String): Seq[(String, Double)] = {
+    def timed(format: String, name: String): Double = {
       sys.props("graft.tables.format") = format
-      try {
-        // warm up one scan+agg and one join query so first-join JIT noise
-        // does not land on q3 (the first timed join)
-        run("q1_pricing_summary")
-        run("q3_shipping_priority")
-        headline.map { name =>
-          val secs = (1 to runs).map { _ =>
-            try run(name)
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name ($format) failed: ${e.getMessage}")
-              -1.0
-            }
-          }
-          name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
-        }
+      try run(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name ($format) failed: ${e.getMessage}")
+        -1.0
       } finally sys.props.remove("graft.tables.format")
+    }
+
+    // warm up one scan+agg and one join query IN BOTH FORMATS, so Spark's
+    // own join/agg/codegen infrastructure is JIT-warm before either format
+    // is timed (suite-then-suite ordering hands the second format a
+    // systematically warmer JVM — measured as a phantom 1.8x on q10)
+    Seq("q1_pricing_summary", "q3_shipping_priority").foreach { q =>
+      timed("graft", q); timed("parquet", q)
+    }
+
+    // interleave formats per query (graft, parquet, graft, parquet, ...):
+    // machine-load spikes and residual JIT land on both formats equally
+    val results: Seq[(String, Double, Double)] = headline.map { name =>
+      val g = Array.fill(runs)(0.0)
+      val p = Array.fill(runs)(0.0)
+      var i = 0
+      while (i < runs) {
+        g(i) = timed("graft", name)
+        p(i) = timed("parquet", name)
+        i += 1
+      }
+      def best(xs: Array[Double]) = if (xs.exists(_ < 0)) -1.0 else xs.min
+      (name, best(g), best(p))
     }
 
     def fmt(rs: Seq[(String, Double)]): (String, Double) = {
@@ -102,8 +114,8 @@ object Bench {
       (qs, rs.map(_._2).filter(_ >= 0).sum)
     }
 
-    val graft = suite("graft")
-    val parquet = suite("parquet")
+    val graft = results.map(r => (r._1, r._2))
+    val parquet = results.map(r => (r._1, r._3))
     val (gq, gTotal) = fmt(graft)
     val (pq, pTotal) = fmt(parquet)
     val ratio = if (pTotal > 0) gTotal / pTotal else -1.0

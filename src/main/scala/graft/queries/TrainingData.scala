@@ -51,9 +51,28 @@ object TrainingData {
     * materialization (recompute per branch). Scratch tables are isolated
     * per Spark application under `graft.pipeline.scratch`.
     */
-  private def materialize(df: DataFrame, name: String): DataFrame = {
+  private def materialize(df: DataFrame, name: String): DataFrame =
+    materializeWithDir(df, name)._1
+
+  /** Resolved materialization mode. When `graft.pipeline.materialize` is
+    * unset the default FLIPS on `graft.pipeline.scratch`: naming a shared
+    * scratch root is the declaration that intermediate frames belong in the
+    * storage tier (the 100 TB shape — a signature/bucket frame there is one
+    * column-pruned scan per reuse instead of an executor-memory-sized
+    * cache); without it the default stays `cache`, right at local/bench
+    * scale.
+    */
+  private[graft] def materializeMode(s: SparkSession): String =
+    s.conf.getOption("graft.pipeline.materialize").getOrElse(
+      if (s.conf.getOption("graft.pipeline.scratch").isDefined) "table" else "cache")
+
+  /** Like `materialize`, additionally returning the scratch directory when
+    * mode=table (None otherwise) so iterative callers can retire superseded
+    * checkpoints.
+    */
+  private def materializeWithDir(df: DataFrame, name: String): (DataFrame, Option[String]) = {
     val s = df.sparkSession
-    s.conf.getOption("graft.pipeline.materialize").getOrElse("cache") match {
+    materializeMode(s) match {
       case "table" =>
         val explicitRoot = s.conf.getOption("graft.pipeline.scratch")
         // the java.io.tmpdir default is NODE-LOCAL: on a real cluster the
@@ -70,10 +89,16 @@ object TrainingData {
         registerScratchCleanup(s, appDir)
         val dir = s"$appDir/$name"
         df.write.format("graft").mode("overwrite").save(dir)
-        s.read.format("graft").load(dir)
-      case "none" => df
-      case _ => df.cache()
+        (s.read.format("graft").load(dir), Some(dir))
+      case "none" => (df, None)
+      case _ => (df.cache(), None)
     }
+  }
+
+  private def deleteScratchDir(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    catch { case _: java.io.IOException => () }
   }
 
   /** Scratch tables are transient by contract: delete this application's
@@ -126,50 +151,7 @@ object TrainingData {
     "d_dedup_simhash" -> { (s, dir) => simhashDedup(s, dir, portable = true) },
 
     "d_dedup_clusters" -> { (s, dir) =>
-      // the step AFTER pair detection: connected components over the
-      // confirmed near-dup pairs (same blocking + jaccard >= 0.5 edges as
-      // d_ngram_jaccard), via min-label propagation to fixpoint. Each
-      // iteration is one join + groupBy over the (tiny) edge frontier; the
-      // driver only checks a changed-count per round (the standard iterative
-      // pattern — labels/edges are never collected). Iterations are bounded
-      // by component diameter; the cap is a runaway guard.
-      val d = docs(s, dir)
-      val tok = d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-      val cand = d.select(col("doc_id").as("ida"), col("source").as("sa"), col("n_chars").as("ca"))
-        .join(d.select(col("doc_id").as("idb"), col("source").as("sb"), col("n_chars").as("cb")),
-          col("sa") === col("sb") && col("ida") < col("idb") &&
-            abs(col("ca") - col("cb")) <= 2)
-        .select(col("ida"), col("idb"))
-      val inter = tok.select(col("doc_id").as("ida"), col("w"))
-        .join(tok.select(col("doc_id").as("idb"), col("w")), Seq("w"))
-        .filter(col("ida") < col("idb"))
-        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("common"))
-      val pairs = cand.join(inter, Seq("ida", "idb"))
-        .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nw", "wa"), Seq("ida"))
-        .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nw", "wb"), Seq("idb"))
-        .filter(col("common").cast("double") / (col("wa") + col("wb") - col("common")) >= 0.5)
-        .select(col("ida"), col("idb"))
-      val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
-        .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
-      edges.cache()
-      var labels = d.select(col("doc_id").as("id"), col("doc_id").as("lab"))
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 30) {
-        val nbrMin = edges.join(labels, edges("b") === labels("id"))
-          .groupBy(col("a")).agg(min(col("lab")).as("nmin"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
-          .select(col("id"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
-        next.cache()
-        val prev = labels
-        changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("id"))
-          .filter(col("lab") =!= col("old")).count()
-        prev.unpersist() // superseded frames must not pin the storage pool
-        labels = next
-        iter += 1
-      }
-      edges.unpersist()
+      val labels = ccLabels(s, dir)
       val cs = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
       labels.join(cs.filter(col("cluster_size") >= 2), Seq("lab"))
         .select(col("lab").as("cluster_rep"), col("id").as("doc_id"), col("cluster_size"))
@@ -518,6 +500,82 @@ object TrainingData {
           col("fake_width"), col("fake_height"))
         .orderBy(col("doc_id"))
     })
+
+  /** Connected components over the confirmed near-dup pairs (same blocking +
+    * jaccard >= 0.5 edges as d_ngram_jaccard), via min-label propagation to
+    * fixpoint — the step AFTER pair detection. Each iteration is one join +
+    * groupBy over the (tiny) label frame; the driver only checks a
+    * changed-count per round (labels/edges are never collected). Iterations
+    * are bounded by component diameter; the cap is a runaway guard.
+    *
+    * Lineage control: every `graft.pipeline.ccCheckpointInterval` (default 5)
+    * rounds the label frame is routed through `materialize` — in table mode
+    * that CHECKPOINTS it to a graft scratch table, so the plan restarts from
+    * a storage scan instead of stacking 30 joins of lineage (at 100 TB a
+    * lost executor would otherwise force a recompute through every prior
+    * round). The superseded checkpoint dir is retired as soon as the next
+    * one is written; cache-mode frames are unpersisted the moment they are
+    * superseded, exactly as before.
+    */
+  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tok = d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val cand = d.select(col("doc_id").as("ida"), col("source").as("sa"), col("n_chars").as("ca"))
+      .join(d.select(col("doc_id").as("idb"), col("source").as("sb"), col("n_chars").as("cb")),
+        col("sa") === col("sb") && col("ida") < col("idb") &&
+          abs(col("ca") - col("cb")) <= 2)
+      .select(col("ida"), col("idb"))
+    val inter = tok.select(col("doc_id").as("ida"), col("w"))
+      .join(tok.select(col("doc_id").as("idb"), col("w")), Seq("w"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("common"))
+    val pairs = cand.join(inter, Seq("ida", "idb"))
+      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nw", "wa"), Seq("ida"))
+      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nw", "wb"), Seq("idb"))
+      .filter(col("common").cast("double") / (col("wa") + col("wb") - col("common")) >= 0.5)
+      .select(col("ida"), col("idb"))
+    val edges0 = pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
+    // the edge frame is reused every round: cached locally (materialize's
+    // default), checkpointed to scratch in table mode — same policy as the
+    // label iterates
+    val (edges, edgesDir) = materializeWithDir(edges0, "cc_edges")
+    val interval = math.max(
+      s.conf.getOption("graft.pipeline.ccCheckpointInterval").map(_.toInt).getOrElse(5), 1)
+    var labels = d.select(col("doc_id").as("id"), col("doc_id").as("lab"))
+    var labelsCached = false
+    var ckptDir: Option[String] = None
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("lab")).as("nmin"))
+      val next0 = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+      val checkpointRound = (iter + 1) % interval == 0
+      val (next, nextDir) =
+        if (checkpointRound) materializeWithDir(next0, s"cc_labels_$iter")
+        else (next0.cache(), None)
+      val prev = labels
+      val prevCached = labelsCached
+      changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("id"))
+        .filter(col("lab") =!= col("old")).count()
+      // superseded frames must not pin the storage pool; a superseded
+      // checkpoint dir is safe to retire once the NEW checkpoint is written
+      // (the changed-count above materialized `next`; nothing still reads it)
+      if (prevCached) prev.unpersist()
+      if (nextDir.isDefined) {
+        ckptDir.foreach(deleteScratchDir(s, _))
+        ckptDir = nextDir
+      }
+      labelsCached = nextDir.isEmpty
+      labels = next
+      iter += 1
+    }
+    if (edgesDir.isEmpty) edges.unpersist() // no-op under materialize=none
+    labels
+  }
 
   /** MinHash+LSH near-dup detection: shingle -> 64 minhashes -> 8 bands of
     * 8 -> bucket-join candidates -> signature-similarity confirm. Scale
