@@ -29,7 +29,7 @@ object Bench {
     "q_asof_purchase_view", "q_topk_orders",
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_segments",
     "s_ann_lsh", "t_token_stats", "t_fingerprint",
-    "t_quality_score", "t_language_id", "m_multimodal_meta")
+    "t_quality_score", "t_language_id", "m_multimodal_meta", "m_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -479,14 +479,12 @@ object TrainingData {
     // ---------------- multimodal plumbing (decode stubbed) ----------------
 
     "m_multimodal_meta" -> { (s, dir) =>
-      // Multimodal plumbing over an opaque binary payload column. Header
-      // metadata (lengths, magic bytes, derived dimensions) stays COLUMNAR —
-      // binary built-ins inside whole-stage codegen, no lambda in the scan
-      // path. A real frame/image decode (the only step that genuinely needs
-      // an opaque library call) would slot in as a mapPartitions /
-      // mapInPandas batch stage AFTER this metadata pruning; it is stubbed
-      // here because the environment ships no codec libs — the fake_width/
-      // fake_height columns stand in for its deterministic output.
+      // Multimodal stage 1: metadata over an opaque binary payload column.
+      // Header metadata (lengths, magic bytes, derived dimensions) stays
+      // COLUMNAR — binary built-ins inside whole-stage codegen, no lambda in
+      // the scan path. The actual frame decode is stage 2 below
+      // (m_multimodal_decode — a pure-JVM PPM parser as a native
+      // expression); this query is the cheap pruning pass that runs first.
       docs(s, dir)
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
         .withColumn("byte_len", length(col("payload")).cast("long"))
@@ -498,6 +496,34 @@ object TrainingData {
         .withColumn("fake_height", lit(64L) + col("last_byte") % 64)
         .select(col("doc_id"), col("byte_len"), col("first_byte"), col("last_byte"),
           col("fake_width"), col("fake_height"))
+        .orderBy(col("doc_id"))
+    },
+
+    "m_multimodal_decode" -> { (s, dir) =>
+      // Multimodal stage 2: the REAL frame decode. Each document gets a
+      // genuine uncompressed image payload (P6 PPM: ASCII header with a
+      // comment line + raw RGB plane, pixel bytes derived deterministically
+      // from md5(text)), and graft.spark.PpmDecode — a native Catalyst
+      // expression with codegen, not a UDF — parses the BYTES (magic,
+      // comment-tolerant header, dimensions, pixel plane) and emits integer-
+      // exact pixel statistics. The oracle reproduces the stats from the
+      // generating formula without ever parsing binary, so the decoder is
+      // checked against an independent computation. Scale shape: pure map,
+      // one pass per payload, decode AFTER metadata pruning.
+      docs(s, dir)
+        .withColumn("w", (lit(1) + col("n_chars") % 8).cast("int"))
+        .withColumn("h", (lit(1) + col("doc_id") % 6).cast("int"))
+        .withColumn("hexlen", col("w") * col("h") * lit(6))
+        .withColumn("ph", expr(
+          "substr(repeat(md5(text), cast(ceil(hexlen / 32.0) as int)), 1, hexlen)"))
+        .withColumn("payload", expr(
+          """concat(encode(concat('P6\n# graft frame\n', cast(w as string), ' ',
+                                  cast(h as string), '\n255\n'), 'utf-8'),
+                    unhex(ph))"""))
+        .select(col("doc_id"), graft.spark.PpmDecode(col("payload")).as("f"))
+        .select(col("doc_id"), col("f.width").as("width"), col("f.height").as("height"),
+          col("f.maxval").as("maxval"), col("f.pix_sum").as("pix_sum"),
+          col("f.pix_checksum").as("pix_checksum"))
         .orderBy(col("doc_id"))
     })
 
@@ -998,5 +1024,27 @@ object TrainingData {
         |  CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
         |  64 + CAST(ascii(substr(text, 1, 1)) AS BIGINT) % 64 AS fake_width,
         |  64 + CAST(ascii(substr(text, length(text), 1)) AS BIGINT) % 64 AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_multimodal_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (n_chars % 8) AS INT) AS w,
+        |    CAST(1 + (doc_id % 6) AS INT) AS h,
+        |    md5(text) AS hx
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, w, h, 3*w*h AS npix,
+        |    substr(repeat(hx, CAST(ceil((3*w*h*2) / 32.0) AS INT)), 1, 3*w*h*2) AS ph
+        |  FROM d),
+        |v AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(generate_series(1, npix),
+        |      i -> (strpos('0123456789abcdef', substr(ph, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(ph, CAST(2*i AS INT), 1)) - 1)) AS vals
+        |  FROM e)
+        |SELECT doc_id, w AS width, h AS height, 255 AS maxval,
+        |  CAST(list_sum(vals) AS BIGINT) AS pix_sum,
+        |  CAST(list_reduce(list_prepend(0, vals),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum
+        |FROM v ORDER BY doc_id""".stripMargin)
 }

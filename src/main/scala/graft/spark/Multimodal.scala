@@ -1,0 +1,133 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftCatalystBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Pure-JVM multimodal frame decode: parses a binary PPM (P6) image payload
+  * — magic, whitespace/comment-tolerant ASCII header, raw RGB plane — and
+  * returns its dimensions plus integer-exact pixel statistics. This is the
+  * decode stage the multimodal pipeline slots in AFTER columnar metadata
+  * pruning; it needs no codec library because P6 is an uncompressed
+  * container (header + raw bytes), which is exactly why it is the honest
+  * in-environment stand-in for a jpeg/png decoder: the Spark-side shape
+  * (binary column in, struct of typed features out, whole-stage codegen, no
+  * UDF) is identical.
+  *
+  * Malformed payloads decode to NULL rather than failing the task — at
+  * 100 TB a corrupt frame must not kill the scan; callers filter or count
+  * the nulls.
+  */
+case class PpmDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PpmDecode.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ppm_decode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PpmDecode.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("ppmDecode", PpmDecode, "graft.spark.PpmDecode$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $mod.decode($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpmDecode =
+    copy(child = newChild)
+}
+
+object PpmDecode {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("maxval", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false),
+    StructField("pix_checksum", LongType, nullable = false),
+    StructField("channel_means", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  private val Mod = 1000000007L
+
+  /** Column-level entry point: `ppmDecode(col("payload"))` yields a struct
+    * column `(width, height, maxval, pix_sum, pix_checksum, channel_means)`,
+    * NULL for malformed payloads.
+    */
+  def apply(payload: Column): Column =
+    GraftCatalystBridge.column(PpmDecode(GraftCatalystBridge.expression(payload)))
+
+  /** Decode a P6 PPM payload; null for anything malformed (wrong magic,
+    * unterminated header, non-numeric fields, short pixel plane, maxval
+    * outside 1..255). Kept allocation-light: one pass over the pixel bytes,
+    * no intermediate buffers.
+    */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
+    var p = 2
+
+    // PPM allows '#'-to-end-of-line comments anywhere whitespace may appear
+    def skipSpace(): Boolean = {
+      var sawSpace = false
+      var go = true
+      while (go && p < bytes.length) {
+        val b = bytes(p)
+        if (b == ' ' || b == '\t' || b == '\n' || b == '\r') { sawSpace = true; p += 1 }
+        else if (b == '#') {
+          sawSpace = true
+          while (p < bytes.length && bytes(p) != '\n') p += 1
+        } else go = false
+      }
+      sawSpace
+    }
+
+    def readInt(): Int = {
+      if (p >= bytes.length || bytes(p) < '0' || bytes(p) > '9') return -1
+      var v = 0L
+      while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+        v = v * 10 + (bytes(p) - '0')
+        if (v > Int.MaxValue) return -1
+        p += 1
+      }
+      v.toInt
+    }
+
+    if (!skipSpace()) return null
+    val w = readInt()
+    if (w <= 0 || !skipSpace()) return null
+    val h = readInt()
+    if (h <= 0 || !skipSpace()) return null
+    val maxval = readInt()
+    if (maxval <= 0 || maxval > 255) return null
+    // exactly ONE whitespace byte separates the header from the pixel plane
+    if (p >= bytes.length) return null
+    val sep = bytes(p)
+    if (sep != ' ' && sep != '\t' && sep != '\n' && sep != '\r') return null
+    p += 1
+
+    val n = w.toLong * h * 3
+    if (n > Int.MaxValue || bytes.length - p < n) return null
+    var sum = 0L
+    var acc = 0L
+    val chan = new Array[Long](3)
+    var i = 0
+    val ni = n.toInt
+    while (i < ni) {
+      val v = bytes(p + i) & 0xff
+      sum += v
+      acc = (acc * 31 + v) % Mod
+      chan(i % 3) += v
+      i += 1
+    }
+    val pixels = w.toLong * h
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      w, h, maxval, sum, acc,
+      new GenericArrayData(Array(chan(0).toDouble / pixels,
+        chan(1).toDouble / pixels, chan(2).toDouble / pixels))))
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Catalyst Expression bridge for the graft library. The classic
+  * helpers are `private[sql]`, so library code outside this package cannot
+  * wrap a custom Expression (e.g. the PPM decoder) into a user-facing
+  * Column without it.
+  */
+object GraftCatalystBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
