@@ -24,6 +24,7 @@ object Tables {
     * measure the parquet baseline with identical query code.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.spark.GraftExtensions.ensure(spark) // idempotent rule wiring
     // the system property lets one JVM time both formats back-to-back (the
     // self-baselining bench); the env var remains for whole-process runs
     val fmt = sys.props.getOrElse("graft.tables.format",

@@ -266,9 +266,21 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val runtimeFilter: Boolean = false,
     private val manifestOpt: Option[Boolean] = None,
     private val pushedRaw: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    private val limit: Option[Int] = None)
+    private val limit: Option[Int] = None,
+    private val elementPreds: Array[ZoneMapFilter.PagePred] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  /** Copy of this scan with element-leaf page predicates grafted on (the
+    * GraftElementPushdown rule — DSv2 cannot deliver these through
+    * pushFilters). Pruning is advisory: Spark's residual Filter above the
+    * scan still applies the predicate row-level.
+    */
+  private[spark] def withElementPreds(ps: Array[ZoneMapFilter.PagePred]): GraftScan =
+    new GraftScan(tableSchema, projected, path, conf, initialPagePreds, runtimeFilter,
+      manifestOpt, pushedRaw, limit, ps)
+
+  private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
 
   // hive-style partition-directory pruning: a file under k=v/ subdirs is
   // dropped when a pushed filter is decidably false on those values — whole
@@ -292,10 +304,10 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     }
   }
 
-  // compile-time zone-map predicates, later extended by runtime filters
-  // (Spark re-plans partitions and creates the reader factory after
-  // filter(), so both pick up the merged set)
-  private var pagePreds: Array[ZoneMapFilter.PagePred] = initialPagePreds
+  // compile-time zone-map predicates (pushed-filter + element), later
+  // extended by runtime filters (Spark re-plans partitions and creates the
+  // reader factory after filter(), so both pick up the merged set)
+  private var pagePreds: Array[ZoneMapFilter.PagePred] = initialPagePreds ++ elementPreds
 
   /** Runtime filtering (the DSv2 analogue of dynamic partition pruning):
     * Spark hands us join-key IN-sets at execution time; they merge into the
@@ -338,6 +350,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   override def description(): String =
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
       (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "") +
+      (if (elementPreds.nonEmpty) s" element[${elementPreds.map(ZoneMapFilter.render).mkString(",")}]" else "") +
       limit.map(l => s" limit=$l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -405,15 +418,22 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   // runtime-filter state is deliberately excluded: BatchScanExec equality
   // already includes the runtimeFilters expressions, so two equal GraftScans
   // under different runtime filters are still distinguished at the exec level.
+  // element preds compare via their canonical rendering (CmpBin holds a raw
+  // byte array whose case-class equality is referential); they are part of
+  // the scan's OUTPUT-determining state, so they must distinguish scans —
+  // a pruned scan substituted for an unpruned one by exchange reuse would
+  // drop rows the missing residual Filter never restores
+  private def elementKey: Seq[String] = elementPreds.map(ZoneMapFilter.render).toSeq
   override def equals(other: Any): Boolean = other match {
     case o: GraftScan =>
       path == o.path && tableSchema == o.tableSchema && projected == o.projected &&
         runtimeFilter == o.runtimeFilter && manifestOpt == o.manifestOpt &&
-        limit == o.limit && pushedRaw.toSeq == o.pushedRaw.toSeq
+        limit == o.limit && pushedRaw.toSeq == o.pushedRaw.toSeq &&
+        elementKey == o.elementKey
     case _ => false
   }
   override def hashCode(): Int =
-    (path, projected, limit, runtimeFilter, pushedRaw.toSeq).hashCode()
+    (path, projected, limit, runtimeFilter, pushedRaw.toSeq, elementKey).hashCode()
 
   override def estimateStatistics(): Statistics = new Statistics {
     // sizeInBytes drives the broadcast-join decision. Parquet's V1 path

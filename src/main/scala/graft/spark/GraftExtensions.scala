@@ -1,0 +1,73 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.types._
+
+/** Catalyst rule: element-predicate pushdown for graft scans.
+  *
+  * DSv2 translates only attribute-path predicates into source filters, so
+  * `array_contains(col, lit)` never reaches `pushFilters` — yet the format
+  * stores each array's ELEMENT leaf as its own page stream with zone-map
+  * stats (per-leaf independence the reference also has:
+  * `/root/reference/src/read/reader.rs:50-146`). This rule runs in the
+  * user-optimizer batch (after V2ScanRelationPushDown has produced the scan
+  * relation), finds `array_contains` conjuncts in the residual Filter
+  * directly above a graft scan, compiles them into element-leaf page
+  * predicates, and grafts them onto the scan. The Filter stays in place —
+  * pruning is advisory and sound, row-level semantics never depend on it.
+  */
+object GraftElementPushdown extends Rule[LogicalPlan] {
+
+  /** Element types whose catalyst literal form the zone-map domain
+    * converters understand directly (date/timestamp/decimal literals use
+    * internal encodings the converters don't expect — skipped).
+    */
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BinaryType => true
+    case _ => false
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, rel: DataSourceV2ScanRelation)
+        if rel.scan.isInstanceOf[GraftScan] &&
+          !rel.scan.asInstanceOf[GraftScan].hasElementPreds =>
+      val scan = rel.scan.asInstanceOf[GraftScan]
+      val preds = splitConjuncts(cond).flatMap {
+        case ArrayContains(a: AttributeReference, Literal(v, dt))
+            if v != null && supported(dt) && rel.output.exists(_.exprId == a.exprId) =>
+          // catalyst string literals are UTF8String; the domain converter
+          // takes the java form
+          val jv = v match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => other
+          }
+          ZoneMapFilter.elementEquals(a.name, dt, jv)
+        case _ => None
+      }
+      if (preds.isEmpty) f
+      else f.copy(child = rel.copy(scan = scan.withElementPreds(preds.toArray)))
+  }
+}
+
+/** Session wiring for graft's extra Catalyst rules. `ensure` is idempotent
+  * and cheap; Tables.load calls it so every query built through the library
+  * gets the rules without configuring `spark.sql.extensions` up front.
+  */
+object GraftExtensions {
+  def ensure(s: SparkSession): Unit = synchronized {
+    if (!s.experimental.extraOptimizations.contains(GraftElementPushdown))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ GraftElementPushdown
+  }
+}

@@ -91,8 +91,12 @@ object GraftSchema {
   /** Leaf index a (possibly dotted struct-path) field name resolves to in a
     * file schema: a top-level column's first leaf, or the sub-field's leaf
     * reached by walking null markers + preceding siblings' leaf counts.
-    * Struct sub-field leaves stay row-aligned with the page grid; array/map
-    * paths (which change cardinality) resolve to None.
+    * Struct sub-field leaves stay row-aligned with the page grid. The
+    * reserved segment `element` steps into an array's element leaf: element
+    * pages are NOT row-aligned (cardinality changes), but they share the
+    * page GRID — page group p of the element leaf holds exactly the
+    * elements of the rows in group p — which is what existence predicates
+    * (array_contains) prune on. Map paths resolve to None.
     */
   def leafIndexOfPath(schema: StructType, name: String): Option[Int] = {
     val (offsets, _) = fieldLeafOffsets(schema)
@@ -116,6 +120,9 @@ object GraftSchema {
             j += 1
           }
           f = st.fields(ci)
+        case at: ArrayType if p == "element" =>
+          base += 1 // skip the lengths leaf
+          f = StructField("element", at.elementType, at.containsNull)
         case _ => return None
       }
     }

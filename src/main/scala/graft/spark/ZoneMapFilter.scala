@@ -55,7 +55,8 @@ object ZoneMapFilter {
       extends LeafPred {
     // op: 0 =, 1 >, 2 >=, 3 <, 4 <=
     def canSkipMeta(pm: PageMeta): Boolean = {
-      if (pm.nullCount == pm.numValues && pm.numValues > 0) return true // all null
+      if (pm.numValues == 0) return true // element leaf: no elements in group
+      if (pm.nullCount == pm.numValues) return true // all null
       (kind, v) match {
         case (1, Left(x)) if pm.statsKind == 1 =>
           op match {
@@ -97,7 +98,8 @@ object ZoneMapFilter {
   private final case class CmpBin(field: String, op: Int, x: Array[Byte]) extends LeafPred {
     // op: 0 =, 1 >, 2 >=, 3 <, 4 <=, 5 startsWith
     def canSkipMeta(pm: PageMeta): Boolean = {
-      if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
+      if (pm.numValues == 0) return true // element leaf: no elements in group
+      if (pm.nullCount == pm.numValues) return true
       if (pm.statsKind != 4) return false
       val aboveMax = pm.maxBin != null && ZoneMapFilter.cmpBytes(x, pm.maxBin) > 0
       val maxLeX = pm.maxBin != null && ZoneMapFilter.cmpBytes(pm.maxBin, x) <= 0
@@ -265,6 +267,40 @@ object ZoneMapFilter {
          StringType | BinaryType => true
     case _: DecimalType => true
     case _ => false
+  }
+
+  /** Existence predicate for `array_contains(field, literal)`: a page group
+    * whose ELEMENT-leaf bounds exclude the probe cannot contain any array
+    * holding it, so the whole group skips. DSv2 never delivers element
+    * predicates through pushFilters (source filters are attribute-path
+    * only); the GraftElementPushdown rule compiles them here and grafts the
+    * result onto the scan. The `field.element` path resolves to the element
+    * leaf via [[GraftSchema.leafIndexOfPath]]; element pages share the page
+    * GRID with the row-aligned leaves even though their value counts differ.
+    * Reference precedent for fully independent per-leaf page streams:
+    * `/root/reference/src/read/reader.rs:50-146`.
+    */
+  def elementEquals(fieldName: String, elementType: DataType, value: Any): Option[PagePred] = {
+    val path = fieldName + ".element"
+    toDomain(elementType, value).map { case (k, d) => Cmp(path, k, 0, d): PagePred }
+      .orElse(toBinDomain(elementType, value).map(b => CmpBin(path, 0, b): PagePred))
+  }
+
+  /** Deterministic structural rendering of a predicate — used as the
+    * equality key for scan instances (CmpBin holds a raw byte array, whose
+    * reference equality would defeat `sameResult` plan reuse).
+    */
+  def render(p: PagePred): String = p match {
+    case Cmp(f, k, op, v) => s"cmp($f,$k,$op,$v)"
+    case CmpBin(f, op, x) => s"cmpbin($f,$op,${x.map("%02x".format(_)).mkString})"
+    case InSetBin(f, xs) => s"insetbin($f,${xs.map(_.map("%02x".format(_)).mkString).mkString(",")})"
+    case InSet(f, k, ls, ds) => s"inset($f,$k,${ls.mkString(",")};${ds.mkString(",")})"
+    case NotEq(f, k, v) => s"noteq($f,$k,$v)"
+    case AllNullSkip(f) => s"allnull($f)"
+    case OnlyNanMatches(f) => s"onlynan($f)"
+    case UnlessNanPage(f, inner) => s"unlessnan($f,${render(inner)})"
+    case AllOf(ps) => ps.map(render).mkString("all(", ",", ")")
+    case AnyOf(ps) => ps.map(render).mkString("any(", ",", ")")
   }
 
   /** Restrict a predicate to the fields a given file carries. Conjunctions

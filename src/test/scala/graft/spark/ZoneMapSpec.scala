@@ -47,6 +47,82 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(GraftMetrics.pageGroupsRead.get() == 0)
   }
 
+  test("array_contains prunes on element-leaf zone maps via the pushdown rule") {
+    val dir = "/tmp/graft-test/zonemap-elem"
+    // arrays whose elements track the sort key: page p holds elements in a
+    // narrow range, so an element probe prunes all but one page group
+    spark.range(100000)
+      .selectExpr("id", "array(id * 3, id * 3 + 1, id * 3 + 2) AS arr",
+        "array(format_string('w%08d', id), format_string('w%08d', id + 1)) AS toks")
+      .orderBy("id").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftExtensions.ensure(spark)
+    val g = spark.read.format("graft").load(dir)
+
+    // long-element probe
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    val hit = g.filter(array_contains(col("arr"), lit(150000L)))
+    assert(hit.queryExecution.executedPlan.toString.contains("element["),
+      "element predicate missing from the scan description:\n" +
+        hit.queryExecution.executedPlan.toString)
+    assert(hit.count() == 1) // id = 50000
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
+      s"long element probe should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+    assert(GraftMetrics.pageGroupsRead.get() <= 2)
+
+    // string-element probe
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(array_contains(col("toks"), "w00000007")).count() == 2) // ids 6 and 7
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+    assert(GraftMetrics.pageGroupsRead.get() <= 2)
+
+    // probe outside every page -> everything skipped
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(array_contains(col("arr"), lit(-1L))).count() == 0)
+    assert(GraftMetrics.pageGroupsRead.get() == 0)
+
+    // soundness on unsorted arrays: pruning must never drop matches, and a
+    // conjunct the rule can't compile must not break the one it can
+    val dir2 = "/tmp/graft-test/zonemap-elem-unsorted"
+    spark.range(20000)
+      .selectExpr("id", "array(cast(hash(id) as bigint) % 1000) AS arr")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir2)
+    val g2 = spark.read.format("graft").load(dir2)
+    val expected = spark.range(20000)
+      .selectExpr("id", "array(cast(hash(id) as bigint) % 1000) AS arr")
+      .filter(array_contains(col("arr"), lit(7L)) && col("id") % 2 === 0).count()
+    assert(g2.filter(array_contains(col("arr"), lit(7L)) && col("id") % 2 === 0)
+      .count() == expected)
+  }
+
+  test("sortby write layout yields >90% page-group pruning on a range probe") {
+    val dir = "/tmp/graft-test/zonemap-sortby"
+    // write UNSORTED input through the sortby layout option: the write path
+    // range-partitions + sorts, so the on-disk zone maps are tight even
+    // though the source arrives shuffled
+    spark.range(200000)
+      .selectExpr("cast(hash(id) as bigint) AS noise", "id AS k", "id * 7 AS v")
+      .orderBy("noise") // scramble input order
+      .write.format("graft").option("sortby", "k").option("maxrowsperfile", "50000")
+      .mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    val hit = g.filter(col("k") >= 100000 && col("k") < 101000)
+    assert(hit.count() == 1000)
+    assert(hit.agg(sum(col("v"))).head.getLong(0) ==
+      (100000L until 101000L).map(_ * 7).sum)
+    val skipped = GraftMetrics.pageGroupsSkipped.get()
+    val read = GraftMetrics.pageGroupsRead.get()
+    assert(read + skipped > 0)
+    val frac = skipped.toDouble / (skipped + read)
+    assert(frac > 0.9, s"sortby layout should prune >90% of page groups, " +
+      s"got skipped=$skipped read=$read (${(frac * 100).round}%)")
+  }
+
   test("pruning never drops matching rows on unsorted data") {
     val dir = "/tmp/graft-test/zonemap-unsorted"
     spark.range(50000).selectExpr("cast(hash(id) as bigint) as k", "id as v")
