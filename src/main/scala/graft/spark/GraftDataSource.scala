@@ -486,8 +486,8 @@ object GraftScan {
       if (m == null) {
         val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
         try {
-          val footer = GraftFileReader.readFooter(in)
-          val schema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+          val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
+          val schema = GraftFooterCache.schemaOf(footer.schemaJson)
           val (offsets, _) = GraftSchema.fieldLeafOffsets(schema)
           m = schema.fields.zipWithIndex.map { case (fld, i) =>
             val lo = offsets(i)
@@ -511,7 +511,7 @@ object GraftScan {
     if (cached != null) return cached
     val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
     try {
-      val footer = GraftFileReader.readFooter(in)
+      val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
       val arr =
         if (footer.leaves.isEmpty) Array.empty[Int]
         else footer.leaves(0).pages.map(_.numValues)
@@ -527,7 +527,7 @@ object GraftScan {
     if (cached != null) return cached.intValue()
     val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
     try {
-      val footer = GraftFileReader.readFooter(in)
+      val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
       val n = if (footer.leaves.isEmpty) 1 else footer.leaves(0).pages.length
       pageCountCache.put(key, n)
       n
@@ -548,7 +548,7 @@ object GraftScan {
       else {
         val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
         try {
-          val footer = GraftFileReader.readFooter(in)
+          val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
           val n = if (footer.leaves.isEmpty) 0L else footer.leaves(0).totalValues
           rowCountCache.put(key, n)
           total += n
@@ -578,7 +578,7 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p.filePath, p.fileLen, conf.value.value,
-      DataType.fromJson(projectedJson).asInstanceOf[StructType], pagePreds,
+      GraftFooterCache.schemaOf(projectedJson), pagePreds,
       p.pageLo, p.pageHi)
   }
 
@@ -627,6 +627,45 @@ object PartitionPrune {
   }
 }
 
+/** Executor-side footer/schema cache. Every SPLIT of a graft file needs the
+  * footer (page metas) and the parsed file schema; without a cache a file
+  * split 16 ways pays the 64 KiB tail read + meta parse + schema-JSON parse
+  * 16 times per scan — and the schema parse repeats once per TASK across
+  * the whole table even though every file of a table shares one schema
+  * string. Both caches are bounded LRU (footers by entry count, schemas are
+  * naturally tiny), keyed by (path, length) — an overwritten file changes
+  * its length in the task's InputPartition, so stale entries can't serve a
+  * replaced file of identical length+path from the same JVM's prior scan
+  * (the staged-rename commit never rewrites a data file in place).
+  */
+object GraftFooterCache {
+  private val MaxFooters = 512
+  private val footers = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Footer](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Footer]): Boolean =
+        size() > MaxFooters
+    })
+  private val schemas = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def footerOf(input: HadoopSeekableInput, path: String, len: Long): Footer = {
+    val key = path + "#" + len
+    val cached = footers.get(key)
+    if (cached != null) return cached
+    val f = GraftFileReader.readFooter(input)
+    footers.put(key, f)
+    f
+  }
+
+  def schemaOf(json: String): StructType = {
+    val cached = schemas.get(json)
+    if (cached != null) return cached
+    if (schemas.size() > 256) schemas.clear() // a JVM sees few distinct schemas
+    val st = DataType.fromJson(json).asInstanceOf[StructType]
+    schemas.put(json, st)
+    st
+  }
+}
+
 object GraftMetrics {
   val pageGroupsSkipped = new java.util.concurrent.atomic.AtomicLong()
   val pageGroupsRead = new java.util.concurrent.atomic.AtomicLong()
@@ -646,8 +685,8 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
 
   private val hPath = new Path(filePath)
   private val input = new HadoopSeekableInput(hPath.getFileSystem(conf), hPath, fileLen)
-  private val footer = GraftFileReader.readFooter(input)
-  private val fileSchema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+  private val footer = GraftFooterCache.footerOf(input, filePath, fileLen)
+  private val fileSchema = GraftFooterCache.schemaOf(footer.schemaJson)
   private val (fieldOffsets, totalLeaves) = GraftSchema.fieldLeafOffsets(fileSchema)
   require(totalLeaves == footer.leaves.length,
     s"graft: schema/leaf mismatch in $filePath (${footer.leaves.length} leaves, schema wants $totalLeaves)")
