@@ -1,11 +1,11 @@
 package graft.spark
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{ArrayContains, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, AttributeReference, ElementAt, EqualTo, Expression, GetArrayItem, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
 
 /** Catalyst rule: element-predicate pushdown for graft scans.
   *
@@ -43,16 +43,34 @@ object GraftElementPushdown extends Rule[LogicalPlan] {
         if rel.scan.isInstanceOf[GraftScan] &&
           !rel.scan.asInstanceOf[GraftScan].hasElementPreds =>
       val scan = rel.scan.asInstanceOf[GraftScan]
+      // an array attribute this scan outputs, reached through an element
+      // accessor: element_at(arr, i) / arr[i]
+      def arrayAttrOf(e: Expression): Option[AttributeReference] = (e match {
+        case ea: ElementAt => Some(ea.left)
+        case gi: GetArrayItem => Some(gi.child)
+        case _ => None
+      }).collect {
+        case a: AttributeReference
+            if a.dataType.isInstanceOf[ArrayType] &&
+              rel.output.exists(_.exprId == a.exprId) => a
+      }
+      // catalyst string literals are UTF8String; the domain converters take
+      // the java form
+      def javaForm(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => other
+      }
       val preds = splitConjuncts(cond).flatMap {
         case ArrayContains(a: AttributeReference, Literal(v, dt))
             if v != null && supported(dt) && rel.output.exists(_.exprId == a.exprId) =>
-          // catalyst string literals are UTF8String; the domain converter
-          // takes the java form
-          val jv = v match {
-            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-            case other => other
-          }
-          ZoneMapFilter.elementEquals(a.name, dt, jv)
+          ZoneMapFilter.elementEquals(a.name, dt, javaForm(v))
+        // element_at(arr, i) = v  can only hold on a row whose array holds v
+        // SOMEWHERE, so the existence bound prunes it too (null literals
+        // match nothing; a null element_at never equals v)
+        case EqualTo(acc, Literal(v, dt)) if v != null && supported(dt) =>
+          arrayAttrOf(acc).flatMap(a => ZoneMapFilter.elementEquals(a.name, dt, javaForm(v)))
+        case EqualTo(Literal(v, dt), acc) if v != null && supported(dt) =>
+          arrayAttrOf(acc).flatMap(a => ZoneMapFilter.elementEquals(a.name, dt, javaForm(v)))
         case _ => None
       }
       if (preds.isEmpty) f

@@ -83,6 +83,19 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(g.filter(array_contains(col("arr"), lit(-1L))).count() == 0)
     assert(GraftMetrics.pageGroupsRead.get() == 0)
 
+    // element_at equality goes through the same existence bound
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(element_at(col("arr"), 1) === 150000L).count() == 1)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
+      s"element_at probe should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+
+    // arr[i] sugar (GetArrayItem) prunes identically
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(col("arr").getItem(0) === 150000L).count() == 1)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+
     // soundness on unsorted arrays: pruning must never drop matches, and a
     // conjunct the rule can't compile must not break the one it can
     val dir2 = "/tmp/graft-test/zonemap-elem-unsorted"
