@@ -158,6 +158,33 @@ object TrainingData {
         .orderBy(col("cluster_rep"), col("doc_id"))
     },
 
+    "d_decontamination" -> { (s, dir) =>
+      // benchmark decontamination — the pass that removes eval-set leakage
+      // from training data: hash every 4-word shingle of the EVAL docs
+      // (deterministic held-out slice, doc_id % 97 = 0) and containment-join
+      // them against the TRAIN docs' shingles, reporting per eval doc how
+      // many train docs share text and how much. Scale shape: the join key
+      // is a 32-char hash, both sides distinct-reduced BEFORE the join, and
+      // the eval side is tiny — exactly the asymmetric hash join a 100 TB
+      // decontam pass runs (eval grams broadcast in practice).
+      val d = docs(s, dir).withColumn("w", split(col("text"), " "))
+      val grams = d.withColumn("g", explode(expr(
+        """CASE WHEN size(w) >= 4
+             THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
+             ELSE array() END""")))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val evalG = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+      val trainG = grams.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"), col("gh")).distinct()
+      evalG.join(trainG, Seq("gh"))
+        .groupBy(col("eval_id"))
+        .agg(countDistinct(col("train_id")).as("contaminated_train_docs"),
+          countDistinct(col("gh")).as("shared_grams"),
+          count(lit(1)).as("gram_pairs"))
+        .orderBy(col("eval_id"))
+    },
+
     "d_ngram_jaccard" -> { (s, dir) =>
       val d = docs(s, dir)
       val tok = d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -1017,6 +1044,21 @@ object TrainingData {
         |                w -> CAST(ascii(substr(w, 1, 1)) * 131 + length(w) AS BIGINT)),
         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_decontamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+        |         THEN list_transform(generate_series(1, len(ws)-3),
+        |                i -> array_to_string(ws[i:i+3], ' '))
+        |         ELSE [] END AS gs FROM w),
+        |g AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM g0),
+        |e AS (SELECT DISTINCT doc_id AS eval_id, gh FROM g WHERE doc_id % 97 = 0),
+        |t AS (SELECT DISTINCT doc_id AS train_id, gh FROM g WHERE doc_id % 97 <> 0)
+        |SELECT eval_id,
+        |  count(DISTINCT train_id) AS contaminated_train_docs,
+        |  count(DISTINCT gh) AS shared_grams,
+        |  count(*) AS gram_pairs
+        |FROM e JOIN t USING (gh)
+        |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS byte_len,

@@ -1,11 +1,11 @@
 package graft.spark
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{ArrayContains, AttributeReference, ElementAt, EqualTo, Expression, GetArrayItem, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, AttributeReference, ElementAt, EqualTo, Expression, GetArrayItem, GetMapValue, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StringType}
 
 /** Catalyst rule: element-predicate pushdown for graft scans.
   *
@@ -43,16 +43,27 @@ object GraftElementPushdown extends Rule[LogicalPlan] {
         if rel.scan.isInstanceOf[GraftScan] &&
           !rel.scan.asInstanceOf[GraftScan].hasElementPreds =>
       val scan = rel.scan.asInstanceOf[GraftScan]
+      def scanAttr(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference if rel.output.exists(_.exprId == a.exprId) => Some(a)
+        case _ => None
+      }
       // an array attribute this scan outputs, reached through an element
       // accessor: element_at(arr, i) / arr[i]
       def arrayAttrOf(e: Expression): Option[AttributeReference] = (e match {
         case ea: ElementAt => Some(ea.left)
         case gi: GetArrayItem => Some(gi.child)
         case _ => None
-      }).collect {
-        case a: AttributeReference
-            if a.dataType.isInstanceOf[ArrayType] &&
-              rel.output.exists(_.exprId == a.exprId) => a
+      }).flatMap(scanAttr).filter(_.dataType.isInstanceOf[ArrayType])
+      // a map attribute reached through a LITERAL key lookup: element_at(m,
+      // k) / m[k]. Returns (attr, key literal).
+      def mapAttrOf(e: Expression): Option[(AttributeReference, Any, DataType)] = (e match {
+        case ea: ElementAt => Some((ea.left, ea.right))
+        case gm: GetMapValue => Some((gm.child, gm.key))
+        case _ => None
+      }).flatMap {
+        case (m, Literal(k, kdt)) if k != null && supported(kdt) =>
+          scanAttr(m).filter(_.dataType.isInstanceOf[MapType]).map((_, k, kdt))
+        case _ => None
       }
       // catalyst string literals are UTF8String; the domain converters take
       // the java form
@@ -60,18 +71,28 @@ object GraftElementPushdown extends Rule[LogicalPlan] {
         case s: org.apache.spark.unsafe.types.UTF8String => s.toString
         case other => other
       }
+      def accessorPreds(acc: Expression, v: Any, dt: DataType): Seq[ZoneMapFilter.PagePred] =
+        arrayAttrOf(acc).toSeq.flatMap(a =>
+          ZoneMapFilter.elementEquals(a.name, dt, javaForm(v))) ++
+          mapAttrOf(acc).toSeq.flatMap { case (m, k, kdt) =>
+            ZoneMapFilter.pathEquals(m.name + ".key", kdt, javaForm(k)).toSeq ++
+              ZoneMapFilter.pathEquals(m.name + ".value", dt, javaForm(v)).toSeq
+          }
+
       val preds = splitConjuncts(cond).flatMap {
         case ArrayContains(a: AttributeReference, Literal(v, dt))
             if v != null && supported(dt) && rel.output.exists(_.exprId == a.exprId) =>
           ZoneMapFilter.elementEquals(a.name, dt, javaForm(v))
         // element_at(arr, i) = v  can only hold on a row whose array holds v
         // SOMEWHERE, so the existence bound prunes it too (null literals
-        // match nothing; a null element_at never equals v)
+        // match nothing; a null element_at never equals v). For maps,
+        // element_at(m, k) = v needs k present AND mapped to v: pages whose
+        // KEY leaf excludes k, or whose VALUE leaf excludes v, both skip.
         case EqualTo(acc, Literal(v, dt)) if v != null && supported(dt) =>
-          arrayAttrOf(acc).flatMap(a => ZoneMapFilter.elementEquals(a.name, dt, javaForm(v)))
+          accessorPreds(acc, v, dt)
         case EqualTo(Literal(v, dt), acc) if v != null && supported(dt) =>
-          arrayAttrOf(acc).flatMap(a => ZoneMapFilter.elementEquals(a.name, dt, javaForm(v)))
-        case _ => None
+          accessorPreds(acc, v, dt)
+        case _ => Nil
       }
       if (preds.isEmpty) f
       else f.copy(child = rel.copy(scan = scan.withElementPreds(preds.toArray)))

@@ -123,6 +123,12 @@ object GraftSchema {
         case at: ArrayType if p == "element" =>
           base += 1 // skip the lengths leaf
           f = StructField("element", at.elementType, at.containsNull)
+        case mt: MapType if p == "key" =>
+          base += 1 // skip the lengths leaf
+          f = StructField("key", mt.keyType, nullable = false)
+        case mt: MapType if p == "value" =>
+          base += 1 + leafCount(mt.keyType, nullable = false) // lengths + key leaves
+          f = StructField("value", mt.valueType, mt.valueContainsNull)
         case _ => return None
       }
     }

@@ -280,11 +280,16 @@ object ZoneMapFilter {
     * Reference precedent for fully independent per-leaf page streams:
     * `/root/reference/src/read/reader.rs:50-146`.
     */
-  def elementEquals(fieldName: String, elementType: DataType, value: Any): Option[PagePred] = {
-    val path = fieldName + ".element"
-    toDomain(elementType, value).map { case (k, d) => Cmp(path, k, 0, d): PagePred }
-      .orElse(toBinDomain(elementType, value).map(b => CmpBin(path, 0, b): PagePred))
-  }
+  def elementEquals(fieldName: String, elementType: DataType, value: Any): Option[PagePred] =
+    pathEquals(fieldName + ".element", elementType, value)
+
+  /** Equality bound against an arbitrary leaf path (array element / map key /
+    * map value — see [[GraftSchema.leafIndexOfPath]] for the reserved
+    * segments). Skips a page group iff the leaf's bounds exclude the probe.
+    */
+  def pathEquals(path: String, dt: DataType, value: Any): Option[PagePred] =
+    toDomain(dt, value).map { case (k, d) => Cmp(path, k, 0, d): PagePred }
+      .orElse(toBinDomain(dt, value).map(b => CmpBin(path, 0, b): PagePred))
 
   /** Deterministic structural rendering of a predicate — used as the
     * equality key for scan instances (CmpBin holds a raw byte array, whose

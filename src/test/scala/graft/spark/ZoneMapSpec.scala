@@ -96,6 +96,24 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(g.filter(col("arr").getItem(0) === 150000L).count() == 1)
     assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
 
+    // map accessor: element_at(m, k) = v prunes on BOTH the key leaf (k
+    // absent from the page) and the value leaf (v absent from the page)
+    val dirM = "/tmp/graft-test/zonemap-map"
+    spark.range(100000)
+      .selectExpr("id", "map(concat('k', cast(id % 4 as string)), id * 5) AS m")
+      .orderBy("id").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dirM)
+    val gm = spark.read.format("graft").load(dirM)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(gm.filter(element_at(col("m"), "k0") === 200000L).count() == 1) // id 40000
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
+      s"map value probe should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+    // a key no page holds -> everything skipped via the key leaf
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(gm.filter(col("m").getItem("zz") === 5L).count() == 0)
+    assert(GraftMetrics.pageGroupsRead.get() == 0)
+
     // soundness on unsorted arrays: pruning must never drop matches, and a
     // conjunct the rule can't compile must not break the one it can
     val dir2 = "/tmp/graft-test/zonemap-elem-unsorted"
