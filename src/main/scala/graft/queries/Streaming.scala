@@ -34,6 +34,34 @@ object Streaming {
       try q.processAllAvailable()
       finally q.stop()
       s.table(name).orderBy(col("hour"), col("event_type"))
+    },
+
+    "s_stream_dedup" -> { (s, dir) =>
+      // streaming exactly-once dedup state (dropDuplicates): the source is
+      // deliberately polluted by unioning the event stream with a second
+      // stream re-emitting every 10th event; watermarked dropDuplicates on
+      // event_id keeps one state entry per id and must restore the exact
+      // original row set (whichever copy wins the race, the ROW is
+      // identical — output is deterministic). The memory sink holds the
+      // deduped rows; the final aggregate is batch, so the one stateful
+      // operator stays isolated (multi-stateful chaining restrictions don't
+      // apply). Oracle: the plain batch aggregate over events.
+      val name = "graft_stream_dedup"
+      s.streams.active.filter(q => q.name == name).foreach(_.stop())
+      val gdir = graft.Tables.graftDir(s, dir, "events")
+      val staticSchema = s.read.format("graft").load(gdir).schema
+      def src = s.readStream.format("graft").schema(staticSchema).load(gdir)
+      val merged = src.unionByName(src.filter(col("event_id") % 10 === 0))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates("event_id")
+      val q = merged.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
+        .orderBy(col("event_type"))
     })
 
   /** Streaming events row for the stateful sessionization query. */
@@ -87,6 +115,10 @@ object Streaming {
     })
 
   val oracles: Map[String, String] = Map(
+    "s_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value

@@ -158,6 +158,26 @@ object TrainingData {
         .orderBy(col("cluster_rep"), col("doc_id"))
     },
 
+    "t_rare_tokens" -> { (s, dir) =>
+      // rare-token ratio — the corpus-statistics quality signal (a proxy
+      // for OOV/noise rate): global token counts (one hash-agg over the
+      // corpus), joined back to the token stream, per-doc share of tokens
+      // whose corpus frequency <= 3. Scale shape: vocab agg + broadcastable
+      // vocab join (vocabularies are tiny relative to corpora) + per-doc
+      // agg; integers except the final ratio division.
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      tok.join(vocab, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("wc") <= 3, 1L).otherwise(0L)).as("rare_tokens"))
+        .withColumn("rare_ratio",
+          col("rare_tokens").cast("double") / col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("rare_tokens"), col("rare_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     "d_decontamination" -> { (s, dir) =>
       // benchmark decontamination — the pass that removes eval-set leakage
       // from training data: hash every 4-word shingle of the EVAL docs
@@ -1044,6 +1064,14 @@ object TrainingData {
         |                w -> CAST(ascii(substr(w, 1, 1)) * 131 + length(w) AS BIGINT)),
         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_rare_tokens" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (SELECT w, count(*) AS wc FROM tok GROUP BY w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN wc <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tokens,
+        |  CAST(sum(CASE WHEN wc <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
+        |FROM tok JOIN vocab USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_decontamination" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g0 AS (SELECT doc_id, CASE WHEN len(ws) >= 4
