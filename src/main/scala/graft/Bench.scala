@@ -29,7 +29,7 @@ object Bench {
     "q_asof_purchase_view", "q_topk_orders", "q_sorted_scan",
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_segments",
     "d_decontamination",
-    "s_ann_lsh", "t_token_stats", "t_fingerprint",
+    "s_ann_lsh", "s_ann_ivf", "t_token_stats", "t_fingerprint",
     "t_quality_score", "t_language_id", "m_multimodal_meta", "m_multimodal_decode")
 
   def main(args: Array[String]): Unit = {

@@ -342,6 +342,40 @@ object TrainingData {
         .select(col("qid"), col("tid"), col("dot"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     },
+    "s_ann_ivf" -> { (s, dir) =>
+      // IVF (inverted-file) ANN — the second scale path next to LSH:
+      // deterministic seed centroids (vec_id % 50 = 0; a production index
+      // would Lloyd-iterate, each iteration one broadcast join + agg),
+      // every vector assigned to its nearest centroid's LIST by cosine
+      // argmax over the BROADCAST centroid table (K rows — the standard
+      // IVF assignment shape, never all-pairs), queries probe their
+      // nprobe=2 nearest lists and rerank candidates by exact integer dot.
+      // Recall/cost trades off via nprobe; at 100 TB the lists frame is a
+      // checkpointed table clustered by list_id.
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+      val ranked = e.crossJoin(broadcast(cents))
+        .withColumn("cdot", expr(
+          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("ccos", col("cdot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+      val lists = ranked.filter(col("crk") === 1)
+        .select(col("vec_id").as("tid"), col("cid").as("list_id"), col("q").as("tv"))
+      val probes = ranked.filter(col("vec_id") < 10 && col("crk") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("list_id"), col("q").as("qv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
+      probes.join(lists, Seq("list_id")).filter(col("qid") =!= col("tid"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qv, tv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("tid"), col("dot"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
 
     "s_knn_recall" -> { (s, dir) =>
       // evaluation harness for the similarity-search pair: recall@5 of the
@@ -991,6 +1025,37 @@ object TrainingData {
         |  SELECT qid, tid, dot,
         |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, tid) AS rank
         |  FROM cand)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s_ann_ivf" ->
+      // mirrors Spark's IVF exactly: seed centroids vec_id % 50 = 0,
+      // assignment by cosine argmax (double over integer dot/norms,
+      // centroid-id tie-break), nprobe=2, exact int-dot rerank
+      """WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
+        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 50 = 0),
+        |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
+        |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
+        |         GROUP BY 1, 2),
+        |ranked AS (SELECT v.vec_id, v.cid,
+        |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |               (CAST(v.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
+        |               v.cid) AS crk
+        |           FROM cdot v
+        |           JOIN nrm n1 ON n1.vec_id = v.vec_id
+        |           JOIN nrm n2 ON n2.vec_id = v.cid),
+        |lists AS (SELECT vec_id AS tid, cid AS list_id FROM ranked WHERE crk = 1),
+        |probes AS (SELECT vec_id AS qid, cid AS list_id FROM ranked WHERE vec_id < 10 AND crk <= 2),
+        |cand AS (SELECT p.qid, l.tid FROM probes p JOIN lists l USING (list_id) WHERE l.tid <> p.qid),
+        |dots AS (SELECT c.qid, c.tid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |         FROM cand c JOIN t a ON a.vec_id = c.qid JOIN t b ON b.vec_id = c.tid AND b.pos = a.pos
+        |         GROUP BY 1, 2)
+        |SELECT qid, tid, dot, rank FROM (
+        |  SELECT qid, tid, dot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, tid) AS rank
+        |  FROM dots)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "t_language_id" ->
       """SELECT doc_id, lang,
