@@ -363,8 +363,14 @@ object TrainingData {
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
         .withColumn("crk", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-      val lists = ranked.filter(col("crk") === 1)
-        .select(col("vec_id").as("tid"), col("cid").as("list_id"), col("q").as("tv"))
+      // the lists frame IS the IVF index — materialized (cache locally,
+      // checkpointed graft table under graft.pipeline.scratch), since a
+      // real deployment builds it once and probes it many times. The probes
+      // branch stays lazy: vec_id < 10 pushes below the window, so only the
+      // query vectors pay the assignment crossJoin there.
+      val lists = materialize(ranked.filter(col("crk") === 1)
+        .select(col("vec_id").as("tid"), col("cid").as("list_id"), col("q").as("tv")),
+        "ivf_lists")
       val probes = ranked.filter(col("vec_id") < 10 && col("crk") <= 2)
         .select(col("vec_id").as("qid"), col("cid").as("list_id"), col("q").as("qv"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
