@@ -138,7 +138,16 @@ final case class WriteOptions(
     sampledChooser: Boolean = true,
     /** use the LZ4 high-compression encoder for block bodies (same frame,
       * same fast decode; slower writes, ~25% smaller text) */
-    lz4hc: Boolean = false)
+    lz4hc: Boolean = false,
+    /** depth-first leaf indices that get a per-page bloom filter (opt-in,
+      * like parquet's column bloom filters — the Spark layer resolves
+      * `.option("bloomfilter", "col,arr.element")` paths to indices) */
+    bloomLeaves: Set[Int] = Set.empty,
+    /** MAX bloom bytes per page (power of two). The actual size adapts to
+      * the page's non-null value count (~10 bits/value rounded up to a
+      * power of two, ≈1% false positives at k=3), clamped to this cap —
+      * full 8192-row pages of unique values take 16 KiB. */
+    bloomBytes: Int = 16384)
 
 /** Per-page metadata persisted in the footer.
   * `numValues` counts LEAF values (for nested children this can differ from
@@ -160,7 +169,63 @@ final case class PageMeta(
     maxLong: Long = 0L,
     nullCount: Int = -1,
     minBin: Array[Byte] = null,
-    maxBin: Array[Byte] = null)
+    maxBin: Array[Byte] = null,
+    /** optional per-page bloom filter over the non-null values (opt-in per
+      * column at write time) — prunes EQUALITY probes on unsorted data,
+      * where min/max bounds are too wide to act. null = none.
+      */
+    bloom: Array[Byte] = null)
+
+/** Split-block-free classic bloom filter over a power-of-two bit array,
+  * k=3 probes via double hashing. Hashes are engine-internal (never cross
+  * the format boundary), built from the splitmix64 finalizer — public
+  * domain (Steele et al., "Fast splittable pseudorandom number
+  * generators"); byte inputs run through FNV-1a 64 first.
+  */
+object BloomUtil {
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline def hashLong(v: Long): Long = mix64(v)
+
+  def hashBytes(a: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a 64
+    var i = off
+    val end = off + len
+    while (i < end) { h ^= a(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  @inline private def set(bits: Array[Byte], idx: Long): Unit = {
+    val i = idx.toInt
+    bits(i >>> 3) = (bits(i >>> 3) | (1 << (i & 7))).toByte
+  }
+  @inline private def get(bits: Array[Byte], idx: Long): Boolean =
+    (bits((idx >>> 3).toInt) & (1 << (idx & 7).toInt)) != 0
+
+  /** Add a pre-hashed value; `bits.length` must be a power of two. */
+  def add(bits: Array[Byte], h: Long): Unit = {
+    val mask = bits.length.toLong * 8 - 1
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < 3) { set(bits, (h + i * h2) & mask); i += 1 }
+  }
+
+  def mightContain(bits: Array[Byte], h: Long): Boolean = {
+    val mask = bits.length.toLong * 8 - 1
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < 3) {
+      if (!get(bits, (h + i * h2) & mask)) return false
+      i += 1
+    }
+    true
+  }
+}
 
 /** Per-leaf-column metadata: byte offset of the first page + page list. */
 final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {

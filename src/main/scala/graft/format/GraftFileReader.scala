@@ -74,8 +74,9 @@ object GraftFileReader {
       while (p < nPages) {
         val len = cur.getIntLE()
         val nv = cur.getIntLE()
-        val kind = cur.getByte().toByte
-        pages(p) =
+        val kindByte = cur.getByte()
+        val kind = (kindByte & 0x0f).toByte // bit 0x10 flags an appended bloom
+        val base =
           if (kind == 4) {
             val minLen = cur.getByte() & 0xff
             val minBin = cur.getBytes(minLen)
@@ -85,6 +86,9 @@ object GraftFileReader {
           } else if (kind != 0)
             PageMeta(len, nv, kind, cur.getLongLE(), cur.getLongLE(), cur.getIntLE())
           else PageMeta(len, nv)
+        pages(p) =
+          if ((kindByte & 0x10) != 0) base.copy(bloom = cur.getBytes(cur.getIntLE()))
+          else base
         p += 1
       }
       leaves(i) = ColumnMeta(offset, pages)

@@ -96,11 +96,14 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
     val offset = pos
     val nPages = math.max(bounds.length - 1, 0)
     val pages = new Array[PageMeta](nPages)
+    // metasBuf.length IS this leaf's depth-first index — the same order
+    // GraftSchema's leaf layout (and the bloomfilter option resolver) uses
+    val withBloom = opts.bloomLeaves.contains(metasBuf.length)
     var p = 0
     while (p < nPages) {
       pageBuf.reset()
       pages(p) = PageSerializer.writePage(lane, vec, bounds(p), bounds(p + 1),
-        nullable, opts, pageBuf, scratch)
+        nullable, opts, pageBuf, scratch, withBloom)
       emit(pageBuf)
       p += 1
     }
@@ -120,7 +123,11 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
       cm.pages.foreach { pm =>
         buf.putIntLE(pm.length)
         buf.putIntLE(pm.numValues)
-        buf.putByte(pm.statsKind)
+        // bit 0x10 of the kind byte flags an appended bloom section; the
+        // base stats layout is unchanged, so bloom-less files are byte-
+        // identical to before
+        val hasBloom = pm.bloom != null && pm.statsKind != 0
+        buf.putByte(((pm.statsKind & 0x0f) | (if (hasBloom) 0x10 else 0)).toByte)
         if (pm.statsKind == 4) {
           // u8 minLen | minBytes | u8 maxLen | maxBytes | u32 nullCount
           // (maxLen 0xFF = no finite upper bound)
@@ -133,6 +140,10 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
           buf.putLongLE(pm.minLong)
           buf.putLongLE(pm.maxLong)
           buf.putIntLE(pm.nullCount)
+        }
+        if (hasBloom) {
+          buf.putIntLE(pm.bloom.length)
+          buf.putBytes(pm.bloom)
         }
       }
     }

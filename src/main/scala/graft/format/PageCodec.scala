@@ -48,7 +48,8 @@ object PageSerializer {
     * Returns the page's footer metadata (length, value count, zone-map stats).
     */
   def writePage(lane: Int, vec: Vec, from: Int, until: Int, nullable: Boolean,
-      opts: WriteOptions, out: ByteBuf, scratch: ByteBuf): PageMeta = {
+      opts: WriteOptions, out: ByteBuf, scratch: ByteBuf,
+      withBloom: Boolean = false): PageMeta = {
     val pageStart = out.length
     val n = until - from
 
@@ -87,7 +88,62 @@ object PageSerializer {
     }
 
     PageMeta(out.length - pageStart, n, stats.kind, stats.minLong, stats.maxLong, nullCount,
-      stats.minBin, stats.maxBin)
+      stats.minBin, stats.maxBin,
+      if (withBloom) buildBloom(lane, evec, from, until, opts.bloomBytes) else null)
+  }
+
+  /** Per-page bloom over the non-null values. Only the equality-probed
+    * lanes carry one: integer-family lanes hash the logical long, binary
+    * hashes the bytes; other lanes (bool/float/i128) return null — their
+    * equality probes are either meaningless or served by exact bounds.
+    */
+  private def buildBloom(lane: Int, vec: Vec, from: Int, until: Int, maxBytes: Int): Array[Byte] = {
+    val nulls = vec.nulls
+    @inline def live(i: Int) = nulls == null || !nulls(i)
+    // ~10 bits per non-null value rounded up to a power of two (≈1% fpr at
+    // k=3), clamped to the configured per-page cap
+    var nonNull = 0
+    var ci = from
+    while (ci < until) { if (live(ci)) nonNull += 1; ci += 1 }
+    if (nonNull == 0) return null
+    val bytes = {
+      val want = java.lang.Integer.highestOneBit(
+        math.max((nonNull * 10 + 7) / 8, 64) - 1) << 1
+      math.min(math.max(want, 64), maxBytes)
+    }
+    lane match {
+      case Lane.I8 | Lane.I16 | Lane.I32 | Lane.I64 =>
+        val bits = new Array[Byte](bytes)
+        vec match {
+          case v: IntVec =>
+            var i = from
+            while (i < until) {
+              if (live(i)) BloomUtil.add(bits, BloomUtil.hashLong(v.values(i).toLong))
+              i += 1
+            }
+          case v: LongVec =>
+            var i = from
+            while (i < until) {
+              if (live(i)) BloomUtil.add(bits, BloomUtil.hashLong(v.values(i)))
+              i += 1
+            }
+          case _ => return null
+        }
+        bits
+      case Lane.Bin =>
+        val bv = vec.asInstanceOf[BinaryVec]
+        val bits = new Array[Byte](bytes)
+        var i = from
+        while (i < until) {
+          if (live(i)) {
+            val o = bv.offsets(i)
+            BloomUtil.add(bits, BloomUtil.hashBytes(bv.bytes, o, bv.offsets(i + 1) - o))
+          }
+          i += 1
+        }
+        bits
+      case _ => null
+    }
   }
 
   private def stripNulls(vec: Vec): Vec = vec match {

@@ -54,13 +54,16 @@ object Functions {
       // pages (ZoneMapSpec asserts the pruning on sorted data) — this entry
       // proves end-to-end soundness: the pruned scan + residual filter must
       // match DuckDB exactly.
-      val stage = s"/tmp/graft_arr_stage/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}/documents"
+      val stage = s"/tmp/graft_arr_stage_v2/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}/documents"
       val marker = new java.io.File(s"$stage/_GRAFT_ARR_DONE")
       if (!marker.exists()) {
         Tables.parquet(s, dir, "documents")
           .withColumn("tokens", split(col("text"), " "))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("tokens"))
-          .write.format("graft").mode("overwrite").save(stage)
+          // element blooms: min/max on random tokens never prune; the
+          // bloom is what lets the array_contains probe skip pages
+          .write.format("graft").option("bloomfilter", "tokens.element")
+          .mode("overwrite").save(stage)
         marker.createNewFile()
       }
       graft.spark.GraftExtensions.ensure(s)

@@ -34,7 +34,14 @@ final case class GraftWriteOptions(
     maxRowsPerFile: Int,
     partitionBy: Seq[String] = Seq.empty,
     sortBy: Seq[String] = Seq.empty,
-    clusterBy: Seq[String] = Seq.empty)
+    clusterBy: Seq[String] = Seq.empty,
+    /** leaf paths (`col`, `arr.element`, `m.key`, `m.value`, `s.x`) that get
+      * per-page bloom filters — the equality-probe pruning layer for
+      * UNSORTED data, where min/max zone maps are too wide to act; opt-in
+      * per column like parquet's. Resolved to leaf indices against the full
+      * write schema in the task writer.
+      */
+    bloomFilter: Seq[String] = Seq.empty)
 
 object GraftWriteOptions {
   def fromOptions(o: org.apache.spark.sql.util.CaseInsensitiveStringMap): GraftWriteOptions = {
@@ -52,13 +59,21 @@ object GraftWriteOptions {
         adaptive = Option(o.get("adaptive")).map(_.toBoolean).getOrElse(true),
         zstdLevel = Option(o.get("zstdlevel")).map(_.toInt).getOrElse(3),
         sampledChooser = Option(o.get("chooser")).forall(_ != "analytic"),
-        lz4hc = hc),
+        lz4hc = hc,
+        bloomBytes = Option(o.get("bloombytes")).map { s =>
+          val b = s.toInt
+          require(b >= 64 && b <= (1 << 20) && Integer.bitCount(b) == 1,
+            s"graft: bloombytes must be a power of two in [64, 1M], got $b")
+          b
+        }.getOrElse(16384)),
       maxRowsPerFile = Option(o.get("maxrowsperfile")).map(_.toInt).getOrElse(1 << 20),
       partitionBy = Option(o.get("partitionby")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty),
       sortBy = Option(o.get("sortby")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty),
       clusterBy = Option(o.get("clusterby")).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty),
+      bloomFilter = Option(o.get("bloomfilter")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty))
   }
 }
@@ -295,6 +310,16 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
   import org.apache.spark.sql.types._
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  // bloomfilter paths resolve against the FULL write schema (partition
+  // columns stay in the data) to depth-first leaf indices — the same
+  // ordering GraftFileWriter emits leaves in
+  private val writeOpts: graft.format.WriteOptions =
+    if (opts.bloomFilter.isEmpty) opts.writeOptions
+    else opts.writeOptions.copy(bloomLeaves = opts.bloomFilter.map { p =>
+      GraftSchema.leafIndexOfPath(schema, p).getOrElse(throw new IllegalArgumentException(
+        s"graft: bloomfilter path '$p' does not resolve to an atomic leaf " +
+          s"of the write schema (use col, s.x, arr.element, m.key, m.value)"))
+    }.toSet)
   private val dir = new Path(path)
   private val fs: FileSystem = dir.getFileSystem(conf.value.value)
   // batch writes use a random token (concurrent jobs never collide);
@@ -378,7 +403,7 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     val counting = new CountingOutputStream(fs.create(tmp, true))
     val out = new java.io.BufferedOutputStream(counting, 1 << 16)
     try {
-      val w = new GraftFileWriter(out, schemaJson, opts.writeOptions)
+      val w = new GraftFileWriter(out, schemaJson, writeOpts)
       w.start()
       w.writeChunk(st.appenders.map(_.tree()).toSeq, st.rowsInFile)
       w.finish()

@@ -60,7 +60,9 @@ object ZoneMapFilter {
       (kind, v) match {
         case (1, Left(x)) if pm.statsKind == 1 =>
           op match {
-            case 0 => x < pm.minLong || x > pm.maxLong
+            case 0 => x < pm.minLong || x > pm.maxLong ||
+              (pm.bloom != null &&
+                !graft.format.BloomUtil.mightContain(pm.bloom, graft.format.BloomUtil.hashLong(x)))
             case 1 => pm.maxLong <= x
             case 2 => pm.maxLong < x
             case 3 => pm.minLong >= x
@@ -104,7 +106,9 @@ object ZoneMapFilter {
       val aboveMax = pm.maxBin != null && ZoneMapFilter.cmpBytes(x, pm.maxBin) > 0
       val maxLeX = pm.maxBin != null && ZoneMapFilter.cmpBytes(pm.maxBin, x) <= 0
       op match {
-        case 0 => aboveMax || ZoneMapFilter.cmpBytes(x, pm.minBin) < 0
+        case 0 => aboveMax || ZoneMapFilter.cmpBytes(x, pm.minBin) < 0 ||
+          (pm.bloom != null && !graft.format.BloomUtil.mightContain(pm.bloom,
+            graft.format.BloomUtil.hashBytes(x, 0, x.length)))
         case 1 => maxLeX
         case 2 => pm.maxBin != null && ZoneMapFilter.cmpBytes(pm.maxBin, x) < 0
         case 3 => ZoneMapFilter.cmpBytes(pm.minBin, x) >= 0
@@ -128,7 +132,9 @@ object ZoneMapFilter {
       if (pm.statsKind != 4) return false
       xs.forall(x =>
         (pm.maxBin != null && ZoneMapFilter.cmpBytes(x, pm.maxBin) > 0) ||
-          ZoneMapFilter.cmpBytes(x, pm.minBin) < 0)
+          ZoneMapFilter.cmpBytes(x, pm.minBin) < 0 ||
+          (pm.bloom != null && !graft.format.BloomUtil.mightContain(pm.bloom,
+            graft.format.BloomUtil.hashBytes(x, 0, x.length))))
     }
   }
 
@@ -180,7 +186,10 @@ object ZoneMapFilter {
       dbls: Array[Double]) extends LeafPred {
     def canSkipMeta(pm: PageMeta): Boolean = {
       if (pm.nullCount == pm.numValues && pm.numValues > 0) return true
-      if (kind == 1) pm.statsKind == 1 && longs.forall(x => x < pm.minLong || x > pm.maxLong)
+      if (kind == 1) pm.statsKind == 1 && longs.forall(x =>
+        x < pm.minLong || x > pm.maxLong ||
+          (pm.bloom != null && !graft.format.BloomUtil.mightContain(pm.bloom,
+            graft.format.BloomUtil.hashLong(x))))
       else if (pm.statsKind == 2 || pm.statsKind == 3) {
         // NaN page (kind 3): a NaN probe value matches the page's NaN rows
         // (Spark NaN = NaN), so only prune when every probe is finite and

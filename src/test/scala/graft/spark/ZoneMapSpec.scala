@@ -154,6 +154,58 @@ class ZoneMapSpec extends AnyFunSuite {
       s"got skipped=$skipped read=$read (${(frac * 100).round}%)")
   }
 
+  test("bloom filters prune equality probes on UNSORTED data") {
+    val dir = "/tmp/graft-test/zonemap-bloom"
+    // hash-scrambled order: min/max zone maps span ~the full domain on
+    // every page, so only the blooms can prune equality probes
+    spark.range(200000)
+      .selectExpr("cast(hash(id) as bigint) AS noise", "id AS k",
+        "format_string('v%08d', id) AS s",
+        "array(format_string('t%08d', id)) AS toks")
+      .orderBy("noise").drop("noise").coalesce(1)
+      .write.format("graft")
+      .option("bloomfilter", "k,s,toks.element")
+      .mode("overwrite").save(dir)
+    GraftExtensions.ensure(spark)
+    val g = spark.read.format("graft").load(dir)
+
+    // long equality: present value reads ~1 page, absent value reads none
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(col("k") === 123456L).count() == 1)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 20,
+      s"bloom should prune unsorted long equality, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(g.filter(col("k") === 987654321L).count() == 0)
+    assert(GraftMetrics.pageGroupsRead.get() <= 2, // fp-rate slack
+      s"absent long probe read ${GraftMetrics.pageGroupsRead.get()} page groups")
+
+    // string equality + IN set
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter(col("s") === "v00123456").count() == 1)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 20)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter(col("s").isin("v00000007", "v00199999", "nope")).count() == 2)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 15,
+      s"IN-set should prune via blooms, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+
+    // element probe through the pushdown rule hits the element leaf's bloom
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter(array_contains(col("toks"), "t00054321")).count() == 1)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 20,
+      s"element bloom should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+
+    // a bloom-less table of the same data prunes nothing on these probes
+    val dir2 = "/tmp/graft-test/zonemap-nobloom"
+    spark.read.format("graft").load(dir).write.format("graft")
+      .mode("overwrite").save(dir2)
+    val g2 = spark.read.format("graft").load(dir2)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g2.filter(col("k") === 123456L).count() == 1)
+    assert(GraftMetrics.pageGroupsSkipped.get() == 0,
+      "unsorted min/max should not have pruned — bloom was the active layer")
+  }
+
   test("pruning never drops matching rows on unsorted data") {
     val dir = "/tmp/graft-test/zonemap-unsorted"
     spark.range(50000).selectExpr("cast(hash(id) as bigint) as k", "id as v")
