@@ -23,14 +23,9 @@ object Compact {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val conf = spark.sessionState.newHadoopConf()
-    val before = graft.spark.GraftUtil.listDataFiles(dir, conf)
-    println(s"before: ${before.size} files, ${before.map(_.getLen).sum} bytes")
-    spark.read.format("graft").load(dir)
-      .repartition(targetFiles)
-      .write.format("graft").mode("overwrite").save(dir)
-    val after = graft.spark.GraftUtil.listDataFiles(dir, conf)
-    println(s"after:  ${after.size} files, ${after.map(_.getLen).sum} bytes")
+    val st = graft.spark.GraftMaintenance.compact(spark, dir, targetFiles)
+    println(s"before: ${st.filesBefore} files, ${st.bytesBefore} bytes")
+    println(s"after:  ${st.filesAfter} files, ${st.bytesAfter} bytes (${st.rows} rows)")
     spark.stop()
   }
 }
