@@ -107,7 +107,12 @@ object Bench {
         i += 1
       }
       def best(xs: Array[Double]) = if (xs.exists(_ < 0)) -1.0 else xs.min
-      (name, best(g), best(p))
+      val (bg, bp) = (best(g), best(p))
+      // a query that failed in EITHER format is excluded from BOTH totals —
+      // summing different query sets would make the headline ratio compare
+      // unlike-for-unlike (the exact phantom the self-baselining bench
+      // exists to prevent)
+      if (bg < 0 || bp < 0) (name, -1.0, -1.0) else (name, bg, bp)
     }
 
     def fmt(rs: Seq[(String, Double)]): (String, Double) = {

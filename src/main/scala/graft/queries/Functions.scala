@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Functions {
 
+  /** Cache key for a staged re-layout of a source table: sanitized dir plus
+    * the source parquet's byte length, so a regenerated dataset at the same
+    * path invalidates the stage instead of silently serving stale data.
+    */
+  private def stageKey(dir: String, table: String): String = {
+    val len = new java.io.File(s"$dir/$table.parquet").length
+    dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "_" + len
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_minmax" -> { (s, dir) =>
       // answered footer-only by the aggregate pushdown (no data pages read)
@@ -29,7 +38,7 @@ object Functions {
       // gate: documents are staged partitioned by lang, the filtered scan
       // prunes whole lang= directories before any footer IO, and the
       // aggregate must match DuckDB over the unpartitioned source rows
-      val stage = s"/tmp/graft_part_stage/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}/documents"
+      val stage = s"/tmp/graft_part_stage/${stageKey(dir, "documents")}/documents"
       val marker = new java.io.File(s"$stage/_GRAFT_PART_DONE")
       if (!marker.exists()) {
         Tables.parquet(s, dir, "documents")
@@ -54,7 +63,7 @@ object Functions {
       // pages (ZoneMapSpec asserts the pruning on sorted data) — this entry
       // proves end-to-end soundness: the pruned scan + residual filter must
       // match DuckDB exactly.
-      val stage = s"/tmp/graft_arr_stage_v2/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}/documents"
+      val stage = s"/tmp/graft_arr_stage_v2/${stageKey(dir, "documents")}/documents"
       val marker = new java.io.File(s"$stage/_GRAFT_ARR_DONE")
       if (!marker.exists()) {
         Tables.parquet(s, dir, "documents")
@@ -88,7 +97,7 @@ object Functions {
       val fmt = sys.props.getOrElse("graft.tables.format",
         sys.env.getOrElse("GRAFT_TABLES_FORMAT", "graft"))
       val src = if (fmt == "parquet") Tables.parquet(s, dir, "lineitem") else {
-        val stage = s"/tmp/graft_sort_stage/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}/lineitem"
+        val stage = s"/tmp/graft_sort_stage/${stageKey(dir, "lineitem")}/lineitem"
         val marker = new java.io.File(s"$stage/_GRAFT_SORT_DONE")
         if (!marker.exists()) {
           Tables.parquet(s, dir, "lineitem")

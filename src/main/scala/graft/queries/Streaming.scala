@@ -37,15 +37,18 @@ object Streaming {
     },
 
     "s_stream_dedup" -> { (s, dir) =>
-      // streaming exactly-once dedup state (dropDuplicates): the source is
-      // deliberately polluted by unioning the event stream with a second
-      // stream re-emitting every 10th event; watermarked dropDuplicates on
-      // event_id keeps one state entry per id and must restore the exact
-      // original row set (whichever copy wins the race, the ROW is
-      // identical — output is deterministic). The memory sink holds the
-      // deduped rows; the final aggregate is batch, so the one stateful
-      // operator stays isolated (multi-stateful chaining restrictions don't
-      // apply). Oracle: the plain batch aggregate over events.
+      // streaming exactly-once dedup state: the source is deliberately
+      // polluted by unioning the event stream with a second stream
+      // re-emitting every 10th event; dropDuplicatesWithinWatermark on
+      // event_id must restore the exact original row set (whichever copy
+      // wins the race, the ROW is identical — output is deterministic).
+      // WithinWatermark is the state-BOUNDED form: plain
+      // dropDuplicates("event_id") never evicts (the event-time column is
+      // not in the key subset), so its state grows one entry per distinct
+      // id forever — at 100 TB that query is an OOM; this one expires ids
+      // once the watermark passes. The memory sink holds the deduped rows;
+      // the final aggregate is batch, so the one stateful operator stays
+      // isolated. Oracle: the plain batch aggregate over events.
       val name = "graft_stream_dedup"
       s.streams.active.filter(q => q.name == name).foreach(_.stop())
       val gdir = graft.Tables.graftDir(s, dir, "events")
@@ -53,7 +56,7 @@ object Streaming {
       def src = s.readStream.format("graft").schema(staticSchema).load(gdir)
       val merged = src.unionByName(src.filter(col("event_id") % 10 === 0))
         .withWatermark("ts", "2 hours")
-        .dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark("event_id")
       val q = merged.writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()

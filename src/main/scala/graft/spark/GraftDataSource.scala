@@ -424,16 +424,19 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   // a pruned scan substituted for an unpruned one by exchange reuse would
   // drop rows the missing residual Filter never restores
   private def elementKey: Seq[String] = elementPreds.map(ZoneMapFilter.render).toSeq
+  // pushed filters compare via canonical rendering too: a binary-literal
+  // EqualTo holds an Array[Byte] whose case-class equality is referential
+  private def pushedKey: Seq[String] = pushedRaw.map(ZoneMapFilter.renderFilter).toSeq
   override def equals(other: Any): Boolean = other match {
     case o: GraftScan =>
       path == o.path && tableSchema == o.tableSchema && projected == o.projected &&
         runtimeFilter == o.runtimeFilter && manifestOpt == o.manifestOpt &&
-        limit == o.limit && pushedRaw.toSeq == o.pushedRaw.toSeq &&
+        limit == o.limit && pushedKey == o.pushedKey &&
         elementKey == o.elementKey
     case _ => false
   }
   override def hashCode(): Int =
-    (path, projected, limit, runtimeFilter, pushedRaw.toSeq, elementKey).hashCode()
+    (path, projected, limit, runtimeFilter, pushedKey, elementKey).hashCode()
 
   override def estimateStatistics(): Statistics = new Statistics {
     // sizeInBytes drives the broadcast-join decision. Parquet's V1 path
@@ -469,8 +472,12 @@ object GraftScan {
   private val pageCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
   private val pageRowsCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
   // per-file (top-level field name -> on-disk bytes of its leaves), one
-  // cached footer read per file — feeds the projected-size statistics
+  // cached footer read per file — feeds the projected-size statistics.
+  // Crudely bounded: a long-lived driver planning over many tables must
+  // not accumulate one Map per file forever.
   private val fieldBytesCache = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  private def boundCache[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit =
+    if (m.size() > 8192) m.clear()
 
   /** Exact on-disk bytes of the named top-level fields' leaf pages across
     * `files` (empty when the file list is too large to plan footer reads).
@@ -494,6 +501,7 @@ object GraftScan {
             val hi = if (i + 1 < offsets.length) offsets(i + 1) else footer.leaves.length
             fld.name -> (lo until hi).map(footer.leaves(_).totalBytes).sum
           }.toMap
+          boundCache(fieldBytesCache)
           fieldBytesCache.put(key, m)
         } finally in.close()
       }
@@ -515,6 +523,7 @@ object GraftScan {
       val arr =
         if (footer.leaves.isEmpty) Array.empty[Int]
         else footer.leaves(0).pages.map(_.numValues)
+      boundCache(pageRowsCache)
       pageRowsCache.put(key, arr)
       arr
     } finally in.close()
@@ -529,6 +538,7 @@ object GraftScan {
     try {
       val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
       val n = if (footer.leaves.isEmpty) 1 else footer.leaves(0).pages.length
+      boundCache(pageCountCache)
       pageCountCache.put(key, n)
       n
     } finally in.close()
@@ -550,6 +560,7 @@ object GraftScan {
         try {
           val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
           val n = if (footer.leaves.isEmpty) 0L else footer.leaves(0).totalValues
+          boundCache(rowCountCache)
           rowCountCache.put(key, n)
           total += n
         } finally in.close()
@@ -639,20 +650,50 @@ object PartitionPrune {
   * (the staged-rename commit never rewrites a data file in place).
   */
 object GraftFooterCache {
-  private val MaxFooters = 512
-  private val footers = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Footer](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, Footer]): Boolean =
-        size() > MaxFooters
-    })
+  // weight-bounded LRU: footers of bloom-bearing tables embed per-page
+  // bloom arrays (up to MBs per file), so an entry-count bound alone could
+  // pin gigabytes — evict by approximate retained bytes instead
+  private val MaxFooterBytes = 128L * 1024 * 1024
+  private def weigh(f: Footer): Long = {
+    var w = f.schemaJson.length.toLong + 64
+    f.leaves.foreach { cm =>
+      w += 32
+      cm.pages.foreach { pm =>
+        w += 64
+        if (pm.minBin != null) w += pm.minBin.length
+        if (pm.maxBin != null) w += pm.maxBin.length
+        if (pm.bloom != null) w += pm.bloom.length
+      }
+    }
+    w
+  }
+  private var footerBytes = 0L
+  private val footers = new java.util.LinkedHashMap[String, Footer](64, 0.75f, true)
   private val schemas = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   def footerOf(input: HadoopSeekableInput, path: String, len: Long): Footer = {
     val key = path + "#" + len
-    val cached = footers.get(key)
-    if (cached != null) return cached
+    footers.synchronized {
+      val cached = footers.get(key)
+      if (cached != null) return cached
+    }
     val f = GraftFileReader.readFooter(input)
-    footers.put(key, f)
+    footers.synchronized {
+      if (!footers.containsKey(key)) {
+        footers.put(key, f)
+        footerBytes += weigh(f)
+      }
+      // loop-evict eldest until under the byte budget (a single huge
+      // bloom-bearing footer may exceed several small ones)
+      val it = footers.entrySet().iterator()
+      while (footerBytes > MaxFooterBytes && footers.size() > 1 && it.hasNext) {
+        val e = it.next()
+        if (!e.getKey.equals(key)) {
+          footerBytes -= weigh(e.getValue)
+          it.remove()
+        }
+      }
+    }
     f
   }
 

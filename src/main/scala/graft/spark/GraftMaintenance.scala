@@ -32,10 +32,22 @@ object GraftMaintenance {
     val conf = spark.sessionState.newHadoopConf()
     val before = GraftUtil.listDataFiles(dir, conf)
     require(before.nonEmpty, s"graft: nothing to compact under $dir")
+    // a hive-partitioned table must come OUT of compaction with the same
+    // directory layout it went in with (partition values survive in the
+    // data, so the keys are recoverable from any file's subdir path) —
+    // silently flattening would strip directory-level pruning from every
+    // later query. An explicit partitionby in extraWriteOptions wins.
+    val existingLayout = GraftUtil
+      .partitionSegments(new org.apache.hadoop.fs.Path(dir), before.head.getPath)
+      .map(_._1)
+    val opts =
+      if (existingLayout.nonEmpty && !extraWriteOptions.contains("partitionby"))
+        extraWriteOptions + ("partitionby" -> existingLayout.mkString(","))
+      else extraWriteOptions
     val df = spark.read.format("graft").load(dir)
     val rows = df.count()
     val writer = df.repartition(targetFiles).write.format("graft").mode("overwrite")
-    extraWriteOptions.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
+    opts.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
       .save(dir)
     val after = GraftUtil.listDataFiles(dir, conf)
     CompactStats(before.size, before.map(_.getLen).sum,

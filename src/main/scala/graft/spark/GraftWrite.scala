@@ -90,6 +90,14 @@ object GraftWriteOptions {
 final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOptions,
     doTruncate: Boolean, conf: SerializableHadoopConf, queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
+
+  // validate bloomfilter paths at PLAN time on the driver: a typo'd path
+  // must fail before the job launches, not as N retried task failures
+  opts.bloomFilter.foreach { p =>
+    require(GraftSchema.leafIndexOfPath(schema, p).isDefined,
+      s"graft: bloomfilter path '$p' does not resolve to an atomic leaf " +
+        s"of the write schema (use col, s.x, arr.element, m.key, m.value)")
+  }
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 

@@ -26,6 +26,14 @@ case class PpmDecode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = PpmDecode.schema
   override def nullable: Boolean = true
   override def prettyName: String = "graft_ppm_decode"
+  // analysis-time type check: a non-binary child must be an
+  // AnalysisException, not a per-row ClassCastException on executors
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY payload column, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any =
     PpmDecode.decode(input.asInstanceOf[Array[Byte]])

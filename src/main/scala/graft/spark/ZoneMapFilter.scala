@@ -317,6 +317,39 @@ object ZoneMapFilter {
     case AnyOf(ps) => ps.map(render).mkString("any(", ",", ")")
   }
 
+  /** Deterministic structural rendering of a pushed source Filter — used as
+    * the scan-equality key: a `sources.EqualTo(attr, Array[Byte])` compares
+    * its array referentially, so two identical binary-literal filters would
+    * otherwise never be equal and cache/exchange reuse would silently miss.
+    */
+  def renderFilter(f: Filter): String = {
+    def v(x: Any): String = x match {
+      case null => "null"
+      case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
+      case a: Array[_] => a.map(v).mkString("[", ",", "]")
+      case s: Seq[_] => s.map(v).mkString("[", ",", "]")
+      case other => String.valueOf(other)
+    }
+    f match {
+      case And(l, r) => s"and(${renderFilter(l)},${renderFilter(r)})"
+      case Or(l, r) => s"or(${renderFilter(l)},${renderFilter(r)})"
+      case Not(c) => s"not(${renderFilter(c)})"
+      case EqualTo(a, x) => s"eq($a,${v(x)})"
+      case EqualNullSafe(a, x) => s"eqns($a,${v(x)})"
+      case GreaterThan(a, x) => s"gt($a,${v(x)})"
+      case GreaterThanOrEqual(a, x) => s"ge($a,${v(x)})"
+      case LessThan(a, x) => s"lt($a,${v(x)})"
+      case LessThanOrEqual(a, x) => s"le($a,${v(x)})"
+      case In(a, xs) => s"in($a,${v(xs)})"
+      case StringStartsWith(a, x) => s"sw($a,$x)"
+      case StringEndsWith(a, x) => s"ew($a,$x)"
+      case StringContains(a, x) => s"sc($a,$x)"
+      case IsNull(a) => s"null($a)"
+      case IsNotNull(a) => s"notnull($a)"
+      case other => other.toString
+    }
+  }
+
   /** Restrict a predicate to the fields a given file carries. Conjunctions
     * keep every branch whose fields all resolve (sound: dropping an AND
     * branch only weakens pruning); disjunctions survive only if ALL branches
