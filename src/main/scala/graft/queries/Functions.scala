@@ -117,6 +117,32 @@ object Functions {
           countDistinct(col("l_orderkey")).as("orders"))
     },
 
+    "q_range_band_join" -> { (s, dir) =>
+      // attribution RANGE JOIN: views within the 2-hour window before each
+      // purchase of the same user. Spark plans the naive theta form as a
+      // BroadcastNestedLoopJoin — quadratic at scale; the banded form
+      // explodes each purchase into its (<= 2) covering 2-hour buckets and
+      // EQUI-joins on (user_id, bucket) before the exact range filter, so
+      // the physical plan is an ordinary shuffle hash join whose fan-out is
+      // bounded by the band width. The standard interval-join scale shape.
+      val bucketUs = 2L * 3600 * 1000000
+      val ev = Tables.load(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("vus"), col("value").as("vval"))
+        .withColumn("bucket", expr(s"vus div $bucketUs"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("pus"))
+        .withColumn("bucket", explode(expr(
+          s"sequence((pus - $bucketUs) div $bucketUs, (pus - 1) div $bucketUs)")))
+      purchases.join(views, Seq("user_id", "bucket"))
+        .filter(col("vus") >= col("pus") - bucketUs && col("vus") < col("pus"))
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(col("vval").cast("decimal(20,4)")).cast("double").as("view_value"))
+        .orderBy(col("purchase_id"))
+    },
+
     "q_json_extract" -> { (s, dir) =>
       Tables.load(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -220,6 +246,15 @@ object Functions {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_total
         |FROM documents WHERE list_contains(string_split(text, ' '), 'data')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_range_band_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_views,
+        |  CAST(sum(CAST(v.value AS DECIMAL(20,4))) AS DOUBLE) AS view_value
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 7200000000
+        | AND epoch_us(v.ts) < epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sorted_scan" ->
       """SELECT count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue,
