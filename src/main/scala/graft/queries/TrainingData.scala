@@ -612,6 +612,30 @@ object TrainingData {
           col("f.maxval").as("maxval"), col("f.pix_sum").as("pix_sum"),
           col("f.pix_checksum").as("pix_checksum"))
         .orderBy(col("doc_id"))
+    },
+
+    "m_multimodal_resize" -> { (s, dir) =>
+      // Multimodal stage 3: RESIZE — nearest-neighbor 2x downsample of the
+      // same deterministic P6 frames, via graft.spark.PpmResample (native
+      // expression, codegen, no UDF): output pixel (x,y) takes source pixel
+      // (2x,2y); emits the resampled dims + integer-exact stats. The oracle
+      // reproduces exactly the sampled pixel index set from the generating
+      // formula — the decoder/resampler itself only ever sees bytes.
+      docs(s, dir)
+        .withColumn("w", (lit(1) + col("n_chars") % 8).cast("int"))
+        .withColumn("h", (lit(1) + col("doc_id") % 6).cast("int"))
+        .withColumn("hexlen", col("w") * col("h") * lit(6))
+        .withColumn("ph", expr(
+          "substr(repeat(md5(text), cast(ceil(hexlen / 32.0) as int)), 1, hexlen)"))
+        .withColumn("payload", expr(
+          """concat(encode(concat('P6\n', cast(w as string), ' ',
+                                  cast(h as string), '\n255\n'), 'utf-8'),
+                    unhex(ph))"""))
+        .select(col("doc_id"), graft.spark.PpmResample(col("payload"), 2).as("f"))
+        .select(col("doc_id"), col("f.out_width").as("out_width"),
+          col("f.out_height").as("out_height"), col("f.pix_sum").as("pix_sum"),
+          col("f.pix_checksum").as("pix_checksum"))
+        .orderBy(col("doc_id"))
     })
 
   /** Connected components over the confirmed near-dup pairs (same blocking +
@@ -1184,6 +1208,33 @@ object TrainingData {
         |         + (strpos('0123456789abcdef', substr(ph, CAST(2*i AS INT), 1)) - 1)) AS vals
         |  FROM e)
         |SELECT doc_id, w AS width, h AS height, 255 AS maxval,
+        |  CAST(list_sum(vals) AS BIGINT) AS pix_sum,
+        |  CAST(list_reduce(list_prepend(0, vals),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "m_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (n_chars % 8) AS INT) AS w,
+        |    CAST(1 + (doc_id % 6) AS INT) AS h,
+        |    md5(text) AS hx
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(ceil(w / 2.0) AS INT) AS wo, CAST(ceil(h / 2.0) AS INT) AS ho,
+        |    substr(repeat(hx, CAST(ceil((3*w*h*2) / 32.0) AS INT)), 1, 3*w*h*2) AS ph
+        |  FROM d),
+        |v AS (
+        |  SELECT doc_id, wo, ho,
+        |    flatten(flatten(list_transform(generate_series(0, ho-1), y ->
+        |      list_transform(generate_series(0, wo-1), x ->
+        |        list_transform([0, 1, 2], c ->
+        |          (strpos('0123456789abcdef',
+        |             substr(ph, CAST(2*((y*2*w + x*2)*3 + c) + 1 AS INT), 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef',
+        |             substr(ph, CAST(2*((y*2*w + x*2)*3 + c) + 2 AS INT), 1)) - 1)))))) AS vals
+        |  FROM e)
+        |SELECT doc_id, wo AS out_width, ho AS out_height,
         |  CAST(list_sum(vals) AS BIGINT) AS pix_sum,
         |  CAST(list_reduce(list_prepend(0, vals),
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum

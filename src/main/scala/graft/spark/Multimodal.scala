@@ -70,12 +70,14 @@ object PpmDecode {
   def apply(payload: Column): Column =
     GraftCatalystBridge.column(PpmDecode(GraftCatalystBridge.expression(payload)))
 
-  /** Decode a P6 PPM payload; null for anything malformed (wrong magic,
-    * unterminated header, non-numeric fields, short pixel plane, maxval
-    * outside 1..255). Kept allocation-light: one pass over the pixel bytes,
-    * no intermediate buffers.
+  /** Parsed P6 header: dims, maxval, and the pixel-plane offset. */
+  final case class Header(width: Int, height: Int, maxval: Int, planeStart: Int)
+
+  /** Parse a P6 header (magic, '#'-comment-tolerant whitespace, width,
+    * height, maxval, single separator byte) and validate the pixel plane
+    * length; null for anything malformed.
     */
-  def decode(bytes: Array[Byte]): InternalRow = {
+  def parseHeader(bytes: Array[Byte]): Header = {
     if (bytes == null || bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
     var p = 2
 
@@ -117,9 +119,23 @@ object PpmDecode {
     val sep = bytes(p)
     if (sep != ' ' && sep != '\t' && sep != '\n' && sep != '\r') return null
     p += 1
-
     val n = w.toLong * h * 3
     if (n > Int.MaxValue || bytes.length - p < n) return null
+    Header(w, h, maxval, p)
+  }
+
+  /** Decode a P6 PPM payload; null for anything malformed. Kept
+    * allocation-light: one pass over the pixel bytes, no intermediate
+    * buffers.
+    */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    val hd = parseHeader(bytes)
+    if (hd == null) return null
+    val w = hd.width
+    val h = hd.height
+    val maxval = hd.maxval
+    val p = hd.planeStart
+    val n = w.toLong * h * 3
     var sum = 0L
     var acc = 0L
     val chan = new Array[Long](3)
@@ -137,5 +153,88 @@ object PpmDecode {
       w, h, maxval, sum, acc,
       new GenericArrayData(Array(chan(0).toDouble / pixels,
         chan(1).toDouble / pixels, chan(2).toDouble / pixels))))
+  }
+}
+
+/** Nearest-neighbor downsample of a P6 PPM payload by an integer stride:
+  * output pixel (x, y) takes source pixel (x*factor, y*factor), output dims
+  * are ceil(w/factor) x ceil(h/factor). Emits the resampled image's
+  * dimensions and integer-exact stats (sum + rolling checksum in row-major
+  * sampled order) rather than re-encoded bytes — the feature-extraction
+  * shape a pipeline wants (the resized plane itself would just be another
+  * opaque payload). Same null-on-malformed contract as [[PpmDecode]].
+  */
+case class PpmResample(child: Expression, factor: Int) extends UnaryExpression {
+  require(factor >= 1, s"graft_ppm_resample: factor must be >= 1, got $factor")
+  override def dataType: DataType = PpmResample.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ppm_resample"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY payload column, got ${child.dataType.sql}")
+
+  def resample(bytes: Array[Byte]): InternalRow = PpmResample.resample(bytes, factor)
+
+  override protected def nullSafeEval(input: Any): Any =
+    resample(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ppmResample", this, "graft.spark.PpmResample")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.resample($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpmResample =
+    copy(child = newChild)
+}
+
+object PpmResample {
+  val schema: StructType = StructType(Seq(
+    StructField("out_width", IntegerType, nullable = false),
+    StructField("out_height", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false),
+    StructField("pix_checksum", LongType, nullable = false)))
+
+  private val Mod = 1000000007L
+
+  def apply(payload: Column, factor: Int): Column =
+    GraftCatalystBridge.column(PpmResample(GraftCatalystBridge.expression(payload), factor))
+
+  def resample(bytes: Array[Byte], factor: Int): InternalRow = {
+    val hd = PpmDecode.parseHeader(bytes)
+    if (hd == null) return null
+    val w = hd.width
+    val h = hd.height
+    val base = hd.planeStart
+    val wOut = (w + factor - 1) / factor
+    val hOut = (h + factor - 1) / factor
+    var sum = 0L
+    var acc = 0L
+    var y = 0
+    while (y < hOut) {
+      val rowOff = base + (y * factor).toLong.toInt * w * 3
+      var x = 0
+      while (x < wOut) {
+        val px = rowOff + x * factor * 3
+        var c = 0
+        while (c < 3) {
+          val v = bytes(px + c) & 0xff
+          sum += v
+          acc = (acc * 31 + v) % Mod
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](wOut, hOut, sum, acc))
   }
 }
