@@ -636,6 +636,34 @@ object TrainingData {
           col("f.out_height").as("out_height"), col("f.pix_sum").as("pix_sum"),
           col("f.pix_checksum").as("pix_checksum"))
         .orderBy(col("doc_id"))
+    },
+
+    "m_multimodal_framesample" -> { (s, dir) =>
+      // Multimodal stage 4: FRAME SAMPLING over a multi-frame container
+      // (back-to-back P6 frames — the uncompressed stand-in for video).
+      // Each doc carries 1-4 frames whose pixels derive from
+      // md5(text # frameIdx); PpmFrameSample walks the container in one
+      // pass and decodes every 2nd frame only — the decode-every-k-th
+      // shape a video pipeline runs. The oracle rebuilds the sampled
+      // frames' pixel streams from the formula; the sampler sees bytes.
+      docs(s, dir)
+        .withColumn("w", (lit(1) + col("n_chars") % 8).cast("int"))
+        .withColumn("h", (lit(1) + col("doc_id") % 6).cast("int"))
+        .withColumn("hexlen", col("w") * col("h") * lit(6))
+        .withColumn("nframes", (lit(1) + col("doc_id") % 4).cast("int"))
+        .withColumn("payload", expr(
+          """aggregate(sequence(0, nframes - 1), cast('' as binary),
+               (acc, f) -> concat(acc,
+                 encode(concat('P6\n', cast(w as string), ' ',
+                               cast(h as string), '\n255\n'), 'utf-8'),
+                 unhex(substr(repeat(md5(concat(text, '#', cast(f as string))),
+                                     cast(ceil(hexlen / 32.0) as int)),
+                              1, hexlen))))"""))
+        .select(col("doc_id"), graft.spark.PpmFrameSample(col("payload"), 2).as("f"))
+        .select(col("doc_id"), col("f.n_frames").as("n_frames"),
+          col("f.n_sampled").as("n_sampled"), col("f.pix_sum").as("pix_sum"),
+          col("f.pix_checksum").as("pix_checksum"))
+        .orderBy(col("doc_id"))
     })
 
   /** Connected components over the confirmed near-dup pairs (same blocking +
@@ -1238,5 +1266,33 @@ object TrainingData {
         |  CAST(list_sum(vals) AS BIGINT) AS pix_sum,
         |  CAST(list_reduce(list_prepend(0, vals),
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum
-        |FROM v ORDER BY doc_id""".stripMargin)
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "m_multimodal_framesample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(1 + (n_chars % 8) AS INT) AS w,
+        |    CAST(1 + (doc_id % 6) AS INT) AS h,
+        |    CAST(1 + (doc_id % 4) AS INT) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, text, w, h, nf, unnest(generate_series(0, nf-1)) AS f FROM d),
+        |sv AS (
+        |  SELECT doc_id, nf, f,
+        |    list_transform(generate_series(1, CAST(3*w*h AS BIGINT)),
+        |      i -> (strpos('0123456789abcdef', substr(ph, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(ph, CAST(2*i AS INT), 1)) - 1)) AS vals
+        |  FROM (SELECT doc_id, nf, f, w, h,
+        |          substr(repeat(md5(text || '#' || CAST(f AS VARCHAR)),
+        |                        CAST(ceil((3*w*h*2) / 32.0) AS INT)), 1, 3*w*h*2) AS ph
+        |        FROM fr)
+        |  WHERE f % 2 = 0),
+        |agg AS (
+        |  SELECT doc_id, nf, CAST(count(*) AS INT) AS n_sampled,
+        |    flatten(list(vals ORDER BY f)) AS allvals
+        |  FROM sv GROUP BY doc_id, nf)
+        |SELECT doc_id, nf AS n_frames, n_sampled,
+        |  CAST(list_sum(allvals) AS BIGINT) AS pix_sum,
+        |  CAST(list_reduce(list_prepend(0, allvals),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum
+        |FROM agg ORDER BY doc_id""".stripMargin)
 }

@@ -77,9 +77,15 @@ object PpmDecode {
     * height, maxval, single separator byte) and validate the pixel plane
     * length; null for anything malformed.
     */
-  def parseHeader(bytes: Array[Byte]): Header = {
-    if (bytes == null || bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
-    var p = 2
+  def parseHeader(bytes: Array[Byte]): Header = parseHeader(bytes, 0)
+
+  /** Parse a P6 header starting at `from` (a multi-frame container holds
+    * back-to-back frames); `planeStart` is absolute.
+    */
+  def parseHeader(bytes: Array[Byte], from: Int): Header = {
+    if (bytes == null || bytes.length < from + 2 ||
+      bytes(from) != 'P' || bytes(from + 1) != '6') return null
+    var p = from + 2
 
     // PPM allows '#'-to-end-of-line comments anywhere whitespace may appear
     def skipSpace(): Boolean = {
@@ -208,7 +214,7 @@ object PpmResample {
     GraftCatalystBridge.column(PpmResample(GraftCatalystBridge.expression(payload), factor))
 
   def resample(bytes: Array[Byte], factor: Int): InternalRow = {
-    val hd = PpmDecode.parseHeader(bytes)
+    val hd = PpmDecode.parseHeader(bytes, 0)
     if (hd == null) return null
     val w = hd.width
     val h = hd.height
@@ -236,5 +242,86 @@ object PpmResample {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](wOut, hOut, sum, acc))
+  }
+}
+
+/** Frame sampling over a multi-frame container (back-to-back P6 frames —
+  * the uncompressed stand-in for a video): walk the frames, keep every
+  * `stride`-th one, and emit frame counts plus integer-exact stats over the
+  * SAMPLED frames only. The decode-every-k-th-frame shape a video pipeline
+  * runs after metadata pruning; a malformed frame anywhere voids the row
+  * (NULL) rather than failing the task.
+  */
+case class PpmFrameSample(child: Expression, stride: Int) extends UnaryExpression {
+  require(stride >= 1, s"graft_ppm_frame_sample: stride must be >= 1, got $stride")
+  override def dataType: DataType = PpmFrameSample.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ppm_frame_sample"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY payload column, got ${child.dataType.sql}")
+
+  def sample(bytes: Array[Byte]): InternalRow = PpmFrameSample.sample(bytes, stride)
+
+  override protected def nullSafeEval(input: Any): Any =
+    sample(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ppmFrameSample", this, "graft.spark.PpmFrameSample")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.sample($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpmFrameSample =
+    copy(child = newChild)
+}
+
+object PpmFrameSample {
+  val schema: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_sampled", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false),
+    StructField("pix_checksum", LongType, nullable = false)))
+
+  private val Mod = 1000000007L
+
+  def apply(payload: Column, stride: Int): Column =
+    GraftCatalystBridge.column(PpmFrameSample(GraftCatalystBridge.expression(payload), stride))
+
+  def sample(bytes: Array[Byte], stride: Int): InternalRow = {
+    if (bytes == null) return null
+    var pos = 0
+    var frames = 0
+    var sampled = 0
+    var sum = 0L
+    var acc = 0L
+    while (pos < bytes.length) {
+      val hd = PpmDecode.parseHeader(bytes, pos)
+      if (hd == null) return null // malformed frame voids the row
+      val n = hd.width * hd.height * 3
+      if (frames % stride == 0) {
+        sampled += 1
+        var i = hd.planeStart
+        val end = hd.planeStart + n
+        while (i < end) {
+          val v = bytes(i) & 0xff
+          sum += v
+          acc = (acc * 31 + v) % Mod
+          i += 1
+        }
+      }
+      frames += 1
+      pos = hd.planeStart + n
+    }
+    if (frames == 0) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](frames, sampled, sum, acc))
   }
 }
