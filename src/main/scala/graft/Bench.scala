@@ -30,7 +30,8 @@ object Bench {
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_segments",
     "d_decontamination",
     "s_ann_lsh", "s_ann_ivf", "t_token_stats", "t_fingerprint",
-    "t_quality_score", "t_language_id", "m_multimodal_meta", "m_multimodal_decode")
+    "t_quality_score", "t_language_id", "m_multimodal_meta", "m_multimodal_decode",
+    "m_multimodal_resize", "m_multimodal_framesample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
