@@ -109,4 +109,36 @@ object FormatProperties extends Properties("graft.format.roundtrip") {
     } yield BoolVec(n, nulls, vals)), genOpts) { (v: BoolVec, o: WriteOptions) =>
     check(Lane.Bool, v, o)
   }
+  // Bloom soundness: an added value must ALWAYS test positive (a false
+  // negative would let a zone-map probe skip a page that holds the value —
+  // wrong results, not just a missed optimization). Checked for both hash
+  // domains at every filter size the adaptive sizing produces.
+  property("bloom-no-false-negatives-longs") = Prop.forAll(
+    Gen.containerOf[List, Long](Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+    Gen.oneOf(64, 128, 1024, 16384)) { (vs: List[Long], bytes: Int) =>
+    val bits = new Array[Byte](bytes)
+    vs.foreach(v => BloomUtil.add(bits, BloomUtil.hashLong(v)))
+    Prop(vs.forall(v => BloomUtil.mightContain(bits, BloomUtil.hashLong(v))))
+  }
+
+  property("bloom-no-false-negatives-bytes") = Prop.forAll(
+    Gen.containerOf[List, String](Gen.asciiPrintableStr),
+    Gen.oneOf(64, 256, 4096)) { (vs: List[String], bytes: Int) =>
+    val bits = new Array[Byte](bytes)
+    val bs = vs.map(_.getBytes("UTF-8"))
+    bs.foreach(b => BloomUtil.add(bits, BloomUtil.hashBytes(b, 0, b.length)))
+    Prop(bs.forall(b => BloomUtil.mightContain(bits, BloomUtil.hashBytes(b, 0, b.length))))
+  }
+
+  // fpr sanity at the adaptive operating point (~10 bits/value): absent
+  // probes should rarely pass — this bounds accidental hash degeneracy
+  // (e.g. all probes landing on one bit), not the exact analytic rate
+  property("bloom-prunes-absent-values") = Prop.forAll(Gen.choose(1L, 1L << 40)) { seed =>
+    val bits = new Array[Byte](2048) // 16384 bits for 1500 values
+    (0 until 1500).foreach(i => BloomUtil.add(bits, BloomUtil.hashLong(seed + i)))
+    val falsePos = (0 until 1000).count(i =>
+      BloomUtil.mightContain(bits, BloomUtil.hashLong(seed + 1000000 + i)))
+    Prop(falsePos < 150) :| s"false positives: $falsePos/1000"
+  }
+
 }
