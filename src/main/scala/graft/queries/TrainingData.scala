@@ -206,24 +206,7 @@ object TrainingData {
     },
 
     "d_ngram_jaccard" -> { (s, dir) =>
-      val d = docs(s, dir)
-      val tok = d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-      val cand = d.select(col("doc_id").as("ida"), col("source").as("sa"), col("n_chars").as("ca"))
-        .join(d.select(col("doc_id").as("idb"), col("source").as("sb"), col("n_chars").as("cb")),
-          col("sa") === col("sb") && col("ida") < col("idb") &&
-            abs(col("ca") - col("cb")) <= 2)
-        .select(col("ida"), col("idb"))
-      val inter = tok.select(col("doc_id").as("ida"), col("w"))
-        .join(tok.select(col("doc_id").as("idb"), col("w")), Seq("w"))
-        .filter(col("ida") < col("idb"))
-        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("common"))
-      cand.join(inter, Seq("ida", "idb"))
-        .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nw", "words_a"), Seq("ida"))
-        .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nw", "words_b"), Seq("idb"))
-        .withColumn("jaccard",
-          col("common").cast("double") / (col("words_a") + col("words_b") - col("common")))
-        .filter(col("jaccard") >= 0.5)
+      nearDupPairs(s, dir)
         .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
           col("words_a"), col("words_b"), col("common"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -682,24 +665,51 @@ object TrainingData {
     * one is written; cache-mode frames are unpersisted the moment they are
     * superseded, exactly as before.
     */
-  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame = {
+  /** Confirmed near-dup pairs — same-source docs with |n_chars diff| <= 2
+    * and distinct-word Jaccard >= 0.5 — shared by d_ngram_jaccard and the
+    * connected-components clustering (ccLabels).
+    *
+    * Scale shape (the two places a naive plan goes quadratic, both fixed):
+    *  1. The length tolerance is a JOIN KEY, not a post-join filter: side B
+    *     explodes each doc into the (<= 2 distinct) width-5 n_chars buckets
+    *     covering [cb-2, cb+2], side A keeps its single bucket, and the
+    *     candidate join equi-keys on (source, band) — the
+    *     q_range_band_join pattern (Functions.scala). Per-source blocks are
+    *     never all-pairs, fan-out is bounded by band occupancy, and each
+    *     qualifying pair matches exactly one band (no pair-dedup shuffle).
+    *  2. The token-intersection join is PAIR-SCOPED: tokens flow through
+    *     the candidate pair frame on (ida) then (idb, w) composite keys,
+    *     so a corpus-frequent word ("the") never self-joins to |docs∋w|²
+    *     rows — the intermediate is bounded by candidate-pair token mass.
+    */
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val tok = d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-    val cand = d.select(col("doc_id").as("ida"), col("source").as("sa"), col("n_chars").as("ca"))
-      .join(d.select(col("doc_id").as("idb"), col("source").as("sb"), col("n_chars").as("cb")),
-        col("sa") === col("sb") && col("ida") < col("idb") &&
-          abs(col("ca") - col("cb")) <= 2)
+    val bandW = 5 // band width 5 > 2*tolerance ⇒ [cb-2, cb+2] spans <= 2 bands
+    val candA = d.select(col("doc_id").as("ida"), col("source"), col("n_chars").as("ca"))
+      .withColumn("band", expr(s"ca div $bandW"))
+    val candB = d.select(col("doc_id").as("idb"), col("source"), col("n_chars").as("cb"))
+      .withColumn("band", explode(expr(
+        s"array_distinct(array((cb - 2) div $bandW, (cb + 2) div $bandW))")))
+    val cand = candA.join(candB, Seq("source", "band"))
+      .filter(col("ida") < col("idb") && abs(col("ca") - col("cb")) <= 2)
       .select(col("ida"), col("idb"))
-    val inter = tok.select(col("doc_id").as("ida"), col("w"))
-      .join(tok.select(col("doc_id").as("idb"), col("w")), Seq("w"))
-      .filter(col("ida") < col("idb"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("ida"), col("w")), Seq("ida"))
+      .join(tok.select(col("doc_id").as("idb"), col("w")), Seq("idb", "w"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("common"))
-    val pairs = cand.join(inter, Seq("ida", "idb"))
-      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nw", "wa"), Seq("ida"))
-      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nw", "wb"), Seq("idb"))
-      .filter(col("common").cast("double") / (col("wa") + col("wb") - col("common")) >= 0.5)
-      .select(col("ida"), col("idb"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nw", "words_a"), Seq("ida"))
+      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nw", "words_b"), Seq("idb"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("words_a") + col("words_b") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = nearDupPairs(s, dir).select(col("ida"), col("idb"))
     val edges0 = pairs.select(col("ida").as("a"), col("idb").as("b"))
       .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
     // the edge frame is reused every round: cached locally (materialize's
