@@ -37,6 +37,24 @@ class GraftMaintenanceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted.toSeq == expected)
   }
 
+  test("compact never deletes a file appended after its snapshot") {
+    val dir = "/tmp/graft-test/maintenance-concurrent"
+    spark.range(1000).selectExpr("id AS k", "id * 3 AS v")
+      .repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    // a drip-ingest writer lands an append in compact's commit window
+    // (after the rewrite, before the snapshot delete): its rows must
+    // survive — the old commit-time listing deleted them silently
+    val st = GraftMaintenance.compactImpl(spark, dir, 2, Map.empty, () =>
+      spark.range(1000, 1250).selectExpr("id AS k", "id * 3 AS v")
+        .coalesce(1)
+        .write.format("graft").mode("append").save(dir))
+    assert(st.rows == 1000)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 1250, "concurrently appended rows were lost by compaction")
+    assert(back.selectExpr("sum(k)").first().getLong(0) == (0L until 1250).sum)
+  }
+
   test("compaction can impose a sorted layout that then prunes") {
     val dir = "/tmp/graft-test/maintenance-sort"
     // unsorted drip ingest
