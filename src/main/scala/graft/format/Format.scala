@@ -248,5 +248,11 @@ object FormatConstants {
   // rejects them by version instead
   val Magic: Array[Byte] = "GRAFT002".getBytes("UTF-8") // 8 bytes
   val MagicV1: Array[Byte] = "GRAFT001".getBytes("UTF-8")
+  // version 003 = 002 plus optional per-page bloom sections (kind-byte bit
+  // 0x10). A 002 reader would decode a bloom-bearing page meta silently
+  // wrong (it parses the bloom bytes as the next page's meta), so files
+  // that MAY carry blooms declare 003; bloom-less files keep writing 002 —
+  // byte-identical to what a 002 reader expects. This reader accepts both.
+  val MagicV3: Array[Byte] = "GRAFT003".getBytes("UTF-8")
   val FooterTailLen: Int = 16 // schemaSize u32 | metaSize u32 | magic 8B
 }

@@ -47,7 +47,8 @@ object GraftFileReader {
     val schemaSize = cur.getIntLE()
     val metaSize = cur.getIntLE()
     val trailing = java.util.Arrays.copyOfRange(tail, magicOff, magicOff + 8)
-    if (!java.util.Arrays.equals(trailing, FormatConstants.Magic)) {
+    if (!java.util.Arrays.equals(trailing, FormatConstants.Magic) &&
+      !java.util.Arrays.equals(trailing, FormatConstants.MagicV3)) {
       if (java.util.Arrays.equals(trailing, FormatConstants.MagicV1))
         throw new java.io.IOException(
           "graft: file was written by format version 001 (pre-i128 lane); " +
@@ -75,6 +76,15 @@ object GraftFileReader {
         val len = cur.getIntLE()
         val nv = cur.getIntLE()
         val kindByte = cur.getByte()
+        // known bits: 0x0f stats kind + 0x10 appended-bloom flag. A set
+        // bit this reader doesn't know may imply appended bytes it cannot
+        // skip — silently masking it would corrupt every following page
+        // meta, so unknown high bits are a hard error (the same posture as
+        // the magic version gate).
+        if ((kindByte & 0xe0) != 0)
+          throw new java.io.IOException(
+            f"graft: page meta kind byte 0x$kindByte%02x has unknown flag bits — " +
+              "file was written by a newer format version")
         val kind = (kindByte & 0x0f).toByte // bit 0x10 flags an appended bloom
         val base =
           if (kind == 4) {

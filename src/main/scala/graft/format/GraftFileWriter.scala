@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
   * File layout (this library's spec; structural analogue of the reference's
   * `/root/reference/src/write/writer.rs:91-167`):
   * {{{
-  *   magic "GRAFT001" (8B)
+  *   magic (8B: "GRAFT002", or "GRAFT003" when blooms may be present)
   *   leaf 0 pages | leaf 1 pages | ...          (depth-first leaf order)
   *   schema bytes (UTF-8 JSON of the Spark StructType)
   *   meta block:
@@ -25,6 +25,10 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
 
   private var pos: Long = 0L
   private var state = 0 // 0=new 1=started 2=chunk written 3=finished
+  // bloom-bearing files declare format version 003 (a 002 reader would
+  // misparse the appended bloom sections); bloom-less files stay 002
+  private val magic: Array[Byte] =
+    if (opts.bloomLeaves.nonEmpty) FormatConstants.MagicV3 else FormatConstants.Magic
   private val metasBuf = ArrayBuffer[ColumnMeta]()
   private val pageBuf = new ByteBuf(1 << 16)
   private val scratch = new ByteBuf(1 << 16)
@@ -36,8 +40,8 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
 
   def start(): Unit = {
     require(state == 0, "already started")
-    out.write(FormatConstants.Magic)
-    pos += FormatConstants.Magic.length
+    out.write(magic)
+    pos += magic.length
     state = 1
   }
 
@@ -150,7 +154,7 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
     val metaSize = buf.length - metaStart
     buf.putIntLE(schemaBytes.length)
     buf.putIntLE(metaSize)
-    buf.putBytes(FormatConstants.Magic)
+    buf.putBytes(magic)
     emit(buf)
     out.flush()
     state = 3

@@ -160,18 +160,22 @@ object TrainingData {
 
     "t_rare_tokens" -> { (s, dir) =>
       // rare-token ratio — the corpus-statistics quality signal (a proxy
-      // for OOV/noise rate): global token counts (one hash-agg over the
-      // corpus), joined back to the token stream, per-doc share of tokens
-      // whose corpus frequency <= 3. Scale shape: vocab agg + broadcastable
-      // vocab join (vocabularies are tiny relative to corpora) + per-doc
-      // agg; integers except the final ratio division.
-      val tok = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      tok.join(vocab, Seq("w"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("wc") <= 3, 1L).otherwise(0L)).as("rare_tokens"))
+      // for OOV/noise rate): per-doc share of tokens whose corpus frequency
+      // <= 3. Scale shape: n_tokens needs NO join at all (size of the
+      // split), and only the RARE vocabulary subset is joined back to the
+      // token stream — broadcast here; even past broadcast size the join is
+      // skew-free by construction, because a rare word matches <= 3 stream
+      // rows (the raw-vocab join this replaces put every "the" occurrence
+      // on one key). Integers except the final ratio division.
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val rare = tok.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .filter(col("wc") <= 3).select(col("w"))
+      val rareCount = tok.join(broadcast(rare), Seq("w"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("rare_tokens"))
+      d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(rareCount, Seq("doc_id"), "left")
+        .withColumn("rare_tokens", coalesce(col("rare_tokens"), lit(0L)))
         .withColumn("rare_ratio",
           col("rare_tokens").cast("double") / col("n_tokens"))
         .select(col("doc_id"), col("n_tokens"), col("rare_tokens"), col("rare_ratio"))

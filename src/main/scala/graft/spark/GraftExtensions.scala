@@ -48,16 +48,22 @@ object GraftElementPushdown extends Rule[LogicalPlan] {
         case _ => None
       }
       // an array attribute this scan outputs, reached through an element
-      // accessor: element_at(arr, i) / arr[i]
+      // accessor: element_at(arr, i) / arr[i]. ANSI gate: with failOnError
+      // (ANSI default) these THROW on an out-of-bounds index, and rows in a
+      // pruned page group are never evaluated — whether a query errors must
+      // not depend on page layout, so a throwing accessor never pushes
+      // (try_element_at / non-ANSI sessions keep the pruning).
       def arrayAttrOf(e: Expression): Option[AttributeReference] = (e match {
-        case ea: ElementAt => Some(ea.left)
-        case gi: GetArrayItem => Some(gi.child)
+        case ea: ElementAt if !ea.failOnError => Some(ea.left)
+        case gi: GetArrayItem if !gi.failOnError => Some(gi.child)
         case _ => None
       }).flatMap(scanAttr).filter(_.dataType.isInstanceOf[ArrayType])
       // a map attribute reached through a LITERAL key lookup: element_at(m,
-      // k) / m[k]. Returns (attr, key literal).
+      // k) / m[k]. Returns (attr, key literal). Same ANSI gate for
+      // element_at (missing-key error); GetMapValue (the m[k] sugar) is
+      // null-safe in every mode since SPARK-40066 and always pushes.
       def mapAttrOf(e: Expression): Option[(AttributeReference, Any, DataType)] = (e match {
-        case ea: ElementAt => Some((ea.left, ea.right))
+        case ea: ElementAt if !ea.failOnError => Some((ea.left, ea.right))
         case gm: GetMapValue => Some((gm.child, gm.key))
         case _ => None
       }).flatMap {
@@ -88,6 +94,8 @@ object GraftElementPushdown extends Rule[LogicalPlan] {
         // match nothing; a null element_at never equals v). For maps,
         // element_at(m, k) = v needs k present AND mapped to v: pages whose
         // KEY leaf excludes k, or whose VALUE leaf excludes v, both skip.
+        // Throwing (failOnError) accessors are rejected inside
+        // arrayAttrOf/mapAttrOf — see the ANSI gate note there.
         case EqualTo(acc, Literal(v, dt)) if v != null && supported(dt) =>
           accessorPreds(acc, v, dt)
         case EqualTo(Literal(v, dt), acc) if v != null && supported(dt) =>

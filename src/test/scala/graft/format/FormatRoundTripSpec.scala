@@ -129,6 +129,71 @@ class FormatRoundTripSpec extends AnyFunSuite {
     } finally Files.deleteIfExists(f)
   }
 
+  test("bloom-bearing files declare version 003; bloom-less stay 002") {
+    def writeOne(opts: WriteOptions): Array[Byte] = {
+      val n = 100
+      val v = IntVec(n, null, Array.tabulate(n)(identity))
+      val f = Files.createTempFile("graft-ver", ".graft")
+      try {
+        val os = new java.io.BufferedOutputStream(Files.newOutputStream(f))
+        val w = new GraftFileWriter(os, "{}", opts)
+        w.start()
+        w.writeChunk(Seq(LeafCol(Lane.I32, nullable = false, v)), n)
+        w.finish()
+        os.close()
+        // the reader must accept both versions
+        val in = new LocalFileInput(f)
+        try assert(new LeafReader(in, GraftFileReader.readFooter(in).leaves(0),
+          Lane.I32, nullable = false).readAll().n == n)
+        finally in.close()
+        val raf = new java.io.RandomAccessFile(f.toFile, "r")
+        val head = new Array[Byte](8); raf.readFully(head)
+        raf.seek(raf.length() - 8)
+        val tail = new Array[Byte](8); raf.readFully(tail)
+        raf.close()
+        assert(java.util.Arrays.equals(head, tail), "head/tail magic must agree")
+        tail
+      } finally Files.deleteIfExists(f)
+    }
+    assert(java.util.Arrays.equals(writeOne(WriteOptions()), FormatConstants.Magic))
+    assert(java.util.Arrays.equals(writeOne(WriteOptions(bloomLeaves = Set(0))),
+      FormatConstants.MagicV3))
+  }
+
+  test("unknown kind-byte flag bits are a hard error, not a silent misparse") {
+    val n = 100
+    val v = IntVec(n, null, Array.tabulate(n)(identity))
+    val f = Files.createTempFile("graft-kind", ".graft")
+    try {
+      val os = new java.io.BufferedOutputStream(Files.newOutputStream(f))
+      val w = new GraftFileWriter(os, "{}", WriteOptions())
+      w.start()
+      w.writeChunk(Seq(LeafCol(Lane.I32, nullable = false, v)), n)
+      w.finish()
+      os.close()
+      // set a hypothetical future flag bit on the first page's kind byte:
+      // tail is ... | meta | u32 schemaSize | u32 metaSize | magic; the
+      // meta block starts with u32 leafCount, u64 offset, u32 pageCount,
+      // then the first page's u32 len | u32 nv | u8 kind
+      val raf = new java.io.RandomAccessFile(f.toFile, "rw")
+      raf.seek(raf.length() - 12)
+      val msBytes = new Array[Byte](4); raf.readFully(msBytes)
+      val metaSize = java.nio.ByteBuffer.wrap(msBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val kindPos = raf.length() - 16 - metaSize + 4 + 12 + 8
+      raf.seek(kindPos)
+      val kind = raf.read()
+      raf.seek(kindPos)
+      raf.write(kind | 0x80)
+      raf.close()
+      val in = new LocalFileInput(f)
+      try {
+        val e = intercept[java.io.IOException](GraftFileReader.readFooter(in))
+        assert(e.getMessage.contains("unknown flag bits"), e.getMessage)
+      } finally in.close()
+    } finally Files.deleteIfExists(f)
+  }
+
   test("page stats are persisted (zone maps)") {
     val n = 5000
     val v = IntVec(n, null, Array.tabulate(n)(i => i))

@@ -83,21 +83,31 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(g.filter(array_contains(col("arr"), lit(-1L))).count() == 0)
     assert(GraftMetrics.pageGroupsRead.get() == 0)
 
-    // element_at equality goes through the same existence bound
-    GraftMetrics.pageGroupsSkipped.set(0)
-    GraftMetrics.pageGroupsRead.set(0)
-    assert(g.filter(element_at(col("arr"), 1) === 150000L).count() == 1)
-    assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
-      s"element_at probe should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+    // element_at / arr[i] equality goes through the same existence bound —
+    // but ONLY when the accessor cannot throw: under ANSI (failOnError)
+    // an out-of-bounds index errors, and pruning must never decide whether
+    // a query errors, so the rule gates these on !failOnError
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      GraftMetrics.pageGroupsSkipped.set(0)
+      GraftMetrics.pageGroupsRead.set(0)
+      assert(g.filter(element_at(col("arr"), 1) === 150000L).count() == 1)
+      assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
+        s"element_at probe should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
 
-    // arr[i] sugar (GetArrayItem) prunes identically
-    GraftMetrics.pageGroupsSkipped.set(0)
-    GraftMetrics.pageGroupsRead.set(0)
-    assert(g.filter(col("arr").getItem(0) === 150000L).count() == 1)
-    assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+      // arr[i] sugar (GetArrayItem) prunes identically
+      GraftMetrics.pageGroupsSkipped.set(0)
+      GraftMetrics.pageGroupsRead.set(0)
+      assert(g.filter(col("arr").getItem(0) === 150000L).count() == 1)
+      assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
 
-    // map accessor: element_at(m, k) = v prunes on BOTH the key leaf (k
-    // absent from the page) and the value leaf (v absent from the page)
+    // map accessor: m[k] = v prunes on BOTH the key leaf (k absent from
+    // the page) and the value leaf (v absent from the page). GetMapValue
+    // is null-safe in EVERY mode (SPARK-40066), so this pruning stays on
+    // under ANSI — unlike element_at(m, k), which throws on a missing key
+    // there and only pushes when it cannot throw
     val dirM = "/tmp/graft-test/zonemap-map"
     spark.range(100000)
       .selectExpr("id", "map(concat('k', cast(id % 4 as string)), id * 5) AS m")
@@ -106,7 +116,7 @@ class ZoneMapSpec extends AnyFunSuite {
     val gm = spark.read.format("graft").load(dirM)
     GraftMetrics.pageGroupsSkipped.set(0)
     GraftMetrics.pageGroupsRead.set(0)
-    assert(gm.filter(element_at(col("m"), "k0") === 200000L).count() == 1) // id 40000
+    assert(gm.filter(col("m").getItem("k0") === 200000L).count() == 1) // id 40000
     assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
       s"map value probe should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
     // a key no page holds -> everything skipped via the key leaf
@@ -126,6 +136,35 @@ class ZoneMapSpec extends AnyFunSuite {
       .filter(array_contains(col("arr"), lit(7L)) && col("id") % 2 === 0).count()
     assert(g2.filter(array_contains(col("arr"), lit(7L)) && col("id") % 2 === 0)
       .count() == expected)
+
+    // ANSI gate: element_at/arr[i] THROW on out-of-bounds/missing-key under
+    // ansi mode, and a pruned page group never evaluates its rows — whether
+    // a query errors must not depend on page layout, so a throwing accessor
+    // never pushes. array_contains and m[k] (both error-free) still push.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val ansiPlan = g.filter(element_at(col("arr"), 1) === 150000L)
+        .queryExecution.executedPlan.toString
+      assert(!ansiPlan.contains("element["),
+        s"throwing accessor pushdown must not fire under ANSI mode:\n$ansiPlan")
+      val ansiArr = g.filter(col("arr").getItem(0) === 150000L)
+        .queryExecution.executedPlan.toString
+      assert(!ansiArr.contains("element["),
+        s"throwing arr[i] pushdown must not fire under ANSI mode:\n$ansiArr")
+      val containsPlan = g.filter(array_contains(col("arr"), lit(150000L)))
+        .queryExecution.executedPlan.toString
+      assert(containsPlan.contains("element["),
+        s"array_contains pushdown should stay on under ANSI mode:\n$containsPlan")
+      val mapPlan = gm.filter(col("m").getItem("k0") === 200000L)
+        .queryExecution.executedPlan.toString
+      assert(mapPlan.contains("element["),
+        s"null-safe m[k] pushdown should stay on under ANSI mode:\n$mapPlan")
+      // try_element_at cannot throw, so it keeps pruning under ANSI
+      val tryPlan = g.filter(expr("try_element_at(arr, 1) = 150000L"))
+        .queryExecution.executedPlan.toString
+      assert(tryPlan.contains("element["),
+        s"try_element_at pushdown should stay on under ANSI mode:\n$tryPlan")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
 
   test("sortby write layout yields >90% page-group pruning on a range probe") {
