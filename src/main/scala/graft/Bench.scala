@@ -26,7 +26,7 @@ object Bench {
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
     "q5_local_supplier", "q10_returned_items", "q18_large_orders",
     "q13_order_count_distribution", "q_window_top_orders", "q_events_hourly",
-    "q_asof_purchase_view", "q_topk_orders", "q_sorted_scan",
+    "q_asof_purchase_view", "q_topk_orders", "q_sorted_scan", "q_map_pruning",
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_segments",
     "d_decontamination",
     "s_ann_lsh", "s_ann_ivf", "t_token_stats", "t_fingerprint",

@@ -100,6 +100,43 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_map_pruning" -> { (s, dir) =>
+      // map-ELEMENT pushdown in the headline gate: documents staged with a
+      // single-entry map(lang -> lang), laid out sorted by lang, so the
+      // meta['en'] = 'en' probe prunes page groups via BOTH the map KEY
+      // leaf (pages whose keys exclude 'en') and the VALUE leaf —
+      // GraftElementPushdown compiles the GetMapValue equality into
+      // element-leaf zone-map predicates (null-safe in every mode, so the
+      // pruning stays on under ANSI; ZoneMapSpec asserts the page skips).
+      // The pruned scan + residual filter must match DuckDB exactly.
+      val fmt = sys.props.getOrElse("graft.tables.format",
+        sys.env.getOrElse("GRAFT_TABLES_FORMAT", "graft"))
+      def staged(root: String)(write: (DataFrame, String) => Unit): String = {
+        val stage = s"/tmp/$root/${stageKey(s, dir, "documents")}/documents"
+        val marker = new java.io.File(s"$stage/_GRAFT_MAP_DONE")
+        if (!marker.exists()) {
+          write(Tables.parquet(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              map(col("lang"), col("lang")).as("meta"))
+            .orderBy(col("lang")), stage)
+          marker.createNewFile()
+        }
+        stage
+      }
+      val src = if (fmt == "parquet")
+        s.read.parquet(staged("graft_map_stage_pq")(
+          (df, p) => df.write.mode("overwrite").parquet(p)))
+      else {
+        graft.spark.GraftExtensions.ensure(s)
+        s.read.format("graft").load(staged("graft_map_stage")(
+          (df, p) => df.write.format("graft").mode("overwrite").save(p)))
+      }
+      src.filter(col("meta").getItem("en") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"))
+    },
+
     "q_sorted_scan" -> { (s, dir) =>
       // proves the sortby write layout pays off at read time: lineitem
       // re-laid-out sorted by l_shipdate (range-partitioned across files,
@@ -268,6 +305,11 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_map_pruning" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_array_contains" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
