@@ -280,7 +280,20 @@ object TrainingData {
     // ---------------- similarity search ----------------
 
     "s_ann_bruteforce" -> { (s, dir) =>
-      val e = embs(s, dir).withColumn("q", expr(quantized))
+      // GUARDED quadratic recall oracle: the crossJoin is the point (exact
+      // top-k ground truth for s_knn_recall), but it must never be aimed at
+      // a production-sized table, so it refuses inputs above
+      // graft.ann.bruteForceMaxRows (the count is footer-only via the
+      // aggregate pushdown — no data pages read). Raise the cap explicitly
+      // to accept the quadratic cost on purpose.
+      val e0 = embs(s, dir)
+      val cap = s.conf.getOption("graft.ann.bruteForceMaxRows")
+        .map(_.toLong).getOrElse(100000L)
+      val n = e0.count()
+      require(n <= cap,
+        s"s_ann_bruteforce is a deliberately quadratic recall baseline: input has " +
+          s"$n rows > cap $cap; set graft.ann.bruteForceMaxRows to accept the cost")
+      val e = e0.withColumn("q", expr(quantized))
       val queriesDf = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qv"))
       val targets = e.select(col("vec_id").as("tid"), col("q").as("tv"))
