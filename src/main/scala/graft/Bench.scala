@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: times headline queries over graft storage at
   * SPARK_GRAFT_SF_DIR; prints ONE JSON line. parquet->graft conversion
@@ -13,14 +14,26 @@ import org.apache.spark.sql.SparkSession
   * numbers moving together instead of a phantom regression. Each query is
   * timed GRAFT_BENCH_RUNS times per format (default 2) and the per-query
   * minimum is reported — min is the standard noise floor estimator for
-  * same-JVM reruns (JIT and page cache only ever make reruns faster).
+  * same-JVM reruns (JIT and page cache only ever make reruns faster). The
+  * per-query [min,max] of BOTH formats is also emitted ("spread"), so a
+  * one-off spike (machine load landing on a single run) is distinguishable
+  * from a regression without a manual QueryAB session.
+  *
+  * SCALED SECTION: after the base run, the same headline is re-timed at
+  * GRAFT_BENCH_SCALE_FACTOR x the base data (default 10 = ~sf1 from the
+  * driver's sf0.1; 0 disables), staged once under /tmp by deterministic
+  * amplification — larger data surfaces decode-vs-IO shifts the small
+  * scale hides. The section is best-effort: any failure degrades to the
+  * base-only artifact rather than losing the round's bench.
   */
 object Bench {
 
   /** Queries that scale linearly and represent each capability family.
-    * Quadratic verify-only baselines (d_ngram_jaccard, d_dedup_embedding,
-    * s_ann_bruteforce — a cartesian recall oracle) are intentionally
+    * Quadratic verify-only baselines (d_dedup_embedding's brute recall
+    * check, s_ann_bruteforce — a cartesian recall oracle) are intentionally
     * excluded: a 100 TB engine's headline numbers must be scale-shaped.
+    * d_ngram_jaccard joined the headline in round 7 once its candidate
+    * generation became banded + pair-scoped (no all-pairs plan).
     */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
@@ -28,15 +41,70 @@ object Bench {
     "q13_order_count_distribution", "q_window_top_orders", "q_events_hourly",
     "q_asof_purchase_view", "q_topk_orders", "q_sorted_scan", "q_map_pruning",
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_segments",
-    "d_decontamination",
+    "d_decontamination", "d_ngram_jaccard",
     "s_ann_lsh", "s_ann_ivf", "t_token_stats", "t_fingerprint",
     "t_quality_score", "t_language_id", "m_multimodal_meta", "m_multimodal_decode",
     "m_multimodal_resize", "m_multimodal_framesample")
+
+  /** Deterministic FACTOR x amplification of the driver's parquet tables
+    * into a staged parquet dir (throughput corpus for the scaled section —
+    * both formats read the same amplified bytes with identical plans).
+    * Dims copy as-is; fact/doc tables get key-remapped copies. Text/vector
+    * copies are NEAR-duplicates (content perturbed per copy), so dedup
+    * candidate generation stays linearly shaped — copy c of a doc is a
+    * realistic near-dup of copy 0, not an identical clone explosion.
+    */
+  private[graft] def stageAmplified(spark: SparkSession, baseDir: String, factor: Int): String = {
+    val amp = s"/tmp/graft_bench_amp/${baseDir.replaceAll("[^a-zA-Z0-9.]+", "_")}_x$factor"
+    val marker = new java.io.File(s"$amp/_AMP_DONE")
+    if (marker.exists()) return amp
+    new java.io.File(amp).mkdirs()
+    def src(t: String): DataFrame = spark.read.parquet(s"$baseDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$amp/$t.parquet")
+    def copies(df: DataFrame): DataFrame =
+      df.withColumn("c", explode(expr(s"sequence(0L, ${factor - 1}L)")))
+    Seq("region", "nation", "customer", "supplier", "part").foreach(t => write(t, src(t)))
+
+    val oMax = src("orders").agg(max(col("o_orderkey"))).first().getLong(0) + 1
+    write("orders", copies(src("orders"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("c") * oMax).drop("c"))
+    write("lineitem", copies(src("lineitem"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("c") * oMax).drop("c"))
+
+    // events.ts is nanos-long under the legacy read flag; shift ids per
+    // copy and nudge ts by c microseconds so sessions/windows don't stack
+    val ev = src("events")
+    val eMax = ev.agg(max(col("event_id")), max(col("user_id"))).first()
+    write("events", copies(ev)
+      .withColumn("event_id", col("event_id") + col("c") * (eMax.getLong(0) + 1))
+      .withColumn("user_id", col("user_id") + col("c") * (eMax.getLong(1) + 1))
+      .withColumn("ts", col("ts") + col("c") * 1000L)
+      .drop("c"))
+
+    val dMax = src("documents").agg(max(col("doc_id"))).first().getLong(0) + 1
+    write("documents", copies(src("documents"))
+      .withColumn("doc_id", col("doc_id") + col("c") * dMax)
+      // perturb: append a copy tag to non-zero copies (near-dup, not clone)
+      .withColumn("text", when(col("c") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" c"), col("c"))))
+      .drop("c"))
+
+    val vMax = src("embeddings").agg(max(col("vec_id"))).first().getLong(0) + 1
+    write("embeddings", copies(src("embeddings"))
+      .withColumn("vec_id", col("vec_id") + col("c") * vMax)
+      .withColumn("embedding", expr(
+        "transform(embedding, x -> x + cast(c as float) * cast(1e-4 as float))"))
+      .drop("c"))
+    marker.createNewFile()
+    amp
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "2").toInt
+    val scaleFactor = sys.env.getOrElse("GRAFT_BENCH_SCALE_FACTOR", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,11 +128,11 @@ object Bench {
     // queries run a portable md5-fold hash so DuckDB can oracle-check them.
     // Both share the identical plan shape — only the leaf hash expression
     // differs.
-    val fastImpl: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    val fastImpl: Map[String, (SparkSession, String) => DataFrame] = Map(
       "d_dedup_minhash_lsh" -> ((s, d) => queries.TrainingData.minhashLsh(s, d, portable = false)),
       "d_dedup_simhash" -> ((s, d) => queries.TrainingData.simhashDedup(s, d, portable = false)))
 
-    def run(name: String): Double = {
+    def run(name: String, dir: String): Double = {
       // drop cached intermediates from prior runs: queries that cache a
       // frame for multi-branch reuse (minhash/simhash signatures) would
       // otherwise serve rerun N>1 from memory and min-of-runs would time a
@@ -73,15 +141,15 @@ object Bench {
       spark.catalog.clearCache()
       // the df is built inside the timed scope's format setting (Tables.load
       // is consulted at plan-build time)
-      val df = fastImpl.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
+      val df = fastImpl.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    def timed(format: String, name: String): Double = {
+    def timed(format: String, name: String, dir: String): Double = {
       sys.props("graft.tables.format") = format
-      try run(name)
+      try run(name, dir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name ($format) failed: ${e.getMessage}")
         -1.0
@@ -93,40 +161,67 @@ object Bench {
     // is timed (suite-then-suite ordering hands the second format a
     // systematically warmer JVM — measured as a phantom 1.8x on q10)
     Seq("q1_pricing_summary", "q3_shipping_priority").foreach { q =>
-      timed("graft", q); timed("parquet", q)
+      timed("graft", q, sfDir); timed("parquet", q, sfDir)
     }
 
     // interleave formats per query (graft, parquet, graft, parquet, ...):
     // machine-load spikes and residual JIT land on both formats equally
-    val results: Seq[(String, Double, Double)] = headline.map { name =>
-      val g = Array.fill(runs)(0.0)
-      val p = Array.fill(runs)(0.0)
-      var i = 0
-      while (i < runs) {
-        g(i) = timed("graft", name)
-        p(i) = timed("parquet", name)
-        i += 1
-      }
-      def best(xs: Array[Double]) = if (xs.exists(_ < 0)) -1.0 else xs.min
-      val (bg, bp) = (best(g), best(p))
+    final case class QRes(name: String, g: Array[Double], p: Array[Double]) {
+      private def best(xs: Array[Double]) = if (xs.exists(_ < 0)) -1.0 else xs.min
       // a query that failed in EITHER format is excluded from BOTH totals —
       // summing different query sets would make the headline ratio compare
       // unlike-for-unlike (the exact phantom the self-baselining bench
       // exists to prevent)
-      if (bg < 0 || bp < 0) (name, -1.0, -1.0) else (name, bg, bp)
+      val (bg, bp) = {
+        val (g0, p0) = (best(g), best(p))
+        if (g0 < 0 || p0 < 0) (-1.0, -1.0) else (g0, p0)
+      }
+    }
+    def measure(dir: String, nRuns: Int): Seq[QRes] = headline.map { name =>
+      val g = Array.fill(nRuns)(0.0)
+      val p = Array.fill(nRuns)(0.0)
+      var i = 0
+      while (i < nRuns) {
+        g(i) = timed("graft", name, dir)
+        p(i) = timed("parquet", name, dir)
+        i += 1
+      }
+      QRes(name, g, p)
     }
 
-    def fmt(rs: Seq[(String, Double)]): (String, Double) = {
+    def qjson(rs: Seq[(String, Double)]): (String, Double) = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       (qs, rs.map(_._2).filter(_ >= 0).sum)
     }
+    def section(results: Seq[QRes]): String = {
+      val (gq, gTotal) = qjson(results.map(r => (r.name, r.bg)))
+      val (pq, pTotal) = qjson(results.map(r => (r.name, r.bp)))
+      val ratio = if (pTotal > 0) gTotal / pTotal else -1.0
+      val spread = results.map { r =>
+        def mm(xs: Array[Double]) =
+          if (xs.exists(_ < 0)) "-1,-1" else f"${xs.min}%.3f,${xs.max}%.3f"
+        "\"" + r.name + "\":[" + mm(r.g) + "," + mm(r.p) + "]"
+      }.mkString("{", ",", "}")
+      f""""value":$gTotal%.3f,"parquet_total":$pTotal%.3f,"ratio":$ratio%.3f,"queries":$gq,"parquet_queries":$pq,"spread":$spread"""
+    }
 
-    val graft = results.map(r => (r._1, r._2))
-    val parquet = results.map(r => (r._1, r._3))
-    val (gq, gTotal) = fmt(graft)
-    val (pq, pTotal) = fmt(parquet)
-    val ratio = if (pTotal > 0) gTotal / pTotal else -1.0
-    println(f"""{"metric":"total","value":$gTotal%.3f,"unit":"sec","queries":$gq,"sf":"$sfDir","runs":$runs,"parquet_total":$pTotal%.3f,"ratio":$ratio%.3f,"parquet_queries":$pq}""")
+    val base = measure(sfDir, runs)
+
+    // scaled section: best-effort; a failure must not cost the base artifact
+    val scaledJson: String =
+      if (scaleFactor <= 1) ""
+      else try {
+        val amp = stageAmplified(spark, sfDir, scaleFactor)
+        Tables.all.foreach(tn => Tables.load(spark, amp, tn)) // stage conversions untimed
+        Seq("q1_pricing_summary").foreach { q => timed("graft", q, amp); timed("parquet", q, amp) }
+        val scaled = measure(amp, 1)
+        s""","scaled":{"factor":$scaleFactor,${section(scaled)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaled section failed: ${e.getMessage}")
+        ""
+      }
+
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,${section(base)}$scaledJson}""")
     spark.stop()
   }
 }
