@@ -552,6 +552,55 @@ object TrainingData {
         .orderBy(col("lang"))
     },
 
+    "t_pack_sequences" -> { (s, dir) =>
+      // training-sequence packing: assign documents to ~512-token bins (the
+      // batch-assembly step before tokenized examples hit a trainer),
+      // start-offset packing via a running token count. Scale shape: the
+      // running sum is windowed by (source, doc_id%64 shard) — NEVER a
+      // single global ordering, which would serialize a 100 TB corpus into
+      // one task; 64 shards per source bound the partition size, and bin
+      // ids are unique per (source, shard, bin) without any coordination.
+      // Integer arithmetic except the final fill-ratio division.
+      val shard = 64
+      val binTokens = 512
+      val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          pmod(col("doc_id"), lit(shard.toLong)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .withColumn("bin", ((col("cum") - col("ntok")) / binTokens).cast("long"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("shard") * 1000000L + col("bin")).as("n_bins"),
+          sum(col("ntok")).as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("avg_fill",
+          col("total_tokens").cast("double") / (col("n_bins") * binTokens))
+        .orderBy(col("source"))
+    },
+
+    "t_source_mixture" -> { (s, dir) =>
+      // source-mixture re-weighting: per-source sampling weights for a
+      // sqrt-temperature mixture (upweights small sources, the standard
+      // alternative to proportional sampling when assembling a training
+      // mix). sqrt is IEEE-exact and quantized to integer micro-units
+      // before the normalizing sum, so the result is bit-reproducible
+      // across engines and partitionings. One hash-agg + a tiny
+      // broadcastable normalizer — the 100 TB cost is the count, nothing
+      // else.
+      val per = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("docs"))
+      val sq = per.withColumn("rw",
+        expr("cast(floor(sqrt(cast(docs as double)) * 1000000) as bigint)"))
+      val total = sq.agg(sum(col("rw")).as("rw_total"), sum(col("docs")).as("docs_total"))
+      sq.crossJoin(broadcast(total))
+        .withColumn("weight", col("rw").cast("double") / col("rw_total").cast("double"))
+        .withColumn("prop", col("docs").cast("double") / col("docs_total").cast("double"))
+        .withColumn("boost", col("weight") / col("prop"))
+        .select(col("source"), col("docs"), col("weight"), col("boost"))
+        .orderBy(col("source"))
+    },
+
     "t_fingerprint" -> { (s, dir) =>
       docs(s, dir)
         .withColumn("m", expr(
@@ -870,6 +919,34 @@ object TrainingData {
   }
 
   val oracles: Map[String, String] = Map(
+    "t_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, doc_id % 64 AS shard,
+        |         len(string_split(text, ' ')) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, shard, ntok,
+        |    sum(ntok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source,
+        |  count(DISTINCT shard * 1000000 + (cum - ntok) // 512) AS n_bins,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_docs,
+        |  CAST(sum(ntok) AS DOUBLE) /
+        |    (count(DISTINCT shard * 1000000 + (cum - ntok) // 512) * 512) AS avg_fill
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "t_source_mixture" ->
+      """WITH per AS (SELECT source, count(*) AS docs FROM documents GROUP BY source),
+        |sq AS (SELECT source, docs,
+        |  CAST(floor(sqrt(CAST(docs AS DOUBLE)) * 1000000) AS BIGINT) AS rw FROM per),
+        |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS rw_total,
+        |  CAST(sum(docs) AS BIGINT) AS docs_total FROM sq)
+        |SELECT source, docs,
+        |  CAST(rw AS DOUBLE) / CAST(rw_total AS DOUBLE) AS weight,
+        |  (CAST(rw AS DOUBLE) / CAST(rw_total AS DOUBLE)) /
+        |    (CAST(docs AS DOUBLE) / CAST(docs_total AS DOUBLE)) AS boost
+        |FROM sq, tot ORDER BY source""".stripMargin,
     "d_dedup_clusters" ->
       // connected components as a recursive label walk: reach(id, lab) holds
       // every label that can reach id along confirmed near-dup edges; the
