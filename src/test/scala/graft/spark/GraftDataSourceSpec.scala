@@ -138,6 +138,64 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("differential fuzz: element/map accessor predicates with blooms equal parquet") {
+    import org.apache.spark.sql.functions._
+    // arrays (incl. empty + null elements) and two-entry maps, written with
+    // element blooms and tiny pages so pruning decisions fire constantly;
+    // every accessor the GraftElementPushdown rule handles is compared
+    // against parquet on identical data, under BOTH ansi settings
+    val df = spark.range(40000).selectExpr(
+      "id",
+      """CASE WHEN id % 50 = 0 THEN array()
+         ELSE transform(sequence(0, cast(pmod(hash(id), 5) as int)),
+              j -> CASE WHEN pmod(hash(id, j, 1), 17) = 0 THEN NULL
+                   ELSE cast(pmod(hash(id, j), 300) as bigint) END) END AS arr""",
+      """map(concat('k', cast(pmod(hash(id, 7), 5) as string)),
+             cast(pmod(hash(id, 8), 1000) as bigint),
+             'fixed', id) AS m""",
+      """transform(sequence(0, cast(pmod(hash(id, 9), 3) as int)),
+           j -> concat('w', cast(pmod(hash(id, 10, j), 200) as string))) AS toks""")
+    val gdir = "/tmp/graft-test/fuzz-elem-graft"
+    val pdir = "/tmp/graft-test/fuzz-elem-parquet"
+    df.repartition(3).write.format("graft").option("pagesize", "512")
+      .option("bloomfilter", "arr.element,toks.element,m.key,m.value")
+      .mode("overwrite").save(gdir)
+    df.repartition(3).write.mode("overwrite").parquet(pdir)
+    GraftExtensions.ensure(spark)
+    val g = spark.read.format("graft").load(gdir)
+    val p = spark.read.parquet(pdir)
+
+    def check(tag: String)(fs: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]): Unit =
+      fs.zipWithIndex.foreach { case (f, i) =>
+        val a = f(g).selectExpr("cast(to_json(struct(*)) as string) r")
+        val b = f(p).selectExpr("cast(to_json(struct(*)) as string) r")
+        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+          s"$tag filter #$i diverged between graft and parquet")
+      }
+
+    // error-free accessors: valid under any ansi setting
+    val safe: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      _.filter(array_contains(col("arr"), 42L)),
+      _.filter(array_contains(col("arr"), -1L)), // matches nothing
+      _.filter(array_contains(col("toks"), "w7")),
+      _.filter(col("m").getItem("k1") === 500L),
+      _.filter(col("m").getItem("zz") === 5L), // key absent everywhere
+      _.filter(expr("try_element_at(arr, 1) = 100L")),
+      _.filter(array_contains(col("arr"), 7L) && col("id") % 3 === 0))
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      check("ansi-on")(safe)
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      // throwing-capable accessors join in once ansi is off (they return
+      // null out-of-bounds there, and their pushdown is active)
+      check("ansi-off")(safe ++ Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        _.filter(col("arr").getItem(0) === 10L),
+        _.filter(element_at(col("arr"), 2) === 150L),
+        _.filter(element_at(col("m"), "fixed") === 1234L)))
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
   test("differential fuzz: nested sub-field projections equal parquet") {
     import org.apache.spark.sql.functions._
     // nullable structs, nested structs, array-of-struct — every pruning
