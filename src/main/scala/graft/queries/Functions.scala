@@ -38,6 +38,20 @@ object Functions {
     dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "_" + java.lang.Long.toHexString(h)
   }
 
+  /** documents staged once as a lang-partitioned graft table (shared by
+    * q_partitioned_scan and q_partition_agg). */
+  private def stagedPartitionedDocs(s: SparkSession, dir: String): String = {
+    val stage = s"/tmp/graft_part_stage/${stageKey(s, dir, "documents")}/documents"
+    val marker = new java.io.File(s"$stage/_GRAFT_PART_DONE")
+    if (!marker.exists()) {
+      Tables.parquet(s, dir, "documents")
+        .write.format("graft").option("partitionby", "lang")
+        .mode("overwrite").save(stage)
+      marker.createNewFile()
+    }
+    stage
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_minmax" -> { (s, dir) =>
       // answered footer-only by the aggregate pushdown (no data pages read)
@@ -54,15 +68,7 @@ object Functions {
       // gate: documents are staged partitioned by lang, the filtered scan
       // prunes whole lang= directories before any footer IO, and the
       // aggregate must match DuckDB over the unpartitioned source rows
-      val stage = s"/tmp/graft_part_stage/${stageKey(s, dir, "documents")}/documents"
-      val marker = new java.io.File(s"$stage/_GRAFT_PART_DONE")
-      if (!marker.exists()) {
-        Tables.parquet(s, dir, "documents")
-          .write.format("graft").option("partitionby", "lang")
-          .mode("overwrite").save(stage)
-        marker.createNewFile()
-      }
-      s.read.format("graft").load(stage)
+      s.read.format("graft").load(stagedPartitionedDocs(s, dir))
         .filter(col("lang").isin("en", "de"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
@@ -97,6 +103,20 @@ object Functions {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
           sum(size(col("tokens"))).as("tokens_total"))
+        .orderBy(col("lang"))
+    },
+
+    "q_partition_agg" -> { (s, dir) =>
+      // partition-GROUPED footer-only aggregate: per-lang count/min/max
+      // answered from file paths + footers alone — the grouped variant of
+      // the aggregate pushdown (AggPushdownSpec asserts zero data pages
+      // read). At 100 TB this is a per-partition stats report priced at
+      // one 64KiB footer read per file.
+      s.read.format("graft").load(stagedPartitionedDocs(s, dir))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), count(col("n_chars")).as("chars_count"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))
     },
 
@@ -305,6 +325,11 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_partition_agg" ->
+      """SELECT lang, count(*) AS docs, count(n_chars) AS chars_count,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_map_pruning" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars

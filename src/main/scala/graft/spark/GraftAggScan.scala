@@ -51,9 +51,31 @@ object GraftAggPushdown {
   private def typeOf(schema: StructType, name: String): Option[DataType] =
     ZoneMapFilter.resolveAtomic(schema, name)
 
-  /** Translate Spark's Aggregation; None if anything is unsupported. */
+  /** Partition-path value types the grouped pushdown can reconstruct from
+    * a `k=v` directory name exactly (dates/decimals/floats excluded: their
+    * path rendering is not guaranteed round-trip-exact).
+    */
+  def pathParseable(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType | BooleanType => true
+    case _ => false
+  }
+
+  /** Catalyst value of a partition-path string for a parseable type. */
+  def pathValue(dt: DataType, v: String): Any = dt match {
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    case ByteType => v.toByte
+    case ShortType => v.toShort
+    case IntegerType => v.toInt
+    case LongType => v.toLong
+    case BooleanType => v.toBoolean
+    case other => throw new IllegalArgumentException(s"graft: unparseable partition type $other")
+  }
+
+  /** Translate Spark's Aggregation's aggregate expressions; None if any is
+    * unsupported. GROUP BY handling (partition columns only) lives in the
+    * scan builder — this compiles the aggregate list shared by both paths.
+    */
   def compile(schema: StructType, agg: Aggregation): Option[(Seq[AggSpec], StructType)] = {
-    if (agg.groupByExpressions().nonEmpty) return None
     val specs = agg.aggregateExpressions().map {
       case _: CountStar => Some((CountStar: AggSpec, StructField("count(*)", LongType, nullable = false)))
       case c: Count if !c.isDistinct =>
@@ -81,7 +103,8 @@ object GraftAggPushdown {
     * the file doesn't carry (additive schema evolution) is all-null there:
     * COUNT(col) contributes 0 and MIN/MAX contribute null.
     */
-  def evaluate(footer: Footer, fileSchema: StructType, specs: Seq[AggSpec]): InternalRow = {
+  def evaluate(footer: Footer, fileSchema: StructType, specs: Seq[AggSpec],
+      row: GenericInternalRow, off: Int): Unit = {
     def pagesOf(field: String): Array[PageMeta] =
       GraftSchema.leafIndexOfPath(fileSchema, field) match {
         case Some(li) => footer.leaves(li).pages
@@ -90,22 +113,20 @@ object GraftAggPushdown {
     val rowCount: Long =
       if (footer.leaves.isEmpty) 0L else footer.leaves(0).totalValues
 
-    val row = new GenericInternalRow(specs.length)
     specs.zipWithIndex.foreach { case (spec, i) =>
       spec match {
-        case CountStar => row.setLong(i, rowCount)
+        case CountStar => row.setLong(off + i, rowCount)
         case CountCol(f) =>
           var nonNull = 0L
           pagesOf(f).foreach { pm =>
             // statsKind==0 on a stats-bearing lane means zero non-null values
             if (pm.statsKind != 0) nonNull += pm.numValues - math.max(pm.nullCount, 0)
           }
-          row.setLong(i, nonNull)
-        case MinCol(f, dt) => setExtremum(row, i, dt, pagesOf(f), isMin = true)
-        case MaxCol(f, dt) => setExtremum(row, i, dt, pagesOf(f), isMin = false)
+          row.setLong(off + i, nonNull)
+        case MinCol(f, dt) => setExtremum(row, off + i, dt, pagesOf(f), isMin = true)
+        case MaxCol(f, dt) => setExtremum(row, off + i, dt, pagesOf(f), isMin = false)
       }
     }
-    row
   }
 
   private def setExtremum(row: GenericInternalRow, i: Int, dt: DataType,
@@ -154,38 +175,55 @@ object GraftAggPushdown {
   }
 }
 
-/** Scan producing one partial-aggregate row per file, footer-only. */
+/** Scan producing one partial-aggregate row per file, footer-only. With
+  * `groupCount` > 0 (partition-grouped pushdown) each file's row leads with
+  * its hive-partition values — captured from the PATHS at push time, so the
+  * grouped variant still reads zero data pages and zero extra footers;
+  * Spark's final aggregate merges the per-file partials per group.
+  */
 final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.Configuration,
-    private val specs: Seq[GraftAggPushdown.AggSpec], private val aggSchema: StructType)
+    private val specs: Seq[GraftAggPushdown.AggSpec], private val aggSchema: StructType,
+    private val groupCount: Int = 0,
+    private val groupedFiles: Seq[(String, Long, Seq[String])] = Nil)
     extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft footer-only aggregate scan of $path (${aggSchema.fieldNames.mkString(",")})"
+    s"graft footer-only aggregate scan of $path (${aggSchema.fieldNames.mkString(",")})" +
+      (if (groupCount > 0) s" grouped by ${aggSchema.fieldNames.take(groupCount).mkString(",")}"
+       else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftUtil.listDataFiles(path, conf)
-      .map(f => GraftInputPartition(f.getPath.toString, f.getLen): InputPartition).toArray
+    if (groupCount > 0)
+      groupedFiles.map(f =>
+        GraftAggInputPartition(f._1, f._2, f._3.toArray): InputPartition).toArray
+    else GraftUtil.listDataFiles(path, conf)
+      .map(f => GraftAggInputPartition(f.getPath.toString, f.getLen, Array.empty): InputPartition)
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftAggReaderFactory(HadoopConfBroadcast(conf), specs, aggSchema.json)
+    new GraftAggReaderFactory(HadoopConfBroadcast(conf), specs, aggSchema.json, groupCount)
 
   // structural equality (see GraftScan): lets identical footer-only
   // aggregate scans share one exchange under ReuseExchange/cache lookup
   override def equals(other: Any): Boolean = other match {
-    case o: GraftAggScan => path == o.path && specs == o.specs && aggSchema == o.aggSchema
+    case o: GraftAggScan => path == o.path && specs == o.specs && aggSchema == o.aggSchema &&
+      groupCount == o.groupCount && groupedFiles == o.groupedFiles
     case _ => false
   }
-  override def hashCode(): Int = (path, specs, aggSchema).hashCode()
+  override def hashCode(): Int = (path, specs, aggSchema, groupCount).hashCode()
 }
 
+final case class GraftAggInputPartition(filePath: String, fileLen: Long,
+    groupVals: Array[String]) extends InputPartition
+
 final class GraftAggReaderFactory(conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
-    specs: Seq[GraftAggPushdown.AggSpec], aggSchemaJson: String)
+    specs: Seq[GraftAggPushdown.AggSpec], aggSchemaJson: String, groupCount: Int = 0)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+    val p = partition.asInstanceOf[GraftAggInputPartition]
     new PartitionReader[InternalRow] {
       private var done = false
       private var row: InternalRow = _
@@ -196,7 +234,15 @@ final class GraftAggReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Ser
         try {
           val footer = GraftFileReader.readFooter(in)
           val fileSchema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
-          row = GraftAggPushdown.evaluate(footer, fileSchema, specs)
+          val fullSchema = DataType.fromJson(aggSchemaJson).asInstanceOf[StructType]
+          val out = new GenericInternalRow(fullSchema.length)
+          var i = 0
+          while (i < groupCount) {
+            out.update(i, GraftAggPushdown.pathValue(fullSchema(i).dataType, p.groupVals(i)))
+            i += 1
+          }
+          GraftAggPushdown.evaluate(footer, fileSchema, specs, out, groupCount)
+          row = out
         } finally in.close()
         done = true
         true

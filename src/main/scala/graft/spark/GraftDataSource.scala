@@ -242,17 +242,56 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
+  private var groupPlan: Option[(Int, Seq[(String, Long, Seq[String])], StructType)] = None
+
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (hadFilters) return false
+    val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames().length == 1 => f.fieldNames()(0)
+      case _ => return false
+    }
     GraftAggPushdown.compile(tableSchema, agg) match {
-      case Some(plan) => aggPlan = Some(plan); true
       case None => false
+      case Some((specs, aggOnlySchema)) if groupCols.isEmpty =>
+        aggPlan = Some((specs, aggOnlySchema)); true
+      case Some((specs, aggOnlySchema)) =>
+        // partition-grouped pushdown: every group column must be a hive
+        // partition key of EVERY file — decidable from the file PATHS alone
+        // (one listing, zero footer reads), because a partition column is
+        // constant within its file. Each file then contributes one partial
+        // row (partition values + footer aggregates) and Spark's final
+        // aggregate merges per group.
+        val groupFields = groupCols.map(c => tableSchema.fields.find(_.name == c))
+        if (groupFields.exists(f =>
+          f.isEmpty || !GraftAggPushdown.pathParseable(f.get.dataType))) return false
+        val tableDir = new Path(path)
+        val files = GraftUtil.listDataFiles(path, conf)
+        if (files.isEmpty) return false
+        val grouped = files.map { f =>
+          val m = GraftUtil.partitionSegments(tableDir, f.getPath).toMap
+          val vals = groupCols.map(m.get)
+          // a file missing the key, or holding the hive null token, bails
+          // out (null partition values are rare; keep the fallback simple)
+          if (vals.exists(v => v.isEmpty || v.get == "__HIVE_DEFAULT_PARTITION__"))
+            return false
+          (f.getPath.toString, f.getLen, vals.map(_.get))
+        }
+        val fullSchema = StructType(
+          groupFields.map(_.get) ++ aggOnlySchema.fields)
+        aggPlan = Some((specs, fullSchema))
+        groupPlan = Some((groupCols.length, grouped, fullSchema))
+        true
     }
   }
 
   override def build(): Scan = aggPlan match {
-    case Some((specs, aggSchema)) => new GraftAggScan(path, conf, specs, aggSchema)
+    case Some((specs, aggSchema)) =>
+      groupPlan match {
+        case Some((n, files, _)) => new GraftAggScan(path, conf, specs, aggSchema, n, files)
+        case None => new GraftAggScan(path, conf, specs, aggSchema)
+      }
     case None =>
       new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
         pushed, pushedLimit)

@@ -42,6 +42,46 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(r.getTimestamp(5).getTime == 1700000000000L + 99999L * 1000)
   }
 
+  test("GROUP BY partition columns answered from footers + paths only") {
+    val dir = "/tmp/graft-test/aggpush-grouped"
+    spark.sql("""SELECT id, id % 4 AS bucket,
+        concat('p', cast(id % 3 AS string)) AS part,
+        CASE WHEN id % 7 = 0 THEN NULL ELSE id * 2 END AS v
+      FROM range(90000)""")
+      .write.format("graft").option("partitionby", "part")
+      .option("maxrowsperfile", "20000")
+      .mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+
+    val agg = g.groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("id")).as("mini"), max(col("id")).as("maxi"))
+      .orderBy(col("part"))
+    assert(scanDesc(agg).contains("grouped by part"),
+      s"expected partition-grouped footer-only scan, got:\n${scanDesc(agg)}")
+    GraftMetrics.pageGroupsRead.set(0)
+    val rows = agg.collect()
+    assert(GraftMetrics.pageGroupsRead.get() == 0, "grouped agg read data pages")
+    val expected = spark.sql("""SELECT concat('p', cast(id % 3 AS string)) AS part,
+        count(*) AS n, count(CASE WHEN id % 7 = 0 THEN NULL ELSE id * 2 END) AS nv,
+        min(id) AS mini, max(id) AS maxi
+      FROM range(90000) GROUP BY 1 ORDER BY 1""").collect()
+    assert(rows.map(_.toString).toSeq == expected.map(_.toString).toSeq)
+
+    // a NON-partition group column must fall back to a normal scan and
+    // stay correct
+    val byBucket = g.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+    assert(!scanDesc(byBucket).contains("footer-only"),
+      s"non-partition group-by must not push:\n${scanDesc(byBucket)}")
+    assert(byBucket.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L to 3L).map(b => (b, 90000L / 4)))
+
+    // grouped + filter must not push either (hadFilters gate)
+    val filtered = g.filter(col("id") > 100).groupBy(col("part")).agg(count(lit(1)))
+    assert(!scanDesc(filtered).contains("footer-only"))
+  }
+
   test("nested struct sub-field min/max answered from footers only") {
     val dir = "/tmp/graft-test/aggpush-nested"
     spark.sql("""SELECT id, named_struct('a', id * 3,
