@@ -663,6 +663,28 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "m_multimodal_gray" -> { (s, dir) =>
+      // grayscale decode: the SAME native expression handles the P5 PGM
+      // container (channel count comes from the magic byte, one channel
+      // mean instead of three) — container breadth without new plumbing.
+      // Oracle reproduces sum/checksum/mean from the generating formula.
+      docs(s, dir)
+        .withColumn("w", (lit(1) + col("n_chars") % 9).cast("int"))
+        .withColumn("h", (lit(1) + col("doc_id") % 5).cast("int"))
+        .withColumn("hexlen", col("w") * col("h") * lit(2))
+        .withColumn("ph", expr(
+          "substr(repeat(md5(text), cast(ceil(hexlen / 32.0) as int)), 1, hexlen)"))
+        .withColumn("payload", expr(
+          """concat(encode(concat('P5\n# graft gray\n', cast(w as string), ' ',
+                                  cast(h as string), '\n255\n'), 'utf-8'),
+                    unhex(ph))"""))
+        .select(col("doc_id"), graft.spark.PpmDecode(col("payload")).as("f"))
+        .select(col("doc_id"), col("f.width").as("width"), col("f.height").as("height"),
+          col("f.pix_sum").as("pix_sum"), col("f.pix_checksum").as("pix_checksum"),
+          col("f.channel_means").getItem(0).as("mean_gray"))
+        .orderBy(col("doc_id"))
+    },
+
     "m_multimodal_resize" -> { (s, dir) =>
       // Multimodal stage 3: RESIZE — nearest-neighbor 2x downsample of the
       // same deterministic P6 frames, via graft.spark.PpmResample (native
@@ -1343,6 +1365,29 @@ object TrainingData {
         |  CAST(list_sum(vals) AS BIGINT) AS pix_sum,
         |  CAST(list_reduce(list_prepend(0, vals),
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "m_multimodal_gray" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (n_chars % 9) AS INT) AS w,
+        |    CAST(1 + (doc_id % 5) AS INT) AS h,
+        |    md5(text) AS hx
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, w, h, w*h AS npix,
+        |    substr(repeat(hx, CAST(ceil((w*h*2) / 32.0) AS INT)), 1, w*h*2) AS ph
+        |  FROM d),
+        |v AS (
+        |  SELECT doc_id, w, h, npix,
+        |    list_transform(generate_series(1, npix),
+        |      i -> (strpos('0123456789abcdef', substr(ph, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(ph, CAST(2*i AS INT), 1)) - 1)) AS vals
+        |  FROM e)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(list_sum(vals) AS BIGINT) AS pix_sum,
+        |  CAST(list_reduce(list_prepend(0, vals),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum,
+        |  CAST(list_sum(vals) AS DOUBLE) / npix AS mean_gray
         |FROM v ORDER BY doc_id""".stripMargin,
     "m_multimodal_resize" ->
       """WITH d AS (

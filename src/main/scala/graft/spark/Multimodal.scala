@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Pure-JVM multimodal frame decode: parses a binary PPM (P6) image payload
-  * — magic, whitespace/comment-tolerant ASCII header, raw RGB plane — and
+/** Pure-JVM multimodal frame decode: parses a binary PPM (P6, RGB) or PGM
+  * (P5, grayscale) image payload
+  * — magic, whitespace/comment-tolerant ASCII header, raw pixel plane — and
   * returns its dimensions plus integer-exact pixel statistics. This is the
   * decode stage the multimodal pipeline slots in AFTER columnar metadata
   * pruning; it needs no codec library because P6 is an uncompressed
@@ -70,8 +71,10 @@ object PpmDecode {
   def apply(payload: Column): Column =
     GraftCatalystBridge.column(PpmDecode(GraftCatalystBridge.expression(payload)))
 
-  /** Parsed P6 header: dims, maxval, and the pixel-plane offset. */
-  final case class Header(width: Int, height: Int, maxval: Int, planeStart: Int)
+  /** Parsed P5/P6 header: dims, maxval, channel count (P5 grayscale = 1,
+    * P6 RGB = 3), and the pixel-plane offset. */
+  final case class Header(width: Int, height: Int, maxval: Int, planeStart: Int,
+      channels: Int)
 
   /** Parse a P6 header (magic, '#'-comment-tolerant whitespace, width,
     * height, maxval, single separator byte) and validate the pixel plane
@@ -83,8 +86,12 @@ object PpmDecode {
     * back-to-back frames); `planeStart` is absolute.
     */
   def parseHeader(bytes: Array[Byte], from: Int): Header = {
-    if (bytes == null || bytes.length < from + 2 ||
-      bytes(from) != 'P' || bytes(from + 1) != '6') return null
+    if (bytes == null || bytes.length < from + 2 || bytes(from) != 'P') return null
+    val channels = bytes(from + 1) match {
+      case '5' => 1 // PGM grayscale
+      case '6' => 3 // PPM RGB
+      case _ => return null
+    }
     var p = from + 2
 
     // PPM allows '#'-to-end-of-line comments anywhere whitespace may appear
@@ -125,9 +132,9 @@ object PpmDecode {
     val sep = bytes(p)
     if (sep != ' ' && sep != '\t' && sep != '\n' && sep != '\r') return null
     p += 1
-    val n = w.toLong * h * 3
+    val n = w.toLong * h * channels
     if (n > Int.MaxValue || bytes.length - p < n) return null
-    Header(w, h, maxval, p)
+    Header(w, h, maxval, p, channels)
   }
 
   /** Decode a P6 PPM payload; null for anything malformed. Kept
@@ -141,24 +148,24 @@ object PpmDecode {
     val h = hd.height
     val maxval = hd.maxval
     val p = hd.planeStart
-    val n = w.toLong * h * 3
+    val nc = hd.channels
+    val n = w.toLong * h * nc
     var sum = 0L
     var acc = 0L
-    val chan = new Array[Long](3)
+    val chan = new Array[Long](nc)
     var i = 0
     val ni = n.toInt
     while (i < ni) {
       val v = bytes(p + i) & 0xff
       sum += v
       acc = (acc * 31 + v) % Mod
-      chan(i % 3) += v
+      chan(i % nc) += v
       i += 1
     }
     val pixels = w.toLong * h
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       w, h, maxval, sum, acc,
-      new GenericArrayData(Array(chan(0).toDouble / pixels,
-        chan(1).toDouble / pixels, chan(2).toDouble / pixels))))
+      new GenericArrayData(chan.map(_.toDouble / pixels))))
   }
 }
 
@@ -219,18 +226,19 @@ object PpmResample {
     val w = hd.width
     val h = hd.height
     val base = hd.planeStart
+    val nc = hd.channels
     val wOut = (w + factor - 1) / factor
     val hOut = (h + factor - 1) / factor
     var sum = 0L
     var acc = 0L
     var y = 0
     while (y < hOut) {
-      val rowOff = base + (y * factor).toLong.toInt * w * 3
+      val rowOff = base + (y * factor).toLong.toInt * w * nc
       var x = 0
       while (x < wOut) {
-        val px = rowOff + x * factor * 3
+        val px = rowOff + x * factor * nc
         var c = 0
-        while (c < 3) {
+        while (c < nc) {
           val v = bytes(px + c) & 0xff
           sum += v
           acc = (acc * 31 + v) % Mod
@@ -305,7 +313,7 @@ object PpmFrameSample {
     while (pos < bytes.length) {
       val hd = PpmDecode.parseHeader(bytes, pos)
       if (hd == null) return null // malformed frame voids the row
-      val n = hd.width * hd.height * 3
+      val n = hd.width * hd.height * hd.channels
       if (frames % stride == 0) {
         sampled += 1
         var i = hd.planeStart
