@@ -84,6 +84,22 @@ object GraftElementPushdown extends Rule[LogicalPlan] {
             ZoneMapFilter.pathEquals(m.name + ".key", kdt, javaForm(k)).toSeq ++
               ZoneMapFilter.pathEquals(m.name + ".value", dt, javaForm(v)).toSeq
           }
+      // IN-set form of the same existence bound: a row matches only if the
+      // array (or the map value under key k) holds ONE OF the probe values
+      // somewhere, so pages excluding every value skip. Null probes can
+      // never select a row (x IN (null, ...) is null unless a non-null
+      // probe matches) and are dropped before the bound.
+      def accessorInPreds(acc: Expression, values: Seq[Any], dt: DataType): Seq[ZoneMapFilter.PagePred] = {
+        val nonNull = values.filter(_ != null).map(javaForm)
+        if (nonNull.isEmpty) return Nil
+        arrayAttrOf(acc).toSeq.flatMap(a =>
+          ZoneMapFilter.elementIn(a.name, dt, nonNull)) ++
+          mapAttrOf(acc).toSeq.flatMap { case (m, k, kdt) =>
+            val kp = ZoneMapFilter.pathEquals(m.name + ".key", kdt, javaForm(k))
+            val vp = ZoneMapFilter.pathIn(m.name + ".value", dt, nonNull)
+            if (kp.isEmpty || vp.isEmpty) Nil else Seq(kp.get, vp.get)
+          }
+      }
 
       val preds = splitConjuncts(cond).flatMap {
         case ArrayContains(a: AttributeReference, Literal(v, dt))
@@ -100,6 +116,16 @@ object GraftElementPushdown extends Rule[LogicalPlan] {
           accessorPreds(acc, v, dt)
         case EqualTo(Literal(v, dt), acc) if v != null && supported(dt) =>
           accessorPreds(acc, v, dt)
+        // IN-list probes — both the literal-list form and the optimizer's
+        // hashed InSet form (large lists)
+        case org.apache.spark.sql.catalyst.expressions.In(acc, list)
+            if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) &&
+              supported(list.head.dataType) =>
+          accessorInPreds(acc, list.map(_.asInstanceOf[Literal].value),
+            list.head.dataType)
+        case org.apache.spark.sql.catalyst.expressions.InSet(acc, hset)
+            if hset.nonEmpty && supported(acc.dataType) =>
+          accessorInPreds(acc, hset.toSeq, acc.dataType)
         case _ => Nil
       }
       if (preds.isEmpty) f

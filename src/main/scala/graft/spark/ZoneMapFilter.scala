@@ -292,6 +292,19 @@ object ZoneMapFilter {
   def elementEquals(fieldName: String, elementType: DataType, value: Any): Option[PagePred] =
     pathEquals(fieldName + ".element", elementType, value)
 
+  /** IN-set bound against a leaf path: skip a page group iff EVERY probe
+    * value is excluded. A partially-convertible value set must not push at
+    * all — the unconvertible value could match inside a skipped page.
+    */
+  def pathIn(path: String, dt: DataType, values: Seq[Any]): Option[PagePred] = {
+    val ps = values.map(pathEquals(path, dt, _))
+    if (ps.isEmpty || ps.exists(_.isEmpty)) None
+    else Some(AnyOf(ps.map(_.get).toArray))
+  }
+
+  def elementIn(fieldName: String, elementType: DataType, values: Seq[Any]): Option[PagePred] =
+    pathIn(fieldName + ".element", elementType, values)
+
   /** Equality bound against an arbitrary leaf path (array element / map key /
     * map value — see [[GraftSchema.leafIndexOfPath]] for the reserved
     * segments). Skips a page group iff the leaf's bounds exclude the probe.

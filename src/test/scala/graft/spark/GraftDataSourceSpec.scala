@@ -181,7 +181,10 @@ class GraftDataSourceSpec extends AnyFunSuite {
       _.filter(col("m").getItem("k1") === 500L),
       _.filter(col("m").getItem("zz") === 5L), // key absent everywhere
       _.filter(expr("try_element_at(arr, 1) = 100L")),
-      _.filter(array_contains(col("arr"), 7L) && col("id") % 3 === 0))
+      _.filter(array_contains(col("arr"), 7L) && col("id") % 3 === 0),
+      _.filter(col("m").getItem("k2").isin(5L, 17L, 250L)),
+      // > inSetConversionThreshold values exercises the hashed InSet path
+      _.filter(col("m").getItem("k0").isin((0L to 12L).map(_ * 37): _*)))
     val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
     try {
       spark.conf.set("spark.sql.ansi.enabled", "true")

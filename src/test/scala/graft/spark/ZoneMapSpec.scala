@@ -101,6 +101,13 @@ class ZoneMapSpec extends AnyFunSuite {
       GraftMetrics.pageGroupsRead.set(0)
       assert(g.filter(col("arr").getItem(0) === 150000L).count() == 1)
       assert(GraftMetrics.pageGroupsSkipped.get() >= 10)
+
+      // IN-list probe: pages skip only when they exclude EVERY value
+      GraftMetrics.pageGroupsSkipped.set(0)
+      GraftMetrics.pageGroupsRead.set(0)
+      assert(g.filter(element_at(col("arr"), 1).isin(150000L, 270000L)).count() == 2)
+      assert(GraftMetrics.pageGroupsSkipped.get() >= 9,
+        s"element IN probe should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
 
     // map accessor: m[k] = v prunes on BOTH the key leaf (k absent from
@@ -123,6 +130,12 @@ class ZoneMapSpec extends AnyFunSuite {
     GraftMetrics.pageGroupsRead.set(0)
     assert(gm.filter(col("m").getItem("zz") === 5L).count() == 0)
     assert(GraftMetrics.pageGroupsRead.get() == 0)
+    // m[k] IN (...) prunes on the value leaf (null-safe, so under ANSI too)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    assert(gm.filter(col("m").getItem("k0").isin(200000L, 400000L)).count() == 2)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 9,
+      s"map value IN probe should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
 
     // soundness on unsorted arrays: pruning must never drop matches, and a
     // conjunct the rule can't compile must not break the one it can
