@@ -158,7 +158,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     new GraftScanBuilder(tableSchema, path,
       SparkSession.active.sessionState.newHadoopConf(),
       options.getBoolean("runtimefilter", false),
-      Option(options.get("manifest")).map(_.toBoolean))
+      Option(options.get("manifest")).map(_.toBoolean),
+      Option(options.get("maxfilespertrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info, path)
 
@@ -179,7 +180,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
 final class GraftScanBuilder(tableSchema: StructType, path: String,
     conf: org.apache.hadoop.conf.Configuration,
     runtimeFilter: Boolean = false,
-    manifestOpt: Option[Boolean] = None)
+    manifestOpt: Option[Boolean] = None,
+    maxFilesOpt: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -294,7 +296,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
       }
     case None =>
       new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
-        pushed, pushedLimit)
+        pushed, pushedLimit, maxFilesOpt = maxFilesOpt)
   }
 }
 
@@ -306,7 +308,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val manifestOpt: Option[Boolean] = None,
     private val pushedRaw: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     private val limit: Option[Int] = None,
-    private val elementPreds: Array[ZoneMapFilter.PagePred] = Array.empty)
+    private val elementPreds: Array[ZoneMapFilter.PagePred] = Array.empty,
+    private val maxFilesOpt: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -317,7 +320,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     */
   private[spark] def withElementPreds(ps: Array[ZoneMapFilter.PagePred]): GraftScan =
     new GraftScan(tableSchema, projected, path, conf, initialPagePreds, runtimeFilter,
-      manifestOpt, pushedRaw, limit, ps)
+      manifestOpt, pushedRaw, limit, ps, maxFilesOpt)
 
   private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
 
@@ -385,7 +388,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json, manifestOpt)
+    new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json, manifestOpt,
+      maxFilesOpt)
   override def description(): String =
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
       (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "") +

@@ -82,7 +82,9 @@ object GraftStreamOffset {
 }
 
 final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
-    projectedJson: String, manifestOpt: Option[Boolean] = None) extends MicroBatchStream {
+    projectedJson: String, manifestOpt: Option[Boolean] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val tableDir = new org.apache.hadoop.fs.Path(path)
   private def fs = tableDir.getFileSystem(conf.value)
@@ -158,6 +160,52 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
   override def deserializeOffset(json: String): Offset = {
     val off = GraftStreamOffset.fromJson(json)
     pinMode(off) // a restored checkpoint pins the mode before any capture
+    off
+  }
+
+  // ---- admission control: `.option("maxfilespertrigger", n)` bounds how
+  // many files (manifests, in manifest mode) one micro-batch admits, so a
+  // stream started over a deep backlog catches up in bounded batches
+  // instead of processing the whole history as batch 1. The capped offset
+  // keeps the coverage invariant: admission is a (time, name)-sorted PREFIX
+  // of the uncovered set, so everything left out still reads as uncovered
+  // (its timestamp is >= the new watermark) and lands in a later batch.
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = limit match {
+    case mf: ReadMaxFiles => cappedLatest(start.asInstanceOf[GraftStreamOffset], mf.maxFiles())
+    case _ => latestOffset()
+  }
+
+  private def cappedLatest(s: GraftStreamOffset, n: Int): Offset = {
+    val sNames = s.names.toSet
+    // (name, timestamp) universe: manifests in manifest mode, else files
+    val universe: Seq[(String, Long)] =
+      if (manifestMode) GraftManifest.list(fs, tableDir).map(m => (m, GraftManifest.nameT(m)))
+      else listNow().map { case (name, mt, _) => (name, mt) }
+    if (universe.isEmpty) return s
+    // timestamp-major order is the invariant: admitting a PREFIX of this
+    // ordering guarantees every unadmitted entry's timestamp is >= the new
+    // watermark, so it stays visibly uncovered for the next batch
+    val uncovered = universe.filterNot { case (name, t) => covered(s.t, sNames, name, t) }
+      .sortBy { case (name, t) => (t, name) }
+    if (uncovered.isEmpty) return s
+    val admitted = uncovered.take(math.max(n, 1))
+    val tFinal = math.max(admitted.map(_._2).max, s.t)
+    // new covered set = covered-by-start ∪ admitted; the offset lists every
+    // covered name still inside the new lateness window
+    val windowNames =
+      (universe.filter { case (name, t) => covered(s.t, sNames, name, t) } ++ admitted)
+        .collect { case (name, t) if t >= tFinal - lateness => name }
+        .distinct.sorted
+    val off = GraftStreamOffset(tFinal, windowNames, manifest = manifestMode)
+    pinMode(off)
     off
   }
 

@@ -216,6 +216,34 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("manifest"))
   }
 
+  test("maxfilespertrigger bounds a backlog into multiple exactly-once batches") {
+    val dir = "/tmp/graft-test/stream-maxfiles"
+    // a deep backlog: 6 separate commits before the stream starts
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (0 until 6).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).selectExpr("id as k")
+        .coalesce(1).write.format("graft").mode("append").save(dir)
+    }
+    val schema = spark.read.format("graft").load(dir).schema
+    val stream = spark.readStream.format("graft").schema(schema)
+      .option("maxfilespertrigger", "2").load(dir)
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("k")).as("sk"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_maxfiles").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("graft_stream_maxfiles").head()
+      // all rows, exactly once, across the capped catch-up batches
+      assert(r.getLong(0) == 60L)
+      assert(r.getLong(1) == (0L until 60L).sum)
+      // the cap really split the backlog: 6 commits / 2 per trigger >= 3
+      // batches (manifest mode admits per manifest)
+      val prog = q.recentProgress
+      assert(prog.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 capped batches, got ${prog.map(_.numInputRows).mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream offset stays compact as the directory grows") {
     val dir = "/tmp/graft-test/stream-offset"
     spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
