@@ -178,9 +178,19 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
 
   override def reportLatestOffset(): Offset = latestOffset()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = limit match {
-    case mf: ReadMaxFiles => cappedLatest(start.asInstanceOf[GraftStreamOffset], mf.maxFiles())
-    case _ => latestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // Trigger.AvailableNow and friends wrap the per-trigger cap in a
+    // composite limit — honor the ReadMaxFiles component wherever it sits
+    def maxFilesOf(l: ReadLimit): Option[Int] = l match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles())
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.flatMap(maxFilesOf(_)).headOption
+      case _ => None
+    }
+    maxFilesOf(limit) match {
+      case Some(n) => cappedLatest(start.asInstanceOf[GraftStreamOffset], n)
+      case None => latestOffset()
+    }
   }
 
   private def cappedLatest(s: GraftStreamOffset, n: Int): Offset = {
