@@ -142,5 +142,38 @@ object GraftExtensions {
     if (!s.experimental.extraOptimizations.contains(GraftElementPushdown))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ GraftElementPushdown
+    registerSqlFunctions(s)
+  }
+
+  /** Literal-int second argument of a SQL multimodal function (factor /
+    * stride) — must be resolvable at registration time, not per row. */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: second argument must be an INT literal, got $other")
+  }
+
+  /** SQL names for the native multimodal expressions, so the pure-SQL
+    * surface has the same pipeline: graft_ppm_decode(payload),
+    * graft_ppm_resample(payload, factor), graft_ppm_framesample(payload,
+    * stride). Idempotent (re-registration overwrites with an identical
+    * builder).
+    */
+  private def registerSqlFunctions(s: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val reg = s.sessionState.functionRegistry
+    def register(name: String, arity: Int, build: Seq[Expression] => Expression): Unit =
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo("graft.spark.Multimodal", name),
+        exprs => {
+          require(exprs.length == arity, s"$name takes $arity arguments")
+          build(exprs)
+        })
+    register("graft_ppm_decode", 1, es => PpmDecode(es.head))
+    register("graft_ppm_resample", 2,
+      es => PpmResample(es.head, litInt(es(1), "graft_ppm_resample")))
+    register("graft_ppm_framesample", 2,
+      es => PpmFrameSample(es.head, litInt(es(1), "graft_ppm_framesample")))
   }
 }
