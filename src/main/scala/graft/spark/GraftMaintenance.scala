@@ -43,7 +43,9 @@ object GraftMaintenance {
     * before the snapshot delete — exactly the window a concurrent append
     * lands in, which the snapshot-scoped delete must leave untouched. */
   private[graft] def compactImpl(spark: SparkSession, dir: String, targetFiles: Int,
-      extraWriteOptions: Map[String, String], afterRewrite: () => Unit): CompactStats = {
+      extraWriteOptions: Map[String, String], afterRewrite: () => Unit,
+      arrange: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame =
+        (df, n) => df.repartition(n)): CompactStats = {
     require(targetFiles >= 1, s"graft: targetFiles must be >= 1, got $targetFiles")
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
@@ -65,7 +67,7 @@ object GraftMaintenance {
       else extraWriteOptions
     val df = spark.read.format("graft").load(dir)
     val rows = df.count()
-    val writer = df.repartition(targetFiles).write.format("graft").mode("append")
+    val writer = arrange(df, targetFiles).write.format("graft").mode("append")
     opts.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
       .save(dir)
     afterRewrite()
@@ -78,5 +80,54 @@ object GraftMaintenance {
     val after = GraftUtil.listDataFiles(dir, conf)
     CompactStats(before.size, before.map(_.getLen).sum,
       after.size, after.map(_.getLen).sum, rows)
+  }
+
+  /** Z-ORDER re-layout: cluster the table on the bit-interleaved rank of
+    * 2-3 numeric/timestamp columns, so range predicates on EACH column
+    * prune page groups — the multi-dimensional alternative to `sortby`
+    * (which serves its first column perfectly and later ones not at all).
+    * Each column is min/max-scaled to 21 bits (one aggregate over the
+    * table), the scaled values are bit-interleaved into a 63-bit z-value,
+    * and the rewrite range-partitions + sorts on it, giving every file and
+    * page group an axis-aligned tile of the value space. Same in-place
+    * safety model as [[compact]] (append-mode rewrite + snapshot-scoped
+    * deletes). The z-value is computed with plain Spark SQL expressions —
+    * no UDF — and dropped before the write.
+    */
+  def zorder(spark: SparkSession, dir: String, cols: Seq[String],
+      targetFiles: Int): CompactStats = {
+    require(cols.size >= 2 && cols.size <= 3,
+      s"graft: zorder takes 2-3 columns, got ${cols.size}")
+    import org.apache.spark.sql.functions._
+    val bits = 21 // 3 cols x 21 bits = 63 bits, sign bit untouched
+    val src = spark.read.format("graft").load(dir)
+    cols.foreach(c => require(src.schema.fieldNames.contains(c),
+      s"graft: zorder column '$c' not in table schema"))
+    // per-column bounds in ONE pass; numeric/timestamp columns only
+    val bounds = src.agg(
+      min(col(cols.head)).cast("double"), max(col(cols.head)).cast("double"),
+      min(col(cols(1))).cast("double"), max(col(cols(1))).cast("double"),
+      min(col(cols.last)).cast("double"), max(col(cols.last)).cast("double")).head()
+    def scaled(i: Int, c: String): org.apache.spark.sql.Column = {
+      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val range = if (hi > lo) hi - lo else 1.0
+      least(lit((1L << bits) - 1), greatest(lit(0L),
+        ((col(c).cast("double") - lit(lo)) / lit(range) * lit(((1L << bits) - 1).toDouble))
+          .cast("bigint")))
+    }
+    val nCols = cols.size
+    val parts = cols.zipWithIndex.map { case (c, i) =>
+      // interleave: bit j of column i lands at position j*nCols + i
+      val sc = scaled(i, c)
+      (0 until bits).map(j =>
+        shiftleft(shiftright(sc, j).bitwiseAND(lit(1L)), j * nCols + i))
+        .reduce(_.bitwiseOR(_))
+    }
+    val z = parts.reduce(_.bitwiseOR(_))
+    compactImpl(spark, dir, targetFiles, Map.empty, () => (),
+      arrange = (df, n) => df.withColumn("__graft_z", z)
+        .repartitionByRange(n, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z"))
   }
 }

@@ -55,6 +55,39 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     assert(back.selectExpr("sum(k)").first().getLong(0) == (0L until 1250).sum)
   }
 
+  test("zorder re-layout prunes range probes on BOTH columns") {
+    val dir = "/tmp/graft-test/maintenance-zorder"
+    // a scrambled 256x256 grid: no natural order, so only the z-layout can
+    // give page groups axis-aligned tiles
+    spark.range(256L * 256L).selectExpr("cast(hash(id) as bigint) AS noise",
+        "id % 256 AS x", "id div 256 AS y", "id AS v")
+      .orderBy("noise").drop("noise")
+      .repartition(8).write.format("graft").mode("overwrite").save(dir)
+    val st = GraftMaintenance.zorder(spark, dir, Seq("x", "y"), targetFiles = 16)
+    assert(st.rows == 65536 && st.filesAfter == 16)
+    val g = spark.read.format("graft").load(dir)
+    def prunedFrac(f: org.apache.spark.sql.DataFrame => Long): Double = {
+      GraftMetrics.pageGroupsSkipped.set(0)
+      GraftMetrics.pageGroupsRead.set(0)
+      f(g)
+      val (s, r) = (GraftMetrics.pageGroupsSkipped.get(), GraftMetrics.pageGroupsRead.get())
+      assert(s + r > 0)
+      s.toDouble / (s + r)
+    }
+    val fx = prunedFrac { df =>
+      val n = df.filter(col("x") >= 10 && col("x") < 20).count()
+      assert(n == 10L * 256); n
+    }
+    assert(fx >= 0.5, s"x-range should prune half the tiles, pruned=$fx")
+    val fy = prunedFrac { df =>
+      val n = df.filter(col("y") >= 100 && col("y") < 110).count()
+      assert(n == 10L * 256); n
+    }
+    assert(fy >= 0.5, s"y-range should prune half the tiles, pruned=$fy")
+    // rows survive bit-exactly
+    assert(g.agg(sum(col("v"))).head.getLong(0) == (0L until 65536L).sum)
+  }
+
   test("compaction can impose a sorted layout that then prunes") {
     val dir = "/tmp/graft-test/maintenance-sort"
     // unsorted drip ingest
