@@ -159,7 +159,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       SparkSession.active.sessionState.newHadoopConf(),
       options.getBoolean("runtimefilter", false),
       Option(options.get("manifest")).map(_.toBoolean),
-      Option(options.get("maxfilespertrigger")).map(_.toInt))
+      Option(options.get("maxfilespertrigger")).map(_.toInt),
+      Option(options.get("asof")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info, path)
 
@@ -181,7 +182,8 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     conf: org.apache.hadoop.conf.Configuration,
     runtimeFilter: Boolean = false,
     manifestOpt: Option[Boolean] = None,
-    maxFilesOpt: Option[Int] = None)
+    maxFilesOpt: Option[Int] = None,
+    asofOpt: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -248,7 +250,9 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (hadFilters) return false
+    // an asof snapshot restricts the file set; the footer-only agg scan
+    // lists the live directory, so it must not answer snapshot reads
+    if (hadFilters || asofOpt.isDefined) return false
     val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
       case f: org.apache.spark.sql.connector.expressions.NamedReference
           if f.fieldNames().length == 1 => f.fieldNames()(0)
@@ -296,7 +300,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
       }
     case None =>
       new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
-        pushed, pushedLimit, maxFilesOpt = maxFilesOpt)
+        pushed, pushedLimit, maxFilesOpt = maxFilesOpt, asofOpt = asofOpt)
   }
 }
 
@@ -309,7 +313,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val pushedRaw: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     private val limit: Option[Int] = None,
     private val elementPreds: Array[ZoneMapFilter.PagePred] = Array.empty,
-    private val maxFilesOpt: Option[Int] = None)
+    private val maxFilesOpt: Option[Int] = None,
+    private val asofOpt: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -320,7 +325,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     */
   private[spark] def withElementPreds(ps: Array[ZoneMapFilter.PagePred]): GraftScan =
     new GraftScan(tableSchema, projected, path, conf, initialPagePreds, runtimeFilter,
-      manifestOpt, pushedRaw, limit, ps, maxFilesOpt)
+      manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt)
 
   private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
 
@@ -330,7 +335,26 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   // file (Spark re-applies everything row-level; partition columns are also
   // stored in the data, so this is purely an IO optimization).
   private lazy val files = {
-    val all = GraftUtil.listDataFiles(path, conf)
+    val listed = GraftUtil.listDataFiles(path, conf)
+    // `asof` snapshot: keep only files whose publishing manifest committed
+    // at or before the requested time; files NO manifest lists are
+    // pre-manifest history, visible in every snapshot. Compaction retires
+    // old manifests with their files, so snapshots older than the last
+    // compaction are not reconstructable (documented).
+    val all = asofOpt match {
+      case None => listed
+      case Some(t) =>
+        val tableDir = new Path(path)
+        val fs = tableDir.getFileSystem(conf)
+        val committedAt: Map[String, Long] = GraftManifest.list(fs, tableDir)
+          .flatMap { m =>
+            val mt = GraftManifest.nameT(m)
+            GraftManifest.read(fs, tableDir, m).map { case (name, _) =>
+              fs.makeQualified(new Path(tableDir, name)).toString -> mt
+            }
+          }.toMap
+        listed.filter(f => committedAt.get(f.getPath.toString).forall(_ <= t))
+    }
     if (pushedRaw.isEmpty) all
     else {
       val tableDir = new Path(path)
@@ -475,11 +499,11 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       path == o.path && tableSchema == o.tableSchema && projected == o.projected &&
         runtimeFilter == o.runtimeFilter && manifestOpt == o.manifestOpt &&
         limit == o.limit && pushedKey == o.pushedKey &&
-        elementKey == o.elementKey
+        elementKey == o.elementKey && asofOpt == o.asofOpt
     case _ => false
   }
   override def hashCode(): Int =
-    (path, projected, limit, runtimeFilter, pushedKey, elementKey).hashCode()
+    (path, projected, limit, runtimeFilter, pushedKey, elementKey, asofOpt).hashCode()
 
   override def estimateStatistics(): Statistics = new Statistics {
     // sizeInBytes drives the broadcast-join decision. Parquet's V1 path

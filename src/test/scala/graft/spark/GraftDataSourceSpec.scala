@@ -246,6 +246,40 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("asof snapshot reads pin the manifest history") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft-test/asof"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val hconf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    def lastManifestT: Long = {
+      val fs = tableDir.getFileSystem(hconf)
+      GraftManifest.list(fs, tableDir).map(GraftManifest.nameT).max
+    }
+    spark.range(100).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+    val t1 = lastManifestT
+    Thread.sleep(5)
+    spark.range(100, 250).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+    val t2 = lastManifestT
+    Thread.sleep(5)
+    spark.range(250, 300).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+
+    def at(t: Long) = spark.read.format("graft").option("asof", t.toString).load(dir)
+    assert(at(t1).count() == 100)
+    assert(at(t2).count() == 250)
+    assert(at(System.currentTimeMillis()).count() == 300)
+    assert(spark.read.format("graft").load(dir).count() == 300)
+    // snapshot semantics survive pushdown paths: filters and aggregates
+    // must see the pinned file set, not the live directory (the footer-only
+    // agg scan declines asof reads)
+    assert(at(t1).filter(col("k") >= 50).count() == 50)
+    val agg = at(t2).agg(count(lit(1)).as("n"), max(col("k")).as("mx"))
+    assert(!agg.queryExecution.executedPlan.collectLeaves().mkString
+      .contains("footer-only"), "agg pushdown must decline asof snapshots")
+    val r = agg.head()
+    assert(r.getLong(0) == 250 && r.getLong(1) == 249L)
+  }
+
   test("hive-style partitioned writes prune whole directories on pushed filters") {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/graft-test/partitioned"
