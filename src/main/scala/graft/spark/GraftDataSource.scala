@@ -160,7 +160,13 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       options.getBoolean("runtimefilter", false),
       Option(options.get("manifest")).map(_.toBoolean),
       Option(options.get("maxfilespertrigger")).map(_.toInt),
-      Option(options.get("asof")).map(_.toLong))
+      Option(options.get("asof")).map(_.toLong),
+      options.getOrDefault("startingposition", "earliest") match {
+        case "earliest" => false
+        case "latest" => true
+        case other => throw new IllegalArgumentException(
+          s"graft: startingposition must be earliest|latest, got '$other'")
+      })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info, path)
 
@@ -183,7 +189,8 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     runtimeFilter: Boolean = false,
     manifestOpt: Option[Boolean] = None,
     maxFilesOpt: Option[Int] = None,
-    asofOpt: Option[Long] = None)
+    asofOpt: Option[Long] = None,
+    startLatest: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -300,7 +307,8 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
       }
     case None =>
       new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
-        pushed, pushedLimit, maxFilesOpt = maxFilesOpt, asofOpt = asofOpt)
+        pushed, pushedLimit, maxFilesOpt = maxFilesOpt, asofOpt = asofOpt,
+        startLatest = startLatest)
   }
 }
 
@@ -314,7 +322,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val limit: Option[Int] = None,
     private val elementPreds: Array[ZoneMapFilter.PagePred] = Array.empty,
     private val maxFilesOpt: Option[Int] = None,
-    private val asofOpt: Option[Long] = None)
+    private val asofOpt: Option[Long] = None,
+    private val startLatest: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -325,7 +334,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     */
   private[spark] def withElementPreds(ps: Array[ZoneMapFilter.PagePred]): GraftScan =
     new GraftScan(tableSchema, projected, path, conf, initialPagePreds, runtimeFilter,
-      manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt)
+      manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt, startLatest)
 
   private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
 
@@ -413,7 +422,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json, manifestOpt,
-      maxFilesOpt)
+      maxFilesOpt, startLatest)
   override def description(): String =
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
       (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "") +

@@ -82,6 +82,25 @@ object GraftMaintenance {
       after.size, after.map(_.getLen).sum, rows)
   }
 
+  /** Manifest retention: delete commit manifests older than `olderThanMs`
+    * (epoch millis). Data files are NEVER touched — a file whose manifest
+    * is expired simply becomes "pre-manifest history", visible in every
+    * `asof` snapshot and to every batch reader exactly as before. What
+    * expires is snapshot GRANULARITY older than the cutoff (and streaming
+    * manifest-mode replay depth), bounding the `_graft_manifest/` directory
+    * on a long-lived ingest table. Returns the number of manifests removed.
+    */
+  def expireManifests(spark: SparkSession, dir: String, olderThanMs: Long): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    val expired = GraftManifest.list(fs, tableDir)
+      .filter(n => GraftManifest.nameT(n) < olderThanMs)
+    expired.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false))
+    expired.size
+  }
+
   /** Z-ORDER re-layout: cluster the table on the bit-interleaved rank of
     * 2-3 numeric/timestamp columns, so range predicates on EACH column
     * prune page groups — the multi-dimensional alternative to `sortby`

@@ -83,7 +83,8 @@ object GraftStreamOffset {
 
 final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     projectedJson: String, manifestOpt: Option[Boolean] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    maxFilesPerTrigger: Option[Int] = None,
+    startLatest: Boolean = false) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val tableDir = new org.apache.hadoop.fs.Path(path)
@@ -130,7 +131,14 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     modTime < windowStart || names.contains(name)
   }
 
-  override def initialOffset(): Offset = GraftStreamOffset.Empty
+  /** `startingposition=latest` starts a FRESH checkpoint at the current
+    * directory state (only files arriving after stream start are
+    * processed); the default `earliest` replays the whole history (bounded
+    * per batch by `maxfilespertrigger` when set). Restarts ignore this —
+    * the checkpoint's own offset wins, as with every Spark source.
+    */
+  override def initialOffset(): Offset =
+    if (startLatest) latestOffset() else GraftStreamOffset.Empty
 
   override def latestOffset(): Offset = {
     if (manifestMode) {

@@ -55,6 +55,22 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     assert(back.selectExpr("sum(k)").first().getLong(0) == (0L until 1250).sum)
   }
 
+  test("expireManifests trims snapshot depth without touching data") {
+    val dir = "/tmp/graft-test/maintenance-expire"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(10).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.range(10, 30).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+    val removed = GraftMaintenance.expireManifests(spark, dir, cut)
+    assert(removed == 1)
+    // data intact; the expired commit's files read as pre-manifest history
+    val g = spark.read.format("graft").load(dir)
+    assert(g.count() == 30)
+    assert(spark.read.format("graft").option("asof", cut.toString).load(dir).count() == 10)
+  }
+
   test("zorder re-layout prunes range probes on BOTH columns") {
     val dir = "/tmp/graft-test/maintenance-zorder"
     // a scrambled 256x256 grid: no natural order, so only the z-layout can

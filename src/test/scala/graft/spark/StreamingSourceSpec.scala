@@ -244,6 +244,28 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingposition=latest skips pre-existing history on a fresh checkpoint") {
+    val dir = "/tmp/graft-test/stream-latest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(50).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+    val schema = spark.read.format("graft").load(dir).schema
+    val q = spark.readStream.format("graft").schema(schema)
+      .option("startingposition", "latest").load(dir)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_latest").start()
+    try {
+      q.processAllAvailable()
+      val n0 = spark.table("graft_stream_latest").collect()
+        .headOption.map(_.getLong(0)).getOrElse(0L)
+      assert(n0 == 0L, s"latest start must skip history, saw $n0 rows")
+      spark.range(50, 70).selectExpr("id AS k")
+        .write.format("graft").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("graft_stream_latest").head().getLong(0) == 20L)
+    } finally q.stop()
+  }
+
   test("stream offset stays compact as the directory grows") {
     val dir = "/tmp/graft-test/stream-offset"
     spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
