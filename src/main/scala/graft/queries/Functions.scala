@@ -120,6 +120,38 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_asof_snapshot" -> { (s, dir) =>
+      // SNAPSHOT read in the correctness gate: documents staged as two
+      // commits (even doc_ids, then odd), the first commit's manifest time
+      // recorded in a marker; reading `.option("asof", t1)` must see
+      // EXACTLY the first commit — which the oracle expresses as
+      // `WHERE doc_id % 2 = 0` over the raw table. Proves the manifest
+      // history pins the file set end to end (scan, filter, aggregate).
+      val stage = s"/tmp/graft_asof_stage/${stageKey(s, dir, "documents")}/documents"
+      val marker = new java.io.File(s"$stage/_GRAFT_ASOF_T1")
+      if (!marker.exists()) {
+        val d = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        d.filter(col("doc_id") % 2 === 0)
+          .write.format("graft").mode("append").save(stage)
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val t1 = graft.spark.GraftManifest
+          .list(fs, new org.apache.hadoop.fs.Path(stage))
+          .map(graft.spark.GraftManifest.nameT).max
+        Thread.sleep(5) // the second commit must be strictly after t1
+        d.filter(col("doc_id") % 2 === 1)
+          .write.format("graft").mode("append").save(stage)
+        java.nio.file.Files.writeString(marker.toPath, t1.toString)
+      }
+      val t1 = java.nio.file.Files.readString(marker.toPath).trim
+      s.read.format("graft").option("asof", t1).load(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
     "q_map_pruning" -> { (s, dir) =>
       // map-ELEMENT pushdown in the headline gate: documents staged with a
       // single-entry map(lang -> lang), laid out sorted by lang, so the
@@ -325,6 +357,12 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_asof_snapshot" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_partition_agg" ->
       """SELECT lang, count(*) AS docs, count(n_chars) AS chars_count,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
