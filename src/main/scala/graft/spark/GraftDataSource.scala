@@ -420,9 +420,15 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a snapshot pin makes no sense for an unbounded source — fail loudly
+    // rather than silently streaming the live directory
+    require(asofOpt.isEmpty,
+      "graft: 'asof' is a batch-read snapshot option; a stream cannot be " +
+        "pinned to a past state (use startingposition/maxfilespertrigger)")
     new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json, manifestOpt,
       maxFilesOpt, startLatest)
+  }
   override def description(): String =
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
       (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "") +

@@ -86,9 +86,15 @@ object GraftMaintenance {
     * (epoch millis). Data files are NEVER touched — a file whose manifest
     * is expired simply becomes "pre-manifest history", visible in every
     * `asof` snapshot and to every batch reader exactly as before. What
-    * expires is snapshot GRANULARITY older than the cutoff (and streaming
-    * manifest-mode replay depth), bounding the `_graft_manifest/` directory
-    * on a long-lived ingest table. Returns the number of manifests removed.
+    * expires is snapshot GRANULARITY older than the cutoff, bounding the
+    * `_graft_manifest/` directory on a long-lived ingest table. Returns
+    * the number of manifests removed.
+    *
+    * Streaming caveat: a manifest-mode stream checkpoint that has NOT yet
+    * processed a manifest loses those files if it expires — keep the
+    * retention window comfortably longer than the longest expected stream
+    * downtime (the same contract as any log-retention + consumer-lag
+    * pairing).
     */
   def expireManifests(spark: SparkSession, dir: String, olderThanMs: Long): Int = {
     val conf = spark.sessionState.newHadoopConf()
