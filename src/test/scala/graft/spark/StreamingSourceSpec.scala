@@ -244,6 +244,22 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asof is rejected on streaming reads") {
+    val dir = "/tmp/graft-test/stream-asof-reject"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(5).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+    val schema = spark.read.format("graft").load(dir).schema
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").schema(schema)
+        .option("asof", System.currentTimeMillis().toString).load(dir)
+        .writeStream.format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def hasAsof(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("asof")) || hasAsof(t.getCause))
+    assert(hasAsof(e), s"expected the asof rejection, got: ${e.getMessage}")
+  }
+
   test("startingposition=latest skips pre-existing history on a fresh checkpoint") {
     val dir = "/tmp/graft-test/stream-latest"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
