@@ -424,6 +424,31 @@ object TrainingData {
         .orderBy(col("label"), col("outlier_rank"))
     },
 
+    "s_embedding_quantize" -> { (s, dir) =>
+      // int8 max-abs quantization of the (integerized) embeddings — the
+      // storage/training compression step — with per-vector reconstruction
+      // error accounting. All arithmetic is integer or IEEE double inside
+      // ORDERED array folds (aggregate over the array, not a shuffle agg),
+      // so both engines compute bit-identical sums. Pure map — the 100 TB
+      // cost is one pass over the vectors, no shuffle at all.
+      embs(s, dir).withColumn("q", expr(quantized))
+        .withColumn("scale", expr(
+          "aggregate(q, cast(0 as bigint), (a, x) -> greatest(a, abs(x)))"))
+        .withColumn("codes", expr(
+          """transform(q, x -> CASE WHEN scale = 0 THEN cast(0 as bigint)
+               ELSE cast(floor(cast(x as double) * 127.0 / cast(scale as double)) as bigint)
+               END)"""))
+        .withColumn("l1_code", expr(
+          "aggregate(codes, cast(0 as bigint), (a, c) -> a + abs(c))"))
+        .withColumn("sq_err", expr(
+          """aggregate(zip_with(q, codes, (x, c) ->
+               (cast(x as double) - cast(c as double) * cast(scale as double) / 127.0d) *
+               (cast(x as double) - cast(c as double) * cast(scale as double) / 127.0d)),
+             cast(0 as double), (a, e) -> a + e)"""))
+        .select(col("vec_id"), col("scale"), col("l1_code"), col("sq_err"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---------------- text analysis ----------------
 
     "t_language_id" -> { (s, dir) =>
@@ -941,6 +966,29 @@ object TrainingData {
   }
 
   val oracles: Map[String, String] = Map(
+    "s_embedding_quantize" ->
+      """WITH q0 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, q,
+        |    list_max(list_transform(q, x -> abs(x))) AS scale
+        |  FROM q0),
+        |cd AS (
+        |  SELECT vec_id, q, scale,
+        |    list_transform(q, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE)) AS BIGINT)
+        |      END) AS codes
+        |  FROM sc)
+        |SELECT vec_id, CAST(scale AS BIGINT) AS scale,
+        |  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS l1_code,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(q)),
+        |      i -> (CAST(q[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * CAST(scale AS DOUBLE) / 127.0) *
+        |           (CAST(q[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * CAST(scale AS DOUBLE) / 127.0))),
+        |    (a, e) -> a + e) AS sq_err
+        |FROM cd ORDER BY vec_id""".stripMargin,
     "t_pack_sequences" ->
       """WITH t AS (
         |  SELECT source, doc_id, doc_id % 64 AS shard,
