@@ -626,6 +626,20 @@ object TrainingData {
         .orderBy(col("source"))
     },
 
+    "t_token_classes" -> { (s, dir) =>
+      // BPE-style pre-tokenization classes: letter runs, digit runs, and
+      // non-alphanumeric marks per document, via plain-character-class
+      // regexes (identical semantics in Java regex and DuckDB's RE2 — no
+      // engine-specific syntax). The class mix is the cheap
+      // tokenizer-budget signal a data pipeline computes before the real
+      // tokenizer ever runs. Pure map, zero shuffle.
+      docs(s, dir).select(col("doc_id"),
+        expr("cast(size(regexp_extract_all(text, '[A-Za-z]+', 0)) as bigint)").as("alpha_runs"),
+        expr("cast(size(regexp_extract_all(text, '[0-9]+', 0)) as bigint)").as("digit_runs"),
+        expr("cast(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) as bigint)").as("marks"))
+        .orderBy(col("doc_id"))
+    },
+
     "t_fingerprint" -> { (s, dir) =>
       docs(s, dir)
         .withColumn("m", expr(
@@ -989,6 +1003,12 @@ object TrainingData {
         |           (CAST(q[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * CAST(scale AS DOUBLE) / 127.0))),
         |    (a, e) -> a + e) AS sq_err
         |FROM cd ORDER BY vec_id""".stripMargin,
+    "t_token_classes" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS alpha_runs,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_runs,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS marks
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_pack_sequences" ->
       """WITH t AS (
         |  SELECT source, doc_id, doc_id % 64 AS shard,
