@@ -82,6 +82,62 @@ object GraftMaintenance {
       after.size, after.map(_.getLen).sum, rows)
   }
 
+  /** Result of a row-level delete: how many files held matches (and were
+    * rewritten), how many files were untouched, and rows before/after. */
+  final case class DeleteStats(filesRewritten: Int, filesUntouched: Int,
+      rowsBefore: Long, rowsAfter: Long)
+
+  /** Row-level DELETE: remove every row matching `predicate`, rewriting
+    * ONLY the files that contain matches — the takedown/purge pass a
+    * training corpus needs (drop specific doc_ids, a contaminated source,
+    * a date range). Scale shape: the per-file match probe is a pushed-down
+    * `LIMIT 1` scan, so zone maps / blooms decide most files without
+    * touching data pages, and an untouched file keeps its identity (page
+    * layout, zone maps, mtime — snapshots and caches stay valid). Each
+    * rewritten file goes through the same append-then-snapshot-delete
+    * commit as [[compact]]: a crash mid-pass leaves some files rewritten
+    * and some not — re-running the same delete converges, nothing is lost.
+    * Hive-partitioned layouts are preserved (the rewrite writes back into
+    * the file's own partition directory).
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): DeleteStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    val files = GraftUtil.listDataFiles(dir, conf)
+    require(files.nonEmpty, s"graft: nothing to delete under $dir")
+    val schema = spark.read.format("graft").load(dir).schema
+    var rewritten = 0
+    var untouched = 0
+    var rowsBefore = 0L
+    var rowsAfter = 0L
+    files.foreach { f =>
+      val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
+      val total = one.count() // footer-only via aggregate pushdown
+      rowsBefore += total
+      val hasMatch = one.filter(predicate).limit(1).count() > 0
+      if (!hasMatch) { untouched += 1; rowsAfter += total }
+      else {
+        val keep = one.filter(!predicate || predicate.isNull)
+        // write the survivors back through the table root, re-declaring the
+        // file's own partition layout (keys recoverable from its path), so
+        // hive pruning and the root manifest stay coherent; then retire
+        // exactly this file
+        val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
+        val kept = keep.count()
+        if (kept > 0) {
+          val w = keep.coalesce(1).write.format("graft").mode("append")
+          (if (segs.nonEmpty) w.option("partitionby", segs.mkString(",")) else w).save(dir)
+        }
+        fs.delete(f.getPath, false)
+        rewritten += 1
+        rowsAfter += kept
+      }
+    }
+    DeleteStats(rewritten, untouched, rowsBefore, rowsAfter)
+  }
+
   /** Manifest retention: delete commit manifests older than `olderThanMs`
     * (epoch millis). Data files are NEVER touched — a file whose manifest
     * is expired simply becomes "pre-manifest history", visible in every

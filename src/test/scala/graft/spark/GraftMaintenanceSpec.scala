@@ -55,6 +55,38 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     assert(back.selectExpr("sum(k)").first().getLong(0) == (0L until 1250).sum)
   }
 
+  test("deleteWhere rewrites only matching files and preserves partition layout") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/tmp/graft-test/maintenance-delete"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // lang-partitioned: matches live only under lang=b
+    spark.range(3000)
+      .selectExpr("id AS k", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS lang")
+      .write.format("graft").option("partitionby", "lang")
+      .option("maxrowsperfile", "500").mode("overwrite").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val beforeA = GraftUtil.listDataFiles(s"$dir/lang=a", conf)
+      .map(f => (f.getPath.toString, f.getModificationTime)).toSet
+
+    val st = GraftMaintenance.deleteWhere(spark, dir,
+      col("lang") === "b" && col("k") % 10 === 1)
+    assert(st.rowsBefore == 3000)
+    val deleted = (0L until 3000L).count(k => k % 3 != 0 && k % 10 == 1)
+    assert(st.rowsAfter == 3000 - deleted, s"stats: $st")
+    assert(st.filesUntouched > 0 && st.filesRewritten > 0)
+
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 3000 - deleted)
+    assert(back.filter(col("lang") === "b" && col("k") % 10 === 1).count() == 0)
+    // untouched partition keeps its exact files (identity, not rewrite)
+    val afterA = GraftUtil.listDataFiles(s"$dir/lang=a", conf)
+      .map(f => (f.getPath.toString, f.getModificationTime)).toSet
+    assert(afterA == beforeA, "lang=a files must keep their identity")
+    // rewritten rows landed back under their partition dirs
+    assert(GraftUtil.listDataFiles(dir, conf)
+      .forall(_.getPath.toString.contains("lang=")), "partition layout lost")
+  }
+
   test("expireManifests trims snapshot depth without touching data") {
     val dir = "/tmp/graft-test/maintenance-expire"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
