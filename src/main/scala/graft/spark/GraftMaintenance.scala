@@ -107,6 +107,7 @@ object GraftMaintenance {
     val fs = tableDir.getFileSystem(conf)
     val files = GraftUtil.listDataFiles(dir, conf)
     require(files.nonEmpty, s"graft: nothing to delete under $dir")
+    val manifestSnapshot = GraftManifest.list(fs, tableDir)
     val schema = spark.read.format("graft").load(dir).schema
     var rewritten = 0
     var untouched = 0
@@ -135,6 +136,14 @@ object GraftMaintenance {
         rowsAfter += kept
       }
     }
+    // a delete rewrites history: manifests captured at entry may reference
+    // retired files, so they are expired (like compact) — later readers see
+    // the surviving files as pre-manifest history; a fresh manifest-mode
+    // stream replay would otherwise fail on the missing files. Streams
+    // checkpointed over the old files should restart, as with any rewrite.
+    if (rewritten > 0)
+      manifestSnapshot.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false))
     DeleteStats(rewritten, untouched, rowsBefore, rowsAfter)
   }
 
