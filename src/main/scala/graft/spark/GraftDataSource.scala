@@ -343,7 +343,21 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   // directories of footers are never touched. Undecidable filters keep the
   // file (Spark re-applies everything row-level; partition columns are also
   // stored in the data, so this is purely an IO optimization).
-  private lazy val files = {
+  @volatile private var runtimeRaw: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  // cached per runtime-filter generation: statistics/limit planning force
+  // the listing BEFORE DPP filters arrive, so a plain lazy val would pin
+  // the un-pruned file set — planInputPartitions must see the post-runtime
+  // one (an extra listing, never extra footer reads)
+  @volatile private var cachedFiles: (Int, Seq[FileStatus]) = null
+  private def files: Seq[FileStatus] = {
+    val stamp = runtimeRaw.length
+    val c = cachedFiles
+    if (c != null && c._1 == stamp) c._2
+    else { val v = computeFiles(); cachedFiles = (stamp, v); v }
+  }
+
+  private def computeFiles(): Seq[FileStatus] = {
     val listed = GraftUtil.listDataFiles(path, conf)
     // `asof` snapshot: keep only files whose publishing manifest committed
     // at or before the requested time; files NO manifest lists are
@@ -364,14 +378,15 @@ final class GraftScan(private val tableSchema: StructType, private val projected
           }.toMap
         listed.filter(f => committedAt.get(f.getPath.toString).forall(_ <= t))
     }
-    if (pushedRaw.isEmpty) all
+    val pruneRaw = pushedRaw ++ runtimeRaw
+    if (pruneRaw.isEmpty) all
     else {
       val tableDir = new Path(path)
       val kept = all.filter { f =>
         val segs = GraftUtil.partitionSegments(tableDir, f.getPath)
         segs.isEmpty || {
           val m = segs.toMap
-          pushedRaw.forall(PartitionPrune.mayMatch(_, m))
+          pruneRaw.forall(PartitionPrune.mayMatch(_, m))
         }
       }
       GraftMetrics.filesPruned.addAndGet(all.size - kept.size)
@@ -406,6 +421,12 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // runtime filters also join the partition-DIRECTORY pruning set: a
+    // broadcast-join key set on a partition column then skips whole k=v
+    // dirs before any footer IO (classic DPP), best-effort — if `files`
+    // was already forced (e.g. by statistics), page-level pruning below
+    // still applies the same predicates
+    runtimeRaw = runtimeRaw ++ filters
     val (_, preds) = ZoneMapFilter.compile(tableSchema, filters)
     if (preds.nonEmpty) {
       pagePreds = pagePreds ++ preds

@@ -379,6 +379,36 @@ class ZoneMapSpec extends AnyFunSuite {
       s"runtime filter should prune fact pages outside the dim key range: skipped=$skipped read=$read")
   }
 
+  test("runtime join-key filters prune whole partition DIRECTORIES") {
+    val factDir = "/tmp/graft-test/rtf-part-fact"
+    val dimDir = "/tmp/graft-test/rtf-part-dim"
+    // fact hive-partitioned by region (4 dirs); the dim filter keeps keys of
+    // ONE region, so the runtime IN-set must skip the other three dirs
+    // before any footer IO — their page groups appear in NEITHER metric
+    spark.range(400000)
+      .selectExpr("id AS fk", "cast(id % 4 as string) AS region", "id * 2 AS v")
+      .write.format("graft").option("partitionby", "region")
+      .option("maxrowsperfile", "50000").mode("overwrite").save(factDir)
+    // Spark injects the runtime pruning subquery only when the build side
+    // carries a selective predicate — the filter keeps exactly region '2'
+    spark.range(100)
+      .selectExpr("cast(id % 4 as string) AS rk",
+        "CASE WHEN id % 4 = 2 THEN 'y' ELSE 'n' END AS sel")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dimDir)
+    val fact = spark.read.format("graft").option("runtimefilter", "true").load(factDir)
+    val dim = spark.read.format("graft").load(dimDir).filter(col("sel") === "y")
+
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    val n = fact.join(dim.hint("broadcast"), col("region") === col("rk")).count()
+    assert(n == 400000L / 4 * 25)
+    val observed = GraftMetrics.pageGroupsSkipped.get() + GraftMetrics.pageGroupsRead.get()
+    // one region = 2 files x 2 page groups (+ the dim's own pages); the
+    // other three regions' dirs must never even reach footer parsing
+    assert(observed <= 26,
+      s"directory pruning failed: $observed page groups observed (expected <= one region's)")
+  }
+
   test("OR / NOT predicates prune pages (skip only when both branches skip)") {
     val dir = "/tmp/graft-test/zonemap-or"
     spark.range(100000).selectExpr("id AS k", "cast(id AS double) AS d")
