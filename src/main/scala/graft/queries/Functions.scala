@@ -120,6 +120,50 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_delete_where" -> { (s, dir) =>
+      // row-level DELETE in the correctness gate: the staged copy purges
+      // doc_id % 7 == 3 via GraftMaintenance.deleteWhere (file-scoped
+      // rewrites); the surviving table must match the oracle's WHERE
+      // clause exactly — content fidelity of the purge pass, end to end.
+      val stage = s"/tmp/graft_del_stage/${stageKey(s, dir, "documents")}/documents"
+      val marker = new java.io.File(s"$stage/_GRAFT_DEL_DONE")
+      if (!marker.exists()) {
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.format("graft").option("maxrowsperfile", "200")
+          .mode("overwrite").save(stage)
+        graft.spark.GraftMaintenance.deleteWhere(s, stage, col("doc_id") % 7 === 3)
+        marker.createNewFile()
+      }
+      s.read.format("graft").load(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
+    "q_zorder_scan" -> { (s, dir) =>
+      // Z-ORDER layout in the gate: orders re-clustered on (o_custkey,
+      // o_totalprice) via GraftMaintenance.zorder; a 2-d range probe must
+      // match DuckDB over the raw table (both-axis page pruning is
+      // asserted in GraftMaintenanceSpec — here the gate proves the
+      // re-layout preserved content exactly).
+      val stage = s"/tmp/graft_z_stage/${stageKey(s, dir, "orders")}/orders"
+      val marker = new java.io.File(s"$stage/_GRAFT_Z_DONE")
+      if (!marker.exists()) {
+        Tables.parquet(s, dir, "orders")
+          .write.format("graft").option("maxrowsperfile", "2000")
+          .mode("overwrite").save(stage)
+        graft.spark.GraftMaintenance.zorder(s, stage,
+          Seq("o_custkey", "o_totalprice"), targetFiles = 8)
+        marker.createNewFile()
+      }
+      s.read.format("graft").load(stage)
+        .filter(col("o_custkey") <= 200 && col("o_totalprice") >= 50000.0)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"),
+          countDistinct(col("o_custkey")).as("custs"))
+    },
+
     "q_asof_snapshot" -> { (s, dir) =>
       // SNAPSHOT read in the correctness gate: documents staged as two
       // commits (even doc_ids, then odd), the first commit's manifest time
@@ -357,6 +401,17 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_delete_where" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS sources
+        |FROM documents WHERE doc_id % 7 <> 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        |  count(DISTINCT o_custkey) AS custs
+        |FROM orders WHERE o_custkey <= 200 AND o_totalprice >= 50000.0""".stripMargin,
     "q_asof_snapshot" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
