@@ -117,10 +117,16 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "2").toInt
     val scaleFactor = sys.env.getOrElse("GRAFT_BENCH_SCALE_FACTOR", "10").toInt
+    // the scaled section roughly doubles-to-triples the bench wall time;
+    // on a slow or loaded machine skip it rather than risk losing the
+    // whole artifact to a harness timeout (budget = max seconds the BASE
+    // phase may have consumed before the scaled phase still starts)
+    val scaleBudgetSec = sys.env.getOrElse("GRAFT_BENCH_SCALE_BUDGET", "300").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -233,8 +239,14 @@ object Bench {
     val base = measure(sfDir, runs)
 
     // scaled section: best-effort; a failure must not cost the base artifact
+    val baseElapsedSec = (System.nanoTime() - t0) / 1e9
     val scaledJson: String =
       if (scaleFactor <= 1) ""
+      else if (baseElapsedSec > scaleBudgetSec) {
+        System.err.println(f"[bench] base phase took $baseElapsedSec%.0fs > " +
+          s"budget ${scaleBudgetSec}s — skipping the scaled section")
+        ""
+      }
       else try {
         val amp = stageAmplified(spark, sfDir, scaleFactor)
         Tables.all.foreach(tn => Tables.load(spark, amp, tn)) // stage conversions untimed
