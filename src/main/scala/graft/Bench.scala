@@ -237,6 +237,13 @@ object Bench {
     }
 
     val base = measure(sfDir, runs)
+    // publish the base artifact IMMEDIATELY: if a harness timeout kills the
+    // process mid-scaled-section, stdout's last JSON line is still a
+    // complete base result (when the scaled section completes, the combined
+    // line below supersedes this one as the last line)
+    def baseLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,${section(base)}"""
+    println(baseLine + "}")
+    System.out.flush()
 
     // scaled section: best-effort; a failure must not cost the base artifact
     val baseElapsedSec = (System.nanoTime() - t0) / 1e9
@@ -258,7 +265,7 @@ object Bench {
         ""
       }
 
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,${section(base)}$scaledJson}""")
+    if (scaledJson.nonEmpty) println(baseLine + scaledJson + "}")
     spark.stop()
   }
 }
