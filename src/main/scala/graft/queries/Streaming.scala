@@ -36,6 +36,35 @@ object Streaming {
       s.table(name).orderBy(col("hour"), col("event_type"))
     },
 
+    "s_stream_quality" -> { (s, dir) =>
+      // streaming corpus-quality monitor over the DOCUMENTS stream (the
+      // events table covered windows/state; this covers the text-pipeline
+      // stream shape): per-lang doc counts, char volume, and a rolling
+      // quality proxy (mean word length in exact decimal) computed as the
+      // corpus lands — the live ingest dashboards a training pipeline
+      // watches. Uses maxfilespertrigger to exercise bounded catch-up on a
+      // pre-existing directory.
+      val name = "graft_stream_quality"
+      s.streams.active.filter(q => q.name == name).foreach(_.stop())
+      val gdir = graft.Tables.graftDir(s, dir, "documents")
+      val staticSchema = s.read.format("graft").load(gdir).schema
+      val stream = s.readStream.format("graft").schema(staticSchema)
+        .option("maxfilespertrigger", "2").load(gdir)
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("n_words")).as("words"))
+      val q = stream.writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+        .withColumn("chars_per_word",
+          col("chars").cast("double") / col("words"))
+        .orderBy(col("lang"))
+    },
+
     "s_stream_dedup" -> { (s, dir) =>
       // streaming exactly-once dedup state: the source is deliberately
       // polluted by unioning the event stream with a second stream
@@ -118,6 +147,12 @@ object Streaming {
     })
 
   val oracles: Map[String, String] = Map(
+    "s_stream_quality" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words,
+        |  CAST(sum(n_chars) AS DOUBLE) / sum(len(string_split(text, ' '))) AS chars_per_word
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "s_stream_dedup" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
