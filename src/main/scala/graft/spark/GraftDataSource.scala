@@ -285,9 +285,11 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
         val grouped = files.map { f =>
           val m = GraftUtil.partitionSegments(tableDir, f.getPath).toMap
           val vals = groupCols.map(m.get)
-          // a file missing the key, or holding the hive null token, bails
-          // out (null partition values are rare; keep the fallback simple)
-          if (vals.exists(v => v.isEmpty || v.get == "__HIVE_DEFAULT_PARTITION__"))
+          // a file missing the key, or holding a null partition value, bails
+          // out (null partition values are rare; keep the fallback simple).
+          // partitionSegments already unescaped the hive null token to Scala
+          // null, so null — not the literal sentinel — is what arrives here.
+          if (vals.exists(v => v.isEmpty || v.get == null))
             return false
           (f.getPath.toString, f.getLen, vals.map(_.get))
         }

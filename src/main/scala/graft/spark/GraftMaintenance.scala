@@ -94,11 +94,17 @@ object GraftMaintenance {
     * `LIMIT 1` scan, so zone maps / blooms decide most files without
     * touching data pages, and an untouched file keeps its identity (page
     * layout, zone maps, mtime — snapshots and caches stay valid). Each
-    * rewritten file goes through the same append-then-snapshot-delete
-    * commit as [[compact]]: a crash mid-pass leaves some files rewritten
-    * and some not — re-running the same delete converges, nothing is lost.
-    * Hive-partitioned layouts are preserved (the rewrite writes back into
-    * the file's own partition directory).
+    * rewritten file publishes its survivors at a DETERMINISTIC name
+    * derived from (original file, predicate) via an atomic rename, then
+    * retires the original: a crash mid-pass leaves some files rewritten
+    * and some not, and a re-run of the same delete detects an
+    * already-published survivor file (name match) and just retires the
+    * original instead of writing survivors again — re-running converges,
+    * nothing is lost and nothing is duplicated. The only transient state a
+    * crash can leave is BOTH the original and its survivor file visible
+    * (duplicate survivor rows) until the delete is re-run. Hive-partitioned
+    * layouts are preserved (the rewrite publishes into the file's own
+    * partition directory).
     */
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column): DeleteStats = {
@@ -109,6 +115,13 @@ object GraftMaintenance {
     require(files.nonEmpty, s"graft: nothing to delete under $dir")
     val manifestSnapshot = GraftManifest.list(fs, tableDir)
     val schema = spark.read.format("graft").load(dir).schema
+    // deterministic predicate fingerprint: (file, predicate) names the
+    // survivor file, so a re-run after a crash recognises published work
+    val predHash = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(
+        predicate.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.take(4).map(b => f"$b%02x").mkString
+    }
     var rewritten = 0
     var untouched = 0
     var rowsBefore = 0L
@@ -120,22 +133,46 @@ object GraftMaintenance {
       val hasMatch = one.filter(predicate).limit(1).count() > 0
       if (!hasMatch) { untouched += 1; rowsAfter += total }
       else {
-        val keep = one.filter(!predicate || predicate.isNull)
-        // write the survivors back through the table root, re-declaring the
-        // file's own partition layout (keys recoverable from its path), so
-        // hive pruning and the root manifest stay coherent; then retire
-        // exactly this file
-        val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
-        val kept = keep.count()
-        if (kept > 0) {
-          val w = keep.coalesce(1).write.format("graft").mode("append")
-          (if (segs.nonEmpty) w.option("partitionby", segs.mkString(",")) else w).save(dir)
+        val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
+        val survivorPath = new org.apache.hadoop.fs.Path(
+          f.getPath.getParent, s"$base-del$predHash${GraftUtil.Extension}")
+        if (fs.exists(survivorPath)) {
+          // a prior run of this same delete crashed between publishing the
+          // survivors and retiring the original: the survivors are already
+          // live (and counted when this pass probes that file), so writing
+          // them again would duplicate every kept row — just retire
+          fs.delete(f.getPath, false)
+          rewritten += 1
+        } else {
+          val keep = one.filter(!predicate || predicate.isNull)
+          // write the survivors to a scratch dir under the table (hidden
+          // from readers by the '_' prefix), re-declaring the file's own
+          // partition layout (keys recoverable from its path), then
+          // atomically rename the single output into the file's partition
+          // directory at the deterministic name; then retire exactly this
+          // file
+          val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
+          val kept = keep.count()
+          if (kept > 0) {
+            val scratch = new org.apache.hadoop.fs.Path(
+              tableDir, s"_graft_tmp_delete/$base-$predHash")
+            val w = keep.coalesce(1).write.format("graft").mode("overwrite")
+            (if (segs.nonEmpty) w.option("partitionby", segs.mkString(","))
+             else w).save(scratch.toString)
+            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+            require(produced.size == 1,
+              s"graft: delete rewrite of ${f.getPath} produced ${produced.size} files")
+            fs.rename(produced.head.getPath, survivorPath)
+            fs.delete(scratch, true)
+          }
+          fs.delete(f.getPath, false)
+          rewritten += 1
+          rowsAfter += kept
         }
-        fs.delete(f.getPath, false)
-        rewritten += 1
-        rowsAfter += kept
       }
     }
+    // best-effort scratch cleanup (a crash mid-write can orphan a dir)
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_delete"), true)
     // a delete rewrites history: manifests captured at entry may reference
     // retired files, so they are expired (like compact) — later readers see
     // the surviving files as pre-manifest history; a fresh manifest-mode

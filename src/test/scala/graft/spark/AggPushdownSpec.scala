@@ -82,6 +82,31 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(!scanDesc(filtered).contains("footer-only"))
   }
 
+  test("GROUP BY on a partition column with null values bails out safely") {
+    // a null value in an integral partition column lands on disk as the
+    // hive null token; partitionSegments unescapes it back to Scala null,
+    // so the grouped pushdown must bail on null (not the literal sentinel)
+    // or pathValue would NPE on null.toLong in the executor
+    val dir = "/tmp/graft-test/aggpush-nullpart"
+    spark.sql("""SELECT id, CASE WHEN id % 3 = 0 THEN NULL ELSE id % 3 END AS pk
+      FROM range(9000)""")
+      .write.format("graft").option("partitionby", "pk")
+      .mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val agg = g.groupBy(col("pk"))
+      .agg(count(lit(1)).as("n"), max(col("id")).as("maxi"))
+      .orderBy(col("pk"))
+    assert(!scanDesc(agg).contains("grouped by"),
+      s"null partition value must not push grouped agg:\n${scanDesc(agg)}")
+    val rows = agg.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = spark.sql("""SELECT CASE WHEN id % 3 = 0 THEN NULL ELSE id % 3 END AS pk,
+        count(*) AS n, max(id) AS maxi FROM range(9000) GROUP BY 1 ORDER BY 1""")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == expected.toSeq)
+  }
+
   test("nested struct sub-field min/max answered from footers only") {
     val dir = "/tmp/graft-test/aggpush-nested"
     spark.sql("""SELECT id, named_struct('a', id * 3,

@@ -87,6 +87,41 @@ class GraftMaintenanceSpec extends AnyFunSuite {
       .forall(_.getPath.toString.contains("lang=")), "partition layout lost")
   }
 
+  test("deleteWhere re-run after a publish/retire crash does not duplicate rows") {
+    import org.apache.spark.sql.functions.col
+    val dirA = "/tmp/graft-test/maintenance-delete-crash-a"
+    val dirB = "/tmp/graft-test/maintenance-delete-crash-b"
+    Seq(dirA, dirB).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+      .write.format("graft").option("maxrowsperfile", "400")
+      .mode("overwrite").save(dirA)
+    // identical twin table (same file names) to harvest the deterministic
+    // survivor file a completed delete would publish
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dirA), new java.io.File(dirB))
+    val pred = col("k") < 100
+    GraftMaintenance.deleteWhere(spark, dirB, pred)
+    val conf = spark.sessionState.newHadoopConf()
+    val survivor = GraftUtil.listDataFiles(dirB, conf)
+      .map(_.getPath.getName).find(_.contains("-del"))
+    assert(survivor.nonEmpty, "completed delete should publish a -del survivor file")
+    // simulate the crash window in A: survivors published, original NOT yet
+    // retired — copy B's survivor file next to A's intact original
+    org.apache.commons.io.FileUtils.copyFile(
+      new java.io.File(s"$dirB/${survivor.get}"),
+      new java.io.File(s"$dirA/${survivor.get}"))
+    assert(spark.read.format("graft").load(dirA).count() > 1000,
+      "crash state should transiently show duplicate survivors")
+    // the re-run must recognise the published survivors and only retire
+    val st = GraftMaintenance.deleteWhere(spark, dirA, pred)
+    val back = spark.read.format("graft").load(dirA)
+    assert(back.count() == 900, s"re-run duplicated or lost rows: $st")
+    assert(back.filter(col("k") < 100).count() == 0)
+    assert(back.select(countDistinct(col("k"))).head().getLong(0) == 900,
+      "survivor rows must appear exactly once")
+  }
+
   test("expireManifests trims snapshot depth without touching data") {
     val dir = "/tmp/graft-test/maintenance-expire"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
