@@ -4,27 +4,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark main: times headline queries over graft storage at
-  * SPARK_GRAFT_SF_DIR; prints ONE JSON line. parquet->graft conversion
-  * happens before timing (storage format benchmarks measure scans, not
-  * ingest).
+  * SPARK_GRAFT_SF_DIR. parquet->graft conversion happens before timing
+  * (storage format benchmarks measure scans, not ingest).
   *
   * The bench is SELF-BASELINING: the same session also times the identical
   * query code over the original parquet and emits both totals plus the
-  * ratio in the one JSON artifact, so a loaded machine shows up as both
-  * numbers moving together instead of a phantom regression. Each query is
-  * timed GRAFT_BENCH_RUNS times per format (default 2) and the per-query
-  * minimum is reported — min is the standard noise floor estimator for
-  * same-JVM reruns (JIT and page cache only ever make reruns faster). The
-  * per-query [min,max] of BOTH formats is also emitted ("spread"), so a
-  * one-off spike (machine load landing on a single run) is distinguishable
-  * from a regression without a manual QueryAB session.
+  * ratio, so a loaded machine shows up as both numbers moving together
+  * instead of a phantom regression. Each query is timed GRAFT_BENCH_RUNS
+  * times per format (default 2) and the per-query minimum is reported —
+  * min is the standard noise floor estimator for same-JVM reruns (JIT and
+  * page cache only ever make reruns faster). Per (query, run) the format
+  * timed FIRST alternates, so cold-JVM/page-cache penalties land on both
+  * formats equally.
+  *
+  * ARTIFACT PROTOCOL (the r7 lesson): the driver keeps only the last
+  * ~2000 chars of stdout, so the FINAL line printed must be a compact
+  * (<1 KB) JSON summary — totals and ratios only. Full per-query dicts
+  * and [min,max] spreads go to EARLIER stdout lines (metric
+  * "detail_base"/"detail_scaled") and to tools/bench_detail.json, written
+  * best-effort into the repo working tree. r7's combined ~4 KB final line
+  * overflowed the tail capture and the round lost its bench artifact.
   *
   * SCALED SECTION: after the base run, the same headline is re-timed at
   * GRAFT_BENCH_SCALE_FACTOR x the base data (default 10 = ~sf1 from the
   * driver's sf0.1; 0 disables), staged once under /tmp by deterministic
   * amplification — larger data surfaces decode-vs-IO shifts the small
-  * scale hides. The section is best-effort: any failure degrades to the
-  * base-only artifact rather than losing the round's bench.
+  * scale hides. It runs min-of-GRAFT_BENCH_SCALED_RUNS (default 2), so
+  * every query's cold first execution (JIT + page cache + one-off staged
+  * re-layout writes) is discarded by the min — r7's single-run scaled
+  * section produced 1.2-3.2x phantom per-query ratios that vanished under
+  * warm re-measurement. The section is best-effort: any failure degrades
+  * to the base-only artifact rather than losing the round's bench.
+  *
+  * FLAGS: any query whose in-artifact ratio still exceeds 1.5x is
+  * re-measured with 3 further interleaved warm runs and the re-measured
+  * ratio is embedded in the artifact ("flags"), so "builder says noise,
+  * artifact says regression" can't recur — the artifact carries its own
+  * noise audit.
+  *
+  * MAINTENANCE OPS: x_delete_where / x_zorder_relayout / x_asof_snapshot
+  * time the operations a 100 TB operator runs daily (row-level purge,
+  * re-clustering, snapshot reads) against rewrite-based parquet
+  * equivalents. STREAM: the scaled section also reports absolute
+  * bounded-catchup throughput of the streaming source (files/sec through
+  * maxfilespertrigger admission control).
   */
 object Bench {
 
@@ -32,8 +55,6 @@ object Bench {
     * Quadratic verify-only baselines (d_dedup_embedding's brute recall
     * check, s_ann_bruteforce — a cartesian recall oracle) are intentionally
     * excluded: a 100 TB engine's headline numbers must be scale-shaped.
-    * d_ngram_jaccard joined the headline in round 7 once its candidate
-    * generation became banded + pair-scoped (no all-pairs plan).
     */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
@@ -44,7 +65,10 @@ object Bench {
     "d_decontamination", "d_ngram_jaccard",
     "s_ann_lsh", "s_ann_ivf", "t_token_stats", "t_fingerprint",
     "t_quality_score", "t_language_id", "m_multimodal_meta", "m_multimodal_decode",
-    "m_multimodal_resize", "m_multimodal_framesample")
+    "m_multimodal_resize", "m_multimodal_framesample",
+    // timed maintenance + snapshot operations (custom timers, not
+    // SparkEntry queries — the op itself is the timed region)
+    "x_delete_where", "x_zorder_relayout", "x_asof_snapshot")
 
   /** Deterministic FACTOR x amplification of the driver's parquet tables
     * into a staged parquet dir (throughput corpus for the scaled section —
@@ -53,6 +77,13 @@ object Bench {
     * copies are NEAR-duplicates (content perturbed per copy), so dedup
     * candidate generation stays linearly shaped — copy c of a doc is a
     * realistic near-dup of copy 0, not an identical clone explosion.
+    *
+    * Fact tables are REPARTITIONED before the write: the explode would
+    * otherwise inherit the source's task layout (1-2 tasks at sf0.1) and
+    * produce a couple of giant single-row-group parquet files — a
+    * pathological baseline (r7 measured scaled parquet q1 at ~9x over
+    * linear extrapolation) that flatters the graft-side ratio. Both
+    * formats deserve a sane opposing layout.
     */
   private[graft] def stageAmplified(spark: SparkSession, baseDir: String, factor: Int): String = {
     // cache key fingerprints the source listing (name/len/mtime), so a
@@ -71,35 +102,39 @@ object Bench {
       if (fs.exists(root)) walk(root)
       java.lang.Long.toHexString(h)
     }
-    val amp = s"/tmp/graft_bench_amp/${baseDir.replaceAll("[^a-zA-Z0-9.]+", "_")}_${fp}_x$factor"
+    // v2: fact tables repartitioned to 32 files (layout change invalidates
+    // any staging produced by the v1 single-row-group writer)
+    val amp = s"/tmp/graft_bench_amp_v2/${baseDir.replaceAll("[^a-zA-Z0-9.]+", "_")}_${fp}_x$factor"
     val marker = new java.io.File(s"$amp/_AMP_DONE")
     if (marker.exists()) return amp
     new java.io.File(amp).mkdirs()
     def src(t: String): DataFrame = spark.read.parquet(s"$baseDir/$t.parquet")
     def write(t: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$amp/$t.parquet")
+    // amplified fact tables land in 32 comparable files / row groups
+    def writeFact(t: String, df: DataFrame): Unit = write(t, df.repartition(32))
     def copies(df: DataFrame): DataFrame =
       df.withColumn("c", explode(expr(s"sequence(0L, ${factor - 1}L)")))
     Seq("region", "nation", "customer", "supplier", "part").foreach(t => write(t, src(t)))
 
     val oMax = src("orders").agg(max(col("o_orderkey"))).first().getLong(0) + 1
-    write("orders", copies(src("orders"))
+    writeFact("orders", copies(src("orders"))
       .withColumn("o_orderkey", col("o_orderkey") + col("c") * oMax).drop("c"))
-    write("lineitem", copies(src("lineitem"))
+    writeFact("lineitem", copies(src("lineitem"))
       .withColumn("l_orderkey", col("l_orderkey") + col("c") * oMax).drop("c"))
 
     // events.ts is nanos-long under the legacy read flag; shift ids per
     // copy and nudge ts by c microseconds so sessions/windows don't stack
     val ev = src("events")
     val eMax = ev.agg(max(col("event_id")), max(col("user_id"))).first()
-    write("events", copies(ev)
+    writeFact("events", copies(ev)
       .withColumn("event_id", col("event_id") + col("c") * (eMax.getLong(0) + 1))
       .withColumn("user_id", col("user_id") + col("c") * (eMax.getLong(1) + 1))
       .withColumn("ts", col("ts") + col("c") * 1000L)
       .drop("c"))
 
     val dMax = src("documents").agg(max(col("doc_id"))).first().getLong(0) + 1
-    write("documents", copies(src("documents"))
+    writeFact("documents", copies(src("documents"))
       .withColumn("doc_id", col("doc_id") + col("c") * dMax)
       // perturb: append a copy tag to non-zero copies (near-dup, not clone)
       .withColumn("text", when(col("c") === 0, col("text"))
@@ -107,7 +142,7 @@ object Bench {
       .drop("c"))
 
     val vMax = src("embeddings").agg(max(col("vec_id"))).first().getLong(0) + 1
-    write("embeddings", copies(src("embeddings"))
+    writeFact("embeddings", copies(src("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("c") * vMax)
       .withColumn("embedding", expr(
         "transform(embedding, x -> x + cast(c as float) * cast(1e-4 as float))"))
@@ -116,17 +151,23 @@ object Bench {
     amp
   }
 
+  // ---------------------------------------------------------------- main
+
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "2").toInt
+    val scaledRuns = sys.env.getOrElse("GRAFT_BENCH_SCALED_RUNS", "2").toInt
     val scaleFactor = sys.env.getOrElse("GRAFT_BENCH_SCALE_FACTOR", "10").toInt
     // the scaled section roughly doubles-to-triples the bench wall time;
     // on a slow or loaded machine skip it rather than risk losing the
     // whole artifact to a harness timeout (budget = max seconds the BASE
     // phase may have consumed before the scaled phase still starts)
     val scaleBudgetSec = sys.env.getOrElse("GRAFT_BENCH_SCALE_BUDGET", "300").toInt
+    // hard wall for the scaled measurement itself: once past it, remaining
+    // queries degrade to a single run (min-of-runs shrinks, artifact lives)
+    val scaledWallSec = sys.env.getOrElse("GRAFT_BENCH_SCALED_WALL", "1500").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -171,7 +212,10 @@ object Bench {
 
     def timed(format: String, name: String, dir: String): Double = {
       sys.props("graft.tables.format") = format
-      try run(name, dir)
+      try {
+        if (name.startsWith("x_")) BenchMaintenance.time(spark, name, format, dir)
+        else run(name, dir)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name ($format) failed: ${e.getMessage}")
         -1.0
@@ -199,17 +243,19 @@ object Bench {
         if (g0 < 0 || p0 < 0) (-1.0, -1.0) else (g0, p0)
       }
     }
-    def measure(dir: String, nRuns: Int): Seq[QRes] = headline.zipWithIndex.map {
-      case (name, qi) =>
-        val g = Array.fill(nRuns)(0.0)
-        val p = Array.fill(nRuns)(0.0)
+    def measure(dir: String, nRuns: Int, deadlineNanos: Long): Seq[QRes] =
+      headline.zipWithIndex.map { case (name, qi) =>
+        // degrade to a single run when past the wall — a shorter min-of-runs
+        // beats a killed process with no artifact
+        val n = if (System.nanoTime() > deadlineNanos) 1 else nRuns
+        val g = Array.fill(n)(0.0)
+        val p = Array.fill(n)(0.0)
         var i = 0
-        while (i < nRuns) {
+        while (i < n) {
           // alternate which format goes FIRST per (query, run): a fixed
           // graft-first order hands the second format a systematically
-          // warmer JVM/page cache — at nRuns=1 (the scaled section) that
-          // measured as 1.2-1.7x phantom ratios that vanish under QueryAB.
-          // Alternating cancels the first-run penalty across the totals.
+          // warmer JVM/page cache — at single-run scale that measured as
+          // 1.2-1.7x phantom ratios that vanish under QueryAB.
           if ((qi + i) % 2 == 0) {
             g(i) = timed("graft", name, dir); p(i) = timed("parquet", name, dir)
           } else {
@@ -218,13 +264,14 @@ object Bench {
           i += 1
         }
         QRes(name, g, p)
-    }
+      }
 
     def qjson(rs: Seq[(String, Double)]): (String, Double) = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       (qs, rs.map(_._2).filter(_ >= 0).sum)
     }
-    def section(results: Seq[QRes]): String = {
+    final case class Section(gTotal: Double, pTotal: Double, ratio: Double, detail: String)
+    def section(results: Seq[QRes]): Section = {
       val (gq, gTotal) = qjson(results.map(r => (r.name, r.bg)))
       val (pq, pTotal) = qjson(results.map(r => (r.name, r.bp)))
       val ratio = if (pTotal > 0) gTotal / pTotal else -1.0
@@ -233,21 +280,56 @@ object Bench {
           if (xs.exists(_ < 0)) "-1,-1" else f"${xs.min}%.3f,${xs.max}%.3f"
         "\"" + r.name + "\":[" + mm(r.g) + "," + mm(r.p) + "]"
       }.mkString("{", ",", "}")
-      f""""value":$gTotal%.3f,"parquet_total":$pTotal%.3f,"ratio":$ratio%.3f,"queries":$gq,"parquet_queries":$pq,"spread":$spread"""
+      Section(gTotal, pTotal, ratio,
+        f""""value":$gTotal%.3f,"parquet_total":$pTotal%.3f,"ratio":$ratio%.3f,"queries":$gq,"parquet_queries":$pq,"spread":$spread""")
     }
 
-    val base = measure(sfDir, runs)
-    // publish the base artifact IMMEDIATELY: if a harness timeout kills the
-    // process mid-scaled-section, stdout's last JSON line is still a
-    // complete base result (when the scaled section completes, the combined
-    // line below supersedes this one as the last line)
-    def baseLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,${section(base)}"""
-    println(baseLine + "}")
+    // any per-query ratio >1.5x (in either direction, above noise floor)
+    // is re-measured with 3 interleaved warm runs; the re-measured ratio
+    // ships in the artifact so a one-off spike carries its own refutation
+    def flagAudit(results: Seq[QRes], dir: String, label: String): Seq[String] = {
+      val flagged = results.filter(r => r.bg > 0 && r.bp > 0 &&
+          math.max(r.bg, r.bp) > 0.3 &&
+          (r.bg / r.bp > 1.5 || r.bp / r.bg > 1.5))
+        .sortBy(r => -math.max(r.bg / r.bp, r.bp / r.bg)).take(5)
+      flagged.map { r =>
+        val g = Array.fill(3)(0.0); val p = Array.fill(3)(0.0)
+        var i = 0
+        while (i < 3) {
+          if (i % 2 == 0) { g(i) = timed("graft", r.name, dir); p(i) = timed("parquet", r.name, dir) }
+          else { p(i) = timed("parquet", r.name, dir); g(i) = timed("graft", r.name, dir) }
+          i += 1
+        }
+        val rm = if (p.min > 0) g.min / p.min else -1.0
+        f"""{"q":"${r.name}","section":"$label","ratio":${r.bg / r.bp}%.2f,"remeasured":$rm%.2f,"g":${g.min}%.3f,"p":${p.min}%.3f}"""
+      }
+    }
+
+    val detailSb = new StringBuilder
+    def emitDetail(metric: String, body: String): Unit = {
+      val line = s"""{"metric":"$metric","unit":"sec","sf":"$sfDir",$body}"""
+      println(line)
+      System.out.flush()
+      if (detailSb.nonEmpty) detailSb.append(",\n")
+      detailSb.append("\"").append(metric).append("\":").append(s"{$body}")
+    }
+
+    val farDeadline = Long.MaxValue
+    val base = measure(sfDir, runs, farDeadline)
+    val baseSec = section(base)
+    emitDetail("detail_base", s""""runs":$runs,${baseSec.detail}""")
+    // publish a compact base-only artifact IMMEDIATELY: if a harness
+    // timeout kills the process mid-scaled-section, stdout's last JSON
+    // line is still a complete, parseable base result
+    def compactBase =
+      f""""value":${baseSec.gTotal}%.3f,"parquet_total":${baseSec.pTotal}%.3f,"ratio":${baseSec.ratio}%.3f"""
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase}""")
     System.out.flush()
 
     // scaled section: best-effort; a failure must not cost the base artifact
     val baseElapsedSec = (System.nanoTime() - t0) / 1e9
-    val scaledJson: String =
+    var flags = Seq.empty[String]
+    val scaledCompact: String =
       if (scaleFactor <= 1) ""
       else if (baseElapsedSec > scaleBudgetSec) {
         System.err.println(f"[bench] base phase took $baseElapsedSec%.0fs > " +
@@ -258,14 +340,39 @@ object Bench {
         val amp = stageAmplified(spark, sfDir, scaleFactor)
         Tables.all.foreach(tn => Tables.load(spark, amp, tn)) // stage conversions untimed
         Seq("q1_pricing_summary").foreach { q => timed("graft", q, amp); timed("parquet", q, amp) }
-        val scaled = measure(amp, 1)
-        s""","scaled":{"factor":$scaleFactor,${section(scaled)}}"""
+        val deadline = System.nanoTime() + scaledWallSec * 1000000000L
+        val scaled = measure(amp, scaledRuns, deadline)
+        val scaledSec = section(scaled)
+        emitDetail("detail_scaled",
+          s""""factor":$scaleFactor,"runs":$scaledRuns,${scaledSec.detail}""")
+        flags = flagAudit(base, sfDir, "base") ++ flagAudit(scaled, amp, "scaled")
+        // absolute streaming catch-up throughput on the amplified corpus
+        val stream = try BenchMaintenance.streamCatchup(spark, amp)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] stream catchup failed: ${e.getMessage}"); "" }
+        f""","scaled":{"factor":$scaleFactor,"runs":$scaledRuns,"value":${scaledSec.gTotal}%.3f,"parquet_total":${scaledSec.pTotal}%.3f,"ratio":${scaledSec.ratio}%.3f}""" +
+          (if (stream.nonEmpty) s""","stream":$stream""" else "")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaled section failed: ${e.getMessage}")
         ""
       }
 
-    if (scaledJson.nonEmpty) println(baseLine + scaledJson + "}")
+    // full details also land in the repo tree for the round's audit trail
+    try {
+      val f = new java.io.File("tools/bench_detail.json")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, "{\n" + detailSb.toString + "\n}\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+    }
+
+    val flagsJson = if (flags.isEmpty) "" else flags.mkString(""","flags":[""", ",", "]")
+    // FINAL line: compact (<1 KB) — the one the driver must parse. Flush
+    // and linger briefly so sbt's stdout pump drains the line before the
+    // JVM exits (observed: the tail of the final line lost at exit).
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase$scaledCompact$flagsJson}""")
+    System.out.flush()
+    Thread.sleep(500)
     spark.stop()
   }
 }

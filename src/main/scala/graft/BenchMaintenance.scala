@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Timed maintenance / snapshot operations for the bench headline
+  * (VERDICT r7 #7-#8): row-level purge, z-order re-clustering, and
+  * snapshot reads are what a 100 TB operator runs daily, so their cost is
+  * tracked round-over-round like any query. Each op is timed against a
+  * rewrite-based parquet equivalent — parquet has no row-level delete, no
+  * in-place re-layout and no snapshots, so the comparator is the rewrite a
+  * parquet shop would actually run.
+  *
+  * Staging (writing the pre-op table copy) happens OUTSIDE the timed
+  * region for both formats; the graft side re-stages before every run
+  * because the op mutates the staged table.
+  */
+object BenchMaintenance {
+
+  private def key(dir: String): String = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+  private val boundsCache = scala.collection.mutable.Map.empty[String, (Long, Long)]
+
+  /** doc_id range whose middle ~2% slice is the purge target: with the
+    * staged table range-partitioned on doc_id, the matching rows live in
+    * 1-2 of ~16 files — the selective-takedown shape where file-scoped
+    * rewrite pays off.
+    */
+  private def docBounds(spark: SparkSession, dir: String): (Long, Long) =
+    boundsCache.getOrElseUpdate(dir, {
+      val r = Tables.parquet(spark, dir, "documents")
+        .agg(min(col("doc_id")), max(col("doc_id"))).first()
+      (r.getLong(0), r.getLong(1))
+    })
+
+  private def rm(path: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+
+  def time(spark: SparkSession, name: String, format: String, dir: String): Double =
+    name match {
+      case "x_delete_where" => deleteWhereOp(spark, format, dir)
+      case "x_zorder_relayout" => zorderOp(spark, format, dir)
+      case "x_asof_snapshot" => asofOp(spark, format, dir)
+      case other => sys.error(s"unknown maintenance bench op: $other")
+    }
+
+  /** Row-level purge of a narrow doc_id band. graft: footer-probed
+    * deleteWhere rewrites only the 1-2 files holding matches. parquet:
+    * the full filter-and-rewrite a parquet pipeline runs for a takedown.
+    * Both sides end with the same survivor aggregate so the timed region
+    * covers op + read-back.
+    */
+  private def deleteWhereOp(spark: SparkSession, format: String, dir: String): Double = {
+    val (lo0, hi0) = docBounds(spark, dir)
+    val lo = lo0 + (hi0 - lo0) * 49 / 100
+    val hi = lo0 + (hi0 - lo0) * 51 / 100
+    val src = Tables.parquet(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val stage = s"/tmp/graft_bench_maint/del_${format}_${key(dir)}"
+    rm(stage)
+    def survivorAgg(df: DataFrame): Unit =
+      df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .write.mode("overwrite").format("noop").save()
+    if (format == "graft") {
+      src.write.format("graft").mode("overwrite").save(stage)
+      val t0 = System.nanoTime()
+      graft.spark.GraftMaintenance.deleteWhere(spark, stage,
+        col("doc_id").between(lo, hi))
+      survivorAgg(spark.read.format("graft").load(stage))
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      src.write.mode("overwrite").parquet(stage)
+      val rw = s"${stage}_rw"
+      rm(rw)
+      val t0 = System.nanoTime()
+      spark.read.parquet(stage)
+        .filter(!col("doc_id").between(lo, hi))
+        .write.mode("overwrite").parquet(rw)
+      survivorAgg(spark.read.parquet(rw))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Re-cluster orders for 2-d pruning, then run the 2-d range probe the
+    * layout exists to serve. graft: in-place zorder re-layout. parquet:
+    * sort-and-rewrite on the same two columns (the lexicographic layout a
+    * parquet shop would maintain).
+    */
+  private def zorderOp(spark: SparkSession, format: String, dir: String): Double = {
+    val src = Tables.parquet(spark, dir, "orders")
+    val stage = s"/tmp/graft_bench_maint/z_${format}_${key(dir)}"
+    rm(stage)
+    def probe(df: DataFrame): Unit =
+      df.filter(col("o_custkey") <= 200 && col("o_totalprice") >= 50000.0)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"))
+        .write.mode("overwrite").format("noop").save()
+    if (format == "graft") {
+      src.write.format("graft").mode("overwrite").save(stage)
+      val t0 = System.nanoTime()
+      graft.spark.GraftMaintenance.zorder(spark, stage,
+        Seq("o_custkey", "o_totalprice"), targetFiles = 16)
+      probe(spark.read.format("graft").load(stage))
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      src.write.mode("overwrite").parquet(stage)
+      val rw = s"${stage}_rw"
+      rm(rw)
+      val t0 = System.nanoTime()
+      spark.read.parquet(stage)
+        .repartitionByRange(16, col("o_custkey"), col("o_totalprice"))
+        .sortWithinPartitions(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(rw)
+      probe(spark.read.parquet(rw))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Snapshot (as-of) read. graft: manifest-pinned `asof` scan of the
+    * first of two commits. parquet: no snapshots exist, so the comparator
+    * is the filter predicate that reconstructs the same row set from the
+    * full table. Staging is once per (format, dir) — the op does not
+    * mutate the staged table.
+    */
+  private def asofOp(spark: SparkSession, format: String, dir: String): Double = {
+    val stage = s"/tmp/graft_bench_maint/asof_${format}_${key(dir)}"
+    val marker = new java.io.File(s"$stage/_BENCH_ASOF_T1")
+    def agg(df: DataFrame): Unit =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .write.mode("overwrite").format("noop").save()
+    if (format == "graft") {
+      if (!marker.exists()) {
+        rm(stage)
+        val d = Tables.parquet(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        d.filter(col("doc_id") % 2 === 0)
+          .write.format("graft").mode("append").save(stage)
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val t1 = graft.spark.GraftManifest
+          .list(fs, new org.apache.hadoop.fs.Path(stage))
+          .map(graft.spark.GraftManifest.nameT).max
+        Thread.sleep(5)
+        d.filter(col("doc_id") % 2 === 1)
+          .write.format("graft").mode("append").save(stage)
+        java.nio.file.Files.writeString(marker.toPath, t1.toString)
+      }
+      val t1 = java.nio.file.Files.readString(marker.toPath).trim
+      val t0 = System.nanoTime()
+      agg(spark.read.format("graft").option("asof", t1).load(stage))
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+        rm(stage)
+        Tables.parquet(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(stage)
+      }
+      val t0 = System.nanoTime()
+      agg(spark.read.parquet(stage).filter(col("doc_id") % 2 === 0))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Absolute bounded-catchup throughput of the streaming source over the
+    * amplified corpus: a fresh stream admitted `maxfilespertrigger` files
+    * per batch drains the whole directory; report files/sec and batch
+    * count. Not a vs-parquet ratio — the number tracks the source's
+    * admission-control overhead round-over-round.
+    */
+  def streamCatchup(spark: SparkSession, ampDir: String): String = {
+    val gdir = Tables.graftDir(spark, ampDir, "documents")
+    val schema = spark.read.format("graft").load(gdir).schema
+    val conf = spark.sessionState.newHadoopConf()
+    val nFiles = graft.spark.GraftUtil.listDataFiles(gdir, conf).size
+    val name = "graft_bench_stream_catchup"
+    spark.streams.active.filter(q => q.name == name).foreach(_.stop())
+    val t0 = System.nanoTime()
+    // manifest=false: the staged conversion is ONE commit, and manifest
+    // mode admits whole manifests — per-FILE admission (listing mode) is
+    // the catch-up granularity this entry tracks
+    val q = spark.readStream.format("graft").schema(schema)
+      .option("manifest", "false")
+      .option("maxfilespertrigger", "4").load(gdir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("docs"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // recentProgress, not lastProgress: the final progress event can lag
+    // processAllAvailable, under-reporting the batch count
+    val batches =
+      if (q.recentProgress.isEmpty) -1L else q.recentProgress.map(_.batchId).max + 1
+    f"""{"files":$nFiles,"batches":$batches,"sec":$sec%.3f,"files_per_sec":${nFiles / sec}%.2f}"""
+  }
+}

@@ -684,6 +684,25 @@ object GraftScan {
 final case class GraftInputPartition(filePath: String, fileLen: Long,
     pageLo: Int = -1, pageHi: Int = -1) extends InputPartition
 
+/** Publishes the current task's file identity so `input_file_name()` /
+  * `input_file_block_start/length` work over graft scans, as they do over
+  * parquet. Spark only wires this for FileFormat sources (FileScanRDD);
+  * DSv2 readers must set it themselves, and the holder is `private[spark]`,
+  * so the call goes through one cached reflective Method — invoked once per
+  * partition reader, never per row.
+  */
+private[graft] object InputFileHolder {
+  private val setM: java.lang.reflect.Method =
+    try {
+      val c = Class.forName("org.apache.spark.rdd.InputFileBlockHolder")
+      c.getMethod("set", classOf[String], java.lang.Long.TYPE, java.lang.Long.TYPE)
+    } catch { case _: Throwable => null }
+  def set(path: String, start: Long, len: Long): Unit =
+    if (setM != null)
+      try setM.invoke(null, path, java.lang.Long.valueOf(start), java.lang.Long.valueOf(len))
+      catch { case _: Throwable => () }
+}
+
 final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
     projectedJson: String,
     @volatile var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
@@ -693,6 +712,12 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
+    // publish the file identity for input_file_name()/input_file_block_*:
+    // DSv2 sources don't get this from Spark automatically (FileScanRDD
+    // sets it only for FileFormat sources), and a table maintenance pass
+    // (deleteWhere's one-job match probe) depends on it to map matched
+    // rows back to their files
+    InputFileHolder.set(p.filePath, 0L, p.fileLen)
     new GraftColumnarReader(p.filePath, p.fileLen, conf.value.value,
       GraftFooterCache.schemaOf(projectedJson), pagePreds,
       p.pageLo, p.pageHi)

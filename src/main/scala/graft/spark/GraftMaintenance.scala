@@ -90,9 +90,10 @@ object GraftMaintenance {
   /** Row-level DELETE: remove every row matching `predicate`, rewriting
     * ONLY the files that contain matches — the takedown/purge pass a
     * training corpus needs (drop specific doc_ids, a contaminated source,
-    * a date range). Scale shape: the per-file match probe is a pushed-down
-    * `LIMIT 1` scan, so zone maps / blooms decide most files without
-    * touching data pages, and an untouched file keeps its identity (page
+    * a date range). Scale shape: ONE distributed probe job maps matching
+    * rows to their files via `input_file_name()` (zone maps / blooms still
+    * prune pages inside that scan — a fixed 3 jobs of driver orchestration
+    * regardless of file count), and an untouched file keeps its identity (page
     * layout, zone maps, mtime — snapshots and caches stay valid). Each
     * rewritten file publishes its survivors at a DETERMINISTIC name
     * derived from (original file, predicate) via an atomic rename, then
@@ -114,7 +115,17 @@ object GraftMaintenance {
     val files = GraftUtil.listDataFiles(dir, conf)
     require(files.nonEmpty, s"graft: nothing to delete under $dir")
     val manifestSnapshot = GraftManifest.list(fs, tableDir)
-    val schema = spark.read.format("graft").load(dir).schema
+    val table = spark.read.format("graft").load(dir)
+    val schema = table.schema
+    val rowsBefore = table.count() // footer-only via aggregate pushdown
+    // ONE distributed probe job finds every file holding a match: zone
+    // maps / blooms still prune pages inside the scan, and
+    // input_file_name() maps matching rows back to their files. The
+    // previous per-file probe ran 2-3 driver-sequenced Spark jobs per
+    // file — pure scheduler overhead at any real file count.
+    val matched = table.filter(predicate)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
     // deterministic predicate fingerprint: (file, predicate) names the
     // survivor file, so a re-run after a crash recognises published work
     val predHash = {
@@ -123,16 +134,9 @@ object GraftMaintenance {
       md.take(4).map(b => f"$b%02x").mkString
     }
     var rewritten = 0
-    var untouched = 0
-    var rowsBefore = 0L
-    var rowsAfter = 0L
     files.foreach { f =>
-      val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
-      val total = one.count() // footer-only via aggregate pushdown
-      rowsBefore += total
-      val hasMatch = one.filter(predicate).limit(1).count() > 0
-      if (!hasMatch) { untouched += 1; rowsAfter += total }
-      else {
+      if (matched.contains(f.getPath.toString)) {
+        val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
         val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
         val survivorPath = new org.apache.hadoop.fs.Path(
           f.getPath.getParent, s"$base-del$predHash${GraftUtil.Extension}")
@@ -167,12 +171,14 @@ object GraftMaintenance {
           }
           fs.delete(f.getPath, false)
           rewritten += 1
-          rowsAfter += kept
         }
       }
     }
     // best-effort scratch cleanup (a crash mid-write can orphan a dir)
     fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_delete"), true)
+    val untouched = files.size - rewritten
+    val rowsAfter = // footer-only recount of the surviving table
+      spark.read.format("graft").load(dir).count()
     // a delete rewrites history: manifests captured at entry may reference
     // retired files, so they are expired (like compact) — later readers see
     // the surviving files as pre-manifest history; a fresh manifest-mode

@@ -521,4 +521,19 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("strawboat").load(dir).count() ==
       spark.read.parquet(s"$sf/region.parquet").count())
   }
+
+  test("input_file_name() resolves over graft scans like parquet") {
+    val dir = "/tmp/graft-test/input-file-name"
+    spark.range(4000).selectExpr("id AS k")
+      .write.format("graft").option("maxrowsperfile", "1000")
+      .mode("overwrite").save(dir)
+    val names = spark.read.format("graft").load(dir)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val listed = GraftUtil
+      .listDataFiles(dir, spark.sessionState.newHadoopConf())
+      .map(_.getPath.toString).toSet
+    assert(names == listed,
+      s"every row must carry its source file: got $names vs $listed")
+  }
 }
