@@ -290,7 +290,7 @@ object Bench {
     def flagAudit(results: Seq[QRes], dir: String, label: String): Seq[String] = {
       val flagged = results.filter(r => r.bg > 0 && r.bp > 0 &&
           math.max(r.bg, r.bp) > 0.3 &&
-          (r.bg / r.bp > 1.5 || r.bp / r.bg > 1.5))
+          (r.bg / r.bp >= 1.4 || r.bp / r.bg >= 1.4))
         .sortBy(r => -math.max(r.bg / r.bp, r.bp / r.bg)).take(5)
       flagged.map { r =>
         val g = Array.fill(3)(0.0); val p = Array.fill(3)(0.0)

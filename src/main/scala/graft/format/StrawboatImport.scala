@@ -34,12 +34,13 @@ import org.apache.spark.sql.types._
   * | arrow type              | Spark type      | codecs                          |
   * |-------------------------|-----------------|---------------------------------|
   * | Int8/16/32/64           | Byte..Long      | Common, OneValue, RLE, Dict, Freq |
+  * | Int32/UInt32            | Int/Long        | + Bitpacking, DeltaBitpacking (SIMD-BP128 vertical layout) |
   * | UInt8/16/32             | Short/Int/Long  | same (widened)                  |
   * | UInt64                  | Decimal(20,0)   | same                            |
-  * | Float32/64              | Float/Double    | Common                          |
-  * | Boolean                 | Boolean         | Common                          |
-  * | Utf8/LargeUtf8          | String          | Common(2-block), OneValue, Dict |
-  * | Binary/LargeBinary      | Binary          | Common(2-block), OneValue, Dict |
+  * | Float32/64              | Float/Double    | Common, OneValue, RLE, Dict, Freq, Patas |
+  * | Boolean                 | Boolean         | Common, RLE, OneValue           |
+  * | Utf8/LargeUtf8          | String          | Common(2-block), OneValue, Dict, Freq |
+  * | Binary/LargeBinary      | Binary          | Common(2-block), OneValue, Dict, Freq |
   * | Date(DAY)               | Date            | integer codecs (Int32)          |
   * | Timestamp(s/ms/us/ns)   | Timestamp       | integer codecs (Int64)          |
   * | Decimal128              | Decimal(p,s)    | Common, OneValue                |
@@ -282,10 +283,97 @@ object StrawboatImport {
         var i = 0
         while (it.hasNext) { out(it.next()) = exceptions(i); i += 1 }
         out
+      case 14 => // Bitpacking: per-128 block, u8 num_bits + vertical layout
+        require(width == 4 && n % 128 == 0,
+          s"strawboat import: Bitpacking expects u32 blocks of 128 (n=$n width=$width) " +
+          "— the reference writer only chooses it under those conditions")
+        val out = new Array[Long](n)
+        var base = 0
+        while (base < n) {
+          val numBits = c.u8()
+          unpack128(c, numBits, out, base)
+          base += 128
+        }
+        out
+      case 15 => // DeltaBitpacking: packed sequential deltas + prefix sum
+        require(width == 4 && n % 128 == 0,
+          s"strawboat import: DeltaBitpacking expects u32 blocks of 128 (n=$n width=$width)")
+        val out = new Array[Long](n)
+        var base = 0
+        var carry = 0L
+        while (base < n) {
+          val numBits = c.u8()
+          unpack128(c, numBits, out, base)
+          var i = base
+          while (i < base + 128) {
+            carry = (carry + out(i)) & 0xffffffffL
+            out(i) = carry
+            i += 1
+          }
+          base += 128
+        }
+        out
+      case 16 => // Patas (float pages): first value raw, then u16-packed
+        // (refIndex<<9 | sigBytes<<6 | trailingZeroBits) + sig XOR bytes
+        // (`/root/reference/src/compression/double/patas.rs`)
+        require(width == 4 || width == 8,
+          s"strawboat import: Patas applies to float pages only (width=$width)")
+        val mask = if (width == 4) 0xffffffffL else -1L
+        val out = new Array[Long](n)
+        out(0) = readVal(c) & mask
+        var i = 1
+        while (i < n) {
+          val packed = c.u8() | (c.u8() << 8)
+          val refIdx = (packed >> 9) & 0x7f
+          var sig = (packed >> 6) & 7
+          val tz = packed & 0x3f
+          if (tz < 63 && sig == 0) sig = 8
+          var v = 0L
+          var b = 0
+          while (b < sig) { v |= (c.b(c.pos + b) & 0xffL) << (8 * b); b += 1 }
+          c.pos += sig
+          val prev = out(i - refIdx)
+          out(i) = ((v << tz) ^ prev) & mask
+          i += 1
+        }
+        out
       case other => throw new UnsupportedOperationException(
-        s"strawboat import: integer codec $other (Bitpacking/DeltaBitpacking/Patas) " +
-        "is not supported by the flat importer v1")
+        s"strawboat import: unknown integer codec $other")
     }
+  }
+
+  /** One SIMD-BP128 block (the `bitpacking` crate's BitPacker4x layout):
+    * 128 u32s seen as 32 registers of 4 consecutive values; lane l's
+    * 32-value sub-stream (original indices 4i+l) is LSB-first bitpacked
+    * into `numBits` u32 words, and word g of the output interleaves the
+    * four lanes' g-th words (16 bytes per group, numBits groups total).
+    */
+  private def unpack128(c: Cursor, numBits: Int, out: Array[Long], base: Int): Unit = {
+    if (numBits == 0) {
+      java.util.Arrays.fill(out, base, base + 128, 0L)
+      return
+    }
+    val mask = if (numBits == 32) 0xffffffffL else (1L << numBits) - 1
+    def word(g: Int, lane: Int): Long = {
+      val p = c.pos + g * 16 + lane * 4
+      (c.b(p) & 0xffL) | (c.b(p + 1) & 0xffL) << 8 |
+        (c.b(p + 2) & 0xffL) << 16 | (c.b(p + 3) & 0xffL) << 24
+    }
+    var lane = 0
+    while (lane < 4) {
+      var i = 0
+      while (i < 32) {
+        val bitPos = i * numBits
+        val g = bitPos >> 5
+        val off = bitPos & 31
+        var v = word(g, lane) >>> off
+        if (off + numBits > 32) v |= word(g + 1, lane) << (32 - off)
+        out(base + 4 * i + lane) = v & mask
+        i += 1
+      }
+      lane += 1
+    }
+    c.pos += numBits * 16
   }
 
   /** Binary block: returns n byte arrays (null-position contents are
@@ -323,6 +411,23 @@ object StrawboatImport {
         val setCount = c.u32().toInt
         val sets = Array.fill(setCount) { val l = c.i64().toInt; c.bytes(l) }
         indices.map(i => sets(i.toInt))
+      case 13 => // Freq: (u64 len + top value) + roaring exceptions bitmap +
+        // plain (u64 len + bytes)* exceptions (`binary/freq.rs:66-90`)
+        val topLen = c.i64().toInt
+        val top = c.bytes(topLen)
+        val bmSize = c.u32().toInt
+        val bm = new org.roaringbitmap.RoaringBitmap()
+        bm.deserialize(java.nio.ByteBuffer.wrap(c.b, c.pos, bmSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+        c.pos += bmSize
+        val out = Array.fill[Array[Byte]](n)(top)
+        val it = bm.getIntIterator
+        while (it.hasNext) {
+          val i = it.next()
+          val l = c.i64().toInt
+          out(i) = c.bytes(l)
+        }
+        out
       case other => throw new UnsupportedOperationException(
         s"strawboat import: binary codec $other is not supported by the flat importer v1")
     }
@@ -331,11 +436,24 @@ object StrawboatImport {
   private def decodeBoolBlock(c: Cursor, n: Int): Array[Boolean] = {
     val codec = c.u8()
     val csize = c.u32().toInt
+    val _usize = c.u32() // NOTE: reference stores the VALUE COUNT here for booleans
     codec match {
       case 0 | 1 | 2 | 3 =>
-        val _usize = c.u32() // NOTE: reference stores the VALUE COUNT here for booleans
         val raw = commonDecompress(codec, c.bytes(csize), (n + 7) / 8)
         Array.tabulate(n)(i => ((raw(i >> 3) >> (i & 7)) & 1) == 1)
+      case 10 => // RLE: (count u32, value u8)* (`boolean/rle.rs`)
+        val out = new Array[Boolean](n)
+        var idx = 0
+        while (idx < n) {
+          val count = c.u32().toInt
+          val v = c.u8() != 0
+          var i = 0
+          while (i < count && idx < n) { out(idx) = v; idx += 1; i += 1 }
+        }
+        out
+      case 12 => // OneValue: single u8 (`boolean/one_value.rs`)
+        val v = c.u8() != 0
+        Array.fill(n)(v)
       case other => throw new UnsupportedOperationException(
         s"strawboat import: boolean codec $other is not supported by the flat importer v1")
     }

@@ -196,6 +196,115 @@ class StrawboatImportSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent SIMD-BP128 packer (the `bitpacking` crate's BitPacker4x
+    * layout): 128 values as 32 registers x 4 lanes; lane l's sub-stream
+    * (indices 4i+l) LSB-packed into numBits u32 words; group g emits the
+    * four lanes' g-th words.
+    */
+  private def pack128(vals: Seq[Long], numBits: Int): Array[Byte] = {
+    require(vals.size == 128)
+    if (numBits == 0) return Array.empty
+    val mask = if (numBits == 32) 0xffffffffL else (1L << numBits) - 1
+    val words = Array.ofDim[Long](4, numBits)
+    for (lane <- 0 until 4; i <- 0 until 32) {
+      val v = vals(4 * i + lane) & mask
+      val bitPos = i * numBits
+      val g = bitPos >> 5
+      val off = bitPos & 31
+      words(lane)(g) |= (v << off) & 0xffffffffL
+      if (off + numBits > 32) words(lane)(g + 1) |= v >>> (32 - off)
+    }
+    val out = java.nio.ByteBuffer.allocate(numBits * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (g <- 0 until numBits; lane <- 0 until 4) out.putInt(words(lane)(g).toInt)
+    out.array()
+  }
+
+  test("bitpacking and delta-bitpacking blocks (SIMD-BP128 layout)") {
+    val n = 256 // two blocks with different widths
+    val b1 = (0 until 128).map(i => (i * 7 % 100).toLong) // needs 7 bits
+    val b2 = (0 until 128).map(i => (i % 8).toLong) // needs 3 bits
+    val vals = b1 ++ b2
+    val bpPayload = cat(Array(7.toByte), pack128(b1, 7), Array(3.toByte), pack128(b2, 3))
+    // sorted column for delta: v_j = 3j (deltas all 3, initial 0 carries
+    // across blocks); the writer stores num_bits of the RAW chunk values
+    val sorted = (0 until n).map(i => 3L * i)
+    def deltas(chunk: Seq[Long], initial: Long): Seq[Long] =
+      chunk.zip(initial +: chunk.init).map { case (v, p) => v - p }
+    val dPayload = cat(
+      Array(10.toByte), pack128(deltas(sorted.take(128), 0L), 10),
+      Array(10.toByte), pack128(deltas(sorted.drop(128), sorted(127)), 10))
+    val f = new FixtureWriter
+    f.addColumn(Seq((block(14, bpPayload, n * 4), n)))
+    f.addColumn(Seq((block(15, dPayload, n * 4), n)))
+    val schema = new Schema(Seq(
+      field("bp", new ArrowType.Int(32, true)),
+      field("dbp", new ArrowType.Int(32, true))).asJava)
+    val (_, rows) = StrawboatImport.decodeFile(new BytesInput(f.finish(schema)))
+    (0 until n).foreach { i =>
+      assert(rows(i)(0) == vals(i).toInt, s"bp row $i")
+      assert(rows(i)(1) == sorted(i).toInt, s"dbp row $i")
+    }
+  }
+
+  /** Independent Patas encoder, always referencing the previous value:
+    * u16 LE (ref<<9 | sigBytes<<6 | trailingZeroBits) + sig XOR bytes.
+    */
+  private def patasEncode(patterns: Seq[Long], width: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def leBytes(v: Long, nb: Int): Array[Byte] =
+      (0 until nb).map(b => ((v >>> (8 * b)) & 0xff).toByte).toArray
+    out.write(leBytes(patterns.head, width))
+    patterns.sliding(2).foreach { case Seq(prev, cur) =>
+      val xor = prev ^ cur
+      val (sig, tz) =
+        if (xor == 0) (0, 63) // sig=0 + tz=63 encodes "equal to reference"
+        else {
+          val tzBits = java.lang.Long.numberOfTrailingZeros(xor)
+          val sigBits = 64 - java.lang.Long.numberOfLeadingZeros(xor) - tzBits
+          ((sigBits + 7) / 8, tzBits)
+        }
+      val packed = (1 << 9) | ((sig & 7) << 6) | tz
+      out.write(leBytes(packed.toLong, 2))
+      if (sig > 0) out.write(leBytes(xor >>> tz, sig))
+      ()
+    }
+    out.toByteArray
+  }
+
+  test("patas float pages and extended double codecs") {
+    val n = 12
+    val ds = Seq(1.0, 1.0, 1.5, 1.5078125, 2.25, -3.0, 0.0, 1e300, 1e300,
+      -1e-300, 42.42, 42.42)
+    val f = new FixtureWriter
+    f.addColumn(Seq((block(16,
+      patasEncode(ds.map(java.lang.Double.doubleToRawLongBits), 8), n * 8), n)))
+    // double RLE reuses the integer codec over f64 bit patterns
+    val rleD = Seq.fill(7)(2.5) ++ Seq.fill(5)(-0.125)
+    f.addColumn(Seq((block(10,
+      cat(u32(7), u64(java.lang.Double.doubleToRawLongBits(2.5)),
+        u32(5), u64(java.lang.Double.doubleToRawLongBits(-0.125))), n * 8), n)))
+    // f32 patas
+    val fs = Seq(0.5f, 0.5f, 1.25f, -7.5f, 3.14159f, 3.14159f, 0f, 1e30f,
+      -1e-30f, 2f, 4f, 8f)
+    f.addColumn(Seq((block(16,
+      patasEncode(fs.map(v => java.lang.Float.floatToRawIntBits(v) & 0xffffffffL), 4),
+      n * 4), n)))
+    val schema = new Schema(Seq(
+      field("p", new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)),
+      field("r", new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)),
+      field("pf", new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE))).asJava)
+    val (_, rows) = StrawboatImport.decodeFile(new BytesInput(f.finish(schema)))
+    (0 until n).foreach { i =>
+      assert(rows(i)(0) == ds(i), s"patas f64 row $i")
+      assert(rows(i)(1) == rleD(i), s"rle f64 row $i")
+      assert(rows(i)(2) == fs(i), s"patas f32 row $i")
+    }
+  }
+
   test("common compressions: lz4 raw block, zstd, snappy") {
     val n = 100
     val vs = (0 until n).map(i => (i * 31 % 17).toLong)
@@ -304,6 +413,46 @@ class StrawboatImportSpec extends AnyFunSuite {
     (0 until n).foreach { i =>
       assert(rows(i)(0) == "hi")
       assert(rows(i)(1) == sets(idx(i).toInt))
+    }
+  }
+
+  test("binary Freq codec: top value + roaring exceptions") {
+    val n = 8
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    bm.add(2); bm.add(5)
+    val bmBytes = {
+      val bb = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bm.serialize(bb); bb.array()
+    }
+    val top = "common".getBytes("UTF-8")
+    val e1 = "rare-a".getBytes("UTF-8")
+    val e2 = "x".getBytes("UTF-8")
+    val payload = cat(u64(top.length), top, u32(bmBytes.length), bmBytes,
+      u64(e1.length), e1, u64(e2.length), e2)
+    val f = new FixtureWriter
+    f.addColumn(Seq((block(13, payload, 0), n)))
+    val schema = new Schema(Seq(field("s", ArrowType.Utf8.INSTANCE)).asJava)
+    val (_, rows) = StrawboatImport.decodeFile(new BytesInput(f.finish(schema)))
+    (0 until n).foreach { i =>
+      val exp = if (i == 2) "rare-a" else if (i == 5) "x" else "common"
+      assert(rows(i)(0) == exp, s"freq row $i")
+    }
+  }
+
+  test("boolean extended codecs: RLE and OneValue") {
+    val n = 10
+    val f = new FixtureWriter
+    // rle: 4x true, 6x false (usize slot carries the value count)
+    f.addColumn(Seq((block(10, cat(u32(4), Array(1.toByte), u32(6), Array(0.toByte)), n), n)))
+    f.addColumn(Seq((block(12, Array(1.toByte), n), n)))
+    val schema = new Schema(Seq(
+      field("r", ArrowType.Bool.INSTANCE),
+      field("o", ArrowType.Bool.INSTANCE)).asJava)
+    val (_, rows) = StrawboatImport.decodeFile(new BytesInput(f.finish(schema)))
+    (0 until n).foreach { i =>
+      assert(rows(i)(0) == (i < 4), s"bool rle row $i")
+      assert(rows(i)(1) == true)
     }
   }
 
