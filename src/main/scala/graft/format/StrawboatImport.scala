@@ -27,9 +27,7 @@ import org.apache.spark.sql.types._
   *    (`/root/reference/src/compression/binary/mod.rs:30-110`), boolean
   *    Basic bitmap (`/root/reference/src/compression/boolean/mod.rs`).
   *
-  * Type coverage (flat columns; nested List/Struct/Map use parquet
-  * rep/def shredding and are NOT imported in v1 — they fail with a clear
-  * message):
+  * Type coverage:
   *
   * | arrow type              | Spark type      | codecs                          |
   * |-------------------------|-----------------|---------------------------------|
@@ -44,7 +42,16 @@ import org.apache.spark.sql.types._
   * | Date(DAY)               | Date            | integer codecs (Int32)          |
   * | Timestamp(s/ms/us/ns)   | Timestamp       | integer codecs (Int64)          |
   * | Decimal128              | Decimal(p,s)    | Common, OneValue                |
-  * | Float16/intervals/Union/Dictionary | unsupported (reference writer panics on them too) |
+  * | List/LargeList          | ArrayType       | rep/def nested pages over any of the above |
+  * | Struct                  | StructType      | ditto                           |
+  * | Map                     | MapType         | ditto (List over entries struct) |
+  * | FixedSizeList/Float16/intervals/Union/Dictionary | unsupported (reference writer panics on them too) |
+  *
+  * Nested columns use the reference's parquet-style rep/def shredding —
+  * one leaf column per primitive, page header `rows|rep_len|def_len` +
+  * hybrid-RLE levels (`/root/reference/src/write/serialize.rs:217-232`,
+  * `read/read_basic.rs:65-175`) — reassembled Dremel-style into Spark
+  * Array/Row/Map values.
   */
 object StrawboatImport {
 
@@ -136,21 +143,31 @@ object StrawboatImport {
     case _: ArrowType.Timestamp => TimestampType
     case d: ArrowType.Decimal if d.getBitWidth == 128 =>
       DecimalType(d.getPrecision, d.getScale)
+    case _: ArrowType.List | _: ArrowType.LargeList =>
+      val elem = f.getChildren.get(0)
+      ArrayType(sparkType(elem), elem.isNullable)
+    case _: ArrowType.Struct =>
+      import scala.jdk.CollectionConverters._
+      StructType(f.getChildren.asScala.toSeq.map(c =>
+        StructField(c.getName, sparkType(c), c.isNullable)))
+    case _: ArrowType.Map =>
+      val entries = f.getChildren.get(0)
+      val key = entries.getChildren.get(0)
+      val value = entries.getChildren.get(1)
+      MapType(sparkType(key), sparkType(value), value.isNullable)
     case t => fail(f, t.toString)
   }
 
   private def fail(f: AField, t: String): Nothing =
     throw new UnsupportedOperationException(
-      s"strawboat import: column '${f.getName}' has type $t — flat-type importer " +
-      "v1 supports Int/UInt/Float/Bool/Utf8/Binary/Date(day)/Timestamp/Decimal128 " +
-      "(nested List/Struct/Map and the types the reference writer itself rejects " +
-      "are not imported)")
+      s"strawboat import: column '${f.getName}' has type $t — the importer " +
+      "supports Int/UInt/Float/Bool/Utf8/Binary/Date(day)/Timestamp/Decimal128 " +
+      "plus List/Struct/Map over them (the types the reference writer itself " +
+      "rejects — FixedSizeList/Dictionary/Union/Float16/intervals — are not imported)")
 
   def sparkSchema(footer: StrFooter): StructType = {
     import scala.jdk.CollectionConverters._
     StructType(footer.arrowSchema.getFields.asScala.toSeq.map { f =>
-      require(f.getChildren.isEmpty,
-        fail(f, "nested (" + f.getType + ")").toString)
       StructField(f.getName, sparkType(f), f.isNullable)
     })
   }
@@ -461,7 +478,90 @@ object StrawboatImport {
 
   // ------------------------------------------------- column materialize
 
-  /** Decode one whole column to JVM values Spark's Row encoder accepts. */
+  /** Decode one codec block of `n` values of arrow type `t` to JVM values.
+    * Null-position contents are whatever the writer put there — callers
+    * mask them with the validity bitmap (flat) or def levels (nested).
+    */
+  private def decodeTypedBlock(c: Cursor, n: Int, t: ArrowType): Array[Any] = t match {
+    case t: ArrowType.Int =>
+      val w = t.getBitWidth / 8
+      val vs = decodeIntBlock(c, n, w, t.getIsSigned)
+      (t.getBitWidth, t.getIsSigned) match {
+        case (8, true) => Array.tabulate[Any](n)(i => vs(i).toByte)
+        case (16, true) => Array.tabulate[Any](n)(i => vs(i).toShort)
+        case (32, true) => Array.tabulate[Any](n)(i => vs(i).toInt)
+        case (64, true) => Array.tabulate[Any](n)(i => vs(i))
+        case (8, false) => Array.tabulate[Any](n)(i => (vs(i) & 0xffL).toShort)
+        case (16, false) => Array.tabulate[Any](n)(i => (vs(i) & 0xffffL).toInt)
+        case (32, false) => Array.tabulate[Any](n)(i => vs(i) & 0xffffffffL)
+        case (64, false) => Array.tabulate[Any](n) { i =>
+          new java.math.BigDecimal(
+            new java.math.BigInteger(java.lang.Long.toUnsignedString(vs(i))))
+        }
+        case _ => throw new IllegalStateException("unreachable: gated by sparkType")
+      }
+    case t: ArrowType.FloatingPoint =>
+      val single =
+        t.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE
+      val vs = decodeIntBlock(c, n, if (single) 4 else 8, signed = false)
+      if (single) Array.tabulate[Any](n)(i => java.lang.Float.intBitsToFloat(vs(i).toInt))
+      else Array.tabulate[Any](n)(i => java.lang.Double.longBitsToDouble(vs(i)))
+    case d: ArrowType.Date =>
+      require(d.getUnit == org.apache.arrow.vector.types.DateUnit.DAY)
+      val vs = decodeIntBlock(c, n, 4, signed = true)
+      Array.tabulate[Any](n)(i =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(vs(i))))
+    case t: ArrowType.Timestamp =>
+      val vs = decodeIntBlock(c, n, 8, signed = true)
+      import org.apache.arrow.vector.types.TimeUnit._
+      val toMicros: Long => Long = t.getUnit match {
+        case SECOND => _ * 1000000L
+        case MILLISECOND => _ * 1000L
+        case MICROSECOND => identity
+        case NANOSECOND => Math.floorDiv(_, 1000L)
+      }
+      Array.tabulate[Any](n) { i =>
+        val us = toMicros(vs(i))
+        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        ts
+      }
+    case d: ArrowType.Decimal =>
+      // i128 LE per value; Common + OneValue only
+      val codec = c.u8()
+      val csize = c.u32().toInt
+      val usize = c.u32().toInt
+      def bigAt(raw: Array[Byte], base: Int): java.math.BigDecimal = {
+        val be = new Array[Byte](16)
+        var i = 0
+        while (i < 16) { be(i) = raw(base + 15 - i); i += 1 } // LE -> BE
+        new java.math.BigDecimal(new java.math.BigInteger(be), d.getScale)
+      }
+      codec match {
+        case 0 | 1 | 2 | 3 =>
+          val raw = commonDecompress(codec, c.bytes(csize), usize)
+          Array.tabulate[Any](n)(i => bigAt(raw, i * 16))
+        case 12 =>
+          val v = bigAt(c.bytes(16), 0)
+          Array.fill[Any](n)(v)
+        case other => throw new UnsupportedOperationException(
+          s"strawboat import: decimal128 codec $other not supported by the importer")
+      }
+    case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 =>
+      val vs = decodeBinaryBlock(c, n, t.isInstanceOf[ArrowType.LargeUtf8])
+      Array.tabulate[Any](n)(i =>
+        new String(vs(i), java.nio.charset.StandardCharsets.UTF_8))
+    case _: ArrowType.Binary | _: ArrowType.LargeBinary =>
+      val vs = decodeBinaryBlock(c, n, t.isInstanceOf[ArrowType.LargeBinary])
+      Array.tabulate[Any](n)(i => vs(i))
+    case _: ArrowType.Bool =>
+      val vs = decodeBoolBlock(c, n)
+      Array.tabulate[Any](n)(i => vs(i))
+    case t => throw new UnsupportedOperationException(
+      s"strawboat import: type $t not supported")
+  }
+
+  /** Decode one whole FLAT column to JVM values Spark's Row encoder accepts. */
   def decodeColumn(in: SeekableInput, field: AField, meta: ColumnMeta): Array[Any] = {
     val nullable = field.isNullable
     val out = Array.newBuilder[Any]
@@ -477,100 +577,223 @@ object StrawboatImport {
           val dlen = c.u32().toInt
           decodeValidity(c.bytes(dlen), n)
         }
-      def emit(i: Int, v: Any): Unit =
-        out += (if (validity != null && !validity(i)) null else v)
-      field.getType match {
-        case t: ArrowType.Int =>
-          val w = t.getBitWidth / 8
-          val vs = decodeIntBlock(c, n, w, t.getIsSigned)
-          (t.getBitWidth, t.getIsSigned) match {
-            case (8, true) => var i = 0; while (i < n) { emit(i, vs(i).toByte); i += 1 }
-            case (16, true) => var i = 0; while (i < n) { emit(i, vs(i).toShort); i += 1 }
-            case (32, true) => var i = 0; while (i < n) { emit(i, vs(i).toInt); i += 1 }
-            case (64, true) => var i = 0; while (i < n) { emit(i, vs(i)); i += 1 }
-            case (8, false) => var i = 0; while (i < n) { emit(i, (vs(i) & 0xffL).toShort); i += 1 }
-            case (16, false) => var i = 0; while (i < n) { emit(i, (vs(i) & 0xffffL).toInt); i += 1 }
-            case (32, false) => var i = 0; while (i < n) { emit(i, vs(i) & 0xffffffffL); i += 1 }
-            case (64, false) =>
-              var i = 0
-              while (i < n) {
-                val bi = new java.math.BigInteger(java.lang.Long.toUnsignedString(vs(i)))
-                emit(i, new java.math.BigDecimal(bi)); i += 1
-              }
-            case _ => throw new IllegalStateException("unreachable: gated by sparkType")
-          }
-        case t: ArrowType.FloatingPoint =>
-          val single =
-            t.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE
-          val w = if (single) 4 else 8
-          val vs = decodeIntBlock(c, n, w, signed = false)
-          var i = 0
-          while (i < n) {
-            emit(i, if (single) java.lang.Float.intBitsToFloat(vs(i).toInt)
-                    else java.lang.Double.longBitsToDouble(vs(i)))
-            i += 1
-          }
-        case d: ArrowType.Date =>
-          require(d.getUnit == org.apache.arrow.vector.types.DateUnit.DAY)
-          val vs = decodeIntBlock(c, n, 4, signed = true)
-          var i = 0
-          while (i < n) { emit(i, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(vs(i)))); i += 1 }
-        case t: ArrowType.Timestamp =>
-          val vs = decodeIntBlock(c, n, 8, signed = true)
-          import org.apache.arrow.vector.types.TimeUnit._
-          val toMicros: Long => Long = t.getUnit match {
-            case SECOND => _ * 1000000L
-            case MILLISECOND => _ * 1000L
-            case MICROSECOND => identity
-            case NANOSECOND => Math.floorDiv(_, 1000L)
-          }
-          var i = 0
-          while (i < n) {
-            val us = toMicros(vs(i))
-            val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-            ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-            emit(i, ts); i += 1
-          }
-        case d: ArrowType.Decimal =>
-          // i128 LE per value; Common + OneValue only in v1
-          val codec = c.u8()
-          val csize = c.u32().toInt
-          val usize = c.u32().toInt
-          def bigAt(raw: Array[Byte], base: Int): java.math.BigDecimal = {
-            val be = new Array[Byte](16)
-            var i = 0
-            while (i < 16) { be(i) = raw(base + 15 - i); i += 1 } // LE -> BE
-            new java.math.BigDecimal(new java.math.BigInteger(be), d.getScale)
-          }
-          codec match {
-            case 0 | 1 | 2 | 3 =>
-              val raw = commonDecompress(codec, c.bytes(csize), usize)
-              var i = 0
-              while (i < n) { emit(i, bigAt(raw, i * 16)); i += 1 }
-            case 12 =>
-              val v = bigAt(c.bytes(16), 0)
-              var i = 0
-              while (i < n) { emit(i, v); i += 1 }
-            case other => throw new UnsupportedOperationException(
-              s"strawboat import: decimal128 codec $other not supported by importer v1")
-          }
-        case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 =>
-          val wide = field.getType.isInstanceOf[ArrowType.LargeUtf8]
-          val vs = decodeBinaryBlock(c, n, wide)
-          var i = 0
-          while (i < n) { emit(i, new String(vs(i), java.nio.charset.StandardCharsets.UTF_8)); i += 1 }
-        case _: ArrowType.Binary | _: ArrowType.LargeBinary =>
-          val wide = field.getType.isInstanceOf[ArrowType.LargeBinary]
-          val vs = decodeBinaryBlock(c, n, wide)
-          var i = 0
-          while (i < n) { emit(i, vs(i)); i += 1 }
-        case _: ArrowType.Bool =>
-          val vs = decodeBoolBlock(c, n)
-          var i = 0
-          while (i < n) { emit(i, vs(i)); i += 1 }
-        case t => throw new UnsupportedOperationException(
-          s"strawboat import: type $t not supported")
+      val vs = decodeTypedBlock(c, n, field.getType)
+      var i = 0
+      while (i < n) {
+        out += (if (validity != null && !validity(i)) null else vs(i))
+        i += 1
       }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------- nested materialize
+
+  /** Level-structure tree mirroring the reference reader's `InitNested`
+    * chain (`/root/reference/src/read/deserialize.rs:140-235`): each level
+    * contributes `nullable + repeated` to the def budget and `repeated` to
+    * the rep budget (`read_basic.rs:96-106` cum_sum/cum_rep). Map is a
+    * List over its entries Struct, exactly as the reference reads it
+    * (`deserialize.rs:212-217`).
+    */
+  private sealed trait Node { def nullable: Boolean; def leafCount: Int }
+  private final case class PrimNode(field: AField) extends Node {
+    def nullable: Boolean = field.isNullable
+    def leafCount = 1
+  }
+  private final case class ListNode(nullable: Boolean, child: Node, isMap: Boolean) extends Node {
+    def leafCount: Int = child.leafCount
+  }
+  private final case class StructNode(nullable: Boolean, children: Seq[Node]) extends Node {
+    val leafCount: Int = children.map(_.leafCount).sum
+  }
+
+  private def buildNode(f: AField): Node = f.getType match {
+    case _: ArrowType.List | _: ArrowType.LargeList =>
+      ListNode(f.isNullable, buildNode(f.getChildren.get(0)), isMap = false)
+    case _: ArrowType.Map =>
+      val entries = f.getChildren.get(0)
+      ListNode(f.isNullable,
+        StructNode(entries.isNullable,
+          Seq(buildNode(entries.getChildren.get(0)), buildNode(entries.getChildren.get(1)))),
+        isMap = true)
+    case _: ArrowType.Struct =>
+      import scala.jdk.CollectionConverters._
+      StructNode(f.isNullable, f.getChildren.asScala.toSeq.map(buildNode))
+    case _ => PrimNode(f)
+  }
+
+  /** DFS leaves with their cumulative (def-before-leaf, rep) budgets —
+    * cum_sum[leaf depth] / cum_rep in the reference's terms. */
+  private def leafBudgets(node: Node, d: Int, r: Int): Seq[(AField, Int, Int)] = node match {
+    case PrimNode(f) => Seq((f, d, r))
+    case ListNode(nl, child, _) => leafBudgets(child, d + (if (nl) 2 else 1), r + 1)
+    case StructNode(nl, children) =>
+      val d2 = d + (if (nl) 1 else 0)
+      children.flatMap(c => leafBudgets(c, d2, r))
+  }
+
+  /** parquet hybrid RLE/bitpacked levels at bit width of `maxLevel` —
+    * exactly `HybridRleDecoder::try_new(bytes, get_bit_width(max), n)`
+    * (`read_basic.rs:84-86`). Width 0 ⇒ all zeros, empty byte stream.
+    */
+  private[format] def decodeHybridLevels(bytes: Array[Byte], n: Int, maxLevel: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    if (maxLevel == 0 || n == 0) return out
+    val width = 32 - Integer.numberOfLeadingZeros(maxLevel)
+    val mask = (1L << width) - 1
+    var idx = 0
+    var pos = 0
+    while (idx < n && pos < bytes.length) {
+      var h = 0L; var shift = 0; var more = true
+      while (more) {
+        val x = bytes(pos) & 0xff; pos += 1
+        h |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+      }
+      if ((h & 1) == 1) {
+        // bit-packed: (h>>1) groups of 8 values, `width` bytes per group
+        val groups = (h >>> 1).toInt
+        var g = 0
+        while (g < groups) {
+          var acc = 0L; var b = 0
+          while (b < width) {
+            acc |= (if (pos < bytes.length) bytes(pos) & 0xffL else 0L) << (8 * b)
+            pos += 1; b += 1
+          }
+          var k = 0
+          while (k < 8 && idx < n) {
+            out(idx) = ((acc >>> (k * width)) & mask).toInt; idx += 1; k += 1
+          }
+          g += 1
+        }
+      } else {
+        // RLE run: count + value in ceil(width/8) bytes
+        val count = (h >>> 1).toInt
+        val vbytes = (width + 7) / 8
+        var v = 0; var b = 0
+        while (b < vbytes) { v |= (bytes(pos) & 0xff) << (8 * b); pos += 1; b += 1 }
+        var c = 0
+        while (c < count && idx < n) { out(idx) = v; idx += 1; c += 1 }
+      }
+    }
+    out
+  }
+
+  /** One leaf's decoded page: level streams + value slots + cursors. */
+  private final class LeafStream(val reps: Array[Int], val defs: Array[Int],
+      val values: Array[Any], val defBeforeLeaf: Int, val leafNullable: Boolean) {
+    var i = 0 // level cursor
+    var vi = 0 // value cursor
+    def defl: Int = defs(i)
+    /** consume one level entry; if the leaf slot exists, also its value */
+    def take(): Any = {
+      val d = defs(i); i += 1
+      if (d < defBeforeLeaf) null // ancestor null/empty: no slot
+      else {
+        val v = values(vi); vi += 1
+        if (leafNullable && d == defBeforeLeaf) null else v
+      }
+    }
+    def skipOne(): Unit = { val _ = take() }
+  }
+
+  /** Assemble ONE slot of `node` from the leaf streams rooted at
+    * `leafOff`, Dremel-style: `d` = def budget consumed by ancestors,
+    * `r` = rep budget (list depth) above this node.
+    */
+  private def assemble(node: Node, leaves: Array[LeafStream], leafOff: Int,
+      d: Int, r: Int): Any = node match {
+    case _: PrimNode => leaves(leafOff).take()
+    case StructNode(nullable, children) =>
+      val head = leaves(leafOff)
+      if (nullable && head.defl <= d) {
+        // null struct: every leaf below carries exactly one entry
+        (leafOff until leafOff + node.leafCount).foreach(li => leaves(li).skipOne())
+        null
+      } else {
+        val d2 = d + (if (nullable) 1 else 0)
+        var off = leafOff
+        val cells = children.map { ch =>
+          val v = assemble(ch, leaves, off, d2, r)
+          off += ch.leafCount
+          v
+        }
+        org.apache.spark.sql.Row.fromSeq(cells)
+      }
+    case ListNode(nullable, child, isMap) =>
+      val head = leaves(leafOff)
+      val dPresent = d + (if (nullable) 1 else 0) // list defined
+      val dElems = dPresent + 1 // repeated level: at least one element
+      val curDef = head.defl
+      if (nullable && curDef <= d) {
+        (leafOff until leafOff + node.leafCount).foreach(li => leaves(li).skipOne())
+        null
+      } else if (curDef < dElems) {
+        // defined but empty
+        (leafOff until leafOff + node.leafCount).foreach(li => leaves(li).skipOne())
+        if (isMap) Map.empty[Any, Any] else Seq.empty[Any]
+      } else {
+        val r2 = r + 1
+        val buf = scala.collection.mutable.ListBuffer.empty[Any]
+        var continue = true
+        while (continue) {
+          buf += assemble(child, leaves, leafOff, dElems, r2)
+          // peek: next entry continues THIS list iff its rep == r2
+          continue = head.i < head.reps.length && head.reps(head.i) >= r2
+        }
+        if (isMap)
+          buf.iterator.map { case row: org.apache.spark.sql.Row => (row(0), row(1)) }.toMap
+        else buf.toList
+      }
+  }
+
+  /** Decode one whole NESTED column (leafCount metas) to JVM values. */
+  private def decodeNestedColumn(in: SeekableInput, node: Node,
+      metas: Seq[ColumnMeta]): Array[Any] = {
+    val budgets = leafBudgets(node, 0, 0)
+    require(budgets.size == metas.size,
+      s"strawboat import: ${budgets.size} leaves vs ${metas.size} metas")
+    val nPages = metas.head.pages.size
+    metas.foreach(m => require(m.pages.size == nPages,
+      s"strawboat import: ragged page counts across nested leaves " +
+      s"(${m.pages.size} vs $nPages)"))
+    val offs = metas.map(_.offset).toArray
+    val out = Array.newBuilder[Any]
+    var p = 0
+    while (p < nPages) {
+      var pageRows = -1
+      val streams = budgets.zipWithIndex.map { case ((f, defBefore, maxRep), li) =>
+        val pm = metas(li).pages(p)
+        val page = in.readRange(offs(li), pm.length.toInt)
+        offs(li) += pm.length
+        val c = new Cursor(page, 0)
+        val nLevels = pm.numValues.toInt
+        // nested page header (`read_basic.rs:72-81`): rows, rep len, def len
+        val rows = c.u32().toInt
+        val repLen = c.u32().toInt
+        val defLen = c.u32().toInt
+        val maxDef = defBefore + (if (f.isNullable) 1 else 0)
+        val reps = decodeHybridLevels(c.bytes(repLen), nLevels, maxRep)
+        val defs = decodeHybridLevels(c.bytes(defLen), nLevels, maxDef)
+        if (pageRows < 0) pageRows = rows
+        else require(rows == pageRows,
+          s"strawboat import: leaf row counts disagree ($rows vs $pageRows)")
+        var nSlots = 0
+        defs.foreach(dv => if (dv >= defBefore) nSlots += 1)
+        val values = decodeTypedBlock(c, nSlots, f.getType)
+        new LeafStream(reps, defs, values, defBefore, f.isNullable)
+      }.toArray
+      var row = 0
+      while (row < pageRows) {
+        require(streams(0).reps(streams(0).i) == 0,
+          "strawboat import: row did not start at rep level 0")
+        out += assemble(node, streams, 0, 0, 0)
+        row += 1
+      }
+      streams.foreach(s => require(s.i == s.reps.length && s.vi == s.values.length,
+        s"strawboat import: page not fully consumed (${s.i}/${s.reps.length} levels, " +
+        s"${s.vi}/${s.values.length} values)"))
+      p += 1
     }
     out.result()
   }
@@ -581,10 +804,19 @@ object StrawboatImport {
     val footer = readFooter(in)
     val schema = sparkSchema(footer)
     val fields = footer.arrowSchema.getFields.asScala.toSeq
-    require(fields.size == footer.metas.size,
-      s"strawboat import: ${fields.size} schema fields vs ${footer.metas.size} column metas " +
-      "(nested files shred to more leaves than fields — not supported in v1)")
-    val cols = fields.zip(footer.metas).map { case (f, m) => decodeColumn(in, f, m) }
+    val nodes = fields.map(buildNode)
+    val wantLeaves = nodes.map(_.leafCount).sum
+    require(wantLeaves == footer.metas.size,
+      s"strawboat import: $wantLeaves schema leaves vs ${footer.metas.size} column metas")
+    var mi = 0
+    val cols = fields.zip(nodes).map { case (f, node) =>
+      val metas = footer.metas.slice(mi, mi + node.leafCount)
+      mi += node.leafCount
+      node match {
+        case _: PrimNode => decodeColumn(in, f, metas.head)
+        case _ => decodeNestedColumn(in, node, metas)
+      }
+    }
     val nRows = if (cols.isEmpty) 0 else cols.head.length
     cols.foreach(cl => require(cl.length == nRows,
       s"strawboat import: ragged columns (${cl.length} vs $nRows)"))

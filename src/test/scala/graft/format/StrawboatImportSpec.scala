@@ -456,18 +456,192 @@ class StrawboatImportSpec extends AnyFunSuite {
     }
   }
 
-  test("bad magic and nested fields fail with clear messages") {
+  // -------------------------------------------------------- nested pages
+
+  /** hybrid-RLE levels, one BIT-PACKED run (8 values/group, `width` bytes
+    * per group, LSB-first) — one of the two run shapes
+    * `HybridRleDecoder` accepts. */
+  private def levelsBitpacked(vals: Seq[Int], width: Int): Array[Byte] = {
+    if (width == 0) return Array.empty
+    val groups = (vals.size + 7) / 8
+    val header = (groups << 1) | 1
+    require(header < 128)
+    val out = Array.newBuilder[Byte]
+    out += header.toByte
+    (0 until groups).foreach { g =>
+      var acc = 0L
+      (0 until 8).foreach { k =>
+        val v = if (g * 8 + k < vals.size) vals(g * 8 + k).toLong else 0L
+        acc |= v << (k * width)
+      }
+      (0 until width).foreach(b => out += ((acc >>> (8 * b)) & 0xff).toByte)
+    }
+    out.result()
+  }
+
+  /** hybrid-RLE levels as RLE runs (count<<1 header + 1-byte value). */
+  private def levelsRle(vals: Seq[Int], width: Int): Array[Byte] = {
+    if (width == 0) return Array.empty
+    val out = Array.newBuilder[Byte]
+    var i = 0
+    while (i < vals.size) {
+      var j = i
+      while (j < vals.size && vals(j) == vals(i)) j += 1
+      val count = j - i
+      require(count < 64)
+      out += ((count << 1) & 0xff).toByte
+      out += vals(i).toByte
+      i = j
+    }
+    out.result()
+  }
+
+  /** nested page: rows + rep/def lengths + levels + leaf codec block
+    * (`/root/reference/src/write/serialize.rs:217-232` header,
+    *  `read_basic.rs:72-90` read side). */
+  private def nestedPage(rows: Int, reps: Array[Byte], defs: Array[Byte],
+      leafBlock: Array[Byte]): Array[Byte] =
+    cat(u32(rows), u32(reps.length), u32(defs.length), reps, defs, leafBlock)
+
+  private def utf8Block(strs: Seq[String]): Array[Byte] = {
+    val offsets = strs.scanLeft(0L)((acc, s) => acc + s.getBytes("UTF-8").length)
+    cat(noneBlock(leInts(4, offsets)), noneBlock(strs.mkString.getBytes("UTF-8")))
+  }
+
+  private def listField(name: String, elem: Field, nullable: Boolean): Field =
+    new Field(name,
+      if (nullable) FieldType.nullable(ArrowType.List.INSTANCE)
+      else FieldType.notNullable(ArrowType.List.INSTANCE),
+      Seq(elem).asJava)
+
+  test("nested: List<Int> with nulls, empties and null elements") {
+    // rows: [1,2,3] | [] | null | [4,null]
+    // list nullable (+2 def, +1 rep), elem nullable (+1 def): maxDef=3 maxRep=1
+    val reps = Seq(0, 1, 1, 0, 0, 0, 1)
+    val defs = Seq(3, 3, 3, 1, 0, 3, 2)
+    // slots = defs >= 2 -> 5 values (last is a masked garbage slot)
+    val vals = Seq(1L, 2L, 3L, 4L, 99L)
+    val f = new FixtureWriter
+    f.addColumn(Seq((nestedPage(4,
+      levelsBitpacked(reps, 1), levelsBitpacked(defs, 2),
+      noneBlock(leInts(4, vals))), reps.size)))
+    val schema = new Schema(Seq(
+      listField("xs", field("item", new ArrowType.Int(32, true), nullable = true),
+        nullable = true)).asJava)
+    val (st, rows) = StrawboatImport.decodeFile(new BytesInput(f.finish(schema)))
+    assert(st.fields(0).dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, true))
+    assert(rows.size == 4)
+    assert(rows(0)(0) == Seq(1, 2, 3))
+    assert(rows(1)(0) == Seq())
+    assert(rows(2)(0) == null)
+    assert(rows(3)(0) == Seq(4, null))
+  }
+
+  test("nested: nullable Struct<a:Int?, b:Utf8> (no lists, zero-width rep)") {
+    // rows: {a:1,b:"x"} | null | {a:null,b:"y"}
+    // struct nullable (+1); a nullable (+1): maxDef=2; b required: maxDef=1
+    val f = new FixtureWriter
+    f.addColumn(Seq((nestedPage(3,
+      levelsBitpacked(Seq(0, 0, 0), 0), // maxRep=0: empty stream
+      levelsRle(Seq(2, 0, 1), 2),
+      noneBlock(leInts(4, Seq(1L, 88L)))), 3)))
+    f.addColumn(Seq((nestedPage(3,
+      Array.empty[Byte], levelsBitpacked(Seq(1, 0, 1), 1),
+      utf8Block(Seq("x", "y"))), 3)))
+    val entries = new Field("s", FieldType.nullable(ArrowType.Struct.INSTANCE), Seq(
+      field("a", new ArrowType.Int(32, true), nullable = true),
+      field("b", ArrowType.Utf8.INSTANCE)).asJava)
+    val schema = new Schema(Seq(entries).asJava)
+    val (_, rows) = StrawboatImport.decodeFile(new BytesInput(f.finish(schema)))
+    assert(rows.size == 3)
+    assert(rows(0)(0) == org.apache.spark.sql.Row(1, "x"))
+    assert(rows(1)(0) == null)
+    assert(rows(2)(0) == org.apache.spark.sql.Row(null, "y"))
+  }
+
+  test("nested: Map<Utf8,Int64> incl. empty and null maps") {
+    // rows: {a->1,b->2} | {} | null | {c->null}
+    // map nullable List (+2 def, +1 rep); entries struct required (+0);
+    // key required: maxDef=2; value nullable: maxDef=3
+    val reps = Seq(0, 1, 0, 0, 0)
+    val keyDefs = Seq(2, 2, 1, 0, 2)
+    val valDefs = Seq(3, 3, 1, 0, 2)
+    val f = new FixtureWriter
+    f.addColumn(Seq((nestedPage(4,
+      levelsRle(reps, 1), levelsRle(keyDefs, 2),
+      utf8Block(Seq("a", "b", "c"))), reps.size)))
+    f.addColumn(Seq((nestedPage(4,
+      levelsRle(reps, 1), levelsBitpacked(valDefs, 2),
+      noneBlock(leInts(8, Seq(1L, 2L, 77L)))), reps.size)))
+    val key = field("key", ArrowType.Utf8.INSTANCE)
+    val value = field("value", new ArrowType.Int(64, true), nullable = true)
+    val entries = new Field("entries", FieldType.notNullable(ArrowType.Struct.INSTANCE),
+      Seq(key, value).asJava)
+    val mapField = new Field("m", FieldType.nullable(new ArrowType.Map(false)),
+      Seq(entries).asJava)
+    val schema = new Schema(Seq(mapField).asJava)
+    val (st, rows) = StrawboatImport.decodeFile(new BytesInput(f.finish(schema)))
+    assert(st.fields(0).dataType == org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType, true))
+    assert(rows.size == 4)
+    assert(rows(0)(0) == Map("a" -> 1L, "b" -> 2L))
+    assert(rows(1)(0) == Map())
+    assert(rows(2)(0) == null)
+    assert(rows(3)(0) == Map("c" -> null))
+  }
+
+  test("nested: required List<Struct> and List<List<Int>> multi-page") {
+    // col 1: required list of required struct{x:Int, y:Utf8?}
+    // rows: [{1,"p"},{2,null}] | []
+    // list required (+1 def, +1 rep); struct (+0); x: maxDef=1; y: maxDef=2
+    val reps1 = Seq(0, 1, 0)
+    val f = new FixtureWriter
+    f.addColumn(Seq((nestedPage(2,
+      levelsRle(reps1, 1), levelsRle(Seq(1, 1, 0), 1),
+      noneBlock(leInts(4, Seq(1L, 2L)))), reps1.size)))
+    f.addColumn(Seq((nestedPage(2,
+      levelsRle(reps1, 1), levelsBitpacked(Seq(2, 1, 0), 2),
+      utf8Block(Seq("p", "q"))), reps1.size)))
+    // col 2: nullable List<nullable List<Int>>, elem required — TWO pages
+    // page 1: ONE row [[1,2],[],null] ; page 2: ONE row [[3]]
+    // outer +2, inner +2: maxDef=4, maxRep=2
+    val p1 = nestedPage(1,
+      levelsBitpacked(Seq(0, 2, 1, 1), 2), levelsBitpacked(Seq(4, 4, 3, 2), 3),
+      noneBlock(leInts(4, Seq(1L, 2L))))
+    val p2 = nestedPage(1,
+      levelsRle(Seq(0), 2), levelsRle(Seq(4), 3),
+      noneBlock(leInts(4, Seq(3L))))
+    f.addColumn(Seq((p1, 4), (p2, 1)))
+    val structF = new Field("e", FieldType.notNullable(ArrowType.Struct.INSTANCE), Seq(
+      field("x", new ArrowType.Int(32, true)),
+      field("y", ArrowType.Utf8.INSTANCE, nullable = true)).asJava)
+    val inner = listField("inner", field("item", new ArrowType.Int(32, true)), nullable = true)
+    val schema = new Schema(Seq(
+      listField("es", structF, nullable = false),
+      listField("xss", inner, nullable = true)).asJava)
+    val (_, rows) = StrawboatImport.decodeFile(new BytesInput(f.finish(schema)))
+    assert(rows.size == 2)
+    assert(rows(0)(0) == Seq(org.apache.spark.sql.Row(1, "p"), org.apache.spark.sql.Row(2, null)))
+    assert(rows(1)(0) == Seq())
+    assert(rows(0)(1) == Seq(Seq(1, 2), Seq(), null))
+    assert(rows(1)(1) == Seq(Seq(3)))
+  }
+
+  test("bad magic and writer-rejected types fail with clear messages") {
     val junk = new BytesInput("PARQUET-ish junk that is long enough to probe".getBytes)
     val e1 = intercept[IllegalArgumentException](StrawboatImport.readFooter(junk))
     assert(e1.getMessage.contains("magic"))
-    val listField = new Field("l", FieldType.nullable(ArrowType.List.INSTANCE),
+    // FixedSizeList is a type the reference writer itself panics on
+    // (`/root/reference/src/write/serialize.rs:124`) — clear rejection
+    val fsl = new Field("l", FieldType.nullable(new ArrowType.FixedSizeList(3)),
       Seq(field("item", new ArrowType.Int(32, true))).asJava)
     val f = new FixtureWriter
     f.addColumn(Seq((noneBlock(leInts(4, Seq(1L))), 1)))
-    val bytes = f.finish(new Schema(Seq(listField).asJava))
+    val bytes = f.finish(new Schema(Seq(fsl).asJava))
     val e2 = intercept[Exception] {
       StrawboatImport.sparkSchema(StrawboatImport.readFooter(new BytesInput(bytes)))
     }
-    assert(e2.getMessage.contains("nested") || e2.getMessage.contains("not imported"))
+    assert(e2.getMessage.contains("not imported"))
   }
 }

@@ -67,6 +67,68 @@ class GraftImportSpec extends AnyFunSuite {
       Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0))
   }
 
+  /** One-column nested fixture: xs = nullable List<nullable Int32>.
+    * Levels hand-derived (maxDef=3, maxRep=1); rows:
+    * [0,10] | [] | null | [7,null] | [42]
+    */
+  private def nestedFixture(): Array[Byte] = {
+    def noneBlock(raw: Array[Byte]): Array[Byte] =
+      cat(Array(0.toByte), u32(raw.length), u32(raw.length), raw)
+    val reps = Seq(0, 1, 0, 0, 0, 1, 0)
+    val defs = Seq(3, 3, 1, 0, 3, 2, 3)
+    def bitpacked(vals: Seq[Int], width: Int): Array[Byte] = {
+      val groups = (vals.size + 7) / 8
+      val out = Array.newBuilder[Byte]
+      out += (((groups << 1) | 1)).toByte
+      (0 until groups).foreach { g =>
+        var acc = 0L
+        (0 until 8).foreach { k =>
+          if (g * 8 + k < vals.size) acc |= vals(g * 8 + k).toLong << (k * width)
+        }
+        (0 until width).foreach(b => out += ((acc >>> (8 * b)) & 0xff).toByte)
+      }
+      out.result()
+    }
+    val repB = bitpacked(reps, 1)
+    val defB = bitpacked(defs, 2)
+    val slots = Seq(0L, 10L, 7L, 99L, 42L) // garbage at the masked slot
+    val valRaw = {
+      val b = java.nio.ByteBuffer.allocate(4 * slots.size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      slots.foreach(v => b.putInt(v.toInt)); b.array()
+    }
+    val page = cat(u32(5), u32(repB.length), u32(defB.length), repB, defB, noneBlock(valRaw))
+    val item = new Field("item", FieldType.nullable(new ArrowType.Int(32, true)), null)
+    val schema = new Schema(Seq(
+      new Field("xs", FieldType.nullable(ArrowType.List.INSTANCE), Seq(item).asJava)).asJava)
+    val schemaBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ch = new org.apache.arrow.vector.ipc.WriteChannel(
+        java.nio.channels.Channels.newChannel(baos))
+      org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(ch, schema)
+      baos.toByteArray
+    }
+    val metaBytes = cat(u64(1), u64(8L), u64(1), u64(page.length), u64(reps.size))
+    cat("ARROW2".getBytes("UTF-8"), Array[Byte](0, 0), page,
+      schemaBytes, metaBytes, u32(schemaBytes.length), u32(metaBytes.length),
+      Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0))
+  }
+
+  test("nested list column imports and migrates to graft") {
+    val dir = "/tmp/graft-test/straw-import-nested"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/n.str"), nestedFixture())
+    val df = GraftImport.read(spark, dir)
+    val got = df.collect().map(r => Option(r.getSeq[Any](0)).map(_.toList).orNull).toSeq
+    assert(got == Seq(List(0, 10), List(), null, List(7, null), List(42)))
+    val dest = "/tmp/graft-test/straw-import-nested-graft"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dest))
+    assert(GraftImport.toGraft(spark, dir, dest) == 5L)
+    val g = spark.read.format("graft").load(dest)
+    val got2 = g.collect().map(r => Option(r.getSeq[Any](0)).map(_.toList).orNull).toSeq
+    assert(got2.toSet == got.toSet)
+  }
+
   test("directory import is distributed per file and migrates to graft") {
     val dir = "/tmp/graft-test/straw-import"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
