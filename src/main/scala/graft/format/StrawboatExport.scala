@@ -1,0 +1,466 @@
+package graft.format
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field => AField, FieldType, Schema => ASchema}
+import scala.jdk.CollectionConverters._
+
+/** Write-side counterpart of [[StrawboatImport]]: encodes Spark rows into
+  * REFERENCE-layout strawboat files (`ARROW2` magic) so data produced here
+  * can be handed back to a deployment still running the reference engine —
+  * interop in BOTH directions, not just migration in.
+  *
+  * Layout written (same spec the importer decodes, from the reference
+  * sources — file frame `/root/reference/src/write/writer.rs:98-167`, page
+  * frame `serialize.rs:200-232`, codec blocks
+  * `compression/integer/mod.rs:49-70`):
+  *
+  *  - `ARROW2` magic + 2 pad bytes, then per-leaf pages COLUMN-CONTIGUOUS
+  *    (column 0's pages, then column 1's, ...), then footer = arrow-IPC
+  *    schema + column metas + schema_size(u32) + meta_size(u32) + EOS.
+  *  - flat page: `def_levels_len(u32) | hybrid-RLE validity` (nullable
+  *    fields only) + codec block `codec(u8)|csize(u32)|usize(u32)|payload`.
+  *  - nested page: `rows(u32)|rep_len(u32)|def_len(u32)| rep | def` hybrid-
+  *    RLE level streams + the leaf codec block; `num_values` is the
+  *    level-tuple count (flat pages: the row count).
+  *
+  * Codec policy: every block is written with a COMMON codec (None / Lz4 raw
+  * block / Zstd / Snappy) — the spec's always-valid encoding that every
+  * reference reader version decodes. The reference's specialized integer /
+  * binary codecs are an encoding CHOICE its writer makes, not a requirement
+  * of the format, so the exporter favors portability over ratio; block
+  * compression still applies.
+  *
+  * Scale shape: `encodeFile` buffers one file's rows (column-contiguous
+  * layout forces whole-file buffering — the reference writer itself holds
+  * the full chunk in memory); callers bound memory by limiting rows per
+  * file (see `graft.spark.GraftExport`).
+  */
+object StrawboatExport {
+
+  // --------------------------------------------------- spark -> arrow schema
+
+  /** Inverse of `StrawboatImport.sparkType` over the types the reference
+    * supports; throws on anything its writer would reject too.
+    */
+  def arrowField(name: String, dt: DataType, nullable: Boolean): AField = {
+    def mk(t: ArrowType, children: Seq[AField] = Nil): AField =
+      new AField(name,
+        if (nullable) FieldType.nullable(t) else FieldType.notNullable(t),
+        children.asJava)
+    dt match {
+      case ByteType => mk(new ArrowType.Int(8, true))
+      case ShortType => mk(new ArrowType.Int(16, true))
+      case IntegerType => mk(new ArrowType.Int(32, true))
+      case LongType => mk(new ArrowType.Int(64, true))
+      case FloatType => mk(new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE))
+      case DoubleType => mk(new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE))
+      case BooleanType => mk(ArrowType.Bool.INSTANCE)
+      case StringType => mk(ArrowType.Utf8.INSTANCE)
+      case BinaryType => mk(ArrowType.Binary.INSTANCE)
+      case DateType => mk(new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY))
+      case TimestampType => mk(new ArrowType.Timestamp(
+        org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC"))
+      case TimestampNTZType => mk(new ArrowType.Timestamp(
+        org.apache.arrow.vector.types.TimeUnit.MICROSECOND, null))
+      case d: DecimalType => mk(new ArrowType.Decimal(d.precision, d.scale, 128))
+      case a: ArrayType =>
+        mk(ArrowType.List.INSTANCE,
+          Seq(arrowField("item", a.elementType, a.containsNull)))
+      case s: StructType =>
+        mk(ArrowType.Struct.INSTANCE,
+          s.fields.toSeq.map(f => arrowField(f.name, f.dataType, f.nullable)))
+      case m: MapType =>
+        // arrow Map = List over a non-nullable entries struct(key, value)
+        val entries = new AField("entries",
+          FieldType.notNullable(ArrowType.Struct.INSTANCE),
+          Seq(arrowField("key", m.keyType, nullable = false),
+            arrowField("value", m.valueType, m.valueContainsNull)).asJava)
+        mk(new ArrowType.Map(false), Seq(entries))
+      case other => throw new UnsupportedOperationException(
+        s"strawboat export: column '$name' has Spark type $other — the reference " +
+        "format supports Byte/Short/Int/Long, Float/Double, Boolean, String, " +
+        "Binary, Date, Timestamp, Decimal(<=38), and Array/Struct/Map over them")
+    }
+  }
+
+  def arrowSchema(st: StructType): ASchema =
+    new ASchema(st.fields.toSeq.map(f => arrowField(f.name, f.dataType, f.nullable)).asJava)
+
+  // ------------------------------------------------------------ byte tools
+
+  private def u32(v: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(v.toInt); b.array()
+  }
+  private def u64(v: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(v); b.array()
+  }
+  private def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+
+  /** Common-codec compression of one payload. */
+  private def compress(codec: Int, raw: Array[Byte]): Array[Byte] = codec match {
+    case 0 => raw
+    case 1 => // lz4 raw block (prepend_size=false), what the reference reads
+      val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      val out = new Array[Byte](c.maxCompressedLength(raw.length))
+      val n = c.compress(raw, 0, raw.length, out, 0)
+      java.util.Arrays.copyOf(out, n)
+    case 2 => com.github.luben.zstd.Zstd.compress(raw)
+    case 3 => org.xerial.snappy.Snappy.compress(raw)
+    case c => throw new IllegalArgumentException(s"strawboat export: codec $c")
+  }
+
+  /** `codec(u8) | csize(u32) | usize(u32) | payload`. `usizeOverride` serves
+    * booleans, where the reference stores the VALUE COUNT in the
+    * uncompressed-size field instead of the bitmap byte length.
+    */
+  private def block(codec: Int, raw: Array[Byte], usizeOverride: Long = -1L): Array[Byte] = {
+    val payload = compress(codec, raw)
+    cat(Array(codec.toByte), u32(payload.length),
+      u32(if (usizeOverride >= 0) usizeOverride else raw.length.toLong), payload)
+  }
+
+  /** parquet hybrid-RLE levels at `get_bit_width(maxLevel)`: one bitpacked
+    * run covering all values (multi-byte ULEB128 header for any length).
+    * Width 0 ⇒ empty stream, matching the reader's all-zeros fast path.
+    */
+  private[format] def encodeHybridLevels(vals: Seq[Int], maxLevel: Int): Array[Byte] = {
+    if (maxLevel == 0 || vals.isEmpty) return Array.empty
+    val width = 32 - Integer.numberOfLeadingZeros(maxLevel)
+    val groups = (vals.size + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    var header = (groups.toLong << 1) | 1
+    while ({
+      val x = (header & 0x7f).toInt
+      header >>>= 7
+      if (header != 0) out.write(x | 0x80) else out.write(x)
+      header != 0
+    }) ()
+    var g = 0
+    while (g < groups) {
+      var acc = 0L
+      var k = 0
+      while (k < 8) {
+        val i = g * 8 + k
+        if (i < vals.size) acc |= (vals(i).toLong & ((1L << width) - 1)) << (k * width)
+        k += 1
+      }
+      var b = 0
+      while (b < width) { out.write(((acc >>> (8 * b)) & 0xff).toInt); b += 1 }
+      g += 1
+    }
+    out.toByteArray
+  }
+
+  /** Flat validity block: `len(u32) | hybrid-RLE width-1 levels`. */
+  private def validityBlock(valid: Array[Boolean]): Array[Byte] = {
+    val levels = encodeHybridLevels(valid.map(v => if (v) 1 else 0).toSeq, 1)
+    cat(u32(levels.length), levels)
+  }
+
+  // -------------------------------------------------------- leaf encoders
+
+  private def leInts(width: Int, vs: Seq[Long]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(width * vs.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    width match {
+      case 1 => vs.foreach(v => b.put(v.toByte))
+      case 2 => vs.foreach(v => b.putShort(v.toShort))
+      case 4 => vs.foreach(v => b.putInt(v.toInt))
+      case 8 => vs.foreach(v => b.putLong(v))
+    }
+    b.array()
+  }
+
+  private def tsMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    case i: java.time.Instant =>
+      Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L
+    case l: java.time.LocalDateTime => // NTZ wall clock, micros from epoch
+      Math.multiplyExact(l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+        l.getNano / 1000L
+    case other => throw new IllegalArgumentException(s"timestamp value $other")
+  }
+  private def dateDays(v: Any): Long = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case other => throw new IllegalArgumentException(s"date value $other")
+  }
+
+  /** Encode `slots` (null-free placeholders already substituted) of leaf
+    * type `dt` as one codec block (strings/binary: two sub-blocks).
+    */
+  private def leafBlock(dt: DataType, slots: Seq[Any], codec: Int): Array[Byte] = dt match {
+    case ByteType => block(codec, leInts(1, slots.map(_.asInstanceOf[Byte].toLong)))
+    case ShortType => block(codec, leInts(2, slots.map(_.asInstanceOf[Short].toLong)))
+    case IntegerType => block(codec, leInts(4, slots.map(_.asInstanceOf[Int].toLong)))
+    case LongType => block(codec, leInts(8, slots.map(_.asInstanceOf[Long])))
+    case DateType => block(codec, leInts(4, slots.map(dateDays)))
+    case TimestampType | TimestampNTZType => block(codec, leInts(8, slots.map(tsMicros)))
+    case FloatType => block(codec, leInts(4,
+      slots.map(v => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL)))
+    case DoubleType => block(codec, leInts(8,
+      slots.map(v => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]))))
+    case BooleanType =>
+      val bits = new Array[Byte]((slots.size + 7) / 8)
+      slots.zipWithIndex.foreach { case (v, i) =>
+        if (v.asInstanceOf[Boolean]) bits(i >> 3) = (bits(i >> 3) | (1 << (i & 7))).toByte
+      }
+      block(codec, bits, usizeOverride = slots.size.toLong)
+    case d: DecimalType =>
+      val raw = new Array[Byte](16 * slots.size)
+      slots.zipWithIndex.foreach { case (v, i) =>
+        val bd = v match {
+          case b: java.math.BigDecimal => b
+          case b: BigDecimal => b.bigDecimal
+          case b: org.apache.spark.sql.types.Decimal => b.toJavaBigDecimal
+        }
+        val unscaled = bd.setScale(d.scale).unscaledValue()
+        val be = unscaled.toByteArray // big-endian two's complement
+        require(be.length <= 16, s"strawboat export: decimal $bd overflows 128 bits")
+        val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+        var k = 0
+        while (k < 16) {
+          val src = be.length - 1 - k // LE byte k
+          raw(i * 16 + k) = if (src >= 0) be(src) else sign
+          k += 1
+        }
+      }
+      block(codec, raw)
+    case StringType =>
+      val bytes = slots.map(v => v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      binaryTwoBlock(bytes, codec)
+    case BinaryType =>
+      binaryTwoBlock(slots.map(_.asInstanceOf[Array[Byte]]), codec)
+    case other => throw new UnsupportedOperationException(
+      s"strawboat export: leaf type $other")
+  }
+
+  /** Binary Basic layout: zero-based i32 offsets sub-block + values
+    * sub-block (`/root/reference/src/compression/binary/mod.rs:30-110`).
+    */
+  private def binaryTwoBlock(vs: Seq[Array[Byte]], codec: Int): Array[Byte] = {
+    val offs = vs.scanLeft(0L)((a, b) => a + b.length)
+    require(offs.last <= Int.MaxValue,
+      "strawboat export: page value bytes exceed i32 offsets — lower pagerows")
+    val offRaw = leInts(4, offs)
+    val values = new java.io.ByteArrayOutputStream()
+    vs.foreach(values.write)
+    cat(block(codec, offRaw), block(codec, values.toByteArray))
+  }
+
+  /** Placeholder for a slot whose value is null (masked by validity / def
+    * levels on read; the bytes only need to be type-valid).
+    */
+  private def zeroOf(dt: DataType): Any = dt match {
+    case ByteType => 0.toByte
+    case ShortType => 0.toShort
+    case IntegerType => 0
+    case LongType => 0L
+    case FloatType => 0f
+    case DoubleType => 0d
+    case BooleanType => false
+    case StringType => ""
+    case BinaryType => Array.empty[Byte]
+    case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(0))
+    case TimestampType => new java.sql.Timestamp(0L)
+    case TimestampNTZType =>
+      java.time.LocalDateTime.ofEpochSecond(0L, 0, java.time.ZoneOffset.UTC)
+    case d: DecimalType => java.math.BigDecimal.ZERO.setScale(d.scale)
+    case other => throw new UnsupportedOperationException(s"zeroOf($other)")
+  }
+
+  // ------------------------------------------------------ nested shredding
+
+  /** Dremel shred state per leaf (nested columns only). */
+  private final class LeafBuf(val leafType: DataType, val leafNullable: Boolean) {
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val defs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val slots = scala.collection.mutable.ArrayBuffer.empty[Any]
+  }
+
+  private def leafFields(dt: DataType, nullable: Boolean): Seq[(DataType, Boolean)] = dt match {
+    case a: ArrayType => leafFields(a.elementType, a.containsNull)
+    case s: StructType => s.fields.toSeq.flatMap(f => leafFields(f.dataType, f.nullable))
+    case m: MapType =>
+      leafFields(m.keyType, nullable = false) ++ leafFields(m.valueType, m.valueContainsNull)
+    case leaf => Seq((leaf, nullable))
+  }
+
+  /** Classic Dremel: `r` = rep level of this occurrence's first entries,
+    * `d` = def budget consumed by defined ancestors, `listDepth` = list
+    * ancestors (the rep level subsequent siblings repeat at). Mirrors the
+    * level semantics the importer assembles
+    * (`StrawboatImport.leafBudgets`/`assemble`).
+    */
+  private def shred(dt: DataType, nullable: Boolean, v: Any, bufs: Seq[LeafBuf],
+      r: Int, d: Int, listDepth: Int): Unit = dt match {
+    case a: ArrayType =>
+      val dPresent = d + (if (nullable) 1 else 0)
+      if (v == null) bufs.foreach { b => b.reps += r; b.defs += d }
+      else {
+        val elems: Seq[Any] = v match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case arr: Array[_] => arr.toSeq
+          case other => throw new IllegalArgumentException(s"array value $other")
+        }
+        if (elems.isEmpty) bufs.foreach { b => b.reps += r; b.defs += dPresent }
+        else elems.zipWithIndex.foreach { case (e, i) =>
+          shred(a.elementType, a.containsNull, e, bufs,
+            if (i == 0) r else listDepth + 1, dPresent + 1, listDepth + 1)
+        }
+      }
+    case m: MapType =>
+      // a Map shreds exactly like List(Struct(key, value)) — the arrow
+      // entries struct is non-nullable, so it adds no def level
+      val dPresent = d + (if (nullable) 1 else 0)
+      if (v == null) bufs.foreach { b => b.reps += r; b.defs += d }
+      else {
+        val entries = v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq
+        val nKeyLeaves = leafFields(m.keyType, nullable = false).size
+        if (entries.isEmpty) bufs.foreach { b => b.reps += r; b.defs += dPresent }
+        else entries.zipWithIndex.foreach { case ((k, mv), i) =>
+          val r2 = if (i == 0) r else listDepth + 1
+          shred(m.keyType, nullable = false, k, bufs.take(nKeyLeaves),
+            r2, dPresent + 1, listDepth + 1)
+          shred(m.valueType, m.valueContainsNull, mv, bufs.drop(nKeyLeaves),
+            r2, dPresent + 1, listDepth + 1)
+        }
+      }
+    case s: StructType =>
+      if (v == null) bufs.foreach { b => b.reps += r; b.defs += d }
+      else {
+        val d2 = d + (if (nullable) 1 else 0)
+        val row = v.asInstanceOf[Row]
+        var off = 0
+        s.fields.zipWithIndex.foreach { case (f, i) =>
+          val n = leafFields(f.dataType, f.nullable).size
+          shred(f.dataType, f.nullable, row(i), bufs.slice(off, off + n), r, d2, listDepth)
+          off += n
+        }
+      }
+    case leaf =>
+      val b = bufs.head
+      b.reps += r
+      if (v == null) {
+        b.defs += d
+        b.slots += zeroOf(leaf)
+      } else {
+        b.defs += d + (if (nullable) 1 else 0)
+        b.slots += v
+      }
+  }
+
+  /** (def budget before leaf, max rep) per leaf — same walk as the
+    * importer's `leafBudgets`.
+    */
+  private def budgets(dt: DataType, nullable: Boolean, d: Int, r: Int): Seq[(Int, Int)] =
+    dt match {
+      case a: ArrayType =>
+        budgets(a.elementType, a.containsNull, d + (if (nullable) 2 else 1), r + 1)
+      case m: MapType =>
+        val d2 = d + (if (nullable) 2 else 1) // list level (+1 def if nullable)
+        // entries struct is non-nullable: contributes nothing further
+        budgets(m.keyType, nullable = false, d2, r + 1) ++
+          budgets(m.valueType, m.valueContainsNull, d2, r + 1)
+      case s: StructType =>
+        val d2 = d + (if (nullable) 1 else 0)
+        s.fields.toSeq.flatMap(f => budgets(f.dataType, f.nullable, d2, r))
+      case _ => Seq((d, r))
+    }
+
+  // ------------------------------------------------------------- encoding
+
+  private final case class PageBytes(bytes: Array[Byte], numValues: Long)
+
+  /** Encode one file: `ARROW2` frame, column-contiguous pages, footer.
+    * `rows` is buffered in full (column-contiguous layout requires it).
+    */
+  def encodeFile(schema: StructType, rows: Seq[Row], pageRows: Int = 8192,
+      codec: Int = 1): Array[Byte] = {
+    require(pageRows > 0, "strawboat export: pageRows must be positive")
+    val aschema = arrowSchema(schema) // also validates type coverage
+    val pagesOfRows = if (rows.isEmpty) Seq(Seq.empty[Row]) else rows.grouped(pageRows).toSeq
+
+    // per-leaf page list, in schema DFS order
+    val perLeaf = scala.collection.mutable.ArrayBuffer.empty[Seq[PageBytes]]
+    schema.fields.zipWithIndex.foreach { case (f, ci) =>
+      f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType =>
+          val leaves = leafFields(f.dataType, f.nullable)
+          val bgs = budgets(f.dataType, f.nullable, 0, 0)
+          val pagesPerLeaf = leaves.map(_ => scala.collection.mutable.ArrayBuffer.empty[PageBytes])
+          pagesOfRows.foreach { pr =>
+            val bufs = leaves.map { case (lt, ln) => new LeafBuf(lt, ln) }
+            pr.foreach(row => shred(f.dataType, f.nullable, row(ci), bufs, 0, 0, 0))
+            bufs.zipWithIndex.foreach { case (b, li) =>
+              val (defBefore, maxRep) = bgs(li)
+              val maxDef = defBefore + (if (b.leafNullable) 1 else 0)
+              val repB = encodeHybridLevels(b.reps.toSeq, maxRep)
+              val defB = encodeHybridLevels(b.defs.toSeq, maxDef)
+              val page = cat(u32(pr.size), u32(repB.length), u32(defB.length),
+                repB, defB, leafBlock(b.leafType, b.slots.toSeq, codec))
+              pagesPerLeaf(li) += PageBytes(page, b.reps.size.toLong)
+            }
+          }
+          pagesPerLeaf.foreach(p => perLeaf += p.toSeq)
+        case flat =>
+          perLeaf += pagesOfRows.map { pr =>
+            val vals = pr.map(r => r(ci))
+            val body = leafBlock(flat, vals.map(v => if (v == null) zeroOf(flat) else v), codec)
+            val page =
+              if (f.nullable) cat(validityBlock(vals.map(_ != null).toArray), body)
+              else body
+            PageBytes(page, pr.size.toLong)
+          }
+      }
+    }
+
+    // assemble: magic+pad, body, schema, metas, sizes, EOS
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(StrawboatImport.Magic)
+    out.write(Array[Byte](0, 0))
+    val metas = perLeaf.map { pages =>
+      val off = out.size().toLong // next page lands at the current offset
+      pages.foreach(p => out.write(p.bytes))
+      (off, pages.map(p => (p.bytes.length.toLong, p.numValues)))
+    }
+    val schemaBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ch = new org.apache.arrow.vector.ipc.WriteChannel(
+        java.nio.channels.Channels.newChannel(baos))
+      org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(ch, aschema)
+      baos.toByteArray
+    }
+    out.write(schemaBytes)
+    val metaBytes = {
+      val mb = new java.io.ByteArrayOutputStream()
+      mb.write(u64(metas.size.toLong))
+      metas.foreach { case (off, pages) =>
+        mb.write(u64(off)); mb.write(u64(pages.size.toLong))
+        pages.foreach { case (len, n) => mb.write(u64(len)); mb.write(u64(n)) }
+      }
+      mb.toByteArray
+    }
+    out.write(metaBytes)
+    out.write(u32(schemaBytes.length.toLong))
+    out.write(u32(metaBytes.length.toLong))
+    out.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)) // EOS continuation
+    out.toByteArray
+  }
+
+  /** Codec name -> common codec id. */
+  def codecId(name: String): Int = name.toLowerCase match {
+    case "none" => 0
+    case "lz4" => 1
+    case "zstd" => 2
+    case "snappy" => 3
+    case other => throw new IllegalArgumentException(
+      s"strawboat export: unknown compression '$other' (none|lz4|zstd|snappy)")
+  }
+}

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types._
   * | Utf8/LargeUtf8          | String          | Common(2-block), OneValue, Dict, Freq |
   * | Binary/LargeBinary      | Binary          | Common(2-block), OneValue, Dict, Freq |
   * | Date(DAY)               | Date            | integer codecs (Int32)          |
-  * | Timestamp(s/ms/us/ns)   | Timestamp       | integer codecs (Int64)          |
+  * | Timestamp(s/ms/us/ns)   | Timestamp (tz) / TimestampNTZ (no tz) | integer codecs (Int64) |
   * | Decimal128              | Decimal(p,s)    | Common, OneValue                |
   * | List/LargeList          | ArrayType       | rep/def nested pages over any of the above |
   * | Struct                  | StructType      | ditto                           |
@@ -140,7 +140,10 @@ object StrawboatImport {
       case org.apache.arrow.vector.types.DateUnit.DAY => DateType
       case u => fail(f, s"Date($u)")
     }
-    case _: ArrowType.Timestamp => TimestampType
+    case t: ArrowType.Timestamp =>
+      // arrow semantics: a timezone-less timestamp is a wall-clock reading
+      // (Spark's TimestampNTZ); one with a timezone is an instant
+      if (t.getTimezone == null) TimestampNTZType else TimestampType
     case d: ArrowType.Decimal if d.getBitWidth == 128 =>
       DecimalType(d.getPrecision, d.getScale)
     case _: ArrowType.List | _: ArrowType.LargeList =>
@@ -520,12 +523,19 @@ object StrawboatImport {
         case MICROSECOND => identity
         case NANOSECOND => Math.floorDiv(_, 1000L)
       }
-      Array.tabulate[Any](n) { i =>
-        val us = toMicros(vs(i))
-        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-        ts
-      }
+      if (t.getTimezone == null)
+        Array.tabulate[Any](n) { i =>
+          val us = toMicros(vs(i))
+          java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+        }
+      else
+        Array.tabulate[Any](n) { i =>
+          val us = toMicros(vs(i))
+          val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          ts
+        }
     case d: ArrowType.Decimal =>
       // i128 LE per value; Common + OneValue only
       val codec = c.u8()

@@ -382,6 +382,22 @@ object Functions {
           max(col("big")).cast("string").as("max_big"))
     },
 
+    "q_strawboat_interop" -> { (s, dir) =>
+      // BIDIRECTIONAL reference interop in the gate: a slice of orders read
+      // from graft storage is EXPORTED as reference-layout (`ARROW2`)
+      // strawboat files and re-IMPORTED; the result must match DuckDB over
+      // the raw parquet exactly — every value survives the foreign byte
+      // layout (hybrid-RLE validity, two-block strings, i128 micros
+      // timestamps, lz4 blocks) in both directions.
+      val stage = s"/tmp/graft_interop_stage/${stageKey(s, dir, "orders")}/orders_str"
+      val slice = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      graft.spark.GraftExport.write(slice, stage)
+      graft.spark.GraftImport.read(s, stage).orderBy(col("o_orderkey"))
+    },
+
     "q_scalar_funcs" -> { (s, dir) =>
       Tables.load(s, dir, "orders")
         .filter(col("o_orderkey") % 1000 === 0)
@@ -401,6 +417,10 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_strawboat_interop" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q_delete_where" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
