@@ -812,25 +812,69 @@ object StrawboatImport {
   def decodeFile(in: SeekableInput): (StructType, Seq[Array[Any]]) = {
     import scala.jdk.CollectionConverters._
     val footer = readFooter(in)
-    val schema = sparkSchema(footer)
+    decodeProjected(in, footer,
+      footer.arrowSchema.getFields.asScala.toSeq.map(_.getName))
+  }
+
+  /** Column-PRUNED decode: reads and decodes only `wanted` top-level
+    * columns' byte ranges (pages of unselected columns are never fetched —
+    * the footer metas carry every column's offsets). `wanted` order is the
+    * output column order; an empty projection still yields the correct row
+    * count (for COUNT(*)-style scans) from the first column's page
+    * headers without decoding any values.
+    */
+  def decodeProjected(in: SeekableInput, footer: StrFooter,
+      wanted: Seq[String]): (StructType, Seq[Array[Any]]) = {
+    import scala.jdk.CollectionConverters._
     val fields = footer.arrowSchema.getFields.asScala.toSeq
     val nodes = fields.map(buildNode)
     val wantLeaves = nodes.map(_.leafCount).sum
     require(wantLeaves == footer.metas.size,
       s"strawboat import: $wantLeaves schema leaves vs ${footer.metas.size} column metas")
     var mi = 0
-    val cols = fields.zip(nodes).map { case (f, node) =>
+    val byName = fields.zip(nodes).map { case (f, node) =>
       val metas = footer.metas.slice(mi, mi + node.leafCount)
       mi += node.leafCount
+      f.getName -> ((f, node, metas))
+    }.toMap
+    val sel = wanted.map(w => byName.getOrElse(w, throw new IllegalArgumentException(
+      s"strawboat import: no column '$w' in ${fields.map(_.getName).mkString(", ")}")))
+    val cols = sel.map { case (f, node, metas) =>
       node match {
         case _: PrimNode => decodeColumn(in, f, metas.head)
         case _ => decodeNestedColumn(in, node, metas)
       }
     }
-    val nRows = if (cols.isEmpty) 0 else cols.head.length
+    val nRows =
+      if (cols.nonEmpty) cols.head.length
+      else rowCount(in, fields, nodes, footer.metas)
     cols.foreach(cl => require(cl.length == nRows,
       s"strawboat import: ragged columns (${cl.length} vs $nRows)"))
+    val schema = StructType(sel.map { case (f, _, _) =>
+      StructField(f.getName, sparkType(f), f.isNullable)
+    })
     val rows = (0 until nRows).map(r => Array.tabulate[Any](cols.size)(ci => cols(ci)(r)))
     (schema, rows)
+  }
+
+  /** Row count without decoding values: flat first column ⇒ sum of page
+    * `num_values`; nested ⇒ the `rows` u32 leading each first-leaf page.
+    */
+  private def rowCount(in: SeekableInput, fields: Seq[AField], nodes: Seq[Node],
+      metas: Seq[ColumnMeta]): Int = {
+    if (fields.isEmpty) return 0
+    nodes.head match {
+      case _: PrimNode => metas.head.pages.map(_.numValues).sum.toInt
+      case _ =>
+        var off = metas.head.offset
+        var n = 0L
+        metas.head.pages.foreach { pm =>
+          val hdr = in.readRange(off, 4)
+          n += (hdr(0) & 0xffL) | (hdr(1) & 0xffL) << 8 |
+            (hdr(2) & 0xffL) << 16 | (hdr(3) & 0xffL) << 24
+          off += pm.length
+        }
+        n.toInt
+    }
   }
 }
