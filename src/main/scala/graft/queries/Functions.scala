@@ -382,6 +382,39 @@ object Functions {
           max(col("big")).cast("string").as("max_big"))
     },
 
+    "q_incremental_scan" -> { (s, dir) =>
+      // INCREMENTAL (change) read in the gate: documents staged as two
+      // commits (even doc_ids, then odd), the first commit's manifest time
+      // recorded; reading `.option("since", t1)` must see EXACTLY the
+      // second commit — the "process what arrived since my last run" scan
+      // a daily 100 TB ingest pipeline runs off manifest history, priced
+      // at a manifest listing instead of a full-table diff. Oracle:
+      // `WHERE doc_id % 2 = 1` over the raw table.
+      val stage = s"/tmp/graft_since_stage/${stageKey(s, dir, "documents")}/documents"
+      val marker = new java.io.File(s"$stage/_GRAFT_SINCE_T1")
+      if (!marker.exists()) {
+        val d = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        d.filter(col("doc_id") % 2 === 0)
+          .write.format("graft").mode("append").save(stage)
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val t1 = graft.spark.GraftManifest
+          .list(fs, new org.apache.hadoop.fs.Path(stage))
+          .map(graft.spark.GraftManifest.nameT).max
+        Thread.sleep(5) // the second commit must be strictly after t1
+        d.filter(col("doc_id") % 2 === 1)
+          .write.format("graft").mode("append").save(stage)
+        java.nio.file.Files.writeString(marker.toPath, t1.toString)
+      }
+      val t1 = java.nio.file.Files.readString(marker.toPath).trim
+      s.read.format("graft").option("since", t1).load(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
     "q_strawboat_interop" -> { (s, dir) =>
       // BIDIRECTIONAL reference interop in the gate: a slice of orders read
       // from graft storage is EXPORTED as reference-layout (`ARROW2`)
@@ -417,6 +450,12 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_incremental_scan" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 2 = 1
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_strawboat_interop" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey % 100 = 0

@@ -161,6 +161,7 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       Option(options.get("manifest")).map(_.toBoolean),
       Option(options.get("maxfilespertrigger")).map(_.toInt),
       Option(options.get("asof")).map(_.toLong),
+      Option(options.get("since")).map(_.toLong),
       options.getOrDefault("startingposition", "earliest") match {
         case "earliest" => false
         case "latest" => true
@@ -190,6 +191,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     manifestOpt: Option[Boolean] = None,
     maxFilesOpt: Option[Int] = None,
     asofOpt: Option[Long] = None,
+    sinceOpt: Option[Long] = None,
     startLatest: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -257,9 +259,10 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    // an asof snapshot restricts the file set; the footer-only agg scan
-    // lists the live directory, so it must not answer snapshot reads
-    if (hadFilters || asofOpt.isDefined) return false
+    // an asof snapshot / since window restricts the file set; the
+    // footer-only agg scan lists the live directory, so it must not
+    // answer snapshot or incremental reads
+    if (hadFilters || asofOpt.isDefined || sinceOpt.isDefined) return false
     val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
       case f: org.apache.spark.sql.connector.expressions.NamedReference
           if f.fieldNames().length == 1 => f.fieldNames()(0)
@@ -310,7 +313,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     case None =>
       new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
         pushed, pushedLimit, maxFilesOpt = maxFilesOpt, asofOpt = asofOpt,
-        startLatest = startLatest)
+        sinceOpt = sinceOpt, startLatest = startLatest)
   }
 }
 
@@ -325,6 +328,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val elementPreds: Array[ZoneMapFilter.PagePred] = Array.empty,
     private val maxFilesOpt: Option[Int] = None,
     private val asofOpt: Option[Long] = None,
+    private val sinceOpt: Option[Long] = None,
     private val startLatest: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
@@ -336,7 +340,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     */
   private[spark] def withElementPreds(ps: Array[ZoneMapFilter.PagePred]): GraftScan =
     new GraftScan(tableSchema, projected, path, conf, initialPagePreds, runtimeFilter,
-      manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt, startLatest)
+      manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt, sinceOpt, startLatest)
 
   private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
 
@@ -366,9 +370,16 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     // pre-manifest history, visible in every snapshot. Compaction retires
     // old manifests with their files, so snapshots older than the last
     // compaction are not reconstructable (documented).
-    val all = asofOpt match {
-      case None => listed
-      case Some(t) =>
+    // `since` incremental window: keep only files whose publishing
+    // manifest committed strictly after the cutoff — the change-scan a
+    // daily pipeline runs ("process what arrived since my last run").
+    // Files NO manifest lists are pre-manifest history: visible in every
+    // `asof` snapshot, but always OUTSIDE a `since` window (they predate
+    // manifests by construction). Combined, (since, asof] is a closed
+    // commit window.
+    val all =
+      if (asofOpt.isEmpty && sinceOpt.isEmpty) listed
+      else {
         val tableDir = new Path(path)
         val fs = tableDir.getFileSystem(conf)
         val committedAt: Map[String, Long] = GraftManifest.list(fs, tableDir)
@@ -378,8 +389,12 @@ final class GraftScan(private val tableSchema: StructType, private val projected
               fs.makeQualified(new Path(tableDir, name)).toString -> mt
             }
           }.toMap
-        listed.filter(f => committedAt.get(f.getPath.toString).forall(_ <= t))
-    }
+        listed.filter { f =>
+          val t = committedAt.get(f.getPath.toString)
+          asofOpt.forall(a => t.forall(_ <= a)) &&
+            sinceOpt.forall(s => t.exists(_ > s))
+        }
+      }
     val pruneRaw = pushedRaw ++ runtimeRaw
     if (pruneRaw.isEmpty) all
     else {
@@ -449,6 +464,9 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     require(asofOpt.isEmpty,
       "graft: 'asof' is a batch-read snapshot option; a stream cannot be " +
         "pinned to a past state (use startingposition/maxfilespertrigger)")
+    require(sinceOpt.isEmpty,
+      "graft: 'since' is a batch-read incremental option; a stream tracks " +
+        "progress through its own checkpoint (use startingposition)")
     new GraftMicroBatchStream(path, new SerializableHadoopConf(conf), projected.json, manifestOpt,
       maxFilesOpt, startLatest)
   }

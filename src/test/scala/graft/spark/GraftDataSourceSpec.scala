@@ -280,6 +280,53 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(r.getLong(0) == 250 && r.getLong(1) == 249L)
   }
 
+  test("since incremental reads scan only the commit window") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft-test/since"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val hconf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    def lastManifestT: Long = {
+      val fs = tableDir.getFileSystem(hconf)
+      GraftManifest.list(fs, tableDir).map(GraftManifest.nameT).max
+    }
+    spark.range(100).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+    val t1 = lastManifestT
+    Thread.sleep(5)
+    spark.range(100, 250).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+    val t2 = lastManifestT
+    Thread.sleep(5)
+    spark.range(250, 300).selectExpr("id AS k").write.format("graft").mode("append").save(dir)
+
+    def since(t: Long) = spark.read.format("graft").option("since", t.toString).load(dir)
+    // everything after the first commit
+    assert(since(t1).count() == 200)
+    assert(since(t1).agg(min(col("k"))).head().getLong(0) == 100L)
+    // only the third commit
+    assert(since(t2).count() == 50)
+    // closed window (t1, t2]: exactly the second commit
+    val window = spark.read.format("graft")
+      .option("since", t1.toString).option("asof", t2.toString).load(dir)
+    assert(window.count() == 150)
+    assert(window.agg(min(col("k")), max(col("k"))).head() ==
+      org.apache.spark.sql.Row(100L, 249L))
+    // nothing new since the last commit
+    assert(since(System.currentTimeMillis()).count() == 0)
+    // filters apply inside the window; agg pushdown declines since reads
+    assert(since(t1).filter(col("k") < 150).count() == 50)
+    val agg = since(t1).agg(count(lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.collectLeaves().mkString
+      .contains("footer-only"), "agg pushdown must decline incremental reads")
+    // a stream cannot take a batch window option (failure is raised on
+    // the stream thread, surfaced by processAllAvailable)
+    val q = spark.readStream.format("graft")
+      .schema(spark.read.format("graft").load(dir).schema)
+      .option("since", t1.toString).load(dir)
+      .writeStream.format("noop").start()
+    val e = intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    assert(e.getMessage.contains("since"))
+  }
+
   test("hive-style partitioned writes prune whole directories on pushed filters") {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/graft-test/partitioned"
