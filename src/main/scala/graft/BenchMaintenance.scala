@@ -40,6 +40,7 @@ object BenchMaintenance {
       case "x_delete_where" => deleteWhereOp(spark, format, dir)
       case "x_zorder_relayout" => zorderOp(spark, format, dir)
       case "x_asof_snapshot" => asofOp(spark, format, dir)
+      case "x_incremental_scan" => incrementalOp(spark, format, dir)
       case other => sys.error(s"unknown maintenance bench op: $other")
     }
 
@@ -159,6 +160,54 @@ object BenchMaintenance {
       }
       val t0 = System.nanoTime()
       agg(spark.read.parquet(stage).filter(col("doc_id") % 2 === 0))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Incremental ("what arrived since my last run") read. graft: a
+    * `since`-window scan off manifest history touches only the files of
+    * the last commit — the daily-pipeline change scan. parquet: no commit
+    * history exists, so the comparator is the full-scan + filter a
+    * parquet pipeline runs to reconstruct the same delta (mirrors the
+    * asof comparator). Staged once as 4 equal commits; the timed region
+    * reads the last one.
+    */
+  private def incrementalOp(spark: SparkSession, format: String, dir: String): Double = {
+    val stage = s"/tmp/graft_bench_maint/inc_${format}_${key(dir)}"
+    val marker = new java.io.File(s"$stage/_BENCH_INC_T3")
+    def agg(df: DataFrame): Unit =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .write.mode("overwrite").format("noop").save()
+    val d = Tables.parquet(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    if (format == "graft") {
+      if (!marker.exists()) {
+        rm(stage)
+        var t3 = 0L
+        (0 until 4).foreach { c =>
+          d.filter(col("doc_id") % 4 === c)
+            .write.format("graft").mode("append").save(stage)
+          val fs = new org.apache.hadoop.fs.Path(stage)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val t = graft.spark.GraftManifest
+            .list(fs, new org.apache.hadoop.fs.Path(stage))
+            .map(graft.spark.GraftManifest.nameT).max
+          if (c == 2) { t3 = t; Thread.sleep(5) }
+        }
+        java.nio.file.Files.writeString(marker.toPath, t3.toString)
+      }
+      val t3 = java.nio.file.Files.readString(marker.toPath).trim
+      val t0 = System.nanoTime()
+      agg(spark.read.format("graft").option("since", t3).load(stage))
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+        rm(stage)
+        d.write.mode("overwrite").parquet(stage)
+      }
+      val t0 = System.nanoTime()
+      agg(spark.read.parquet(stage).filter(col("doc_id") % 4 === 3))
       (System.nanoTime() - t0) / 1e9
     }
   }
