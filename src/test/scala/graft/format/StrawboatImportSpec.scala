@@ -644,4 +644,41 @@ class StrawboatImportSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("not imported"))
   }
+
+  test("corrupt files fail loudly, never decode garbage") {
+    // a healthy fixture to mutilate
+    val f = new FixtureWriter
+    val n = 8
+    f.addColumn(Seq((noneBlock(leInts(8, (0 until n).map(_.toLong))), n)))
+    val schema = new Schema(Seq(field("k", new ArrowType.Int(64, true))).asJava)
+    val good = f.finish(schema)
+
+    // truncated mid-footer: schema bytes unreadable or sizes implausible
+    val truncated = java.util.Arrays.copyOf(good, good.length - 12)
+    intercept[Exception](StrawboatImport.readFooter(new BytesInput(truncated)))
+
+    // too small to hold any footer at all
+    intercept[Exception](
+      StrawboatImport.readFooter(new BytesInput("ARROW2  tiny".getBytes)))
+
+    // footer sizes pointing past the file
+    val bad = good.clone()
+    val szOff = good.length - 16 // schema_size u32 little-endian
+    bad(szOff) = -1; bad(szOff + 1) = -1; bad(szOff + 2) = 0x7f; bad(szOff + 3) = 0x7f
+    val e = intercept[Exception](StrawboatImport.readFooter(new BytesInput(bad)))
+    assert(e.getMessage.contains("implausible"))
+
+    // unknown codec id inside an otherwise healthy page
+    val f2 = new FixtureWriter
+    f2.addColumn(Seq((block(77, leInts(8, Seq(1L)), 8), 1)))
+    val bytes2 = f2.finish(schema)
+    val e2 = intercept[Exception](StrawboatImport.decodeFile(new BytesInput(bytes2)))
+    assert(e2.getMessage.contains("codec") || e2.getMessage.contains("77"))
+
+    // value payload shorter than the declared row count
+    val f3 = new FixtureWriter
+    f3.addColumn(Seq((noneBlock(leInts(8, Seq(1L, 2L))), 5), (Array.emptyByteArray, 0)))
+    val bytes3 = f3.finish(schema)
+    intercept[Exception](StrawboatImport.decodeFile(new BytesInput(bytes3)))
+  }
 }
