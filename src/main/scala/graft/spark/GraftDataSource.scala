@@ -331,7 +331,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val sinceOpt: Option[Long] = None,
     private val startLatest: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Copy of this scan with element-leaf page predicates grafted on (the
     * GraftElementPushdown rule — DSv2 cannot deliver these through
@@ -476,7 +477,68 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       (if (elementPreds.nonEmpty) s" element[${elementPreds.map(ZoneMapFilter.render).mkString(",")}]" else "") +
       limit.map(l => s" limit=$l").getOrElse("")
 
+  /** Storage-partitioned-join layout: when every file lives under the SAME
+    * hive partition column list (path-parseable types) and
+    * `spark.sql.sources.v2.bucketing.enabled` is on, the scan plans ONE
+    * input partition per distinct partition value and reports
+    * `KeyGroupedPartitioning` over those columns — a join of two tables
+    * partitioned on the same key, or a GROUP BY on the partition key,
+    * then runs with NO shuffle on this side (at 100 TB the shuffle of a
+    * fact-fact co-partitioned join is usually THE dominant cost; laying
+    * the table out by the join key once removes it from every later run).
+    * Declined under runtime filtering (the file set — and with it the key
+    * count — would change after planning) and under limit pushdown (the
+    * leading-pages plan is not key-complete). Trade-off: parallelism
+    * becomes the distinct-key count, which is what the operator opted
+    * into by partitioning the table; with bucketing off, the normal
+    * page-range splits apply unchanged.
+    */
+  private def spjGroups: Option[(Seq[(String, org.apache.spark.sql.types.DataType)],
+      Seq[(Seq[String], Seq[FileStatus])])] = {
+    if (!org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) return None
+    if (runtimeFilter || limit.isDefined) return None
+    val fs = files
+    if (fs.isEmpty) return None
+    val tableDir = new Path(path)
+    val segsPerFile = fs.map(f => GraftUtil.partitionSegments(tableDir, f.getPath))
+    val layout = segsPerFile.head.map(_._1)
+    if (layout.isEmpty || !segsPerFile.forall(_.map(_._1) == layout)) return None
+    val cols = layout.map { c =>
+      tableSchema.fields.find(_.name == c) match {
+        case Some(f) if GraftAggPushdown.pathParseable(f.dataType) => (c, f.dataType)
+        case _ => return None
+      }
+    }
+    val grouped = fs.zip(segsPerFile)
+      .groupBy(_._2.map(_._2)).toSeq
+      .map { case (vals, members) => (vals, members.map(_._1)) }
+      .sortBy(_._1.map(String.valueOf).mkString(" "))
+    Some((cols, grouped))
+  }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some((cols, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c._1): org.apache.spark.sql.connector.expressions.Expression).toArray,
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    spjGroups.foreach { case (cols, groups) =>
+      return groups.map { case (vals, members) =>
+        val key = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          cols.zip(vals).map { case ((_, dt), v) =>
+            if (v == null) null else GraftAggPushdown.pathValue(dt, v)
+          }.toArray[Any])
+        GraftKeyedPartition(
+          members.map(f => (f.getPath.toString, f.getLen)).toArray, key)
+      }.toArray[InputPartition]
+    }
     limit.foreach { lim =>
       // plan only the leading page groups whose footer row counts cover the
       // limit; Spark's retained Limit takes the exact first `lim` rows
@@ -699,6 +761,16 @@ object GraftScan {
   * maxPartitionBytes splits — one partition per FILE caps parallelism at
   * the file count, which is the wrong granularity at 100 TB.
   */
+/** One storage partition = ALL files of one hive partition value (the
+  * storage-partitioned-join unit). `partitionKey` carries the catalyst-typed
+  * partition values in layout-column order.
+  */
+final case class GraftKeyedPartition(files: Array[(String, Long)],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
 final case class GraftInputPartition(filePath: String, fileLen: Long,
     pageLo: Int = -1, pageHi: Int = -1) extends InputPartition
 
@@ -729,16 +801,41 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    // publish the file identity for input_file_name()/input_file_block_*:
-    // DSv2 sources don't get this from Spark automatically (FileScanRDD
-    // sets it only for FileFormat sources), and a table maintenance pass
-    // (deleteWhere's one-job match probe) depends on it to map matched
-    // rows back to their files
-    InputFileHolder.set(p.filePath, 0L, p.fileLen)
-    new GraftColumnarReader(p.filePath, p.fileLen, conf.value.value,
-      GraftFooterCache.schemaOf(projectedJson), pagePreds,
-      p.pageLo, p.pageHi)
+    partition match {
+      case kp: GraftKeyedPartition =>
+        // storage partition: every file of one partition value, read in
+        // sequence through per-file readers (file identity republished per
+        // file for input_file_name())
+        new PartitionReader[ColumnarBatch] {
+          private var i = 0
+          private var cur: PartitionReader[ColumnarBatch] = null
+          override def next(): Boolean = {
+            while (true) {
+              if (cur != null && cur.next()) return true
+              if (cur != null) { cur.close(); cur = null }
+              if (i >= kp.files.length) return false
+              val (f, len) = kp.files(i); i += 1
+              InputFileHolder.set(f, 0L, len)
+              cur = new GraftColumnarReader(f, len, conf.value.value,
+                GraftFooterCache.schemaOf(projectedJson), pagePreds)
+            }
+            false
+          }
+          override def get(): ColumnarBatch = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case _ =>
+        val p = partition.asInstanceOf[GraftInputPartition]
+        // publish the file identity for input_file_name()/input_file_block_*:
+        // DSv2 sources don't get this from Spark automatically (FileScanRDD
+        // sets it only for FileFormat sources), and a table maintenance pass
+        // (deleteWhere's one-job match probe) depends on it to map matched
+        // rows back to their files
+        InputFileHolder.set(p.filePath, 0L, p.fileLen)
+        new GraftColumnarReader(p.filePath, p.fileLen, conf.value.value,
+          GraftFooterCache.schemaOf(projectedJson), pagePreds,
+          p.pageLo, p.pageHi)
+    }
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

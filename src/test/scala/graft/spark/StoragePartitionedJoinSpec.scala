@@ -1,0 +1,111 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins: two graft tables hive-partitioned on the
+  * same key report KeyGroupedPartitioning, so the join (and a GROUP BY on
+  * the partition key) runs with NO shuffle — the co-located-join layout a
+  * 100 TB deployment buys by partitioning fact tables on the join key.
+  * AQE off + broadcast off so the physical plan shows exactly what the
+  * scan's reported partitioning bought.
+  */
+class StoragePartitionedJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .config("spark.sql.adaptive.enabled", "false")
+    .getOrCreate()
+
+  private def rm(p: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }.size
+
+  private val dirA = "/tmp/graft-test/spj-a"
+  private val dirB = "/tmp/graft-test/spj-b"
+
+  private def stage(): Unit = {
+    if (new java.io.File(s"$dirA/_SPJ_STAGED").exists()) return
+    rm(dirA); rm(dirB)
+    spark.range(0, 400)
+      .select((col("id") % 8).cast("int").as("k"), col("id").as("va"))
+      .write.format("graft").option("partitionby", "k").mode("overwrite").save(dirA)
+    spark.range(0, 160)
+      .select((col("id") % 8).cast("int").as("k"), (col("id") * 10).as("vb"))
+      .write.format("graft").option("partitionby", "k").mode("overwrite").save(dirB)
+    new java.io.File(s"$dirA/_SPJ_STAGED").createNewFile()
+  }
+
+  test("co-partitioned join runs with zero shuffles") {
+    stage()
+    val a = spark.read.format("graft").load(dirA)
+    val b = spark.read.format("graft").load(dirB)
+    val joined = a.join(b, "k")
+    assert(shuffles(joined) == 0,
+      s"expected shuffle-free SPJ plan:\n${joined.queryExecution.executedPlan}")
+    // correctness vs the shuffled plan (bucketing off via fresh views)
+    assert(joined.count() == 400L / 8 * (160L / 8) * 8)
+    val agg = joined.groupBy("k").agg(sum(col("va") + col("vb")).as("s"))
+      .orderBy("k").collect()
+    assert(agg.length == 8)
+  }
+
+  test("GROUP BY the partition key needs no shuffle") {
+    stage()
+    val a = spark.read.format("graft").load(dirA)
+    val grouped = a.groupBy("k").agg(sum("va").as("s"), count(lit(1)).as("n"))
+    assert(shuffles(grouped) == 0,
+      s"expected shuffle-free agg plan:\n${grouped.queryExecution.executedPlan}")
+    val got = grouped.orderBy("k").collect()
+    assert(got.length == 8 && got.map(_.getLong(2)).sum == 400L)
+    assert(got.map(_.getLong(1)).sum == (0L until 400L).sum)
+  }
+
+  test("bucketing off: same results through the ordinary shuffled plan") {
+    stage()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val a = spark.read.format("graft").load(dirA)
+      val b = spark.read.format("graft").load(dirB)
+      val joined = a.join(b, "k")
+      assert(shuffles(joined) > 0, "without v2 bucketing the join must shuffle")
+      assert(joined.count() == 400L / 8 * (160L / 8) * 8)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
+  test("null partition values group correctly (no shuffle, null key kept)") {
+    val dir = "/tmp/graft-test/spj-null"
+    rm(dir)
+    spark.range(0, 60)
+      .select(when(col("id") % 3 === 0, lit(null))
+        .otherwise((col("id") % 3).cast("int")).as("k"), col("id").as("v"))
+      .write.format("graft").option("partitionby", "k").mode("overwrite").save(dir)
+    val grouped = spark.read.format("graft").load(dir)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(shuffles(grouped) == 0,
+      s"expected shuffle-free agg plan:\n${grouped.queryExecution.executedPlan}")
+    val got = grouped.collect().map(r =>
+      (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getLong(1)).toMap
+    assert(got == Map(-1 -> 20L, 1 -> 20L, 2 -> 20L))
+  }
+
+  test("unpartitioned tables keep ordinary page-range planning") {
+    val dir = "/tmp/graft-test/spj-flat"
+    rm(dir)
+    spark.range(0, 100).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() == 100) // plans through GraftInputPartition unchanged
+    val grouped = df.groupBy("k").agg(count(lit(1)))
+    assert(shuffles(grouped) > 0, "an unpartitioned scan cannot promise clustering")
+  }
+}
