@@ -382,6 +382,33 @@ object Functions {
           max(col("big")).cast("string").as("max_big"))
     },
 
+    "q_spj_cojoin" -> { (s, dir) =>
+      // STORAGE-PARTITIONED JOIN in the gate: documents and a per-lang
+      // stats table, BOTH hive-partitioned on lang, joined on lang under
+      // v2 bucketing — the scan reports KeyGroupedPartitioning, so the
+      // join runs with no shuffle on either side (plan shape asserted in
+      // StoragePartitionedJoinSpec; here the gate proves the co-located
+      // plan produces oracle-exact values end to end).
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val docs = stagedPartitionedDocs(s, dir)
+      val stats = s"/tmp/graft_spj_stage/${stageKey(s, dir, "documents")}/lang_stats"
+      val marker = new java.io.File(s"$stats/_GRAFT_SPJ_DONE")
+      if (!marker.exists()) {
+        s.read.format("graft").load(docs)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
+          .write.format("graft").option("partitionby", "lang")
+          .mode("overwrite").save(stats)
+        marker.createNewFile()
+      }
+      s.read.format("graft").load(docs)
+        .join(s.read.format("graft").load(stats), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          max(col("total_chars")).as("lang_chars"), max(col("cnt")).as("lang_docs"))
+        .orderBy(col("lang"))
+    },
+
     "q_incremental_scan" -> { (s, dir) =>
       // INCREMENTAL (change) read in the gate: documents staged as two
       // commits (even doc_ids, then odd), the first commit's manifest time
@@ -450,6 +477,16 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_spj_cojoin" ->
+      """SELECT d.lang, count(*) AS docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS chars,
+        |  CAST(max(s.total_chars) AS BIGINT) AS lang_chars,
+        |  max(s.cnt) AS lang_docs
+        |FROM documents d
+        |JOIN (SELECT lang, count(*) AS cnt,
+        |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |      FROM documents GROUP BY lang) s ON d.lang = s.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_incremental_scan" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
