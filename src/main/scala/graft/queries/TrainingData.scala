@@ -148,6 +148,67 @@ object TrainingData {
 
     "d_dedup_minhash_lsh" -> { (s, dir) => minhashLsh(s, dir, portable = true) },
 
+    "d_dedup_incremental" -> { (s, dir) =>
+      // INCREMENTAL dedup: a new batch (doc_id % 4 == 3 — in production,
+      // the `since`-window read of the latest commits) deduped AGAINST the
+      // existing corpus without re-processing corpus-corpus pairs. The
+      // candidate join is ASYMMETRIC — batch bands probe corpus buckets
+      // only — so its cost scales with |batch| x bucket occupancy, not
+      // |corpus|²; at 100 TB the corpus signatures live in a persisted
+      // graft table (the materialize seam below) and only the batch is
+      // ever re-hashed. Same banded-LSH machinery as d_dedup_minhash_lsh
+      // (md5-fold portable hash, 64 minhashes, 8 bands), oracle-checked
+      // against the identical computation in DuckDB.
+      val baseHash = portableHashArr("shingles")
+      val bandHash =
+        "md5(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string))))"
+      val d = materialize(docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("shingles", expr(
+          """CASE WHEN size(w) >= 3
+             THEN transform(sequence(0, size(w)-3),
+                  i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
+             ELSE array(text) END"""))
+        .withColumn("hb", expr(baseHash))
+        .withColumn("sig", expr(
+          """aggregate(hb,
+               array_repeat(cast(9223372036854775807 as bigint), 64),
+               (acc, v) -> zip_with(acc,
+                 transform(sequence(0, 63),
+                   h -> pmod((h*2+1) * pmod(v, 1000000007) + h*12345+1, 1000000007)),
+                 (a, b) -> least(a, b)))"""))
+        .select(col("doc_id"), col("sig")), "minhash_sigs_incr")
+      val bands = d.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, 7), b -> named_struct(
+               'band', b,
+               'bh', $bandHash))"""))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val isBatch = col("doc_id") % 4 === 3
+      val a = bands.filter(isBatch)
+        .select(col("band"), col("bh"), col("doc_id").as("ida"))
+      val b = bands.filter(!isBatch)
+        .select(col("band"), col("bh"), col("doc_id").as("idb"))
+      val cand = a.join(b, Seq("band", "bh"))
+        .select(col("ida"), col("idb")).distinct()
+      val conf = cand
+        .join(d.select(col("doc_id").as("ida"), col("sig").as("siga")), Seq("ida"))
+        .join(d.select(col("doc_id").as("idb"), col("sig").as("sigb")), Seq("idb"))
+        .withColumn("est_jacc",
+          expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) / 64.0"))
+      conf.agg(
+        count(lit(1)).as("candidate_pairs"),
+        sum(when(col("est_jacc") >= 0.7, 1L).otherwise(0L)).as("confirmed_pairs"))
+        .crossJoin(conf.filter(col("est_jacc") >= 0.7)
+          .agg(countDistinct(col("ida")).as("dup_batch_docs")))
+        .crossJoin(d.agg(
+          sum(when(isBatch, 1L).otherwise(0L)).as("n_batch"),
+          sum(when(!isBatch, 1L).otherwise(0L)).as("n_corpus")))
+        .select(col("n_batch"), col("n_corpus"), col("candidate_pairs"),
+          col("confirmed_pairs"), col("dup_batch_docs"))
+    },
+
     "d_dedup_simhash" -> { (s, dir) => simhashDedup(s, dir, portable = true) },
 
     "d_dedup_clusters" -> { (s, dir) =>
@@ -1105,6 +1166,38 @@ object TrainingData {
         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
         |  FROM counts)
         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    "d_dedup_incremental" ->
+      // the minhash oracle with an ASYMMETRIC candidate join: batch
+      // (doc_id % 4 = 3) bands probe corpus buckets only
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |         THEN list_transform(generate_series(1, len(w) - 2),
+        |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |         ELSE [text] END) AS sh FROM d),
+        |hb AS (SELECT doc_id, list_reduce(list_transform(generate_series(1, 15),
+        |         i -> CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)),
+        |         (acc, dg) -> acc * 16 + dg) AS hb FROM sh),
+        |mh AS (SELECT doc_id, hs.h,
+        |         min(((hs.h*2+1) * (hb % 1000000007) + hs.h*12345 + 1) % 1000000007) AS mh
+        |       FROM hb, (SELECT unnest(generate_series(0, 63)) AS h) hs GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM mh GROUP BY 1),
+        |bands AS (SELECT doc_id, bs.b AS band,
+        |            md5(array_to_string(list_transform(generate_series(bs.b*8+1, bs.b*8+8),
+        |              i -> CAST(sig[i] AS VARCHAR)), ',')) AS bh
+        |          FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) bs),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |         WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 <> 3),
+        |conf AS (SELECT c.ida, c.idb,
+        |           len(list_filter(list_transform(generate_series(1, 64),
+        |             i -> sa.sig[i] = sb.sig[i]), p -> p)) / 64.0 AS est_jacc
+        |         FROM cand c JOIN sig sa ON sa.doc_id = c.ida JOIN sig sb ON sb.doc_id = c.idb)
+        |SELECT
+        |  (SELECT count(*) FROM d WHERE doc_id % 4 = 3) AS n_batch,
+        |  (SELECT count(*) FROM d WHERE doc_id % 4 <> 3) AS n_corpus,
+        |  (SELECT count(*) FROM conf) AS candidate_pairs,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN est_jacc >= 0.7 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM conf) AS confirmed_pairs,
+        |  (SELECT count(DISTINCT ida) FROM conf WHERE est_jacc >= 0.7) AS dup_batch_docs""".stripMargin,
     "d_dedup_minhash_lsh" ->
       // mirrors the portable-hash Spark plan bit-for-bit: md5-nibble base
       // hash, 64 affine minhashes mod 1e9+7, 8 md5 band hashes, bucket join,

@@ -62,6 +62,7 @@ object GraftImport {
       finally in.close()
     }
     val bconf = HadoopConfBroadcast(conf)
+    val schemaJson = schema.json // executor-side drift check against the pin
     val rdd = spark.sparkContext
       .parallelize(files, math.min(files.size, 1024))
       .flatMap { case (file, len) =>
@@ -69,7 +70,14 @@ object GraftImport {
         val fs = p.getFileSystem(bconf.value.value)
         val in = new HadoopSeekableInput(fs, p, len)
         try {
-          val (_, rows) = StrawboatImport.decodeFile(in)
+          val (fileSchema, rows) = StrawboatImport.decodeFile(in)
+          // schema pinned from the FIRST footer — a drifted file must fail
+          // loudly here, not surface as a row-width mismatch (or silently
+          // transposed columns) rows later in the encoder
+          require(fileSchema.json == schemaJson,
+            s"strawboat import: $file schema $fileSchema drifts from the " +
+              "directory schema pinned by the first file — import drifted " +
+              "file sets separately")
           rows.map(Row.fromSeq(_))
         } finally in.close()
       }

@@ -128,8 +128,15 @@ final class StrawboatReaderFactory(
         CatalystTypeConverters.createToCatalystConverter(projected)
       private val rows: Iterator[InternalRow] = {
         val footer = StrawboatImport.readFooter(in)
-        val (_, vals) = StrawboatImport.decodeProjected(in, footer,
+        val (fileProj, vals) = StrawboatImport.decodeProjected(in, footer,
           projected.fieldNames.toSeq)
+        // table schema is pinned from the first footer; a drifted file's
+        // projected columns must match it exactly, not decode as garbage
+        fileProj.fields.zip(projected.fields).foreach { case (ff, pf) =>
+          require(ff.dataType == pf.dataType,
+            s"strawboat import: ${p.filePath} column '${pf.name}' is " +
+              s"${ff.dataType} but the table schema expects ${pf.dataType}")
+        }
         vals.iterator.map(a =>
           converter(org.apache.spark.sql.Row.fromSeq(a.toSeq))
             .asInstanceOf[InternalRow])

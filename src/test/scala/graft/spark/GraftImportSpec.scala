@@ -129,6 +129,26 @@ class GraftImportSpec extends AnyFunSuite {
     assert(got2.toSet == got.toSet)
   }
 
+  test("schema drift across a directory fails loudly, not as garbage rows") {
+    val dir = "/tmp/graft-test/straw-import-drift"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.str"),
+      fixture(Seq(1L, 2L), Seq("x", "y")))
+    // same arity, different column names/types order: (s utf8, k i64)
+    import graft.format.StrawboatExport
+    import org.apache.spark.sql.types._
+    val drifted = StrawboatExport.encodeFile(
+      StructType(Seq(StructField("s", StringType, nullable = false),
+        StructField("k", LongType, nullable = false))),
+      Seq(org.apache.spark.sql.Row("z", 9L)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.str"), drifted)
+    val e = intercept[Exception] { GraftImport.read(spark, dir).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("drifts")), s"got: ${messages(e)}")
+  }
+
   test("directory import is distributed per file and migrates to graft") {
     val dir = "/tmp/graft-test/straw-import"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
