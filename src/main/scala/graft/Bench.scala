@@ -69,7 +69,7 @@ object Bench {
     // timed maintenance + snapshot operations (custom timers, not
     // SparkEntry queries — the op itself is the timed region)
     "x_delete_where", "x_zorder_relayout", "x_asof_snapshot",
-    "x_incremental_scan")
+    "x_incremental_scan", "x_spj_join")
 
   /** Deterministic FACTOR x amplification of the driver's parquet tables
     * into a staged parquet dir (throughput corpus for the scaled section —

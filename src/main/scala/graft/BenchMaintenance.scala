@@ -41,6 +41,7 @@ object BenchMaintenance {
       case "x_zorder_relayout" => zorderOp(spark, format, dir)
       case "x_asof_snapshot" => asofOp(spark, format, dir)
       case "x_incremental_scan" => incrementalOp(spark, format, dir)
+      case "x_spj_join" => spjJoinOp(spark, format, dir)
       case other => sys.error(s"unknown maintenance bench op: $other")
     }
 
@@ -209,6 +210,52 @@ object BenchMaintenance {
       val t0 = System.nanoTime()
       agg(spark.read.parquet(stage).filter(col("doc_id") % 4 === 3))
       (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Co-partitioned join. Both formats get the IDENTICAL on-disk layout
+    * (hive-partitioned by k=doc_id%32); graft additionally reports
+    * KeyGroupedPartitioning under v2 bucketing, so its join runs with no
+    * shuffle — the entry tracks what the storage-partitioned-join surface
+    * is worth against the same join shuffled. The conf flips on only for
+    * the graft-side timed region (parquet's FileFormat path ignores it).
+    */
+  private def spjJoinOp(spark: SparkSession, format: String, dir: String): Double = {
+    val stage = s"/tmp/graft_bench_maint/spj_${format}_${key(dir)}"
+    val done = new java.io.File(s"$stage/_BENCH_SPJ_DONE")
+    val d = Tables.parquet(spark, dir, "documents")
+      .select((col("doc_id") % 32).cast("int").as("k"), col("doc_id"), col("n_chars"))
+    if (!done.exists()) {
+      rm(stage)
+      val stats = d.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
+      if (format == "graft") {
+        d.write.format("graft").option("partitionby", "k")
+          .mode("overwrite").save(s"$stage/a")
+        stats.write.format("graft").option("partitionby", "k")
+          .mode("overwrite").save(s"$stage/b")
+      } else {
+        d.write.partitionBy("k").parquet(s"$stage/a")
+        stats.write.partitionBy("k").parquet(s"$stage/b")
+      }
+      done.createNewFile()
+    }
+    def load(sub: String): DataFrame =
+      if (format == "graft") spark.read.format("graft").load(s"$stage/$sub")
+      else spark.read.parquet(s"$stage/$sub")
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", format == "graft")
+    try {
+      val t0 = System.nanoTime()
+      load("a").join(load("b"), "k")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          max(col("total_chars")).as("tc"))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
   }
 
