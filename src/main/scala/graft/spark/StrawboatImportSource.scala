@@ -93,7 +93,8 @@ final class StrawboatImportScan(projected: StructType, files: Seq[(String, Long)
     s"strawboat-import ${files.size} files, columns [${projected.fieldNames.mkString(",")}]"
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // projection-scaled byte estimate keeps broadcast planning sane
+    // total on-disk bytes (conservative: not projection-scaled) — enough
+    // for Spark to consider broadcasting a small legacy table
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(files.map(_._2).sum)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
