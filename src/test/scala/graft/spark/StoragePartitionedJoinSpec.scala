@@ -98,6 +98,24 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(got == Map(-1 -> 20L, 1 -> 20L, 2 -> 20L))
   }
 
+  test("filters compose with SPJ: partition pruning shrinks the key set, " +
+      "data filters apply inside keyed partitions") {
+    stage()
+    val a = spark.read.format("graft").load(dirA)
+    val b = spark.read.format("graft").load(dirB)
+    // partition-column filter: directories pruned BEFORE planning, join
+    // still shuffle-free over the surviving keys
+    val filtered = a.filter(col("k") < 4).join(b.filter(col("k") < 4), "k")
+    assert(shuffles(filtered) == 0,
+      s"expected shuffle-free filtered SPJ plan:\n${filtered.queryExecution.executedPlan}")
+    assert(filtered.count() == 400L / 8 * (160L / 8) * 4)
+    // non-partition data filter runs inside the keyed partitions
+    val dataFiltered = a.filter(col("va") % 2 === 0).join(b, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(shuffles(dataFiltered) == 0)
+    assert(dataFiltered.collect().map(_.getLong(1)).sum == 200L * (160L / 8))
+  }
+
   test("unpartitioned tables keep ordinary page-range planning") {
     val dir = "/tmp/graft-test/spj-flat"
     rm(dir)
