@@ -701,6 +701,39 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "t_pii_scan" -> { (s, dir) =>
+      // PII scan + redaction accounting: per document, counts of
+      // email-shaped and digit-run tokens (the scrubber's hit list) and
+      // the post-redaction length after digit runs collapse to '#'. Pure
+      // map — one regex pass per pattern, no shuffle; at 100 TB this is
+      // the embarrassingly parallel scrub pass that runs before any
+      // dedup. Patterns are POSIX-simple so Spark and DuckDB count
+      // identically (both engines scan non-overlapping left-to-right).
+      // The synthetic corpus is digit-free, so deterministic PII-shaped
+      // contact lines are injected into a doc_id slice — the scanner and
+      // the redaction are exercised on real hits, not vacuous zeros.
+      docs(s, dir)
+        .withColumn("body", expr(
+          """concat(text, CASE WHEN doc_id % 7 = 0
+               THEN concat(' contact user', cast(doc_id as string),
+                           '@mail.example.com ref ',
+                           cast(doc_id * 9973 + 1048576 as string))
+               WHEN doc_id % 7 = 3 THEN concat(' call 555-', cast(1000 + doc_id % 9000 as string))
+               ELSE '' END)"""))
+        .withColumn("emails", expr(
+          """size(regexp_extract_all(body,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', 0))""").cast("long"))
+        .withColumn("digit_runs",
+          expr("size(regexp_extract_all(body, '[0-9]+', 0))").cast("long"))
+        .withColumn("long_digit_runs",
+          expr("size(regexp_extract_all(body, '[0-9]{4,}', 0))").cast("long"))
+        .withColumn("red_len",
+          length(regexp_replace(col("body"), "[0-9]+", "#")).cast("long"))
+        .select(col("doc_id"), col("emails"), col("digit_runs"),
+          col("long_digit_runs"), col("red_len"))
+        .orderBy(col("doc_id"))
+    },
+
     "t_fingerprint" -> { (s, dir) =>
       docs(s, dir)
         .withColumn("m", expr(
@@ -1474,6 +1507,20 @@ object TrainingData {
         |                w -> CAST(ascii(substr(w, 1, 1)) * 131 + length(w) AS BIGINT)),
         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_pii_scan" ->
+      """WITH b AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@mail.example.com ref ' ||
+        |         CAST(doc_id * 9973 + 1048576 AS VARCHAR)
+        |    WHEN doc_id % 7 = 3 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+        |    ELSE '' END AS body FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(body,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS emails,
+        |  CAST(len(regexp_extract_all(body, '[0-9]+')) AS BIGINT) AS digit_runs,
+        |  CAST(len(regexp_extract_all(body, '[0-9]{4,}')) AS BIGINT) AS long_digit_runs,
+        |  CAST(length(regexp_replace(body, '[0-9]+', '#', 'g')) AS BIGINT) AS red_len
+        |FROM b ORDER BY doc_id""".stripMargin,
     "t_rare_tokens" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |vocab AS (SELECT w, count(*) AS wc FROM tok GROUP BY w)
