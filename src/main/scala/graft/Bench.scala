@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   * warm re-measurement. The section is best-effort: any failure degrades
   * to the base-only artifact rather than losing the round's bench.
   *
-  * FLAGS: any query whose in-artifact ratio still exceeds 1.5x is
+  * FLAGS: any query whose in-artifact ratio still exceeds 1.4x is
   * re-measured with 3 further interleaved warm runs and the re-measured
   * ratio is embedded in the artifact ("flags"), so "builder says noise,
   * artifact says regression" can't recur — the artifact carries its own
@@ -285,7 +285,7 @@ object Bench {
         f""""value":$gTotal%.3f,"parquet_total":$pTotal%.3f,"ratio":$ratio%.3f,"queries":$gq,"parquet_queries":$pq,"spread":$spread""")
     }
 
-    // any per-query ratio >1.5x (in either direction, above noise floor)
+    // any per-query ratio >=1.4x (in either direction, above noise floor)
     // is re-measured with 3 interleaved warm runs; the re-measured ratio
     // ships in the artifact so a one-off spike carries its own refutation
     def flagAudit(results: Seq[QRes], dir: String, label: String): Seq[String] = {

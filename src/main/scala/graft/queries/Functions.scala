@@ -388,25 +388,37 @@ object Functions {
       // v2 bucketing — the scan reports KeyGroupedPartitioning, so the
       // join runs with no shuffle on either side (plan shape asserted in
       // StoragePartitionedJoinSpec; here the gate proves the co-located
-      // plan produces oracle-exact values end to end).
+      // plan produces oracle-exact values end to end). The bucketing conf
+      // is scoped: the SPJ plan executes EAGERLY inside this block and the
+      // previous conf value is restored, so no other gate query plans
+      // under a conf this one flipped.
+      val prev = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      val docs = stagedPartitionedDocs(s, dir)
-      val stats = s"/tmp/graft_spj_stage/${stageKey(s, dir, "documents")}/lang_stats"
-      val marker = new java.io.File(s"$stats/_GRAFT_SPJ_DONE")
-      if (!marker.exists()) {
-        s.read.format("graft").load(docs)
+      try {
+        val docs = stagedPartitionedDocs(s, dir)
+        val stats = s"/tmp/graft_spj_stage/${stageKey(s, dir, "documents")}/lang_stats"
+        val marker = new java.io.File(s"$stats/_GRAFT_SPJ_DONE")
+        if (!marker.exists()) {
+          s.read.format("graft").load(docs)
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
+            .write.format("graft").option("partitionby", "lang")
+            .mode("overwrite").save(stats)
+          marker.createNewFile()
+        }
+        val joined = s.read.format("graft").load(docs)
+          .join(s.read.format("graft").load(stats), "lang")
           .groupBy(col("lang"))
-          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
-          .write.format("graft").option("partitionby", "lang")
-          .mode("overwrite").save(stats)
-        marker.createNewFile()
+          .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+            max(col("total_chars")).as("lang_chars"), max(col("cnt")).as("lang_docs"))
+          .orderBy(col("lang"))
+        val out = joined.collect().toSeq
+        s.createDataFrame(
+          s.sparkContext.parallelize(out, math.max(1, out.size)), joined.schema)
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       }
-      s.read.format("graft").load(docs)
-        .join(s.read.format("graft").load(stats), "lang")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
-          max(col("total_chars")).as("lang_chars"), max(col("cnt")).as("lang_docs"))
-        .orderBy(col("lang"))
     },
 
     "q_incremental_scan" -> { (s, dir) =>

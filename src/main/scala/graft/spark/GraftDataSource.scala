@@ -512,7 +512,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     val grouped = fs.zip(segsPerFile)
       .groupBy(_._2.map(_._2)).toSeq
       .map { case (vals, members) => (vals, members.map(_._1)) }
-      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     Some((cols, grouped))
   }
 
@@ -617,11 +617,12 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       path == o.path && tableSchema == o.tableSchema && projected == o.projected &&
         runtimeFilter == o.runtimeFilter && manifestOpt == o.manifestOpt &&
         limit == o.limit && pushedKey == o.pushedKey &&
-        elementKey == o.elementKey && asofOpt == o.asofOpt
+        elementKey == o.elementKey && asofOpt == o.asofOpt && sinceOpt == o.sinceOpt
     case _ => false
   }
   override def hashCode(): Int =
-    (path, projected, limit, runtimeFilter, pushedKey, elementKey, asofOpt).hashCode()
+    (path, projected, limit, runtimeFilter, pushedKey, elementKey, asofOpt,
+      sinceOpt).hashCode()
 
   override def estimateStatistics(): Statistics = new Statistics {
     // sizeInBytes drives the broadcast-join decision. Parquet's V1 path

@@ -49,9 +49,18 @@ object GraftExport {
       var total = 0L
       it.grouped(rowsPerFile).foreach { batch =>
         val bytes = StrawboatExport.encodeFile(schema, batch, pageRows, codec)
-        val f = new org.apache.hadoop.fs.Path(destStr, f"part-$pi%05d-$fileIdx.str")
-        val out = fs.create(f, true)
+        // stage hidden, publish by rename: a killed task never leaves a
+        // truncated file that carries the ARROW2 magic (readers list
+        // dot-prefixed names as non-files), and a task retry overwrites
+        // the same deterministic name with identical bytes
+        val name = f"part-$pi%05d-$fileIdx.str"
+        val tmp = new org.apache.hadoop.fs.Path(destStr, s".$name.tmp")
+        val fin = new org.apache.hadoop.fs.Path(destStr, name)
+        val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
+        fs.delete(fin, false) // a prior attempt's publish, same bytes
+        require(fs.rename(tmp, fin),
+          s"strawboat export: failed to publish $fin")
         fileIdx += 1
         total += batch.size
       }

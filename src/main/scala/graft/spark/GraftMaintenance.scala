@@ -103,7 +103,9 @@ object GraftMaintenance {
     * original instead of writing survivors again — re-running converges,
     * nothing is lost and nothing is duplicated. The only transient state a
     * crash can leave is BOTH the original and its survivor file visible
-    * (duplicate survivor rows) until the delete is re-run. Hive-partitioned
+    * (duplicate survivor rows) until the delete is re-run — note the
+    * resuming run's `rowsBefore` then counts those duplicates, so its
+    * DeleteStats row delta overstates by the orphaned survivor rows. Hive-partitioned
     * layouts are preserved (the rewrite publishes into the file's own
     * partition directory).
     */
@@ -126,6 +128,17 @@ object GraftMaintenance {
     val matched = table.filter(predicate)
       .select(org.apache.spark.sql.functions.input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toSet
+    // the probe's file mapping depends on the InputFileHolder plumbing
+    // (reflective, degrades to "" on an incompatible Spark); a purge that
+    // matches rows but cannot NAME their files must fail loudly, never
+    // report success having deleted nothing
+    if (matched.nonEmpty) {
+      val known = files.map(_.getPath.toString).toSet
+      require(matched.forall(f => f.nonEmpty && known.contains(f)),
+        s"graft: deleteWhere probe returned file names outside the table " +
+          s"listing (input_file_name plumbing broken?): " +
+          matched.filterNot(known.contains).take(3).mkString(", "))
+    }
     // deterministic predicate fingerprint: (file, predicate) names the
     // survivor file, so a re-run after a crash recognises published work
     val predHash = {
@@ -166,7 +179,11 @@ object GraftMaintenance {
             val produced = GraftUtil.listDataFiles(scratch.toString, conf)
             require(produced.size == 1,
               s"graft: delete rewrite of ${f.getPath} produced ${produced.size} files")
-            fs.rename(produced.head.getPath, survivorPath)
+            // Hadoop rename reports most failures by RETURNING FALSE; the
+            // original must never be retired unless its survivors are
+            // durably published
+            require(fs.rename(produced.head.getPath, survivorPath),
+              s"graft: failed to publish survivors of ${f.getPath} at $survivorPath")
             fs.delete(scratch, true)
           }
           fs.delete(f.getPath, false)

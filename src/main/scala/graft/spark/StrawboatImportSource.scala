@@ -37,8 +37,18 @@ class StrawboatImportSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "strawboat-import"
   override def supportsExternalMetadata(): Boolean = true
 
-  private def listFiles(path: String): Seq[(String, Long)] =
-    GraftImport.listStrawboatFiles(SparkSession.active, path)
+  // inferSchema and getTable are called back-to-back on the same provider
+  // instance; cache the listing so an N-file directory is listed and
+  // magic-probed once per load, not twice (each probe is a file open)
+  private var cachedListing: (String, Seq[(String, Long)]) = null
+
+  private def listFiles(path: String): Seq[(String, Long)] = {
+    val c = cachedListing
+    if (c != null && c._1 == path) return c._2
+    val v = GraftImport.listStrawboatFiles(SparkSession.active, path)
+    cachedListing = (path, v)
+    v
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = GraftUtil.pathOf(options)
