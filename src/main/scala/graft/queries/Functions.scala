@@ -470,6 +470,47 @@ object Functions {
       graft.spark.GraftImport.read(s, stage).orderBy(col("o_orderkey"))
     },
 
+    "q_cdc_changes" -> { (s, dir) =>
+      // CHANGE-DATA FEED in the gate: documents staged as a base commit
+      // (doc_id % 5 != 0) and an in-window commit (doc_id % 5 = 0), both
+      // partitioned by a `victim` flag (doc_id % 10 = 1); then a
+      // changelog-enabled deleteWhere purges the victims. Reading
+      // GraftCdc.changes over the window after the base commit must see
+      // EXACTLY the second commit's rows as inserts (surgical manifest
+      // expiry keeps their history — no victim is in that commit) and
+      // every purged victim as a delete (durable in `_graft_changes`).
+      // This is the takedown-propagation read a derived corpus runs;
+      // priced at a manifest listing + the changed files only.
+      val stage = s"/tmp/graft_cdc_stage/${stageKey(s, dir, "documents")}/documents"
+      val marker = new java.io.File(s"$stage/_GRAFT_CDC_T1")
+      if (!marker.exists()) {
+        val d = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("victim", col("doc_id") % 10 === 1)
+        d.filter(col("doc_id") % 5 =!= 0)
+          .write.format("graft").option("partitionby", "victim")
+          .mode("append").save(stage)
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val t1 = graft.spark.GraftManifest
+          .list(fs, new org.apache.hadoop.fs.Path(stage))
+          .map(graft.spark.GraftManifest.nameT).max
+        Thread.sleep(5) // the in-window commit must be strictly after t1
+        d.filter(col("doc_id") % 5 === 0)
+          .write.format("graft").option("partitionby", "victim")
+          .mode("append").save(stage)
+        graft.spark.GraftMaintenance.deleteWhere(s, stage,
+          col("victim") === true, changelog = true)
+        java.nio.file.Files.writeString(marker.toPath, t1.toString)
+      }
+      val t1 = java.nio.file.Files.readString(marker.toPath).trim.toLong
+      graft.spark.GraftCdc.changes(s, stage, t1, Long.MaxValue)
+        .withColumnRenamed(graft.spark.GraftCdc.ChangeTypeCol, "change_type")
+        .groupBy(col("change_type"), col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("change_type"), col("lang"))
+    },
+
     "q_scalar_funcs" -> { (s, dir) =>
       Tables.load(s, dir, "orders")
         .filter(col("o_orderkey") % 1000 === 0)
@@ -499,6 +540,16 @@ object Functions {
         |        CAST(sum(n_chars) AS BIGINT) AS total_chars
         |      FROM documents GROUP BY lang) s ON d.lang = s.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_cdc_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS change_type, lang, count(*) AS docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents WHERE doc_id % 5 = 0 GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, lang, count(*) AS docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents WHERE doc_id % 10 = 1 GROUP BY lang
+        |) ORDER BY change_type, lang""".stripMargin,
     "q_incremental_scan" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,

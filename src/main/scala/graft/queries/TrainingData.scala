@@ -580,6 +580,34 @@ object TrainingData {
         .orderBy(col("source"))
     },
 
+    "t_lm_score" -> { (s, dir) =>
+      // unigram-LM cross-entropy scoring — the CCNet-style "perplexity
+      // filter" stand-in (the real pass scores against a KenLM model; the
+      // environment has no model artifacts, so the LM is the corpus's own
+      // unigram distribution — the Spark shape is identical): one hash-agg
+      // builds the vocabulary, each token's surprise -ln(c/N) is quantized
+      // to integer micro-nats (floor(x*1e6), killing the <1ulp libm
+      // divergence between engines), and each document scores as an EXACT
+      // integer mean. Scale shape: one vocab hash-agg + one (token ⋈
+      // vocab) hash join re-aggregated by doc_id — two shuffles at any
+      // corpus size; hot function words skew the join key, which AQE
+      // skew-split absorbs (the vocab side is per-key tiny).
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = vocab.agg(sum(col("c")).as("n_corpus"))
+      tok.join(vocab, Seq("w"))
+        .crossJoin(broadcast(n))
+        .withColumn("q", expr(
+          "cast(floor(ln(cast(c as double) / cast(n_corpus as double)) * 1000000) as bigint)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("surprise_micro"))
+        .withColumn("xent_nats", (-col("surprise_micro")).cast("double") /
+          (col("n_tokens") * lit(1000000L)).cast("double"))
+        .select(col("doc_id"), col("n_tokens"), col("surprise_micro"), col("xent_nats"))
+        .orderBy(col("doc_id"))
+    },
+
     "t_repetition" -> { (s, dir) =>
       // within-document repetition: fraction of duplicate word-3-grams — a
       // standard training-data quality signal (heavily repeated boilerplate
@@ -1478,6 +1506,17 @@ object TrainingData {
         |  count(*) AS distinct_tokens,
         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
         |FROM counts GROUP BY source ORDER BY source""".stripMargin,
+    "t_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM vocab),
+        |q AS (SELECT doc_id,
+        |        CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n_corpus AS DOUBLE)) * 1000000) AS BIGINT) AS q
+        |      FROM tok JOIN vocab USING (w), n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(q) AS BIGINT) AS surprise_micro,
+        |  CAST(-sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS xent_nats
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,

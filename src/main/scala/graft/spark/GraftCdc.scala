@@ -1,0 +1,67 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level change-data feed over a graft table — the incremental-consumer
+  * surface a 100 TB corpus needs so derived tables (indexes, filtered
+  * subsets, packed training shards) can follow the source without
+  * re-diffing it.
+  *
+  * Model (the Delta-CDF shape, re-expressed on graft's manifest machinery):
+  *
+  *  - INSERTS need no extra storage: every batch/stream commit already
+  *    publishes a manifest, so "rows added in (since, asof]" is exactly the
+  *    table's own windowed read.
+  *  - DELETES are made durable by [[GraftMaintenance.deleteWhere]] with
+  *    `changelog = true`: the deleted rows of each rewritten file are
+  *    published under `<table>/_graft_changes/` BEFORE the rewrite, and the
+  *    feed directory carries its own commit manifests — so the same
+  *    `since`/`asof` options window the feed, and the whole read path
+  *    (pruning, pushdown, page skipping) applies to change files unchanged.
+  *  - Updates do not exist at this layer (append-only corpus + purge), so
+  *    the feed is complete with those two event types.
+  *
+  * Windows and history rewrites: `compact`/`zorder` rewrite every row into
+  * fresh commits, so a change window MUST NOT span one (the rewritten rows
+  * would re-appear as inserts) — the same "streams should restart after a
+  * rewrite" contract the table already documents. `deleteWhere` is safe to
+  * span: its surgical manifest expiry hides exactly the retired files'
+  * commits, the survivors read as pre-manifest history (not inserts), and
+  * the feed carries the removed rows.
+  *
+  * Scale shape: a window read lists manifests (tiny files, bounded by
+  * retention) and plans only the files committed in-window — cost is
+  * O(changed data), never O(table). The feed itself is a normal graft
+  * directory: compactable, page-pruned, schema identical to the table
+  * (partition values live in the data, so feed rows are self-describing).
+  */
+object GraftCdc {
+  val ChangesDir = "_graft_changes"
+  val ChangeTypeCol = "_change_type"
+
+  /** All row-level changes committed in the window `(sinceMillis,
+    * asofMillis]`: the table's columns plus `_change_type`
+    * ('insert' | 'delete'). Each physical event is one row — a row inserted
+    * AND purged inside the window appears once as each, which is what a
+    * consumer replaying events in commit order needs.
+    */
+  def changes(spark: SparkSession, dir: String,
+      sinceMillis: Long, asofMillis: Long): DataFrame = {
+    require(sinceMillis <= asofMillis,
+      s"graft: empty change window ($sinceMillis..$asofMillis]")
+    val conf = spark.sessionState.newHadoopConf()
+    require(GraftUtil.listDataFiles(dir, conf).nonEmpty,
+      s"graft: no table under $dir")
+    def windowed(p: String): DataFrame =
+      spark.read.format("graft")
+        .option("since", sinceMillis.toString)
+        .option("asof", asofMillis.toString)
+        .load(p)
+    val inserts = windowed(dir).withColumn(ChangeTypeCol, lit("insert"))
+    val feedDir = s"$dir/$ChangesDir"
+    if (GraftUtil.listDataFiles(feedDir, conf).isEmpty) inserts
+    else inserts.unionByName(
+      windowed(feedDir).withColumn(ChangeTypeCol, lit("delete")))
+  }
+}

@@ -108,9 +108,27 @@ object GraftMaintenance {
     * DeleteStats row delta overstates by the orphaned survivor rows. Hive-partitioned
     * layouts are preserved (the rewrite publishes into the file's own
     * partition directory).
+    *
+    * `changelog = true` additionally publishes every deleted row to the
+    * table's change feed (`_graft_changes/`, see [[GraftCdc]]) BEFORE the
+    * file is rewritten — the durable record a takedown/right-to-be-forgotten
+    * pass needs so downstream derived tables can propagate the purge without
+    * re-diffing the corpus. Change files use the same deterministic
+    * (file, predicate) naming as survivors, so the crash-resume contract is
+    * unchanged: a re-run never writes a change file twice. Visibility is
+    * manifest-based (the feed directory carries its own `_graft_manifest`),
+    * so `since`/`asof` windows apply to the feed exactly as to the table;
+    * change files a crashed run left unpublished are adopted into a manifest
+    * by the next changelog-enabled delete.
+    *
+    * Manifest expiry is surgical: only manifests that reference a RETIRED
+    * file are expired — commits that touched only untouched files keep
+    * their history, so incremental (`since`) readers of unrelated appends
+    * are not reset by a delete elsewhere in the table.
     */
   def deleteWhere(spark: SparkSession, dir: String,
-      predicate: org.apache.spark.sql.Column): DeleteStats = {
+      predicate: org.apache.spark.sql.Column,
+      changelog: Boolean = false): DeleteStats = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
     val fs = tableDir.getFileSystem(conf)
@@ -151,6 +169,29 @@ object GraftMaintenance {
       if (matched.contains(f.getPath.toString)) {
         val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
         val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
+        // change feed FIRST, before any rewrite or retire: once the original
+        // is gone the deleted rows are unrecoverable, so the crash order
+        // must be changelog -> survivors -> retire. Deterministic name =
+        // idempotent on resume. Written flat (partition values are IN the
+        // data, so feed rows stay self-describing without the layout).
+        if (changelog) {
+          val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+          val clPath = new org.apache.hadoop.fs.Path(
+            clDir, s"$base-del$predHash${GraftUtil.Extension}")
+          if (!fs.exists(clPath)) {
+            val scratch = new org.apache.hadoop.fs.Path(
+              tableDir, s"_graft_tmp_delete/cl-$base-$predHash")
+            one.filter(predicate).coalesce(1)
+              .write.format("graft").mode("overwrite").save(scratch.toString)
+            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+            require(produced.size == 1,
+              s"graft: changelog write for ${f.getPath} produced ${produced.size} files")
+            fs.mkdirs(clDir)
+            require(fs.rename(produced.head.getPath, clPath),
+              s"graft: failed to publish change feed for ${f.getPath} at $clPath")
+            fs.delete(scratch, true)
+          }
+        }
         val survivorPath = new org.apache.hadoop.fs.Path(
           f.getPath.getParent, s"$base-del$predHash${GraftUtil.Extension}")
         if (fs.exists(survivorPath)) {
@@ -193,17 +234,45 @@ object GraftMaintenance {
     }
     // best-effort scratch cleanup (a crash mid-write can orphan a dir)
     fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_delete"), true)
+    // make this pass's change files (and any a crashed run left behind)
+    // visible to windowed feed readers: one manifest covering every feed
+    // file no earlier manifest lists. Published AFTER the rewrites, so a
+    // `since` window only ever sees a delete whose table state it can trust.
+    if (changelog) {
+      val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+      val clFiles = GraftUtil.listDataFiles(clDir.toString, conf)
+      if (clFiles.nonEmpty) {
+        val covered = GraftManifest.list(fs, clDir)
+          .flatMap(m => GraftManifest.read(fs, clDir, m).map(_._1)).toSet
+        GraftManifest.publish(fs, clDir,
+          clFiles.map(f => (f.getPath.getName, f.getLen))
+            .filterNot(e => covered.contains(e._1)))
+      }
+    }
     val untouched = files.size - rewritten
     val rowsAfter = // footer-only recount of the surviving table
       spark.read.format("graft").load(dir).count()
-    // a delete rewrites history: manifests captured at entry may reference
-    // retired files, so they are expired (like compact) — later readers see
-    // the surviving files as pre-manifest history; a fresh manifest-mode
-    // stream replay would otherwise fail on the missing files. Streams
-    // checkpointed over the old files should restart, as with any rewrite.
-    if (rewritten > 0)
-      manifestSnapshot.foreach(n =>
-        fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false))
+    // a delete rewrites history for the files it touched: expire exactly
+    // the manifests that reference a retired file (a fresh manifest-mode
+    // stream replay would otherwise fail on the missing files; survivors
+    // read as pre-manifest history). Manifests whose commits touched only
+    // surviving files keep their history — incremental readers of
+    // unrelated appends see no reset. Streams checkpointed over the
+    // retired files should restart, as with any rewrite.
+    if (rewritten > 0) {
+      val retired = files.collect {
+        case f if matched.contains(f.getPath.toString) =>
+          fs.makeQualified(f.getPath).toString
+      }.toSet
+      manifestSnapshot.foreach { n =>
+        val refsRetired = GraftManifest.read(fs, tableDir, n).exists { case (name, _) =>
+          retired.contains(fs.makeQualified(
+            new org.apache.hadoop.fs.Path(tableDir, name)).toString)
+        }
+        if (refsRetired)
+          fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false)
+      }
+    }
     DeleteStats(rewritten, untouched, rowsBefore, rowsAfter)
   }
 

@@ -1,0 +1,150 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-level change feed: inserts window off commit manifests, deletes are
+  * made durable by changelog-enabled deleteWhere, and a delete must not
+  * reset incremental readers of unrelated appends (surgical expiry).
+  */
+class GraftCdcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fresh(name: String): String = {
+    val dir = s"/tmp/graft-test/cdc-$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    dir
+  }
+
+  private def manifestMax(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    GraftManifest.list(fs, p).map(GraftManifest.nameT).max
+  }
+
+  test("changes window reports appended rows as inserts and purged rows as deletes") {
+    val dir = fresh("basic")
+    def rows(a: Long, b: Long) = spark.range(a, b)
+      .selectExpr("id AS k", "id % 2 = 0 AS victim")
+    rows(0, 100).write.format("graft").option("partitionby", "victim")
+      .mode("append").save(dir)
+    val t1 = manifestMax(dir)
+    Thread.sleep(5)
+    rows(100, 140).write.format("graft").option("partitionby", "victim")
+      .mode("append").save(dir)
+    // purge victims from the FIRST commit only: a manifest spans a whole
+    // commit, so a delete touching any of a commit's files expires that
+    // commit's history — keeping the purge out of the second commit keeps
+    // its insert events intact (the gate query stages the same shape)
+    val st = GraftMaintenance.deleteWhere(spark, dir,
+      col("k") < 100 && col("victim") === true, changelog = true)
+    assert(st.filesRewritten > 0)
+    val ch = GraftCdc.changes(spark, dir, t1, Long.MaxValue)
+    val ins = ch.filter(col(GraftCdc.ChangeTypeCol) === "insert")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val del = ch.filter(col(GraftCdc.ChangeTypeCol) === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ins == (100L until 140L))
+    assert(del == (0L until 100L).filter(_ % 2 == 0))
+    // table state is consistent with the events
+    assert(spark.read.format("graft").load(dir).count() == 50 + 40)
+  }
+
+  test("delete does not reset incremental readers of unrelated commits") {
+    val dir = fresh("surgical")
+    spark.range(0, 50).selectExpr("id AS k", "'old' AS tag")
+      .write.format("graft").mode("append").save(dir)
+    val t1 = manifestMax(dir)
+    Thread.sleep(5)
+    spark.range(50, 80).selectExpr("id AS k", "'new' AS tag")
+      .write.format("graft").mode("append").save(dir)
+    // purge rows that live ONLY in the first commit's files
+    GraftMaintenance.deleteWhere(spark, dir, col("k") < 10, changelog = true)
+    // the second commit's manifest must survive: a since-reader that
+    // checkpointed at t1 still sees exactly the second commit
+    val sinceRows = spark.read.format("graft").option("since", t1.toString)
+      .load(dir).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sinceRows == (50L until 80L),
+      "surgical expiry must keep unrelated commit manifests")
+  }
+
+  test("changelog re-run is idempotent and the feed is windowed") {
+    val dir = fresh("idem")
+    spark.range(0, 60).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    val t0 = manifestMax(dir)
+    Thread.sleep(5)
+    val pred = col("k") % 3 === 0
+    GraftMaintenance.deleteWhere(spark, dir, pred, changelog = true)
+    val t2 = System.currentTimeMillis()
+    val feedDir = s"$dir/${GraftCdc.ChangesDir}"
+    val conf = spark.sessionState.newHadoopConf()
+    val feedFiles = GraftUtil.listDataFiles(feedDir, conf)
+      .map(_.getPath.getName).toSet
+    assert(feedFiles.nonEmpty)
+    // identical delete again: no matches remain, no new feed files
+    GraftMaintenance.deleteWhere(spark, dir, pred, changelog = true)
+    assert(GraftUtil.listDataFiles(feedDir, conf)
+      .map(_.getPath.getName).toSet == feedFiles)
+    // feed rows are exact
+    val del = GraftCdc.changes(spark, dir, t0, Long.MaxValue)
+      .filter(col(GraftCdc.ChangeTypeCol) === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(del == (0L until 60L).filter(_ % 3 == 0))
+    // a window that closes before the delete excludes it
+    Thread.sleep(5)
+    assert(GraftCdc.changes(spark, dir, t2, Long.MaxValue).count() == 0)
+  }
+
+  test("the change feed is streamable: a consumer follows takedowns incrementally") {
+    val dir = fresh("stream")
+    spark.range(0, 80).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    GraftMaintenance.deleteWhere(spark, dir, col("k") < 10, changelog = true)
+    // the feed dir is a normal manifest-bearing graft directory, so the
+    // streaming source's manifest offsets apply unchanged — a downstream
+    // consumer subscribes to purges exactly like any other graft stream
+    val feedDir = s"$dir/${GraftCdc.ChangesDir}"
+    val schema = spark.read.format("graft").load(feedDir).schema
+    val q = spark.readStream.format("graft").schema(schema).load(feedDir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_cdc_stream").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("graft_cdc_stream")
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(first == (0L until 10L))
+      // a later takedown lands as a NEW micro-batch
+      GraftMaintenance.deleteWhere(spark, dir,
+        col("k") >= 70, changelog = true)
+      q.processAllAvailable()
+      val all = spark.table("graft_cdc_stream")
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(all == ((0L until 10L) ++ (70L until 80L)))
+    } finally q.stop()
+  }
+
+  test("deleted rows keep partition values in the feed (self-describing rows)") {
+    val dir = fresh("parts")
+    spark.range(0, 40)
+      .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS lang")
+      .write.format("graft").option("partitionby", "lang")
+      .mode("append").save(dir)
+    val t0 = manifestMax(dir)
+    Thread.sleep(5)
+    GraftMaintenance.deleteWhere(spark, dir,
+      col("lang") === "b" && col("k") < 20, changelog = true)
+    val del = GraftCdc.changes(spark, dir, t0, Long.MaxValue)
+      .filter(col(GraftCdc.ChangeTypeCol) === "delete")
+    assert(del.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(del.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 20L).filter(_ % 2 != 0))
+  }
+}
