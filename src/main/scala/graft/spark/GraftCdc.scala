@@ -64,4 +64,43 @@ object GraftCdc {
     else inserts.unionByName(
       windowed(feedDir).withColumn(ChangeTypeCol, lit("delete")))
   }
+
+  /** Apply a change window to a DERIVED graft table keyed by `keyCol` —
+    * the consumer half of the feed: a filtered/transformed copy follows its
+    * source without re-diffing it. Deletes propagate as a keyed
+    * [[GraftMaintenance.deleteWhere]] (rewriting only the files that hold
+    * victims — zone maps/blooms decide most footer-only); inserts append
+    * through `transform` (the derived table's own projection/filter; rows
+    * it drops are simply not appended). Returns (rows appended, distinct
+    * delete keys applied).
+    *
+    * The delete-key list is collected to the driver: a takedown window is
+    * operationally small (thousands of ids, bounded by `keyCap`), and a
+    * driver-held IN list is exactly what lets the delete prune files
+    * without a join-shaped rewrite of the whole derived table. A window
+    * too large for that cap should be applied as a rebuild instead.
+    *
+    * Idempotency note: re-applying the same window re-runs a keyed delete
+    * (converges, same keys) but would re-append inserts — track applied
+    * windows downstream, exactly like any at-least-once feed consumer.
+    */
+  def applyChanges(spark: SparkSession, changeWindow: DataFrame,
+      targetDir: String, keyCol: String,
+      transform: DataFrame => DataFrame = identity,
+      keyCap: Int = 1000000): (Long, Long) = {
+    val deleteKeys = changeWindow
+      .filter(col(ChangeTypeCol) === "delete")
+      .select(keyCol).distinct().limit(keyCap + 1).collect().map(_.get(0)).toSeq
+    require(deleteKeys.size <= keyCap,
+      s"graft: change window holds >$keyCap delete keys — apply as a rebuild")
+    if (deleteKeys.nonEmpty)
+      GraftMaintenance.deleteWhere(spark, targetDir,
+        col(keyCol).isInCollection(deleteKeys))
+    val inserts = transform(
+      changeWindow.filter(col(ChangeTypeCol) === "insert").drop(ChangeTypeCol))
+    val appended = inserts.count()
+    if (appended > 0)
+      inserts.write.format("graft").mode("append").save(targetDir)
+    (appended, deleteKeys.size.toLong)
+  }
 }

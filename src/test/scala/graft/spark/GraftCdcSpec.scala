@@ -131,6 +131,36 @@ class GraftCdcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("applyChanges keeps a filtered derived table in sync with its source") {
+    val src = fresh("apply-src")
+    val dst = fresh("apply-dst")
+    def rows(a: Long, b: Long) = spark.range(a, b)
+      .selectExpr("id AS k", "id * 7 AS v")
+    // source commit 1 + derived bootstrap (derived keeps only even k)
+    rows(0, 100).write.format("graft").mode("append").save(src)
+    val derive = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("k") % 2 === 0).select(col("k"), col("v"))
+    derive(spark.read.format("graft").load(src))
+      .write.format("graft").mode("append").save(dst)
+    val t1 = manifestMax(src)
+    Thread.sleep(5)
+    // source evolves: an append, then a takedown
+    rows(100, 130).write.format("graft").mode("append").save(src)
+    GraftMaintenance.deleteWhere(spark, src,
+      col("k") < 20, changelog = true)
+    // consumer applies the window to the derived table
+    val (appended, deleted) = GraftCdc.applyChanges(spark,
+      GraftCdc.changes(spark, src, t1, Long.MaxValue), dst, "k", derive)
+    assert(appended == 15 && deleted == 20, s"($appended, $deleted)")
+    // derived now equals re-deriving from the source's current state
+    val want = derive(spark.read.format("graft").load(src))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+    assert(got.map(_._1) == (20L until 130L).filter(_ % 2 == 0))
+  }
+
   test("deleted rows keep partition values in the feed (self-describing rows)") {
     val dir = fresh("parts")
     spark.range(0, 40)
