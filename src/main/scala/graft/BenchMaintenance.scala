@@ -42,8 +42,73 @@ object BenchMaintenance {
       case "x_asof_snapshot" => asofOp(spark, format, dir)
       case "x_incremental_scan" => incrementalOp(spark, format, dir)
       case "x_spj_join" => spjJoinOp(spark, format, dir)
+      case "x_cdc_apply" => cdcApplyOp(spark, format, dir)
       case other => sys.error(s"unknown maintenance bench op: $other")
     }
+
+  /** Derived-table sync. graft: the CDC path — read the change window off
+    * manifest history (+ takedown feed) and apply it to the derived table
+    * (keyed delete of victims, append of transformed inserts); cost is
+    * O(changed data). parquet: no commit history or feed exists, so the
+    * comparator is what a parquet shop runs to get the same end state — a
+    * full re-derive (read source, filter, rewrite derived). The staged
+    * source gets one in-window append + one changelog takedown before the
+    * timed region; staging mutates, so both sides re-stage per run.
+    */
+  private def cdcApplyOp(spark: SparkSession, format: String, dir: String): Double = {
+    val (lo0, hi0) = docBounds(spark, dir)
+    val lo = lo0 + (hi0 - lo0) * 49 / 100
+    val hi = lo0 + (hi0 - lo0) * 51 / 100
+    // text stays in the derived copy — the whole point of the feed is NOT
+    // re-moving the corpus bytes, so the comparator must carry them
+    val d = Tables.parquet(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val src = s"/tmp/graft_bench_maint/cdc_src_${format}_${key(dir)}"
+    val dst = s"/tmp/graft_bench_maint/cdc_dst_${format}_${key(dir)}"
+    rm(src); rm(dst)
+    val derive = (df: DataFrame) => df.filter(col("n_chars") % 2 === 0)
+    def agg(df: DataFrame): Unit =
+      df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .write.mode("overwrite").format("noop").save()
+    if (format == "graft") {
+      // base commit + derived bootstrap, then an append and a takedown
+      // confined to base-commit files (the append commit keeps its
+      // manifest, so its rows stay insert-visible in the window)
+      d.filter(col("doc_id") % 3 =!= 0)
+        .write.format("graft").mode("append").save(src)
+      derive(spark.read.format("graft").load(src))
+        .write.format("graft").mode("append").save(dst)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val t1 = graft.spark.GraftManifest
+        .list(fs, new org.apache.hadoop.fs.Path(src))
+        .map(graft.spark.GraftManifest.nameT).max
+      Thread.sleep(5)
+      d.filter(col("doc_id") % 3 === 0)
+        .write.format("graft").mode("append").save(src)
+      graft.spark.GraftMaintenance.deleteWhere(spark, src,
+        col("doc_id").between(lo, hi) && col("doc_id") % 3 =!= 0,
+        changelog = true)
+      val t0 = System.nanoTime()
+      graft.spark.GraftCdc.applyChanges(spark,
+        graft.spark.GraftCdc.changes(spark, src, t1, Long.MaxValue),
+        dst, "doc_id", derive)
+      agg(spark.read.format("graft").load(dst))
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      // staged source already holds the post-append post-takedown state;
+      // the timed region is the full re-derive
+      d.filter(!(col("doc_id").between(lo, hi) && col("doc_id") % 3 =!= 0))
+        .write.mode("overwrite").parquet(src)
+      val t0 = System.nanoTime()
+      derive(spark.read.parquet(src))
+        .write.mode("overwrite").parquet(dst)
+      agg(spark.read.parquet(dst))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
 
   /** Row-level purge of a narrow doc_id band. graft: footer-probed
     * deleteWhere rewrites only the 1-2 files holding matches. parquet:

@@ -846,6 +846,40 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "m_multimodal_audio" -> { (s, dir) =>
+      // audio lane: each document gets a genuine RIFF/WAVE payload (mono
+      // 16-bit PCM at 8 kHz, sample words derived deterministically from
+      // md5(text)), and graft.spark.WavDecode — a native expression with
+      // codegen, no UDF — walks the chunked container (fmt, data) and
+      // emits integer-exact sample statistics: signed sum, raw-word
+      // rolling checksum, peak amplitude. WAV/PCM is uncompressed, so like
+      // the netpbm lanes it is the honest stand-in for mp3/flac whose
+      // codec libs this container lacks — the Spark-side shape is
+      // identical. The oracle rebuilds the stats from the generating
+      // formula without parsing binary. Pure map, zero shuffle.
+      docs(s, dir)
+        .withColumn("n", (lit(1) + col("n_chars") % 40).cast("int"))
+        .withColumn("hexlen", col("n") * lit(4))
+        .withColumn("ph", expr(
+          "substr(repeat(md5(text), cast(ceil(hexlen / 32.0) as int)), 1, hexlen)"))
+        // RIFF sizes are little-endian u32; n <= 41 keeps both in one byte
+        .withColumn("le_data", expr(
+          "concat(lpad(hex((n * 2) % 256), 2, '0'), '000000')"))
+        .withColumn("le_riff", expr(
+          "concat(lpad(hex((36 + n * 2) % 256), 2, '0'), '000000')"))
+        .withColumn("payload", expr(
+          """concat(encode('RIFF', 'utf-8'), unhex(le_riff), encode('WAVE', 'utf-8'),
+                    encode('fmt ', 'utf-8'), unhex('10000000'), unhex('0100'), unhex('0100'),
+                    unhex('401F0000'), unhex('803E0000'), unhex('0200'), unhex('1000'),
+                    encode('data', 'utf-8'), unhex(le_data), unhex(ph))"""))
+        .select(col("doc_id"), graft.spark.WavDecode(col("payload")).as("a"))
+        .select(col("doc_id"), col("a.channels").as("channels"),
+          col("a.sample_rate").as("sample_rate"), col("a.bits").as("bits"),
+          col("a.n_frames").as("n_frames"), col("a.samp_sum").as("samp_sum"),
+          col("a.samp_checksum").as("samp_checksum"), col("a.peak").as("peak"))
+        .orderBy(col("doc_id"))
+    },
+
     "m_multimodal_resize" -> { (s, dir) =>
       // Multimodal stage 3: RESIZE — nearest-neighbor 2x downsample of the
       // same deterministic P6 frames, via graft.spark.PpmResample (native
@@ -1636,6 +1670,33 @@ object TrainingData {
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum,
         |  CAST(list_sum(vals) AS DOUBLE) / npix AS mean_gray
         |FROM v ORDER BY doc_id""".stripMargin,
+    "m_multimodal_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(1 + (n_chars % 40) AS INT) AS n, md5(text) AS hx
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, n,
+        |    substr(repeat(hx, CAST(ceil((n*4) / 32.0) AS INT)), 1, n*4) AS ph
+        |  FROM d),
+        |v AS (
+        |  SELECT doc_id, n,
+        |    list_transform(generate_series(0, n-1), i ->
+        |      (strpos('0123456789abcdef', substr(ph, CAST(4*i+1 AS INT), 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(ph, CAST(4*i+2 AS INT), 1)) - 1)
+        |    + ((strpos('0123456789abcdef', substr(ph, CAST(4*i+3 AS INT), 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(ph, CAST(4*i+4 AS INT), 1)) - 1)) * 256) AS raws
+        |  FROM e),
+        |w AS (
+        |  SELECT doc_id, n, raws,
+        |    list_transform(raws, r -> CASE WHEN r >= 32768 THEN r - 65536 ELSE r END) AS vals
+        |  FROM v)
+        |SELECT doc_id, 1 AS channels, 8000 AS sample_rate, 16 AS bits,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_sum(vals) AS BIGINT) AS samp_sum,
+        |  CAST(list_reduce(list_prepend(0, raws),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS samp_checksum,
+        |  CAST(list_max(list_transform(vals, x -> abs(x))) AS INT) AS peak
+        |FROM w ORDER BY doc_id""".stripMargin,
     "m_multimodal_resize" ->
       """WITH d AS (
         |  SELECT doc_id,

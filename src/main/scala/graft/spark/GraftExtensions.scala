@@ -175,5 +175,6 @@ object GraftExtensions {
       es => PpmResample(es.head, litInt(es(1), "graft_ppm_resample")))
     register("graft_ppm_framesample", 2,
       es => PpmFrameSample(es.head, litInt(es(1), "graft_ppm_framesample")))
+    register("graft_wav_decode", 1, es => WavDecode(es.head))
   }
 }

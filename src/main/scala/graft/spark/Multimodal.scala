@@ -333,3 +333,132 @@ object PpmFrameSample {
       Array[Any](frames, sampled, sum, acc))
   }
 }
+
+/** Pure-JVM audio decode: parses a RIFF/WAVE payload (PCM, 8-bit unsigned
+  * or 16-bit signed little-endian, any channel count) and returns its
+  * format plus integer-exact sample statistics — the audio lane of the
+  * multimodal pipeline. WAV/PCM is an uncompressed container (chunked
+  * header + raw samples), so like the netpbm lane it is the honest
+  * in-environment stand-in for mp3/flac whose codec libraries this
+  * container lacks: the Spark-side shape (binary column in, typed feature
+  * struct out, whole-stage codegen, no UDF) is identical.
+  *
+  * Chunk walk follows the RIFF spec: chunks are (id, LE u32 size, payload)
+  * with word (2-byte) alignment padding; unknown chunks (LIST, fact, cue)
+  * are skipped, `fmt ` must precede `data`. Same null-on-malformed
+  * contract as [[PpmDecode]] — a corrupt clip must not kill a 100 TB scan.
+  */
+case class WavDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WavDecode.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_decode"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY payload column, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavDecode.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("wavDecode", WavDecode, "graft.spark.WavDecode$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $mod.decode($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavDecode =
+    copy(child = newChild)
+}
+
+object WavDecode {
+  val schema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("samp_sum", LongType, nullable = false),
+    StructField("samp_checksum", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  private val Mod = 1000000007L
+
+  def apply(payload: Column): Column =
+    GraftCatalystBridge.column(WavDecode(GraftCatalystBridge.expression(payload)))
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], p: Int, t: String): Boolean =
+    b(p) == t.charAt(0) && b(p + 1) == t.charAt(1) &&
+      b(p + 2) == t.charAt(2) && b(p + 3) == t.charAt(3)
+
+  /** Decode a RIFF/WAVE PCM payload; null for anything malformed. One pass
+    * over the sample bytes, no intermediate buffers. `samp_sum`/`peak` use
+    * SIGNED sample values (16-bit LE two's complement; 8-bit WAV is
+    * unsigned-biased, value - 128); the rolling checksum folds the raw
+    * unsigned width-sized words so it is independent of sign
+    * interpretation.
+    */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 12) return null
+    if (!tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return null
+    var p = 12
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var haveFmt = false
+    while (p + 8 <= bytes.length) {
+      val size = le32(bytes, p + 4)
+      val body = p + 8
+      if (size < 0 || size > bytes.length - body) return null
+      if (tag(bytes, p, "fmt ")) {
+        if (size < 16) return null
+        val fmtCode = le16(bytes, body)
+        channels = le16(bytes, body + 2)
+        rate = le32(bytes, body + 4).toInt
+        bits = le16(bytes, body + 14)
+        if (fmtCode != 1 || channels <= 0 || rate <= 0 ||
+          (bits != 8 && bits != 16)) return null
+        haveFmt = true
+      } else if (tag(bytes, p, "data")) {
+        if (!haveFmt) return null
+        val bytesPerSample = bits / 8
+        val n = size / bytesPerSample
+        if (n % channels != 0) return null
+        var sum = 0L
+        var acc = 0L
+        var peak = 0
+        var i = 0
+        val ni = n.toInt
+        while (i < ni) {
+          var raw = 0
+          var v = 0
+          if (bits == 8) {
+            raw = bytes(body + i) & 0xff
+            v = raw - 128
+          } else {
+            raw = le16(bytes, body + 2 * i)
+            v = raw.toShort.toInt
+          }
+          sum += v
+          if (v < 0) { if (-v > peak) peak = -v } else if (v > peak) peak = v
+          acc = (acc * 31 + raw) % Mod
+          i += 1
+        }
+        return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](channels, rate, bits, n / channels, sum, acc, peak))
+      }
+      // RIFF chunks are word-aligned: odd sizes carry one pad byte
+      p = body + size.toInt + (size.toInt & 1)
+    }
+    null // no data chunk
+  }
+}
