@@ -580,6 +580,52 @@ object TrainingData {
         .orderBy(col("source"))
     },
 
+    "t_distinct_sketch" -> { (s, dir) =>
+      // KMV (k-minimum-values) distinct sketch: per-source vocabulary
+      // cardinality estimated from the k smallest 60-bit token hashes,
+      // reported alongside the exact count it approximates. DETERMINISTIC
+      // by construction (md5-derived integer hashes), so the estimator
+      // math is oracle-checkable bit-for-bit — the production mergeable
+      // path is HLL/approx_count_distinct, whose opaque registers no SQL
+      // oracle can replay; this entry pins the sketch contract instead.
+      // Scale shape: the ranking runs AFTER the (source, gram)
+      // distinct-reduce, so the window sort is vocab-sized, not
+      // corpus-sized; the k-th ranked hash is tie-order-independent, so
+      // engines may break hash ties differently and still agree. Bigrams,
+      // not unigrams: the synthetic corpus has a 31-word vocabulary, and
+      // the estimator branch needs cardinality above k to be non-vacuous
+      // (~700 distinct bigrams per source).
+      val k = 64
+      val tok = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("source"), explode(expr(
+          """CASE WHEN size(ws) >= 2
+             THEN transform(sequence(0, size(ws)-2),
+                  i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2)))
+             ELSE array(text) END""")).as("w"))
+        .distinct()
+      val hashed = tok.withColumn("h", expr(
+        """aggregate(transform(sequence(1, 15),
+             i -> cast(instr('0123456789abcdef', substr(md5(w), i, 1)) - 1 as bigint)),
+           cast(0 as bigint), (a, x) -> a * 16 + x)"""))
+      val ranked = hashed.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"))))
+      ranked.groupBy(col("source")).agg(
+          count(lit(1)).as("distinct_exact"),
+          max(when(col("rn") === k, col("h"))).as("kth_hash"))
+        .withColumn("kmv_estimate",
+          when(col("distinct_exact") <= k, col("distinct_exact").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+              col("kth_hash").cast("double")))
+        .withColumn("rel_err",
+          (col("kmv_estimate") - col("distinct_exact").cast("double")) /
+            col("distinct_exact").cast("double"))
+        .select(col("source"), col("distinct_exact"), col("kth_hash"),
+          col("kmv_estimate"), col("rel_err"))
+        .orderBy(col("source"))
+    },
+
     "t_lm_score" -> { (s, dir) =>
       // unigram-LM cross-entropy scoring — the CCNet-style "perplexity
       // filter" stand-in (the real pass scores against a KenLM model; the
@@ -591,12 +637,17 @@ object TrainingData {
       // integer mean. Scale shape: one vocab hash-agg + one (token ⋈
       // vocab) hash join re-aggregated by doc_id — two shuffles at any
       // corpus size; hot function words skew the join key, which AQE
-      // skew-split absorbs (the vocab side is per-key tiny).
+      // skew-split absorbs (the vocab side is per-key tiny). The join
+      // strategy is PINNED to shuffle-hash with the vocab as build side:
+      // a corpus vocabulary neither broadcasts at 100 TB, nor may the
+      // planner ever pick the token stream as a build side (size stats
+      // after an explode are unreliable — left free, Spark broadcast 3M
+      // exploded tokens here, 2.3x slower than the pinned plan).
       val d = docs(s, dir)
       val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
       val n = vocab.agg(sum(col("c")).as("n_corpus"))
-      tok.join(vocab, Seq("w"))
+      tok.join(vocab.hint("shuffle_hash"), Seq("w"))
         .crossJoin(broadcast(n))
         .withColumn("q", expr(
           "cast(floor(ln(cast(c as double) / cast(n_corpus as double)) * 1000000) as bigint)"))
@@ -1540,6 +1591,30 @@ object TrainingData {
         |  count(*) AS distinct_tokens,
         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
         |FROM counts GROUP BY source ORDER BY source""".stripMargin,
+    "t_distinct_sketch" ->
+      """WITH d AS (SELECT source, text, string_split(text, ' ') AS ws FROM documents),
+        |raw AS (SELECT source, unnest(CASE WHEN len(ws) >= 2
+        |          THEN list_transform(generate_series(1, len(ws)-1),
+        |               i -> ws[i] || ' ' || ws[i+1])
+        |          ELSE [text] END) AS w FROM d),
+        |tok AS (SELECT DISTINCT source, w FROM raw),
+        |hh AS (SELECT source,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    i -> CAST(strpos('0123456789abcdef', substr(md5(w), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, x) -> a * 16 + x) AS h
+        |  FROM tok),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+        |p AS (SELECT source, count(*) AS distinct_exact,
+        |        max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+        |      FROM r GROUP BY source),
+        |q AS (SELECT source, distinct_exact, kth_hash,
+        |        CASE WHEN distinct_exact <= 64 THEN CAST(distinct_exact AS DOUBLE)
+        |             ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
+        |        END AS kmv_estimate
+        |      FROM p)
+        |SELECT source, distinct_exact, kth_hash, kmv_estimate,
+        |  (kmv_estimate - CAST(distinct_exact AS DOUBLE)) / CAST(distinct_exact AS DOUBLE) AS rel_err
+        |FROM q ORDER BY source""".stripMargin,
     "t_lm_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
