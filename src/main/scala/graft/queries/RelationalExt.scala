@@ -210,9 +210,46 @@ object RelationalExt {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), dsum("c_acctbal").as("totacctbal"))
         .orderBy(col("c_nationkey"))
+    },
+
+    "q_value_quantiles" -> { (s, dir) =>
+      // exact per-group multi-quantile by RANK SELECTION (no interpolation
+      // arithmetic — the selected value is an input value, so doubles
+      // hash-compare exactly): the p-th lower quantile is the row at rank
+      // ceil(p·n) in (value, event_id) order, computed as (p·n + 99) div
+      // 100 in pure integer arithmetic. Generalizes q_median_order_value to
+      // a quantile vector — the corpus/latency profile shape. The window
+      // sort is per-group; at 100 TB swap it for the range-bucket offset
+      // construction of q_ntile_quartiles (zone-map-assisted, no global
+      // sort) — the selection logic is unchanged.
+      val e = t(s, dir, "events")
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = e
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(25 * n + 99) div 100"), col("value"))).as("p25"),
+          max(when(col("rn") === expr("(50 * n + 99) div 100"), col("value"))).as("p50"),
+          max(when(col("rn") === expr("(75 * n + 99) div 100"), col("value"))).as("p75"),
+          max(when(col("rn") === expr("(95 * n + 99) div 100"), col("value"))).as("p95"))
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
+    "q_value_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rn = (25 * n + 99) // 100 THEN value END) AS p25,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (75 * n + 99) // 100 THEN value END) AS p75,
+        |  max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q2_min_balance_supplier" ->
       """SELECT s_acctbal, s_name, p_partkey, p_name FROM (
         |  SELECT s.s_acctbal, s.s_name, l.p_partkey, l.p_name, s.s_suppkey,

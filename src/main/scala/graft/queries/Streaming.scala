@@ -94,6 +94,44 @@ object Streaming {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
         .orderBy(col("event_type"))
+    },
+
+    "s_stream_join" -> { (s, dir) =>
+      // stream-stream INTERVAL join with watermarks — the streaming half of
+      // q_range_band_join's attribution shape: each purchase joins the same
+      // user's views in the preceding 2 hours, both sides arriving as
+      // streams. The time-range condition + watermarks BOUND each side's
+      // join state (Spark evicts view rows once p_ts - 2h passes the
+      // watermark) — without them a stream-stream join buffers forever,
+      // the 100 TB OOM. Inner join: matches emit as soon as both sides
+      // arrive, so the drained result equals the batch join exactly; the
+      // memory sink holds raw matches and a batch aggregate rolls them up
+      // per purchase (one stateful operator per stream, the supported
+      // shape).
+      val name = "graft_stream_join"
+      s.streams.active.filter(q => q.name == name).foreach(_.stop())
+      val gdir = graft.Tables.graftDir(s, dir, "events")
+      val staticSchema = s.read.format("graft").load(gdir).schema
+      def src() = s.readStream.format("graft").schema(staticSchema).load(gdir)
+      val views = src().filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views, expr(
+        """v_user = p_user AND
+           v_ts >= p_ts - interval 2 hours AND v_ts <= p_ts"""))
+      val q = joined.writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view"))
+        .orderBy(col("purchase_id"))
     })
 
   /** Streaming events row for the stateful sessionization query. */
@@ -147,6 +185,15 @@ object Streaming {
     })
 
   val oracles: Map[String, String] = Map(
+    "s_stream_join" ->
+      // the batch equivalent of the drained stream-stream interval join
+      """SELECT p.event_id AS purchase_id, count(*) AS n_views,
+        |  min(v.event_id) AS first_view
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s_stream_quality" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,

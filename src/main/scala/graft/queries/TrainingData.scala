@@ -981,6 +981,136 @@ object TrainingData {
           col("f.n_sampled").as("n_sampled"), col("f.pix_sum").as("pix_sum"),
           col("f.pix_checksum").as("pix_checksum"))
         .orderBy(col("doc_id"))
+    },
+
+    "d_dedup_semantic" -> { (s, dir) =>
+      // SemDeDup-style semantic dedup (cluster-then-pairwise — the pattern
+      // of Abbas et al. 2023): a k-means-style assignment BOUNDS the
+      // pairwise cosine step to within-cluster members, so the quadratic
+      // term is (cluster size)², controlled by K, never corpus². Assignment
+      // reuses the IVF shape — cosine argmax over the BROADCAST seed
+      // centroids (K rows). Within a cluster, a vector is a semantic
+      // duplicate if a LOWER-id member has cosine >= 0.3 (min-id canonical
+      // keeps one representative per duplicate set, the d_dedup_canonical
+      // convention). Integer dots + IEEE exact-rounded sqrt/division keep
+      // the report bit-identical cross-engine. At 100 TB: centroids come
+      // from a trained codebook, clusters land as a bucketed table, and the
+      // within-cluster join shuffles on cluster_id only.
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cdot", expr(
+          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("ccos", col("cdot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("q"), col("nn"), col("cid").as("cluster_id"))
+      val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
+        col("q").as("qa"), col("nn").as("na"))
+      val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
+        col("q").as("qb"), col("nn").as("nb"))
+      val removed = a.join(b, Seq("cluster_id")).filter(col("va") < col("vb"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cosine") >= 0.3)
+        .select(col("cluster_id"), col("vb").as("vec_id")).distinct()
+        .withColumn("is_removed", lit(1L))
+      assigned.join(removed, Seq("cluster_id", "vec_id"), "left")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(coalesce(col("is_removed"), lit(0L))).as("n_removed"),
+          (count(lit(1)) - sum(coalesce(col("is_removed"), lit(0L)))).as("n_kept"))
+        .orderBy(col("cluster_id"))
+    },
+
+    "s_kmeans_refine" -> { (s, dir) =>
+      // one exact Lloyd refinement step over the IVF seed clustering — the
+      // iteration a production index runs until convergence. The trick that
+      // makes k-means oracle-checkable bit-for-bit: cosine is
+      // SCALE-INVARIANT, so the updated centroid can be the per-cluster
+      // component SUM vector (exact integers) instead of the mean — no
+      // division enters the argmax. Round 0: cosine argmax vs broadcast
+      // seeds (the IVF assignment). Update: one long-form hash-agg on
+      // (cluster, pos). Round 1: long-form dot vs the K summed centroids
+      // (broadcast — K×dims rows). Report per cluster: size before/after +
+      // moved-away count, the convergence signal the loop iterates on.
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cdot", expr(
+          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("ccos", col("cdot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("q"), col("nn"), col("cid").as("c0"))
+      val long = assigned.select(col("vec_id"), col("c0"),
+        posexplode(col("q")).as(Seq("pos", "x")))
+      val centSums = long.groupBy(col("c0").as("cid1"), col("pos"))
+        .agg(sum(col("x")).as("sx"))
+      val centNorm = centSums.groupBy(col("cid1"))
+        .agg(sum(col("sx") * col("sx")).as("cnn"))
+      val dots = long.select(col("vec_id"), col("pos"), col("x"))
+        .join(broadcast(centSums), Seq("pos"))
+        .groupBy(col("vec_id"), col("cid1"))
+        .agg(sum(col("x") * col("sx")).as("dot"))
+      val r1 = dots
+        .join(assigned.select(col("vec_id"), col("nn"), col("c0")), Seq("vec_id"))
+        .join(broadcast(centNorm), Seq("cid1"))
+        .withColumn("ccos", col("dot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cnn").cast("double"))))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid1"))))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("c0"), col("cid1").as("c1"))
+      val before = assigned.groupBy(col("c0").as("cluster_id"))
+        .agg(count(lit(1)).as("size_before"))
+      val after = r1.groupBy(col("c1").as("cluster_id"))
+        .agg(count(lit(1)).as("size_after"))
+      val moved = r1.groupBy(col("c0").as("cluster_id"))
+        .agg(sum(when(col("c1") =!= col("c0"), 1L).otherwise(0L)).as("moved_away"))
+      before.join(after, Seq("cluster_id"), "left")
+        .join(moved, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("size_before"),
+          coalesce(col("size_after"), lit(0L)).as("size_after"),
+          coalesce(col("moved_away"), lit(0L)).as("moved_away"))
+        .orderBy(col("cluster_id"))
+    },
+
+    "t_tfidf_topk" -> { (s, dir) =>
+      // per-language top-10 TF-IDF terms — the keyword/topic-profile pass
+      // of a corpus audit. tf = term occurrences within the language, df =
+      // distinct docs containing the term corpus-wide, weight = tf·ln(N/df)
+      // quantized to integer micro-nats (the t_lm_score convention —
+      // floor(x·1e6) kills sub-ulp libm divergence between engines). Two
+      // hash-aggs + one hash join on the term key; the rank window runs on
+      // the (lang, term) aggregate — vocab-sized, never corpus-sized. Terms
+      // present in every document get weight 0 (ln 1), never negative.
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tok.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("weight_micro").desc, col("w"))
+      tf.join(df.hint("shuffle_hash"), Seq("w"))
+        .crossJoin(broadcast(n))
+        .withColumn("weight_micro", expr(
+          "cast(floor(tf * ln(cast(n_docs as double) / cast(df as double)) * 1000000) as bigint)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("w").as("term"), col("tf"), col("df"),
+          col("weight_micro"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
     })
 
   /** Connected components over the confirmed near-dup pairs (same blocking +
@@ -1187,6 +1317,105 @@ object TrainingData {
   }
 
   val oracles: Map[String, String] = Map(
+    "d_dedup_semantic" ->
+      // mirrors Spark exactly: IVF seed assignment (cosine argmax, cid
+      // tie-break), then within-cluster pairwise cosine >= 0.3 marks the
+      // higher id of each pair removed (min-id canonical)
+      """WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
+        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 50 = 0),
+        |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
+        |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
+        |         GROUP BY 1, 2),
+        |ranked AS (SELECT v.vec_id, v.cid,
+        |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |               (CAST(v.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
+        |               v.cid) AS crk
+        |           FROM cdot v
+        |           JOIN nrm n1 ON n1.vec_id = v.vec_id
+        |           JOIN nrm n2 ON n2.vec_id = v.cid),
+        |assigned AS (SELECT vec_id, cid AS cluster_id FROM ranked WHERE crk = 1),
+        |pairs AS (SELECT a.cluster_id, a.vec_id AS va, b.vec_id AS vb
+        |          FROM assigned a JOIN assigned b
+        |            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+        |pcos AS (SELECT p.cluster_id, p.vb
+        |         FROM pairs p
+        |         JOIN t ta ON ta.vec_id = p.va
+        |         JOIN t tb ON tb.vec_id = p.vb AND tb.pos = ta.pos
+        |         JOIN nrm na ON na.vec_id = p.va
+        |         JOIN nrm nb ON nb.vec_id = p.vb
+        |         GROUP BY p.cluster_id, p.va, p.vb, na.nn, nb.nn
+        |         HAVING CAST(sum(ta.q * tb.q) AS DOUBLE)
+        |                  / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.3),
+        |removed AS (SELECT DISTINCT cluster_id, vb AS vec_id FROM pcos)
+        |SELECT a.cluster_id, count(*) AS cluster_size,
+        |  CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(count(*) - sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM assigned a LEFT JOIN removed r
+        |  ON r.cluster_id = a.cluster_id AND r.vec_id = a.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_kmeans_refine" ->
+      // mirrors the exact Lloyd step: round-0 seed assignment, centroid =
+      // per-cluster component SUM (cosine is scale-invariant, so no
+      // division), round-1 argmax vs summed centroids
+      """WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
+        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 50 = 0),
+        |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
+        |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
+        |         GROUP BY 1, 2),
+        |ranked AS (SELECT v.vec_id, v.cid,
+        |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |               (CAST(v.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
+        |               v.cid) AS crk
+        |           FROM cdot v
+        |           JOIN nrm n1 ON n1.vec_id = v.vec_id
+        |           JOIN nrm n2 ON n2.vec_id = v.cid),
+        |assigned AS (SELECT vec_id, cid AS c0 FROM ranked WHERE crk = 1),
+        |csum AS (SELECT a.c0 AS cid1, t.pos, sum(t.q) AS sx
+        |         FROM assigned a JOIN t ON t.vec_id = a.vec_id GROUP BY 1, 2),
+        |cnn AS (SELECT cid1, sum(sx*sx) AS cnn FROM csum GROUP BY 1),
+        |d1 AS (SELECT t.vec_id, c.cid1, sum(t.q * c.sx) AS dot
+        |       FROM t JOIN csum c ON c.pos = t.pos GROUP BY 1, 2),
+        |r1 AS (SELECT d.vec_id, d.cid1,
+        |         row_number() OVER (PARTITION BY d.vec_id ORDER BY
+        |           (CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(cn.cnn AS DOUBLE)))) DESC,
+        |           d.cid1) AS crk
+        |       FROM d1 d
+        |       JOIN nrm n1 ON n1.vec_id = d.vec_id
+        |       JOIN cnn cn ON cn.cid1 = d.cid1),
+        |a1 AS (SELECT vec_id, cid1 AS c1 FROM r1 WHERE crk = 1),
+        |before_ AS (SELECT c0 AS cluster_id, count(*) AS size_before FROM assigned GROUP BY 1),
+        |after_ AS (SELECT c1 AS cluster_id, count(*) AS size_after FROM a1 GROUP BY 1),
+        |moved AS (SELECT a.c0 AS cluster_id,
+        |            CAST(sum(CASE WHEN x.c1 <> a.c0 THEN 1 ELSE 0 END) AS BIGINT) AS moved_away
+        |          FROM assigned a JOIN a1 x ON x.vec_id = a.vec_id GROUP BY 1)
+        |SELECT b.cluster_id, b.size_before,
+        |  coalesce(f.size_after, 0) AS size_after,
+        |  coalesce(m.moved_away, 0) AS moved_away
+        |FROM before_ b
+        |LEFT JOIN after_ f USING (cluster_id)
+        |LEFT JOIN moved m USING (cluster_id)
+        |ORDER BY 1""".stripMargin,
+    "t_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT lang, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.lang, tf.w AS term, tf.tf, df.df,
+        |             CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT) AS weight_micro
+        |           FROM tf JOIN df ON df.w = tf.w, n)
+        |SELECT lang, term, tf, df, weight_micro, rank FROM (
+        |  SELECT lang, term, tf, df, weight_micro,
+        |    row_number() OVER (PARTITION BY lang ORDER BY weight_micro DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "s_embedding_quantize" ->
       """WITH q0 AS (
         |  SELECT vec_id,

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan + semantics guards for the round-8 semantic/statistics operators:
+  *
+  *  - d_dedup_semantic (SemDeDup shape): the only Cartesian product allowed
+  *    in the plan is the BROADCAST centroid assignment (K rows); the
+  *    within-cluster pairwise join must equi-key on cluster_id, and kept +
+  *    removed must partition every cluster exactly.
+  *  - s_kmeans_refine: conservation — sizes before and after the Lloyd step
+  *    both sum to the corpus size; the second assignment must not expand
+  *    into a non-broadcast Cartesian.
+  *  - t_tfidf_topk: corpus-wide terms (df = n_docs) carry weight exactly 0,
+  *    and ranks are dense 1..k per language.
+  *  - q_value_quantiles: the selected quantiles are actual input values and
+  *    ordered p25 <= p50 <= p75 <= p95.
+  */
+class SemanticOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d_dedup_semantic: only broadcast cartesians; kept+removed = cluster size") {
+    val df = TrainingData.queries("d_dedup_semantic")(spark, sf)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    // the centroid assignment is a deliberate broadcast nested loop over K
+    // rows; a SHUFFLED cartesian (CartesianProduct node) would mean the
+    // within-cluster join lost its cluster_id equi-key
+    assert(!plan.contains("CartesianProduct"),
+      "semantic-dedup pairwise join fell back to a shuffled Cartesian")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (size, removed, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(removed + kept == size, s"cluster ${r.getLong(0)}: $removed + $kept != $size")
+      assert(kept >= 1, "a cluster lost every member: min-id canonical must survive")
+    }
+  }
+
+  test("s_kmeans_refine: membership conserved across the Lloyd step") {
+    val df = TrainingData.queries("s_kmeans_refine")(spark, sf)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("CartesianProduct"),
+      "k-means reassignment fell back to a shuffled Cartesian")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val before = rows.map(_.getLong(1)).sum
+    val after = rows.map(_.getLong(2)).sum
+    assert(before == after, s"Lloyd step lost vectors: $before -> $after")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1),
+        s"cluster ${r.getLong(0)}: moved_away ${r.getLong(3)} > size_before ${r.getLong(1)}")
+    }
+  }
+
+  test("t_tfidf_topk: ubiquitous terms weigh 0, ranks dense per language") {
+    val rows = TrainingData.queries("t_tfidf_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L, s"negative tf-idf weight: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val ranks = rs.map(_.getInt(5)).sorted
+      assert(ranks.sameElements(1 to ranks.length), s"$lang ranks not dense: ${ranks.toSeq}")
+    }
+  }
+
+  test("q_value_quantiles: monotone and drawn from the input") {
+    val rows = RelationalExt.queries("q_value_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val values = graft.Tables.load(spark, sf, "events")
+      .select("value").collect().map(_.getDouble(0)).toSet
+    rows.foreach { r =>
+      val qs = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(qs == qs.sorted, s"quantiles not monotone: $r")
+      qs.foreach(v => assert(values.contains(v),
+        s"quantile $v is not an input value (interpolation crept in)"))
+    }
+  }
+}
