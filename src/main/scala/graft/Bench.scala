@@ -62,7 +62,7 @@ object Bench {
     "q13_order_count_distribution", "q_window_top_orders", "q_events_hourly",
     "q_asof_purchase_view", "q_topk_orders", "q_sorted_scan", "q_map_pruning",
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_segments",
-    "d_decontamination", "d_ngram_jaccard",
+    "d_decontamination", "d_ngram_jaccard", "d_dedup_semantic",
     "s_ann_lsh", "s_ann_ivf", "t_token_stats", "t_fingerprint", "t_lm_score",
     "t_quality_score", "t_language_id", "m_multimodal_meta", "m_multimodal_decode",
     "m_multimodal_resize", "m_multimodal_framesample",

@@ -158,6 +158,17 @@ final class LeafReader(in: SeekableInput, meta: ColumnMeta, lane: Int, nullable:
 
   def numPages: Int = meta.pages.length
 
+  /** Force this leaf's ranged fetch NOW (async prefetch — the Spark scan
+    * submits one of these per projected leaf to a shared pool, so a split's
+    * leaf reads overlap instead of serializing on first decode access; on
+    * an object store that turns latency x leaves into latency x 1).
+    * `bytes` is a lazy val, so initialization is synchronized: the decode
+    * thread either finds the fetch done or blocks on the in-flight one —
+    * the range is never read twice. Hadoop positioned reads are
+    * thread-safe by the PositionedReadable contract.
+    */
+  def prefetch(): Unit = { val _ = bytes; () }
+
   /** Raw page access for callers that decode straight into their own
     * columnar sinks (e.g. Spark vectors) without a Vec materialization.
     */

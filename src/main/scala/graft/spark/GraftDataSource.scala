@@ -962,6 +962,8 @@ object GraftMetrics {
     * observability for pruning assertions (local mode — same JVM).
     */
   val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+  /** Leaf ranged reads completed by the async prefetch pool (test-only). */
+  val leavesPrefetched = new java.util.concurrent.atomic.AtomicLong()
 }
 
 final class GraftColumnarReader(filePath: String, fileLen: Long,
@@ -1081,6 +1083,25 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     } else null
   }
 
+  // async leaf prefetch: issue every projected leaf's ranged read on the
+  // shared pool NOW, so the fetches overlap each other (and the first
+  // batch's decode joins them through the lazy-val init lock). One leaf
+  // needs no overlap; `graft.read.prefetch.threads=0` (settable as
+  // spark.hadoop.graft.read.prefetch.threads) disables for A/B tests.
+  // Failures are swallowed here — the decode path retries the fetch and
+  // surfaces the real error with full context.
+  private val prefetchFutures: Seq[java.util.concurrent.Future[_]] = {
+    val enabled = conf.getInt("graft.read.prefetch.threads", 1) > 0
+    val active = leafReaders.filter(_ != null)
+    if (!enabled || active.length < 2) Nil
+    else active.toSeq.map { lr =>
+      GraftPrefetch.submit(() => {
+        try { lr.prefetch(); GraftMetrics.leavesPrefetched.incrementAndGet() }
+        catch { case _: Throwable => () }
+      })
+    }
+  }
+
   private var page = rangeLo - 1
 
   @annotation.tailrec
@@ -1122,5 +1143,18 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   }
 
   override def get(): ColumnarBatch = batch
-  override def close(): Unit = input.close()
+  override def close(): Unit = {
+    // the stream must not close under an in-flight prefetch: dequeue tasks
+    // that haven't started (cancel(false)), await the ones that have (each
+    // is one bounded ranged read) — an early close (LIMIT) never stalls on
+    // other readers' queued work
+    prefetchFutures.foreach { f =>
+      f.cancel(false)
+      if (!f.isCancelled) {
+        try f.get(30, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: Throwable => () }
+      }
+    }
+    input.close()
+  }
 }

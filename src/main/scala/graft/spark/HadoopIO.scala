@@ -91,3 +91,25 @@ final class HadoopSeekableInput(fs: FileSystem, path: Path, val length: Long)
   }
   def close(): Unit = in.close()
 }
+
+/** Shared executor-side pool for async leaf prefetch (the reference's
+  * async read path, `/root/reference/src/read/reader.rs:180-225`,
+  * re-expressed for Spark's task model): a scan submits each projected
+  * leaf's ranged read here so a split's leaf fetches overlap instead of
+  * serializing on first decode access. The pool is deliberately SMALL and
+  * JVM-global — IO parallelism beyond a few concurrent ranged reads per
+  * executor saturates the link, and local[32] must not spawn 32x8
+  * threads. A busy pool costs nothing: the decode thread's lazy-val
+  * access fetches inline and the queued task becomes a no-op.
+  */
+object GraftPrefetch {
+  private lazy val pool = {
+    val n = math.max(2, math.min(8, Runtime.getRuntime.availableProcessors() / 4))
+    java.util.concurrent.Executors.newFixedThreadPool(n, (r: Runnable) => {
+      val t = new Thread(r, "graft-prefetch")
+      t.setDaemon(true)
+      t
+    })
+  }
+  def submit(task: Runnable): java.util.concurrent.Future[_] = pool.submit(task)
+}
