@@ -14,10 +14,27 @@ object Tables {
 
   private val lock = new Object
 
+  /** Fingerprint of a local source tree (name/len/mtime of every file),
+    * mirroring Bench.stageAmplified's cache key: a regenerated testdata
+    * directory must invalidate stale .graft conversions, or a warm machine
+    * would serve old graft data against a fresh DuckDB oracle.
+    */
+  private[graft] def fingerprint(path: String): String = {
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = h = h * 1000003 + x
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+      else { mix(f.getName.hashCode.toLong); mix(f.length()); mix(f.lastModified()) }
+    val root = new java.io.File(path)
+    if (root.exists()) walk(root)
+    java.lang.Long.toHexString(h)
+  }
+
   // bump the version segment whenever the written footer/stats change, so
-  // cached conversions from an older writer get redone
+  // cached conversions from an older writer get redone; the fingerprint
+  // segment invalidates on any source-data regeneration
   private def strRoot(sfDir: String): String =
-    "/tmp/graft_str_v7/" + sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    "/tmp/graft_str_v8/" + sfDir.replaceAll("[^a-zA-Z0-9.]+", "_") + "_" + fingerprint(sfDir)
 
   /** Read a table as a graft-format DataFrame (converting from parquet on
     * first use). GRAFT_TABLES_FORMAT=parquet bypasses graft — used only to
@@ -48,10 +65,19 @@ object Tables {
   def parquet(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts arrives as timestamp[ns] (long nanos under the legacy flag);
-    // normalize to a real timestamp so engine + oracle agree
-    if (name == "events") raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-    else raw
+    // events.ts physical type varies across testdata generations — int64
+    // nanos (surfaces as LongType under the legacy flag) vs timestamp[us]
+    // (surfaces as TIMESTAMP or TIMESTAMP_NTZ). Branch on what's actually
+    // on disk and normalize to TimestampType (session tz is UTC everywhere)
+    // so engine + oracle agree regardless of generation.
+    if (name == "events") {
+      import org.apache.spark.sql.types._
+      raw.schema("ts").dataType match {
+        case LongType      => raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        case TimestampType => raw
+        case _             => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    } else raw
   }
 
   private def ensureConverted(spark: SparkSession, sfDir: String, name: String, dir: String): Unit =

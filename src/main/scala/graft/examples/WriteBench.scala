@@ -24,11 +24,8 @@ object WriteBench {
     }
 
     Seq("lineitem", "orders", "documents", "embeddings", "events").foreach { t =>
-      var df: DataFrame = spark.read.parquet(s"$sfDir/$t.parquet")
-      if (t == "events")
-        df = df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts").divide(1000).cast("long")))
-      df = df.cache()
+      // Tables.parquet normalizes events.ts adaptively across testdata generations
+      var df: DataFrame = graft.Tables.parquet(spark, sfDir, t).cache()
       df.count() // materialize input outside the timed region
       // warmup both writers once
       df.write.format("graft").mode("overwrite").save(s"/tmp/graft-wbench/$t-g")

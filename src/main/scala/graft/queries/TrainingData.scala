@@ -30,6 +30,18 @@ object TrainingData {
   /** quantized embedding as array<bigint> */
   private val quantized = "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint))"
 
+  /** Seed-centroid cap for the IVF / SemDeDup / k-means family. The seed
+    * predicate (`vec_id % 50 == 0 AND vec_id < 50*SeedK`) yields
+    * K = min(SeedK, N/50) centroids: deterministic (oracle-mirrorable in
+    * plain SQL), and BOUNDED — at any corpus size the centroid table stays
+    * ≤ SeedK rows, so the broadcast is O(K·dims) constant and assignment is
+    * O(N·K), never N²/50. A production index would Lloyd-train the codebook;
+    * the fixed-K seed keeps the same plan shape the trained one would have.
+    */
+  private val SeedK = 32
+  private def seedCentroidFilter = col("vec_id") % 50 === 0 && col("vec_id") < lit(50L * SeedK)
+  private val seedCentroidSql = s"vec_id % 50 = 0 AND vec_id < ${50 * SeedK}"
+
   /** Portable 60-bit base hash of each element of a string-array column:
     * first 15 hex nibbles of md5, folded big-endian into an int64. DuckDB
     * mirror: list_reduce(list_transform(generate_series(1,15),
@@ -405,7 +417,7 @@ object TrainingData {
     },
     "s_ann_ivf" -> { (s, dir) =>
       // IVF (inverted-file) ANN — the second scale path next to LSH:
-      // deterministic seed centroids (vec_id % 50 = 0; a production index
+      // deterministic seed centroids (seedCentroidFilter, K ≤ SeedK; a production index
       // would Lloyd-iterate, each iteration one broadcast join + agg),
       // every vector assigned to its nearest centroid's LIST by cosine
       // argmax over the BROADCAST centroid table (K rows — the standard
@@ -415,7 +427,7 @@ object TrainingData {
       // checkpointed table clustered by list_id.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      val cents = e.filter(seedCentroidFilter)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("cdot", expr(
@@ -998,7 +1010,7 @@ object TrainingData {
       // within-cluster join shuffles on cluster_id only.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      val cents = e.filter(seedCentroidFilter)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("cdot", expr(
@@ -1042,7 +1054,7 @@ object TrainingData {
       // moved-away count, the convergence signal the loop iterates on.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      val cents = e.filter(seedCentroidFilter)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("cdot", expr(
@@ -1321,12 +1333,12 @@ object TrainingData {
       // mirrors Spark exactly: IVF seed assignment (cosine argmax, cid
       // tie-break), then within-cluster pairwise cosine >= 0.3 marks the
       // higher id of each pair removed (min-id canonical)
-      """WITH t AS (SELECT vec_id,
+      s"""WITH t AS (SELECT vec_id,
         |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
         |             generate_subscripts(embedding, 1) AS pos
         |           FROM embeddings),
         |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
-        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 50 = 0),
+        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
         |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
         |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
         |         GROUP BY 1, 2),
@@ -1361,12 +1373,12 @@ object TrainingData {
       // mirrors the exact Lloyd step: round-0 seed assignment, centroid =
       // per-cluster component SUM (cosine is scale-invariant, so no
       // division), round-1 argmax vs summed centroids
-      """WITH t AS (SELECT vec_id,
+      s"""WITH t AS (SELECT vec_id,
         |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
         |             generate_subscripts(embedding, 1) AS pos
         |           FROM embeddings),
         |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
-        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 50 = 0),
+        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
         |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
         |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
         |         GROUP BY 1, 2),
@@ -1747,15 +1759,15 @@ object TrainingData {
         |  FROM cand)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "s_ann_ivf" ->
-      // mirrors Spark's IVF exactly: seed centroids vec_id % 50 = 0,
+      // mirrors Spark's IVF exactly: bounded seed centroids (seedCentroidSql),
       // assignment by cosine argmax (double over integer dot/norms,
       // centroid-id tie-break), nprobe=2, exact int-dot rerank
-      """WITH t AS (SELECT vec_id,
+      s"""WITH t AS (SELECT vec_id,
         |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
         |             generate_subscripts(embedding, 1) AS pos
         |           FROM embeddings),
         |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
-        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 50 = 0),
+        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
         |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
         |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
         |         GROUP BY 1, 2),

@@ -17,13 +17,9 @@ class GraftDataSourceSpec extends AnyFunSuite {
 
   private def roundTrip(table: String): Unit = {
     val dir = s"/tmp/graft-test/$table"
-    val raw = spark.read.parquet(s"$sf/$table.parquet")
-    // events.ts is timestamp[ns] (read as long nanos) — normalize to micros
-    val src =
-      if (table == "events")
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts").divide(1000).cast("long")))
-      else raw
+    // Tables.parquet normalizes events.ts adaptively (int64-nanos vs
+    // timestamp[us] testdata generations) — share that logic here
+    val src = graft.Tables.parquet(spark, sf, table)
     src.write.format("graft").mode("overwrite").save(dir)
     val back = spark.read.format("graft").load(dir)
     assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
