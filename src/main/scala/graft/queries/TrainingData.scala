@@ -42,6 +42,9 @@ object TrainingData {
   private def seedCentroidFilter = col("vec_id") % 50 === 0 && col("vec_id") < lit(50L * SeedK)
   private val seedCentroidSql = s"vec_id % 50 = 0 AND vec_id < ${50 * SeedK}"
 
+  /** Lloyd iterations the s_kmeans_loop op runs (and its oracle unrolls). */
+  private val kmeansLoopIters = 3
+
   /** Portable 60-bit base hash of each element of a string-array column:
     * first 15 hex nibbles of md5, folded big-endian into an int64. DuckDB
     * mirror: list_reduce(list_transform(generate_series(1,15),
@@ -1098,6 +1101,73 @@ object TrainingData {
         .orderBy(col("cluster_id"))
     },
 
+    "s_kmeans_loop" -> { (s, dir) =>
+      // the PRODUCTION k-means loop the single-step gate (s_kmeans_refine)
+      // promises: kmeansLoopIters exact Lloyd iterations, each assignment
+      // routed through `materialize` so the plan restarts from storage (or
+      // cache) every round instead of stacking join lineage — the ccLabels
+      // checkpoint discipline applied to Lloyd. Centroids stay per-cluster
+      // component SUMS (cosine is scale-invariant ⇒ no division enters the
+      // argmax ⇒ bit-exact cross-engine). Per iteration the driver reads
+      // back only two scalars (moved count + active cluster count) — the
+      // convergence signal a training loop stops on; assignments and
+      // centroids never leave the cluster. Cost per iteration is O(N·K)
+      // assignment + one (cid,pos) hash-agg; superseded checkpoints are
+      // retired as soon as the next one lands.
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+      val cents = e.filter(seedCentroidFilter)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+      val a0 = e.crossJoin(broadcast(cents))
+        .withColumn("cdot", expr(
+          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("ccos", col("cdot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("cid"))
+      // the long-form (vec_id, pos, x) frame is reused by every iteration's
+      // centroid update AND assignment — checkpoint it once
+      val (long, longDir) = materializeWithDir(
+        e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "x"))), "kml_long")
+      val nrm = long.groupBy(col("vec_id")).agg(sum(col("x") * col("x")).as("nn"))
+      var (assign, assignDir) = materializeWithDir(a0, "kml_a0")
+      var assignCached = assignDir.isEmpty
+      val stats = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      var k = 1
+      while (k <= kmeansLoopIters && (stats.isEmpty || stats.last._2 > 0)) {
+        val centSums = long.join(assign, Seq("vec_id"))
+          .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
+        val centNorm = centSums.groupBy(col("cid")).agg(sum(col("sx") * col("sx")).as("cnn"))
+        val next0 = long.join(broadcast(centSums.withColumnRenamed("cid", "ncid")), Seq("pos"))
+          .groupBy(col("vec_id"), col("ncid")).agg(sum(col("x") * col("sx")).as("dot"))
+          .join(nrm, Seq("vec_id"))
+          .join(broadcast(centNorm.withColumnRenamed("cid", "ncid")), Seq("ncid"))
+          .withColumn("ccos", col("dot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("cnn").cast("double"))))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("ncid"))))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("ncid").as("cid"))
+        val (next, nextDir) = materializeWithDir(next0, s"kml_a$k")
+        val moved = next.join(assign.withColumnRenamed("cid", "prev"), Seq("vec_id"))
+          .filter(col("cid") =!= col("prev")).count()
+        val active = next.select(col("cid")).distinct().count()
+        stats += ((k.toLong, moved, active))
+        if (assignCached) assign.unpersist()
+        assignDir.foreach(deleteScratchDir(s, _))
+        assign = next; assignDir = nextDir; assignCached = nextDir.isEmpty
+        k += 1
+      }
+      // converged early (moved=0 is a fixpoint — Lloyd is deterministic, so
+      // every later iteration is identical): pad without re-running
+      while (k <= kmeansLoopIters) { stats += ((k.toLong, 0L, stats.last._3)); k += 1 }
+      if (longDir.isEmpty) long.unpersist()
+      import s.implicits._
+      stats.toSeq.toDF("iter", "moved", "active_clusters").orderBy(col("iter"))
+    },
+
     "t_tfidf_topk" -> { (s, dir) =>
       // per-language top-10 TF-IDF terms — the keyword/topic-profile pass
       // of a corpus audit. tf = term occurrences within the language, df =
@@ -1328,6 +1398,53 @@ object TrainingData {
       .select(col("n_docs"), col("distinct_simhashes"), col("candidate_pairs"), col("near_dup_pairs"))
   }
 
+  /** s_kmeans_loop oracle: the refine oracle's Lloyd step unrolled
+    * kmeansLoopIters times (generated, so the iteration CTEs stay
+    * mechanically identical). Lloyd is deterministic, so a fixpoint
+    * (moved=0) repeats — matching the Spark side's early-stop padding.
+    */
+  private def kmeansLoopOracle: String = {
+    val header = s"""WITH t AS (SELECT vec_id,
+      |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+      |             generate_subscripts(embedding, 1) AS pos
+      |           FROM embeddings),
+      |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
+      |cent AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
+      |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
+      |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
+      |         GROUP BY 1, 2),
+      |ranked AS (SELECT v.vec_id, v.cid,
+      |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |               (CAST(v.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
+      |               v.cid) AS crk
+      |           FROM cdot v
+      |           JOIN nrm n1 ON n1.vec_id = v.vec_id
+      |           JOIN nrm n2 ON n2.vec_id = v.cid),
+      |a0 AS (SELECT vec_id, cid FROM ranked WHERE crk = 1)""".stripMargin
+    val iterCtes = (1 to kmeansLoopIters).map { k =>
+      val p = k - 1
+      s"""cs$k AS (SELECT a.cid, t.pos, sum(t.q) AS sx
+         |        FROM a$p a JOIN t ON t.vec_id = a.vec_id GROUP BY 1, 2),
+         |cn$k AS (SELECT cid, sum(sx*sx) AS cnn FROM cs$k GROUP BY 1),
+         |d$k AS (SELECT t.vec_id, c.cid, sum(t.q * c.sx) AS dot
+         |       FROM t JOIN cs$k c ON c.pos = t.pos GROUP BY 1, 2),
+         |r$k AS (SELECT d.vec_id, d.cid,
+         |         row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |           (CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(cn.cnn AS DOUBLE)))) DESC,
+         |           d.cid) AS crk
+         |       FROM d$k d
+         |       JOIN nrm n1 ON n1.vec_id = d.vec_id
+         |       JOIN cn$k cn ON cn.cid = d.cid),
+         |a$k AS (SELECT vec_id, cid FROM r$k WHERE crk = 1),
+         |m$k AS (SELECT CAST($k AS BIGINT) AS iter,
+         |          CAST(sum(CASE WHEN n.cid <> p.cid THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+         |          CAST(count(DISTINCT n.cid) AS BIGINT) AS active_clusters
+         |        FROM a$k n JOIN a$p p ON p.vec_id = n.vec_id)""".stripMargin
+    }
+    val sel = (1 to kmeansLoopIters).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    (header +: iterCtes).mkString(",\n") + s"\n$sel ORDER BY iter"
+  }
+
   val oracles: Map[String, String] = Map(
     "d_dedup_semantic" ->
       // mirrors Spark exactly: IVF seed assignment (cosine argmax, cid
@@ -1415,6 +1532,7 @@ object TrainingData {
         |LEFT JOIN after_ f USING (cluster_id)
         |LEFT JOIN moved m USING (cluster_id)
         |ORDER BY 1""".stripMargin,
+    "s_kmeans_loop" -> kmeansLoopOracle,
     "t_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT lang, w, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -47,6 +47,27 @@ class PipelineMaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("s_kmeans_loop: table-mode checkpointed iterations match cache mode") {
+    val scratch = "/tmp/graft-test/pipeline-scratch-kml"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    val cacheRows = rows("s_kmeans_loop")
+    try {
+      spark.conf.set("graft.pipeline.materialize", "table")
+      spark.conf.set("graft.pipeline.scratch", scratch)
+      assert(rows("s_kmeans_loop") == cacheRows,
+        "k-means loop diverged under table-mode checkpointing")
+      // superseded assignment checkpoints were retired: only the final
+      // assignment (+ the long-form frame) may remain on disk
+      val appDir = new java.io.File(scratch, spark.sparkContext.applicationId)
+      val names = Option(appDir.listFiles()).toSeq.flatten.map(_.getName)
+      assert(names.count(_.startsWith("kml_a")) <= 1,
+        s"superseded kml assignment checkpoints not retired: ${names.mkString(",")}")
+    } finally {
+      spark.conf.set("graft.pipeline.materialize", "cache")
+      spark.conf.unset("graft.pipeline.scratch")
+    }
+  }
+
   test("cc label propagation: table-mode checkpoints bound the plan depth") {
     val scratch = "/tmp/graft-test/pipeline-scratch-cc"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))

@@ -63,6 +63,23 @@ class SemanticOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s_kmeans_loop: one row per iteration, non-increasing movement") {
+    val rows = TrainingData.queries("s_kmeans_loop")(spark, sf)
+      .orderBy("iter").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "loop must report every iteration exactly once")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(2) >= 1L)
+    }
+    // Lloyd over a fixed K converges: a later iteration never moves MORE
+    // vectors than an earlier one on this deterministic corpus (guards the
+    // loop actually feeding iteration k the centroids from k-1, not the
+    // seeds every time — re-seeding would repeat iteration 1's count)
+    val moved = rows.map(_.getLong(1))
+    assert(moved.zip(moved.tail).forall { case (a, b) => b <= a },
+      s"moved counts not non-increasing: ${moved.toSeq}")
+  }
+
   test("t_tfidf_topk: ubiquitous terms weigh 0, ranks dense per language") {
     val rows = TrainingData.queries("t_tfidf_topk")(spark, sf).collect()
     assert(rows.nonEmpty)
