@@ -412,9 +412,15 @@ object Functions {
           .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
             max(col("total_chars")).as("lang_chars"), max(col("cnt")).as("lang_docs"))
           .orderBy(col("lang"))
-        val out = joined.collect().toSeq
+        // eager collect scopes the conf flip to this query; per-lang rows,
+        // but hard-capped so a schema/grouping change can never turn the
+        // driver-side materialization unbounded
+        val capped = joined.limit(10001).collect().toSeq
+        if (capped.size > 10000)
+          throw new IllegalStateException(
+            "q_spj_cojoin: per-lang aggregate exceeded the 10k driver-side cap")
         s.createDataFrame(
-          s.sparkContext.parallelize(out, math.max(1, out.size)), joined.schema)
+          s.sparkContext.parallelize(capped, math.max(1, capped.size)), joined.schema)
       } finally prev match {
         case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
         case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
