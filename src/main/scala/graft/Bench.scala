@@ -307,13 +307,15 @@ object Bench {
         f""""value":$gTotal%.3f,"parquet_total":$pTotal%.3f,"ratio":$ratio%.3f,"queries":$gq,"parquet_queries":$pq,"spread":$spread""")
     }
 
-    // any per-query ratio >=1.4x (in either direction, above noise floor)
+    // any per-query ratio >=1.3x (in either direction, above noise floor)
     // is re-measured with 3 interleaved warm runs; the re-measured ratio
     // ships in the artifact so a one-off spike carries its own refutation
+    // (1.3, not 1.4: round-9's scaled q1/q18 spiked to 1.37-1.38x from
+    // 2-run noise and sat just under the old threshold unaudited)
     def flagAudit(results: Seq[QRes], dir: String, label: String): Seq[String] = {
       val flagged = results.filter(r => r.bg > 0 && r.bp > 0 &&
           math.max(r.bg, r.bp) > 0.3 &&
-          (r.bg / r.bp >= 1.4 || r.bp / r.bg >= 1.4))
+          (r.bg / r.bp >= 1.3 || r.bp / r.bg >= 1.3))
         .sortBy(r => -math.max(r.bg / r.bp, r.bp / r.bg)).take(5)
       flagged.map { r =>
         val g = Array.fill(3)(0.0); val p = Array.fill(3)(0.0)
