@@ -20,6 +20,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** Dump every (selected) declared query + the oracle SQL into outDir.
+    * Factored out of main so the failure-visibility contract is testable.
+    * Returns the name → message map of failed queries.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Option[Set[String]] = None): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
     // a declared query must never silently vanish from the artifact: any
     // failure is recorded under _FAILED/<name> and in errors.json so the
@@ -58,6 +68,6 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} of ${SparkEntry.queries.size} queries FAILED: ${errors.keys.mkString(", ")}")
-    spark.stop()
+    errors.toMap
   }
 }
