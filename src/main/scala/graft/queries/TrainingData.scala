@@ -285,6 +285,79 @@ object TrainingData {
         .orderBy(col("eval_id"))
     },
 
+    "d_decontamination_contain" -> { (s, dir) =>
+      // containment-style decontamination (the GPT-3/Dolma train-side
+      // view): for each TRAIN doc, the fraction of its DISTINCT 4-gram
+      // hashes that appear anywhere in the eval set; drop the doc when
+      // containment >= 0.3. Complements d_decontamination (which reports
+      // the eval-side view). Scale shape: the eval gram set is the tiny
+      // distinct side (broadcast/asymmetric probe at 100 TB); the train
+      // side is one distinct-reduce + one left-semi-shaped join + one
+      // per-doc agg — all linear in corpus grams, shuffled on the 32-char
+      // hash only. The natural corpus overlaps only faintly (max
+      // containment ~0.03 at sf0.01), so each eval doc is also re-emitted
+      // as a synthetic train doc (id + 10'000'000 ≡ 76 mod 97 — train
+      // side) with identical text: containment 1.0 by construction, so the
+      // >= 0.3 drop branch is exercised on real hits, not vacuous zeros
+      // (the t_pii_scan fixture convention).
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val injected = base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val d = base.unionByName(injected).withColumn("w", split(col("text"), " "))
+      val grams = d.withColumn("g", explode(expr(
+        """CASE WHEN size(w) >= 4
+             THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
+             ELSE array() END""")))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("gh")).distinct().withColumn("hit", lit(1L))
+      val trainGrams = grams.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"), col("gh")).distinct()
+      trainGrams.join(evalGrams, Seq("gh"), "left")
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("eval_grams"))
+        .withColumn("containment",
+          col("eval_grams").cast("double") / col("n_grams"))
+        .withColumn("is_contaminated",
+          when(col("containment") >= 0.3, 1L).otherwise(0L))
+        .select(col("train_id"), col("n_grams"), col("eval_grams"),
+          col("containment"), col("is_contaminated"))
+        .orderBy(col("train_id"))
+    },
+
+    "d_dup_ngram_mass" -> { (s, dir) =>
+      // duplicated-text mass per document (the Lee et al. "deduplicating
+      // training data" signal at n-gram granularity): an OCCURRENCE of a
+      // 4-gram counts as duplicated when that gram appears in >= 2 distinct
+      // docs corpus-wide; report each doc's duplicated fraction. In-doc
+      // repetition deliberately does NOT count (that is t_repetition's
+      // signal) — the gram must cross documents. Scale shape: explode is
+      // linear in corpus tokens, the gram table aggregates on the hash key
+      // (one shuffle), and the flag joins back on the same key — no
+      // pairwise terms anywhere; at 100 TB this is the same shuffle
+      // footprint as segment dedup.
+      val d = docs(s, dir).withColumn("w", split(col("text"), " "))
+      val occ = d.withColumn("g", explode(expr(
+        """CASE WHEN size(w) >= 4
+             THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
+             ELSE array() END""")))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val dupGrams = occ.select(col("doc_id"), col("gh")).distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .select(col("gh")).withColumn("dup", lit(1L))
+      occ.join(dupGrams, Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_gram_occurrences"),
+          sum(coalesce(col("dup"), lit(0L))).as("dup_occurrences"))
+        .withColumn("dup_fraction",
+          col("dup_occurrences").cast("double") / col("n_gram_occurrences"))
+        .select(col("doc_id"), col("n_gram_occurrences"),
+          col("dup_occurrences"), col("dup_fraction"))
+        .orderBy(col("doc_id"))
+    },
+
     "d_ngram_jaccard" -> { (s, dir) =>
       nearDupPairs(s, dir)
         .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
@@ -2051,6 +2124,42 @@ object TrainingData {
         |  count(*) AS gram_pairs
         |FROM e JOIN t USING (gh)
         |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
+    "d_decontamination_contain" ->
+      """WITH alldocs AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000000 AS doc_id, text
+        |           FROM documents WHERE doc_id % 97 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM alldocs),
+        |g0 AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+        |         THEN list_transform(generate_series(1, len(ws)-3),
+        |                i -> array_to_string(ws[i:i+3], ' '))
+        |         ELSE [] END AS gs FROM w),
+        |g AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM g0),
+        |e AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+        |t AS (SELECT DISTINCT doc_id AS train_id, gh FROM g WHERE doc_id % 97 <> 0)
+        |SELECT t.train_id,
+        |  count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS eval_grams,
+        |  CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS containment,
+        |  CAST(CASE WHEN CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+        |FROM t LEFT JOIN e ON e.gh = t.gh
+        |GROUP BY t.train_id ORDER BY t.train_id""".stripMargin,
+    "d_dup_ngram_mass" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+        |         THEN list_transform(generate_series(1, len(ws)-3),
+        |                i -> array_to_string(ws[i:i+3], ' '))
+        |         ELSE [] END AS gs FROM w),
+        |occ AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM g0),
+        |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd
+        |                        FROM occ GROUP BY gh) WHERE nd >= 2)
+        |SELECT o.doc_id,
+        |  count(*) AS n_gram_occurrences,
+        |  CAST(sum(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_occurrences,
+        |  CAST(sum(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
+        |FROM occ o LEFT JOIN dup d ON d.gh = o.gh
+        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS byte_len,
