@@ -142,6 +142,54 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_vacuum" -> { (s, dir) =>
+      // VACUUM in the correctness gate: a staged orders table is littered
+      // with exactly the junk a crashed load leaves behind (aged staging
+      // tmps at the root and in the manifest dir, a deleteWhere scratch
+      // tree), then vacuumed. The gate proves two things at once: the
+      // surviving table still matches the oracle over the raw parquet
+      // bit-for-bit (no live file was touched), and a recount of
+      // remaining junk — folded into the result row — is literally 0
+      // (everything aged was collected).
+      val stage = s"/tmp/graft_vac_stage/${stageKey(s, dir, "orders")}/orders"
+      val marker = new java.io.File(s"$stage/_GRAFT_VAC_DONE")
+      val root = new org.apache.hadoop.fs.Path(stage)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (!marker.exists()) {
+        Tables.parquet(s, dir, "orders")
+          .write.format("graft").option("maxrowsperfile", "5000")
+          .mode("overwrite").save(stage)
+        def plant(p: org.apache.hadoop.fs.Path): Unit = {
+          val out = fs.create(p, true); out.write(7); out.close()
+          fs.setTimes(p, 1000L, 1000L) // ancient: well past any cutoff
+        }
+        plant(new org.apache.hadoop.fs.Path(root, ".crashed.graft.a1.tmp"))
+        plant(new org.apache.hadoop.fs.Path(root,
+          s"${graft.spark.GraftManifest.DirName}/.000-stale.tmp"))
+        plant(new org.apache.hadoop.fs.Path(root, "_graft_tmp_delete/x/part.graft"))
+        val st = graft.spark.GraftMaintenance.vacuum(s, stage,
+          olderThanMs = System.currentTimeMillis() - 60000)
+        require(st.stagingTmps == 2 && st.scratchFiles == 1,
+          s"q_vacuum staging: expected 2 tmps + 1 scratch collected, got $st")
+        marker.createNewFile()
+      }
+      // junk recount AFTER vacuum: aged tmps / scratch remaining (0)
+      var junkLeft = 0
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).foreach { f =>
+          val n = f.getPath.getName
+          if (f.isDirectory) { if (n != graft.spark.GraftCdc.ChangesDir) walk(f.getPath) }
+          else if ((n.startsWith(".") && n.endsWith(".tmp")) ||
+            f.getPath.getParent.getName == "_graft_tmp_delete") junkLeft += 1
+        }
+      walk(root)
+      s.read.format("graft").load(stage)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_ok"),
+          countDistinct(col("o_custkey")).as("custs"))
+        .withColumn("leftover_junk", lit(junkLeft))
+    },
+
     "q_zorder_scan" -> { (s, dir) =>
       // Z-ORDER layout in the gate: orders re-clustered on (o_custkey,
       // o_totalprice) via GraftMaintenance.zorder; a 2-d range probe must
@@ -572,6 +620,12 @@ object Functions {
         |  count(DISTINCT source) AS sources
         |FROM documents WHERE doc_id % 7 <> 3
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_vacuum" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        |  count(DISTINCT o_custkey) AS custs,
+        |  0 AS leftover_junk
+        |FROM orders""".stripMargin,
     "q_zorder_scan" ->
       """SELECT count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,

@@ -301,6 +301,107 @@ object GraftMaintenance {
     expired.size
   }
 
+  /** Result of a [[vacuum]] pass (counts/bytes of what was — or, in dry-run,
+    * would be — removed; `candidates` lists the doomed paths, capped so a
+    * huge backlog can't balloon the driver).
+    */
+  final case class VacuumStats(stagingTmps: Int, scratchFiles: Int,
+      changelogFiles: Int, bytesReclaimed: Long, candidates: Seq[String])
+
+  /** Garbage-collect the detritus a long-lived table accumulates that no
+    * reader will ever see but every `ls` (and every storage bill) pays for:
+    *
+    *   1. `.`-prefixed `*.tmp` STAGING leftovers of crashed write jobs,
+    *      anywhere in the table tree (data staging `.f.aN.tmp`, manifest
+    *      staging `. name.tmp`). Batch writes sweep these on the NEXT write
+    *      to the same dir — but a table that is only read after a crashed
+    *      load keeps them forever.
+    *   2. `_graft_tmp_delete/` scratch dirs orphaned by a crashed
+    *      deleteWhere (the next delete pass also clears them; vacuum covers
+    *      the table nobody deletes from again).
+    *   3. Optionally (`changelogOlderThanMs`), `_graft_changes/` CDC feed
+    *      files whose commit is older than the given epoch-millis cutoff —
+    *      changelog RETENTION, off by default because expiring feed history
+    *      silently breaks a lagging `since` consumer (same contract as
+    *      [[expireManifests]]: keep the window longer than the longest
+    *      expected consumer lag). Their covering changelog manifests expire
+    *      with them.
+    *
+    * Live `*.graft` data files and live commit manifests are NEVER
+    * candidates — readers list those directly, so "referenced" equals
+    * "exists" in this layout and there is no unreferenced-data-file state
+    * to collect; what vacuum owns is everything invisible to readers.
+    *
+    * `olderThanMs` is an epoch-millis cutoff (as in [[expireManifests]]):
+    * only junk last modified BEFORE it is touched, which is what makes
+    * vacuum safe to run next to an in-flight write job — that job's staged
+    * tmps are younger than any sane cutoff (minutes, not task lifetimes,
+    * of slack needed: a stage is published within its task attempt).
+    * `dryRun = true` reports without deleting.
+    */
+  def vacuum(spark: SparkSession, dir: String, olderThanMs: Long,
+      dryRun: Boolean = false,
+      changelogOlderThanMs: Option[Long] = None): VacuumStats = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    require(fs.exists(tableDir), s"graft: no table at $dir")
+    val capped = 1000
+    var tmps, scratch, changelog = 0
+    var bytes = 0L
+    val names = Seq.newBuilder[String]
+    def doom(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      bytes += st.getLen
+      if (tmps + scratch + changelog <= capped) names += st.getPath.toString
+      if (!dryRun) fs.delete(st.getPath, false)
+    }
+    // (1) staging tmps: table root, hive partition subdirs, manifest dir
+    def sweepTmps(d: Path): Unit = if (fs.exists(d))
+      fs.listStatus(d).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
+          f.getModificationTime < olderThanMs) { tmps += 1; doom(f) }
+        else if (f.isDirectory && (n.contains('=') || n == GraftManifest.DirName))
+          sweepTmps(f.getPath)
+      }
+    sweepTmps(tableDir)
+    // (2) deleteWhere scratch
+    val scratchDir = new Path(tableDir, "_graft_tmp_delete")
+    if (fs.exists(scratchDir)) {
+      def sweepScratch(d: Path): Unit = {
+        fs.listStatus(d).foreach { f =>
+          if (f.isDirectory) sweepScratch(f.getPath)
+          else if (f.getModificationTime < olderThanMs) { scratch += 1; doom(f) }
+        }
+        if (!dryRun && fs.listStatus(d).isEmpty) fs.delete(d, false)
+      }
+      sweepScratch(scratchDir)
+    }
+    // (3) changelog retention (opt-in)
+    changelogOlderThanMs.foreach { cutoff =>
+      val clDir = new Path(tableDir, GraftCdc.ChangesDir)
+      if (fs.exists(clDir)) {
+        // a feed file's commit time is the max manifest that lists it; feed
+        // files no manifest lists yet (mid-publish) are never candidates
+        val byFile = scala.collection.mutable.Map.empty[String, Long]
+        GraftManifest.list(fs, clDir).foreach { m =>
+          val t = GraftManifest.nameT(m)
+          GraftManifest.read(fs, clDir, m).foreach { case (n, _) =>
+            byFile(n) = math.max(byFile.getOrElse(n, 0L), t)
+          }
+        }
+        fs.listStatus(clDir).foreach { f =>
+          val n = f.getPath.getName
+          if (f.isFile && n.endsWith(GraftUtil.Extension) &&
+            byFile.get(n).exists(_ < cutoff)) { changelog += 1; doom(f) }
+        }
+        if (!dryRun) expireManifests(spark, clDir.toString, cutoff)
+      }
+    }
+    VacuumStats(tmps, scratch, changelog, bytes, names.result())
+  }
+
   /** Z-ORDER re-layout: cluster the table on the bit-interleaved rank of
     * 2-3 numeric/timestamp columns, so range predicates on EACH column
     * prune page groups — the multi-dimensional alternative to `sortby`

@@ -187,4 +187,78 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     assert(GraftMetrics.pageGroupsSkipped.get() >= 10,
       s"post-compaction sorted layout should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
   }
+
+  test("vacuum removes aged staging junk, never live data or young tmps") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maintenance-vacuum"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(2000).selectExpr("id AS k", "id * 3 AS v")
+      .repartition(2)
+      .write.format("graft").mode("overwrite").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val before = spark.read.format("graft").load(dir)
+      .agg(sum(col("v"))).first().getLong(0)
+    def plant(p: Path, aged: Boolean): Unit = {
+      val out = fs.create(p, true); out.write(Array.fill(64)(7.toByte)); out.close()
+      if (aged) fs.setTimes(p, 1000L, 1000L) // epoch-ish: far older than any cutoff
+    }
+    plant(new Path(root, ".crashed.graft.a99.tmp"), aged = true)
+    plant(new Path(root, ".inflight.graft.a100.tmp"), aged = false)
+    plant(new Path(new Path(root, GraftManifest.DirName), ".0000-stale.tmp"), aged = true)
+    plant(new Path(root, "_graft_tmp_delete/x-ab/part.graft"), aged = true)
+
+    val dry = GraftMaintenance.vacuum(spark, dir,
+      olderThanMs = System.currentTimeMillis() - 60000, dryRun = true)
+    assert(dry.stagingTmps == 2 && dry.scratchFiles == 1 && dry.changelogFiles == 0,
+      s"dry-run miscounted: $dry")
+    assert(dry.candidates.size == 3 && dry.bytesReclaimed == 3 * 64L)
+    assert(fs.exists(new Path(root, ".crashed.graft.a99.tmp")), "dry-run must not delete")
+
+    val st = GraftMaintenance.vacuum(spark, dir,
+      olderThanMs = System.currentTimeMillis() - 60000)
+    assert(st.stagingTmps == 2 && st.scratchFiles == 1)
+    assert(!fs.exists(new Path(root, ".crashed.graft.a99.tmp")))
+    assert(!fs.exists(new Path(root, "_graft_tmp_delete")))
+    assert(fs.exists(new Path(root, ".inflight.graft.a100.tmp")),
+      "a tmp younger than the cutoff belongs to an in-flight write — must survive")
+    assert(GraftUtil.listDataFiles(dir, conf).size == 2, "live data files are never candidates")
+    assert(GraftManifest.list(fs, root).nonEmpty, "live manifests are never candidates")
+    assert(spark.read.format("graft").load(dir)
+      .agg(sum(col("v"))).first().getLong(0) == before)
+  }
+
+  test("vacuum changelog retention expires aged feed history, keeps unlisted files") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maintenance-vacuum-cl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(1000).selectExpr("id AS k", "id * 3 AS v")
+      .repartition(4)
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhere(spark, dir, col("k") < 100, changelog = true)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val clDir = new Path(root, GraftCdc.ChangesDir)
+    val fed = fs.listStatus(clDir).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(GraftUtil.Extension))
+    assert(fed.nonEmpty, "deleteWhere(changelog=true) should have published feed files")
+    // a feed file no manifest lists yet (mid-publish) must never be a candidate
+    val unlisted = new Path(clDir, "unlisted-feed.graft")
+    val out = fs.create(unlisted, true); out.write(1); out.close()
+    fs.setTimes(unlisted, 1000L, 1000L)
+
+    // default: changelog untouched even with an ancient general cutoff
+    GraftMaintenance.vacuum(spark, dir, olderThanMs = System.currentTimeMillis())
+    assert(fs.listStatus(clDir).count(f => f.isFile &&
+      f.getPath.getName.endsWith(GraftUtil.Extension)) == fed.length + 1)
+
+    val st = GraftMaintenance.vacuum(spark, dir,
+      olderThanMs = System.currentTimeMillis(),
+      changelogOlderThanMs = Some(System.currentTimeMillis() + 1000))
+    assert(st.changelogFiles == fed.length, s"expected ${fed.length} feed files expired: $st")
+    assert(fs.exists(unlisted), "feed file with no covering manifest must survive")
+    assert(GraftManifest.list(fs, clDir).isEmpty, "covering feed manifests expire with the files")
+  }
 }
