@@ -714,6 +714,44 @@ object TrainingData {
         .orderBy(col("source"))
     },
 
+    "t_freq_sketch" -> { (s, dir) =>
+      // Count-min sketch heavy hitters: d=3 hash rows x w=512 buckets of
+      // token-count sums, probed for the top-10 exact tokens, reported
+      // next to the exact counts they bound (CMS guarantees estimate >=
+      // exact; the gap is the collision mass). DETERMINISTIC: md5-fold
+      // hashes (engine-portable, same trick as t_distinct_sketch) and the
+      // sketch cells are plain SUMs, so the estimate is independent of
+      // partition/merge order — the mergeability that makes CMS the
+      // frequency sketch for a 100 TB corpus: each executor fills a local
+      // d x w integer grid, merge is elementwise addition, and the final
+      // grid is 1536 cells no matter the corpus size. The relational
+      // form below IS that plan: groupBy(j, b) partial-aggregates
+      // map-side, shuffling at most d*w rows per partition.
+      def cmsBucket(jCol: String, wCol: String): String =
+        s"""pmod(aggregate(transform(sequence(1, 15),
+              i -> cast(instr('0123456789abcdef',
+                     substr(md5(concat('cms', cast($jCol as string), ':', $wCol)), i, 1)) - 1 as bigint)),
+            cast(0 as bigint), (a, x) -> a * 16 + x), 512)"""
+      val counts = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val cells = counts
+        .withColumn("j", explode(expr("sequence(0, 2)")))
+        .withColumn("b", expr(cmsBucket("j", "w")))
+        .groupBy(col("j"), col("b")).agg(sum(col("c")).as("bc"))
+      // top-10 probe set via sort+limit (TakeOrdered: map-side partial
+      // top-k over the vocab-sized counts frame, no global sort shuffle)
+      val probes = counts.orderBy(col("c").desc, col("w")).limit(10)
+      probes.withColumn("j", explode(expr("sequence(0, 2)")))
+        .withColumn("b", expr(cmsBucket("j", "w")))
+        .join(cells, Seq("j", "b"))
+        .groupBy(col("w"), col("c"))
+        .agg(min(col("bc")).as("estimate"))
+        .select(col("w"), col("c").as("exact_count"), col("estimate"),
+          (col("estimate") - col("c")).as("overestimate"))
+        .orderBy(col("w"))
+    },
+
     "t_lm_score" -> { (s, dir) =>
       // unigram-LM cross-entropy scoring — the CCNet-style "perplexity
       // filter" stand-in (the real pass scores against a KenLM model; the
@@ -2058,6 +2096,24 @@ object TrainingData {
         |  CAST(sum(q) AS BIGINT) AS surprise_micro,
         |  CAST(-sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS xent_nats
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_freq_sketch" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |js AS (SELECT unnest(generate_series(0, 2)) AS j),
+        |hashed AS (SELECT w, c, j,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |           substr(md5('cms' || CAST(j AS VARCHAR) || ':' || w), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, x) -> a * 16 + x) % 512 AS b
+        |  FROM counts, js),
+        |cells AS (SELECT j, b, CAST(sum(c) AS BIGINT) AS bc FROM hashed GROUP BY j, b),
+        |probes AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 10),
+        |pr AS (SELECT h.w, h.c, h.j, h.b FROM hashed h JOIN probes p ON h.w = p.w),
+        |est AS (SELECT pr.w, pr.c, min(cells.bc) AS estimate
+        |        FROM pr JOIN cells ON pr.j = cells.j AND pr.b = cells.b
+        |        GROUP BY pr.w, pr.c)
+        |SELECT w, c AS exact_count, estimate, estimate - c AS overestimate
+        |FROM est ORDER BY w""".stripMargin,
     "t_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,

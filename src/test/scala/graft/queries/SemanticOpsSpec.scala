@@ -104,4 +104,23 @@ class SemanticOpsSpec extends AnyFunSuite {
         s"quantile $v is not an input value (interpolation crept in)"))
     }
   }
+
+  test("t_freq_sketch: CMS bound holds and the estimate is partition-invariant") {
+    val rows = TrainingData.queries("t_freq_sketch")(spark, sf).collect()
+    assert(rows.length == 10, s"expected 10 probe tokens, got ${rows.length}")
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2); val over = r.getLong(3)
+      assert(est >= exact, s"CMS one-sided bound violated: $r")
+      assert(over == est - exact, s"overestimate inconsistent: $r")
+    }
+    // mergeability: the sketch cells are plain sums, so the estimates must
+    // be identical no matter how the corpus was partitioned when filled
+    val p1 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val again = TrainingData.queries("t_freq_sketch")(spark, sf).collect()
+      assert(again.map(_.toString).sorted.toSeq == rows.map(_.toString).sorted.toSeq,
+        "CMS estimates changed with partitioning — merge-order dependence crept in")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p1)
+  }
 }
