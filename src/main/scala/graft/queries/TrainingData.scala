@@ -532,6 +532,54 @@ object TrainingData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    "s_embedding_pq" -> { (s, dir) =>
+      // Product quantization (PQ) — the third scale path next to LSH/IVF,
+      // and the one that changes the 100 TB economics: each 64-dim vector
+      // is stored as M=4 subspace CODES into a K=8-codeword codebook, a
+      // 16x scan-size reduction, and queries rank candidates by
+      // asymmetric-distance (ADC) — one tiny per-query lookup table of
+      // query-to-codeword subspace distances, then a scan of the CODES
+      // table only (the raw vectors are never touched after encoding).
+      // Codebook = sub-slices of K deterministic seed vectors (bounded,
+      // broadcast O(M*K); a production index would Lloyd-train it — same
+      // plan shape). Encode is argmin over integer L2 per (vector,
+      // subspace): O(N*M*K), exact integer math, centroid-id tie-break —
+      // bit-for-bit oracle-checkable.
+      val M = 4; val sub = 16; val K = 8
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .select(col("vec_id"), col("q"))
+      val cents = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      def subD2(vecCol: String): String =
+        s"""aggregate(zip_with(slice($vecCol, m*$sub+1, $sub), slice(cq, m*$sub+1, $sub),
+              (x, y) -> (x-y)*(x-y)), cast(0 as bigint), (a, v) -> a + v)"""
+      // the CODES table: at scale this is the materialized PQ index
+      // (M small ints per vector), everything ADC reads
+      val enc = e.crossJoin(broadcast(cents))
+        .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
+        .withColumn("d2", expr(subD2("q")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id").as("tid"), col("m"), col("cid").as("code"))
+      // per-query ADC lookup table: 10 queries x M x K = 320 rows, broadcast
+      val lut = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
+        .withColumn("ld2", expr(subD2("qv")))
+        .select(col("qid"), col("m"), col("cid").as("code"), col("ld2"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("tid"))
+      enc.join(broadcast(lut), Seq("m", "code"))
+        .filter(col("qid") =!= col("tid"))
+        .groupBy(col("qid"), col("tid"))
+        .agg(sum(col("ld2")).as("adc_d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("tid"), col("adc_d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     "s_knn_recall" -> { (s, dir) =>
       // evaluation harness for the similarity-search pair: recall@5 of the
       // LSH index against the exact brute-force baseline, per query vector.
@@ -1741,6 +1789,34 @@ object TrainingData {
         |FROM labels l JOIN cs ON cs.lab = l.lab
         |WHERE cs.cluster_size >= 2
         |ORDER BY cluster_rep, doc_id""".stripMargin,
+    "s_embedding_pq" ->
+      // mirrors Spark's PQ exactly: K=8 seed codewords, M=4 x 16-dim
+      // subspaces, integer-L2 argmin encode (cid tie-break), ADC sum
+      """WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id < 8),
+        |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+        |d AS (SELECT a.vec_id, c.cid, ms.m, sum((a.q - b.q)*(a.q - b.q)) AS d2
+        |      FROM t a JOIN cent c ON true
+        |      JOIN ms ON a.pos > ms.m*16 AND a.pos <= ms.m*16+16
+        |      JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
+        |      GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id AS tid, m, cid AS code FROM (
+        |          SELECT vec_id, m, cid,
+        |            row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rk
+        |          FROM d)
+        |        WHERE rk = 1),
+        |lut AS (SELECT vec_id AS qid, m, cid AS code, d2 AS ld2 FROM d WHERE vec_id < 10),
+        |adc AS (SELECT l.qid, e.tid, CAST(sum(l.ld2) AS BIGINT) AS adc_d2
+        |        FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+        |        WHERE l.qid <> e.tid GROUP BY 1, 2)
+        |SELECT qid, tid, adc_d2, rank FROM (
+        |  SELECT qid, tid, adc_d2,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc_d2, tid) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "s_knn_recall" ->
       """WITH t AS (SELECT vec_id,
         |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,

@@ -105,6 +105,27 @@ class SemanticOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s_embedding_pq: dense top-5 per query, ADC monotone, no shuffled cartesian") {
+    val df = TrainingData.queries("s_embedding_pq")(spark, sf)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    // codebook assignment and the ADC LUT are deliberate BROADCAST
+    // cartesians over <= K and M*K*10 rows; a shuffled CartesianProduct
+    // would mean the codes-join lost its (m, code) equi-key
+    assert(!plan.contains("CartesianProduct"),
+      "PQ ADC join fell back to a shuffled Cartesian")
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5),
+      s"expected 10 queries x 5 ranks, got ${byQ.view.mapValues(_.length).toMap}")
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5),
+        "ranks must be dense 1..5 per query")
+      val d = sorted.map(_.getLong(2))
+      assert(d.toSeq == d.sorted.toSeq, "ADC distance must be non-decreasing in rank")
+    }
+  }
+
   test("t_freq_sketch: CMS bound holds and the estimate is partition-invariant") {
     val rows = TrainingData.queries("t_freq_sketch")(spark, sf).collect()
     assert(rows.length == 10, s"expected 10 probe tokens, got ${rows.length}")
