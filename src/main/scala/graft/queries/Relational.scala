@@ -211,6 +211,48 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    "q_skew_distinct" -> { (s, dir) =>
+      // SKEW-SALTED exact distinct: distinct users per event_type. The
+      // naive groupBy(event_type).agg(countDistinct(user_id)) shuffles
+      // the whole corpus onto as many reducers as there are event types
+      // (5 here — textbook hot-key skew at 100 TB). The salted two-phase
+      // form spreads each hot key over 32 reducers: salt = user_id % 32
+      // is a FUNCTION of the distinct-counted column, so every user
+      // lands in exactly one (event_type, salt) cell and the per-cell
+      // distinct counts SUM to the exact global distinct — no overlap,
+      // no loss. Phase 1 shuffles on types*32 keys; phase 2 reduces the
+      // tiny cell frame. Result is identical to the naive form (the
+      // oracle IS the naive form), only the partitioning differs.
+      t(s, dir, "events")
+        .withColumn("salt", pmod(col("user_id"), lit(32L)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(countDistinct(col("user_id")).as("part_users"),
+          count(lit(1)).as("part_events"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("part_users")).as("distinct_users"),
+          sum(col("part_events")).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+
+    "q_pivot_wide" -> { (s, dir) =>
+      // PIVOT to wide form over a KNOWN dimension: order counts per
+      // status x priority bucket. Values are enumerated explicitly so
+      // Spark skips the collect-distinct pre-query and plans one pass —
+      // the way a production pivot over a fixed dimension should be
+      // written; cells with no rows surface as 0, not null, to match
+      // the CASE-sum the oracle (and any SQL engine) would emit.
+      t(s, dir, "orders")
+        .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+        .groupBy(col("o_orderstatus"))
+        .pivot("prio", Seq("1", "2", "3", "4", "5"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1"), lit(0L)).as("p1"), coalesce(col("2"), lit(0L)).as("p2"),
+          coalesce(col("3"), lit(0L)).as("p3"), coalesce(col("4"), lit(0L)).as("p4"),
+          coalesce(col("5"), lit(0L)).as("p5"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     "q_median_order_value" -> { (s, dir) =>
       // exact per-group LOWER median by rank selection: the median is an
       // actual data row's value (no interpolation arithmetic), so it is
@@ -401,6 +443,20 @@ object Relational {
         |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_skew_distinct" ->
+      // the NAIVE form on purpose: the salted plan must be value-identical
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS distinct_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_pivot_wide" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '2' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '3' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '4' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '5' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_median_order_value" ->
       """WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1),
         |r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
