@@ -253,6 +253,29 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    "q_unpivot" -> { (s, dir) =>
+      // UNPIVOT (melt) back to long form: the wide status x priority
+      // grid from q_pivot_wide's shape, melted to (status, prio, n).
+      // Round-tripping through wide form keeps the zero cells the
+      // CASE-sum fabricated — the oracle rebuilds them with a
+      // dimension cross join. unpivot is a zero-shuffle projection
+      // (each wide row explodes locally), so the melt adds no exchange
+      // to the plan.
+      t(s, dir, "orders")
+        .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+        .groupBy(col("o_orderstatus"))
+        .pivot("prio", Seq("1", "2", "3", "4", "5"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1"), lit(0L)).as("p1"), coalesce(col("2"), lit(0L)).as("p2"),
+          coalesce(col("3"), lit(0L)).as("p3"), coalesce(col("4"), lit(0L)).as("p4"),
+          coalesce(col("5"), lit(0L)).as("p5"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("p1"), col("p2"), col("p3"), col("p4"), col("p5")),
+          "prio", "n_orders")
+        .orderBy(col("o_orderstatus"), col("prio"))
+    },
+
     "q_median_order_value" -> { (s, dir) =>
       // exact per-group LOWER median by rank selection: the median is an
       // actual data row's value (no interpolation arithmetic), so it is
@@ -457,6 +480,16 @@ object Relational {
         |  CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '4' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
         |  CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '5' THEN 1 ELSE 0 END) AS BIGINT) AS p5
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_unpivot" ->
+      """WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |p AS (SELECT unnest(['1','2','3','4','5']) AS d),
+        |c AS (SELECT o_orderstatus, substr(o_orderpriority, 1, 1) AS d, count(*) AS n
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT s.o_orderstatus, 'p' || p.d AS prio,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+        |FROM s CROSS JOIN p
+        |LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus AND c.d = p.d
+        |ORDER BY s.o_orderstatus, prio""".stripMargin,
     "q_median_order_value" ->
       """WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1),
         |r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,

@@ -762,6 +762,33 @@ object TrainingData {
         .orderBy(col("source"))
     },
 
+    "t_clean_text" -> { (s, dir) =>
+      // Markup-strip + whitespace normalization — the cleaning pass that
+      // runs before any tokenization on web-crawled corpora. Pure map,
+      // no shuffle (the 100 TB shape: embarrassingly parallel, runs at
+      // scan speed). The synthetic corpus is markup-free, so
+      // deterministic HTML-ish wrappers and doubled whitespace are
+      // injected into doc_id slices first (the t_pii_scan fixture
+      // pattern) — the stripper is exercised on real hits. The cleaned
+      // text is pinned by md5, so the gate proves byte-identical
+      // normalization, not just matching lengths.
+      docs(s, dir)
+        .withColumn("body", expr(
+          """CASE WHEN doc_id % 5 = 0
+               THEN concat('<p class="x">', text, '</p>  <br/>')
+             WHEN doc_id % 5 = 2
+               THEN concat(' <b>', replace(text, ' ', '  '), '</b> ')
+             ELSE text END"""))
+        .withColumn("tags_removed",
+          expr("size(regexp_extract_all(body, '<[^>]*>', 0))").cast("long"))
+        .withColumn("cleaned", trim(regexp_replace(
+          regexp_replace(col("body"), "<[^>]*>", " "), " {2,}", " ")))
+        .select(col("doc_id"), col("tags_removed"),
+          length(col("cleaned")).cast("long").as("clean_len"),
+          md5(col("cleaned")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     "t_freq_sketch" -> { (s, dir) =>
       // Count-min sketch heavy hitters: d=3 hash rows x w=512 buckets of
       // token-count sums, probed for the top-10 exact tokens, reported
@@ -2172,6 +2199,20 @@ object TrainingData {
         |  CAST(sum(q) AS BIGINT) AS surprise_micro,
         |  CAST(-sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS xent_nats
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_clean_text" ->
+      """WITH noised AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN '<p class="x">' || text || '</p>  <br/>'
+        |       WHEN doc_id % 5 = 2 THEN ' <b>' || replace(text, ' ', '  ') || '</b> '
+        |       ELSE text END AS body
+        |  FROM documents),
+        |cl AS (SELECT doc_id, body,
+        |  trim(regexp_replace(regexp_replace(body, '<[^>]*>', ' ', 'g'), ' {2,}', ' ', 'g')) AS cleaned
+        |  FROM noised)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(body, '<[^>]*>')) AS BIGINT) AS tags_removed,
+        |  CAST(length(cleaned) AS BIGINT) AS clean_len,
+        |  md5(cleaned) AS clean_md5
+        |FROM cl ORDER BY doc_id""".stripMargin,
     "t_freq_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
