@@ -63,13 +63,15 @@ object Bench {
     "q_asof_purchase_view", "q_topk_orders", "q_sorted_scan", "q_map_pruning",
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_segments",
     "d_decontamination", "d_ngram_jaccard", "d_dedup_semantic",
-    "s_ann_lsh", "s_ann_ivf", "t_token_stats", "t_fingerprint", "t_lm_score",
-    "t_quality_score", "t_language_id", "m_multimodal_meta", "m_multimodal_decode",
+    "s_ann_lsh", "s_ann_ivf", "s_embedding_pq",
+    "t_token_stats", "t_fingerprint", "t_lm_score",
+    "t_quality_score", "t_language_id", "t_freq_sketch", "t_clean_text",
+    "q_skew_distinct", "m_multimodal_meta", "m_multimodal_decode",
     "m_multimodal_resize", "m_multimodal_framesample",
     // timed maintenance + snapshot operations (custom timers, not
     // SparkEntry queries — the op itself is the timed region)
     "x_delete_where", "x_zorder_relayout", "x_asof_snapshot",
-    "x_incremental_scan", "x_spj_join")
+    "x_incremental_scan", "x_spj_join", "x_vacuum")
   // x_cdc_apply (BenchMaintenance.cdcApplyOp, driven via examples/MaintAB)
   // is deliberately NOT in the headline: at the provided data scales the
   // feed's O(changed-data) advantage cannot surface — documents tops out

@@ -43,8 +43,71 @@ object BenchMaintenance {
       case "x_incremental_scan" => incrementalOp(spark, format, dir)
       case "x_spj_join" => spjJoinOp(spark, format, dir)
       case "x_cdc_apply" => cdcApplyOp(spark, format, dir)
+      case "x_vacuum" => vacuumOp(spark, format, dir)
       case other => sys.error(s"unknown maintenance bench op: $other")
     }
+
+  /** Orphan GC. graft: GraftMaintenance.vacuum over planted crashed-job
+    * junk (aged staging tmps + a deleteWhere scratch tree). parquet: the
+    * sweep a parquet shop scripts for the same hygiene — walk the table
+    * tree, delete stale `_temporary` leftovers and dot-tmps behind the
+    * same age cutoff. Both sides plant an identical 160-file junk load
+    * before the timed region; the timed region is the GC pass plus a
+    * scan-agg proving the table still reads. Cost is metadata-ops bound
+    * (list + delete), which is exactly what the op costs on a real
+    * object store — growing with junk count, not table bytes.
+    */
+  private def vacuumOp(spark: SparkSession, format: String, dir: String): Double = {
+    import org.apache.hadoop.fs.Path
+    val src = Tables.parquet(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val stage = s"/tmp/graft_bench_maint/vac_${format}_${key(dir)}"
+    rm(stage)
+    val root = new Path(stage)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def plant(p: Path): Unit = {
+      val out = fs.create(p, true); out.write(7); out.close()
+      fs.setTimes(p, 1000L, 1000L)
+    }
+    def agg(df: DataFrame): Unit =
+      df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .write.mode("overwrite").format("noop").save()
+    if (format == "graft") {
+      src.write.format("graft").mode("overwrite").save(stage)
+      (0 until 150).foreach(i => plant(new Path(root, f".crash$i%03d.graft.a$i.tmp")))
+      (0 until 10).foreach(i => plant(new Path(root, f"_graft_tmp_delete/t$i/part.graft")))
+      val t0 = System.nanoTime()
+      val st = graft.spark.GraftMaintenance.vacuum(spark, stage,
+        olderThanMs = System.currentTimeMillis() - 60000)
+      require(st.stagingTmps + st.scratchFiles == 160,
+        s"x_vacuum: expected 160 junk files collected, got $st")
+      agg(spark.read.format("graft").load(stage))
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      src.write.mode("overwrite").parquet(stage)
+      (0 until 150).foreach(i => plant(new Path(root, f".crash$i%03d.parquet.tmp")))
+      (0 until 10).foreach(i =>
+        plant(new Path(root, f"_temporary/0/task$i%03d/part-$i%03d.parquet")))
+      val cutoff = System.currentTimeMillis() - 60000
+      val t0 = System.nanoTime()
+      var swept = 0
+      def walk(d: Path, inTmp: Boolean): Unit = fs.listStatus(d).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isDirectory) { if (inTmp || n == "_temporary") walk(f.getPath, true) }
+        else if ((inTmp || (n.startsWith(".") && n.endsWith(".tmp"))) &&
+          f.getModificationTime < cutoff) { fs.delete(f.getPath, false); swept += 1 }
+      }
+      walk(root, inTmp = false)
+      val tdir = new Path(root, "_temporary")
+      if (fs.exists(tdir) &&
+        !fs.listStatus(tdir).exists(_.isFile)) fs.delete(tdir, true)
+      require(swept == 160, s"x_vacuum parquet sweep: expected 160, swept $swept")
+      agg(spark.read.parquet(stage))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
 
   /** Derived-table sync. graft: the CDC path — read the change window off
     * manifest history (+ takedown feed) and apply it to the derived table

@@ -369,6 +369,22 @@ object Functions {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    "q_grouping_sets" -> { (s, dir) =>
+      // ARBITRARY grouping sets (not the cube/rollup specials): exactly
+      // three aggregation grains in one pass — (status, priority),
+      // (status), and grand total — the report shape where cube would
+      // fabricate the unwanted (priority)-only grain. SQL surface: the
+      // DataFrame API has no grouping-sets verb, so this IS the
+      // spark.sql path over the registered graft table.
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
     "q_ntile_quartiles" -> { (s, dir) =>
       // Exact global ntile WITHOUT the single-task global window: rows are
       // range-bucketed by a deterministic function of the sort key (bounds
@@ -692,6 +708,12 @@ object Functions {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_ntile_quartiles" ->
       """SELECT quartile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
