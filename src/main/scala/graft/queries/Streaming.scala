@@ -65,6 +65,50 @@ object Streaming {
         .orderBy(col("lang"))
     },
 
+    "s_stream_freq" -> { (s, dir) =>
+      // streaming count-min sketch: the frequency-sketch CELLS as the
+      // stream's aggregation state. The state story is the point — a
+      // naive streaming token counter keeps O(vocab) state that grows
+      // with the corpus; the CMS keeps exactly d*w = 1536 cells no
+      // matter what flows through, and because cells are plain sums the
+      // drained complete-mode output equals the batch sketch
+      // bit-for-bit. The probe side (top-10 exact tokens) runs as a
+      // batch query over the same table, so the final frame matches
+      // t_freq_sketch's oracle exactly: same sketch, fed incrementally.
+      val name = "graft_stream_freq"
+      s.streams.active.filter(q => q.name == name).foreach(_.stop())
+      val gdir = graft.Tables.graftDir(s, dir, "documents")
+      val staticSchema = s.read.format("graft").load(gdir).schema
+      def cmsBucket(jCol: String, wCol: String): String =
+        s"""pmod(aggregate(transform(sequence(1, 15),
+              i -> cast(instr('0123456789abcdef',
+                     substr(md5(concat('cms', cast($jCol as string), ':', $wCol)), i, 1)) - 1 as bigint)),
+            cast(0 as bigint), (a, x) -> a * 16 + x), 512)"""
+      val stream = s.readStream.format("graft").schema(staticSchema)
+        .option("maxfilespertrigger", "2").load(gdir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .withColumn("j", explode(expr("sequence(0, 2)")))
+        .withColumn("b", expr(cmsBucket("j", "w")))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("bc"))
+      val q = stream.writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val cells = s.table(name)
+      val counts = s.read.format("graft").load(gdir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      counts.orderBy(col("c").desc, col("w")).limit(10)
+        .withColumn("j", explode(expr("sequence(0, 2)")))
+        .withColumn("b", expr(cmsBucket("j", "w")))
+        .join(cells, Seq("j", "b"))
+        .groupBy(col("w"), col("c"))
+        .agg(min(col("bc")).as("estimate"))
+        .select(col("w"), col("c").as("exact_count"), col("estimate"),
+          (col("estimate") - col("c")).as("overestimate"))
+        .orderBy(col("w"))
+    },
+
     "s_stream_dedup" -> { (s, dir) =>
       // streaming exactly-once dedup state: the source is deliberately
       // polluted by unioning the event stream with a second stream
@@ -194,6 +238,26 @@ object Streaming {
         | AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts <= p.ts
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_stream_freq" ->
+      // identical to t_freq_sketch's oracle: the streamed cells are sums,
+      // so incremental fill changes nothing
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |js AS (SELECT unnest(generate_series(0, 2)) AS j),
+        |hashed AS (SELECT w, c, j,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |           substr(md5('cms' || CAST(j AS VARCHAR) || ':' || w), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, x) -> a * 16 + x) % 512 AS b
+        |  FROM counts, js),
+        |cells AS (SELECT j, b, CAST(sum(c) AS BIGINT) AS bc FROM hashed GROUP BY j, b),
+        |probes AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 10),
+        |pr AS (SELECT h.w, h.c, h.j, h.b FROM hashed h JOIN probes p ON h.w = p.w),
+        |est AS (SELECT pr.w, pr.c, min(cells.bc) AS estimate
+        |        FROM pr JOIN cells ON pr.j = cells.j AND pr.b = cells.b
+        |        GROUP BY pr.w, pr.c)
+        |SELECT w, c AS exact_count, estimate, estimate - c AS overestimate
+        |FROM est ORDER BY w""".stripMargin,
     "s_stream_quality" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
