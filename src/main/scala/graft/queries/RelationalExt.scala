@@ -200,6 +200,60 @@ object RelationalExt {
     // TPC-H Q22: customers above the positive-balance average with no
     // orders, per nation. Scalar average via broadcast cross join; "no
     // orders" via anti-join.
+    "q20_excess_suppliers" -> { (s, dir) =>
+      // TPC-H Q20 re-expressed for the reduced schema (no partsupp
+      // table): the "supplier holding excess stock" predicate becomes
+      // "DOMINANT supplier of a part" — shipped more than half of a
+      // STANDARD part's total 1996 volume. Keeps Q20's correlated-
+      // aggregate IN-subquery shape: per-(supplier, part) sums compared
+      // against per-part totals (one reaggregation of the partials, not
+      // a second scan), then a semi-join back to the supplier dim.
+      val selected = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, dir, "part").filter(col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+      val perSupp = selected.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec("l_quantity")).as("sq"))
+      val perPart = perSupp.groupBy(col("l_partkey"))
+        .agg(sum(col("sq")).as("tq"))
+      val dominant = perSupp.join(perPart, Seq("l_partkey"))
+        .filter(col("sq") * 2 > col("tq"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    },
+
+    "q21_waiting_supplier" -> { (s, dir) =>
+      // TPC-H Q21 re-expressed for the reduced schema (no receipt/commit
+      // dates in the synthetic lineitem): a supplier "kept the order
+      // waiting" if, on a FINISHED multi-supplier order, it was the SOLE
+      // latest shipper — EXISTS another supplier on the order, NOT
+      // EXISTS another supplier shipping at-or-after it. Same 4-relation
+      // shape as the original (fact self-semi + self-anti + dim joins);
+      // both self-joins stay equi-keyed on l_orderkey, so the plan is
+      // three shuffles on the fact key — no cross product anywhere.
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val l1 = l.join(fOrders, col("l_orderkey") === col("o_orderkey")).drop("o_orderkey")
+      val l2 = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = l.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3") &&
+          col("d3") >= col("l_shipdate"), "left_anti")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
     "q22_missed_customers" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val avgBal = c.filter(col("c_acctbal") > 0.0)
@@ -351,6 +405,34 @@ object RelationalExt {
          |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
          |  OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
          |  OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH perSupp AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(20,4))) AS sq
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'STANDARD'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |perPart AS (SELECT l_partkey, sum(sq) AS tq FROM perSupp GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey
+        |        FROM perSupp JOIN perPart USING (l_partkey)
+        |        WHERE sq * 2 > tq)
+        |SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >= l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q22_missed_customers" ->
       """SELECT c_nationkey, count(*) AS numcust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
