@@ -332,7 +332,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val startLatest: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** Copy of this scan with element-leaf page predicates grafted on (the
     * GraftElementPushdown rule — DSv2 cannot deliver these through
@@ -514,6 +515,41 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       .map { case (vals, members) => (vals, members.map(_._1)) }
       .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     Some((cols, grouped))
+  }
+
+  /** Per-split ordering off the `_graft_sort` table marker: every split is
+    * a page range of ONE internally-sorted file, so the marker's column
+    * order holds within each InputPartition and Spark plans away the local
+    * sorts downstream operators would otherwise insert (sort-merge join
+    * sides, sort-based aggregation) — a re-sort of an already-sorted 100 TB
+    * fact table is the shuffle-adjacent CPU this deletes. Declined when
+    * storage-partitioned (keyed) planning is active (those partitions
+    * concatenate multiple files — no cross-file order) and truncated to the
+    * projected-prefix of the marker (ordering on a pruned column cannot be
+    * referenced). Ascending nulls-first, matching the write path's
+    * enforced requiredOrdering.
+    */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+    // keyed (storage-partitioned) splits concatenate a partition value's
+    // files — no cross-file order — UNLESS each group is a single file,
+    // the bucketed-sorted-table layout where SPJ + marker give a join
+    // with neither shuffle NOR sort
+    spjGroups match {
+      case Some((_, groups)) if !groups.forall(_._2.size <= 1) =>
+        return Array.empty[SortOrder]
+      case _ => ()
+    }
+    val fs = new Path(path).getFileSystem(conf)
+    GraftSortMarker.read(fs, new Path(path)) match {
+      case Some(cols) =>
+        val avail = projected.fieldNames.toSet
+        cols.takeWhile(avail.contains)
+          .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+          .toArray
+      case None => Array.empty[SortOrder]
+    }
   }
 
   override def outputPartitioning():

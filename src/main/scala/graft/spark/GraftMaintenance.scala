@@ -70,6 +70,10 @@ object GraftMaintenance {
     val writer = arrange(df, targetFiles).write.format("graft").mode("append")
     opts.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
       .save(dir)
+    // the rewrite's own output, captured before the concurrency window
+    val preSet = before.map(f => fs.makeQualified(f.getPath).toString).toSet
+    val rewriteSet = GraftUtil.listDataFiles(dir, conf)
+      .map(f => fs.makeQualified(f.getPath).toString).toSet -- preSet
     afterRewrite()
     // retire ONLY the pre-rewrite snapshot (manifests first, so a crash
     // window never leaves a manifest referencing a deleted file): files
@@ -78,6 +82,18 @@ object GraftMaintenance {
       fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false))
     before.foreach(f => fs.delete(f.getPath, false))
     val after = GraftUtil.listDataFiles(dir, conf)
+    // a compaction that imposed a sorted layout leaves the table
+    // whole-file sorted — republish the sort marker (the rewrite's own
+    // append commit conservatively cleared it, since the old files were
+    // still visible then). Only when the surviving file set is exactly
+    // the rewrite's output: a concurrent unsorted append in the commit
+    // window must win (the same caveat as compact's concurrency model).
+    val rewriteOnly = after.nonEmpty && after.forall(f =>
+      rewriteSet.contains(fs.makeQualified(f.getPath).toString)) &&
+      after.size == rewriteSet.size
+    opts.get("sortby").map(_.split(",").map(_.trim).toSeq).foreach { cols =>
+      if (rewriteOnly) GraftSortMarker.publish(fs, tableDir, cols)
+    }
     CompactStats(before.size, before.map(_.getLen).sum,
       after.size, after.map(_.getLen).sum, rows)
   }

@@ -71,3 +71,46 @@ object GraftManifest {
     } finally in.close()
   }
 }
+
+/** Table-level sort marker (`_graft_sort`): present iff EVERY data file in
+  * the table is internally sorted on the listed columns (ascending, nulls
+  * first — the ordering the write path enforces via requiredOrdering).
+  * Published by a batch commit whose effective sort covers a fresh table or
+  * extends an identically-marked one; CLEARED by any commit that cannot
+  * guarantee it (unsorted append, streaming epochs, z-order's z-value
+  * layout). The scan reports it through `SupportsReportOrdering`, so
+  * downstream sorts on a sorted prefix (sort-merge joins, sort-based aggs,
+  * windows) are planned away — at 100 TB a re-sort of an already-sorted
+  * fact table is pure wasted shuffle-adjacent CPU, and this is the
+  * mechanism that deletes it.
+  */
+object GraftSortMarker {
+  val Name = "_graft_sort"
+
+  def read(fs: FileSystem, tableDir: Path): Option[Seq[String]] = {
+    val p = new Path(tableDir, Name)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val cols = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      if (cols.isEmpty) None else Some(cols.split(",").map(_.trim).toSeq)
+    } finally in.close()
+  }
+
+  def publish(fs: FileSystem, tableDir: Path, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "graft: empty sort marker")
+    val tmp = new Path(tableDir, s".$Name.${java.util.UUID.randomUUID().toString.take(8)}.mk.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(cols.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(tableDir, Name)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"graft: failed to publish sort marker at $dst")
+  }
+
+  def clear(fs: FileSystem, tableDir: Path): Unit = {
+    val p = new Path(tableDir, Name)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+}

@@ -203,6 +203,9 @@ final class GraftStreamingWrite(schema: StructType, path: String, opts: GraftWri
       (rel, len)
     }
     GraftManifest.publish(fs, tableDir, added, tag = Some(tag))
+    // streaming epochs append unsorted files: any whole-table sort
+    // guarantee is gone the moment the first epoch lands
+    GraftSortMarker.clear(fs, tableDir)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -278,6 +281,21 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     GraftManifest.publish(fs, tableDir, added)
     oldManifests.foreach(n => fs.delete(new Path(GraftManifest.dir(tableDir), n), false))
     oldFiles.foreach(fs.delete(_, false))
+    // sort marker: this commit's files are task-sorted on the effective
+    // sort (requiredOrdering is ENFORCED by Spark for v2 writes — sortby,
+    // else the cluster keys). The whole-table guarantee holds when the
+    // table is exactly this commit (truncate, or nothing else listed) or
+    // every pre-existing file carried the identical marker; anything else
+    // clears it — an unsorted append silently invalidating downstream
+    // sort elimination would be a correctness bug, so the marker is
+    // conservative by construction.
+    val effectiveSort = if (opts.sortBy.nonEmpty) opts.sortBy else opts.clusterBy
+    val prior = GraftSortMarker.read(fs, tableDir)
+    val wholeTable = doTruncate ||
+      GraftUtil.listDataFiles(path, conf.value).size == added.size
+    if (effectiveSort.nonEmpty && (wholeTable || prior.contains(effectiveSort)))
+      GraftSortMarker.publish(fs, tableDir, effectiveSort)
+    else GraftSortMarker.clear(fs, tableDir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

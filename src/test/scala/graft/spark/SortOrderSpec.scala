@@ -1,0 +1,110 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `_graft_sort` marker + SupportsReportOrdering: a table whose every file
+  * is internally sorted reports that ordering per split, and Spark plans
+  * away the local sorts downstream operators would re-impose. The marker
+  * must be conservative: any commit that cannot guarantee whole-table
+  * order clears it.
+  */
+class SortOrderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rm(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+
+  private def sortNodes(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.size
+
+  test("sortby write publishes the marker; local sort on the key is planned away") {
+    val dir = "/tmp/graft-test/sort-order"
+    rm(dir)
+    spark.range(50000).selectExpr("cast(hash(id) as bigint) AS noise", "id AS k", "id*3 AS v")
+      .orderBy("noise").drop("noise").repartition(4)
+      .write.format("graft").option("sortby", "k").mode("overwrite").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(GraftSortMarker.read(fs, new org.apache.hadoop.fs.Path(dir))
+      .contains(Seq("k")), "sortby overwrite must publish the sort marker")
+
+    val sorted = spark.read.format("graft").load(dir).sortWithinPartitions("k")
+    assert(sortNodes(sorted) == 0,
+      s"local sort on the marker column should be eliminated:\n${sorted.queryExecution.explainString(FormattedMode)}")
+    // the data really is sorted per partition (the claim must be true, not
+    // just believed): count out-of-order adjacent pairs inside each split
+    val violations = spark.read.format("graft").load(dir).select("k")
+      .mapPartitions { it =>
+        var prev = Long.MinValue; var bad = 0L
+        it.foreach { r => val k = r.getLong(0); if (k < prev) bad += 1; prev = k }
+        Iterator.single(bad)
+      }(org.apache.spark.sql.Encoders.scalaLong).collect().sum
+    assert(violations == 0L, s"$violations out-of-order rows in 'sorted' splits")
+  }
+
+  test("unsorted append clears the marker; sorts come back") {
+    val dir = "/tmp/graft-test/sort-order-append"
+    rm(dir)
+    spark.range(10000).selectExpr("id AS k", "id*3 AS v").repartition(2)
+      .write.format("graft").option("sortby", "k").mode("overwrite").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    assert(GraftSortMarker.read(fs, root).contains(Seq("k")))
+    // identically-sorted append EXTENDS the guarantee
+    spark.range(10000, 12000).selectExpr("id AS k", "id*3 AS v").coalesce(1)
+      .write.format("graft").option("sortby", "k").mode("append").save(dir)
+    assert(GraftSortMarker.read(fs, root).contains(Seq("k")),
+      "matching sorted append must keep the marker")
+    // unsorted append KILLS it
+    spark.range(12000, 12500).selectExpr("id AS k", "id*3 AS v").coalesce(1)
+      .write.format("graft").mode("append").save(dir)
+    assert(GraftSortMarker.read(fs, root).isEmpty,
+      "unsorted append must clear the marker")
+    val sorted = spark.read.format("graft").load(dir).sortWithinPartitions("k")
+    assert(sortNodes(sorted) == 1, "with the marker gone the local sort must stay")
+  }
+
+  test("ordering is a projected prefix: pruning the lead column drops the claim") {
+    val dir = "/tmp/graft-test/sort-order-prefix"
+    rm(dir)
+    spark.range(10000).selectExpr("id AS k", "id % 7 AS v").repartition(2)
+      .write.format("graft").option("sortby", "k,v").mode("overwrite").save(dir)
+    // (k, v) marker, k projected away -> no ordering claim on v alone
+    val vOnly = spark.read.format("graft").load(dir).select("v").sortWithinPartitions("v")
+    assert(sortNodes(vOnly) == 1,
+      "v is not sorted without k — ordering must not be claimed past a pruned lead column")
+    // prefix (k) alone still holds under pruning of v
+    val kOnly = spark.read.format("graft").load(dir).select("k").sortWithinPartitions("k")
+    assert(sortNodes(kOnly) == 0)
+  }
+
+  test("compaction with sortby republishes the marker over the rewrite") {
+    val dir = "/tmp/graft-test/sort-order-compact"
+    rm(dir)
+    spark.range(20000).selectExpr("cast(hash(id) as bigint) AS noise", "id AS k")
+      .orderBy("noise").drop("noise").repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    assert(GraftSortMarker.read(fs, root).isEmpty)
+    GraftMaintenance.compact(spark, dir, targetFiles = 2,
+      extraWriteOptions = Map("sortby" -> "k"))
+    assert(GraftSortMarker.read(fs, root).contains(Seq("k")),
+      "sorted compaction must leave the whole-table sort marker")
+    val sorted = spark.read.format("graft").load(dir).sortWithinPartitions("k")
+    assert(sortNodes(sorted) == 0)
+  }
+}
