@@ -116,6 +116,44 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(dataFiltered.collect().map(_.getLong(1)).sum == 200L * (160L / 8))
   }
 
+  test("bucketed-sorted layout: SPJ join with neither shuffle NOR sort") {
+    // single file per partition value + sortby marker = the
+    // bucketed-sorted-table layout: KeyGroupedPartitioning removes the
+    // exchanges, SupportsReportOrdering removes the SMJ's local sorts —
+    // at 100 TB this join touches the wire exactly zero times and never
+    // re-sorts what storage already sorted
+    val sa = "/tmp/graft-test/spj-sorted-a"
+    val sb = "/tmp/graft-test/spj-sorted-b"
+    rm(sa); rm(sb)
+    spark.range(0, 400)
+      .select((col("id") % 8).cast("int").as("k"), col("id").as("va"))
+      .repartition(col("k"))
+      .write.format("graft")
+      .option("partitionby", "k").option("sortby", "k")
+      .mode("overwrite").save(sa)
+    spark.range(0, 160)
+      .select((col("id") % 8).cast("int").as("k"), (col("id") * 10).as("vb"))
+      .repartition(col("k"))
+      .write.format("graft")
+      .option("partitionby", "k").option("sortby", "k")
+      .mode("overwrite").save(sb)
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(sa, sb).foreach { d =>
+      val byDir = GraftUtil.listDataFiles(d, conf)
+        .groupBy(_.getPath.getParent.toString)
+      assert(byDir.values.forall(_.size == 1),
+        s"staging must produce one file per partition dir: $byDir")
+    }
+    val a = spark.read.format("graft").load(sa)
+    val b = spark.read.format("graft").load(sb)
+    val joined = a.join(b, "k")
+    val plan = joined.queryExecution.executedPlan
+    assert(shuffles(joined) == 0, s"expected shuffle-free plan:\n$plan")
+    val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }.size
+    assert(sorts == 0, s"expected sort-free SMJ over the sorted marker:\n$plan")
+    assert(joined.count() == 400L / 8 * (160L / 8) * 8)
+  }
+
   test("unpartitioned tables keep ordinary page-range planning") {
     val dir = "/tmp/graft-test/spj-flat"
     rm(dir)
