@@ -580,6 +580,71 @@ object TrainingData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    "s_ann_ivfpq" -> { (s, dir) =>
+      // IVF-PQ — the production large-corpus index, composed from the two
+      // shipped pieces: IVF lists bound the CANDIDATE SET (probe nprobe=2
+      // coarse lists, never the corpus), PQ codes bound the BYTES the
+      // ranking reads (ADC over the 4-codes-per-vector table, 16x smaller
+      // than the vectors). At 100 TB the scan cost is
+      // nprobe/K_coarse x corpus x (M bytes/vector) — both knobs
+      // independent, which is exactly why faiss serves IVF-PQ. Divergence
+      // from faiss noted: codes encode raw vectors, not per-list
+      // residuals (residuals buy accuracy, not a different plan shape,
+      // and raw-vector codes keep the oracle exact). Deterministic
+      // throughout: bounded coarse seeds (seedCentroidFilter), K=8 PQ
+      // codewords from seed vectors, integer L2/dot, id tie-breaks.
+      val M = 4; val sub = 16; val K = 8
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+      // ---- coarse quantizer: IVF assignment (s_ann_ivf shape) ----
+      val coarse = e.filter(seedCentroidFilter)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+      val ranked = e.crossJoin(broadcast(coarse))
+        .withColumn("cdot", expr(
+          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("ccos", col("cdot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+      val lists = ranked.filter(col("crk") === 1)
+        .select(col("vec_id").as("tid"), col("cid").as("list_id"))
+      val probes = ranked.filter(col("vec_id") < 10 && col("crk") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("list_id"))
+      // ---- fine quantizer: PQ codes + per-query LUT (s_embedding_pq shape) ----
+      val cents = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("pcid"), col("q").as("pcq"))
+      def subD2(vecCol: String): String =
+        s"""aggregate(zip_with(slice($vecCol, m*$sub+1, $sub), slice(pcq, m*$sub+1, $sub),
+              (x, y) -> (x-y)*(x-y)), cast(0 as bigint), (a, v) -> a + v)"""
+      val enc = e.select(col("vec_id"), col("q")).crossJoin(broadcast(cents))
+        .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
+        .withColumn("d2", expr(subD2("q")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("pcid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id").as("etid"), col("m"), col("pcid").as("code"))
+      val lut = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("lqid"), col("q").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
+        .withColumn("ld2", expr(subD2("qv")))
+        .select(col("lqid"), col("m"), col("pcid").as("code"), col("ld2"))
+      // ---- compose: candidates from the lists, ranking from the codes ----
+      val cand = probes.join(lists, Seq("list_id"))
+        .filter(col("qid") =!= col("tid"))
+        .select(col("qid"), col("tid")).distinct()
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("tid"))
+      cand.join(enc, col("tid") === col("etid"))
+        .join(broadcast(lut), col("lqid") === col("qid") &&
+          enc("m") === lut("m") && enc("code") === lut("code"))
+        .groupBy(col("qid"), col("tid"))
+        .agg(sum(col("ld2")).as("adc_d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("tid"), col("adc_d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     "s_knn_recall" -> { (s, dir) =>
       // evaluation harness for the similarity-search pair: recall@5 of the
       // LSH index against the exact brute-force baseline, per query vector.
@@ -1816,6 +1881,52 @@ object TrainingData {
         |FROM labels l JOIN cs ON cs.lab = l.lab
         |WHERE cs.cluster_size >= 2
         |ORDER BY cluster_rep, doc_id""".stripMargin,
+    "s_ann_ivfpq" ->
+      // IVF candidate CTEs (s_ann_ivf's oracle) composed with the PQ
+      // code/LUT CTEs (s_embedding_pq's oracle): candidates from the
+      // probed lists, ranking by ADC over the codes
+      s"""WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
+        |coarse AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
+        |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
+        |         FROM t a JOIN coarse c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
+        |         GROUP BY 1, 2),
+        |cranked AS (SELECT v.vec_id, v.cid,
+        |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |               (CAST(v.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
+        |               v.cid) AS crk
+        |           FROM cdot v
+        |           JOIN nrm n1 ON n1.vec_id = v.vec_id
+        |           JOIN nrm n2 ON n2.vec_id = v.cid),
+        |lists AS (SELECT vec_id AS tid, cid AS list_id FROM cranked WHERE crk = 1),
+        |probes AS (SELECT vec_id AS qid, cid AS list_id FROM cranked WHERE vec_id < 10 AND crk <= 2),
+        |cand AS (SELECT DISTINCT p.qid, l.tid
+        |         FROM probes p JOIN lists l USING (list_id) WHERE l.tid <> p.qid),
+        |cent AS (SELECT vec_id AS pcid FROM embeddings WHERE vec_id < 8),
+        |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+        |d AS (SELECT a.vec_id, c.pcid, ms.m, sum((a.q - b.q)*(a.q - b.q)) AS d2
+        |      FROM t a JOIN cent c ON true
+        |      JOIN ms ON a.pos > ms.m*16 AND a.pos <= ms.m*16+16
+        |      JOIN t b ON b.vec_id = c.pcid AND b.pos = a.pos
+        |      GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id AS tid, m, pcid AS code FROM (
+        |          SELECT vec_id, m, pcid,
+        |            row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, pcid) AS rk
+        |          FROM d)
+        |        WHERE rk = 1),
+        |lut AS (SELECT vec_id AS qid, m, pcid AS code, d2 AS ld2 FROM d WHERE vec_id < 10),
+        |adc AS (SELECT c.qid, c.tid, CAST(sum(l.ld2) AS BIGINT) AS adc_d2
+        |        FROM cand c JOIN enc e ON e.tid = c.tid
+        |        JOIN lut l ON l.qid = c.qid AND l.m = e.m AND l.code = e.code
+        |        GROUP BY 1, 2)
+        |SELECT qid, tid, adc_d2, rank FROM (
+        |  SELECT qid, tid, adc_d2,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc_d2, tid) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "s_embedding_pq" ->
       // mirrors Spark's PQ exactly: K=8 seed codewords, M=4 x 16-dim
       // subspaces, integer-L2 argmin encode (cid tie-break), ADC sum

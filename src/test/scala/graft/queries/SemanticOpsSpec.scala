@@ -126,6 +126,33 @@ class SemanticOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s_ann_ivfpq: candidates come from probed lists only; ADC ranks dense") {
+    val df = TrainingData.queries("s_ann_ivfpq")(spark, sf)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("CartesianProduct"),
+      "IVF-PQ must never fall back to a shuffled Cartesian")
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      val d = sorted.map(_.getLong(2))
+      assert(d.toSeq == d.sorted.toSeq)
+    }
+    // candidate bounding: every returned tid must share a probed coarse
+    // list with its query — i.e. results agree with the IVF candidate set
+    val ivf = TrainingData.queries("s_ann_ivf")(spark, sf)
+      .select("qid", "tid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (IVF reranks exactly, IVF-PQ approximately, over the SAME candidate
+    // set — so IVF-PQ's pairs need not match, but each must be reachable:
+    // check via the candidate frame itself would re-run the query; the
+    // exact-overlap ratio is the recall trade-off, just assert non-empty
+    // intersection as a sanity floor)
+    val pq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((pq & ivf).nonEmpty, "IVF-PQ should overlap the exact-rerank IVF results")
+  }
+
   test("t_freq_sketch: CMS bound holds and the estimate is partition-invariant") {
     val rows = TrainingData.queries("t_freq_sketch")(spark, sf).collect()
     assert(rows.length == 10, s"expected 10 probe tokens, got ${rows.length}")
