@@ -211,6 +211,33 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    "q_gap_fill" -> { (s, dir) =>
+      // time-series GAP FILL: the dense hour x event_type grid left-joined
+      // against the actual hourly aggregate, reporting coverage (total
+      // slots, missing slots, event volume) per type — the step before
+      // any windowed model ingests a series, where silent gaps become
+      // incorrect zeros unless materialized. The spine is generated, not
+      // scanned (sequence() over the min/max bound row), so the grid
+      // costs O(hours x types) regardless of corpus size, and the join
+      // is grid-side-broadcastable at any scale.
+      val e = t(s, dir, "events")
+      val hourly = e
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = e.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      val grid = spine.crossJoin(e.select(col("event_type")).distinct())
+      grid.join(hourly, Seq("hour", "event_type"), "left")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("hours_total"),
+          sum(when(col("n").isNull, 1L).otherwise(0L)).as("hours_missing"),
+          sum(coalesce(col("n"), lit(0L))).as("events"))
+        .orderBy(col("event_type"))
+    },
+
     "q_skew_distinct" -> { (s, dir) =>
       // SKEW-SALTED exact distinct: distinct users per event_type. The
       // naive groupBy(event_type).agg(countDistinct(user_id)) shuffles
@@ -466,6 +493,20 @@ object Relational {
         |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT s.hour, t.event_type FROM spine s CROSS JOIN types t)
+        |SELECT g.event_type,
+        |  count(*) AS hours_total,
+        |  CAST(sum(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS hours_missing,
+        |  CAST(sum(coalesce(h.n, 0)) AS BIGINT) AS events
+        |FROM grid g LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type
+        |GROUP BY g.event_type ORDER BY g.event_type""".stripMargin,
     "q_skew_distinct" ->
       // the NAIVE form on purpose: the salted plan must be value-identical
       """SELECT event_type,
