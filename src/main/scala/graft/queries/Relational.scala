@@ -211,6 +211,33 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    "q_full_outer" -> { (s, dir) =>
+      // FULL OUTER reconciliation: per-customer 1996 activity vs 1997
+      // activity — retained / churned / new in one pass. Both inputs are
+      // year-filtered aggregates of the same fact table, so both
+      // exclusive sides are guaranteed non-empty (the join type is
+      // actually exercised, not vacuously inner). Shuffles on the join
+      // key once per side — the standard year-over-year cohort shape.
+      val o = t(s, dir, "orders")
+      def year(y: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"n$y"))
+      year(1996).withColumnRenamed("o_custkey", "k96")
+        .join(year(1997).withColumnRenamed("o_custkey", "k97"),
+          col("k96") === col("k97"), "full_outer")
+        .select(coalesce(col("k96"), col("k97")).as("custkey"),
+          coalesce(col("n1996"), lit(0L)).as("n96"),
+          coalesce(col("n1997"), lit(0L)).as("n97"))
+        .withColumn("status", when(col("n96") > 0 && col("n97") > 0, "retained")
+          .when(col("n96") > 0, "churned").otherwise("new"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("customers"),
+          sum(col("n96")).as("orders96"), sum(col("n97")).as("orders97"))
+        .orderBy(col("status"))
+    },
+
     "q_gap_fill" -> { (s, dir) =>
       // time-series GAP FILL: the dense hour x event_type grid left-joined
       // against the actual hourly aggregate, reporting coverage (total
@@ -493,6 +520,22 @@ object Relational {
         |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_full_outer" ->
+      """WITH y96 AS (SELECT o_custkey, count(*) AS n96 FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |y97 AS (SELECT o_custkey, count(*) AS n97 FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |j AS (SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+        |        coalesce(a.n96, 0) AS n96, coalesce(b.n97, 0) AS n97
+        |      FROM y96 a FULL OUTER JOIN y97 b ON a.o_custkey = b.o_custkey)
+        |SELECT CASE WHEN n96 > 0 AND n97 > 0 THEN 'retained'
+        |            WHEN n96 > 0 THEN 'churned' ELSE 'new' END AS status,
+        |  count(*) AS customers,
+        |  CAST(sum(n96) AS BIGINT) AS orders96,
+        |  CAST(sum(n97) AS BIGINT) AS orders97
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_gap_fill" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
