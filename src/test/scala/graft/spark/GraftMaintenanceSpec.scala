@@ -188,6 +188,32 @@ class GraftMaintenanceSpec extends AnyFunSuite {
       s"post-compaction sorted layout should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
   }
 
+  test("compact can EVOLVE the partition layout: flat table re-laid as hive dirs") {
+    val dir = "/tmp/graft-test/maintenance-relayout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // a table ingested flat, later discovered to be pruned on `lang`
+    spark.range(4000)
+      .selectExpr("id AS k", "concat('l', cast(id % 4 as string)) AS lang")
+      .repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    assert(GraftUtil.listDataFiles(dir, conf)
+      .forall(f => f.getPath.getParent.getName == "maintenance-relayout"))
+    val st = GraftMaintenance.compact(spark, dir, targetFiles = 4,
+      extraWriteOptions = Map("partitionby" -> "lang"))
+    assert(st.rows == 4000)
+    // layout evolved in place: every file now lives under lang=…/
+    val files = GraftUtil.listDataFiles(dir, conf)
+    assert(files.nonEmpty &&
+      files.forall(_.getPath.getParent.getName.startsWith("lang=")),
+      s"expected hive layout after relayout: ${files.map(_.getPath).take(3)}")
+    // and directory pruning now applies: an equality filter reads 1 of 4 dirs
+    val one = spark.read.format("graft").load(dir).filter(col("lang") === "l2")
+    assert(one.count() == 1000)
+    assert(one.select(sum(col("k"))).first().getLong(0) ==
+      (0L until 4000L).filter(_ % 4 == 2).sum)
+  }
+
   test("vacuum removes aged staging junk, never live data or young tmps") {
     import org.apache.hadoop.fs.Path
     val dir = "/tmp/graft-test/maintenance-vacuum"
