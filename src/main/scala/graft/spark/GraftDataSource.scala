@@ -196,7 +196,8 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var projected: StructType = tableSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -204,6 +205,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   private var hadFilters = false
   private var aggPlan: Option[(Seq[GraftAggPushdown.AggSpec], StructType)] = None
   private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[Int] = None
 
   /** Partial limit pushdown: the scan plans only enough leading page groups
     * to cover `limit` rows (footer row counts), so `table.limit(20)` on a
@@ -218,6 +220,42 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     if (limit >= 0) pushedLimit = Some(limit)
     pushedLimit.isDefined
   }
+
+  /** Partial TOP-N pushdown over the `_graft_sort` marker: when the query's
+    * ORDER BY is an ascending-nulls-first prefix of the marker columns,
+    * every file is internally sorted on them — so the GLOBAL top-n is
+    * contained in each file's first n rows (a row past position n in its
+    * own file already has n smaller rows ahead of it). The scan therefore
+    * plans only the leading page groups covering n rows PER FILE: `ORDER BY
+    * k LIMIT 10` on a 100 TB sorted directory reads ~one page per file
+    * instead of the corpus. Partial (isPartiallyPushed): Spark keeps its
+    * own TopN, so correctness never depends on the superset math above.
+    * Spark only offers TopN when no filters survived pushdown — and every
+    * filter we accept stays residual, so the planned pages can't lose rows
+    * to row-level filtering.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (limit < 0 || orders.isEmpty) return false
+    val p = new Path(path)
+    val marker = GraftSortMarker.read(p.getFileSystem(conf), p).getOrElse(return false)
+    val names = orders.toSeq.map { o =>
+      if (o.direction != SortDirection.ASCENDING ||
+        o.nullOrdering != NullOrdering.NULLS_FIRST) return false
+      o.expression match {
+        case n: org.apache.spark.sql.connector.expressions.NamedReference
+            if n.fieldNames.length == 1 => n.fieldNames.head
+        case _ => return false
+      }
+    }
+    if (names != marker.take(names.length)) return false
+    pushedTopN = Some(limit)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Column pruning (reference analogue: independent per-column byte
     * ranges, SURVEY.md §2.2). Struct sub-fields prune to their leaf ranges
@@ -313,7 +351,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     case None =>
       new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
         pushed, pushedLimit, maxFilesOpt = maxFilesOpt, asofOpt = asofOpt,
-        sinceOpt = sinceOpt, startLatest = startLatest)
+        sinceOpt = sinceOpt, startLatest = startLatest, topn = pushedTopN)
   }
 }
 
@@ -329,7 +367,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val maxFilesOpt: Option[Int] = None,
     private val asofOpt: Option[Long] = None,
     private val sinceOpt: Option[Long] = None,
-    private val startLatest: Boolean = false)
+    private val startLatest: Boolean = false,
+    private val topn: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -342,7 +381,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     */
   private[spark] def withElementPreds(ps: Array[ZoneMapFilter.PagePred]): GraftScan =
     new GraftScan(tableSchema, projected, path, conf, initialPagePreds, runtimeFilter,
-      manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt, sinceOpt, startLatest)
+      manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt, sinceOpt, startLatest, topn)
 
   private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
 
@@ -431,10 +470,10 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     * the IN-set envelope genuinely skips page IO (see ZoneMapSpec).
     */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // under a pushed limit, a runtime filter could prune pages BELOW the
-    // limit boundary and change which rows feed a parent join — keep the
-    // two features mutually exclusive
-    if (!runtimeFilter || limit.isDefined) Array.empty
+    // under a pushed limit (or top-n prefix plan), a runtime filter could
+    // prune pages BELOW the boundary and change which rows feed a parent
+    // join — keep the features mutually exclusive
+    if (!runtimeFilter || limit.isDefined || topn.isDefined) Array.empty
     else projected.fields // must be a subset of the scan output, not the full table
       .filter(f => ZoneMapFilter.prunable(f.dataType)) // only zone-map-bearing lanes can act on the IN-set
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
@@ -476,7 +515,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     s"graft scan of $path (${projected.fieldNames.mkString(",")})" +
       (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "") +
       (if (elementPreds.nonEmpty) s" element[${elementPreds.map(ZoneMapFilter.render).mkString(",")}]" else "") +
-      limit.map(l => s" limit=$l").getOrElse("")
+      limit.map(l => s" limit=$l").getOrElse("") +
+      topn.map(n => s" topn=$n").getOrElse("")
 
   /** Storage-partitioned-join layout: when every file lives under the SAME
     * hive partition column list (path-parseable types) and
@@ -497,7 +537,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   private def spjGroups: Option[(Seq[(String, org.apache.spark.sql.types.DataType)],
       Seq[(Seq[String], Seq[FileStatus])])] = {
     if (!org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) return None
-    if (runtimeFilter || limit.isDefined) return None
+    if (runtimeFilter || limit.isDefined || topn.isDefined) return None
     val fs = files
     if (fs.isEmpty) return None
     val tableDir = new Path(path)
@@ -574,6 +614,28 @@ final class GraftScan(private val tableSchema: StructType, private val projected
         GraftKeyedPartition(
           members.map(f => (f.getPath.toString, f.getLen)).toArray, key)
       }.toArray[InputPartition]
+    }
+    topn.foreach { n =>
+      // per-FILE leading page groups covering n rows: each file is
+      // internally sorted on the query's ORDER BY prefix (pushTopN checked
+      // the marker), so the global top-n is contained in every file's
+      // first n rows — the planned superset is ~one page per file, and
+      // Spark's retained TopN does the exact ranking
+      val parts = Array.newBuilder[InputPartition]
+      files.foreach { f =>
+        val pageRows = GraftScan.pageRowCounts(f, conf)
+        if (pageRows.isEmpty) parts += GraftInputPartition(f.getPath.toString, f.getLen)
+        else {
+          var remaining = math.max(n, 1).toLong
+          var hi = 0
+          while (hi < pageRows.length && remaining > 0) {
+            remaining -= pageRows(hi); hi += 1
+          }
+          parts += (if (hi >= pageRows.length) GraftInputPartition(f.getPath.toString, f.getLen)
+            else GraftInputPartition(f.getPath.toString, f.getLen, 0, hi))
+        }
+      }
+      return parts.result()
     }
     limit.foreach { lim =>
       // plan only the leading page groups whose footer row counts cover the
@@ -652,12 +714,12 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     case o: GraftScan =>
       path == o.path && tableSchema == o.tableSchema && projected == o.projected &&
         runtimeFilter == o.runtimeFilter && manifestOpt == o.manifestOpt &&
-        limit == o.limit && pushedKey == o.pushedKey &&
+        limit == o.limit && topn == o.topn && pushedKey == o.pushedKey &&
         elementKey == o.elementKey && asofOpt == o.asofOpt && sinceOpt == o.sinceOpt
     case _ => false
   }
   override def hashCode(): Int =
-    (path, projected, limit, runtimeFilter, pushedKey, elementKey, asofOpt,
+    (path, projected, limit, topn, runtimeFilter, pushedKey, elementKey, asofOpt,
       sinceOpt).hashCode()
 
   override def estimateStatistics(): Statistics = new Statistics {

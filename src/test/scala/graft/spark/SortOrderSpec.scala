@@ -90,6 +90,35 @@ class SortOrderSpec extends AnyFunSuite {
     assert(sortNodes(kOnly) == 0)
   }
 
+  test("top-n pushdown: ORDER BY+LIMIT on a sorted table plans leading pages per file") {
+    val dir = "/tmp/graft-test/sort-order-topn"
+    rm(dir)
+    spark.range(100000).selectExpr("id AS k", "id * 3 AS v").repartition(8)
+      .write.format("graft").option("sortby", "k").mode("overwrite").save(dir)
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.mkString("\n")
+    val q = spark.read.format("graft").load(dir).orderBy("k").limit(7)
+    assert(scanDesc(q).contains("topn=7"),
+      s"expected the top-n prefix plan in the scan:\n${scanDesc(q)}")
+    assert(q.collect().map(_.getLong(0)).toSeq == (0L until 7L),
+      "retained TopN must produce the exact global smallest rows")
+    // descending is NOT the marker's order — no prefix plan, still correct
+    val qd = spark.read.format("graft").load(dir).orderBy(col("k").desc).limit(3)
+    assert(!scanDesc(qd).contains("topn="))
+    assert(qd.collect().map(_.getLong(0)).toSeq == Seq(99999L, 99998L, 99997L))
+    // unsorted table: no marker, no prefix plan
+    val flat = "/tmp/graft-test/sort-order-topn-flat"
+    rm(flat)
+    spark.range(1000).selectExpr("id AS k").repartition(2)
+      .write.format("graft").mode("overwrite").save(flat)
+    val qf = spark.read.format("graft").load(flat).orderBy("k").limit(3)
+    assert(!scanDesc(qf).contains("topn="))
+    assert(qf.collect().map(_.getLong(0)).toSeq == (0L until 3L))
+  }
+
   test("compaction with sortby republishes the marker over the rewrite") {
     val dir = "/tmp/graft-test/sort-order-compact"
     rm(dir)
