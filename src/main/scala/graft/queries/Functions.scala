@@ -142,6 +142,32 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sorted_topn" -> { (s, dir) =>
+      // TOP-N pushdown in the correctness gate: orders staged sorted on
+      // (o_totalprice, o_orderkey) — the write publishes the sort marker
+      // — and the cheapest-25 query must match DuckDB exactly while the
+      // scan plans only each file's leading pages (the per-file superset
+      // contract; SortOrderSpec asserts the plan, this gate proves the
+      // content end to end). Tie-break on o_orderkey keeps the order
+      // deterministic cross-engine.
+      val stage = s"/tmp/graft_topn_stage/${stageKey(s, dir, "orders")}/orders"
+      val marker = new java.io.File(s"$stage/_GRAFT_TOPN_DONE")
+      if (!marker.exists()) {
+        Tables.parquet(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(4)
+          .write.format("graft")
+          .option("sortby", "o_totalprice,o_orderkey")
+          .option("maxrowsperfile", "4000")
+          .mode("overwrite").save(stage)
+        marker.createNewFile()
+      }
+      s.read.format("graft").load(stage)
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .limit(25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
     "q_vacuum" -> { (s, dir) =>
       // VACUUM in the correctness gate: a staged orders table is littered
       // with exactly the junk a crashed load leaves behind (aged staging
@@ -636,6 +662,9 @@ object Functions {
         |  count(DISTINCT source) AS sources
         |FROM documents WHERE doc_id % 7 <> 3
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sorted_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 25""".stripMargin,
     "q_vacuum" ->
       """SELECT count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
