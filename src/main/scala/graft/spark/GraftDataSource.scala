@@ -205,7 +205,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   private var hadFilters = false
   private var aggPlan: Option[(Seq[GraftAggPushdown.AggSpec], StructType)] = None
   private var pushedLimit: Option[Int] = None
-  private var pushedTopN: Option[Int] = None
+  private var pushedTopN: Option[(Int, Boolean)] = None // (limit, descending)
 
   /** Partial limit pushdown: the scan plans only enough leading page groups
     * to cover `limit` rows (footer row counts), so `table.limit(20)` on a
@@ -233,6 +233,14 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     * Spark only offers TopN when no filters survived pushdown — and every
     * filter we accept stays residual, so the planned pages can't lose rows
     * to row-level filtering.
+    *
+    * DESCENDING ("latest N") is accepted too: candidates are each file's
+    * TRAILING pages covering n rows (the file's largest values) plus its
+    * LEADING pages covering n rows — the front is where an
+    * asc-nulls-first layout keeps its nulls, which rank into a
+    * desc answer (either null ordering) whenever non-null rows run
+    * short, so the superset stays sound. Mixed asc/desc orders are
+    * declined (no single file-end holds them).
     */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
@@ -241,9 +249,12 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     if (limit < 0 || orders.isEmpty) return false
     val p = new Path(path)
     val marker = GraftSortMarker.read(p.getFileSystem(conf), p).getOrElse(return false)
+    val asc = orders.head.direction == SortDirection.ASCENDING
     val names = orders.toSeq.map { o =>
-      if (o.direction != SortDirection.ASCENDING ||
-        o.nullOrdering != NullOrdering.NULLS_FIRST) return false
+      if ((o.direction == SortDirection.ASCENDING) != asc) return false
+      // ascending must be nulls-first (the storage layout); descending is
+      // sound under either null ordering (see scaladoc)
+      if (asc && o.nullOrdering != NullOrdering.NULLS_FIRST) return false
       o.expression match {
         case n: org.apache.spark.sql.connector.expressions.NamedReference
             if n.fieldNames.length == 1 => n.fieldNames.head
@@ -251,7 +262,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
       }
     }
     if (names != marker.take(names.length)) return false
-    pushedTopN = Some(limit)
+    pushedTopN = Some((limit, !asc))
     true
   }
 
@@ -368,7 +379,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val asofOpt: Option[Long] = None,
     private val sinceOpt: Option[Long] = None,
     private val startLatest: Boolean = false,
-    private val topn: Option[Int] = None)
+    private val topn: Option[(Int, Boolean)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -516,7 +527,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       (if (pagePreds.nonEmpty) s" zonemap[${pagePreds.flatMap(_.fields).distinct.mkString(",")}]" else "") +
       (if (elementPreds.nonEmpty) s" element[${elementPreds.map(ZoneMapFilter.render).mkString(",")}]" else "") +
       limit.map(l => s" limit=$l").getOrElse("") +
-      topn.map(n => s" topn=$n").getOrElse("")
+      topn.map { case (n, desc) => s" topn=$n${if (desc) " desc" else ""}" }.getOrElse("")
 
   /** Storage-partitioned-join layout: when every file lives under the SAME
     * hive partition column list (path-parseable types) and
@@ -615,12 +626,14 @@ final class GraftScan(private val tableSchema: StructType, private val projected
           members.map(f => (f.getPath.toString, f.getLen)).toArray, key)
       }.toArray[InputPartition]
     }
-    topn.foreach { n =>
-      // per-FILE leading page groups covering n rows: each file is
-      // internally sorted on the query's ORDER BY prefix (pushTopN checked
-      // the marker), so the global top-n is contained in every file's
-      // first n rows — the planned superset is ~one page per file, and
-      // Spark's retained TopN does the exact ranking
+    topn.foreach { case (n, desc) =>
+      // per-FILE page ranges covering n rows from the relevant END: each
+      // file is internally sorted on the query's ORDER BY prefix (pushTopN
+      // checked the marker), so an ascending top-n is contained in every
+      // file's first n rows, a descending one in its last n rows (plus the
+      // first n, where an asc-nulls-first layout keeps the nulls a desc
+      // answer may need as padding). ~One or two pages per file; Spark's
+      // retained TopN does the exact ranking over the superset.
       val parts = Array.newBuilder[InputPartition]
       files.foreach { f =>
         val pageRows = GraftScan.pageRowCounts(f, conf)
@@ -631,8 +644,21 @@ final class GraftScan(private val tableSchema: StructType, private val projected
           while (hi < pageRows.length && remaining > 0) {
             remaining -= pageRows(hi); hi += 1
           }
-          parts += (if (hi >= pageRows.length) GraftInputPartition(f.getPath.toString, f.getLen)
-            else GraftInputPartition(f.getPath.toString, f.getLen, 0, hi))
+          if (hi >= pageRows.length)
+            parts += GraftInputPartition(f.getPath.toString, f.getLen)
+          else if (!desc)
+            parts += GraftInputPartition(f.getPath.toString, f.getLen, 0, hi)
+          else {
+            var trailing = math.max(n, 1).toLong
+            var lo = pageRows.length
+            while (lo > 0 && trailing > 0) { lo -= 1; trailing -= pageRows(lo) }
+            if (lo <= hi) // leading + trailing overlap: whole file
+              parts += GraftInputPartition(f.getPath.toString, f.getLen)
+            else {
+              parts += GraftInputPartition(f.getPath.toString, f.getLen, 0, hi)
+              parts += GraftInputPartition(f.getPath.toString, f.getLen, lo, pageRows.length)
+            }
+          }
         }
       }
       return parts.result()

@@ -105,10 +105,26 @@ class SortOrderSpec extends AnyFunSuite {
       s"expected the top-n prefix plan in the scan:\n${scanDesc(q)}")
     assert(q.collect().map(_.getLong(0)).toSeq == (0L until 7L),
       "retained TopN must produce the exact global smallest rows")
-    // descending is NOT the marker's order — no prefix plan, still correct
+    // descending ("latest N"): trailing pages per file (+ leading for
+    // potential null padding) — pushed and exact
     val qd = spark.read.format("graft").load(dir).orderBy(col("k").desc).limit(3)
-    assert(!scanDesc(qd).contains("topn="))
+    assert(scanDesc(qd).contains("topn=3 desc"),
+      s"expected the descending prefix plan:\n${scanDesc(qd)}")
     assert(qd.collect().map(_.getLong(0)).toSeq == Seq(99999L, 99998L, 99997L))
+    // nulls rank into a desc answer when non-null rows run short: a table
+    // with 2 non-null and mostly-null keys must still answer LIMIT 4
+    val nd = "/tmp/graft-test/sort-order-topn-nulls"
+    rm(nd)
+    spark.range(20000)
+      .selectExpr("CASE WHEN id >= 19998 THEN id ELSE NULL END AS k", "id AS v")
+      .repartition(2)
+      .write.format("graft").option("sortby", "k").mode("overwrite").save(nd)
+    val qn = spark.read.format("graft").load(nd).select("k")
+      .orderBy(col("k").desc).limit(4)
+    val got = qn.collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(scanDesc(qn).contains("desc"))
+    assert(got.take(2) == Seq(19999L, 19998L) && got.drop(2) == Seq(-1L, -1L),
+      s"desc top-4 must pad with nulls after the 2 non-null keys: $got")
     // unsorted table: no marker, no prefix plan
     val flat = "/tmp/graft-test/sort-order-topn-flat"
     rm(flat)
