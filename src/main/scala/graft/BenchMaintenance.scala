@@ -44,8 +44,41 @@ object BenchMaintenance {
       case "x_spj_join" => spjJoinOp(spark, format, dir)
       case "x_cdc_apply" => cdcApplyOp(spark, format, dir)
       case "x_vacuum" => vacuumOp(spark, format, dir)
+      case "x_sorted_topn" => sortedTopNOp(spark, format, dir)
       case other => sys.error(s"unknown maintenance bench op: $other")
     }
+
+  /** "Latest 100 events" on a ts-sorted table. graft: the sort marker +
+    * SupportsPushDownTopN plan trailing pages per file — the scan reads
+    * ~2 pages/file regardless of table size. parquet: same physically
+    * sorted bytes, but the V1 source cannot report ordering, so the query
+    * pays a full scan + TakeOrdered. Staging (identical sorted layout both
+    * sides) is outside the timed region; the timed region is the query.
+    */
+  private def sortedTopNOp(spark: SparkSession, format: String, dir: String): Double = {
+    val src = Tables.parquet(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .repartitionByRange(8, col("ts"))
+    val stage = s"/tmp/graft_bench_maint/topn_${format}_${key(dir)}"
+    val marker = new java.io.File(s"$stage/_TOPN_STAGED")
+    if (!marker.exists()) {
+      rm(stage)
+      if (format == "graft")
+        src.write.format("graft").option("sortby", "ts,event_id")
+          .mode("overwrite").save(stage)
+      else
+        src.sortWithinPartitions(col("ts"), col("event_id"))
+          .write.mode("overwrite").parquet(stage)
+      marker.createNewFile()
+    }
+    val t0 = System.nanoTime()
+    val df =
+      if (format == "graft") spark.read.format("graft").load(stage)
+      else spark.read.parquet(stage)
+    val rows = df.orderBy(col("ts").desc, col("event_id").desc).limit(100).collect()
+    require(rows.length == 100, s"x_sorted_topn: expected 100 rows, got ${rows.length}")
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** Orphan GC. graft: GraftMaintenance.vacuum over planted crashed-job
     * junk (aged staging tmps + a deleteWhere scratch tree). parquet: the
