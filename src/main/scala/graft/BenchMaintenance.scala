@@ -59,7 +59,10 @@ object BenchMaintenance {
     val src = Tables.parquet(spark, dir, "events")
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .repartitionByRange(8, col("ts"))
-    val stage = s"/tmp/graft_bench_maint/topn_${format}_${key(dir)}"
+    // fingerprinted like every other staging cache: regenerated testdata
+    // must invalidate the sorted copy, not silently re-time stale bytes
+    val stage = s"/tmp/graft_bench_maint/topn_${format}_${key(dir)}_" +
+      Tables.fingerprint(s"$dir/events.parquet")
     val marker = new java.io.File(s"$stage/_TOPN_STAGED")
     if (!marker.exists()) {
       rm(stage)

@@ -19,6 +19,12 @@ object Tables {
     * directory must invalidate stale .graft conversions, or a warm machine
     * would serve old graft data against a fresh DuckDB oracle.
     */
+  // Deliberately NOT memoized: a same-JVM regeneration must invalidate
+  // immediately (TablesCacheSpec pins it). The walk is a shallow tree of
+  // ~10 tables x a handful of part files — order 100 stat calls, sub-ms
+  // on any filesystem the bench runs on — so per-load recomputation costs
+  // noise, not bias. This is the ONE fingerprint helper; the staged-gate
+  // cache keys (Functions.stageKey) and bench staging reuse it.
   private[graft] def fingerprint(path: String): String = {
     var h = 1125899906842597L
     def mix(x: Long): Unit = h = h * 1000003 + x

@@ -29,7 +29,12 @@ object PrefetchAB {
 
     def time(q: String, threads: String): Double = {
       spark.catalog.clearCache()
-      spark.conf.set("spark.hadoop.graft.read.prefetch.threads", threads)
+      // the reader looks up the UNPREFIXED key on the conf newHadoopConf()
+      // builds per scan; runtime SQLConf entries copy into it verbatim
+      // (no spark.hadoop.-prefix stripping at this layer), so the stripped
+      // form is the one that actually reaches GraftColumnarReader — the
+      // prefixed form only works when set on SparkConf at JVM startup
+      spark.conf.set("graft.read.prefetch.threads", threads)
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()

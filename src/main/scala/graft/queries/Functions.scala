@@ -21,22 +21,12 @@ object Functions {
     * local file — a directory-shaped or non-local source would fingerprint
     * constant.)
     */
-  private def stageKey(s: SparkSession, dir: String, table: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-    val fs = src.getFileSystem(s.sessionState.newHadoopConf())
-    var h = 1125899906842597L
-    def mix(x: Long): Unit = h = h * 1000003 + x
-    def walk(p: org.apache.hadoop.fs.Path): Unit = {
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).sortBy(_.getPath.getName).foreach(f => walk(f.getPath))
-      else {
-        mix(st.getPath.getName.hashCode.toLong); mix(st.getLen); mix(st.getModificationTime)
-      }
-    }
-    if (fs.exists(src)) walk(src)
-    dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "_" + java.lang.Long.toHexString(h)
-  }
+  private def stageKey(s: SparkSession, dir: String, table: String): String =
+    // one canonical fingerprint helper (Tables.fingerprint) — the source
+    // dirs here are always local paths, and three hand-rolled copies of
+    // the same hash-walk invited drift
+    dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "_" +
+      Tables.fingerprint(s"$dir/$table.parquet")
 
   /** documents staged once as a lang-partitioned graft table (shared by
     * q_partitioned_scan and q_partition_agg). */

@@ -80,10 +80,7 @@ object Streaming {
       val gdir = graft.Tables.graftDir(s, dir, "documents")
       val staticSchema = s.read.format("graft").load(gdir).schema
       def cmsBucket(jCol: String, wCol: String): String =
-        s"""pmod(aggregate(transform(sequence(1, 15),
-              i -> cast(instr('0123456789abcdef',
-                     substr(md5(concat('cms', cast($jCol as string), ':', $wCol)), i, 1)) - 1 as bigint)),
-            cast(0 as bigint), (a, x) -> a * 16 + x), 512)"""
+        TrainingData.cmsBucket(jCol, wCol) // ONE hash definition, see there
       val stream = s.readStream.format("graft").schema(staticSchema)
         .option("maxfilespertrigger", "2").load(gdir)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -239,25 +236,10 @@ object Streaming {
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s_stream_freq" ->
-      // identical to t_freq_sketch's oracle: the streamed cells are sums,
-      // so incremental fill changes nothing
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        |counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-        |js AS (SELECT unnest(generate_series(0, 2)) AS j),
-        |hashed AS (SELECT w, c, j,
-        |  list_reduce(list_transform(generate_series(1, 15),
-        |    i -> CAST(strpos('0123456789abcdef',
-        |           substr(md5('cms' || CAST(j AS VARCHAR) || ':' || w), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |    (a, x) -> a * 16 + x) % 512 AS b
-        |  FROM counts, js),
-        |cells AS (SELECT j, b, CAST(sum(c) AS BIGINT) AS bc FROM hashed GROUP BY j, b),
-        |probes AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 10),
-        |pr AS (SELECT h.w, h.c, h.j, h.b FROM hashed h JOIN probes p ON h.w = p.w),
-        |est AS (SELECT pr.w, pr.c, min(cells.bc) AS estimate
-        |        FROM pr JOIN cells ON pr.j = cells.j AND pr.b = cells.b
-        |        GROUP BY pr.w, pr.c)
-        |SELECT w, c AS exact_count, estimate, estimate - c AS overestimate
-        |FROM est ORDER BY w""".stripMargin,
+      // identical to t_freq_sketch's oracle BY CONSTRUCTION (shared
+      // constant): the streamed cells are sums, incremental fill changes
+      // nothing
+      TrainingData.cmsOracleSql,
     "s_stream_quality" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,

@@ -45,6 +45,38 @@ object TrainingData {
   /** Lloyd iterations the s_kmeans_loop op runs (and its oracle unrolls). */
   private val kmeansLoopIters = 3
 
+  /** Count-min bucket for hash row `jCol` over token column `wCol` —
+    * md5-fold portable, d=3 x w=512. ONE definition shared by the batch
+    * sketch (t_freq_sketch) and the streaming one (s_stream_freq): their
+    * contract is bit-identical cells, so the hash must never drift
+    * between them.
+    */
+  private[queries] def cmsBucket(jCol: String, wCol: String): String =
+    s"""pmod(aggregate(transform(sequence(1, 15),
+          i -> cast(instr('0123456789abcdef',
+                 substr(md5(concat('cms', cast($jCol as string), ':', $wCol)), i, 1)) - 1 as bigint)),
+        cast(0 as bigint), (a, x) -> a * 16 + x), 512)"""
+
+  /** The matching DuckDB oracle, likewise shared verbatim by both entries. */
+  private[queries] val cmsOracleSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |js AS (SELECT unnest(generate_series(0, 2)) AS j),
+      |hashed AS (SELECT w, c, j,
+      |  list_reduce(list_transform(generate_series(1, 15),
+      |    i -> CAST(strpos('0123456789abcdef',
+      |           substr(md5('cms' || CAST(j AS VARCHAR) || ':' || w), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |    (a, x) -> a * 16 + x) % 512 AS b
+      |  FROM counts, js),
+      |cells AS (SELECT j, b, CAST(sum(c) AS BIGINT) AS bc FROM hashed GROUP BY j, b),
+      |probes AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 10),
+      |pr AS (SELECT h.w, h.c, h.j, h.b FROM hashed h JOIN probes p ON h.w = p.w),
+      |est AS (SELECT pr.w, pr.c, min(cells.bc) AS estimate
+      |        FROM pr JOIN cells ON pr.j = cells.j AND pr.b = cells.b
+      |        GROUP BY pr.w, pr.c)
+      |SELECT w, c AS exact_count, estimate, estimate - c AS overestimate
+      |FROM est ORDER BY w""".stripMargin
+
   /** Portable 60-bit base hash of each element of a string-array column:
     * first 15 hex nibbles of md5, folded big-endian into an int64. DuckDB
     * mirror: list_reduce(list_transform(generate_series(1,15),
@@ -867,11 +899,6 @@ object TrainingData {
       // grid is 1536 cells no matter the corpus size. The relational
       // form below IS that plan: groupBy(j, b) partial-aggregates
       // map-side, shuffling at most d*w rows per partition.
-      def cmsBucket(jCol: String, wCol: String): String =
-        s"""pmod(aggregate(transform(sequence(1, 15),
-              i -> cast(instr('0123456789abcdef',
-                     substr(md5(concat('cms', cast($jCol as string), ':', $wCol)), i, 1)) - 1 as bigint)),
-            cast(0 as bigint), (a, x) -> a * 16 + x), 512)"""
       val counts = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -2324,24 +2351,7 @@ object TrainingData {
         |  CAST(length(cleaned) AS BIGINT) AS clean_len,
         |  md5(cleaned) AS clean_md5
         |FROM cl ORDER BY doc_id""".stripMargin,
-    "t_freq_sketch" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        |counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-        |js AS (SELECT unnest(generate_series(0, 2)) AS j),
-        |hashed AS (SELECT w, c, j,
-        |  list_reduce(list_transform(generate_series(1, 15),
-        |    i -> CAST(strpos('0123456789abcdef',
-        |           substr(md5('cms' || CAST(j AS VARCHAR) || ':' || w), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |    (a, x) -> a * 16 + x) % 512 AS b
-        |  FROM counts, js),
-        |cells AS (SELECT j, b, CAST(sum(c) AS BIGINT) AS bc FROM hashed GROUP BY j, b),
-        |probes AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 10),
-        |pr AS (SELECT h.w, h.c, h.j, h.b FROM hashed h JOIN probes p ON h.w = p.w),
-        |est AS (SELECT pr.w, pr.c, min(cells.bc) AS estimate
-        |        FROM pr JOIN cells ON pr.j = cells.j AND pr.b = cells.b
-        |        GROUP BY pr.w, pr.c)
-        |SELECT w, c AS exact_count, estimate, estimate - c AS overestimate
-        |FROM est ORDER BY w""".stripMargin,
+    "t_freq_sketch" -> cmsOracleSql,
     "t_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -235,12 +235,13 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     * to row-level filtering.
     *
     * DESCENDING ("latest N") is accepted too: candidates are each file's
-    * TRAILING pages covering n rows (the file's largest values) plus its
-    * LEADING pages covering n rows — the front is where an
-    * asc-nulls-first layout keeps its nulls, which rank into a
-    * desc answer (either null ordering) whenever non-null rows run
-    * short, so the superset stays sound. Mixed asc/desc orders are
-    * declined (no single file-end holds them).
+    * TRAILING pages covering n rows (nulls-last desc is exactly the
+    * layout reversed) plus its LEADING pages covering n rows — the front
+    * is where an asc-nulls-first layout keeps its nulls, which a
+    * single-column desc-nulls-first answer draws from whenever non-null
+    * rows run short. Mixed asc/desc orders, and NULLS FIRST on any
+    * column of a MULTI-column descending order (those nulls sit at a
+    * group's head mid-file, outside both planned ends), are declined.
     */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
@@ -252,9 +253,17 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     val asc = orders.head.direction == SortDirection.ASCENDING
     val names = orders.toSeq.map { o =>
       if ((o.direction == SortDirection.ASCENDING) != asc) return false
-      // ascending must be nulls-first (the storage layout); descending is
-      // sound under either null ordering (see scaladoc)
+      // ascending must be nulls-first (exactly the storage layout).
+      // descending: NULLS_LAST on every column is the exact reversal of
+      // the layout, so trailing pages are the per-file top-n. A NULLS
+      // FIRST column under desc is sound ONLY single-column (its nulls
+      // sit at file fronts, covered by the leading ranges); on a
+      // SECONDARY column the null rows of a (first-col) group sit at the
+      // group's head — mid-file, outside both planned ends — so the
+      // superset would silently miss the true answer: decline.
       if (asc && o.nullOrdering != NullOrdering.NULLS_FIRST) return false
+      if (!asc && o.nullOrdering != NullOrdering.NULLS_LAST &&
+        orders.length > 1) return false
       o.expression match {
         case n: org.apache.spark.sql.connector.expressions.NamedReference
             if n.fieldNames.length == 1 => n.fieldNames.head

@@ -70,10 +70,18 @@ object GraftMaintenance {
     val writer = arrange(df, targetFiles).write.format("graft").mode("append")
     opts.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
       .save(dir)
-    // the rewrite's own output, captured before the concurrency window
-    val preSet = before.map(f => fs.makeQualified(f.getPath).toString).toSet
-    val rewriteSet = GraftUtil.listDataFiles(dir, conf)
-      .map(f => fs.makeQualified(f.getPath).toString).toSet -- preSet
+    // the rewrite's own output, identified by its COMMIT MANIFEST (a
+    // directory listing here would attribute any file a concurrent
+    // append landed since save() started to the rewrite). Exactly one
+    // new manifest == the rewrite's; more means a concurrent commit got
+    // interleaved, in which case no sort marker may be republished below.
+    val newManifests =
+      GraftManifest.list(fs, tableDir).filterNot(beforeManifests.contains)
+    val rewriteSet: Set[String] =
+      if (newManifests.size != 1) Set.empty
+      else GraftManifest.read(fs, tableDir, newManifests.head).map { case (rel, _) =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, rel)).toString
+      }.toSet
     afterRewrite()
     // retire ONLY the pre-rewrite snapshot (manifests first, so a crash
     // window never leaves a manifest referencing a deleted file): files
@@ -88,11 +96,20 @@ object GraftMaintenance {
     // still visible then). Only when the surviving file set is exactly
     // the rewrite's output: a concurrent unsorted append in the commit
     // window must win (the same caveat as compact's concurrency model).
-    val rewriteOnly = after.nonEmpty && after.forall(f =>
+    val rewriteOnly = after.nonEmpty && rewriteSet.nonEmpty && after.forall(f =>
       rewriteSet.contains(fs.makeQualified(f.getPath).toString)) &&
       after.size == rewriteSet.size
     opts.get("sortby").map(_.split(",").map(_.trim).toSeq).foreach { cols =>
-      if (rewriteOnly) GraftSortMarker.publish(fs, tableDir, cols)
+      if (rewriteOnly) {
+        GraftSortMarker.publish(fs, tableDir, cols)
+        // confirm: an append whose commit fully interleaved between the
+        // listing above and this publish would have had its marker-clear
+        // overwritten — re-list and withdraw the claim if anything beyond
+        // the rewrite's files is visible now
+        val confirm = GraftUtil.listDataFiles(dir, conf)
+          .map(f => fs.makeQualified(f.getPath).toString).toSet
+        if (confirm != rewriteSet) GraftSortMarker.clear(fs, tableDir)
+      }
     }
     CompactStats(before.size, before.map(_.getLen).sum,
       after.size, after.map(_.getLen).sum, rows)

@@ -125,6 +125,24 @@ class SortOrderSpec extends AnyFunSuite {
     assert(scanDesc(qn).contains("desc"))
     assert(got.take(2) == Seq(19999L, 19998L) && got.drop(2) == Seq(-1L, -1L),
       s"desc top-4 must pad with nulls after the 2 non-null keys: $got")
+    // multi-column desc with NULLS FIRST on the secondary column: the
+    // null rows of a leading-column group sit at the GROUP's head —
+    // mid-file, outside both planned ends — so this must NOT be pushed
+    // (and must still answer correctly through the ordinary plan)
+    val md = "/tmp/graft-test/sort-order-topn-multidesc"
+    rm(md)
+    spark.range(10000)
+      .selectExpr("id DIV 2500 AS k",
+        "CASE WHEN id % 2500 = 0 THEN NULL ELSE id END AS v")
+      .repartition(4)
+      .write.format("graft").option("sortby", "k,v").mode("overwrite").save(md)
+    val qm = spark.read.format("graft").load(md)
+      .orderBy(col("k").desc, col("v").desc_nulls_first).limit(1)
+    assert(!scanDesc(qm).contains("topn="),
+      "NULLS FIRST on a secondary desc column must decline the prefix plan")
+    val top = qm.collect().head
+    assert(top.getLong(0) == 3L && top.isNullAt(1),
+      s"expected the k=3 group's null-v head row, got $top")
     // unsorted table: no marker, no prefix plan
     val flat = "/tmp/graft-test/sort-order-topn-flat"
     rm(flat)
