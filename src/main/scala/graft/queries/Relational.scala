@@ -211,6 +211,24 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    "q_window_range_frame" -> { (s, dir) =>
+      // RANGE (value-bounded) window frame — the sliding-lookback shape
+      // rowsBetween cannot express: for every event, activity within the
+      // PRECEDING HOUR of event time, however many rows that is. Range
+      // frames bound by VALUE, so ties on ts all join the frame no matter
+      // their intra-partition order — deterministic without an id
+      // tie-break in the frame spec itself. One shuffle on event_type.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("val_1h",
+          sum(col("value").cast("decimal(20,4)")).over(w).cast("double"))
+        .select(col("event_id"), col("event_type"), col("n_1h"), col("val_1h"))
+        .orderBy(col("event_id"))
+    },
+
     "q_full_outer" -> { (s, dir) =>
       // FULL OUTER reconciliation: per-customer 1996 activity vs 1997
       // activity — retained / churned / new in one pass. Both inputs are
@@ -520,6 +538,14 @@ object Relational {
         |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT event_id, event_type,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE) AS val_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_full_outer" ->
       """WITH y96 AS (SELECT o_custkey, count(*) AS n96 FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
