@@ -188,6 +188,27 @@ class GraftMaintenanceSpec extends AnyFunSuite {
       s"post-compaction sorted layout should prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
   }
 
+  test("sorted compact withholds the sort marker when an append interleaves") {
+    val dir = "/tmp/graft-test/maintenance-sorted-concurrent"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(2000).selectExpr("id AS k", "id * 3 AS v")
+      .repartition(4)
+      .write.format("graft").mode("overwrite").save(dir)
+    // an unsorted append lands in compact's commit window: its rows must
+    // survive (existing contract) AND the sorted rewrite must NOT publish
+    // a whole-table sort marker over the unsorted file
+    GraftMaintenance.compactImpl(spark, dir, 2,
+      Map("sortby" -> "k"), () =>
+        spark.range(2000, 2100).selectExpr("id AS k", "id * 3 AS v")
+          .coalesce(1)
+          .write.format("graft").mode("append").save(dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(spark.read.format("graft").load(dir).count() == 2100)
+    assert(GraftSortMarker.read(fs, new org.apache.hadoop.fs.Path(dir)).isEmpty,
+      "marker published over a table containing a concurrent unsorted append")
+  }
+
   test("compact can EVOLVE the partition layout: flat table re-laid as hive dirs") {
     val dir = "/tmp/graft-test/maintenance-relayout"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
