@@ -886,6 +886,34 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "t_quality_yield" -> { (s, dir) =>
+      // Filter-threshold YIELD CURVE: docs bucketed by an integer-exact
+      // quality score (milli-points — pure integer division, so the
+      // bucket boundary can never drift a ulp between engines), with
+      // per-bucket doc/token volume and the cumulative retention a
+      // threshold at that bucket would keep. This is the analysis run
+      // BEFORE committing to a quality cutoff: "drop everything below
+      // bucket b" reads straight off cum_docs/cum_tokens. Two
+      // hash-aggs + a 10-row window — corpus-size independent output.
+      val scoreMilli =
+        """400L * least(length(text), 500) div 500
+           + 300L * size(filter(split(text, ' '), x -> x IN ('the','a'))) div size(split(text, ' '))
+           + 300L * (length(text) - size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))) div length(text)"""
+      val b = docs(s, dir)
+        .withColumn("score_milli", expr(scoreMilli))
+        .withColumn("bucket", expr("score_milli div 100"))
+        .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("tokens"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.withColumn("cum_docs", sum(col("docs")).over(w))
+        .withColumn("cum_tokens", sum(col("tokens")).over(w))
+        .select(col("bucket"), col("docs"), col("tokens"),
+          col("cum_docs"), col("cum_tokens"))
+        .orderBy(col("bucket").desc)
+    },
+
     "t_freq_sketch" -> { (s, dir) =>
       // Count-min sketch heavy hitters: d=3 hash rows x w=512 buckets of
       // token-count sums, probed for the top-10 exact tokens, reported
@@ -2352,6 +2380,24 @@ object TrainingData {
         |  md5(cleaned) AS clean_md5
         |FROM cl ORDER BY doc_id""".stripMargin,
     "t_freq_sketch" -> cmsOracleSql,
+    "t_quality_yield" ->
+      """WITH sc AS (SELECT
+        |  400 * least(length(text), 500) // 500
+        |  + 300 * len(list_filter(string_split(text, ' '), x -> x IN ('the','a')))
+        |      // len(string_split(text, ' '))
+        |  + 300 * (length(text) - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')))
+        |      // length(text) AS score_milli,
+        |  len(string_split(text, ' ')) AS tokens
+        |  FROM documents),
+        |b AS (SELECT score_milli // 100 AS bucket,
+        |        count(*) AS docs, CAST(sum(tokens) AS BIGINT) AS tokens
+        |      FROM sc GROUP BY 1)
+        |SELECT bucket, docs, tokens,
+        |  CAST(sum(docs) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |  CAST(sum(tokens) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |FROM b ORDER BY bucket DESC""".stripMargin,
     "t_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,
