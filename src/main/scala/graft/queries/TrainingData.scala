@@ -1218,6 +1218,30 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "m_multimodal_phash" -> { (s, dir) =>
+      // IMAGE DEDUP via perceptual difference-hash: every doc carries an
+      // 8x4 P6 payload; graft.spark.PpmDHash (native, codegen) decodes
+      // luminance and folds the horizontal-gradient sign bits into one
+      // modular hash. A doc_id slice is seeded with an IDENTICAL image
+      // (the fixture pattern — the synthetic corpus has no natural image
+      // duplicates), so the hash-group pass finds real duplicate sets,
+      // not vacuous singletons. The dedup itself is one shuffle on the
+      // hash — the image-side twin of d_dedup_exact, priced at a long
+      // per image instead of the pixels.
+      val w = Window.partitionBy(col("dhash"))
+      docs(s, dir)
+        .withColumn("hx", expr(
+          "md5(CASE WHEN doc_id % 10 = 7 THEN 'dup-seed' ELSE text END)"))
+        .withColumn("ph", expr("substr(repeat(hx, 6), 1, 192)"))
+        .withColumn("payload", expr(
+          """concat(encode('P6\n8 4\n255\n', 'utf-8'), unhex(ph))"""))
+        .withColumn("dhash", graft.spark.PpmDHash(col("payload")))
+        .withColumn("dup_group", count(lit(1)).over(w))
+        .select(col("doc_id"), col("dhash"), col("dup_group"),
+          (col("dup_group") > 1).cast("int").as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
     "m_multimodal_audio" -> { (s, dir) =>
       // audio lane: each document gets a genuine RIFF/WAVE payload (mono
       // 16-bit PCM at 8 kHz, sample words derived deterministically from
@@ -2553,6 +2577,36 @@ object TrainingData {
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum,
         |  CAST(list_sum(vals) AS DOUBLE) / npix AS mean_gray
         |FROM v ORDER BY doc_id""".stripMargin,
+    "m_multimodal_phash" ->
+      // rebuilds the dHash from the generating formula: hex pairs ->
+      // bytes, integer luminance (2r+5g+b) div 8, horizontal gradient
+      // sign bits folded row-major as (acc*131 + bit) % 1e9+7.
+      // DuckDB's list_reduce seeds with the first element, which equals
+      // Spark's 0-seeded fold here (0*131 + b0 = b0).
+      """WITH d AS (SELECT doc_id,
+        |  substr(repeat(md5(CASE WHEN doc_id % 10 = 7 THEN 'dup-seed' ELSE text END), 6), 1, 192) AS ph
+        |  FROM documents),
+        |lums AS (SELECT doc_id, ph,
+        |  flatten(list_transform(generate_series(0, 3), y ->
+        |    list_transform(generate_series(0, 7), x ->
+        |      (2 * ((strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+0)+1 AS INT), 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+0)+2 AS INT), 1)) - 1))
+        |       + 5 * ((strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+1)+1 AS INT), 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+1)+2 AS INT), 1)) - 1))
+        |       + ((strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+2)+1 AS INT), 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+2)+2 AS INT), 1)) - 1))
+        |      ) // 8))) AS lum
+        |  FROM d),
+        |h AS (SELECT doc_id,
+        |  list_reduce(flatten(list_transform(generate_series(0, 3), y ->
+        |    list_transform(generate_series(0, 6), x ->
+        |      CAST(CASE WHEN lum[CAST(y*8+x+1 AS INT)] < lum[CAST(y*8+x+2 AS INT)] THEN 1 ELSE 0 END AS BIGINT)))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS dhash
+        |  FROM lums),
+        |g AS (SELECT dhash, count(*) AS dup_group FROM h GROUP BY 1)
+        |SELECT h.doc_id, h.dhash, g.dup_group,
+        |  CASE WHEN g.dup_group > 1 THEN 1 ELSE 0 END AS is_dup
+        |FROM h JOIN g USING (dhash) ORDER BY h.doc_id""".stripMargin,
     "m_multimodal_audio" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(1 + (n_chars % 40) AS INT) AS n, md5(text) AS hx

@@ -176,5 +176,6 @@ object GraftExtensions {
     register("graft_ppm_framesample", 2,
       es => PpmFrameSample(es.head, litInt(es(1), "graft_ppm_framesample")))
     register("graft_wav_decode", 1, es => WavDecode(es.head))
+    register("graft_ppm_dhash", 1, es => PpmDHash(es.head))
   }
 }

@@ -169,6 +169,78 @@ object PpmDecode {
   }
 }
 
+/** Perceptual difference-hash (dHash) of a netpbm payload: integer
+  * luminance per pixel ((2r + 5g + b) div 8 for P6 RGB, the gray byte for
+  * P5 — exact integer weights, no float), then one bit per horizontally
+  * adjacent pair (left < right), folded row-major into a modular
+  * accumulator (h*131 + bit mod 1e9+7) so ANY image size hashes to one
+  * comparable long. Equal images hash equal; near-identical images (the
+  * re-encode/brightness-shift duplicates an image-dedup pass hunts) keep
+  * equal gradient SIGNS and so collide on purpose — that is the dHash
+  * property. Null on malformed payloads, native codegen, no UDF.
+  */
+case class PpmDHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ppm_dhash"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY payload column, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    PpmDHash.dhash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("ppmDHash", PpmDHash, "graft.spark.PpmDHash$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = $mod.dhash($c);
+         |${ev.isNull} = r == null;
+         |${ev.value} = ${ev.isNull} ? -1L : ((Long) r).longValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpmDHash =
+    copy(child = newChild)
+}
+
+object PpmDHash {
+  private val Mod = 1000000007L
+
+  def apply(payload: Column): Column =
+    GraftCatalystBridge.column(PpmDHash(GraftCatalystBridge.expression(payload)))
+
+  /** null for malformed payloads, else the boxed modular dHash. */
+  def dhash(bytes: Array[Byte]): java.lang.Long = {
+    val hd = PpmDecode.parseHeader(bytes)
+    if (hd == null) return null
+    val w = hd.width; val h = hd.height
+    val p = hd.planeStart; val nc = hd.channels
+    def lum(x: Int, y: Int): Int = {
+      val o = p + (y * w + x) * nc
+      if (nc == 1) bytes(o) & 0xff
+      else (2 * (bytes(o) & 0xff) + 5 * (bytes(o + 1) & 0xff) +
+        (bytes(o + 2) & 0xff)) / 8
+    }
+    var acc = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        val bit = if (lum(x, y) < lum(x + 1, y)) 1 else 0
+        acc = (acc * 131 + bit) % Mod
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
 /** Nearest-neighbor downsample of a P6 PPM payload by an integer stride:
   * output pixel (x, y) takes source pixel (x*factor, y*factor), output dims
   * are ceil(w/factor) x ceil(h/factor). Emits the resampled image's
