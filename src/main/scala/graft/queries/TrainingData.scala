@@ -1242,6 +1242,42 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "m_multimodal_videodup" -> { (s, dir) =>
+      // VIDEO near-dup via frame fingerprints: each doc carries a 3-frame
+      // container; PpmFrameDHashes (native, codegen) emits one dHash per
+      // frame, and two clips sharing >= 2 frame hashes are near-dup
+      // partners — the shot-overlap detection a video corpus dedups on,
+      // joined on a LONG per frame instead of pixel planes. A doc_id
+      // slice shares its first two frames (fixture: 'shared-clip' seed,
+      // third frame stays doc-specific), so the partner groups are real
+      // near-dups — overlapping, not identical, clips. The pair join is
+      // hash-blocked (equi-join on fhash), never all-pairs.
+      def frame(f: Int): String =
+        s"""concat(encode('P6\\n8 4\\n255\\n', 'utf-8'),
+              unhex(substr(repeat(md5(concat(
+                CASE WHEN doc_id % 10 = 3 AND $f < 2 THEN 'shared-clip' ELSE text END,
+                ':', '$f')), 6), 1, 192)))"""
+      val v = docs(s, dir)
+        .withColumn("payload", expr(s"concat(${frame(0)}, ${frame(1)}, ${frame(2)})"))
+        .select(col("doc_id"), graft.spark.PpmFrameDHashes(col("payload")).as("fh"))
+      val e = v.select(col("doc_id"), explode(col("fh")).as("fhash")).distinct()
+      val pairs = e.join(
+          e.select(col("doc_id").as("doc_b"), col("fhash")), Seq("fhash"))
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      val partners = pairs.select(col("doc_id").as("d"), col("shared"))
+        .union(pairs.select(col("doc_b").as("d"), col("shared")))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("partners"), max(col("shared")).as("max_shared"))
+      v.join(partners, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), size(col("fh")).as("n_frames"),
+          coalesce(col("partners"), lit(0L)).as("partners"),
+          coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+        .orderBy(col("doc_id"))
+    },
+
     "m_multimodal_audio" -> { (s, dir) =>
       // audio lane: each document gets a genuine RIFF/WAVE payload (mono
       // 16-bit PCM at 8 kHz, sample words derived deterministically from
@@ -2577,6 +2613,43 @@ object TrainingData {
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum,
         |  CAST(list_sum(vals) AS DOUBLE) / npix AS mean_gray
         |FROM v ORDER BY doc_id""".stripMargin,
+    "m_multimodal_videodup" ->
+      // per-(doc, frame) dHash rebuilt from the generating formula (same
+      // machinery as m_multimodal_phash, ph parameterized by frame seed),
+      // then the same distinct/pair/partner aggregation as Spark
+      """WITH fr AS (SELECT doc_id, f,
+        |  substr(repeat(md5((CASE WHEN doc_id % 10 = 3 AND f < 2
+        |                     THEN 'shared-clip' ELSE text END) || ':' || CAST(f AS VARCHAR)), 6), 1, 192) AS ph
+        |  FROM documents, (SELECT unnest(generate_series(0, 2)) AS f)),
+        |lums AS (SELECT doc_id, f,
+        |  flatten(list_transform(generate_series(0, 3), y ->
+        |    list_transform(generate_series(0, 7), x ->
+        |      (2 * ((strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+0)+1 AS INT), 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+0)+2 AS INT), 1)) - 1))
+        |       + 5 * ((strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+1)+1 AS INT), 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+1)+2 AS INT), 1)) - 1))
+        |       + ((strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+2)+1 AS INT), 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(ph, CAST(2*((y*8+x)*3+2)+2 AS INT), 1)) - 1))
+        |      ) // 8))) AS lum
+        |  FROM fr),
+        |h AS (SELECT DISTINCT doc_id,
+        |  list_reduce(flatten(list_transform(generate_series(0, 3), y ->
+        |    list_transform(generate_series(0, 6), x ->
+        |      CAST(CASE WHEN lum[CAST(y*8+x+1 AS INT)] < lum[CAST(y*8+x+2 AS INT)] THEN 1 ELSE 0 END AS BIGINT)))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS fhash
+        |  FROM lums),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |          FROM h a JOIN h b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pn AS (SELECT d, count(*) AS partners, max(shared) AS max_shared FROM (
+        |         SELECT da AS d, shared FROM pairs
+        |         UNION ALL SELECT db AS d, shared FROM pairs)
+        |       GROUP BY d)
+        |SELECT doc_id, 3 AS n_frames,
+        |  CAST(coalesce(pn.partners, 0) AS BIGINT) AS partners,
+        |  CAST(coalesce(pn.max_shared, 0) AS BIGINT) AS max_shared
+        |FROM documents LEFT JOIN pn ON pn.d = documents.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "m_multimodal_phash" ->
       // rebuilds the dHash from the generating formula: hex pairs ->
       // bytes, integer luminance (2r+5g+b) div 8, horizontal gradient

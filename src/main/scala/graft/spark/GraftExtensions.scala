@@ -177,5 +177,6 @@ object GraftExtensions {
       es => PpmFrameSample(es.head, litInt(es(1), "graft_ppm_framesample")))
     register("graft_wav_decode", 1, es => WavDecode(es.head))
     register("graft_ppm_dhash", 1, es => PpmDHash(es.head))
+    register("graft_ppm_frame_dhashes", 1, es => PpmFrameDHashes(es.head))
   }
 }

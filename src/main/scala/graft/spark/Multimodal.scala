@@ -218,6 +218,11 @@ object PpmDHash {
   def dhash(bytes: Array[Byte]): java.lang.Long = {
     val hd = PpmDecode.parseHeader(bytes)
     if (hd == null) return null
+    java.lang.Long.valueOf(dhashFrame(bytes, hd))
+  }
+
+  /** dHash of ONE parsed frame (shared with the multi-frame walker). */
+  private[spark] def dhashFrame(bytes: Array[Byte], hd: PpmDecode.Header): Long = {
     val w = hd.width; val h = hd.height
     val p = hd.planeStart; val nc = hd.channels
     def lum(x: Int, y: Int): Int = {
@@ -237,7 +242,61 @@ object PpmDHash {
       }
       y += 1
     }
-    java.lang.Long.valueOf(acc)
+    acc
+  }
+}
+
+/** Per-frame dHash vector of a multi-frame netpbm container (the video
+  * analogue of [[PpmDHash]]): one modular difference-hash per frame, in
+  * frame order — the fingerprint sequence that video near-dup detection
+  * joins on (two clips sharing k frame hashes share k near-identical
+  * frames, whatever their offsets). Null if any frame is malformed.
+  */
+case class PpmFrameDHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ppm_frame_dhashes"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY payload column, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    PpmFrameDHashes.hashes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("ppmFrameDHashes", PpmFrameDHashes,
+      "graft.spark.PpmFrameDHashes$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $mod.hashes($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpmFrameDHashes =
+    copy(child = newChild)
+}
+
+object PpmFrameDHashes {
+  def apply(payload: Column): Column =
+    GraftCatalystBridge.column(PpmFrameDHashes(GraftCatalystBridge.expression(payload)))
+
+  def hashes(bytes: Array[Byte]): GenericArrayData = {
+    if (bytes == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = 0
+    while (pos < bytes.length) {
+      val hd = PpmDecode.parseHeader(bytes, pos)
+      if (hd == null) return null // malformed frame voids the row
+      out += PpmDHash.dhashFrame(bytes, hd)
+      pos = hd.planeStart + hd.width * hd.height * hd.channels
+    }
+    if (out.isEmpty) return null
+    new GenericArrayData(out.toArray)
   }
 }
 
