@@ -1242,6 +1242,39 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "m_multimodal_audiodup" -> { (s, dir) =>
+      // AUDIO dedup via acoustic fingerprint: graft.spark.WavFingerprint
+      // folds adjacent signed-sample delta SIGNS into one modular hash —
+      // gain-invariant by construction (re-levelled copies collide), the
+      // audio twin of the image dHash, completing the per-modality dedup
+      // set (text/image/video/audio). A doc_id slice carries an identical
+      // clip (fixed seed AND fixed length — both must match for a real
+      // duplicate), so the groups are non-vacuous; dedup is one shuffle
+      // on a long per clip.
+      val w = Window.partitionBy(col("afp"))
+      docs(s, dir)
+        .withColumn("n", expr(
+          "CASE WHEN doc_id % 10 = 6 THEN 24 ELSE cast(1 + n_chars % 40 as int) END"))
+        .withColumn("hexlen", col("n") * lit(4))
+        .withColumn("ph", expr(
+          """substr(repeat(md5(CASE WHEN doc_id % 10 = 6 THEN 'shared-audio' ELSE text END),
+               cast(ceil(hexlen / 32.0) as int)), 1, hexlen)"""))
+        .withColumn("le_data", expr(
+          "concat(lpad(hex((n * 2) % 256), 2, '0'), '000000')"))
+        .withColumn("le_riff", expr(
+          "concat(lpad(hex((36 + n * 2) % 256), 2, '0'), '000000')"))
+        .withColumn("payload", expr(
+          """concat(encode('RIFF', 'utf-8'), unhex(le_riff), encode('WAVE', 'utf-8'),
+                    encode('fmt ', 'utf-8'), unhex('10000000'), unhex('0100'), unhex('0100'),
+                    unhex('401F0000'), unhex('803E0000'), unhex('0200'), unhex('1000'),
+                    encode('data', 'utf-8'), unhex(le_data), unhex(ph))"""))
+        .withColumn("afp", graft.spark.WavFingerprint(col("payload")))
+        .withColumn("dup_group", count(lit(1)).over(w))
+        .select(col("doc_id"), col("n").as("n_samples"), col("afp"),
+          col("dup_group"), (col("dup_group") > 1).cast("int").as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
     "m_multimodal_videodup" -> { (s, dir) =>
       // VIDEO near-dup via frame fingerprints: each doc carries a 3-frame
       // container; PpmFrameDHashes (native, codegen) emits one dHash per
@@ -2613,6 +2646,43 @@ object TrainingData {
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum,
         |  CAST(list_sum(vals) AS DOUBLE) / npix AS mean_gray
         |FROM v ORDER BY doc_id""".stripMargin,
+    "m_multimodal_audiodup" ->
+      // rebuilds the fingerprint from the generating formula: 16-bit LE
+      // words from hex, two's-complement signing, delta-sign fold
+      // (DuckDB list_reduce first-element seeding == Spark's 0 seed)
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 6 THEN 24 ELSE 1 + n_chars % 40 END AS n,
+        |  md5(CASE WHEN doc_id % 10 = 6 THEN 'shared-audio' ELSE text END) AS hx
+        |  FROM documents),
+        |e AS (SELECT doc_id, n,
+        |  substr(repeat(hx, CAST(ceil((n*4) / 32.0) AS INT)), 1, CAST(n*4 AS INT)) AS ph
+        |  FROM d),
+        |sv AS (SELECT doc_id, n,
+        |  list_transform(generate_series(0, n-1), i ->
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(ph, CAST(4*i+1 AS INT), 1))-1)*16
+        |             + (strpos('0123456789abcdef', substr(ph, CAST(4*i+2 AS INT), 1))-1)
+        |             + 256*((strpos('0123456789abcdef', substr(ph, CAST(4*i+3 AS INT), 1))-1)*16
+        |                  + (strpos('0123456789abcdef', substr(ph, CAST(4*i+4 AS INT), 1))-1))) >= 32768
+        |         THEN CAST((strpos('0123456789abcdef', substr(ph, CAST(4*i+1 AS INT), 1))-1)*16
+        |             + (strpos('0123456789abcdef', substr(ph, CAST(4*i+2 AS INT), 1))-1)
+        |             + 256*((strpos('0123456789abcdef', substr(ph, CAST(4*i+3 AS INT), 1))-1)*16
+        |                  + (strpos('0123456789abcdef', substr(ph, CAST(4*i+4 AS INT), 1))-1)) - 65536 AS BIGINT)
+        |         ELSE CAST((strpos('0123456789abcdef', substr(ph, CAST(4*i+1 AS INT), 1))-1)*16
+        |             + (strpos('0123456789abcdef', substr(ph, CAST(4*i+2 AS INT), 1))-1)
+        |             + 256*((strpos('0123456789abcdef', substr(ph, CAST(4*i+3 AS INT), 1))-1)*16
+        |                  + (strpos('0123456789abcdef', substr(ph, CAST(4*i+4 AS INT), 1))-1)) AS BIGINT)
+        |    END) AS sm
+        |  FROM e),
+        |f AS (SELECT doc_id, n,
+        |  CASE WHEN n <= 1 THEN 0 ELSE list_reduce(
+        |    list_transform(generate_series(2, n), i ->
+        |      CAST(CASE WHEN sm[CAST(i-1 AS INT)] < sm[CAST(i AS INT)] THEN 1 ELSE 0 END AS BIGINT)),
+        |    (a, b) -> (a * 131 + b) % 1000000007) END AS afp
+        |  FROM sv),
+        |g AS (SELECT afp, count(*) AS dup_group FROM f GROUP BY 1)
+        |SELECT f.doc_id, CAST(f.n AS INT) AS n_samples, f.afp, g.dup_group,
+        |  CASE WHEN g.dup_group > 1 THEN 1 ELSE 0 END AS is_dup
+        |FROM f JOIN g USING (afp) ORDER BY f.doc_id""".stripMargin,
     "m_multimodal_videodup" ->
       // per-(doc, frame) dHash rebuilt from the generating formula (same
       // machinery as m_multimodal_phash, ph parameterized by frame seed),

@@ -178,5 +178,6 @@ object GraftExtensions {
     register("graft_wav_decode", 1, es => WavDecode(es.head))
     register("graft_ppm_dhash", 1, es => PpmDHash(es.head))
     register("graft_ppm_frame_dhashes", 1, es => PpmFrameDHashes(es.head))
+    register("graft_wav_fingerprint", 1, es => WavFingerprint(es.head))
   }
 }

@@ -522,12 +522,12 @@ object WavDecode {
   def apply(payload: Column): Column =
     GraftCatalystBridge.column(WavDecode(GraftCatalystBridge.expression(payload)))
 
-  private def le16(b: Array[Byte], p: Int): Int =
+  private[spark] def le16(b: Array[Byte], p: Int): Int =
     (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], p: Int): Long =
+  private[spark] def le32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-  private def tag(b: Array[Byte], p: Int, t: String): Boolean =
+  private[spark] def tag(b: Array[Byte], p: Int, t: String): Boolean =
     b(p) == t.charAt(0) && b(p + 1) == t.charAt(1) &&
       b(p + 2) == t.charAt(2) && b(p + 3) == t.charAt(3)
 
@@ -588,6 +588,88 @@ object WavDecode {
           Array[Any](channels, rate, bits, n / channels, sum, acc, peak))
       }
       // RIFF chunks are word-aligned: odd sizes carry one pad byte
+      p = body + size.toInt + (size.toInt & 1)
+    }
+    null // no data chunk
+  }
+}
+
+/** Acoustic fingerprint of a PCM payload — the audio analogue of
+  * [[PpmDHash]]: one bit per adjacent SIGNED-sample pair (previous <
+  * next), folded into a modular accumulator. A positive gain change
+  * rescales every sample but preserves every delta sign, so re-levelled
+  * copies of a clip collide — the property an audio-dedup pass wants —
+  * while different waveforms diverge. Zero/one-sample clips fingerprint
+  * to 0. Null on malformed payloads; native codegen, no UDF.
+  */
+case class WavFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_fingerprint"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY payload column, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavFingerprint.fingerprint(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("wavFp", WavFingerprint, "graft.spark.WavFingerprint$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = $mod.fingerprint($c);
+         |${ev.isNull} = r == null;
+         |${ev.value} = ${ev.isNull} ? -1L : ((Long) r).longValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavFingerprint =
+    copy(child = newChild)
+}
+
+object WavFingerprint {
+  private val Mod = 1000000007L
+
+  def apply(payload: Column): Column =
+    GraftCatalystBridge.column(WavFingerprint(GraftCatalystBridge.expression(payload)))
+
+  def fingerprint(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.length < 12) return null
+    if (!WavDecode.tag(bytes, 0, "RIFF") || !WavDecode.tag(bytes, 8, "WAVE")) return null
+    var p = 12
+    var bits = 0
+    var haveFmt = false
+    while (p + 8 <= bytes.length) {
+      val size = WavDecode.le32(bytes, p + 4)
+      val body = p + 8
+      if (size < 0 || size > bytes.length - body) return null
+      if (WavDecode.tag(bytes, p, "fmt ")) {
+        if (size < 16) return null
+        val fmtCode = WavDecode.le16(bytes, body)
+        bits = WavDecode.le16(bytes, body + 14)
+        if (fmtCode != 1 || (bits != 8 && bits != 16)) return null
+        haveFmt = true
+      } else if (WavDecode.tag(bytes, p, "data")) {
+        if (!haveFmt) return null
+        val bytesPerSample = bits / 8
+        val n = (size / bytesPerSample).toInt
+        var acc = 0L
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val v =
+            if (bits == 8) (bytes(body + i) & 0xff) - 128
+            else WavDecode.le16(bytes, body + 2 * i).toShort.toInt
+          if (i > 0) acc = (acc * 131 + (if (prev < v) 1 else 0)) % Mod
+          prev = v
+          i += 1
+        }
+        return java.lang.Long.valueOf(acc)
+      }
       p = body + size.toInt + (size.toInt & 1)
     }
     null // no data chunk
