@@ -886,6 +886,47 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "t_bpe_merges" -> { (s, dir) =>
+      // BPE MERGE INDUCTION — the first 3 merge rules a byte-pair-encoding
+      // tokenizer would learn from this corpus, computed exactly: words
+      // as space-joined symbol strings, per-round the globally most
+      // frequent adjacent symbol pair (weighted by word count, ties to
+      // the lexicographically smallest pair) merges everywhere via
+      // string replace — whose left-to-right non-overlapping semantics
+      // are identical across engines and equal to the classic BPE fold.
+      // Each round is one explode + hash-agg + TakeOrdered(1) + broadcast
+      // of a single row over the VOCAB frame (not the corpus): the plan a
+      // tokenizer trainer runs at any scale. Rounds unrolled (fixed k),
+      // like the k-means loop oracle.
+      val rounds = 3
+      def pairsExpr(rep: String): String =
+        s"""CASE WHEN size(split(trim($rep), ' ')) >= 2
+             THEN transform(sequence(1, size(split(trim($rep), ' ')) - 1), i ->
+               concat(element_at(split(trim($rep), ' '), i), ' ',
+                      element_at(split(trim($rep), ' '), i + 1)))
+             ELSE array() END"""
+      var words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("rep", expr(
+          """concat(' ', concat_ws(' ',
+               transform(sequence(1, length(w)), i -> substr(w, i, 1))), ' ')"""))
+      val merges = Seq.newBuilder[DataFrame]
+      for (r <- 1 to rounds) {
+        val best = words
+          .select(explode(expr(pairsExpr("rep"))).as("p"), col("c"))
+          .groupBy(col("p")).agg(sum(col("c")).as("weight"))
+          .orderBy(col("weight").desc, col("p")).limit(1)
+        merges += best.select(lit(r).as("rank"), col("p").as("pair"),
+          expr("replace(p, ' ', '')").as("merged"), col("weight"))
+        words = words.crossJoin(broadcast(best.select(col("p").as("bp"))))
+          .withColumn("rep", expr(
+            "replace(rep, concat(' ', bp, ' '), concat(' ', replace(bp, ' ', ''), ' '))"))
+          .drop("bp")
+      }
+      merges.result().reduce(_.union(_)).orderBy(col("rank"))
+    },
+
     "t_quality_yield" -> { (s, dir) =>
       // Filter-threshold YIELD CURVE: docs bucketed by an integer-exact
       // quality score (milli-points — pure integer division, so the
@@ -2473,6 +2514,40 @@ object TrainingData {
         |  md5(cleaned) AS clean_md5
         |FROM cl ORDER BY doc_id""".stripMargin,
     "t_freq_sketch" -> cmsOracleSql,
+    "t_bpe_merges" ->
+      // three unrolled BPE rounds; replace's non-overlapping left-to-right
+      // scan matches Spark's (and the classic fold) exactly
+      """WITH wc AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+        |w0 AS (SELECT w, c,
+        |  ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+        |          i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS rep
+        |  FROM wc),
+        |p0 AS (SELECT p, CAST(sum(c) AS BIGINT) AS weight FROM (
+        |    SELECT c, unnest(list_transform(generate_series(1, len(string_split(trim(rep), ' ')) - 1), i ->
+        |      string_split(trim(rep), ' ')[i] || ' ' || string_split(trim(rep), ' ')[i+1])) AS p
+        |    FROM w0) GROUP BY p),
+        |b0 AS (SELECT p, weight FROM p0 ORDER BY weight DESC, p LIMIT 1),
+        |w1 AS (SELECT w, c,
+        |  replace(rep, ' ' || b0.p || ' ', ' ' || replace(b0.p, ' ', '') || ' ') AS rep
+        |  FROM w0, b0),
+        |p1 AS (SELECT p, CAST(sum(c) AS BIGINT) AS weight FROM (
+        |    SELECT c, unnest(list_transform(generate_series(1, len(string_split(trim(rep), ' ')) - 1), i ->
+        |      string_split(trim(rep), ' ')[i] || ' ' || string_split(trim(rep), ' ')[i+1])) AS p
+        |    FROM w1) GROUP BY p),
+        |b1 AS (SELECT p, weight FROM p1 ORDER BY weight DESC, p LIMIT 1),
+        |w2 AS (SELECT w, c,
+        |  replace(rep, ' ' || b1.p || ' ', ' ' || replace(b1.p, ' ', '') || ' ') AS rep
+        |  FROM w1, b1),
+        |p2 AS (SELECT p, CAST(sum(c) AS BIGINT) AS weight FROM (
+        |    SELECT c, unnest(list_transform(generate_series(1, len(string_split(trim(rep), ' ')) - 1), i ->
+        |      string_split(trim(rep), ' ')[i] || ' ' || string_split(trim(rep), ' ')[i+1])) AS p
+        |    FROM w2) GROUP BY p),
+        |b2 AS (SELECT p, weight FROM p2 ORDER BY weight DESC, p LIMIT 1)
+        |SELECT 1 AS rank, p AS pair, replace(p, ' ', '') AS merged, weight FROM b0
+        |UNION ALL SELECT 2, p, replace(p, ' ', ''), weight FROM b1
+        |UNION ALL SELECT 3, p, replace(p, ' ', ''), weight FROM b2
+        |ORDER BY rank""".stripMargin,
     "t_quality_yield" ->
       """WITH sc AS (SELECT
         |  400 * least(length(text), 500) // 500
