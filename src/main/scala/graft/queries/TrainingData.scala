@@ -927,6 +927,38 @@ object TrainingData {
       merges.result().reduce(_.union(_)).orderBy(col("rank"))
     },
 
+    "t_bpe_apply" -> { (s, dir) =>
+      // APPLY the induced merges: every word re-encoded through the 3
+      // learned rules in rank order, reporting per-language symbol
+      // volume before/after and the compression the vocabulary bought —
+      // the second half of the tokenizer story (t_bpe_merges learns the
+      // rules; this is the corpus-wide encode pass, a pure map over
+      // words joined to a 3-row broadcast rule list).
+      val rules = queries("t_bpe_merges")(s, dir)
+        .select(col("rank"), col("pair"))
+      val ruleList = broadcast(rules.orderBy(col("rank"))
+        .agg(collect_list(col("pair")).as("ps")))
+      docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("rep", expr(
+          """concat(' ', concat_ws(' ',
+               transform(sequence(1, length(w)), i -> substr(w, i, 1))), ' ')"""))
+        .crossJoin(ruleList)
+        .withColumn("enc", expr(
+          """aggregate(ps, rep, (acc, p) ->
+               replace(acc, concat(' ', p, ' '), concat(' ', replace(p, ' ', ''), ' ')))"""))
+        .withColumn("before", size(split(trim(col("rep")), " ")).cast("long"))
+        .withColumn("after", size(split(trim(col("enc")), " ")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("words"),
+          sum(col("before")).as("symbols_before"),
+          sum(col("after")).as("symbols_after"))
+        .withColumn("saved_ratio",
+          (col("symbols_before") - col("symbols_after")).cast("double") /
+            col("symbols_before"))
+        .orderBy(col("lang"))
+    },
+
     "t_quality_yield" -> { (s, dir) =>
       // Filter-threshold YIELD CURVE: docs bucketed by an integer-exact
       // quality score (milli-points — pure integer division, so the
@@ -2514,6 +2546,53 @@ object TrainingData {
         |  md5(cleaned) AS clean_md5
         |FROM cl ORDER BY doc_id""".stripMargin,
     "t_freq_sketch" -> cmsOracleSql,
+    "t_bpe_apply" ->
+      // same induced rules (CTE prefix identical to t_bpe_merges), then
+      // the three replaces applied in rank order per token instance
+      """WITH wc AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+        |w0 AS (SELECT w, c,
+        |  ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+        |          i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS rep
+        |  FROM wc),
+        |p0 AS (SELECT p, CAST(sum(c) AS BIGINT) AS weight FROM (
+        |    SELECT c, unnest(list_transform(generate_series(1, len(string_split(trim(rep), ' ')) - 1), i ->
+        |      string_split(trim(rep), ' ')[i] || ' ' || string_split(trim(rep), ' ')[i+1])) AS p
+        |    FROM w0) GROUP BY p),
+        |b0 AS (SELECT p, weight FROM p0 ORDER BY weight DESC, p LIMIT 1),
+        |w1 AS (SELECT w, c,
+        |  replace(rep, ' ' || b0.p || ' ', ' ' || replace(b0.p, ' ', '') || ' ') AS rep
+        |  FROM w0, b0),
+        |p1 AS (SELECT p, CAST(sum(c) AS BIGINT) AS weight FROM (
+        |    SELECT c, unnest(list_transform(generate_series(1, len(string_split(trim(rep), ' ')) - 1), i ->
+        |      string_split(trim(rep), ' ')[i] || ' ' || string_split(trim(rep), ' ')[i+1])) AS p
+        |    FROM w1) GROUP BY p),
+        |b1 AS (SELECT p, weight FROM p1 ORDER BY weight DESC, p LIMIT 1),
+        |w2 AS (SELECT w, c,
+        |  replace(rep, ' ' || b1.p || ' ', ' ' || replace(b1.p, ' ', '') || ' ') AS rep
+        |  FROM w1, b1),
+        |p2 AS (SELECT p, CAST(sum(c) AS BIGINT) AS weight FROM (
+        |    SELECT c, unnest(list_transform(generate_series(1, len(string_split(trim(rep), ' ')) - 1), i ->
+        |      string_split(trim(rep), ' ')[i] || ' ' || string_split(trim(rep), ' ')[i+1])) AS p
+        |    FROM w2) GROUP BY p),
+        |b2 AS (SELECT p, weight FROM p2 ORDER BY weight DESC, p LIMIT 1),
+        |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |r AS (SELECT lang,
+        |  ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+        |          i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS rep
+        |  FROM tok),
+        |enc AS (SELECT lang, rep,
+        |  replace(replace(replace(rep,
+        |    ' ' || b0.p || ' ', ' ' || replace(b0.p, ' ', '') || ' '),
+        |    ' ' || b1.p || ' ', ' ' || replace(b1.p, ' ', '') || ' '),
+        |    ' ' || b2.p || ' ', ' ' || replace(b2.p, ' ', '') || ' ') AS e
+        |  FROM r, b0, b1, b2)
+        |SELECT lang, count(*) AS words,
+        |  CAST(sum(len(string_split(trim(rep), ' '))) AS BIGINT) AS symbols_before,
+        |  CAST(sum(len(string_split(trim(e), ' '))) AS BIGINT) AS symbols_after,
+        |  CAST(sum(len(string_split(trim(rep), ' '))) - sum(len(string_split(trim(e), ' '))) AS DOUBLE)
+        |    / sum(len(string_split(trim(rep), ' '))) AS saved_ratio
+        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin,
     "t_bpe_merges" ->
       // three unrolled BPE rounds; replace's non-overlapping left-to-right
       // scan matches Spark's (and the classic fold) exactly
