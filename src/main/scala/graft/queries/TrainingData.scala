@@ -934,10 +934,19 @@ object TrainingData {
       // the second half of the tokenizer story (t_bpe_merges learns the
       // rules; this is the corpus-wide encode pass, a pure map over
       // words joined to a 3-row broadcast rule list).
+      // collect_list gives NO cross-shuffle order guarantee, and rule 2
+      // can only fire after rule 1 created its symbol — sort INSIDE the
+      // aggregate by rank (array_sort on structs orders by first field),
+      // never rely on upstream orderBy surviving the aggregation
       val rules = queries("t_bpe_merges")(s, dir)
         .select(col("rank"), col("pair"))
-      val ruleList = broadcast(rules.orderBy(col("rank"))
-        .agg(collect_list(col("pair")).as("ps")))
+      val ruleList = broadcast(rules.agg(expr(
+        "transform(array_sort(collect_list(struct(rank, pair))), x -> x.pair)").as("ps")))
+      // the 3-row rule frame must be complete: a corpus too degenerate to
+      // yield every round's pair would silently diverge from the oracle's
+      // fixed b0->b1->b2 chain — fail loudly instead (bounded collect)
+      require(rules.count() == 3,
+        "t_bpe_apply: corpus yielded fewer than 3 BPE merge rules")
       docs(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .withColumn("rep", expr(
@@ -1305,7 +1314,7 @@ object TrainingData {
       docs(s, dir)
         .withColumn("hx", expr(
           "md5(CASE WHEN doc_id % 10 = 7 THEN 'dup-seed' ELSE text END)"))
-        .withColumn("ph", expr("substr(repeat(hx, 6), 1, 192)"))
+        .withColumn("ph", expr("repeat(hx, 6)")) // 6 x 32-char md5 = exactly 192 hex
         .withColumn("payload", expr(
           """concat(encode('P6\n8 4\n255\n', 'utf-8'), unhex(ph))"""))
         .withColumn("dhash", graft.spark.PpmDHash(col("payload")))
@@ -1360,12 +1369,16 @@ object TrainingData {
       // hash-blocked (equi-join on fhash), never all-pairs.
       def frame(f: Int): String =
         s"""concat(encode('P6\\n8 4\\n255\\n', 'utf-8'),
-              unhex(substr(repeat(md5(concat(
+              unhex(repeat(md5(concat(
                 CASE WHEN doc_id % 10 = 3 AND $f < 2 THEN 'shared-clip' ELSE text END,
-                ':', '$f')), 6), 1, 192)))"""
-      val v = docs(s, dir)
+                ':', '$f')), 6)))"""
+      // materialized: v feeds both sides of the pair self-join AND the
+      // final partner join — without it the payload synthesis + native
+      // per-frame decode would run three times per corpus scan
+      val v = materialize(docs(s, dir)
         .withColumn("payload", expr(s"concat(${frame(0)}, ${frame(1)}, ${frame(2)})"))
-        .select(col("doc_id"), graft.spark.PpmFrameDHashes(col("payload")).as("fh"))
+        .select(col("doc_id"), graft.spark.PpmFrameDHashes(col("payload")).as("fh")),
+        "videodup_hashes")
       val e = v.select(col("doc_id"), explode(col("fh")).as("fhash")).distinct()
       val pairs = e.join(
           e.select(col("doc_id").as("doc_b"), col("fhash")), Seq("fhash"))
@@ -2881,7 +2894,7 @@ object TrainingData {
       // DuckDB's list_reduce seeds with the first element, which equals
       // Spark's 0-seeded fold here (0*131 + b0 = b0).
       """WITH d AS (SELECT doc_id,
-        |  substr(repeat(md5(CASE WHEN doc_id % 10 = 7 THEN 'dup-seed' ELSE text END), 6), 1, 192) AS ph
+        |  repeat(md5(CASE WHEN doc_id % 10 = 7 THEN 'dup-seed' ELSE text END), 6) AS ph
         |  FROM documents),
         |lums AS (SELECT doc_id, ph,
         |  flatten(list_transform(generate_series(0, 3), y ->

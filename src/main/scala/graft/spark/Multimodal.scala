@@ -137,6 +137,26 @@ object PpmDecode {
     Header(w, h, maxval, p, channels)
   }
 
+  /** Iterate a multi-frame container's back-to-back frames, calling `f`
+    * with each parsed header and its frame index. ONE walk shared by the
+    * frame-sampling and frame-hashing expressions (duplicated loops had
+    * started to accumulate); returns the frame count, or -1 when any
+    * frame is malformed or the container holds none — both void the row.
+    */
+  private[spark] def foreachFrame(bytes: Array[Byte])(f: (Header, Int) => Unit): Int = {
+    if (bytes == null) return -1
+    var pos = 0
+    var frames = 0
+    while (pos < bytes.length) {
+      val hd = parseHeader(bytes, pos)
+      if (hd == null) return -1
+      f(hd, frames)
+      frames += 1
+      pos = hd.planeStart + hd.width * hd.height * hd.channels
+    }
+    if (frames == 0) -1 else frames
+  }
+
   /** Decode a P6 PPM payload; null for anything malformed. Kept
     * allocation-light: one pass over the pixel bytes, no intermediate
     * buffers.
@@ -286,17 +306,11 @@ object PpmFrameDHashes {
     GraftCatalystBridge.column(PpmFrameDHashes(GraftCatalystBridge.expression(payload)))
 
   def hashes(bytes: Array[Byte]): GenericArrayData = {
-    if (bytes == null) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var pos = 0
-    while (pos < bytes.length) {
-      val hd = PpmDecode.parseHeader(bytes, pos)
-      if (hd == null) return null // malformed frame voids the row
+    val n = PpmDecode.foreachFrame(bytes) { (hd, _) =>
       out += PpmDHash.dhashFrame(bytes, hd)
-      pos = hd.planeStart + hd.width * hd.height * hd.channels
     }
-    if (out.isEmpty) return null
-    new GenericArrayData(out.toArray)
+    if (n < 0) null else new GenericArrayData(out.toArray)
   }
 }
 
@@ -435,20 +449,14 @@ object PpmFrameSample {
     GraftCatalystBridge.column(PpmFrameSample(GraftCatalystBridge.expression(payload), stride))
 
   def sample(bytes: Array[Byte], stride: Int): InternalRow = {
-    if (bytes == null) return null
-    var pos = 0
-    var frames = 0
     var sampled = 0
     var sum = 0L
     var acc = 0L
-    while (pos < bytes.length) {
-      val hd = PpmDecode.parseHeader(bytes, pos)
-      if (hd == null) return null // malformed frame voids the row
-      val n = hd.width * hd.height * hd.channels
-      if (frames % stride == 0) {
+    val frames = PpmDecode.foreachFrame(bytes) { (hd, idx) =>
+      if (idx % stride == 0) {
         sampled += 1
         var i = hd.planeStart
-        val end = hd.planeStart + n
+        val end = hd.planeStart + hd.width * hd.height * hd.channels
         while (i < end) {
           val v = bytes(i) & 0xff
           sum += v
@@ -456,10 +464,8 @@ object PpmFrameSample {
           i += 1
         }
       }
-      frames += 1
-      pos = hd.planeStart + n
     }
-    if (frames == 0) return null
+    if (frames < 0) return null
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](frames, sampled, sum, acc))
   }
@@ -538,7 +544,19 @@ object WavDecode {
     * unsigned width-sized words so it is independent of sign
     * interpretation.
     */
-  def decode(bytes: Array[Byte]): InternalRow = {
+  /** Validated PCM payload: format fields plus the data plane bounds.
+    * ONE chunk-walk shared by decode and fingerprint — two copies of the
+    * RIFF loop had already drifted once (the fingerprint dropped the
+    * channel validations), which is exactly the bug class a single
+    * parser removes.
+    */
+  private[spark] final case class Pcm(channels: Int, rate: Int, bits: Int,
+      body: Int, nSamples: Int)
+
+  /** Walk the RIFF chunks; null unless a valid fmt chunk precedes a data
+    * chunk (fmtCode 1, channels > 0, rate > 0, bits 8/16, sample count a
+    * channel multiple). */
+  private[spark] def locatePcm(bytes: Array[Byte]): Pcm = {
     if (bytes == null || bytes.length < 12) return null
     if (!tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return null
     var p = 12
@@ -564,33 +582,41 @@ object WavDecode {
         val bytesPerSample = bits / 8
         val n = size / bytesPerSample
         if (n % channels != 0) return null
-        var sum = 0L
-        var acc = 0L
-        var peak = 0
-        var i = 0
-        val ni = n.toInt
-        while (i < ni) {
-          var raw = 0
-          var v = 0
-          if (bits == 8) {
-            raw = bytes(body + i) & 0xff
-            v = raw - 128
-          } else {
-            raw = le16(bytes, body + 2 * i)
-            v = raw.toShort.toInt
-          }
-          sum += v
-          if (v < 0) { if (-v > peak) peak = -v } else if (v > peak) peak = v
-          acc = (acc * 31 + raw) % Mod
-          i += 1
-        }
-        return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](channels, rate, bits, n / channels, sum, acc, peak))
+        return Pcm(channels, rate, bits, body, n.toInt)
       }
       // RIFF chunks are word-aligned: odd sizes carry one pad byte
       p = body + size.toInt + (size.toInt & 1)
     }
     null // no data chunk
+  }
+
+  def decode(bytes: Array[Byte]): InternalRow = {
+    val pcm = locatePcm(bytes)
+    if (pcm == null) return null
+    val bits = pcm.bits
+    val body = pcm.body
+    var sum = 0L
+    var acc = 0L
+    var peak = 0
+    var i = 0
+    val ni = pcm.nSamples
+    while (i < ni) {
+      var raw = 0
+      var v = 0
+      if (bits == 8) {
+        raw = bytes(body + i) & 0xff
+        v = raw - 128
+      } else {
+        raw = le16(bytes, body + 2 * i)
+        v = raw.toShort.toInt
+      }
+      sum += v
+      if (v < 0) { if (-v > peak) peak = -v } else if (v > peak) peak = v
+      acc = (acc * 31 + raw) % Mod
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](pcm.channels, pcm.rate, bits, ni.toLong / pcm.channels, sum, acc, peak))
   }
 }
 
@@ -599,8 +625,11 @@ object WavDecode {
   * next), folded into a modular accumulator. A positive gain change
   * rescales every sample but preserves every delta sign, so re-levelled
   * copies of a clip collide — the property an audio-dedup pass wants —
-  * while different waveforms diverge. Zero/one-sample clips fingerprint
-  * to 0. Null on malformed payloads; native codegen, no UDF.
+  * while different waveforms diverge. Multichannel clips fold the
+  * INTERLEAVED sample stream (channel layout is part of the identity: a
+  * mono clip and its stereo duplication are different payloads and hash
+  * differently, by design). Zero/one-sample clips fingerprint to 0.
+  * Null on malformed payloads; native codegen, no UDF.
   */
 case class WavFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -638,40 +667,25 @@ object WavFingerprint {
     GraftCatalystBridge.column(WavFingerprint(GraftCatalystBridge.expression(payload)))
 
   def fingerprint(bytes: Array[Byte]): java.lang.Long = {
-    if (bytes == null || bytes.length < 12) return null
-    if (!WavDecode.tag(bytes, 0, "RIFF") || !WavDecode.tag(bytes, 8, "WAVE")) return null
-    var p = 12
-    var bits = 0
-    var haveFmt = false
-    while (p + 8 <= bytes.length) {
-      val size = WavDecode.le32(bytes, p + 4)
-      val body = p + 8
-      if (size < 0 || size > bytes.length - body) return null
-      if (WavDecode.tag(bytes, p, "fmt ")) {
-        if (size < 16) return null
-        val fmtCode = WavDecode.le16(bytes, body)
-        bits = WavDecode.le16(bytes, body + 14)
-        if (fmtCode != 1 || (bits != 8 && bits != 16)) return null
-        haveFmt = true
-      } else if (WavDecode.tag(bytes, p, "data")) {
-        if (!haveFmt) return null
-        val bytesPerSample = bits / 8
-        val n = (size / bytesPerSample).toInt
-        var acc = 0L
-        var prev = 0
-        var i = 0
-        while (i < n) {
-          val v =
-            if (bits == 8) (bytes(body + i) & 0xff) - 128
-            else WavDecode.le16(bytes, body + 2 * i).toShort.toInt
-          if (i > 0) acc = (acc * 131 + (if (prev < v) 1 else 0)) % Mod
-          prev = v
-          i += 1
-        }
-        return java.lang.Long.valueOf(acc)
-      }
-      p = body + size.toInt + (size.toInt & 1)
+    // ONE parser (WavDecode.locatePcm) for both expressions — the same
+    // payloads must be malformed to both, incl. the channel validations
+    // an earlier hand-rolled copy of the chunk walk had dropped
+    val pcm = WavDecode.locatePcm(bytes)
+    if (pcm == null) return null
+    val bits = pcm.bits
+    val body = pcm.body
+    val n = pcm.nSamples
+    var acc = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val v =
+        if (bits == 8) (bytes(body + i) & 0xff) - 128
+        else WavDecode.le16(bytes, body + 2 * i).toShort.toInt
+      if (i > 0) acc = (acc * 131 + (if (prev < v) 1 else 0)) % Mod
+      prev = v
+      i += 1
     }
-    null // no data chunk
+    java.lang.Long.valueOf(acc)
   }
 }
