@@ -211,6 +211,28 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    "q_setops_all" -> { (s, dir) =>
+      // BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): supplier-key
+      // multisets of two shipment years — multiplicity math (min of
+      // counts / count differences), which the DISTINCT variants in
+      // q_setops_customers cannot express. Both plan as hash-aggregated
+      // multiplicity joins, no row-by-row dedup.
+      val l = t(s, dir, "lineitem")
+      def bag(y: Int) = l
+        .filter(col("l_shipdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("l_suppkey"))
+      val ia = bag(1996).intersectAll(bag(1997))
+      val ea = bag(1996).exceptAll(bag(1997))
+      ea.agg(count(lit(1)).as("n"), countDistinct(col("l_suppkey")).as("keys"))
+        .withColumn("setop", lit("except_all"))
+        .unionByName(ia.agg(count(lit(1)).as("n"),
+          countDistinct(col("l_suppkey")).as("keys"))
+          .withColumn("setop", lit("intersect_all")))
+        .select(col("setop"), col("n"), col("keys"))
+        .orderBy(col("setop"))
+    },
+
     "q_window_range_frame" -> { (s, dir) =>
       // RANGE (value-bounded) window frame — the sliding-lookback shape
       // rowsBetween cannot express: for every event, activity within the
@@ -538,6 +560,17 @@ object Relational {
         |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_setops_all" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |b AS (SELECT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        |ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT 'except_all' AS setop, count(*) AS n, count(DISTINCT l_suppkey) AS keys FROM ea
+        |UNION ALL
+        |SELECT 'intersect_all', count(*), count(DISTINCT l_suppkey) FROM ia
+        |ORDER BY setop""".stripMargin,
     "q_window_range_frame" ->
       """SELECT event_id, event_type,
         |  count(*) OVER w AS n_1h,
