@@ -1678,6 +1678,128 @@ object TrainingData {
         .select(col("lang"), col("w").as("term"), col("tf"), col("df"),
           col("weight_micro"), col("rank"))
         .orderBy(col("lang"), col("rank"))
+    },
+
+    "s_embedding_pca" -> { (s, dir) =>
+      // PCA preparation over the embedding corpus: the exact (mean-centered)
+      // covariance + correlation structure of the 64 dims, computed in ONE
+      // pass. Scale shape: the per-dim sums are a d-cell aggregate broadcast
+      // back (O(d) rows); each vector then expands MAP-SIDE into its
+      // d(d+1)/2 upper-triangle products (no self-join, no corpus-keyed
+      // shuffle), and partial aggregation collapses them to a d²-bounded
+      // cell frame before the only exchange. Centering uses the exact
+      // integer n-scaling trick (dd = q·n − Σq, all decimal), so the
+      // accumulated covariance numerators are bit-exact cross-engine; the
+      // final cast to double and the correlation floor(·1e6) are IEEE
+      // correctly-rounded ops (sqrt, divide) — deterministic everywhere.
+      // On a real cluster the driver eigendecomposes the returned d×d
+      // matrix (O(d³), trivially driver-sized) to get the loadings.
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .select(col("vec_id"), col("q"))
+      val sums = e.select(posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(sum(col("x")).as("sx"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, sx))), p -> p.sx)")
+            .as("sxarr"),
+          lit(1L).as("one"))
+      val n = e.agg(count(lit(1)).as("n"), lit(1L).as("one"))
+      val cells = e.crossJoin(broadcast(sums.join(n, "one")))
+        .withColumn("dd", expr(
+          """zip_with(q, sxarr, (x, sx) -> cast(
+               cast(x as decimal(19,0)) * cast(n as decimal(19,0)) - cast(sx as decimal(19,0))
+             as decimal(19,0)))"""))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(dd)), i ->
+               transform(sequence(i, size(dd)), j -> named_struct(
+                 'i', i - 1, 'j', j - 1,
+                 'p', element_at(dd, i) * element_at(dd, j)))))""")).as("c"))
+        .groupBy(col("c.i").as("pos_i"), col("c.j").as("pos_j"))
+        .agg(sum(col("c.p")).as("covn"))
+      val diag = cells.filter(col("pos_i") === col("pos_j"))
+        .select(col("pos_i").as("dpos"), col("covn").as("varn"))
+      cells
+        .join(broadcast(diag).withColumnRenamed("dpos", "pos_i")
+          .withColumnRenamed("varn", "var_i"), Seq("pos_i"))
+        .join(broadcast(diag).withColumnRenamed("dpos", "pos_j")
+          .withColumnRenamed("varn", "var_j"), Seq("pos_j"))
+        .withColumn("cov", col("covn").cast("double"))
+        .withColumn("corr_micro", expr(
+          """cast(floor(cast(covn as double) /
+               (sqrt(cast(var_i as double)) * sqrt(cast(var_j as double))) * 1000000) as bigint)"""))
+        .select(col("pos_i"), col("pos_j"), col("cov"), col("corr_micro"))
+        .orderBy(col("pos_i"), col("pos_j"))
+    },
+
+    "d_decontam_bloom" -> { (s, dir) =>
+      // Bloom-filter decontamination — the 100 TB shape of the eval-leakage
+      // scan: the EVAL side (doc_id % 97 = 0, the held-out slice) is folded
+      // into an m=8192-bit / k=3 Bloom filter whose SET POSITIONS are a tiny
+      // table (≤ 3·|eval grams| rows ≤ m), broadcast to every executor; the
+      // TRAIN corpus then streams through in one map pass, each 4-gram
+      // probing the bloom (hit = all 3 positions set — a broadcast hash
+      // join, no corpus shuffle on text). Only the bloom-POSITIVE residue
+      // (tiny) pays the exact confirm join against the real eval gram set,
+      // which prices the filter's false positives explicitly per doc.
+      // Position hash = the portable md5-nibble fold % 8192, seeded 'bf<j>:'.
+      val m = 8192
+      def bfPos(j: Int, g: String): String =
+        s"""pmod(aggregate(transform(sequence(1, 15),
+              i -> cast(instr('0123456789abcdef',
+                     substr(md5(concat('bf$j:', $g)), i, 1)) - 1 as bigint)),
+            cast(0 as bigint), (a, x) -> a * 16 + x), $m)"""
+      val d = docs(s, dir).withColumn("w", split(col("text"), " "))
+      val grams = d.withColumn("g", explode(expr(
+        """CASE WHEN size(w) >= 4
+             THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
+             ELSE array() END""")))
+        .select(col("doc_id"), col("g"))
+      val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      val bloom = evalG
+        .select(explode(expr(s"""array(${bfPos(0, "g")}, ${bfPos(1, "g")}, ${bfPos(2, "g")})""")).as("bpos"))
+        .distinct()
+      val trainG = grams.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"), col("g")).distinct()
+      val probed = trainG
+        .withColumn("bpos", explode(expr(
+          s"""array(${bfPos(0, "g")}, ${bfPos(1, "g")}, ${bfPos(2, "g")})""")))
+        .join(broadcast(bloom.withColumn("hit", lit(1L))), Seq("bpos"), "left")
+        .groupBy(col("train_id"), col("g"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) === 3L).as("bloom_pos"))
+      val confirmed = probed.filter(col("bloom_pos"))
+        .join(evalG.withColumn("exact", lit(1L)), Seq("g"), "left")
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("bloom_pos_grams"),
+          sum(coalesce(col("exact"), lit(0L))).as("exact_hit_grams"))
+      confirmed
+        .withColumn("false_pos_grams", col("bloom_pos_grams") - col("exact_hit_grams"))
+        .select(col("train_id"), col("bloom_pos_grams"), col("exact_hit_grams"),
+          col("false_pos_grams"))
+        .orderBy(col("train_id"))
+    },
+
+    "t_token_entropy" -> { (s, dir) =>
+      // per-document token-distribution Shannon entropy — the "how
+      // template-like is this doc" signal quality filters threshold on
+      // (near-zero entropy = boilerplate/spam, high = natural text).
+      // Each term's −p·ln p contribution is quantized to integer micro-nats
+      // BEFORE the per-doc sum (the t_tfidf_topk convention), so the
+      // aggregate is an order-independent integer sum — no float fold, no
+      // engine drift. Plan: one corpus-keyed agg to (doc, term) counts, a
+      // window sum for the doc totals (same partitioning — no extra
+      // exchange), one agg back to doc grain. All corpus-linear.
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val counts = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val wn = Window.partitionBy(col("doc_id"))
+      counts
+        .withColumn("n", sum(col("c")).over(wn))
+        .withColumn("term_micro", expr(
+          """cast(floor((cast(c as double) / cast(n as double)) *
+               ln(cast(n as double) / cast(c as double)) * 1000000) as bigint)"""))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_tokens"),
+          count(lit(1)).as("distinct_tokens"),
+          sum(col("term_micro")).as("entropy_micro_nats"))
+        .orderBy(col("doc_id"))
     })
 
   /** Connected components over the confirmed near-dup pairs (same blocking +
@@ -2998,5 +3120,73 @@ object TrainingData {
         |  CAST(list_sum(allvals) AS BIGINT) AS pix_sum,
         |  CAST(list_reduce(list_prepend(0, allvals),
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS pix_checksum
-        |FROM agg ORDER BY doc_id""".stripMargin)
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "s_embedding_pca" ->
+      """WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS x,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |sums AS (SELECT pos, CAST(sum(x) AS BIGINT) AS sx FROM t GROUP BY pos),
+        |dd AS (SELECT t.vec_id, t.pos,
+        |         CAST(t.x * nn.n - s.sx AS HUGEINT) AS dd
+        |       FROM t JOIN sums s ON s.pos = t.pos CROSS JOIN nn),
+        |cells AS (SELECT a.pos - 1 AS pos_i, b.pos - 1 AS pos_j,
+        |            sum(a.dd * b.dd) AS covn
+        |          FROM dd a JOIN dd b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |          GROUP BY 1, 2),
+        |diag AS (SELECT pos_i AS dpos, covn AS varn FROM cells WHERE pos_i = pos_j)
+        |SELECT c.pos_i, c.pos_j, CAST(c.covn AS DOUBLE) AS cov,
+        |  CAST(floor(CAST(c.covn AS DOUBLE) /
+        |    (sqrt(CAST(di.varn AS DOUBLE)) * sqrt(CAST(dj.varn AS DOUBLE))) * 1000000) AS BIGINT) AS corr_micro
+        |FROM cells c
+        |JOIN diag di ON di.dpos = c.pos_i
+        |JOIN diag dj ON dj.dpos = c.pos_j
+        |ORDER BY pos_i, pos_j""".stripMargin,
+
+    "d_decontam_bloom" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+        |         THEN list_transform(generate_series(1, len(ws)-3),
+        |                i -> array_to_string(ws[i:i+3], ' '))
+        |         ELSE [] END AS gs FROM w),
+        |g AS (SELECT doc_id, unnest(gs) AS gr FROM g0),
+        |ev AS (SELECT DISTINCT gr FROM g WHERE doc_id % 97 = 0),
+        |js AS (SELECT unnest(generate_series(0, 2)) AS j),
+        |evpos AS (SELECT DISTINCT
+        |    list_reduce(list_transform(generate_series(1, 15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('bf' || CAST(j AS VARCHAR) || ':' || gr), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) % 8192 AS bpos
+        |  FROM ev, js),
+        |tr AS (SELECT DISTINCT doc_id AS train_id, gr FROM g WHERE doc_id % 97 <> 0),
+        |trpos AS (SELECT train_id, gr, j,
+        |    list_reduce(list_transform(generate_series(1, 15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('bf' || CAST(j AS VARCHAR) || ':' || gr), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) % 8192 AS bpos
+        |  FROM tr, js),
+        |probed AS (SELECT p.train_id, p.gr,
+        |    sum(CASE WHEN e.bpos IS NOT NULL THEN 1 ELSE 0 END) = 3 AS bloom_pos
+        |  FROM trpos p LEFT JOIN evpos e ON e.bpos = p.bpos
+        |  GROUP BY 1, 2)
+        |SELECT p.train_id,
+        |  CAST(count(*) AS BIGINT) AS bloom_pos_grams,
+        |  CAST(sum(CASE WHEN ev.gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hit_grams,
+        |  CAST(count(*) - sum(CASE WHEN ev.gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_grams
+        |FROM probed p LEFT JOIN ev ON ev.gr = p.gr
+        |WHERE p.bloom_pos
+        |GROUP BY p.train_id ORDER BY p.train_id""".stripMargin,
+
+    "t_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |wc AS (SELECT doc_id, w, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts)
+        |SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |  CAST(sum(CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS entropy_micro_nats
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

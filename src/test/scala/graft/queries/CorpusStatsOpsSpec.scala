@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + scale-shape guards for the corpus-statistics ops added on
+  * top of the dedup/ANN families:
+  *
+  *  - s_embedding_pca: exact covariance/correlation prep — the d(d+1)/2
+  *    upper triangle comes back complete, diagonal correlation is 1 (up to
+  *    the floor quantization), off-diagonals live in [-1, 1], and the plan
+  *    never shuffles on vec_id (the pair expansion is map-side; only the
+  *    d²-bounded cell frame is exchanged).
+  *  - d_decontam_bloom: the Bloom pass can false-POSITIVE but never
+  *    false-NEGATIVE — every exactly-contaminated (train doc, gram) pair
+  *    must be bloom-positive, and the per-doc exact counts must equal an
+  *    independently computed join.
+  *  - t_token_entropy: zero for single-token docs, ln(k) for uniform
+  *    k-token docs (micro-nat quantized), and always in [0, ln(distinct)].
+  */
+class CorpusStatsOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("s_embedding_pca: full upper triangle, bounded correlations, no corpus shuffle") {
+    val df = TrainingData.queries("s_embedding_pca")(spark, sf)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("CartesianProduct"), "pair expansion fell back to a Cartesian")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "covariance plan shuffles on vec_id — the pair expansion must be map-side")
+    val rows = df.collect()
+    val d = 64
+    assert(rows.length == d * (d + 1) / 2, s"expected ${d * (d + 1) / 2} cells, got ${rows.length}")
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val corr = r.getLong(3)
+      assert(i <= j, s"lower-triangle cell ($i,$j) leaked out")
+      if (i == j) {
+        assert(corr >= 999998L && corr <= 1000000L,
+          s"diagonal corr_micro($i,$i) = $corr not ~1e6")
+        assert(r.getDouble(2) > 0.0, s"variance($i) not positive")
+      } else
+        assert(math.abs(corr) <= 1000000L, s"corr_micro($i,$j) = $corr out of [-1,1]")
+    }
+    // symmetric sanity: cov(i,j) equals cov(j,i) by construction (only one
+    // triangle is emitted), so check a couple of cells against a direct
+    // computation over the quantized vectors
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("q", expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint))"))
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    val n = q.length.toLong
+    def covn(i: Int, j: Int): Double = {
+      val si = q.map(_(i)).sum; val sj = q.map(_(j)).sum
+      q.map(v => BigInt(v(i) * n - si) * BigInt(v(j) * n - sj)).sum.toDouble
+    }
+    val got = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got((0, 0)) == covn(0, 0), "cov(0,0) mismatch vs direct computation")
+    assert(got((0, 1)) == covn(0, 1), "cov(0,1) mismatch vs direct computation")
+    assert(got((3, 17)) == covn(3, 17), "cov(3,17) mismatch vs direct computation")
+  }
+
+  test("d_decontam_bloom: no false negatives, exact counts match an independent join") {
+    val rows = TrainingData.queries("d_decontam_bloom")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bp, ex, fp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ex <= bp, s"doc ${r.getLong(0)}: exact $ex > bloom-positive $bp")
+      assert(fp == bp - ex && fp >= 0L)
+    }
+    // independent exact contamination count per train doc (plain join,
+    // no bloom): every such doc/count must appear with exact_hit_grams equal
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("g", explode(expr(
+        """CASE WHEN size(w) >= 4
+             THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
+             ELSE array() END""")))
+      .select(col("doc_id"), col("g"))
+    val ev = d.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val exact = d.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"), col("g")).distinct()
+      .join(ev, Seq("g")).groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    exact.foreach { case (id, hits) =>
+      assert(got.getOrElse(id, 0L) == hits,
+        s"doc $id: bloom path reports ${got.getOrElse(id, 0L)} exact hits, join says $hits")
+    }
+    assert(exact.nonEmpty, "no contaminated docs at all — vacuous corpus")
+  }
+
+  test("t_token_entropy: analytic values on a controlled corpus, bounds on the real one") {
+    import spark.implicits._
+    val tmp = "/tmp/graft-test/entropy-ctl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    Seq(
+      (1L, "spam spam spam spam spam spam", "s", "en", 6L), // 1 type -> 0
+      (2L, "a b c d", "s", "en", 4L), // uniform 4 -> ln 4
+      (3L, "x x y y", "s", "en", 4L)) // uniform 2 -> ln 2
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ctl = TrainingData.queries("t_token_entropy")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ctl(1L) == 0L, s"single-type doc entropy ${ctl(1L)} != 0")
+    val ln4 = (math.log(4.0) * 1e6).toLong
+    val ln2 = (math.log(2.0) * 1e6).toLong
+    assert(math.abs(ctl(2L) - ln4) <= 4, s"uniform-4 entropy ${ctl(2L)} != ~$ln4")
+    assert(math.abs(ctl(3L) - ln2) <= 2, s"uniform-2 entropy ${ctl(3L)} != ~$ln2")
+
+    val rows = TrainingData.queries("t_token_entropy")(spark, sf).collect()
+    assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.foreach { r =>
+      val (n, k, e) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k <= n)
+      assert(e >= 0L, s"doc ${r.getLong(0)}: negative entropy $e")
+      // per-term floors only shave, so ln(k) (+1 micro-nat slack per term)
+      // upper-bounds the quantized sum
+      assert(e <= (math.log(k.toDouble) * 1e6).toLong + k,
+        s"doc ${r.getLong(0)}: entropy $e above ln(distinct)=ln($k)")
+    }
+  }
+}
