@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object Streaming {
 
   // lazy: statefulQueries is declared later in the file
-  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = statefulQueries ++ Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    statefulQueries ++ slidingQueries ++ Map(
     "s_stream_hourly" -> { (s, dir) =>
       val name = "graft_stream_hourly"
       s.streams.active.filter(q => q.name == name).foreach(_.stop())
@@ -225,7 +226,44 @@ object Streaming {
       s.table(name).orderBy(col("user_id"))
     })
 
+  private val slidingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_stream_sliding" -> { (s, dir) =>
+      // SLIDING (overlapping) event-time windows — the rolling-rate shape a
+      // live ingest dashboard wants (2 h of context refreshed every hour),
+      // where tumbling windows would jitter at the boundaries. Each event
+      // lands in exactly size/slide = 2 windows; Spark's state is one row
+      // per OPEN (window, type) pair — watermark-bounded, independent of
+      // history length, so the 100 TB story is the same as tumbling: state
+      // O(open windows), throughput one map + windowed agg. complete-mode
+      // memory-sink drain keeps the result deterministic for the oracle.
+      val name = "graft_stream_sliding"
+      s.streams.active.filter(q => q.name == name).foreach(_.stop())
+      val gdir = graft.Tables.graftDir(s, dir, "events")
+      val staticSchema = s.read.format("graft").load(gdir).schema
+      val stream = s.readStream.format("graft").schema(staticSchema).load(gdir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total_value"))
+      val q = stream.writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name).orderBy(col("win_start"), col("event_type"))
+    })
+
   val oracles: Map[String, String] = Map(
+    "s_stream_sliding" ->
+      // every event contributes to the two hour-aligned 2 h windows that
+      // cover it: starts date_trunc(hour, ts) and one hour earlier
+      """SELECT win_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+        |FROM (SELECT date_trunc('hour', ts) - unnest(ARRAY[0, 1]) * INTERVAL 1 HOUR AS win_start,
+        |        event_type, value
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "s_stream_join" ->
       // the batch equivalent of the drained stream-stream interval join
       """SELECT p.event_id AS purchase_id, count(*) AS n_views,

@@ -322,4 +322,29 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(legacy.t == GraftStreamOffset.LegacyT)
     assert(legacy.names == Seq("/a/b.graft", "/a/c.graft"))
   }
+
+  test("s_stream_sliding: every event lands in exactly size/slide = 2 windows") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Streaming.queries("s_stream_sliding")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == 2 * nEvents,
+      "overlapping-window multiplicity broken: total window membership != 2x events")
+    // consecutive windows overlap: a 2h window starting at t shares its
+    // second hour with the window starting at t+1h, so each window's count
+    // equals the sum of its two tumbling hour cells
+    val hourly = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("hn"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val t0 = r.getTimestamp(0).getTime
+      val et = r.getString(1)
+      val expect = hourly.getOrElse((t0, et), 0L) + hourly.getOrElse((t0 + 3600000L, et), 0L)
+      assert(r.getLong(2) == expect,
+        s"window($t0, $et): ${r.getLong(2)} != hour cells sum $expect")
+    }
+  }
 }
