@@ -66,6 +66,7 @@ object Bench {
     "s_ann_lsh", "s_ann_ivf", "s_embedding_pq", "s_ann_ivfpq",
     "t_token_stats", "t_fingerprint", "t_lm_score",
     "t_quality_score", "t_language_id", "t_freq_sketch", "t_clean_text",
+    "s_embedding_pca", "d_decontam_bloom", "t_token_entropy",
     "q_skew_distinct", "m_multimodal_meta", "m_multimodal_decode",
     "m_multimodal_resize", "m_multimodal_framesample",
     // timed maintenance + snapshot operations (custom timers, not

@@ -1776,6 +1776,38 @@ object TrainingData {
         .orderBy(col("train_id"))
     },
 
+    "t_profile_columns" -> { (s, dir) =>
+      // ANALYZE-style column profiler — the first pass any pipeline runs on
+      // an unfamiliar corpus drop: per column the null count, exact distinct
+      // cardinality, min/max, and mean serialized width. ONE scan: all 5
+      // columns' stats are computed in a single wide aggregate (Spark plans
+      // the multi-distinct via Expand — input ×5, still linear, no
+      // per-column re-scan), then pivoted long via stack. The 100 TB cost
+      // is the distinct shuffle, whose keys are the columns' own value
+      // domains; swap countDistinct for the KMV sketch (t_distinct_sketch)
+      // when estimates suffice.
+      val d = docs(s, dir)
+      val colsP = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggsP = colsP.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"),
+          sum(length(col(c).cast("string")).cast("long")).as(s"${c}_len"))
+      } :+ count(lit(1)).as("n_rows")
+      val stackArgs = colsP.map(c =>
+        s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max, ${c}_len").mkString(", ")
+      d.agg(aggsP.head, aggsP.tail: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${colsP.size}, $stackArgs) as (col_name, null_count, n_distinct, min_val, max_val, sum_len)"))
+        .select(col("col_name"), col("null_count"), col("n_distinct"),
+          col("min_val"), col("max_val"),
+          when(col("n_rows") > col("null_count"),
+            expr("(sum_len * 1000000L) div (n_rows - null_count)").cast("long"))
+            .otherwise(lit(0L)).as("avg_len_micro"))
+        .orderBy(col("col_name"))
+    },
+
     "t_token_entropy" -> { (s, dir) =>
       // per-document token-distribution Shannon entropy — the "how
       // template-like is this doc" signal quality filters threshold on
@@ -3178,6 +3210,32 @@ object TrainingData {
         |FROM probed p LEFT JOIN ev ON ev.gr = p.gr
         |WHERE p.bloom_pos
         |GROUP BY p.train_id ORDER BY p.train_id""".stripMargin,
+
+    "t_profile_columns" ->
+      """WITH base AS (SELECT count(*) AS n_rows FROM documents),
+        |p AS (
+        |  SELECT 'doc_id' AS col_name, count(*) - count(doc_id) AS null_count,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val,
+        |    sum(length(CAST(doc_id AS VARCHAR))) AS sum_len, count(doc_id) AS nonnull
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*) - count(text), count(DISTINCT text),
+        |    min(text), max(text), sum(length(text)), count(text) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+        |    min(lang), max(lang), sum(length(lang)), count(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*) - count(source), count(DISTINCT source),
+        |    min(source), max(source), sum(length(source)), count(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+        |    sum(length(CAST(n_chars AS VARCHAR))), count(n_chars) FROM documents)
+        |SELECT col_name, CAST(null_count AS BIGINT) AS null_count,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val,
+        |  CAST(CASE WHEN nonnull > 0 THEN (sum_len * 1000000) // nonnull ELSE 0 END AS BIGINT) AS avg_len_micro
+        |FROM p ORDER BY col_name""".stripMargin,
 
     "t_token_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -98,6 +98,36 @@ class CorpusStatsOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "no contaminated docs at all — vacuous corpus")
   }
 
+  test("t_profile_columns: one row per column, nulls counted, widths exact") {
+    import spark.implicits._
+    val tmp = "/tmp/graft-test/profile-ctl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    Seq(
+      (1L, Some("ab"), Some("en"), "s1", 2L),
+      (2L, None, Some("en"), "s1", 0L),
+      (3L, Some("wxyz"), None, "s2", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val prof = TrainingData.queries("t_profile_columns")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 5)
+    assert(prof("text").getLong(1) == 1L && prof("lang").getLong(1) == 1L)
+    assert(prof("doc_id").getLong(1) == 0L)
+    assert(prof("text").getLong(2) == 2L, "distinct over non-null values only")
+    assert(prof("text").getString(3) == "ab" && prof("text").getString(4) == "wxyz")
+    // mean width over NON-NULL rows: (2 + 4) * 1e6 / 2
+    assert(prof("text").getLong(5) == 3000000L, s"avg width ${prof("text").getLong(5)}")
+    assert(prof("source").getLong(2) == 2L && prof("source").getLong(1) == 0L)
+
+    // real corpus: row set is exactly the 5 columns, doc_id is unique + non-null
+    val rows = TrainingData.queries("t_profile_columns")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val did = rows.find(_.getString(0) == "doc_id").get
+    assert(did.getLong(1) == 0L && did.getLong(2) == nDocs)
+  }
+
   test("t_token_entropy: analytic values on a controlled corpus, bounds on the real one") {
     import spark.implicits._
     val tmp = "/tmp/graft-test/entropy-ctl"
