@@ -289,9 +289,111 @@ object RelationalExt {
           max(when(col("rn") === expr("(75 * n + 99) div 100"), col("value"))).as("p75"),
           max(when(col("rn") === expr("(95 * n + 99) div 100"), col("value"))).as("p95"))
         .orderBy(col("event_type"))
+    },
+
+    "q_graph_pagerank" -> { (s, dir) =>
+      // weighted PageRank over the behavioral transition graph: nodes are
+      // event types, an edge (u, v, c) counts how often v directly follows
+      // u inside a user's timeline. This is the web-graph shape at its
+      // true scale split: the CORPUS-sized work is the one lag-window pass
+      // + one (src, dst) aggregation that builds the edge list; the
+      // pagerankIters power iterations then run on the AGGREGATED graph
+      // (node/edge-domain-sized — at 100 TB that's domains, not events),
+      // each a join + groupBy with lineage bounded by the fixed iteration
+      // count. All arithmetic is integer (micro-rank units, per-edge
+      // floor((85·r·c) div (100·outw)), dangling mass redistributed
+      // uniformly), so every engine computes bit-identical ranks — no
+      // float convergence ambiguity to hash-mismatch on.
+      val e = t(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = e
+        .withColumn("src", lag(col("event_type"), 1).over(byUser))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .cache()
+      val outw = edges.groupBy(col("src")).agg(sum(col("c")).as("outw"))
+      val nodes = e.select(col("event_type").as("v")).distinct().cache()
+      val nNodes = nodes.count()
+      var rank = nodes.withColumn("r", lit(1000000L / nNodes))
+      var iter = 0
+      while (iter < pagerankIters) {
+        // dangling nodes (no outgoing edges) spread their mass uniformly —
+        // a single-row aggregate, the only driver-visible value per round
+        val dangling = rank.join(outw, rank("v") === outw("src"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
+        val contrib = edges
+          .join(rank.withColumnRenamed("v", "src"), Seq("src"))
+          .join(outw, Seq("src"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("(85 * r * c) div (100 * outw)")).as("cin"))
+        rank = nodes
+          .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .withColumn("r",
+            lit(15L * 1000000L / (100L * nNodes)) +
+              lit(85L * dangling / (100L * nNodes)) +
+              coalesce(col("cin"), lit(0L)))
+          .select(col("v"), col("r"))
+        iter += 1
+      }
+      val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_edges"))
+      val out = rank
+        .join(inDeg.withColumnRenamed("dst", "v"), Seq("v"), "left")
+        .join(outw.withColumnRenamed("src", "v"), Seq("v"), "left")
+        .select(col("v").as("event_type"), col("r").as("rank_micro"),
+          coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+          coalesce(col("outw"), lit(0L)).as("out_weight"))
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("rank_micro").desc, col("event_type"))))
+        .orderBy(col("pos"))
+      edges.unpersist(); nodes.unpersist()
+      out
     })
 
+  /** Power iterations q_graph_pagerank runs (its oracle unrolls the same). */
+  private val pagerankIters = 3
+
+  /** q_graph_pagerank oracle: the integer power iteration unrolled
+    * pagerankIters times as mechanically identical CTE blocks (the
+    * kmeansLoopOracle pattern — generated so the rounds can't drift).
+    */
+  private def pagerankOracle: String = {
+    val header =
+      """WITH ed AS (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |      FROM events),
+        |e AS (SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS c
+        |      FROM ed WHERE src IS NOT NULL GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(sum(c) AS BIGINT) AS outw FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT event_type AS v FROM events),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT v, CAST(1000000 // nn.n AS BIGINT) AS r FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to pagerankIters).map { k =>
+      val p = k - 1
+      s"""d$k AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r$p
+         |      WHERE v NOT IN (SELECT src FROM ow)),
+         |c$k AS (SELECT e.dst AS v, CAST(sum((85 * p.r * e.c) // (100 * o.outw)) AS BIGINT) AS cin
+         |       FROM e JOIN r$p p ON p.v = e.src JOIN ow o ON o.src = e.src GROUP BY 1),
+         |r$k AS (SELECT nodes.v,
+         |         CAST((15 * 1000000) // (100 * nn.n) + (85 * d$k.dm) // (100 * nn.n)
+         |           + coalesce(c$k.cin, 0) AS BIGINT) AS r
+         |       FROM nodes CROSS JOIN nn CROSS JOIN d$k LEFT JOIN c$k ON c$k.v = nodes.v)""".stripMargin
+    }
+    val last = s"r$pagerankIters"
+    val footer =
+      s"""ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_edges FROM e GROUP BY 1)
+         |SELECT $last.v AS event_type, $last.r AS rank_micro,
+         |  coalesce(ind.in_edges, 0) AS in_edges, coalesce(ow.outw, 0) AS out_weight,
+         |  row_number() OVER (ORDER BY $last.r DESC, $last.v) AS pos
+         |FROM $last
+         |LEFT JOIN ind ON ind.dst = $last.v
+         |LEFT JOIN ow ON ow.src = $last.v
+         |ORDER BY pos""".stripMargin
+    ((header +: iters) :+ footer).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_graph_pagerank" -> pagerankOracle,
     "q_value_quantiles" ->
       """WITH ranked AS (
         |  SELECT event_type, value,

@@ -98,6 +98,46 @@ class CorpusStatsOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "no contaminated docs at all — vacuous corpus")
   }
 
+  test("q_graph_pagerank: mass conserved up to floor shave, agrees with a float reference") {
+    val rows = RelationalExt.queries("q_graph_pagerank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val total = rows.map(_.getLong(1)).sum
+    // every floor shaves < 1 micro-unit; bound the shave by the term count
+    // (n base terms + n dangling terms + one per edge, per iteration)
+    val edgeCount = rows.map(_.getLong(2)).sum
+    val slack = 3 * (2 * n + edgeCount + 2)
+    assert(total <= 1000000L, s"rank mass $total exceeds 1e6")
+    assert(total >= 1000000L - slack, s"rank mass $total lost more than floor slack $slack")
+    assert(rows.map(_.getInt(4).toLong).sorted.toSeq == (1 to n).map(_.toLong),
+      "pos is not a 1..n permutation")
+
+    // float reference: same graph, double arithmetic, 3 iterations
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sf/events.parquet")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = e.withColumn("src", lag(col("event_type"), 1).over(byUser))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    val nodes = rows.map(_.getString(0))
+    val outw = nodes.map(v => v -> edges.collect { case ((s0, _), c) if s0 == v => c }.sum).toMap
+    var r = nodes.map(v => v -> 1.0 / n).toMap
+    (1 to 3).foreach { _ =>
+      val dang = nodes.filter(outw(_) == 0.0).map(r).sum
+      r = nodes.map { v =>
+        v -> (0.15 / n + 0.85 * dang / n +
+          nodes.map(u => if (outw(u) > 0) 0.85 * r(u) * edges.getOrElse((u, v), 0.0) / outw(u) else 0.0).sum)
+      }.toMap
+    }
+    rows.foreach { row =>
+      val got = row.getLong(1) / 1e6
+      val want = r(row.getString(0))
+      assert(math.abs(got - want) < 1e-3,
+        s"${row.getString(0)}: integer rank $got vs float reference $want")
+    }
+  }
+
   test("t_profile_columns: one row per column, nulls counted, widths exact") {
     import spark.implicits._
     val tmp = "/tmp/graft-test/profile-ctl"
