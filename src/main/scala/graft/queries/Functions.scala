@@ -297,6 +297,44 @@ object Functions {
         .orderBy(col("source"))
     },
 
+    "t_inverted_index" -> { (s, dir) =>
+      // inverted token->postings index MATERIALIZED INTO THE STORAGE TIER,
+      // then searched through it — the corpus-search shape a 100 TB text
+      // pipeline runs (containment queries without rescanning text). Build
+      // (once per source fingerprint): distinct (token, doc) pairs ->
+      // per-token posting list (doc ids sorted in-array) + document
+      // frequency, written as a graft table SORTED BY TOKEN, so the search
+      // predicate prunes to the handful of pages whose zone-map [min,max]
+      // token ranges cover the probes. Search: the 3 highest-df tokens
+      // (deterministic tie-break) as an AND-query — IN-list filter pushed
+      // into the sorted scan, postings exploded, docs holding all 3 terms
+      // returned. The probe collect is 3 rows by construction. At scale the
+      // index build is one shuffle on the token key; a search never touches
+      // the corpus, only O(probe df) posting rows.
+      val stage = s"/tmp/graft_invidx_stage/${stageKey(s, dir, "documents")}/index"
+      val marker = new java.io.File(s"$stage/_GRAFT_IDX_DONE")
+      if (!marker.exists()) {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
+          .repartition(4)
+          .write.format("graft")
+          .option("sortby", "w")
+          .option("maxrowsperfile", "500")
+          .mode("overwrite").save(stage)
+        marker.createNewFile()
+      }
+      val idx = s.read.format("graft").load(stage)
+      val probes = idx.orderBy(col("df").desc, col("w")).limit(3)
+        .select(col("w")).collect().map(_.getString(0)).toSeq
+      idx.filter(col("w").isin(probes: _*))
+        .select(explode(col("postings")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+        .filter(col("n_terms") === 3)
+        .orderBy(col("doc_id"))
+    },
+
     "q_sorted_scan" -> { (s, dir) =>
       // proves the sortby write layout pays off at read time: lineitem
       // re-laid-out sorted by l_shipdate (range-partitioned across files,
@@ -616,6 +654,14 @@ object Functions {
     })
 
   val oracles: Map[String, String] = Map(
+    "t_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |             FROM documents),
+        |df AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+        |probes AS (SELECT w FROM df ORDER BY df DESC, w LIMIT 3)
+        |SELECT t.doc_id, count(*) AS n_terms
+        |FROM tok t JOIN probes p ON p.w = t.w
+        |GROUP BY 1 HAVING count(*) = 3 ORDER BY doc_id""".stripMargin,
     "q_spj_cojoin" ->
       """SELECT d.lang, count(*) AS docs,
         |  CAST(sum(d.n_chars) AS BIGINT) AS chars,

@@ -98,6 +98,27 @@ class CorpusStatsOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "no contaminated docs at all — vacuous corpus")
   }
 
+  test("t_inverted_index: AND-search equals direct text scan; search never touches the corpus") {
+    val df = Functions.queries("t_inverted_index")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "AND of the 3 most frequent tokens matched nothing — vacuous probe")
+    rows.foreach(r => assert(r.getLong(1) == 3L))
+    // ground truth straight off the text
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val dfs = docs.values.toSeq.flatMap(_.toSeq).groupBy(identity).view.mapValues(_.size)
+    val probes = dfs.toSeq.sortBy { case (w, c) => (-c, w) }.take(3).map(_._1).toSet
+    val want = docs.filter { case (_, ws) => probes.subsetOf(ws) }.keys.toSeq.sorted
+    assert(rows.map(_.getLong(0)).toSeq == want,
+      "index search result differs from the direct containment scan")
+    // the search side reads the INDEX table only — the documents source
+    // must not appear in its plan (that is the point of the index)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("documents"), "search plan rescans the corpus")
+    assert(plan.contains("graft_invidx_stage"), "search plan does not read the staged index")
+  }
+
   test("q_graph_pagerank: mass conserved up to floor shave, agrees with a float reference") {
     val rows = RelationalExt.queries("q_graph_pagerank")(spark, sf).collect()
     assert(rows.nonEmpty)
