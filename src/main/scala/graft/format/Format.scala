@@ -147,7 +147,15 @@ final case class WriteOptions(
       * the page's non-null value count (~10 bits/value rounded up to a
       * power of two, ≈1% false positives at k=3), clamped to this cap —
       * full 8192-row pages of unique values take 16 KiB. */
-    bloomBytes: Int = 16384)
+    bloomBytes: Int = 16384,
+    /** depth-first leaf indices that get a per-leaf KMV (k-minimum-values)
+      * distinct-count synopsis in the footer (opt-in; files that carry one
+      * declare format version 004). Only integer and binary lanes — the
+      * hash is over the value's portable decimal/byte rendering so the
+      * synopsis is reproducible by any engine (see KmvUtil). */
+    ndvLeaves: Set[Int] = Set.empty,
+    /** synopsis size: the k smallest distinct 60-bit hashes per leaf */
+    ndvK: Int = 256)
 
 /** Per-page metadata persisted in the footer.
   * `numValues` counts LEAF values (for nested children this can differ from
@@ -227,8 +235,73 @@ object BloomUtil {
   }
 }
 
-/** Per-leaf-column metadata: byte offset of the first page + page list. */
-final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
+/** Portable KMV hashing: the 60-bit integer folded from the first 15 hex
+  * nibbles of md5 over the value's canonical rendering (binary lanes: the
+  * raw bytes; integer lanes: the decimal string). Any SQL engine reproduces
+  * it as list_reduce over substr(md5(x), i, 1) nibbles — the same fold the
+  * oracle-checked t_distinct_sketch op pins — so a footer synopsis written
+  * here is bit-comparable against one computed from the raw data elsewhere.
+  */
+object KmvUtil {
+  val HashSpace: Double = 1152921504606846976.0 // 2^60
+
+  def hashBytes(a: Array[Byte], off: Int, len: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(a, off, len)
+    fold(d.digest())
+  }
+
+  def hashLong(v: Long): Long = {
+    val s = java.lang.Long.toString(v).getBytes("UTF-8")
+    hashBytes(s, 0, s.length)
+  }
+
+  private def fold(digest: Array[Byte]): Long = {
+    // hex nibble i (1-based, 1..15) of the md5 string = high nibble of
+    // byte (i-1)/2 when i is odd, low nibble when even
+    var h = 0L
+    var i = 0
+    while (i < 15) {
+      val b = digest(i / 2) & 0xff
+      val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+      h = h * 16 + nib
+      i += 1
+    }
+    h
+  }
+
+  /** Merge k-min sketches (each sorted ascending, same k): the k smallest
+    * DISTINCT hashes of the union — the standard KMV merge.
+    */
+  def merge(sketches: Seq[Array[Long]], k: Int): Array[Long] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    sketches.foreach(_.foreach { h =>
+      set.add(h)
+      if (set.size > k) set.remove(set.last)
+    })
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** NDV estimate from a merged sketch: exact when the sketch never filled
+    * (every distinct hash is present), else the classic (k-1)/kth-fraction
+    * estimator.
+    */
+  def estimate(kmv: Array[Long], k: Int): Double =
+    if (kmv.length < k) kmv.length.toDouble
+    else (k - 1).toDouble * HashSpace / kmv(k - 1).toDouble
+}
+
+/** Per-leaf-column metadata: byte offset of the first page + page list.
+  * `kmv` is the optional footer NDV synopsis (format v004): the leaf's k
+  * smallest distinct portable hashes, sorted ascending; null = none.
+  * `kmvK` persists the write-time k (the sketch is only interpretable with
+  * it — an unfilled array of length < k is an EXACT distinct set).
+  */
+final case class ColumnMeta(offset: Long, pages: Array[PageMeta],
+    kmv: Array[Long] = null, kmvK: Int = 0) {
   def totalBytes: Long = {
     var s = 0L; var i = 0
     while (i < pages.length) { s += pages(i).length; i += 1 }
@@ -254,5 +327,11 @@ object FormatConstants {
   // that MAY carry blooms declare 003; bloom-less files keep writing 002 —
   // byte-identical to what a 002 reader expects. This reader accepts both.
   val MagicV3: Array[Byte] = "GRAFT003".getBytes("UTF-8")
+  // version 004 = 003 plus an optional per-LEAF KMV ndv-synopsis section
+  // (presence byte + count + hashes after each leaf's page list). A 003
+  // reader would misparse the appended section as the next leaf's meta, so
+  // files that MAY carry synopses declare 004; synopsis-less files keep
+  // writing the oldest magic their features allow.
+  val MagicV4: Array[Byte] = "GRAFT004".getBytes("UTF-8")
   val FooterTailLen: Int = 16 // schemaSize u32 | metaSize u32 | magic 8B
 }

@@ -47,8 +47,9 @@ object GraftFileReader {
     val schemaSize = cur.getIntLE()
     val metaSize = cur.getIntLE()
     val trailing = java.util.Arrays.copyOfRange(tail, magicOff, magicOff + 8)
+    val isV4 = java.util.Arrays.equals(trailing, FormatConstants.MagicV4)
     if (!java.util.Arrays.equals(trailing, FormatConstants.Magic) &&
-      !java.util.Arrays.equals(trailing, FormatConstants.MagicV3)) {
+      !java.util.Arrays.equals(trailing, FormatConstants.MagicV3) && !isV4) {
       if (java.util.Arrays.equals(trailing, FormatConstants.MagicV1))
         throw new java.io.IOException(
           "graft: file was written by format version 001 (pre-i128 lane); " +
@@ -101,7 +102,19 @@ object GraftFileReader {
           else base
         p += 1
       }
-      leaves(i) = ColumnMeta(offset, pages)
+      // v004: optional per-leaf KMV ndv synopsis after the page list
+      val (kmv, kmvK) =
+        if (!isV4) (null, 0)
+        else if (cur.getByte() == 0) (null, 0)
+        else {
+          val k = cur.getIntLE()
+          val n = cur.getIntLE()
+          val arr = new Array[Long](n)
+          var j = 0
+          while (j < n) { arr(j) = cur.getLongLE(); j += 1 }
+          (arr, k)
+        }
+      leaves(i) = ColumnMeta(offset, pages, kmv, kmvK)
       i += 1
     }
     Footer(schemaJson, leaves)

@@ -28,7 +28,9 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
   // bloom-bearing files declare format version 003 (a 002 reader would
   // misparse the appended bloom sections); bloom-less files stay 002
   private val magic: Array[Byte] =
-    if (opts.bloomLeaves.nonEmpty) FormatConstants.MagicV3 else FormatConstants.Magic
+    if (opts.ndvLeaves.nonEmpty) FormatConstants.MagicV4
+    else if (opts.bloomLeaves.nonEmpty) FormatConstants.MagicV3
+    else FormatConstants.Magic
   private val metasBuf = ArrayBuffer[ColumnMeta]()
   private val pageBuf = new ByteBuf(1 << 16)
   private val scratch = new ByteBuf(1 << 16)
@@ -111,7 +113,52 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
       emit(pageBuf)
       p += 1
     }
-    metasBuf += ColumnMeta(offset, pages)
+    val kmv =
+      if (opts.ndvLeaves.contains(metasBuf.length))
+        buildKmv(lane, vec, if (bounds.isEmpty) 0 else bounds.last)
+      else null
+    metasBuf += ColumnMeta(offset, pages, kmv)
+  }
+
+  /** Per-leaf KMV ndv synopsis: the k smallest distinct portable hashes of
+    * the non-null values (KmvUtil hashing — reproducible outside the JVM).
+    * Only integer and binary lanes carry one; the Spark layer validates the
+    * option, this is the format-level backstop.
+    */
+  private def buildKmv(lane: Int, vec: Vec, n: Int): Array[Long] = {
+    val k = opts.ndvK
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val nulls = vec.nulls
+    @inline def live(i: Int) = nulls == null || !nulls(i)
+    @inline def add(h: Long): Unit = {
+      set.add(h)
+      if (set.size > k) set.remove(set.last)
+    }
+    vec match {
+      case v: BinaryVec =>
+        var i = 0
+        while (i < n) {
+          if (live(i)) {
+            val o = v.offsets(i)
+            add(KmvUtil.hashBytes(v.bytes, o, v.offsets(i + 1) - o))
+          }
+          i += 1
+        }
+      case v: IntVec if lane == Lane.I8 || lane == Lane.I16 || lane == Lane.I32 =>
+        var i = 0
+        while (i < n) { if (live(i)) add(KmvUtil.hashLong(v.values(i).toLong)); i += 1 }
+      case v: LongVec if lane == Lane.I64 =>
+        var i = 0
+        while (i < n) { if (live(i)) add(KmvUtil.hashLong(v.values(i))); i += 1 }
+      case _ =>
+        throw new IllegalArgumentException(
+          s"graft: ndv synopsis unsupported for lane $lane — only integer and " +
+            "binary leaves have a portable value rendering")
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
   }
 
   def finish(): Unit = {
@@ -148,6 +195,17 @@ final class GraftFileWriter(out: java.io.OutputStream, schemaJson: String,
         if (hasBloom) {
           buf.putIntLE(pm.bloom.length)
           buf.putBytes(pm.bloom)
+        }
+      }
+      // v004: per-leaf KMV ndv-synopsis section after the page list
+      // (presence u8 | u32 k | u32 count | count x u64 hashes, ascending)
+      if (opts.ndvLeaves.nonEmpty) {
+        if (cm.kmv == null) buf.putByte(0.toByte)
+        else {
+          buf.putByte(1.toByte)
+          buf.putIntLE(opts.ndvK)
+          buf.putIntLE(cm.kmv.length)
+          cm.kmv.foreach(buf.putLongLE)
         }
       }
     }

@@ -297,6 +297,34 @@ object Functions {
         .orderBy(col("source"))
     },
 
+    "q_ndv_footer" -> { (s, dir) =>
+      // ANALYZE from METADATA ONLY: documents staged once with footer KMV
+      // ndv synopses (format v004, .option("ndvsketch", ...)), then the
+      // per-column distinct-count estimates are answered by GraftNdv from
+      // footer tail-reads alone — zero data pages, O(files) not O(rows).
+      // Multi-file staging exercises the associative sketch merge. The
+      // synopsis hash is the portable md5-nibble fold, so the oracle
+      // recomputes the IDENTICAL sketch from the raw rows in SQL and the
+      // estimates compare bit-for-bit — estimator math included (doc_id has
+      // ~2x k distinct values, so the (k-1)/kth branch is non-vacuous;
+      // lang/source stay on the exact small-set branch).
+      val stage = s"/tmp/graft_ndv_stage/${stageKey(s, dir, "documents")}/documents"
+      val marker = new java.io.File(s"$stage/_GRAFT_NDV_DONE")
+      if (!marker.exists()) {
+        Tables.parquet(s, dir, "documents")
+          .repartition(3)
+          .write.format("graft")
+          .option("ndvsketch", "doc_id,lang,source")
+          .mode("overwrite").save(stage)
+        marker.createNewFile()
+      }
+      val stats = graft.spark.GraftNdv.estimate(s, stage, Seq("doc_id", "lang", "source"))
+      import s.implicits._
+      stats.map(st => (st.column, st.k, st.nHashes.toLong, st.kth, st.estimate))
+        .toDF("col_name", "k", "n_hashes", "kth_hash", "estimate")
+        .orderBy(col("col_name"))
+    },
+
     "t_inverted_index" -> { (s, dir) =>
       // inverted token->postings index MATERIALIZED INTO THE STORAGE TIER,
       // then searched through it — the corpus-search shape a 100 TB text
@@ -653,7 +681,33 @@ object Functions {
         .orderBy(col("o_orderkey"))
     })
 
+  /** One column's block of the q_ndv_footer oracle: the identical KMV
+    * (k=256, portable md5-nibble fold over the value's VARCHAR rendering)
+    * computed from the raw rows.
+    */
+  private def ndvOracleBlock(colName: String): String =
+    s"""SELECT '$colName' AS col_name, 256 AS k,
+       |  CAST(LEAST(nh, 256) AS BIGINT) AS n_hashes,
+       |  CAST(CASE WHEN nh >= 256 THEN kth ELSE -1 END AS BIGINT) AS kth_hash,
+       |  CASE WHEN nh >= 256 THEN 255.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+       |       ELSE CAST(nh AS DOUBLE) END AS estimate
+       |FROM (SELECT count(*) AS nh,
+       |        (SELECT h FROM (SELECT DISTINCT
+       |           list_reduce(list_transform(generate_series(1, 15),
+       |             i -> CAST(strpos('0123456789abcdef',
+       |                    substr(md5(CAST($colName AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |             (a, b) -> a * 16 + b) AS h FROM documents)
+       |         ORDER BY h LIMIT 1 OFFSET 255) AS kth
+       |      FROM (SELECT DISTINCT
+       |           list_reduce(list_transform(generate_series(1, 15),
+       |             i -> CAST(strpos('0123456789abcdef',
+       |                    substr(md5(CAST($colName AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |             (a, b) -> a * 16 + b) AS h FROM documents))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ndv_footer" ->
+      (Seq("doc_id", "lang", "source").map(ndvOracleBlock)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     "t_inverted_index" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
         |             FROM documents),

@@ -41,7 +41,14 @@ final case class GraftWriteOptions(
       * per column like parquet's. Resolved to leaf indices against the full
       * write schema in the task writer.
       */
-    bloomFilter: Seq[String] = Seq.empty)
+    bloomFilter: Seq[String] = Seq.empty,
+    /** TOP-LEVEL string/integer columns that get a footer KMV ndv synopsis
+      * (format v004) — the scan-free distinct-count estimate ANALYZE-style
+      * maintenance reads from footers only (GraftNdv). Restricted to
+      * top-level primitives because the hash is over the value's portable
+      * rendering (decimal string / raw bytes); see KmvUtil.
+      */
+    ndvSketch: Seq[String] = Seq.empty)
 
 object GraftWriteOptions {
   def fromOptions(o: org.apache.spark.sql.util.CaseInsensitiveStringMap): GraftWriteOptions = {
@@ -65,7 +72,12 @@ object GraftWriteOptions {
           require(b >= 64 && b <= (1 << 20) && Integer.bitCount(b) == 1,
             s"graft: bloombytes must be a power of two in [64, 1M], got $b")
           b
-        }.getOrElse(16384)),
+        }.getOrElse(16384),
+        ndvK = Option(o.get("ndvk")).map { s =>
+          val k = s.toInt
+          require(k >= 16 && k <= 4096, s"graft: ndvk must be in [16, 4096], got $k")
+          k
+        }.getOrElse(256)),
       maxRowsPerFile = Option(o.get("maxrowsperfile")).map(_.toInt).getOrElse(1 << 20),
       partitionBy = Option(o.get("partitionby")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty),
@@ -74,6 +86,8 @@ object GraftWriteOptions {
       clusterBy = Option(o.get("clusterby")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty),
       bloomFilter = Option(o.get("bloomfilter")).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty),
+      ndvSketch = Option(o.get("ndvsketch")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty))
   }
 }
@@ -87,6 +101,25 @@ object GraftWriteOptions {
   * shuffle/sort via RequiresDistributionAndOrdering; the writer itself is
   * unchanged, so layout is declared, not hand-rolled.
   */
+object GraftWriteImpl {
+  /** ndvsketch columns must be TOP-LEVEL string/integer fields: the footer
+    * synopsis hashes the value's portable rendering (decimal string / raw
+    * bytes), which only those types define unambiguously across engines.
+    * Validated at PLAN time on the driver (same posture as bloomfilter).
+    */
+  def validateNdvColumn(schema: StructType, p: String): Unit = {
+    import org.apache.spark.sql.types._
+    require(schema.fieldNames.contains(p),
+      s"graft: ndvsketch column '$p' must be a top-level field of the write schema")
+    val ok = schema(p).dataType match {
+      case StringType | BinaryType | LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    require(ok, s"graft: ndvsketch column '$p' has type ${schema(p).dataType.simpleString} — " +
+      "only string/binary and integer columns have a portable synopsis rendering")
+  }
+}
+
 final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOptions,
     doTruncate: Boolean, conf: SerializableHadoopConf, queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
@@ -98,6 +131,7 @@ final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOpt
       s"graft: bloomfilter path '$p' does not resolve to an atomic leaf " +
         s"of the write schema (use col, s.x, arr.element, m.key, m.value)")
   }
+  opts.ndvSketch.foreach(GraftWriteImpl.validateNdvColumn(schema, _))
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
@@ -339,13 +373,20 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
   // bloomfilter paths resolve against the FULL write schema (partition
   // columns stay in the data) to depth-first leaf indices — the same
   // ordering GraftFileWriter emits leaves in
-  private val writeOpts: graft.format.WriteOptions =
-    if (opts.bloomFilter.isEmpty) opts.writeOptions
-    else opts.writeOptions.copy(bloomLeaves = opts.bloomFilter.map { p =>
-      GraftSchema.leafIndexOfPath(schema, p).getOrElse(throw new IllegalArgumentException(
-        s"graft: bloomfilter path '$p' does not resolve to an atomic leaf " +
-          s"of the write schema (use col, s.x, arr.element, m.key, m.value)"))
+  private val writeOpts: graft.format.WriteOptions = {
+    val withBlooms =
+      if (opts.bloomFilter.isEmpty) opts.writeOptions
+      else opts.writeOptions.copy(bloomLeaves = opts.bloomFilter.map { p =>
+        GraftSchema.leafIndexOfPath(schema, p).getOrElse(throw new IllegalArgumentException(
+          s"graft: bloomfilter path '$p' does not resolve to an atomic leaf " +
+            s"of the write schema (use col, s.x, arr.element, m.key, m.value)"))
+      }.toSet)
+    if (opts.ndvSketch.isEmpty) withBlooms
+    else withBlooms.copy(ndvLeaves = opts.ndvSketch.map { p =>
+      GraftWriteImpl.validateNdvColumn(schema, p)
+      GraftSchema.leafIndexOfPath(schema, p).get
     }.toSet)
+  }
   private val dir = new Path(path)
   private val fs: FileSystem = dir.getFileSystem(conf.value.value)
   // batch writes use a random token (concurrent jobs never collide);
