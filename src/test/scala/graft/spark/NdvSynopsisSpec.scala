@@ -108,6 +108,25 @@ class NdvSynopsisSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("top-level"))
   }
 
+  test("compaction re-applies the synopsis via extraWriteOptions; plain compact drops it") {
+    import spark.implicits._
+    val dir = freshDir("compact")
+    (1L to 1200L).map(i => (i, s"s${i % 5}")).toDF("id", "src")
+      .repartition(6).write.format("graft")
+      .option("ndvsketch", "id").mode("overwrite").save(dir)
+    val before = GraftNdv.estimate(spark, dir, Seq("id")).head
+    GraftMaintenance.compact(spark, dir, targetFiles = 2,
+      extraWriteOptions = Map("ndvsketch" -> "id"))
+    val after = GraftNdv.estimate(spark, dir, Seq("id")).head
+    // same rows -> same global k-min sketch, whatever the file layout
+    assert(after.kth == before.kth && after.estimate == before.estimate)
+    // a compact WITHOUT the option rewrites plain files: the synopsis is
+    // gone and GraftNdv refuses loudly rather than falling back to a scan
+    GraftMaintenance.compact(spark, dir, targetFiles = 1)
+    val e = intercept[Exception] { GraftNdv.estimate(spark, dir, Seq("id")) }
+    assert(e.getMessage.contains("no ndv synopsis"))
+  }
+
   test("a v004 file scans normally and composes with blooms") {
     import spark.implicits._
     val dir = freshDir("scan")
