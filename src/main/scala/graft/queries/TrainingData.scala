@@ -1697,12 +1697,11 @@ object TrainingData {
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .select(col("vec_id"), col("q"))
       val sums = e.select(posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy(col("pos")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("pos")).agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, sx))), p -> p.sx)")
             .as("sxarr"),
-          lit(1L).as("one"))
-      val n = e.agg(count(lit(1)).as("n"), lit(1L).as("one"))
-      val cells = e.crossJoin(broadcast(sums.join(n, "one")))
+          max(col("cnt")).as("n")) // every pos group counts all n vectors
+      val cells = e.crossJoin(broadcast(sums))
         .withColumn("dd", expr(
           """zip_with(q, sxarr, (x, sx) -> cast(
                cast(x as decimal(19,0)) * cast(n as decimal(19,0)) - cast(sx as decimal(19,0))
