@@ -1062,6 +1062,47 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "t_lm_bigram" -> { (s, dir) =>
+      // bigram-LM scoring with interpolated unigram backoff — the next rung
+      // above t_lm_score on the CCNet-style perplexity-filter ladder:
+      // P(w|prev) = 0.8·c(prev,w)/c(prev) + 0.2·c(w)/N, each position's
+      // surprise floor-quantized to integer micro-nats before the per-doc
+      // sum (order-independent, engine-stable). Scale shape: bigram + two
+      // unigram vocab hash-joins over the position stream, all PINNED
+      // shuffle-hash with the vocab build side (a corpus vocabulary neither
+      // broadcasts at 100 TB nor may the exploded stream become a build
+      // side — the t_lm_score lesson); everything else is one map pass.
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val nC = uni.agg(sum(col("cu")).as("n_corpus"))
+      val pos = d.withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ws)-1),
+               i -> named_struct('prev', element_at(ws, i), 'cur', element_at(ws, i+1)))"""))
+          .as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+      val big = pos.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+      pos
+        .join(big.hint("shuffle_hash"), Seq("prev", "cur"))
+        .join(uni.hint("shuffle_hash").withColumnRenamed("w", "prev")
+          .withColumnRenamed("cu", "cprev"), Seq("prev"))
+        .join(uni.hint("shuffle_hash").withColumnRenamed("w", "cur")
+          .withColumnRenamed("cu", "ccur"), Seq("cur"))
+        .crossJoin(broadcast(nC))
+        .withColumn("q", expr(
+          """cast(floor(ln(0.8 * (cast(cb as double) / cast(cprev as double)) +
+                          0.2 * (cast(ccur as double) / cast(n_corpus as double)))
+                       * 1000000) as bigint)"""))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_positions"), sum(col("q")).as("surprise_micro"))
+        .withColumn("xent_nats", (-col("surprise_micro")).cast("double") /
+          (col("n_positions") * lit(1000000L)).cast("double"))
+        .select(col("doc_id"), col("n_positions"), col("surprise_micro"), col("xent_nats"))
+        .orderBy(col("doc_id"))
+    },
+
     "t_repetition" -> { (s, dir) =>
       // within-document repetition: fraction of duplicate word-3-grams — a
       // standard training-data quality signal (heavily repeated boilerplate
@@ -2694,6 +2735,28 @@ object TrainingData {
         |        CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n_corpus AS DOUBLE)) * 1000000) AS BIGINT) AS q
         |      FROM tok JOIN vocab USING (w), n)
         |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(q) AS BIGINT) AS surprise_micro,
+        |  CAST(-sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS xent_nats
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_lm_bigram" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+        |n AS (SELECT CAST(sum(cu) AS BIGINT) AS n_corpus FROM uni),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pos AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
+        |        FROM ws, unnest(generate_series(1, len(ws)-1)) AS t(i)
+        |        WHERE len(ws) >= 2),
+        |big AS (SELECT prev, cur, count(*) AS cb FROM pos GROUP BY 1, 2),
+        |q AS (SELECT p.doc_id,
+        |        CAST(floor(ln(0.8 * (CAST(b.cb AS DOUBLE) / CAST(up.cu AS DOUBLE)) +
+        |                      0.2 * (CAST(uc.cu AS DOUBLE) / CAST(n.n_corpus AS DOUBLE)))
+        |                   * 1000000) AS BIGINT) AS q
+        |      FROM pos p
+        |      JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+        |      JOIN uni up ON up.w = p.prev
+        |      JOIN uni uc ON uc.w = p.cur
+        |      CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_positions,
         |  CAST(sum(q) AS BIGINT) AS surprise_micro,
         |  CAST(-sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS xent_nats
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -783,6 +783,25 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       }
     }
     override def numRows(): OptionalLong = GraftScan.rowCount(files, conf)
+
+    // v004 footer KMV synopses surfaced as DSv2 column statistics: with
+    // CBO on, Catalyst's join planning sees real per-column ndv instead
+    // of guessing — at no scan cost (same cached footer reads as above).
+    // Columns any file lacks a synopsis for are simply absent.
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      GraftScan.columnNdv(files, projected.fieldNames, conf).foreach { case (n, ndv) =>
+        out.put(org.apache.spark.sql.connector.expressions.Expressions.column(n),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
+          })
+      }
+      out
+    }
   }
 }
 
@@ -827,6 +846,50 @@ object GraftScan {
       fieldNames.foreach(n => total += m.getOrElse(n, 0L))
     }
     OptionalLong.of(total)
+  }
+
+  // per-file (top-level field name -> (k, kmv sketch)) off the footer —
+  // feeds the column-statistics ndv estimates; same bounding as the other
+  // footer-derived caches
+  private val kmvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, (Int, Array[Long])]]()
+
+  /** Merged per-column ndv estimates from the v004 footer KMV synopses.
+    * A column appears only when EVERY file carries a synopsis for it (a
+    * partial merge would undercount). Empty for oversized file lists —
+    * same planning-cost guard as projectedLeafBytes.
+    */
+  def columnNdv(files: Seq[FileStatus], fieldNames: Array[String],
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Long] = {
+    if (files.isEmpty || files.length > 256 || fieldNames.isEmpty) return Map.empty
+    val perFile: Seq[Map[String, (Int, Array[Long])]] = files.map { f =>
+      val key = f.getPath.toString + "#" + f.getLen
+      var m = kmvCache.get(key)
+      if (m == null) {
+        val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
+        try {
+          val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
+          val schema = GraftFooterCache.schemaOf(footer.schemaJson)
+          val (offsets, _) = GraftSchema.fieldLeafOffsets(schema)
+          m = schema.fields.zipWithIndex.flatMap { case (fld, i) =>
+            val cm = footer.leaves(offsets(i))
+            if (cm.kmv == null) scala.None else Some(fld.name -> (cm.kmvK, cm.kmv))
+          }.toMap
+          boundCache(kmvCache)
+          kmvCache.put(key, m)
+        } finally in.close()
+      }
+      m
+    }
+    fieldNames.iterator.flatMap { n =>
+      val sketches = perFile.map(_.get(n))
+      if (sketches.exists(_.isEmpty)) scala.None
+      else {
+        val k = sketches.map(_.get._1).min
+        val merged = graft.format.KmvUtil.merge(sketches.map(_.get._2), k)
+        Some(n -> math.max(math.round(graft.format.KmvUtil.estimate(merged, k)), 1L))
+      }
+    }.toMap
   }
 
   /** Per-row-page-group row counts of a file (leaf 0 is row-aligned). One

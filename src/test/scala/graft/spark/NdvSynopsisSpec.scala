@@ -127,6 +127,34 @@ class NdvSynopsisSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no ndv synopsis"))
   }
 
+  test("footer ndv surfaces as DSv2 column statistics for the optimizer") {
+    import spark.implicits._
+    val dir = freshDir("stats")
+    (1L to 1500L).map(i => (i, s"g${i % 11}")).toDF("id", "grp")
+      .repartition(3).write.format("graft")
+      .option("ndvsketch", "id,grp").mode("overwrite").save(dir)
+    val df = spark.read.format("graft").load(dir)
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.get
+    val byName = rel.stats.attributeStats.map { case (a, st) => a.name -> st }
+    assert(byName.contains("grp") && byName.contains("id"),
+      s"no column stats surfaced: ${rel.stats.attributeStats}")
+    assert(byName("grp").distinctCount.exists(_.toLong == 11L),
+      s"grp ndv ${byName("grp").distinctCount} != exact 11")
+    val idNdv = byName("id").distinctCount.map(_.toLong).getOrElse(0L)
+    assert(idNdv > 1100 && idNdv < 1900, s"id ndv estimate $idNdv far from 1500")
+    // a synopsis-less table must surface NO column stats (never a guess)
+    val plain = freshDir("stats-plain")
+    (1L to 100L).map(i => (i, "x")).toDF("id", "grp")
+      .coalesce(1).write.format("graft").mode("overwrite").save(plain)
+    val rel2 = spark.read.format("graft").load(plain)
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+    assert(rel2.stats.attributeStats.isEmpty)
+  }
+
   test("a v004 file scans normally and composes with blooms") {
     import spark.implicits._
     val dir = freshDir("scan")
