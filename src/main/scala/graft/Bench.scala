@@ -67,7 +67,8 @@ object Bench {
     "t_token_stats", "t_fingerprint", "t_lm_score",
     "t_quality_score", "t_language_id", "t_freq_sketch", "t_clean_text",
     "s_embedding_pca", "d_decontam_bloom", "t_token_entropy",
-    "q_graph_pagerank", "t_profile_columns",
+    "q_graph_pagerank", "t_profile_columns", "t_lm_bigram",
+    "q_funnel", "q_cohort_retention", "t_domain_cap",
     "q_skew_distinct", "m_multimodal_meta", "m_multimodal_decode",
     "m_multimodal_resize", "m_multimodal_framesample",
     // timed maintenance + snapshot operations (custom timers, not

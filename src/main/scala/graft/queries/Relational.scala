@@ -211,6 +211,53 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    "q_funnel" -> { (s, dir) =>
+      // ordered funnel analysis (view -> click -> purchase, strictly later
+      // event times per step) — the product-analytics query shape on a
+      // behavioral log. ONE shuffle: all three step anchors are window
+      // minima over the same user_id partitioning (each stage's cutoff
+      // references the previous window column — Spark chains them in one
+      // exchange), then a single global 1-row rollup. No self-joins of the
+      // event log, which is what makes the shape hold at 100 TB.
+      val wu = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("v", min(when(col("event_type") === "view", col("us"))).over(wu))
+        .withColumn("c", min(when(col("event_type") === "click" &&
+          col("us") > col("v"), col("us"))).over(wu))
+        .withColumn("p", min(when(col("event_type") === "purchase" &&
+          col("us") > col("c"), col("us"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(max(col("v")).as("v"), max(col("c")).as("c"), max(col("p")).as("p"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("step_view"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("step_click"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("step_purchase"))
+        .withColumn("click_conv",
+          col("step_click").cast("double") / col("step_view").cast("double"))
+        .withColumn("purchase_conv",
+          col("step_purchase").cast("double") / col("step_view").cast("double"))
+    },
+
+    "q_cohort_retention" -> { (s, dir) =>
+      // cohort retention: users grouped by first-seen day, activity counted
+      // at day offsets 0..7 — the standard engagement triangle. One window
+      // (first ts per user, same user_id partitioning the log already
+      // shuffles on), one distinct-user aggregate on the bounded
+      // (cohort_day, offset) frame.
+      val wu = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .withColumn("first_us", min(unix_micros(col("ts"))).over(wu))
+        .withColumn("cohort_day", to_date(timestamp_micros(col("first_us"))))
+        .withColumn("day_offset", datediff(to_date(col("ts")), col("cohort_day")))
+        .filter(col("day_offset") <= 7)
+        // date-typed output round-trips differently through parquet/pandas
+        // than DuckDB's DATE — emit the cohort key at timestamp grain
+        .groupBy(col("cohort_day").cast("timestamp").as("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
     "q_setops_all" -> { (s, dir) =>
       // BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): supplier-key
       // multisets of two shipment years — multiplicity math (min of
@@ -435,6 +482,35 @@ object Relational {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |         OVER (PARTITION BY user_id) AS v FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > v THEN us END)
+        |         OVER (PARTITION BY user_id) AS c FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > c THEN us END)
+        |         OVER (PARTITION BY user_id) AS p FROM w2),
+        |u AS (SELECT user_id, max(v) AS v, max(c) AS c, max(p) AS p
+        |      FROM w3 GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+        |  CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+        |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase,
+        |  CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS click_conv,
+        |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS purchase_conv
+        |FROM u""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, ts,
+        |        min(epoch_us(ts)) OVER (PARTITION BY user_id) AS first_us
+        |      FROM events)
+        |SELECT CAST(CAST(make_timestamp(first_us) AS DATE) AS TIMESTAMP) AS cohort_day,
+        |  datediff('day', CAST(make_timestamp(first_us) AS DATE), CAST(ts AS DATE)) AS day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM e
+        |WHERE datediff('day', CAST(make_timestamp(first_us) AS DATE), CAST(ts AS DATE)) <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q3_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate,
          |  CAST(sum($revenueSql) AS DOUBLE) AS revenue

@@ -1161,6 +1161,34 @@ object TrainingData {
         .orderBy(col("lang"))
     },
 
+    "t_domain_cap" -> { (s, dir) =>
+      // per-domain contribution cap — the anti-domination pass a corpus mix
+      // runs after quality scoring (no single crawl domain may contribute
+      // more than N docs, and the N kept should be the BEST N): docs are
+      // ranked within source by an integer lexical-diversity score
+      // (floor(1e6·distinct/total words), doc_id tie-break) and capped at
+      // 15 per source. Scale shape: one map pass for the score, one
+      // window rank partitioned by source (domain-sized partitions, never
+      // global), one summary agg. Reports per source what the cap kept vs
+      // dropped so the mixture accounting stays auditable.
+      val cap = 15
+      val scored = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("score_micro", expr(
+          "cast(floor(size(array_distinct(ws)) * 1000000.0 / size(ws)) as bigint)"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .withColumn("kept", (col("rk") <= cap).cast("int"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("kept")).as("kept"),
+          sum(when(col("kept") === 1, col("n_chars")).otherwise(0L)).as("kept_chars"),
+          max(when(col("kept") === 1, col("score_micro"))).as("best_score"),
+          min(when(col("kept") === 1, col("score_micro"))).as("cut_score"))
+        .orderBy(col("source"))
+    },
+
     "t_pack_sequences" -> { (s, dir) =>
       // training-sequence packing: assign documents to ~512-token bins (the
       // batch-assembly step before tokenized examples hit a trainer),
@@ -2738,6 +2766,19 @@ object TrainingData {
         |  CAST(sum(q) AS BIGINT) AS surprise_micro,
         |  CAST(-sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS xent_nats
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_domain_cap" ->
+      """WITH scored AS (SELECT doc_id, source, n_chars,
+        |    CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000000.0 /
+        |               len(string_split(text, ' '))) AS BIGINT) AS score_micro
+        |  FROM documents),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |         ORDER BY score_micro DESC, doc_id) AS rk FROM scored)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(sum(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  max(CASE WHEN rk <= 15 THEN score_micro END) AS best_score,
+        |  min(CASE WHEN rk <= 15 THEN score_micro END) AS cut_score
+        |FROM rk GROUP BY source ORDER BY source""".stripMargin,
     "t_lm_bigram" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),

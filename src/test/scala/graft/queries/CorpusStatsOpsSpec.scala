@@ -119,6 +119,31 @@ class CorpusStatsOpsSpec extends AnyFunSuite {
     assert(plan.contains("graft_invidx_stage"), "search plan does not read the staged index")
   }
 
+  test("q_funnel: step order is enforced on a controlled log") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val tmp = "/tmp/graft-test/funnel-ctl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq(
+      // user 1: full ordered funnel
+      (1L, t(1), 1L, "view", 1.0, "{}"), (2L, t(2), 1L, "click", 1.0, "{}"),
+      (3L, t(3), 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase BEFORE the view — must not count past step 1
+      (4L, t(1), 2L, "purchase", 1.0, "{}"), (5L, t(2), 2L, "view", 1.0, "{}"),
+      // user 3: view+click, no purchase
+      (6L, t(1), 3L, "view", 1.0, "{}"), (7L, t(2), 3L, "click", 1.0, "{}"),
+      // user 4: never viewed
+      (8L, t(1), 4L, "click", 1.0, "{}"), (9L, t(2), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Relational.queries("q_funnel")(spark, tmp).collect()(0)
+    assert(r.getLong(0) == 4L, "n_users")
+    assert(r.getLong(1) == 3L, "users with a view (1, 2, 3)")
+    assert(r.getLong(2) == 2L, "clicks after a view (1, 3)")
+    assert(r.getLong(3) == 1L, "ordered purchases (only user 1)")
+  }
+
   test("q_graph_pagerank: mass conserved up to floor shave, agrees with a float reference") {
     val rows = RelationalExt.queries("q_graph_pagerank")(spark, sf).collect()
     assert(rows.nonEmpty)
