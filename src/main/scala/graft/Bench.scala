@@ -70,7 +70,7 @@ object Bench {
     "q_graph_pagerank", "t_profile_columns", "t_lm_bigram",
     "q_funnel", "q_cohort_retention", "t_domain_cap",
     "q_skew_distinct", "m_multimodal_meta", "m_multimodal_decode",
-    "m_multimodal_resize", "m_multimodal_framesample",
+    "m_multimodal_resize", "m_multimodal_framesample", "m_multimodal_scenecut",
     // timed maintenance + snapshot operations (custom timers, not
     // SparkEntry queries — the op itself is the timed region)
     "x_delete_where", "x_zorder_relayout", "x_asof_snapshot",

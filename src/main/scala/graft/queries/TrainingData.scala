@@ -677,6 +677,23 @@ object TrainingData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    "s_knn_recall_ivfpq" -> { (s, dir) =>
+      // recall@5 eval of the COMPOSED IVF-PQ index (coarse probing + ADC
+      // ranking — both approximations compound) against the exact baseline,
+      // the s_knn_recall harness pointed at the production-shaped index.
+      val exact = queries("s_ann_bruteforce")(s, dir)
+        .select(col("qid"), col("tid"))
+      val approx = queries("s_ann_ivfpq")(s, dir)
+        .select(col("qid").as("aqid"), col("tid").as("atid"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("tid") === col("atid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(when(col("atid").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall", col("hits").cast("double") / 5.0)
+        .select(col("qid"), col("hits"), col("recall"))
+        .orderBy(col("qid"))
+    },
+
     "s_knn_recall" -> { (s, dir) =>
       // evaluation harness for the similarity-search pair: recall@5 of the
       // LSH index against the exact brute-force baseline, per query vector.
@@ -1466,6 +1483,41 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    "m_multimodal_scenecut" -> { (s, dir) =>
+      // VIDEO scene-cut detection / keyframe selection: each doc carries a
+      // 6-frame clip whose frames repeat within a shot (shot length
+      // 1 + doc_id % 3) and change at shot boundaries; the op decodes the
+      // container with the native per-frame dHash expression and derives
+      // the cut positions as hash CHANGES between consecutive frames —
+      // exactly how a training pipeline picks one keyframe per shot
+      // instead of embedding every frame. Pure map, zero shuffle; the
+      // oracle recomputes the cut structure from the generating formula
+      // (identical shot seeds decode to identical frames, so hash
+      // equality IS shot membership).
+      val nf = 6
+      // the plane is 6 DISTINCT md5 blocks (not one repeated): a repeated
+      // 16-byte pattern makes the 28 dHash comparison bits collapse onto
+      // ~16 independent bytes, and different shots then collide at ~1e-2 —
+      // measured as 2 false merges in 500 docs before this fix
+      def frame(f: Int): String =
+        s"""concat(encode('P6\\n8 4\\n255\\n', 'utf-8'),
+              unhex(array_join(transform(sequence(0, 5),
+                j -> md5(concat(text, '#shot',
+                  cast($f div (1 + doc_id % 3) as string),
+                  ':', cast(j as string)))), '')))"""
+      docs(s, dir)
+        .withColumn("payload", expr((0 until nf).map(frame).mkString("concat(", ", ", ")")))
+        .select(col("doc_id"), graft.spark.PpmFrameDHashes(col("payload")).as("fh"))
+        .withColumn("cuts", expr(
+          "filter(sequence(1, size(fh)-1), i -> element_at(fh, i+1) != element_at(fh, i))"))
+        .select(col("doc_id"), size(col("fh")).as("n_frames"),
+          size(col("cuts")).as("n_cuts"),
+          (size(col("cuts")) + 1).as("n_shots"),
+          expr("aggregate(cuts, cast(0 as bigint), (a, i) -> pmod(a * 31 + i, 1000000007))")
+            .as("cut_checksum"))
+        .orderBy(col("doc_id"))
+    },
+
     "m_multimodal_audio" -> { (s, dir) =>
       // audio lane: each document gets a genuine RIFF/WAVE payload (mono
       // 16-bit PCM at 8 kHz, sample words derived deterministically from
@@ -2152,7 +2204,24 @@ object TrainingData {
     (header +: iterCtes).mkString(",\n") + s"\n$sel ORDER BY iter"
   }
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = baseOracles +
+    // recall@5 of the composed IVF-PQ index against the exact baseline:
+    // both sides are the already-oracle-checked pipelines, composed as
+    // derived tables (nested WITH), so the eval can never drift from what
+    // the index entries themselves compute
+    ("s_knn_recall_ivfpq" ->
+      s"""WITH ex AS (SELECT qid, tid FROM (
+         |${baseOracles("s_ann_bruteforce")}
+         |)),
+         |ap AS (SELECT qid, tid FROM (
+         |${baseOracles("s_ann_ivfpq")}
+         |))
+         |SELECT ex.qid, CAST(count(ap.tid) AS BIGINT) AS hits,
+         |  CAST(count(ap.tid) AS DOUBLE) / 5.0 AS recall
+         |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.tid = ex.tid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "d_dedup_semantic" ->
       // mirrors Spark exactly: IVF seed assignment (cosine argmax, cid
       // tie-break), then within-cluster pairwise cosine >= 0.3 marks the
@@ -2766,6 +2835,23 @@ object TrainingData {
         |  CAST(sum(q) AS BIGINT) AS surprise_micro,
         |  CAST(-sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS xent_nats
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "m_multimodal_scenecut" ->
+      // cut structure straight from the generating formula: frame f's shot
+      // is f // L with L = 1 + doc_id % 3, a cut sits at boundary i
+      // (1-based, between frames i-1 and i) iff the shot id changes there
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS L FROM documents),
+        |cuts AS (SELECT doc_id, i FROM d, unnest(generate_series(1, 5)) AS t(i)
+        |         WHERE (i // L) <> ((i - 1) // L)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_cuts,
+        |          CAST(list_reduce(list_prepend(0, list(i ORDER BY i)),
+        |                 (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT) AS cut_checksum
+        |        FROM cuts GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(6 AS INT) AS n_frames,
+        |  coalesce(agg.n_cuts, 0) AS n_cuts,
+        |  coalesce(agg.n_cuts, 0) + 1 AS n_shots,
+        |  coalesce(agg.cut_checksum, 0) AS cut_checksum
+        |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t_domain_cap" ->
       """WITH scored AS (SELECT doc_id, source, n_chars,
         |    CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000000.0 /
