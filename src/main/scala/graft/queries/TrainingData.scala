@@ -30,6 +30,79 @@ object TrainingData {
   /** quantized embedding as array<bigint> */
   private val quantized = "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint))"
 
+  /** Upper-triangle exact covariance numerator cells (pos_i <= pos_j,
+    * covn = Σ (q_i·n − Σq_i)(q_j·n − Σq_j) in exact decimal) — shared by
+    * s_embedding_pca (reporting) and s_embedding_power (power iteration).
+    */
+  private def covCells(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).withColumn("q", expr(quantized))
+      .select(col("vec_id"), col("q"))
+    val sums = e.select(posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sx))), p -> p.sx)")
+          .as("sxarr"),
+        max(col("cnt")).as("n")) // every pos group counts all n vectors
+    e.crossJoin(broadcast(sums))
+      .withColumn("dd", expr(
+        """zip_with(q, sxarr, (x, sx) -> cast(
+             cast(x as decimal(19,0)) * cast(n as decimal(19,0)) - cast(sx as decimal(19,0))
+           as decimal(19,0)))"""))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(dd)), i ->
+             transform(sequence(i, size(dd)), j -> named_struct(
+               'i', i - 1, 'j', j - 1,
+               'p', element_at(dd, i) * element_at(dd, j)))))""")).as("c"))
+      .groupBy(col("c.i").as("pos_i"), col("c.j").as("pos_j"))
+      .agg(sum(col("c.p")).as("covn"))
+  }
+
+  /** Power-iteration rounds s_embedding_power runs (oracle unrolls same). */
+  private val powerIters = 6
+
+  /** DuckDB mirror of covCells, shared by the pca and power oracles. */
+  private val covCellsOracleCtes: String =
+    """t AS (SELECT vec_id,
+      |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS x,
+      |             generate_subscripts(embedding, 1) AS pos
+      |           FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |sums AS (SELECT pos, CAST(sum(x) AS BIGINT) AS sx FROM t GROUP BY pos),
+      |dd AS (SELECT t.vec_id, t.pos,
+      |         CAST(t.x * nn.n - s.sx AS HUGEINT) AS dd
+      |       FROM t JOIN sums s ON s.pos = t.pos CROSS JOIN nn),
+      |cells AS (SELECT a.pos - 1 AS pos_i, b.pos - 1 AS pos_j,
+      |            sum(a.dd * b.dd) AS covn
+      |          FROM dd a JOIN dd b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      |          GROUP BY 1, 2)""".stripMargin
+
+  /** s_embedding_power oracle: the integer power iteration unrolled as
+    * generated CTE blocks over the shared covariance cells.
+    */
+  private def powerOracle: String = {
+    val header = s"""WITH $covCellsOracleCtes,
+      |A AS (SELECT pos_i AS i, pos_j AS j, covn FROM cells
+      |      UNION ALL
+      |      SELECT pos_j AS i, pos_i AS j, covn FROM cells WHERE pos_i < pos_j),
+      |v0 AS (SELECT DISTINCT pos_i AS pos, CAST(1000 AS HUGEINT) AS v FROM cells)""".stripMargin
+    val iters = (1 to powerIters).map { k =>
+      val p = k - 1
+      s"""r$k AS (SELECT A.i AS pos, sum(A.covn * v$p.v) AS raw
+         |       FROM A JOIN v$p ON v$p.pos = A.j GROUP BY 1),
+         |m$k AS (SELECT greatest(max(abs(raw)), 1) AS m FROM r$k),
+         |v$k AS (SELECT pos, (raw * 1000) // m AS v FROM r$k, m$k)""".stripMargin
+    }
+    val K = powerIters
+    val footer =
+      s"""rf AS (SELECT A.i AS pos, sum(A.covn * v$K.v) AS raw
+         |      FROM A JOIN v$K ON v$K.pos = A.j GROUP BY 1),
+         |ray AS (SELECT CAST(sum(rf.raw * v$K.v) AS DOUBLE) /
+         |          CAST(sum(v$K.v * v$K.v) AS DOUBLE) AS rayleigh
+         |        FROM rf JOIN v$K ON v$K.pos = rf.pos)
+         |SELECT v$K.pos, CAST(v$K.v AS BIGINT) AS loading_milli, ray.rayleigh
+         |FROM v$K CROSS JOIN ray ORDER BY pos""".stripMargin
+    ((header +: iters) :+ footer).mkString(",\n")
+  }
+
   /** Seed-centroid cap for the IVF / SemDeDup / k-means family. The seed
     * predicate (`vec_id % 50 == 0 AND vec_id < 50*SeedK`) yields
     * K = min(SeedK, N/50) centroids: deterministic (oracle-mirrorable in
@@ -1815,25 +1888,7 @@ object TrainingData {
       // correctly-rounded ops (sqrt, divide) — deterministic everywhere.
       // On a real cluster the driver eigendecomposes the returned d×d
       // matrix (O(d³), trivially driver-sized) to get the loadings.
-      val e = embs(s, dir).withColumn("q", expr(quantized))
-        .select(col("vec_id"), col("q"))
-      val sums = e.select(posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy(col("pos")).agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, sx))), p -> p.sx)")
-            .as("sxarr"),
-          max(col("cnt")).as("n")) // every pos group counts all n vectors
-      val cells = e.crossJoin(broadcast(sums))
-        .withColumn("dd", expr(
-          """zip_with(q, sxarr, (x, sx) -> cast(
-               cast(x as decimal(19,0)) * cast(n as decimal(19,0)) - cast(sx as decimal(19,0))
-             as decimal(19,0)))"""))
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(dd)), i ->
-               transform(sequence(i, size(dd)), j -> named_struct(
-                 'i', i - 1, 'j', j - 1,
-                 'p', element_at(dd, i) * element_at(dd, j)))))""")).as("c"))
-        .groupBy(col("c.i").as("pos_i"), col("c.j").as("pos_j"))
-        .agg(sum(col("c.p")).as("covn"))
+      val cells = covCells(s, dir)
       val diag = cells.filter(col("pos_i") === col("pos_j"))
         .select(col("pos_i").as("dpos"), col("covn").as("varn"))
       cells
@@ -1847,6 +1902,45 @@ object TrainingData {
                (sqrt(cast(var_i as double)) * sqrt(cast(var_j as double))) * 1000000) as bigint)"""))
         .select(col("pos_i"), col("pos_j"), col("cov"), col("corr_micro"))
         .orderBy(col("pos_i"), col("pos_j"))
+    },
+
+    "s_embedding_power" -> { (s, dir) =>
+      // distributed PCA, step 2: the DOMINANT EIGENVECTOR of the covariance
+      // by power iteration in pure integer arithmetic — matvecs over the
+      // d²-cell frame with milli-scale requantization each round
+      // ((raw·1000) div max|raw|, exact integral ops only), so every
+      // engine and every partitioning produces bit-identical loadings (no
+      // float matvec sums whose order could drift). The corpus-sized work
+      // is covCells' ONE pass; the powerIters matvecs are d²-sized (the
+      // driver-side eigensolve alternative documented in s_embedding_pca,
+      // done distributed and deterministic instead). The Rayleigh quotient
+      // vᵀAv / vᵀv of the final iterate reports the dominant variance
+      // scale; loadings come back in milli units with the sign fixed by
+      // the all-positive start vector.
+      val cells = covCells(s, dir).cache()
+      val a = cells.select(col("pos_i").as("i"), col("pos_j").as("j"), col("covn"))
+        .union(cells.filter(col("pos_i") =!= col("pos_j"))
+          .select(col("pos_j").as("i"), col("pos_i").as("j"), col("covn")))
+      var v = cells.select(col("pos_i")).distinct()
+        .select(col("pos_i").as("pos"), lit(1000L).as("v"))
+      var iter = 0
+      while (iter < powerIters) {
+        val raw = a.join(broadcast(v), a("j") === v("pos"))
+          .groupBy(col("i")).agg(sum(col("covn") * col("v")).as("raw"))
+        val m = raw.agg(greatest(max(abs(col("raw"))), lit(1).cast("decimal(38,0)")).as("m"))
+        v = raw.crossJoin(broadcast(m))
+          .select(col("i").as("pos"), expr("cast((raw * 1000) div m as bigint)").as("v"))
+        iter += 1
+      }
+      val last = a.join(broadcast(v), a("j") === v("pos"))
+        .groupBy(col("i")).agg(sum(col("covn") * col("v")).as("raw"))
+      val ray = last.join(v, last("i") === v("pos"))
+        .agg(sum(col("raw") * col("v")).as("num"),
+          sum(col("v") * col("v")).as("den"))
+        .select((col("num").cast("double") / col("den").cast("double")).as("rayleigh"))
+      v.crossJoin(broadcast(ray))
+        .select(col("pos"), col("v").as("loading_milli"), col("rayleigh"))
+        .orderBy(col("pos"))
     },
 
     "d_decontam_bloom" -> { (s, dir) =>
@@ -2222,6 +2316,7 @@ object TrainingData {
          |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
+    "s_embedding_power" -> powerOracle,
     "d_dedup_semantic" ->
       // mirrors Spark exactly: IVF seed assignment (cosine argmax, cid
       // tie-break), then within-cluster pairwise cosine >= 0.3 marks the
@@ -3344,19 +3439,7 @@ object TrainingData {
         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "s_embedding_pca" ->
-      """WITH t AS (SELECT vec_id,
-        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS x,
-        |             generate_subscripts(embedding, 1) AS pos
-        |           FROM embeddings),
-        |nn AS (SELECT count(*) AS n FROM embeddings),
-        |sums AS (SELECT pos, CAST(sum(x) AS BIGINT) AS sx FROM t GROUP BY pos),
-        |dd AS (SELECT t.vec_id, t.pos,
-        |         CAST(t.x * nn.n - s.sx AS HUGEINT) AS dd
-        |       FROM t JOIN sums s ON s.pos = t.pos CROSS JOIN nn),
-        |cells AS (SELECT a.pos - 1 AS pos_i, b.pos - 1 AS pos_j,
-        |            sum(a.dd * b.dd) AS covn
-        |          FROM dd a JOIN dd b ON a.vec_id = b.vec_id AND a.pos <= b.pos
-        |          GROUP BY 1, 2),
+      s"""WITH $covCellsOracleCtes,
         |diag AS (SELECT pos_i AS dpos, covn AS varn FROM cells WHERE pos_i = pos_j)
         |SELECT c.pos_i, c.pos_j, CAST(c.covn AS DOUBLE) AS cov,
         |  CAST(floor(CAST(c.covn AS DOUBLE) /
