@@ -75,7 +75,7 @@ object Bench {
     // SparkEntry queries — the op itself is the timed region)
     "x_delete_where", "x_zorder_relayout", "x_asof_snapshot",
     "x_incremental_scan", "x_spj_join", "x_vacuum", "x_sorted_topn",
-    "x_ndv_stats")
+    "x_ndv_stats", "x_compact")
   // x_cdc_apply (BenchMaintenance.cdcApplyOp, driven via examples/MaintAB)
   // is deliberately NOT in the headline: at the provided data scales the
   // feed's O(changed-data) advantage cannot surface — documents tops out

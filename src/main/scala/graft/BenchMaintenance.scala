@@ -46,8 +46,49 @@ object BenchMaintenance {
       case "x_vacuum" => vacuumOp(spark, format, dir)
       case "x_sorted_topn" => sortedTopNOp(spark, format, dir)
       case "x_ndv_stats" => ndvStatsOp(spark, format, dir)
+      case "x_compact" => compactOp(spark, format, dir)
       case other => sys.error(s"unknown maintenance bench op: $other")
     }
+
+  /** Small-file compaction: a 64-file drip-ingested orders table squeezed
+    * to 4. graft: GraftMaintenance.compact (append-mode rewrite +
+    * snapshot-scoped deletes — the concurrent-writer-safe pass). parquet:
+    * the conventional route, read + repartition + rewrite to a fresh dir
+    * and swap. Both timed regions include the full rewrite plus a
+    * verifying scan-agg; staging the fragmented input is outside. The
+    * orders mass is identical both sides, so this prices the maintenance
+    * machinery itself (commit protocol, manifest upkeep) on top of the
+    * copy cost every compactor pays.
+    */
+  private def compactOp(spark: SparkSession, format: String, dir: String): Double = {
+    import org.apache.hadoop.fs.Path
+    val src = Tables.parquet(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartition(64)
+    val stage = s"/tmp/graft_bench_maint/compact_${format}_${key(dir)}_" +
+      Tables.fingerprint(s"$dir/orders.parquet")
+    rm(stage) // compaction mutates the table — re-stage fresh every run
+    def agg(df: DataFrame): Long =
+      df.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    if (format == "graft") {
+      src.write.format("graft").mode("overwrite").save(stage)
+      val t0 = System.nanoTime()
+      val st = graft.spark.GraftMaintenance.compact(spark, stage, targetFiles = 4)
+      require(st.filesAfter <= st.filesBefore, s"x_compact: $st")
+      require(agg(spark.read.format("graft").load(stage)) > 0)
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      src.write.mode("overwrite").parquet(stage)
+      val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+      val t0 = System.nanoTime()
+      val tmp = s"$stage.compacting"
+      spark.read.parquet(stage).repartition(4).write.mode("overwrite").parquet(tmp)
+      fs.delete(new Path(stage), true)
+      fs.rename(new Path(tmp), new Path(stage))
+      require(agg(spark.read.parquet(stage)) > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
 
   /** ANALYZE-grade distinct counts for 3 documents columns. graft: the
     * footer KMV synopses (GraftNdv — one 64 KiB tail-read per file, zero
