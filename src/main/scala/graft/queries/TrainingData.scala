@@ -1921,26 +1921,41 @@ object TrainingData {
       val a = cells.select(col("pos_i").as("i"), col("pos_j").as("j"), col("covn"))
         .union(cells.filter(col("pos_i") =!= col("pos_j"))
           .select(col("pos_j").as("i"), col("pos_i").as("j"), col("covn")))
-      var v = cells.select(col("pos_i")).distinct()
-        .select(col("pos_i").as("pos"), lit(1000L).as("v"))
+        .cache()
+      import s.implicits._
+      // the iterate is d rows — it lives ON THE DRIVER between rounds
+      // (same bounded-collect discipline as q_graph_pagerank's dangling
+      // scalar), so each matvec plans against a flat 64-row literal
+      // instead of stacking 2^k copies of the covariance lineage
+      def vDf(vs: Seq[(Int, Long)]) = vs.toDF("pos", "v")
+      val d = a.select(max(col("i"))).collect()(0).getInt(0) + 1
+      var v: Seq[(Int, Long)] = (0 until d).map(i => i -> 1000L)
+      def matvec(vs: Seq[(Int, Long)]) =
+        a.join(broadcast(vDf(vs)), a("j") === col("pos"))
+          .groupBy(col("i")).agg(sum(col("covn") * col("v")).as("raw"))
       var iter = 0
       while (iter < powerIters) {
-        val raw = a.join(broadcast(v), a("j") === v("pos"))
-          .groupBy(col("i")).agg(sum(col("covn") * col("v")).as("raw"))
-        val m = raw.agg(greatest(max(abs(col("raw"))), lit(1).cast("decimal(38,0)")).as("m"))
-        v = raw.crossJoin(broadcast(m))
-          .select(col("i").as("pos"), expr("cast((raw * 1000) div m as bigint)").as("v"))
+        val raw = matvec(v)
+        val vNext = raw.crossJoin(broadcast(
+            raw.agg(greatest(max(abs(col("raw"))), lit(1).cast("decimal(38,0)")).as("m"))))
+          .select(col("i"), expr("cast((raw * 1000) div m as bigint)").as("v"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+        v = vNext
         iter += 1
       }
-      val last = a.join(broadcast(v), a("j") === v("pos"))
-        .groupBy(col("i")).agg(sum(col("covn") * col("v")).as("raw"))
-      val ray = last.join(v, last("i") === v("pos"))
-        .agg(sum(col("raw") * col("v")).as("num"),
-          sum(col("v") * col("v")).as("den"))
-        .select((col("num").cast("double") / col("den").cast("double")).as("rayleigh"))
-      v.crossJoin(broadcast(ray))
-        .select(col("pos"), col("v").as("loading_milli"), col("rayleigh"))
-        .orderBy(col("pos"))
+      val vMap = v.toMap
+      val rayRow = matvec(v)
+        .select(col("i"), col("raw"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1))
+      val num = rayRow.map { case (i, raw) =>
+        BigDecimal(raw) * BigDecimal(vMap(i)) }.sum
+      val den = v.map { case (_, x) => BigDecimal(x) * BigDecimal(x) }.sum
+      // cast-then-divide, exactly the oracle's CAST(.. AS DOUBLE)/CAST(..):
+      // both casts are correctly rounded, the IEEE divide then matches
+      val ray = num.toDouble / den.toDouble
+      cells.unpersist(); a.unpersist()
+      v.sortBy(_._1).map { case (p, x) => (p, x, ray) }
+        .toDF("pos", "loading_milli", "rayleigh")
     },
 
     "d_decontam_bloom" -> { (s, dir) =>
