@@ -1,0 +1,170 @@
+package graft.spark
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-backed `TableCatalog`: the pure-SQL front door to graft tables.
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.spark.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft-warehouse
+  *
+  *   CREATE TABLE graft.db.events (id BIGINT, ts TIMESTAMP) ;
+  *   INSERT INTO graft.db.events SELECT ... ;
+  *   SELECT * FROM graft.db.events ;
+  * }}}
+  *
+  * An identifier `ns1.ns2.t` maps to `<warehouse>/ns1/ns2/t`; the data
+  * inside is an ordinary graft directory (everything `.format("graft")`
+  * wrote or will read — the catalog adds NAMES, not a new storage format,
+  * so path users and SQL users share tables freely). An empty table's
+  * schema lives in a `_graft_table.json` sidecar until the first insert;
+  * once data files exist the footer schema is authoritative (same
+  * inference as the path reader, drift rejected there).
+  *
+  * Scale note: metadata operations are pure filesystem ops on the table
+  * dir — no central metastore round-trips; list/exists price as one
+  * directory listing. Partitioned layouts come from the data path
+  * (`.option("partitionby", ...)` writes or `GraftMaintenance` re-layouts)
+  * — CREATE TABLE PARTITIONED BY is rejected explicitly rather than
+  * silently ignored.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+  private def fs = warehouse.getFileSystem(conf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null,
+      s"graft: catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): Path =
+    new Path((ident.namespace() :+ ident.name()).foldLeft(warehouse)(new Path(_, _)).toString)
+
+  private def sidecar(dir: Path): Path = new Path(dir, "_graft_table.json")
+
+  private def hasData(dir: Path): Boolean =
+    GraftUtil.listDataFiles(dir.toString, conf).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = namespace.foldLeft(warehouse)(new Path(_, _))
+    if (!fs.exists(nsDir)) throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    fs.listStatus(nsDir).filter(_.isDirectory)
+      .filter(d => hasData(d.getPath) || fs.exists(sidecar(d.getPath)))
+      .map(d => Identifier.of(namespace, d.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    fs.exists(dir) && (hasData(dir) || fs.exists(sidecar(dir)))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().mkString("."), ident.name())
+    val schema =
+      if (hasData(dir)) GraftUtil.inferSchema(dir.toString, conf)
+      else {
+        val in = fs.open(sidecar(dir))
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        DataType.fromJson(json).asInstanceOf[StructType]
+      }
+    new GraftTable(schema, dir.toString)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft: CREATE TABLE ... PARTITIONED BY is not supported — write with " +
+        ".option(\"partitionby\", ...) or re-layout via GraftMaintenance; the " +
+        "catalog reads any layout the path writer produced")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val dir = tableDir(ident)
+    fs.mkdirs(dir)
+    val out = fs.create(sidecar(dir), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    new GraftTable(schema, dir.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft: ALTER TABLE is not supported — additive schema evolution happens " +
+        "at write time (new columns in appended files are merged by the reader)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    fs.delete(tableDir(ident), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        oldIdent.namespace().mkString("."), oldIdent.name())
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (newIdent.namespace() :+ newIdent.name()).toSeq)
+    val dst = tableDir(newIdent)
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(tableDir(oldIdent), dst),
+      s"graft: rename ${oldIdent} -> ${newIdent} failed")
+  }
+
+  // ---- namespaces: plain directories under the warehouse ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).filter(_.isDirectory).map(d => Array(d.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val nsDir = namespace.foldLeft(warehouse)(new Path(_, _))
+    if (!fs.exists(nsDir)) throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    fs.listStatus(nsDir).filter(_.isDirectory)
+      .filter(d => !hasData(d.getPath) && !fs.exists(sidecar(d.getPath)))
+      .map(d => namespace :+ d.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(namespace.foldLeft(warehouse)(new Path(_, _)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    fs.mkdirs(namespace.foldLeft(warehouse)(new Path(_, _)))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft: namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val nsDir = namespace.foldLeft(warehouse)(new Path(_, _))
+    if (!fs.exists(nsDir)) return false
+    if (!cascade && fs.listStatus(nsDir).nonEmpty)
+      throw new IllegalStateException(
+        s"graft: namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(nsDir, true)
+  }
+}

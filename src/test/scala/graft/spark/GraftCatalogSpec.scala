@@ -1,0 +1,77 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-SQL lifecycle through the path-backed TableCatalog: CREATE /
+  * INSERT INTO / SELECT / INSERT OVERWRITE / RENAME / DROP, plus the
+  * interop contract — a table the path writer produced is queryable by
+  * name with zero registration, and a catalog table remains an ordinary
+  * graft directory for path users.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private val wh = "/tmp/graft-test/catalog-wh"
+
+  lazy val spark: SparkSession = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graftcat", "graft.spark.GraftCatalog")
+      .config("spark.sql.catalog.graftcat.warehouse", wh)
+      .getOrCreate()
+  }
+
+  test("CREATE / INSERT / SELECT / OVERWRITE / RENAME / DROP round-trip") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("CREATE TABLE graftcat.db.people (id BIGINT, name STRING)")
+    assert(spark.sql("SELECT * FROM graftcat.db.people").count() == 0L,
+      "empty table must be selectable off the schema sidecar")
+    spark.sql("INSERT INTO graftcat.db.people VALUES (1, 'ada'), (2, 'bob')")
+    spark.sql("INSERT INTO graftcat.db.people VALUES (3, 'eve')")
+    assert(spark.sql("SELECT sum(id) FROM graftcat.db.people").collect()(0).getLong(0) == 6L)
+    // the catalog table is an ordinary graft dir for path users
+    val byPath = spark.read.format("graft").load(s"$wh/db/people")
+    assert(byPath.count() == 3L)
+    spark.sql("INSERT OVERWRITE graftcat.db.people VALUES (9, 'zed')")
+    assert(spark.sql("SELECT * FROM graftcat.db.people").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // the RENAME TO target resolves RELATIVE to the table's catalog
+    spark.sql("ALTER TABLE graftcat.db.people RENAME TO db.humans")
+    assert(spark.sql("SELECT name FROM graftcat.db.humans").collect()(0).getString(0) == "zed")
+    assert(!spark.catalog.tableExists("graftcat.db.people"))
+    spark.sql("DROP TABLE graftcat.db.humans")
+    assert(spark.sql("SHOW TABLES IN graftcat.db").count() == 0L)
+  }
+
+  test("a path-written table is queryable by name with zero registration") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ext")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .write.format("graft").mode("overwrite").save(s"$wh/ext/dropped")
+    val rows = spark.sql("SELECT k, v FROM graftcat.ext.dropped ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql("SHOW TABLES IN graftcat.ext").collect().map(_.getString(1)).contains("dropped"))
+  }
+
+  test("CTAS works; PARTITIONED BY is rejected loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db2")
+    spark.sql("CREATE TABLE graftcat.db2.squares AS SELECT id, id * id AS sq FROM range(5)")
+    assert(spark.sql("SELECT sum(sq) FROM graftcat.db2.squares").collect()(0).getLong(0) == 30L)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.db2.bad (id BIGINT, p STRING) PARTITIONED BY (p)")
+    }
+    assert(e.getMessage.contains("partitionby") || e.getMessage.contains("PARTITIONED BY"))
+  }
+
+  test("pushdown works through the catalog: filters reach the graft scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db3")
+    spark.sql("CREATE TABLE graftcat.db3.nums AS SELECT id, id % 7 AS bucket FROM range(10000)")
+    val df = spark.sql("SELECT id FROM graftcat.db3.nums WHERE id = 4242")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan graft:"), s"not a graft scan:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(4242L))
+  }
+}
