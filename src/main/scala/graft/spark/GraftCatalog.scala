@@ -87,6 +87,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(schema, dir.toString)
   }
 
+  /** SQL time travel: `SELECT ... FROM cat.db.t TIMESTAMP AS OF <ts>` —
+    * Spark hands the timestamp in MICROseconds; it pins the manifest
+    * history exactly like the path reader's `.option("asof", millis)`
+    * (files no manifest lists are pre-manifest history, visible in every
+    * snapshot; snapshots older than the last compaction are not
+    * reconstructable — same documented contract).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val base = loadTable(ident).asInstanceOf[GraftTable]
+    val dir = tableDir(ident)
+    val schema =
+      if (hasData(dir)) GraftUtil.inferSchema(dir.toString, conf)
+      else base.schema()
+    new GraftTable(schema, dir.toString, Some(timestampMicros / 1000L))
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    throw new UnsupportedOperationException(
+      "graft: VERSION AS OF is not supported — snapshots are time-addressed; " +
+        "use TIMESTAMP AS OF (manifest commit times)")
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     require(partitions.isEmpty,

@@ -141,7 +141,8 @@ object GraftUtil {
   }
 }
 
-final class GraftTable(private val tableSchema: StructType, private val path: String)
+final class GraftTable(private val tableSchema: StructType, private val path: String,
+    private val tableAsofMs: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
@@ -160,7 +161,7 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       options.getBoolean("runtimefilter", false),
       Option(options.get("manifest")).map(_.toBoolean),
       Option(options.get("maxfilespertrigger")).map(_.toInt),
-      Option(options.get("asof")).map(_.toLong),
+      Option(options.get("asof")).map(_.toLong).orElse(tableAsofMs),
       Option(options.get("since")).map(_.toLong),
       options.getOrDefault("startingposition", "earliest") match {
         case "earliest" => false
@@ -179,10 +180,11 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
   // all silently miss (measured: a cached intermediate recomputed on every
   // reuse in the bench).
   override def equals(other: Any): Boolean = other match {
-    case o: GraftTable => path == o.path && tableSchema == o.tableSchema
+    case o: GraftTable => path == o.path && tableSchema == o.tableSchema &&
+      tableAsofMs == o.tableAsofMs
     case _ => false
   }
-  override def hashCode(): Int = (path, tableSchema).hashCode()
+  override def hashCode(): Int = (path, tableSchema, tableAsofMs).hashCode()
 }
 
 final class GraftScanBuilder(tableSchema: StructType, path: String,

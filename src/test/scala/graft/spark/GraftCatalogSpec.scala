@@ -66,6 +66,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitionby") || e.getMessage.contains("PARTITIONED BY"))
   }
 
+  test("SQL time travel: TIMESTAMP AS OF pins the manifest snapshot") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tt")
+    spark.sql("CREATE TABLE graftcat.tt.log AS SELECT id FROM range(5)")
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/tt/log")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val t1 = GraftManifest.list(fs, dir).map(GraftManifest.nameT).max
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graftcat.tt.log SELECT id FROM range(100, 103)")
+    assert(spark.sql("SELECT count(*) FROM graftcat.tt.log").collect()(0).getLong(0) == 8L)
+    // timestamp literal at the first commit's manifest time (UTC session)
+    val lit = java.time.Instant.ofEpochMilli(t1).toString.replace("T", " ").replace("Z", "")
+    val asOf = spark.sql(
+      s"SELECT count(*) FROM graftcat.tt.log TIMESTAMP AS OF '$lit'")
+      .collect()(0).getLong(0)
+    assert(asOf == 5L, s"snapshot at t1 saw $asOf rows, expected the first commit's 5")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.tt.log VERSION AS OF '1'").collect()
+    }
+    assert(e.getMessage.contains("TIMESTAMP AS OF"))
+  }
+
   test("pushdown works through the catalog: filters reach the graft scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db3")
     spark.sql("CREATE TABLE graftcat.db3.nums AS SELECT id, id % 7 AS bucket FROM range(10000)")
