@@ -2037,6 +2037,32 @@ object TrainingData {
         .orderBy(col("col_name"))
     },
 
+    "t_encoding_audit" -> { (s, dir) =>
+      // encoding/character-hygiene audit — the pass that catches mojibake,
+      // stray control bytes, and unexpected non-ASCII before text enters a
+      // tokenizer. The synthetic corpus is clean ASCII, so deterministic
+      // fixtures are injected first (doc_id % 7 = 0 gains control chars,
+      // % 7 = 3 gains accented text) — the flags must fire on exactly
+      // those slices or the audit is vacuous. Counts come from
+      // length-minus-stripped (single-char classes, identical RE2/Java
+      // semantics); ratios are exact integer micro units. Pure map.
+      docs(s, dir)
+        .withColumn("body", expr(
+          """CASE WHEN doc_id % 7 = 0 THEN concat(text, ' ', chr(7), chr(31))
+                  WHEN doc_id % 7 = 3 THEN concat(text, ' déjà vu café')
+                  ELSE text END"""))
+        .withColumn("total", length(col("body")).cast("long"))
+        .withColumn("control_chars",
+          (col("total") - length(regexp_replace(col("body"), "[\\x00-\\x1f]", ""))).cast("long"))
+        .withColumn("non_ascii",
+          (col("total") - length(regexp_replace(col("body"), "[^\\x00-\\x7f]", ""))).cast("long"))
+        .withColumn("clean_ratio_micro", expr(
+          "((total - control_chars - non_ascii) * 1000000L) div total"))
+        .select(col("doc_id"), col("total"), col("control_chars"),
+          col("non_ascii"), col("clean_ratio_micro"))
+        .orderBy(col("doc_id"))
+    },
+
     "t_token_entropy" -> { (s, dir) =>
       // per-document token-distribution Shannon entropy — the "how
       // template-like is this doc" signal quality filters threshold on
@@ -3524,6 +3550,19 @@ object TrainingData {
         |  CAST(CASE WHEN nonnull > 0 THEN (sum_len * 1000000) // nonnull ELSE 0 END AS BIGINT) AS avg_len_micro
         |FROM p ORDER BY col_name""".stripMargin,
 
+    "t_encoding_audit" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || chr(7) || chr(31)
+        |         WHEN doc_id % 7 = 3 THEN text || ' déjà vu café'
+        |         ELSE text END AS body
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(length(body) AS BIGINT) AS total,
+        |    CAST(length(body) - length(regexp_replace(body, '[\x00-\x1f]', '', 'g')) AS BIGINT) AS control_chars,
+        |    CAST(length(body) - length(regexp_replace(body, '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS non_ascii
+        |  FROM b)
+        |SELECT doc_id, total, control_chars, non_ascii,
+        |  CAST(((total - control_chars - non_ascii) * 1000000) // total AS BIGINT) AS clean_ratio_micro
+        |FROM m ORDER BY doc_id""".stripMargin,
     "t_token_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |counts AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
