@@ -291,6 +291,25 @@ object RelationalExt {
         .orderBy(col("event_type"))
     },
 
+    "q_value_histogram" -> { (s, dir) =>
+      // fixed-width 16-bin histogram of the event value distribution — the
+      // profiling companion to the exact quantiles: bin edges come from the
+      // global integer-quantized min/max (one tiny agg broadcast back), bin
+      // assignment is pure integer arithmetic (((vm-min)*16) div span), so
+      // the frame is bit-identical cross-engine — no float edge drift. One
+      // scan + a 16-cell aggregate with map-side partials; the 1-row
+      // bounds frame is the only other exchange.
+      val e = t(s, dir, "events")
+        .withColumn("vm", expr("cast(floor(value * 1000) as bigint)"))
+      val bounds = e.agg(min(col("vm")).as("lo"), max(col("vm")).as("hi"))
+      e.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr("least(15, ((vm - lo) * 16) div (hi - lo + 1))"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("vm")).as("bin_min_milli"), max(col("vm")).as("bin_max_milli"))
+        .orderBy(col("bin"))
+    },
+
     "q_graph_pagerank" -> { (s, dir) =>
       // weighted PageRank over the behavioral transition graph: nodes are
       // event types, an edge (u, v, c) counts how often v directly follows
@@ -393,6 +412,14 @@ object RelationalExt {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_value_histogram" ->
+      """WITH v AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |b AS (SELECT min(vm) AS lo, max(vm) AS hi FROM v)
+        |SELECT least(15, ((vm - lo) * 16) // (hi - lo + 1)) AS bin,
+        |  count(*) AS n,
+        |  min(vm) AS bin_min_milli, max(vm) AS bin_max_milli
+        |FROM v CROSS JOIN b
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_graph_pagerank" -> pagerankOracle,
     "q_value_quantiles" ->
       """WITH ranked AS (
