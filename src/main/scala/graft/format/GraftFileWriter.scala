@@ -7,7 +7,8 @@ import scala.collection.mutable.ArrayBuffer
   * File layout (this library's spec; structural analogue of the reference's
   * `/root/reference/src/write/writer.rs:91-167`):
   * {{{
-  *   magic (8B: "GRAFT002", or "GRAFT003" when blooms may be present)
+  *   magic (8B: "GRAFT002"; "GRAFT003" when blooms may be present;
+  *          "GRAFT004" when per-leaf KMV ndv synopses may be present)
   *   leaf 0 pages | leaf 1 pages | ...          (depth-first leaf order)
   *   schema bytes (UTF-8 JSON of the Spark StructType)
   *   meta block:
@@ -15,6 +16,9 @@ import scala.collection.mutable.ArrayBuffer
   *     per leaf: u64 offset | u32 pageCount
   *       per page: u32 length | u32 numValues | u8 statsKind
   *                 [u64 min | u64 max | u32 nullCount]  (iff statsKind != 0)
+  *                 [u32 bloomLen | bloom bytes]         (iff v003+ bloom leaf)
+  *       v004 only, per leaf after its page list: KMV ndv synopsis —
+  *         u8 presence | [u32 k | u32 count | count x u64 hashes, ascending]
   *   u32 schemaSize | u32 metaSize | magic (8B)
   * }}}
   * Like the reference (writer.rs:108-112), exactly one chunk per file —

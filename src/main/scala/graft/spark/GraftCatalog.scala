@@ -51,8 +51,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** Path-traversal guard: catalog identifier segments become filesystem
+    * path components, so a backquoted segment containing a separator or a
+    * dot-link (`..`) would resolve OUTSIDE the warehouse root — and
+    * dropTable recursively deletes the resolved path. Every resolution goes
+    * through here; hostile segments are rejected before any
+    * mkdir/rename/delete can touch the escaped path.
+    */
+  private def segmentValid(seg: String): Boolean =
+    seg != null && seg.nonEmpty && seg != "." && seg != ".." &&
+      !seg.exists(c => c == '/' || c == '\\' || c == '\u0000')
+
+  private def resolved(segments: Seq[String]): Path = {
+    segments.foreach(seg => require(segmentValid(seg),
+      s"graft: invalid catalog identifier segment '$seg' — segments must be " +
+        "non-empty and must not be '.'/'..' or contain path separators"))
+    segments.foldLeft(warehouse)(new Path(_, _))
+  }
+
   private def tableDir(ident: Identifier): Path =
-    new Path((ident.namespace() :+ ident.name()).foldLeft(warehouse)(new Path(_, _)).toString)
+    resolved((ident.namespace() :+ ident.name()).toSeq)
 
   private def sidecar(dir: Path): Path = new Path(dir, "_graft_table.json")
 
@@ -60,7 +78,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftUtil.listDataFiles(dir.toString, conf).nonEmpty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val nsDir = namespace.foldLeft(warehouse)(new Path(_, _))
+    val nsDir = resolved(namespace.toSeq)
     if (!fs.exists(nsDir)) throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     fs.listStatus(nsDir).filter(_.isDirectory)
       .filter(d => hasData(d.getPath) || fs.exists(sidecar(d.getPath)))
@@ -151,11 +169,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(): Array[Array[String]] =
     if (!fs.exists(warehouse)) Array.empty
-    else fs.listStatus(warehouse).filter(_.isDirectory).map(d => Array(d.getPath.getName))
+    else fs.listStatus(warehouse).filter(_.isDirectory)
+      // same exclusion as the nested overload: a table created with an
+      // empty namespace (cat.t) lives directly under the warehouse root
+      // and must not be listed as a namespace
+      .filter(d => !hasData(d.getPath) && !fs.exists(sidecar(d.getPath)))
+      .map(d => Array(d.getPath.getName))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
-    val nsDir = namespace.foldLeft(warehouse)(new Path(_, _))
+    val nsDir = resolved(namespace.toSeq)
     if (!fs.exists(nsDir)) throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     fs.listStatus(nsDir).filter(_.isDirectory)
       .filter(d => !hasData(d.getPath) && !fs.exists(sidecar(d.getPath)))
@@ -163,7 +186,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || fs.exists(namespace.foldLeft(warehouse)(new Path(_, _)))
+    namespace.isEmpty ||
+      (namespace.forall(segmentValid) && fs.exists(resolved(namespace.toSeq)))
 
   override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
     if (!namespaceExists(namespace))
@@ -173,7 +197,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
-    fs.mkdirs(namespace.foldLeft(warehouse)(new Path(_, _)))
+    fs.mkdirs(resolved(namespace.toSeq))
     ()
   }
 
@@ -181,7 +205,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("graft: namespaces carry no metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val nsDir = namespace.foldLeft(warehouse)(new Path(_, _))
+    val nsDir = resolved(namespace.toSeq)
     if (!fs.exists(nsDir)) return false
     if (!cascade && fs.listStatus(nsDir).nonEmpty)
       throw new IllegalStateException(

@@ -865,7 +865,10 @@ object GraftScan {
       conf: org.apache.hadoop.conf.Configuration): Map[String, Long] = {
     if (files.isEmpty || files.length > 256 || fieldNames.isEmpty) return Map.empty
     val perFile: Seq[Map[String, (Int, Array[Long])]] = files.map { f =>
-      val key = f.getPath.toString + "#" + f.getLen
+      // modificationTime in the key: ndv steers CBO join planning, so an
+      // in-place overwrite that happens to produce a same-length file must
+      // invalidate, not serve the stale sketch
+      val key = f.getPath.toString + "#" + f.getLen + "@" + f.getModificationTime
       var m = kmvCache.get(key)
       if (m == null) {
         val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)

@@ -87,6 +87,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TIMESTAMP AS OF"))
   }
 
+  test("identifier segments cannot traverse outside the warehouse") {
+    // a backquoted identifier with '/' or '..' must be rejected before any
+    // filesystem op — dropTable recursively deletes the resolved path, so
+    // an escaped path is an arbitrary recursive delete
+    val victim = new java.io.File("/tmp/graft-test/catalog-victim")
+    victim.mkdirs()
+    new java.io.FileWriter(victim + "/keep.txt") { write("x"); close() }
+    for (bad <- Seq(
+        "CREATE TABLE graftcat.db.`../catalog-victim` (id BIGINT)",
+        "CREATE TABLE graftcat.`../../tmp`.t2 (id BIGINT)",
+        "DROP TABLE graftcat.db.`../catalog-victim`",
+        "CREATE NAMESPACE graftcat.`a/b`")) {
+      val e = intercept[Exception] { spark.sql(bad) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("invalid catalog identifier segment")
+          || m.contains("NoSuchNamespace") || m.contains("not found")),
+        s"expected a segment-validation rejection for [$bad], got: $e")
+    }
+    assert(new java.io.File(victim, "keep.txt").exists(),
+      "traversal attempt must not have deleted files outside the warehouse")
+  }
+
+  test("root listNamespaces excludes table dirs (empty-namespace tables)") {
+    spark.sql("CREATE TABLE IF NOT EXISTS graftcat.rootlevel (id BIGINT)")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.realns")
+    val namespaces = spark.sql("SHOW NAMESPACES IN graftcat")
+      .collect().map(_.getString(0)).toSet
+    assert(namespaces.contains("realns"))
+    assert(!namespaces.contains("rootlevel"),
+      s"a root-level TABLE must not be listed as a namespace: $namespaces")
+    spark.sql("DROP TABLE graftcat.rootlevel")
+  }
+
   test("pushdown works through the catalog: filters reach the graft scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db3")
     spark.sql("CREATE TABLE graftcat.db3.nums AS SELECT id, id % 7 AS bucket FROM range(10000)")
