@@ -115,6 +115,22 @@ object TrainingData {
   private def seedCentroidFilter = col("vec_id") % 50 === 0 && col("vec_id") < lit(50L * SeedK)
   private val seedCentroidSql = s"vec_id % 50 = 0 AND vec_id < ${50 * SeedK}"
 
+  /** 64-bucket sign-LSH id over the quantized column `q`: bit p is the
+    * sign of q · plane_p for 6 deterministic integer hyperplanes
+    * plane_p[j] = ((p*131 + j*37) % 19) - 9 — the same formula the DuckDB
+    * oracles apply. The planes fold to array LITERALS so each bit costs one
+    * native dot (VecOps.longDot) instead of a nested higher-order
+    * aggregate; a missing/odd-length q yields bit 0, exactly like the
+    * null-padded zip_with form it replaces.
+    */
+  private def lshBucket: org.apache.spark.sql.Column =
+    (0 until 6).map { p =>
+      val plane = expr((0 until 64).map(j => ((p * 131 + j * 37) % 19) - 9)
+        .mkString("array(", "L, ", "L)"))
+      when(graft.spark.VecOps.longDot(col("q"), plane) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Lloyd iterations the s_kmeans_loop op runs (and its oracle unrolls). */
   private val kmeansLoopIters = 3
 
@@ -505,15 +521,9 @@ object TrainingData {
       // DuckDB oracle applies the identical bucket predicate
       // (bit_count(xor(bucket_a, bucket_b)) <= 1), so results stay
       // hash-exact.
-      val planes = "transform(sequence(0, 5), p -> transform(sequence(0, 63), j -> ((p*131 + j*37) % 19) - 9))"
       val e = embs(s, dir).withColumn("q", expr(quantized))
-        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
-        .withColumn("bucket", expr(
-          s"""aggregate(sequence(0, 5), cast(0 as bigint),
-                (acc, p) -> acc + CASE WHEN
-                  aggregate(zip_with(q, element_at($planes, p + 1), (x, c) -> x * c),
-                            cast(0 as bigint), (a2, x2) -> a2 + x2) >= 0
-                  THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""))
+        .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
+        .withColumn("bucket", lshBucket)
       val a = e.select(col("vec_id").as("va"), col("label"), col("q").as("qa"),
           col("nn").as("na"), col("bucket"))
         .withColumn("pbucket", explode(expr(
@@ -523,7 +533,7 @@ object TrainingData {
         col("nn").as("nb"), col("bucket").as("bucketb"))
       a.join(b, col("pbucket") === col("bucketb") && col("label") === col("lb") &&
           col("va") < col("vb"))
-        .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("dot", graft.spark.VecOps.longDot(col("qa"), col("qb")))
         .withColumn("cosine", col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .filter(col("cosine") >= 0.3)
@@ -553,7 +563,7 @@ object TrainingData {
       val targets = e.select(col("vec_id").as("tid"), col("q").as("tv"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
       queriesDf.crossJoin(targets).filter(col("qid") =!= col("tid"))
-        .withColumn("dot", expr("aggregate(zip_with(qv, tv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("dot", graft.spark.VecOps.longDot(col("qv"), col("tv")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("tid"), col("dot"), col("rank"))
@@ -566,7 +576,6 @@ object TrainingData {
       // int-dot rerank of candidates. The scale path: bucketing is a map +
       // shuffle-join on bucket id, never all-pairs; recall/probe-count trade
       // off via the probe list.
-      val planes = "transform(sequence(0, 5), p -> transform(sequence(0, 63), j -> ((p*131 + j*37) % 19) - 9))"
       // cached, but NARROWED first: only (vec_id, q, bucket) — the raw
       // embedding/label columns are dropped before materialization, so the
       // cached frame is the minimal rerank input (~the quantized vector +
@@ -575,12 +584,7 @@ object TrainingData {
       // expression is the expensive part; at 100 TB the equivalent is a
       // checkpointed bucket table, not a bigger cache.
       val e = materialize(embs(s, dir).withColumn("q", expr(quantized))
-        .withColumn("bucket", expr(
-          s"""aggregate(sequence(0, 5), cast(0 as bigint),
-                (acc, p) -> acc + CASE WHEN
-                  aggregate(zip_with(q, element_at($planes, p + 1), (x, c) -> x * c),
-                            cast(0 as bigint), (a2, x2) -> a2 + x2) >= 0
-                  THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""))
+        .withColumn("bucket", lshBucket)
         .select(col("vec_id"), col("q"), col("bucket")), "ann_buckets")
       val queriesDf = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
@@ -590,7 +594,7 @@ object TrainingData {
       val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
       queriesDf.join(targets, Seq("bucket")).filter(col("qid") =!= col("tid"))
         .dropDuplicates("qid", "tid") // multiprobe can hit a pair twice
-        .withColumn("dot", expr("aggregate(zip_with(qv, tv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("dot", graft.spark.VecOps.longDot(col("qv"), col("tv")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("tid"), col("dot"), col("rank"))
@@ -607,12 +611,11 @@ object TrainingData {
       // Recall/cost trades off via nprobe; at 100 TB the lists frame is a
       // checkpointed table clustered by list_id.
       val e = embs(s, dir).withColumn("q", expr(quantized))
-        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+        .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       val cents = e.filter(seedCentroidFilter)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val ranked = e.crossJoin(broadcast(cents))
-        .withColumn("cdot", expr(
-          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
         .withColumn("crk", row_number().over(
@@ -629,8 +632,7 @@ object TrainingData {
         .select(col("vec_id").as("qid"), col("cid").as("list_id"), col("q").as("qv"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
       probes.join(lists, Seq("list_id")).filter(col("qid") =!= col("tid"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qv, tv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("dot", graft.spark.VecOps.longDot(col("qv"), col("tv")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("tid"), col("dot"), col("rank"))
@@ -655,14 +657,14 @@ object TrainingData {
         .select(col("vec_id"), col("q"))
       val cents = e.filter(col("vec_id") < K)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
-      def subD2(vecCol: String): String =
-        s"""aggregate(zip_with(slice($vecCol, m*$sub+1, $sub), slice(cq, m*$sub+1, $sub),
-              (x, y) -> (x-y)*(x-y)), cast(0 as bigint), (a, v) -> a + v)"""
+      def subD2(vecCol: String) =
+        graft.spark.VecOps.longL2(
+          expr(s"slice($vecCol, m*$sub+1, $sub)"), expr(s"slice(cq, m*$sub+1, $sub)"))
       // the CODES table: at scale this is the materialized PQ index
       // (M small ints per vector), everything ADC reads
       val enc = e.crossJoin(broadcast(cents))
         .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-        .withColumn("d2", expr(subD2("q")))
+        .withColumn("d2", subD2("q"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cid"))))
         .filter(col("rk") === 1)
@@ -672,7 +674,7 @@ object TrainingData {
         .select(col("vec_id").as("qid"), col("q").as("qv"))
         .crossJoin(broadcast(cents))
         .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-        .withColumn("ld2", expr(subD2("qv")))
+        .withColumn("ld2", subD2("qv"))
         .select(col("qid"), col("m"), col("cid").as("code"), col("ld2"))
       val w = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("tid"))
       enc.join(broadcast(lut), Seq("m", "code"))
@@ -700,13 +702,12 @@ object TrainingData {
       // codewords from seed vectors, integer L2/dot, id tie-breaks.
       val M = 4; val sub = 16; val K = 8
       val e = embs(s, dir).withColumn("q", expr(quantized))
-        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+        .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       // ---- coarse quantizer: IVF assignment (s_ann_ivf shape) ----
       val coarse = e.filter(seedCentroidFilter)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val ranked = e.crossJoin(broadcast(coarse))
-        .withColumn("cdot", expr(
-          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
         .withColumn("crk", row_number().over(
@@ -718,12 +719,12 @@ object TrainingData {
       // ---- fine quantizer: PQ codes + per-query LUT (s_embedding_pq shape) ----
       val cents = e.filter(col("vec_id") < K)
         .select(col("vec_id").as("pcid"), col("q").as("pcq"))
-      def subD2(vecCol: String): String =
-        s"""aggregate(zip_with(slice($vecCol, m*$sub+1, $sub), slice(pcq, m*$sub+1, $sub),
-              (x, y) -> (x-y)*(x-y)), cast(0 as bigint), (a, v) -> a + v)"""
+      def subD2(vecCol: String) =
+        graft.spark.VecOps.longL2(
+          expr(s"slice($vecCol, m*$sub+1, $sub)"), expr(s"slice(pcq, m*$sub+1, $sub)"))
       val enc = e.select(col("vec_id"), col("q")).crossJoin(broadcast(cents))
         .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-        .withColumn("d2", expr(subD2("q")))
+        .withColumn("d2", subD2("q"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("pcid"))))
         .filter(col("rk") === 1)
@@ -732,7 +733,7 @@ object TrainingData {
         .select(col("vec_id").as("lqid"), col("q").as("qv"))
         .crossJoin(broadcast(cents))
         .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-        .withColumn("ld2", expr(subD2("qv")))
+        .withColumn("ld2", subD2("qv"))
         .select(col("lqid"), col("m"), col("pcid").as("code"), col("ld2"))
       // ---- compose: candidates from the lists, ranking from the codes ----
       val cand = probes.join(lists, Seq("list_id"))
@@ -1691,12 +1692,11 @@ object TrainingData {
       // from a trained codebook, clusters land as a bucketed table, and the
       // within-cluster join shuffles on cluster_id only.
       val e = embs(s, dir).withColumn("q", expr(quantized))
-        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+        .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       val cents = e.filter(seedCentroidFilter)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cdot", expr(
-          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
         .withColumn("crk", row_number().over(
@@ -1708,8 +1708,7 @@ object TrainingData {
       val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
         col("q").as("qb"), col("nn").as("nb"))
       val removed = a.join(b, Seq("cluster_id")).filter(col("va") < col("vb"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("dot", graft.spark.VecOps.longDot(col("qa"), col("qb")))
         .withColumn("cosine", col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .filter(col("cosine") >= 0.3)
@@ -1735,12 +1734,11 @@ object TrainingData {
       // (broadcast — K×dims rows). Report per cluster: size before/after +
       // moved-away count, the convergence signal the loop iterates on.
       val e = embs(s, dir).withColumn("q", expr(quantized))
-        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+        .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       val cents = e.filter(seedCentroidFilter)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cdot", expr(
-          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
         .withColumn("crk", row_number().over(
@@ -1794,12 +1792,11 @@ object TrainingData {
       // assignment + one (cid,pos) hash-agg; superseded checkpoints are
       // retired as soon as the next one lands.
       val e = embs(s, dir).withColumn("q", expr(quantized))
-        .withColumn("nn", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+        .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       val cents = e.filter(seedCentroidFilter)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val a0 = e.crossJoin(broadcast(cents))
-        .withColumn("cdot", expr(
-          "aggregate(zip_with(q, cq, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
         .withColumn("crk", row_number().over(
