@@ -103,17 +103,101 @@ object TrainingData {
     ((header +: iters) :+ footer).mkString(",\n")
   }
 
-  /** Seed-centroid cap for the IVF / SemDeDup / k-means family. The seed
-    * predicate (`vec_id % 50 == 0 AND vec_id < 50*SeedK`) yields
-    * K = min(SeedK, N/50) centroids: deterministic (oracle-mirrorable in
-    * plain SQL), and BOUNDED — at any corpus size the centroid table stays
-    * ≤ SeedK rows, so the broadcast is O(K·dims) constant and assignment is
-    * O(N·K), never N²/50. A production index would Lloyd-train the codebook;
-    * the fixed-K seed keeps the same plan shape the trained one would have.
+  /** Scale-aware seed-centroid scheme for the IVF / SemDeDup / k-means
+    * family. K GROWS with the corpus instead of pinning at a constant (the
+    * round-9 design flaw: fixed K = 32 made cluster sizes — and so the
+    * within-cluster pairwise work and per-probe rerank fraction — linear in
+    * N):
+    *
+    *  - IVF / k-means: K = max(32, ⌈√N⌉) — the classic IVF list sizing.
+    *    Assignment costs N·√N broadcast dots; a probe reranks
+    *    nprobe·N/√N candidates, both sublinear fractions of N².
+    *  - SemDeDup: K = max(32, ⌈N/500⌉) — bounded EXPECTED cluster size
+    *    (≤ ~500 members), so the within-cluster pairwise join does ≤ ~500·N
+    *    work — linear in N — instead of N²/K.
+    *
+    * Seeds are the K vec_ids with the SMALLEST portable md5-fold hash
+    * (prefix 'seed:'; one corpus-linear map + a top-K, sized by one
+    * footer-only count). Hash-rank selection is immune to id-layout
+    * aliasing: a stride/modulus scheme silently picks near-identical seeds
+    * whenever near-duplicate copies sit at stride-aligned ids (exactly how
+    * amplified corpora lay out), collapsing the clustering into one mega
+    * cluster. The DuckDB oracles rank the identical hash, so seed sets
+    * match bit-for-bit at any scale. The IVF family additionally
+    * Lloyd-refines these seeds into a trained codebook (`ivfCodebook`);
+    * SemDeDup assigns against the raw seeds — its oracle stays one argmax,
+    * and the bound comes from K, not centroid quality.
     */
-  private val SeedK = 32
-  private def seedCentroidFilter = col("vec_id") % 50 === 0 && col("vec_id") < lit(50L * SeedK)
-  private val seedCentroidSql = s"vec_id % 50 = 0 AND vec_id < ${50 * SeedK}"
+  private[queries] def kIvf(n: Long): Long =
+    math.max(32L, math.ceil(math.sqrt(n.toDouble)).toLong)
+  private[queries] def kSem(n: Long): Long = math.max(32L, (n + 499L) / 500L)
+
+  private val seedHashExpr =
+    """aggregate(sequence(1, 15), cast(0 as bigint),
+         (acc, i) -> acc * 16 + (instr('0123456789abcdef',
+           substr(md5(concat('seed:', cast(vec_id as string))), i, 1)) - 1))"""
+
+  /** The K hash-ranked seed vec_ids for this corpus (one count + one
+    * top-K); join the result broadcast against the vectors to build the
+    * centroid table.
+    */
+  private[queries] def seedIds(s: SparkSession, dir: String, kOfN: Long => Long): DataFrame = {
+    val n = embs(s, dir).count()
+    val k = kOfN(n)
+    embs(s, dir).select(col("vec_id"), expr(seedHashExpr).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k.toInt)
+      .select(col("vec_id"))
+  }
+
+  /** The same hash-rank selection as a standalone SQL SELECT (yields
+    * `cid`), for the oracles. `kOfN` is an expression over the 1-row
+    * derived table's `n`.
+    */
+  private def seedSelSql(kOfN: String): String =
+    s"""SELECT vec_id AS cid FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY
+       |    list_reduce(list_transform(generate_series(1, 15),
+       |      i -> CAST(strpos('0123456789abcdef',
+       |             substr(md5('seed:' || CAST(vec_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, x) -> a * 16 + x), vec_id) AS rn
+       |  FROM embeddings)
+       |WHERE rn <= (SELECT $kOfN FROM (SELECT count(*) AS n FROM embeddings))""".stripMargin
+  private val ivfKOfN = "greatest(32, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))"
+  private val semKOfN = "greatest(32, (n + 499) // 500)"
+  private def seedCentroidSelIvf = seedSelSql(ivfKOfN)
+  private def seedCentroidSelSem = seedSelSql(semKOfN)
+
+  /** Lloyd-TRAINED IVF codebook over the quantized embeddings: K = ⌈√N⌉
+    * stride seeds refined by one exact integer Lloyd step. Cosine is
+    * scale-invariant, so the refined centroid is the per-cluster component
+    * SUM vector (exact int64) — no division enters any argmax and the
+    * DuckDB oracle reproduces it bit-for-bit. Materialized (local cache, or
+    * a graft scratch table in `table` mode): a production index trains the
+    * codebook once, persists it next to its lists, and probes it broadcast
+    * — K·dims longs, a few MB even at K = √(10¹⁰). Returns
+    * (cid, cq array<bigint> component sums, cn = Σ cq²).
+    */
+  private def ivfCodebook(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).withColumn("q", expr(quantized))
+      .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
+    val seeds = e.join(broadcast(seedIds(s, dir, kIvf)), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+    val a0 = e.crossJoin(broadcast(seeds))
+      .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("q"), col("cid"))
+    val sums = a0.select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
+    val cents = sums.groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> p.sx)")
+        .as("cq"))
+      .withColumn("cn", graft.spark.VecOps.longNormSq(col("cq")))
+    materialize(cents, "ivf_codebook")
+  }
 
   /** 64-bucket sign-LSH id over the quantized column `q`: bit p is the
     * sign of q · plane_p for 6 deterministic integer hyperplanes
@@ -602,18 +686,18 @@ object TrainingData {
     },
     "s_ann_ivf" -> { (s, dir) =>
       // IVF (inverted-file) ANN — the second scale path next to LSH:
-      // deterministic seed centroids (seedCentroidFilter, K ≤ SeedK; a production index
-      // would Lloyd-iterate, each iteration one broadcast join + agg),
-      // every vector assigned to its nearest centroid's LIST by cosine
-      // argmax over the BROADCAST centroid table (K rows — the standard
-      // IVF assignment shape, never all-pairs), queries probe their
-      // nprobe=2 nearest lists and rerank candidates by exact integer dot.
-      // Recall/cost trades off via nprobe; at 100 TB the lists frame is a
-      // checkpointed table clustered by list_id.
+      // a Lloyd-TRAINED codebook of K = ⌈√N⌉ centroids (ivfCodebook —
+      // trained once, materialized, probed broadcast), every vector
+      // assigned to its nearest centroid's LIST by cosine argmax over the
+      // BROADCAST codebook (the standard IVF assignment shape, never
+      // all-pairs), queries probe their nprobe=2 nearest lists and rerank
+      // candidates by exact integer dot. K = √N keeps both sides sublinear:
+      // assignment is N·√N broadcast dots, a probe reranks nprobe·N/√N
+      // candidates. Recall/cost trades off via nprobe; at 100 TB the lists
+      // frame is a checkpointed table clustered by list_id.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
-      val cents = e.filter(seedCentroidFilter)
-        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+      val cents = ivfCodebook(s, dir)
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
@@ -698,14 +782,13 @@ object TrainingData {
       // from faiss noted: codes encode raw vectors, not per-list
       // residuals (residuals buy accuracy, not a different plan shape,
       // and raw-vector codes keep the oracle exact). Deterministic
-      // throughout: bounded coarse seeds (seedCentroidFilter), K=8 PQ
-      // codewords from seed vectors, integer L2/dot, id tie-breaks.
+      // throughout: Lloyd-trained √N-list coarse codebook (ivfCodebook),
+      // K=8 PQ codewords from seed vectors, integer L2/dot, id tie-breaks.
       val M = 4; val sub = 16; val K = 8
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       // ---- coarse quantizer: IVF assignment (s_ann_ivf shape) ----
-      val coarse = e.filter(seedCentroidFilter)
-        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+      val coarse = ivfCodebook(s, dir)
       val ranked = e.crossJoin(broadcast(coarse))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
@@ -1688,12 +1771,15 @@ object TrainingData {
       // duplicate if a LOWER-id member has cosine >= 0.3 (min-id canonical
       // keeps one representative per duplicate set, the d_dedup_canonical
       // convention). Integer dots + IEEE exact-rounded sqrt/division keep
-      // the report bit-identical cross-engine. At 100 TB: centroids come
-      // from a trained codebook, clusters land as a bucketed table, and the
-      // within-cluster join shuffles on cluster_id only.
+      // the report bit-identical cross-engine. K = max(32, ⌈N/500⌉)
+      // (kSem) bounds the EXPECTED cluster size at ~500 members, so the
+      // within-cluster join does ≤ ~500·N work — linear in N; clusters
+      // land as a table shuffled on cluster_id only. (Beyond ~10⁸ rows the
+      // N·K seed assignment itself would warrant a two-level coarse/fine
+      // argmax — same plan shape, applied twice.)
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
-      val cents = e.filter(seedCentroidFilter)
+      val cents = e.join(broadcast(seedIds(s, dir, kSem)), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
@@ -1735,7 +1821,7 @@ object TrainingData {
       // moved-away count, the convergence signal the loop iterates on.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
-      val cents = e.filter(seedCentroidFilter)
+      val cents = e.join(broadcast(seedIds(s, dir, kIvf)), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
@@ -1793,7 +1879,7 @@ object TrainingData {
       // retired as soon as the next one lands.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
-      val cents = e.filter(seedCentroidFilter)
+      val cents = e.join(broadcast(seedIds(s, dir, kIvf)), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val a0 = e.crossJoin(broadcast(cents))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
@@ -2300,7 +2386,7 @@ object TrainingData {
       |             generate_subscripts(embedding, 1) AS pos
       |           FROM embeddings),
       |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
-      |cent AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
+      |cent AS ($seedCentroidSelIvf),
       |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
       |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
       |         GROUP BY 1, 2),
@@ -2353,6 +2439,40 @@ object TrainingData {
          |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.tid = ex.tid
          |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
 
+  /** Oracle CTE chain mirroring `ivfCodebook` + the refined assignment:
+    * seed selection (scale-aware √N K) → cosine-argmax seed assignment →
+    * per-cluster component sums (the one exact Lloyd step) → assignment of
+    * every vector against the SUM centroids. Assumes CTEs `t` (long-form
+    * quantized vectors) and `nrm` are already defined; downstream reads
+    * `cbr1(vec_id, cid, crk)`. Names are cb-prefixed so composing oracles
+    * (IVF-PQ) can keep their own `cent` etc.
+    */
+  private def codebookCtes: String =
+    s"""cbseed AS ($seedCentroidSelIvf),
+      |cbdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
+      |         FROM t a JOIN cbseed c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
+      |         GROUP BY 1, 2),
+      |cbrank AS (SELECT v.vec_id, v.cid,
+      |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |               (CAST(v.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
+      |               v.cid) AS crk
+      |           FROM cbdot v
+      |           JOIN nrm n1 ON n1.vec_id = v.vec_id
+      |           JOIN nrm n2 ON n2.vec_id = v.cid),
+      |cba0 AS (SELECT vec_id, cid FROM cbrank WHERE crk = 1),
+      |cbsum AS (SELECT a.cid, t.pos, sum(t.q) AS sx
+      |         FROM cba0 a JOIN t ON t.vec_id = a.vec_id GROUP BY 1, 2),
+      |cbnn AS (SELECT cid, sum(sx*sx) AS cnn FROM cbsum GROUP BY 1),
+      |cbd1 AS (SELECT t.vec_id, c.cid, sum(t.q * c.sx) AS dot
+      |       FROM t JOIN cbsum c ON c.pos = t.pos GROUP BY 1, 2),
+      |cbr1 AS (SELECT d.vec_id, d.cid,
+      |         row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |           (CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(cn.cnn AS DOUBLE)))) DESC,
+      |           d.cid) AS crk
+      |       FROM cbd1 d
+      |       JOIN nrm n1 ON n1.vec_id = d.vec_id
+      |       JOIN cbnn cn ON cn.cid = d.cid)""".stripMargin
+
   private lazy val baseOracles: Map[String, String] = Map(
     "s_embedding_power" -> powerOracle,
     "d_dedup_semantic" ->
@@ -2364,7 +2484,7 @@ object TrainingData {
         |             generate_subscripts(embedding, 1) AS pos
         |           FROM embeddings),
         |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
-        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
+        |cent AS ($seedCentroidSelSem),
         |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
         |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
         |         GROUP BY 1, 2),
@@ -2404,7 +2524,7 @@ object TrainingData {
         |             generate_subscripts(embedding, 1) AS pos
         |           FROM embeddings),
         |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
-        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
+        |cent AS ($seedCentroidSelIvf),
         |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
         |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
         |         GROUP BY 1, 2),
@@ -2548,19 +2668,9 @@ object TrainingData {
         |             generate_subscripts(embedding, 1) AS pos
         |           FROM embeddings),
         |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
-        |coarse AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
-        |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
-        |         FROM t a JOIN coarse c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
-        |         GROUP BY 1, 2),
-        |cranked AS (SELECT v.vec_id, v.cid,
-        |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |               (CAST(v.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
-        |               v.cid) AS crk
-        |           FROM cdot v
-        |           JOIN nrm n1 ON n1.vec_id = v.vec_id
-        |           JOIN nrm n2 ON n2.vec_id = v.cid),
-        |lists AS (SELECT vec_id AS tid, cid AS list_id FROM cranked WHERE crk = 1),
-        |probes AS (SELECT vec_id AS qid, cid AS list_id FROM cranked WHERE vec_id < 10 AND crk <= 2),
+        |$codebookCtes,
+        |lists AS (SELECT vec_id AS tid, cid AS list_id FROM cbr1 WHERE crk = 1),
+        |probes AS (SELECT vec_id AS qid, cid AS list_id FROM cbr1 WHERE vec_id < 10 AND crk <= 2),
         |cand AS (SELECT DISTINCT p.qid, l.tid
         |         FROM probes p JOIN lists l USING (list_id) WHERE l.tid <> p.qid),
         |cent AS (SELECT vec_id AS pcid FROM embeddings WHERE vec_id < 8),
@@ -2860,27 +2970,18 @@ object TrainingData {
         |  FROM cand)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "s_ann_ivf" ->
-      // mirrors Spark's IVF exactly: bounded seed centroids (seedCentroidSql),
-      // assignment by cosine argmax (double over integer dot/norms,
+      // mirrors Spark's IVF exactly: scale-aware Lloyd-trained codebook
+      // (codebookCtes — the ivfCodebook mirror), assignment by cosine
+      // argmax vs the SUM centroids (double over integer dot/norms,
       // centroid-id tie-break), nprobe=2, exact int-dot rerank
       s"""WITH t AS (SELECT vec_id,
         |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
         |             generate_subscripts(embedding, 1) AS pos
         |           FROM embeddings),
         |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
-        |cent AS (SELECT vec_id AS cid FROM embeddings WHERE $seedCentroidSql),
-        |cdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
-        |         FROM t a JOIN cent c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
-        |         GROUP BY 1, 2),
-        |ranked AS (SELECT v.vec_id, v.cid,
-        |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |               (CAST(v.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
-        |               v.cid) AS crk
-        |           FROM cdot v
-        |           JOIN nrm n1 ON n1.vec_id = v.vec_id
-        |           JOIN nrm n2 ON n2.vec_id = v.cid),
-        |lists AS (SELECT vec_id AS tid, cid AS list_id FROM ranked WHERE crk = 1),
-        |probes AS (SELECT vec_id AS qid, cid AS list_id FROM ranked WHERE vec_id < 10 AND crk <= 2),
+        |$codebookCtes,
+        |lists AS (SELECT vec_id AS tid, cid AS list_id FROM cbr1 WHERE crk = 1),
+        |probes AS (SELECT vec_id AS qid, cid AS list_id FROM cbr1 WHERE vec_id < 10 AND crk <= 2),
         |cand AS (SELECT p.qid, l.tid FROM probes p JOIN lists l USING (list_id) WHERE l.tid <> p.qid),
         |dots AS (SELECT c.qid, c.tid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
         |         FROM cand c JOIN t a ON a.vec_id = c.qid JOIN t b ON b.vec_id = c.tid AND b.pos = a.pos

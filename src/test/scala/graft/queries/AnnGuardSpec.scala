@@ -31,4 +31,65 @@ class AnnGuardSpec extends AnyFunSuite {
   test("brute-force ANN runs under the default cap") {
     assert(graft.SparkEntry.queries("s_ann_bruteforce")(spark, sf).count() == 50)
   }
+
+  test("coarse K scales with corpus size (no fixed-K quadratic cliff)") {
+    // IVF family: K = max(32, ceil(sqrt(N))) — grows, and keeps both the
+    // assignment (N*K) and per-probe rerank (nprobe*N/K) sublinear in N^2
+    assert(TrainingData.kIvf(500L) == 32L)
+    assert(TrainingData.kIvf(1000000L) == 1000L)
+    assert(TrainingData.kIvf(100000000L) == 10000L)
+    // SemDeDup: K = max(32, ceil(N/500)) — expected cluster size bounded
+    // at ~500 members, so within-cluster pairwise work is <= ~500*N
+    assert(TrainingData.kSem(500L) == 32L)
+    assert(TrainingData.kSem(1000000L) == 2000L)
+    for (n <- Seq(10000L, 100000L, 10000000L)) {
+      assert(TrainingData.kIvf(n * 10) > TrainingData.kIvf(n), s"kIvf flat at $n")
+      assert(TrainingData.kSem(n * 10) > TrainingData.kSem(n), s"kSem flat at $n")
+      assert((n.toDouble / TrainingData.kSem(n)) <= 500.0 + 1e-9,
+        s"expected cluster size above target at $n")
+    }
+  }
+
+  test("seedIds selects exactly K distinct hash-ranked centroids") {
+    import org.apache.spark.sql.functions.col
+    val seeds = TrainingData.seedIds(spark, sf, TrainingData.kIvf)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(seeds.length == 32, s"got ${seeds.length} seeds for N=500, expected 32")
+    assert(seeds.distinct.length == 32)
+    // hash-rank, not id-order: the seed set must not be a prefix/stride of
+    // the id space (that alignment is what collapses amplified corpora)
+    assert(!seeds.sorted.sameElements(0L until 32L))
+  }
+
+  test("SemDeDup cluster sizes stay bounded on a 40k-row corpus") {
+    // synthesize a corpus big enough that the scale-aware K exceeds the 32
+    // floor (N=40000 -> K_sem=80, stride=500), from perturbed copies of the
+    // real embeddings; assert the resulting cluster-size distribution
+    // honours the design bound the fixed-K scheme violated
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft-test/ann-40k"
+    val marker = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
+    if (!marker.exists()) {
+      val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      base.withColumn("c", explode(expr("sequence(0L, 79L)")))
+        .withColumn("vec_id", col("vec_id") + col("c") * 500L)
+        .withColumn("embedding", expr(
+          "transform(embedding, x -> x + cast(c as float) * cast(1e-3 as float))"))
+        .drop("c")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val seeds = TrainingData.seedIds(spark, dir, TrainingData.kSem).collect()
+    assert(seeds.length == 80, s"K=${seeds.length} for N=40000, expected 80")
+    val sizes = graft.SparkEntry.queries("d_dedup_semantic")(spark, dir)
+      .select(col("cluster_size")).collect().map(_.getLong(0))
+    assert(sizes.sum == 40000L, s"every vector lands in a cluster (${sizes.sum})")
+    assert(sizes.length > 32, s"K must exceed the floor, got ${sizes.length} clusters")
+    // the scale property under pin: max cluster is a CONSTANT factor of the
+    // ~500-member target, independent of N (the fixed-K scheme put ~N/4 in
+    // one cluster here; stride seeds on this copy-aligned layout put ~0.9N).
+    // 8x absorbs the worst-case skew of a corpus that is 80 near-identical
+    // copies of every vector.
+    assert(sizes.max <= 8 * 500L,
+      s"max cluster ${sizes.max} blew the ~500-member design bound")
+  }
 }
