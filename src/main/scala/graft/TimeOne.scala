@@ -20,10 +20,15 @@ object TimeOne {
       spark.catalog.clearCache()
       sys.props("graft.tables.format") = fmt
       try {
-        val df = SparkEntry.queries(name)(spark, dir)
-        val t0 = System.nanoTime()
-        df.write.mode("overwrite").format("noop").save()
-        println(f"TIMING $name $fmt ${(System.nanoTime() - t0) / 1e9}%.3f")
+        if (name.startsWith("x_")) {
+          val sec = BenchMaintenance.time(spark, name, fmt, dir)
+          println(f"TIMING $name $fmt $sec%.3f")
+        } else {
+          val df = SparkEntry.queries(name)(spark, dir)
+          val t0 = System.nanoTime()
+          df.write.mode("overwrite").format("noop").save()
+          println(f"TIMING $name $fmt ${(System.nanoTime() - t0) / 1e9}%.3f")
+        }
       } catch { case e: Throwable => println(s"TIMING $name $fmt FAILED ${e.getMessage.take(150)}") }
       finally sys.props.remove("graft.tables.format")
     }

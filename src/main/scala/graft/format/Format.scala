@@ -130,6 +130,12 @@ final case class WriteOptions(
     compressRatio: Double = 1.2,
     pageSize: Int = 8192,
     forcedCodec: Option[Byte] = scala.None,
+    /** per-lane-family forced codec OVERRIDING `forcedCodec`: keys "int"
+      * (incl. decimal128/date/timestamp lanes), "float", "binary", "bool".
+      * The graft analogue of the reference's per-codec debug env matrix
+      * (`/root/reference/src/util/env.rs:20-83`) — lets a test force e.g.
+      * Dict on strings while the integer lanes stay adaptive. */
+    forcedFamily: Map[String, Byte] = Map.empty,
     adaptive: Boolean = true,
     zstdLevel: Int = 3,
     /** cross-check the analytic special-codec choice against a deterministic
@@ -155,7 +161,17 @@ final case class WriteOptions(
       * synopsis is reproducible by any engine (see KmvUtil). */
     ndvLeaves: Set[Int] = Set.empty,
     /** synopsis size: the k smallest distinct 60-bit hashes per leaf */
-    ndvK: Int = 256)
+    ndvK: Int = 256) {
+  /** This options instance with `forcedCodec` resolved for one lane
+    * family: the per-family override wins; absent, the global force (or
+    * none) stays in effect.
+    */
+  def forFamily(family: String): WriteOptions =
+    forcedFamily.get(family) match {
+      case scala.None => this
+      case some => copy(forcedCodec = some)
+    }
+}
 
 /** Per-page metadata persisted in the footer.
   * `numValues` counts LEAF values (for nested children this can differ from

@@ -48,8 +48,18 @@ object PageSerializer {
     * Returns the page's footer metadata (length, value count, zone-map stats).
     */
   def writePage(lane: Int, vec: Vec, from: Int, until: Int, nullable: Boolean,
-      opts: WriteOptions, out: ByteBuf, scratch: ByteBuf,
+      opts0: WriteOptions, out: ByteBuf, scratch: ByteBuf,
       withBloom: Boolean = false): PageMeta = {
+    // resolve the per-lane-family codec force once; everything below
+    // (special chooser, common fallback, nested I64 delegation) sees the
+    // already-resolved forcedCodec
+    val opts = opts0.forFamily(lane match {
+      case Lane.I8 | Lane.I16 | Lane.I32 | Lane.I64 | Lane.I128 => "int"
+      case Lane.F32 | Lane.F64 => "float"
+      case Lane.Bin => "binary"
+      case Lane.Bool => "bool"
+      case _ => ""
+    })
     val pageStart = out.length
     val n = until - from
 

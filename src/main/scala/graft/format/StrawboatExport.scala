@@ -24,12 +24,15 @@ import scala.jdk.CollectionConverters._
   *    RLE level streams + the leaf codec block; `num_values` is the
   *    level-tuple count (flat pages: the row count).
   *
-  * Codec policy: every block is written with a COMMON codec (None / Lz4 raw
-  * block / Zstd / Snappy) — the spec's always-valid encoding that every
-  * reference reader version decodes. The reference's specialized integer /
-  * binary codecs are an encoding CHOICE its writer makes, not a requirement
-  * of the format, so the exporter favors portability over ratio; block
-  * compression still applies.
+  * Codec policy: integer-family lanes (ints, date, timestamp) go through
+  * an adaptive chooser that emits the reference's special codecs —
+  * OneValue / RLE / Dict (`compression/integer/{one_value,rle,dict}.rs`) —
+  * whenever they beat the plain encoding, so handed-back files land near
+  * the size the reference writer itself would produce; everything else
+  * (floats, strings, booleans, levels) is written with a COMMON codec
+  * (None / Lz4 raw block / Zstd / Snappy), the spec's always-valid
+  * encoding every reference reader decodes. `special = "none"` restores
+  * pure-Common output; "onevalue"/"rle"/"dict" force a codec for tests.
   *
   * Scale shape: `encodeFile` buffers one file's rows (column-contiguous
   * layout forces whole-file buffering — the reference writer itself holds
@@ -192,16 +195,82 @@ object StrawboatExport {
     case other => throw new IllegalArgumentException(s"date value $other")
   }
 
+  /** Special integer codecs of the reference
+    * (`/root/reference/src/compression/integer/{one_value,rle,dict}.rs`),
+    * emitted when they beat the plain encoding (or when `special` forces
+    * one). Same frame as every block — `codec(u8)|csize(u32)|usize(u32)`
+    * with usize = n·width — payloads:
+    *
+    *  - OneValue (12): the single value, plain LE.
+    *  - RLE (10): `(count u32 | value)*` runs.
+    *  - Dict (11): a RECURSIVE integer block of u32 indices (here: a
+    *    Common block, matching dict.rs's forbidden-Dict recursion) +
+    *    `set_count u32` + first-appearance-ordered values, plain LE.
+    */
+  private def intBlock(width: Int, vals: Seq[Long], codec: Int,
+      special: String): Array[Byte] = {
+    val n = vals.size
+    def plain = block(codec, leInts(width, vals))
+    def frame(id: Int, payload: Array[Byte]) =
+      cat(Array(id.toByte), u32(payload.length.toLong), u32(n.toLong * width), payload)
+    def oneValue = frame(12, leInts(width, Seq(vals.head)))
+    def runs: Seq[(Int, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      vals.foreach { v =>
+        if (out.nonEmpty && out.last._2 == v) out(out.size - 1) = (out.last._1 + 1, v)
+        else out += ((1, v))
+      }
+      out.toSeq
+    }
+    def rle = frame(10, cat(runs.map { case (c, v) =>
+      cat(u32(c.toLong), leInts(width, Seq(v))) }: _*))
+    def dict = {
+      val sets = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+      val indices = vals.map(v => sets.getOrElseUpdate(v, sets.size).toLong)
+      frame(11, cat(block(codec, leInts(4, indices)),
+        u32(sets.size.toLong), leInts(width, sets.keys.toSeq)))
+    }
+    special match {
+      case _ if n == 0 => plain
+      case "none" => plain
+      case "onevalue" =>
+        require(vals.forall(_ == vals.head), "forced onevalue on non-constant page")
+        oneValue
+      case "rle" => rle
+      case "dict" => dict
+      case "adaptive" =>
+        val rawBytes = n.toLong * width
+        if (vals.forall(_ == vals.head)) oneValue
+        else {
+          val runBytes = runs.size.toLong * (4 + width)
+          val distinct = vals.distinct.size
+          // + 13: the recursive indices sub-block's own header
+          val dictBytes =
+            if (distinct >= (1 << 20)) Long.MaxValue
+            else n.toLong * 4 + 13 + 4 + distinct.toLong * width
+          // smallest candidate wins if it beats plain by >= 10% (headers
+          // and block-compression of the plain path eat anything closer)
+          val best = Seq(("rle", runBytes), ("dict", dictBytes)).minBy(_._2)
+          if (best._2 * 10 <= rawBytes * 9) (if (best._1 == "rle") rle else dict)
+          else plain
+        }
+      case other => throw new IllegalArgumentException(
+        s"strawboat export: unknown special-codec mode '$other' " +
+          "(adaptive|none|onevalue|rle|dict)")
+    }
+  }
+
   /** Encode `slots` (null-free placeholders already substituted) of leaf
     * type `dt` as one codec block (strings/binary: two sub-blocks).
     */
-  private def leafBlock(dt: DataType, slots: Seq[Any], codec: Int): Array[Byte] = dt match {
-    case ByteType => block(codec, leInts(1, slots.map(_.asInstanceOf[Byte].toLong)))
-    case ShortType => block(codec, leInts(2, slots.map(_.asInstanceOf[Short].toLong)))
-    case IntegerType => block(codec, leInts(4, slots.map(_.asInstanceOf[Int].toLong)))
-    case LongType => block(codec, leInts(8, slots.map(_.asInstanceOf[Long])))
-    case DateType => block(codec, leInts(4, slots.map(dateDays)))
-    case TimestampType | TimestampNTZType => block(codec, leInts(8, slots.map(tsMicros)))
+  private def leafBlock(dt: DataType, slots: Seq[Any], codec: Int,
+      special: String): Array[Byte] = dt match {
+    case ByteType => intBlock(1, slots.map(_.asInstanceOf[Byte].toLong), codec, special)
+    case ShortType => intBlock(2, slots.map(_.asInstanceOf[Short].toLong), codec, special)
+    case IntegerType => intBlock(4, slots.map(_.asInstanceOf[Int].toLong), codec, special)
+    case LongType => intBlock(8, slots.map(_.asInstanceOf[Long]), codec, special)
+    case DateType => intBlock(4, slots.map(dateDays), codec, special)
+    case TimestampType | TimestampNTZType => intBlock(8, slots.map(tsMicros), codec, special)
     case FloatType => block(codec, leInts(4,
       slots.map(v => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL)))
     case DoubleType => block(codec, leInts(8,
@@ -382,7 +451,7 @@ object StrawboatExport {
     * `rows` is buffered in full (column-contiguous layout requires it).
     */
   def encodeFile(schema: StructType, rows: Seq[Row], pageRows: Int = 8192,
-      codec: Int = 1): Array[Byte] = {
+      codec: Int = 1, special: String = "adaptive"): Array[Byte] = {
     require(pageRows > 0, "strawboat export: pageRows must be positive")
     val aschema = arrowSchema(schema) // also validates type coverage
     val pagesOfRows = if (rows.isEmpty) Seq(Seq.empty[Row]) else rows.grouped(pageRows).toSeq
@@ -404,7 +473,7 @@ object StrawboatExport {
               val repB = encodeHybridLevels(b.reps.toSeq, maxRep)
               val defB = encodeHybridLevels(b.defs.toSeq, maxDef)
               val page = cat(u32(pr.size), u32(repB.length), u32(defB.length),
-                repB, defB, leafBlock(b.leafType, b.slots.toSeq, codec))
+                repB, defB, leafBlock(b.leafType, b.slots.toSeq, codec, special))
               pagesPerLeaf(li) += PageBytes(page, b.reps.size.toLong)
             }
           }
@@ -412,7 +481,7 @@ object StrawboatExport {
         case flat =>
           perLeaf += pagesOfRows.map { pr =>
             val vals = pr.map(r => r(ci))
-            val body = leafBlock(flat, vals.map(v => if (v == null) zeroOf(flat) else v), codec)
+            val body = leafBlock(flat, vals.map(v => if (v == null) zeroOf(flat) else v), codec, special)
             val page =
               if (f.nullable) cat(validityBlock(vals.map(_ != null).toArray), body)
               else body

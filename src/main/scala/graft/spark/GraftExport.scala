@@ -21,7 +21,8 @@ import org.apache.spark.sql.DataFrame
   *
   * Options: `compression` none|lz4|zstd|snappy (default lz4, the
   * reference's own default), `pagerows` (default 8192), `rowsperfile`
-  * (default 262144).
+  * (default 262144), `specialcodecs` adaptive|none (default adaptive —
+  * integer lanes may emit the reference's OneValue/RLE/Dict codecs).
   */
 object GraftExport {
 
@@ -32,6 +33,7 @@ object GraftExport {
     val codec = StrawboatExport.codecId(options.getOrElse("compression", "lz4"))
     val pageRows = options.getOrElse("pagerows", "8192").toInt
     val rowsPerFile = options.getOrElse("rowsperfile", "262144").toInt
+    val special = options.getOrElse("specialcodecs", "adaptive")
     require(pageRows > 0 && rowsPerFile > 0,
       "strawboat export: pagerows and rowsperfile must be positive")
     val spark = df.sparkSession
@@ -48,7 +50,7 @@ object GraftExport {
       var fileIdx = 0
       var total = 0L
       it.grouped(rowsPerFile).foreach { batch =>
-        val bytes = StrawboatExport.encodeFile(schema, batch, pageRows, codec)
+        val bytes = StrawboatExport.encodeFile(schema, batch, pageRows, codec, special)
         // stage hidden, publish by rename: a killed task never leaves a
         // truncated file that carries the ARROW2 magic (readers list
         // dot-prefixed names as non-files), and a task retry overwrites

@@ -57,12 +57,16 @@ object GraftWriteOptions {
     val codec = compName.map(n => if (n == "lz4hc") Codec.Lz4 else Codec.byName(n))
       .getOrElse(Codec.Lz4)
     val forced = Option(o.get("forcecodec")).map(Codec.byName)
+    val families = Seq("int", "float", "binary", "bool").flatMap { fam =>
+      Option(o.get(s"forcecodec.$fam")).map(n => fam -> Codec.byName(n))
+    }.toMap
     GraftWriteOptions(
       WriteOptions(
         defaultCodec = if (Codec.isCommon(codec)) codec else Codec.Lz4,
         compressRatio = Option(o.get("compressratio")).map(_.toDouble).getOrElse(1.2),
         pageSize = Option(o.get("pagesize")).map(_.toInt).getOrElse(8192),
         forcedCodec = if (forced.isDefined) forced else if (!Codec.isCommon(codec)) Some(codec) else None,
+        forcedFamily = families,
         adaptive = Option(o.get("adaptive")).map(_.toBoolean).getOrElse(true),
         zstdLevel = Option(o.get("zstdlevel")).map(_.toInt).getOrElse(3),
         sampledChooser = Option(o.get("chooser")).forall(_ != "analytic"),

@@ -384,4 +384,58 @@ class CodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("per-family force matrix: one lane family forced, the rest adaptive") {
+    // the graft analogue of the reference's per-codec debug env matrix
+    // (/root/reference/src/util/env.rs:20-83): .option("forcecodec.<fam>")
+    // pins a codec for ONE lane family while the others keep choosing
+    val n = 4096
+    val r = new scala.util.Random(21)
+    def mixedChunk(opts: WriteOptions): Array[GraftStat.LeafInfo] = {
+      val ints = LongVec(n, null, Array.tabulate(n)(i => (i / 64).toLong)) // runny
+      val floats = DoubleVec(n, null, Array.fill(n)(r.nextDouble()))
+      val strs = {
+        val b = new BinaryVecBuilder()
+        (0 until n).foreach(i => b.append(s"tag${i % 7}".getBytes)) // low card
+        b.result()
+      }
+      val bools = BoolVec(n, null, Array.tabulate(n)(i => i % 2 == 0))
+      val f = Files.createTempFile("graft-matrix", ".graft")
+      try {
+        val os = new java.io.BufferedOutputStream(Files.newOutputStream(f))
+        val w = new GraftFileWriter(os, "{}", opts)
+        w.start()
+        w.writeChunk(Seq(LeafCol(Lane.I64, nullable = false, ints),
+          LeafCol(Lane.F64, nullable = false, floats),
+          LeafCol(Lane.Bin, nullable = false, strs),
+          LeafCol(Lane.Bool, nullable = false, bools)), n)
+        w.finish()
+        os.close()
+        GraftStat.describeFile(f, Array((Lane.I64, false), (Lane.F64, false),
+          (Lane.Bin, false), (Lane.Bool, false)))
+      } finally Files.deleteIfExists(f)
+    }
+    // binary forced to Dict; the sorted-runny ints stay ADAPTIVE (they
+    // choose DeltaBitpack for this shape — the point is the binary force
+    // did not leak onto them)
+    val st1 = mixedChunk(WriteOptions(pageSize = 1024,
+      forcedFamily = Map("binary" -> Codec.Dict)))
+    assert(st1(2).pages.forall(_.codec == Codec.Dict),
+      st1(2).pages.map(_.codec).mkString(","))
+    assert(st1(0).pages.forall(_.codec == Codec.DeltaBitpack),
+      st1(0).pages.map(_.codec).mkString(","))
+    // ints forced to Dict; binary adaptive picks its own Dict-or-better,
+    // floats forced to Patas, bools forced to Rle — all at once
+    val st2 = mixedChunk(WriteOptions(pageSize = 1024,
+      forcedFamily = Map("int" -> Codec.Dict, "float" -> Codec.Patas,
+        "bool" -> Codec.Rle)))
+    assert(st2(0).pages.forall(_.codec == Codec.Dict))
+    assert(st2(1).pages.forall(_.codec == Codec.Patas))
+    assert(st2(3).pages.forall(_.codec == Codec.Rle))
+    // family force beats the global force where both apply
+    val st3 = mixedChunk(WriteOptions(pageSize = 1024,
+      forcedCodec = Some(Codec.Rle), forcedFamily = Map("int" -> Codec.Dict)))
+    assert(st3(0).pages.forall(_.codec == Codec.Dict))
+    assert(st3(3).pages.forall(_.codec == Codec.Rle)) // global still on bools
+  }
 }

@@ -106,17 +106,56 @@ object ExportRoundTripProperties extends Properties("graft.format.exportRoundTri
     rows <- Gen.listOfN(nRows, genRow(schema))
     pageRows <- Gen.choose(1, 13)
     codec <- Gen.oneOf(0, 1, 2, 3)
-  } yield (schema, rows, pageRows, codec)
+    // "onevalue" is excluded here (it requires constant pages — covered by
+    // the dedicated property below); forced rle/dict are valid on any data
+    special <- Gen.oneOf("adaptive", "none", "rle", "dict")
+  } yield (schema, rows, pageRows, codec, special)
 
   property("encodeFile -> decodeFile is the identity on random nested rows") =
-    Prop.forAll(genCase) { case (schema, rows, pageRows, codec) =>
-      val bytes = StrawboatExport.encodeFile(schema, rows, pageRows, codec)
+    Prop.forAll(genCase) { case (schema, rows, pageRows, codec, special) =>
+      val bytes = StrawboatExport.encodeFile(schema, rows, pageRows, codec, special)
       val (_, got) = StrawboatImport.decodeFile(new BytesInput(bytes))
       val ok = got.size == rows.size && got.zip(rows).forall { case (g, w) =>
         g.length == w.length && (0 until w.length).forall(i => deepEq(g(i), w(i)))
       }
-      if (!ok) println(s"MISMATCH schema=$schema pageRows=$pageRows codec=$codec\n" +
-        s"want=${rows}\ngot =${got.map(_.toSeq).toList}")
+      if (!ok) println(s"MISMATCH schema=$schema pageRows=$pageRows codec=$codec " +
+        s"special=$special\nwant=${rows}\ngot =${got.map(_.toSeq).toList}")
       ok
     }
+
+  // special-codec coverage on shapes that TRIGGER each codec adaptively:
+  // constant (OneValue), runny (RLE), low-cardinality (Dict) int64 lanes.
+  // Round-trip identity AND a strict size win over the pure-Common file —
+  // the reason the exporter emits them at all.
+  property("integer special codecs round-trip and shrink codec-natural pages") = {
+    val schema = StructType(Seq(StructField("v", LongType, nullable = false)))
+    val shapes: Gen[(String, IndexedSeq[Long])] = Gen.oneOf(
+      Gen.choose(-5000L, 5000L).map(c => ("const", IndexedSeq.fill(512)(c))),
+      Gen.choose(2, 6).map(runLen =>
+        ("runs", (0 until 512).map(i => (i / (runLen * 13)).toLong))),
+      Gen.choose(2, 8).map(card =>
+        ("lowcard", (0 until 512).map(i => ((i * 7919) % card).toLong * 1000003L))))
+    Prop.forAll(shapes, Gen.oneOf("adaptive", "onevalue", "rle", "dict")) {
+      case ((shape, vals), forced) =>
+        val special = if (forced == "onevalue" && shape != "const") "adaptive" else forced
+        val rows = vals.map(v => Row(v))
+        val bytes = StrawboatExport.encodeFile(schema, rows, 128, 0, special)
+        val plain = StrawboatExport.encodeFile(schema, rows, 128, 0, "none")
+        val (_, got) = StrawboatImport.decodeFile(new BytesInput(bytes))
+        val same = got.size == rows.size &&
+          got.zip(rows).forall { case (g, w) => g(0) == w.getLong(0) }
+        // size must win when the codec fits the shape (adaptive always
+        // picks a fitting one); a forced MISMATCHED codec (rle on lowcard)
+        // legitimately inflates and only owes round-trip identity
+        val fits = special == "adaptive" ||
+          (special == "onevalue" && shape == "const") ||
+          (special == "rle" && (shape == "runs" || shape == "const")) ||
+          (special == "dict" && shape != "runs")
+        val shrunk = !fits || bytes.length < plain.length
+        if (!(same && shrunk))
+          println(s"special=$special shape=$shape same=$same " +
+            s"bytes=${bytes.length} plain=${plain.length}")
+        same && shrunk
+    }
+  }
 }
