@@ -125,8 +125,11 @@ object GraftMaintenance {
     * training corpus needs (drop specific doc_ids, a contaminated source,
     * a date range). Scale shape: ONE distributed probe job maps matching
     * rows to their files via `input_file_name()` (zone maps / blooms still
-    * prune pages inside that scan — a fixed 3 jobs of driver orchestration
-    * regardless of file count), and an untouched file keeps its identity (page
+    * prune pages inside that scan), before/after row counts come straight
+    * off cached footers (no Spark job), and the per-file survivor rewrites
+    * run concurrently — the driver orchestration cost is one probe job
+    * plus one overlapped rewrite wave regardless of file count. An
+    * untouched file keeps its identity (page
     * layout, zone maps, mtime — snapshots and caches stay valid). Each
     * rewritten file publishes its survivors at a DETERMINISTIC name
     * derived from (original file, predicate) via an atomic rename, then
@@ -170,7 +173,12 @@ object GraftMaintenance {
     val manifestSnapshot = GraftManifest.list(fs, tableDir)
     val table = spark.read.format("graft").load(dir)
     val schema = table.schema
-    val rowsBefore = table.count() // footer-only via aggregate pushdown
+    // straight off the footers — no Spark job (the count-pushdown scan
+    // would also be footer-only, but still pays a job's scheduling)
+    val rowsBefore = {
+      val c = GraftScan.rowCount(files, conf)
+      if (c.isPresent) c.getAsLong else table.count()
+    }
     // ONE distributed probe job finds every file holding a match: zone
     // maps / blooms still prune pages inside the scan, and
     // input_file_name() maps matching rows back to their files. The
@@ -197,9 +205,18 @@ object GraftMaintenance {
         predicate.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.take(4).map(b => f"$b%02x").mkString
     }
-    var rewritten = 0
-    files.foreach { f =>
-      if (matched.contains(f.getPath.toString)) {
+    // per-file rewrites are independent (each touches only its own file,
+    // scratch subdir and survivor name), so they run CONCURRENTLY on a
+    // small pool: the 1-2 short Spark jobs each file needs then overlap
+    // instead of paying driver job-sequencing latency serially — that
+    // sequencing was the whole x_delete_where gap vs a plain
+    // filter-and-rewrite. Crash-resume semantics are per-file and unchanged.
+    val matchedFiles = files.filter(f => matched.contains(f.getPath.toString))
+    val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, matchedFiles.size)))
+    val rewriteTasks = matchedFiles.map { f =>
+      pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
         val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
         val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
         // change feed FIRST, before any rewrite or retire: once the original
@@ -233,7 +250,7 @@ object GraftMaintenance {
           // live (and counted when this pass probes that file), so writing
           // them again would duplicate every kept row — just retire
           fs.delete(f.getPath, false)
-          rewritten += 1
+          rewrittenN.incrementAndGet()
         } else {
           val keep = one.filter(!predicate || predicate.isNull)
           // write the survivors to a scratch dir under the table (hidden
@@ -241,30 +258,39 @@ object GraftMaintenance {
           // partition layout (keys recoverable from its path), then
           // atomically rename the single output into the file's partition
           // directory at the deterministic name; then retire exactly this
-          // file
+          // file. The all-deleted check reads the produced file's FOOTER
+          // instead of running a separate count job first.
           val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
-          val kept = keep.count()
-          if (kept > 0) {
-            val scratch = new org.apache.hadoop.fs.Path(
-              tableDir, s"_graft_tmp_delete/$base-$predHash")
-            val w = keep.coalesce(1).write.format("graft").mode("overwrite")
-            (if (segs.nonEmpty) w.option("partitionby", segs.mkString(","))
-             else w).save(scratch.toString)
-            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
-            require(produced.size == 1,
-              s"graft: delete rewrite of ${f.getPath} produced ${produced.size} files")
+          val scratch = new org.apache.hadoop.fs.Path(
+            tableDir, s"_graft_tmp_delete/$base-$predHash")
+          val w = keep.coalesce(1).write.format("graft").mode("overwrite")
+          (if (segs.nonEmpty) w.option("partitionby", segs.mkString(","))
+           else w).save(scratch.toString)
+          // an all-rows-deleted file writes NO survivor output (the graft
+          // writer emits no file for an empty frame) — nothing to publish
+          val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+          require(produced.size <= 1,
+            s"graft: delete rewrite of ${f.getPath} produced ${produced.size} files")
+          val keptRows = GraftScan.rowCount(produced, conf)
+          if (produced.nonEmpty && !(keptRows.isPresent && keptRows.getAsLong == 0L)) {
             // Hadoop rename reports most failures by RETURNING FALSE; the
             // original must never be retired unless its survivors are
             // durably published
             require(fs.rename(produced.head.getPath, survivorPath),
               s"graft: failed to publish survivors of ${f.getPath} at $survivorPath")
-            fs.delete(scratch, true)
           }
+          fs.delete(scratch, true)
           fs.delete(f.getPath, false)
-          rewritten += 1
+          rewrittenN.incrementAndGet()
         }
-      }
+      }})
     }
+    try rewriteTasks.foreach(_.get())
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    } finally pool.shutdown()
+    val rewritten = rewrittenN.get()
     // best-effort scratch cleanup (a crash mid-write can orphan a dir)
     fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_delete"), true)
     // make this pass's change files (and any a crashed run left behind)
@@ -283,8 +309,11 @@ object GraftMaintenance {
       }
     }
     val untouched = files.size - rewritten
-    val rowsAfter = // footer-only recount of the surviving table
-      spark.read.format("graft").load(dir).count()
+    val rowsAfter = { // footer-only recount of the surviving table
+      val c = GraftScan.rowCount(GraftUtil.listDataFiles(dir, conf), conf)
+      if (c.isPresent) c.getAsLong
+      else spark.read.format("graft").load(dir).count()
+    }
     // a delete rewrites history for the files it touched: expire exactly
     // the manifests that reference a retired file (a fresh manifest-mode
     // stream replay would otherwise fail on the missing files; survivors
