@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   * artifact says regression" can't recur — the artifact carries its own
   * noise audit.
   *
+  * OUTLIER RUNS (diagnosed round 10): isolated 10-20x wall-time spikes on
+  * a single run (r9's scaled q1 hit 21.6s vs a 0.43s min) reproduce
+  * intermittently in EITHER format — instrumented spreads caught graft
+  * 10.8s/6.2s AND parquet 8.2s/10.3s on the same loop. Signature: every
+  * concurrent task slows together (task-time sum ~300s inside a 10s wall
+  * across 32 threads, max single task ~10s) while JVM GC time stays in
+  * the low hundreds of ms — external CPU steal on the shared host, not
+  * engine or GC behavior. min-of-runs + the flag audit are the designed
+  * defense; spread values in the artifact should be read with this in
+  * mind.
+  *
   * MAINTENANCE OPS: x_delete_where / x_zorder_relayout / x_asof_snapshot
   * time the operations a 100 TB operator runs daily (row-level purge,
   * re-clustering, snapshot reads) against rewrite-based parquet
