@@ -28,18 +28,40 @@ object Functions {
     dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "_" +
       Tables.fingerprint(s"$dir/$table.parquet")
 
+  /** Cross-process-safe once-only staging. Builds into a process-private
+    * sibling temp dir and ATOMICALLY renames it to `stage`; two drivers
+    * racing the same stage key both build, exactly one publish wins, and
+    * the loser's output is discarded. The previous marker-file pattern
+    * (check, build IN PLACE, then mark) let a second driver overwrite a
+    * stage the first was still writing — the race the round-9 review
+    * flagged. Returns `stage`, ready to read.
+    */
+  private def stagedOnce(stage: String)(build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dst = Paths.get(stage)
+    if (Files.exists(dst)) return stage
+    val tmp = stage + ".tmp-" + java.lang.ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    build(tmp)
+    Files.createDirectories(dst.getParent)
+    try Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.io.IOException =>
+        if (Files.exists(dst)) // the other driver published first
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        else throw e
+    }
+    stage
+  }
+
   /** documents staged once as a lang-partitioned graft table (shared by
     * q_partitioned_scan and q_partition_agg). */
   private def stagedPartitionedDocs(s: SparkSession, dir: String): String = {
-    val stage = s"/tmp/graft_part_stage/${stageKey(s, dir, "documents")}/documents"
-    val marker = new java.io.File(s"$stage/_GRAFT_PART_DONE")
-    if (!marker.exists()) {
+    stagedOnce(s"/tmp/graft_part_stage2/${stageKey(s, dir, "documents")}/documents") { t =>
       Tables.parquet(s, dir, "documents")
         .write.format("graft").option("partitionby", "lang")
-        .mode("overwrite").save(stage)
-      marker.createNewFile()
+        .mode("overwrite").save(t)
     }
-    stage
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -75,17 +97,15 @@ object Functions {
       // pages (ZoneMapSpec asserts the pruning on sorted data) — this entry
       // proves end-to-end soundness: the pruned scan + residual filter must
       // match DuckDB exactly.
-      val stage = s"/tmp/graft_arr_stage_v2/${stageKey(s, dir, "documents")}/documents"
-      val marker = new java.io.File(s"$stage/_GRAFT_ARR_DONE")
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_arr_stage_v3/${stageKey(s, dir, "documents")}/documents") { t =>
         Tables.parquet(s, dir, "documents")
           .withColumn("tokens", split(col("text"), " "))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("tokens"))
           // element blooms: min/max on random tokens never prune; the
           // bloom is what lets the array_contains probe skip pages
           .write.format("graft").option("bloomfilter", "tokens.element")
-          .mode("overwrite").save(stage)
-        marker.createNewFile()
+          .mode("overwrite").save(t)
       }
       graft.spark.GraftExtensions.ensure(s)
       s.read.format("graft").load(stage)
@@ -115,15 +135,13 @@ object Functions {
       // doc_id % 7 == 3 via GraftMaintenance.deleteWhere (file-scoped
       // rewrites); the surviving table must match the oracle's WHERE
       // clause exactly — content fidelity of the purge pass, end to end.
-      val stage = s"/tmp/graft_del_stage/${stageKey(s, dir, "documents")}/documents"
-      val marker = new java.io.File(s"$stage/_GRAFT_DEL_DONE")
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_del_stage2/${stageKey(s, dir, "documents")}/documents") { t =>
         Tables.parquet(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .write.format("graft").option("maxrowsperfile", "200")
-          .mode("overwrite").save(stage)
-        graft.spark.GraftMaintenance.deleteWhere(s, stage, col("doc_id") % 7 === 3)
-        marker.createNewFile()
+          .mode("overwrite").save(t)
+        graft.spark.GraftMaintenance.deleteWhere(s, t, col("doc_id") % 7 === 3)
       }
       s.read.format("graft").load(stage)
         .groupBy(col("lang"))
@@ -140,17 +158,15 @@ object Functions {
       // contract; SortOrderSpec asserts the plan, this gate proves the
       // content end to end). Tie-break on o_orderkey keeps the order
       // deterministic cross-engine.
-      val stage = s"/tmp/graft_topn_stage/${stageKey(s, dir, "orders")}/orders"
-      val marker = new java.io.File(s"$stage/_GRAFT_TOPN_DONE")
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_topn_stage2/${stageKey(s, dir, "orders")}/orders") { t =>
         Tables.parquet(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .repartition(4)
           .write.format("graft")
           .option("sortby", "o_totalprice,o_orderkey")
           .option("maxrowsperfile", "4000")
-          .mode("overwrite").save(stage)
-        marker.createNewFile()
+          .mode("overwrite").save(t)
       }
       s.read.format("graft").load(stage)
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -167,28 +183,28 @@ object Functions {
       // bit-for-bit (no live file was touched), and a recount of
       // remaining junk — folded into the result row — is literally 0
       // (everything aged was collected).
-      val stage = s"/tmp/graft_vac_stage/${stageKey(s, dir, "orders")}/orders"
-      val marker = new java.io.File(s"$stage/_GRAFT_VAC_DONE")
-      val root = new org.apache.hadoop.fs.Path(stage)
-      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_vac_stage2/${stageKey(s, dir, "orders")}/orders") { t =>
+        val tRoot = new org.apache.hadoop.fs.Path(t)
+        val tfs = tRoot.getFileSystem(s.sessionState.newHadoopConf())
         Tables.parquet(s, dir, "orders")
           .write.format("graft").option("maxrowsperfile", "5000")
-          .mode("overwrite").save(stage)
+          .mode("overwrite").save(t)
         def plant(p: org.apache.hadoop.fs.Path): Unit = {
-          val out = fs.create(p, true); out.write(7); out.close()
-          fs.setTimes(p, 1000L, 1000L) // ancient: well past any cutoff
+          val out = tfs.create(p, true); out.write(7); out.close()
+          tfs.setTimes(p, 1000L, 1000L) // ancient: well past any cutoff
         }
-        plant(new org.apache.hadoop.fs.Path(root, ".crashed.graft.a1.tmp"))
-        plant(new org.apache.hadoop.fs.Path(root,
+        plant(new org.apache.hadoop.fs.Path(tRoot, ".crashed.graft.a1.tmp"))
+        plant(new org.apache.hadoop.fs.Path(tRoot,
           s"${graft.spark.GraftManifest.DirName}/.000-stale.tmp"))
-        plant(new org.apache.hadoop.fs.Path(root, "_graft_tmp_delete/x/part.graft"))
-        val st = graft.spark.GraftMaintenance.vacuum(s, stage,
+        plant(new org.apache.hadoop.fs.Path(tRoot, "_graft_tmp_delete/x/part.graft"))
+        val st = graft.spark.GraftMaintenance.vacuum(s, t,
           olderThanMs = System.currentTimeMillis() - 60000)
         require(st.stagingTmps == 2 && st.scratchFiles == 1,
           s"q_vacuum staging: expected 2 tmps + 1 scratch collected, got $st")
-        marker.createNewFile()
       }
+      val root = new org.apache.hadoop.fs.Path(stage)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
       // junk recount AFTER vacuum: aged tmps / scratch remaining (0)
       var junkLeft = 0
       def walk(d: org.apache.hadoop.fs.Path): Unit =
@@ -212,15 +228,13 @@ object Functions {
       // match DuckDB over the raw table (both-axis page pruning is
       // asserted in GraftMaintenanceSpec — here the gate proves the
       // re-layout preserved content exactly).
-      val stage = s"/tmp/graft_z_stage/${stageKey(s, dir, "orders")}/orders"
-      val marker = new java.io.File(s"$stage/_GRAFT_Z_DONE")
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_z_stage2/${stageKey(s, dir, "orders")}/orders") { t =>
         Tables.parquet(s, dir, "orders")
           .write.format("graft").option("maxrowsperfile", "2000")
-          .mode("overwrite").save(stage)
-        graft.spark.GraftMaintenance.zorder(s, stage,
+          .mode("overwrite").save(t)
+        graft.spark.GraftMaintenance.zorder(s, t,
           Seq("o_custkey", "o_totalprice"), targetFiles = 8)
-        marker.createNewFile()
       }
       s.read.format("graft").load(stage)
         .filter(col("o_custkey") <= 200 && col("o_totalprice") >= 50000.0)
@@ -271,24 +285,19 @@ object Functions {
       // The pruned scan + residual filter must match DuckDB exactly.
       val fmt = sys.props.getOrElse("graft.tables.format",
         sys.env.getOrElse("GRAFT_TABLES_FORMAT", "graft"))
-      def staged(root: String)(write: (DataFrame, String) => Unit): String = {
-        val stage = s"/tmp/$root/${stageKey(s, dir, "documents")}/documents"
-        val marker = new java.io.File(s"$stage/_GRAFT_MAP_DONE")
-        if (!marker.exists()) {
+      def staged(root: String)(write: (DataFrame, String) => Unit): String =
+        stagedOnce(s"/tmp/$root/${stageKey(s, dir, "documents")}/documents") { t =>
           write(Tables.parquet(s, dir, "documents")
             .select(col("doc_id"), col("source"), col("n_chars"),
               map(col("lang"), col("lang")).as("meta"))
-            .orderBy(col("lang")), stage)
-          marker.createNewFile()
+            .orderBy(col("lang")), t)
         }
-        stage
-      }
       val src = if (fmt == "parquet")
-        s.read.parquet(staged("graft_map_stage_pq")(
+        s.read.parquet(staged("graft_map_stage2_pq")(
           (df, p) => df.write.mode("overwrite").parquet(p)))
       else {
         graft.spark.GraftExtensions.ensure(s)
-        s.read.format("graft").load(staged("graft_map_stage")(
+        s.read.format("graft").load(staged("graft_map_stage2")(
           (df, p) => df.write.format("graft").mode("overwrite").save(p)))
       }
       src.filter(col("meta").getItem("en") === "en")
@@ -308,15 +317,13 @@ object Functions {
       // estimates compare bit-for-bit — estimator math included (doc_id has
       // ~2x k distinct values, so the (k-1)/kth branch is non-vacuous;
       // lang/source stay on the exact small-set branch).
-      val stage = s"/tmp/graft_ndv_stage/${stageKey(s, dir, "documents")}/documents"
-      val marker = new java.io.File(s"$stage/_GRAFT_NDV_DONE")
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_ndv_stage2/${stageKey(s, dir, "documents")}/documents") { t =>
         Tables.parquet(s, dir, "documents")
           .repartition(3)
           .write.format("graft")
           .option("ndvsketch", "doc_id,lang,source")
-          .mode("overwrite").save(stage)
-        marker.createNewFile()
+          .mode("overwrite").save(t)
       }
       val stats = graft.spark.GraftNdv.estimate(s, stage, Seq("doc_id", "lang", "source"))
       import s.implicits._
@@ -339,9 +346,8 @@ object Functions {
       // returned. The probe collect is 3 rows by construction. At scale the
       // index build is one shuffle on the token key; a search never touches
       // the corpus, only O(probe df) posting rows.
-      val stage = s"/tmp/graft_invidx_stage/${stageKey(s, dir, "documents")}/index"
-      val marker = new java.io.File(s"$stage/_GRAFT_IDX_DONE")
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_invidx_stage2/${stageKey(s, dir, "documents")}/index") { t =>
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
           .groupBy(col("w"))
@@ -350,8 +356,7 @@ object Functions {
           .write.format("graft")
           .option("sortby", "w")
           .option("maxrowsperfile", "500")
-          .mode("overwrite").save(stage)
-        marker.createNewFile()
+          .mode("overwrite").save(t)
       }
       val idx = s.read.format("graft").load(stage)
       val probes = idx.orderBy(col("df").desc, col("w")).limit(3)
@@ -378,23 +383,19 @@ object Functions {
       val fmt = sys.props.getOrElse("graft.tables.format",
         sys.env.getOrElse("GRAFT_TABLES_FORMAT", "graft"))
       val src = if (fmt == "parquet") {
-        val stage = s"/tmp/graft_sort_stage_pq/${stageKey(s, dir, "lineitem")}/lineitem"
-        val marker = new java.io.File(s"$stage/_GRAFT_SORT_DONE")
-        if (!marker.exists()) {
+        val stage = stagedOnce(
+            s"/tmp/graft_sort_stage2_pq/${stageKey(s, dir, "lineitem")}/lineitem") { t =>
           Tables.parquet(s, dir, "lineitem")
             .orderBy(col("l_shipdate"))
-            .write.mode("overwrite").parquet(stage)
-          marker.createNewFile()
+            .write.mode("overwrite").parquet(t)
         }
         s.read.parquet(stage)
       } else {
-        val stage = s"/tmp/graft_sort_stage/${stageKey(s, dir, "lineitem")}/lineitem"
-        val marker = new java.io.File(s"$stage/_GRAFT_SORT_DONE")
-        if (!marker.exists()) {
+        val stage = stagedOnce(
+            s"/tmp/graft_sort_stage2/${stageKey(s, dir, "lineitem")}/lineitem") { t =>
           Tables.parquet(s, dir, "lineitem")
             .write.format("graft").option("sortby", "l_shipdate")
-            .mode("overwrite").save(stage)
-          marker.createNewFile()
+            .mode("overwrite").save(t)
         }
         s.read.format("graft").load(stage)
       }
@@ -542,15 +543,13 @@ object Functions {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       try {
         val docs = stagedPartitionedDocs(s, dir)
-        val stats = s"/tmp/graft_spj_stage/${stageKey(s, dir, "documents")}/lang_stats"
-        val marker = new java.io.File(s"$stats/_GRAFT_SPJ_DONE")
-        if (!marker.exists()) {
+        val stats = stagedOnce(
+            s"/tmp/graft_spj_stage2/${stageKey(s, dir, "documents")}/lang_stats") { t =>
           s.read.format("graft").load(docs)
             .groupBy(col("lang"))
             .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
             .write.format("graft").option("partitionby", "lang")
-            .mode("overwrite").save(stats)
-          marker.createNewFile()
+            .mode("overwrite").save(t)
         }
         val joined = s.read.format("graft").load(docs)
           .join(s.read.format("graft").load(stats), "lang")
