@@ -141,12 +141,22 @@ object TrainingData {
     * top-K); join the result broadcast against the vectors to build the
     * centroid table.
     */
-  private[queries] def seedIds(s: SparkSession, dir: String, kOfN: Long => Long): DataFrame = {
+  private[queries] def seedIds(s: SparkSession, dir: String, kOfN: Long => Long): DataFrame =
+    seedIdsRanked(s, dir, kOfN).select(col("vec_id"))
+
+  /** Like `seedIds` but keeps each seed's 1-based hash rank (`rn`) — the
+    * two-level variants take the rank-smallest √K seeds as the coarse
+    * level. The global top-K is a TakeOrdered (scalable); the rank window
+    * runs over the K returned rows only.
+    */
+  private[queries] def seedIdsRanked(s: SparkSession, dir: String, kOfN: Long => Long): DataFrame = {
     val n = embs(s, dir).count()
     val k = kOfN(n)
     embs(s, dir).select(col("vec_id"), expr(seedHashExpr).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(k.toInt)
-      .select(col("vec_id"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("h"), col("vec_id"))))
+      .select(col("vec_id"), col("rn"))
   }
 
   /** The same hash-rank selection as a standalone SQL SELECT (yields
@@ -1808,6 +1818,73 @@ object TrainingData {
         .orderBy(col("cluster_id"))
     },
 
+    "d_dedup_semantic2" -> { (s, dir) =>
+      // TWO-LEVEL SemDeDup — the assignment shape that stays sublinear at
+      // 100 TB. Single-level d_dedup_semantic bounds the PAIRWISE work
+      // (K = N/500 ⇒ ~500·N), but its flat argmax still pays N·K =
+      // N²/500 assignment dots. Here the K seeds are routed through a
+      // coarse level of K1 = ⌈√K⌉ (the hash-rank-smallest seeds):
+      //  1. every SEED joins its nearest coarse seed (K·K1 dots — tiny);
+      //  2. every VECTOR argmaxes over the K1 coarse seeds (N·K1);
+      //  3. every vector argmaxes over ITS coarse group's seeds
+      //     (expected N·K/K1).
+      // Total assignment ≈ N·2√K = N·2√(N/500) — sublinear per row —
+      // while the final clusters keep the same bounded ~500-member
+      // expectation, so the pairwise step stays ~500·N. All argmaxes are
+      // cosine with id tie-breaks over exact integer dots; the DuckDB
+      // oracle mirrors every level bit-for-bit.
+      val e = embs(s, dir).withColumn("q", expr(quantized))
+        .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
+      val n = embs(s, dir).count()
+      val k1 = math.max(8L, math.ceil(math.sqrt(kSem(n).toDouble)).toLong)
+      val sr = seedIdsRanked(s, dir, kSem)
+      val seeds = e.join(broadcast(sr), Seq("vec_id"))
+        .select(col("vec_id").as("cid"), col("rn"), col("q").as("cq"), col("nn").as("cn"))
+      val coarse = seeds.filter(col("rn") <= k1)
+        .select(col("cid").as("gid"), col("cq").as("gq"), col("cn").as("gn"))
+      val seedGrp = seeds.crossJoin(broadcast(coarse))
+        .withColumn("gdot", graft.spark.VecOps.longDot(col("cq"), col("gq")))
+        .withColumn("gcos", col("gdot").cast("double") /
+          (sqrt(col("cn").cast("double")) * sqrt(col("gn").cast("double"))))
+        .withColumn("grk", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("gcos").desc, col("gid"))))
+        .filter(col("grk") === 1)
+        .select(col("gid"), col("cid"), col("cq"), col("cn"))
+      val vg = e.crossJoin(broadcast(coarse))
+        .withColumn("gdot", graft.spark.VecOps.longDot(col("q"), col("gq")))
+        .withColumn("gcos", col("gdot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("gn").cast("double"))))
+        .withColumn("grk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("gcos").desc, col("gid"))))
+        .filter(col("grk") === 1)
+        .select(col("vec_id"), col("q"), col("nn"), col("gid"))
+      val assigned = vg.join(broadcast(seedGrp), Seq("gid"))
+        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
+        .withColumn("ccos", col("cdot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("q"), col("nn"), col("cid").as("cluster_id"))
+      val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
+        col("q").as("qa"), col("nn").as("na"))
+      val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
+        col("q").as("qb"), col("nn").as("nb"))
+      val removed = a.join(b, Seq("cluster_id")).filter(col("va") < col("vb"))
+        .withColumn("dot", graft.spark.VecOps.longDot(col("qa"), col("qb")))
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cosine") >= 0.3)
+        .select(col("cluster_id"), col("vb").as("vec_id")).distinct()
+        .withColumn("is_removed", lit(1L))
+      assigned.join(removed, Seq("cluster_id", "vec_id"), "left")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(coalesce(col("is_removed"), lit(0L))).as("n_removed"),
+          (count(lit(1)) - sum(coalesce(col("is_removed"), lit(0L)))).as("n_kept"))
+        .orderBy(col("cluster_id"))
+    },
+
     "s_kmeans_refine" -> { (s, dir) =>
       // one exact Lloyd refinement step over the IVF seed clustering — the
       // iteration a production index runs until convergence. The trick that
@@ -2496,6 +2573,85 @@ object TrainingData {
         |           JOIN nrm n1 ON n1.vec_id = v.vec_id
         |           JOIN nrm n2 ON n2.vec_id = v.cid),
         |assigned AS (SELECT vec_id, cid AS cluster_id FROM ranked WHERE crk = 1),
+        |pairs AS (SELECT a.cluster_id, a.vec_id AS va, b.vec_id AS vb
+        |          FROM assigned a JOIN assigned b
+        |            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+        |pcos AS (SELECT p.cluster_id, p.vb
+        |         FROM pairs p
+        |         JOIN t ta ON ta.vec_id = p.va
+        |         JOIN t tb ON tb.vec_id = p.vb AND tb.pos = ta.pos
+        |         JOIN nrm na ON na.vec_id = p.va
+        |         JOIN nrm nb ON nb.vec_id = p.vb
+        |         GROUP BY p.cluster_id, p.va, p.vb, na.nn, nb.nn
+        |         HAVING CAST(sum(ta.q * tb.q) AS DOUBLE)
+        |                  / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.3),
+        |removed AS (SELECT DISTINCT cluster_id, vb AS vec_id FROM pcos)
+        |SELECT a.cluster_id, count(*) AS cluster_size,
+        |  CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(count(*) - sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM assigned a LEFT JOIN removed r
+        |  ON r.cluster_id = a.cluster_id AND r.vec_id = a.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_dedup_semantic2" ->
+      // mirrors the two-level assignment exactly: hash-ranked seeds (k_),
+      // coarse = rank-smallest ceil(sqrt(K)), seed->coarse argmax,
+      // vector->coarse argmax, vector->seed within its coarse group, then
+      // the same within-cluster pairwise tail as d_dedup_semantic
+      s"""WITH t AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM t GROUP BY 1),
+        |k_ AS (SELECT greatest(32, (count(*) + 499) // 500) AS k,
+        |         greatest(8, CAST(ceil(sqrt(CAST(greatest(32, (count(*) + 499) // 500) AS DOUBLE))) AS BIGINT)) AS k1
+        |       FROM embeddings),
+        |sr AS (SELECT vec_id AS cid, rn FROM (
+        |        SELECT vec_id, row_number() OVER (ORDER BY
+        |          list_reduce(list_transform(generate_series(1, 15),
+        |            i -> CAST(strpos('0123456789abcdef',
+        |                   substr(md5('seed:' || CAST(vec_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |            (a, x) -> a * 16 + x), vec_id) AS rn
+        |        FROM embeddings)
+        |       WHERE rn <= (SELECT k FROM k_)),
+        |coarse AS (SELECT cid AS gid FROM sr WHERE rn <= (SELECT k1 FROM k_)),
+        |sgdot AS (SELECT sd.cid, g.gid, sum(a.q * b.q) AS dot
+        |          FROM sr sd JOIN coarse g ON true
+        |          JOIN t a ON a.vec_id = sd.cid
+        |          JOIN t b ON b.vec_id = g.gid AND b.pos = a.pos
+        |          GROUP BY 1, 2),
+        |sgrk AS (SELECT d.cid, d.gid,
+        |           row_number() OVER (PARTITION BY d.cid ORDER BY
+        |             (CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
+        |             d.gid) AS grk
+        |         FROM sgdot d
+        |         JOIN nrm n1 ON n1.vec_id = d.cid
+        |         JOIN nrm n2 ON n2.vec_id = d.gid),
+        |sgrp AS (SELECT cid, gid FROM sgrk WHERE grk = 1),
+        |vgdot AS (SELECT a.vec_id, g.gid, sum(a.q * b.q) AS dot
+        |          FROM t a JOIN coarse g ON true
+        |          JOIN t b ON b.vec_id = g.gid AND b.pos = a.pos
+        |          GROUP BY 1, 2),
+        |vgrk AS (SELECT d.vec_id, d.gid,
+        |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+        |             (CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
+        |             d.gid) AS grk
+        |         FROM vgdot d
+        |         JOIN nrm n1 ON n1.vec_id = d.vec_id
+        |         JOIN nrm n2 ON n2.vec_id = d.gid),
+        |vg AS (SELECT vec_id, gid FROM vgrk WHERE grk = 1),
+        |vsdot AS (SELECT v.vec_id, sg.cid, sum(a.q * b.q) AS dot
+        |          FROM vg v JOIN sgrp sg ON sg.gid = v.gid
+        |          JOIN t a ON a.vec_id = v.vec_id
+        |          JOIN t b ON b.vec_id = sg.cid AND b.pos = a.pos
+        |          GROUP BY 1, 2),
+        |vsrk AS (SELECT d.vec_id, d.cid,
+        |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+        |             (CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))) DESC,
+        |             d.cid) AS crk
+        |         FROM vsdot d
+        |         JOIN nrm n1 ON n1.vec_id = d.vec_id
+        |         JOIN nrm n2 ON n2.vec_id = d.cid),
+        |assigned AS (SELECT vec_id, cid AS cluster_id FROM vsrk WHERE crk = 1),
         |pairs AS (SELECT a.cluster_id, a.vec_id AS va, b.vec_id AS vb
         |          FROM assigned a JOIN assigned b
         |            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
