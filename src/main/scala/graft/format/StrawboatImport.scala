@@ -45,7 +45,8 @@ import org.apache.spark.sql.types._
   * | List/LargeList          | ArrayType       | rep/def nested pages over any of the above |
   * | Struct                  | StructType      | ditto                           |
   * | Map                     | MapType         | ditto (List over entries struct) |
-  * | FixedSizeList/Float16/intervals/Union/Dictionary | unsupported (reference writer panics on them too) |
+  * | FixedSizeList(w)        | ArrayType       | read like List (reference reader's own dispatch); its writer panics, so such files come from other arrow2 writers |
+  * | Float16/intervals/Union/Dictionary | unsupported (reference writer panics on them too) |
   *
   * Nested columns use the reference's parquet-style rep/def shredding —
   * one leaf column per primitive, page header `rows|rep_len|def_len` +
@@ -116,7 +117,13 @@ object StrawboatImport {
 
   import org.apache.arrow.vector.types.pojo.{ArrowType, Field => AField}
 
-  def sparkType(f: AField): DataType = f.getType match {
+  def sparkType(f: AField): DataType = if (f.getDictionary != null)
+    // arrow stores the encoding NEXT TO the value type, so a dispatch on
+    // getType alone would silently misread dictionary page payloads as
+    // plain values — reject loudly (the reference writer panics on
+    // Dictionary too, serialize.rs:122)
+    fail(f, s"Dictionary-encoded ${f.getType}")
+  else f.getType match {
     case i: ArrowType.Int => (i.getBitWidth, i.getIsSigned) match {
       case (8, true) => ByteType
       case (16, true) => ShortType
@@ -146,7 +153,11 @@ object StrawboatImport {
       if (t.getTimezone == null) TimestampNTZType else TimestampType
     case d: ArrowType.Decimal if d.getBitWidth == 128 =>
       DecimalType(d.getPrecision, d.getScale)
-    case _: ArrowType.List | _: ArrowType.LargeList =>
+    case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList =>
+      // FixedSizeList reads exactly like List — the reference's own reader
+      // dispatches it to the List path (`/root/reference/src/read/
+      // deserialize.rs:203-207`); Spark has no fixed-width array type, so
+      // the width collapses into a plain ArrayType
       val elem = f.getChildren.get(0)
       ArrayType(sparkType(elem), elem.isNullable)
     case _: ArrowType.Struct =>
@@ -165,8 +176,8 @@ object StrawboatImport {
     throw new UnsupportedOperationException(
       s"strawboat import: column '${f.getName}' has type $t — the importer " +
       "supports Int/UInt/Float/Bool/Utf8/Binary/Date(day)/Timestamp/Decimal128 " +
-      "plus List/Struct/Map over them (the types the reference writer itself " +
-      "rejects — FixedSizeList/Dictionary/Union/Float16/intervals — are not imported)")
+      "plus List/FixedSizeList/Struct/Map over them (the types the reference " +
+      "writer itself rejects — Dictionary/Union/Float16/intervals — are not imported)")
 
   def sparkSchema(footer: StrFooter): StructType = {
     import scala.jdk.CollectionConverters._
@@ -619,7 +630,7 @@ object StrawboatImport {
   }
 
   private def buildNode(f: AField): Node = f.getType match {
-    case _: ArrowType.List | _: ArrowType.LargeList =>
+    case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList =>
       ListNode(f.isNullable, buildNode(f.getChildren.get(0)), isMap = false)
     case _: ArrowType.Map =>
       val entries = f.getChildren.get(0)

@@ -632,17 +632,21 @@ class StrawboatImportSpec extends AnyFunSuite {
     val junk = new BytesInput("PARQUET-ish junk that is long enough to probe".getBytes)
     val e1 = intercept[IllegalArgumentException](StrawboatImport.readFooter(junk))
     assert(e1.getMessage.contains("magic"))
-    // FixedSizeList is a type the reference writer itself panics on
-    // (`/root/reference/src/write/serialize.rs:124`) — clear rejection
-    val fsl = new Field("l", FieldType.nullable(new ArrowType.FixedSizeList(3)),
-      Seq(field("item", new ArrowType.Int(32, true))).asJava)
+    // Dictionary-encoded fields are writer-panics in the reference
+    // (`/root/reference/src/write/serialize.rs:122`) — clear rejection
+    // (FixedSizeList, once rejected here too, now imports via the List
+    // path like the reference's own reader)
+    val dictF = new Field("d",
+      new FieldType(true, new ArrowType.Int(32, true),
+        new org.apache.arrow.vector.types.pojo.DictionaryEncoding(0L, false, null)),
+      java.util.Collections.emptyList[Field]())
     val f = new FixtureWriter
     f.addColumn(Seq((noneBlock(leInts(4, Seq(1L))), 1)))
-    val bytes = f.finish(new Schema(Seq(fsl).asJava))
+    val bytes = f.finish(new Schema(Seq(dictF).asJava))
     val e2 = intercept[Exception] {
       StrawboatImport.sparkSchema(StrawboatImport.readFooter(new BytesInput(bytes)))
     }
-    assert(e2.getMessage.contains("not imported"))
+    assert(e2.getMessage.contains("not imported") || e2.getMessage.contains("Dictionary"))
   }
 
   test("corrupt files fail loudly, never decode garbage") {
@@ -680,5 +684,60 @@ class StrawboatImportSpec extends AnyFunSuite {
     f3.addColumn(Seq((noneBlock(leInts(8, Seq(1L, 2L))), 5), (Array.emptyByteArray, 0)))
     val bytes3 = f3.finish(schema)
     intercept[Exception](StrawboatImport.decodeFile(new BytesInput(bytes3)))
+  }
+
+  test("FixedSizeList imports via the List path (reference reader dispatch)") {
+    import org.apache.spark.sql.types._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field => AField, FieldType, Schema => ASchema}
+    import scala.jdk.CollectionConverters._
+    val sparkSchema = StructType(Seq(StructField("arr",
+      ArrayType(LongType, containsNull = false), nullable = true)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(Seq(1L, 2L, 3L)),
+      org.apache.spark.sql.Row(null),
+      org.apache.spark.sql.Row(Seq(7L, 8L, 9L)))
+    val bytes = StrawboatExport.encodeFile(sparkSchema, rows, pageRows = 2, codec = 0)
+    // splice a FixedSizeList(3) schema over the List-encoded pages: the
+    // page/level bytes are identical for both declarations when every list
+    // has exactly 3 elements, only the footer schema differs — i.e. the
+    // file an arrow2-based writer (not the reference's, whose writer
+    // panics on FSL) would produce
+    def u32At(off: Int): Int = java.nio.ByteBuffer.wrap(bytes, off, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val schemaSize = u32At(bytes.length - 16)
+    val metaSize = u32At(bytes.length - 12)
+    val schemaStart = bytes.length - 16 - metaSize - schemaSize
+    val item = new AField("item",
+      FieldType.notNullable(new ArrowType.Int(64, true)),
+      java.util.Collections.emptyList[AField]())
+    val fsl = new AField("arr",
+      FieldType.nullable(new ArrowType.FixedSizeList(3)), Seq(item).asJava)
+    val fslSchemaBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ch = new org.apache.arrow.vector.ipc.WriteChannel(
+        java.nio.channels.Channels.newChannel(baos))
+      org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(ch,
+        new ASchema(Seq(fsl).asJava))
+      baos.toByteArray
+    }
+    def u32le(v: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(v); b.array()
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, schemaStart)
+    out.write(fslSchemaBytes)
+    out.write(bytes, schemaStart + schemaSize, metaSize)
+    out.write(u32le(fslSchemaBytes.length))
+    out.write(u32le(metaSize))
+    out.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0))
+    val (schema2, got) = StrawboatImport.decodeFile(new BytesInput(out.toByteArray))
+    assert(schema2.fields.length == 1)
+    assert(schema2.fields(0).dataType == ArrayType(LongType, containsNull = false),
+      schema2.fields(0).dataType.toString)
+    assert(got.size == 3)
+    assert(got(0)(0).asInstanceOf[Seq[Any]] == Seq(1L, 2L, 3L))
+    assert(got(1)(0) == null)
+    assert(got(2)(0).asInstanceOf[Seq[Any]] == Seq(7L, 8L, 9L))
   }
 }
