@@ -74,6 +74,7 @@ object Bench {
     "q_asof_purchase_view", "q_topk_orders", "q_sorted_scan", "q_map_pruning",
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_segments",
     "d_decontamination", "d_ngram_jaccard", "d_dedup_semantic",
+    "d_dedup_semantic2",
     "s_ann_lsh", "s_ann_ivf", "s_embedding_pq", "s_ann_ivfpq",
     "t_token_stats", "t_fingerprint", "t_lm_score",
     "t_quality_score", "t_language_id", "t_freq_sketch", "t_clean_text",

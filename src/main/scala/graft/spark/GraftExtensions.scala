@@ -179,5 +179,10 @@ object GraftExtensions {
     register("graft_ppm_dhash", 1, es => PpmDHash(es.head))
     register("graft_ppm_frame_dhashes", 1, es => PpmFrameDHashes(es.head))
     register("graft_wav_fingerprint", 1, es => WavFingerprint(es.head))
+    // native integer vector kernels (VecOps) — the embedding-pipeline hot
+    // path, exposed to pure-SQL users as well
+    register("graft_long_dot", 2, es => LongDot(es.head, es(1)))
+    register("graft_long_norm_sq", 1, es => LongSelfDot(es.head))
+    register("graft_long_l2", 2, es => LongL2(es.head, es(1)))
   }
 }

@@ -75,6 +75,16 @@ class VecOpsSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("kernels are reachable from pure SQL via registered function names") {
+    GraftExtensions.ensure(spark)
+    val r = spark.sql(
+      """SELECT graft_long_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d,
+        |       graft_long_norm_sq(array(3L,4L)) AS n,
+        |       graft_long_l2(array(1L,2L), array(4L,6L)) AS l""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 32L && r.getLong(1) == 25L && r.getLong(2) == 25L)
+  }
+
   test("non-array input is an analysis error, not an executor crash") {
     val e = intercept[Exception] {
       spark.range(1).select(VecOps.longDot(col("id"), col("id"))).collect()
