@@ -24,15 +24,23 @@ import scala.jdk.CollectionConverters._
   *    RLE level streams + the leaf codec block; `num_values` is the
   *    level-tuple count (flat pages: the row count).
   *
-  * Codec policy: integer-family lanes (ints, date, timestamp) go through
-  * an adaptive chooser that emits the reference's special codecs —
-  * OneValue / RLE / Dict (`compression/integer/{one_value,rle,dict}.rs`) —
-  * whenever they beat the plain encoding, so handed-back files land near
-  * the size the reference writer itself would produce; everything else
-  * (floats, strings, booleans, levels) is written with a COMMON codec
+  * Codec policy: value lanes go through an adaptive chooser that emits
+  * the reference's special codecs whenever they beat the plain encoding,
+  * so handed-back files land near the size the reference writer itself
+  * would produce —
+  *
+  *  - integer family (ints, date, timestamp): OneValue / RLE / Dict
+  *    (`compression/integer/{one_value,rle,dict}.rs`);
+  *  - floats: the same integer codecs over raw bit patterns (the
+  *    reference's OrderedFloat trick, `compression/double/mod.rs`);
+  *  - strings/binary: OneValue / Dict (`compression/binary/`);
+  *  - booleans: OneValue / RLE (`compression/boolean/`).
+  *
+  * Validity/level streams and non-winning pages stay on a COMMON codec
   * (None / Lz4 raw block / Zstd / Snappy), the spec's always-valid
   * encoding every reference reader decodes. `special = "none"` restores
-  * pure-Common output; "onevalue"/"rle"/"dict" force a codec for tests.
+  * pure-Common output; "onevalue"/"rle"/"dict" force a codec (on the
+  * families that have it) for tests.
   *
   * Scale shape: `encodeFile` buffers one file's rows (column-contiguous
   * layout forces whole-file buffering — the reference writer itself holds
@@ -271,16 +279,14 @@ object StrawboatExport {
     case LongType => intBlock(8, slots.map(_.asInstanceOf[Long]), codec, special)
     case DateType => intBlock(4, slots.map(dateDays), codec, special)
     case TimestampType | TimestampNTZType => intBlock(8, slots.map(tsMicros), codec, special)
-    case FloatType => block(codec, leInts(4,
-      slots.map(v => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL)))
-    case DoubleType => block(codec, leInts(8,
-      slots.map(v => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]))))
+    case FloatType => intBlock(4,
+      slots.map(v => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL),
+      codec, special)
+    case DoubleType => intBlock(8,
+      slots.map(v => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])),
+      codec, special)
     case BooleanType =>
-      val bits = new Array[Byte]((slots.size + 7) / 8)
-      slots.zipWithIndex.foreach { case (v, i) =>
-        if (v.asInstanceOf[Boolean]) bits(i >> 3) = (bits(i >> 3) | (1 << (i & 7))).toByte
-      }
-      block(codec, bits, usizeOverride = slots.size.toLong)
+      boolBlock(slots.map(_.asInstanceOf[Boolean]), codec, special)
     case d: DecimalType =>
       val raw = new Array[Byte](16 * slots.size)
       slots.zipWithIndex.foreach { case (v, i) =>
@@ -303,11 +309,107 @@ object StrawboatExport {
       block(codec, raw)
     case StringType =>
       val bytes = slots.map(v => v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      binaryTwoBlock(bytes, codec)
+      binaryBlock(bytes, codec, special)
     case BinaryType =>
-      binaryTwoBlock(slots.map(_.asInstanceOf[Array[Byte]]), codec)
+      binaryBlock(slots.map(_.asInstanceOf[Array[Byte]]), codec, special)
     case other => throw new UnsupportedOperationException(
       s"strawboat export: leaf type $other")
+  }
+
+  /** Boolean special codecs (`/root/reference/src/compression/boolean/
+    * {one_value,rle}.rs`): OneValue = single u8; RLE = `(count u32 |
+    * value u8)*` runs. Adaptive picks them when they beat the bitmap.
+    * usize carries the VALUE COUNT, like the boolean Basic block.
+    */
+  private def boolBlock(vals: Seq[Boolean], codec: Int, special: String): Array[Byte] = {
+    val n = vals.size
+    def plain = {
+      val bits = new Array[Byte]((n + 7) / 8)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        if (v) bits(i >> 3) = (bits(i >> 3) | (1 << (i & 7))).toByte
+      }
+      block(codec, bits, usizeOverride = n.toLong)
+    }
+    def frame(id: Int, payload: Array[Byte]) =
+      cat(Array(id.toByte), u32(payload.length.toLong), u32(n.toLong), payload)
+    def oneValue = frame(12, Array[Byte](if (vals.head) 1 else 0))
+    def runs: Seq[(Int, Boolean)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
+      vals.foreach { v =>
+        if (out.nonEmpty && out.last._2 == v) out(out.size - 1) = (out.last._1 + 1, v)
+        else out += ((1, v))
+      }
+      out.toSeq
+    }
+    def rle = frame(10, cat(runs.map { case (c, v) =>
+      cat(u32(c.toLong), Array[Byte](if (v) 1 else 0)) }: _*))
+    special match {
+      case _ if n == 0 => plain
+      case "none" | "dict" => plain // booleans have no Dict family
+      case "onevalue" =>
+        require(vals.forall(_ == vals.head), "forced onevalue on non-constant page")
+        oneValue
+      case "rle" => rle
+      case "adaptive" =>
+        if (vals.forall(_ == vals.head)) oneValue
+        else if (runs.size * 5L * 10 <= ((n + 7) / 8).toLong * 9) rle
+        else plain
+      case other => throw new IllegalArgumentException(
+        s"strawboat export: unknown special-codec mode '$other'")
+    }
+  }
+
+  /** Binary special codecs (`/root/reference/src/compression/binary/
+    * {one_value,dict}.rs`): OneValue = `u32 len | bytes`; Dict = recursive
+    * u32-indices integer block + `set_count u32` + `(u64 len | bytes)*`
+    * first-appearance sets. Falls back to the two-sub-block Basic layout.
+    */
+  private def binaryBlock(vs: Seq[Array[Byte]], codec: Int, special: String): Array[Byte] = {
+    val n = vs.size
+    def plain = binaryTwoBlock(vs, codec)
+    val totalBytes = vs.iterator.map(_.length.toLong).sum
+    def frame(id: Int, payload: Array[Byte]) =
+      cat(Array(id.toByte), u32(payload.length.toLong),
+        u32((n + 1).toLong * 4 + totalBytes), payload)
+    def oneValue = frame(12, cat(u32(vs.head.length.toLong), vs.head))
+    def dictParts: (Seq[Long], Seq[Array[Byte]]) = {
+      val sets = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val indices = vs.map { v =>
+        val kStr = java.util.Base64.getEncoder.encodeToString(v)
+        sets.getOrElseUpdate(kStr, { keys += v; keys.size - 1 }).toLong
+      }
+      (indices, keys.toSeq)
+    }
+    def dict = {
+      val (indices, keys) = dictParts
+      frame(11, cat(block(codec, leInts(4, indices)),
+        u32(keys.size.toLong),
+        cat(keys.map(k => cat(u64(k.length.toLong), k)): _*)))
+    }
+    special match {
+      case _ if n == 0 => plain
+      case "none" | "rle" => plain // binary has no RLE family
+      case "onevalue" =>
+        require(vs.forall(v => java.util.Arrays.equals(v, vs.head)),
+          "forced onevalue on non-constant page")
+        oneValue
+      case "dict" => dict
+      case "adaptive" =>
+        if (vs.forall(v => java.util.Arrays.equals(v, vs.head))) oneValue
+        else {
+          val (_, keys) = dictParts
+          if (keys.size >= (1 << 20)) plain
+          else {
+            val plainBytes = (n + 1).toLong * 4 + totalBytes
+            val dictBytes = n.toLong * 4 + 13 + 4 +
+              keys.iterator.map(k => 8L + k.length).sum
+            if (dictBytes * 10 <= plainBytes * 9) dict else plain
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"strawboat export: unknown special-codec mode '$other'")
+    }
   }
 
   /** Binary Basic layout: zero-based i32 offsets sub-block + values

@@ -158,4 +158,41 @@ object ExportRoundTripProperties extends Properties("graft.format.exportRoundTri
         same && shrunk
     }
   }
+
+  // the non-integer lanes' special codecs: floats ride the integer codecs
+  // over bit patterns, strings get OneValue/Dict, booleans OneValue/RLE.
+  // Codec-natural shapes must round-trip AND strictly shrink adaptively.
+  property("float/string/bool special codecs shrink codec-natural pages") = {
+    val cases: Gen[(String, StructType, IndexedSeq[Row])] = Gen.oneOf(
+      Gen.choose(-100, 100).map { c =>
+        ("double-const", StructType(Seq(StructField("v", DoubleType, nullable = false))),
+          IndexedSeq.fill(512)(Row(c.toDouble)))
+      },
+      Gen.choose(2, 6).map { card =>
+        ("double-lowcard", StructType(Seq(StructField("v", DoubleType, nullable = false))),
+          (0 until 512).map(i => Row(((i * 31) % card).toDouble * 1.5)): IndexedSeq[Row])
+      },
+      Gen.choose(2, 6).map { card =>
+        ("string-lowcard", StructType(Seq(StructField("v", StringType, nullable = false))),
+          (0 until 512).map(i => Row(s"tag${(i * 31) % card}")): IndexedSeq[Row])
+      },
+      Gen.alphaNumStr.map(_.take(8)).map { c =>
+        ("string-const", StructType(Seq(StructField("v", StringType, nullable = false))),
+          IndexedSeq.fill(512)(Row("c" + c)))
+      },
+      Gen.choose(8, 20).map { runLen =>
+        ("bool-runs", StructType(Seq(StructField("v", BooleanType, nullable = false))),
+          (0 until 512).map(i => Row((i / (runLen * 17)) % 2 == 0)): IndexedSeq[Row])
+      })
+    Prop.forAllNoShrink(cases) { case (label, schema, rows) =>
+      val bytes = StrawboatExport.encodeFile(schema, rows, 128, 0, "adaptive")
+      val plain = StrawboatExport.encodeFile(schema, rows, 128, 0, "none")
+      val (_, got) = StrawboatImport.decodeFile(new BytesInput(bytes))
+      val same = got.size == rows.size &&
+        got.zip(rows).forall { case (g, w) => g(0) == w(0) }
+      val ok = same && bytes.length < plain.length
+      if (!ok) println(s"$label same=$same bytes=${bytes.length} plain=${plain.length}")
+      ok
+    }
+  }
 }
