@@ -29,8 +29,8 @@ import scala.jdk.CollectionConverters._
   * so handed-back files land near the size the reference writer itself
   * would produce —
   *
-  *  - integer family (ints, date, timestamp): OneValue / RLE / Dict
-  *    (`compression/integer/{one_value,rle,dict}.rs`);
+  *  - integer family (ints, date, timestamp): OneValue / RLE / Dict /
+  *    Freq (`compression/integer/{one_value,rle,dict,freq}.rs`);
   *  - floats: the same integer codecs over raw bit patterns (the
   *    reference's OrderedFloat trick, `compression/double/mod.rs`);
   *  - strings/binary: OneValue / Dict (`compression/binary/`);
@@ -238,6 +238,26 @@ object StrawboatExport {
       frame(11, cat(block(codec, leInts(4, indices)),
         u32(sets.size.toLong), leInts(width, sets.keys.toSeq)))
     }
+    // Freq (13): top value + roaring bitmap of exception positions +
+    // recursive integer block of the exception values, matching
+    // `compression/integer/freq.rs:60-90` (the roaring portable
+    // serialization both the Rust crate and RoaringBitmap speak)
+    def topValue: Long =
+      vals.groupBy(identity).maxBy { case (v, g) => (g.size, -v) }._1
+    def freq = {
+      val top = topValue
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      val exceptions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      vals.zipWithIndex.foreach { case (v, i) =>
+        if (v != top) { bm.add(i); exceptions += v }
+      }
+      bm.runOptimize()
+      val bmBytes = new Array[Byte](bm.serializedSizeInBytes())
+      bm.serialize(java.nio.ByteBuffer.wrap(bmBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      frame(13, cat(leInts(width, Seq(top)), u32(bmBytes.length.toLong), bmBytes,
+        block(codec, leInts(width, exceptions.toSeq))))
+    }
     special match {
       case _ if n == 0 => plain
       case "none" => plain
@@ -246,6 +266,7 @@ object StrawboatExport {
         oneValue
       case "rle" => rle
       case "dict" => dict
+      case "freq" => freq
       case "adaptive" =>
         val rawBytes = n.toLong * width
         if (vals.forall(_ == vals.head)) oneValue
@@ -256,15 +277,23 @@ object StrawboatExport {
           val dictBytes =
             if (distinct >= (1 << 20)) Long.MaxValue
             else n.toLong * 4 + 13 + 4 + distinct.toLong * width
+          val exceptionCount = n - vals.count(_ == topValue)
+          // rough roaring cost: container overhead + ~2B/position
+          val freqBytes = width.toLong + 4 + 16 + 2L * exceptionCount +
+            13 + exceptionCount.toLong * width
           // smallest candidate wins if it beats plain by >= 10% (headers
           // and block-compression of the plain path eat anything closer)
-          val best = Seq(("rle", runBytes), ("dict", dictBytes)).minBy(_._2)
-          if (best._2 * 10 <= rawBytes * 9) (if (best._1 == "rle") rle else dict)
-          else plain
+          val best = Seq(("rle", runBytes), ("dict", dictBytes), ("freq", freqBytes))
+            .minBy(_._2)
+          if (best._2 * 10 <= rawBytes * 9) best._1 match {
+            case "rle" => rle
+            case "dict" => dict
+            case _ => freq
+          } else plain
         }
       case other => throw new IllegalArgumentException(
         s"strawboat export: unknown special-codec mode '$other' " +
-          "(adaptive|none|onevalue|rle|dict)")
+          "(adaptive|none|onevalue|rle|dict|freq)")
     }
   }
 
@@ -345,7 +374,7 @@ object StrawboatExport {
       cat(u32(c.toLong), Array[Byte](if (v) 1 else 0)) }: _*))
     special match {
       case _ if n == 0 => plain
-      case "none" | "dict" => plain // booleans have no Dict family
+      case "none" | "dict" | "freq" => plain // booleans have no Dict/Freq emit
       case "onevalue" =>
         require(vals.forall(_ == vals.head), "forced onevalue on non-constant page")
         oneValue
@@ -389,7 +418,7 @@ object StrawboatExport {
     }
     special match {
       case _ if n == 0 => plain
-      case "none" | "rle" => plain // binary has no RLE family
+      case "none" | "rle" | "freq" => plain // no binary RLE; Freq not emitted
       case "onevalue" =>
         require(vs.forall(v => java.util.Arrays.equals(v, vs.head)),
           "forced onevalue on non-constant page")

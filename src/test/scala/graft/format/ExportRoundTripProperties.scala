@@ -134,8 +134,11 @@ object ExportRoundTripProperties extends Properties("graft.format.exportRoundTri
       Gen.choose(2, 6).map(runLen =>
         ("runs", (0 until 512).map(i => (i / (runLen * 13)).toLong))),
       Gen.choose(2, 8).map(card =>
-        ("lowcard", (0 until 512).map(i => ((i * 7919) % card).toLong * 1000003L))))
-    Prop.forAll(shapes, Gen.oneOf("adaptive", "onevalue", "rle", "dict")) {
+        ("lowcard", (0 until 512).map(i => ((i * 7919) % card).toLong * 1000003L))),
+      Gen.choose(10, 40).map(stride =>
+        ("dominant", (0 until 512).map(i =>
+          if (i % stride == 0) (i * 7919L) % 100000L else 42L))))
+    Prop.forAll(shapes, Gen.oneOf("adaptive", "onevalue", "rle", "dict", "freq")) {
       case ((shape, vals), forced) =>
         val special = if (forced == "onevalue" && shape != "const") "adaptive" else forced
         val rows = vals.map(v => Row(v))
@@ -150,7 +153,8 @@ object ExportRoundTripProperties extends Properties("graft.format.exportRoundTri
         val fits = special == "adaptive" ||
           (special == "onevalue" && shape == "const") ||
           (special == "rle" && (shape == "runs" || shape == "const")) ||
-          (special == "dict" && shape != "runs")
+          (special == "dict" && (shape == "lowcard" || shape == "const")) ||
+          (special == "freq" && (shape == "dominant" || shape == "const"))
         val shrunk = !fits || bytes.length < plain.length
         if (!(same && shrunk))
           println(s"special=$special shape=$shape same=$same " +
