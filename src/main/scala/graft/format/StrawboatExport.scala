@@ -30,7 +30,9 @@ import scala.jdk.CollectionConverters._
   * would produce —
   *
   *  - integer family (ints, date, timestamp): OneValue / RLE / Dict /
-  *    Freq (`compression/integer/{one_value,rle,dict,freq}.rs`);
+  *    Freq (`compression/integer/{one_value,rle,dict,freq}.rs`), plus
+  *    SIMD-BP128 Bitpacking / DeltaBitpacking on u32 lanes with
+  *    128-aligned pages (`{bp,delta_bp}.rs`);
   *  - floats: the same integer codecs over raw bit patterns (the
   *    reference's OrderedFloat trick, `compression/double/mod.rs`);
   *  - strings/binary: OneValue / Dict (`compression/binary/`);
@@ -216,7 +218,7 @@ object StrawboatExport {
     *    `set_count u32` + first-appearance-ordered values, plain LE.
     */
   private def intBlock(width: Int, vals: Seq[Long], codec: Int,
-      special: String): Array[Byte] = {
+      special: String, allowBp: Boolean = true): Array[Byte] = {
     val n = vals.size
     def plain = block(codec, leInts(width, vals))
     def frame(id: Int, payload: Array[Byte]) =
@@ -238,6 +240,71 @@ object StrawboatExport {
       frame(11, cat(block(codec, leInts(4, indices)),
         u32(sets.size.toLong), leInts(width, sets.keys.toSeq)))
     }
+    // Bitpacking (14) / DeltaBitpacking (15): the SIMD-BP128 vertical
+    // layout (`compression/integer/{bp,delta_bp}.rs` via the bitpacking
+    // crate's BitPacker4x): per 128-value block, u8 num_bits then 4
+    // interleaved 32-value lanes packed into u32 words (value 4*i+lane at
+    // bit i*num_bits of lane's word column). u32 lanes with n%128==0 only
+    // — the same conditions under which the reference writer chooses them.
+    // allowBp=false on float lanes: the reference's double codec family
+    // has no Bitpack/DeltaBitpack, so emitting them there would produce a
+    // file its reader rejects
+    val bpOk = allowBp && width == 4 && n % 128 == 0
+    def bitsOf(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def pack128All(u: IndexedSeq[Long]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      var base = 0
+      while (base < u.length) {
+        var maxBits = 0
+        var i = 0
+        while (i < 128) {
+          val b = bitsOf(u(base + i)); if (b > maxBits) maxBits = b; i += 1
+        }
+        bos.write(maxBits)
+        if (maxBits > 0) {
+          val words = new Array[Int](maxBits * 4)
+          var lane = 0
+          while (lane < 4) {
+            var j = 0
+            while (j < 32) {
+              val v = u(base + 4 * j + lane)
+              val bitPos = j * maxBits
+              val g = bitPos >> 5
+              val off = bitPos & 31
+              words(g * 4 + lane) |= (v << off).toInt
+              if (off + maxBits > 32) words((g + 1) * 4 + lane) |= (v >>> (32 - off)).toInt
+              j += 1
+            }
+            lane += 1
+          }
+          words.foreach { w =>
+            bos.write(w & 0xff); bos.write((w >> 8) & 0xff)
+            bos.write((w >> 16) & 0xff); bos.write((w >> 24) & 0xff)
+          }
+        }
+        base += 128
+      }
+      bos.toByteArray
+    }
+    lazy val u32s: IndexedSeq[Long] = vals.toIndexedSeq.map(_ & 0xffffffffL)
+    lazy val deltas: IndexedSeq[Long] = u32s.indices
+      .map(i => (u32s(i) - (if (i == 0) 0L else u32s(i - 1))) & 0xffffffffL)
+    def packedBytes(u: IndexedSeq[Long]): Long = {
+      var total = 0L
+      var base = 0
+      while (base < u.length) {
+        var maxBits = 0
+        var i = 0
+        while (i < 128) {
+          val b = bitsOf(u(base + i)); if (b > maxBits) maxBits = b; i += 1
+        }
+        total += 1 + maxBits * 16
+        base += 128
+      }
+      total
+    }
+    def bitpack = frame(14, pack128All(u32s))
+    def deltaBitpack = frame(15, pack128All(deltas))
     // Freq (13): top value + roaring bitmap of exception positions +
     // recursive integer block of the exception values, matching
     // `compression/integer/freq.rs:60-90` (the roaring portable
@@ -267,6 +334,12 @@ object StrawboatExport {
       case "rle" => rle
       case "dict" => dict
       case "freq" => freq
+      case "bitpack" =>
+        require(bpOk, "forced bitpack needs a u32 lane with n % 128 == 0")
+        bitpack
+      case "deltabp" =>
+        require(bpOk, "forced deltabp needs a u32 lane with n % 128 == 0")
+        deltaBitpack
       case "adaptive" =>
         val rawBytes = n.toLong * width
         if (vals.forall(_ == vals.head)) oneValue
@@ -281,19 +354,23 @@ object StrawboatExport {
           // rough roaring cost: container overhead + ~2B/position
           val freqBytes = width.toLong + 4 + 16 + 2L * exceptionCount +
             13 + exceptionCount.toLong * width
+          val bpBytes = if (bpOk) packedBytes(u32s) else Long.MaxValue
+          val dbpBytes = if (bpOk) packedBytes(deltas) else Long.MaxValue
           // smallest candidate wins if it beats plain by >= 10% (headers
           // and block-compression of the plain path eat anything closer)
-          val best = Seq(("rle", runBytes), ("dict", dictBytes), ("freq", freqBytes))
-            .minBy(_._2)
+          val best = Seq(("rle", runBytes), ("dict", dictBytes), ("freq", freqBytes),
+            ("bitpack", bpBytes), ("deltabp", dbpBytes)).minBy(_._2)
           if (best._2 * 10 <= rawBytes * 9) best._1 match {
             case "rle" => rle
             case "dict" => dict
-            case _ => freq
+            case "freq" => freq
+            case "bitpack" => bitpack
+            case _ => deltaBitpack
           } else plain
         }
       case other => throw new IllegalArgumentException(
         s"strawboat export: unknown special-codec mode '$other' " +
-          "(adaptive|none|onevalue|rle|dict|freq)")
+          "(adaptive|none|onevalue|rle|dict|freq|bitpack|deltabp)")
     }
   }
 
@@ -310,7 +387,7 @@ object StrawboatExport {
     case TimestampType | TimestampNTZType => intBlock(8, slots.map(tsMicros), codec, special)
     case FloatType => intBlock(4,
       slots.map(v => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL),
-      codec, special)
+      codec, special, allowBp = false)
     case DoubleType => intBlock(8,
       slots.map(v => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])),
       codec, special)
@@ -374,7 +451,7 @@ object StrawboatExport {
       cat(u32(c.toLong), Array[Byte](if (v) 1 else 0)) }: _*))
     special match {
       case _ if n == 0 => plain
-      case "none" | "dict" | "freq" => plain // booleans have no Dict/Freq emit
+      case "none" | "dict" | "freq" | "bitpack" | "deltabp" => plain // RLE/OneValue only
       case "onevalue" =>
         require(vals.forall(_ == vals.head), "forced onevalue on non-constant page")
         oneValue
@@ -418,7 +495,7 @@ object StrawboatExport {
     }
     special match {
       case _ if n == 0 => plain
-      case "none" | "rle" | "freq" => plain // no binary RLE; Freq not emitted
+      case "none" | "rle" | "freq" | "bitpack" | "deltabp" => plain // OneValue/Dict only
       case "onevalue" =>
         require(vs.forall(v => java.util.Arrays.equals(v, vs.head)),
           "forced onevalue on non-constant page")

@@ -163,6 +163,35 @@ object ExportRoundTripProperties extends Properties("graft.format.exportRoundTri
     }
   }
 
+  // SIMD-BP128 lanes: small-range u32 pages choose Bitpacking, sorted
+  // pages DeltaBitpacking; both must round-trip through the importer's
+  // unpack128 and strictly shrink on their natural shape
+  property("bitpack/delta-bitpack round-trip and shrink on u32 lanes") = {
+    val schema = StructType(Seq(StructField("v", IntegerType, nullable = false)))
+    val shapes: Gen[(String, IndexedSeq[Int])] = Gen.oneOf(
+      Gen.choose(2, 1000).map(hi =>
+        ("smallrange", (0 until 512).map(i => (i * 37) % hi): IndexedSeq[Int])),
+      Gen.choose(1, 50).map(step =>
+        ("sorted", (0 until 512).map(i => i * step): IndexedSeq[Int])))
+    Prop.forAllNoShrink(shapes, Gen.oneOf("adaptive", "bitpack", "deltabp")) {
+      case ((shape, vals), special) =>
+        val rows = vals.map(v => Row(v))
+        val bytes = StrawboatExport.encodeFile(schema, rows, 128, 0, special)
+        val plain = StrawboatExport.encodeFile(schema, rows, 128, 0, "none")
+        val (_, got) = StrawboatImport.decodeFile(new BytesInput(bytes))
+        val same = got.size == rows.size &&
+          got.zip(rows).forall { case (g, w) => g(0) == w.getInt(0) }
+        // delta-bp on unsorted data wraps negative deltas to 32-bit values
+        // (legitimately bigger); it only owes round-trip identity there
+        val fits = special != "deltabp" || shape == "sorted"
+        val shrunk = !fits || bytes.length < plain.length
+        if (!(same && shrunk))
+          println(s"special=$special shape=$shape same=$same " +
+            s"bytes=${bytes.length} plain=${plain.length}")
+        same && shrunk
+    }
+  }
+
   // the non-integer lanes' special codecs: floats ride the integer codecs
   // over bit patterns, strings get OneValue/Dict, booleans OneValue/RLE.
   // Codec-natural shapes must round-trip AND strictly shrink adaptively.
