@@ -36,7 +36,10 @@ import scala.jdk.CollectionConverters._
   *  - floats: the same integer codecs over raw bit patterns (the
   *    reference's OrderedFloat trick, `compression/double/mod.rs`);
   *  - strings/binary: OneValue / Dict (`compression/binary/`);
-  *  - booleans: OneValue / RLE (`compression/boolean/`).
+  *  - booleans: OneValue / RLE (`compression/boolean/`);
+  *  - f64 lanes additionally compete Patas (`compression/double/patas.rs`
+  *    — f32 is excluded: the layout's sig==0 -> 8-byte decode rule is
+  *    ambiguous against an f32 equal-value pair, a reference quirk).
   *
   * Validity/level streams and non-winning pages stay on a COMMON codec
   * (None / Lz4 raw block / Zstd / Snappy), the spec's always-valid
@@ -218,7 +221,8 @@ object StrawboatExport {
     *    `set_count u32` + first-appearance-ordered values, plain LE.
     */
   private def intBlock(width: Int, vals: Seq[Long], codec: Int,
-      special: String, allowBp: Boolean = true): Array[Byte] = {
+      special: String, allowBp: Boolean = true,
+      allowPatas: Boolean = false): Array[Byte] = {
     val n = vals.size
     def plain = block(codec, leInts(width, vals))
     def frame(id: Int, payload: Array[Byte]) =
@@ -305,6 +309,42 @@ object StrawboatExport {
     }
     def bitpack = frame(14, pack128All(u32s))
     def deltaBitpack = frame(15, pack128All(deltas))
+    // Patas (16, f64 bit patterns only): first value raw, then per value
+    // a u16 `refDiff<<9 | sigBytes<<6 | (tz - isEq)` + the XOR-vs-reference
+    // significant bytes (`compression/double/patas.rs:37-105`). The
+    // reference is the LAST occurrence of the same bit pattern within the
+    // trailing 128 values (hash-indexed), else the previous value. f32
+    // lanes are excluded: the format's sig==0 -> 8-bytes decode rule is
+    // ambiguous against an f32 equal-value pair (tz=31, sig=0), a quirk
+    // of the reference layout itself.
+    def patasPayload: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w8(v: Long): Unit = { var b = 0; while (b < 8) { bos.write(((v >>> (8 * b)) & 0xff).toInt); b += 1 } }
+      w8(vals.head)
+      val lastIdx = scala.collection.mutable.HashMap[Long, Int](vals.head -> 0)
+      var i = 1
+      while (i < n) {
+        val v = vals(i)
+        var refIdx = lastIdx.getOrElse(v, 0)
+        if (refIdx > i || i - refIdx >= 128) refIdx = i - 1
+        val refDiff = i - refIdx
+        val xor = v ^ vals(refIdx)
+        val tz = java.lang.Long.numberOfTrailingZeros(xor)
+        val lz = java.lang.Long.numberOfLeadingZeros(xor)
+        val isEq = if (tz == 64) 1 else 0
+        val sigBits = if (isEq == 1) 0 else 64 - tz - lz
+        val sigBytes = (sigBits >> 3) + (if ((sigBits & 7) != 0) 1 else 0)
+        val packed = (refDiff << 9) | ((sigBytes & 7) << 6) | (tz - isEq)
+        bos.write(packed & 0xff); bos.write((packed >> 8) & 0xff)
+        val shifted = if (isEq == 1) 0L else xor >>> (tz - isEq)
+        var b = 0
+        while (b < sigBytes) { bos.write(((shifted >>> (8 * b)) & 0xff).toInt); b += 1 }
+        lastIdx(v) = i
+        i += 1
+      }
+      bos.toByteArray
+    }
+    def patas = frame(16, patasPayload)
     // Freq (13): top value + roaring bitmap of exception positions +
     // recursive integer block of the exception values, matching
     // `compression/integer/freq.rs:60-90` (the roaring portable
@@ -334,6 +374,9 @@ object StrawboatExport {
       case "rle" => rle
       case "dict" => dict
       case "freq" => freq
+      case "patas" =>
+        require(allowPatas, "forced patas applies to f64 lanes only")
+        patas
       case "bitpack" =>
         require(bpOk, "forced bitpack needs a u32 lane with n % 128 == 0")
         bitpack
@@ -356,21 +399,25 @@ object StrawboatExport {
             13 + exceptionCount.toLong * width
           val bpBytes = if (bpOk) packedBytes(u32s) else Long.MaxValue
           val dbpBytes = if (bpOk) packedBytes(deltas) else Long.MaxValue
+          val patasEnc = if (allowPatas) patasPayload else null
+          val patasBytes = if (patasEnc != null) patasEnc.length.toLong else Long.MaxValue
           // smallest candidate wins if it beats plain by >= 10% (headers
           // and block-compression of the plain path eat anything closer)
           val best = Seq(("rle", runBytes), ("dict", dictBytes), ("freq", freqBytes),
-            ("bitpack", bpBytes), ("deltabp", dbpBytes)).minBy(_._2)
+            ("bitpack", bpBytes), ("deltabp", dbpBytes),
+            ("patas", patasBytes)).minBy(_._2)
           if (best._2 * 10 <= rawBytes * 9) best._1 match {
             case "rle" => rle
             case "dict" => dict
             case "freq" => freq
             case "bitpack" => bitpack
+            case "patas" => frame(16, patasEnc)
             case _ => deltaBitpack
           } else plain
         }
       case other => throw new IllegalArgumentException(
         s"strawboat export: unknown special-codec mode '$other' " +
-          "(adaptive|none|onevalue|rle|dict|freq|bitpack|deltabp)")
+          "(adaptive|none|onevalue|rle|dict|freq|bitpack|deltabp|patas)")
     }
   }
 
@@ -390,7 +437,7 @@ object StrawboatExport {
       codec, special, allowBp = false)
     case DoubleType => intBlock(8,
       slots.map(v => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])),
-      codec, special)
+      codec, special, allowPatas = true)
     case BooleanType =>
       boolBlock(slots.map(_.asInstanceOf[Boolean]), codec, special)
     case d: DecimalType =>
@@ -451,7 +498,7 @@ object StrawboatExport {
       cat(u32(c.toLong), Array[Byte](if (v) 1 else 0)) }: _*))
     special match {
       case _ if n == 0 => plain
-      case "none" | "dict" | "freq" | "bitpack" | "deltabp" => plain // RLE/OneValue only
+      case "none" | "dict" | "freq" | "bitpack" | "deltabp" | "patas" => plain // RLE/OneValue only
       case "onevalue" =>
         require(vals.forall(_ == vals.head), "forced onevalue on non-constant page")
         oneValue
@@ -495,7 +542,7 @@ object StrawboatExport {
     }
     special match {
       case _ if n == 0 => plain
-      case "none" | "rle" | "freq" | "bitpack" | "deltabp" => plain // OneValue/Dict only
+      case "none" | "rle" | "freq" | "bitpack" | "deltabp" | "patas" => plain // OneValue/Dict only
       case "onevalue" =>
         require(vs.forall(v => java.util.Arrays.equals(v, vs.head)),
           "forced onevalue on non-constant page")

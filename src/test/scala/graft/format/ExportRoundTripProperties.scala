@@ -205,6 +205,14 @@ object ExportRoundTripProperties extends Properties("graft.format.exportRoundTri
         ("double-lowcard", StructType(Seq(StructField("v", DoubleType, nullable = false))),
           (0 until 512).map(i => Row(((i * 31) % card).toDouble * 1.5)): IndexedSeq[Row])
       },
+      Gen.choose(20, 100).map { period =>
+        // periodic doubles: the hash-indexed Patas reference finds the
+        // equal value within its 128-slot window, so most entries store a
+        // 2-byte packed header and zero XOR bytes (distinct values keep
+        // Dict out when period > 128/4... either codec must shrink)
+        ("double-periodic", StructType(Seq(StructField("v", DoubleType, nullable = false))),
+          (0 until 512).map(i => Row((i % period).toDouble * 1.25 + 0.1)): IndexedSeq[Row])
+      },
       Gen.choose(2, 6).map { card =>
         ("string-lowcard", StructType(Seq(StructField("v", StringType, nullable = false))),
           (0 until 512).map(i => Row(s"tag${(i * 31) % card}")): IndexedSeq[Row])
@@ -223,8 +231,16 @@ object ExportRoundTripProperties extends Properties("graft.format.exportRoundTri
       val (_, got) = StrawboatImport.decodeFile(new BytesInput(bytes))
       val same = got.size == rows.size &&
         got.zip(rows).forall { case (g, w) => g(0) == w(0) }
-      val ok = same && bytes.length < plain.length
-      if (!ok) println(s"$label same=$same bytes=${bytes.length} plain=${plain.length}")
+      // forced Patas must round-trip on any f64 shape (coverage of the
+      // XOR/ring encoder independent of what adaptive happens to pick)
+      val patasOk = !label.startsWith("double") || {
+        val pb = StrawboatExport.encodeFile(schema, rows, 128, 0, "patas")
+        val (_, pg) = StrawboatImport.decodeFile(new BytesInput(pb))
+        pg.size == rows.size && pg.zip(rows).forall { case (g, w) => g(0) == w(0) }
+      }
+      val ok = same && patasOk && bytes.length < plain.length
+      if (!ok) println(s"$label same=$same patasOk=$patasOk " +
+        s"bytes=${bytes.length} plain=${plain.length}")
       ok
     }
   }
