@@ -35,7 +35,7 @@ import scala.jdk.CollectionConverters._
   *    128-aligned pages (`{bp,delta_bp}.rs`);
   *  - floats: the same integer codecs over raw bit patterns (the
   *    reference's OrderedFloat trick, `compression/double/mod.rs`);
-  *  - strings/binary: OneValue / Dict (`compression/binary/`);
+  *  - strings/binary: OneValue / Dict / Freq (`compression/binary/`);
   *  - booleans: OneValue / RLE (`compression/boolean/`);
   *  - f64 lanes additionally compete Patas (`compression/double/patas.rs`
   *    — f32 is excluded: the layout's sig==0 -> 8-byte decode rule is
@@ -540,14 +540,34 @@ object StrawboatExport {
         u32(keys.size.toLong),
         cat(keys.map(k => cat(u64(k.length.toLong), k)): _*)))
     }
+    // binary Freq (13): `u64 len | top bytes` + roaring exception-position
+    // bitmap + `(u64 len | bytes)*` exceptions (`compression/binary/freq.rs:66-90`)
+    def topKey: Array[Byte] =
+      vs.groupBy(v => java.util.Base64.getEncoder.encodeToString(v))
+        .maxBy(_._2.size)._2.head
+    def freq = {
+      val top = topKey
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      val exceptions = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      vs.zipWithIndex.foreach { case (v, i) =>
+        if (!java.util.Arrays.equals(v, top)) { bm.add(i); exceptions += v }
+      }
+      bm.runOptimize()
+      val bmBytes = new Array[Byte](bm.serializedSizeInBytes())
+      bm.serialize(java.nio.ByteBuffer.wrap(bmBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      frame(13, cat(u64(top.length.toLong), top, u32(bmBytes.length.toLong), bmBytes,
+        cat(exceptions.toSeq.map(e => cat(u64(e.length.toLong), e)): _*)))
+    }
     special match {
       case _ if n == 0 => plain
-      case "none" | "rle" | "freq" | "bitpack" | "deltabp" | "patas" => plain // OneValue/Dict only
+      case "none" | "rle" | "bitpack" | "deltabp" | "patas" => plain // no binary forms
       case "onevalue" =>
         require(vs.forall(v => java.util.Arrays.equals(v, vs.head)),
           "forced onevalue on non-constant page")
         oneValue
       case "dict" => dict
+      case "freq" => freq
       case "adaptive" =>
         if (vs.forall(v => java.util.Arrays.equals(v, vs.head))) oneValue
         else {
@@ -557,7 +577,15 @@ object StrawboatExport {
             val plainBytes = (n + 1).toLong * 4 + totalBytes
             val dictBytes = n.toLong * 4 + 13 + 4 +
               keys.iterator.map(k => 8L + k.length).sum
-            if (dictBytes * 10 <= plainBytes * 9) dict else plain
+            val top = topKey
+            val excBytes = vs.iterator
+              .filterNot(v => java.util.Arrays.equals(v, top))
+              .map(e => 8L + e.length).sum
+            val excCount = vs.count(v => !java.util.Arrays.equals(v, top))
+            val freqBytes = 8L + top.length + 4 + 16 + 2L * excCount + excBytes
+            val best = Seq(("dict", dictBytes), ("freq", freqBytes)).minBy(_._2)
+            if (best._2 * 10 <= plainBytes * 9) (if (best._1 == "dict") dict else freq)
+            else plain
           }
         }
       case other => throw new IllegalArgumentException(

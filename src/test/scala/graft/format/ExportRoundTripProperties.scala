@@ -221,6 +221,12 @@ object ExportRoundTripProperties extends Properties("graft.format.exportRoundTri
         ("string-const", StructType(Seq(StructField("v", StringType, nullable = false))),
           IndexedSeq.fill(512)(Row("c" + c)))
       },
+      Gen.choose(10, 40).map { stride =>
+        // dominant string with sparse exceptions -> binary Freq
+        ("string-dominant", StructType(Seq(StructField("v", StringType, nullable = false))),
+          (0 until 512).map(i =>
+            Row(if (i % stride == 0) s"rare-$i" else "the-dominant-value")): IndexedSeq[Row])
+      },
       Gen.choose(8, 20).map { runLen =>
         ("bool-runs", StructType(Seq(StructField("v", BooleanType, nullable = false))),
           (0 until 512).map(i => Row((i / (runLen * 17)) % 2 == 0)): IndexedSeq[Row])
