@@ -6,11 +6,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Per-leaf on-disk size breakdown of a graft directory vs logical bytes —
   * where does the file size go? Usage:
-  *   sbt "runMain graft.examples.SizeAudit /tmp/graft_str_v5/..._sf0.1/documents"
+  *   sbt "runMain graft.examples.SizeAudit /tmp/graft_str_v8/<staged>/documents"
   */
 object SizeAudit {
   def main(args: Array[String]): Unit = {
-    val dir = java.nio.file.Paths.get(args.headOption.getOrElse("/tmp/graft_str_v5/_root_testdata_sf0.1/documents"))
+    val dir = java.nio.file.Paths.get(args.headOption.getOrElse(sys.error("SizeAudit needs an explicit graft dir argument (see Tables staging under /tmp/graft_str_v8)")))
     val files = java.nio.file.Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
       .filter(_.toString.endsWith(".graft")).sorted
     files.take(1).foreach { f =>
