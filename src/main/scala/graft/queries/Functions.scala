@@ -249,24 +249,26 @@ object Functions {
       // EXACTLY the first commit — which the oracle expresses as
       // `WHERE doc_id % 2 = 0` over the raw table. Proves the manifest
       // history pins the file set end to end (scan, filter, aggregate).
-      val stage = s"/tmp/graft_asof_stage/${stageKey(s, dir, "documents")}/documents"
-      val marker = new java.io.File(s"$stage/_GRAFT_ASOF_T1")
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_asof_stage2/${stageKey(s, dir, "documents")}/documents") { t =>
         val d = Tables.parquet(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
         d.filter(col("doc_id") % 2 === 0)
-          .write.format("graft").mode("append").save(stage)
-        val fs = new org.apache.hadoop.fs.Path(stage)
+          .write.format("graft").mode("append").save(t)
+        val fs = new org.apache.hadoop.fs.Path(t)
           .getFileSystem(s.sessionState.newHadoopConf())
         val t1 = graft.spark.GraftManifest
-          .list(fs, new org.apache.hadoop.fs.Path(stage))
+          .list(fs, new org.apache.hadoop.fs.Path(t))
           .map(graft.spark.GraftManifest.nameT).max
         Thread.sleep(5) // the second commit must be strictly after t1
         d.filter(col("doc_id") % 2 === 1)
-          .write.format("graft").mode("append").save(stage)
-        java.nio.file.Files.writeString(marker.toPath, t1.toString)
+          .write.format("graft").mode("append").save(t)
+        // state rides INSIDE the staged dir, published with the same rename
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_ASOF_T1"), t1.toString)
       }
-      val t1 = java.nio.file.Files.readString(marker.toPath).trim
+      val t1 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_ASOF_T1")).trim
       s.read.format("graft").option("asof", t1).load(stage)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
@@ -580,24 +582,25 @@ object Functions {
       // a daily 100 TB ingest pipeline runs off manifest history, priced
       // at a manifest listing instead of a full-table diff. Oracle:
       // `WHERE doc_id % 2 = 1` over the raw table.
-      val stage = s"/tmp/graft_since_stage/${stageKey(s, dir, "documents")}/documents"
-      val marker = new java.io.File(s"$stage/_GRAFT_SINCE_T1")
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_since_stage2/${stageKey(s, dir, "documents")}/documents") { t =>
         val d = Tables.parquet(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
         d.filter(col("doc_id") % 2 === 0)
-          .write.format("graft").mode("append").save(stage)
-        val fs = new org.apache.hadoop.fs.Path(stage)
+          .write.format("graft").mode("append").save(t)
+        val fs = new org.apache.hadoop.fs.Path(t)
           .getFileSystem(s.sessionState.newHadoopConf())
         val t1 = graft.spark.GraftManifest
-          .list(fs, new org.apache.hadoop.fs.Path(stage))
+          .list(fs, new org.apache.hadoop.fs.Path(t))
           .map(graft.spark.GraftManifest.nameT).max
         Thread.sleep(5) // the second commit must be strictly after t1
         d.filter(col("doc_id") % 2 === 1)
-          .write.format("graft").mode("append").save(stage)
-        java.nio.file.Files.writeString(marker.toPath, t1.toString)
+          .write.format("graft").mode("append").save(t)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_SINCE_T1"), t1.toString)
       }
-      val t1 = java.nio.file.Files.readString(marker.toPath).trim
+      val t1 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_SINCE_T1")).trim
       s.read.format("graft").option("since", t1).load(stage)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
@@ -632,29 +635,30 @@ object Functions {
       // every purged victim as a delete (durable in `_graft_changes`).
       // This is the takedown-propagation read a derived corpus runs;
       // priced at a manifest listing + the changed files only.
-      val stage = s"/tmp/graft_cdc_stage/${stageKey(s, dir, "documents")}/documents"
-      val marker = new java.io.File(s"$stage/_GRAFT_CDC_T1")
-      if (!marker.exists()) {
+      val stage = stagedOnce(
+          s"/tmp/graft_cdc_stage2/${stageKey(s, dir, "documents")}/documents") { t =>
         val d = Tables.parquet(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .withColumn("victim", col("doc_id") % 10 === 1)
         d.filter(col("doc_id") % 5 =!= 0)
           .write.format("graft").option("partitionby", "victim")
-          .mode("append").save(stage)
-        val fs = new org.apache.hadoop.fs.Path(stage)
+          .mode("append").save(t)
+        val fs = new org.apache.hadoop.fs.Path(t)
           .getFileSystem(s.sessionState.newHadoopConf())
         val t1 = graft.spark.GraftManifest
-          .list(fs, new org.apache.hadoop.fs.Path(stage))
+          .list(fs, new org.apache.hadoop.fs.Path(t))
           .map(graft.spark.GraftManifest.nameT).max
         Thread.sleep(5) // the in-window commit must be strictly after t1
         d.filter(col("doc_id") % 5 === 0)
           .write.format("graft").option("partitionby", "victim")
-          .mode("append").save(stage)
-        graft.spark.GraftMaintenance.deleteWhere(s, stage,
+          .mode("append").save(t)
+        graft.spark.GraftMaintenance.deleteWhere(s, t,
           col("victim") === true, changelog = true)
-        java.nio.file.Files.writeString(marker.toPath, t1.toString)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_CDC_T1"), t1.toString)
       }
-      val t1 = java.nio.file.Files.readString(marker.toPath).trim.toLong
+      val t1 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_CDC_T1")).trim.toLong
       graft.spark.GraftCdc.changes(s, stage, t1, Long.MaxValue)
         .withColumnRenamed(graft.spark.GraftCdc.ChangeTypeCol, "change_type")
         .groupBy(col("change_type"), col("lang"))
