@@ -178,21 +178,39 @@ object TrainingData {
   private def seedCentroidSelSem = seedSelSql(semKOfN)
 
   /** Lloyd-TRAINED IVF codebook over the quantized embeddings: K = ⌈√N⌉
-    * stride seeds refined by one exact integer Lloyd step. Cosine is
-    * scale-invariant, so the refined centroid is the per-cluster component
-    * SUM vector (exact int64) — no division enters any argmax and the
-    * DuckDB oracle reproduces it bit-for-bit. Materialized (local cache, or
-    * a graft scratch table in `table` mode): a production index trains the
-    * codebook once, persists it next to its lists, and probes it broadcast
-    * — K·dims longs, a few MB even at K = √(10¹⁰). Returns
+    * hash-ranked seeds refined by one exact integer Lloyd step over a
+    * TRAINING SAMPLE of min(N, 64·K) vectors (the smallest 64·K by a
+    * second 'train:'-prefixed hash rank — the standard faiss practice:
+    * training touches a bounded per-centroid sample, never the corpus, so
+    * index build cost is one N·K assignment instead of two). At the
+    * correctness scales N ≤ 64·K, so the sample is the whole corpus and
+    * the training is exact. Cosine is scale-invariant, so the refined
+    * centroid is the per-cluster component SUM vector (exact int64) — no
+    * division enters any argmax and the DuckDB oracle reproduces it
+    * bit-for-bit. Materialized (local cache, or a graft scratch table in
+    * `table` mode): a production index trains the codebook once, persists
+    * it next to its lists, and probes it broadcast — K·dims longs, a few
+    * MB even at K = √(10¹⁰). Returns
     * (cid, cq array<bigint> component sums, cn = Σ cq²).
     */
+  private val trainHashExpr =
+    """aggregate(sequence(1, 15), cast(0 as bigint),
+         (acc, i) -> acc * 16 + (instr('0123456789abcdef',
+           substr(md5(concat('train:', cast(vec_id as string))), i, 1)) - 1))"""
+
   private def ivfCodebook(s: SparkSession, dir: String): DataFrame = {
+    val n = embs(s, dir).count()
+    val sampleCap = 64L * kIvf(n)
     val e = embs(s, dir).withColumn("q", expr(quantized))
       .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
     val seeds = e.join(broadcast(seedIds(s, dir, kIvf)), Seq("vec_id"))
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
-    val a0 = e.crossJoin(broadcast(seeds))
+    val train =
+      if (n <= sampleCap) e
+      else e.withColumn("th", expr(trainHashExpr))
+        .orderBy(col("th"), col("vec_id")).limit(sampleCap.toInt)
+        .drop("th")
+    val a0 = train.crossJoin(broadcast(seeds))
       .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
       .withColumn("ccos", col("cdot").cast("double") /
         (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
@@ -2526,8 +2544,17 @@ object TrainingData {
     */
   private def codebookCtes: String =
     s"""cbseed AS ($seedCentroidSelIvf),
+      |cbtrn AS (SELECT vec_id FROM (
+      |        SELECT vec_id, row_number() OVER (ORDER BY
+      |          list_reduce(list_transform(generate_series(1, 15),
+      |            i -> CAST(strpos('0123456789abcdef',
+      |                   substr(md5('train:' || CAST(vec_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |            (a, x) -> a * 16 + x), vec_id) AS rn
+      |        FROM embeddings)
+      |       WHERE rn <= (SELECT least(n, 64 * $ivfKOfN) FROM (SELECT count(*) AS n FROM embeddings))),
       |cbdot AS (SELECT a.vec_id, c.cid, sum(a.q * b.q) AS dot
-      |         FROM t a JOIN cbseed c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
+      |         FROM t a JOIN cbtrn tr ON tr.vec_id = a.vec_id
+      |         JOIN cbseed c ON true JOIN t b ON b.vec_id = c.cid AND b.pos = a.pos
       |         GROUP BY 1, 2),
       |cbrank AS (SELECT v.vec_id, v.cid,
       |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
