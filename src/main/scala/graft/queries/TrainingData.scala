@@ -132,6 +132,30 @@ object TrainingData {
     math.max(32L, math.ceil(math.sqrt(n.toDouble)).toLong)
   private[queries] def kSem(n: Long): Long = math.max(32L, (n + 499L) / 500L)
 
+  /** Broadcast cap for K-row seed/centroid frames in the SemDeDup family.
+    * A seed row carries a 64-long vector (~600 B with overhead), so the
+    * default 65536 caps the broadcast near 40 MB. K = N/500 grows with the
+    * corpus (~2·10⁷ rows ≈ 11 GB at N = 10¹⁰), so past the cap the hint
+    * must NOT be forced: the keyed fine-level join plans as a shuffled
+    * hash join on its key instead, and the flat argmax falls back to a
+    * partitioned cartesian (each task pairs one vector partition with one
+    * seed partition — bounded memory either way). AnnGuardSpec pins the
+    * large-K plan via this conf.
+    */
+  private def semBroadcastMaxK(s: SparkSession): Long =
+    s.conf.get("graft.sem.broadcastMaxK", "65536").toLong
+  /** Keyed join against a K-row seed frame: broadcast only under the cap,
+    * shuffled hash join above it (both sides keyed — the K-row side hashes
+    * per-partition, never driver-collected).
+    */
+  private def bcastIfK(s: SparkSession, df: DataFrame, k: Long): DataFrame =
+    if (k <= semBroadcastMaxK(s)) broadcast(df) else df.hint("shuffle_hash")
+  /** Un-keyed argmax side (crossJoin): broadcast under the cap, plain
+    * partitioned cartesian above it.
+    */
+  private def bcastIfKCross(s: SparkSession, df: DataFrame, k: Long): DataFrame =
+    if (k <= semBroadcastMaxK(s)) broadcast(df) else df
+
   private val seedHashExpr =
     """aggregate(sequence(1, 15), cast(0 as bigint),
          (acc, i) -> acc * 16 + (instr('0123456789abcdef',
@@ -1794,8 +1818,11 @@ object TrainingData {
       // of Abbas et al. 2023): a k-means-style assignment BOUNDS the
       // pairwise cosine step to within-cluster members, so the quadratic
       // term is (cluster size)², controlled by K, never corpus². Assignment
-      // reuses the IVF shape — cosine argmax over the BROADCAST seed
-      // centroids (K rows). Within a cluster, a vector is a semantic
+      // reuses the IVF shape — cosine argmax over the seed centroids
+      // (K rows, broadcast only under the `graft.sem.broadcastMaxK` cap;
+      // above it the argmax runs as a partitioned cartesian so the K-row
+      // frame never lands whole on one JVM). Within a cluster, a vector
+      // is a semantic
       // duplicate if a LOWER-id member has cosine >= 0.3 (min-id canonical
       // keeps one representative per duplicate set, the d_dedup_canonical
       // convention). Integer dots + IEEE exact-rounded sqrt/division keep
@@ -1807,9 +1834,10 @@ object TrainingData {
       // argmax — same plan shape, applied twice.)
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
-      val cents = e.join(broadcast(seedIds(s, dir, kSem)), Seq("vec_id"))
+      val k = kSem(embs(s, dir).count())
+      val cents = e.join(bcastIfK(s, seedIds(s, dir, kSem), k), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = e.crossJoin(bcastIfKCross(s, cents, k))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
@@ -1856,11 +1884,11 @@ object TrainingData {
       val n = embs(s, dir).count()
       val k1 = math.max(8L, math.ceil(math.sqrt(kSem(n).toDouble)).toLong)
       val sr = seedIdsRanked(s, dir, kSem)
-      val seeds = e.join(broadcast(sr), Seq("vec_id"))
+      val seeds = e.join(bcastIfK(s, sr, kSem(n)), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("rn"), col("q").as("cq"), col("nn").as("cn"))
       val coarse = seeds.filter(col("rn") <= k1)
         .select(col("cid").as("gid"), col("cq").as("gq"), col("cn").as("gn"))
-      val seedGrp = seeds.crossJoin(broadcast(coarse))
+      val seedGrp = seeds.crossJoin(bcastIfKCross(s, coarse, k1))
         .withColumn("gdot", graft.spark.VecOps.longDot(col("cq"), col("gq")))
         .withColumn("gcos", col("gdot").cast("double") /
           (sqrt(col("cn").cast("double")) * sqrt(col("gn").cast("double"))))
@@ -1868,7 +1896,7 @@ object TrainingData {
           Window.partitionBy(col("cid")).orderBy(col("gcos").desc, col("gid"))))
         .filter(col("grk") === 1)
         .select(col("gid"), col("cid"), col("cq"), col("cn"))
-      val vg = e.crossJoin(broadcast(coarse))
+      val vg = e.crossJoin(bcastIfKCross(s, coarse, k1))
         .withColumn("gdot", graft.spark.VecOps.longDot(col("q"), col("gq")))
         .withColumn("gcos", col("gdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("gn").cast("double"))))
@@ -1876,7 +1904,10 @@ object TrainingData {
           Window.partitionBy(col("vec_id")).orderBy(col("gcos").desc, col("gid"))))
         .filter(col("grk") === 1)
         .select(col("vec_id"), col("q"), col("nn"), col("gid"))
-      val assigned = vg.join(broadcast(seedGrp), Seq("gid"))
+      // the fine level: keyed on gid, so past the broadcast cap this plans
+      // as a shuffled hash join — the K-row frame is never forced whole
+      // onto one JVM (the two-level split exists exactly for large K)
+      val assigned = vg.join(bcastIfK(s, seedGrp, kSem(n)), Seq("gid"))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))

@@ -61,6 +61,42 @@ class AnnGuardSpec extends AnyFunSuite {
     assert(!seeds.sorted.sameElements(0L until 32L))
   }
 
+  test("SemDeDup large-K plan: shuffled hash join on gid, no forced K-row broadcast") {
+    // Past graft.sem.broadcastMaxK the fine-level seed frame must NOT be
+    // broadcast: the keyed join plans as ShuffledHashJoin and the flat
+    // argmax as a partitioned cartesian. Drive the cap to 0 so sf0.001's
+    // K=32 takes the large-K path, and pin the plan + result equivalence.
+    import org.apache.spark.sql.functions.col
+    val default2 = graft.SparkEntry.queries("d_dedup_semantic2")(spark, sf).collect()
+    val default1 = graft.SparkEntry.queries("d_dedup_semantic")(spark, sf).collect()
+    spark.conf.set("graft.sem.broadcastMaxK", "0")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // -1 kills PLANNER-chosen broadcasts (a small side under the threshold
+    // legitimately becomes BNLJ); a FORCED broadcast() hint would survive
+    // it — which is exactly the regression this test detects
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val two = graft.SparkEntry.queries("d_dedup_semantic2")(spark, sf)
+      val plan2 = two.queryExecution.executedPlan.toString
+      assert(plan2.contains("ShuffledHashJoin"),
+        s"fine-level join must be a shuffled hash join past the cap:\n$plan2")
+      assert(!plan2.contains("BroadcastHashJoin") && !plan2.contains("BroadcastNestedLoop"),
+        s"no forced K-row broadcast may survive past the cap:\n$plan2")
+      assert(two.collect().sameElements(default2),
+        "large-K plan changed the d_dedup_semantic2 result")
+      val one = graft.SparkEntry.queries("d_dedup_semantic")(spark, sf)
+      val plan1 = one.queryExecution.executedPlan.toString
+      assert(!plan1.contains("BroadcastNestedLoop") && !plan1.contains("BroadcastHashJoin"),
+        s"flat argmax must not broadcast past the cap:\n$plan1")
+      assert(one.collect().sameElements(default1),
+        "large-K plan changed the d_dedup_semantic result")
+    } finally {
+      spark.conf.unset("graft.sem.broadcastMaxK")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("SemDeDup cluster sizes stay bounded on a 40k-row corpus") {
     // synthesize a corpus big enough that the scale-aware K exceeds the 32
     // floor (N=40000 -> K_sem=80, stride=500), from perturbed copies of the
