@@ -36,11 +36,18 @@ import org.apache.spark.sql.functions._
   * warm re-measurement. The section is best-effort: any failure degrades
   * to the base-only artifact rather than losing the round's bench.
   *
-  * FLAGS: any query whose in-artifact ratio still exceeds 1.4x is
-  * re-measured with 3 further interleaved warm runs and the re-measured
-  * ratio is embedded in the artifact ("flags"), so "builder says noise,
-  * artifact says regression" can't recur — the artifact carries its own
-  * noise audit.
+  * FLAGS + FOLD (hardened round 11): any query whose ratio exceeds 1.3x
+  * is re-measured with 3 further interleaved warm runs, and the remeasured
+  * runs are FOLDED into that query's min before the totals are computed —
+  * min-of-runs is the noise-floor estimator, so extra runs only ever
+  * remove noise, never invent speed. Every entry >=2x is repaired (no
+  * top-N cap — that band is the steal signature); the 1.3-2x band keeps a
+  * top-5 cap. The raw pre-fold ratio still ships in "flags" so the
+  * artifact carries its own noise audit. Round 10's failure mode — q18's
+  * two timed runs both landing inside one CPU-steal window, standing at
+  * 18.11x and single-handedly dragging the scaled headline from ~0.85x to
+  * 1.097x while the flag audit said 1.01x — cannot recur: the 1.01x
+  * remeasurement now IS the reported number.
   *
   * OUTLIER RUNS (diagnosed round 10): isolated 10-20x wall-time spikes on
   * a single run (r9's scaled q1 hit 21.6s vs a 0.43s min) reproduce
@@ -326,16 +333,22 @@ object Bench {
     }
 
     // any per-query ratio >=1.3x (in either direction, above noise floor)
-    // is re-measured with 3 interleaved warm runs; the re-measured ratio
-    // ships in the artifact so a one-off spike carries its own refutation
-    // (1.3, not 1.4: round-9's scaled q1/q18 spiked to 1.37-1.38x from
-    // 2-run noise and sat just under the old threshold unaudited)
-    def flagAudit(results: Seq[QRes], dir: String, label: String): Seq[String] = {
-      val flagged = results.filter(r => r.bg > 0 && r.bp > 0 &&
-          math.max(r.bg, r.bp) > 0.3 &&
-          (r.bg / r.bp >= 1.3 || r.bp / r.bg >= 1.3))
-        .sortBy(r => -math.max(r.bg / r.bp, r.bp / r.bg)).take(5)
-      flagged.map { r =>
+    // is re-measured with 3 interleaved warm runs, and the remeasured runs
+    // are FOLDED into the query's per-format min so the reported totals are
+    // steal-proof (min-of-runs: extra runs only remove noise). Every >=2x
+    // entry is repaired — that band is the CPU-steal signature and round
+    // 10 proved min-of-2 can land both runs in one steal window; 1.3-2x
+    // keeps a top-5 cap. The raw pre-fold ratio ships in "flags" as the
+    // audit trail. Returns (flag jsons, repaired results).
+    def flagAudit(results: Seq[QRes], dir: String, label: String): (Seq[String], Seq[QRes]) = {
+      val candidates = results
+        .filter(r => r.bg > 0 && r.bp > 0 && math.max(r.bg, r.bp) > 0.3)
+        .map(r => (r, math.max(r.bg / r.bp, r.bp / r.bg)))
+        .filter(_._2 >= 1.3)
+        .sortBy(-_._2)
+      val flagged = candidates.filter(_._2 >= 2.0) ++
+        candidates.filter(_._2 < 2.0).take(5)
+      val repairs = flagged.map { case (r, _) =>
         val g = Array.fill(3)(0.0); val p = Array.fill(3)(0.0)
         var i = 0
         while (i < 3) {
@@ -344,8 +357,15 @@ object Bench {
           i += 1
         }
         val rm = if (p.min > 0) g.min / p.min else -1.0
-        f"""{"q":"${r.name}","section":"$label","ratio":${r.bg / r.bp}%.2f,"remeasured":$rm%.2f,"g":${g.min}%.3f,"p":${p.min}%.3f}"""
+        val json =
+          f"""{"q":"${r.name}","section":"$label","ratio":${r.bg / r.bp}%.2f,"remeasured":$rm%.2f,"g":${g.min}%.3f,"p":${p.min}%.3f}"""
+        // fold only successful remeasure runs; a failed rerun must not turn
+        // a previously-green query into an excluded one
+        val repaired = QRes(r.name, r.g ++ g.filter(_ > 0), r.p ++ p.filter(_ > 0))
+        (json, repaired)
       }
+      val byName = repairs.map { case (_, r) => r.name -> r }.toMap
+      (repairs.map(_._1), results.map(r => byName.getOrElse(r.name, r)))
     }
 
     val detailSb = new StringBuilder
@@ -358,7 +378,10 @@ object Bench {
     }
 
     val farDeadline = Long.MaxValue
-    val base = measure(sfDir, runs, farDeadline)
+    val base0 = measure(sfDir, runs, farDeadline)
+    // audit+fold BEFORE the base artifact is emitted: the repaired mins are
+    // the numbers every downstream reader sees
+    val (baseFlags, base) = flagAudit(base0, sfDir, "base")
     val baseSec = section(base)
     emitDetail("detail_base", s""""runs":$runs,${baseSec.detail}""")
     // publish a compact base-only artifact IMMEDIATELY: if a harness
@@ -371,7 +394,7 @@ object Bench {
 
     // scaled section: best-effort; a failure must not cost the base artifact
     val baseElapsedSec = (System.nanoTime() - t0) / 1e9
-    var flags = Seq.empty[String]
+    var flags = baseFlags
     val scaledCompact: String =
       if (scaleFactor <= 1) ""
       else if (baseElapsedSec > scaleBudgetSec) {
@@ -389,11 +412,12 @@ object Bench {
         }
         Seq("q1_pricing_summary").foreach { q => timed("graft", q, amp); timed("parquet", q, amp) }
         val deadline = System.nanoTime() + scaledWallSec * 1000000000L
-        val scaled = measure(amp, scaledRuns, deadline)
+        val scaled0 = measure(amp, scaledRuns, deadline)
+        val (scaledFlags, scaled) = flagAudit(scaled0, amp, "scaled")
         val scaledSec = section(scaled)
         emitDetail("detail_scaled",
           s""""factor":$scaleFactor,"runs":$scaledRuns,${scaledSec.detail}""")
-        flags = flagAudit(base, sfDir, "base") ++ flagAudit(scaled, amp, "scaled")
+        flags = baseFlags ++ scaledFlags
         // absolute streaming catch-up throughput on the amplified corpus
         val stream = try BenchMaintenance.streamCatchup(spark, amp)
           catch { case e: Throwable =>
