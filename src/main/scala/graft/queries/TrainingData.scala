@@ -163,18 +163,22 @@ object TrainingData {
 
   /** The K hash-ranked seed vec_ids for this corpus (one count + one
     * top-K); join the result broadcast against the vectors to build the
-    * centroid table.
+    * centroid table. Callers that already know the corpus count pass it as
+    * `nKnown` so constructing the frame costs zero extra driver jobs (the
+    * SemDeDup ops need the same count for their broadcast-cap gate).
     */
-  private[queries] def seedIds(s: SparkSession, dir: String, kOfN: Long => Long): DataFrame =
-    seedIdsRanked(s, dir, kOfN).select(col("vec_id"))
+  private[queries] def seedIds(s: SparkSession, dir: String, kOfN: Long => Long,
+                               nKnown: Long = -1L): DataFrame =
+    seedIdsRanked(s, dir, kOfN, nKnown).select(col("vec_id"))
 
   /** Like `seedIds` but keeps each seed's 1-based hash rank (`rn`) — the
     * two-level variants take the rank-smallest √K seeds as the coarse
     * level. The global top-K is a TakeOrdered (scalable); the rank window
     * runs over the K returned rows only.
     */
-  private[queries] def seedIdsRanked(s: SparkSession, dir: String, kOfN: Long => Long): DataFrame = {
-    val n = embs(s, dir).count()
+  private[queries] def seedIdsRanked(s: SparkSession, dir: String, kOfN: Long => Long,
+                                     nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else embs(s, dir).count()
     val k = kOfN(n)
     embs(s, dir).select(col("vec_id"), expr(seedHashExpr).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(k.toInt)
@@ -227,7 +231,7 @@ object TrainingData {
     val sampleCap = 64L * kIvf(n)
     val e = embs(s, dir).withColumn("q", expr(quantized))
       .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
-    val seeds = e.join(broadcast(seedIds(s, dir, kIvf)), Seq("vec_id"))
+    val seeds = e.join(broadcast(seedIds(s, dir, kIvf, n)), Seq("vec_id"))
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
     val train =
       if (n <= sampleCap) e
@@ -1834,8 +1838,11 @@ object TrainingData {
       // argmax — same plan shape, applied twice.)
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
-      val k = kSem(embs(s, dir).count())
-      val cents = e.join(bcastIfK(s, seedIds(s, dir, kSem), k), Seq("vec_id"))
+      // ONE count job serves both the broadcast-cap gate and the seed
+      // ranking (on graft it is a footer-statistics read, no data scan)
+      val n = embs(s, dir).count()
+      val k = kSem(n)
+      val cents = e.join(bcastIfK(s, seedIds(s, dir, kSem, n), k), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
       val assigned = e.crossJoin(bcastIfKCross(s, cents, k))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
@@ -1883,7 +1890,7 @@ object TrainingData {
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       val n = embs(s, dir).count()
       val k1 = math.max(8L, math.ceil(math.sqrt(kSem(n).toDouble)).toLong)
-      val sr = seedIdsRanked(s, dir, kSem)
+      val sr = seedIdsRanked(s, dir, kSem, n)
       val seeds = e.join(bcastIfK(s, sr, kSem(n)), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("rn"), col("q").as("cq"), col("nn").as("cn"))
       val coarse = seeds.filter(col("rn") <= k1)
