@@ -150,6 +150,41 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_schema_evolution" -> { (s, dir) =>
+      // ALTER TABLE ADD COLUMN in the correctness gate: a catalog table is
+      // altered MID-HISTORY — even-doc_id rows are written first, then
+      // `ALTER TABLE ... ADD COLUMN quality BIGINT` (metadata-only: one
+      // sidecar write, no data rewrite), then the odd rows are inserted
+      // WITH the column. The read must serve nulls for pre-ALTER files and
+      // values for post-ALTER ones; the aggregate proves both file
+      // generations land correctly. Build and read go through two
+      // catalog instances because the build runs in stagedOnce's private
+      // tmp dir (atomic publish) while the read binds the published path.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_evo_stage1/$key/wh") { t =>
+        val cat = s"gevob_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val docs = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.format("graft").mode("overwrite").save(s"$t/docs")
+        s.sql(s"ALTER TABLE $cat.docs ADD COLUMN quality BIGINT")
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("quality", col("n_chars") % 10)
+          .writeTo(s"$cat.docs").append()
+      }
+      val readCat = s"gevor_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("quality")).as("q_sum"),
+          count(col("quality")).as("with_quality"))
+        .orderBy(col("lang"))
+    },
+
     "q_sorted_topn" -> { (s, dir) =>
       // TOP-N pushdown in the correctness gate: orders staged sorted on
       // (o_totalprice, o_orderkey) — the write publishes the sort marker
@@ -755,6 +790,13 @@ object Functions {
         |  count(DISTINCT source) AS sources
         |FROM documents WHERE doc_id % 7 <> 3
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_schema_evolution" ->
+      // rows written before the ALTER (even doc_id) have NULL quality;
+      // rows inserted after it (odd doc_id) carry n_chars % 10
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 10 END) AS BIGINT) AS q_sum,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS with_quality
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sorted_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 25""".stripMargin,

@@ -24,7 +24,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * so path users and SQL users share tables freely). An empty table's
   * schema lives in a `_graft_table.json` sidecar until the first insert;
   * once data files exist the footer schema is authoritative (same
-  * inference as the path reader, drift rejected there).
+  * inference as the path reader, drift rejected there), extended by any
+  * `ALTER TABLE ... ADD COLUMN` columns the sidecar declares that no data
+  * file carries yet (scans serve nulls for those until a write lands).
   *
   * Scale note: metadata operations are pure filesystem ops on the table
   * dir — no central metastore round-trips; list/exists price as one
@@ -90,19 +92,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.exists(dir) && (hasData(dir) || fs.exists(sidecar(dir)))
   }
 
+  private def sidecarSchema(dir: Path): StructType = {
+    val in = fs.open(sidecar(dir))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
+  /** The table's current schema: the footer schema of the data files,
+    * extended by sidecar columns no file carries yet (ALTER TABLE ADD
+    * COLUMN records them there; the scan serves nulls until a write backs
+    * them with data). A sidecar column whose name a data file also carries
+    * defers to the footer — once data exists it is authoritative, matching
+    * the path reader. A TYPE conflict between the two is declared-schema
+    * drift and rejected rather than silently resolved.
+    */
+  private def currentSchema(dir: Path): StructType =
+    if (!hasData(dir)) sidecarSchema(dir)
+    else {
+      val footer = GraftUtil.inferSchema(dir.toString, conf)
+      if (!fs.exists(sidecar(dir))) footer
+      else {
+        val declared = sidecarSchema(dir)
+        val merged = footer.fields.map { df =>
+          declared.fields.find(_.name.equalsIgnoreCase(df.name)) match {
+            case Some(f) =>
+              require(df.dataType == f.dataType,
+                s"graft: declared column '${f.name}' has type ${f.dataType.sql} in " +
+                  s"the table sidecar but ${df.dataType.sql} in the data files — " +
+                  "ALTER TABLE cannot change the type of an existing column")
+              // a column the sidecar declares nullable stays nullable even
+              // if the newest file happened to write it non-null throughout:
+              // OLDER files may predate the column entirely and the reader
+              // null-fills only nullable evolution columns
+              if (f.nullable && !df.nullable) df.copy(nullable = true) else df
+            case None => df
+          }
+        }
+        val extras = declared.fields.filterNot(f =>
+          footer.fields.exists(_.name.equalsIgnoreCase(f.name)))
+        StructType(merged ++ extras)
+      }
+    }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace().mkString("."), ident.name())
-    val schema =
-      if (hasData(dir)) GraftUtil.inferSchema(dir.toString, conf)
-      else {
-        val in = fs.open(sidecar(dir))
-        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        DataType.fromJson(json).asInstanceOf[StructType]
-      }
-    new GraftTable(schema, dir.toString)
+    new GraftTable(currentSchema(dir), dir.toString)
   }
 
   /** SQL time travel: `SELECT ... FROM cat.db.t TIMESTAMP AS OF <ts>` —
@@ -114,11 +151,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val base = loadTable(ident).asInstanceOf[GraftTable]
-    val dir = tableDir(ident)
-    val schema =
-      if (hasData(dir)) GraftUtil.inferSchema(dir.toString, conf)
-      else base.schema()
-    new GraftTable(schema, dir.toString, Some(timestampMicros / 1000L))
+    new GraftTable(base.schema(), tableDir(ident).toString,
+      Some(timestampMicros / 1000L))
   }
 
   override def loadTable(ident: Identifier, version: String): Table =
@@ -142,10 +176,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(schema, dir.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft: ALTER TABLE is not supported — additive schema evolution happens " +
-        "at write time (new columns in appended files are merged by the reader)")
+  /** `ALTER TABLE ... ADD COLUMN(S)`: pure metadata — the new column is
+    * recorded in the sidecar and every scan serves nulls for it until a
+    * write backs it with data (the same null-fill path the reader already
+    * runs for files that predate a column other files carry). Data files
+    * are immutable, so only nullable, top-level, appended columns are
+    * expressible; everything else is rejected with the reason. Scale note:
+    * the ALTER writes one small sidecar file — no data rewrite, no
+    * metastore, O(1) regardless of table size.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().mkString("."), ident.name())
+    val dir = tableDir(ident)
+    val updated = changes.foldLeft(currentSchema(dir)) { (sch, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "graft: ALTER TABLE ADD COLUMN supports top-level columns only — " +
+              s"'${add.fieldNames().mkString(".")}' adds a nested field inside an " +
+              "existing column, which would require rewriting immutable data files")
+          val colName = add.fieldNames()(0)
+          require(!sch.fieldNames.exists(_.equalsIgnoreCase(colName)),
+            s"graft: column '$colName' already exists")
+          require(add.isNullable,
+            s"graft: added column '$colName' must be nullable — existing rows " +
+              "have no values for it")
+          require(add.position() == null,
+            "graft: ADD COLUMN ... FIRST/AFTER is not supported — new columns " +
+              "append (file leaves are position-stable)")
+          val meta =
+            if (add.comment() != null)
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString("comment", add.comment()).build()
+            else org.apache.spark.sql.types.Metadata.empty
+          sch.add(org.apache.spark.sql.types.StructField(
+            colName, add.dataType(), nullable = true, meta))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft: ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+              "supported — data files are immutable; only ADD COLUMN(S) is a " +
+              "metadata-only evolution")
+      }
+    }
+    val out = fs.create(sidecar(dir), true)
+    try out.write(updated.json.getBytes("UTF-8")) finally out.close()
+    new GraftTable(updated, dir.toString)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

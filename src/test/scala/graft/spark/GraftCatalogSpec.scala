@@ -129,4 +129,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(plan.contains("BatchScan graft:"), s"not a graft scan:\n$plan")
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(4242L))
   }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, nulls until written") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo")
+    spark.sql("CREATE TABLE graftcat.evo.t AS SELECT id, id * 2 AS v FROM range(5)")
+    spark.sql("ALTER TABLE graftcat.evo.t ADD COLUMN score DOUBLE")
+    // old rows read back with nulls for the added column — no data rewrite
+    val afterAlter = spark.sql("SELECT id, v, score FROM graftcat.evo.t ORDER BY id")
+    assert(afterAlter.columns.toSeq == Seq("id", "v", "score"))
+    assert(afterAlter.collect().forall(_.isNullAt(2)))
+    // a write backs the column; pre-existing files keep serving nulls
+    spark.sql("INSERT INTO graftcat.evo.t VALUES (100, 200, 2.5)")
+    val rows = spark.sql(
+      "SELECT id, score FROM graftcat.evo.t ORDER BY id").collect()
+    assert(rows.length == 6)
+    assert(rows.take(5).forall(_.isNullAt(1)))
+    assert(rows.last.getDouble(1) == 2.5)
+    // multi-column form, and ALTER on an empty (sidecar-only) table
+    spark.sql("ALTER TABLE graftcat.evo.t ADD COLUMNS (tag STRING, n BIGINT)")
+    assert(spark.table("graftcat.evo.t").columns.toSeq ==
+      Seq("id", "v", "score", "tag", "n"))
+    spark.sql("CREATE TABLE graftcat.evo.empty (id BIGINT)")
+    spark.sql("ALTER TABLE graftcat.evo.empty ADD COLUMN lbl STRING")
+    assert(spark.table("graftcat.evo.empty").columns.toSeq == Seq("id", "lbl"))
+  }
+
+  test("ALTER TABLE rejects what immutable data files cannot express") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo2")
+    spark.sql("CREATE TABLE graftcat.evo2.t AS SELECT id FROM range(3)")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    def rejected(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(msgs(e).exists(_.toLowerCase.contains(needle)),
+        s"expected rejection containing '$needle' for [$sql], got: $e")
+    }
+    rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN b BIGINT NOT NULL", "nullable")
+    rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN c BIGINT FIRST", "append")
+    rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN id STRING", "already exists")
+    rejected("ALTER TABLE graftcat.evo2.t DROP COLUMN id", "immutable")
+    rejected("ALTER TABLE graftcat.evo2.t RENAME COLUMN id TO id2", "immutable")
+    rejected("ALTER TABLE graftcat.evo2.t ALTER COLUMN id TYPE STRING", "immutable")
+  }
 }
