@@ -37,9 +37,12 @@ import scala.jdk.CollectionConverters._
   *    reference's OrderedFloat trick, `compression/double/mod.rs`);
   *  - strings/binary: OneValue / Dict / Freq (`compression/binary/`);
   *  - booleans: OneValue / RLE (`compression/boolean/`);
-  *  - f64 lanes additionally compete Patas (`compression/double/patas.rs`
-  *    — f32 is excluded: the layout's sig==0 -> 8-byte decode rule is
-  *    ambiguous against an f32 equal-value pair, a reference quirk).
+  *  - float lanes additionally compete Patas (`compression/double/
+  *    patas.rs`) — f32 only when the stream encodes no equal-value pair:
+  *    such a pair packs sig=0/tz=31 and the layout's sig==0 -> 8-byte
+  *    decode repair (an f64-ism) desyncs the reference's own reader on
+  *    it, so those pages fall back to the other codecs (see
+  *    `patasPayloadOpt`; Float32PatasSpec pins both directions).
   *
   * Validity/level streams and non-winning pages stay on a COMMON codec
   * (None / Lz4 raw block / Zstd / Snappy), the spec's always-valid
@@ -309,18 +312,25 @@ object StrawboatExport {
     }
     def bitpack = frame(14, pack128All(u32s))
     def deltaBitpack = frame(15, pack128All(deltas))
-    // Patas (16, f64 bit patterns only): first value raw, then per value
-    // a u16 `refDiff<<9 | sigBytes<<6 | (tz - isEq)` + the XOR-vs-reference
-    // significant bytes (`compression/double/patas.rs:37-105`). The
-    // reference is the LAST occurrence of the same bit pattern within the
-    // trailing 128 values (hash-indexed), else the previous value. f32
-    // lanes are excluded: the format's sig==0 -> 8-bytes decode rule is
-    // ambiguous against an f32 equal-value pair (tz=31, sig=0), a quirk
-    // of the reference layout itself.
-    def patasPayload: Array[Byte] = {
+    // Patas (16, float bit patterns, width 4 or 8): first value raw, then
+    // per value a u16 `refDiff<<9 | sigBytes<<6 | (tz - isEq)` + the
+    // XOR-vs-reference significant bytes (`compression/double/patas.rs:
+    // 37-105`). The reference is the LAST occurrence of the same bit
+    // pattern within the trailing 128 values (hash-indexed), else the
+    // previous value. f32 lanes emit ONLY when the stream encodes no
+    // equal-value pair (returns None otherwise): an f32 equal pair packs
+    // sig=0 with tz=31, and the decoder's `sig==0 && tz<63 -> read 8
+    // bytes` repair (`patas.rs:156-161` unpack — it exists for the f64
+    // full-64-significant-bits case, whose sigBytes=8 wraps to 0 in the
+    // 3-bit field) misfires on f32, consuming 8 payload bytes the writer
+    // never produced — stream desync in the reference's own reader, so
+    // such a stream is undecodable everywhere. f64 equal pairs pack
+    // tz=63 and decode correctly.
+    def patasPayloadOpt: Option[Array[Byte]] = {
+      val wBits = width * 8
       val bos = new java.io.ByteArrayOutputStream()
-      def w8(v: Long): Unit = { var b = 0; while (b < 8) { bos.write(((v >>> (8 * b)) & 0xff).toInt); b += 1 } }
-      w8(vals.head)
+      def wv(v: Long): Unit = { var b = 0; while (b < width) { bos.write(((v >>> (8 * b)) & 0xff).toInt); b += 1 } }
+      wv(vals.head)
       val lastIdx = scala.collection.mutable.HashMap[Long, Int](vals.head -> 0)
       var i = 1
       while (i < n) {
@@ -329,10 +339,11 @@ object StrawboatExport {
         if (refIdx > i || i - refIdx >= 128) refIdx = i - 1
         val refDiff = i - refIdx
         val xor = v ^ vals(refIdx)
-        val tz = java.lang.Long.numberOfTrailingZeros(xor)
-        val lz = java.lang.Long.numberOfLeadingZeros(xor)
-        val isEq = if (tz == 64) 1 else 0
-        val sigBits = if (isEq == 1) 0 else 64 - tz - lz
+        val tz = math.min(java.lang.Long.numberOfTrailingZeros(xor), wBits)
+        val lz = java.lang.Long.numberOfLeadingZeros(xor) - (64 - wBits)
+        val isEq = if (tz == wBits) 1 else 0
+        if (isEq == 1 && width == 4) return None // undecodable f32 packet
+        val sigBits = if (isEq == 1) 0 else wBits - tz - lz
         val sigBytes = (sigBits >> 3) + (if ((sigBits & 7) != 0) 1 else 0)
         val packed = (refDiff << 9) | ((sigBytes & 7) << 6) | (tz - isEq)
         bos.write(packed & 0xff); bos.write((packed >> 8) & 0xff)
@@ -342,9 +353,11 @@ object StrawboatExport {
         lastIdx(v) = i
         i += 1
       }
-      bos.toByteArray
+      Some(bos.toByteArray)
     }
-    def patas = frame(16, patasPayload)
+    def patas = frame(16, patasPayloadOpt.getOrElse(throw new IllegalArgumentException(
+      "forced patas on an f32 lane with an equal-value pair — the reference " +
+        "layout cannot represent it (sig==0/tz<63 decode repair misreads it)")))
     // Freq (13): top value + roaring bitmap of exception positions +
     // recursive integer block of the exception values, matching
     // `compression/integer/freq.rs:60-90` (the roaring portable
@@ -375,7 +388,7 @@ object StrawboatExport {
       case "dict" => dict
       case "freq" => freq
       case "patas" =>
-        require(allowPatas, "forced patas applies to f64 lanes only")
+        require(allowPatas, "forced patas applies to float lanes only")
         patas
       case "bitpack" =>
         require(bpOk, "forced bitpack needs a u32 lane with n % 128 == 0")
@@ -399,7 +412,7 @@ object StrawboatExport {
             13 + exceptionCount.toLong * width
           val bpBytes = if (bpOk) packedBytes(u32s) else Long.MaxValue
           val dbpBytes = if (bpOk) packedBytes(deltas) else Long.MaxValue
-          val patasEnc = if (allowPatas) patasPayload else null
+          val patasEnc = if (allowPatas) patasPayloadOpt.orNull else null
           val patasBytes = if (patasEnc != null) patasEnc.length.toLong else Long.MaxValue
           // smallest candidate wins if it beats plain by >= 10% (headers
           // and block-compression of the plain path eat anything closer)
@@ -434,7 +447,7 @@ object StrawboatExport {
     case TimestampType | TimestampNTZType => intBlock(8, slots.map(tsMicros), codec, special)
     case FloatType => intBlock(4,
       slots.map(v => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL),
-      codec, special, allowBp = false)
+      codec, special, allowBp = false, allowPatas = true)
     case DoubleType => intBlock(8,
       slots.map(v => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])),
       codec, special, allowPatas = true)
