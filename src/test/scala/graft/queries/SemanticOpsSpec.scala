@@ -137,8 +137,10 @@ class SemanticOpsSpec extends AnyFunSuite {
     byQ.values.foreach { rs =>
       val sorted = rs.sortBy(_.getInt(3))
       assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      // the refine stage reranks the ADC top-R by EXACT dot, descending
       val d = sorted.map(_.getLong(2))
-      assert(d.toSeq == d.sorted.toSeq)
+      assert(d.toSeq == d.sorted.reverse.toSeq,
+        "exact refine dot must be non-increasing in rank")
     }
     // candidate bounding: every returned tid must share a probed coarse
     // list with its query — i.e. results agree with the IVF candidate set
