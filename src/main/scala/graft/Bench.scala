@@ -55,7 +55,7 @@ import org.apache.spark.sql.functions._
   * (GRAFT_BENCH_AUDIT_WALL); queries flagged past the deadline ship with
   * "remeasured":-1 instead of silently eating the scaled phase's budget.
   *
-  * BUDGET (round-12 fix): the scaled-section go/no-go compares
+  * BUDGET (round-12 fix): the scaled-section gate compares
   * PRE-AUDIT base wall time against GRAFT_BENCH_SCALE_BUDGET, and a
   * budget overrun degrades to a REDUCED scaled query set (the most
   * expensive base queries plus the ops whose scaled behavior the round
@@ -422,7 +422,7 @@ object Bench {
     val preSec = section(base0)
     println(f"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"value":${preSec.gTotal}%.3f,"parquet_total":${preSec.pTotal}%.3f,"ratio":${preSec.ratio}%.3f,"prefold":true}""")
     System.out.flush()
-    // the scaled go/no-go budget is judged on the measurement phase alone —
+    // the scaled-section gate is judged on the measurement phase alone —
     // audit reruns are bounded separately and must not eat the scaled phase
     // (round 11: 6 flags x 3 reruns x 2 formats pushed post-audit wall to
     // 375 s > 300 s budget and the round lost every scaled number)
