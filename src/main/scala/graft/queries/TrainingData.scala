@@ -2381,7 +2381,13 @@ object TrainingData {
     */
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val tok = d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    // the token frame feeds BOTH sides of the intersection join plus the
+    // size aggregate — materialized (cache locally, graft scratch table in
+    // `table` mode) so the text column is decoded and tokenized once per
+    // query instead of three times; (doc_id, w) is the minimal rerank input
+    val tok = materialize(
+      d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w")),
+      "jaccard_tok")
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
     val bandW = 5 // band width 5 > 2*tolerance ⇒ [cb-2, cb+2] spans <= 2 bands
     val candA = d.select(col("doc_id").as("ida"), col("source"), col("n_chars").as("ca"))
