@@ -99,4 +99,32 @@ class Float32PatasSpec extends AnyFunSuite {
       codec = 0, special = "patas")
     assert(decode(bytes).map(_(0)) == vals)
   }
+
+  test("randomized float lanes round-trip raw bits under the adaptive chooser") {
+    // duplicates, NaN payloads, signed zeros, infinities — compared on RAW
+    // bits (== would treat NaN as unequal and -0.0 as 0.0)
+    val rnd = new scala.util.Random(20260814L)
+    val specials32 = Array(Float.NaN, java.lang.Float.intBitsToFloat(0x7FC00001),
+      -0.0f, 0.0f, Float.PositiveInfinity, Float.NegativeInfinity, Float.MinPositiveValue)
+    for (iter <- 0 until 40) {
+      val n = 1 + rnd.nextInt(400)
+      val vals = Array.fill(n) {
+        rnd.nextInt(4) match {
+          case 0 => specials32(rnd.nextInt(specials32.length))
+          case 1 => (rnd.nextInt(8) - 4) * 0.25f // forced duplicates
+          case _ => java.lang.Float.intBitsToFloat(rnd.nextInt())
+        }
+      }
+      val bytes = StrawboatExport.encodeFile(f32Schema, vals.toSeq.map(Row(_)), codec = 0)
+      val got = decode(bytes).map(_(0).asInstanceOf[Float])
+      assert(got.map(java.lang.Float.floatToRawIntBits).toSeq ==
+        vals.map(java.lang.Float.floatToRawIntBits).toSeq, s"iter $iter n=$n")
+      val vals64 = vals.map(_.toDouble)
+      val bytes64 = StrawboatExport.encodeFile(f64Schema, vals64.toSeq.map(Row(_)),
+        codec = 0, special = "patas")
+      val got64 = decode(bytes64).map(_(0).asInstanceOf[Double])
+      assert(got64.map(java.lang.Double.doubleToRawLongBits).toSeq ==
+        vals64.map(java.lang.Double.doubleToRawLongBits).toSeq, s"iter $iter f64")
+    }
+  }
 }
