@@ -185,6 +185,36 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_delete" -> { (s, dir) =>
+      // pure-SQL row-level DELETE in the correctness gate: the staged
+      // catalog table loses rows via `DELETE FROM ... WHERE <translatable
+      // predicate>` (SupportsDelete routes it into GraftMaintenance
+      // .deleteWhere — the distributed purge pass), and the surviving
+      // aggregate must match the oracle's inverted WHERE exactly. The
+      // predicate mixes comparison, equality, and conjunction/disjunction
+      // so the Filter->Column translation path is exercised end to end.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_sqldel_stage1/$key/wh") { t =>
+        val cat = s"gdelb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.format("graft").option("maxrowsperfile", "200")
+          .mode("overwrite").save(s"$t/docs")
+        s.sql(s"DELETE FROM $cat.docs WHERE (lang = 'en' AND doc_id < 300) " +
+          "OR n_chars >= 900")
+      }
+      val readCat = s"gdelr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
     "q_sorted_topn" -> { (s, dir) =>
       // TOP-N pushdown in the correctness gate: orders staged sorted on
       // (o_totalprice, o_orderkey) — the write publishes the sort marker
@@ -789,6 +819,13 @@ object Functions {
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
         |  count(DISTINCT source) AS sources
         |FROM documents WHERE doc_id % 7 <> 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_delete" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS sources
+        |FROM documents
+        |WHERE NOT ((lang = 'en' AND doc_id < 300) OR n_chars >= 900)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_schema_evolution" ->
       // rows written before the ALTER (even doc_id) have NULL quality;

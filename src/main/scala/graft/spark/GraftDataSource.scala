@@ -4,7 +4,7 @@ import graft.format._
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -143,8 +143,32 @@ object GraftUtil {
 
 final class GraftTable(private val tableSchema: StructType, private val path: String,
     private val tableAsofMs: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft:$path"
+
+  /** SQL `DELETE FROM <catalog table> WHERE <pred>`, routed to
+    * `GraftMaintenance.deleteWhere` — the file-scoped row-level purge pass
+    * (one distributed probe job, survivor rewrites, untouched files keep
+    * their identity). Only source-translatable predicates arrive here
+    * (Spark rejects the rest before calling); `canDeleteWhere` further
+    * limits to the filters we can rebuild as Columns, so a partial
+    * translation can never delete MORE rows than the SQL asked.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    tableAsofMs.isEmpty && filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(tableAsofMs.isEmpty, "graft: cannot DELETE from a time-travel snapshot")
+    val cols = filters.map(f => GraftTable.filterToColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"graft: cannot translate DELETE filter $f")))
+    val pred = cols.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    GraftMaintenance.deleteWhere(SparkSession.active, path, pred)
+    // retired files changed the table's visible contents — drop any cached
+    // scans of this path so readers re-list
+    val cs = org.apache.spark.sql.classic.SparkSession.active
+    cs.sharedState.cacheManager.recacheByPath(cs, path)
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = {
     val s = new java.util.HashSet[TableCapability]()
@@ -185,6 +209,46 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     case _ => false
   }
   override def hashCode(): Int = (path, tableSchema, tableAsofMs).hashCode()
+}
+
+object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  /** DSv2 source Filter -> Column, for routing SQL DELETE predicates into
+    * the maintenance pass. Returns None for anything not representable
+    * (canDeleteWhere then rejects the whole statement — deleting on a
+    * HALF-translated predicate would purge rows the SQL never matched).
+    * Attribute strings are dotted paths (struct access); backquoted
+    * segments are declined rather than mis-parsed.
+    */
+  private[spark] def filterToColumn(f: Filter): Option[Column] = {
+    def attr(a: String): Option[Column] =
+      if (a.contains('`')) None else Some(col(a))
+    f match {
+      case EqualTo(a, v) => attr(a).map(_ === lit(v))
+      case EqualNullSafe(a, v) => attr(a).map(_ <=> lit(v))
+      case GreaterThan(a, v) => attr(a).map(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => attr(a).map(_ >= lit(v))
+      case LessThan(a, v) => attr(a).map(_ < lit(v))
+      case LessThanOrEqual(a, v) => attr(a).map(_ <= lit(v))
+      case In(a, vs) => attr(a).map(_.isin(vs.toIndexedSeq.map(lit(_)): _*))
+      case IsNull(a) => attr(a).map(_.isNull)
+      case IsNotNull(a) => attr(a).map(_.isNotNull)
+      case StringStartsWith(a, v) => attr(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => attr(a).map(_.endsWith(v))
+      case StringContains(a, v) => attr(a).map(_.contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(not)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
 }
 
 final class GraftScanBuilder(tableSchema: StructType, path: String,

@@ -154,6 +154,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("graftcat.evo.empty").columns.toSeq == Seq("id", "lbl"))
   }
 
+  test("DELETE FROM routes to the row-level purge pass") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.del")
+    spark.sql(
+      "CREATE TABLE graftcat.del.t AS SELECT id, CAST(id % 3 AS STRING) AS tag FROM range(300)")
+    spark.sql("DELETE FROM graftcat.del.t WHERE id < 100 AND tag = '1'")
+    val rows = spark.sql("SELECT count(*) AS n FROM graftcat.del.t").collect()(0).getLong(0)
+    // ids < 100 with id % 3 == 1: 1,4,...,97 -> 33 rows gone
+    assert(rows == 267L, s"expected 267 survivors, got $rows")
+    assert(spark.sql("SELECT count(*) FROM graftcat.del.t WHERE id < 100 AND tag = '1'")
+      .collect()(0).getLong(0) == 0L)
+    // IN / IS NULL / string predicates translate too
+    spark.sql("DELETE FROM graftcat.del.t WHERE id IN (200, 201, 202)")
+    assert(spark.sql("SELECT count(*) FROM graftcat.del.t").collect()(0).getLong(0) == 264L)
+    // a predicate that cannot reach the source filter API is rejected, not
+    // silently narrowed
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM graftcat.del.t WHERE id % 7 = 0"))
+    assert(Option(e.getMessage).exists(m =>
+        m.toLowerCase.contains("delete") || m.toLowerCase.contains("translate")),
+      s"expected a cannot-translate rejection, got: $e")
+    // time-travel snapshots are read-only
+    assert(spark.sql("SELECT count(*) FROM graftcat.del.t").collect()(0).getLong(0) == 264L)
+  }
+
   test("ALTER TABLE rejects what immutable data files cannot express") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo2")
     spark.sql("CREATE TABLE graftcat.evo2.t AS SELECT id FROM range(3)")
