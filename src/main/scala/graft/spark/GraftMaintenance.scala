@@ -310,9 +310,15 @@ object GraftMaintenance {
     }
     val untouched = files.size - rewritten
     val rowsAfter = { // footer-only recount of the surviving table
-      val c = GraftScan.rowCount(GraftUtil.listDataFiles(dir, conf), conf)
-      if (c.isPresent) c.getAsLong
-      else spark.read.format("graft").load(dir).count()
+      val survivors = GraftUtil.listDataFiles(dir, conf)
+      // a delete-all retires every file; an empty dir is 0 rows, and the
+      // fallback read would refuse to infer a schema from it
+      if (survivors.isEmpty) 0L
+      else {
+        val c = GraftScan.rowCount(survivors, conf)
+        if (c.isPresent) c.getAsLong
+        else spark.read.format("graft").load(dir).count()
+      }
     }
     // a delete rewrites history for the files it touched: expire exactly
     // the manifests that reference a retired file (a fresh manifest-mode

@@ -176,6 +176,9 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"expected a cannot-translate rejection, got: $e")
     // time-travel snapshots are read-only
     assert(spark.sql("SELECT count(*) FROM graftcat.del.t").collect()(0).getLong(0) == 264L)
+    // TRUNCATE TABLE rides the same surface (delete-all)
+    spark.sql("TRUNCATE TABLE graftcat.del.t")
+    assert(spark.sql("SELECT count(*) FROM graftcat.del.t").collect()(0).getLong(0) == 0L)
   }
 
   test("ALTER TABLE rejects what immutable data files cannot express") {
