@@ -220,8 +220,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               "metadata-only evolution")
       }
     }
-    val out = fs.create(sidecar(dir), true)
+    // ALTER overwrites a sidecar readers may depend on RIGHT NOW: publish
+    // via tmp + rename so a crash mid-write can never leave a truncated
+    // schema behind (createTable writes direct — there is nothing to lose)
+    val tmp = new Path(dir, s"._graft_table.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(updated.json.getBytes("UTF-8")) finally out.close()
+    fs.delete(sidecar(dir), false)
+    require(fs.rename(tmp, sidecar(dir)),
+      s"graft: failed to publish the altered schema sidecar for $ident")
     new GraftTable(updated, dir.toString)
   }
 
