@@ -83,17 +83,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val nsDir = resolved(namespace.toSeq)
     if (!fs.exists(nsDir)) throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     fs.listStatus(nsDir).filter(_.isDirectory)
-      .filter(d => hasData(d.getPath) || fs.exists(sidecar(d.getPath)))
+      .filter(d => hasData(d.getPath) || sidecarExists(d.getPath))
       .map(d => Identifier.of(namespace, d.getPath.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    fs.exists(dir) && (hasData(dir) || fs.exists(sidecar(dir)))
+    fs.exists(dir) && (hasData(dir) || sidecarExists(dir))
   }
 
+  /** Newest `._graft_table.json.tmp-*` under `dir`, if any — the publish
+    * path of an ALTER that crashed between deleting the old sidecar and
+    * renaming the new one in. Consulting it (and promoting it on read)
+    * makes that window recoverable instead of a vanished table.
+    */
+  private def sidecarTmp(dir: Path): Option[Path] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("._graft_table.json.tmp-"))
+      .sortBy(-_.getModificationTime)
+      .headOption.map(_.getPath)
+
+  private def sidecarExists(dir: Path): Boolean =
+    fs.exists(sidecar(dir)) || sidecarTmp(dir).nonEmpty
+
   private def sidecarSchema(dir: Path): StructType = {
-    val in = fs.open(sidecar(dir))
+    val p =
+      if (fs.exists(sidecar(dir))) sidecar(dir)
+      else sidecarTmp(dir) match {
+        case Some(tmp) =>
+          // crash recovery: finish the interrupted publish (best effort —
+          // a concurrent reader may have won the rename; re-check)
+          if (fs.rename(tmp, sidecar(dir)) || fs.exists(sidecar(dir))) sidecar(dir)
+          else tmp
+        case None => sidecar(dir) // open() raises the usual not-found
+      }
+    val in = fs.open(p)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     DataType.fromJson(json).asInstanceOf[StructType]
   }
@@ -110,13 +135,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!hasData(dir)) sidecarSchema(dir)
     else {
       val footer = GraftUtil.inferSchema(dir.toString, conf)
-      if (!fs.exists(sidecar(dir))) footer
+      if (!sidecarExists(dir)) footer
       else {
         val declared = sidecarSchema(dir)
         val merged = footer.fields.map { df =>
           declared.fields.find(_.name.equalsIgnoreCase(df.name)) match {
             case Some(f) =>
-              require(df.dataType == f.dataType,
+              // nullability-INSENSITIVE comparison, nested included: a
+              // legal INSERT records the query output's tighter
+              // containsNull/struct-field nullability in the footer (e.g.
+              // array(id) is ARRAY<BIGINT> containsNull=false against a
+              // declared containsNull=true) — that is not type drift, and
+              // a strict == here would brick every later read of the table
+              require(GraftCatalog.sameTypeIgnoreNullability(df.dataType, f.dataType),
                 s"graft: declared column '${f.name}' has type ${f.dataType.sql} in " +
                   s"the table sidecar but ${df.dataType.sql} in the data files — " +
                   "ALTER TABLE cannot change the type of an existing column")
@@ -150,9 +181,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * reconstructable — same documented contract).
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val base = loadTable(ident).asInstanceOf[GraftTable]
-    new GraftTable(base.schema(), tableDir(ident).toString,
-      Some(timestampMicros / 1000L))
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().mkString("."), ident.name())
+    val dir = tableDir(ident)
+    // snapshot reads keep the DATA-FILE schema, not the current declared
+    // one: an ALTER-added column no file backs did not exist at any pinned
+    // time, and surfacing it in a TIMESTAMP AS OF read would be a schema
+    // anachronism (columns backed by files inside the snapshot still
+    // appear — they are in the footers)
+    val schema =
+      if (hasData(dir)) GraftUtil.inferSchema(dir.toString, conf)
+      else sidecarSchema(dir)
+    new GraftTable(schema, dir.toString, Some(timestampMicros / 1000L))
   }
 
   override def loadTable(ident: Identifier, version: String): Table =
@@ -258,7 +299,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // same exclusion as the nested overload: a table created with an
       // empty namespace (cat.t) lives directly under the warehouse root
       // and must not be listed as a namespace
-      .filter(d => !hasData(d.getPath) && !fs.exists(sidecar(d.getPath)))
+      .filter(d => !hasData(d.getPath) && !sidecarExists(d.getPath))
       .map(d => Array(d.getPath.getName))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
@@ -266,7 +307,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val nsDir = resolved(namespace.toSeq)
     if (!fs.exists(nsDir)) throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     fs.listStatus(nsDir).filter(_.isDirectory)
-      .filter(d => !hasData(d.getPath) && !fs.exists(sidecar(d.getPath)))
+      .filter(d => !hasData(d.getPath) && !sidecarExists(d.getPath))
       .map(d => namespace :+ d.getPath.getName)
   }
 
@@ -297,4 +338,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft: namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
     fs.delete(nsDir, true)
   }
+}
+
+object GraftCatalog {
+  import org.apache.spark.sql.types._
+
+  /** Structural type equality that ignores nullability at EVERY level
+    * (top-level field nullable, array containsNull, map valueContainsNull,
+    * struct field nullable) — writes legally record the query output's
+    * tighter nullability in footers, which must not read as type drift.
+    */
+  private[spark] def sameTypeIgnoreNullability(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeIgnoreNullability(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeIgnoreNullability(x.keyType, y.keyType) &&
+          sameTypeIgnoreNullability(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.fields.length == y.fields.length &&
+          x.fields.zip(y.fields).forall { case (f, g) =>
+            f.name == g.name && sameTypeIgnoreNullability(f.dataType, g.dataType)
+          }
+      case (x, y) => x == y
+    }
 }

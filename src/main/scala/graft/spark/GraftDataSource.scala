@@ -159,15 +159,21 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(tableAsofMs.isEmpty, "graft: cannot DELETE from a time-travel snapshot")
+    val spark = SparkSession.active
+    // DELETE/TRUNCATE on an empty table (no data files yet, or already
+    // truncated) is a successful no-op in SQL — don't reach the purge
+    // pass's nothing-to-delete guard
+    if (GraftUtil.listDataFiles(path, spark.sessionState.newHadoopConf()).isEmpty) return
     val cols = filters.map(f => GraftTable.filterToColumn(f).getOrElse(
       throw new UnsupportedOperationException(s"graft: cannot translate DELETE filter $f")))
     val pred = cols.reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    GraftMaintenance.deleteWhere(SparkSession.active, path, pred)
-    // retired files changed the table's visible contents — drop any cached
-    // scans of this path so readers re-list
-    val cs = org.apache.spark.sql.classic.SparkSession.active
-    cs.sharedState.cacheManager.recacheByPath(cs, path)
+    // the catalog table's schema may carry ALTER-added columns no data file
+    // backs yet — thread it through so predicates on them resolve (the
+    // purge pass would otherwise read the footer-only path schema).
+    // Cache refresh is Spark's job: DeleteFromTableExec recaches the V2
+    // relation through its refreshCache callback after this returns.
+    GraftMaintenance.deleteWhere(spark, path, pred, schemaOverride = Some(tableSchema))
   }
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = {

@@ -164,14 +164,21 @@ object GraftMaintenance {
     */
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
-      changelog: Boolean = false): DeleteStats = {
+      changelog: Boolean = false,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): DeleteStats = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
     val fs = tableDir.getFileSystem(conf)
     val files = GraftUtil.listDataFiles(dir, conf)
     require(files.nonEmpty, s"graft: nothing to delete under $dir")
     val manifestSnapshot = GraftManifest.list(fs, tableDir)
-    val table = spark.read.format("graft").load(dir)
+    // schemaOverride: a catalog table's declared schema (footer columns +
+    // ALTER-added evolution columns the files don't back yet), so a DELETE
+    // predicate over an evolution column resolves and sees its nulls
+    val table = schemaOverride match {
+      case Some(sc) => spark.read.format("graft").schema(sc).load(dir)
+      case None => spark.read.format("graft").load(dir)
+    }
     val schema = table.schema
     // straight off the footers — no Spark job (the count-pushdown scan
     // would also be footer-only, but still pays a job's scheduling)

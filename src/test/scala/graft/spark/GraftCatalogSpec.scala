@@ -176,9 +176,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"expected a cannot-translate rejection, got: $e")
     // time-travel snapshots are read-only
     assert(spark.sql("SELECT count(*) FROM graftcat.del.t").collect()(0).getLong(0) == 264L)
-    // TRUNCATE TABLE rides the same surface (delete-all)
+    // TRUNCATE TABLE rides the same surface (delete-all); a second
+    // TRUNCATE — and any DELETE on the now-empty table — is a no-op,
+    // not a nothing-to-delete error
     spark.sql("TRUNCATE TABLE graftcat.del.t")
     assert(spark.sql("SELECT count(*) FROM graftcat.del.t").collect()(0).getLong(0) == 0L)
+    spark.sql("TRUNCATE TABLE graftcat.del.t")
+    spark.sql("DELETE FROM graftcat.del.t WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM graftcat.del.t").collect()(0).getLong(0) == 0L)
+  }
+
+  test("DELETE over an ALTER-added column resolves against the declared schema") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.del2")
+    spark.sql("CREATE TABLE graftcat.del2.t AS SELECT id FROM range(10)")
+    spark.sql("ALTER TABLE graftcat.del2.t ADD COLUMN q BIGINT")
+    spark.sql("INSERT INTO graftcat.del2.t VALUES (100, 7)")
+    // pre-ALTER rows carry NULL q; DELETE on that column must resolve
+    spark.sql("DELETE FROM graftcat.del2.t WHERE q IS NULL")
+    val rows = spark.sql("SELECT id, q FROM graftcat.del2.t").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 7L)), rows.toSeq.toString)
+  }
+
+  test("nested nullability tightening in footers is not schema drift") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.nn")
+    spark.sql("CREATE TABLE graftcat.nn.t (xs ARRAY<BIGINT>)")
+    // query output records containsNull=false in the footer; the declared
+    // sidecar says containsNull=true — reads must keep working
+    spark.sql("INSERT INTO graftcat.nn.t SELECT array(id) FROM range(3)")
+    assert(spark.sql("SELECT sum(xs[0]) FROM graftcat.nn.t").collect()(0).getLong(0) == 3L)
+    // and an ALTER on that table still round-trips the merged schema
+    spark.sql("ALTER TABLE graftcat.nn.t ADD COLUMN tag STRING")
+    assert(spark.table("graftcat.nn.t").columns.toSeq == Seq("xs", "tag"))
+    assert(spark.sql("SELECT count(*) FROM graftcat.nn.t WHERE tag IS NULL")
+      .collect()(0).getLong(0) == 3L)
   }
 
   test("ALTER TABLE rejects what immutable data files cannot express") {
