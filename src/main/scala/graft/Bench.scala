@@ -382,12 +382,27 @@ object Bench {
             f"""{"q":"${r.name}","section":"$label","ratio":${r.bg / r.bp}%.2f,"remeasured":-1,"skipped":"audit deadline"}"""
           (json, r)
         } else {
-          val g = Array.fill(3)(0.0); val p = Array.fill(3)(0.0)
-          var i = 0
-          while (i < 3) {
-            if (i % 2 == 0) { g(i) = timed("graft", r.name, dir); p(i) = timed("parquet", r.name, dir) }
-            else { p(i) = timed("parquet", r.name, dir); g(i) = timed("graft", r.name, dir) }
-            i += 1
+          def runPairs(n: Int): (Array[Double], Array[Double]) = {
+            val g = Array.fill(n)(0.0); val p = Array.fill(n)(0.0)
+            var i = 0
+            while (i < n) {
+              if (i % 2 == 0) { g(i) = timed("graft", r.name, dir); p(i) = timed("parquet", r.name, dir) }
+              else { p(i) = timed("parquet", r.name, dir); g(i) = timed("graft", r.name, dir) }
+              i += 1
+            }
+            (g, p)
+          }
+          var (g, p) = runPairs(3)
+          // the audit itself can land inside a CPU-steal window — signature:
+          // BOTH formats' remeasured mins far above their standing mins. One
+          // retry round (deadline permitting) so the fold has clean runs to
+          // work with; without it a one-sided lucky standing min survives
+          // (closing-run r12: d_decontamination stood at 1.46x off a lucky
+          // parquet 1.97s while the contaminated audit measured 2.9/2.9)
+          if (g.min > 1.5 * r.bg && p.min > 1.5 * r.bp &&
+              System.nanoTime() < deadlineNanos) {
+            val (g2, p2) = runPairs(3)
+            g = g ++ g2; p = p ++ p2
           }
           val rm = if (p.min > 0) g.min / p.min else -1.0
           val json =
