@@ -1267,6 +1267,70 @@ object TrainingData {
         .orderBy(col("bucket").desc)
     },
 
+    "t_pipeline_e2e" -> { (s, dir) =>
+      // COMPOSED end-to-end training-data pipeline — the stages a corpus
+      // actually runs, chained in one plan, with a per-source funnel
+      // report: (1) exact dedup FIRST (min-id canonical per text hash —
+      // run before any per-doc compute is spent on copies), (2) quality
+      // gate (the integer-milli score of t_quality_yield, cutoff 400),
+      // (3) language gate (t_language_id's heuristic must agree with the
+      // label), (4) eval-leakage removal (d_decontamination's 4-gram
+      // containment against the held-out doc_id % 97 slice). Scale shape
+      // is the union of its parts: the dedup is one window over the
+      // text-hash shuffle, one corpus scan computes the quality/lang
+      // flags, and decontamination stays the distinct-reduced asymmetric
+      // hash join. Every stage is integer/string-exact, so the whole
+      // funnel is hash-checked against DuckDB — proving the ops COMPOSE,
+      // not just pass in isolation.
+      val scoreMilli =
+        """400L * least(length(text), 500) div 500
+           + 300L * size(filter(w, x -> x IN ('the','a'))) div size(w)
+           + 300L * (length(text) - size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))) div length(text)"""
+      val base = docs(s, dir).filter(col("doc_id") % 97 =!= 0)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("score_milli", expr(scoreMilli))
+        .withColumn("s_en", expr("size(filter(w, x -> x IN ('the','a','fast','slow')))"))
+        .withColumn("s_de", expr("size(filter(w, x -> x IN ('join','hash','merge','batch')))"))
+        .withColumn("s_es", expr("size(filter(w, x -> x IN ('data','table','row','scan')))"))
+        .withColumn("s_fr", expr("size(filter(w, x -> x IN ('filter','order','column','small')))"))
+        .withColumn("s_zh", expr("size(filter(w, x -> x IN ('customer','query','value','part')))"))
+        .withColumn("predicted", expr(
+          """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END"""))
+      val keep1 = base
+        .select(col("doc_id"), md5(col("text")).as("th"))
+        .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("th"))))
+        .filter(col("doc_id") === col("mn"))
+        .select(col("doc_id"), lit(1L).as("is1"))
+      val grams = docs(s, dir).withColumn("w", split(col("text"), " "))
+        .withColumn("g", explode(expr(
+          """CASE WHEN size(w) >= 4
+               THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
+               ELSE array() END""")))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
+      val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(evalG, Seq("gh")).select(col("doc_id")).distinct()
+        .withColumn("is_cont", lit(1L))
+      base.join(keep1, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .withColumn("q1", col("is1").isNotNull)
+        .withColumn("q2", col("q1") && col("score_milli") >= 400)
+        .withColumn("q3", col("q2") && col("predicted") === col("lang"))
+        .withColumn("q4", col("q3") && col("is_cont").isNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_input"),
+          sum(col("q1").cast("long")).as("n_dedup"),
+          sum(col("q2").cast("long")).as("n_quality"),
+          sum(col("q3").cast("long")).as("n_lang"),
+          sum(col("q4").cast("long")).as("n_kept"),
+          sum(when(col("q4"), size(col("w")).cast("long")).otherwise(0L)).as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+
     "t_freq_sketch" -> { (s, dir) =>
       // Count-min sketch heavy hitters: d=3 hash rows x w=512 buckets of
       // token-count sums, probed for the top-10 exact tokens, reported
@@ -3496,6 +3560,59 @@ object TrainingData {
         |UNION ALL SELECT 2, p, replace(p, ' ', ''), weight FROM b1
         |UNION ALL SELECT 3, p, replace(p, ' ', ''), weight FROM b2
         |ORDER BY rank""".stripMargin,
+    "t_pipeline_e2e" ->
+      // mirrors the composed funnel stage for stage: quality milli-score
+      // cutoff, langid agreement, min-id exact dedup among q2 survivors,
+      // 4-gram eval containment — all integer/string-exact
+      """WITH base AS (SELECT doc_id, source, lang, text,
+        |    string_split(text, ' ') AS ws,
+        |    400 * least(length(text), 500) // 500
+        |    + 300 * len(list_filter(string_split(text, ' '), x -> x IN ('the','a')))
+        |        // len(string_split(text, ' '))
+        |    + 300 * (length(text) - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')))
+        |        // length(text) AS score_milli,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('join','hash','merge','batch'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('data','table','row','scan'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('filter','order','column','small'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('customer','query','value','part'))) AS s_zh
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |flags AS (SELECT *,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted
+        |  FROM base),
+        |k1 AS (SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+        |    FROM flags)
+        |  WHERE doc_id = mn),
+        |wall AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+        |         THEN list_transform(generate_series(1, len(ws)-3),
+        |                i -> array_to_string(ws[i:i+3], ' '))
+        |         ELSE [] END AS gs FROM wall),
+        |g AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM g0),
+        |e AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gh)
+        |         WHERE g.doc_id % 97 <> 0)
+        |SELECT f.source, count(*) AS n_input,
+        |  CAST(sum(CASE WHEN k1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+        |  CAST(sum(CASE WHEN k1.doc_id IS NOT NULL AND f.score_milli >= 400
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN k1.doc_id IS NOT NULL AND f.score_milli >= 400
+        |                AND f.predicted = f.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(sum(CASE WHEN k1.doc_id IS NOT NULL AND f.score_milli >= 400
+        |                AND f.predicted = f.lang AND cont.doc_id IS NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN k1.doc_id IS NOT NULL AND f.score_milli >= 400
+        |                AND f.predicted = f.lang AND cont.doc_id IS NULL
+        |                THEN len(f.ws) ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM flags f
+        |LEFT JOIN k1 ON k1.doc_id = f.doc_id
+        |LEFT JOIN cont ON cont.doc_id = f.doc_id
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
     "t_quality_yield" ->
       """WITH sc AS (SELECT
         |  400 * least(length(text), 500) // 500
