@@ -99,6 +99,7 @@ object Bench {
     "s_ann_lsh", "s_ann_ivf", "s_embedding_pq", "s_ann_ivfpq",
     "t_token_stats", "t_fingerprint", "t_lm_score",
     "t_quality_score", "t_language_id", "t_freq_sketch", "t_clean_text",
+    "t_pipeline_e2e",
     "s_embedding_pca", "d_decontam_bloom", "t_token_entropy",
     "q_graph_pagerank", "t_profile_columns", "t_lm_bigram",
     "q_funnel", "q_cohort_retention", "t_domain_cap",
