@@ -1312,7 +1312,10 @@ object TrainingData {
                ELSE array() END""")))
         .select(col("doc_id"), md5(col("g")).as("gh"))
       val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
-      val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+      // distinct-reduce the train side BEFORE the join (the
+      // d_decontamination shape): repeated grams inside one doc must not
+      // multiply the join output
+      val contaminated = grams.filter(col("doc_id") % 97 =!= 0).distinct()
         .join(evalG, Seq("gh")).select(col("doc_id")).distinct()
         .withColumn("is_cont", lit(1L))
       base.join(keep1, Seq("doc_id"), "left")
