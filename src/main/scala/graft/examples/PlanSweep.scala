@@ -11,7 +11,7 @@ object PlanSweep {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
     val qs = Seq("s_ann_ivf", "s_ann_ivfpq", "s_knn_recall_ivfpq",
       "d_ngram_jaccard", "d_dedup_semantic", "d_dedup_semantic2",
-      "q_schema_evolution")
+      "q_schema_evolution", "q_sql_delete", "t_pipeline_e2e")
     qs.foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
