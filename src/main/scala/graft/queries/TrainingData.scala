@@ -156,6 +156,41 @@ object TrainingData {
   private def bcastIfKCross(s: SparkSession, df: DataFrame, k: Long): DataFrame =
     if (k <= semBroadcastMaxK(s)) broadcast(df) else df
 
+  /** Consecutive 4-word shingles of the word-array column `w` — ONE
+    * definition shared by every containment/decontamination pass and the
+    * composed pipeline, so their "same grams" contracts hold by
+    * construction.
+    */
+  private val fourGramsExpr =
+    """CASE WHEN size(w) >= 4
+         THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
+         ELSE array() END"""
+
+  /** Integer milli-point quality score over `text` + word array `w` —
+    * shared by t_quality_yield and the composed pipeline (the pipeline's
+    * quality gate IS the yield curve's score by construction).
+    */
+  private val qualityScoreMilli =
+    """400L * least(length(text), 500) div 500
+       + 300L * size(filter(w, x -> x IN ('the','a'))) div size(w)
+       + 300L * (length(text) - size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))) div length(text)"""
+
+  /** Stopword-score columns + predicted language over word array `w` —
+    * shared by t_language_id and the composed pipeline's language gate.
+    */
+  private def withLangId(df: DataFrame): DataFrame = df
+    .withColumn("s_en", expr("size(filter(w, x -> x IN ('the','a','fast','slow')))"))
+    .withColumn("s_de", expr("size(filter(w, x -> x IN ('join','hash','merge','batch')))"))
+    .withColumn("s_es", expr("size(filter(w, x -> x IN ('data','table','row','scan')))"))
+    .withColumn("s_fr", expr("size(filter(w, x -> x IN ('filter','order','column','small')))"))
+    .withColumn("s_zh", expr("size(filter(w, x -> x IN ('customer','query','value','part')))"))
+    .withColumn("predicted", expr(
+      """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END"""))
+
   private val seedHashExpr =
     """aggregate(sequence(1, 15), cast(0 as bigint),
          (acc, i) -> acc * 16 + (instr('0123456789abcdef',
@@ -553,10 +588,7 @@ object TrainingData {
       // the eval side is tiny — exactly the asymmetric hash join a 100 TB
       // decontam pass runs (eval grams broadcast in practice).
       val d = docs(s, dir).withColumn("w", split(col("text"), " "))
-      val grams = d.withColumn("g", explode(expr(
-        """CASE WHEN size(w) >= 4
-             THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
-             ELSE array() END""")))
+      val grams = d.withColumn("g", explode(expr(fourGramsExpr)))
         .select(col("doc_id"), md5(col("g")).as("gh"))
       val evalG = grams.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("eval_id"), col("gh")).distinct()
@@ -589,10 +621,7 @@ object TrainingData {
       val injected = base.filter(col("doc_id") % 97 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val d = base.unionByName(injected).withColumn("w", split(col("text"), " "))
-      val grams = d.withColumn("g", explode(expr(
-        """CASE WHEN size(w) >= 4
-             THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
-             ELSE array() END""")))
+      val grams = d.withColumn("g", explode(expr(fourGramsExpr)))
         .select(col("doc_id"), md5(col("g")).as("gh"))
       val evalGrams = grams.filter(col("doc_id") % 97 === 0)
         .select(col("gh")).distinct().withColumn("hit", lit(1L))
@@ -623,10 +652,7 @@ object TrainingData {
       // pairwise terms anywhere; at 100 TB this is the same shuffle
       // footprint as segment dedup.
       val d = docs(s, dir).withColumn("w", split(col("text"), " "))
-      val occ = d.withColumn("g", explode(expr(
-        """CASE WHEN size(w) >= 4
-             THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
-             ELSE array() END""")))
+      val occ = d.withColumn("g", explode(expr(fourGramsExpr)))
         .select(col("doc_id"), md5(col("g")).as("gh"))
       val dupGrams = occ.select(col("doc_id"), col("gh")).distinct()
         .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
@@ -1017,19 +1043,7 @@ object TrainingData {
     // ---------------- text analysis ----------------
 
     "t_language_id" -> { (s, dir) =>
-      docs(s, dir)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("s_en", expr("size(filter(w, x -> x IN ('the','a','fast','slow')))"))
-        .withColumn("s_de", expr("size(filter(w, x -> x IN ('join','hash','merge','batch')))"))
-        .withColumn("s_es", expr("size(filter(w, x -> x IN ('data','table','row','scan')))"))
-        .withColumn("s_fr", expr("size(filter(w, x -> x IN ('filter','order','column','small')))"))
-        .withColumn("s_zh", expr("size(filter(w, x -> x IN ('customer','query','value','part')))"))
-        .withColumn("predicted", expr(
-          """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                  WHEN s_fr >= s_zh THEN 'fr'
-                  ELSE 'zh' END"""))
+      withLangId(docs(s, dir).withColumn("w", split(col("text"), " ")))
         .withColumn("agrees", (col("predicted") === col("lang")).cast("int"))
         .select(col("doc_id"), col("lang"), col("s_en"), col("s_de"), col("s_es"),
           col("s_fr"), col("s_zh"), col("predicted"), col("agrees"))
@@ -1248,12 +1262,9 @@ object TrainingData {
       // BEFORE committing to a quality cutoff: "drop everything below
       // bucket b" reads straight off cum_docs/cum_tokens. Two
       // hash-aggs + a 10-row window — corpus-size independent output.
-      val scoreMilli =
-        """400L * least(length(text), 500) div 500
-           + 300L * size(filter(split(text, ' '), x -> x IN ('the','a'))) div size(split(text, ' '))
-           + 300L * (length(text) - size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))) div length(text)"""
       val b = docs(s, dir)
-        .withColumn("score_milli", expr(scoreMilli))
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("score_milli", expr(qualityScoreMilli))
         .withColumn("bucket", expr("score_milli div 100"))
         .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
         .groupBy(col("bucket"))
@@ -1282,34 +1293,21 @@ object TrainingData {
       // hash join. Every stage is integer/string-exact, so the whole
       // funnel is hash-checked against DuckDB — proving the ops COMPOSE,
       // not just pass in isolation.
-      val scoreMilli =
-        """400L * least(length(text), 500) div 500
-           + 300L * size(filter(w, x -> x IN ('the','a'))) div size(w)
-           + 300L * (length(text) - size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))) div length(text)"""
-      val base = docs(s, dir).filter(col("doc_id") % 97 =!= 0)
+      val base = withLangId(docs(s, dir).filter(col("doc_id") % 97 =!= 0)
         .withColumn("w", split(col("text"), " "))
-        .withColumn("score_milli", expr(scoreMilli))
-        .withColumn("s_en", expr("size(filter(w, x -> x IN ('the','a','fast','slow')))"))
-        .withColumn("s_de", expr("size(filter(w, x -> x IN ('join','hash','merge','batch')))"))
-        .withColumn("s_es", expr("size(filter(w, x -> x IN ('data','table','row','scan')))"))
-        .withColumn("s_fr", expr("size(filter(w, x -> x IN ('filter','order','column','small')))"))
-        .withColumn("s_zh", expr("size(filter(w, x -> x IN ('customer','query','value','part')))"))
-        .withColumn("predicted", expr(
-          """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                  WHEN s_fr >= s_zh THEN 'fr'
-                  ELSE 'zh' END"""))
+        .withColumn("score_milli", expr(qualityScoreMilli)))
       val keep1 = base
         .select(col("doc_id"), md5(col("text")).as("th"))
         .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("th"))))
         .filter(col("doc_id") === col("mn"))
         .select(col("doc_id"), lit(1L).as("is1"))
+      // grams feeds two branches UNMATERIALIZED on purpose: the doc_id
+      // filters push below the explode, so the eval branch shingles ~1/97
+      // of the corpus and the train branch the rest — near one total pass,
+      // while caching the full gram stream would cost more than recompute
+      // (the same call made for d_decontamination)
       val grams = docs(s, dir).withColumn("w", split(col("text"), " "))
-        .withColumn("g", explode(expr(
-          """CASE WHEN size(w) >= 4
-               THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
-               ELSE array() END""")))
+        .withColumn("g", explode(expr(fourGramsExpr)))
         .select(col("doc_id"), md5(col("g")).as("gh"))
       val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
       // distinct-reduce the train side BEFORE the join (the
@@ -2300,10 +2298,7 @@ object TrainingData {
                      substr(md5(concat('bf$j:', $g)), i, 1)) - 1 as bigint)),
             cast(0 as bigint), (a, x) -> a * 16 + x), $m)"""
       val d = docs(s, dir).withColumn("w", split(col("text"), " "))
-      val grams = d.withColumn("g", explode(expr(
-        """CASE WHEN size(w) >= 4
-             THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
-             ELSE array() END""")))
+      val grams = d.withColumn("g", explode(expr(fourGramsExpr)))
         .select(col("doc_id"), col("g"))
       val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
       val bloom = evalG
