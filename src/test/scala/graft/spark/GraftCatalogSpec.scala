@@ -197,6 +197,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 7L)), rows.toSeq.toString)
   }
 
+  test("readStream.table streams a catalog table (MICRO_BATCH_READ by name)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.st")
+    spark.sql("CREATE TABLE graftcat.st.ev AS SELECT id, id * 3 AS v FROM range(50)")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table("graftcat.st.ev")
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => out.add(r.getLong(0)))
+      }.option("checkpointLocation", s"/tmp/graft-test/catalog-st-ckpt-${System.nanoTime()}")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(out.size() == 50, s"expected 50 streamed rows, got ${out.size()}")
+      // a later insert arrives as a new micro-batch (directory tailing)
+      spark.sql("INSERT INTO graftcat.st.ev VALUES (100, 300)")
+      q.processAllAvailable()
+      assert(out.size() == 51, s"expected the insert to stream, got ${out.size()}")
+      assert(out.contains(100L))
+    } finally q.stop()
+  }
+
   test("nested nullability tightening in footers is not schema drift") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.nn")
     spark.sql("CREATE TABLE graftcat.nn.t (xs ARRAY<BIGINT>)")
