@@ -217,6 +217,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("writeStream.toTable appends to a catalog table (STREAMING_WRITE by name)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.sw")
+    spark.sql("CREATE TABLE graftcat.sw.sink (v BIGINT)")
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("v").writeStream
+      .option("checkpointLocation", s"/tmp/graft-test/catalog-sw-ckpt-${System.nanoTime()}")
+      .toTable("graftcat.sw.sink")
+    try {
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      in.addData(4L)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT v FROM graftcat.sw.sink ORDER BY v")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 2L, 3L, 4L), got.toString)
+    } finally q.stop()
+  }
+
   test("nested nullability tightening in footers is not schema drift") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.nn")
     spark.sql("CREATE TABLE graftcat.nn.t (xs ARRAY<BIGINT>)")
