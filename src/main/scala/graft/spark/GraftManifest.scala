@@ -49,13 +49,19 @@ object GraftManifest {
   }
 
   /** Sorted names of all published manifests (chronological — the embedded
-    * millis prefix is zero-padded).
+    * millis prefix is zero-padded). Only `<millis>-<suffix>` names qualify:
+    * a stray file in the manifest dir (_SUCCESS, an editor artifact) must
+    * be ignored, not crash every consumer of `nameT` with a parse error.
     */
   def list(fs: FileSystem, tableDir: Path): Seq[String] = {
     val d = dir(tableDir)
     if (!fs.exists(d)) return Seq.empty
     fs.listStatus(d).toSeq.collect {
-      case f if f.isFile && !f.getPath.getName.startsWith(".") => f.getPath.getName
+      case f if f.isFile && {
+        val n = f.getPath.getName
+        !n.startsWith(".") && n.takeWhile(_ != '-').nonEmpty &&
+          n.takeWhile(_ != '-').forall(_.isDigit)
+      } => f.getPath.getName
     }.sorted
   }
 

@@ -33,12 +33,26 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * ignored in this mode (same contract as Spark's FileStreamSink readers).
   */
 final case class GraftStreamOffset(t: Long, names: Seq[String],
-    manifest: Boolean = false) extends Offset {
+    manifest: Boolean = false, latenessMs: Long = -1L) extends Offset {
+  /** membership probes run once per listed file per planning call */
+  @transient lazy val nameSet: Set[String] = names.toSet
   override def json(): String = {
-    val ns = names.sorted.map(f =>
-      "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    def esc(f: String): String = {
+      val sb = new StringBuilder("\"")
+      f.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        // Spark's offset log is line-oriented: a control character in a
+        // file name must never emit a literal newline into the checkpoint
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append("\"").toString
+    }
+    val ns = names.sorted.map(esc).mkString("[", ",", "]")
     val m = if (manifest) "\"m\":1," else ""
-    s"""{$m"t":$t,"names":$ns}"""
+    val l = if (latenessMs >= 0) s"""\"l\":$latenessMs,""" else ""
+    s"""{$m$l"t":$t,"names":$ns}"""
   }
 }
 
@@ -62,7 +76,13 @@ object GraftStreamOffset {
     require(tIdx >= 0 && nIdx >= 0, s"graft: bad stream offset: $s")
     val tVal = t.substring(tIdx + 4, t.indexOf(',', tIdx)).trim.toLong
     val arr = t.substring(t.indexOf('[', nIdx), t.lastIndexOf(']') + 1)
-    GraftStreamOffset(tVal, parseArray(arr), manifest = t.contains("\"m\":1"))
+    val lIdx = t.indexOf("\"l\":")
+    // offsets written before the window size was persisted carry no "l";
+    // their coverage falls back to the live conf (pre-existing behavior)
+    val lat = if (lIdx < 0) -1L
+      else t.substring(lIdx + 4, t.indexOf(',', lIdx)).trim.toLong
+    GraftStreamOffset(tVal, parseArray(arr), manifest = t.contains("\"m\":1"),
+      latenessMs = lat)
   }
 
   private def parseArray(arr: String): Seq[String] = {
@@ -71,11 +91,20 @@ object GraftStreamOffset {
     val sb = new StringBuilder
     var inStr = false
     var esc = false
-    inner.foreach { c =>
-      if (esc) { sb.append(c); esc = false }
+    var i = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (esc) {
+        if (c == 'u' && i + 4 < inner.length) {
+          sb.append(Integer.parseInt(inner.substring(i + 1, i + 5), 16).toChar)
+          i += 4
+        } else sb.append(c)
+        esc = false
+      }
       else if (c == '\\') esc = true
       else if (c == '"') { if (inStr) { files += sb.toString; sb.clear() }; inStr = !inStr }
       else if (inStr) sb.append(c)
+      i += 1
     }
     files.toSeq
   }
@@ -120,15 +149,22 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     GraftUtil.listDataFiles(path, conf.value)
       .map(f => (f.getPath.toString, f.getModificationTime, f.getLen))
 
-  /** Is (name, modTime) included by `off`? Older than the lateness window =
-    * implicitly covered; inside the window only if listed by name.
+  /** Is (name, modTime) included by the offset `off`? Older than the
+    * offset's lateness window = implicitly covered; inside the window only
+    * if listed by name. The window size is the one PERSISTED in the offset
+    * (falling back to the live conf for pre-persistence checkpoints):
+    * evaluating an old offset under a resized conf window would silently
+    * redeliver (window raised) or drop (window lowered) the files between
+    * the two window starts.
     */
-  private def covered(t: Long, names: Set[String], name: String, modTime: Long): Boolean = {
+  private def covered(off: GraftStreamOffset, name: String, modTime: Long): Boolean = {
+    val t = off.t
     if (t == Long.MinValue) return false
+    val w = if (off.latenessMs >= 0) off.latenessMs else lateness
     // overflow-safe window start; legacy offsets (t = LegacyT) degrade to
     // pure name membership
-    val windowStart = if (t < Long.MinValue + lateness) Long.MinValue else t - lateness
-    modTime < windowStart || names.contains(name)
+    val windowStart = if (t < Long.MinValue + w) Long.MinValue else t - w
+    modTime < windowStart || off.nameSet.contains(name)
   }
 
   /** `startingposition=latest` starts a FRESH checkpoint at the current
@@ -141,14 +177,20 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     if (startLatest) latestOffset() else GraftStreamOffset.Empty
 
   override def latestOffset(): Offset = {
-    if (manifestMode) {
-      val names = GraftManifest.list(fs, tableDir)
-      if (names.isEmpty) GraftStreamOffset.Empty
+    // one manifest listing serves BOTH auto-detection (only until a mode is
+    // pinned) and the manifest-mode capture — no double directory walk
+    val pre = manifestOpt.orElse(stickyMode)
+    val manifestNames =
+      if (pre.contains(false)) Seq.empty
+      else GraftManifest.list(fs, tableDir)
+    val mm = pre.getOrElse(manifestNames.nonEmpty)
+    if (mm) {
+      if (manifestNames.isEmpty) GraftStreamOffset.Empty
       else {
-        val maxT = names.map(GraftManifest.nameT).max
+        val maxT = manifestNames.map(GraftManifest.nameT).max
         val off = GraftStreamOffset(maxT,
-          names.filter(n => GraftManifest.nameT(n) >= maxT - lateness),
-          manifest = true)
+          manifestNames.filter(n => GraftManifest.nameT(n) >= maxT - lateness),
+          manifest = true, latenessMs = lateness)
         pinMode(off)
         off
       }
@@ -158,7 +200,8 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
       else {
         val maxT = files.map(_._2).max
         val off = GraftStreamOffset(maxT,
-          files.collect { case (n, mt, _) if mt >= maxT - lateness => n }.sorted)
+          files.collect { case (n, mt, _) if mt >= maxT - lateness => n }.sorted,
+          latenessMs = lateness)
         pinMode(off)
         off
       }
@@ -167,6 +210,16 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
 
   override def deserializeOffset(json: String): Offset = {
     val off = GraftStreamOffset.fromJson(json)
+    // reject the unexpressible downgrade HERE, before any new offset is
+    // captured and WAL-logged: failing later (in planInputPartitions) would
+    // leave a mixed-mode offset pair in the log that even removing the
+    // option cannot recover from
+    if (off.manifest && manifestOpt.contains(false))
+      throw new IllegalStateException(
+        "graft: stream checkpoint was written with manifest offsets; " +
+          "manifest=false cannot express its progress (files older than the " +
+          "lateness window would be redelivered). Remove the option or keep " +
+          "manifest=true.")
     pinMode(off) // a restored checkpoint pins the mode before any capture
     off
   }
@@ -202,16 +255,22 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
   }
 
   private def cappedLatest(s: GraftStreamOffset, n: Int): Offset = {
-    val sNames = s.names.toSet
+    val mm = manifestMode
     // (name, timestamp) universe: manifests in manifest mode, else files
     val universe: Seq[(String, Long)] =
-      if (manifestMode) GraftManifest.list(fs, tableDir).map(m => (m, GraftManifest.nameT(m)))
+      if (mm) GraftManifest.list(fs, tableDir).map(m => (m, GraftManifest.nameT(m)))
       else listNow().map { case (name, mt, _) => (name, mt) }
     if (universe.isEmpty) return s
+    // an explicit manifest upgrade hands this a modTime-mode start: its
+    // (file-path, file-modTime) coverage is meaningless against MANIFEST
+    // names/times, so no manifest counts as covered — the cap then bounds
+    // the upgrade batch too (planInputPartitions dedups at file level)
+    val startCovers = s.manifest || !mm
     // timestamp-major order is the invariant: admitting a PREFIX of this
     // ordering guarantees every unadmitted entry's timestamp is >= the new
     // watermark, so it stays visibly uncovered for the next batch
-    val uncovered = universe.filterNot { case (name, t) => covered(s.t, sNames, name, t) }
+    val uncovered = universe.filterNot { case (name, t) =>
+        startCovers && covered(s, name, t) }
       .sortBy { case (name, t) => (t, name) }
     if (uncovered.isEmpty) return s
     val admitted = uncovered.take(math.max(n, 1))
@@ -219,10 +278,11 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     // new covered set = covered-by-start ∪ admitted; the offset lists every
     // covered name still inside the new lateness window
     val windowNames =
-      (universe.filter { case (name, t) => covered(s.t, sNames, name, t) } ++ admitted)
+      (universe.filter { case (name, t) => startCovers && covered(s, name, t) } ++ admitted)
         .collect { case (name, t) if t >= tFinal - lateness => name }
         .distinct.sorted
-    val off = GraftStreamOffset(tFinal, windowNames, manifest = manifestMode)
+    val off = GraftStreamOffset(tFinal, windowNames, manifest = mm,
+      latenessMs = lateness)
     pinMode(off)
     off
   }
@@ -238,8 +298,6 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
           "manifest=false cannot express its progress (files older than the " +
           "lateness window would be redelivered). Remove the option or keep " +
           "manifest=true.")
-    val sNames = s.names.toSet
-    val eNames = e.names.toSet
     if (e.manifest) {
       // batch = data files of every manifest covered by `end` but not by
       // `start`; each file belongs to exactly one manifest, so exactly-once
@@ -247,38 +305,60 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
       // checkpoint upgrade) can't cover manifests — its coverage is applied
       // per FILE below, against the data files' own modTimes.
       val upgrade = !s.manifest && s != GraftStreamOffset.Empty
+      val firstBatch = s == GraftStreamOffset.Empty || upgrade
       val manifests = GraftManifest.list(fs, tableDir)
-      val endManifests = manifests.filter(n => covered(e.t, eNames, n, GraftManifest.nameT(n)))
+      // ONE read per manifest even on the first batch, where the same
+      // entries feed both the batch contents and the backfill exclusion set
+      lazy val entriesByManifest: Map[String, Seq[(String, Long)]] =
+        manifests.map(n => n -> GraftManifest.read(fs, tableDir, n)).toMap
+      def readM(n: String): Seq[(String, Long)] =
+        if (firstBatch) entriesByManifest(n) else GraftManifest.read(fs, tableDir, n)
+      val endManifests = manifests.filter(n => covered(e, n, GraftManifest.nameT(n)))
       val entries =
         (if (upgrade) endManifests
-         else endManifests.filterNot(n => covered(s.t, sNames, n, GraftManifest.nameT(n))))
-          .flatMap(n => GraftManifest.read(fs, tableDir, n))
+         else endManifests.filterNot(n => covered(s, n, GraftManifest.nameT(n))))
+          .flatMap(readM)
           .map { case (name, len) =>
             (fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString, len)
           }
-      // the first manifest batch backfills files no manifest covers
-      // (history written before the manifest-publishing writer landed) —
-      // batch and stream views of an upgraded table must agree. Later
+      // the directory listing is shared by the backfill and the upgrade
+      // dedup below — at most one walk per planning call
+      lazy val listing = listNow()
+      // the first manifest batch backfills files no manifest covers AND
+      // that predate the FIRST manifest's commit (history written before
+      // the manifest-publishing writer landed) — batch and stream views of
+      // an upgraded table must agree. The time bound is what makes the
+      // backfill race-free: a concurrent writer's files are renamed in
+      // BEFORE their manifest publishes, and without it those in-flight
+      // files would enter this batch as "unmanifested" and then arrive
+      // AGAIN through their manifest's window — a double delivery. It also
+      // makes a crash-replayed first batch deterministic: nothing newer
+      // than the first manifest can join the backfill on re-plan. Later
       // external unmanifested drops remain out of scope (same contract as
       // FileStreamSink readers).
       val backfill =
-        if (s != GraftStreamOffset.Empty && !upgrade) Seq.empty
+        if (!firstBatch) Seq.empty
         else {
           val manifested = manifests
-            .flatMap(n => GraftManifest.read(fs, tableDir, n))
+            .flatMap(entriesByManifest)
             .map { case (name, _) =>
               fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString
             }.toSet
-          listNow().collect { case (n, _, len) if !manifested.contains(n) => (n, len) }
+          val firstT =
+            if (manifests.isEmpty) Long.MaxValue
+            else manifests.map(GraftManifest.nameT).min
+          listing.collect {
+            case (n, mt, len) if !manifested.contains(n) && mt < firstT => (n, len)
+          }
         }
       val all = entries ++ backfill
       // upgrade batch: drop files the modTime checkpoint already processed
       val fresh =
         if (!upgrade) all
         else {
-          val modTimes = listNow().map { case (n, mt, _) => n -> mt }.toMap
+          val modTimes = listing.map { case (n, mt, _) => n -> mt }.toMap
           all.filterNot { case (n, _) =>
-            modTimes.get(n).exists(mt => covered(s.t, sNames, n, mt))
+            modTimes.get(n).exists(mt => covered(s, n, mt))
           }
         }
       fresh
@@ -288,8 +368,8 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
       // batch = files covered by `end` but not by `start` (a file inside
       // end's window that end didn't list waits for the next batch)
       listNow()
-        .filter { case (name, mt, _) => covered(e.t, eNames, name, mt) }
-        .filterNot { case (name, mt, _) => covered(s.t, sNames, name, mt) }
+        .filter { case (name, mt, _) => covered(e, name, mt) }
+        .filterNot { case (name, mt, _) => covered(s, name, mt) }
         .map { case (name, _, len) => GraftInputPartition(name, len): InputPartition }
         .toArray
     }

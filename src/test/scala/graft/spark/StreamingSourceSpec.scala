@@ -323,6 +323,84 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(legacy.names == Seq("/a/b.graft", "/a/c.graft"))
   }
 
+  test("stray files in the manifest dir are ignored, not a crash loop") {
+    val dir = "/tmp/graft-test/stream-stray-manifest"
+    spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    val mdir = GraftManifest.dir(new org.apache.hadoop.fs.Path(dir))
+    Seq("_SUCCESS", "README", "notes-editor").foreach { n =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(mdir, n), true)
+      try out.write("junk".getBytes("UTF-8")) finally out.close()
+    }
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(o1.manifest, "real manifests must still be detected around the junk")
+    assert(o1.names.forall(n => n.takeWhile(_ != '-').forall(_.isDigit)))
+    val b1 = ms.planInputPartitions(GraftStreamOffset.Empty, o1)
+    assert(b1.nonEmpty)
+  }
+
+  test("offset json survives control-character names and persists the window") {
+    val off = GraftStreamOffset(1234567L, Seq("a\nb.graft", "plain.graft"),
+      manifest = true, latenessMs = 60000L)
+    val j = off.json()
+    assert(!j.contains('\n'), s"offset json must stay single-line: $j")
+    val back = GraftStreamOffset.fromJson(j)
+    assert(back == off, s"round-trip mismatch: $back vs $off")
+    // pre-persistence checkpoints (no "l") keep working
+    val legacy = GraftStreamOffset.fromJson("""{"t":99,"names":["x.graft"]}""")
+    assert(legacy.t == 99L && legacy.latenessMs == -1L)
+  }
+
+  test("in-flight files newer than the first manifest stay out of the backfill") {
+    val dir = "/tmp/graft-test/stream-inflight"
+    spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    // simulate a concurrent writer mid-commit: its data file is renamed in
+    // (modTime NOW, newer than every manifest) but its manifest has not
+    // published yet
+    val src = GraftUtil.listDataFiles(dir, hconf).head.getPath
+    val inflight = new org.apache.hadoop.fs.Path(dir, "part-inflight-copy.graft")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, inflight, false, hconf)
+    val inflightLen = fs.getFileStatus(inflight).getLen
+
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val b1 = ms.planInputPartitions(GraftStreamOffset.Empty, o1)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    assert(!b1.exists(_.contains("part-inflight-copy")),
+      "a mid-commit file must NOT backfill — its manifest will deliver it")
+    // the writer's commit lands: the file arrives through its manifest once
+    GraftManifest.publish(fs, new org.apache.hadoop.fs.Path(dir),
+      Seq((inflight.getName, inflightLen)))
+    val o2 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val b2 = ms.planInputPartitions(o1, o2)
+      .map(_.asInstanceOf[GraftInputPartition].filePath)
+    assert(b2.count(_.contains("part-inflight-copy")) == 1,
+      s"the committed file must arrive exactly once, got: ${b2.toSeq}")
+  }
+
+  test("manifest=false against a manifest checkpoint fails at offset restore") {
+    val dir = "/tmp/graft-test/stream-downgrade"
+    spark.range(5).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val manifestOffset = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(manifestOffset.manifest)
+    val msPlain = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson,
+      manifestOpt = Some(false))
+    // the rejection must fire at RESTORE time, before any new offset could
+    // be captured and WAL-logged into an unrecoverable mixed-mode pair
+    val e = intercept[IllegalStateException](
+      msPlain.deserializeOffset(manifestOffset.json()))
+    assert(e.getMessage.contains("manifest=false"))
+  }
+
   test("s_stream_sliding: every event lands in exactly size/slide = 2 windows") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
