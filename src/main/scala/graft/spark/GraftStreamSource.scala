@@ -31,6 +31,13 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * to absorb the visibility skew of one tiny manifest rename. Unmanifested
   * files dropped into a manifest-bearing directory by external means are
   * ignored in this mode (same contract as Spark's FileStreamSink readers).
+  *
+  * Known limitation: the one-time PRE-MANIFEST backfill (history predating
+  * the first manifest) is delivered whole in the first batch and is not
+  * subject to `maxfilespertrigger` — the cap governs manifest admission.
+  * A table with a very deep pre-manifest history should either start at
+  * `startingposition=latest` or be upgraded via one manifest-covered
+  * rewrite (compact) before streaming from earliest.
   */
 final case class GraftStreamOffset(t: Long, names: Seq[String],
     manifest: Boolean = false, latenessMs: Long = -1L) extends Offset {
