@@ -64,7 +64,11 @@ object GraftWriteOptions {
       WriteOptions(
         defaultCodec = if (Codec.isCommon(codec)) codec else Codec.Lz4,
         compressRatio = Option(o.get("compressratio")).map(_.toDouble).getOrElse(1.2),
-        pageSize = Option(o.get("pagesize")).map(_.toInt).getOrElse(8192),
+        pageSize = Option(o.get("pagesize")).map { v =>
+          val n = v.toInt
+          require(n > 0, s"graft: pagesize must be positive, got $n")
+          n
+        }.getOrElse(8192),
         forcedCodec = if (forced.isDefined) forced else if (!Codec.isCommon(codec)) Some(codec) else None,
         forcedFamily = families,
         adaptive = Option(o.get("adaptive")).map(_.toBoolean).getOrElse(true),
@@ -82,7 +86,11 @@ object GraftWriteOptions {
           require(k >= 16 && k <= 4096, s"graft: ndvk must be in [16, 4096], got $k")
           k
         }.getOrElse(256)),
-      maxRowsPerFile = Option(o.get("maxrowsperfile")).map(_.toInt).getOrElse(1 << 20),
+      maxRowsPerFile = Option(o.get("maxrowsperfile")).map { v =>
+        val n = v.toInt
+        require(n > 0, s"graft: maxrowsperfile must be positive, got $n")
+        n
+      }.getOrElse(1 << 20),
       partitionBy = Option(o.get("partitionby")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty),
       sortBy = Option(o.get("sortby")).map(_.split(",").map(_.trim).toSeq)
@@ -128,8 +136,21 @@ final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOpt
     doTruncate: Boolean, conf: SerializableHadoopConf, queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
 
-  // validate bloomfilter paths at PLAN time on the driver: a typo'd path
-  // must fail before the job launches, not as N retried task failures
+  // validate partitionby / bloomfilter at PLAN time on the driver: a
+  // typo'd column must fail before the job launches, not as N retried
+  // task failures
+  opts.partitionBy.foreach { c =>
+    require(schema.fieldNames.contains(c),
+      s"graft: partitionby column '$c' is not in the write schema")
+    schema(c).dataType match {
+      case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"graft: partitionby column '$c' has unsupported type $dt " +
+          "(boolean/integral/string only)")
+    }
+  }
   opts.bloomFilter.foreach { p =>
     require(GraftSchema.leafIndexOfPath(schema, p).isDefined,
       s"graft: bloomfilter path '$p' does not resolve to an atomic leaf " +
@@ -228,6 +249,14 @@ final class GraftStreamingWrite(schema: StructType, path: String, opts: GraftWri
           !dstSet.contains(fs.makeQualified(p).toString))
         .foreach(fs.delete(_, false))
     }
+    // clear the sort marker BEFORE any epoch file becomes visible (and only
+    // when this epoch adds files): streaming appends are unsorted, and a
+    // crash after the renames but before a late clear would leave a stale
+    // whole-table sort guarantee over unsorted visible files — downstream
+    // sort elimination would then return wrong results. The replayed-epoch
+    // early return above needs no clear: its manifest can only exist if a
+    // previous attempt got past this line.
+    if (files.nonEmpty) GraftSortMarker.clear(fs, tableDir)
     files.foreach { case (tmp, dst, _) =>
       val dstP = new Path(dst)
       if (replay && fs.exists(dstP)) fs.delete(dstP, false)
@@ -241,9 +270,6 @@ final class GraftStreamingWrite(schema: StructType, path: String, opts: GraftWri
       (rel, len)
     }
     GraftManifest.publish(fs, tableDir, added, tag = Some(tag))
-    // streaming epochs append unsorted files: any whole-table sort
-    // guarantee is gone the moment the first epoch lands
-    GraftSortMarker.clear(fs, tableDir)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -264,11 +290,17 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
     // sweep staging leftovers of previously crashed jobs (their task aborts
-    // never ran), including inside partition subdirs; fresh stages use new
-    // uuids so this cannot race this job
+    // never ran), including inside partition subdirs. AGE-GATED: another
+    // job (a concurrent batch append, an in-flight streaming epoch) may be
+    // staging tmps under this table RIGHT NOW, and deleting them would fail
+    // its commit — only tmps old enough that their job must be dead are
+    // swept; vacuum handles the rest on the operator's schedule.
+    val sweepAge = conf.value.getLong("graft.write.tmpsweep.age.ms", 24L * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - sweepAge
     def sweep(d: Path): Unit = fs.listStatus(d).foreach { f =>
       val n = f.getPath.getName
-      if (f.isFile && n.endsWith(".tmp") && n.contains(GraftUtil.Extension))
+      if (f.isFile && n.endsWith(".tmp") && n.contains(GraftUtil.Extension) &&
+          f.getModificationTime < cutoff)
         fs.delete(f.getPath, false)
       else if (f.isDirectory && n.contains('='))
         sweep(f.getPath)
@@ -287,8 +319,36 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val tableDir = new Path(path)
     val fs = tableDir.getFileSystem(conf.value)
-    val oldFiles =
-      if (doTruncate) GraftUtil.listDataFiles(path, conf.value).map(_.getPath) else Seq.empty
+    val preExisting = GraftUtil.listDataFiles(path, conf.value)
+    val oldFiles = if (doTruncate) preExisting.map(_.getPath) else Seq.empty
+    // manifest entries are table-relative so partition subdir files resolve
+    val baseStr = tableDir.toString
+    val added = messages.toSeq.flatMap {
+      case GraftCommitMessage(files, _) =>
+        files.map { case (_, dst, len) =>
+          val rel =
+            if (dst.startsWith(baseStr + "/")) dst.substring(baseStr.length + 1)
+            else new Path(dst).getName
+          (rel, len)
+        }
+      case _ => Seq.empty
+    }
+    // sort marker: this commit's files are task-sorted on the effective
+    // sort (requiredOrdering is ENFORCED by Spark for v2 writes — sortby,
+    // else the cluster keys). The whole-table guarantee holds when the
+    // table is exactly this commit (truncate, or it was empty before) or
+    // every pre-existing file carried the identical marker; anything else
+    // must CLEAR — and the clear happens BEFORE the renames make this
+    // commit's files visible, so no crash window can leave a stale
+    // whole-table guarantee over unsorted visible files (downstream sort
+    // elimination returning wrong results). A zero-file commit leaves the
+    // marker untouched: nothing changed.
+    val effectiveSort = if (opts.sortBy.nonEmpty) opts.sortBy else opts.clusterBy
+    val prior = GraftSortMarker.read(fs, tableDir)
+    val wholeTable = doTruncate || preExisting.isEmpty
+    val staysSorted =
+      effectiveSort.nonEmpty && (wholeTable || prior.contains(effectiveSort))
+    if (added.nonEmpty && !staysSorted) GraftSortMarker.clear(fs, tableDir)
     messages.foreach {
       case GraftCommitMessage(files, _) =>
         files.foreach { case (tmp, dst, _) =>
@@ -302,38 +362,13 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     // old+new data plus an accurate manifest of the new files. A truncating
     // overwrite also resets the manifest history: stale manifests would
     // reference the files deleted below.
-    // manifest entries are table-relative so partition subdir files resolve
-    val baseStr = tableDir.toString
-    val added = messages.toSeq.flatMap {
-      case GraftCommitMessage(files, _) =>
-        files.map { case (_, dst, len) =>
-          val rel =
-            if (dst.startsWith(baseStr + "/")) dst.substring(baseStr.length + 1)
-            else new Path(dst).getName
-          (rel, len)
-        }
-      case _ => Seq.empty
-    }
     val oldManifests =
       if (doTruncate) GraftManifest.list(fs, tableDir) else Seq.empty
     GraftManifest.publish(fs, tableDir, added)
     oldManifests.foreach(n => fs.delete(new Path(GraftManifest.dir(tableDir), n), false))
     oldFiles.foreach(fs.delete(_, false))
-    // sort marker: this commit's files are task-sorted on the effective
-    // sort (requiredOrdering is ENFORCED by Spark for v2 writes — sortby,
-    // else the cluster keys). The whole-table guarantee holds when the
-    // table is exactly this commit (truncate, or nothing else listed) or
-    // every pre-existing file carried the identical marker; anything else
-    // clears it — an unsorted append silently invalidating downstream
-    // sort elimination would be a correctness bug, so the marker is
-    // conservative by construction.
-    val effectiveSort = if (opts.sortBy.nonEmpty) opts.sortBy else opts.clusterBy
-    val prior = GraftSortMarker.read(fs, tableDir)
-    val wholeTable = doTruncate ||
-      GraftUtil.listDataFiles(path, conf.value).size == added.size
-    if (effectiveSort.nonEmpty && (wholeTable || prior.contains(effectiveSort)))
+    if (added.nonEmpty && staysSorted)
       GraftSortMarker.publish(fs, tableDir, effectiveSort)
-    else GraftSortMarker.clear(fs, tableDir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -431,21 +466,29 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     }.mkString("/")
 
   /** Buffered rows + rolling state for one output directory. */
-  private final class PartState(val relDir: String) {
+  private final class PartState(val relDir: String, seq0: Int = 0) {
     val appenders: Array[FieldAppender] =
       schema.fields.map(f => FieldAppender(f.dataType, f.nullable))
     var rowsInFile = 0
-    var fileSeq = 0
+    var fileSeq = seq0
   }
 
   private val parts = scala.collection.mutable.LinkedHashMap[String, PartState]()
+  // rolled-file sequence numbers survive state eviction (names must stay
+  // unique per (task, dir) across the saturation flushes below)
+  private val fileSeqs = scala.collection.mutable.HashMap[String, Int]()
   private var totalRows = 0L
   private var buffered = 0L // rows held across ALL partition states
   private val committed = ArrayBuffer[(Path, Path, Long)]() // (tmp, final, bytes)
+  // every tmp ever created — abort() must also reap a file whose write
+  // failed MIDWAY (created on disk, never reached `committed`); on a
+  // streaming-only table no later batch sweep would ever clean it up
+  private val staged = ArrayBuffer[Path]()
 
   override def write(row: InternalRow): Unit = {
     val key = if (partIdx.isEmpty) "" else partitionDirOf(row)
-    val st = parts.getOrElseUpdate(key, new PartState(key))
+    val st = parts.getOrElseUpdate(key,
+      new PartState(key, fileSeqs.getOrElse(key, 0)))
     var i = 0
     while (i < st.appenders.length) { st.appenders(i).appendFrom(row, i); i += 1 }
     st.rowsInFile += 1
@@ -453,11 +496,17 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     if (st.rowsInFile >= opts.maxRowsPerFile) rollFile(st)
     // high-cardinality partition keys must not accumulate one full buffer
     // per key: when the AGGREGATE buffered row count reaches one file's
-    // worth, flush the largest state (produces smaller files instead of
-    // OOMing the executor — the pre-repartition-by-key layout stays the
-    // caller's lever for big files)
-    else if (buffered >= opts.maxRowsPerFile)
-      rollFile(parts.values.maxBy(_.rowsInFile))
+    // worth, flush EVERY state and evict them — one O(#states) pass per
+    // saturation (not a per-row maxBy scan), and eviction actually frees
+    // the per-key builders, whose backing arrays survive clear() and would
+    // otherwise pin memory for every key the task ever saw. The hot
+    // single-partition path keeps its state (and buffer capacity) across
+    // rolls — eviction only happens under key-cardinality pressure.
+    else if (buffered >= opts.maxRowsPerFile) {
+      parts.values.foreach(rollFile)
+      parts.foreach { case (k, ps) => fileSeqs(k) = ps.fileSeq }
+      parts.clear()
+    }
   }
 
   private def rollFile(st: PartState): Unit = {
@@ -471,6 +520,7 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
     // other's staged file or have abort() delete the survivor's tmp. The
     // driver-side commit rename resolves which attempt's file wins.
     val tmp = new Path(outDir, s".$name.a$taskId.tmp")
+    staged += tmp
     val counting = new CountingOutputStream(fs.create(tmp, true))
     val out = new java.io.BufferedOutputStream(counting, 1 << 16)
     try {
@@ -495,7 +545,7 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
   }
 
   override def abort(): Unit =
-    committed.foreach { case (tmp, _, _) => fs.delete(tmp, false) }
+    staged.foreach(fs.delete(_, false))
 
   override def close(): Unit = ()
 }
