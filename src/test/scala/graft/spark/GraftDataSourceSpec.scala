@@ -565,6 +565,48 @@ class GraftDataSourceSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/region.parquet").count())
   }
 
+  test("bad write options fail at plan time, not as retried task failures") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    def rejected(opt: (String, String), needle: String): Unit = {
+      val e = intercept[Exception] {
+        df.write.format("graft").option(opt._1, opt._2)
+          .mode("overwrite").save("/tmp/graft-test/badopts")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(needle)), s"for $opt got: $e")
+    }
+    rejected("partitionby" -> "nope", "not in the write schema")
+    rejected("pagesize" -> "0", "must be positive")
+    rejected("maxrowsperfile" -> "-5", "must be positive")
+    val dfd = Seq((1L, 2.5)).toDF("k", "d")
+    val e = intercept[Exception] {
+      dfd.write.format("graft").option("partitionby", "d")
+        .mode("overwrite").save("/tmp/graft-test/badopts")
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(e).exists(_.contains("unsupported type")))
+  }
+
+  test("high-cardinality partitionby write saturates, evicts, and round-trips") {
+    val dir = "/tmp/graft-test/highcard-part"
+    // 400 distinct keys through a 100-row aggregate buffer on one task:
+    // the saturation flush-all/evict path runs repeatedly; file-name
+    // sequence numbers must survive eviction (no collisions, no data loss)
+    spark.range(2000).selectExpr("id % 400 as k", "id as v")
+      .coalesce(1)
+      .write.format("graft")
+      .option("partitionby", "k").option("maxrowsperfile", "100")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 2000L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) ==
+      (0L until 2000L).sum)
+    assert(back.select("k").distinct().count() == 400L)
+  }
+
   test("input_file_name() resolves over graft scans like parquet") {
     val dir = "/tmp/graft-test/input-file-name"
     spark.range(4000).selectExpr("id AS k")
