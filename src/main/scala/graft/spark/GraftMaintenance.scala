@@ -44,8 +44,7 @@ object GraftMaintenance {
     * lands in, which the snapshot-scoped delete must leave untouched. */
   private[graft] def compactImpl(spark: SparkSession, dir: String, targetFiles: Int,
       extraWriteOptions: Map[String, String], afterRewrite: () => Unit,
-      arrange: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame =
-        (df, n) => df.repartition(n)): CompactStats = {
+      zSort: Option[org.apache.spark.sql.Column] = None): CompactStats = {
     require(targetFiles >= 1, s"graft: targetFiles must be >= 1, got $targetFiles")
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
@@ -61,13 +60,48 @@ object GraftMaintenance {
     val existingLayout = GraftUtil
       .partitionSegments(new org.apache.hadoop.fs.Path(dir), before.head.getPath)
       .map(_._1)
+    // the writer resolves options case-insensitively — the explicit-wins
+    // checks here must too, or an explicit "partitionBy" would be silently
+    // overridden by the derived layout
+    def hasOpt(key: String): Boolean =
+      extraWriteOptions.keys.exists(_.equalsIgnoreCase(key))
     val opts =
-      if (existingLayout.nonEmpty && !extraWriteOptions.contains("partitionby"))
+      if (existingLayout.nonEmpty && !hasOpt("partitionby"))
         extraWriteOptions + ("partitionby" -> existingLayout.mkString(","))
       else extraWriteOptions
+    val effLayout = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("partitionby") =>
+        v.split(",").map(_.trim).toSeq
+    }.getOrElse(Seq.empty)
     val df = spark.read.format("graft").load(dir)
-    val rows = df.count()
-    val writer = arrange(df, targetFiles).write.format("graft").mode("append")
+    // footer-direct count (same trick as deleteWhere) — no Spark job
+    val rows = {
+      val c = GraftScan.rowCount(before, conf)
+      if (c.isPresent) c.getAsLong else df.count()
+    }
+    // a hive-partitioned rewrite must CLUSTER rows by the partition
+    // columns: the writer emits one file per (task, partition value), so
+    // a round-robin repartition would spread every value across every
+    // task — up to targetFiles x #values output files, a "compaction"
+    // that multiplies the file count. Hash-clustering keeps each value in
+    // one task -> one file per value; a z-order sort then applies WITHIN
+    // each value (range-partitioning on z only when there is no layout).
+    import org.apache.spark.sql.functions.col
+    val arranged = (effLayout, zSort) match {
+      case (Seq(), None) => df.repartition(targetFiles)
+      case (Seq(), Some(z)) =>
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(targetFiles, col("__graft_z"))
+          .sortWithinPartitions(col("__graft_z"))
+          .drop("__graft_z")
+      case (pcols, None) => df.repartition(targetFiles, pcols.map(col): _*)
+      case (pcols, Some(z)) =>
+        df.withColumn("__graft_z", z)
+          .repartition(targetFiles, pcols.map(col): _*)
+          .sortWithinPartitions(col("__graft_z"))
+          .drop("__graft_z")
+    }
+    val writer = arranged.write.format("graft").mode("append")
     opts.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
       .save(dir)
     // the rewrite's own output, identified by its COMMIT MANIFEST (a
@@ -99,7 +133,9 @@ object GraftMaintenance {
     val rewriteOnly = after.nonEmpty && rewriteSet.nonEmpty && after.forall(f =>
       rewriteSet.contains(fs.makeQualified(f.getPath).toString)) &&
       after.size == rewriteSet.size
-    opts.get("sortby").map(_.split(",").map(_.trim).toSeq).foreach { cols =>
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase("sortby") =>
+      v.split(",").map(_.trim).toSeq
+    }.foreach { cols =>
       if (rewriteOnly) {
         GraftSortMarker.publish(fs, tableDir, cols)
         // confirm: an append whose commit fully interleaved between the
@@ -237,7 +273,7 @@ object GraftMaintenance {
             clDir, s"$base-del$predHash${GraftUtil.Extension}")
           if (!fs.exists(clPath)) {
             val scratch = new org.apache.hadoop.fs.Path(
-              tableDir, s"_graft_tmp_delete/cl-$base-$predHash")
+              tableDir, s"_graft_tmp_delete/cl/$base-$predHash")
             one.filter(predicate).coalesce(1)
               .write.format("graft").mode("overwrite").save(scratch.toString)
             val produced = GraftUtil.listDataFiles(scratch.toString, conf)
@@ -268,8 +304,11 @@ object GraftMaintenance {
           // file. The all-deleted check reads the produced file's FOOTER
           // instead of running a separate count job first.
           val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
+          // survivor scratch is namespaced apart from the changelog scratch:
+          // a sibling data file literally named "cl-<base>.graft" must not
+          // collide scratch dirs with <base>.graft's changelog pass
           val scratch = new org.apache.hadoop.fs.Path(
-            tableDir, s"_graft_tmp_delete/$base-$predHash")
+            tableDir, s"_graft_tmp_delete/sv/$base-$predHash")
           val w = keep.coalesce(1).write.format("graft").mode("overwrite")
           (if (segs.nonEmpty) w.option("partitionby", segs.mkString(","))
            else w).save(scratch.toString)
@@ -295,8 +334,17 @@ object GraftMaintenance {
     try rewriteTasks.foreach(_.get())
     catch {
       case e: java.util.concurrent.ExecutionException =>
+        // a failed rewrite must not leave ZOMBIE tasks mutating the table
+        // behind the caller's back (racing an immediate re-run on the same
+        // scratch/survivor paths) — cancel the queue and wait out the
+        // stragglers before surfacing the failure
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
         throw Option(e.getCause).getOrElse(e)
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
     val rewritten = rewrittenN.get()
     // best-effort scratch cleanup (a crash mid-write can orphan a dir)
     fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_delete"), true)
@@ -334,17 +382,23 @@ object GraftMaintenance {
     // surviving files keep their history — incremental readers of
     // unrelated appends see no reset. Streams checkpointed over the
     // retired files should restart, as with any rewrite.
-    if (rewritten > 0) {
-      val retired = files.collect {
-        case f if matched.contains(f.getPath.toString) =>
-          fs.makeQualified(f.getPath).toString
-      }.toSet
+    // keyed on what is ACTUALLY MISSING from the table, not this run's
+    // matched set: a crash in a previous run's window (originals retired,
+    // expiry never reached) leaves manifests referencing deleted files that
+    // a matched-set check could never converge — the re-run cannot match
+    // files that no longer exist. Listing-based expiry is self-healing —
+    // and it runs even when THIS pass rewrote nothing, because the crashed
+    // run whose damage it heals may have retired every matching file
+    // already (the re-run then has nothing left to match).
+    locally {
+      val live = GraftUtil.listDataFiles(dir, conf)
+        .map(f => fs.makeQualified(f.getPath).toString).toSet
       manifestSnapshot.foreach { n =>
-        val refsRetired = GraftManifest.read(fs, tableDir, n).exists { case (name, _) =>
-          retired.contains(fs.makeQualified(
+        val refsMissing = GraftManifest.read(fs, tableDir, n).exists { case (name, _) =>
+          !live.contains(fs.makeQualified(
             new org.apache.hadoop.fs.Path(tableDir, name)).toString)
         }
-        if (refsRetired)
+        if (refsMissing)
           fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false)
       }
     }
@@ -437,7 +491,8 @@ object GraftMaintenance {
         val n = f.getPath.getName
         if (f.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
           f.getModificationTime < olderThanMs) { tmps += 1; doom(f) }
-        else if (f.isDirectory && (n.contains('=') || n == GraftManifest.DirName))
+        else if (f.isDirectory && (n.contains('=') || n == GraftManifest.DirName ||
+            n == GraftCdc.ChangesDir))
           sweepTmps(f.getPath)
       }
     sweepTmps(tableDir)
@@ -498,12 +553,18 @@ object GraftMaintenance {
     val src = spark.read.format("graft").load(dir)
     cols.foreach(c => require(src.schema.fieldNames.contains(c),
       s"graft: zorder column '$c' not in table schema"))
+    require(!src.schema.fieldNames.contains("__graft_z"),
+      "graft: the table carries a column named '__graft_z', which zorder " +
+        "uses as its scratch rank column — rename it before re-clustering")
     // per-column bounds in ONE pass; numeric/timestamp columns only
     val bounds = src.agg(
       min(col(cols.head)).cast("double"), max(col(cols.head)).cast("double"),
       min(col(cols(1))).cast("double"), max(col(cols(1))).cast("double"),
       min(col(cols.last)).cast("double"), max(col(cols.last)).cast("double")).head()
     def scaled(i: Int, c: String): org.apache.spark.sql.Column = {
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+        s"graft: zorder column '$c' has no non-null values — its bounds are " +
+          "undefined; drop it from the zorder key set")
       val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
       val range = if (hi > lo) hi - lo else 1.0
       least(lit((1L << bits) - 1), greatest(lit(0L),
@@ -519,10 +580,6 @@ object GraftMaintenance {
         .reduce(_.bitwiseOR(_))
     }
     val z = parts.reduce(_.bitwiseOR(_))
-    compactImpl(spark, dir, targetFiles, Map.empty, () => (),
-      arrange = (df, n) => df.withColumn("__graft_z", z)
-        .repartitionByRange(n, col("__graft_z"))
-        .sortWithinPartitions(col("__graft_z"))
-        .drop("__graft_z"))
+    compactImpl(spark, dir, targetFiles, Map.empty, () => (), zSort = Some(z))
   }
 }
