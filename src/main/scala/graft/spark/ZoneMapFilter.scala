@@ -153,8 +153,10 @@ object ZoneMapFilter {
   }
 
   /** All probes were NaN: only NaN-bearing pages (statsKind 3) can match, so
-    * every NaN-free double page skips. (All-null pages skip via statsKind 2
-    * being recorded for them only when values exist.)
+    * every NaN-free double page skips. All-NULL pages are written with
+    * statsKind 0 (no stats recorded) and are conservatively READ, not
+    * skipped — kind 0 also covers stats-less lanes, so it cannot double as
+    * an all-null signal.
     */
   private final case class OnlyNanMatches(field: String) extends LeafPred {
     def canSkipMeta(pm: PageMeta): Boolean = pm.statsKind == 2
@@ -164,6 +166,14 @@ object ZoneMapFilter {
     // IsNotNull: skip pages where every value is null
     def canSkipMeta(pm: PageMeta): Boolean =
       pm.nullCount >= 0 && pm.numValues > 0 && pm.nullCount == pm.numValues
+  }
+
+  /** `col <=> null`: only rows that ARE null match, so pages recorded with
+    * ZERO nulls skip (nullCount is only trusted when present, >= 0).
+    */
+  private final case class NoNullSkip(field: String) extends LeafPred {
+    def canSkipMeta(pm: PageMeta): Boolean =
+      pm.nullCount == 0 && pm.numValues > 0
   }
 
   /** Not(a = v): skippable only when every non-null value in the page equals
@@ -443,7 +453,17 @@ object ZoneMapFilter {
       case LessThanOrEqual(a, v) => cmpPred(a, v, 4)
       case StringStartsWith(a, v) => cmpPred(a, v, 5)
       case IsNotNull(a) if fieldType(a).isDefined => Some(AllNullSkip(a))
-      case In(a, vs) if vs != null && vs.nonEmpty =>
+      // null-safe equality against a non-null literal selects exactly the
+      // rows plain equality selects — same bounds predicate; <=> null can
+      // only match rows inside pages that HAVE nulls
+      case EqualNullSafe(a, v) if v != null => cmpPred(a, v, 0)
+      case EqualNullSafe(a, null) if fieldType(a).isDefined => Some(NoNullSkip(a))
+      case In(a, vs0) if vs0 != null && vs0.nonEmpty =>
+        // a null probe can never select a row (x IN (null, ...) is null or
+        // true, never true FOR the null element) — drop it rather than
+        // refusing to push the whole set
+        val vs = vs0.filter(_ != null)
+        if (vs.isEmpty) return None
         // ≤64 values: exact per-value membership test against the bounds.
         // Larger sets (typical for runtime join-key filters): collapse to the
         // set's [min, max] envelope — O(1) per page instead of O(|set|),
