@@ -254,6 +254,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             else org.apache.spark.sql.types.Metadata.empty
           sch.add(org.apache.spark.sql.types.StructField(
             colName, add.dataType(), nullable = true, meta))
+        case drop: TableChange.DeleteColumn =>
+          throw new UnsupportedOperationException(
+            s"graft: ALTER TABLE DROP COLUMN '${drop.fieldNames().mkString(".")}' " +
+              "is not supported — data files are immutable, so dropping a column " +
+              "requires rewriting every file. Migrate instead with CREATE TABLE " +
+              "... AS SELECT <kept columns> FROM <table> (then RENAME), or prune " +
+              "at read time: the scan never decodes unprojected columns. Row-level " +
+              "removal is DELETE FROM (GraftMaintenance.deleteWhere), which " +
+              "rewrites only matching files.")
+        case ren: TableChange.RenameColumn =>
+          throw new UnsupportedOperationException(
+            s"graft: ALTER TABLE RENAME COLUMN '${ren.fieldNames().mkString(".")}' " +
+              s"-> '${ren.newName()}' is not supported — column names live in " +
+              "immutable file footers, so a rename requires rewriting every file. " +
+              "Migrate with CREATE TABLE ... AS SELECT <col> AS <newName>, ... " +
+              "FROM <table> (then RENAME TABLE), or alias in the query/view layer.")
         case other =>
           throw new UnsupportedOperationException(
             s"graft: ALTER TABLE change ${other.getClass.getSimpleName} is not " +
@@ -268,8 +284,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val out = fs.create(tmp, true)
     try out.write(updated.json.getBytes("UTF-8")) finally out.close()
     fs.delete(sidecar(dir), false)
-    require(fs.rename(tmp, sidecar(dir)),
+    // a concurrent reader's crash-recovery promotion (sidecarSchema) can
+    // steal this rename out from under us; a rename that "failed" because
+    // the destination already holds THIS alter's exact content is a
+    // success, not an error (mirroring sidecarSchema's own tolerance)
+    val renamed = fs.rename(tmp, sidecar(dir)) || {
+      fs.exists(sidecar(dir)) && {
+        val in = fs.open(sidecar(dir))
+        val now = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        now == updated.json
+      }
+    }
+    require(renamed,
       s"graft: failed to publish the altered schema sidecar for $ident")
+    // failed prior ALTERs leave `.tmp-<uuid>` files behind, and
+    // sidecarTmp's newest-first promotion could resurrect such a
+    // never-committed schema after a later crash window — clear every
+    // leftover once this publish is durable
+    fs.listStatus(dir)
+      .filter(f => f.isFile &&
+        f.getPath.getName.startsWith("._graft_table.json.tmp-"))
+      .foreach(f => fs.delete(f.getPath, false))
     new GraftTable(updated, dir.toString)
   }
 

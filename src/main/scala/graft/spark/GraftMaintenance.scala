@@ -391,15 +391,61 @@ object GraftMaintenance {
     // run whose damage it heals may have retired every matching file
     // already (the re-run then has nothing left to match).
     locally {
-      val live = GraftUtil.listDataFiles(dir, conf)
-        .map(f => fs.makeQualified(f.getPath).toString).toSet
-      manifestSnapshot.foreach { n =>
-        val refsMissing = GraftManifest.read(fs, tableDir, n).exists { case (name, _) =>
-          !live.contains(fs.makeQualified(
-            new org.apache.hadoop.fs.Path(tableDir, name)).toString)
+      val liveFiles = GraftUtil.listDataFiles(dir, conf)
+      val live = liveFiles.map(f => fs.makeQualified(f.getPath).toString).toSet
+      def qualify(name: String): String = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(tableDir, name)).toString
+      val entriesOf = manifestSnapshot
+        .map(n => n -> GraftManifest.read(fs, tableDir, n)).toMap
+      val (expired, surviving) = manifestSnapshot.partition { n =>
+        entriesOf(n).exists { case (name, _) => !live.contains(qualify(name)) }
+      }
+      // Survivor files re-enter the table with FRESH modTimes while the
+      // surviving manifests keep their old commit times, so a fresh
+      // manifest-mode stream's pre-manifest backfill (bounded by the FIRST
+      // manifest's commit time — GraftStreamSource.planInputPartitions)
+      // would deliver neither the retired originals (their manifests expire
+      // below) nor these survivors: silent row loss vs the batch view. Same
+      // for a mid-history expired manifest's UNTOUCHED files — unmanifested
+      // with commit-era modTimes newer than the first surviving manifest.
+      // Publish ONE catch-up manifest adopting exactly those two classes:
+      // (a) delete-rewrite outputs by name pattern (incl. a crashed prior
+      // run's), (b) still-live files an expiring manifest listed. Arbitrary
+      // unmanifested files are NOT adopted — a concurrent writer renames
+      // data in before publishing its manifest, and adopting its in-flight
+      // files would double-deliver them once that manifest lands. Files
+      // older than the first surviving manifest stay unmanifested: they
+      // already read as pre-manifest history, and manifesting them would
+      // redeliver them to checkpoints that processed them via the backfill.
+      // Ordering: catch-up BEFORE expiry — a crash between the two leaves
+      // transient double coverage that the re-run's expiry heals, never a
+      // loss window. With no surviving manifest the directory reverts to
+      // modTime auto-detection, where fresh streams see every file. Gated
+      // on SURVIVING manifests alone (not on expiry happening): retiring a
+      // pre-manifest-history original expires nothing, yet its survivor
+      // still lands above the backfill bound and needs adopting.
+      if (surviving.nonEmpty) {
+        val firstT = surviving.map(GraftManifest.nameT).min
+        val covered = surviving.flatMap(n => entriesOf(n).map(e => qualify(e._1))).toSet
+        val expiredListed = expired.flatMap(n => entriesOf(n).map(e => qualify(e._1))).toSet
+        val survivorName = raw".*-del[0-9a-f]{8}\Q${GraftUtil.Extension}\E".r.pattern
+        val base = fs.makeQualified(tableDir).toString
+        val adopt = liveFiles.filter { f =>
+          val q = fs.makeQualified(f.getPath).toString
+          f.getModificationTime >= firstT && !covered.contains(q) &&
+            (survivorName.matcher(f.getPath.getName).matches() ||
+              expiredListed.contains(q))
         }
-        if (refsMissing)
-          fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false)
+        if (adopt.nonEmpty)
+          GraftManifest.publish(fs, tableDir, adopt.map { f =>
+            val q = fs.makeQualified(f.getPath).toString
+            val rel = if (q.startsWith(base + "/")) q.substring(base.length + 1)
+                      else f.getPath.getName
+            (rel, f.getLen)
+          })
+      }
+      expired.foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false)
       }
     }
     DeleteStats(rewritten, untouched, rowsBefore, rowsAfter)
@@ -491,6 +537,13 @@ object GraftMaintenance {
         val n = f.getPath.getName
         if (f.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
           f.getModificationTime < olderThanMs) { tmps += 1; doom(f) }
+        // crashed-ALTER sidecar tmps (`.tmp-<uuid>` suffix, so the generic
+        // `.tmp` match misses them) — ONLY when a committed sidecar exists:
+        // in the crash window the newest tmp is the table's sole schema
+        // copy, and sidecarSchema promotes it on the next read
+        else if (f.isFile && n.startsWith("._graft_table.json.tmp-") &&
+          f.getModificationTime < olderThanMs &&
+          fs.exists(new Path(d, "_graft_table.json"))) { tmps += 1; doom(f) }
         else if (f.isDirectory && (n.contains('=') || n == GraftManifest.DirName ||
             n == GraftCdc.ChangesDir))
           sweepTmps(f.getPath)

@@ -348,7 +348,13 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     val wholeTable = doTruncate || preExisting.isEmpty
     val staysSorted =
       effectiveSort.nonEmpty && (wholeTable || prior.contains(effectiveSort))
-    if (added.nonEmpty && !staysSorted) GraftSortMarker.clear(fs, tableDir)
+    // a marker with DIFFERENT sort columns must also clear before the
+    // renames even when this commit will re-publish (truncating overwrite
+    // sorted on new columns): a crash between the renames and the final
+    // publish would otherwise leave the old marker standing as a
+    // whole-table guarantee over files sorted on other columns
+    if (added.nonEmpty && (!staysSorted || prior.exists(_ != effectiveSort)))
+      GraftSortMarker.clear(fs, tableDir)
     messages.foreach {
       case GraftCommitMessage(files, _) =>
         files.foreach { case (tmp, dst, _) =>

@@ -265,8 +265,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN b BIGINT NOT NULL", "nullable")
     rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN c BIGINT FIRST", "append")
     rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN id STRING", "already exists")
-    rejected("ALTER TABLE graftcat.evo2.t DROP COLUMN id", "immutable")
-    rejected("ALTER TABLE graftcat.evo2.t RENAME COLUMN id TO id2", "immutable")
+    // DROP/RENAME COLUMN carry dedicated messages naming the migration path
+    // (CTAS rewrite / read-time pruning / deleteWhere), not the generic
+    // catch-all — the guidance text is part of the contract
+    rejected("ALTER TABLE graftcat.evo2.t DROP COLUMN id", "create table")
+    rejected("ALTER TABLE graftcat.evo2.t DROP COLUMN id", "delete from")
+    rejected("ALTER TABLE graftcat.evo2.t RENAME COLUMN id TO id2", "create table")
+    rejected("ALTER TABLE graftcat.evo2.t RENAME COLUMN id TO id2", "alias")
     rejected("ALTER TABLE graftcat.evo2.t ALTER COLUMN id TYPE STRING", "immutable")
+  }
+
+  test("ALTER publish clears leftover sidecar tmps and tolerates a stolen rename") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo3")
+    spark.sql("CREATE TABLE graftcat.evo3.t AS SELECT id FROM range(3)")
+    val dir = new org.apache.hadoop.fs.Path(wh, "evo3/t")
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(hconf)
+    def tmps(): Seq[String] = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("._graft_table.json.tmp-"))
+    // a failed prior ALTER's stale tmp: a bogus never-committed schema that
+    // sidecarTmp's newest-first promotion could resurrect after a crash
+    val stale = new org.apache.hadoop.fs.Path(dir, "._graft_table.json.tmp-deadbeef")
+    val out = fs.create(stale, true)
+    try out.write("""{"type":"struct","fields":[]}""".getBytes("UTF-8"))
+    finally out.close()
+    assert(tmps().nonEmpty)
+    spark.sql("ALTER TABLE graftcat.evo3.t ADD COLUMN note STRING")
+    assert(tmps().isEmpty,
+      "a successful ALTER publish must clear every leftover sidecar tmp")
+    assert(spark.sql("SELECT id, note FROM graftcat.evo3.t").schema.fieldNames
+      .toSeq == Seq("id", "note"))
+    // vacuum sweeps aged `.tmp-<uuid>` leftovers, but only while a committed
+    // sidecar exists (in the crash window the tmp is the sole schema copy)
+    val aged = new org.apache.hadoop.fs.Path(dir, "._graft_table.json.tmp-0ld0ld0l")
+    val out2 = fs.create(aged, true)
+    try out2.write("""{"type":"struct","fields":[]}""".getBytes("UTF-8"))
+    finally out2.close()
+    GraftMaintenance.vacuum(spark, dir.toString,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(tmps().isEmpty, "vacuum must sweep aged sidecar tmps")
   }
 }

@@ -384,6 +384,48 @@ class StreamingSourceSpec extends AnyFunSuite {
       s"the committed file must arrive exactly once, got: ${b2.toSeq}")
   }
 
+  test("deleteWhere survivors and expired-manifest orphans reach a fresh manifest-mode stream") {
+    val dir = "/tmp/graft-test/stream-delete-survivors"
+    val hconf = spark.sessionState.newHadoopConf()
+    // commit 1 (manifest M1): k = 0..9; commit 2 (manifest M2): k = 10..29
+    spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    spark.range(10, 30).selectExpr("id as k").write.format("graft").mode("append").save(dir)
+    val tablePath = new org.apache.hadoop.fs.Path(dir)
+    val fs = tablePath.getFileSystem(hconf)
+    assert(GraftManifest.list(fs, tablePath).size == 2)
+    // deleteWhere rewrites a commit-2 file holding 10..12 into survivor
+    // files with FRESH modTimes and expires M2; commit-2 files untouched by the predicate become unmanifested orphans with commit-2-era modTimes — both
+    // classes sit ABOVE the backfill's first-manifest time bound and were
+    // silently dropped before the catch-up manifest existed
+    GraftMaintenance.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.col("k").between(10, 12))
+    assert(spark.read.format("graft").load(dir).count() == 27)
+    // the catch-up manifest must make the fresh-stream view == the batch
+    // view, file for file
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(o1.manifest, "the table keeps manifest mode after the delete")
+    val planned = ms.planInputPartitions(GraftStreamOffset.Empty, o1)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    val live = GraftUtil.listDataFiles(dir, hconf).map(_.getPath.toString).toSet
+    assert(planned == live,
+      s"fresh stream must deliver every live file; missing: ${live -- planned}")
+    // and exactly once: nothing re-arrives on the next batch
+    val o2 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(ms.planInputPartitions(o1, o2).isEmpty)
+    // end-to-end row check through a real streaming query
+    val got = spark.readStream.format("graft").schema(
+        spark.read.format("graft").load(dir).schema).load(dir)
+      .groupBy().agg(count(lit(1)).as("n"))
+    val q = got.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_del_surv").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_stream_del_surv").head().getLong(0) == 27L)
+    } finally q.stop()
+  }
+
   test("manifest=false against a manifest checkpoint fails at offset restore") {
     val dir = "/tmp/graft-test/stream-downgrade"
     spark.range(5).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
