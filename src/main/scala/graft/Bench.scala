@@ -153,7 +153,10 @@ object Bench {
     }
     // v2: fact tables repartitioned to 32 files (layout change invalidates
     // any staging produced by the v1 single-row-group writer)
-    val amp = s"/tmp/graft_bench_amp_v2/${baseDir.replaceAll("[^a-zA-Z0-9.]+", "_")}_${fp}_x$factor"
+    // v3: embeddings range-clustered + sorted on vec_id — the layout a
+    // vector store would maintain, and what lets the IVF-PQ refine's
+    // runtime tid IN-set prune pages instead of re-scanning the corpus
+    val amp = s"/tmp/graft_bench_amp_v3/${baseDir.replaceAll("[^a-zA-Z0-9.]+", "_")}_${fp}_x$factor"
     val marker = new java.io.File(s"$amp/_AMP_DONE")
     if (marker.exists()) return amp
     new java.io.File(amp).mkdirs()
@@ -196,11 +199,16 @@ object Bench {
       .drop("c"))
 
     val vMax = src("embeddings").agg(max(col("vec_id"))).first().getLong(0) + 1
-    writeFact("embeddings", copies(src("embeddings"))
+    // vec_id-clustered: 32 contiguous ranges, sorted within each — tight
+    // per-page vec_id zone maps for the refine's runtime IN-set (both
+    // formats read this same layout; parquet gets identical row groups)
+    write("embeddings", copies(src("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("c") * vMax)
       .withColumn("embedding", expr(
         "transform(embedding, x -> x + cast(c as float) * cast(1e-4 as float))"))
-      .drop("c"))
+      .drop("c")
+      .repartitionByRange(32, col("vec_id"))
+      .sortWithinPartitions("vec_id"))
     marker.createNewFile()
     amp
   }

@@ -59,6 +59,27 @@ object Tables {
     spark.read.format("graft").load(dir)
   }
 
+  /** Like [[load]], but (graft only) with runtime join-key filtering
+    * enabled on the scan: a broadcast join's key IN-set merges into the
+    * zone-map predicates at execution time, so a bounded candidate set
+    * (e.g. an ANN refine's R·queries ids) reads only the pages covering
+    * it instead of the corpus. Opt-in per scan — the planned pruning
+    * subquery costs more than it saves on unselective joins (see
+    * GraftDataSource.filterAttributes). Parquet mode falls back to the
+    * plain frame: Spark's file source has no data-column runtime
+    * filtering, which is the comparison the bench makes.
+    */
+  def loadRuntimeFiltered(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.spark.GraftExtensions.ensure(spark)
+    val fmt = sys.props.getOrElse("graft.tables.format",
+      sys.env.getOrElse("GRAFT_TABLES_FORMAT", "graft"))
+    if (fmt == "parquet")
+      return parquet(spark, sfDir, name)
+    val dir = s"${strRoot(sfDir)}/$name"
+    ensureConverted(spark, sfDir, name, dir)
+    spark.read.format("graft").option("runtimefilter", "true").load(dir)
+  }
+
   /** Graft directory of a converted table (for streaming reads etc.);
     * ensures the conversion exists first.
     */

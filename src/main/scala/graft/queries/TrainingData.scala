@@ -404,6 +404,25 @@ object TrainingData {
     */
   private val ivfNprobe = 8
 
+  /** Exact-dot rerank of a bounded candidate frame (`pre`: qid, tid — R
+    * rows per query) against raw vectors `tv` (tid, rtv) and query vectors
+    * `qv` (qid, rqv): both small sides broadcast, so the corpus never
+    * shuffles. When `tv` is a runtime-filter-enabled graft scan over a
+    * vec_id-clustered layout, the broadcast tid IN-set reaches the zone
+    * maps and the scan reads only the pages covering the candidate ids —
+    * AnnRefineSpec pins the page-skip with metrics assertions.
+    */
+  private[graft] def refineJoin(tv: DataFrame, pre: DataFrame, qv: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
+    tv.join(broadcast(pre), Seq("tid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("dot", graft.spark.VecOps.longDot(col("rqv"), col("rtv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("tid"), col("dot"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** IVF-PQ refine depth: the ADC ranking keeps its top-R candidates per
     * query and an EXACT integer-dot rerank of those R rows picks the final
     * top-5 — faiss's IndexRefineFlat pattern. The refine reads raw vectors
@@ -1026,18 +1045,18 @@ object TrainingData {
       // ---- refine: exact integer-dot rerank of the ADC top-R only ----
       // `pre` is R rows per query — broadcast it against the corpus so the
       // raw vectors are read through one broadcast-semi-joined scan, never
-      // shuffled; the codes table remains the only thing ADC scanned
+      // shuffled; the codes table remains the only thing ADC scanned. The
+      // rerank source is a RUNTIME-FILTERED scan: the broadcast tid IN-set
+      // merges into the vec_id zone maps, so on a vec_id-clustered layout
+      // the refine's IO is the pages covering ~R·queries rows, not a
+      // second full pass over the vector column (the r12 audit nit — at
+      // 100 TB that second scan was the stage ADC exists to avoid).
       val qv = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("rqv"))
-      val tv = e.select(col("vec_id").as("tid"), col("q").as("rtv"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
-      tv.join(broadcast(pre), Seq("tid"))
-        .join(broadcast(qv), Seq("qid"))
-        .withColumn("dot", graft.spark.VecOps.longDot(col("rqv"), col("rtv")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("tid"), col("dot"), col("rank"))
-        .orderBy(col("qid"), col("rank"))
+      val tv = Tables.loadRuntimeFiltered(s, dir, "embeddings")
+        .withColumn("q", expr(quantized))
+        .select(col("vec_id").as("tid"), col("q").as("rtv"))
+      refineJoin(tv, pre, qv)
     },
 
     "s_knn_recall_ivfpq" -> { (s, dir) =>

@@ -128,4 +128,15 @@ class AnnGuardSpec extends AnyFunSuite {
     assert(sizes.max <= 8 * 500L,
       s"max cluster ${sizes.max} blew the ~500-member design bound")
   }
+
+  test("composed IVF-PQ recall@5 at sf0.01 stays above the 0.4 floor") {
+    // round-12 headline quality win (0.26 -> 0.50 via nprobe=8 + exact
+    // refine of the ADC top-50): guard against a silent regression of the
+    // composed index — coarse probing, ADC ranking, and the refine stage
+    // all compound into this number
+    import org.apache.spark.sql.functions._
+    val r = graft.SparkEntry.queries("s_knn_recall_ivfpq")(spark, "/root/testdata/sf0.01")
+      .agg(avg(col("recall"))).first().getDouble(0)
+    assert(r >= 0.4, f"composed IVF-PQ recall@5 regressed: $r%.3f < 0.40")
+  }
 }
