@@ -515,7 +515,12 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       else {
         val tableDir = new Path(path)
         val fs = tableDir.getFileSystem(conf)
+        // catch-up manifests (deleteWhere's survivor re-list for streaming
+        // backfill) are NOT commits: their files stay pre-manifest history
+        // here, or a delete would push its survivors into every later
+        // `since` window as phantom inserts
         val committedAt: Map[String, Long] = GraftManifest.list(fs, tableDir)
+          .filterNot(GraftManifest.isCatchup)
           .flatMap { m =>
             val mt = GraftManifest.nameT(m)
             GraftManifest.read(fs, tableDir, m).map { case (name, _) =>

@@ -437,12 +437,17 @@ object GraftMaintenance {
               expiredListed.contains(q))
         }
         if (adopt.nonEmpty)
+          // the CatchupTag keeps incremental readers honest: `since`
+          // windows and CDC skip catch-up manifests (survivors stay
+          // pre-manifest history, not inserts), while the streaming
+          // backfill treats them as ordinary coverage
           GraftManifest.publish(fs, tableDir, adopt.map { f =>
             val q = fs.makeQualified(f.getPath).toString
             val rel = if (q.startsWith(base + "/")) q.substring(base.length + 1)
                       else f.getPath.getName
             (rel, f.getLen)
-          })
+          }, tag = Some(GraftManifest.CatchupTag +
+            java.util.UUID.randomUUID().toString.take(8)))
       }
       expired.foreach { n =>
         fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false)

@@ -27,6 +27,20 @@ object GraftManifest {
   /** Commit timestamp embedded in a manifest name. */
   def nameT(name: String): Long = name.takeWhile(_ != '-').toLong
 
+  /** Suffix tag marking a HISTORY-RELISTING manifest (deleteWhere's
+    * catch-up publish): it re-lists surviving files so a fresh stream's
+    * backfill bound cannot drop them, but it is NOT a new commit — `since`
+    * incremental windows and the CDC reader must treat its files as
+    * pre-manifest history, or every delete would redeliver the kept rows
+    * of the files it touched to downstream incremental consumers.
+    */
+  val CatchupTag = "catchup"
+
+  def isCatchup(name: String): Boolean = {
+    val i = name.indexOf('-')
+    i >= 0 && name.substring(i + 1).startsWith(CatchupTag)
+  }
+
   /** `tag` overrides the random name suffix; the streaming sink passes a
     * deterministic `q<queryId>e<epoch>` tag so an epoch's manifest doubles
     * as its idempotency marker (a replayed epoch commit finds it by suffix
