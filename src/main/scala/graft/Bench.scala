@@ -227,7 +227,10 @@ object Bench {
       val parts =
         try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
         finally src.close()
-      val total = parts.sum
+      // sum through steal only: guest/guest_nice (fields 9-10) are already
+      // counted inside user/nice on Linux — adding them would inflate the
+      // denominator and under-report the very contamination this measures
+      val total = parts.take(8).sum
       val idle = parts(3) + (if (parts.length > 4) parts(4) else 0L)
       val steal = if (parts.length > 7) parts(7) else 0L
       (steal, total - idle, total)
@@ -263,6 +266,13 @@ object Bench {
     // machine slowdown (the exact condition that produces many flags)
     // cannot starve the phases that follow the audit
     val auditWallSec = sys.env.getOrElse("GRAFT_BENCH_AUDIT_WALL", "180").toInt
+    // hard allowance for MANDATORY >=2x re-measures past the audit wall:
+    // worst-first ordering spends it on the entries whose loss costs most,
+    // and the cap keeps a pathological flag storm from overshooting the
+    // harness budget and losing the whole artifact (the r11 failure the
+    // walls exist to prevent) — past wall+overrun, even a >=2x entry ships
+    // "remeasured":-1 rather than risking the artifact
+    val auditOverrunSec = sys.env.getOrElse("GRAFT_BENCH_AUDIT_OVERRUN", "240").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -458,12 +468,16 @@ object Bench {
       val flagged = slowSide.filter(_._2 >= 2.0) ++ fastSide.filter(_._2 >= 2.0) ++
         slowSide.filter(_._2 < 2.0).take(5)
       val repairs = flagged.map { case (r, x) =>
-        val past = System.nanoTime() > deadlineNanos
-        // a >=2x flag is NEVER shipped unremeasured: past the deadline it
-        // still gets a reduced (1-pair) mandatory re-measure — one warm
-        // interleaved pair is enough to refute a steal-window artifact,
-        // and the budget cost is bounded by the flag count
-        if (past && x < 2.0) {
+        val now = System.nanoTime()
+        val past = now > deadlineNanos
+        // a >=2x flag is not shipped unremeasured while the OVERRUN
+        // allowance lasts: past the deadline it still gets a reduced
+        // (1-pair) mandatory re-measure — one warm interleaved pair is
+        // enough to refute a steal-window artifact — but the allowance is
+        // itself bounded so a flag storm cannot starve the phases (and
+        // the artifact write) that follow
+        val overrun = now > deadlineNanos + auditOverrunSec * 1000000000L
+        if ((past && x < 2.0) || overrun) {
           val json =
             f"""{"q":"${r.name}","section":"$label","ratio":${r.bg / r.bp}%.2f,"remeasured":-1,"skipped":"audit deadline"}"""
           (json, r)

@@ -46,7 +46,11 @@ object Tables {
     * first use). GRAFT_TABLES_FORMAT=parquet bypasses graft — used only to
     * measure the parquet baseline with identical query code.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    loadImpl(spark, sfDir, name, runtimeFilter = false)
+
+  private def loadImpl(spark: SparkSession, sfDir: String, name: String,
+      runtimeFilter: Boolean): DataFrame = {
     graft.spark.GraftExtensions.ensure(spark) // idempotent rule wiring
     // the system property lets one JVM time both formats back-to-back (the
     // self-baselining bench); the env var remains for whole-process runs
@@ -56,7 +60,8 @@ object Tables {
       return parquet(spark, sfDir, name)
     val dir = s"${strRoot(sfDir)}/$name"
     ensureConverted(spark, sfDir, name, dir)
-    spark.read.format("graft").load(dir)
+    val r = spark.read.format("graft")
+    (if (runtimeFilter) r.option("runtimefilter", "true") else r).load(dir)
   }
 
   /** Like [[load]], but (graft only) with runtime join-key filtering
@@ -69,16 +74,8 @@ object Tables {
     * plain frame: Spark's file source has no data-column runtime
     * filtering, which is the comparison the bench makes.
     */
-  def loadRuntimeFiltered(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    graft.spark.GraftExtensions.ensure(spark)
-    val fmt = sys.props.getOrElse("graft.tables.format",
-      sys.env.getOrElse("GRAFT_TABLES_FORMAT", "graft"))
-    if (fmt == "parquet")
-      return parquet(spark, sfDir, name)
-    val dir = s"${strRoot(sfDir)}/$name"
-    ensureConverted(spark, sfDir, name, dir)
-    spark.read.format("graft").option("runtimefilter", "true").load(dir)
-  }
+  def loadRuntimeFiltered(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    loadImpl(spark, sfDir, name, runtimeFilter = true)
 
   /** Graft directory of a converted table (for streaming reads etc.);
     * ensures the conversion exists first.

@@ -300,12 +300,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"graft: failed to publish the altered schema sidecar for $ident")
     // failed prior ALTERs leave `.tmp-<uuid>` files behind, and
     // sidecarTmp's newest-first promotion could resurrect such a
-    // never-committed schema after a later crash window — clear every
-    // leftover once this publish is durable
-    fs.listStatus(dir)
-      .filter(f => f.isFile &&
-        f.getPath.getName.startsWith("._graft_table.json.tmp-"))
-      .foreach(f => fs.delete(f.getPath, false))
+    // never-committed schema after a later crash window — clear leftovers
+    // once this publish is durable. AGE-GATED: a concurrent ALTER's
+    // in-flight tmp (created moments ago, racing its own delete->rename
+    // window) must not be swept out from under it — that would strand the
+    // table with neither sidecar nor tmp; a genuinely stale tmp is
+    // minutes-to-days old, an in-flight one lives milliseconds
+    locally {
+      val cutoff = System.currentTimeMillis() - 60 * 1000L
+      fs.listStatus(dir)
+        .filter(f => f.isFile &&
+          f.getPath.getName.startsWith("._graft_table.json.tmp-") &&
+          f.getModificationTime < cutoff)
+        .foreach(f => fs.delete(f.getPath, false))
+    }
     new GraftTable(updated, dir.toString)
   }
 

@@ -321,9 +321,18 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
       def readM(n: String): Seq[(String, Long)] =
         if (firstBatch) entriesByManifest(n) else GraftManifest.read(fs, tableDir, n)
       val endManifests = manifests.filter(n => covered(e, n, GraftManifest.nameT(n)))
+      // catch-up manifests (deleteWhere's survivor re-list) are COVERAGE,
+      // not commits: a TRUE fresh stream needs their entries in its first
+      // batch (the survivors sit above the backfill time bound), but any
+      // stream WITH history — incremental batches, restarts, and upgraded
+      // modTime checkpoints — already delivered those rows through the
+      // original files, and re-delivering the re-list would duplicate
+      // every kept row of a deleted-from table (exactly-once violation).
+      val hasHistory = s != GraftStreamOffset.Empty
       val entries =
         (if (upgrade) endManifests
          else endManifests.filterNot(n => covered(s, n, GraftManifest.nameT(n))))
+          .filterNot(n => hasHistory && GraftManifest.isCatchup(n))
           .flatMap(readM)
           .map { case (name, len) =>
             (fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString, len)

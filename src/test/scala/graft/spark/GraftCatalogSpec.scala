@@ -289,10 +289,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     val out = fs.create(stale, true)
     try out.write("""{"type":"struct","fields":[]}""".getBytes("UTF-8"))
     finally out.close()
+    // the cleanup is age-gated (a concurrent ALTER's in-flight tmp must
+    // not be swept mid-publish) — backdate the stale one past the gate
+    fs.setTimes(stale, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
     assert(tmps().nonEmpty)
     spark.sql("ALTER TABLE graftcat.evo3.t ADD COLUMN note STRING")
     assert(tmps().isEmpty,
-      "a successful ALTER publish must clear every leftover sidecar tmp")
+      "a successful ALTER publish must clear every aged leftover sidecar tmp")
     assert(spark.sql("SELECT id, note FROM graftcat.evo3.t").schema.fieldNames
       .toSeq == Seq("id", "note"))
     // vacuum sweeps aged `.tmp-<uuid>` leftovers, but only while a committed

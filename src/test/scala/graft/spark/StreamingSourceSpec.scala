@@ -426,6 +426,37 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deleteWhere catch-up manifest is NOT redelivered to a stream with history") {
+    val dir = "/tmp/graft-test/stream-delete-nodup"
+    val hconf = spark.sessionState.newHadoopConf()
+    spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    spark.range(10, 30).selectExpr("id as k").write.format("graft").mode("append").save(dir)
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    // the running stream processes the full table...
+    val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(ms.planInputPartitions(GraftStreamOffset.Empty, o1).nonEmpty)
+    // ...then a delete rewrites part of it: the catch-up manifest exists
+    // for FRESH streams, but this stream already delivered every kept row
+    // through the original files — redelivering the re-list would break
+    // exactly-once
+    GraftMaintenance.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.col("k").between(10, 12))
+    val fsLocal = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    assert(GraftManifest.list(fsLocal, new org.apache.hadoop.fs.Path(dir))
+      .exists(GraftManifest.isCatchup), "the delete published a catch-up manifest")
+    val o2 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val b2 = ms.planInputPartitions(o1, o2)
+      .map(_.asInstanceOf[GraftInputPartition].filePath)
+    assert(b2.isEmpty,
+      s"catch-up manifest redelivered ${b2.length} files to a stream with history: ${b2.toSeq}")
+    // a NEW append after the delete still flows normally
+    spark.range(30, 35).selectExpr("id as k").write.format("graft").mode("append").save(dir)
+    val o3 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val b3 = ms.planInputPartitions(o2, o3)
+    assert(b3.nonEmpty, "post-delete appends must still stream")
+  }
+
   test("manifest=false against a manifest checkpoint fails at offset restore") {
     val dir = "/tmp/graft-test/stream-downgrade"
     spark.range(5).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
