@@ -155,7 +155,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               // if the newest file happened to write it non-null throughout:
               // OLDER files may predate the column entirely and the reader
               // null-fills only nullable evolution columns
-              if (f.nullable && !df.nullable) df.copy(nullable = true) else df
+              val base = if (f.nullable && !df.nullable) df.copy(nullable = true) else df
+              // sidecar metadata (CREATE/ALTER comments) survives the
+              // footer taking over the TYPE — footers carry no metadata,
+              // so without this every comment on a data-backed column
+              // would silently vanish on the next read
+              if (f.metadata == org.apache.spark.sql.types.Metadata.empty) base
+              else base.copy(metadata = f.metadata)
             case None => df
           }
         }
@@ -217,14 +223,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(schema, dir.toString)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)`: pure metadata — the new column is
-    * recorded in the sidecar and every scan serves nulls for it until a
-    * write backs it with data (the same null-fill path the reader already
-    * runs for files that predate a column other files carry). Data files
-    * are immutable, so only nullable, top-level, appended columns are
-    * expressible; everything else is rejected with the reason. Scale note:
-    * the ALTER writes one small sidecar file — no data rewrite, no
-    * metastore, O(1) regardless of table size.
+  /** `ALTER TABLE ... ADD COLUMN(S)` / `ALTER COLUMN ... COMMENT`: pure
+    * metadata — the change is recorded in the sidecar; an added column is
+    * served as nulls by every scan until a write backs it with data (the
+    * same null-fill path the reader already runs for files that predate a
+    * column other files carry). Data files are immutable, so only
+    * nullable, top-level, appended columns and comments are expressible;
+    * everything else is rejected with the reason (DROP/RENAME carry
+    * dedicated migration guidance). Scale note: the ALTER writes one
+    * small sidecar file — no data rewrite, no metastore, O(1) regardless
+    * of table size.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident))
@@ -254,6 +262,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             else org.apache.spark.sql.types.Metadata.empty
           sch.add(org.apache.spark.sql.types.StructField(
             colName, add.dataType(), nullable = true, meta))
+        case com: TableChange.UpdateColumnComment =>
+          // pure metadata, like ADD COLUMN: the comment lands in the
+          // sidecar; data files are untouched (footers carry no metadata,
+          // and currentSchema re-applies sidecar metadata on every read)
+          require(com.fieldNames().length == 1,
+            "graft: ALTER COLUMN ... COMMENT supports top-level columns only — " +
+              s"'${com.fieldNames().mkString(".")}' targets a nested field")
+          val colName = com.fieldNames()(0)
+          val idx = sch.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+          require(idx >= 0, s"graft: column '$colName' does not exist")
+          val f = sch.fields(idx)
+          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString("comment", com.newComment()).build()
+          StructType(sch.fields.updated(idx, f.copy(metadata = meta)))
         case drop: TableChange.DeleteColumn =>
           throw new UnsupportedOperationException(
             s"graft: ALTER TABLE DROP COLUMN '${drop.fieldNames().mkString(".")}' " +
@@ -273,8 +295,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case other =>
           throw new UnsupportedOperationException(
             s"graft: ALTER TABLE change ${other.getClass.getSimpleName} is not " +
-              "supported — data files are immutable; only ADD COLUMN(S) is a " +
-              "metadata-only evolution")
+              "supported — data files are immutable; only ADD COLUMN(S) and " +
+              "column comments are metadata-only evolutions")
       }
     }
     // ALTER overwrites a sidecar readers may depend on RIGHT NOW: publish

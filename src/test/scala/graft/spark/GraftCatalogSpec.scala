@@ -275,6 +275,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     rejected("ALTER TABLE graftcat.evo2.t ALTER COLUMN id TYPE STRING", "immutable")
   }
 
+  test("ALTER COLUMN COMMENT is metadata-only and survives data-backed reads") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo4")
+    spark.sql("CREATE TABLE graftcat.evo4.t AS SELECT id, id * 2 AS v FROM range(4)")
+    spark.sql("ALTER TABLE graftcat.evo4.t ALTER COLUMN v COMMENT 'doubled id'")
+    def commentOf(col: String): Option[String] =
+      spark.table("graftcat.evo4.t").schema.fields
+        .find(_.name == col).flatMap(f =>
+          if (f.metadata.contains("comment")) Some(f.metadata.getString("comment"))
+          else None)
+    // v is FOOTER-backed: the comment must survive the footer taking over
+    // the type in currentSchema's merge (it lives in the sidecar only)
+    assert(commentOf("v").contains("doubled id"))
+    // data still reads fine and the comment persists across further DML
+    spark.sql("INSERT INTO graftcat.evo4.t VALUES (9, 18)")
+    assert(spark.sql("SELECT sum(v) FROM graftcat.evo4.t").collect()(0).getLong(0) == 30L)
+    assert(commentOf("v").contains("doubled id"))
+    // re-commenting replaces; unknown column rejected
+    spark.sql("ALTER TABLE graftcat.evo4.t ALTER COLUMN v COMMENT 'rewritten'")
+    assert(commentOf("v").contains("rewritten"))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.evo4.t ALTER COLUMN nope COMMENT 'x'"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.toLowerCase.contains("does not exist") ||
+      m.toLowerCase.contains("cannot be resolved") ||
+      m.toLowerCase.contains("unresolved")), e.toString)
+  }
+
   test("ALTER publish clears leftover sidecar tmps and tolerates a stolen rename") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo3")
     spark.sql("CREATE TABLE graftcat.evo3.t AS SELECT id FROM range(3)")

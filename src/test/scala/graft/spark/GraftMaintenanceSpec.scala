@@ -235,6 +235,45 @@ class GraftMaintenanceSpec extends AnyFunSuite {
       (0L until 4000L).filter(_ % 4 == 2).sum)
   }
 
+  test("deleteWhere crash window (catch-up published, expiry missed) self-heals on re-run") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maint-delete-crashwin"
+    spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
+    spark.range(10, 30).selectExpr("id as k").write.format("graft").mode("append").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val tableDir = new Path(dir)
+    val fs = tableDir.getFileSystem(hconf)
+    // capture the commit-2 manifest so the crash window can be recreated
+    val m2 = GraftManifest.list(fs, tableDir).last
+    val m2entries = GraftManifest.read(fs, tableDir, m2)
+    val pred = col("k").between(10, 12)
+    GraftMaintenance.deleteWhere(spark, dir, pred)
+    assert(GraftManifest.list(fs, tableDir).exists(GraftManifest.isCatchup))
+    assert(!GraftManifest.list(fs, tableDir).contains(m2), "m2 expired")
+    // simulate the crash BETWEEN catch-up publish and expiry: the expired
+    // manifest reappears, referencing a now-retired file (transient double
+    // coverage is the designed crash residue — never row loss)
+    val out = fs.create(new Path(GraftManifest.dir(tableDir), m2), true)
+    try out.write(m2entries.map { case (n, l) => s"$n\t$l" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8")) finally out.close()
+    // re-running the SAME delete heals: nothing matches (rows already
+    // gone), but the listing-based expiry retires the stale manifest and
+    // the already-covered survivors are not re-adopted
+    GraftMaintenance.deleteWhere(spark, dir, pred)
+    val after = GraftManifest.list(fs, tableDir)
+    assert(!after.contains(m2), "stale manifest must expire on the healing re-run")
+    assert(after.count(GraftManifest.isCatchup) == 1,
+      s"healing must not publish a second catch-up manifest: $after")
+    assert(spark.read.format("graft").load(dir).count() == 27)
+    // fresh stream view == batch view after the heal
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val planned = ms.planInputPartitions(GraftStreamOffset.Empty, o1)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    assert(planned == GraftUtil.listDataFiles(dir, hconf).map(_.getPath.toString).toSet)
+  }
+
   test("vacuum removes aged staging junk, never live data or young tmps") {
     import org.apache.hadoop.fs.Path
     val dir = "/tmp/graft-test/maintenance-vacuum"
