@@ -38,6 +38,7 @@ object BenchMaintenance {
   def time(spark: SparkSession, name: String, format: String, dir: String): Double =
     name match {
       case "x_delete_where" => deleteWhereOp(spark, format, dir)
+      case "x_update_where" => updateWhereOp(spark, format, dir)
       case "x_zorder_relayout" => zorderOp(spark, format, dir)
       case "x_asof_snapshot" => asofOp(spark, format, dir)
       case "x_incremental_scan" => incrementalOp(spark, format, dir)
@@ -325,6 +326,51 @@ object BenchMaintenance {
         .filter(!col("doc_id").between(lo, hi))
         .write.mode("overwrite").parquet(rw)
       survivorAgg(spark.read.parquet(rw))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** In-place row-level UPDATE (PII-redaction shape): mask two columns of
+    * a narrow doc_id band. graft: GraftMaintenance.updateWhere — only the
+    * files holding matches rewrite. parquet: the conventional route, full
+    * read + CASE projection + whole-table rewrite (parquet files are
+    * immutable and carry no rewrite machinery, so a redaction pass pays a
+    * complete copy regardless of selectivity). Both sides end with the
+    * same verifying aggregate over the post-update table.
+    */
+  private def updateWhereOp(spark: SparkSession, format: String, dir: String): Double = {
+    val (lo0, hi0) = docBounds(spark, dir)
+    val lo = lo0 + (hi0 - lo0) * 49 / 100
+    val hi = lo0 + (hi0 - lo0) * 51 / 100
+    val src = Tables.parquet(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val stage = s"/tmp/graft_bench_maint/upd_${format}_${key(dir)}"
+    rm(stage)
+    def redactedAgg(df: DataFrame): Unit =
+      df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          count(when(col("source") === "redacted", 1)).as("masked"))
+        .write.mode("overwrite").format("noop").save()
+    if (format == "graft") {
+      src.write.format("graft").mode("overwrite").save(stage)
+      val t0 = System.nanoTime()
+      graft.spark.GraftMaintenance.updateWhere(spark, stage,
+        col("doc_id").between(lo, hi),
+        Map("source" -> lit("redacted"), "n_chars" -> (col("n_chars") % 100)))
+      redactedAgg(spark.read.format("graft").load(stage))
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      src.write.mode("overwrite").parquet(stage)
+      val rw = s"${stage}_rw"
+      rm(rw)
+      val t0 = System.nanoTime()
+      val p = col("doc_id").between(lo, hi)
+      spark.read.parquet(stage)
+        .withColumn("source", when(p, lit("redacted")).otherwise(col("source")))
+        .withColumn("n_chars", when(p, col("n_chars") % 100).otherwise(col("n_chars")))
+        .write.mode("overwrite").parquet(rw)
+      redactedAgg(spark.read.parquet(rw))
       (System.nanoTime() - t0) / 1e9
     }
   }

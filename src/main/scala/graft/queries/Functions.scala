@@ -150,6 +150,31 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_update_where" -> { (s, dir) =>
+      // row-level UPDATE in the correctness gate: the staged copy redacts
+      // every doc_id % 7 == 3 row in place (n_chars re-bucketed, source
+      // masked) via GraftMaintenance.updateWhere — file-scoped rewrites
+      // with deterministic crash-resume names; the post-update table must
+      // match the oracle's CASE expressions exactly, proving content
+      // fidelity of the in-place redaction pass end to end.
+      val stage = stagedOnce(
+          s"/tmp/graft_upd_stage1/${stageKey(s, dir, "documents")}/documents") { t =>
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.format("graft").option("maxrowsperfile", "200")
+          .mode("overwrite").save(t)
+        graft.spark.GraftMaintenance.updateWhere(s, t,
+          col("doc_id") % 7 === 3,
+          Map("n_chars" -> (col("n_chars") % 100),
+            "source" -> lit("redacted")))
+      }
+      s.read.format("graft").load(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
     "q_schema_evolution" -> { (s, dir) =>
       // ALTER TABLE ADD COLUMN in the correctness gate: a catalog table is
       // altered MID-HISTORY — even-doc_id rows are written first, then
@@ -819,6 +844,12 @@ object Functions {
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
         |  count(DISTINCT source) AS sources
         |FROM documents WHERE doc_id % 7 <> 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_update_where" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN n_chars % 100 ELSE n_chars END) AS BIGINT) AS chars,
+        |  count(DISTINCT CASE WHEN doc_id % 7 = 3 THEN 'redacted' ELSE source END) AS sources
+        |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_delete" ->
       """SELECT lang, count(*) AS docs,

@@ -390,7 +390,19 @@ object GraftMaintenance {
     // and it runs even when THIS pass rewrote nothing, because the crashed
     // run whose damage it heals may have retired every matching file
     // already (the re-run then has nothing left to match).
-    locally {
+    healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
+    DeleteStats(rewritten, untouched, rowsBefore, rowsAfter)
+  }
+
+  /** Shared post-rewrite manifest reconciliation for the row-level rewrite
+    * ops (deleteWhere / updateWhere): expire manifests referencing retired
+    * files and publish a catch-up re-list for streaming backfill.
+    */
+  private def healManifestsAfterRewrite(dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path,
+      manifestSnapshot: Seq[String]): Unit = {
       val liveFiles = GraftUtil.listDataFiles(dir, conf)
       val live = liveFiles.map(f => fs.makeQualified(f.getPath).toString).toSet
       def qualify(name: String): String = fs.makeQualified(
@@ -428,7 +440,7 @@ object GraftMaintenance {
         val firstT = surviving.map(GraftManifest.nameT).min
         val covered = surviving.flatMap(n => entriesOf(n).map(e => qualify(e._1))).toSet
         val expiredListed = expired.flatMap(n => entriesOf(n).map(e => qualify(e._1))).toSet
-        val survivorName = raw".*-del[0-9a-f]{8}\Q${GraftUtil.Extension}\E".r.pattern
+        val survivorName = raw".*-(?:del|upd)[0-9a-f]{8}\Q${GraftUtil.Extension}\E".r.pattern
         val base = fs.makeQualified(tableDir).toString
         val adopt = liveFiles.filter { f =>
           val q = fs.makeQualified(f.getPath).toString
@@ -452,8 +464,202 @@ object GraftMaintenance {
       expired.foreach { n =>
         fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false)
       }
+  }
+
+  /** Result of a row-level update: files holding matches (rewritten),
+    * untouched files, rows the predicate matched, and the table total. */
+  final case class UpdateStats(filesRewritten: Int, filesUntouched: Int,
+      rowsUpdated: Long, rowsTotal: Long)
+
+  /** Row-level UPDATE: apply `assignments` (column -> new-value expression,
+    * evaluated against the pre-update row) to every row matching
+    * `predicate`, rewriting ONLY the files that contain matches — the
+    * in-place redaction pass a training corpus needs (mask PII spans,
+    * null a leaked field, re-tag a source) without rewriting 100 TB.
+    * Same machinery and crash contract as [[deleteWhere]]:
+    *
+    *   - ONE distributed probe job maps matching rows to their files via
+    *     `input_file_name()`; zone maps / blooms prune inside the probe.
+    *   - Per-file rewrites run concurrently, each publishing at a
+    *     DETERMINISTIC name (`<base>-upd<hash(predicate,assignments)>`),
+    *     so a re-run after a crash recognises published work and just
+    *     retires the original (`-upd` files are adopted by the same
+    *     catch-up manifest machinery as delete survivors).
+    *   - `changelog = true` first publishes the PRE-image of every
+    *     matched row to the `_graft_changes` feed (crash order:
+    *     changelog -> rewrite -> retire; once the original is gone the
+    *     old values are unrecoverable).
+    *   - Manifests referencing retired originals expire; a catch-up
+    *     manifest keeps fresh-stream and batch views identical.
+    *
+    * Rejected: assignments to hive-partition path columns (the row would
+    * be left in a directory contradicting its value — re-layout via
+    * compact instead) and to columns absent from the schema. A whole-table
+    * sort marker is cleared when an assignment targets one of its columns
+    * (updated values need not preserve the order).
+    */
+  def updateWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      changelog: Boolean = false,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): UpdateStats = {
+    require(assignments.nonEmpty, "graft: updateWhere needs at least one assignment")
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    val files = GraftUtil.listDataFiles(dir, conf)
+    require(files.nonEmpty, s"graft: nothing to update under $dir")
+    val manifestSnapshot = GraftManifest.list(fs, tableDir)
+    val table = schemaOverride match {
+      case Some(sc) => spark.read.format("graft").schema(sc).load(dir)
+      case None => spark.read.format("graft").load(dir)
     }
-    DeleteStats(rewritten, untouched, rowsBefore, rowsAfter)
+    val schema = table.schema
+    // resolve assignment targets against the schema NOW (case-insensitive,
+    // like the rest of the catalog surface) and pin each expression to the
+    // column's existing type — an UPDATE must never drift the table schema
+    val norm: Seq[(String, org.apache.spark.sql.Column)] = assignments.toSeq.map {
+      case (c, e) =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft: updateWhere target column '$c' does not exist " +
+              s"(table has: ${schema.fieldNames.mkString(", ")})"))
+        f.name -> e.cast(f.dataType)
+    }
+    // partition path columns are OUT: their value lives in the directory
+    // name, and an in-place rewrite stays in that directory
+    locally {
+      val partCols = files.flatMap(f =>
+        GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+      val hit = norm.map(_._1).filter(c => partCols.exists(_.equalsIgnoreCase(c)))
+      require(hit.isEmpty,
+        s"graft: updateWhere cannot assign hive-partition path column(s) " +
+          s"${hit.mkString(", ")} — the row would contradict its directory; " +
+          "re-layout via GraftMaintenance.compact(partitionBy = ...) instead")
+    }
+    val rowsTotal = {
+      val c = GraftScan.rowCount(files, conf)
+      if (c.isPresent) c.getAsLong else table.count()
+    }
+    // ONE probe job: matched files AND the matched-row count per file
+    val matchedCounts: Map[String, Long] = table.filter(predicate)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matchedCounts.nonEmpty) {
+      val known = files.map(_.getPath.toString).toSet
+      require(matchedCounts.keys.forall(f => f.nonEmpty && known.contains(f)),
+        s"graft: updateWhere probe returned file names outside the table " +
+          s"listing (input_file_name plumbing broken?): " +
+          matchedCounts.keys.filterNot(known.contains).take(3).mkString(", "))
+    }
+    // deterministic (predicate, assignments) fingerprint names the
+    // rewritten file — crash re-runs converge like deleteWhere's
+    val updHash = {
+      val rendered = predicate.toString + "|" +
+        norm.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+    }
+    // updated values need not preserve a whole-table sort on the assigned
+    // columns — clear BEFORE any rewritten file becomes visible
+    if (matchedCounts.nonEmpty &&
+        GraftSortMarker.read(fs, tableDir).exists(cols =>
+          cols.exists(c => norm.exists(_._1.equalsIgnoreCase(c)))))
+      GraftSortMarker.clear(fs, tableDir)
+    val matchedFiles = files.filter(f => matchedCounts.contains(f.getPath.toString))
+    val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, matchedFiles.size)))
+    val tasks = matchedFiles.map { f =>
+      pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
+        val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
+        val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
+        if (changelog) {
+          val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+          val clPath = new org.apache.hadoop.fs.Path(
+            clDir, s"$base-upd$updHash${GraftUtil.Extension}")
+          if (!fs.exists(clPath)) {
+            val scratch = new org.apache.hadoop.fs.Path(
+              tableDir, s"_graft_tmp_update/cl/$base-$updHash")
+            one.filter(predicate).coalesce(1)
+              .write.format("graft").mode("overwrite").save(scratch.toString)
+            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+            require(produced.size == 1,
+              s"graft: changelog write for ${f.getPath} produced ${produced.size} files")
+            fs.mkdirs(clDir)
+            require(fs.rename(produced.head.getPath, clPath),
+              s"graft: failed to publish change feed for ${f.getPath} at $clPath")
+            fs.delete(scratch, true)
+          }
+        }
+        val updPath = new org.apache.hadoop.fs.Path(
+          f.getPath.getParent, s"$base-upd$updHash${GraftUtil.Extension}")
+        if (fs.exists(updPath)) {
+          // crash resume: the rewrite is already live — just retire
+          fs.delete(f.getPath, false)
+          rewrittenN.incrementAndGet()
+        } else {
+          import org.apache.spark.sql.functions.{when, col}
+          val assignOf = norm.toMap
+          // every column keeps its position; non-matching rows (predicate
+          // false OR null) pass through unchanged — SQL UPDATE semantics
+          val projected = one.select(schema.fields.map { fld =>
+            assignOf.get(fld.name) match {
+              case Some(e) => when(predicate, e).otherwise(col(fld.name)).as(fld.name)
+              case None => col(fld.name)
+            }
+          }.toIndexedSeq: _*)
+          val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
+          val scratch = new org.apache.hadoop.fs.Path(
+            tableDir, s"_graft_tmp_update/sv/$base-$updHash")
+          val w = projected.coalesce(1).write.format("graft").mode("overwrite")
+          (if (segs.nonEmpty) w.option("partitionby", segs.mkString(","))
+           else w).save(scratch.toString)
+          val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+          require(produced.size == 1,
+            s"graft: update rewrite of ${f.getPath} produced ${produced.size} files")
+          // an UPDATE preserves cardinality — a row-count drift means the
+          // rewrite is broken and the original must survive
+          val wrote = GraftScan.rowCount(produced, conf)
+          val orig = GraftScan.rowCount(Seq(f), conf)
+          require(!wrote.isPresent || !orig.isPresent ||
+            wrote.getAsLong == orig.getAsLong,
+            s"graft: update rewrite of ${f.getPath} changed the row count " +
+              s"(${orig} -> ${wrote}) — refusing to retire the original")
+          require(fs.rename(produced.head.getPath, updPath),
+            s"graft: failed to publish update rewrite of ${f.getPath} at $updPath")
+          fs.delete(scratch, true)
+          fs.delete(f.getPath, false)
+          rewrittenN.incrementAndGet()
+        }
+      }})
+    }
+    try tasks.foreach(_.get())
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw Option(e.getCause).getOrElse(e)
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_update"), true)
+    if (changelog) {
+      val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+      val clFiles = GraftUtil.listDataFiles(clDir.toString, conf)
+      if (clFiles.nonEmpty) {
+        val covered = GraftManifest.list(fs, clDir)
+          .flatMap(m => GraftManifest.read(fs, clDir, m).map(_._1)).toSet
+        GraftManifest.publish(fs, clDir,
+          clFiles.map(f => (f.getPath.getName, f.getLen))
+            .filterNot(e => covered.contains(e._1)))
+      }
+    }
+    healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
+    UpdateStats(rewrittenN.get(), files.size - rewrittenN.get(),
+      matchedCounts.values.sum, rowsTotal)
   }
 
   /** Manifest retention: delete commit manifests older than `olderThanMs`
@@ -554,17 +760,19 @@ object GraftMaintenance {
           sweepTmps(f.getPath)
       }
     sweepTmps(tableDir)
-    // (2) deleteWhere scratch
-    val scratchDir = new Path(tableDir, "_graft_tmp_delete")
-    if (fs.exists(scratchDir)) {
-      def sweepScratch(d: Path): Unit = {
-        fs.listStatus(d).foreach { f =>
-          if (f.isDirectory) sweepScratch(f.getPath)
-          else if (f.getModificationTime < olderThanMs) { scratch += 1; doom(f) }
+    // (2) deleteWhere / updateWhere scratch
+    Seq("_graft_tmp_delete", "_graft_tmp_update").foreach { sd =>
+      val scratchDir = new Path(tableDir, sd)
+      if (fs.exists(scratchDir)) {
+        def sweepScratch(d: Path): Unit = {
+          fs.listStatus(d).foreach { f =>
+            if (f.isDirectory) sweepScratch(f.getPath)
+            else if (f.getModificationTime < olderThanMs) { scratch += 1; doom(f) }
+          }
+          if (!dryRun && fs.listStatus(d).isEmpty) fs.delete(d, false)
         }
-        if (!dryRun && fs.listStatus(d).isEmpty) fs.delete(d, false)
+        sweepScratch(scratchDir)
       }
-      sweepScratch(scratchDir)
     }
     // (3) changelog retention (opt-in)
     changelogOlderThanMs.foreach { cutoff =>

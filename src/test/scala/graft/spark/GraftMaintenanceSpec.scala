@@ -274,6 +274,111 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     assert(planned == GraftUtil.listDataFiles(dir, hconf).map(_.getPath.toString).toSet)
   }
 
+  test("updateWhere rewrites only matched files, preserves cardinality and schema") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maint-update"
+    spark.range(100).selectExpr("id AS k", "cast(id * 3 AS long) AS v", "'src' || (id % 4) AS s")
+      .orderBy("k").repartition(4)
+      .write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val before = GraftUtil.listDataFiles(dir, hconf).map(_.getPath.getName).toSet
+    val stats = GraftMaintenance.updateWhere(spark, dir,
+      col("k") >= 90, Map("v" -> lit(-1), "s" -> lit("redacted")))
+    assert(stats.rowsUpdated == 10 && stats.rowsTotal == 100)
+    assert(stats.filesRewritten >= 1 &&
+      stats.filesRewritten + stats.filesUntouched == 4)
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 100, "UPDATE preserves cardinality")
+    assert(after.filter(col("k") >= 90)
+      .collect().forall(r => r.getLong(1) == -1L && r.getString(2) == "redacted"))
+    assert(after.filter(col("k") < 90 && (col("v") =!= col("k") * 3)).count() == 0,
+      "non-matching rows untouched")
+    // untouched files keep their identity (no needless rewrite)
+    val names = GraftUtil.listDataFiles(dir, hconf).map(_.getPath.getName).toSet
+    assert((before intersect names).size == stats.filesUntouched)
+    assert(names.count(_.contains("-upd")) == stats.filesRewritten)
+    // idempotent re-run: nothing left to match after the update
+    val again = GraftMaintenance.updateWhere(spark, dir,
+      col("k") >= 90 && col("s") =!= "redacted", Map("s" -> lit("redacted")))
+    assert(again.rowsUpdated == 0 && again.filesRewritten == 0)
+    // fresh stream view == batch view (the -upd outputs are adopted by the
+    // catch-up manifest machinery like delete survivors)
+    val schemaJson = after.schema.json
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val planned = ms.planInputPartitions(GraftStreamOffset.Empty, o1)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    assert(planned == GraftUtil.listDataFiles(dir, hconf).map(_.getPath.toString).toSet)
+  }
+
+  test("updateWhere guards: partition columns rejected, sort marker cleared, changelog preimage") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maint-update-guards"
+    // the change feed accumulates across suite re-runs (overwrite truncates
+    // DATA files only) — start from a clean table dir
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(60).selectExpr("id AS k", "cast(id % 3 AS string) AS p", "id * 2 AS v")
+      .write.format("graft").option("partitionby", "p")
+      .option("sortby", "k").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val tableDir = new Path(dir)
+    val fs = tableDir.getFileSystem(hconf)
+    // a hive-partition path column cannot be assigned in place
+    val e = intercept[IllegalArgumentException](
+      GraftMaintenance.updateWhere(spark, dir, col("k") < 5, Map("p" -> lit("9"))))
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // an unknown target column is rejected with the schema in the message
+    val e2 = intercept[IllegalArgumentException](
+      GraftMaintenance.updateWhere(spark, dir, col("k") < 5, Map("nope" -> lit(1))))
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    // updating a NON-marker column keeps the sort marker...
+    assert(GraftSortMarker.read(fs, tableDir).contains(Seq("k")))
+    GraftMaintenance.updateWhere(spark, dir, col("k") === 7, Map("v" -> lit(0)))
+    assert(GraftSortMarker.read(fs, tableDir).contains(Seq("k")),
+      "marker survives updates to non-sort columns")
+    // ...updating the MARKER column clears it (order no longer guaranteed)
+    GraftMaintenance.updateWhere(spark, dir, col("k") === 8, Map("k" -> lit(1000)))
+    assert(GraftSortMarker.read(fs, tableDir).isEmpty,
+      "marker must clear when a sort column is assigned")
+    // changelog captures the PRE-image of updated rows
+    val clBefore = spark.read.format("graft").load(dir)
+      .filter(col("v") === 42).collect()
+    GraftMaintenance.updateWhere(spark, dir, col("v") === 42,
+      Map("v" -> lit(-42)), changelog = true)
+    val feed = spark.read.format("graft")
+      .load(new Path(tableDir, GraftCdc.ChangesDir).toString)
+    assert(feed.filter(col("v") === 42).count() == clBefore.length,
+      "change feed must hold the pre-image values")
+    assert(spark.read.format("graft").load(dir).filter(col("v") === -42).count() ==
+      clBefore.length)
+  }
+
+  test("updateWhere crash-resume: a published rewrite is recognised, not duplicated") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maint-update-resume"
+    spark.range(40).selectExpr("id AS k", "id * 5 AS v")
+      .coalesce(2).write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(hconf)
+    // run once to learn the deterministic name, then recreate the crash
+    // window: rewrite published, original NOT retired
+    val before = GraftUtil.listDataFiles(dir, hconf).map(_.getPath.toString).toSet
+    GraftMaintenance.updateWhere(spark, dir, col("k") < 10, Map("v" -> lit(0)))
+    val updFile = GraftUtil.listDataFiles(dir, hconf)
+      .find(_.getPath.getName.contains("-upd")).get.getPath
+    val origName = before.find(p => updFile.getName.startsWith(
+      new Path(p).getName.stripSuffix(GraftUtil.Extension))).get
+    // resurrect the "original" alongside the rewrite (duplicate-rows crash
+    // residue, exactly what the docs describe)
+    val resurrect = new Path(origName)
+    org.apache.hadoop.fs.FileUtil.copy(fs, updFile, fs, resurrect, false, hconf)
+    assert(spark.read.format("graft").load(dir).count() == 60, "duplicates visible")
+    // the re-run finds the published rewrite by name and just retires
+    GraftMaintenance.updateWhere(spark, dir, col("k") < 10, Map("v" -> lit(0)))
+    assert(spark.read.format("graft").load(dir).count() == 40,
+      "re-run must converge back to exactly-once contents")
+  }
+
   test("vacuum removes aged staging junk, never live data or young tmps") {
     import org.apache.hadoop.fs.Path
     val dir = "/tmp/graft-test/maintenance-vacuum"
