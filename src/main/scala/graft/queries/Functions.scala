@@ -240,6 +240,38 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_update" -> { (s, dir) =>
+      // pure-SQL row-level UPDATE in the correctness gate: the staged
+      // catalog table is redacted in place via `UPDATE ... SET ... WHERE`
+      // (GraftUpdateRewrite routes the analyzed UpdateTable into
+      // GraftMaintenance.updateWhere — Spark has no native UPDATE path
+      // without SupportsRowLevelOperations), and the post-update aggregate
+      // must match the oracle's CASE expressions exactly. Assignments mix
+      // an expression over the pre-update row and a literal, the WHERE
+      // mixes modulo and comparison — the expression re-anchoring path is
+      // exercised end to end.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_sqlupd_stage1/$key/wh") { t =>
+        val cat = s"gupdb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.format("graft").option("maxrowsperfile", "200")
+          .mode("overwrite").save(s"$t/docs")
+        s.sql(s"UPDATE $cat.docs SET n_chars = n_chars % 97 + doc_id % 5, " +
+          "source = 'redacted' WHERE doc_id % 9 = 4 AND n_chars > 50")
+      }
+      val readCat = s"gupdr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
     "q_sorted_topn" -> { (s, dir) =>
       // TOP-N pushdown in the correctness gate: orders staged sorted on
       // (o_totalprice, o_orderkey) — the write publishes the sort marker
@@ -865,6 +897,14 @@ object Functions {
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 10 END) AS BIGINT) AS q_sum,
         |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS with_quality
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_update" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id % 9 = 4 AND n_chars > 50
+        |                THEN n_chars % 97 + doc_id % 5 ELSE n_chars END) AS BIGINT) AS chars,
+        |  count(DISTINCT CASE WHEN doc_id % 9 = 4 AND n_chars > 50
+        |                      THEN 'redacted' ELSE source END) AS sources
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sorted_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 25""".stripMargin,

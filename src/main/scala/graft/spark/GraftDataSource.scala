@@ -146,6 +146,11 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft:$path"
 
+  // for the SQL UPDATE rewrite (GraftUpdateRewrite), which re-reads the
+  // table through the maintenance pass by path
+  private[spark] def tablePath: String = path
+  private[spark] def asofMs: Option[Long] = tableAsofMs
+
   /** SQL `DELETE FROM <catalog table> WHERE <pred>`, routed to
     * `GraftMaintenance.deleteWhere` — the file-scoped row-level purge pass
     * (one distributed probe job, survivor rewrites, untouched files keep

@@ -142,6 +142,9 @@ object GraftExtensions {
     if (!s.experimental.extraOptimizations.contains(GraftElementPushdown))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ GraftElementPushdown
+    if (!s.experimental.extraOptimizations.contains(GraftUpdateRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ GraftUpdateRewrite
     registerSqlFunctions(s)
   }
 

@@ -1,0 +1,116 @@
+package graft.spark
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+/** SQL `UPDATE <graft table> SET ... WHERE ...`, routed into
+  * `GraftMaintenance.updateWhere` — the file-scoped in-place rewrite pass
+  * (one distributed probe, only matched files rewrite, crash-resume
+  * names, catch-up manifests).
+  *
+  * Spark's own UPDATE path requires `SupportsRowLevelOperations`
+  * (group-based ReplaceData: scan the matched groups whole, rewrite them
+  * through a full write). graft already owns a leaner purpose-built pass
+  * with the same end state, so this rule intercepts the ANALYZED
+  * `UpdateTable` plan — analysis completes fine for any v2 table; the
+  * stock failure is at strategy time — and rewrites it to a runnable
+  * command before planning. By the time user optimizer rules run,
+  * V2ScanRelationPushDown has already turned the relation into a
+  * DataSourceV2ScanRelation, so both shapes are matched. Registered via
+  * `GraftExtensions.ensure` (experimental.extraOptimizations), which the
+  * catalog wires on first table load, so plain
+  * `spark.sql("UPDATE cat.db.t SET ...")` works with zero session
+  * configuration.
+  *
+  * Scope: assignments to top-level columns with subquery-free values and
+  * a subquery-free condition (everything `updateWhere` itself can
+  * express). Anything else falls through to Spark's stock error so the
+  * user sees the real capability boundary, never a partial update.
+  */
+object GraftUpdateRewrite extends Rule[LogicalPlan] {
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[PlanExpression[_]])
+
+  /** Re-anchor a resolved expression tree by NAME: the maintenance pass
+    * re-reads the table into a fresh DataFrame, so the plan's exprIds are
+    * meaningless there — name-based resolution against the same schema is
+    * exact (top-level names are unique in a graft table).
+    */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
+  /** (table, relation-plan-for-recache): the relation is what the cache
+    * manager canonicalizes, so a post-update recacheByPlan refreshes any
+    * cached reads of the target (recacheByPath only matches v1 file
+    * relations — measured serving stale rows here before this).
+    */
+  private def graftTableOf(plan: LogicalPlan): Option[(GraftTable, LogicalPlan)] =
+    EliminateSubqueryAliases(plan) match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        Some((r.table.asInstanceOf[GraftTable], r))
+      case s: DataSourceV2ScanRelation if s.relation.table.isInstanceOf[GraftTable] =>
+        Some((s.relation.table.asInstanceOf[GraftTable], s.relation))
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        // a cached read of the target table: withCachedData swaps the
+        // relation for the cache entry before user rules run — the
+        // builder keeps the original logical plan, which names the table
+        graftTableOf(imr.cacheBuilder.logicalPlan)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case u @ UpdateTable(aliased, assignments, cond)
+        if u.resolved && !cond.exists(hasSubquery) &&
+          !assignments.exists(a => hasSubquery(a.value)) &&
+          assignments.forall(_.key.isInstanceOf[AttributeReference]) &&
+          graftTableOf(aliased).isDefined =>
+      val (t, relationPlan) = graftTableOf(aliased).get
+      val assigns = assignments.flatMap {
+        // aligned identity assignments (col = col) are no-ops
+        case Assignment(k, v) if v.semanticEquals(k) => None
+        case Assignment(k: AttributeReference, v) =>
+          Some(k.name -> org.apache.spark.sql.GraftCatalystBridge.column(unresolve(v)))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      GraftUpdateCommand(t.tablePath, t.schema(), t.asofMs,
+        cond.map(c => org.apache.spark.sql.GraftCatalystBridge.column(unresolve(c))),
+        assigns, relationPlan)
+  }
+}
+
+/** The runnable command `GraftUpdateRewrite` plans: executes the
+  * maintenance pass and refreshes any cached reads of the table path.
+  */
+final case class GraftUpdateCommand(
+    path: String,
+    declaredSchema: org.apache.spark.sql.types.StructType,
+    asofMs: Option[Long],
+    cond: Option[org.apache.spark.sql.Column],
+    assigns: Seq[(String, org.apache.spark.sql.Column)],
+    relationPlan: LogicalPlan) extends LeafRunnableCommand {
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    require(asofMs.isEmpty, "graft: cannot UPDATE a time-travel snapshot")
+    // UPDATE with no assignments (every SET was an identity) is a no-op;
+    // an empty table (no files yet) likewise — both are SQL successes
+    if (assigns.nonEmpty &&
+        GraftUtil.listDataFiles(path, sparkSession.sessionState.newHadoopConf()).nonEmpty)
+      GraftMaintenance.updateWhere(sparkSession, path,
+        cond.getOrElse(org.apache.spark.sql.functions.lit(true)),
+        assigns.toMap,
+        schemaOverride = Some(declaredSchema))
+    // match DeleteFromTableExec's contract: cached plans over this table
+    // must not serve pre-update rows (recache by PLAN — the v2 relation is
+    // what the cache manager canonicalizes)
+    sparkSession.sharedState.cacheManager.recacheByPlan(
+      sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], relationPlan)
+    Seq.empty
+  }
+}

@@ -275,6 +275,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     rejected("ALTER TABLE graftcat.evo2.t ALTER COLUMN id TYPE STRING", "immutable")
   }
 
+  test("SQL UPDATE routes into the in-place rewrite pass") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.upd")
+    spark.sql("CREATE TABLE graftcat.upd.t AS SELECT id, id * 2 AS v, 'x' AS s FROM range(5)")
+    // expression assignments over the pre-update row, multi-column
+    spark.sql("UPDATE graftcat.upd.t SET v = v + 100, s = concat(s, '!') WHERE id >= 3")
+    val rows = spark.sql("SELECT id, v, s FROM graftcat.upd.t ORDER BY id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L, 106L, 108L))
+    assert(rows.map(_.getString(2)).toSeq == Seq("x", "x", "x", "x!", "x!"))
+    // a CACHED read must serve post-update rows (recache-by-plan contract)
+    spark.table("graftcat.upd.t").cache().count()
+    spark.sql("UPDATE graftcat.upd.t SET v = -1 WHERE id = 0")
+    assert(spark.table("graftcat.upd.t").filter("id = 0").head().getLong(1) == -1L)
+    spark.table("graftcat.upd.t").unpersist()
+    // no-match and identity-assignment updates are clean no-ops
+    spark.sql("UPDATE graftcat.upd.t SET v = 7 WHERE id = 999")
+    spark.sql("UPDATE graftcat.upd.t SET v = v WHERE id = 1")
+    assert(spark.sql("SELECT sum(v) FROM graftcat.upd.t").head().getLong(0) ==
+      (-1L + 2L + 4L + 106L + 108L))
+    // an UPDATE over an ALTER-added evolution column resolves and writes
+    spark.sql("ALTER TABLE graftcat.upd.t ADD COLUMN tag STRING")
+    spark.sql("UPDATE graftcat.upd.t SET tag = 'new' WHERE id = 1")
+    assert(spark.sql("SELECT tag FROM graftcat.upd.t WHERE id = 1").head().getString(0) == "new")
+    assert(spark.sql("SELECT count(tag) FROM graftcat.upd.t").head().getLong(0) == 1L)
+  }
+
   test("ALTER COLUMN COMMENT is metadata-only and survives data-backed reads") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo4")
     spark.sql("CREATE TABLE graftcat.evo4.t AS SELECT id, id * 2 AS v FROM range(4)")
