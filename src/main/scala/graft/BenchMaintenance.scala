@@ -39,6 +39,7 @@ object BenchMaintenance {
     name match {
       case "x_delete_where" => deleteWhereOp(spark, format, dir)
       case "x_update_where" => updateWhereOp(spark, format, dir)
+      case "x_merge_upsert" => mergeUpsertOp(spark, format, dir)
       case "x_zorder_relayout" => zorderOp(spark, format, dir)
       case "x_asof_snapshot" => asofOp(spark, format, dir)
       case "x_incremental_scan" => incrementalOp(spark, format, dir)
@@ -371,6 +372,69 @@ object BenchMaintenance {
         .withColumn("n_chars", when(p, col("n_chars") % 100).otherwise(col("n_chars")))
         .write.mode("overwrite").parquet(rw)
       redactedAgg(spark.read.parquet(rw))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** CDC upsert: a batch of changed + new docs merged by key. graft:
+    * GraftMaintenance.mergeInto — probe, rewrite only the files holding
+    * matches, append the new rows. parquet: the conventional route — full
+    * table left-anti/join reconstruction and a whole-table rewrite (no
+    * in-place machinery exists), the pass every parquet CDC pipeline pays
+    * per batch regardless of how few rows changed. Both sides end with
+    * the same verifying aggregate.
+    */
+  private def mergeUpsertOp(spark: SparkSession, format: String, dir: String): Double = {
+    val (lo0, hi0) = docBounds(spark, dir)
+    val lo = lo0 + (hi0 - lo0) * 49 / 100
+    val hi = lo0 + (hi0 - lo0) * 51 / 100
+    val src = Tables.parquet(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    // the CDC batch: the 2% band re-valued, plus the same band's ids
+    // shifted beyond the domain as brand-new rows
+    def batch(of: DataFrame): DataFrame =
+      of.filter(col("doc_id").between(lo, hi))
+        .select(col("doc_id"), col("lang"), lit("upserted").as("source"),
+          (col("n_chars") % 100).as("n_chars"))
+        .unionAll(of.filter(col("doc_id").between(lo, hi))
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+            lit("fresh").as("source"), (col("doc_id") % 31).as("n_chars")))
+    val stage = s"/tmp/graft_bench_maint/mrg_${format}_${key(dir)}"
+    rm(stage)
+    def agg(df: DataFrame): Unit =
+      df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          count(when(col("source") === "upserted" || col("source") === "fresh", 1)).as("touched"))
+        .write.mode("overwrite").format("noop").save()
+    if (format == "graft") {
+      src.write.format("graft").mode("overwrite").save(stage)
+      val t0 = System.nanoTime()
+      graft.spark.GraftMaintenance.mergeInto(spark, stage, batch(src),
+        Seq("doc_id" -> "doc_id"),
+        Map("source" -> col(graft.spark.GraftMaintenance.SrcPrefix + "source"),
+          "n_chars" -> col(graft.spark.GraftMaintenance.SrcPrefix + "n_chars")),
+        Some(Map("doc_id" -> col("doc_id"), "lang" -> col("lang"),
+          "source" -> col("source"), "n_chars" -> col("n_chars"))))
+      agg(spark.read.format("graft").load(stage))
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      src.write.mode("overwrite").parquet(stage)
+      val rw = s"${stage}_rw"
+      rm(rw)
+      val t0 = System.nanoTime()
+      val tgt = spark.read.parquet(stage)
+      val b = batch(src)
+      val updated = tgt.join(b.select(col("doc_id").as("bid"), col("source").as("bsrc"),
+          col("n_chars").as("bnc")), col("doc_id") === col("bid"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("bsrc"), col("source")).as("source"),
+          coalesce(col("bnc"), col("n_chars")).as("n_chars"))
+      val inserts = b.join(tgt.select(col("doc_id").as("tid")),
+          col("doc_id") === col("tid"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      updated.unionAll(inserts).write.mode("overwrite").parquet(rw)
+      agg(spark.read.parquet(rw))
       (System.nanoTime() - t0) / 1e9
     }
   }

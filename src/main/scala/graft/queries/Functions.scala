@@ -272,6 +272,47 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_merge" -> { (s, dir) =>
+      // pure-SQL MERGE INTO (upsert) in the correctness gate: the staged
+      // catalog table takes one CDC-style batch — matched rows re-valued
+      // through UPDATE assignments reading the source side, unmatched
+      // source rows appended through INSERT — and the post-merge aggregate
+      // must match the oracle's CASE + UNION ALL reconstruction exactly.
+      // GraftMergeRewrite routes the analyzed MergeIntoTable into
+      // GraftMaintenance.mergeInto (probe, file-scoped rewrites, one
+      // appended commit).
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_sqlmrg_stage1/$key/wh") { t =>
+        val cat = s"gmrgb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val docs = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        docs.write.format("graft").option("maxrowsperfile", "200")
+          .mode("overwrite").save(s"$t/docs")
+        val srcDf = docs.filter(col("doc_id") % 11 === 7)
+          .select(col("doc_id"), col("lang"), lit("merged").as("source"),
+            (col("n_chars") % 50 + 7).as("n_chars"))
+          .unionAll(docs.filter(col("doc_id") % 13 === 2)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+              lit("inserted").as("source"), (col("doc_id") % 31).as("n_chars")))
+        srcDf.createOrReplaceTempView(s"mrg_src_$key")
+        s.sql(s"MERGE INTO $cat.docs AS t USING mrg_src_$key AS s " +
+          "ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars, source = s.source " +
+          "WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars) " +
+          "VALUES (s.doc_id, s.lang, s.source, s.n_chars)")
+      }
+      val readCat = s"gmrgr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
     "q_sorted_topn" -> { (s, dir) =>
       // TOP-N pushdown in the correctness gate: orders staged sorted on
       // (o_totalprice, o_orderkey) — the write publishes the sort marker
@@ -904,6 +945,20 @@ object Functions {
         |  count(DISTINCT CASE WHEN doc_id % 9 = 4 AND n_chars > 50
         |                      THEN 'redacted' ELSE source END) AS sources
         |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_merge" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS sources
+        |FROM (
+        |  SELECT lang,
+        |         CASE WHEN doc_id % 11 = 7 THEN n_chars % 50 + 7 ELSE n_chars END AS n_chars,
+        |         CASE WHEN doc_id % 11 = 7 THEN 'merged' ELSE source END AS source
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, doc_id % 31 AS n_chars, 'inserted' AS source
+        |  FROM documents WHERE doc_id % 13 = 2
+        |) u
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sorted_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -145,6 +145,9 @@ object GraftExtensions {
     if (!s.experimental.extraOptimizations.contains(GraftUpdateRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ GraftUpdateRewrite
+    if (!s.experimental.extraOptimizations.contains(GraftMergeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ GraftMergeRewrite
     registerSqlFunctions(s)
   }
 

@@ -440,7 +440,7 @@ object GraftMaintenance {
         val firstT = surviving.map(GraftManifest.nameT).min
         val covered = surviving.flatMap(n => entriesOf(n).map(e => qualify(e._1))).toSet
         val expiredListed = expired.flatMap(n => entriesOf(n).map(e => qualify(e._1))).toSet
-        val survivorName = raw".*-(?:del|upd)[0-9a-f]{8}\Q${GraftUtil.Extension}\E".r.pattern
+        val survivorName = raw".*-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E".r.pattern
         val base = fs.makeQualified(tableDir).toString
         val adopt = liveFiles.filter { f =>
           val q = fs.makeQualified(f.getPath).toString
@@ -662,6 +662,256 @@ object GraftMaintenance {
       matchedCounts.values.sum, rowsTotal)
   }
 
+  /** Result of a merge: files holding matches (rewritten), untouched
+    * files, matched (updated) rows, appended rows, and the pre-merge
+    * target total. */
+  final case class MergeStats(filesRewritten: Int, filesUntouched: Int,
+      rowsUpdated: Long, rowsInserted: Long, rowsTotal: Long)
+
+  /** Reserved name prefix for the source side of a merge join: [[mergeInto]]
+    * update expressions reference source columns as `SrcPrefix + name`.
+    * Target schemas must not collide with it. */
+  val SrcPrefix = "__graft_src__"
+
+  /** MERGE (upsert): join `source` against the table on `keys`
+    * (targetCol -> sourceCol equi-pairs), apply `updateAssigns` to every
+    * MATCHED target row, and (when `insertExprs` is set) append the
+    * source rows that matched nothing — the CDC-apply / dedup-upsert pass
+    * a training corpus runs per ingest batch. Update expressions may
+    * reference target columns by name and source columns as
+    * `__graft_src__<name>`; insert expressions reference source columns
+    * by their own names.
+    *
+    * Machinery and crash contract follow [[deleteWhere]]/[[updateWhere]]:
+    * the source is materialized ONCE under the table scratch, one
+    * distributed probe maps matched rows to files, per-file rewrites
+    * publish at a deterministic name (`-mrg<hash(spec, source content)>`)
+    * so a re-run with the SAME source converges (files already carrying
+    * this merge's hash are skipped), and manifests heal through the
+    * shared expiry + catch-up pass. Convergence caveat: a re-run's
+    * matched set includes the previous run's INSERTED rows (their keys
+    * are source keys), which then take the update action — standard SQL
+    * MERGE re-run semantics, one extra rewrite pass that also stamps
+    * those files with the hash; the third run is fully quiescent. Rows
+    * are exactly-once at every point. Inserts append LAST through the
+    * normal batch write — atomic, and published under an ordinary commit
+    * manifest (an insert IS new data: incremental readers must see it,
+    * unlike the rewrites, whose catch-up coverage they skip). A crash
+    * between rewrites and insert re-runs cleanly: the anti-join still
+    * finds the unappended source rows.
+    *
+    * Scale shape: probe + anti-join are single distributed jobs; each
+    * matched file's rewrite joins one file against the materialized
+    * source (broadcast when small — the typical CDC batch). Cost is
+    * matchedFiles x sourceScan, the right trade when source << target;
+    * a merge whose source RIVALS the target should re-cluster and
+    * re-write instead (compact).
+    *
+    * Duplicate source keys are rejected (SQL MERGE cardinality rule: a
+    * target row must match at most one source row).
+    */
+  def mergeInto(spark: SparkSession, dir: String,
+      source: org.apache.spark.sql.DataFrame,
+      keys: Seq[(String, String)],
+      updateAssigns: Map[String, org.apache.spark.sql.Column],
+      insertExprs: Option[Map[String, org.apache.spark.sql.Column]],
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): MergeStats = {
+    import org.apache.spark.sql.functions.{col, lit, input_file_name, hash => shash, count => scount, sum => ssum, coalesce, when}
+    require(keys.nonEmpty, "graft: mergeInto needs at least one equi-key pair")
+    require(updateAssigns.nonEmpty || insertExprs.isDefined,
+      "graft: mergeInto with no update assignments and no insert is a no-op")
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    val files = GraftUtil.listDataFiles(dir, conf)
+    // an EMPTY target is legal when the merge inserts (every source row is
+    // unmatched) — a fresh table populated by its first CDC batch
+    require(files.nonEmpty || insertExprs.isDefined,
+      s"graft: nothing to merge into under $dir")
+    require(files.nonEmpty || schemaOverride.isDefined,
+      s"graft: merging into an empty directory needs an explicit schema")
+    val manifestSnapshot = GraftManifest.list(fs, tableDir)
+    val table = schemaOverride match {
+      case Some(sc) => spark.read.format("graft").schema(sc).load(dir)
+      case None => spark.read.format("graft").load(dir)
+    }
+    val schema = table.schema
+    require(!schema.fieldNames.exists(_.startsWith(SrcPrefix)),
+      s"graft: target column names must not start with the reserved '$SrcPrefix'")
+    def targetField(c: String): org.apache.spark.sql.types.StructField =
+      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: merge target column '$c' does not exist " +
+            s"(table has: ${schema.fieldNames.mkString(", ")})"))
+    val keyPairs = keys.map { case (t, s) => (targetField(t).name, s) }
+    val normAssigns = updateAssigns.toSeq.map { case (c, e) =>
+      val f = targetField(c); f.name -> e.cast(f.dataType)
+    }
+    locally { // partition path columns cannot be reassigned in place
+      val partCols = files.flatMap(f =>
+        GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+      val hit = normAssigns.map(_._1).filter(c => partCols.exists(_.equalsIgnoreCase(c)))
+      require(hit.isEmpty,
+        s"graft: mergeInto cannot assign hive-partition path column(s) ${hit.mkString(", ")}")
+    }
+    insertExprs.foreach { ie =>
+      val missing = schema.fieldNames.filterNot(f => ie.keys.exists(_.equalsIgnoreCase(f)))
+      require(missing.isEmpty,
+        s"graft: merge INSERT must provide every target column; missing: ${missing.mkString(", ")}")
+    }
+    // materialize the source ONCE (it may be an arbitrarily expensive
+    // frame, and the per-file rewrites each join against it)
+    val srcScratch = new org.apache.hadoop.fs.Path(tableDir,
+      s"_graft_tmp_merge/src-${java.util.UUID.randomUUID().toString.take(8)}")
+    source.write.format("graft").mode("overwrite").save(srcScratch.toString)
+    try {
+      val src = spark.read.format("graft").load(srcScratch.toString)
+      val srcKeyCols = keyPairs.map(_._2).map(src(_))
+      // ONE agg job serves both the SQL MERGE cardinality rule and the
+      // content fingerprint below (driver-sequenced jobs are the whole
+      // fixed cost of this pass at small batch sizes)
+      val fp = src.agg(scount(lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct(srcKeyCols.head, srcKeyCols.tail: _*).as("nd"),
+        ssum(shash(srcKeyCols: _*).cast("long")).as("kh")).collect()(0)
+      require(fp.getLong(0) == fp.getLong(1),
+        s"graft: merge source has duplicate keys (${fp.getLong(0)} rows, " +
+          s"${fp.getLong(1)} distinct) — a target row must match at most one source row")
+      // deterministic content fingerprint: same spec + same source rows =>
+      // same rewrite names, so a crashed run's re-execution converges
+      val mrgHash = {
+        val rendered = keyPairs.mkString(";") + "|" +
+          normAssigns.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";") + "|" +
+          insertExprs.map(_.toSeq.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";")).getOrElse("-") +
+          s"|${fp.getLong(0)}|${if (fp.isNullAt(2)) 0L else fp.getLong(2)}"
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(4).map(b => f"$b%02x").mkString
+      }
+      // broadcast the materialized source when it is dimension-sized —
+      // the typical CDC batch against a large table
+      val srcBytes = GraftUtil.listDataFiles(srcScratch.toString, conf).map(_.getLen).sum
+      val broadcastSrc = srcBytes <=
+        math.max(0L, org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold)
+      def hinted(df: org.apache.spark.sql.DataFrame) =
+        if (broadcastSrc) df.hint("broadcast") else df
+      val rowsTotal = {
+        if (files.isEmpty) 0L
+        else {
+          val c = GraftScan.rowCount(files, conf)
+          if (c.isPresent) c.getAsLong else table.count()
+        }
+      }
+      // ---- probe: matched rows -> files, plus per-file matched counts ----
+      val joinCond = keyPairs.map { case (t, s) => table(t) === src(s) }.reduce(_ && _)
+      val matchedCounts: Map[String, Long] =
+        if (normAssigns.isEmpty || files.isEmpty) Map.empty // insert-only / empty target
+        else table.join(hinted(src), joinCond, "left_semi")
+          .groupBy(input_file_name().as("f")).agg(scount(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (matchedCounts.nonEmpty) {
+        val known = files.map(_.getPath.toString).toSet
+        require(matchedCounts.keys.forall(f => f.nonEmpty && known.contains(f)),
+          "graft: mergeInto probe returned file names outside the table listing")
+      }
+      // files already carrying THIS merge's hash are converged work from a
+      // crashed run — never re-rewritten (names would otherwise grow)
+      val matchedFiles = files.filter { f =>
+        matchedCounts.contains(f.getPath.toString) &&
+          !f.getPath.getName.contains(s"-mrg$mrgHash")
+      }
+      // the rewrite replaces values on arbitrary columns — a whole-table
+      // sort guarantee cannot survive when a sort column is assigned
+      if (matchedFiles.nonEmpty &&
+          GraftSortMarker.read(fs, tableDir).exists(cols =>
+            cols.exists(c => normAssigns.exists(_._1.equalsIgnoreCase(c)))))
+        GraftSortMarker.clear(fs, tableDir)
+      // source side renamed behind the reserved prefix + a match flag
+      val srcRenamed = src.columns.foldLeft(src)((d, c) =>
+        d.withColumnRenamed(c, SrcPrefix + c))
+        .withColumn(SrcPrefix + "exists", lit(true))
+      val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, matchedFiles.size)))
+      val tasks = matchedFiles.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
+          val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
+          val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
+          val mrgPath = new org.apache.hadoop.fs.Path(
+            f.getPath.getParent, s"$base-mrg$mrgHash${GraftUtil.Extension}")
+          if (fs.exists(mrgPath)) {
+            fs.delete(f.getPath, false)
+            rewrittenN.incrementAndGet()
+          } else {
+            val cond = keyPairs.map { case (t, s) =>
+              one(t) === col(SrcPrefix + s) }.reduce(_ && _)
+            val joined = one.join(hinted(srcRenamed), cond, "left")
+            val assignOf = normAssigns.toMap
+            val matched = col(SrcPrefix + "exists").isNotNull
+            val projected = joined.select(schema.fields.map { fld =>
+              assignOf.get(fld.name) match {
+                case Some(e) => when(matched, e).otherwise(col(fld.name)).as(fld.name)
+                case None => col(fld.name)
+              }
+            }.toIndexedSeq: _*)
+            val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
+            val scratch = new org.apache.hadoop.fs.Path(
+              tableDir, s"_graft_tmp_merge/sv/$base-$mrgHash")
+            val w = projected.coalesce(1).write.format("graft").mode("overwrite")
+            (if (segs.nonEmpty) w.option("partitionby", segs.mkString(","))
+             else w).save(scratch.toString)
+            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+            require(produced.size == 1,
+              s"graft: merge rewrite of ${f.getPath} produced ${produced.size} files")
+            val wrote = GraftScan.rowCount(produced, conf)
+            val orig = GraftScan.rowCount(Seq(f), conf)
+            require(!wrote.isPresent || !orig.isPresent ||
+              wrote.getAsLong == orig.getAsLong,
+              s"graft: merge rewrite of ${f.getPath} changed the row count " +
+                s"($orig -> $wrote) — refusing to retire the original")
+            require(fs.rename(produced.head.getPath, mrgPath),
+              s"graft: failed to publish merge rewrite of ${f.getPath} at $mrgPath")
+            fs.delete(scratch, true)
+            fs.delete(f.getPath, false)
+            rewrittenN.incrementAndGet()
+          }
+        }})
+      }
+      try tasks.foreach(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          throw Option(e.getCause).getOrElse(e)
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      }
+      // manifests heal BEFORE the insert: the rewrites' catch-up coverage
+      // must never adopt the insert's files (those belong to the ordinary
+      // commit manifest the append publishes)
+      healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
+      // ---- inserts: source rows that matched nothing, appended last ----
+      val rowsInserted = insertExprs match {
+        case None => 0L
+        case Some(ie) =>
+          val post = spark.read.format("graft").schema(schema).load(dir)
+          val antiCond = keyPairs.map { case (t, s) => post(t) === src(s) }.reduce(_ && _)
+          val missing = src.join(post, antiCond, "left_anti")
+          val rows = missing.select(schema.fields.map { fld =>
+            val e = ie.find(_._1.equalsIgnoreCase(fld.name)).get._2
+            e.cast(fld.dataType).as(fld.name)
+          }.toIndexedSeq: _*)
+          val n = missing.count()
+          if (n > 0) rows.write.format("graft").mode("append").save(dir)
+          n
+      }
+      MergeStats(rewrittenN.get(), files.size - rewrittenN.get(),
+        matchedCounts.values.sum, rowsInserted, rowsTotal)
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_merge"), true)
+    }
+  }
+
   /** Manifest retention: delete commit manifests older than `olderThanMs`
     * (epoch millis). Data files are NEVER touched — a file whose manifest
     * is expired simply becomes "pre-manifest history", visible in every
@@ -760,8 +1010,8 @@ object GraftMaintenance {
           sweepTmps(f.getPath)
       }
     sweepTmps(tableDir)
-    // (2) deleteWhere / updateWhere scratch
-    Seq("_graft_tmp_delete", "_graft_tmp_update").foreach { sd =>
+    // (2) deleteWhere / updateWhere / mergeInto scratch
+    Seq("_graft_tmp_delete", "_graft_tmp_update", "_graft_tmp_merge").foreach { sd =>
       val scratchDir = new Path(tableDir, sd)
       if (fs.exists(scratchDir)) {
         def sweepScratch(d: Path): Unit = {

@@ -51,7 +51,7 @@ object GraftUpdateRewrite extends Rule[LogicalPlan] {
     * cached reads of the target (recacheByPath only matches v1 file
     * relations — measured serving stale rows here before this).
     */
-  private def graftTableOf(plan: LogicalPlan): Option[(GraftTable, LogicalPlan)] =
+  private[spark] def graftTableOf(plan: LogicalPlan): Option[(GraftTable, LogicalPlan)] =
     EliminateSubqueryAliases(plan) match {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         Some((r.table.asInstanceOf[GraftTable], r))
@@ -82,6 +82,118 @@ object GraftUpdateRewrite extends Rule[LogicalPlan] {
       GraftUpdateCommand(t.tablePath, t.schema(), t.asofMs,
         cond.map(c => org.apache.spark.sql.GraftCatalystBridge.column(unresolve(c))),
         assigns, relationPlan)
+  }
+}
+
+/** SQL `MERGE INTO <graft table> USING <source> ON <equi-keys> WHEN
+  * MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN INSERT ...`, routed into
+  * `GraftMaintenance.mergeInto` — the CDC-upsert pass (probe, file-scoped
+  * rewrites of matched files, one appended commit for the unmatched
+  * source rows). Same interception point as [[GraftUpdateRewrite]].
+  *
+  * Scope (everything else falls through to Spark's stock error):
+  *   - ON condition: conjunction of target-column = source-column pairs
+  *   - matched actions: at most ONE unconditional UPDATE
+  *   - not-matched actions: at most ONE unconditional INSERT covering
+  *     every target column (`INSERT *` arrives aligned from the analyzer)
+  *   - no NOT MATCHED BY SOURCE clauses, no schema evolution, no
+  *     subqueries in any action expression
+  */
+object GraftMergeRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, MergeIntoTable, UpdateAction}
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[PlanExpression[_]])
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case m: MergeIntoTable if m.resolved && !m.withSchemaEvolution &&
+        m.notMatchedBySourceActions.isEmpty &&
+        GraftUpdateRewrite.graftTableOf(m.targetTable).isDefined =>
+      val (t, relationPlan) = GraftUpdateRewrite.graftTableOf(m.targetTable).get
+      val targetOut = m.targetTable.outputSet
+      val sourceOut = m.sourceTable.outputSet
+      def unresolve(e: Expression): Expression = e.transform {
+        case a: AttributeReference if targetOut.contains(a) =>
+          UnresolvedAttribute(Seq(a.name))
+        case a: AttributeReference if sourceOut.contains(a) =>
+          UnresolvedAttribute(Seq(GraftMaintenance.SrcPrefix + a.name))
+      }
+      def srcOnly(e: Expression): Expression = e.transform {
+        case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      }
+      // ON: every conjunct must be target-col = source-col
+      val keys = conjuncts(m.mergeCondition).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if targetOut.contains(a) && sourceOut.contains(b) => Some((a.name, b.name))
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if targetOut.contains(a) && sourceOut.contains(b) => Some((a.name, b.name))
+        case _ => None
+      }
+      val updateOk = m.matchedActions match {
+        case Seq() => true
+        case Seq(UpdateAction(None, as, _)) =>
+          as.forall(a => a.key.isInstanceOf[AttributeReference] &&
+            !hasSubquery(a.value) &&
+            a.value.references.forall(r => targetOut.contains(r) || sourceOut.contains(r)))
+        case _ => false
+      }
+      val insertOk = m.notMatchedActions match {
+        case Seq() => true
+        case Seq(InsertAction(None, as)) =>
+          as.forall(a => a.key.isInstanceOf[AttributeReference] &&
+            !hasSubquery(a.value) &&
+            // an inserted row has no target side to read from
+            a.value.references.forall(sourceOut.contains))
+        case _ => false
+      }
+      if (keys.isEmpty || keys.exists(_.isEmpty) || !updateOk || !insertOk ||
+          (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty))
+        m // out of scope: keep the stock error
+      else {
+        val updateAssigns = m.matchedActions.headOption.toSeq.flatMap {
+          case UpdateAction(_, as, _) => as.map(a =>
+            a.key.asInstanceOf[AttributeReference].name ->
+              org.apache.spark.sql.GraftCatalystBridge.column(unresolve(a.value)))
+          case _ => Seq.empty
+        }
+        val insertExprs = m.notMatchedActions.headOption.map {
+          case InsertAction(_, as) => as.map(a =>
+            a.key.asInstanceOf[AttributeReference].name ->
+              org.apache.spark.sql.GraftCatalystBridge.column(srcOnly(a.value)))
+          case _ => Seq.empty
+        }
+        GraftMergeCommand(t.tablePath, t.schema(), t.asofMs, m.sourceTable,
+          keys.flatten, updateAssigns, insertExprs, relationPlan)
+      }
+  }
+}
+
+/** The runnable command `GraftMergeRewrite` plans. */
+final case class GraftMergeCommand(
+    path: String,
+    declaredSchema: org.apache.spark.sql.types.StructType,
+    asofMs: Option[Long],
+    sourcePlan: LogicalPlan,
+    keys: Seq[(String, String)],
+    updateAssigns: Seq[(String, org.apache.spark.sql.Column)],
+    insertExprs: Option[Seq[(String, org.apache.spark.sql.Column)]],
+    relationPlan: LogicalPlan) extends LeafRunnableCommand {
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    require(asofMs.isEmpty, "graft: cannot MERGE into a time-travel snapshot")
+    val src = org.apache.spark.sql.GraftCatalystBridge.ofRows(sparkSession, sourcePlan)
+    GraftMaintenance.mergeInto(sparkSession, path, src, keys,
+      updateAssigns.toMap, insertExprs.map(_.toMap),
+      schemaOverride = Some(declaredSchema))
+    sparkSession.sharedState.cacheManager.recacheByPlan(
+      sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], relationPlan)
+    Seq.empty
   }
 }
 

@@ -300,6 +300,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(tag) FROM graftcat.upd.t").head().getLong(0) == 1L)
   }
 
+  test("SQL MERGE INTO routes into the upsert pass; unsupported shapes keep the stock error") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg")
+    spark.sql("CREATE TABLE graftcat.mrg.t AS SELECT id, id * 2 AS v, 'keep' AS s FROM range(5)")
+    spark.sql("CREATE TABLE graftcat.mrg.src AS " +
+      "SELECT id + 3 AS id, 1000 + id AS v, 'new' AS s FROM range(4)")
+    spark.sql("MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.sql("SELECT id, v, s FROM graftcat.mrg.t ORDER BY id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L, 1000L, 1001L, 1002L, 1003L))
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("keep", "keep", "keep", "new", "new", "new", "new"))
+    // partial update mixing both sides, no insert clause
+    spark.sql("MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + s.v")
+    assert(spark.sql("SELECT v FROM graftcat.mrg.t WHERE id = 3").head().getLong(0) == 2000L)
+    // insert-only merge re-run inserts nothing (all matched)
+    spark.sql("MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT count(*) FROM graftcat.mrg.t").head().getLong(0) == 7L)
+    // out-of-scope shapes fall through to Spark's stock unsupported error:
+    // a non-equi ON condition ...
+    val e1 = intercept[Exception](spark.sql(
+      "MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id < s.id " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    assert(e1.getMessage.contains("MERGE"), e1.getMessage)
+    // ... and NOT MATCHED BY SOURCE clauses
+    val e2 = intercept[Exception](spark.sql(
+      "MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+    assert(e2.getMessage.contains("MERGE"), e2.getMessage)
+  }
+
   test("ALTER COLUMN COMMENT is metadata-only and survives data-backed reads") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo4")
     spark.sql("CREATE TABLE graftcat.evo4.t AS SELECT id, id * 2 AS v FROM range(4)")

@@ -379,6 +379,80 @@ class GraftMaintenanceSpec extends AnyFunSuite {
       "re-run must converge back to exactly-once contents")
   }
 
+  test("mergeInto: matched files rewrite in place, unmatched source rows append") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maint-merge"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v", "'old' AS s")
+      .repartition(4).write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val src = spark.range(90, 110).selectExpr("id AS k", "id * 100 AS v", "'src' AS s")
+    import graft.spark.{GraftMaintenance => M}
+    val pre = s"${M.SrcPrefix}"
+    val stats = M.mergeInto(spark, dir, src, Seq("k" -> "k"),
+      Map("v" -> col(pre + "v"), "s" -> lit("merged")),
+      Some(Map("k" -> col("k"), "v" -> col("v"), "s" -> col("s"))))
+    assert(stats.rowsUpdated == 10 && stats.rowsInserted == 10 && stats.rowsTotal == 100)
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 110)
+    assert(after.filter(col("k").between(90, 99))
+      .collect().forall(r => r.getLong(1) == r.getLong(0) * 100 && r.getString(2) == "merged"))
+    assert(after.filter(col("k") >= 100)
+      .collect().forall(r => r.getLong(1) == r.getLong(0) * 100 && r.getString(2) == "src"))
+    assert(after.filter(col("k") < 90 && col("s") =!= "old").count() == 0)
+    // re-running the SAME merge is exactly-once on rows: nothing
+    // re-inserts. Standard MERGE semantics: run 2's matched set includes
+    // run 1's inserted rows, so they take the UPDATE action (s='merged');
+    // run 3 is then fully quiescent (every file carries the merge hash)
+    val again = M.mergeInto(spark, dir, src, Seq("k" -> "k"),
+      Map("v" -> col(pre + "v"), "s" -> lit("merged")),
+      Some(Map("k" -> col("k"), "v" -> col("v"), "s" -> col("s"))))
+    assert(again.rowsInserted == 0, s"re-run must not re-insert, got $again")
+    assert(spark.read.format("graft").load(dir).count() == 110)
+    assert(spark.read.format("graft").load(dir).filter(col("k") >= 90)
+      .collect().forall(r => r.getLong(1) == r.getLong(0) * 100 && r.getString(2) == "merged"))
+    val third = M.mergeInto(spark, dir, src, Seq("k" -> "k"),
+      Map("v" -> col(pre + "v"), "s" -> lit("merged")),
+      Some(Map("k" -> col("k"), "v" -> col("v"), "s" -> col("s"))))
+    assert(third.filesRewritten == 0 && third.rowsInserted == 0,
+      s"third run must be fully quiescent, got $third")
+    // duplicate source keys violate the MERGE cardinality rule
+    val e = intercept[IllegalArgumentException](
+      M.mergeInto(spark, dir, src.union(src), Seq("k" -> "k"),
+        Map("v" -> col(pre + "v")), None))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("mergeInto: incremental readers see only inserts; fresh streams see everything") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maint-merge-cdc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(40).selectExpr("id AS k", "id AS v").coalesce(2)
+      .write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val t0 = GraftManifest.list(
+      new Path(dir).getFileSystem(hconf), new Path(dir))
+      .map(GraftManifest.nameT).max
+    Thread.sleep(5)
+    val src = spark.range(35, 45).selectExpr("id AS k", "id * 10 AS v")
+    import graft.spark.{GraftMaintenance => M}
+    M.mergeInto(spark, dir, src, Seq("k" -> "k"),
+      Map("v" -> col(s"${M.SrcPrefix}v")),
+      Some(Map("k" -> col("k"), "v" -> col("v"))))
+    // a `since` window spanning the merge delivers exactly the INSERTED
+    // rows: the rewrites ride a catch-up manifest incremental readers skip
+    val delta = spark.read.format("graft").option("since", t0.toString).load(dir)
+    assert(delta.collect().map(_.getLong(0)).sorted.toSeq == (40L until 45L),
+      "since-window must hold exactly the merge's inserted rows")
+    // a fresh stream's view matches the batch view file for file
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    val ms = new GraftMicroBatchStream(dir, new SerializableHadoopConf(hconf), schemaJson)
+    val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
+    val planned = ms.planInputPartitions(GraftStreamOffset.Empty, o1)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    assert(planned == GraftUtil.listDataFiles(dir, hconf).map(_.getPath.toString).toSet)
+  }
+
   test("vacuum removes aged staging junk, never live data or young tmps") {
     import org.apache.hadoop.fs.Path
     val dir = "/tmp/graft-test/maintenance-vacuum"
