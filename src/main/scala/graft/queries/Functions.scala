@@ -282,7 +282,7 @@ object Functions {
       // GraftMaintenance.mergeInto (probe, file-scoped rewrites, one
       // appended commit).
       val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
-      val stage = stagedOnce(s"/tmp/graft_sqlmrg_stage1/$key/wh") { t =>
+      val stage = stagedOnce(s"/tmp/graft_sqlmrg_stage2/$key/wh") { t =>
         val cat = s"gmrgb_$key"
         s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
@@ -294,7 +294,7 @@ object Functions {
           .select(col("doc_id"), col("lang"), lit("merged").as("source"),
             (col("n_chars") % 50 + 7).as("n_chars"))
           .unionAll(docs.filter(col("doc_id") % 13 === 2)
-            .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
               lit("inserted").as("source"), (col("doc_id") % 31).as("n_chars")))
         srcDf.createOrReplaceTempView(s"mrg_src_$key")
         s.sql(s"MERGE INTO $cat.docs AS t USING mrg_src_$key AS s " +

@@ -253,116 +253,15 @@ object GraftMaintenance {
     // small pool: the 1-2 short Spark jobs each file needs then overlap
     // instead of paying driver job-sequencing latency serially — that
     // sequencing was the whole x_delete_where gap vs a plain
-    // filter-and-rewrite. Crash-resume semantics are per-file and unchanged.
+    // filter-and-rewrite. Crash-resume semantics are per-file (scaffold).
     val matchedFiles = files.filter(f => matched.contains(f.getPath.toString))
-    val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(8, matchedFiles.size)))
-    val rewriteTasks = matchedFiles.map { f =>
-      pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
-        val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
-        val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
-        // change feed FIRST, before any rewrite or retire: once the original
-        // is gone the deleted rows are unrecoverable, so the crash order
-        // must be changelog -> survivors -> retire. Deterministic name =
-        // idempotent on resume. Written flat (partition values are IN the
-        // data, so feed rows stay self-describing without the layout).
-        if (changelog) {
-          val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
-          val clPath = new org.apache.hadoop.fs.Path(
-            clDir, s"$base-del$predHash${GraftUtil.Extension}")
-          if (!fs.exists(clPath)) {
-            val scratch = new org.apache.hadoop.fs.Path(
-              tableDir, s"_graft_tmp_delete/cl/$base-$predHash")
-            one.filter(predicate).coalesce(1)
-              .write.format("graft").mode("overwrite").save(scratch.toString)
-            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
-            require(produced.size == 1,
-              s"graft: changelog write for ${f.getPath} produced ${produced.size} files")
-            fs.mkdirs(clDir)
-            require(fs.rename(produced.head.getPath, clPath),
-              s"graft: failed to publish change feed for ${f.getPath} at $clPath")
-            fs.delete(scratch, true)
-          }
-        }
-        val survivorPath = new org.apache.hadoop.fs.Path(
-          f.getPath.getParent, s"$base-del$predHash${GraftUtil.Extension}")
-        if (fs.exists(survivorPath)) {
-          // a prior run of this same delete crashed between publishing the
-          // survivors and retiring the original: the survivors are already
-          // live (and counted when this pass probes that file), so writing
-          // them again would duplicate every kept row — just retire
-          fs.delete(f.getPath, false)
-          rewrittenN.incrementAndGet()
-        } else {
-          val keep = one.filter(!predicate || predicate.isNull)
-          // write the survivors to a scratch dir under the table (hidden
-          // from readers by the '_' prefix), re-declaring the file's own
-          // partition layout (keys recoverable from its path), then
-          // atomically rename the single output into the file's partition
-          // directory at the deterministic name; then retire exactly this
-          // file. The all-deleted check reads the produced file's FOOTER
-          // instead of running a separate count job first.
-          val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
-          // survivor scratch is namespaced apart from the changelog scratch:
-          // a sibling data file literally named "cl-<base>.graft" must not
-          // collide scratch dirs with <base>.graft's changelog pass
-          val scratch = new org.apache.hadoop.fs.Path(
-            tableDir, s"_graft_tmp_delete/sv/$base-$predHash")
-          val w = keep.coalesce(1).write.format("graft").mode("overwrite")
-          (if (segs.nonEmpty) w.option("partitionby", segs.mkString(","))
-           else w).save(scratch.toString)
-          // an all-rows-deleted file writes NO survivor output (the graft
-          // writer emits no file for an empty frame) — nothing to publish
-          val produced = GraftUtil.listDataFiles(scratch.toString, conf)
-          require(produced.size <= 1,
-            s"graft: delete rewrite of ${f.getPath} produced ${produced.size} files")
-          val keptRows = GraftScan.rowCount(produced, conf)
-          if (produced.nonEmpty && !(keptRows.isPresent && keptRows.getAsLong == 0L)) {
-            // Hadoop rename reports most failures by RETURNING FALSE; the
-            // original must never be retired unless its survivors are
-            // durably published
-            require(fs.rename(produced.head.getPath, survivorPath),
-              s"graft: failed to publish survivors of ${f.getPath} at $survivorPath")
-          }
-          fs.delete(scratch, true)
-          fs.delete(f.getPath, false)
-          rewrittenN.incrementAndGet()
-        }
-      }})
-    }
-    try rewriteTasks.foreach(_.get())
-    catch {
-      case e: java.util.concurrent.ExecutionException =>
-        // a failed rewrite must not leave ZOMBIE tasks mutating the table
-        // behind the caller's back (racing an immediate re-run on the same
-        // scratch/survivor paths) — cancel the queue and wait out the
-        // stragglers before surfacing the failure
-        pool.shutdownNow()
-        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-        throw Option(e.getCause).getOrElse(e)
-    } finally {
-      pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-    }
-    val rewritten = rewrittenN.get()
-    // best-effort scratch cleanup (a crash mid-write can orphan a dir)
-    fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_delete"), true)
-    // make this pass's change files (and any a crashed run left behind)
-    // visible to windowed feed readers: one manifest covering every feed
-    // file no earlier manifest lists. Published AFTER the rewrites, so a
-    // `since` window only ever sees a delete whose table state it can trust.
-    if (changelog) {
-      val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
-      val clFiles = GraftUtil.listDataFiles(clDir.toString, conf)
-      if (clFiles.nonEmpty) {
-        val covered = GraftManifest.list(fs, clDir)
-          .flatMap(m => GraftManifest.read(fs, clDir, m).map(_._1)).toSet
-        GraftManifest.publish(fs, clDir,
-          clFiles.map(f => (f.getPath.getName, f.getLen))
-            .filterNot(e => covered.contains(e._1)))
-      }
-    }
+    val rewritten = rewriteMatchedFiles(spark, conf, fs, tableDir,
+      matchedFiles, schema, RewriteSpec(
+        tag = "del", hash = predHash,
+        changelogOf = if (changelog) Some(df => df.filter(predicate)) else None,
+        projectOf = df => df.filter(!predicate || predicate.isNull),
+        allowEmpty = true, sameCount = false))
+    if (changelog) publishChangeFeed(conf, fs, tableDir)
     val untouched = files.size - rewritten
     val rowsAfter = { // footer-only recount of the surviving table
       val survivors = GraftUtil.listDataFiles(dir, conf)
@@ -466,6 +365,183 @@ object GraftMaintenance {
       }
   }
 
+  /** One row-level rewrite pass, parameterized per op — the scaffold
+    * deleteWhere / updateWhere / mergeInto share so the concurrency and
+    * crash machinery exists exactly once (the three hand-rolled copies
+    * had already drifted: only merge carried the converged-file guard,
+    * and scratch/changelog identities collided across hive partition
+    * directories — see the per-field notes).
+    *
+    * @param tag         output-name marker: del | upd | mrg
+    * @param hash        8-hex deterministic fingerprint of the op's spec
+    *                    (and, for merge, the source content) — re-runs of
+    *                    the SAME op converge on the same names
+    * @param changelogOf when set, rows to publish to the `_graft_changes`
+    *                    feed BEFORE any rewrite or retire (deleted rows /
+    *                    pre-images — unrecoverable once the original is
+    *                    gone)
+    * @param projectOf   the rewritten contents of one file
+    * @param allowEmpty  delete only: an all-rows-removed file publishes
+    *                    no output at all
+    * @param sameCount   update/merge: the rewrite must preserve the
+    *                    file's cardinality or the original is kept
+    */
+  private final case class RewriteSpec(
+      tag: String, hash: String,
+      changelogOf: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame],
+      projectOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      allowEmpty: Boolean, sameCount: Boolean)
+
+  private def scratchRootOf(tag: String): String = tag match {
+    case "del" => "_graft_tmp_delete"
+    case "upd" => "_graft_tmp_update"
+    case _ => "_graft_tmp_merge"
+  }
+
+  /** Concurrent per-file rewrites with deterministic crash-resume names.
+    * Files already carrying `-<tag><hash>` in their NAME are converged
+    * output of a previous run of this same op and are skipped outright —
+    * without this, a crash re-run whose predicate still matches the
+    * rewritten rows would apply a non-idempotent assignment twice (and a
+    * task pair could race original-vs-output into duplicated rows).
+    * Returns the rewritten-file count.
+    */
+  private def rewriteMatchedFiles(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path,
+      matched: Seq[org.apache.hadoop.fs.FileStatus],
+      schema: org.apache.spark.sql.types.StructType,
+      spec: RewriteSpec): Int = {
+    val marker = s"-${spec.tag}${spec.hash}"
+    val work = matched.filterNot(_.getPath.getName.contains(marker))
+    val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
+    if (work.isEmpty) return 0
+    val scratchRoot = scratchRootOf(spec.tag)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, work.size)))
+    val tasks = work.map { f =>
+      pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
+        val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
+        val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
+        val segs = GraftUtil.partitionSegments(tableDir, f.getPath)
+        // scratch/changelog identity must include the PARTITION segments:
+        // hive layouts legally hold identically-named files in different
+        // k=v dirs (the writer's per-dir sequence restarts at 0), and a
+        // basename-only identity made one partition's changelog publish
+        // mask the other's (permanent feed row loss) and let two tasks
+        // overwrite each other's scratch output
+        val ident = (segs.map { case (k, v) => s"$k=$v" } :+ base)
+          .mkString("~").replaceAll("[^a-zA-Z0-9_.=~-]", "_")
+        // change feed FIRST: once the original is retired those rows are
+        // unrecoverable, so the crash order is changelog -> output ->
+        // retire; the deterministic name makes resume idempotent. Written
+        // flat — partition values are IN the data, feed rows stay
+        // self-describing without the layout.
+        spec.changelogOf.foreach { mk =>
+          val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+          val clPath = new org.apache.hadoop.fs.Path(
+            clDir, s"$ident$marker${GraftUtil.Extension}")
+          if (!fs.exists(clPath)) {
+            val scratch = new org.apache.hadoop.fs.Path(
+              tableDir, s"$scratchRoot/cl/$ident-${spec.hash}")
+            mk(one).coalesce(1)
+              .write.format("graft").mode("overwrite").save(scratch.toString)
+            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+            require(produced.size == 1,
+              s"graft: changelog write for ${f.getPath} produced ${produced.size} files")
+            fs.mkdirs(clDir)
+            require(fs.rename(produced.head.getPath, clPath),
+              s"graft: failed to publish change feed for ${f.getPath} at $clPath")
+            fs.delete(scratch, true)
+          }
+        }
+        // the OUTPUT lives beside its original (same partition dir), so
+        // the basename alone names it uniquely there
+        val outPath = new org.apache.hadoop.fs.Path(
+          f.getPath.getParent, s"$base$marker${GraftUtil.Extension}")
+        if (fs.exists(outPath)) {
+          // a prior run of this same op crashed between publishing the
+          // output and retiring the original — the output is live (and
+          // was counted when this pass probed), so just retire
+          fs.delete(f.getPath, false)
+          rewrittenN.incrementAndGet()
+        } else {
+          val scratch = new org.apache.hadoop.fs.Path(
+            tableDir, s"$scratchRoot/sv/$ident-${spec.hash}")
+          val w = spec.projectOf(one).coalesce(1)
+            .write.format("graft").mode("overwrite")
+          (if (segs.nonEmpty) w.option("partitionby", segs.map(_._1).mkString(","))
+           else w).save(scratch.toString)
+          val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+          if (spec.allowEmpty)
+            require(produced.size <= 1,
+              s"graft: rewrite of ${f.getPath} produced ${produced.size} files")
+          else
+            require(produced.size == 1,
+              s"graft: rewrite of ${f.getPath} produced ${produced.size} files")
+          val wrote = GraftScan.rowCount(produced, conf)
+          if (spec.sameCount) {
+            val orig = GraftScan.rowCount(Seq(f), conf)
+            require(!wrote.isPresent || !orig.isPresent ||
+              wrote.getAsLong == orig.getAsLong,
+              s"graft: rewrite of ${f.getPath} changed the row count " +
+                s"($orig -> $wrote) — refusing to retire the original")
+          }
+          // Hadoop rename reports most failures by RETURNING FALSE; the
+          // original is never retired unless its output is durably
+          // published (an all-rows-removed delete publishes nothing)
+          if (produced.nonEmpty && !(spec.allowEmpty &&
+              wrote.isPresent && wrote.getAsLong == 0L)) {
+            require(fs.rename(produced.head.getPath, outPath),
+              s"graft: failed to publish rewrite of ${f.getPath} at $outPath")
+          }
+          fs.delete(scratch, true)
+          fs.delete(f.getPath, false)
+          rewrittenN.incrementAndGet()
+        }
+      }})
+    }
+    try tasks.foreach(_.get())
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        // a failed rewrite must not leave ZOMBIE tasks mutating the table
+        // behind the caller's back (racing an immediate re-run on the same
+        // scratch/output paths) — cancel the queue and wait out stragglers
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw Option(e.getCause).getOrElse(e)
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
+    // best-effort scratch cleanup (a crash mid-write can orphan a dir) —
+    // only the rewrite subdirs: merge keeps its materialized SOURCE under
+    // the same root and still needs it for the insert pass
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"$scratchRoot/cl"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"$scratchRoot/sv"), true)
+    rewrittenN.get()
+  }
+
+  /** Publish any unlisted `_graft_changes` feed files under one feed
+    * manifest, AFTER the rewrites — a `since` window only ever sees a
+    * change batch whose table state it can trust. Also adopts files a
+    * crashed run left unpublished.
+    */
+  private def publishChangeFeed(conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path): Unit = {
+    val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+    val clFiles = GraftUtil.listDataFiles(clDir.toString, conf)
+    if (clFiles.nonEmpty) {
+      val covered = GraftManifest.list(fs, clDir)
+        .flatMap(m => GraftManifest.read(fs, clDir, m).map(_._1)).toSet
+      GraftManifest.publish(fs, clDir,
+        clFiles.map(f => (f.getPath.getName, f.getLen))
+          .filterNot(e => covered.contains(e._1)))
+    }
+  }
+
   /** Result of a row-level update: files holding matches (rewritten),
     * untouched files, rows the predicate matched, and the table total. */
   final case class UpdateStats(filesRewritten: Int, filesUntouched: Int,
@@ -497,6 +573,13 @@ object GraftMaintenance {
     * compact instead) and to columns absent from the schema. A whole-table
     * sort marker is cleared when an assignment targets one of its columns
     * (updated values need not preserve the order).
+    *
+    * Re-run contract: running the IDENTICAL update again is treated as
+    * crash RESUMPTION — files already carrying this update's hash are
+    * converged output and are skipped, so a non-idempotent assignment
+    * (`v = v + 1`) is applied exactly once per distinct statement, never
+    * doubled by a recovery re-run. To intentionally re-apply such an
+    * update, vary the statement (predicate or expression).
     */
   def updateWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
@@ -568,97 +651,26 @@ object GraftMaintenance {
           cols.exists(c => norm.exists(_._1.equalsIgnoreCase(c)))))
       GraftSortMarker.clear(fs, tableDir)
     val matchedFiles = files.filter(f => matchedCounts.contains(f.getPath.toString))
-    val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(8, matchedFiles.size)))
-    val tasks = matchedFiles.map { f =>
-      pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
-        val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
-        val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
-        if (changelog) {
-          val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
-          val clPath = new org.apache.hadoop.fs.Path(
-            clDir, s"$base-upd$updHash${GraftUtil.Extension}")
-          if (!fs.exists(clPath)) {
-            val scratch = new org.apache.hadoop.fs.Path(
-              tableDir, s"_graft_tmp_update/cl/$base-$updHash")
-            one.filter(predicate).coalesce(1)
-              .write.format("graft").mode("overwrite").save(scratch.toString)
-            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
-            require(produced.size == 1,
-              s"graft: changelog write for ${f.getPath} produced ${produced.size} files")
-            fs.mkdirs(clDir)
-            require(fs.rename(produced.head.getPath, clPath),
-              s"graft: failed to publish change feed for ${f.getPath} at $clPath")
-            fs.delete(scratch, true)
-          }
-        }
-        val updPath = new org.apache.hadoop.fs.Path(
-          f.getPath.getParent, s"$base-upd$updHash${GraftUtil.Extension}")
-        if (fs.exists(updPath)) {
-          // crash resume: the rewrite is already live — just retire
-          fs.delete(f.getPath, false)
-          rewrittenN.incrementAndGet()
-        } else {
+    val assignOf = norm.toMap
+    val rewritten = rewriteMatchedFiles(spark, conf, fs, tableDir,
+      matchedFiles, schema, RewriteSpec(
+        tag = "upd", hash = updHash,
+        changelogOf = if (changelog) Some(df => df.filter(predicate)) else None,
+        // every column keeps its position; non-matching rows (predicate
+        // false OR null) pass through unchanged — SQL UPDATE semantics
+        projectOf = df => {
           import org.apache.spark.sql.functions.{when, col}
-          val assignOf = norm.toMap
-          // every column keeps its position; non-matching rows (predicate
-          // false OR null) pass through unchanged — SQL UPDATE semantics
-          val projected = one.select(schema.fields.map { fld =>
+          df.select(schema.fields.map { fld =>
             assignOf.get(fld.name) match {
               case Some(e) => when(predicate, e).otherwise(col(fld.name)).as(fld.name)
               case None => col(fld.name)
             }
           }.toIndexedSeq: _*)
-          val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
-          val scratch = new org.apache.hadoop.fs.Path(
-            tableDir, s"_graft_tmp_update/sv/$base-$updHash")
-          val w = projected.coalesce(1).write.format("graft").mode("overwrite")
-          (if (segs.nonEmpty) w.option("partitionby", segs.mkString(","))
-           else w).save(scratch.toString)
-          val produced = GraftUtil.listDataFiles(scratch.toString, conf)
-          require(produced.size == 1,
-            s"graft: update rewrite of ${f.getPath} produced ${produced.size} files")
-          // an UPDATE preserves cardinality — a row-count drift means the
-          // rewrite is broken and the original must survive
-          val wrote = GraftScan.rowCount(produced, conf)
-          val orig = GraftScan.rowCount(Seq(f), conf)
-          require(!wrote.isPresent || !orig.isPresent ||
-            wrote.getAsLong == orig.getAsLong,
-            s"graft: update rewrite of ${f.getPath} changed the row count " +
-              s"(${orig} -> ${wrote}) — refusing to retire the original")
-          require(fs.rename(produced.head.getPath, updPath),
-            s"graft: failed to publish update rewrite of ${f.getPath} at $updPath")
-          fs.delete(scratch, true)
-          fs.delete(f.getPath, false)
-          rewrittenN.incrementAndGet()
-        }
-      }})
-    }
-    try tasks.foreach(_.get())
-    catch {
-      case e: java.util.concurrent.ExecutionException =>
-        pool.shutdownNow()
-        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-        throw Option(e.getCause).getOrElse(e)
-    } finally {
-      pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_update"), true)
-    if (changelog) {
-      val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
-      val clFiles = GraftUtil.listDataFiles(clDir.toString, conf)
-      if (clFiles.nonEmpty) {
-        val covered = GraftManifest.list(fs, clDir)
-          .flatMap(m => GraftManifest.read(fs, clDir, m).map(_._1)).toSet
-        GraftManifest.publish(fs, clDir,
-          clFiles.map(f => (f.getPath.getName, f.getLen))
-            .filterNot(e => covered.contains(e._1)))
-      }
-    }
+        },
+        allowEmpty = false, sameCount = true))
+    if (changelog) publishChangeFeed(conf, fs, tableDir)
     healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
-    UpdateStats(rewrittenN.get(), files.size - rewrittenN.get(),
+    UpdateStats(rewritten, files.size - rewritten,
       matchedCounts.values.sum, rowsTotal)
   }
 
@@ -759,6 +771,11 @@ object GraftMaintenance {
       require(missing.isEmpty,
         s"graft: merge INSERT must provide every target column; missing: ${missing.mkString(", ")}")
     }
+    // the reserved "__graft" namespace covers both the renamed source
+    // columns and the join's match flag — a source column already inside
+    // it would silently collide (e.g. shadowing the flag)
+    require(!source.columns.exists(_.startsWith("__graft")),
+      "graft: merge source column names must not start with '__graft'")
     // materialize the source ONCE (it may be an arbitrarily expensive
     // frame, and the per-file rewrites each join against it)
     val srcScratch = new org.apache.hadoop.fs.Path(tableDir,
@@ -769,20 +786,31 @@ object GraftMaintenance {
       val srcKeyCols = keyPairs.map(_._2).map(src(_))
       // ONE agg job serves both the SQL MERGE cardinality rule and the
       // content fingerprint below (driver-sequenced jobs are the whole
-      // fixed cost of this pass at small batch sizes)
+      // fixed cost of this pass at small batch sizes). Cardinality
+      // compares countDistinct against the NON-NULL-key row count: a
+      // null-keyed source row never matches anything (it is simply NOT
+      // MATCHED and inserts) and countDistinct skips null tuples, so
+      // counting it against count(*) would reject a legal batch. The
+      // fingerprint hashes EVERY source column, not just the keys — a
+      // later CDC batch carrying the same keys with NEW VALUES must get a
+      // fresh hash, or the converged-file skip would silently drop it.
+      import org.apache.spark.sql.functions.{when => swhen}
+      val nonNullKeys = srcKeyCols.map(_.isNotNull).reduce(_ && _)
       val fp = src.agg(scount(lit(1)).as("n"),
+        ssum(swhen(nonNullKeys, 1L).otherwise(0L)).as("nnk"),
         org.apache.spark.sql.functions.countDistinct(srcKeyCols.head, srcKeyCols.tail: _*).as("nd"),
-        ssum(shash(srcKeyCols: _*).cast("long")).as("kh")).collect()(0)
-      require(fp.getLong(0) == fp.getLong(1),
-        s"graft: merge source has duplicate keys (${fp.getLong(0)} rows, " +
-          s"${fp.getLong(1)} distinct) — a target row must match at most one source row")
+        ssum(shash(src.columns.map(src(_)).toIndexedSeq: _*).cast("long")).as("ch")).collect()(0)
+      require(fp.getLong(1) == fp.getLong(2),
+        s"graft: merge source has duplicate keys (${fp.getLong(1)} non-null-key " +
+          s"rows, ${fp.getLong(2)} distinct) — a target row must match at most " +
+          "one source row")
       // deterministic content fingerprint: same spec + same source rows =>
       // same rewrite names, so a crashed run's re-execution converges
       val mrgHash = {
         val rendered = keyPairs.mkString(";") + "|" +
           normAssigns.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";") + "|" +
           insertExprs.map(_.toSeq.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";")).getOrElse("-") +
-          s"|${fp.getLong(0)}|${if (fp.isNullAt(2)) 0L else fp.getLong(2)}"
+          s"|${fp.getLong(0)}|${if (fp.isNullAt(3)) 0L else fp.getLong(3)}"
         java.security.MessageDigest.getInstance("MD5")
           .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .take(4).map(b => f"$b%02x").mkString
@@ -813,79 +841,38 @@ object GraftMaintenance {
         require(matchedCounts.keys.forall(f => f.nonEmpty && known.contains(f)),
           "graft: mergeInto probe returned file names outside the table listing")
       }
-      // files already carrying THIS merge's hash are converged work from a
-      // crashed run — never re-rewritten (names would otherwise grow)
-      val matchedFiles = files.filter { f =>
-        matchedCounts.contains(f.getPath.toString) &&
-          !f.getPath.getName.contains(s"-mrg$mrgHash")
-      }
+      val matchedFiles = files.filter(f => matchedCounts.contains(f.getPath.toString))
       // the rewrite replaces values on arbitrary columns — a whole-table
       // sort guarantee cannot survive when a sort column is assigned
       if (matchedFiles.nonEmpty &&
           GraftSortMarker.read(fs, tableDir).exists(cols =>
             cols.exists(c => normAssigns.exists(_._1.equalsIgnoreCase(c)))))
         GraftSortMarker.clear(fs, tableDir)
-      // source side renamed behind the reserved prefix + a match flag
+      // source side renamed behind the reserved prefix + a match flag whose
+      // name no renamed source column can take (renames carry SrcPrefix,
+      // which source columns are barred from — checked above)
+      val matchFlag = "__graft_match__"
       val srcRenamed = src.columns.foldLeft(src)((d, c) =>
         d.withColumnRenamed(c, SrcPrefix + c))
-        .withColumn(SrcPrefix + "exists", lit(true))
-      val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(8, matchedFiles.size)))
-      val tasks = matchedFiles.map { f =>
-        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
-          val one = spark.read.format("graft").schema(schema).load(f.getPath.toString)
-          val base = f.getPath.getName.stripSuffix(GraftUtil.Extension)
-          val mrgPath = new org.apache.hadoop.fs.Path(
-            f.getPath.getParent, s"$base-mrg$mrgHash${GraftUtil.Extension}")
-          if (fs.exists(mrgPath)) {
-            fs.delete(f.getPath, false)
-            rewrittenN.incrementAndGet()
-          } else {
+        .withColumn(matchFlag, lit(true))
+      val assignOf = normAssigns.toMap
+      val rewritten = rewriteMatchedFiles(spark, conf, fs, tableDir,
+        matchedFiles, schema, RewriteSpec(
+          tag = "mrg", hash = mrgHash,
+          changelogOf = None,
+          projectOf = one => {
             val cond = keyPairs.map { case (t, s) =>
               one(t) === col(SrcPrefix + s) }.reduce(_ && _)
             val joined = one.join(hinted(srcRenamed), cond, "left")
-            val assignOf = normAssigns.toMap
-            val matched = col(SrcPrefix + "exists").isNotNull
-            val projected = joined.select(schema.fields.map { fld =>
+            val matched = col(matchFlag).isNotNull
+            joined.select(schema.fields.map { fld =>
               assignOf.get(fld.name) match {
                 case Some(e) => when(matched, e).otherwise(col(fld.name)).as(fld.name)
                 case None => col(fld.name)
               }
             }.toIndexedSeq: _*)
-            val segs = GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)
-            val scratch = new org.apache.hadoop.fs.Path(
-              tableDir, s"_graft_tmp_merge/sv/$base-$mrgHash")
-            val w = projected.coalesce(1).write.format("graft").mode("overwrite")
-            (if (segs.nonEmpty) w.option("partitionby", segs.mkString(","))
-             else w).save(scratch.toString)
-            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
-            require(produced.size == 1,
-              s"graft: merge rewrite of ${f.getPath} produced ${produced.size} files")
-            val wrote = GraftScan.rowCount(produced, conf)
-            val orig = GraftScan.rowCount(Seq(f), conf)
-            require(!wrote.isPresent || !orig.isPresent ||
-              wrote.getAsLong == orig.getAsLong,
-              s"graft: merge rewrite of ${f.getPath} changed the row count " +
-                s"($orig -> $wrote) — refusing to retire the original")
-            require(fs.rename(produced.head.getPath, mrgPath),
-              s"graft: failed to publish merge rewrite of ${f.getPath} at $mrgPath")
-            fs.delete(scratch, true)
-            fs.delete(f.getPath, false)
-            rewrittenN.incrementAndGet()
-          }
-        }})
-      }
-      try tasks.foreach(_.get())
-      catch {
-        case e: java.util.concurrent.ExecutionException =>
-          pool.shutdownNow()
-          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-          throw Option(e.getCause).getOrElse(e)
-      } finally {
-        pool.shutdown()
-        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-      }
+          },
+          allowEmpty = false, sameCount = true))
       // manifests heal BEFORE the insert: the rewrites' catch-up coverage
       // must never adopt the insert's files (those belong to the ordinary
       // commit manifest the append publishes)
@@ -896,16 +883,21 @@ object GraftMaintenance {
         case Some(ie) =>
           val post = spark.read.format("graft").schema(schema).load(dir)
           val antiCond = keyPairs.map { case (t, s) => post(t) === src(s) }.reduce(_ && _)
+          // persisted: the anti-join against the post-rewrite table is the
+          // most expensive distributed job of the pass, and both the count
+          // and the write consume it
           val missing = src.join(post, antiCond, "left_anti")
-          val rows = missing.select(schema.fields.map { fld =>
-            val e = ie.find(_._1.equalsIgnoreCase(fld.name)).get._2
-            e.cast(fld.dataType).as(fld.name)
-          }.toIndexedSeq: _*)
-          val n = missing.count()
-          if (n > 0) rows.write.format("graft").mode("append").save(dir)
-          n
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val n = missing.count()
+            if (n > 0) missing.select(schema.fields.map { fld =>
+              val e = ie.find(_._1.equalsIgnoreCase(fld.name)).get._2
+              e.cast(fld.dataType).as(fld.name)
+            }.toIndexedSeq: _*).write.format("graft").mode("append").save(dir)
+            n
+          } finally missing.unpersist()
       }
-      MergeStats(rewrittenN.get(), files.size - rewrittenN.get(),
+      MergeStats(rewritten, files.size - rewritten,
         matchedCounts.values.sum, rowsInserted, rowsTotal)
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_merge"), true)

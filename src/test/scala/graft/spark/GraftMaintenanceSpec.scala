@@ -379,6 +379,64 @@ class GraftMaintenanceSpec extends AnyFunSuite {
       "re-run must converge back to exactly-once contents")
   }
 
+  test("non-idempotent update is never double-applied by a crash-window re-run") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maint-update-nonidem"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(20).selectExpr("id AS k", "id AS v").coalesce(2)
+      .write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(hconf)
+    // v = v + 1 WHERE k < 10: the predicate still matches the REWRITTEN
+    // rows, so without the converged-file guard a re-run would increment
+    // them again (and a task race could duplicate the file outright)
+    GraftMaintenance.updateWhere(spark, dir, col("k") < 10, Map("v" -> (col("v") + 1)))
+    val once = spark.read.format("graft").load(dir)
+      .filter(col("k") < 10).agg(sum(col("v"))).head().getLong(0)
+    assert(once == (0 until 10).map(_ + 1).sum)
+    // crash window: resurrect one original beside its published rewrite
+    val updFile = GraftUtil.listDataFiles(dir, hconf)
+      .find(_.getPath.getName.contains("-upd")).get.getPath
+    val resurrect = new Path(updFile.getParent,
+      updFile.getName.replaceAll("-upd[0-9a-f]{8}", ""))
+    org.apache.hadoop.fs.FileUtil.copy(fs, updFile, fs, resurrect, false, hconf)
+    // the healing re-run retires the original and must NOT touch the
+    // converged -upd file (its rows would take +1 a second time)
+    GraftMaintenance.updateWhere(spark, dir, col("k") < 10, Map("v" -> (col("v") + 1)))
+    val healed = spark.read.format("graft").load(dir)
+      .filter(col("k") < 10).agg(sum(col("v")), count(lit(1))).head()
+    assert(healed.getLong(1) == 10, "exactly-once rows after healing")
+    assert(healed.getLong(0) == once,
+      s"assignment must apply exactly once: ${healed.getLong(0)} vs $once")
+  }
+
+  test("changelog survives identical basenames across partition directories") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft-test/maint-update-partnames"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // ONE task writing a partitioned layout emits the SAME basename in
+    // every k=v dir (per-dir sequence restarts at 0, shared task uuid) —
+    // a basename-keyed changelog identity made one partition's publish
+    // mask the other's (permanent pre-image loss, found in review)
+    spark.range(40).selectExpr("id AS k", "cast(id % 2 AS string) AS p", "id AS v")
+      .coalesce(1).write.format("graft").option("partitionby", "p")
+      .mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val byName = GraftUtil.listDataFiles(dir, hconf).map(_.getPath.getName)
+    assert(byName.distinct.size < byName.size,
+      s"test setup must produce colliding basenames, got $byName")
+    // the predicate matches rows in BOTH partitions
+    GraftMaintenance.updateWhere(spark, dir, col("k") < 10,
+      Map("v" -> lit(-1L)), changelog = true)
+    val feed = spark.read.format("graft")
+      .load(new Path(dir, GraftCdc.ChangesDir).toString)
+    assert(feed.count() == 10,
+      "every partition's pre-image batch must reach the change feed")
+    assert(feed.select("p").distinct().count() == 2,
+      "pre-images from BOTH partition directories must be present")
+    assert(spark.read.format("graft").load(dir).filter(col("v") === -1L).count() == 10)
+  }
+
   test("mergeInto: matched files rewrite in place, unmatched source rows append") {
     import org.apache.hadoop.fs.Path
     val dir = "/tmp/graft-test/maint-merge"
