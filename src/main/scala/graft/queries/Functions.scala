@@ -313,6 +313,49 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_merge_cdc" -> { (s, dir) =>
+      // the CANONICAL CDC-apply shape in the correctness gate: one MERGE
+      // with tombstone deletes (op 'D'), updates (op 'U'), and inserts —
+      // first-true clause ordering, conditional actions, all through
+      // GraftMergeRewrite -> mergeApply. Slices are DISJOINT by key (a
+      // duplicate source key would trip the SQL cardinality rule).
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_sqlcdc_stage1/$key/wh") { t =>
+        val cat = s"gcdcb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val docs = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        docs.write.format("graft").option("maxrowsperfile", "200")
+          .mode("overwrite").save(s"$t/docs")
+        val srcDf = docs.filter(col("doc_id") % 17 === 5)
+          .select(col("doc_id"), col("lang"), lit("x").as("source"),
+            lit(0L).as("n_chars"), lit("D").as("op"))
+          .unionAll(docs.filter(col("doc_id") % 11 === 7 && col("doc_id") % 17 =!= 5)
+            .select(col("doc_id"), col("lang"), lit("merged").as("source"),
+              (col("n_chars") % 50 + 7).as("n_chars"), lit("U").as("op")))
+          .unionAll(docs.filter(col("doc_id") % 13 === 2)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+              lit("inserted").as("source"), (col("doc_id") % 31).as("n_chars"),
+              lit("U").as("op")))
+        srcDf.createOrReplaceTempView(s"cdc_src_$key")
+        s.sql(s"MERGE INTO $cat.docs AS t USING cdc_src_$key AS s " +
+          "ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars, source = s.source " +
+          "WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (doc_id, lang, source, n_chars) " +
+          "VALUES (s.doc_id, s.lang, s.source, s.n_chars)")
+      }
+      val readCat = s"gcdcr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
     "q_sorted_topn" -> { (s, dir) =>
       // TOP-N pushdown in the correctness gate: orders staged sorted on
       // (o_totalprice, o_orderkey) — the write publishes the sort marker
@@ -955,6 +998,20 @@ object Functions {
         |         CASE WHEN doc_id % 11 = 7 THEN n_chars % 50 + 7 ELSE n_chars END AS n_chars,
         |         CASE WHEN doc_id % 11 = 7 THEN 'merged' ELSE source END AS source
         |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, doc_id % 31 AS n_chars, 'inserted' AS source
+        |  FROM documents WHERE doc_id % 13 = 2
+        |) u
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_merge_cdc" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS sources
+        |FROM (
+        |  SELECT lang,
+        |         CASE WHEN doc_id % 11 = 7 THEN n_chars % 50 + 7 ELSE n_chars END AS n_chars,
+        |         CASE WHEN doc_id % 11 = 7 THEN 'merged' ELSE source END AS source
+        |  FROM documents WHERE doc_id % 17 <> 5
         |  UNION ALL
         |  SELECT lang, doc_id % 31 AS n_chars, 'inserted' AS source
         |  FROM documents WHERE doc_id % 13 = 2

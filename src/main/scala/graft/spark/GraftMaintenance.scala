@@ -674,71 +674,109 @@ object GraftMaintenance {
       matchedCounts.values.sum, rowsTotal)
   }
 
-  /** Result of a merge: files holding matches (rewritten), untouched
-    * files, matched (updated) rows, appended rows, and the pre-merge
+  /** Result of a merge: files rewritten / untouched, matched rows
+    * (updated or deleted), deleted rows, appended rows, and the pre-merge
     * target total. */
   final case class MergeStats(filesRewritten: Int, filesUntouched: Int,
-      rowsUpdated: Long, rowsInserted: Long, rowsTotal: Long)
+      rowsUpdated: Long, rowsInserted: Long, rowsTotal: Long,
+      rowsDeleted: Long = 0L)
+
+  /** One WHEN clause of a merge. `condition` guards the action (None =
+    * unconditional); `assigns` None = DELETE, Some = the UPDATE / INSERT
+    * values. Expression name context: matched clauses see target columns
+    * by name and source columns as `SrcPrefix + name`; insert clauses see
+    * source columns by their own names; not-matched-by-source clauses see
+    * target columns only. Clauses apply FIRST-TRUE in order (SQL MERGE
+    * semantics). */
+  final case class MergeClause(condition: Option[org.apache.spark.sql.Column],
+      assigns: Option[Map[String, org.apache.spark.sql.Column]])
 
   /** Reserved name prefix for the source side of a merge join: [[mergeInto]]
     * update expressions reference source columns as `SrcPrefix + name`.
     * Target schemas must not collide with it. */
   val SrcPrefix = "__graft_src__"
 
-  /** MERGE (upsert): join `source` against the table on `keys`
-    * (targetCol -> sourceCol equi-pairs), apply `updateAssigns` to every
-    * MATCHED target row, and (when `insertExprs` is set) append the
-    * source rows that matched nothing — the CDC-apply / dedup-upsert pass
-    * a training corpus runs per ingest batch. Update expressions may
-    * reference target columns by name and source columns as
-    * `__graft_src__<name>`; insert expressions reference source columns
-    * by their own names.
-    *
-    * Machinery and crash contract follow [[deleteWhere]]/[[updateWhere]]:
-    * the source is materialized ONCE under the table scratch, one
-    * distributed probe maps matched rows to files, per-file rewrites
-    * publish at a deterministic name (`-mrg<hash(spec, source content)>`)
-    * so a re-run with the SAME source converges (files already carrying
-    * this merge's hash are skipped), and manifests heal through the
-    * shared expiry + catch-up pass. Convergence caveat: a re-run's
-    * matched set includes the previous run's INSERTED rows (their keys
-    * are source keys), which then take the update action — standard SQL
-    * MERGE re-run semantics, one extra rewrite pass that also stamps
-    * those files with the hash; the third run is fully quiescent. Rows
-    * are exactly-once at every point. Inserts append LAST through the
-    * normal batch write — atomic, and published under an ordinary commit
-    * manifest (an insert IS new data: incremental readers must see it,
-    * unlike the rewrites, whose catch-up coverage they skip). A crash
-    * between rewrites and insert re-runs cleanly: the anti-join still
-    * finds the unappended source rows.
-    *
-    * Scale shape: probe + anti-join are single distributed jobs; each
-    * matched file's rewrite joins one file against the materialized
-    * source (broadcast when small — the typical CDC batch). Cost is
-    * matchedFiles x sourceScan, the right trade when source << target;
-    * a merge whose source RIVALS the target should re-cluster and
-    * re-write instead (compact).
-    *
-    * Duplicate source keys are rejected (SQL MERGE cardinality rule: a
-    * target row must match at most one source row).
+  /** Convenience upsert form of [[mergeApply]]: one unconditional UPDATE
+    * for matched rows (`updateAssigns`, may be empty for insert-only) and
+    * an optional unconditional INSERT of unmatched source rows.
     */
   def mergeInto(spark: SparkSession, dir: String,
       source: org.apache.spark.sql.DataFrame,
       keys: Seq[(String, String)],
       updateAssigns: Map[String, org.apache.spark.sql.Column],
       insertExprs: Option[Map[String, org.apache.spark.sql.Column]],
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): MergeStats =
+    mergeApply(spark, dir, source, keys,
+      matched = if (updateAssigns.nonEmpty) Seq(MergeClause(None, Some(updateAssigns))) else Seq.empty,
+      notMatchedInsert = insertExprs.map(ie => MergeClause(None, Some(ie))).toSeq,
+      schemaOverride = schemaOverride)
+
+  /** Full SQL-MERGE semantics against a graft table: join `source` on
+    * `keys` (targetCol -> sourceCol equi-pairs) and apply, per row, the
+    * FIRST clause whose condition holds —
+    *
+    *   - `matched` clauses (UPDATE assigns / DELETE) to target rows with
+    *     a source match,
+    *   - `notMatchedBySource` clauses (UPDATE / DELETE, target-only
+    *     expressions) to target rows withOUT a source match — the
+    *     snapshot-sync shape (`... BY SOURCE THEN DELETE` makes the
+    *     target exactly mirror the source),
+    *   - `notMatchedInsert` clauses to source rows that matched nothing
+    *     (first-true clause supplies the inserted values; rows matching
+    *     no insert clause are not inserted).
+    *
+    * This is the CDC-apply pass a training corpus runs per ingest batch —
+    * including the canonical tombstone shape (WHEN MATCHED AND op='D'
+    * THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    * INSERT).
+    *
+    * Machinery and crash contract follow [[deleteWhere]]/[[updateWhere]]:
+    * the source is materialized ONCE under the table scratch, distributed
+    * probes map affected rows to files (a semi-join for matched clauses;
+    * an anti-join when notMatchedBySource clauses exist — those can touch
+    * any file), per-file rewrites publish at a deterministic name
+    * (`-mrg<hash(spec, source content)>`) so a re-run with the SAME
+    * source converges (files already carrying this merge's hash are
+    * skipped), and manifests heal through the shared expiry + catch-up
+    * pass. Convergence caveat: a re-run's matched set includes the
+    * previous run's INSERTED rows (their keys are source keys), which
+    * then take the matched clauses — standard SQL MERGE re-run
+    * semantics, one extra rewrite pass that also stamps those files with
+    * the hash; the next run is fully quiescent. Rows are exactly-once at
+    * every point. Inserts append LAST through the normal batch write —
+    * atomic, published under an ordinary commit manifest (an insert IS
+    * new data: incremental readers must see it, unlike the rewrites,
+    * whose catch-up coverage they skip).
+    *
+    * Scale shape: probes + anti-join are single distributed jobs; each
+    * affected file's rewrite joins one file against the materialized
+    * source (broadcast when small — the typical CDC batch). Cost is
+    * affectedFiles x sourceScan, the right trade when source << target;
+    * a merge whose source RIVALS the target should re-cluster and
+    * re-write instead (compact). Duplicate source keys are rejected (SQL
+    * MERGE cardinality rule); null-keyed source rows are legal (they
+    * match nothing and flow to the insert clauses).
+    */
+  def mergeApply(spark: SparkSession, dir: String,
+      source: org.apache.spark.sql.DataFrame,
+      keys: Seq[(String, String)],
+      matched: Seq[MergeClause],
+      notMatchedInsert: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause] = Seq.empty,
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): MergeStats = {
-    import org.apache.spark.sql.functions.{col, lit, input_file_name, hash => shash, count => scount, sum => ssum, coalesce, when}
-    require(keys.nonEmpty, "graft: mergeInto needs at least one equi-key pair")
-    require(updateAssigns.nonEmpty || insertExprs.isDefined,
-      "graft: mergeInto with no update assignments and no insert is a no-op")
+    import org.apache.spark.sql.functions.{col, lit, input_file_name, hash => shash, count => scount, sum => ssum, when}
+    require(keys.nonEmpty, "graft: merge needs at least one equi-key pair")
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty || notMatchedBySource.nonEmpty,
+      "graft: merge with no clauses is a no-op")
+    notMatchedInsert.foreach(c => require(c.assigns.isDefined,
+      "graft: a NOT MATCHED insert clause needs values (assigns = None is DELETE, which has no meaning for an insert)"))
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
     val fs = tableDir.getFileSystem(conf)
     val files = GraftUtil.listDataFiles(dir, conf)
     // an EMPTY target is legal when the merge inserts (every source row is
     // unmatched) — a fresh table populated by its first CDC batch
-    require(files.nonEmpty || insertExprs.isDefined,
+    require(files.nonEmpty || notMatchedInsert.nonEmpty,
       s"graft: nothing to merge into under $dir")
     require(files.nonEmpty || schemaOverride.isDefined,
       s"graft: merging into an empty directory needs an explicit schema")
@@ -756,20 +794,26 @@ object GraftMaintenance {
           s"graft: merge target column '$c' does not exist " +
             s"(table has: ${schema.fieldNames.mkString(", ")})"))
     val keyPairs = keys.map { case (t, s) => (targetField(t).name, s) }
-    val normAssigns = updateAssigns.toSeq.map { case (c, e) =>
-      val f = targetField(c); f.name -> e.cast(f.dataType)
+    // normalize every clause: resolve targets, pin expression types
+    def norm(c: MergeClause): MergeClause = c.copy(assigns = c.assigns.map(_.map {
+      case (name, e) => val f = targetField(name); f.name -> e.cast(f.dataType)
+    }))
+    val matchedN = matched.map(norm)
+    val nmbsN = notMatchedBySource.map(norm)
+    val insertN = notMatchedInsert.map(norm)
+    insertN.foreach { c =>
+      val miss = schema.fieldNames.filterNot(f => c.assigns.get.keys.exists(_.equalsIgnoreCase(f)))
+      require(miss.isEmpty,
+        s"graft: merge INSERT must provide every target column; missing: ${miss.mkString(", ")}")
     }
+    val allAssignTargets =
+      (matchedN ++ nmbsN).flatMap(_.assigns).flatMap(_.keys).distinct
     locally { // partition path columns cannot be reassigned in place
       val partCols = files.flatMap(f =>
         GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
-      val hit = normAssigns.map(_._1).filter(c => partCols.exists(_.equalsIgnoreCase(c)))
+      val hit = allAssignTargets.filter(c => partCols.exists(_.equalsIgnoreCase(c)))
       require(hit.isEmpty,
-        s"graft: mergeInto cannot assign hive-partition path column(s) ${hit.mkString(", ")}")
-    }
-    insertExprs.foreach { ie =>
-      val missing = schema.fieldNames.filterNot(f => ie.keys.exists(_.equalsIgnoreCase(f)))
-      require(missing.isEmpty,
-        s"graft: merge INSERT must provide every target column; missing: ${missing.mkString(", ")}")
+        s"graft: merge cannot assign hive-partition path column(s) ${hit.mkString(", ")}")
     }
     // the reserved "__graft" namespace covers both the renamed source
     // columns and the join's match flag — a source column already inside
@@ -794,10 +838,9 @@ object GraftMaintenance {
       // fingerprint hashes EVERY source column, not just the keys — a
       // later CDC batch carrying the same keys with NEW VALUES must get a
       // fresh hash, or the converged-file skip would silently drop it.
-      import org.apache.spark.sql.functions.{when => swhen}
       val nonNullKeys = srcKeyCols.map(_.isNotNull).reduce(_ && _)
       val fp = src.agg(scount(lit(1)).as("n"),
-        ssum(swhen(nonNullKeys, 1L).otherwise(0L)).as("nnk"),
+        ssum(when(nonNullKeys, 1L).otherwise(0L)).as("nnk"),
         org.apache.spark.sql.functions.countDistinct(srcKeyCols.head, srcKeyCols.tail: _*).as("nd"),
         ssum(shash(src.columns.map(src(_)).toIndexedSeq: _*).cast("long")).as("ch")).collect()(0)
       require(fp.getLong(1) == fp.getLong(2),
@@ -807,9 +850,12 @@ object GraftMaintenance {
       // deterministic content fingerprint: same spec + same source rows =>
       // same rewrite names, so a crashed run's re-execution converges
       val mrgHash = {
-        val rendered = keyPairs.mkString(";") + "|" +
-          normAssigns.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";") + "|" +
-          insertExprs.map(_.toSeq.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";")).getOrElse("-") +
+        def render(cs: Seq[MergeClause]): String = cs.map(c =>
+          c.condition.map(_.toString).getOrElse("-") + "?" +
+            c.assigns.map(_.toSeq.map { case (k, e) => s"$k:=$e" }.sorted.mkString(";"))
+              .getOrElse("DELETE")).mkString("|")
+        val rendered = keyPairs.mkString(";") + "|M:" + render(matchedN) +
+          "|I:" + render(insertN) + "|S:" + render(nmbsN) +
           s"|${fp.getLong(0)}|${if (fp.isNullAt(3)) 0L else fp.getLong(3)}"
         java.security.MessageDigest.getInstance("MD5")
           .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -829,24 +875,36 @@ object GraftMaintenance {
           if (c.isPresent) c.getAsLong else table.count()
         }
       }
-      // ---- probe: matched rows -> files, plus per-file matched counts ----
+      // ---- probes: affected rows -> files ----
       val joinCond = keyPairs.map { case (t, s) => table(t) === src(s) }.reduce(_ && _)
       val matchedCounts: Map[String, Long] =
-        if (normAssigns.isEmpty || files.isEmpty) Map.empty // insert-only / empty target
+        if (matchedN.isEmpty || files.isEmpty) Map.empty
         else table.join(hinted(src), joinCond, "left_semi")
           .groupBy(input_file_name().as("f")).agg(scount(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (matchedCounts.nonEmpty) {
+      // not-matched-by-source clauses can touch rows in ANY file; a second
+      // anti-join probe (narrowed by the clause conditions, which are
+      // target-only expressions) keeps the rewrite set selective
+      val nmbsFiles: Set[String] =
+        if (nmbsN.isEmpty || files.isEmpty) Set.empty
+        else {
+          val condOr = nmbsN.map(_.condition.getOrElse(lit(true))).reduce(_ || _)
+          table.join(hinted(src), joinCond, "left_anti").filter(condOr)
+            .select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0)).toSet
+        }
+      val affected = matchedCounts.keySet ++ nmbsFiles
+      if (affected.nonEmpty) {
         val known = files.map(_.getPath.toString).toSet
-        require(matchedCounts.keys.forall(f => f.nonEmpty && known.contains(f)),
-          "graft: mergeInto probe returned file names outside the table listing")
+        require(affected.forall(f => f.nonEmpty && known.contains(f)),
+          "graft: merge probe returned file names outside the table listing")
       }
-      val matchedFiles = files.filter(f => matchedCounts.contains(f.getPath.toString))
+      val affectedFiles = files.filter(f => affected.contains(f.getPath.toString))
       // the rewrite replaces values on arbitrary columns — a whole-table
       // sort guarantee cannot survive when a sort column is assigned
-      if (matchedFiles.nonEmpty &&
+      if (affectedFiles.nonEmpty &&
           GraftSortMarker.read(fs, tableDir).exists(cols =>
-            cols.exists(c => normAssigns.exists(_._1.equalsIgnoreCase(c)))))
+            cols.exists(c => allAssignTargets.exists(_.equalsIgnoreCase(c)))))
         GraftSortMarker.clear(fs, tableDir)
       // source side renamed behind the reserved prefix + a match flag whose
       // name no renamed source column can take (renames carry SrcPrefix,
@@ -855,50 +913,74 @@ object GraftMaintenance {
       val srcRenamed = src.columns.foldLeft(src)((d, c) =>
         d.withColumnRenamed(c, SrcPrefix + c))
         .withColumn(matchFlag, lit(true))
-      val assignOf = normAssigns.toMap
+      val anyDelete = (matchedN ++ nmbsN).exists(_.assigns.isEmpty)
       val rewritten = rewriteMatchedFiles(spark, conf, fs, tableDir,
-        matchedFiles, schema, RewriteSpec(
+        affectedFiles, schema, RewriteSpec(
           tag = "mrg", hash = mrgHash,
           changelogOf = None,
           projectOf = one => {
             val cond = keyPairs.map { case (t, s) =>
               one(t) === col(SrcPrefix + s) }.reduce(_ && _)
             val joined = one.join(hinted(srcRenamed), cond, "left")
-            val matched = col(matchFlag).isNotNull
-            joined.select(schema.fields.map { fld =>
-              assignOf.get(fld.name) match {
-                case Some(e) => when(matched, e).otherwise(col(fld.name)).as(fld.name)
-                case None => col(fld.name)
-              }
-            }.toIndexedSeq: _*)
+            val isMatched = col(matchFlag).isNotNull
+            // FIRST-TRUE clause per row: matched clauses guard on the
+            // match flag, by-source clauses on its negation; a foldRight
+            // nests when(first)...otherwise(when(second)...) so earlier
+            // clauses win, and a null condition reads as not-satisfied
+            val ordered: Seq[(org.apache.spark.sql.Column, Option[Map[String, org.apache.spark.sql.Column]])] =
+              matchedN.map(c => (isMatched && c.condition.getOrElse(lit(true)), c.assigns)) ++
+                nmbsN.map(c => (!isMatched && c.condition.getOrElse(lit(true)), c.assigns))
+            val drop = ordered.foldRight(lit(false)) { case ((g, as), acc) =>
+              when(g, lit(as.isEmpty)).otherwise(acc) }
+            def valueOf(fld: org.apache.spark.sql.types.StructField) =
+              ordered.foldRight(col(fld.name)) { case ((g, as), acc) =>
+                when(g, as.flatMap(_.get(fld.name)).getOrElse(col(fld.name)))
+                  .otherwise(acc) }
+            joined.filter(!drop)
+              .select(schema.fields.map(fld => valueOf(fld).as(fld.name)).toIndexedSeq: _*)
           },
-          allowEmpty = false, sameCount = true))
+          allowEmpty = anyDelete, sameCount = !anyDelete))
       // manifests heal BEFORE the insert: the rewrites' catch-up coverage
       // must never adopt the insert's files (those belong to the ordinary
       // commit manifest the append publishes)
       healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
       // ---- inserts: source rows that matched nothing, appended last ----
-      val rowsInserted = insertExprs match {
-        case None => 0L
-        case Some(ie) =>
+      val rowsInserted =
+        if (insertN.isEmpty) 0L
+        else {
           val post = spark.read.format("graft").schema(schema).load(dir)
           val antiCond = keyPairs.map { case (t, s) => post(t) === src(s) }.reduce(_ && _)
           // persisted: the anti-join against the post-rewrite table is the
           // most expensive distributed job of the pass, and both the count
           // and the write consume it
-          val missing = src.join(post, antiCond, "left_anti")
+          val keep = insertN.foldRight(lit(false)) { case (c, acc) =>
+            when(c.condition.getOrElse(lit(true)), lit(true)).otherwise(acc) }
+          val missing = src.join(post, antiCond, "left_anti").filter(keep)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val n = missing.count()
             if (n > 0) missing.select(schema.fields.map { fld =>
-              val e = ie.find(_._1.equalsIgnoreCase(fld.name)).get._2
-              e.cast(fld.dataType).as(fld.name)
+              insertN.foldRight(lit(null).cast(fld.dataType)) { case (c, acc) =>
+                when(c.condition.getOrElse(lit(true)),
+                  c.assigns.get.find(_._1.equalsIgnoreCase(fld.name)).get._2)
+                  .otherwise(acc)
+              }.as(fld.name)
             }.toIndexedSeq: _*).write.format("graft").mode("append").save(dir)
             n
           } finally missing.unpersist()
+        }
+      val rowsAfter = {
+        val live = GraftUtil.listDataFiles(dir, conf)
+        if (live.isEmpty) 0L
+        else {
+          val c = GraftScan.rowCount(live, conf)
+          if (c.isPresent) c.getAsLong
+          else spark.read.format("graft").schema(schema).load(dir).count()
+        }
       }
       MergeStats(rewritten, files.size - rewritten,
-        matchedCounts.values.sum, rowsInserted, rowsTotal)
+        matchedCounts.values.sum, rowsInserted, rowsTotal,
+        rowsDeleted = math.max(0L, rowsTotal + rowsInserted - rowsAfter))
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_merge"), true)
     }

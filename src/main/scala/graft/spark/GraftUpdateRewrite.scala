@@ -91,17 +91,22 @@ object GraftUpdateRewrite extends Rule[LogicalPlan] {
   * rewrites of matched files, one appended commit for the unmatched
   * source rows). Same interception point as [[GraftUpdateRewrite]].
   *
-  * Scope (everything else falls through to Spark's stock error):
+  * Scope — the FULL action matrix (everything else falls through to
+  * Spark's stock error):
   *   - ON condition: conjunction of target-column = source-column pairs
-  *   - matched actions: at most ONE unconditional UPDATE
-  *   - not-matched actions: at most ONE unconditional INSERT covering
-  *     every target column (`INSERT *` arrives aligned from the analyzer)
-  *   - no NOT MATCHED BY SOURCE clauses, no schema evolution, no
-  *     subqueries in any action expression
+  *   - WHEN MATCHED [AND cond] THEN UPDATE | DELETE, any number, applied
+  *     first-true in order (the CDC tombstone shape works:
+  *     `WHEN MATCHED AND s.op = 'D' THEN DELETE WHEN MATCHED THEN
+  *     UPDATE SET *`)
+  *   - WHEN NOT MATCHED [AND cond] THEN INSERT, any number (conditions
+  *     and values read the source row only)
+  *   - WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE | DELETE
+  *     (target-only expressions — the snapshot-sync shape)
+  *   - no schema evolution, no subqueries in any expression
   */
 object GraftMergeRewrite extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, MergeIntoTable, UpdateAction}
-  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, MergeAction, MergeIntoTable, UpdateAction}
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, EqualTo}
 
   private def hasSubquery(e: Expression): Boolean =
     e.exists(_.isInstanceOf[PlanExpression[_]])
@@ -113,11 +118,12 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case m: MergeIntoTable if m.resolved && !m.withSchemaEvolution &&
-        m.notMatchedBySourceActions.isEmpty &&
         GraftUpdateRewrite.graftTableOf(m.targetTable).isDefined =>
       val (t, relationPlan) = GraftUpdateRewrite.graftTableOf(m.targetTable).get
       val targetOut = m.targetTable.outputSet
       val sourceOut = m.sourceTable.outputSet
+      // matched-clause name context: target names bare, source names
+      // behind the reserved prefix (the maintenance join's convention)
       def unresolve(e: Expression): Expression = e.transform {
         case a: AttributeReference if targetOut.contains(a) =>
           UnresolvedAttribute(Seq(a.name))
@@ -127,6 +133,24 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
       def srcOnly(e: Expression): Expression = e.transform {
         case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
       }
+      def refsOk(e: Expression, allowed: AttributeSet): Boolean =
+        !hasSubquery(e) && e.references.forall(allowed.contains)
+      def asColumn(e: Expression, resolver: Expression => Expression) =
+        org.apache.spark.sql.GraftCatalystBridge.column(resolver(e))
+      // translate one WHEN action; None = out of scope -> stock error
+      def clauseOf(a: MergeAction, allowed: AttributeSet,
+          resolver: Expression => Expression): Option[GraftMaintenance.MergeClause] = a match {
+        case UpdateAction(cond, as, _)
+            if cond.forall(refsOk(_, allowed)) &&
+              as.forall(x => x.key.isInstanceOf[AttributeReference] && refsOk(x.value, allowed)) =>
+          Some(GraftMaintenance.MergeClause(
+            cond.map(asColumn(_, resolver)),
+            Some(as.map(x => x.key.asInstanceOf[AttributeReference].name ->
+              asColumn(x.value, resolver)).toMap)))
+        case DeleteAction(cond) if cond.forall(refsOk(_, allowed)) =>
+          Some(GraftMaintenance.MergeClause(cond.map(asColumn(_, resolver)), None))
+        case _ => None
+      }
       // ON: every conjunct must be target-col = source-col
       val keys = conjuncts(m.mergeCondition).map {
         case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -135,42 +159,31 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
             if targetOut.contains(a) && sourceOut.contains(b) => Some((a.name, b.name))
         case _ => None
       }
-      val updateOk = m.matchedActions match {
-        case Seq() => true
-        case Seq(UpdateAction(None, as, _)) =>
-          as.forall(a => a.key.isInstanceOf[AttributeReference] &&
-            !hasSubquery(a.value) &&
-            a.value.references.forall(r => targetOut.contains(r) || sourceOut.contains(r)))
-        case _ => false
+      val both = targetOut ++ sourceOut
+      val matchedClauses = m.matchedActions.map(clauseOf(_, both, unresolve))
+      // an inserted row has no target side to read from
+      val insertClauses = m.notMatchedActions.map {
+        case InsertAction(cond, as)
+            if cond.forall(refsOk(_, sourceOut)) &&
+              as.forall(x => x.key.isInstanceOf[AttributeReference] && refsOk(x.value, sourceOut)) =>
+          Some(GraftMaintenance.MergeClause(
+            cond.map(asColumn(_, srcOnly)),
+            Some(as.map(x => x.key.asInstanceOf[AttributeReference].name ->
+              asColumn(x.value, srcOnly)).toMap)))
+        case _ => None
       }
-      val insertOk = m.notMatchedActions match {
-        case Seq() => true
-        case Seq(InsertAction(None, as)) =>
-          as.forall(a => a.key.isInstanceOf[AttributeReference] &&
-            !hasSubquery(a.value) &&
-            // an inserted row has no target side to read from
-            a.value.references.forall(sourceOut.contains))
-        case _ => false
-      }
-      if (keys.isEmpty || keys.exists(_.isEmpty) || !updateOk || !insertOk ||
-          (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty))
+      // by-source clauses see the target row only
+      val nmbsClauses = m.notMatchedBySourceActions.map(clauseOf(_, targetOut, unresolve))
+      if (keys.isEmpty || keys.exists(_.isEmpty) ||
+          matchedClauses.exists(_.isEmpty) || insertClauses.exists(_.isEmpty) ||
+          nmbsClauses.exists(_.isEmpty) ||
+          (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty &&
+            m.notMatchedBySourceActions.isEmpty))
         m // out of scope: keep the stock error
-      else {
-        val updateAssigns = m.matchedActions.headOption.toSeq.flatMap {
-          case UpdateAction(_, as, _) => as.map(a =>
-            a.key.asInstanceOf[AttributeReference].name ->
-              org.apache.spark.sql.GraftCatalystBridge.column(unresolve(a.value)))
-          case _ => Seq.empty
-        }
-        val insertExprs = m.notMatchedActions.headOption.map {
-          case InsertAction(_, as) => as.map(a =>
-            a.key.asInstanceOf[AttributeReference].name ->
-              org.apache.spark.sql.GraftCatalystBridge.column(srcOnly(a.value)))
-          case _ => Seq.empty
-        }
+      else
         GraftMergeCommand(t.tablePath, t.schema(), t.asofMs, m.sourceTable,
-          keys.flatten, updateAssigns, insertExprs, relationPlan)
-      }
+          keys.flatten, matchedClauses.flatten, insertClauses.flatten,
+          nmbsClauses.flatten, relationPlan)
   }
 }
 
@@ -181,15 +194,16 @@ final case class GraftMergeCommand(
     asofMs: Option[Long],
     sourcePlan: LogicalPlan,
     keys: Seq[(String, String)],
-    updateAssigns: Seq[(String, org.apache.spark.sql.Column)],
-    insertExprs: Option[Seq[(String, org.apache.spark.sql.Column)]],
+    matched: Seq[GraftMaintenance.MergeClause],
+    notMatchedInsert: Seq[GraftMaintenance.MergeClause],
+    notMatchedBySource: Seq[GraftMaintenance.MergeClause],
     relationPlan: LogicalPlan) extends LeafRunnableCommand {
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     require(asofMs.isEmpty, "graft: cannot MERGE into a time-travel snapshot")
     val src = org.apache.spark.sql.GraftCatalystBridge.ofRows(sparkSession, sourcePlan)
-    GraftMaintenance.mergeInto(sparkSession, path, src, keys,
-      updateAssigns.toMap, insertExprs.map(_.toMap),
+    GraftMaintenance.mergeApply(sparkSession, path, src, keys,
+      matched, notMatchedInsert, notMatchedBySource,
       schemaOverride = Some(declaredSchema))
     sparkSession.sharedState.cacheManager.recacheByPlan(
       sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], relationPlan)

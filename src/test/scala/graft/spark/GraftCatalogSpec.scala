@@ -325,11 +325,44 @@ class GraftCatalogSpec extends AnyFunSuite {
       "MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id < s.id " +
         "WHEN MATCHED THEN UPDATE SET *"))
     assert(e1.getMessage.contains("MERGE"), e1.getMessage)
-    // ... and NOT MATCHED BY SOURCE clauses
+    // ... and a subquery inside an action expression
     val e2 = intercept[Exception](spark.sql(
       "MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id = s.id " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+        "WHEN MATCHED THEN UPDATE SET v = (SELECT max(id) FROM range(3))"))
     assert(e2.getMessage.contains("MERGE"), e2.getMessage)
+  }
+
+  test("SQL MERGE full matrix: tombstone deletes, conditional inserts, by-source sync") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg2")
+    // CDC-apply with tombstones: op D deletes, op U updates, new keys insert
+    spark.sql("CREATE TABLE graftcat.mrg2.t AS SELECT id, id * 2 AS v FROM range(6)")
+    spark.sql("CREATE TABLE graftcat.mrg2.cdc AS SELECT * FROM VALUES " +
+      "(1L, 0L, 'D'), (3L, 333L, 'U'), (9L, 999L, 'U') AS s(id, v, op)")
+    spark.sql("MERGE INTO graftcat.mrg2.t AS t USING graftcat.mrg2.cdc AS s ON t.id = s.id " +
+      "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED AND s.op != 'D' THEN INSERT (id, v) VALUES (s.id, s.v)")
+    assert(spark.table("graftcat.mrg2.t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (2L, 4L), (3L, 333L), (4L, 8L), (5L, 10L), (9L, 999L)))
+    // snapshot sync: NOT MATCHED BY SOURCE DELETE makes target == source keys
+    spark.sql("CREATE TABLE graftcat.mrg2.snap AS SELECT id, 7777L AS v FROM range(3, 8)")
+    spark.sql("MERGE INTO graftcat.mrg2.t AS t USING graftcat.mrg2.snap AS s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(spark.table("graftcat.mrg2.t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (3L to 7L).map(i => (i, 7777L)))
+    // conditional by-source UPDATE (no delete): target ids 6,7 have no
+    // match in snap2 (3..5); the condition narrows the action to id >= 7
+    spark.sql("CREATE TABLE graftcat.mrg2.snap2 AS SELECT id, 1L AS v FROM range(3, 6)")
+    spark.sql("MERGE INTO graftcat.mrg2.t AS t USING graftcat.mrg2.snap2 AS s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE AND t.id >= 7 THEN UPDATE SET v = -6")
+    assert(spark.table("graftcat.mrg2.t").filter("v = -6").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    assert(spark.table("graftcat.mrg2.t").count() == 5,
+      "a conditional by-source UPDATE must not delete or insert anything")
   }
 
   test("ALTER COLUMN COMMENT is metadata-only and survives data-backed reads") {
