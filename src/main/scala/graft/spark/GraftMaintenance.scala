@@ -763,6 +763,7 @@ object GraftMaintenance {
       matched: Seq[MergeClause],
       notMatchedInsert: Seq[MergeClause],
       notMatchedBySource: Seq[MergeClause] = Seq.empty,
+      changelog: Boolean = false,
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): MergeStats = {
     import org.apache.spark.sql.functions.{col, lit, input_file_name, hash => shash, count => scount, sum => ssum, when}
     require(keys.nonEmpty, "graft: merge needs at least one equi-key pair")
@@ -875,16 +876,32 @@ object GraftMaintenance {
           if (c.isPresent) c.getAsLong else table.count()
         }
       }
+      // source side renamed behind the reserved prefix + a match flag whose
+      // name no renamed source column can take (renames carry SrcPrefix,
+      // which source columns are barred from — checked above)
+      val matchFlag = "__graft_match__"
+      val srcRenamed = src.columns.foldLeft(src)((d, c) =>
+        d.withColumnRenamed(c, SrcPrefix + c))
+        .withColumn(matchFlag, lit(true))
       // ---- probes: affected rows -> files ----
+      // BOTH probes are narrowed by their clauses' conditions — a file
+      // whose key-matched rows satisfy no clause must not be rewritten
+      // (probe conditions may reference both sides, so the matched probe
+      // joins the renamed source rather than semi-joining)
       val joinCond = keyPairs.map { case (t, s) => table(t) === src(s) }.reduce(_ && _)
+      val joinCondR = keyPairs.map { case (t, s) =>
+        table(t) === col(SrcPrefix + s) }.reduce(_ && _)
       val matchedCounts: Map[String, Long] =
         if (matchedN.isEmpty || files.isEmpty) Map.empty
-        else table.join(hinted(src), joinCond, "left_semi")
-          .groupBy(input_file_name().as("f")).agg(scount(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // not-matched-by-source clauses can touch rows in ANY file; a second
-      // anti-join probe (narrowed by the clause conditions, which are
-      // target-only expressions) keeps the rewrite set selective
+        else {
+          val condOr = matchedN.map(_.condition.getOrElse(lit(true))).reduce(_ || _)
+          table.join(hinted(srcRenamed), joinCondR).filter(condOr)
+            .groupBy(input_file_name().as("f")).agg(scount(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+      // not-matched-by-source clauses can touch rows in ANY file; the
+      // anti-join probe (narrowed likewise — target-only conditions)
+      // keeps the rewrite set selective
       val nmbsFiles: Set[String] =
         if (nmbsN.isEmpty || files.isEmpty) Set.empty
         else {
@@ -906,30 +923,63 @@ object GraftMaintenance {
           GraftSortMarker.read(fs, tableDir).exists(cols =>
             cols.exists(c => allAssignTargets.exists(_.equalsIgnoreCase(c)))))
         GraftSortMarker.clear(fs, tableDir)
-      // source side renamed behind the reserved prefix + a match flag whose
-      // name no renamed source column can take (renames carry SrcPrefix,
-      // which source columns are barred from — checked above)
-      val matchFlag = "__graft_match__"
-      val srcRenamed = src.columns.foldLeft(src)((d, c) =>
-        d.withColumnRenamed(c, SrcPrefix + c))
-        .withColumn(matchFlag, lit(true))
       val anyDelete = (matchedN ++ nmbsN).exists(_.assigns.isEmpty)
+      // ---- stage the NOT MATCHED insert set BEFORE any rewrite ----
+      // SQL semantics: "not matched" is judged against the table AS OF THE
+      // MERGE START. Computing it after the rewrites would resurrect rows
+      // a matched DELETE just removed (their keys vanish from the table,
+      // so the anti-join wrongly calls their source rows unmatched). The
+      // staged set is written at a deterministic hash-keyed path, so a
+      // crash between rewrites and insert resumes from the SAME pre-state
+      // snapshot instead of recomputing against a half-rewritten table.
+      val insStage = new org.apache.hadoop.fs.Path(
+        tableDir, s"_graft_tmp_merge/ins-$mrgHash")
+      if (insertN.nonEmpty && !fs.exists(insStage)) {
+        val keep = insertN.foldRight(lit(false)) { case (c, acc) =>
+          when(c.condition.getOrElse(lit(true)), lit(true)).otherwise(acc) }
+        val missing =
+          if (files.isEmpty) src.filter(keep)
+          else {
+            val antiCond = keyPairs.map { case (t, s) => table(t) === src(s) }.reduce(_ && _)
+            src.join(table, antiCond, "left_anti").filter(keep)
+          }
+        missing.write.format("graft").mode("overwrite").save(insStage.toString)
+      }
+      // ---- per-file rewrites ----
+      val ordered0: Seq[(Boolean, Option[org.apache.spark.sql.Column], Option[Map[String, org.apache.spark.sql.Column]])] =
+        matchedN.map(c => (true, c.condition, c.assigns)) ++
+          nmbsN.map(c => (false, c.condition, c.assigns))
+      def clauseGuards(isMatched: org.apache.spark.sql.Column) =
+        ordered0.map { case (onMatch, cnd, as) =>
+          ((if (onMatch) isMatched else !isMatched) && cnd.getOrElse(lit(true)), as) }
       val rewritten = rewriteMatchedFiles(spark, conf, fs, tableDir,
         affectedFiles, schema, RewriteSpec(
           tag = "mrg", hash = mrgHash,
-          changelogOf = None,
+          // pre-images of every row a clause APPLIES to — without this,
+          // rows a merge tombstone deletes would vanish from the CDC feed
+          // unrecoverably (deleteWhere/updateWhere expose the same option)
+          changelogOf =
+            if (!changelog) None
+            else Some(one => {
+              val joined = one.join(hinted(srcRenamed),
+                keyPairs.map { case (t, s) => one(t) === col(SrcPrefix + s) }.reduce(_ && _),
+                "left")
+              val isMatched = col(matchFlag).isNotNull
+              val applies = clauseGuards(isMatched).foldRight(lit(false)) {
+                case ((g, _), acc) => when(g, lit(true)).otherwise(acc) }
+              joined.filter(applies)
+                .select(schema.fields.map(fld => col(fld.name)).toIndexedSeq: _*)
+            }),
           projectOf = one => {
-            val cond = keyPairs.map { case (t, s) =>
-              one(t) === col(SrcPrefix + s) }.reduce(_ && _)
-            val joined = one.join(hinted(srcRenamed), cond, "left")
+            val joined = one.join(hinted(srcRenamed),
+              keyPairs.map { case (t, s) => one(t) === col(SrcPrefix + s) }.reduce(_ && _),
+              "left")
             val isMatched = col(matchFlag).isNotNull
             // FIRST-TRUE clause per row: matched clauses guard on the
             // match flag, by-source clauses on its negation; a foldRight
             // nests when(first)...otherwise(when(second)...) so earlier
             // clauses win, and a null condition reads as not-satisfied
-            val ordered: Seq[(org.apache.spark.sql.Column, Option[Map[String, org.apache.spark.sql.Column]])] =
-              matchedN.map(c => (isMatched && c.condition.getOrElse(lit(true)), c.assigns)) ++
-                nmbsN.map(c => (!isMatched && c.condition.getOrElse(lit(true)), c.assigns))
+            val ordered = clauseGuards(isMatched)
             val drop = ordered.foldRight(lit(false)) { case ((g, as), acc) =>
               when(g, lit(as.isEmpty)).otherwise(acc) }
             def valueOf(fld: org.apache.spark.sql.types.StructField) =
@@ -940,25 +990,23 @@ object GraftMaintenance {
               .select(schema.fields.map(fld => valueOf(fld).as(fld.name)).toIndexedSeq: _*)
           },
           allowEmpty = anyDelete, sameCount = !anyDelete))
+      if (changelog) publishChangeFeed(conf, fs, tableDir)
       // manifests heal BEFORE the insert: the rewrites' catch-up coverage
       // must never adopt the insert's files (those belong to the ordinary
       // commit manifest the append publishes)
       healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
-      // ---- inserts: source rows that matched nothing, appended last ----
+      // ---- inserts: the staged pre-state NOT MATCHED set, appended last ----
       val rowsInserted =
         if (insertN.isEmpty) 0L
         else {
-          val post = spark.read.format("graft").schema(schema).load(dir)
-          val antiCond = keyPairs.map { case (t, s) => post(t) === src(s) }.reduce(_ && _)
-          // persisted: the anti-join against the post-rewrite table is the
-          // most expensive distributed job of the pass, and both the count
-          // and the write consume it
-          val keep = insertN.foldRight(lit(false)) { case (c, acc) =>
-            when(c.condition.getOrElse(lit(true)), lit(true)).otherwise(acc) }
-          val missing = src.join(post, antiCond, "left_anti").filter(keep)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val n = missing.count()
+          val staged = GraftUtil.listDataFiles(insStage.toString, conf)
+          if (staged.isEmpty) 0L
+          else {
+            val missing = spark.read.format("graft").load(insStage.toString)
+            val n = {
+              val c = GraftScan.rowCount(staged, conf)
+              if (c.isPresent) c.getAsLong else missing.count()
+            }
             if (n > 0) missing.select(schema.fields.map { fld =>
               insertN.foldRight(lit(null).cast(fld.dataType)) { case (c, acc) =>
                 when(c.condition.getOrElse(lit(true)),
@@ -967,22 +1015,35 @@ object GraftMaintenance {
               }.as(fld.name)
             }.toIndexedSeq: _*).write.format("graft").mode("append").save(dir)
             n
-          } finally missing.unpersist()
+          }
         }
-      val rowsAfter = {
-        val live = GraftUtil.listDataFiles(dir, conf)
-        if (live.isEmpty) 0L
+      // rowsDeleted needs a post-merge recount — only pay it when a
+      // delete clause could actually have removed rows
+      val rowsDeleted =
+        if (!anyDelete) 0L
         else {
-          val c = GraftScan.rowCount(live, conf)
-          if (c.isPresent) c.getAsLong
-          else spark.read.format("graft").schema(schema).load(dir).count()
+          val live = GraftUtil.listDataFiles(dir, conf)
+          val after =
+            if (live.isEmpty) 0L
+            else {
+              val c = GraftScan.rowCount(live, conf)
+              if (c.isPresent) c.getAsLong
+              else spark.read.format("graft").schema(schema).load(dir).count()
+            }
+          math.max(0L, rowsTotal + rowsInserted - after)
         }
-      }
-      MergeStats(rewritten, files.size - rewritten,
-        matchedCounts.values.sum, rowsInserted, rowsTotal,
-        rowsDeleted = math.max(0L, rowsTotal + rowsInserted - rowsAfter))
-    } finally {
+      val stats = MergeStats(rewritten, files.size - rewritten,
+        matchedCounts.values.sum, rowsInserted, rowsTotal, rowsDeleted)
+      // SUCCESS-only cleanup: on a failure the hash-keyed insert staging
+      // must survive so the resume re-run replays the PRE-state snapshot
+      // (vacuum ages anything a permanently abandoned run leaves behind)
       fs.delete(new org.apache.hadoop.fs.Path(tableDir, "_graft_tmp_merge"), true)
+      stats
+    } catch {
+      case e: Throwable =>
+        // the uuid-keyed materialized source is useless across runs
+        fs.delete(srcScratch, true)
+        throw e
     }
   }
 

@@ -365,6 +365,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       "a conditional by-source UPDATE must not delete or insert anything")
   }
 
+  test("MERGE: a deleted matched row is not resurrected by an unconditional INSERT") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg3")
+    spark.sql("CREATE TABLE graftcat.mrg3.t AS SELECT id, id * 2 AS v FROM range(5)")
+    spark.sql("CREATE TABLE graftcat.mrg3.s AS SELECT * FROM VALUES " +
+      "(1L, 111L), (9L, 999L) AS s(id, v)")
+    // SQL semantics: NOT MATCHED is judged against the table AS OF the
+    // merge start — id 1 matched (so it is deleted, never re-inserted),
+    // id 9 matched nothing (so it inserts)
+    spark.sql("MERGE INTO graftcat.mrg3.t AS t USING graftcat.mrg3.s AS s ON t.id = s.id " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.table("graftcat.mrg3.t").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L, 4L, 9L))
+  }
+
   test("ALTER COLUMN COMMENT is metadata-only and survives data-backed reads") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo4")
     spark.sql("CREATE TABLE graftcat.evo4.t AS SELECT id, id * 2 AS v FROM range(4)")

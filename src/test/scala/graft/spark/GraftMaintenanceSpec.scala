@@ -481,6 +481,38 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate"), e.getMessage)
   }
 
+  test("mergeApply: changelog pre-images, condition-narrowed probe, rowsDeleted") {
+    import org.apache.hadoop.fs.Path
+    import graft.spark.{GraftMaintenance => M}
+    val dir = "/tmp/graft-test/maint-merge-matrix"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(40).selectExpr("id AS k", "id AS v").coalesce(4)
+      .write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    // delete-only merge whose condition matches NOTHING: key matches exist
+    // in every file, but no file may be rewritten (probe narrows by the
+    // clause conditions, not just the join keys)
+    val srcAll = spark.range(40).selectExpr("id AS k", "id AS v")
+    val noop = M.mergeApply(spark, dir, srcAll, Seq("k" -> "k"),
+      matched = Seq(M.MergeClause(Some(col(s"${M.SrcPrefix}v") > 1000), None)),
+      notMatchedInsert = Seq.empty)
+    assert(noop.filesRewritten == 0 && noop.rowsUpdated == 0 && noop.rowsDeleted == 0,
+      s"condition-narrowed probe must rewrite nothing, got $noop")
+    // tombstone delete WITH changelog: pre-images of the deleted rows land
+    // in the CDC feed before the originals are retired
+    val tomb = spark.range(5).selectExpr("id AS k", "id AS v")
+    val st = M.mergeApply(spark, dir, tomb, Seq("k" -> "k"),
+      matched = Seq(M.MergeClause(None, None)),
+      notMatchedInsert = Seq.empty,
+      changelog = true)
+    assert(st.rowsDeleted == 5, s"got $st")
+    assert(spark.read.format("graft").load(dir).count() == 35)
+    val feed = spark.read.format("graft")
+      .load(new Path(dir, GraftCdc.ChangesDir).toString)
+    assert(feed.filter(col("k") < 5).count() == 5,
+      "deleted rows' pre-images must reach the change feed")
+  }
+
   test("mergeInto: incremental readers see only inserts; fresh streams see everything") {
     import org.apache.hadoop.fs.Path
     val dir = "/tmp/graft-test/maint-merge-cdc"
