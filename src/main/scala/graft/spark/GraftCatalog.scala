@@ -206,10 +206,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(schema, dir.toString, Some(timestampMicros / 1000L))
   }
 
-  override def loadTable(ident: Identifier, version: String): Table =
-    throw new UnsupportedOperationException(
-      "graft: VERSION AS OF is not supported — snapshots are time-addressed; " +
-        "use TIMESTAMP AS OF (manifest commit times)")
+  /** SQL time travel by ordinal: `VERSION AS OF n` pins the state after
+    * the n-th COMMIT (1-based, chronological manifest order; catch-up
+    * re-lists are coverage, not commits, and don't count). Resolved to
+    * that commit's timestamp and served by the same snapshot machinery as
+    * TIMESTAMP AS OF — with the same retention contract: versions whose
+    * manifests were expired or compacted away are not reconstructable.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().mkString("."), ident.name())
+    val n = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft: VERSION AS OF takes a commit ordinal (1-based), got '$version'")
+    }
+    val dir = tableDir(ident)
+    val commits = GraftManifest.list(fs, dir).filterNot(GraftManifest.isCatchup)
+    require(n >= 1 && n <= commits.size,
+      s"graft: version $n is out of range — the table has ${commits.size} " +
+        "addressable commits (older versions may have been expired or " +
+        "compacted away; use TIMESTAMP AS OF for time-based pinning)")
+    val asOfMs = GraftManifest.nameT(commits((n - 1).toInt))
+    val schema =
+      if (hasData(dir)) GraftUtil.inferSchema(dir.toString, conf)
+      else sidecarSchema(dir)
+    new GraftTable(schema, dir.toString, Some(asOfMs))
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {

@@ -81,10 +81,16 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"SELECT count(*) FROM graftcat.tt.log TIMESTAMP AS OF '$lit'")
       .collect()(0).getLong(0)
     assert(asOf == 5L, s"snapshot at t1 saw $asOf rows, expected the first commit's 5")
+    // VERSION AS OF pins by commit ordinal (1-based, catch-up manifests
+    // don't count): v1 = CTAS (5 rows), v2 = the insert (8 rows)
+    assert(spark.sql("SELECT count(*) FROM graftcat.tt.log VERSION AS OF 1")
+      .head().getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.tt.log VERSION AS OF 2")
+      .head().getLong(0) == 8L)
     val e = intercept[Exception] {
-      spark.sql("SELECT * FROM graftcat.tt.log VERSION AS OF '1'").collect()
+      spark.sql("SELECT * FROM graftcat.tt.log VERSION AS OF 99").collect()
     }
-    assert(e.getMessage.contains("TIMESTAMP AS OF"))
+    assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
   test("identifier segments cannot traverse outside the warehouse") {
