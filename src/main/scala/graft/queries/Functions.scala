@@ -448,6 +448,33 @@ object Functions {
           countDistinct(col("o_custkey")).as("custs"))
     },
 
+    "q_version_asof" -> { (s, dir) =>
+      // ORDINAL time travel in the correctness gate: a catalog table built
+      // as two commits (even doc_ids, then odd); `VERSION AS OF 1` must
+      // see exactly the first commit — the oracle expresses it as
+      // `WHERE doc_id % 2 = 0`. Proves the commit-ordinal -> manifest-time
+      // resolution pins the file set end to end through pure SQL.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_vasof_stage1/$key/wh") { t =>
+        val cat = s"gvab_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val d = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        d.filter(col("doc_id") % 2 === 0)
+          .write.format("graft").mode("append").save(s"$t/docs")
+        Thread.sleep(5) // the second commit must be strictly after v1
+        d.filter(col("doc_id") % 2 === 1)
+          .write.format("graft").mode("append").save(s"$t/docs")
+      }
+      val readCat = s"gvar_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.sql(s"SELECT lang, count(*) AS docs, sum(n_chars) AS chars, " +
+        s"min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        s"FROM $readCat.docs VERSION AS OF 1 GROUP BY lang ORDER BY lang")
+    },
+
     "q_asof_snapshot" -> { (s, dir) =>
       // SNAPSHOT read in the correctness gate: documents staged as two
       // commits (even doc_ids, then odd), the first commit's manifest time
@@ -1031,6 +1058,12 @@ object Functions {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
         |  count(DISTINCT o_custkey) AS custs
         |FROM orders WHERE o_custkey <= 200 AND o_totalprice >= 50000.0""".stripMargin,
+    "q_version_asof" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_asof_snapshot" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
