@@ -1,0 +1,115 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential testing of the row-level DML machinery: random sequences
+  * of delete / update / merge ops applied through the graft rewrite
+  * passes must leave the table byte-identical (as sorted rows) to a plain
+  * in-memory reference model. Seeded deterministically — failures
+  * reproduce; the sequences exercise the shared rewrite scaffold
+  * (deterministic names, converged guards, manifest healing) across flat
+  * AND hive-partitioned layouts in compositions no hand-written case
+  * covers.
+  */
+class DmlDifferentialSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // reference model: key -> (v, s, p)
+  type Model = scala.collection.mutable.LinkedHashMap[Long, (Long, String, String)]
+
+  private def tableOf(dir: String): DataFrame =
+    spark.read.format("graft").load(dir)
+
+  private def snapshot(dir: String): Seq[(Long, Long, String, String)] =
+    tableOf(dir).select("k", "v", "s", "p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+
+  private def modelSnapshot(m: Model): Seq[(Long, Long, String, String)] =
+    m.toSeq.map { case (k, (v, s, p)) => (k, v, s, p) }.sortBy(_._1)
+
+  private def runScenario(seed: Long, partitioned: Boolean): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = s"/tmp/graft-test/dml-diff-$seed-$partitioned"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val n = 150 + rnd.nextInt(100)
+    val init = (0L until n).map(k =>
+      (k, rnd.nextInt(1000).toLong, s"s${rnd.nextInt(4)}", s"p${k % 3}"))
+    val model: Model = scala.collection.mutable.LinkedHashMap(
+      init.map { case (k, v, s, p) => k -> (v, s, p) }: _*)
+    val df = spark.createDataFrame(init).toDF("k", "v", "s", "p")
+    val w = df.repartition(3).write.format("graft").mode("overwrite")
+    (if (partitioned) w.option("partitionby", "p") else w).save(dir)
+
+    for (step <- 0 until 4) {
+      rnd.nextInt(3) match {
+        case 0 => // DELETE WHERE k % m = r
+          val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          GraftMaintenance.deleteWhere(spark, dir, col("k") % m === r)
+          model.filterInPlace((k, _) => k % m != r)
+        case 1 => // UPDATE SET v = v + d, s = tag WHERE k % m = r
+          val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          val d = 1 + rnd.nextInt(50); val tag = s"u$step"
+          GraftMaintenance.updateWhere(spark, dir, col("k") % m === r,
+            Map("v" -> (col("v") + d), "s" -> lit(tag)))
+          model.mapValuesInPlace((k, t) =>
+            if (k % m == r) (t._1 + d, tag, t._3) else t)
+        case 2 => // MERGE: tombstones + updates + inserts in one batch
+          val existing = model.keys.toIndexedSeq
+          val touch =
+            if (existing.isEmpty) Seq.empty
+            else rnd.shuffle(existing).take(1 + rnd.nextInt(math.max(1, existing.size / 4)))
+          val fresh = (0 until (1 + rnd.nextInt(8))).map(_ => 10000L + rnd.nextInt(500))
+          val batch0 = (touch ++ fresh).distinct.map { k =>
+            val op = if (rnd.nextInt(4) == 0) "D" else "U"
+            (k, rnd.nextInt(1000).toLong, s"m$step", s"p${k % 3}", op)
+          }
+          if (batch0.nonEmpty) {
+            val src = spark.createDataFrame(batch0).toDF("k", "v", "s", "p", "op")
+            val pre = GraftMaintenance.SrcPrefix
+            GraftMaintenance.mergeApply(spark, dir, src, Seq("k" -> "k"),
+              matched = Seq(
+                GraftMaintenance.MergeClause(Some(col(pre + "op") === "D"), None),
+                GraftMaintenance.MergeClause(None, Some(Map(
+                  "v" -> col(pre + "v"), "s" -> col(pre + "s"))))),
+              notMatchedInsert = Seq(GraftMaintenance.MergeClause(
+                Some(col("op") =!= "D"),
+                Some(Map("k" -> col("k"), "v" -> col("v"),
+                  "s" -> col("s"), "p" -> col("p"))))))
+            // reference semantics: matched -> first-true clause (tombstone
+            // delete wins over update); not-matched -> insert unless D;
+            // judged against the PRE-merge state
+            val preKeys = model.keySet.toSet
+            batch0.foreach { case (k, v, s, p, op) =>
+              if (preKeys.contains(k)) {
+                if (op == "D") model.remove(k)
+                else model.update(k, (v, s, model(k)._3))
+              } else if (op != "D") model.update(k, (v, s, p))
+            }
+          }
+      }
+      val got = snapshot(dir)
+      val want = modelSnapshot(model)
+      assert(got == want,
+        s"seed=$seed partitioned=$partitioned diverged at step $step:\n" +
+          s"  graft=${got.take(8)}... (${got.size} rows)\n" +
+          s"  model=${want.take(8)}... (${want.size} rows)")
+    }
+  }
+
+  test("random DML sequences match the reference model (flat layout)") {
+    Seq(11L, 23L, 47L).foreach(runScenario(_, partitioned = false))
+  }
+
+  test("random DML sequences match the reference model (hive-partitioned)") {
+    Seq(5L, 83L).foreach(runScenario(_, partitioned = true))
+  }
+}
