@@ -477,14 +477,18 @@ object Bench {
       val repairs = flagged.map { case (r, x) =>
         val now = System.nanoTime()
         val past = now > deadlineNanos
-        // a >=2x flag is not shipped unremeasured while the OVERRUN
-        // allowance lasts: past the deadline it still gets a reduced
-        // (1-pair) mandatory re-measure — one warm interleaved pair is
-        // enough to refute a steal-window artifact — but the allowance is
-        // itself bounded so a flag storm cannot starve the phases (and
-        // the artifact write) that follow
+        // NO flag ships unremeasured while the OVERRUN allowance lasts:
+        // past the deadline every flagged entry still gets a reduced
+        // (1-pair) re-measure — one warm interleaved pair is enough to
+        // refute a steal-window artifact. Round 13 skipped the 1.3-2x
+        // band at the deadline and the driver's cold 33-min closing run
+        // shipped five 1.36-1.58x scaled flags as "remeasured":-1 — the
+        // round's whole weak set. The allowance is itself bounded (and
+        // spent worst-first, >=2x entries leading), so a flag storm still
+        // cannot starve the phases or the artifact write; only past
+        // wall+overrun does an entry ship -1.
         val overrun = now > deadlineNanos + auditOverrunSec * 1000000000L
-        if ((past && x < 2.0) || overrun) {
+        if (overrun) {
           val json =
             f"""{"q":"${r.name}","section":"$label","ratio":${r.bg / r.bp}%.2f,"remeasured":-1,"skipped":"audit deadline"}"""
           (json, r)

@@ -771,40 +771,29 @@ object Functions {
       // join runs with no shuffle on either side (plan shape asserted in
       // StoragePartitionedJoinSpec; here the gate proves the co-located
       // plan produces oracle-exact values end to end). The bucketing conf
-      // is scoped: the SPJ plan executes EAGERLY inside this block and the
-      // previous conf value is restored, so no other gate query plans
-      // under a conf this one flipped.
-      val prev = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      try {
-        val docs = stagedPartitionedDocs(s, dir)
-        val stats = stagedOnce(
-            s"/tmp/graft_spj_stage2/${stageKey(s, dir, "documents")}/lang_stats") { t =>
-          s.read.format("graft").load(docs)
-            .groupBy(col("lang"))
-            .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
-            .write.format("graft").option("partitionby", "lang")
-            .mode("overwrite").save(t)
-        }
-        val joined = s.read.format("graft").load(docs)
-          .join(s.read.format("graft").load(stats), "lang")
+      // is scoped via an ISOLATED CHILD SESSION (shared SparkContext and
+      // staging, own SQLConf): the returned plan stays fully LAZY — it
+      // carries its session, so it plans under the flipped conf whenever
+      // the caller executes it, while no other gate query ever sees the
+      // flip. (This replaces an eager collect+parallelize bridge that
+      // materialized the aggregate on the driver just to scope the conf.)
+      val docs = stagedPartitionedDocs(s, dir)
+      val stats = stagedOnce(
+          s"/tmp/graft_spj_stage2/${stageKey(s, dir, "documents")}/lang_stats") { t =>
+        s.read.format("graft").load(docs)
           .groupBy(col("lang"))
-          .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
-            max(col("total_chars")).as("lang_chars"), max(col("cnt")).as("lang_docs"))
-          .orderBy(col("lang"))
-        // eager collect scopes the conf flip to this query; per-lang rows,
-        // but hard-capped so a schema/grouping change can never turn the
-        // driver-side materialization unbounded
-        val capped = joined.limit(10001).collect().toSeq
-        if (capped.size > 10000)
-          throw new IllegalStateException(
-            "q_spj_cojoin: per-lang aggregate exceeded the 10k driver-side cap")
-        s.createDataFrame(
-          s.sparkContext.parallelize(capped, math.max(1, capped.size)), joined.schema)
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-        case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
+          .write.format("graft").option("partitionby", "lang")
+          .mode("overwrite").save(t)
       }
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.read.format("graft").load(docs)
+        .join(s2.read.format("graft").load(stats), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          max(col("total_chars")).as("lang_chars"), max(col("cnt")).as("lang_docs"))
+        .orderBy(col("lang"))
     },
 
     "q_incremental_scan" -> { (s, dir) =>

@@ -1510,17 +1510,24 @@ object TrainingData {
       // shuffle-hash with the vocab build side (a corpus vocabulary neither
       // broadcasts at 100 TB nor may the exploded stream become a build
       // side — the t_lm_score lesson); everything else is one map pass.
+      // The position stream and the unigram vocab are MATERIALIZED: `pos`
+      // feeds both the bigram aggregate and the probe side, `uni` feeds
+      // nC plus two joins — Spark has no cross-branch CSE, so left inline
+      // each branch re-runs the scan+explode (the d_ngram_jaccard recompute
+      // shape that measured 1.45x scaled until materialized).
       val d = docs(s, dir)
       val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val uni = materialize(
+        tok.groupBy(col("w")).agg(count(lit(1)).as("cu")), "lmbg_uni")
       val nC = uni.agg(sum(col("cu")).as("n_corpus"))
-      val pos = d.withColumn("ws", split(col("text"), " "))
+      val pos = materialize(d.withColumn("ws", split(col("text"), " "))
         .filter(size(col("ws")) >= 2)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(ws)-1),
                i -> named_struct('prev', element_at(ws, i), 'cur', element_at(ws, i+1)))"""))
           .as("p"))
-        .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur")),
+        "lmbg_pos")
       val big = pos.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
       pos
         .join(big.hint("shuffle_hash"), Seq("prev", "cur"))

@@ -207,11 +207,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** SQL time travel by ordinal: `VERSION AS OF n` pins the state after
-    * the n-th COMMIT (1-based, chronological manifest order; catch-up
-    * re-lists are coverage, not commits, and don't count). Resolved to
-    * that commit's timestamp and served by the same snapshot machinery as
-    * TIMESTAMP AS OF — with the same retention contract: versions whose
-    * manifests were expired or compacted away are not reconstructable.
+    * the n-th COMMIT (1-based, chronological order of first observation;
+    * catch-up re-lists are coverage, not commits, and don't count).
+    * Ordinals are STABLE: they resolve through the table's append-only
+    * version log ([[GraftVersionLog]]), not an index into the surviving
+    * manifest list, so expiring a mid-history manifest leaves a hole — the
+    * same `VERSION AS OF 5` always means the same commit; an expired
+    * version errors as expired rather than silently renumbering its
+    * successors. Served by the same snapshot machinery as TIMESTAMP AS OF,
+    * with the same retention contract: versions whose manifests were
+    * expired or compacted away are not reconstructable.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident))
@@ -222,12 +227,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft: VERSION AS OF takes a commit ordinal (1-based), got '$version'")
     }
     val dir = tableDir(ident)
-    val commits = GraftManifest.list(fs, dir).filterNot(GraftManifest.isCatchup)
-    require(n >= 1 && n <= commits.size,
-      s"graft: version $n is out of range — the table has ${commits.size} " +
-        "addressable commits (older versions may have been expired or " +
-        "compacted away; use TIMESTAMP AS OF for time-based pinning)")
-    val asOfMs = GraftManifest.nameT(commits((n - 1).toInt))
+    val log = GraftVersionLog.commits(GraftVersionLog.sync(fs, dir))
+    require(n >= 1 && n <= log.size,
+      s"graft: version $n is out of range — the table has ${log.size} " +
+        "registered commits (use TIMESTAMP AS OF for time-based pinning)")
+    val commit = log((n - 1).toInt)
+    require(GraftManifest.list(fs, dir).contains(commit),
+      s"graft: version $n has been expired (its commit manifest was retired " +
+        "by retention, a row-level rewrite, or compaction) and is no longer " +
+        "reconstructable; later version ordinals are unaffected")
+    val asOfMs = GraftManifest.nameT(commit)
     val schema =
       if (hasData(dir)) GraftUtil.inferSchema(dir.toString, conf)
       else sidecarSchema(dir)

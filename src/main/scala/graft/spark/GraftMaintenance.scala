@@ -119,7 +119,9 @@ object GraftMaintenance {
     afterRewrite()
     // retire ONLY the pre-rewrite snapshot (manifests first, so a crash
     // window never leaves a manifest referencing a deleted file): files
-    // appended by another writer since the snapshot are not ours to delete
+    // appended by another writer since the snapshot are not ours to delete.
+    // Version ordinals register first — compaction expiry leaves holes.
+    GraftVersionLog.sync(fs, tableDir)
     beforeManifests.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false))
     before.foreach(f => fs.delete(f.getPath, false))
@@ -260,7 +262,7 @@ object GraftMaintenance {
         tag = "del", hash = predHash,
         changelogOf = if (changelog) Some(df => df.filter(predicate)) else None,
         projectOf = df => df.filter(!predicate || predicate.isNull),
-        allowEmpty = true, sameCount = false))
+        allowEmpty = true, sameCount = false)).rewritten
     if (changelog) publishChangeFeed(conf, fs, tableDir)
     val untouched = files.size - rewritten
     val rowsAfter = { // footer-only recount of the surviving table
@@ -302,6 +304,9 @@ object GraftMaintenance {
       fs: org.apache.hadoop.fs.FileSystem,
       tableDir: org.apache.hadoop.fs.Path,
       manifestSnapshot: Seq[String]): Unit = {
+      // register ordinals BEFORE anything can expire — VERSION AS OF
+      // resolves through this log, so expiry leaves holes, never renumbers
+      GraftVersionLog.sync(fs, tableDir)
       val liveFiles = GraftUtil.listDataFiles(dir, conf)
       val live = liveFiles.map(f => fs.makeQualified(f.getPath).toString).toSet
       def qualify(name: String): String = fs.makeQualified(
@@ -398,13 +403,17 @@ object GraftMaintenance {
     case _ => "_graft_tmp_merge"
   }
 
+  /** What [[rewriteMatchedFiles]] did: how many files this run rewrote (or
+    * finished retiring), and which matched file paths it SKIPPED as
+    * already-converged output of the same op. */
+  private final case class RewriteResult(rewritten: Int, skippedConverged: Set[String])
+
   /** Concurrent per-file rewrites with deterministic crash-resume names.
     * Files already carrying `-<tag><hash>` in their NAME are converged
     * output of a previous run of this same op and are skipped outright —
     * without this, a crash re-run whose predicate still matches the
     * rewritten rows would apply a non-idempotent assignment twice (and a
     * task pair could race original-vs-output into duplicated rows).
-    * Returns the rewritten-file count.
     */
   private def rewriteMatchedFiles(spark: SparkSession,
       conf: org.apache.hadoop.conf.Configuration,
@@ -412,11 +421,12 @@ object GraftMaintenance {
       tableDir: org.apache.hadoop.fs.Path,
       matched: Seq[org.apache.hadoop.fs.FileStatus],
       schema: org.apache.spark.sql.types.StructType,
-      spec: RewriteSpec): Int = {
+      spec: RewriteSpec): RewriteResult = {
     val marker = s"-${spec.tag}${spec.hash}"
-    val work = matched.filterNot(_.getPath.getName.contains(marker))
+    val (skipped, work) = matched.partition(_.getPath.getName.contains(marker))
+    val skippedPaths = skipped.map(_.getPath.toString).toSet
     val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
-    if (work.isEmpty) return 0
+    if (work.isEmpty) return RewriteResult(0, skippedPaths)
     val scratchRoot = scratchRootOf(spec.tag)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, work.size)))
@@ -520,7 +530,7 @@ object GraftMaintenance {
     // the same root and still needs it for the insert pass
     fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"$scratchRoot/cl"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"$scratchRoot/sv"), true)
-    rewrittenN.get()
+    RewriteResult(rewrittenN.get(), skippedPaths)
   }
 
   /** Publish any unlisted `_graft_changes` feed files under one feed
@@ -543,9 +553,13 @@ object GraftMaintenance {
   }
 
   /** Result of a row-level update: files holding matches (rewritten),
-    * untouched files, rows the predicate matched, and the table total. */
+    * untouched files, rows the predicate matched IN FILES THIS RUN actually
+    * rewrote or retired (a converged-skip resume reports 0 — callers can
+    * tell a no-op resume from a real update), the table total, and how many
+    * matched files were skipped as already-converged output of this same
+    * statement. */
   final case class UpdateStats(filesRewritten: Int, filesUntouched: Int,
-      rowsUpdated: Long, rowsTotal: Long)
+      rowsUpdated: Long, rowsTotal: Long, skippedConverged: Int = 0)
 
   /** Row-level UPDATE: apply `assignments` (column -> new-value expression,
     * evaluated against the pre-update row) to every row matching
@@ -574,18 +588,25 @@ object GraftMaintenance {
     * sort marker is cleared when an assignment targets one of its columns
     * (updated values need not preserve the order).
     *
-    * Re-run contract: running the IDENTICAL update again is treated as
-    * crash RESUMPTION — files already carrying this update's hash are
-    * converged output and are skipped, so a non-idempotent assignment
-    * (`v = v + 1`) is applied exactly once per distinct statement, never
-    * doubled by a recovery re-run. To intentionally re-apply such an
-    * update, vary the statement (predicate or expression).
+    * Re-run contract (library API): running the IDENTICAL update again is
+    * treated as crash RESUMPTION — files already carrying this update's
+    * hash are converged output and are skipped, so a non-idempotent
+    * assignment (`v = v + 1`) is applied exactly once per distinct
+    * statement, never doubled by a recovery re-run. To intentionally
+    * re-apply such an update, vary the statement (predicate or expression)
+    * — or pass a fresh `opNonce`, which is folded into the convergence
+    * hash: the SQL path ([[GraftUpdateCommand]]) mints one nonce per
+    * statement EXECUTION (persisted in a started-op marker so a crashed
+    * execution still resumes under its own nonce), giving plain SQL
+    * standard re-apply semantics while the library default stays
+    * converge-on-re-run.
     */
   def updateWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       changelog: Boolean = false,
-      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): UpdateStats = {
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      opNonce: Option[String] = None): UpdateStats = {
     require(assignments.nonEmpty, "graft: updateWhere needs at least one assignment")
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
@@ -639,7 +660,8 @@ object GraftMaintenance {
     // rewritten file — crash re-runs converge like deleteWhere's
     val updHash = {
       val rendered = predicate.toString + "|" +
-        norm.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";")
+        norm.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";") +
+        opNonce.map("|nonce:" + _).getOrElse("")
       java.security.MessageDigest.getInstance("MD5")
         .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(4).map(b => f"$b%02x").mkString
@@ -652,7 +674,7 @@ object GraftMaintenance {
       GraftSortMarker.clear(fs, tableDir)
     val matchedFiles = files.filter(f => matchedCounts.contains(f.getPath.toString))
     val assignOf = norm.toMap
-    val rewritten = rewriteMatchedFiles(spark, conf, fs, tableDir,
+    val rw = rewriteMatchedFiles(spark, conf, fs, tableDir,
       matchedFiles, schema, RewriteSpec(
         tag = "upd", hash = updHash,
         changelogOf = if (changelog) Some(df => df.filter(predicate)) else None,
@@ -670,16 +692,22 @@ object GraftMaintenance {
         allowEmpty = false, sameCount = true))
     if (changelog) publishChangeFeed(conf, fs, tableDir)
     healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
-    UpdateStats(rewritten, files.size - rewritten,
-      matchedCounts.values.sum, rowsTotal)
+    // matched rows in converged-skipped files were updated by a PREVIOUS
+    // completed run of this statement, not this one — counting them would
+    // make a no-op resume indistinguishable from a real update
+    val updatedNow = matchedCounts.collect {
+      case (f, n) if !rw.skippedConverged.contains(f) => n }.sum
+    UpdateStats(rw.rewritten, files.size - rw.rewritten,
+      updatedNow, rowsTotal, rw.skippedConverged.size)
   }
 
-  /** Result of a merge: files rewritten / untouched, matched rows
-    * (updated or deleted), deleted rows, appended rows, and the pre-merge
-    * target total. */
+  /** Result of a merge: files rewritten / untouched, matched rows touched
+    * by THIS run (a converged-skip resume does not re-count them), deleted
+    * rows, appended rows, the pre-merge target total, and how many affected
+    * files were skipped as already-converged output of this same merge. */
   final case class MergeStats(filesRewritten: Int, filesUntouched: Int,
       rowsUpdated: Long, rowsInserted: Long, rowsTotal: Long,
-      rowsDeleted: Long = 0L)
+      rowsDeleted: Long = 0L, skippedConverged: Int = 0)
 
   /** One WHEN clause of a merge. `condition` guards the action (None =
     * unconditional); `assigns` None = DELETE, Some = the UPDATE / INSERT
@@ -764,7 +792,8 @@ object GraftMaintenance {
       notMatchedInsert: Seq[MergeClause],
       notMatchedBySource: Seq[MergeClause] = Seq.empty,
       changelog: Boolean = false,
-      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): MergeStats = {
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      opNonce: Option[String] = None): MergeStats = {
     import org.apache.spark.sql.functions.{col, lit, input_file_name, hash => shash, count => scount, sum => ssum, when}
     require(keys.nonEmpty, "graft: merge needs at least one equi-key pair")
     require(matched.nonEmpty || notMatchedInsert.nonEmpty || notMatchedBySource.nonEmpty,
@@ -857,7 +886,8 @@ object GraftMaintenance {
               .getOrElse("DELETE")).mkString("|")
         val rendered = keyPairs.mkString(";") + "|M:" + render(matchedN) +
           "|I:" + render(insertN) + "|S:" + render(nmbsN) +
-          s"|${fp.getLong(0)}|${if (fp.isNullAt(3)) 0L else fp.getLong(3)}"
+          s"|${fp.getLong(0)}|${if (fp.isNullAt(3)) 0L else fp.getLong(3)}" +
+          opNonce.map("|nonce:" + _).getOrElse("")
         java.security.MessageDigest.getInstance("MD5")
           .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .take(4).map(b => f"$b%02x").mkString
@@ -887,7 +917,17 @@ object GraftMaintenance {
       // BOTH probes are narrowed by their clauses' conditions — a file
       // whose key-matched rows satisfy no clause must not be rewritten
       // (probe conditions may reference both sides, so the matched probe
-      // joins the renamed source rather than semi-joining)
+      // joins the renamed source rather than semi-joining).
+      // input_file_name() is captured as a COLUMN on the table side BEFORE
+      // the join: evaluated after a shuffled join it returns "" (the
+      // post-exchange task reads no file), so selecting it post-join only
+      // worked when the source happened to broadcast — any source above the
+      // broadcast threshold, or a session with autoBroadcastJoinThreshold
+      // = -1, planned a sort-merge join and aborted every merge. Captured
+      // pre-join it is ordinary row data and survives any join strategy.
+      val fileCol = Iterator.from(0).map(i => s"__graft_probe_file_$i")
+        .find(n => !schema.fieldNames.exists(_.equalsIgnoreCase(n))).get
+      val tableF = table.withColumn(fileCol, input_file_name())
       val joinCond = keyPairs.map { case (t, s) => table(t) === src(s) }.reduce(_ && _)
       val joinCondR = keyPairs.map { case (t, s) =>
         table(t) === col(SrcPrefix + s) }.reduce(_ && _)
@@ -895,8 +935,8 @@ object GraftMaintenance {
         if (matchedN.isEmpty || files.isEmpty) Map.empty
         else {
           val condOr = matchedN.map(_.condition.getOrElse(lit(true))).reduce(_ || _)
-          table.join(hinted(srcRenamed), joinCondR).filter(condOr)
-            .groupBy(input_file_name().as("f")).agg(scount(lit(1)).as("n"))
+          tableF.join(hinted(srcRenamed), joinCondR).filter(condOr)
+            .groupBy(col(fileCol).as("f")).agg(scount(lit(1)).as("n"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         }
       // not-matched-by-source clauses can touch rows in ANY file; the
@@ -906,8 +946,8 @@ object GraftMaintenance {
         if (nmbsN.isEmpty || files.isEmpty) Set.empty
         else {
           val condOr = nmbsN.map(_.condition.getOrElse(lit(true))).reduce(_ || _)
-          table.join(hinted(src), joinCond, "left_anti").filter(condOr)
-            .select(input_file_name().as("f")).distinct()
+          tableF.join(hinted(src), joinCond, "left_anti").filter(condOr)
+            .select(col(fileCol).as("f")).distinct()
             .collect().map(_.getString(0)).toSet
         }
       val affected = matchedCounts.keySet ++ nmbsFiles
@@ -996,6 +1036,22 @@ object GraftMaintenance {
       // commit manifest the append publishes)
       healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
       // ---- inserts: the staged pre-state NOT MATCHED set, appended last ----
+      // The append is IDEMPOTENT across crash re-runs: its commit manifest
+      // carries the deterministic tag ins<mrgHash> (same pattern as the
+      // streaming sink's epoch tags), so a crash between the append commit
+      // and the success-only staging cleanup no longer duplicates every
+      // inserted row on resume — the re-run finds the tag and skips the
+      // append (the batch writer double-checks at commit time). The tag is
+      // looked up in the VERSION LOG, not the live manifest list: a resume
+      // whose rewrite pass touches the previously-inserted file EXPIRES the
+      // ins manifest through the heal pass above, but every expiry path
+      // registers the manifest in the log first, so the log remembers the
+      // commit across any crash/rewrite sequence. (Flip side, consistent
+      // with the -mrg file-name markers: an identical library-path merge
+      // never re-inserts even if the rows were deleted in between — vary
+      // the statement, or go through SQL, whose per-execution nonce gives
+      // every execution a fresh hash.)
+      val insTag = s"ins$mrgHash"
       val rowsInserted =
         if (insertN.isEmpty) 0L
         else {
@@ -1007,13 +1063,21 @@ object GraftMaintenance {
               val c = GraftScan.rowCount(staged, conf)
               if (c.isPresent) c.getAsLong else missing.count()
             }
-            if (n > 0) missing.select(schema.fields.map { fld =>
+            // CURRENT-generation scope: a truncating overwrite appends a
+            // sentinel to the log, so an insert commit the truncate wiped
+            // can never suppress a legitimate re-insert afterwards
+            val alreadyAppended =
+              GraftVersionLog.currentGeneration(GraftVersionLog.sync(fs, tableDir))
+                .exists(_.endsWith("-" + insTag)) ||
+                GraftManifest.list(fs, tableDir).exists(_.endsWith("-" + insTag))
+            if (n > 0 && !alreadyAppended) missing.select(schema.fields.map { fld =>
               insertN.foldRight(lit(null).cast(fld.dataType)) { case (c, acc) =>
                 when(c.condition.getOrElse(lit(true)),
                   c.assigns.get.find(_._1.equalsIgnoreCase(fld.name)).get._2)
                   .otherwise(acc)
               }.as(fld.name)
-            }.toIndexedSeq: _*).write.format("graft").mode("append").save(dir)
+            }.toIndexedSeq: _*).write.format("graft").mode("append")
+              .option("manifesttag", insTag).save(dir)
             n
           }
         }
@@ -1032,8 +1096,11 @@ object GraftMaintenance {
             }
           math.max(0L, rowsTotal + rowsInserted - after)
         }
-      val stats = MergeStats(rewritten, files.size - rewritten,
-        matchedCounts.values.sum, rowsInserted, rowsTotal, rowsDeleted)
+      val touchedNow = matchedCounts.collect {
+        case (f, n) if !rewritten.skippedConverged.contains(f) => n }.sum
+      val stats = MergeStats(rewritten.rewritten, files.size - rewritten.rewritten,
+        touchedNow, rowsInserted, rowsTotal, rowsDeleted,
+        rewritten.skippedConverged.size)
       // SUCCESS-only cleanup: on a failure the hash-keyed insert staging
       // must survive so the resume re-run replays the PRE-state snapshot
       // (vacuum ages anything a permanently abandoned run leaves behind)
@@ -1065,6 +1132,7 @@ object GraftMaintenance {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
     val fs = tableDir.getFileSystem(conf)
+    GraftVersionLog.sync(fs, tableDir) // ordinals registered before expiry
     val expired = GraftManifest.list(fs, tableDir)
       .filter(n => GraftManifest.nameT(n) < olderThanMs)
     expired.foreach(n =>
@@ -1233,4 +1301,59 @@ object GraftMaintenance {
     val z = parts.reduce(_.bitwiseOR(_))
     compactImpl(spark, dir, targetFiles, Map.empty, () => (), zSort = Some(z))
   }
+}
+
+/** Per-EXECUTION nonce marker for SQL-routed DML (UPDATE / MERGE).
+  *
+  * The library rewrite ops converge on a statement-content hash: re-running
+  * the identical op is crash RESUMPTION, documented on the API. Plain SQL
+  * has the opposite contract — `UPDATE t SET v = v + 1 WHERE k = 1` run
+  * twice must increment twice. The SQL commands bridge the two by minting a
+  * fresh nonce per statement EXECUTION and folding it into the convergence
+  * hash; the nonce is persisted in a started-op marker file (under the op's
+  * scratch root, tmp+rename) BEFORE any rewrite, so a crashed execution's
+  * re-run finds the marker and resumes under the SAME nonce — exactly-once
+  * within one execution, full re-application across executions. The marker
+  * is deleted only after the op completes; vacuum ages markers a
+  * permanently abandoned execution leaves behind (at which point the next
+  * run of the statement is a fresh execution, the correct default).
+  */
+private[spark] object GraftOpMarker {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def markerPath(tableDir: Path, scratchRoot: String, stmtHash: String) =
+    new Path(tableDir, s"$scratchRoot/op-$stmtHash")
+
+  /** 8-hex statement fingerprint naming the marker. */
+  def stmtHash(rendered: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+
+  /** The nonce for this execution: a crashed prior execution's persisted
+    * nonce if its marker survives, else a fresh one persisted now. */
+  def acquire(fs: FileSystem, tableDir: Path, scratchRoot: String,
+      stmtHash: String): String = {
+    val marker = markerPath(tableDir, scratchRoot, stmtHash)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val nonce = java.util.UUID.randomUUID().toString
+      val tmp = new Path(marker.getParent, s".${marker.getName}.tmp")
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(nonce.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, marker))
+        throw new java.io.IOException(s"graft: failed to persist op marker $marker")
+      nonce
+    }
+  }
+
+  /** Success-only: the execution completed, its nonce retires. */
+  def release(fs: FileSystem, tableDir: Path, scratchRoot: String,
+      stmtHash: String): Unit =
+    fs.delete(markerPath(tableDir, scratchRoot, stmtHash), false)
 }

@@ -92,6 +92,88 @@ object GraftManifest {
   }
 }
 
+/** Append-only commit-ordinal register (`_graft_manifest/_versions`): one
+  * manifest name per line; `VERSION AS OF n` resolves through line `n`
+  * (1-based), NOT through an index into the currently-surviving manifest
+  * list — so manifest expiry (deleteWhere/updateWhere healing, compaction,
+  * retention) leaves HOLES in the addressable history instead of silently
+  * renumbering every later version. `sync` lazily adopts any live
+  * non-catch-up manifest the log hasn't seen (in chronological name order,
+  * appended after all existing entries — ordinals once assigned never
+  * move), and every expiry path syncs BEFORE deleting, so a version is
+  * registered before it can ever disappear. A version whose manifest has
+  * expired resolves to a dedicated "expired" error, distinct from
+  * out-of-range.
+  */
+object GraftVersionLog {
+  val Name = "_versions"
+
+  /** Lines starting with this are SENTINELS, not manifest names — a
+    * truncating overwrite appends one so later readers can scope lookups
+    * to the current data generation (the merge-insert idempotency check
+    * must not treat a pre-truncate insert commit as already-applied: the
+    * truncate wiped those rows). Sentinels are excluded from VERSION AS OF
+    * ordinal numbering, so truncation never shifts version numbers. */
+  val SentinelPrefix = "~"
+
+  private def path(tableDir: Path) = new Path(GraftManifest.dir(tableDir), Name)
+
+  /** Commit entries only (ordinal i+1 = entry i) — sentinels excluded. */
+  def commits(log: Seq[String]): Seq[String] =
+    log.filterNot(_.startsWith(SentinelPrefix))
+
+  /** Entries of the CURRENT data generation: everything after the last
+    * truncate sentinel (the whole log when none). */
+  def currentGeneration(log: Seq[String]): Seq[String] = {
+    val i = log.lastIndexWhere(_.startsWith(SentinelPrefix))
+    commits(if (i < 0) log else log.drop(i + 1))
+  }
+
+  /** Record a generation boundary (call AFTER sync has registered the
+    * outgoing generation's commits). */
+  def appendSentinel(fs: FileSystem, tableDir: Path, tag: String): Unit = {
+    val all = sync(fs, tableDir) :+ (SentinelPrefix + tag)
+    writeAll(fs, tableDir, all)
+  }
+
+  private def writeAll(fs: FileSystem, tableDir: Path, all: Seq[String]): Unit = {
+    val p = path(tableDir)
+    val tmp = new Path(p.getParent,
+      s".$Name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(all.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"graft: failed to publish version log $p")
+  }
+
+  /** Ordinal-ordered log entries (manifest names + sentinels), after
+    * adopting any live commits the log hasn't registered yet. */
+  def sync(fs: FileSystem, tableDir: Path): Seq[String] = {
+    val p = path(tableDir)
+    val known: Seq[String] =
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          .filter(_.nonEmpty)
+        finally in.close()
+      }
+    val knownSet = known.toSet
+    val fresh = GraftManifest.list(fs, tableDir)
+      .filterNot(GraftManifest.isCatchup).filterNot(knownSet.contains)
+    if (fresh.isEmpty) known
+    else {
+      val all = known ++ fresh
+      writeAll(fs, tableDir, all)
+      all
+    }
+  }
+}
+
 /** Table-level sort marker (`_graft_sort`): present iff EVERY data file in
   * the table is internally sorted on the listed columns (ascending, nulls
   * first — the ordering the write path enforces via requiredOrdering).

@@ -202,13 +202,37 @@ final case class GraftMergeCommand(
   override def run(sparkSession: SparkSession): Seq[Row] = {
     require(asofMs.isEmpty, "graft: cannot MERGE into a time-travel snapshot")
     val src = org.apache.spark.sql.GraftCatalystBridge.ofRows(sparkSession, sourcePlan)
+    // SQL re-run semantics: a per-execution nonce folded into the merge's
+    // convergence hash (see GraftOpMarker and GraftUpdateCommand) — without
+    // it, re-running an identical MERGE whose source content also matched
+    // would silently skip the already-stamped files while reporting stats
+    val conf = sparkSession.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(path)
+    val fs = tableDir.getFileSystem(conf)
+    def render(cs: Seq[GraftMaintenance.MergeClause]): String = cs.map(c =>
+      c.condition.map(_.toString).getOrElse("-") + "?" +
+        c.assigns.map(_.toSeq.map { case (k, e) => s"$k:=$e" }.sorted.mkString(";"))
+          .getOrElse("DELETE")).mkString("|")
+    val stmt = GraftOpMarker.stmtHash(keys.mkString(";") +
+      "|M:" + render(matched) + "|I:" + render(notMatchedInsert) +
+      "|S:" + render(notMatchedBySource))
+    val nonce = GraftOpMarker.acquire(fs, tableDir, "_graft_tmp_merge", stmt)
     GraftMaintenance.mergeApply(sparkSession, path, src, keys,
       matched, notMatchedInsert, notMatchedBySource,
-      schemaOverride = Some(declaredSchema))
+      schemaOverride = Some(declaredSchema),
+      opNonce = Some(nonce))
+    GraftOpMarker.release(fs, tableDir, "_graft_tmp_merge", stmt)
     sparkSession.sharedState.cacheManager.recacheByPlan(
       sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], relationPlan)
     Seq.empty
   }
+}
+
+object GraftUpdateCommand {
+  /** Test seam: throw AFTER the maintenance pass, BEFORE the op marker
+    * release — exactly the crash window the persisted per-execution nonce
+    * must cover (the resume re-run must converge, not re-apply). */
+  @volatile private[spark] var crashBeforeRelease: Boolean = false
 }
 
 /** The runnable command `GraftUpdateRewrite` plans: executes the
@@ -226,12 +250,27 @@ final case class GraftUpdateCommand(
     require(asofMs.isEmpty, "graft: cannot UPDATE a time-travel snapshot")
     // UPDATE with no assignments (every SET was an identity) is a no-op;
     // an empty table (no files yet) likewise — both are SQL successes
-    if (assigns.nonEmpty &&
-        GraftUtil.listDataFiles(path, sparkSession.sessionState.newHadoopConf()).nonEmpty)
+    val conf = sparkSession.sessionState.newHadoopConf()
+    if (assigns.nonEmpty && GraftUtil.listDataFiles(path, conf).nonEmpty) {
+      // SQL re-run semantics: each EXECUTION of this statement gets its own
+      // nonce (persisted pre-rewrite so a crashed execution still resumes
+      // under it) — re-running `SET v = v + 1` applies it again, unlike the
+      // library API's converge-on-re-run contract (see GraftOpMarker)
+      val tableDir = new org.apache.hadoop.fs.Path(path)
+      val fs = tableDir.getFileSystem(conf)
+      val stmt = GraftOpMarker.stmtHash(
+        cond.map(_.toString).getOrElse("-") + "|" +
+          assigns.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";"))
+      val nonce = GraftOpMarker.acquire(fs, tableDir, "_graft_tmp_update", stmt)
       GraftMaintenance.updateWhere(sparkSession, path,
         cond.getOrElse(org.apache.spark.sql.functions.lit(true)),
         assigns.toMap,
-        schemaOverride = Some(declaredSchema))
+        schemaOverride = Some(declaredSchema),
+        opNonce = Some(nonce))
+      if (GraftUpdateCommand.crashBeforeRelease)
+        throw new RuntimeException("graft test seam: crash before marker release")
+      GraftOpMarker.release(fs, tableDir, "_graft_tmp_update", stmt)
+    }
     // match DeleteFromTableExec's contract: cached plans over this table
     // must not serve pre-update rows (recache by PLAN — the v2 relation is
     // what the cache manager canonicalizes)

@@ -48,7 +48,14 @@ final case class GraftWriteOptions(
       * top-level primitives because the hash is over the value's portable
       * rendering (decimal string / raw bytes); see KmvUtil.
       */
-    ndvSketch: Seq[String] = Seq.empty)
+    ndvSketch: Seq[String] = Seq.empty,
+    /** Deterministic suffix for this batch commit's manifest name. A commit
+      * whose tag already exists in the manifest dir is a REPLAY (a crashed
+      * caller re-running its idempotent append — merge's insert pass): the
+      * staged files are dropped instead of renamed in, the same contract as
+      * the streaming sink's epoch tags.
+      */
+    manifestTag: Option[String] = None)
 
 object GraftWriteOptions {
   def fromOptions(o: org.apache.spark.sql.util.CaseInsensitiveStringMap): GraftWriteOptions = {
@@ -100,7 +107,12 @@ object GraftWriteOptions {
       bloomFilter = Option(o.get("bloomfilter")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty),
       ndvSketch = Option(o.get("ndvsketch")).map(_.split(",").map(_.trim).toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      manifestTag = Option(o.get("manifesttag")).map { t =>
+        require(t.nonEmpty && !t.contains('/') && !t.contains('\n'),
+          s"graft: manifesttag must be a plain name fragment, got '$t'")
+        t
+      })
   }
 }
 
@@ -319,6 +331,15 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val tableDir = new Path(path)
     val fs = tableDir.getFileSystem(conf.value)
+    // a tagged commit that already published is a REPLAY of an idempotent
+    // append (merge's insert pass re-run after a crash): drop the staged
+    // tmps instead of renaming a second copy in
+    opts.manifestTag.foreach { tag =>
+      if (GraftManifest.list(fs, tableDir).exists(_.endsWith("-" + tag))) {
+        abort(messages)
+        return
+      }
+    }
     val preExisting = GraftUtil.listDataFiles(path, conf.value)
     val oldFiles = if (doTruncate) preExisting.map(_.getPath) else Seq.empty
     // manifest entries are table-relative so partition subdir files resolve
@@ -370,7 +391,17 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     // reference the files deleted below.
     val oldManifests =
       if (doTruncate) GraftManifest.list(fs, tableDir) else Seq.empty
-    GraftManifest.publish(fs, tableDir, added)
+    // ordinals register before a truncate retires the history: the old
+    // versions become "expired", the overwrite's own commit takes the next
+    // ordinal — VERSION AS OF numbering never reuses or shifts. The
+    // generation SENTINEL then marks the wipe, so generation-scoped
+    // consumers (merge's insert idempotency tag) never credit a commit
+    // whose rows this truncate deleted.
+    if (doTruncate && oldManifests.nonEmpty) {
+      GraftVersionLog.sync(fs, tableDir)
+      GraftVersionLog.appendSentinel(fs, tableDir, "truncate")
+    }
+    GraftManifest.publish(fs, tableDir, added, tag = opts.manifestTag)
     oldManifests.foreach(n => fs.delete(new Path(GraftManifest.dir(tableDir), n), false))
     oldFiles.foreach(fs.delete(_, false))
     if (added.nonEmpty && staysSorted)
