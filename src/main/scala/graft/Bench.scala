@@ -635,6 +635,23 @@ object Bench {
         val stream = try BenchMaintenance.streamCatchup(spark, amp)
           catch { case e: Throwable =>
             System.err.println(s"[bench] stream catchup failed: ${e.getMessage}"); "" }
+        // one-off at-scale CDC measurement (x_merge_upsert / x_cdc_apply at
+        // >=5M rows, 64 files — the size where selective rewrite can beat a
+        // whole-table pass). Own stdout line + detail entry, NOT the fixed-
+        // shape final line; skipped when the run is already near budget.
+        locally {
+          val elapsedSec = (System.nanoTime() - t0) / 1e9
+          if (sys.env.getOrElse("GRAFT_BENCH_ATSCALE", "1") != "0" && elapsedSec < 2100)
+            try {
+              val rows = sys.env.getOrElse("GRAFT_BENCH_ATSCALE_ROWS", "5000000").toLong
+              val ops = BenchMaintenance.cdcAtScale(spark, sfDir, rows)
+              emitDetail("detail_maint_scale", s""""ops":$ops""")
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] at-scale CDC section failed: ${e.getMessage}")
+            }
+          else System.err.println(
+            f"[bench] at-scale CDC section skipped (elapsed $elapsedSec%.0fs)")
+        }
         f""","scaled":{"factor":$scaleFactor,"runs":$scaledRuns,"nq":${scaled.size},"nskip":${m.skipped.size},"value":${scaledSec.gTotal}%.3f,"parquet_total":${scaledSec.pTotal}%.3f,"ratio":${scaledSec.ratio}%.3f}""" +
           (if (stream.nonEmpty) s""","stream":$stream""" else "")
       } catch { case e: Throwable =>

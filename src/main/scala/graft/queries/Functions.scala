@@ -210,6 +210,42 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_column_mapping" -> { (s, dir) =>
+      // metadata-only DROP/RENAME COLUMN in the correctness gate: even
+      // doc_id rows are written under the ORIGINAL column names, then
+      // `RENAME COLUMN n_chars TO chars_n` and `DROP COLUMN source` run
+      // (pure sidecar writes — GraftColumnMap; ZERO data files rewrite),
+      // then the odd rows are inserted under the NEW schema. The read must
+      // resolve the renamed column across BOTH file generations (old files
+      // carry the physical name n_chars, new ones chars_n) and must not
+      // surface the dropped column — the oracle expresses the same result
+      // over the raw table with the original names.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_colmap_stage1/$key/wh") { t =>
+        val cat = s"gcmb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val docs = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.format("graft").mode("overwrite").save(s"$t/docs")
+        s.sql(s"ALTER TABLE $cat.docs RENAME COLUMN n_chars TO chars_n")
+        s.sql(s"ALTER TABLE $cat.docs DROP COLUMN source")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars").as("chars_n"))
+          .writeTo(s"$cat.docs").append()
+      }
+      val readCat = s"gcmr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .filter(col("chars_n") > 20) // filter pushdown resolves via the alias too
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("chars_n")).as("chars"),
+          min(col("chars_n")).as("min_chars"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
     "q_sql_delete" -> { (s, dir) =>
       // pure-SQL row-level DELETE in the correctness gate: the staged
       // catalog table loses rows via `DELETE FROM ... WHERE <translatable
@@ -997,6 +1033,12 @@ object Functions {
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 10 END) AS BIGINT) AS q_sum,
         |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS with_quality
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_column_mapping" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(n_chars) AS min_chars, max(doc_id) AS max_id
+        |FROM documents WHERE n_chars > 20
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_update" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(CASE WHEN doc_id % 9 = 4 AND n_chars > 50

@@ -184,7 +184,8 @@ object GraftAggPushdown {
 final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.Configuration,
     private val specs: Seq[GraftAggPushdown.AggSpec], private val aggSchema: StructType,
     private val groupCount: Int = 0,
-    private val groupedFiles: Seq[(String, Long, Seq[String])] = Nil)
+    private val groupedFiles: Seq[(String, Long, Seq[String])] = Nil,
+    private val colAliases: Map[String, String] = Map.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
@@ -203,13 +204,15 @@ final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftAggReaderFactory(HadoopConfBroadcast(conf), specs, aggSchema.json, groupCount)
+    new GraftAggReaderFactory(HadoopConfBroadcast(conf), specs, aggSchema.json, groupCount,
+      colAliases)
 
   // structural equality (see GraftScan): lets identical footer-only
   // aggregate scans share one exchange under ReuseExchange/cache lookup
   override def equals(other: Any): Boolean = other match {
     case o: GraftAggScan => path == o.path && specs == o.specs && aggSchema == o.aggSchema &&
-      groupCount == o.groupCount && groupedFiles == o.groupedFiles
+      groupCount == o.groupCount && groupedFiles == o.groupedFiles &&
+      colAliases == o.colAliases
     case _ => false
   }
   override def hashCode(): Int = (path, specs, aggSchema, groupCount).hashCode()
@@ -219,7 +222,8 @@ final case class GraftAggInputPartition(filePath: String, fileLen: Long,
     groupVals: Array[String]) extends InputPartition
 
 final class GraftAggReaderFactory(conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
-    specs: Seq[GraftAggPushdown.AggSpec], aggSchemaJson: String, groupCount: Int = 0)
+    specs: Seq[GraftAggPushdown.AggSpec], aggSchemaJson: String, groupCount: Int = 0,
+    colAliases: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -233,7 +237,8 @@ final class GraftAggReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Ser
         val in = new HadoopSeekableInput(hPath.getFileSystem(conf.value.value), hPath, p.fileLen)
         try {
           val footer = GraftFileReader.readFooter(in)
-          val fileSchema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+          val fileSchema = GraftColumnMap.renameSchema(
+            DataType.fromJson(footer.schemaJson).asInstanceOf[StructType], colAliases)
           val fullSchema = DataType.fromJson(aggSchemaJson).asInstanceOf[StructType]
           val out = new GenericInternalRow(fullSchema.length)
           var i = 0

@@ -259,22 +259,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(schema, dir.toString)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` / `ALTER COLUMN ... COMMENT`: pure
-    * metadata — the change is recorded in the sidecar; an added column is
-    * served as nulls by every scan until a write backs it with data (the
-    * same null-fill path the reader already runs for files that predate a
-    * column other files carry). Data files are immutable, so only
-    * nullable, top-level, appended columns and comments are expressible;
-    * everything else is rejected with the reason (DROP/RENAME carry
-    * dedicated migration guidance). Scale note: the ALTER writes one
-    * small sidecar file — no data rewrite, no metastore, O(1) regardless
-    * of table size.
+  /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN` / `RENAME COLUMN` /
+    * `ALTER COLUMN ... COMMENT`: ALL pure metadata — data files never
+    * rewrite.
+    *
+    *   - ADD records the column in the schema sidecar; scans serve nulls
+    *     until a write backs it (the reader's evolution null-fill path).
+    *   - DROP / RENAME go through the column-mapping sidecar
+    *     ([[GraftColumnMap]]): a rename re-labels old files' physical
+    *     name to the new logical one at read time; a drop tombs the
+    *     column's physical names so they never resolve again. Name reuse
+    *     of dropped/renamed physical names is barred (the field-id-free
+    *     soundness rule); hive-partition path columns are immovable
+    *     (their name is the directory layout).
+    *
+    * Only nullable, top-level, appended columns are addable; everything
+    * else is rejected with the reason. Scale note: an ALTER writes one or
+    * two small sidecar files — no data rewrite, no metastore, O(1)
+    * regardless of table size.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace().mkString("."), ident.name())
     val dir = tableDir(ident)
+    // DROP/RENAME COLUMN are metadata-only through the column-mapping
+    // sidecar (GraftColumnMap): files stay immutable, the mapping re-labels
+    // or tombs their physical names. Mutated through the fold below.
+    var mapping = GraftColumnMap.read(fs, dir)
+    var mappingChanged = false
+    val renamePairs = scala.collection.mutable.Map.empty[String, String] // oldLower -> new
+    val droppedNow = scala.collection.mutable.Set.empty[String] // lower
+    lazy val partCols: Seq[String] = GraftUtil.listDataFiles(dir.toString, conf)
+      .flatMap(f => GraftUtil.partitionSegments(dir, f.getPath).map(_._1)).distinct
+    def aliasEntryOf(logical: String): Option[(String, Seq[String])] =
+      mapping.aliases.find(_._1.equalsIgnoreCase(logical))
+    // the name-reuse bar that keeps name-based per-file resolution sound
+    // without field-ids: a name that may still label bytes in some file
+    // (dropped, or the physical source of a rename) can never come back
+    def requireUnoccupied(name: String, what: String): Unit =
+      require(!mapping.occupiedLower.contains(name.toLowerCase),
+        s"graft: cannot $what '$name' — that name still labels data of a " +
+          "previously dropped or renamed column inside immutable files, and " +
+          "reusing it would resurrect those bytes. Pick a different name, or " +
+          "migrate via CREATE TABLE ... AS SELECT to rewrite the files")
     val updated = changes.foldLeft(currentSchema(dir)) { (sch, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
@@ -285,6 +313,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           val colName = add.fieldNames()(0)
           require(!sch.fieldNames.exists(_.equalsIgnoreCase(colName)),
             s"graft: column '$colName' already exists")
+          requireUnoccupied(colName, "re-add column")
           require(add.isNullable,
             s"graft: added column '$colName' must be nullable — existing rows " +
               "have no values for it")
@@ -313,26 +342,95 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             .withMetadata(f.metadata).putString("comment", com.newComment()).build()
           StructType(sch.fields.updated(idx, f.copy(metadata = meta)))
         case drop: TableChange.DeleteColumn =>
-          throw new UnsupportedOperationException(
-            s"graft: ALTER TABLE DROP COLUMN '${drop.fieldNames().mkString(".")}' " +
-              "is not supported — data files are immutable, so dropping a column " +
-              "requires rewriting every file. Migrate instead with CREATE TABLE " +
-              "... AS SELECT <kept columns> FROM <table> (then RENAME), or prune " +
-              "at read time: the scan never decodes unprojected columns. Row-level " +
-              "removal is DELETE FROM (GraftMaintenance.deleteWhere), which " +
-              "rewrites only matching files.")
+          // metadata-only: the column's physical names (logical + every
+          // historical alias) enter the dropped set; files are untouched
+          // and the scan never fetches unprojected leaves, so the dead
+          // bytes cost no read IO. Row-level removal remains DELETE FROM.
+          require(drop.fieldNames().length == 1,
+            "graft: ALTER TABLE DROP COLUMN supports top-level columns only — " +
+              s"'${drop.fieldNames().mkString(".")}' targets a nested field, which " +
+              "would require rewriting immutable data files")
+          val colName = drop.fieldNames()(0)
+          val idx = sch.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+          if (idx < 0) {
+            require(drop.ifExists(), s"graft: column '$colName' does not exist")
+            sch
+          } else {
+            val f = sch.fields(idx)
+            require(sch.fields.length > 1,
+              s"graft: cannot drop '${f.name}' — it is the table's only column")
+            require(!partCols.exists(_.equalsIgnoreCase(f.name)),
+              s"graft: cannot drop hive-partition path column '${f.name}' — its " +
+                "name is baked into the directory layout; re-layout via " +
+                "GraftMaintenance.compact(partitionBy = ...) first")
+            val (entryKey, aliases) = aliasEntryOf(f.name)
+              .map { case (k, v) => (Some(k), v) }.getOrElse((None, Seq.empty))
+            mapping = GraftColumnMap.Mapping(
+              entryKey.map(mapping.aliases - _).getOrElse(mapping.aliases),
+              mapping.dropped ++ aliases :+ f.name)
+            mappingChanged = true
+            droppedNow += f.name.toLowerCase
+            StructType(sch.fields.patch(idx, Nil, 1))
+          }
         case ren: TableChange.RenameColumn =>
-          throw new UnsupportedOperationException(
-            s"graft: ALTER TABLE RENAME COLUMN '${ren.fieldNames().mkString(".")}' " +
-              s"-> '${ren.newName()}' is not supported — column names live in " +
-              "immutable file footers, so a rename requires rewriting every file. " +
-              "Migrate with CREATE TABLE ... AS SELECT <col> AS <newName>, ... " +
-              "FROM <table> (then RENAME TABLE), or alias in the query/view layer.")
+          // metadata-only: files written under the old name keep it in
+          // their footers; the mapping records it as an alias of the new
+          // logical name, and per-file resolution re-labels on read. Files
+          // written (or rewritten by compaction/DML) after the rename
+          // carry the new name directly.
+          require(ren.fieldNames().length == 1,
+            "graft: ALTER TABLE RENAME COLUMN supports top-level columns only — " +
+              s"'${ren.fieldNames().mkString(".")}' targets a nested field, which " +
+              "would require rewriting immutable data files")
+          val colName = ren.fieldNames()(0)
+          val newName = ren.newName()
+          val idx = sch.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+          require(idx >= 0, s"graft: column '$colName' does not exist")
+          val f = sch.fields(idx)
+          require(!newName.equalsIgnoreCase(f.name),
+            s"graft: RENAME COLUMN '$colName' -> '$newName' is a no-op rename " +
+              "differing at most in case, which footer name matching cannot express")
+          require(!sch.fieldNames.exists(_.equalsIgnoreCase(newName)),
+            s"graft: cannot rename '${f.name}' to '$newName' — that column already exists")
+          requireUnoccupied(newName, "rename a column to")
+          require(!partCols.exists(_.equalsIgnoreCase(f.name)),
+            s"graft: cannot rename hive-partition path column '${f.name}' — its " +
+              "name is baked into the directory layout; re-layout via " +
+              "GraftMaintenance.compact(partitionBy = ...) first")
+          val (entryKey, priorAliases) = aliasEntryOf(f.name)
+            .map { case (k, v) => (Some(k), v) }.getOrElse((None, Seq.empty))
+          mapping = GraftColumnMap.Mapping(
+            entryKey.map(mapping.aliases - _).getOrElse(mapping.aliases) +
+              (newName -> (priorAliases :+ f.name)),
+            mapping.dropped)
+          mappingChanged = true
+          renamePairs(f.name.toLowerCase) = newName
+          StructType(sch.fields.updated(idx, f.copy(name = newName)))
         case other =>
           throw new UnsupportedOperationException(
             s"graft: ALTER TABLE change ${other.getClass.getSimpleName} is not " +
-              "supported — data files are immutable; only ADD COLUMN(S) and " +
-              "column comments are metadata-only evolutions")
+              "supported — data files are immutable; ADD COLUMN(S), DROP COLUMN, " +
+              "RENAME COLUMN and column comments are the metadata-only evolutions")
+      }
+    }
+    // mapping BEFORE schema sidecar: a crash between the two leaves the
+    // mapping live with a stale sidecar — currentSchema then surfaces the
+    // old name as a null-backed evolution extra until the next ALTER, an
+    // ugly but lossless window (the reverse order could briefly expose a
+    // renamed column with NO readable data behind it)
+    if (mappingChanged) {
+      GraftColumnMap.write(fs, dir, mapping)
+      // the whole-table sort marker names columns: renames re-label it;
+      // a dropped column truncates it there (files stay sorted on the
+      // prefix BEFORE the dropped key, not past it)
+      GraftSortMarker.read(fs, dir).foreach { cols =>
+        val relabeled = cols.map(c => renamePairs.getOrElse(c.toLowerCase, c))
+        val cut = relabeled.indexWhere(c => droppedNow.contains(c.toLowerCase))
+        val next = if (cut < 0) relabeled else relabeled.take(cut)
+        if (next != cols) {
+          if (next.isEmpty) GraftSortMarker.clear(fs, dir)
+          else GraftSortMarker.publish(fs, dir, next)
+        }
       }
     }
     // ALTER overwrites a sidecar readers may depend on RIGHT NOW: publish

@@ -134,10 +134,17 @@ object GraftUtil {
     val head = files.head
     val in = new HadoopSeekableInput(
       head.getPath.getFileSystem(conf), head.getPath, head.getLen)
-    try {
+    val footerSchema = try {
       val footer = GraftFileReader.readFooter(in)
       DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
     } finally in.close()
+    // metadata-only DROP/RENAME COLUMN (column-mapping sidecar): aliased
+    // physical names surface under their logical name, dropped columns
+    // disappear — files stay immutable, path and catalog readers agree
+    val dirPath = new Path(dir)
+    val mapping = GraftColumnMap.forRead(dirPath.getFileSystem(conf), dirPath)
+    if (mapping.isEmpty) footerSchema
+    else mapping.applyToTableSchema(footerSchema)
   }
 }
 
@@ -283,6 +290,13 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   private var aggPlan: Option[(Seq[GraftAggPushdown.AggSpec], StructType)] = None
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(Int, Boolean)] = None // (limit, descending)
+  // metadata-only RENAME COLUMN support: physical(lower) -> logical names
+  // from the table's column-mapping sidecar, applied to every FILE footer
+  // schema before name resolution (one tiny driver-side read per plan)
+  private val colAliases: Map[String, String] = {
+    val p = new Path(path)
+    GraftColumnMap.forRead(p.getFileSystem(conf), p).physToLogical
+  }
 
   /** Partial limit pushdown: the scan plans only enough leading page groups
     * to cover `limit` rows (footer row counts), so `table.limit(20)` on a
@@ -442,13 +456,16 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   override def build(): Scan = aggPlan match {
     case Some((specs, aggSchema)) =>
       groupPlan match {
-        case Some((n, files, _)) => new GraftAggScan(path, conf, specs, aggSchema, n, files)
-        case None => new GraftAggScan(path, conf, specs, aggSchema)
+        case Some((n, files, _)) =>
+          new GraftAggScan(path, conf, specs, aggSchema, n, files, colAliases)
+        case None =>
+          new GraftAggScan(path, conf, specs, aggSchema, colAliases = colAliases)
       }
     case None =>
       new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
         pushed, pushedLimit, maxFilesOpt = maxFilesOpt, asofOpt = asofOpt,
-        sinceOpt = sinceOpt, startLatest = startLatest, topn = pushedTopN)
+        sinceOpt = sinceOpt, startLatest = startLatest, topn = pushedTopN,
+        colAliases = colAliases)
   }
 }
 
@@ -465,7 +482,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val asofOpt: Option[Long] = None,
     private val sinceOpt: Option[Long] = None,
     private val startLatest: Boolean = false,
-    private val topn: Option[(Int, Boolean)] = None)
+    private val topn: Option[(Int, Boolean)] = None,
+    private val colAliases: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -478,7 +496,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     */
   private[spark] def withElementPreds(ps: Array[ZoneMapFilter.PagePred]): GraftScan =
     new GraftScan(tableSchema, projected, path, conf, initialPagePreds, runtimeFilter,
-      manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt, sinceOpt, startLatest, topn)
+      manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt, sinceOpt, startLatest,
+      topn, colAliases)
 
   private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
 
@@ -808,7 +827,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
 
   override def createReaderFactory(): PartitionReaderFactory = {
     if (factory == null)
-      factory = new GraftReaderFactory(HadoopConfBroadcast(conf), projected.json, pagePreds)
+      factory = new GraftReaderFactory(HadoopConfBroadcast(conf), projected.json, pagePreds,
+        colAliases)
     factory
   }
 
@@ -832,7 +852,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       path == o.path && tableSchema == o.tableSchema && projected == o.projected &&
         runtimeFilter == o.runtimeFilter && manifestOpt == o.manifestOpt &&
         limit == o.limit && topn == o.topn && pushedKey == o.pushedKey &&
-        elementKey == o.elementKey && asofOpt == o.asofOpt && sinceOpt == o.sinceOpt
+        elementKey == o.elementKey && asofOpt == o.asofOpt && sinceOpt == o.sinceOpt &&
+        colAliases == o.colAliases
     case _ => false
   }
   override def hashCode(): Int =
@@ -1077,7 +1098,8 @@ private[graft] object InputFileHolder {
 
 final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
     projectedJson: String,
-    @volatile var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty)
+    @volatile var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
+    colAliases: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -1099,7 +1121,8 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
               val (f, len) = kp.files(i); i += 1
               InputFileHolder.set(f, 0L, len)
               cur = new GraftColumnarReader(f, len, conf.value.value,
-                GraftFooterCache.schemaOf(projectedJson), pagePreds)
+                GraftFooterCache.schemaOf(projectedJson), pagePreds,
+                colAliases = colAliases)
             }
             false
           }
@@ -1116,7 +1139,7 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
         InputFileHolder.set(p.filePath, 0L, p.fileLen)
         new GraftColumnarReader(p.filePath, p.fileLen, conf.value.value,
           GraftFooterCache.schemaOf(projectedJson), pagePreds,
-          p.pageLo, p.pageHi)
+          p.pageLo, p.pageHi, colAliases)
     }
   }
 
@@ -1250,13 +1273,19 @@ object GraftMetrics {
 final class GraftColumnarReader(filePath: String, fileLen: Long,
     conf: org.apache.hadoop.conf.Configuration, projected: StructType,
     pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
-    pageLo: Int = -1, pageHi: Int = -1)
+    pageLo: Int = -1, pageHi: Int = -1,
+    colAliases: Map[String, String] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val hPath = new Path(filePath)
   private val input = new HadoopSeekableInput(hPath.getFileSystem(conf), hPath, fileLen)
   private val footer = GraftFooterCache.footerOf(input, filePath, fileLen)
-  private val fileSchema = GraftFooterCache.schemaOf(footer.schemaJson)
+  // column-mapping RENAMEs re-label the footer schema to logical names
+  // (name strings only — leaf order and indices untouched), so every
+  // name-based resolution below (projection, zone-map preds, drift check)
+  // sees one namespace across mixed-generation files
+  private val fileSchema = GraftColumnMap.renameSchema(
+    GraftFooterCache.schemaOf(footer.schemaJson), colAliases)
   private val (fieldOffsets, totalLeaves) = GraftSchema.fieldLeafOffsets(fileSchema)
   require(totalLeaves == footer.leaves.length,
     s"graft: schema/leaf mismatch in $filePath (${footer.leaves.length} leaves, schema wants $totalLeaves)")

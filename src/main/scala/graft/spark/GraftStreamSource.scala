@@ -392,7 +392,10 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(HadoopConfBroadcast(conf.value), projectedJson)
+    new GraftReaderFactory(HadoopConfBroadcast(conf.value), projectedJson,
+      // mixed-generation files under a RENAME need the mapping here too —
+      // a stream planned before a rename keeps reading old-named files
+      colAliases = GraftColumnMap.forRead(fs, tableDir).physToLogical)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -271,14 +271,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN b BIGINT NOT NULL", "nullable")
     rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN c BIGINT FIRST", "append")
     rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN id STRING", "already exists")
-    // DROP/RENAME COLUMN carry dedicated messages naming the migration path
-    // (CTAS rewrite / read-time pruning / deleteWhere), not the generic
-    // catch-all — the guidance text is part of the contract
-    rejected("ALTER TABLE graftcat.evo2.t DROP COLUMN id", "create table")
-    rejected("ALTER TABLE graftcat.evo2.t DROP COLUMN id", "delete from")
-    rejected("ALTER TABLE graftcat.evo2.t RENAME COLUMN id TO id2", "create table")
-    rejected("ALTER TABLE graftcat.evo2.t RENAME COLUMN id TO id2", "alias")
+    // DROP COLUMN is now metadata-only (ColumnMappingSpec covers it); what
+    // stays rejected is dropping the table's ONLY column
+    rejected("ALTER TABLE graftcat.evo2.t DROP COLUMN id", "only column")
     rejected("ALTER TABLE graftcat.evo2.t ALTER COLUMN id TYPE STRING", "immutable")
+    // RENAME succeeds metadata-only — and the historical name can never
+    // be reintroduced (the name-reuse bar that keeps name-based per-file
+    // resolution sound without field ids)
+    spark.sql("ALTER TABLE graftcat.evo2.t RENAME COLUMN id TO id2")
+    assert(spark.sql("SELECT sum(id2) FROM graftcat.evo2.t").head().getLong(0) == 3L)
+    rejected("ALTER TABLE graftcat.evo2.t ADD COLUMN id BIGINT", "resurrect")
   }
 
   test("SQL UPDATE routes into the in-place rewrite pass") {
