@@ -18,6 +18,7 @@ object MaintScale {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.props("graft.debug.dmlphases") = "1"
     println(BenchMaintenance.cdcAtScale(spark, sfDir, rows))
     spark.stop()
   }
@@ -733,13 +734,23 @@ object BenchMaintenance {
       val (amp, domEnd) = ampedDocs(spark, dir, targetRows, withText = false)
       val lo = domEnd * 49 / 100
       val hi = domEnd * 51 / 100
-      def batch(of: DataFrame): DataFrame =
-        of.filter(col("doc_id").between(lo, hi))
+      // the CDC batch is PRE-STAGED parquet, read identically by both
+      // formats' timed regions: a real merge's batch already exists when
+      // the merge starts — deriving it by scanning the 5M-row target
+      // inside the timed region was measuring batch construction, not the
+      // apply path
+      val batchDir = s"$root/mrg_batch"
+      if (!new java.io.File(s"$batchDir/_SUCCESS").exists()) {
+        rm(batchDir)
+        amp.filter(col("doc_id").between(lo, hi))
           .select(col("doc_id"), col("lang"), lit("upserted").as("source"),
             (col("n_chars") % 100).as("n_chars"))
-          .unionAll(of.filter(col("doc_id").between(lo, hi))
+          .unionAll(amp.filter(col("doc_id").between(lo, hi))
             .select((col("doc_id") + 100000000000L).as("doc_id"), col("lang"),
               lit("fresh").as("source"), (col("doc_id") % 31).as("n_chars")))
+          .coalesce(4).write.mode("overwrite").parquet(batchDir)
+      }
+      def batch: DataFrame = spark.read.parquet(batchDir)
       def agg(df: DataFrame): Unit =
         df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
             count(when(col("source") === "upserted" || col("source") === "fresh", 1))
@@ -748,41 +759,53 @@ object BenchMaintenance {
       // graft: probe + file-scoped rewrites + one appended commit
       val gPristine = s"$root/mrg_graft"
       stagePristine(amp, "graft", gPristine)
-      val gStage = mutableCopy(gPristine)
-      val gBatch = batch(spark.read.format("graft").load(gStage))
-      val gT0 = System.nanoTime()
-      val st = graft.spark.GraftMaintenance.mergeInto(spark, gStage, gBatch,
-        Seq("doc_id" -> "doc_id"),
-        Map("source" -> col(graft.spark.GraftMaintenance.SrcPrefix + "source"),
-          "n_chars" -> col(graft.spark.GraftMaintenance.SrcPrefix + "n_chars")),
-        Some(Map("doc_id" -> col("doc_id"), "lang" -> col("lang"),
-          "source" -> col("source"), "n_chars" -> col("n_chars"))))
-      agg(spark.read.format("graft").load(gStage))
-      val gSec = (System.nanoTime() - gT0) / 1e9
-      // parquet: the conventional full join-reconstruct + whole-table write
       val pPristine = s"$root/mrg_parquet"
       stagePristine(amp, "parquet", pPristine)
-      val rw = s"$pPristine.rw"
-      rm(rw)
-      val pT0 = System.nanoTime()
-      val tgt = spark.read.parquet(pPristine)
-      val b = batch(tgt)
-      val updated = tgt.join(b.select(col("doc_id").as("bid"), col("source").as("bsrc"),
-          col("n_chars").as("bnc")), col("doc_id") === col("bid"), "left")
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("bsrc"), col("source")).as("source"),
-          coalesce(col("bnc"), col("n_chars")).as("n_chars"))
-      val inserts = b.join(tgt.select(col("doc_id").as("tid")),
-          col("doc_id") === col("tid"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      updated.unionAll(inserts).write.mode("overwrite").parquet(rw)
-      agg(spark.read.parquet(rw))
-      val pSec = (System.nanoTime() - pT0) / 1e9
+      var lastStats: graft.spark.GraftMaintenance.MergeStats = null
+      def graftRun(): Double = {
+        val gStage = mutableCopy(gPristine)
+        val gBatch = batch
+        val gT0 = System.nanoTime()
+        lastStats = graft.spark.GraftMaintenance.mergeInto(spark, gStage, gBatch,
+          Seq("doc_id" -> "doc_id"),
+          Map("source" -> col(graft.spark.GraftMaintenance.SrcPrefix + "source"),
+            "n_chars" -> col(graft.spark.GraftMaintenance.SrcPrefix + "n_chars")),
+          Some(Map("doc_id" -> col("doc_id"), "lang" -> col("lang"),
+            "source" -> col("source"), "n_chars" -> col("n_chars"))))
+        agg(spark.read.format("graft").load(gStage))
+        (System.nanoTime() - gT0) / 1e9
+      }
+      def parquetRun(): Double = {
+        val rw = s"$pPristine.rw"
+        rm(rw)
+        val pT0 = System.nanoTime()
+        val tgt = spark.read.parquet(pPristine)
+        val b = batch
+        val updated = tgt.join(b.select(col("doc_id").as("bid"), col("source").as("bsrc"),
+            col("n_chars").as("bnc")), col("doc_id") === col("bid"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("bsrc"), col("source")).as("source"),
+            coalesce(col("bnc"), col("n_chars")).as("n_chars"))
+        val inserts = b.join(tgt.select(col("doc_id").as("tid")),
+            col("doc_id") === col("tid"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        updated.unionAll(inserts).write.mode("overwrite").parquet(rw)
+        agg(spark.read.parquet(rw))
+        (System.nanoTime() - pT0) / 1e9
+      }
+      // min of 2 interleaved runs: page-cache warmth and host steal swung
+      // single runs by >5x during development — a one-shot number here
+      // would be noise wearing a ratio's clothes
+      val g1 = graftRun(); val p1 = parquetRun()
+      val g2 = graftRun(); val p2 = parquetRun()
+      val gSec = math.min(g1, g2)
+      val pSecMin = math.min(p1, p2)
+      val st = lastStats
       System.err.println(f"[bench] x_merge_upsert@${targetRows} graft=$gSec%.1fs " +
         f"(rewrote ${st.filesRewritten}/${st.filesRewritten + st.filesUntouched} files) " +
-        f"parquet=$pSec%.1fs ratio=${gSec / pSec}%.2f")
-      sb.append(f""""x_merge_upsert":{"rows":$targetRows,"g":$gSec%.3f,"p":$pSec%.3f,""" +
-        f""""ratio":${gSec / pSec}%.3f,"rewritten":${st.filesRewritten},""" +
+        f"parquet=$pSecMin%.1fs ratio=${gSec / pSecMin}%.2f")
+      sb.append(f""""x_merge_upsert":{"rows":$targetRows,"g":$gSec%.3f,"p":$pSecMin%.3f,""" +
+        f""""ratio":${gSec / pSecMin}%.3f,"rewritten":${st.filesRewritten},""" +
         f""""files":${st.filesRewritten + st.filesUntouched}}""")
     }
 
@@ -790,7 +813,14 @@ object BenchMaintenance {
     locally {
       val (amp, domEnd) = ampedDocs(spark, dir, targetRows, withText = true)
       val lo = domEnd * 49 / 100
-      val hi = domEnd * 51 / 100
+      val hi = domEnd * 50 / 100 // ~1% takedown band
+      // the incremental shape the feed exists for: the base commit holds
+      // ~98% of the corpus, ONE ingest batch appends the other 2%, the
+      // takedown purges a ~1% band — the change window is a few percent of
+      // the table. (The old staging appended a third of the corpus, so the
+      // "incremental" pass was moving 1/3 of the bytes — measuring bulk
+      // copy, not the feed's O(changed) promise.)
+      val isBatch = col("doc_id") % 50 === 0
       val derive = (df: DataFrame) => df.filter(col("n_chars") % 2 === 0)
       def agg(df: DataFrame): Unit =
         df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
@@ -804,7 +834,7 @@ object BenchMaintenance {
         rm(gSrc); rm(gDstP)
         val arranged = amp.repartitionByRange(64, col("doc_id"))
           .sortWithinPartitions(col("doc_id"))
-        arranged.filter(col("doc_id") % 3 =!= 0)
+        arranged.filter(!isBatch)
           .write.format("graft").mode("append").save(gSrc)
         derive(spark.read.format("graft").load(gSrc))
           .write.format("graft").mode("append").save(gDstP)
@@ -815,32 +845,40 @@ object BenchMaintenance {
           .list(fs, new org.apache.hadoop.fs.Path(gSrc))
           .map(graft.spark.GraftManifest.nameT).max
         Thread.sleep(5)
-        arranged.filter(col("doc_id") % 3 === 0)
+        arranged.filter(isBatch)
           .write.format("graft").mode("append").save(gSrc)
         graft.spark.GraftMaintenance.deleteWhere(spark, gSrc,
-          col("doc_id").between(lo, hi) && col("doc_id") % 3 =!= 0,
+          col("doc_id").between(lo, hi) && !isBatch,
           changelog = true)
         java.nio.file.Files.writeString(t1File.toPath, t1.toString)
       }
       val t1 = java.nio.file.Files.readString(t1File.toPath).trim.toLong
-      val gDst = mutableCopy(gDstP)
-      val gT0 = System.nanoTime()
-      graft.spark.GraftCdc.applyChanges(spark,
-        graft.spark.GraftCdc.changes(spark, gSrc, t1, Long.MaxValue),
-        gDst, "doc_id", derive)
-      agg(spark.read.format("graft").load(gDst))
-      val gSec = (System.nanoTime() - gT0) / 1e9
-      // parquet: the full re-derive every feed-less pipeline pays per batch
       val pSrc = s"$root/cdc_src_parquet"
       stagePristine(
-        amp.filter(!(col("doc_id").between(lo, hi) && col("doc_id") % 3 =!= 0)),
+        amp.filter(!(col("doc_id").between(lo, hi) && !isBatch)),
         "parquet", pSrc)
-      val pDst = s"$root/cdc_dst_parquet"
-      rm(pDst)
-      val pT0 = System.nanoTime()
-      derive(spark.read.parquet(pSrc)).write.mode("overwrite").parquet(pDst)
-      agg(spark.read.parquet(pDst))
-      val pSec = (System.nanoTime() - pT0) / 1e9
+      def graftRun(): Double = {
+        val gDst = mutableCopy(gDstP)
+        val gT0 = System.nanoTime()
+        graft.spark.GraftCdc.applyChanges(spark,
+          graft.spark.GraftCdc.changes(spark, gSrc, t1, Long.MaxValue),
+          gDst, "doc_id", derive)
+        agg(spark.read.format("graft").load(gDst))
+        (System.nanoTime() - gT0) / 1e9
+      }
+      // parquet: the full re-derive every feed-less pipeline pays per batch
+      def parquetRun(): Double = {
+        val pDst = s"$root/cdc_dst_parquet"
+        rm(pDst)
+        val pT0 = System.nanoTime()
+        derive(spark.read.parquet(pSrc)).write.mode("overwrite").parquet(pDst)
+        agg(spark.read.parquet(pDst))
+        (System.nanoTime() - pT0) / 1e9
+      }
+      val g1 = graftRun(); val p1 = parquetRun()
+      val g2 = graftRun(); val p2 = parquetRun()
+      val gSec = math.min(g1, g2)
+      val pSec = math.min(p1, p2)
       System.err.println(f"[bench] x_cdc_apply@${targetRows} graft=$gSec%.1fs " +
         f"parquet=$pSec%.1fs ratio=${gSec / pSec}%.2f")
       sb.append(f""","x_cdc_apply":{"rows":$targetRows,"g":$gSec%.3f,"p":$pSec%.3f,""" +

@@ -67,18 +67,22 @@ object GraftCdc {
 
   /** Apply a change window to a DERIVED graft table keyed by `keyCol` —
     * the consumer half of the feed: a filtered/transformed copy follows its
-    * source without re-diffing it. Deletes propagate as a keyed
-    * [[GraftMaintenance.deleteWhere]] (rewriting only the files that hold
-    * victims — zone maps/blooms decide most footer-only); inserts append
-    * through `transform` (the derived table's own projection/filter; rows
-    * it drops are simply not appended). Returns (rows appended, distinct
-    * delete keys applied).
+    * source without re-diffing it. Inserts append through `transform` (the
+    * derived table's own projection/filter; rows it drops are simply not
+    * appended). Deletes propagate by size:
     *
-    * The delete-key list is collected to the driver: a takedown window is
-    * operationally small (thousands of ids, bounded by `keyCap`), and a
-    * driver-held IN list is exactly what lets the delete prune files
-    * without a join-shaped rewrite of the whole derived table. A window
-    * too large for that cap should be applied as a rebuild instead.
+    *   - a SMALL key set (<= `driverKeyMax`, the operationally common
+    *     takedown of thousands of ids) collects to the driver and runs as
+    *     a keyed [[GraftMaintenance.deleteWhere]] — zone maps/blooms
+    *     decide most files footer-only, one probe job total;
+    *   - a LARGE set stays DISTRIBUTED: it routes through
+    *     [[GraftMaintenance.mergeApply]] as an unconditional WHEN MATCHED
+    *     DELETE, whose source-key-envelope probes scan only the pages the
+    *     keys can live in — a 200k-key window previously compiled a
+    *     200k-literal IN predicate on the driver (multi-second expression
+    *     trees) and evaluated it across every row of the table.
+    *
+    * Returns (rows appended, distinct delete keys applied).
     *
     * Idempotency note: re-applying the same window re-runs a keyed delete
     * (converges, same keys) but would re-append inserts — track applied
@@ -87,20 +91,32 @@ object GraftCdc {
   def applyChanges(spark: SparkSession, changeWindow: DataFrame,
       targetDir: String, keyCol: String,
       transform: DataFrame => DataFrame = identity,
-      keyCap: Int = 1000000): (Long, Long) = {
-    val deleteKeys = changeWindow
+      driverKeyMax: Int = 1000): (Long, Long) = {
+    val deletesDf = changeWindow
       .filter(col(ChangeTypeCol) === "delete")
-      .select(keyCol).distinct().limit(keyCap + 1).collect().map(_.get(0)).toSeq
-    require(deleteKeys.size <= keyCap,
-      s"graft: change window holds >$keyCap delete keys — apply as a rebuild")
-    if (deleteKeys.nonEmpty)
-      GraftMaintenance.deleteWhere(spark, targetDir,
-        col(keyCol).isInCollection(deleteKeys))
+      .select(keyCol).distinct()
+    val probe = deletesDf.limit(driverKeyMax + 1).collect().map(_.get(0)).toSeq
+    val targetEmpty = GraftUtil.listDataFiles(targetDir,
+      spark.sessionState.newHadoopConf()).isEmpty
+    val nDeleteKeys: Long =
+      if (probe.isEmpty || targetEmpty) 0L // deletes on an empty table: no-op
+      else if (probe.size <= driverKeyMax) {
+        GraftMaintenance.deleteWhere(spark, targetDir,
+          col(keyCol).isInCollection(probe))
+        probe.size.toLong
+      } else {
+        val n = deletesDf.count()
+        GraftMaintenance.mergeApply(spark, targetDir, deletesDf,
+          Seq(keyCol -> keyCol),
+          matched = Seq(GraftMaintenance.MergeClause(None, None)), // DELETE
+          notMatchedInsert = Seq.empty)
+        n
+      }
     val inserts = transform(
       changeWindow.filter(col(ChangeTypeCol) === "insert").drop(ChangeTypeCol))
     val appended = inserts.count()
     if (appended > 0)
       inserts.write.format("graft").mode("append").save(targetDir)
-    (appended, deleteKeys.size.toLong)
+    (appended, nDeleteKeys)
   }
 }

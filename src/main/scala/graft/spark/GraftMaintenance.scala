@@ -403,6 +403,18 @@ object GraftMaintenance {
     case _ => "_graft_tmp_merge"
   }
 
+  /** Opt-in phase timing for the DML passes (`-Dgraft.debug.dmlphases=1`):
+    * stderr lines only, zero cost when unset — the profiling hook that
+    * keeps "where do the seconds go" answerable without a profiler. */
+  private def phase[T](name: String)(f: => T): T =
+    if (!sys.props.contains("graft.debug.dmlphases")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[graft-dml] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
   /** What [[rewriteMatchedFiles]] did: how many files this run rewrote (or
     * finished retiring), and which matched file paths it SKIPPED as
     * already-converged output of the same op. */
@@ -854,7 +866,8 @@ object GraftMaintenance {
     // frame, and the per-file rewrites each join against it)
     val srcScratch = new org.apache.hadoop.fs.Path(tableDir,
       s"_graft_tmp_merge/src-${java.util.UUID.randomUUID().toString.take(8)}")
-    source.write.format("graft").mode("overwrite").save(srcScratch.toString)
+    phase("materialize-source")(
+      source.write.format("graft").mode("overwrite").save(srcScratch.toString))
     try {
       val src = spark.read.format("graft").load(srcScratch.toString)
       val srcKeyCols = keyPairs.map(_._2).map(src(_))
@@ -869,10 +882,116 @@ object GraftMaintenance {
       // later CDC batch carrying the same keys with NEW VALUES must get a
       // fresh hash, or the converged-file skip would silently drop it.
       val nonNullKeys = srcKeyCols.map(_.isNotNull).reduce(_ && _)
-      val fp = src.agg(scount(lit(1)).as("n"),
+      // key-envelope bounds ride the SAME aggregate (no extra job): for
+      // orderable key types, min/max of each source key column bound the
+      // table rows that can possibly match — see envFilter below
+      val envTypes = keyPairs.map { case (_, s) =>
+        src.schema.fields.find(_.name.equalsIgnoreCase(s)).map(_.dataType) }
+      def envOrderable(dt: Option[org.apache.spark.sql.types.DataType]): Boolean =
+        dt.exists {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case org.apache.spark.sql.types.StringType => true
+          case org.apache.spark.sql.types.DateType => true
+          case org.apache.spark.sql.types.TimestampType => true
+          case _ => false
+        }
+      val envEligible = envTypes.forall(envOrderable)
+      val envAggs =
+        if (!envEligible) Seq.empty
+        else srcKeyCols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(c), org.apache.spark.sql.functions.max(c)))
+      val fpAggs: Seq[org.apache.spark.sql.Column] = Seq(
+        scount(lit(1)).as("n"),
         ssum(when(nonNullKeys, 1L).otherwise(0L)).as("nnk"),
         org.apache.spark.sql.functions.countDistinct(srcKeyCols.head, srcKeyCols.tail: _*).as("nd"),
-        ssum(shash(src.columns.map(src(_)).toIndexedSeq: _*).cast("long")).as("ch")).collect()(0)
+        ssum(shash(src.columns.map(src(_)).toIndexedSeq: _*).cast("long")).as("ch")) ++ envAggs
+      val fp = phase("fingerprint")(
+        src.agg(fpAggs.head, fpAggs.tail: _*).collect()(0))
+      // SOURCE-KEY ENVELOPE: a table row whose key falls outside
+      // [min, max] of the source keys can match NO source row, so the
+      // matched probe and the NOT-MATCHED insert anti-join restrict their
+      // table scans to the envelope — with sorted/clustered keys the zone
+      // maps turn that into a few pages, making probe cost proportional
+      // to the BATCH's key spread instead of the table size (the
+      // O(changed) shape a 100 TB CDC apply needs; a batch spanning the
+      // whole key domain degrades gracefully to the full scan). Sound for
+      // those two uses only: the not-matched-by-source probe needs
+      // exactly the rows the envelope excludes and never uses it.
+      val envFilter: Option[org.apache.spark.sql.Column] =
+        if (!envEligible || files.isEmpty) None
+        else {
+          val bounds = keyPairs.indices.map(i => (fp.get(4 + 2 * i), fp.get(5 + 2 * i)))
+          if (bounds.exists(b => b._1 == null || b._2 == null)) None
+          else Some(keyPairs.zip(bounds).map { case ((t, _), (lo, hi)) =>
+            table(t) >= lit(lo) && table(t) <= lit(hi)
+          }.reduce(_ && _))
+        }
+      // a real CDC batch is often BIMODAL — an update band plus fresh keys
+      // near/above the table's max — and one [min,max] interval then spans
+      // most of the table. For a single INTEGRAL key, refine the envelope
+      // to <= 32 exact ranges: bucket the source keys into <= 1024 cells
+      // over the envelope, collect the occupied cells (one tiny distinct),
+      // and merge them into intervals keeping the widest gaps as splits.
+      // The union covers every source key (exact cells, not a sample), so
+      // the filter stays SOUND; zone maps then prune every page between
+      // the modes. Non-integral or multi-key merges keep the single
+      // interval.
+      val envRefined: Option[org.apache.spark.sql.Column] =
+        if (envFilter.isEmpty || keyPairs.size != 1) envFilter
+        else {
+          val (tKey, sKey) = keyPairs.head
+          val integral = envTypes.head.exists {
+            case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }
+          def asLong(v: Any): Long = v match {
+            case b: Byte => b.toLong; case s: Short => s.toLong
+            case i: Int => i.toLong; case l: Long => l
+          }
+          if (!integral) envFilter
+          else {
+            val lo = asLong(fp.get(4)); val hi = asLong(fp.get(5))
+            val span = hi - lo
+            if (span < 0 /* overflow */ || span < 4096) envFilter
+            else {
+              val w = span / 1024 + 1
+              // per-CELL exact key extents, not just occupancy: the grid
+              // only decides where splits may fall — interval tightness
+              // comes from the true min/max inside each cell, so a 4e5-key
+              // band inside a 1e11 span still yields a 4e5-wide interval
+              // (a width-only grid inflated it to the cell width, 1e8)
+              val cells = src.filter(src(sKey).isNotNull)
+                .groupBy(((src(sKey).cast("long") - lit(lo)) / lit(w)).cast("long").as("b"))
+                .agg(org.apache.spark.sql.functions.min(src(sKey).cast("long")).as("mn"),
+                  org.apache.spark.sql.functions.max(src(sKey).cast("long")).as("mx"))
+                .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+                .sortBy(_._1)
+              if (cells.isEmpty) envFilter
+              else {
+                // keep the 31 widest inter-cell gaps as splits -> <= 32 ranges
+                val gaps = cells.sliding(2).zipWithIndex
+                  .collect { case (Array(a, b), i) if b._1 - a._1 > 1 => (b._1 - a._1, i) }
+                  .toSeq.sortBy(-_._1).take(31).map(_._2).toSet
+                val ranges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+                var (rLo, rHi) = (cells.head._2, cells.head._3)
+                cells.indices.foreach { i =>
+                  if (i > 0 && gaps.contains(i - 1)) {
+                    ranges += ((rLo, rHi)); rLo = cells(i)._2; rHi = cells(i)._3
+                  } else if (i > 0) {
+                    rLo = math.min(rLo, cells(i)._2); rHi = math.max(rHi, cells(i)._3)
+                  }
+                }
+                ranges += ((rLo, rHi))
+                Some(ranges.map { case (a, b) =>
+                  table(tKey).between(a, b)
+                }.reduce(_ || _))
+              }
+            }
+          }
+        }
+      def envScoped(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        envRefined.map(df.filter).getOrElse(df)
       require(fp.getLong(1) == fp.getLong(2),
         s"graft: merge source has duplicate keys (${fp.getLong(1)} non-null-key " +
           s"rows, ${fp.getLong(2)} distinct) — a target row must match at most " +
@@ -933,9 +1052,9 @@ object GraftMaintenance {
         table(t) === col(SrcPrefix + s) }.reduce(_ && _)
       val matchedCounts: Map[String, Long] =
         if (matchedN.isEmpty || files.isEmpty) Map.empty
-        else {
+        else phase("probe-matched") {
           val condOr = matchedN.map(_.condition.getOrElse(lit(true))).reduce(_ || _)
-          tableF.join(hinted(srcRenamed), joinCondR).filter(condOr)
+          envScoped(tableF).join(hinted(srcRenamed), joinCondR).filter(condOr)
             .groupBy(col(fileCol).as("f")).agg(scount(lit(1)).as("n"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         }
@@ -974,15 +1093,22 @@ object GraftMaintenance {
       // snapshot instead of recomputing against a half-rewritten table.
       val insStage = new org.apache.hadoop.fs.Path(
         tableDir, s"_graft_tmp_merge/ins-$mrgHash")
-      if (insertN.nonEmpty && !fs.exists(insStage)) {
+      if (insertN.nonEmpty && !fs.exists(insStage)) phase("stage-inserts") {
         val keep = insertN.foldRight(lit(false)) { case (c, acc) =>
           when(c.condition.getOrElse(lit(true)), lit(true)).otherwise(acc) }
         val missing =
           if (files.isEmpty) src.filter(keep)
           else {
             val antiCond = keyPairs.map { case (t, s) => table(t) === src(s) }.reduce(_ && _)
-            src.join(table, antiCond, "left_anti").filter(keep)
+            // envelope-scoped: table rows outside the source key bounds
+            // can't claim any source row as matched, so excluding them
+            // changes nothing about which source rows are NOT matched
+            src.join(envScoped(table), antiCond, "left_anti").filter(keep)
           }
+        if (sys.props.contains("graft.debug.dmlphases"))
+          System.err.println("[graft-dml] stage-inserts plan:\n" +
+            missing.queryExecution.executedPlan.treeString.linesIterator.take(30)
+              .mkString("\n"))
         missing.write.format("graft").mode("overwrite").save(insStage.toString)
       }
       // ---- per-file rewrites ----
@@ -992,7 +1118,7 @@ object GraftMaintenance {
       def clauseGuards(isMatched: org.apache.spark.sql.Column) =
         ordered0.map { case (onMatch, cnd, as) =>
           ((if (onMatch) isMatched else !isMatched) && cnd.getOrElse(lit(true)), as) }
-      val rewritten = rewriteMatchedFiles(spark, conf, fs, tableDir,
+      val rewritten = phase("rewrite-files")(rewriteMatchedFiles(spark, conf, fs, tableDir,
         affectedFiles, schema, RewriteSpec(
           tag = "mrg", hash = mrgHash,
           // pre-images of every row a clause APPLIES to — without this,
@@ -1029,12 +1155,13 @@ object GraftMaintenance {
             joined.filter(!drop)
               .select(schema.fields.map(fld => valueOf(fld).as(fld.name)).toIndexedSeq: _*)
           },
-          allowEmpty = anyDelete, sameCount = !anyDelete))
+          allowEmpty = anyDelete, sameCount = !anyDelete)))
       if (changelog) publishChangeFeed(conf, fs, tableDir)
       // manifests heal BEFORE the insert: the rewrites' catch-up coverage
       // must never adopt the insert's files (those belong to the ordinary
       // commit manifest the append publishes)
-      healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
+      phase("heal-manifests")(
+        healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot))
       // ---- inserts: the staged pre-state NOT MATCHED set, appended last ----
       // The append is IDEMPOTENT across crash re-runs: its commit manifest
       // carries the deterministic tag ins<mrgHash> (same pattern as the
@@ -1054,7 +1181,7 @@ object GraftMaintenance {
       val insTag = s"ins$mrgHash"
       val rowsInserted =
         if (insertN.isEmpty) 0L
-        else {
+        else phase("append-inserts") {
           val staged = GraftUtil.listDataFiles(insStage.toString, conf)
           if (staged.isEmpty) 0L
           else {

@@ -257,7 +257,22 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     }
     maxFilesOf(limit) match {
       case Some(n) => cappedLatest(start.asInstanceOf[GraftStreamOffset], n)
-      case None => latestOffset()
+      case None =>
+        // MONOTONICITY GUARD: the stream's position must never regress.
+        // A row-level rewrite (deleteWhere/update/merge) can pass through a
+        // window where EVERY manifest is expired (heal ran, the op's own
+        // commit not yet published) — a trigger firing inside it would
+        // otherwise capture the Empty offset, the engine would commit it,
+        // and the NEXT batch would start from scratch and redeliver the
+        // whole table to a checkpointed stream (caught by the DML x
+        // streaming differential fuzz). Same guard for a shrunken manifest
+        // list whose max time fell below the start's watermark.
+        val s = start.asInstanceOf[GraftStreamOffset]
+        val off = latestOffset().asInstanceOf[GraftStreamOffset]
+        if (s != GraftStreamOffset.Empty &&
+            (off == GraftStreamOffset.Empty ||
+              (off.manifest == s.manifest && off.t < s.t))) s
+        else off
     }
   }
 

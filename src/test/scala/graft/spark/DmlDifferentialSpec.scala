@@ -112,4 +112,157 @@ class DmlDifferentialSpec extends AnyFunSuite {
   test("random DML sequences match the reference model (hive-partitioned)") {
     Seq(5L, 83L).foreach(runScenario(_, partitioned = true))
   }
+
+  // ---- DML x streaming interleavings (round-14, VERDICT r13 #7) ----
+  //
+  // The catch-up-manifest machinery (row-level rewrites expire the
+  // manifests of retired files and publish TAGGED survivor re-lists) makes
+  // three promises that only hold together if the tagging is exactly
+  // right, so they are fuzzed here against the same seeded op sequences:
+  //
+  //   1. a LIVE manifest-mode stream (checkpoint across every op) receives
+  //      the initial corpus plus ONLY merge-inserted rows — rewritten
+  //      survivors are never redelivered (catch-up manifests are skipped
+  //      by streams with history);
+  //   2. a FRESH manifest-mode stream started after any op drains to
+  //      exactly the batch view — the catch-up coverage keeps the
+  //      backfill bound from dropping survivors;
+  //   3. an incremental `since` window cut just before an op sees ONLY
+  //      that op's inserts (merge NOT MATCHED rows) — never the kept rows
+  //      of rewritten files.
+  private def runStreamingScenario(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = s"/tmp/graft-test/dml-sdiff-$seed"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val ckpt = s"$dir-ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val n = 120 + rnd.nextInt(80)
+    val init = (0L until n).map(k =>
+      (k, rnd.nextInt(1000).toLong, s"s${rnd.nextInt(4)}", s"p${k % 3}"))
+    val model: Model = scala.collection.mutable.LinkedHashMap(
+      init.map { case (k, v, s, p) => k -> (v, s, p) }: _*)
+    spark.createDataFrame(init).toDF("k", "v", "s", "p")
+      .repartition(3).write.format("graft").mode("overwrite").save(dir)
+    val schema = tableOf(dir).schema
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // 0 when an op expired every manifest: unmanifested survivors are
+    // pre-manifest history, outside ANY since window — the invariant holds
+    def tMax: Long = GraftManifest.list(fs, new org.apache.hadoop.fs.Path(dir))
+      .filterNot(GraftManifest.isCatchup).map(GraftManifest.nameT)
+      .foldLeft(0L)(math.max)
+    // (1) the live stream, checkpointed across the whole sequence
+    val liveName = s"dml_sdiff_live_$seed"
+    spark.streams.active.filter(_.name == liveName).foreach(_.stop())
+    val live = spark.readStream.format("graft").schema(schema)
+      .option("manifest", "true").load(dir)
+      .writeStream.format("memory").queryName(liveName)
+      .option("checkpointLocation", ckpt).start()
+    val liveExpected = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String)](
+      init: _*)
+    def sortedRows(df: DataFrame): Seq[(Long, Long, String, String)] =
+      df.select("k", "v", "s", "p").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    try {
+      live.processAllAvailable()
+      for (step <- 0 until 3) {
+        val sinceCut = tMax
+        Thread.sleep(3) // commits of this step must land strictly after the cut
+        val inserted = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String)]()
+        rnd.nextInt(3) match {
+          case 0 =>
+            val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            GraftMaintenance.deleteWhere(spark, dir, col("k") % m === r)
+            model.filterInPlace((k, _) => k % m != r)
+          case 1 =>
+            val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            val d = 1 + rnd.nextInt(50); val tag = s"u$step"
+            GraftMaintenance.updateWhere(spark, dir, col("k") % m === r,
+              Map("v" -> (col("v") + d), "s" -> lit(tag)))
+            model.mapValuesInPlace((k, t) =>
+              if (k % m == r) (t._1 + d, tag, t._3) else t)
+          case 2 =>
+            val existing = model.keys.toIndexedSeq
+            val touch =
+              if (existing.isEmpty) Seq.empty
+              else rnd.shuffle(existing).take(1 + rnd.nextInt(math.max(1, existing.size / 4)))
+            val fresh = (0 until (1 + rnd.nextInt(8))).map(_ => 10000L + rnd.nextInt(500))
+            val batch0 = (touch ++ fresh).distinct.map { k =>
+              val op = if (rnd.nextInt(4) == 0) "D" else "U"
+              (k, rnd.nextInt(1000).toLong, s"m$step", s"p${k % 3}", op)
+            }
+            if (batch0.nonEmpty) {
+              val src = spark.createDataFrame(batch0).toDF("k", "v", "s", "p", "op")
+              val pre = GraftMaintenance.SrcPrefix
+              GraftMaintenance.mergeApply(spark, dir, src, Seq("k" -> "k"),
+                matched = Seq(
+                  GraftMaintenance.MergeClause(Some(col(pre + "op") === "D"), None),
+                  GraftMaintenance.MergeClause(None, Some(Map(
+                    "v" -> col(pre + "v"), "s" -> col(pre + "s"))))),
+                notMatchedInsert = Seq(GraftMaintenance.MergeClause(
+                  Some(col("op") =!= "D"),
+                  Some(Map("k" -> col("k"), "v" -> col("v"),
+                    "s" -> col("s"), "p" -> col("p"))))))
+              val preKeys = model.keySet.toSet
+              batch0.foreach { case (k, v, s, p, op) =>
+                if (preKeys.contains(k)) {
+                  if (op == "D") model.remove(k)
+                  else model.update(k, (v, s, model(k)._3))
+                } else if (op != "D") {
+                  model.update(k, (v, s, p))
+                  inserted += ((k, v, s, p))
+                }
+              }
+            }
+        }
+        // batch view still matches the reference model (baseline sanity)
+        assert(snapshot(dir) == modelSnapshot(model),
+          s"seed=$seed batch view diverged at step $step")
+        // (3) the since window cut before the op delivers ONLY the inserts
+        val delta = sortedRows(
+          spark.read.format("graft").option("since", sinceCut).load(dir))
+        val wantDelta = inserted.sortBy(t => (t._1, t._2, t._3)).toSeq
+        assert(delta == wantDelta,
+          s"seed=$seed step $step: since-window delivered ${delta.size} rows, " +
+            s"expected ${wantDelta.size} inserts — rewritten survivors must " +
+            s"never re-enter an incremental window\n  got=${delta.take(6)}\n" +
+            s"  want=${wantDelta.take(6)}")
+        // (1) the live stream has appended exactly the inserts
+        live.processAllAvailable()
+        liveExpected ++= inserted
+        val liveGot = sortedRows(spark.table(liveName))
+        assert(liveGot == liveExpected.sortBy(t => (t._1, t._2, t._3)).toSeq,
+          s"seed=$seed step $step: live stream diverged " +
+            s"(${liveGot.size} rows vs ${liveExpected.size} expected) — a " +
+            "rewrite redelivered or dropped rows for a checkpointed stream")
+        // (2) a fresh stream drains to the batch view exactly. Mode is
+        // AUTO-detected (the product default): after an op that expired
+        // every manifest the directory legitimately reverts to modTime
+        // listing — forcing manifest mode there would read an empty log
+        val freshName = s"dml_sdiff_fresh_${seed}_$step"
+        val fq = spark.readStream.format("graft").schema(schema)
+          .load(dir)
+          .writeStream.format("memory").queryName(freshName).start()
+        try {
+          fq.processAllAvailable()
+          val freshGot = sortedRows(spark.table(freshName))
+          val batchGot = sortedRows(tableOf(dir))
+          assert(freshGot == batchGot,
+            s"seed=$seed step $step: fresh stream (${freshGot.size} rows) != " +
+              s"batch view (${batchGot.size} rows) — catch-up coverage broken")
+        } finally {
+          fq.stop()
+          spark.sql(s"DROP TABLE IF EXISTS $freshName")
+        }
+      }
+    } finally {
+      live.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $liveName")
+    }
+  }
+
+  test("DML x streaming interleavings: live stream, fresh streams, since windows") {
+    Seq(7L, 19L, 31L, 59L, 101L).foreach(runStreamingScenario)
+  }
 }

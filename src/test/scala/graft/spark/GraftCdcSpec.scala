@@ -161,6 +161,35 @@ class GraftCdcSpec extends AnyFunSuite {
     assert(got.map(_._1) == (20L until 130L).filter(_ % 2 == 0))
   }
 
+  test("applyChanges large delete windows route through the distributed merge path") {
+    val src = fresh("apply-big-src")
+    val dst = fresh("apply-big-dst")
+    def rows(a: Long, b: Long) = spark.range(a, b)
+      .selectExpr("id AS k", "id * 7 AS v")
+    rows(0, 300).repartition(4).write.format("graft").mode("append").save(src)
+    val derive = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("k") % 2 === 0).select(col("k"), col("v"))
+    derive(spark.read.format("graft").load(src))
+      .write.format("graft").mode("append").save(dst)
+    val t1 = manifestMax(src)
+    Thread.sleep(5)
+    rows(300, 340).write.format("graft").mode("append").save(src)
+    GraftMaintenance.deleteWhere(spark, src, col("k") < 100, changelog = true)
+    // driverKeyMax = 5 forces the >cap branch: deletes apply as an
+    // unconditional WHEN MATCHED DELETE merge (envelope-scoped probes)
+    // instead of a driver-collected IN list — results must be identical
+    val (appended, deleted) = GraftCdc.applyChanges(spark,
+      GraftCdc.changes(spark, src, t1, Long.MaxValue), dst, "k", derive,
+      driverKeyMax = 5)
+    assert(appended == 20 && deleted == 100, s"($appended, $deleted)")
+    val want = derive(spark.read.format("graft").load(src))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+    assert(got.map(_._1) == (100L until 340L).filter(_ % 2 == 0))
+  }
+
   test("deleted rows keep partition values in the feed (self-describing rows)") {
     val dir = fresh("parts")
     spark.range(0, 40)
