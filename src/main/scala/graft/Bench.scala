@@ -110,21 +110,15 @@ object Bench {
     "x_delete_where", "x_update_where", "x_zorder_relayout", "x_asof_snapshot",
     "x_incremental_scan", "x_spj_join", "x_vacuum", "x_sorted_topn",
     "x_ndv_stats", "x_compact")
-  // x_cdc_apply (BenchMaintenance.cdcApplyOp, driven via examples/MaintAB)
-  // is deliberately NOT in the headline: at the provided data scales the
-  // feed's O(changed-data) advantage cannot surface — documents tops out
-  // at ~50k rows even in the x10 staging, where a full parquet re-derive
-  // is ~0.35s of IO while the CDC path pays ~0.9s of fixed driver
-  // orchestration (12-ish sequential jobs). Timing it in the artifact
-  // would report scheduler latency, not the capability; the same
-  // exclusion rationale as the quadratic verify-only baselines above.
-  // x_merge_upsert (mergeUpsertOp, driven via graft.TimeOne) is excluded
-  // for the same reason: at the x10 staging graft's selective path
-  // measures 1.6x over parquet's whole-table rewrite purely from ~6
-  // driver-sequenced fixed-cost jobs (probe, fingerprint, per-file
-  // rewrites, anti-join, append) against a 50k-row table whose full
-  // rewrite is ~0.5s of IO — the rewrite-2-of-16-files advantage needs
-  // GB-scale files to surface. Content fidelity is gated by q_sql_merge.
+  // x_cdc_apply / x_merge_upsert are NOT in the per-query headline: at
+  // the provided data scales (documents ~50k rows even in the x10
+  // staging) their timing reports driver job-sequencing, not the
+  // capability. They ARE measured at the scale where selectivity shows —
+  // the round-14 AT-SCALE section (BenchMaintenance.cdcAtScale, emitted
+  // as detail_maint_scale; standalone: `runMain graft.MaintScale`) runs
+  // both against a 5M-row 64-file staging with min-of-2 interleaved
+  // runs and file-rewrite counts in the artifact. Content fidelity is
+  // gated by q_sql_merge / q_sql_merge_cdc / q_cdc_changes.
 
   /** Deterministic FACTOR x amplification of the driver's parquet tables
     * into a staged parquet dir (throughput corpus for the scaled section —
