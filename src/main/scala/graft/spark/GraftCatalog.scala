@@ -292,6 +292,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val droppedNow = scala.collection.mutable.Set.empty[String] // lower
     lazy val partCols: Seq[String] = GraftUtil.listDataFiles(dir.toString, conf)
       .flatMap(f => GraftUtil.partitionSegments(dir, f.getPath).map(_._1)).distinct
+    // does ANY data file's footer carry one of these physical names? A
+    // never-backed column (ALTER ADD, never written — or every generation
+    // rewritten since a rename) need not be tombed: no bytes exist to
+    // resurrect, so a typo'd ADD can be dropped and re-added freely.
+    // Capped footer sweep (cached 64KiB tail reads); above the cap the
+    // answer is conservatively "yes" — the tomb is always SOUND.
+    def anyFileCarries(namesLower: Set[String]): Boolean = {
+      val files = GraftUtil.listDataFiles(dir.toString, conf)
+      if (files.size > 256) return true
+      files.exists { f =>
+        val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
+        try GraftFooterCache.schemaOf(
+            GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen).schemaJson)
+          .fieldNames.exists(n => namesLower.contains(n.toLowerCase))
+        finally in.close()
+      }
+    }
     def aliasEntryOf(logical: String): Option[(String, Seq[String])] =
       mapping.aliases.find(_._1.equalsIgnoreCase(logical))
     // the name-reuse bar that keeps name-based per-file resolution sound
@@ -365,9 +382,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 "GraftMaintenance.compact(partitionBy = ...) first")
             val (entryKey, aliases) = aliasEntryOf(f.name)
               .map { case (k, v) => (Some(k), v) }.getOrElse((None, Seq.empty))
-            mapping = GraftColumnMap.Mapping(
-              entryKey.map(mapping.aliases - _).getOrElse(mapping.aliases),
-              mapping.dropped ++ aliases :+ f.name)
+            val physNames = (aliases :+ f.name).map(_.toLowerCase).toSet
+            val withoutEntry =
+              entryKey.map(mapping.aliases - _).getOrElse(mapping.aliases)
+            mapping =
+              if (anyFileCarries(physNames))
+                GraftColumnMap.Mapping(withoutEntry,
+                  mapping.dropped ++ aliases :+ f.name)
+              else // never backed: nothing to resurrect, the name stays free
+                GraftColumnMap.Mapping(withoutEntry, mapping.dropped)
             mappingChanged = true
             droppedNow += f.name.toLowerCase
             StructType(sch.fields.patch(idx, Nil, 1))
@@ -399,9 +422,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               "GraftMaintenance.compact(partitionBy = ...) first")
           val (entryKey, priorAliases) = aliasEntryOf(f.name)
             .map { case (k, v) => (Some(k), v) }.getOrElse((None, Seq.empty))
+          // only names that actually label bytes in some file become
+          // aliases — renaming a never-backed evolution column is a pure
+          // sidecar rename and leaves the old name free (footer reads are
+          // cached; the capped check degrades to keep-the-alias, sound)
+          val backedAliases = (priorAliases :+ f.name)
+            .filter(n => anyFileCarries(Set(n.toLowerCase)))
+          val base = entryKey.map(mapping.aliases - _).getOrElse(mapping.aliases)
           mapping = GraftColumnMap.Mapping(
-            entryKey.map(mapping.aliases - _).getOrElse(mapping.aliases) +
-              (newName -> (priorAliases :+ f.name)),
+            if (backedAliases.nonEmpty) base + (newName -> backedAliases) else base,
             mapping.dropped)
           mappingChanged = true
           renamePairs(f.name.toLowerCase) = newName

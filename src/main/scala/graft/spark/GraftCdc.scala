@@ -92,26 +92,31 @@ object GraftCdc {
       targetDir: String, keyCol: String,
       transform: DataFrame => DataFrame = identity,
       driverKeyMax: Int = 1000): (Long, Long) = {
+    // cached across the probe / count / merge-materialize uses — the
+    // window is O(changed) by design, but re-deriving the feed union scan
+    // three times is still two scans too many
     val deletesDf = changeWindow
       .filter(col(ChangeTypeCol) === "delete")
-      .select(keyCol).distinct()
+      .select(keyCol).distinct().cache()
     val probe = deletesDf.limit(driverKeyMax + 1).collect().map(_.get(0)).toSeq
     val targetEmpty = GraftUtil.listDataFiles(targetDir,
       spark.sessionState.newHadoopConf()).isEmpty
     val nDeleteKeys: Long =
-      if (probe.isEmpty || targetEmpty) 0L // deletes on an empty table: no-op
-      else if (probe.size <= driverKeyMax) {
-        GraftMaintenance.deleteWhere(spark, targetDir,
-          col(keyCol).isInCollection(probe))
-        probe.size.toLong
-      } else {
-        val n = deletesDf.count()
-        GraftMaintenance.mergeApply(spark, targetDir, deletesDf,
-          Seq(keyCol -> keyCol),
-          matched = Seq(GraftMaintenance.MergeClause(None, None)), // DELETE
-          notMatchedInsert = Seq.empty)
-        n
-      }
+      try {
+        if (probe.isEmpty || targetEmpty) 0L // deletes on an empty table: no-op
+        else if (probe.size <= driverKeyMax) {
+          GraftMaintenance.deleteWhere(spark, targetDir,
+            col(keyCol).isInCollection(probe))
+          probe.size.toLong
+        } else {
+          val n = deletesDf.count()
+          GraftMaintenance.mergeApply(spark, targetDir, deletesDf,
+            Seq(keyCol -> keyCol),
+            matched = Seq(GraftMaintenance.MergeClause(None, None)), // DELETE
+            notMatchedInsert = Seq.empty)
+          n
+        }
+      } finally deletesDf.unpersist()
     val inserts = transform(
       changeWindow.filter(col(ChangeTypeCol) === "insert").drop(ChangeTypeCol))
     val appended = inserts.count()

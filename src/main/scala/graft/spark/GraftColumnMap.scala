@@ -97,9 +97,29 @@ object GraftColumnMap {
 
   private def sidecar(tableDir: Path): Path = new Path(tableDir, Name)
 
+  /** Newest crash-window tmp of an interrupted publish, if any — the same
+    * recoverability pattern as the schema sidecar: losing the mapping
+    * silently resurrects dropped columns and reverts renames, and unlike
+    * the schema it is NOT reconstructible from footers. */
+  private def sidecarTmp(fs: FileSystem, tableDir: Path): Option[Path] =
+    if (!fs.exists(tableDir)) None
+    else fs.listStatus(tableDir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith(s".$Name.") &&
+        f.getPath.getName.endsWith(".tmp"))
+      .sortBy(-_.getModificationTime)
+      .headOption.map(_.getPath)
+
   def read(fs: FileSystem, tableDir: Path): Mapping = {
-    val p = sidecar(tableDir)
-    if (!fs.exists(p)) return Empty
+    val main = sidecar(tableDir)
+    val p =
+      if (fs.exists(main)) main
+      else sidecarTmp(fs, tableDir) match {
+        case Some(tmp) =>
+          // finish the interrupted delete->rename publish (best effort; a
+          // concurrent reader may win the promotion — re-check)
+          if (fs.rename(tmp, main) || fs.exists(main)) main else tmp
+        case None => return Empty
+      }
     val in = fs.open(p)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
@@ -112,24 +132,40 @@ object GraftColumnMap {
     val out = fs.create(tmp, true)
     try out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // delete->rename is not atomic; the crash window is covered by the tmp
+    // promotion in read() (the tmp IS the mapping until the rename lands).
+    // Stale tmps from long-dead publishes are cleared age-gated AFTER this
+    // publish is durable, so sidecarTmp can never resurrect an older one.
     fs.delete(sidecar(tableDir), false)
-    if (!fs.rename(tmp, sidecar(tableDir)))
+    if (!fs.rename(tmp, sidecar(tableDir)) && !fs.exists(sidecar(tableDir)))
       throw new java.io.IOException(
         s"graft: failed to publish column mapping at ${sidecar(tableDir)}")
+    val cutoff = System.currentTimeMillis() - 60 * 1000L
+    fs.listStatus(tableDir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith(s".$Name.") &&
+        f.getPath.getName.endsWith(".tmp") && f.getModificationTime < cutoff)
+      .foreach(f => fs.delete(f.getPath, false))
   }
 
   /** Mapping governing a read of `loadPath` — the path itself when it is a
     * table directory, or (for the single-FILE reads the maintenance
     * rewrites use) the owning table dir found by walking up past `k=v`
-    * hive partition segments.
+    * hive partition segments. A directory that CARRIES a mapping wins
+    * before any walk-up, so a table whose own dir name contains '='
+    * (`/data/ds=v1` used directly as a table path) still reads its own
+    * sidecar.
     */
   def forRead(fs: FileSystem, loadPath: Path): Mapping = {
     val start =
       if (loadPath.getName.endsWith(GraftUtil.Extension)) loadPath.getParent
       else loadPath
     var d = start
-    while (d != null && d.getName.contains("=")) d = d.getParent
-    if (d == null) Empty else read(fs, d)
+    while (d != null) {
+      if (fs.exists(sidecar(d)) || sidecarTmp(fs, d).nonEmpty) return read(fs, d)
+      if (!d.getName.contains("=")) return Empty
+      d = d.getParent
+    }
+    Empty
   }
 
   // ---- minimal hand-rolled JSON (names JSON-escaped; no deps) ----
@@ -153,8 +189,19 @@ object GraftColumnMap {
   }
 
   /** Parser for exactly the shape `render` emits (and hand-edited
-    * equivalents): string values with standard JSON escapes. */
-  private[spark] def parse(json: String): Mapping = {
+    * equivalents): string values with standard JSON escapes. Any
+    * structural damage (truncation, unterminated strings) surfaces as the
+    * malformed-file diagnostic naming the sidecar, never a raw index
+    * exception. */
+  private[spark] def parse(json: String): Mapping =
+    try parseImpl(json)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception => throw new IllegalArgumentException(
+        s"graft: malformed $Name (${e.getClass.getSimpleName}) — fix or remove the sidecar", e)
+    }
+
+  private def parseImpl(json: String): Mapping = {
     // tokenize strings + structural chars; whitespace-insensitive
     val toks = scala.collection.mutable.ArrayBuffer[Either[Char, String]]()
     var i = 0

@@ -777,13 +777,12 @@ object GraftMaintenance {
     * any file), per-file rewrites publish at a deterministic name
     * (`-mrg<hash(spec, source content)>`) so a re-run with the SAME
     * source converges (files already carrying this merge's hash are
-    * skipped), and manifests heal through the shared expiry + catch-up
-    * pass. Convergence caveat: a re-run's matched set includes the
-    * previous run's INSERTED rows (their keys are source keys), which
-    * then take the matched clauses — standard SQL MERGE re-run
-    * semantics, one extra rewrite pass that also stamps those files with
-    * the hash; the next run is fully quiescent. Rows are exactly-once at
-    * every point. Inserts append LAST through the normal batch write —
+    * skipped; the merge's own ins-tagged insert commit is likewise
+    * excluded from the rewrite set, so a resume never re-applies matched
+    * clauses to rows this same merge inserted), and manifests heal
+    * through the shared expiry + catch-up pass. Rows are exactly-once at
+    * every point; a converged re-run is fully quiescent. Inserts append
+    * LAST through the normal batch write —
     * atomic, published under an ordinary commit manifest (an insert IS
     * new data: incremental readers must see it, unlike the rewrites,
     * whose catch-up coverage they skip).
@@ -1069,7 +1068,28 @@ object GraftMaintenance {
             .select(col(fileCol).as("f")).distinct()
             .collect().map(_.getString(0)).toSet
         }
-      val affected = matchedCounts.keySet ++ nmbsFiles
+      // a RESUME of this same merge (crash after the insert append, or a
+      // converging library re-run) must not re-apply the matched clauses
+      // to the rows THIS merge inserted: the appended file carries no
+      // -mrg marker in its name, so the converged-file skip can't protect
+      // it, and a non-idempotent matched assignment (v = v + s.dv) would
+      // corrupt the freshly inserted values. Files of this merge's OWN
+      // ins<hash>-tagged commit are therefore excluded from the rewrite
+      // set (and from the touched-row stats). A LATER identical merge
+      // through SQL gets a fresh nonce -> different hash -> no exclusion,
+      // so standard re-run semantics (matched clauses DO apply to rows a
+      // previous execution inserted) are preserved.
+      val ownInsertFiles: Set[String] = {
+        val insName = GraftManifest.list(fs, tableDir)
+          .find(_.endsWith(s"-ins$mrgHash"))
+        insName.map(n => GraftManifest.read(fs, tableDir, n).map { case (rel, _) =>
+          fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, rel)).toString
+        }.toSet).getOrElse(Set.empty)
+      }
+      val matchedEligible = matchedCounts.filter { case (f, _) =>
+        !ownInsertFiles.contains(
+          fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString) }
+      val affected = matchedEligible.keySet ++ nmbsFiles
       if (affected.nonEmpty) {
         val known = files.map(_.getPath.toString).toSet
         require(affected.forall(f => f.nonEmpty && known.contains(f)),
@@ -1223,7 +1243,7 @@ object GraftMaintenance {
             }
           math.max(0L, rowsTotal + rowsInserted - after)
         }
-      val touchedNow = matchedCounts.collect {
+      val touchedNow = matchedEligible.collect {
         case (f, n) if !rewritten.skippedConverged.contains(f) => n }.sum
       val stats = MergeStats(rewritten.rewritten, files.size - rewritten.rewritten,
         touchedNow, rowsInserted, rowsTotal, rowsDeleted,
@@ -1326,7 +1346,21 @@ object GraftMaintenance {
     def sweepTmps(d: Path): Unit = if (fs.exists(d))
       fs.listStatus(d).foreach { f =>
         val n = f.getPath.getName
-        if (f.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
+        // a column-mapping tmp in the delete->rename crash window is the
+        // table's SOLE mapping copy (read() promotes it); only sweep once
+        // a committed sidecar exists — same guard as the schema sidecar
+        if (f.isFile && n.startsWith("." + GraftColumnMap.Name + ".") &&
+          n.endsWith(".tmp")) {
+          if (f.getModificationTime < olderThanMs &&
+            fs.exists(new Path(d, GraftColumnMap.Name))) { tmps += 1; doom(f) }
+        }
+        // version-log tmp: same sole-copy crash window as the mapping
+        else if (f.isFile && n.startsWith("." + GraftVersionLog.Name + ".") &&
+          n.endsWith(".tmp")) {
+          if (f.getModificationTime < olderThanMs &&
+            fs.exists(new Path(d, GraftVersionLog.Name))) { tmps += 1; doom(f) }
+        }
+        else if (f.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
           f.getModificationTime < olderThanMs) { tmps += 1; doom(f) }
         // crashed-ALTER sidecar tmps (`.tmp-<uuid>` suffix, so the generic
         // `.tmp` match misses them) — ONLY when a committed sidecar exists:

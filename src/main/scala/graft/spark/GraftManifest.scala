@@ -118,6 +118,19 @@ object GraftVersionLog {
 
   private def path(tableDir: Path) = new Path(GraftManifest.dir(tableDir), Name)
 
+  /** Newest crash-window tmp of an interrupted writeAll — losing the log
+    * silently renumbers every expired version and forgets merge-insert
+    * commits, so the delete->rename window must be recoverable. */
+  private def logTmp(fs: FileSystem, tableDir: Path): Option[Path] = {
+    val d = GraftManifest.dir(tableDir)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d)
+      .filter(f => f.isFile && f.getPath.getName.startsWith(s".$Name.") &&
+        f.getPath.getName.endsWith(".tmp"))
+      .sortBy(-_.getModificationTime)
+      .headOption.map(_.getPath)
+  }
+
   /** Commit entries only (ordinal i+1 = entry i) — sentinels excluded. */
   def commits(log: Seq[String]): Seq[String] =
     log.filterNot(_.startsWith(SentinelPrefix))
@@ -145,15 +158,29 @@ object GraftVersionLog {
     try out.write(all.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // delete->rename crash window covered by the tmp promotion in sync();
+    // stale tmps cleared age-gated only after this publish is durable
     fs.delete(p, false)
-    if (!fs.rename(tmp, p))
+    if (!fs.rename(tmp, p) && !fs.exists(p))
       throw new java.io.IOException(s"graft: failed to publish version log $p")
+    val cutoff = System.currentTimeMillis() - 60 * 1000L
+    fs.listStatus(p.getParent)
+      .filter(f => f.isFile && f.getPath.getName.startsWith(s".$Name.") &&
+        f.getPath.getName.endsWith(".tmp") && f.getModificationTime < cutoff)
+      .foreach(f => fs.delete(f.getPath, false))
   }
 
   /** Ordinal-ordered log entries (manifest names + sentinels), after
     * adopting any live commits the log hasn't registered yet. */
   def sync(fs: FileSystem, tableDir: Path): Seq[String] = {
-    val p = path(tableDir)
+    val p0 = path(tableDir)
+    val p =
+      if (fs.exists(p0)) p0
+      else logTmp(fs, tableDir) match {
+        case Some(tmp) => // finish an interrupted publish (best effort)
+          if (fs.rename(tmp, p0) || fs.exists(p0)) p0 else tmp
+        case None => p0
+      }
     val known: Seq[String] =
       if (!fs.exists(p)) Seq.empty
       else {

@@ -397,10 +397,8 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     // generation SENTINEL then marks the wipe, so generation-scoped
     // consumers (merge's insert idempotency tag) never credit a commit
     // whose rows this truncate deleted.
-    if (doTruncate && oldManifests.nonEmpty) {
-      GraftVersionLog.sync(fs, tableDir)
-      GraftVersionLog.appendSentinel(fs, tableDir, "truncate")
-    }
+    if (doTruncate && oldManifests.nonEmpty)
+      GraftVersionLog.appendSentinel(fs, tableDir, "truncate") // syncs first
     GraftManifest.publish(fs, tableDir, added, tag = opts.manifestTag)
     oldManifests.foreach(n => fs.delete(new Path(GraftManifest.dir(tableDir), n), false))
     oldFiles.foreach(fs.delete(_, false))

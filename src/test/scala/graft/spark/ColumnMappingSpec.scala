@@ -168,6 +168,53 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(r.getLong(0) == 100L && r.getLong(1) == 0L && r.getLong(2) == 693L)
   }
 
+  test("a never-backed column drops without tombing its name (typo recovery)") {
+    spark.sql("CREATE TABLE cmcat.db.t8 (k BIGINT)")
+    spark.sql("INSERT INTO cmcat.db.t8 VALUES (1), (2)")
+    // ADD a column, never write it, DROP it — the name must stay free
+    spark.sql("ALTER TABLE cmcat.db.t8 ADD COLUMN qualty BIGINT") // typo
+    spark.sql("ALTER TABLE cmcat.db.t8 DROP COLUMN qualty")
+    spark.sql("ALTER TABLE cmcat.db.t8 ADD COLUMN quality BIGINT")
+    spark.sql("ALTER TABLE cmcat.db.t8 ADD COLUMN qualty BIGINT") // re-add OK
+    assert(spark.table("cmcat.db.t8").columns.toSeq ==
+      Seq("k", "quality", "qualty"))
+    // a BACKED column stays tombed (the soundness rule)
+    spark.sql("INSERT INTO cmcat.db.t8 VALUES (3, 7, 8)")
+    spark.sql("ALTER TABLE cmcat.db.t8 DROP COLUMN qualty")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE cmcat.db.t8 ADD COLUMN qualty BIGINT"))
+    assert(e.getMessage.contains("resurrect"))
+  }
+
+  test("sidecar crash windows recover via tmp promotion (mapping + version log)") {
+    spark.sql("CREATE TABLE cmcat.db.t9 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO cmcat.db.t9 SELECT id, id FROM range(20)")
+    spark.sql("ALTER TABLE cmcat.db.t9 RENAME COLUMN v TO w")
+    val dir = s"$wh/db/t9"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    // simulate a publish that crashed between delete and rename: the tmp
+    // is the table's SOLE mapping copy — reads must promote it, never
+    // silently revert the rename
+    val main = new org.apache.hadoop.fs.Path(p, GraftColumnMap.Name)
+    val tmp = new org.apache.hadoop.fs.Path(p, s".${GraftColumnMap.Name}.deadbeef.tmp")
+    assert(fs.rename(main, tmp))
+    assert(GraftColumnMap.forRead(fs, p).physToLogical.get("v").contains("w"),
+      "the crash-window tmp must be promoted, not ignored")
+    assert(fs.exists(main), "promotion must restore the committed sidecar")
+    assert(spark.read.format("graft").load(dir).columns.toSeq == Seq("k", "w"))
+    // same for the version log
+    val mdir = GraftManifest.dir(p)
+    val vmain = new org.apache.hadoop.fs.Path(mdir, GraftVersionLog.Name)
+    GraftVersionLog.sync(fs, p)
+    val before = GraftVersionLog.commits(GraftVersionLog.sync(fs, p))
+    assert(before.nonEmpty)
+    val vtmp = new org.apache.hadoop.fs.Path(mdir, s".${GraftVersionLog.Name}.cafebabe.tmp")
+    assert(fs.rename(vmain, vtmp))
+    assert(GraftVersionLog.commits(GraftVersionLog.sync(fs, p)) == before,
+      "version log must recover from its crash-window tmp without renumbering")
+  }
+
   test("sort marker follows renames and truncates at drops") {
     val dir = s"$wh/db/t7"
     spark.range(100).selectExpr("id AS a", "id * 2 AS b", "id * 3 AS c")

@@ -159,6 +159,39 @@ class DmlRerunSpec extends AnyFunSuite {
     assert(st2.rowsInserted >= 0L) // resume reports the staged count, not a new append
   }
 
+  test("merge resume never re-applies non-idempotent matched clauses to its own inserts") {
+    // the review-pass corruption case: run 1 inserts keys via an ordinary
+    // append (no -mrg marker in the file name), and a crash-resume re-run
+    // of the SAME merge used to find those rows matched and apply
+    // v = v + src.v AGAIN — the own-insert commit exclusion prevents it
+    val dir = "/tmp/graft-test/dml-rerun-own-ins"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(10).selectExpr("id AS k", "id AS v").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val source = spark.range(8, 13).selectExpr("id AS k", "100L AS dv")
+    def merge() = GraftMaintenance.mergeApply(spark, dir, source,
+      keys = Seq("k" -> "k"),
+      matched = Seq(GraftMaintenance.MergeClause(None, Some(Map(
+        "v" -> (col("v") + col(GraftMaintenance.SrcPrefix + "dv")))))),
+      notMatchedInsert = Seq(GraftMaintenance.MergeClause(None, Some(Map(
+        "k" -> col("k"), "v" -> col("dv"))))))
+    val st1 = merge()
+    assert(st1.rowsUpdated == 2L && st1.rowsInserted == 3L)
+    def vals() = spark.read.format("graft").load(dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after1 = vals()
+    assert(after1(8L) == 108L && after1(9L) == 109L, s"$after1")
+    assert(after1(10L) == 100L && after1(12L) == 100L, s"$after1")
+    // resume (library converge path, same hash): fully quiescent — the
+    // inserted rows keep their INSERTED values, matched rows are skipped
+    // as converged, nothing re-applies
+    val st2 = merge()
+    assert(st2.filesRewritten == 0 && st2.rowsUpdated == 0 && st2.rowsInserted == 0,
+      s"resume must be quiescent, got $st2")
+    assert(vals() == after1,
+      "resume re-applied a non-idempotent matched clause")
+  }
+
   test("merge probes survive autoBroadcastJoinThreshold = -1 (no broadcast)") {
     val dir = "/tmp/graft-test/dml-rerun-nobc"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

@@ -458,17 +458,23 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     assert(after.filter(col("k") >= 100)
       .collect().forall(r => r.getLong(1) == r.getLong(0) * 100 && r.getString(2) == "src"))
     assert(after.filter(col("k") < 90 && col("s") =!= "old").count() == 0)
-    // re-running the SAME merge is exactly-once on rows: nothing
-    // re-inserts. Standard MERGE semantics: run 2's matched set includes
-    // run 1's inserted rows, so they take the UPDATE action (s='merged');
-    // run 3 is then fully quiescent (every file carries the merge hash)
+    // re-running the SAME merge is exactly-once on rows AND values:
+    // nothing re-inserts, and the rows run 1 INSERTED keep their inserted
+    // values (the merge's own ins-tagged commit is excluded from the
+    // rewrite set — matched clauses were judged against the PRE-merge
+    // state, where those rows did not exist). A resume is fully quiescent.
     val again = M.mergeInto(spark, dir, src, Seq("k" -> "k"),
       Map("v" -> col(pre + "v"), "s" -> lit("merged")),
       Some(Map("k" -> col("k"), "v" -> col("v"), "s" -> col("s"))))
     assert(again.rowsInserted == 0, s"re-run must not re-insert, got $again")
+    assert(again.filesRewritten == 0 && again.rowsUpdated == 0,
+      s"converged re-run must be quiescent, got $again")
     assert(spark.read.format("graft").load(dir).count() == 110)
-    assert(spark.read.format("graft").load(dir).filter(col("k") >= 90)
+    assert(spark.read.format("graft").load(dir).filter(col("k").between(90, 99))
       .collect().forall(r => r.getLong(1) == r.getLong(0) * 100 && r.getString(2) == "merged"))
+    assert(spark.read.format("graft").load(dir).filter(col("k") >= 100)
+      .collect().forall(r => r.getString(2) == "src"),
+      "a resume must not re-apply matched clauses to rows this merge inserted")
     val third = M.mergeInto(spark, dir, src, Seq("k" -> "k"),
       Map("v" -> col(pre + "v"), "s" -> lit("merged")),
       Some(Map("k" -> col("k"), "v" -> col("v"), "s" -> col("s"))))
