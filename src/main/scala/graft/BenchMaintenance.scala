@@ -295,8 +295,7 @@ object BenchMaintenance {
         col("doc_id").between(lo, hi) && col("doc_id") % 3 =!= 0,
         changelog = true)
       val t0 = System.nanoTime()
-      graft.spark.GraftCdc.applyChanges(spark,
-        graft.spark.GraftCdc.changes(spark, src, t1, Long.MaxValue),
+      graft.spark.GraftCdc.applyChangesBetween(spark, src, t1, Long.MaxValue,
         dst, "doc_id", derive)
       agg(spark.read.format("graft").load(dst))
       (System.nanoTime() - t0) / 1e9
@@ -860,8 +859,7 @@ object BenchMaintenance {
       def graftRun(): Double = {
         val gDst = mutableCopy(gDstP)
         val gT0 = System.nanoTime()
-        graft.spark.GraftCdc.applyChanges(spark,
-          graft.spark.GraftCdc.changes(spark, gSrc, t1, Long.MaxValue),
+        graft.spark.GraftCdc.applyChangesBetween(spark, gSrc, t1, Long.MaxValue,
           gDst, "doc_id", derive)
         agg(spark.read.format("graft").load(gDst))
         (System.nanoTime() - gT0) / 1e9

@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Row-level change-data feed over a graft table — the incremental-consumer
@@ -53,16 +53,52 @@ object GraftCdc {
     val conf = spark.sessionState.newHadoopConf()
     require(GraftUtil.listDataFiles(dir, conf).nonEmpty,
       s"graft: no table under $dir")
-    def windowed(p: String): DataFrame =
-      spark.read.format("graft")
-        .option("since", sinceMillis.toString)
-        .option("asof", asofMillis.toString)
-        .load(p)
-    val inserts = windowed(dir).withColumn(ChangeTypeCol, lit("insert"))
+    val inserts = windowed(spark, dir, sinceMillis, asofMillis)
+      .withColumn(ChangeTypeCol, lit("insert"))
     val feedDir = s"$dir/$ChangesDir"
     if (GraftUtil.listDataFiles(feedDir, conf).isEmpty) inserts
     else inserts.unionByName(
-      windowed(feedDir).withColumn(ChangeTypeCol, lit("delete")))
+      windowed(spark, feedDir, sinceMillis, asofMillis)
+        .withColumn(ChangeTypeCol, lit("delete")))
+  }
+
+  private def windowed(spark: SparkSession, p: String,
+      sinceMillis: Long, asofMillis: Long): DataFrame =
+    spark.read.format("graft")
+      .option("since", sinceMillis.toString)
+      .option("asof", asofMillis.toString)
+      .load(p)
+
+  /** Exact row count of the commits in `(since, asof]` under `dir`, from
+    * manifest listings + file footers alone — NO Spark job. Returns None
+    * when the window has more in-window files than the footer reader's
+    * planning cap (the caller should fall back to a scan-based decision).
+    * Catch-up manifests are excluded exactly like the windowed read
+    * excludes them: their files are re-listed survivors, not commits.
+    */
+  private def windowRowCount(spark: SparkSession, dir: String,
+      sinceMillis: Long, asofMillis: Long): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    if (!fs.exists(tableDir)) return Some(0L)
+    val committedAt: Map[String, Long] = GraftManifest.list(fs, tableDir)
+      .filterNot(GraftManifest.isCatchup)
+      .flatMap { m =>
+        val mt = GraftManifest.nameT(m)
+        GraftManifest.read(fs, tableDir, m).map { case (name, _) =>
+          fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString -> mt
+        }
+      }.toMap
+    val inWindow = GraftUtil.listDataFiles(dir, conf).filter { f =>
+      committedAt.get(f.getPath.toString)
+        .exists(t => t > sinceMillis && t <= asofMillis)
+    }
+    if (inWindow.isEmpty) Some(0L)
+    else {
+      val n = GraftScan.rowCount(inWindow, conf)
+      if (n.isPresent) Some(n.getAsLong) else None
+    }
   }
 
   /** Apply a change window to a DERIVED graft table keyed by `keyCol` —
@@ -92,36 +128,123 @@ object GraftCdc {
       targetDir: String, keyCol: String,
       transform: DataFrame => DataFrame = identity,
       driverKeyMax: Int = 1000): (Long, Long) = {
-    // cached across the probe / count / merge-materialize uses — the
-    // window is O(changed) by design, but re-deriving the feed union scan
-    // three times is still two scans too many
+    // cached across the probe / merge-materialize uses — the window is
+    // O(changed) by design, but re-deriving the feed union scan twice is
+    // still one scan too many
     val deletesDf = changeWindow
       .filter(col(ChangeTypeCol) === "delete")
       .select(keyCol).distinct().cache()
-    val probe = deletesDf.limit(driverKeyMax + 1).collect().map(_.get(0)).toSeq
-    val targetEmpty = GraftUtil.listDataFiles(targetDir,
-      spark.sessionState.newHadoopConf()).isEmpty
+    val probe = GraftMaintenance.phase("cdc-probe") {
+      deletesDf.limit(driverKeyMax + 1).collect().map(_.get(0)).toSeq
+    }
     val nDeleteKeys: Long =
       try {
-        if (probe.isEmpty || targetEmpty) 0L // deletes on an empty table: no-op
-        else if (probe.size <= driverKeyMax) {
-          GraftMaintenance.deleteWhere(spark, targetDir,
-            col(keyCol).isInCollection(probe))
-          probe.size.toLong
-        } else {
-          val n = deletesDf.count()
-          GraftMaintenance.mergeApply(spark, targetDir, deletesDf,
-            Seq(keyCol -> keyCol),
-            matched = Seq(GraftMaintenance.MergeClause(None, None)), // DELETE
-            notMatchedInsert = Seq.empty)
-          n
-        }
+        if (probe.size <= driverKeyMax)
+          applySmallDelete(spark, targetDir, keyCol, probe)
+        else applyLargeDelete(spark, targetDir, keyCol, deletesDf)
       } finally deletesDf.unpersist()
     val inserts = transform(
       changeWindow.filter(col(ChangeTypeCol) === "insert").drop(ChangeTypeCol))
-    val appended = inserts.count()
-    if (appended > 0)
-      inserts.write.format("graft").mode("append").save(targetDir)
-    (appended, nDeleteKeys)
+    (appendInserts(inserts, targetDir), nDeleteKeys)
+  }
+
+  /** [[applyChanges]] driven by the SOURCE DIRECTORY and window bounds
+    * instead of a pre-built change frame — the production consumer loop
+    * shape ("apply everything committed since my last run"). Knowing the
+    * directories lets the whole decision layer run on metadata:
+    *
+    *   - the small/large delete-path choice comes from the feed window's
+    *     FOOTER row counts (manifest listing + 64 KiB tail reads — zero
+    *     Spark jobs), not a probe scan;
+    *   - the delete-key count and appended-row count ride the merge
+    *     materialization / insert append as observed metrics, so neither
+    *     needs its own counting job.
+    *
+    * At a 5M-row / 64-file staging this halves the fixed driver-job count
+    * of a feed apply (see BenchMaintenance.cdcAtScale); at 100 TB the same
+    * jobs it removes are pure scheduler latency on the critical path.
+    */
+  def applyChangesBetween(spark: SparkSession, srcDir: String,
+      sinceMillis: Long, asofMillis: Long, targetDir: String, keyCol: String,
+      transform: DataFrame => DataFrame = identity,
+      driverKeyMax: Int = 1000): (Long, Long) = {
+    require(sinceMillis <= asofMillis,
+      s"graft: empty change window ($sinceMillis..$asofMillis]")
+    require(GraftUtil.listDataFiles(srcDir,
+        spark.sessionState.newHadoopConf()).nonEmpty,
+      s"graft: no table under $srcDir")
+    val feedDir = s"$srcDir/$ChangesDir"
+    val feedRows = GraftMaintenance.phase("cdc-window-meta") {
+      windowRowCount(spark, feedDir, sinceMillis, asofMillis)
+    }
+    val deletes = () => windowed(spark, feedDir, sinceMillis, asofMillis)
+      .select(keyCol).distinct()
+    val nDeleteKeys: Long = feedRows match {
+      case Some(0L) => 0L // nothing deleted in-window: no feed scan at all
+      case Some(n) if n <= driverKeyMax =>
+        // feed rows bound distinct keys, so the collect is bounded too
+        val keys = GraftMaintenance.phase("cdc-key-collect") {
+          deletes().collect().map(_.get(0)).toSeq
+        }
+        applySmallDelete(spark, targetDir, keyCol, keys)
+      case Some(_) => applyLargeDelete(spark, targetDir, keyCol, deletes())
+      case None =>
+        // footer cap exceeded — a window this wide is merge-sized anyway
+        applyLargeDelete(spark, targetDir, keyCol, deletes())
+    }
+    val inserts = transform(windowed(spark, srcDir, sinceMillis, asofMillis))
+    (appendInserts(inserts, targetDir), nDeleteKeys)
+  }
+
+  private def applySmallDelete(spark: SparkSession, targetDir: String,
+      keyCol: String, keys: Seq[Any]): Long = {
+    val targetEmpty = GraftUtil.listDataFiles(targetDir,
+      spark.sessionState.newHadoopConf()).isEmpty
+    if (keys.isEmpty || targetEmpty) 0L // deletes on an empty table: no-op
+    else {
+      GraftMaintenance.phase("cdc-keyed-delete") {
+        GraftMaintenance.deleteWhere(spark, targetDir,
+          col(keyCol).isInCollection(keys))
+      }
+      keys.size.toLong
+    }
+  }
+
+  private def applyLargeDelete(spark: SparkSession, targetDir: String,
+      keyCol: String, deletesDf: DataFrame): Long = {
+    val targetEmpty = GraftUtil.listDataFiles(targetDir,
+      spark.sessionState.newHadoopConf()).isEmpty
+    if (targetEmpty) 0L
+    else {
+      // the distinct-key count rides the merge's own source
+      // materialization as an observed metric — no separate count job
+      // (the frame is distinct upstream, so count(*) IS the key count)
+      val obs = Observation(
+        s"cdc-del-${java.util.UUID.randomUUID().toString.take(8)}")
+      GraftMaintenance.phase("cdc-merge-delete") {
+        GraftMaintenance.mergeApply(spark, targetDir,
+          deletesDf.observe(obs, count(lit(1)).as("n")),
+          Seq(keyCol -> keyCol),
+          matched = Seq(GraftMaintenance.MergeClause(None, None)), // DELETE
+          notMatchedInsert = Seq.empty)
+      }
+      obs.get("n").asInstanceOf[Long]
+    }
+  }
+
+  /** Append `inserts` to the target, counting the appended rows as an
+    * observed metric of the write itself — one scan, not a count + a
+    * write. A zero-row append publishes nothing (no files, no manifest,
+    * no marker churn), so writing unconditionally is a true no-op when
+    * the window carried no inserts.
+    */
+  private def appendInserts(inserts: DataFrame, targetDir: String): Long = {
+    val obs = Observation(
+      s"cdc-ins-${java.util.UUID.randomUUID().toString.take(8)}")
+    GraftMaintenance.phase("cdc-insert-append") {
+      inserts.observe(obs, count(lit(1)).as("n"))
+        .write.format("graft").mode("append").save(targetDir)
+    }
+    obs.get("n").asInstanceOf[Long]
   }
 }

@@ -406,7 +406,7 @@ object GraftMaintenance {
   /** Opt-in phase timing for the DML passes (`-Dgraft.debug.dmlphases=1`):
     * stderr lines only, zero cost when unset — the profiling hook that
     * keeps "where do the seconds go" answerable without a profiler. */
-  private def phase[T](name: String)(f: => T): T =
+  private[spark] def phase[T](name: String)(f: => T): T =
     if (!sys.props.contains("graft.debug.dmlphases")) f
     else {
       val t0 = System.nanoTime()
@@ -865,47 +865,63 @@ object GraftMaintenance {
     // frame, and the per-file rewrites each join against it)
     val srcScratch = new org.apache.hadoop.fs.Path(tableDir,
       s"_graft_tmp_merge/src-${java.util.UUID.randomUUID().toString.take(8)}")
+    // The cardinality/content fingerprint RIDES the materialization write
+    // as OBSERVED metrics — the scan that stages the source computes them
+    // for free, where a separate fingerprint agg was a whole extra
+    // driver-sequenced job (fixed cost that dominates a small CDC batch).
+    // Cardinality compares the exact distinct-key count against the
+    // NON-NULL-key row count: a null-keyed source row never matches
+    // anything (it is simply NOT MATCHED and inserts) and distinct
+    // counting skips null tuples, so counting it against count(*) would
+    // reject a legal batch. The fingerprint hashes EVERY source column,
+    // not just the keys — a later CDC batch carrying the same keys with
+    // NEW VALUES must get a fresh hash, or the converged-file skip would
+    // silently drop it. countDistinct itself is NOT an observable metric
+    // (CollectMetrics bars distinct aggregates), so the exact duplicate-
+    // key check rides the envelope-refine cell aggregate below (single
+    // integral key — the CDC shape) or a dedicated tiny job over the
+    // scratch (general case; same job count as before).
+    val srcKeyNames = keyPairs.map(_._2)
+    val obsKeyCols = srcKeyNames.map(source(_))
+    val obsNonNull = obsKeyCols.map(_.isNotNull).reduce(_ && _)
+    val envTypes = keyPairs.map { case (_, s) =>
+      source.schema.fields.find(_.name.equalsIgnoreCase(s)).map(_.dataType) }
+    def envOrderable(dt: Option[org.apache.spark.sql.types.DataType]): Boolean =
+      dt.exists {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.StringType => true
+        case org.apache.spark.sql.types.DateType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      }
+    val envEligible = envTypes.forall(envOrderable)
+    // key-envelope bounds ride the SAME observation: for orderable key
+    // types, min/max of each source key column bound the table rows that
+    // can possibly match — see envFilter below
+    val envAggs =
+      if (!envEligible) Seq.empty
+      else obsKeyCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        org.apache.spark.sql.functions.min(c).as(s"lo$i"),
+        org.apache.spark.sql.functions.max(c).as(s"hi$i")) }
+    val fpObs = org.apache.spark.sql.Observation(
+      s"graft-merge-fp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val fpObsAggs: Seq[org.apache.spark.sql.Column] = Seq(
+      ssum(when(obsNonNull, 1L).otherwise(0L)).as("nnk"),
+      ssum(shash(source.columns.map(source(_)).toIndexedSeq: _*).cast("long")).as("ch")) ++
+      envAggs
     phase("materialize-source")(
-      source.write.format("graft").mode("overwrite").save(srcScratch.toString))
+      source.observe(fpObs, scount(lit(1)).as("n"), fpObsAggs: _*)
+        .write.format("graft").mode("overwrite").save(srcScratch.toString))
     try {
       val src = spark.read.format("graft").load(srcScratch.toString)
-      val srcKeyCols = keyPairs.map(_._2).map(src(_))
-      // ONE agg job serves both the SQL MERGE cardinality rule and the
-      // content fingerprint below (driver-sequenced jobs are the whole
-      // fixed cost of this pass at small batch sizes). Cardinality
-      // compares countDistinct against the NON-NULL-key row count: a
-      // null-keyed source row never matches anything (it is simply NOT
-      // MATCHED and inserts) and countDistinct skips null tuples, so
-      // counting it against count(*) would reject a legal batch. The
-      // fingerprint hashes EVERY source column, not just the keys — a
-      // later CDC batch carrying the same keys with NEW VALUES must get a
-      // fresh hash, or the converged-file skip would silently drop it.
-      val nonNullKeys = srcKeyCols.map(_.isNotNull).reduce(_ && _)
-      // key-envelope bounds ride the SAME aggregate (no extra job): for
-      // orderable key types, min/max of each source key column bound the
-      // table rows that can possibly match — see envFilter below
-      val envTypes = keyPairs.map { case (_, s) =>
-        src.schema.fields.find(_.name.equalsIgnoreCase(s)).map(_.dataType) }
-      def envOrderable(dt: Option[org.apache.spark.sql.types.DataType]): Boolean =
-        dt.exists {
-          case _: org.apache.spark.sql.types.NumericType => true
-          case org.apache.spark.sql.types.StringType => true
-          case org.apache.spark.sql.types.DateType => true
-          case org.apache.spark.sql.types.TimestampType => true
-          case _ => false
-        }
-      val envEligible = envTypes.forall(envOrderable)
-      val envAggs =
+      val srcKeyCols = srcKeyNames.map(src(_))
+      val fpm = fpObs.get
+      val fpN = fpm("n").asInstanceOf[Long]
+      val fpNnk = Option(fpm("nnk")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val fpCh = Option(fpm("ch")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val envBounds: Seq[(Any, Any)] =
         if (!envEligible) Seq.empty
-        else srcKeyCols.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(c), org.apache.spark.sql.functions.max(c)))
-      val fpAggs: Seq[org.apache.spark.sql.Column] = Seq(
-        scount(lit(1)).as("n"),
-        ssum(when(nonNullKeys, 1L).otherwise(0L)).as("nnk"),
-        org.apache.spark.sql.functions.countDistinct(srcKeyCols.head, srcKeyCols.tail: _*).as("nd"),
-        ssum(shash(src.columns.map(src(_)).toIndexedSeq: _*).cast("long")).as("ch")) ++ envAggs
-      val fp = phase("fingerprint")(
-        src.agg(fpAggs.head, fpAggs.tail: _*).collect()(0))
+        else keyPairs.indices.map(i => (fpm(s"lo$i"), fpm(s"hi$i")))
       // SOURCE-KEY ENVELOPE: a table row whose key falls outside
       // [min, max] of the source keys can match NO source row, so the
       // matched probe and the NOT-MATCHED insert anti-join restrict their
@@ -919,9 +935,8 @@ object GraftMaintenance {
       val envFilter: Option[org.apache.spark.sql.Column] =
         if (!envEligible || files.isEmpty) None
         else {
-          val bounds = keyPairs.indices.map(i => (fp.get(4 + 2 * i), fp.get(5 + 2 * i)))
-          if (bounds.exists(b => b._1 == null || b._2 == null)) None
-          else Some(keyPairs.zip(bounds).map { case ((t, _), (lo, hi)) =>
+          if (envBounds.exists(b => b._1 == null || b._2 == null)) None
+          else Some(keyPairs.zip(envBounds).map { case ((t, _), (lo, hi)) =>
             table(t) >= lit(lo) && table(t) <= lit(hi)
           }.reduce(_ && _))
         }
@@ -935,6 +950,10 @@ object GraftMaintenance {
       // the filter stays SOUND; zone maps then prune every page between
       // the modes. Non-integral or multi-key merges keep the single
       // interval.
+      // exact distinct-key count, harvested by the cell aggregate below
+      // when it runs (single integral key — the CDC-batch shape); the
+      // general shapes pay a dedicated tiny job over the scratch instead
+      var ndExact: Option[Long] = None
       val envRefined: Option[org.apache.spark.sql.Column] =
         if (envFilter.isEmpty || keyPairs.size != 1) envFilter
         else {
@@ -950,23 +969,28 @@ object GraftMaintenance {
           }
           if (!integral) envFilter
           else {
-            val lo = asLong(fp.get(4)); val hi = asLong(fp.get(5))
+            val lo = asLong(envBounds.head._1); val hi = asLong(envBounds.head._2)
             val span = hi - lo
-            if (span < 0 /* overflow */ || span < 4096) envFilter
+            if (span < 0 /* overflow */) envFilter
             else {
               val w = span / 1024 + 1
               // per-CELL exact key extents, not just occupancy: the grid
               // only decides where splits may fall — interval tightness
               // comes from the true min/max inside each cell, so a 4e5-key
               // band inside a 1e11 span still yields a 4e5-wide interval
-              // (a width-only grid inflated it to the cell width, 1e8)
-              val cells = src.filter(src(sKey).isNotNull)
+              // (a width-only grid inflated it to the cell width, 1e8).
+              // Per-cell countDistinct rides the same job: the cells
+              // PARTITION the key space, so their sum is the exact global
+              // distinct-key count the cardinality check needs.
+              val cells = phase("envelope-cells")(src.filter(src(sKey).isNotNull)
                 .groupBy(((src(sKey).cast("long") - lit(lo)) / lit(w)).cast("long").as("b"))
                 .agg(org.apache.spark.sql.functions.min(src(sKey).cast("long")).as("mn"),
-                  org.apache.spark.sql.functions.max(src(sKey).cast("long")).as("mx"))
-                .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-                .sortBy(_._1)
-              if (cells.isEmpty) envFilter
+                  org.apache.spark.sql.functions.max(src(sKey).cast("long")).as("mx"),
+                  org.apache.spark.sql.functions.countDistinct(src(sKey)).as("nd"))
+                .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+                .sortBy(_._1))
+              ndExact = Some(cells.map(_._4).sum)
+              if (cells.isEmpty || span < 4096) envFilter
               else {
                 // keep the 31 widest inter-cell gaps as splits -> <= 32 ranges
                 val gaps = cells.sliding(2).zipWithIndex
@@ -991,9 +1015,15 @@ object GraftMaintenance {
         }
       def envScoped(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
         envRefined.map(df.filter).getOrElse(df)
-      require(fp.getLong(1) == fp.getLong(2),
-        s"graft: merge source has duplicate keys (${fp.getLong(1)} non-null-key " +
-          s"rows, ${fp.getLong(2)} distinct) — a target row must match at most " +
+      val fpNd: Long = ndExact.getOrElse {
+        if (fpNnk == 0L) 0L
+        else phase("fingerprint-distinct")(
+          src.agg(org.apache.spark.sql.functions.countDistinct(
+            srcKeyCols.head, srcKeyCols.tail: _*).as("nd")).collect()(0).getLong(0))
+      }
+      require(fpNnk == fpNd,
+        s"graft: merge source has duplicate keys ($fpNnk non-null-key " +
+          s"rows, $fpNd distinct) — a target row must match at most " +
           "one source row")
       // deterministic content fingerprint: same spec + same source rows =>
       // same rewrite names, so a crashed run's re-execution converges
@@ -1004,7 +1034,7 @@ object GraftMaintenance {
               .getOrElse("DELETE")).mkString("|")
         val rendered = keyPairs.mkString(";") + "|M:" + render(matchedN) +
           "|I:" + render(insertN) + "|S:" + render(nmbsN) +
-          s"|${fp.getLong(0)}|${if (fp.isNullAt(3)) 0L else fp.getLong(3)}" +
+          s"|$fpN|$fpCh" +
           opNonce.map("|nonce:" + _).getOrElse("")
         java.security.MessageDigest.getInstance("MD5")
           .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
