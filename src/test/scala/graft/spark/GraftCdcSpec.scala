@@ -190,6 +190,72 @@ class GraftCdcSpec extends AnyFunSuite {
     assert(got.map(_._1) == (100L until 340L).filter(_ % 2 == 0))
   }
 
+  test("applyChangesBetween matches applyChanges on every delete-path branch") {
+    // the dir-driven consumer decides its delete path from feed FOOTER row
+    // counts (no probe job) and counts via observed metrics — results must
+    // be identical to the frame-driven form on the small path, the large
+    // (merge) path, and the no-deletes path
+    def scenario(name: String, driverKeyMax: Int, takedown: Boolean): Unit = {
+      val src = fresh(s"between-$name-src")
+      val dst = fresh(s"between-$name-dst")
+      def rows(a: Long, b: Long) = spark.range(a, b)
+        .selectExpr("id AS k", "id * 7 AS v")
+      rows(0, 200).repartition(4).write.format("graft").mode("append").save(src)
+      val derive = (df: org.apache.spark.sql.DataFrame) =>
+        df.filter(col("k") % 2 === 0).select(col("k"), col("v"))
+      derive(spark.read.format("graft").load(src))
+        .write.format("graft").mode("append").save(dst)
+      val t1 = manifestMax(src)
+      Thread.sleep(5)
+      rows(200, 230).write.format("graft").mode("append").save(src)
+      if (takedown)
+        GraftMaintenance.deleteWhere(spark, src, col("k") < 50, changelog = true)
+      val (appended, deleted) = GraftCdc.applyChangesBetween(spark, src,
+        t1, Long.MaxValue, dst, "k", derive, driverKeyMax = driverKeyMax)
+      assert(appended == 15, s"$name: appended=$appended")
+      assert(deleted == (if (takedown) 50 else 0), s"$name: deleted=$deleted")
+      val want = derive(spark.read.format("graft").load(src))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val got = spark.read.format("graft").load(dst)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"$name: derived table diverged from source")
+    }
+    scenario("small", driverKeyMax = 1000, takedown = true)
+    scenario("large", driverKeyMax = 5, takedown = true)
+    scenario("nodel", driverKeyMax = 1000, takedown = false)
+  }
+
+  test("applyChangesBetween with an insert-free window appends nothing and publishes nothing") {
+    val src = fresh("between-noins-src")
+    val dst = fresh("between-noins-dst")
+    spark.range(0, 100).selectExpr("id AS k", "id * 7 AS v")
+      .write.format("graft").mode("append").save(src)
+    spark.read.format("graft").load(src)
+      .write.format("graft").mode("append").save(dst)
+    val t1 = manifestMax(src)
+    Thread.sleep(5)
+    // only a takedown in-window: the unconditional insert append must be a
+    // true no-op on the target (no files, no manifest)
+    GraftMaintenance.deleteWhere(spark, src, col("k") < 10, changelog = true)
+    val p = new org.apache.hadoop.fs.Path(dst)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifestsBefore = GraftManifest.list(fs, p).toSet
+    val (appended, deleted) = GraftCdc.applyChangesBetween(spark, src,
+      t1, Long.MaxValue, dst, "k")
+    assert(appended == 0 && deleted == 10, s"($appended, $deleted)")
+    // the delete rewrite publishes its own commits; beyond those there
+    // must be NO insert-append manifest — count the non-delete additions
+    val after = GraftManifest.list(fs, p).toSet
+    val newOnes = after -- manifestsBefore
+    // deleteWhere healing may add manifests; an empty append adds none
+    // with zero entries — every new manifest must list at least one file
+    newOnes.foreach { m =>
+      assert(GraftManifest.read(fs, p, m).nonEmpty,
+        s"empty manifest published by a zero-row append: $m")
+    }
+    assert(spark.read.format("graft").load(dst).count() == 90)
+  }
+
   test("deleted rows keep partition values in the feed (self-describing rows)") {
     val dir = fresh("parts")
     spark.range(0, 40)
