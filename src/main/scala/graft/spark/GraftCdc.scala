@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   * Windows and history rewrites: `compact`/`zorder` rewrite every row into
   * fresh commits, so a change window MUST NOT span one (the rewritten rows
   * would re-appear as inserts) — the same "streams should restart after a
-  * rewrite" contract the table already documents. `deleteWhere` is safe to
-  * span: its surgical manifest expiry hides exactly the retired files'
-  * commits, the survivors read as pre-manifest history (not inserts), and
-  * the feed carries the removed rows.
+  * rewrite" contract the table already documents. `deleteWhere` (and the
+  * other row-level rewrites) are safe to span: the heal pass re-publishes
+  * each expired commit's surviving coverage as a REPLACEMENT manifest at
+  * the ORIGINAL commit time, so a window that contains the commit still
+  * delivers its surviving rows as inserts, a window cut after it never
+  * re-delivers them, and the feed carries the removed rows — exact for
+  * ANY consumer polling cadence, including a window spanning an append
+  * and a takedown of part of that same append (WindowSpanSpec pins this;
+  * the CDC-consumer fuzz in DmlDifferentialSpec drives it randomly).
   *
   * Scale shape: a window read lists manifests (tiny files, bounded by
   * retention) and plans only the files committed in-window — cost is

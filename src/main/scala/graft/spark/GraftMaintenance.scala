@@ -316,6 +316,62 @@ object GraftMaintenance {
       val (expired, surviving) = manifestSnapshot.partition { n =>
         entriesOf(n).exists { case (name, _) => !live.contains(qualify(name)) }
       }
+      val base = fs.makeQualified(tableDir).toString
+      def relOf(q: String): String =
+        if (q.startsWith(base + "/")) q.substring(base.length + 1)
+        else new org.apache.hadoop.fs.Path(q).getName
+      val survivorName = raw".*-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E".r.pattern
+      // REPLACEMENT manifests: each expired COMMIT manifest whose coverage
+      // partly survives (untouched files, or rewrite outputs derived from
+      // its retired files — the output name is the original's plus a
+      // trailing -<tag><hash> marker) is re-published at its ORIGINAL
+      // commit time under a replacement name. This keeps `since`/CDC
+      // windows exact for a window spanning the commit AND the rewrite:
+      // without it the survivors fell to pre-manifest history and any
+      // consumer that had not yet read the window silently lost them.
+      // Streams never redeliver them to checkpoints that processed the
+      // original (covered() ties replacement to original by time + base
+      // suffix); the version log skips them (the commit is registered).
+      val markerStrip =
+        raw"-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E$$".r
+      val outputByOriginal: Map[String, Seq[(String, Long)]] = liveFiles
+        .flatMap { f =>
+          val nm = f.getPath.getName
+          if (!survivorName.matcher(nm).matches()) None
+          else {
+            val origName = markerStrip.replaceAllIn(nm, GraftUtil.Extension)
+            val orig = fs.makeQualified(new org.apache.hadoop.fs.Path(
+              f.getPath.getParent, origName)).toString
+            val q = fs.makeQualified(f.getPath).toString
+            Some(orig -> ((relOf(q), f.getLen)))
+          }
+        }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      val survivingCommitKeys = surviving
+        .filterNot(GraftManifest.isCatchup)
+        .map(n => (GraftManifest.nameT(n), GraftManifest.baseSuffix(n))).toSet
+      val replacements: Seq[(String, Seq[(String, Long)])] = expired
+        .filterNot(GraftManifest.isCatchup)
+        // one replacement per logical commit: a crash window can leave an
+        // original AND its earlier replacement both expiring (or one still
+        // surviving) — collapsing on (time, base suffix) keeps coverage
+        // single, never doubled
+        .groupBy(n => (GraftManifest.nameT(n), GraftManifest.baseSuffix(n)))
+        .toSeq
+        .filter { case (key, _) => !survivingCommitKeys.contains(key) }
+        .flatMap { case (_, group) =>
+          val cover = group.flatMap(n => entriesOf(n)).distinct
+            .flatMap { case (name, len) =>
+              val q = qualify(name)
+              if (live.contains(q)) Seq((name, len))
+              else outputByOriginal.getOrElse(q, Seq.empty)
+            }.distinct
+          if (cover.isEmpty) None
+          else Some(GraftManifest.replacementNameFor(group.head) -> cover)
+        }
+      // publish BEFORE expiry — a crash between the two leaves transient
+      // double coverage that the re-run's expiry heals, never a loss window
+      replacements.foreach { case (nm, es) =>
+        GraftManifest.publishNamed(fs, tableDir, es, nm) }
       // Survivor files re-enter the table with FRESH modTimes while the
       // surviving manifests keep their old commit times, so a fresh
       // manifest-mode stream's pre-manifest backfill (bounded by the FIRST
@@ -340,12 +396,12 @@ object GraftMaintenance {
       // on SURVIVING manifests alone (not on expiry happening): retiring a
       // pre-manifest-history original expires nothing, yet its survivor
       // still lands above the backfill bound and needs adopting.
-      if (surviving.nonEmpty) {
-        val firstT = surviving.map(GraftManifest.nameT).min
-        val covered = surviving.flatMap(n => entriesOf(n).map(e => qualify(e._1))).toSet
+      if (surviving.nonEmpty || replacements.nonEmpty) {
+        val firstT = (surviving.map(GraftManifest.nameT) ++
+          replacements.map(r => GraftManifest.nameT(r._1))).min
+        val covered = (surviving.flatMap(n => entriesOf(n).map(e => qualify(e._1))) ++
+          replacements.flatMap(_._2).map(e => qualify(e._1))).toSet
         val expiredListed = expired.flatMap(n => entriesOf(n).map(e => qualify(e._1))).toSet
-        val survivorName = raw".*-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E".r.pattern
-        val base = fs.makeQualified(tableDir).toString
         val adopt = liveFiles.filter { f =>
           val q = fs.makeQualified(f.getPath).toString
           f.getModificationTime >= firstT && !covered.contains(q) &&
@@ -354,14 +410,14 @@ object GraftMaintenance {
         }
         if (adopt.nonEmpty)
           // the CatchupTag keeps incremental readers honest: `since`
-          // windows and CDC skip catch-up manifests (survivors stay
-          // pre-manifest history, not inserts), while the streaming
-          // backfill treats them as ordinary coverage
+          // windows and CDC skip catch-up manifests (these survivors'
+          // ORIGINALS were pre-manifest history, so they stay out of
+          // windows), while the streaming backfill treats them as
+          // ordinary coverage. Survivors of expired COMMITS are covered
+          // by the replacement manifests above instead and excluded here.
           GraftManifest.publish(fs, tableDir, adopt.map { f =>
             val q = fs.makeQualified(f.getPath).toString
-            val rel = if (q.startsWith(base + "/")) q.substring(base.length + 1)
-                      else f.getPath.getName
-            (rel, f.getLen)
+            (relOf(q), f.getLen)
           }, tag = Some(GraftManifest.CatchupTag +
             java.util.UUID.randomUUID().toString.take(8)))
       }

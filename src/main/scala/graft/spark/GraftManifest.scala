@@ -41,6 +41,47 @@ object GraftManifest {
     i >= 0 && name.substring(i + 1).startsWith(CatchupTag)
   }
 
+  /** Suffix tag marking a REPLACEMENT manifest: published by the row-level
+    * rewrite heal pass at the SAME embedded time as a commit manifest it
+    * expires, listing that commit's surviving coverage (untouched files +
+    * the rewrite outputs of its retired files). Replacements ARE commits
+    * for `since`/`asof`/CDC reads — they preserve the original commit
+    * time, so an incremental window spanning an append AND a delete of
+    * part of that append still delivers the append's survivors (without
+    * them the survivors fell to pre-manifest history and were silently
+    * lost to any consumer that had not yet read the window). They are NOT
+    * new versions (excluded from the version log — the logical commit is
+    * already registered) and NOT new stream deliveries for consumers that
+    * processed the original ([[GraftStreamSource]] ties them to the
+    * original by commit time + base suffix). The name layout is
+    * `<millis>-repl<8hex>-<baseSuffix>`: the trailing base suffix keeps
+    * `endsWith("-<tag>")` lookups (merge's ins-tag idempotency) working
+    * across replacement, and chains normalize — a replacement of a
+    * replacement re-uses the ORIGINAL commit's suffix.
+    */
+  val ReplTagPrefix = "repl"
+  private val ReplPat = java.util.regex.Pattern.compile("^repl[0-9a-f]{8}-.")
+
+  private def suffixOf(name: String): String =
+    name.substring(name.indexOf('-') + 1)
+
+  def isReplacement(name: String): Boolean = {
+    val i = name.indexOf('-')
+    i >= 0 && ReplPat.matcher(name.substring(i + 1)).find()
+  }
+
+  /** The replaced commit's own suffix (chains normalize to the original). */
+  def baseSuffix(name: String): String = {
+    val s = suffixOf(name)
+    if (isReplacement(name)) s.substring(ReplTagPrefix.length + 8 + 1) else s
+  }
+
+  /** Fresh replacement name for an expired commit manifest: same embedded
+    * time, unique infix, original base suffix. */
+  def replacementNameFor(expired: String): String =
+    f"${nameT(expired)}%013d-$ReplTagPrefix" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}-${baseSuffix(expired)}"
+
   /** `tag` overrides the random name suffix; the streaming sink passes a
     * deterministic `q<queryId>e<epoch>` tag so an epoch's manifest doubles
     * as its idempotency marker (a replayed epoch commit finds it by suffix
@@ -48,11 +89,19 @@ object GraftManifest {
     */
   def publish(fs: FileSystem, tableDir: Path, entries: Seq[(String, Long)],
       tag: Option[String] = None): Unit = {
+    val suffix = tag.getOrElse(java.util.UUID.randomUUID().toString.take(8))
+    publishNamed(fs, tableDir, entries,
+      f"${System.currentTimeMillis()}%013d-$suffix")
+  }
+
+  /** [[publish]] under a fully explicit name — the heal pass uses this to
+    * re-publish an expired commit's surviving coverage at the ORIGINAL
+    * commit time ([[replacementNameFor]]). */
+  def publishNamed(fs: FileSystem, tableDir: Path, entries: Seq[(String, Long)],
+      name: String): Unit = {
     if (entries.isEmpty) return
     val d = dir(tableDir)
     fs.mkdirs(d)
-    val suffix = tag.getOrElse(java.util.UUID.randomUUID().toString.take(8))
-    val name = f"${System.currentTimeMillis()}%013d-$suffix"
     val tmp = new Path(d, s".$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(entries.map { case (n, l) => s"$n\t$l" }.mkString("", "\n", "\n")
@@ -190,8 +239,13 @@ object GraftVersionLog {
         finally in.close()
       }
     val knownSet = known.toSet
+    // catch-up re-lists are coverage, not commits; replacement manifests
+    // carry an ALREADY-REGISTERED commit (same embedded time, new name) —
+    // registering either would mint phantom version ordinals
     val fresh = GraftManifest.list(fs, tableDir)
-      .filterNot(GraftManifest.isCatchup).filterNot(knownSet.contains)
+      .filterNot(GraftManifest.isCatchup)
+      .filterNot(GraftManifest.isReplacement)
+      .filterNot(knownSet.contains)
     if (fresh.isEmpty) known
     else {
       val all = known ++ fresh

@@ -171,7 +171,19 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     // overflow-safe window start; legacy offsets (t = LegacyT) degrade to
     // pure name membership
     val windowStart = if (t < Long.MinValue + w) Long.MinValue else t - w
-    modTime < windowStart || off.nameSet.contains(name)
+    modTime < windowStart || off.nameSet.contains(name) ||
+      // a REPLACEMENT manifest carries an already-delivered commit under a
+      // new name (heal re-publishes an expired commit's surviving coverage
+      // at the original time). An offset that covered the original — or
+      // any earlier replacement of it — inside the lateness window must
+      // cover the replacement too, or the rewrite would redeliver every
+      // kept row of the commit to a stream that just processed it.
+      (off.manifest && GraftManifest.isReplacement(name) && {
+        val tN = GraftManifest.nameT(name)
+        val s0 = GraftManifest.baseSuffix(name)
+        off.names.exists(m => GraftManifest.nameT(m) == tN &&
+          GraftManifest.baseSuffix(m) == s0)
+      })
   }
 
   /** `startingposition=latest` starts a FRESH checkpoint at the current

@@ -111,6 +111,11 @@ object GraftWriteOptions {
       manifestTag = Option(o.get("manifesttag")).map { t =>
         require(t.nonEmpty && !t.contains('/') && !t.contains('\n'),
           s"graft: manifesttag must be a plain name fragment, got '$t'")
+        // the catchup/replacement tag namespaces change how every reader
+        // treats the manifest — a user tag must not land in either
+        require(!t.startsWith(GraftManifest.CatchupTag) &&
+            !GraftManifest.isReplacement(s"0-$t"),
+          s"graft: manifesttag '$t' collides with a reserved tag namespace")
         t
       })
   }

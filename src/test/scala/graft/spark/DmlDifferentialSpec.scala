@@ -265,4 +265,81 @@ class DmlDifferentialSpec extends AnyFunSuite {
   test("DML x streaming interleavings: live stream, fresh streams, since windows") {
     Seq(7L, 19L, 31L, 59L, 101L).foreach(runStreamingScenario)
   }
+
+  // ---- CDC consumer fuzz: a derived table follows the source ----
+  //
+  // The feed contract (inserts via windowed commits, deletes via the
+  // changelog) promises a consumer can keep a derived table exact without
+  // re-diffing the source, for ANY polling cadence — including windows
+  // that span an append AND a takedown rewriting that same append (the
+  // replacement-manifest case WindowSpanSpec pins minimally). Fuzz it:
+  // random append/takedown sequences with the consumer applying windows
+  // at random intervals through BOTH delete paths (keyed + merge).
+  private def runCdcConsumerScenario(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val src = s"/tmp/graft-test/dml-cdc-fuzz-$seed-src"
+    val dst = s"/tmp/graft-test/dml-cdc-fuzz-$seed-dst"
+    Seq(src, dst).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    def rows(ks: Seq[Long]) = spark.createDataFrame(
+      ks.map(k => (k, k * 7))).toDF("k", "v")
+    val derive = (df: DataFrame) =>
+      df.filter(col("k") % 2 === 0).select(col("k"), col("v"))
+    var nextK = 200L
+    rows(0L until 200L).repartition(3)
+      .write.format("graft").mode("append").save(src)
+    derive(spark.read.format("graft").load(src))
+      .write.format("graft").mode("append").save(dst)
+    val liveKeys = scala.collection.mutable.TreeSet[Long](0L until 200L: _*)
+    // the production consumer cadence: windows are cut at WALL-CLOCK poll
+    // times ("everything committed since my last run, up to now") — feed
+    // commits are timestamped independently of table commits, so a
+    // table-manifest watermark would silently exclude takedowns landing
+    // after the table's newest commit
+    var lastApplied = System.currentTimeMillis()
+    for (step <- 0 until 6) {
+      Thread.sleep(3)
+      rnd.nextInt(2) match {
+        case 0 => // append: fresh keys, sometimes re-using deleted ones
+          val fresh = (0 until 20 + rnd.nextInt(30)).map(_ => { nextK += 1; nextK })
+          val reused = if (rnd.nextBoolean()) Seq(1L + rnd.nextInt(150))
+            .filterNot(liveKeys.contains) else Seq.empty
+          val ks = fresh ++ reused
+          rows(ks).write.format("graft").mode("append").save(src)
+          liveKeys ++= ks
+        case 1 => // takedown: a key band, changelog'd for the feed
+          if (liveKeys.nonEmpty) {
+            val all = liveKeys.toIndexedSeq
+            val at = rnd.nextInt(all.size)
+            val band = all.slice(at, at + 10 + rnd.nextInt(40))
+            if (band.nonEmpty) {
+              GraftMaintenance.deleteWhere(spark, src,
+                col("k").between(band.head, band.last), changelog = true)
+              liveKeys --= liveKeys.range(band.head, band.last + 1)
+            }
+          }
+      }
+      // the consumer polls on its own cadence: sometimes after every op,
+      // sometimes sleeping through several (the spanning-window shape)
+      if (rnd.nextBoolean() || step == 5) {
+        Thread.sleep(3) // poll strictly after every commit of this step
+        val asof = System.currentTimeMillis()
+        GraftCdc.applyChangesBetween(spark, src, lastApplied, asof, dst, "k",
+          derive, driverKeyMax = if (rnd.nextBoolean()) 3 else 1000)
+        lastApplied = asof
+        val want = derive(spark.read.format("graft").load(src))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val got = spark.read.format("graft").load(dst)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == want,
+          s"seed=$seed step $step: derived table diverged " +
+            s"(${got.size} rows vs ${want.size} expected) — got ${got.take(6)}" +
+            s" want ${want.take(6)}")
+      }
+    }
+  }
+
+  test("CDC consumer fuzz: derived tables stay exact under any polling cadence") {
+    Seq(13L, 37L, 71L, 113L).foreach(runCdcConsumerScenario)
+  }
 }

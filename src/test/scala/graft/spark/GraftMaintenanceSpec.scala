@@ -248,22 +248,30 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     val m2entries = GraftManifest.read(fs, tableDir, m2)
     val pred = col("k").between(10, 12)
     GraftMaintenance.deleteWhere(spark, dir, pred)
-    assert(GraftManifest.list(fs, tableDir).exists(GraftManifest.isCatchup))
+    // survivors of the expired COMMIT manifest are re-published as a
+    // REPLACEMENT at the original commit time (windows stay exact); the
+    // catch-up tag is reserved for pre-manifest-history survivors, absent
+    // here (both commits were manifested)
+    assert(GraftManifest.list(fs, tableDir).exists(GraftManifest.isReplacement))
     assert(!GraftManifest.list(fs, tableDir).contains(m2), "m2 expired")
-    // simulate the crash BETWEEN catch-up publish and expiry: the expired
-    // manifest reappears, referencing a now-retired file (transient double
-    // coverage is the designed crash residue — never row loss)
+    // simulate the crash BETWEEN replacement publish and expiry: the
+    // expired manifest reappears, referencing a now-retired file
+    // (transient double coverage is the designed crash residue — never
+    // row loss)
     val out = fs.create(new Path(GraftManifest.dir(tableDir), m2), true)
     try out.write(m2entries.map { case (n, l) => s"$n\t$l" }.mkString("", "\n", "\n")
       .getBytes("UTF-8")) finally out.close()
     // re-running the SAME delete heals: nothing matches (rows already
     // gone), but the listing-based expiry retires the stale manifest and
-    // the already-covered survivors are not re-adopted
+    // the already-covered survivors get no SECOND replacement (collapsed
+    // on the logical commit key)
     GraftMaintenance.deleteWhere(spark, dir, pred)
     val after = GraftManifest.list(fs, tableDir)
     assert(!after.contains(m2), "stale manifest must expire on the healing re-run")
-    assert(after.count(GraftManifest.isCatchup) == 1,
-      s"healing must not publish a second catch-up manifest: $after")
+    assert(after.count(GraftManifest.isReplacement) == 1,
+      s"healing must not publish a second replacement manifest: $after")
+    assert(!after.exists(GraftManifest.isCatchup),
+      s"manifested-commit survivors must not also land in a catch-up: $after")
     assert(spark.read.format("graft").load(dir).count() == 27)
     // fresh stream view == batch view after the heal
     val schemaJson = spark.read.format("graft").load(dir).schema.json

@@ -426,7 +426,7 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("deleteWhere catch-up manifest is NOT redelivered to a stream with history") {
+  test("deleteWhere replacement manifest is NOT redelivered to a stream with history") {
     val dir = "/tmp/graft-test/stream-delete-nodup"
     val hconf = spark.sessionState.newHadoopConf()
     spark.range(10).selectExpr("id as k").write.format("graft").mode("overwrite").save(dir)
@@ -436,20 +436,24 @@ class StreamingSourceSpec extends AnyFunSuite {
     // the running stream processes the full table...
     val o1 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
     assert(ms.planInputPartitions(GraftStreamOffset.Empty, o1).nonEmpty)
-    // ...then a delete rewrites part of it: the catch-up manifest exists
-    // for FRESH streams, but this stream already delivered every kept row
-    // through the original files — redelivering the re-list would break
-    // exactly-once
+    // ...then a delete rewrites part of it: the REPLACEMENT manifest
+    // (expired commit's surviving coverage, re-published at the original
+    // commit time) exists for fresh streams and window readers, but this
+    // stream already delivered every kept row through the original files —
+    // the coverage tie (same commit time + base suffix as the original the
+    // offset lists) must keep it out of the next batch even though the
+    // delete landed INSIDE the offset's lateness window
     GraftMaintenance.deleteWhere(spark, dir,
       org.apache.spark.sql.functions.col("k").between(10, 12))
     val fsLocal = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
     assert(GraftManifest.list(fsLocal, new org.apache.hadoop.fs.Path(dir))
-      .exists(GraftManifest.isCatchup), "the delete published a catch-up manifest")
+      .exists(GraftManifest.isReplacement),
+      "the delete published a replacement manifest")
     val o2 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
     val b2 = ms.planInputPartitions(o1, o2)
       .map(_.asInstanceOf[GraftInputPartition].filePath)
     assert(b2.isEmpty,
-      s"catch-up manifest redelivered ${b2.length} files to a stream with history: ${b2.toSeq}")
+      s"replacement manifest redelivered ${b2.length} files to a stream with history: ${b2.toSeq}")
     // a NEW append after the delete still flows normally
     spark.range(30, 35).selectExpr("id as k").write.format("graft").mode("append").save(dir)
     val o3 = ms.latestOffset().asInstanceOf[GraftStreamOffset]
