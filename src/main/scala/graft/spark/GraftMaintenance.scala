@@ -39,10 +39,27 @@ object GraftMaintenance {
       extraWriteOptions: Map[String, String] = Map.empty): CompactStats =
     compactImpl(spark, dir, targetFiles, extraWriteOptions, () => ())
 
+  /** Serialize the mutating maintenance ops per table: see
+    * [[GraftTableLock]] for why two live rewrites must not interleave and
+    * how crashed holders are expropriated. Re-entrant, so composed ops
+    * (zorder through compact) acquire once. */
+  private def locked[T](spark: SparkSession, dir: String, op: String)(f: => T): T = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    GraftTableLock.withLock(tableDir.getFileSystem(conf), tableDir, conf, op)(f)
+  }
+
   /** `afterRewrite` is a test seam: it runs after the rewrite commit and
     * before the snapshot delete — exactly the window a concurrent append
     * lands in, which the snapshot-scoped delete must leave untouched. */
   private[graft] def compactImpl(spark: SparkSession, dir: String, targetFiles: Int,
+      extraWriteOptions: Map[String, String], afterRewrite: () => Unit,
+      zSort: Option[org.apache.spark.sql.Column] = None): CompactStats =
+    locked(spark, dir, "compact") {
+      compactInner(spark, dir, targetFiles, extraWriteOptions, afterRewrite, zSort)
+    }
+
+  private def compactInner(spark: SparkSession, dir: String, targetFiles: Int,
       extraWriteOptions: Map[String, String], afterRewrite: () => Unit,
       zSort: Option[org.apache.spark.sql.Column] = None): CompactStats = {
     require(targetFiles >= 1, s"graft: targetFiles must be >= 1, got $targetFiles")
@@ -203,7 +220,15 @@ object GraftMaintenance {
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       changelog: Boolean = false,
-      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): DeleteStats = {
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): DeleteStats =
+    locked(spark, dir, "deleteWhere") {
+      deleteWhereImpl(spark, dir, predicate, changelog, schemaOverride)
+    }
+
+  private def deleteWhereImpl(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      changelog: Boolean,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType]): DeleteStats = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
     val fs = tableDir.getFileSystem(conf)
@@ -674,7 +699,18 @@ object GraftMaintenance {
       assignments: Map[String, org.apache.spark.sql.Column],
       changelog: Boolean = false,
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
-      opNonce: Option[String] = None): UpdateStats = {
+      opNonce: Option[String] = None): UpdateStats =
+    locked(spark, dir, "updateWhere") {
+      updateWhereImpl(spark, dir, predicate, assignments, changelog,
+        schemaOverride, opNonce)
+    }
+
+  private def updateWhereImpl(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      changelog: Boolean,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType],
+      opNonce: Option[String]): UpdateStats = {
     require(assignments.nonEmpty, "graft: updateWhere needs at least one assignment")
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
@@ -860,7 +896,21 @@ object GraftMaintenance {
       notMatchedBySource: Seq[MergeClause] = Seq.empty,
       changelog: Boolean = false,
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
-      opNonce: Option[String] = None): MergeStats = {
+      opNonce: Option[String] = None): MergeStats =
+    locked(spark, dir, "merge") {
+      mergeApplyImpl(spark, dir, source, keys, matched, notMatchedInsert,
+        notMatchedBySource, changelog, schemaOverride, opNonce)
+    }
+
+  private def mergeApplyImpl(spark: SparkSession, dir: String,
+      source: org.apache.spark.sql.DataFrame,
+      keys: Seq[(String, String)],
+      matched: Seq[MergeClause],
+      notMatchedInsert: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause],
+      changelog: Boolean,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType],
+      opNonce: Option[String]): MergeStats = {
     import org.apache.spark.sql.functions.{col, lit, input_file_name, hash => shash, count => scount, sum => ssum, when}
     require(keys.nonEmpty, "graft: merge needs at least one equi-key pair")
     require(matched.nonEmpty || notMatchedInsert.nonEmpty || notMatchedBySource.nonEmpty,
@@ -1361,7 +1411,13 @@ object GraftMaintenance {
     * downtime (the same contract as any log-retention + consumer-lag
     * pairing).
     */
-  def expireManifests(spark: SparkSession, dir: String, olderThanMs: Long): Int = {
+  def expireManifests(spark: SparkSession, dir: String, olderThanMs: Long): Int =
+    locked(spark, dir, "expireManifests") {
+      expireManifestsImpl(spark, dir, olderThanMs)
+    }
+
+  private def expireManifestsImpl(spark: SparkSession, dir: String,
+      olderThanMs: Long): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
     val fs = tableDir.getFileSystem(conf)
@@ -1413,7 +1469,16 @@ object GraftMaintenance {
     */
   def vacuum(spark: SparkSession, dir: String, olderThanMs: Long,
       dryRun: Boolean = false,
-      changelogOlderThanMs: Option[Long] = None): VacuumStats = {
+      changelogOlderThanMs: Option[Long] = None): VacuumStats =
+    if (dryRun) // a report mutates nothing — no lock
+      vacuumImpl(spark, dir, olderThanMs, dryRun, changelogOlderThanMs)
+    else locked(spark, dir, "vacuum") {
+      vacuumImpl(spark, dir, olderThanMs, dryRun, changelogOlderThanMs)
+    }
+
+  private def vacuumImpl(spark: SparkSession, dir: String, olderThanMs: Long,
+      dryRun: Boolean,
+      changelogOlderThanMs: Option[Long]): VacuumStats = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new Path(dir)
