@@ -45,11 +45,32 @@ object GraftCdc {
   val ChangesDir = "_graft_changes"
   val ChangeTypeCol = "_change_type"
 
+  /** `_change_type` of a pure delete's pre-image (`deleteWhere` feed
+    * files, named `-del<hash>`): the row ceased to exist. */
+  val TypeDelete = "delete"
+
+  /** `_change_type` of an update/merge pre-image (`-upd`/`-mrg` feed
+    * files): the row CHANGED — updateWhere publishes the pre-image of
+    * every matched row, and a merge's changelog covers rows its clauses
+    * updated AND rows they tombstoned, indistinguishably. A consumer must
+    * reconcile such a key against the source's CURRENT state (delete the
+    * stale row, re-insert the current one if the key still exists) —
+    * treating it as a plain delete silently drops updated rows from
+    * derived tables. [[applyChangesBetween]] does this reconciliation;
+    * the frame-driven [[applyChanges]] (no source access) applies the
+    * delete half only and documents the staleness.
+    */
+  val TypeChangePreimage = "change_preimage"
+
+  private val PreimageNamePat =
+    java.util.regex.Pattern.compile(raw"-(?:upd|mrg)[0-9a-f]{8}\Q.graft\E$$")
+
   /** All row-level changes committed in the window `(sinceMillis,
     * asofMillis]`: the table's columns plus `_change_type`
-    * ('insert' | 'delete'). Each physical event is one row — a row inserted
-    * AND purged inside the window appears once as each, which is what a
-    * consumer replaying events in commit order needs.
+    * ('insert' | 'delete' | 'change_preimage'). Each physical event is
+    * one row — a row inserted AND purged inside the window appears once
+    * as each, which is what a consumer replaying events in commit order
+    * needs.
     */
   def changes(spark: SparkSession, dir: String,
       sinceMillis: Long, asofMillis: Long): DataFrame = {
@@ -64,8 +85,16 @@ object GraftCdc {
     if (GraftUtil.listDataFiles(feedDir, conf).isEmpty) inserts
     else inserts.unionByName(
       windowed(spark, feedDir, sinceMillis, asofMillis)
-        .withColumn(ChangeTypeCol, lit("delete")))
+        .withColumn(ChangeTypeCol, feedTypeExpr))
   }
+
+  /** Event type from the feed file's name: the rewrite publishes each
+    * file's pre-images under the op's own `-<tag><hash>` marker, so the
+    * file name IS the event-type metadata (no extra column storage). */
+  private def feedTypeExpr: org.apache.spark.sql.Column =
+    when(regexp_extract(input_file_name(),
+        raw"-(del|upd|mrg)[0-9a-f]{8}\.graft$$", 1).isin("upd", "mrg"),
+      lit(TypeChangePreimage)).otherwise(lit(TypeDelete))
 
   private def windowed(spark: SparkSession, p: String,
       sinceMillis: Long, asofMillis: Long): DataFrame =
@@ -74,35 +103,32 @@ object GraftCdc {
       .option("asof", asofMillis.toString)
       .load(p)
 
-  /** Exact row count of the commits in `(since, asof]` under `dir`, from
+  /** Exact row count of the commits in `(since, asof]` under `dir` plus
+    * whether any in-window file is an update/merge PRE-IMAGE, from
     * manifest listings + file footers alone — NO Spark job. Returns None
-    * when the window has more in-window files than the footer reader's
-    * planning cap (the caller should fall back to a scan-based decision).
-    * Catch-up manifests are excluded exactly like the windowed read
-    * excludes them: their files are re-listed survivors, not commits.
+    * for the count when the window has more in-window files than the
+    * footer reader's planning cap (the caller should fall back to a
+    * scan-based decision; pre-image presence is still exact, it needs
+    * only the names). Catch-up manifests are excluded exactly like the
+    * windowed read excludes them (shared committedTimes helper).
     */
-  private def windowRowCount(spark: SparkSession, dir: String,
-      sinceMillis: Long, asofMillis: Long): Option[Long] = {
+  private def windowMeta(spark: SparkSession, dir: String,
+      sinceMillis: Long, asofMillis: Long): (Option[Long], Boolean) = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
     val fs = tableDir.getFileSystem(conf)
-    if (!fs.exists(tableDir)) return Some(0L)
-    val committedAt: Map[String, Long] = GraftManifest.list(fs, tableDir)
-      .filterNot(GraftManifest.isCatchup)
-      .flatMap { m =>
-        val mt = GraftManifest.nameT(m)
-        GraftManifest.read(fs, tableDir, m).map { case (name, _) =>
-          fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, name)).toString -> mt
-        }
-      }.toMap
+    if (!fs.exists(tableDir)) return (Some(0L), false)
+    val committedAt = GraftManifest.committedTimes(fs, tableDir)
     val inWindow = GraftUtil.listDataFiles(dir, conf).filter { f =>
       committedAt.get(f.getPath.toString)
         .exists(t => t > sinceMillis && t <= asofMillis)
     }
-    if (inWindow.isEmpty) Some(0L)
+    val hasPreimages = inWindow.exists(f =>
+      PreimageNamePat.matcher(f.getPath.getName).find())
+    if (inWindow.isEmpty) (Some(0L), false)
     else {
       val n = GraftScan.rowCount(inWindow, conf)
-      if (n.isPresent) Some(n.getAsLong) else None
+      (if (n.isPresent) Some(n.getAsLong) else None, hasPreimages)
     }
   }
 
@@ -135,9 +161,13 @@ object GraftCdc {
       driverKeyMax: Int = 1000): (Long, Long) = {
     // cached across the probe / merge-materialize uses — the window is
     // O(changed) by design, but re-deriving the feed union scan twice is
-    // still one scan too many
+    // still one scan too many. Every non-insert event removes its key:
+    // this frame-driven form has no source access, so for
+    // `change_preimage` events it can apply only the delete half — an
+    // updated row goes stale-absent in the derived table until a
+    // re-derive (use [[applyChangesBetween]] for full reconciliation).
     val deletesDf = changeWindow
-      .filter(col(ChangeTypeCol) === "delete")
+      .filter(col(ChangeTypeCol) =!= "insert")
       .select(keyCol).distinct().cache()
     val probe = GraftMaintenance.phase("cdc-probe") {
       deletesDf.limit(driverKeyMax + 1).collect().map(_.get(0)).toSeq
@@ -179,8 +209,8 @@ object GraftCdc {
         spark.sessionState.newHadoopConf()).nonEmpty,
       s"graft: no table under $srcDir")
     val feedDir = s"$srcDir/$ChangesDir"
-    val feedRows = GraftMaintenance.phase("cdc-window-meta") {
-      windowRowCount(spark, feedDir, sinceMillis, asofMillis)
+    val (feedRows, hasPreimages) = GraftMaintenance.phase("cdc-window-meta") {
+      windowMeta(spark, feedDir, sinceMillis, asofMillis)
     }
     val deletes = () => windowed(spark, feedDir, sinceMillis, asofMillis)
       .select(keyCol).distinct()
@@ -197,8 +227,30 @@ object GraftCdc {
         // footer cap exceeded — a window this wide is merge-sized anyway
         applyLargeDelete(spark, targetDir, keyCol, deletes())
     }
-    val inserts = transform(windowed(spark, srcDir, sinceMillis, asofMillis))
-    (appendInserts(inserts, targetDir), nDeleteKeys)
+    val insertWin = windowed(spark, srcDir, sinceMillis, asofMillis)
+    val inserts = transform(insertWin)
+    val toAppend =
+      if (!hasPreimages) inserts
+      else {
+        // PRE-IMAGE RECONCILIATION: an update/merge pre-image means the
+        // key's row CHANGED — the delete phase above removed the stale
+        // derived row, so the key's CURRENT source row must re-enter
+        // (unless the insert window already delivers it: a row committed
+        // in-window and then updated in-window arrives through the
+        // windowed read at its replacement-preserved commit time). Both
+        // join sides are O(changed); the broadcast key set reaches the
+        // source scan's zone maps as a runtime filter, so the
+        // current-state lookup reads only the pages the keys can live in.
+        val preKeys = windowed(spark, feedDir, sinceMillis, asofMillis)
+          .filter(feedTypeExpr === TypeChangePreimage)
+          .select(keyCol).distinct()
+        val repaired = transform(
+          spark.read.format("graft").load(srcDir)
+            .join(broadcast(preKeys), Seq(keyCol), "left_semi")
+            .join(insertWin.select(keyCol), Seq(keyCol), "left_anti"))
+        inserts.unionByName(repaired)
+      }
+    (appendInserts(toAppend, targetDir), nDeleteKeys)
   }
 
   private def applySmallDelete(spark: SparkSession, targetDir: String,

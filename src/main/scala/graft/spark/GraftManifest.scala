@@ -76,6 +76,23 @@ object GraftManifest {
     if (isReplacement(name)) s.substring(ReplTagPrefix.length + 8 + 1) else s
   }
 
+  /** Commit time of every file a COMMIT manifest lists (qualified path ->
+    * the listing manifest's embedded millis). Catch-up manifests are
+    * coverage, not commits, and are excluded; replacement manifests ARE
+    * commits at the replaced commit's time. ONE definition shared by the
+    * windowed read (GraftScan) and the CDC consumer's metadata row count —
+    * the two deciding "what is in this window" from different code would
+    * eventually disagree, and the consumer's fast path would silently skip
+    * windows the scan delivers rows for.
+    */
+  def committedTimes(fs: FileSystem, tableDir: Path): Map[String, Long] =
+    list(fs, tableDir).filterNot(isCatchup).flatMap { m =>
+      val mt = nameT(m)
+      read(fs, tableDir, m).map { case (name, _) =>
+        fs.makeQualified(new Path(tableDir, name)).toString -> mt
+      }
+    }.toMap
+
   /** Fresh replacement name for an expired commit manifest: same embedded
     * time, unique infix, original base suffix. */
   def replacementNameFor(expired: String): String =

@@ -395,13 +395,52 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
           }
         }
       val all = entries ++ backfill
-      // upgrade batch: drop files the modTime checkpoint already processed
+      // upgrade batch: drop files the modTime checkpoint already processed.
+      // A rewrite output delivered through a REPLACEMENT manifest carries
+      // rows the checkpoint may have processed through the now-deleted
+      // ORIGINAL file — its own modTime is fresh, so the plain check
+      // misses it and every kept row of the rewritten commit would
+      // redeliver. Derive the original path from the output name and test
+      // ITS coverage, with the listing manifest's commit time standing in
+      // for the original's modTime (renames precede their manifest
+      // publish, so commit time upper-bounds the original's mtime and
+      // `< windowStart` stays sound; the residual rename-to-publish skew
+      // errs toward redelivery, never loss).
       val fresh =
         if (!upgrade) all
         else {
           val modTimes = listing.map { case (n, mt, _) => n -> mt }.toMap
+          val commitT: Map[String, Long] = manifests
+            .filterNot(GraftManifest.isCatchup)
+            .flatMap { m =>
+              val t = GraftManifest.nameT(m)
+              entriesByManifest(m).map { case (name, _) =>
+                fs.makeQualified(
+                  new org.apache.hadoop.fs.Path(tableDir, name)).toString -> t
+              }
+            }.toMap
+          val markerStrip =
+            raw"-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E$$".r
+          def originalCovered(q: String): Boolean = {
+            val p = new org.apache.hadoop.fs.Path(q)
+            var nm = p.getName
+            var res = false
+            var go = true
+            while (go) {
+              val stripped = markerStrip.replaceAllIn(nm, GraftUtil.Extension)
+              if (stripped == nm) go = false
+              else {
+                val orig = fs.makeQualified(
+                  new org.apache.hadoop.fs.Path(p.getParent, stripped)).toString
+                if (covered(s, orig, commitT.getOrElse(q, Long.MaxValue))) {
+                  res = true; go = false
+                } else nm = stripped // chain: try the next ancestor
+              }
+            }
+            res
+          }
           all.filterNot { case (n, _) =>
-            modTimes.get(n).exists(mt => covered(s, n, mt))
+            modTimes.get(n).exists(mt => covered(s, n, mt)) || originalCovered(n)
           }
         }
       fresh

@@ -92,9 +92,15 @@ private[spark] object GraftTableLock {
           if (st.isEmpty) Thread.sleep(10)
           st.foreach { s =>
             if (System.currentTimeMillis() - s.getModificationTime > lease) {
-              // crashed holder: break the stale lease (best-effort — a
-              // racing breaker loses the subsequent create and loops)
-              fs.delete(lockPath, false)
+              // crashed holder: break the stale lease by RENAMING the
+              // specific stale incarnation to a tombstone — of two racing
+              // breakers exactly one rename succeeds (the loser's source
+              // is gone and it loops into the fresh winner's lock). A
+              // plain delete here could land AFTER the winner re-created
+              // the lock and destroy a live claim.
+              val tomb = new Path(tableDir,
+                s"$LockName.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+              if (fs.rename(lockPath, tomb)) fs.delete(tomb, false)
             } else if (System.currentTimeMillis() > deadline) {
               val holder = try {
                 val in = fs.open(lockPath)
@@ -113,9 +119,23 @@ private[spark] object GraftTableLock {
     }
     val renewer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, s"graft-lock-renew"); t.setDaemon(true); t })
+    val heartbeatFailing = new java.util.concurrent.atomic.AtomicBoolean(false)
     renewer.scheduleAtFixedRate(() => {
-      try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-      catch { case _: Exception => () } // next heartbeat retries
+      try {
+        fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+        heartbeatFailing.set(false)
+      } catch { case e: Exception =>
+        // NOT silently ignorable: without heartbeats a LIVE op running
+        // past the lease looks crashed and gets expropriated. Warn once
+        // per failure streak so the operator can raise the lease on
+        // filesystems that cannot touch mtimes (e.g. object stores).
+        if (heartbeatFailing.compareAndSet(false, true))
+          System.err.println(s"[graft] WARN: maintenance-lock heartbeat " +
+            s"failed on $lockPath (${e.getMessage}); if heartbeats keep " +
+            "failing and this operation outlives graft.maint.lock.lease.ms, " +
+            "another process may expropriate a live lock — raise the lease " +
+            "above the longest expected op on such filesystems")
+      }
     }, math.max(1L, lease / 3), math.max(1L, lease / 3),
       java.util.concurrent.TimeUnit.MILLISECONDS)
     held.get += key

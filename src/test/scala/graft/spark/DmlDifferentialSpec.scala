@@ -299,7 +299,7 @@ class DmlDifferentialSpec extends AnyFunSuite {
     var lastApplied = System.currentTimeMillis()
     for (step <- 0 until 6) {
       Thread.sleep(3)
-      rnd.nextInt(2) match {
+      rnd.nextInt(3) match {
         case 0 => // append: fresh keys, sometimes re-using deleted ones
           val fresh = (0 until 20 + rnd.nextInt(30)).map(_ => { nextK += 1; nextK })
           val reused = if (rnd.nextBoolean()) Seq(1L + rnd.nextInt(150))
@@ -315,8 +315,22 @@ class DmlDifferentialSpec extends AnyFunSuite {
             if (band.nonEmpty) {
               GraftMaintenance.deleteWhere(spark, src,
                 col("k").between(band.head, band.last), changelog = true)
-              liveKeys --= liveKeys.range(band.head, band.last + 1)
+              // materialize before removing: range() is a live view of the
+              // tree, and mutating under its iterator can skip keys
+              liveKeys --= liveKeys.range(band.head, band.last + 1).toList
             }
+          }
+        case 2 => // re-value a key band: feed carries change pre-images,
+          // the consumer must reconcile against current state
+          if (liveKeys.nonEmpty) {
+            val all = liveKeys.toIndexedSeq
+            val at = rnd.nextInt(all.size)
+            val band = all.slice(at, at + 5 + rnd.nextInt(30))
+            if (band.nonEmpty)
+              GraftMaintenance.updateWhere(spark, src,
+                col("k").between(band.head, band.last),
+                Map("v" -> (col("v") + lit(1000000L * (step + 1)))),
+                changelog = true)
           }
       }
       // the consumer polls on its own cadence: sometimes after every op,

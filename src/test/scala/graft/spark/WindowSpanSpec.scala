@@ -126,6 +126,165 @@ class WindowSpanSpec extends AnyFunSuite {
     }
   }
 
+  test("window read inside the heal crash gap still delivers survivors") {
+    // the rewrite wave renames outputs in and retires originals BEFORE the
+    // replacement manifest publishes — a reader landing in that gap (or in
+    // the crash window before a re-run heals) sees a manifested-but-
+    // missing original and an unmanifested output. The scan substitutes
+    // the output at the original's commit time (name-derived), so the
+    // window stays exact even there.
+    val dir = fresh("crashgap")
+    spark.range(0, 100).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    val t1 = manifestMax(dir)
+    Thread.sleep(5)
+    spark.range(100, 110).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(dir)
+    val m2 = GraftManifest.list(fs, p).maxBy(GraftManifest.nameT)
+    val m2entries = GraftManifest.read(fs, p, m2)
+    GraftMaintenance.deleteWhere(spark, dir, col("k").between(100, 105))
+    // reconstruct the PRE-HEAL state: replacement gone, expired original
+    // manifest back (still referencing the retired file)
+    val repl = GraftManifest.list(fs, p).filter(GraftManifest.isReplacement)
+    assert(repl.size == 1)
+    fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(p), repl.head), false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(GraftManifest.dir(p), m2), true)
+    try out.write(m2entries.map { case (n, l) => s"$n\t$l" }
+      .mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    assert(sinceKs(dir, t1) == (106L to 109L),
+      "the crash-gap window must deliver the survivors via name-derived " +
+        "commit-time inheritance")
+    // and a window cut after the commit still excludes them
+    assert(spark.read.format("graft")
+      .option("since", manifestMax(dir).toString).load(dir).count() == 0)
+  }
+
+  test("checkpoint upgrade does not redeliver a rewritten commit's survivors") {
+    val dir = fresh("upgrade")
+    spark.range(0, 20).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val schemaJson = spark.read.format("graft").load(dir).schema.json
+    // wave 1 under modTime offsets (a pre-manifest-era checkpoint)
+    val msPlain = new GraftMicroBatchStream(dir,
+      new SerializableHadoopConf(hconf), schemaJson, manifestOpt = Some(false))
+    val o1 = msPlain.latestOffset().asInstanceOf[GraftStreamOffset]
+    assert(msPlain.planInputPartitions(GraftStreamOffset.Empty, o1).nonEmpty)
+    // a rewrite retires the processed file; its survivors re-list under a
+    // replacement manifest whose -del output has a FRESH modTime
+    GraftMaintenance.deleteWhere(spark, dir, col("k") < 5)
+    Thread.sleep(20)
+    spark.range(20, 25).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    val msUp = new GraftMicroBatchStream(dir,
+      new SerializableHadoopConf(hconf), schemaJson, manifestOpt = Some(true))
+    val restored = msUp.deserializeOffset(o1.json()).asInstanceOf[GraftStreamOffset]
+    val o2 = msUp.latestOffset().asInstanceOf[GraftStreamOffset]
+    val b2 = msUp.planInputPartitions(restored, o2)
+      .map(_.asInstanceOf[GraftInputPartition].filePath).toSet
+    assert(!b2.exists(_.contains("-del")),
+      s"upgrade redelivered a rewritten commit's survivors: $b2")
+    assert(b2.nonEmpty && b2.forall(_.contains("graft")),
+      "the post-rewrite append must still be delivered")
+  }
+
+  test("updateWhere changelog reconciles a derived table (no stale, no lost rows)") {
+    val src = fresh("upd-src")
+    val dst = fresh("upd-dst")
+    spark.range(0, 100).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    val derive = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("k") % 2 === 0).select(col("k"), col("v"))
+    derive(spark.read.format("graft").load(src))
+      .write.format("graft").mode("append").save(dst)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    // an update to ALREADY-CONSUMED rows: the feed carries pre-images, the
+    // post-update rows live only at the ORIGINAL commit time (outside this
+    // window) — the consumer must reconcile against current state, not
+    // treat the pre-images as deletes (rows lost) nor ignore them (stale)
+    GraftMaintenance.updateWhere(spark, src, col("k") < 10,
+      Map("v" -> lit(-1L)), changelog = true)
+    val (appended, _) = GraftCdc.applyChangesBetween(spark, src,
+      t1, System.currentTimeMillis(), dst, "k", derive)
+    assert(appended == 5, s"reconciliation must re-insert the 5 updated even keys, got $appended")
+    val want = derive(spark.read.format("graft").load(src))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, s"derived diverged after update reconciliation")
+    assert(got.filter(_._1 < 10).forall(_._2 == -1L), "updated values must land")
+  }
+
+  test("in-window append+update reconciles without duplicates") {
+    val src = fresh("updwin-src")
+    val dst = fresh("updwin-dst")
+    spark.range(0, 50).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    val derive = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("k"), col("v"))
+    derive(spark.read.format("graft").load(src))
+      .write.format("graft").mode("append").save(dst)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    // append inside the window, then update PART of the append AND part of
+    // the old corpus in the same window: appended-and-updated keys arrive
+    // through the windowed read (replacement time), old updated keys only
+    // through reconciliation — and neither path may double-deliver
+    spark.range(50, 60).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    GraftMaintenance.updateWhere(spark, src,
+      col("k").between(45, 54), Map("v" -> lit(-7L)), changelog = true)
+    GraftCdc.applyChangesBetween(spark, src,
+      t1, System.currentTimeMillis(), dst, "k", derive)
+    val want = derive(spark.read.format("graft").load(src))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want,
+      s"append+update window diverged (${got.size} vs ${want.size} rows)")
+  }
+
+  test("merge changelog pre-images (update + tombstone) reconcile a derived table") {
+    val src = fresh("mrg-src")
+    val dst = fresh("mrg-dst")
+    spark.range(0, 60).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    val derive = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("k"), col("v"))
+    derive(spark.read.format("graft").load(src))
+      .write.format("graft").mode("append").save(dst)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    // one merge batch: tombstone keys 0-4, re-value keys 5-9, insert 60-64
+    val batch = spark.createDataFrame(
+      (0L to 9L).map(k => (k, k * 100, if (k < 5) "D" else "U")) ++
+        (60L to 64L).map(k => (k, k * 100, "I"))).toDF("k", "nv", "op")
+    val pre = GraftMaintenance.SrcPrefix
+    GraftMaintenance.mergeApply(spark, src, batch, Seq("k" -> "k"),
+      matched = Seq(
+        GraftMaintenance.MergeClause(Some(col(pre + "op") === "D"), None),
+        GraftMaintenance.MergeClause(None, Some(Map("v" -> col(pre + "nv"))))),
+      notMatchedInsert = Seq(GraftMaintenance.MergeClause(None,
+        Some(Map("k" -> col("k"), "v" -> col("nv"))))),
+      changelog = true)
+    GraftCdc.applyChangesBetween(spark, src,
+      t1, System.currentTimeMillis(), dst, "k", derive)
+    val want = derive(spark.read.format("graft").load(src))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want,
+      s"merge-feed reconciliation diverged (${got.size} vs ${want.size})")
+    assert(!got.exists(_._1 < 5) && got.filter(t => t._1 >= 5 && t._1 <= 9)
+      .forall(t => t._2 == t._1 * 100))
+  }
+
   test("CDC consumer window spanning append+takedown keeps the derived table exact") {
     val src = fresh("cdc-src")
     val dst = fresh("cdc-dst")
