@@ -924,6 +924,49 @@ object Functions {
         .orderBy(col("change_type"), col("lang"))
     },
 
+    "q_cdc_update_feed" -> { (s, dir) =>
+      // UPDATE events through the change feed: documents staged as a base
+      // commit (doc_id % 5 != 0), an in-window commit (doc_id % 5 = 0),
+      // then a changelog-enabled updateWhere re-values doc_id % 7 = 3
+      // ACROSS both commits. Reading the window after the base commit
+      // must see (a) the in-window commit as inserts AT ITS CURRENT
+      // (post-update) content — the rewrite's replacement manifest keeps
+      // the commit time, so updated in-window rows still arrive exactly
+      // once — and (b) every updated row's PRE-IMAGE typed
+      // 'change_preimage' (not 'delete': the key still exists), off the
+      // feed file's own -upd marker. This is the event stream a derived
+      // corpus reconciles from; base-commit post-update rows are
+      // correctly OUTSIDE the window (their commit predates it).
+      val stage = stagedOnce(
+          s"/tmp/graft_cdc_updstage/${stageKey(s, dir, "documents")}/documents") { t =>
+        val d = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        d.filter(col("doc_id") % 5 =!= 0)
+          .write.format("graft").mode("append").save(t)
+        val fs = new org.apache.hadoop.fs.Path(t)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val t1 = graft.spark.GraftManifest
+          .list(fs, new org.apache.hadoop.fs.Path(t))
+          .map(graft.spark.GraftManifest.nameT).max
+        Thread.sleep(5) // the in-window commit must be strictly after t1
+        d.filter(col("doc_id") % 5 === 0)
+          .write.format("graft").mode("append").save(t)
+        graft.spark.GraftMaintenance.updateWhere(s, t,
+          col("doc_id") % 7 === 3,
+          Map("n_chars" -> (col("n_chars") + lit(1000000L))),
+          changelog = true)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_CDC_T1"), t1.toString)
+      }
+      val t1 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_CDC_T1")).trim.toLong
+      graft.spark.GraftCdc.changes(s, stage, t1, Long.MaxValue)
+        .withColumnRenamed(graft.spark.GraftCdc.ChangeTypeCol, "change_type")
+        .groupBy(col("change_type"), col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("change_type"), col("lang"))
+    },
+
     "q_scalar_funcs" -> { (s, dir) =>
       Tables.load(s, dir, "orders")
         .filter(col("o_orderkey") % 1000 === 0)
@@ -996,6 +1039,16 @@ object Functions {
         |  SELECT 'delete' AS change_type, lang, count(*) AS docs,
         |    CAST(sum(n_chars) AS BIGINT) AS chars
         |  FROM documents WHERE doc_id % 10 = 1 GROUP BY lang
+        |) ORDER BY change_type, lang""".stripMargin,
+    "q_cdc_update_feed" ->
+      """SELECT * FROM (
+        |  SELECT 'change_preimage' AS change_type, lang, count(*) AS docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents WHERE doc_id % 7 = 3 GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'insert' AS change_type, lang, count(*) AS docs,
+        |    CAST(sum(n_chars + CASE WHEN doc_id % 7 = 3 THEN 1000000 ELSE 0 END) AS BIGINT) AS chars
+        |  FROM documents WHERE doc_id % 5 = 0 GROUP BY lang
         |) ORDER BY change_type, lang""".stripMargin,
     "q_incremental_scan" ->
       """SELECT lang, count(*) AS docs,
