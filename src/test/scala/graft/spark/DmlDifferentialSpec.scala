@@ -151,11 +151,18 @@ class DmlDifferentialSpec extends AnyFunSuite {
     def tMax: Long = GraftManifest.list(fs, new org.apache.hadoop.fs.Path(dir))
       .filterNot(GraftManifest.isCatchup).map(GraftManifest.nameT)
       .foldLeft(0L)(math.max)
-    // (1) the live stream, checkpointed across the whole sequence
+    // (1) the live stream, checkpointed across the whole sequence. Half
+    // the seeds run under ADMISSION CONTROL: the capped latestOffset path
+    // (timestamp-major prefix + coverage checks) must interact with
+    // rewrite-published replacement manifests exactly like the unbounded
+    // path — same final contents, batches merely split.
     val liveName = s"dml_sdiff_live_$seed"
     spark.streams.active.filter(_.name == liveName).foreach(_.stop())
-    val live = spark.readStream.format("graft").schema(schema)
-      .option("manifest", "true").load(dir)
+    val reader0 = spark.readStream.format("graft").schema(schema)
+      .option("manifest", "true")
+    val reader =
+      if (seed % 2 == 1) reader0.option("maxfilespertrigger", "2") else reader0
+    val live = reader.load(dir)
       .writeStream.format("memory").queryName(liveName)
       .option("checkpointLocation", ckpt).start()
     val liveExpected = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String)](
