@@ -54,6 +54,37 @@ object Functions {
     stage
   }
 
+  /** The q_cdc_changes takedown staging (base commit, in-window commit,
+    * changelog'd victim purge), shared with q_sql_cdc_changes so the API
+    * and SQL reads consume the identical feed. Returns (stage dir, t1 —
+    * the window cut after the base commit). */
+  private def cdcChangesStage(s: SparkSession, dir: String): (String, Long) = {
+    val stage = stagedOnce(
+        s"/tmp/graft_cdc_stage2/${stageKey(s, dir, "documents")}/documents") { t =>
+      val d = Tables.parquet(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("victim", col("doc_id") % 10 === 1)
+      d.filter(col("doc_id") % 5 =!= 0)
+        .write.format("graft").option("partitionby", "victim")
+        .mode("append").save(t)
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val t1 = graft.spark.GraftManifest
+        .list(fs, new org.apache.hadoop.fs.Path(t))
+        .map(graft.spark.GraftManifest.nameT).max
+      Thread.sleep(5) // the in-window commit must be strictly after t1
+      d.filter(col("doc_id") % 5 === 0)
+        .write.format("graft").option("partitionby", "victim")
+        .mode("append").save(t)
+      graft.spark.GraftMaintenance.deleteWhere(s, t,
+        col("victim") === true, changelog = true)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(t, "_GRAFT_CDC_T1"), t1.toString)
+    }
+    (stage, java.nio.file.Files.readString(
+      java.nio.file.Paths.get(stage, "_GRAFT_CDC_T1")).trim.toLong)
+  }
+
   /** documents staged once as a lang-partitioned graft table (shared by
     * q_partitioned_scan and q_partition_agg). */
   private def stagedPartitionedDocs(s: SparkSession, dir: String): String = {
@@ -883,6 +914,7 @@ object Functions {
     },
 
     "q_cdc_changes" -> { (s, dir) =>
+      // staging shared with q_sql_cdc_changes (cdcChangesStage)
       // CHANGE-DATA FEED in the gate: documents staged as a base commit
       // (doc_id % 5 != 0) and an in-window commit (doc_id % 5 = 0), both
       // partitioned by a `victim` flag (doc_id % 10 = 1); then a
@@ -893,35 +925,26 @@ object Functions {
       // every purged victim as a delete (durable in `_graft_changes`).
       // This is the takedown-propagation read a derived corpus runs;
       // priced at a manifest listing + the changed files only.
-      val stage = stagedOnce(
-          s"/tmp/graft_cdc_stage2/${stageKey(s, dir, "documents")}/documents") { t =>
-        val d = Tables.parquet(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("victim", col("doc_id") % 10 === 1)
-        d.filter(col("doc_id") % 5 =!= 0)
-          .write.format("graft").option("partitionby", "victim")
-          .mode("append").save(t)
-        val fs = new org.apache.hadoop.fs.Path(t)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        val t1 = graft.spark.GraftManifest
-          .list(fs, new org.apache.hadoop.fs.Path(t))
-          .map(graft.spark.GraftManifest.nameT).max
-        Thread.sleep(5) // the in-window commit must be strictly after t1
-        d.filter(col("doc_id") % 5 === 0)
-          .write.format("graft").option("partitionby", "victim")
-          .mode("append").save(t)
-        graft.spark.GraftMaintenance.deleteWhere(s, t,
-          col("victim") === true, changelog = true)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(t, "_GRAFT_CDC_T1"), t1.toString)
-      }
-      val t1 = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(stage, "_GRAFT_CDC_T1")).trim.toLong
+      val (stage, t1) = cdcChangesStage(s, dir)
       graft.spark.GraftCdc.changes(s, stage, t1, Long.MaxValue)
         .withColumnRenamed(graft.spark.GraftCdc.ChangeTypeCol, "change_type")
         .groupBy(col("change_type"), col("lang"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
         .orderBy(col("change_type"), col("lang"))
+    },
+
+    "q_sql_cdc_changes" -> { (s, dir) =>
+      // the SAME staged takedown feed as q_cdc_changes, consumed through
+      // the pure-SQL surface: the graft_changes TABLE FUNCTION expands at
+      // analysis time into the windowed scans, so a SQL-only consumer
+      // gets the identical event stream (and the identical oracle)
+      val (stage, t1) = cdcChangesStage(s, dir)
+      graft.spark.GraftExtensions.ensure(s)
+      s.sql(
+        s"""SELECT ${graft.spark.GraftCdc.ChangeTypeCol} AS change_type,
+           |  lang, count(*) AS docs, sum(n_chars) AS chars
+           |FROM graft_changes('$stage', ${t1}L, ${Long.MaxValue}L)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     },
 
     "q_cdc_update_feed" -> { (s, dir) =>
@@ -1031,6 +1054,16 @@ object Functions {
         |      FROM documents GROUP BY lang) s ON d.lang = s.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_cdc_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS change_type, lang, count(*) AS docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents WHERE doc_id % 5 = 0 GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, lang, count(*) AS docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents WHERE doc_id % 10 = 1 GROUP BY lang
+        |) ORDER BY change_type, lang""".stripMargin,
+    "q_sql_cdc_changes" ->
       """SELECT * FROM (
         |  SELECT 'insert' AS change_type, lang, count(*) AS docs,
         |    CAST(sum(n_chars) AS BIGINT) AS chars

@@ -190,5 +190,40 @@ object GraftExtensions {
     register("graft_long_dot", 2, es => LongDot(es.head, es(1)))
     register("graft_long_norm_sq", 1, es => LongSelfDot(es.head))
     register("graft_long_l2", 2, es => LongL2(es.head, es(1)))
+    registerTableFunctions(s)
+  }
+
+  /** SQL TABLE functions. `graft_changes(path, since, asof)` exposes the
+    * change-data feed to pure-SQL consumers:
+    * `SELECT * FROM graft_changes('/tbl', 0, 9e18)` — the same windowed
+    * insert/delete/change_preimage event stream [[GraftCdc.changes]]
+    * builds, expanded at analysis time into the ordinary windowed scans
+    * (all pruning/pushdown applies; the arguments must be literals
+    * because the window shapes the PLAN, not a per-row value).
+    */
+  private def registerTableFunctions(s: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def litStr(e: Expression, fn: String): String = e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument must be a STRING literal, got $other")
+    }
+    def litLong(e: Expression, fn: String): Long = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument must be an integral literal, got $other")
+    }
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft.spark.GraftCdc", "graft_changes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_changes takes (path STRING, sinceMillis LONG, asofMillis LONG)")
+        GraftCdc.changes(s, litStr(exprs.head, "graft_changes"),
+            litLong(exprs(1), "graft_changes"), litLong(exprs(2), "graft_changes"))
+          .queryExecution.logical
+      })
   }
 }

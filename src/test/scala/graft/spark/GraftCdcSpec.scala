@@ -256,6 +256,32 @@ class GraftCdcSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dst).count() == 90)
   }
 
+  test("graft_changes SQL table function serves the same event stream") {
+    val dir = fresh("sql-tvf")
+    spark.range(0, 60).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    val t1 = manifestMax(dir)
+    Thread.sleep(5)
+    spark.range(60, 80).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    GraftMaintenance.deleteWhere(spark, dir, col("k") < 10, changelog = true)
+    GraftExtensions.ensure(spark)
+    val got = spark.sql(
+      s"SELECT ${GraftCdc.ChangeTypeCol} AS t, k FROM " +
+        s"graft_changes('$dir', ${t1}L, ${Long.MaxValue}L)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val want = GraftCdc.changes(spark, dir, t1, Long.MaxValue)
+      .select(col(GraftCdc.ChangeTypeCol), col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == want && got.nonEmpty,
+      s"SQL TVF diverged from the API feed: ${got.size} vs ${want.size}")
+    // literal-argument contract errors loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_changes('/nope', 'x', 1)").collect())
+    assert(e.getMessage.contains("integral literal") ||
+      e.getMessage.contains("graft_changes"))
+  }
+
   test("deleted rows keep partition values in the feed (self-describing rows)") {
     val dir = fresh("parts")
     spark.range(0, 40)
