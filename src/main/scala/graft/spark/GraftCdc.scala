@@ -279,7 +279,10 @@ object GraftCdc {
       val obs = Observation(
         s"cdc-del-${java.util.UUID.randomUUID().toString.take(8)}")
       GraftMaintenance.phase("cdc-merge-delete") {
-        GraftMaintenance.mergeApply(spark, targetDir,
+        // the frame is .distinct() by construction -> the trusted variant
+        // skips the cardinality job and derives the key envelope from the
+        // scratch's footers (zero jobs between materialize and probes)
+        GraftMaintenance.mergeApplyTrusted(spark, targetDir,
           deletesDf.observe(obs, count(lit(1)).as("n")),
           Seq(keyCol -> keyCol),
           matched = Seq(GraftMaintenance.MergeClause(None, None)), // DELETE

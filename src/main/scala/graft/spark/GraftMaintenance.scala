@@ -899,8 +899,102 @@ object GraftMaintenance {
       opNonce: Option[String] = None): MergeStats =
     locked(spark, dir, "merge") {
       mergeApplyImpl(spark, dir, source, keys, matched, notMatchedInsert,
-        notMatchedBySource, changelog, schemaOverride, opNonce)
+        notMatchedBySource, changelog, schemaOverride, opNonce,
+        trustDistinctKeys = false)
     }
+
+  /** [[mergeApply]] for sources the CALLER guarantees carry distinct
+    * non-null keys (e.g. a frame built with `.distinct()` on the key):
+    * the SQL cardinality job is skipped, and for a single integral key
+    * the refined envelope comes straight from the materialized scratch's
+    * FOOTER page stats — zero driver-sequenced Spark jobs between the
+    * materialize and the probes. Wrong results if the guarantee is
+    * violated, hence package-private. */
+  private[spark] def mergeApplyTrusted(spark: SparkSession, dir: String,
+      source: org.apache.spark.sql.DataFrame,
+      keys: Seq[(String, String)],
+      matched: Seq[MergeClause],
+      notMatchedInsert: Seq[MergeClause]): MergeStats =
+    locked(spark, dir, "merge") {
+      // partition-local key sort (no shuffle) so the scratch's PAGES carry
+      // tight [min,max] runs — unsorted pages each span the whole key
+      // domain and the footer-derived envelope would degenerate to one
+      // giant interval
+      val src =
+        if (keys.size == 1)
+          source.sortWithinPartitions(org.apache.spark.sql.functions.col(keys.head._2))
+        else source
+      mergeApplyImpl(spark, dir, src, keys, matched, notMatchedInsert,
+        Seq.empty, changelog = false, schemaOverride = None, opNonce = None,
+        trustDistinctKeys = true)
+    }
+
+  /** Per-page [min,max] intervals of an integral column across a graft
+    * directory, straight from file footers — driver-side tail reads, NO
+    * Spark job. None when a file lacks the column, a non-empty page
+    * carries no integral stats, or the file count exceeds the planning
+    * cap (callers fall back to a scan-derived or single-interval
+    * envelope, both sound). */
+  private def footerKeyIntervals(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String, keyCol: String): Option[Seq[(Long, Long)]] = {
+    val files = GraftUtil.listDataFiles(dir, conf)
+    if (files.isEmpty || files.length > 256) return None
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    files.foreach { f =>
+      val in = new HadoopSeekableInput(
+        f.getPath.getFileSystem(conf), f.getPath, f.getLen)
+      try {
+        val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(footer.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        GraftSchema.leafIndexOfPath(schema, keyCol) match {
+          case None => return None
+          case Some(li) =>
+            footer.leaves(li).pages.foreach { p =>
+              if (p.statsKind == 1) out += ((p.minLong, p.maxLong))
+              else if (p.numValues == 0 || p.nullCount == p.numValues) ()
+              else return None // stats absent for real values: bail sound
+            }
+        }
+      } finally in.close()
+    }
+    Some(out.toSeq)
+  }
+
+  /** Coalesce intervals and keep at most `maxRanges` by preserving the
+    * widest value gaps as splits — the same <=32-range envelope shape the
+    * cell aggregate produces, derived without a job. */
+  private def mergeKeyIntervals(iv: Seq[(Long, Long)],
+      maxRanges: Int = 32): Seq[(Long, Long)] = {
+    if (iv.isEmpty) return Seq.empty
+    val sorted = iv.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer[(Long, Long)](sorted.head)
+    sorted.tail.foreach { case (lo, hi) =>
+      val (plo, phi) = merged.last
+      // overlap, or adjacency computed overflow-safely (a false negative
+      // just keeps two ranges — sound)
+      if (lo <= phi || (lo > phi && lo - phi == 1))
+        merged(merged.size - 1) = (plo, math.max(phi, hi))
+      else merged += ((lo, hi))
+    }
+    if (merged.size <= maxRanges) merged.toSeq
+    else {
+      val gaps = merged.sliding(2).zipWithIndex
+        .map { case (pair, i) => (pair(1)._1 - pair(0)._2, i) }
+        .toSeq.sortBy(-_._1).take(maxRanges - 1).map(_._2).toSet
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var (rLo, rHi) = merged.head
+      merged.indices.foreach { i =>
+        if (i > 0 && gaps.contains(i - 1)) {
+          out += ((rLo, rHi)); rLo = merged(i)._1; rHi = merged(i)._2
+        } else if (i > 0) rHi = math.max(rHi, merged(i)._2)
+      }
+      out += ((rLo, rHi))
+      out.toSeq
+    }
+  }
 
   private def mergeApplyImpl(spark: SparkSession, dir: String,
       source: org.apache.spark.sql.DataFrame,
@@ -910,7 +1004,8 @@ object GraftMaintenance {
       notMatchedBySource: Seq[MergeClause],
       changelog: Boolean,
       schemaOverride: Option[org.apache.spark.sql.types.StructType],
-      opNonce: Option[String]): MergeStats = {
+      opNonce: Option[String],
+      trustDistinctKeys: Boolean): MergeStats = {
     import org.apache.spark.sql.functions.{col, lit, input_file_name, hash => shash, count => scount, sum => ssum, when}
     require(keys.nonEmpty, "graft: merge needs at least one equi-key pair")
     require(matched.nonEmpty || notMatchedInsert.nonEmpty || notMatchedBySource.nonEmpty,
@@ -1074,7 +1169,19 @@ object GraftMaintenance {
             case i: Int => i.toLong; case l: Long => l
           }
           if (!integral) envFilter
-          else {
+          else if (trustDistinctKeys) {
+            // zero-job refinement: the materialized scratch's own footer
+            // page stats bound the key space (pages partition ROWS, so
+            // their [min,max] union covers every key — sound); the cell
+            // aggregate below exists to also compute the exact distinct
+            // count, which a trusted source does not need
+            footerKeyIntervals(conf, srcScratch.toString, sKey)
+              .map(mergeKeyIntervals(_))
+              .filter(_.nonEmpty)
+              .map(_.map { case (a, b) => table(tKey).between(a, b) }
+                .reduce(_ || _))
+              .orElse(envFilter)
+          } else {
             val lo = asLong(envBounds.head._1); val hi = asLong(envBounds.head._2)
             val span = hi - lo
             if (span < 0 /* overflow */) envFilter
@@ -1121,12 +1228,14 @@ object GraftMaintenance {
         }
       def envScoped(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
         envRefined.map(df.filter).getOrElse(df)
-      val fpNd: Long = ndExact.getOrElse {
-        if (fpNnk == 0L) 0L
-        else phase("fingerprint-distinct")(
-          src.agg(org.apache.spark.sql.functions.countDistinct(
-            srcKeyCols.head, srcKeyCols.tail: _*).as("nd")).collect()(0).getLong(0))
-      }
+      val fpNd: Long =
+        if (trustDistinctKeys) fpNnk // caller-guaranteed: no cardinality job
+        else ndExact.getOrElse {
+          if (fpNnk == 0L) 0L
+          else phase("fingerprint-distinct")(
+            src.agg(org.apache.spark.sql.functions.countDistinct(
+              srcKeyCols.head, srcKeyCols.tail: _*).as("nd")).collect()(0).getLong(0))
+        }
       require(fpNnk == fpNd,
         s"graft: merge source has duplicate keys ($fpNnk non-null-key " +
           s"rows, $fpNd distinct) — a target row must match at most " +
