@@ -195,11 +195,12 @@ object GraftExtensions {
 
   /** SQL TABLE functions. `graft_changes(path, since, asof)` exposes the
     * change-data feed to pure-SQL consumers:
-    * `SELECT * FROM graft_changes('/tbl', 0, 9e18)` — the same windowed
-    * insert/delete/change_preimage event stream [[GraftCdc.changes]]
-    * builds, expanded at analysis time into the ordinary windowed scans
-    * (all pruning/pushdown applies; the arguments must be literals
-    * because the window shapes the PLAN, not a per-row value).
+    * `SELECT * FROM graft_changes('/tbl', 0, 9223372036854775807L)` — the
+    * same windowed insert/delete/change_preimage event stream
+    * [[GraftCdc.changes]] builds, expanded at analysis time into the
+    * ordinary windowed scans (all pruning/pushdown applies; the arguments
+    * must be literals because the window shapes the PLAN, not a per-row
+    * value).
     */
   private def registerTableFunctions(s: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -209,9 +210,17 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"$fn: argument must be a STRING literal, got $other")
     }
+    // the analyzer runs this builder BEFORE constant folding, so a SQL
+    // `-5` arrives as UnaryMinus(5) and `9e18` as a Double literal —
+    // accept the shapes users actually type, not just pre-folded longs
     def litLong(e: Expression, fn: String): Long = e match {
       case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
       case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+      case Literal(v: Double, org.apache.spark.sql.types.DoubleType)
+          if v.isWhole && v >= Long.MinValue.toDouble && v <= Long.MaxValue.toDouble =>
+        v.toLong
+      case org.apache.spark.sql.catalyst.expressions.UnaryMinus(inner, _) =>
+        -litLong(inner, fn)
       case other => throw new IllegalArgumentException(
         s"$fn: argument must be an integral literal, got $other")
     }
@@ -221,7 +230,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3,
           "graft_changes takes (path STRING, sinceMillis LONG, asofMillis LONG)")
-        GraftCdc.changes(s, litStr(exprs.head, "graft_changes"),
+        // resolve against the INVOKING session, not the one that
+        // registered the builder: newSession()/Thrift clones copy the
+        // registry, and planning through a stale captured session would
+        // silently use its hadoop conf (or fail once it is stopped)
+        val invoking = SparkSession.getActiveSession.getOrElse(s)
+        GraftCdc.changes(invoking, litStr(exprs.head, "graft_changes"),
             litLong(exprs(1), "graft_changes"), litLong(exprs(2), "graft_changes"))
           .queryExecution.logical
       })

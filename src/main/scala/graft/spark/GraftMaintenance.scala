@@ -919,9 +919,20 @@ object GraftMaintenance {
       // partition-local key sort (no shuffle) so the scratch's PAGES carry
       // tight [min,max] runs — unsorted pages each span the whole key
       // domain and the footer-derived envelope would degenerate to one
-      // giant interval
+      // giant interval. Only worth paying when the envelope path can
+      // actually use it: a single INTEGRAL key (the same gate the
+      // refinement applies).
+      val integralKey = keys.size == 1 &&
+        source.schema.fields.find(_.name.equalsIgnoreCase(keys.head._2))
+          .exists(_.dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => true
+            case _ => false
+          })
       val src =
-        if (keys.size == 1)
+        if (integralKey)
           source.sortWithinPartitions(org.apache.spark.sql.functions.col(keys.head._2))
         else source
       mergeApplyImpl(spark, dir, src, keys, matched, notMatchedInsert,
@@ -946,9 +957,7 @@ object GraftMaintenance {
         f.getPath.getFileSystem(conf), f.getPath, f.getLen)
       try {
         val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
-        val schema = org.apache.spark.sql.types.DataType
-          .fromJson(footer.schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val schema = GraftFooterCache.schemaOf(footer.schemaJson)
         GraftSchema.leafIndexOfPath(schema, keyCol) match {
           case None => return None
           case Some(li) =>
@@ -966,7 +975,7 @@ object GraftMaintenance {
   /** Coalesce intervals and keep at most `maxRanges` by preserving the
     * widest value gaps as splits — the same <=32-range envelope shape the
     * cell aggregate produces, derived without a job. */
-  private def mergeKeyIntervals(iv: Seq[(Long, Long)],
+  private[spark] def mergeKeyIntervals(iv: Seq[(Long, Long)],
       maxRanges: Int = 32): Seq[(Long, Long)] = {
     if (iv.isEmpty) return Seq.empty
     val sorted = iv.sortBy(_._1)
@@ -1205,20 +1214,10 @@ object GraftMaintenance {
               ndExact = Some(cells.map(_._4).sum)
               if (cells.isEmpty || span < 4096) envFilter
               else {
-                // keep the 31 widest inter-cell gaps as splits -> <= 32 ranges
-                val gaps = cells.sliding(2).zipWithIndex
-                  .collect { case (Array(a, b), i) if b._1 - a._1 > 1 => (b._1 - a._1, i) }
-                  .toSeq.sortBy(-_._1).take(31).map(_._2).toSet
-                val ranges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-                var (rLo, rHi) = (cells.head._2, cells.head._3)
-                cells.indices.foreach { i =>
-                  if (i > 0 && gaps.contains(i - 1)) {
-                    ranges += ((rLo, rHi)); rLo = cells(i)._2; rHi = cells(i)._3
-                  } else if (i > 0) {
-                    rLo = math.min(rLo, cells(i)._2); rHi = math.max(rHi, cells(i)._3)
-                  }
-                }
-                ranges += ((rLo, rHi))
+                // ONE envelope algorithm for both the cell path and the
+                // trusted footer path: coalesce, keep the widest value
+                // gaps as splits -> <= 32 ranges
+                val ranges = mergeKeyIntervals(cells.map(c => (c._2, c._3)))
                 Some(ranges.map { case (a, b) =>
                   table(tKey).between(a, b)
                 }.reduce(_ || _))

@@ -285,6 +285,58 @@ class WindowSpanSpec extends AnyFunSuite {
       .forall(t => t._2 == t._1 * 100))
   }
 
+  test("mergeKeyIntervals: sound cover, bounded count, disjoint sorted output") {
+    val rnd = new scala.util.Random(421L)
+    for (_ <- 0 until 200) {
+      val n = 1 + rnd.nextInt(120)
+      val iv = Seq.fill(n) {
+        val lo = rnd.nextLong() % 1000000L
+        (lo, lo + rnd.nextInt(10000))
+      }
+      val out = GraftMaintenance.mergeKeyIntervals(iv, maxRanges = 32)
+      assert(out.size <= 32, s"range cap violated: ${out.size}")
+      assert(out == out.sortBy(_._1), "output must be sorted")
+      out.sliding(2).foreach {
+        case Seq((_, aHi), (bLo, _)) =>
+          assert(bLo > aHi, s"output ranges must be disjoint: $out")
+        case _ =>
+      }
+      // SOUND: every input interval is fully inside some output range
+      iv.foreach { case (lo, hi) =>
+        assert(out.exists { case (a, b) => a <= lo && hi <= b },
+          s"input [$lo,$hi] not covered by $out")
+      }
+    }
+    // degenerate shapes
+    assert(GraftMaintenance.mergeKeyIntervals(Seq.empty).isEmpty)
+    assert(GraftMaintenance.mergeKeyIntervals(Seq((5L, 5L))) == Seq((5L, 5L)))
+    assert(GraftMaintenance.mergeKeyIntervals(
+      Seq((Long.MinValue, 0L), (1L, Long.MaxValue))) ==
+      Seq((Long.MinValue, Long.MaxValue)))
+  }
+
+  test("graft_changes accepts unfolded SQL literal shapes and the invoking session") {
+    val dir = fresh("tvf-lits")
+    spark.range(0, 30).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    GraftExtensions.ensure(spark)
+    // 9e18 arrives as a Double literal, -1 as UnaryMinus — both must parse
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_changes('$dir', -1, 9e18)")
+      .head().getLong(0)
+    assert(n == 30, s"got $n")
+    // a sibling session registers its own builder and resolves through
+    // itself (newSession starts from the builtin registry — no function
+    // cloning; the active-session lookup in the builder is defense for
+    // cloneSession-based servers that DO copy registry entries)
+    val s2 = spark.newSession()
+    GraftExtensions.ensure(s2)
+    val n2 = s2.sql(
+      s"SELECT count(*) FROM graft_changes('$dir', -1, 9223372036854775807L)")
+      .head().getLong(0)
+    assert(n2 == 30, s"sibling session got $n2")
+  }
+
   test("CDC consumer window spanning append+takedown keeps the derived table exact") {
     val src = fresh("cdc-src")
     val dst = fresh("cdc-dst")
