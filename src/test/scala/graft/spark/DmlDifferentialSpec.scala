@@ -304,7 +304,8 @@ class DmlDifferentialSpec extends AnyFunSuite {
     // table-manifest watermark would silently exclude takedowns landing
     // after the table's newest commit
     var lastApplied = System.currentTimeMillis()
-    for (step <- 0 until 6) {
+    val steps = sys.props.get("graft.fuzz.cdc.steps").map(_.toInt).getOrElse(6)
+    for (step <- 0 until steps) {
       Thread.sleep(3)
       rnd.nextInt(3) match {
         case 0 => // append: fresh keys, sometimes re-using deleted ones
@@ -361,6 +362,9 @@ class DmlDifferentialSpec extends AnyFunSuite {
   }
 
   test("CDC consumer fuzz: derived tables stay exact under any polling cadence") {
-    Seq(13L, 37L, 71L, 113L).foreach(runCdcConsumerScenario)
+    // heavier sweeps opt in via -Dgraft.fuzz.cdc.seeds=N / .steps=M
+    val extra = sys.props.get("graft.fuzz.cdc.seeds").map(_.toInt).getOrElse(0)
+    val seeds = Seq(13L, 37L, 71L, 113L) ++ (0 until extra).map(i => 1000L + 17L * i)
+    seeds.foreach(runCdcConsumerScenario)
   }
 }
