@@ -238,14 +238,16 @@ object GraftCdc {
         // (unless the insert window already delivers it: a row committed
         // in-window and then updated in-window arrives through the
         // windowed read at its replacement-preserved commit time). Both
-        // join sides are O(changed); the broadcast key set reaches the
-        // source scan's zone maps as a runtime filter, so the
-        // current-state lookup reads only the pages the keys can live in.
+        // join sides are O(changed); the current-state scan OPTS INTO
+        // runtime filtering (off by default — see GraftScan
+        // filterAttributes) so the broadcast key set reaches its zone
+        // maps and only the pages the keys can live in are read.
         val preKeys = windowed(spark, feedDir, sinceMillis, asofMillis)
           .filter(feedTypeExpr === TypeChangePreimage)
           .select(keyCol).distinct()
         val repaired = transform(
-          spark.read.format("graft").load(srcDir)
+          spark.read.format("graft").option("runtimefilter", "true")
+            .load(srcDir)
             .join(broadcast(preKeys), Seq(keyCol), "left_semi")
             .join(insertWin.select(keyCol), Seq(keyCol), "left_anti"))
         inserts.unionByName(repaired)

@@ -285,6 +285,41 @@ class WindowSpanSpec extends AnyFunSuite {
       .forall(t => t._2 == t._1 * 100))
   }
 
+  test("the reconciliation scan is page-bounded by the runtime key set on a sorted source") {
+    import graft.spark.GraftMetrics
+    val srcDir = fresh("repair-rf-src")
+    val keysDir = fresh("repair-rf-keys")
+    // 200k-row source, key-sorted single file -> tight per-page zone maps
+    spark.range(200000).selectExpr("id AS k", "id * 3 AS v")
+      .orderBy("k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(srcDir)
+    // pre-image key set: a narrow band, behind a selective filter (the
+    // build-side shape Spark's runtime-filter injection requires)
+    spark.range(2000)
+      .selectExpr("100000 + id AS k",
+        "CASE WHEN id < 600 THEN 'y' ELSE 'n' END AS sel")
+      .coalesce(1).write.format("graft").mode("overwrite").save(keysDir)
+    val preKeys = spark.read.format("graft").load(keysDir)
+      .filter(col("sel") === "y").select("k").distinct()
+    val current = spark.read.format("graft").option("runtimefilter", "true")
+      .load(srcDir)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    GraftMetrics.pageGroupsRead.set(0)
+    // the applyChangesBetween repair shape: semi on pre-image keys, anti
+    // against the (empty here) insert window keys
+    val out = current
+      .join(broadcast(preKeys), Seq("k"), "left_semi")
+      .join(spark.emptyDataFrame.selectExpr("CAST(NULL AS LONG) AS k")
+        .filter(lit(false)), Seq("k"), "left_anti")
+      .collect()
+    assert(out.length == 600, s"got ${out.length}")
+    val skipped = GraftMetrics.pageGroupsSkipped.get()
+    val read = GraftMetrics.pageGroupsRead.get()
+    assert(skipped >= 5 && read <= skipped,
+      s"reconciliation must prune source pages outside the key band via the " +
+        s"runtime key set: skipped=$skipped read=$read")
+  }
+
   test("mergeKeyIntervals: sound cover, bounded count, disjoint sorted output") {
     val rnd = new scala.util.Random(421L)
     for (_ <- 0 until 200) {
