@@ -198,6 +198,15 @@ object GraftCdc {
     * At a 5M-row / 64-file staging this halves the fixed driver-job count
     * of a feed apply (see BenchMaintenance.cdcAtScale); at 100 TB the same
     * jobs it removes are pure scheduler latency on the critical path.
+    *
+    * IDEMPOTENT end-to-end: the insert append publishes under a
+    * deterministic (source, window, target) manifest tag, so a crashed or
+    * repeated apply of the same window re-runs the converging deletes and
+    * skips the already-committed append — no duplicate rows, no consumer-
+    * side window bookkeeping needed for safety. (The tag identifies the
+    * window, not the transform: a target follows ONE derivation; the
+    * returned appended-count reports the window's rows even on a replay,
+    * where the commit layer publishes nothing.)
     */
   def applyChangesBetween(spark: SparkSession, srcDir: String,
       sinceMillis: Long, asofMillis: Long, targetDir: String, keyCol: String,
@@ -227,6 +236,17 @@ object GraftCdc {
         // footer cap exceeded — a window this wide is merge-sized anyway
         applyLargeDelete(spark, targetDir, keyCol, deletes())
     }
+    // deterministic per-(source, window, target) tag: the tagged-commit
+    // replay check in the write path skips an append whose manifest
+    // already landed, so re-applying the SAME window is a true no-op for
+    // inserts too (deletes/merges converge on their own content hashes) —
+    // the dir-driven consumer is idempotent end-to-end, not at-least-once
+    val windowTag = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$srcDir|$sinceMillis|$asofMillis|$targetDir"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      "cdcw" + md.take(6).map(b => f"$b%02x").mkString
+    }
     val insertWin = windowed(spark, srcDir, sinceMillis, asofMillis)
     val inserts = transform(insertWin)
     val toAppend =
@@ -252,7 +272,7 @@ object GraftCdc {
             .join(insertWin.select(keyCol), Seq(keyCol), "left_anti"))
         inserts.unionByName(repaired)
       }
-    (appendInserts(toAppend, targetDir), nDeleteKeys)
+    (appendInserts(toAppend, targetDir, Some(windowTag)), nDeleteKeys)
   }
 
   private def applySmallDelete(spark: SparkSession, targetDir: String,
@@ -298,14 +318,19 @@ object GraftCdc {
     * observed metric of the write itself — one scan, not a count + a
     * write. A zero-row append publishes nothing (no files, no manifest,
     * no marker churn), so writing unconditionally is a true no-op when
-    * the window carried no inserts.
+    * the window carried no inserts. With a `tag`, an append whose tagged
+    * manifest already landed is a REPLAY and publishes nothing (the rows
+    * still scan — the observed count reports what the window holds, the
+    * commit layer decides it already applied).
     */
-  private def appendInserts(inserts: DataFrame, targetDir: String): Long = {
+  private def appendInserts(inserts: DataFrame, targetDir: String,
+      tag: Option[String] = None): Long = {
     val obs = Observation(
       s"cdc-ins-${java.util.UUID.randomUUID().toString.take(8)}")
     GraftMaintenance.phase("cdc-insert-append") {
-      inserts.observe(obs, count(lit(1)).as("n"))
-        .write.format("graft").mode("append").save(targetDir)
+      val w = inserts.observe(obs, count(lit(1)).as("n"))
+        .write.format("graft").mode("append")
+      tag.fold(w)(t => w.option("manifesttag", t)).save(targetDir)
     }
     obs.get("n").asInstanceOf[Long]
   }

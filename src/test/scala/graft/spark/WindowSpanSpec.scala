@@ -320,6 +320,40 @@ class WindowSpanSpec extends AnyFunSuite {
         s"runtime key set: skipped=$skipped read=$read")
   }
 
+  test("re-applying the same window is a no-op: the tagged append never duplicates") {
+    val src = fresh("idem-src")
+    val dst = fresh("idem-dst")
+    spark.range(0, 80).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    spark.read.format("graft").load(src)
+      .write.format("graft").mode("append").save(dst)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    spark.range(80, 100).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    GraftMaintenance.deleteWhere(spark, src, col("k") < 10, changelog = true)
+    Thread.sleep(3)
+    val t2 = System.currentTimeMillis()
+    GraftCdc.applyChangesBetween(spark, src, t1, t2, dst, "k")
+    val once = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // crash-replay / duplicate poll of the SAME window: deletes converge,
+    // the tagged insert commit is recognized and publishes nothing
+    GraftCdc.applyChangesBetween(spark, src, t1, t2, dst, "k")
+    val twice = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(once == twice, s"replay duplicated rows: ${once.size} -> ${twice.size}")
+    assert(once.map(_._1) == (10L until 100L))
+    // a LATER window still appends normally (fresh tag)
+    Thread.sleep(3)
+    spark.range(100, 105).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    GraftCdc.applyChangesBetween(spark, src, t2, System.currentTimeMillis(),
+      dst, "k")
+    assert(spark.read.format("graft").load(dst).count() == 95)
+  }
+
   test("mergeKeyIntervals: sound cover, bounded count, disjoint sorted output") {
     val rnd = new scala.util.Random(421L)
     for (_ <- 0 until 200) {
