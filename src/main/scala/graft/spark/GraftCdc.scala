@@ -200,13 +200,20 @@ object GraftCdc {
     * jobs it removes are pure scheduler latency on the critical path.
     *
     * IDEMPOTENT end-to-end: the insert append publishes under a
-    * deterministic (source, window, target) manifest tag, so a crashed or
-    * repeated apply of the same window re-runs the converging deletes and
-    * skips the already-committed append — no duplicate rows, no consumer-
-    * side window bookkeeping needed for safety. (The tag identifies the
-    * window, not the transform: a target follows ONE derivation; the
-    * returned appended-count reports the window's rows even on a replay,
-    * where the commit layer publishes nothing.)
+    * deterministic (source, window, target) manifest tag, and a window
+    * whose tagged commit is already on record — live manifest list,
+    * replacement manifests (the suffix survives rewrites), or the
+    * version log (which survives compaction's manifest retirement,
+    * generation-scoped so a truncate re-opens the window) — is
+    * recognized BEFORE any phase runs and returns (0, 0): the tagged
+    * append only commits after the delete phase finished, so "tag on
+    * record" proves the whole window applied. Without the up-front
+    * check, a replay's delete phase would re-delete rows the first
+    * apply appended for overlapping keys (the update/reconcile shape)
+    * and the skipped append would never restore them. Appliers of one
+    * target serialize behind the maintenance table lock, so concurrent
+    * duplicate applies cannot both miss the tag. (The tag identifies
+    * the window, not the transform: a target follows ONE derivation.)
     */
   def applyChangesBetween(spark: SparkSession, srcDir: String,
       sinceMillis: Long, asofMillis: Long, targetDir: String, keyCol: String,
@@ -214,9 +221,39 @@ object GraftCdc {
       driverKeyMax: Int = 1000): (Long, Long) = {
     require(sinceMillis <= asofMillis,
       s"graft: empty change window ($sinceMillis..$asofMillis]")
-    require(GraftUtil.listDataFiles(srcDir,
-        spark.sessionState.newHadoopConf()).nonEmpty,
+    val conf0 = spark.sessionState.newHadoopConf()
+    require(GraftUtil.listDataFiles(srcDir, conf0).nonEmpty,
       s"graft: no table under $srcDir")
+    val tgtPath = new org.apache.hadoop.fs.Path(targetDir)
+    val tgtFs = tgtPath.getFileSystem(conf0)
+    GraftTableLock.withLock(tgtFs, tgtPath, conf0, "applyChanges") {
+      applyWindowLocked(spark, srcDir, sinceMillis, asofMillis, targetDir,
+        keyCol, transform, driverKeyMax, tgtFs, tgtPath, conf0)
+    }
+  }
+
+  private def applyWindowLocked(spark: SparkSession, srcDir: String,
+      sinceMillis: Long, asofMillis: Long, targetDir: String, keyCol: String,
+      transform: DataFrame => DataFrame, driverKeyMax: Int,
+      tgtFs: org.apache.hadoop.fs.FileSystem,
+      tgtPath: org.apache.hadoop.fs.Path,
+      conf0: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+    // deterministic per-(source, window, target) tag over QUALIFIED paths
+    // (a retry spelling the same path differently must land on the same
+    // tag); 10 digest bytes keep cross-window collisions negligible
+    val windowTag = {
+      val srcQ = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(conf0).makeQualified(
+          new org.apache.hadoop.fs.Path(srcDir)).toString
+      val tgtQ = tgtFs.makeQualified(tgtPath).toString
+      "cdcw" + GraftManifest.md5Hex(
+        s"$srcQ|$sinceMillis|$asofMillis|$tgtQ|$keyCol", 10)
+    }
+    val applied =
+      GraftManifest.list(tgtFs, tgtPath).exists(_.endsWith("-" + windowTag)) ||
+        GraftVersionLog.currentGeneration(GraftVersionLog.sync(tgtFs, tgtPath))
+          .exists(_.endsWith("-" + windowTag))
+    if (applied) return (0L, 0L) // whole window already applied: no-op
     val feedDir = s"$srcDir/$ChangesDir"
     val (feedRows, hasPreimages) = GraftMaintenance.phase("cdc-window-meta") {
       windowMeta(spark, feedDir, sinceMillis, asofMillis)
@@ -235,17 +272,6 @@ object GraftCdc {
       case None =>
         // footer cap exceeded — a window this wide is merge-sized anyway
         applyLargeDelete(spark, targetDir, keyCol, deletes())
-    }
-    // deterministic per-(source, window, target) tag: the tagged-commit
-    // replay check in the write path skips an append whose manifest
-    // already landed, so re-applying the SAME window is a true no-op for
-    // inserts too (deletes/merges converge on their own content hashes) —
-    // the dir-driven consumer is idempotent end-to-end, not at-least-once
-    val windowTag = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$srcDir|$sinceMillis|$asofMillis|$targetDir"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      "cdcw" + md.take(6).map(b => f"$b%02x").mkString
     }
     val insertWin = windowed(spark, srcDir, sinceMillis, asofMillis)
     val inserts = transform(insertWin)

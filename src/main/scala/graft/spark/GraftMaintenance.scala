@@ -1745,10 +1745,7 @@ private[spark] object GraftOpMarker {
     new Path(tableDir, s"$scratchRoot/op-$stmtHash")
 
   /** 8-hex statement fingerprint naming the marker. */
-  def stmtHash(rendered: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
+  def stmtHash(rendered: String): String = GraftManifest.md5Hex(rendered, 4)
 
   /** The nonce for this execution: a crashed prior execution's persisted
     * nonce if its marker survives, else a fresh one persisted now. */

@@ -93,6 +93,14 @@ object GraftManifest {
       }
     }.toMap
 
+  /** Truncated-MD5 hex fingerprint — the one definition behind the
+    * deterministic tag/marker names (merge ins tags, rewrite markers, CDC
+    * window tags) so the digest shape can never drift between them. */
+  def md5Hex(rendered: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(bytes).map(b => f"$b%02x").mkString
+
   /** Fresh replacement name for an expired commit manifest: same embedded
     * time, unique infix, original base suffix. */
   def replacementNameFor(expired: String): String =

@@ -128,15 +128,18 @@ class TableLockSpec extends AnyFunSuite {
     } finally pool.shutdown()
     val ks = spark.read.format("graft").load(dir)
       .select("k").collect().map(_.getLong(0)).sorted.toSeq
-    // every appended row present exactly once; the delete applied to the
-    // base commit (appended rows may or may not have been visible to the
-    // delete's listing — either outcome keeps them, none are % 4 == 0
-    // ... except some are: the CONTRACT is the append itself survives,
-    // so assert per-key presence against what the delete may legally do)
-    val appended = ks.filter(_ >= 10000L)
-    val appendedSurvivorsIfDeleted = (10000L until 10100L).filterNot(_ % 4 == 0)
-    assert(appended == (10000L until 10100L) || appended == appendedSurvivorsIfDeleted,
-      s"concurrent append corrupted: ${appended.size} rows")
+    // the CONTRACT: the append survives intact per key. A multi-file
+    // append commits file-by-file, so the delete's listing may see any
+    // SUBSET of the appended files — per-key: a non-victim appended key
+    // must always be present; a victim (% 4 == 0) appended key may be
+    // present (delete didn't see its file) or absent (it did). Never
+    // duplicated, and the base delete is exact.
+    val appended = ks.filter(_ >= 10000L).toSet
+    (10000L until 10100L).foreach { k =>
+      if (k % 4 != 0)
+        assert(appended.contains(k), s"appended non-victim $k lost in the race")
+    }
+    assert(appended.forall(k => k >= 10000L && k < 10100L))
     assert(ks.filter(_ < 2000L) == (0L until 2000L).filterNot(_ % 4 == 0),
       "base delete incomplete or over-applied")
     assert(ks.distinct == ks, "duplicated rows after the race")

@@ -354,6 +354,45 @@ class WindowSpanSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dst).count() == 95)
   }
 
+  test("replaying a window with OVERLAPPING delete/insert keys loses nothing") {
+    // the update/reconcile shape: the window's delete keys are the same
+    // keys its apply re-inserts. A naive replay would re-run the delete
+    // phase against the FIRST apply's output and then skip the tagged
+    // append — permanent row loss. The applied-window check must
+    // recognize the committed tag BEFORE any phase runs.
+    val src = fresh("idem-ovl-src")
+    val dst = fresh("idem-ovl-dst")
+    spark.range(0, 60).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    spark.read.format("graft").load(src)
+      .write.format("graft").mode("append").save(dst)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    GraftMaintenance.updateWhere(spark, src, col("k") < 20,
+      Map("v" -> lit(-9L)), changelog = true)
+    Thread.sleep(3)
+    val t2 = System.currentTimeMillis()
+    val (a1, d1) = GraftCdc.applyChangesBetween(spark, src, t1, t2, dst, "k")
+    assert(a1 == 20 && d1 == 20, s"first apply ($a1, $d1)")
+    val once = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(once.size == 60 && once.filter(_._1 < 20).forall(_._2 == -9L))
+    // replay: recognized up front, full no-op
+    val (a2, d2) = GraftCdc.applyChangesBetween(spark, src, t1, t2, dst, "k")
+    assert(a2 == 0 && d2 == 0, s"replay must be recognized: ($a2, $d2)")
+    val twice = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(twice == once,
+      s"replay of an overlapping-key window lost rows: ${twice.size} vs ${once.size}")
+    // the applied-check survives COMPACTION of the target (version log)
+    GraftMaintenance.compact(spark, dst, targetFiles = 1)
+    val (a3, d3) = GraftCdc.applyChangesBetween(spark, src, t1, t2, dst, "k")
+    assert(a3 == 0 && d3 == 0,
+      s"replay after compact must still be recognized: ($a3, $d3)")
+    assert(spark.read.format("graft").load(dst).count() == 60)
+  }
+
   test("mergeKeyIntervals: sound cover, bounded count, disjoint sorted output") {
     val rnd = new scala.util.Random(421L)
     for (_ <- 0 until 200) {
