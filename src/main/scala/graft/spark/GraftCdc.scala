@@ -214,6 +214,9 @@ object GraftCdc {
     * target serialize behind the maintenance table lock, so concurrent
     * duplicate applies cannot both miss the tag. (The tag identifies
     * the window, not the transform: a target follows ONE derivation.)
+    * A window that appended NOTHING leaves no tag (empty commits publish
+    * nothing); its replay re-runs the converging deletes — safe, as
+    * there is no appended output a re-delete could destroy.
     */
   def applyChangesBetween(spark: SparkSession, srcDir: String,
       sinceMillis: Long, asofMillis: Long, targetDir: String, keyCol: String,

@@ -343,11 +343,13 @@ class DmlDifferentialSpec extends AnyFunSuite {
       }
       // the consumer polls on its own cadence: sometimes after every op,
       // sometimes sleeping through several (the spanning-window shape)
-      if (rnd.nextBoolean() || step == 5) {
+      if (rnd.nextBoolean() || step == steps - 1) {
         Thread.sleep(3) // poll strictly after every commit of this step
         val asof = System.currentTimeMillis()
-        GraftCdc.applyChangesBetween(spark, src, lastApplied, asof, dst, "k",
-          derive, driverKeyMax = if (rnd.nextBoolean()) 3 else 1000)
+        val window = (lastApplied, asof)
+        val (firstAppended, _) = GraftCdc.applyChangesBetween(spark, src,
+          window._1, window._2,
+          dst, "k", derive, driverKeyMax = if (rnd.nextBoolean()) 3 else 1000)
         lastApplied = asof
         val want = derive(spark.read.format("graft").load(src))
           .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -357,6 +359,28 @@ class DmlDifferentialSpec extends AnyFunSuite {
           s"seed=$seed step $step: derived table diverged " +
             s"(${got.size} rows vs ${want.size} expected) — got ${got.take(6)}" +
             s" want ${want.take(6)}")
+        // crash-replay / duplicate poll of the SAME window: a window that
+        // APPENDED rows is recognized by its tag and no-ops at (0,0) —
+        // including ones whose delete keys overlap their appended keys
+        // (update reconciliation). A zero-append window has no tag on
+        // record (empty commits publish nothing) and replays as
+        // CONVERGING deletes — safe because there is no appended output
+        // to lose. Either way the table must not move.
+        if (rnd.nextBoolean()) {
+          val (ra, rd) = GraftCdc.applyChangesBetween(spark, src,
+            window._1, window._2, dst, "k", derive,
+            driverKeyMax = if (rnd.nextBoolean()) 3 else 1000)
+          assert(ra == 0,
+            s"seed=$seed step $step: replay re-appended rows ($ra, $rd)")
+          if (firstAppended > 0)
+            assert(rd == 0,
+              s"seed=$seed step $step: appended window's replay not " +
+                s"recognized up front ($ra, $rd)")
+          val again = spark.read.format("graft").load(dst)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+          assert(again == want,
+            s"seed=$seed step $step: replay mutated the derived table")
+        }
       }
     }
   }
