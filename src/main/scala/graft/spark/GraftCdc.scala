@@ -90,11 +90,27 @@ object GraftCdc {
 
   /** Event type from the feed file's name: the rewrite publishes each
     * file's pre-images under the op's own `-<tag><hash>` marker, so the
-    * file name IS the event-type metadata (no extra column storage). */
-  private def feedTypeExpr: org.apache.spark.sql.Column =
-    when(regexp_extract(input_file_name(),
-        raw"-(del|upd|mrg)[0-9a-f]{8}\.graft$$", 1).isin("upd", "mrg"),
-      lit(TypeChangePreimage)).otherwise(lit(TypeDelete))
+    * file name IS the event-type metadata (no extra column storage).
+    * LOUD on degradation: `input_file_name()` rides reflective
+    * InputFileBlockHolder plumbing that degrades to "" on an incompatible
+    * Spark — silently defaulting those rows to 'delete' would skip
+    * change_preimage reconciliation and drop updated keys from derived
+    * tables with no error. Every feed file is published under a marker
+    * name, so an unmatched tag can only mean broken plumbing (or a
+    * foreign file in the feed dir) — both must fail the query, not
+    * corrupt the consumer. */
+  private def feedTypeExpr: org.apache.spark.sql.Column = {
+    val tag = regexp_extract(input_file_name(),
+      raw"-(del|upd|mrg)[0-9a-f]{8}\.graft$$", 1)
+    when(tag.isin("upd", "mrg"), lit(TypeChangePreimage))
+      .when(tag === "del", lit(TypeDelete))
+      .otherwise(raise_error(concat(
+        lit("graft: cannot type change-feed event — input_file_name()='"),
+        input_file_name(),
+        lit("' does not carry a -<del|upd|mrg><hash> marker (degraded " +
+          "file-name plumbing or a foreign file in the feed dir); " +
+          "refusing to default to 'delete'"))))
+  }
 
   private def windowed(spark: SparkSession, p: String,
       sinceMillis: Long, asofMillis: Long): DataFrame =
@@ -214,9 +230,12 @@ object GraftCdc {
     * target serialize behind the maintenance table lock, so concurrent
     * duplicate applies cannot both miss the tag. (The tag identifies
     * the window, not the transform: a target follows ONE derivation.)
-    * A window that appended NOTHING leaves no tag (empty commits publish
-    * nothing); its replay re-runs the converging deletes — safe, as
-    * there is no appended output a re-delete could destroy.
+    * A window that appended NOTHING publishes a zero-entry MARKER
+    * manifest under the same tag (strictly last, after the deletes), so
+    * even out-of-order replays of old zero-append windows are recognized
+    * up front — replaying one blind would re-run its deletes against
+    * rows that LATER windows re-appended, and those windows' own tags
+    * would block the re-appends that could restore them.
     */
   def applyChangesBetween(spark: SparkSession, srcDir: String,
       sinceMillis: Long, asofMillis: Long, targetDir: String, keyCol: String,
@@ -301,7 +320,18 @@ object GraftCdc {
             .join(insertWin.select(keyCol), Seq(keyCol), "left_anti"))
         inserts.unionByName(repaired)
       }
-    (appendInserts(toAppend, targetDir, Some(windowTag)), nDeleteKeys)
+    val nAppended = appendInserts(toAppend, targetDir, Some(windowTag))
+    // a zero-row append publishes nothing, so the window tag must land
+    // through a zero-entry marker manifest: without it, replaying an OLD
+    // zero-append window after later windows re-appended overlapping keys
+    // re-runs its deletes and permanently drops rows the later windows'
+    // own tags block from being re-appended. Published strictly LAST —
+    // a crash anywhere earlier leaves no tag and the full replay is safe
+    // (deletes converge, nothing was appended that a re-delete could
+    // destroy).
+    if (!GraftManifest.list(tgtFs, tgtPath).exists(_.endsWith("-" + windowTag)))
+      GraftManifest.publishMarker(tgtFs, tgtPath, windowTag)
+    (nAppended, nDeleteKeys)
   }
 
   private def applySmallDelete(spark: SparkSession, targetDir: String,

@@ -225,10 +225,25 @@ object GraftMaintenance {
       deleteWhereImpl(spark, dir, predicate, changelog, schemaOverride)
     }
 
+  /** [[deleteWhere]] restricted to a pre-commit SNAPSHOT of files — the
+    * replaceWhere overwrite's delete half: the new data is already renamed
+    * in when this runs, and its rows match the replace predicate by
+    * construction, so the rewrite must only touch files that pre-existed
+    * the commit. The probe scan still covers the whole table (partition
+    * and zone-map pruning bound it); only the matched-file set is scoped.
+    */
+  private[spark] def deleteWhereScoped(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column, changelog: Boolean,
+      scope: Set[String]): DeleteStats =
+    locked(spark, dir, "replaceWhere") {
+      deleteWhereImpl(spark, dir, predicate, changelog, None, Some(scope))
+    }
+
   private def deleteWhereImpl(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       changelog: Boolean,
-      schemaOverride: Option[org.apache.spark.sql.types.StructType]): DeleteStats = {
+      schemaOverride: Option[org.apache.spark.sql.types.StructType],
+      scope: Option[Set[String]] = None): DeleteStats = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
     val fs = tableDir.getFileSystem(conf)
@@ -281,7 +296,8 @@ object GraftMaintenance {
     // instead of paying driver job-sequencing latency serially — that
     // sequencing was the whole x_delete_where gap vs a plain
     // filter-and-rewrite. Crash-resume semantics are per-file (scaffold).
-    val matchedFiles = files.filter(f => matched.contains(f.getPath.toString))
+    val matchedFiles = files.filter(f => matched.contains(f.getPath.toString) &&
+      scope.forall(_.contains(f.getPath.toString)))
     val rewritten = rewriteMatchedFiles(spark, conf, fs, tableDir,
       matchedFiles, schema, RewriteSpec(
         tag = "del", hash = predHash,
@@ -319,6 +335,61 @@ object GraftMaintenance {
     healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
     DeleteStats(rewritten, untouched, rowsBefore, rowsAfter)
   }
+
+  /** WHOLE-FILE retirement for the overwrite write modes (dynamic
+    * partition overwrite, replaceWhere's fully-covered files): retire the
+    * given pre-commit snapshot files and reconcile manifests, without any
+    * probe scan — the caller already knows exactly which files die.
+    * Metadata-only when `changelog = false` (O(victims) filesystem ops,
+    * zero Spark jobs — the 100 TB shape for a daily-partition re-ingest);
+    * with `changelog = true` each victim's rows are first published to
+    * the `_graft_changes` feed as delete pre-images through the same
+    * crash-safe deterministic-name scaffold the row-level ops use.
+    * Crash contract (matches the truncating overwrite's): a crash
+    * mid-retire leaves old+new visible (duplicates, recoverable by
+    * re-running the overwrite — its fresh snapshot treats the earlier
+    * attempt's files as old); the manifest heal is listing-keyed and
+    * self-heals on the next mutating op either way.
+    */
+  private[spark] def overwriteRetire(spark: SparkSession, dir: String,
+      victimPaths: Set[String], changelog: Boolean, opHash: String): DeleteStats =
+    locked(spark, dir, "overwrite") {
+      val conf = spark.sessionState.newHadoopConf()
+      val tableDir = new org.apache.hadoop.fs.Path(dir)
+      val fs = tableDir.getFileSystem(conf)
+      val files = GraftUtil.listDataFiles(dir, conf)
+      val manifestSnapshot = GraftManifest.list(fs, tableDir)
+      val victims = files.filter(f => victimPaths.contains(f.getPath.toString))
+      val rowsBefore = {
+        val c = GraftScan.rowCount(files, conf)
+        if (c.isPresent) c.getAsLong
+        else spark.read.format("graft").load(dir).count()
+      }
+      if (victims.nonEmpty) {
+        if (changelog) {
+          val schema = spark.read.format("graft").load(dir).schema
+          rewriteMatchedFiles(spark, conf, fs, tableDir, victims, schema,
+            RewriteSpec(tag = "del", hash = opHash,
+              changelogOf = Some(identity),
+              projectOf = df => df.filter(org.apache.spark.sql.functions.lit(false)),
+              allowEmpty = true, sameCount = false))
+          publishChangeFeed(conf, fs, tableDir)
+        } else {
+          victims.foreach(f => fs.delete(f.getPath, false))
+        }
+      }
+      healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
+      val rowsAfter = {
+        val survivors = GraftUtil.listDataFiles(dir, conf)
+        if (survivors.isEmpty) 0L
+        else {
+          val c = GraftScan.rowCount(survivors, conf)
+          if (c.isPresent) c.getAsLong
+          else spark.read.format("graft").load(dir).count()
+        }
+      }
+      DeleteStats(victims.size, files.size - victims.size, rowsBefore, rowsAfter)
+    }
 
   /** Shared post-rewrite manifest reconciliation for the row-level rewrite
     * ops (deleteWhere / updateWhere): expire manifests referencing retired
@@ -359,16 +430,36 @@ object GraftMaintenance {
       // suffix); the version log skips them (the commit is registered).
       val markerStrip =
         raw"-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E$$".r
+      // walk the FULL ancestor chain (X-delA-delB covers X-delA AND X),
+      // mirroring GraftDataSource.inheritedT / GraftStreamSource
+      // .originalCovered: a crash after one rewrite retired its originals
+      // can leave the next rewrite's heal holding a manifest that lists a
+      // grandparent — stripping only one marker came up empty and the
+      // commit's surviving rows silently dropped out of since/CDC windows.
+      // The walk stops at the first LIVE ancestor: that ancestor covers
+      // itself via the live.contains branch below, and mapping past it
+      // would double-count its rows.
       val outputByOriginal: Map[String, Seq[(String, Long)]] = liveFiles
         .flatMap { f =>
-          val nm = f.getPath.getName
-          if (!survivorName.matcher(nm).matches()) None
+          val nm0 = f.getPath.getName
+          if (!survivorName.matcher(nm0).matches()) Seq.empty
           else {
-            val origName = markerStrip.replaceAllIn(nm, GraftUtil.Extension)
-            val orig = fs.makeQualified(new org.apache.hadoop.fs.Path(
-              f.getPath.getParent, origName)).toString
             val q = fs.makeQualified(f.getPath).toString
-            Some(orig -> ((relOf(q), f.getLen)))
+            val entry = (relOf(q), f.getLen)
+            val ancestors = Seq.newBuilder[(String, (String, Long))]
+            var nm = nm0
+            var go = true
+            while (go) {
+              val stripped = markerStrip.replaceAllIn(nm, GraftUtil.Extension)
+              if (stripped == nm) go = false
+              else {
+                val orig = fs.makeQualified(new org.apache.hadoop.fs.Path(
+                  f.getPath.getParent, stripped)).toString
+                if (live.contains(orig)) go = false
+                else { ancestors += (orig -> entry); nm = stripped }
+              }
+            }
+            ancestors.result()
           }
         }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
       val survivingCommitKeys = surviving

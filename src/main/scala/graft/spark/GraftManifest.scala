@@ -136,6 +136,27 @@ object GraftManifest {
       throw new java.io.IOException(s"graft: failed to publish manifest $name")
   }
 
+  /** Publish a ZERO-ENTRY manifest under `tag` — a durable commit marker
+    * for an op that added no files but whose replay must still be
+    * recognized (the CDC consumer's zero-append window: replaying an OLD
+    * zero-append window after later windows re-appended overlapping keys
+    * would re-run its deletes and permanently remove rows whose restoring
+    * windows are themselves replay-blocked by their own tags). The marker
+    * is a real commit: it registers a version ordinal (a no-op version —
+    * addressable, resolves to the table state at its commit time) and so
+    * survives compaction's manifest retirement through the version log,
+    * exactly like a row-carrying tagged append.
+    */
+  def publishMarker(fs: FileSystem, tableDir: Path, tag: String): Unit = {
+    val name = f"${System.currentTimeMillis()}%013d-$tag"
+    val d = dir(tableDir)
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".$name.tmp")
+    fs.create(tmp, true).close() // zero entries: an empty manifest body
+    if (!fs.rename(tmp, new Path(d, name)))
+      throw new java.io.IOException(s"graft: failed to publish marker manifest $name")
+  }
+
   /** Sorted names of all published manifests (chronological — the embedded
     * millis prefix is zero-padded). Only `<millis>-<suffix>` names qualify:
     * a stray file in the manifest dir (_SUCCESS, an editor artifact) must

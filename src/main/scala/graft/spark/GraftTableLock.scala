@@ -14,15 +14,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Mechanics — the S3A/HDFS-portable shape, not a filesystem flock:
   *
-  *   - acquisition atomically creates `<table>/_graft_maint_lock`
-  *     (`create(overwrite = false)`; atomic on HDFS, check-then-create on
-  *     the local FS — advisory, operationally sufficient);
-  *   - the holder heartbeats the file's modification time every lease/3,
-  *     so a LIVE holder is never expropriated no matter how long the op
-  *     runs;
-  *   - a waiter polls; a lock whose mtime is older than the lease
-  *     (`graft.maint.lock.lease.ms`, default 10 min) belonged to a
-  *     CRASHED holder and is broken and re-claimed;
+  *   - acquisition creates `<table>/_graft_maint_lock` holding
+  *     `<token>\n<heartbeat millis>`. On a local filesystem the create
+  *     goes through java.nio CREATE_NEW (true O_EXCL atomicity — Hadoop's
+  *     `create(overwrite = false)` is check-then-create there); on HDFS
+  *     `create(overwrite = false)` is itself atomic. Every claim is then
+  *     READ-BACK VERIFIED after a short settle: a double-claim on a
+  *     filesystem with neither guarantee leaves ONE token in the file,
+  *     and the loser re-enters the wait loop instead of proceeding;
+  *   - the holder heartbeats every lease/3 by BOTH touching the file's
+  *     mtime and rewriting the heartbeat millis in the content (guarded
+  *     by a token read-check, so a paused-past-lease holder never
+  *     clobbers the lock's new owner) — object stores that reject
+  *     `setTimes` still renew through the content;
+  *   - a waiter polls; a lock is STALE only when the freshest of (mtime,
+  *     content heartbeat) is older than the lease
+  *     (`graft.maint.lock.lease.ms`, default 10 min), so a live
+  *     long-running holder is never expropriated while either mechanism
+  *     works;
+  *   - a stale lock is broken by RENAMING that incarnation to a
+  *     tombstone (of two racing breakers exactly one rename succeeds);
   *   - waiting is bounded by `graft.maint.lock.wait.ms` (default 10 min),
   *     then the op fails loudly instead of queueing forever;
   *   - re-entrant within a thread (zorder runs through compact under one
@@ -44,10 +55,9 @@ private[spark] object GraftTableLock {
       scala.collection.mutable.Set.empty
   }
 
-  /** Same-JVM contenders serialize HERE before touching the filesystem:
-    * `create(overwrite = false)` is check-then-create on the local FS, so
-    * two threads of one driver (the local[*] shape) could both win the
-    * file claim. Cross-process claims still go through the file. */
+  /** Same-JVM contenders serialize HERE before touching the filesystem —
+    * cheap, and it keeps the file protocol to genuinely cross-process
+    * contention. */
   private val inProcess =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
@@ -67,6 +77,48 @@ private[spark] object GraftTableLock {
     finally pl.unlock()
   }
 
+  private def render(token: String): Array[Byte] =
+    s"$token\n${System.currentTimeMillis()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** (token line, content heartbeat millis) — None when unreadable or
+    * mid-rewrite; callers treat that conservatively (not proof of
+    * staleness, not proof of ownership). */
+  private def readLock(fs: FileSystem, p: Path): Option[(String, Option[Long])] =
+    try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = s.split("\n", 2)
+      if (lines.isEmpty || lines(0).isEmpty) None
+      else Some((lines(0).trim,
+        if (lines.length > 1) lines(1).trim.toLongOption else None))
+    } catch { case _: Exception => None }
+
+  /** True local filesystems get java.nio O_EXCL; everything else rides the
+    * FileSystem contract (atomic-exclusive on HDFS). */
+  private def tryClaim(fs: FileSystem, lockPath: Path, token: String): Boolean = {
+    fs.mkdirs(lockPath.getParent)
+    if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+      val local = java.nio.file.Paths.get(
+        Path.getPathWithoutSchemeAndAuthority(fs.makeQualified(lockPath)).toString)
+      try {
+        java.nio.file.Files.write(local, render(token),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = fs.create(lockPath, false)
+        try out.write(render(token)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
   private def withFileLock[T](fs: FileSystem, tableDir: Path, op: String,
       lease: Long, waitMs: Long, key: String)(f: => T): T = {
     val lockPath = new Path(tableDir, LockName)
@@ -74,68 +126,79 @@ private[spark] object GraftTableLock {
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
-      try {
-        fs.mkdirs(tableDir)
-        val out = fs.create(lockPath, false)
-        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        acquired = true
-      } catch {
-        case e: java.io.IOException =>
-          if (System.currentTimeMillis() > deadline &&
-              !fs.exists(lockPath))
+      if (tryClaim(fs, lockPath, token)) {
+        // READ-BACK VERIFY: on a filesystem where the claim was
+        // check-then-create, a racing claimer may have overwritten the
+        // file between our write and close — whichever token the file
+        // holds now is the winner, the other loops back into the wait.
+        Thread.sleep(5)
+        acquired = readLock(fs, lockPath).exists(_._1 == token)
+        if (!acquired) Thread.sleep(10)
+      } else {
+        val st = try Some(fs.getFileStatus(lockPath)) catch {
+          case _: java.io.FileNotFoundException => None // released: retry now
+        }
+        if (st.isEmpty) {
+          if (System.currentTimeMillis() > deadline)
             throw new java.io.IOException(
-              s"graft: cannot create maintenance lock at $lockPath", e)
-          val st = try Some(fs.getFileStatus(lockPath)) catch {
-            case _: java.io.FileNotFoundException => None // released: retry now
-          }
-          if (st.isEmpty) Thread.sleep(10)
-          st.foreach { s =>
-            if (System.currentTimeMillis() - s.getModificationTime > lease) {
-              // crashed holder: break the stale lease by RENAMING the
-              // specific stale incarnation to a tombstone — of two racing
-              // breakers exactly one rename succeeds (the loser's source
-              // is gone and it loops into the fresh winner's lock). A
-              // plain delete here could land AFTER the winner re-created
-              // the lock and destroy a live claim.
-              val tomb = new Path(tableDir,
-                s"$LockName.stale-${java.util.UUID.randomUUID().toString.take(8)}")
-              if (fs.rename(lockPath, tomb)) fs.delete(tomb, false)
-            } else if (System.currentTimeMillis() > deadline) {
-              val holder = try {
-                val in = fs.open(lockPath)
-                try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-              } catch { case _: Exception => "<unreadable>" }
-              throw new java.util.ConcurrentModificationException(
-                s"graft: table $tableDir is locked by another maintenance " +
-                  s"operation ($holder) — waited ${waitMs}ms " +
-                  "(graft.maint.lock.wait.ms); if the holder crashed, the " +
-                  s"lease expires ${lease}ms after its last heartbeat " +
-                  "(graft.maint.lock.lease.ms)")
-            } else Thread.sleep(math.min(200L, math.max(1L, waitMs / 10)))
-          }
+              s"graft: cannot create maintenance lock at $lockPath")
+          Thread.sleep(10)
+        }
+        st.foreach { s =>
+          val content = readLock(fs, lockPath)
+          val freshest = math.max(s.getModificationTime,
+            content.flatMap(_._2).getOrElse(0L))
+          if (System.currentTimeMillis() - freshest > lease) {
+            // crashed holder: break the stale lease by RENAMING the
+            // specific stale incarnation to a tombstone — of two racing
+            // breakers exactly one rename succeeds (the loser's source
+            // is gone and it loops into the fresh winner's lock). A
+            // plain delete here could land AFTER the winner re-created
+            // the lock and destroy a live claim.
+            val tomb = new Path(tableDir,
+              s"$LockName.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+            if (fs.rename(lockPath, tomb)) fs.delete(tomb, false)
+          } else if (System.currentTimeMillis() > deadline) {
+            val holder = content.map(_._1).getOrElse("<unreadable>")
+            throw new java.util.ConcurrentModificationException(
+              s"graft: table $tableDir is locked by another maintenance " +
+                s"operation ($holder) — waited ${waitMs}ms " +
+                "(graft.maint.lock.wait.ms); if the holder crashed, the " +
+                s"lease expires ${lease}ms after its last heartbeat " +
+                "(graft.maint.lock.lease.ms)")
+          } else Thread.sleep(math.min(200L, math.max(1L, waitMs / 10)))
+        }
       }
     }
     val renewer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
-      (r: Runnable) => { val t = new Thread(r, s"graft-lock-renew"); t.setDaemon(true); t })
+      (r: Runnable) => { val t = new Thread(r, s"graft-lock-renew"); t.setDaemon(true); t.setPriority(Thread.MAX_PRIORITY); t })
     val heartbeatFailing = new java.util.concurrent.atomic.AtomicBoolean(false)
     renewer.scheduleAtFixedRate(() => {
-      try {
-        fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-        heartbeatFailing.set(false)
-      } catch { case e: Exception =>
-        // NOT silently ignorable: without heartbeats a LIVE op running
-        // past the lease looks crashed and gets expropriated. Warn once
-        // per failure streak so the operator can raise the lease on
-        // filesystems that cannot touch mtimes (e.g. object stores).
-        if (heartbeatFailing.compareAndSet(false, true))
-          System.err.println(s"[graft] WARN: maintenance-lock heartbeat " +
-            s"failed on $lockPath (${e.getMessage}); if heartbeats keep " +
-            "failing and this operation outlives graft.maint.lock.lease.ms, " +
-            "another process may expropriate a live lock — raise the lease " +
-            "above the longest expected op on such filesystems")
-      }
+      // two renewal mechanisms, either suffices: mtime touch (HDFS/local)
+      // and a content rewrite of the heartbeat millis (object stores that
+      // reject setTimes). The rewrite is guarded by a token read-check so
+      // a holder paused past its lease never clobbers the new owner —
+      // advisory (read-then-write), but the clobber window is now one
+      // heartbeat racing one break instead of every beat.
+      val mtimeOk =
+        try { fs.setTimes(lockPath, System.currentTimeMillis(), -1); true }
+        catch { case _: Exception => false }
+      val contentOk =
+        try {
+          if (readLock(fs, lockPath).exists(_._1 == token)) {
+            val out = fs.create(lockPath, true)
+            try out.write(render(token)) finally out.close()
+            true
+          } else false
+        } catch { case _: Exception => false }
+      if (mtimeOk || contentOk) heartbeatFailing.set(false)
+      else if (heartbeatFailing.compareAndSet(false, true))
+        System.err.println(s"[graft] WARN: maintenance-lock heartbeat " +
+          s"failed on $lockPath (both mtime touch and content rewrite); " +
+          "if heartbeats keep failing and this operation outlives " +
+          "graft.maint.lock.lease.ms, another process may expropriate a " +
+          "live lock — raise the lease above the longest expected op on " +
+          "such filesystems")
     }, math.max(1L, lease / 3), math.max(1L, lease / 3),
       java.util.concurrent.TimeUnit.MILLISECONDS)
     held.get += key
@@ -144,10 +207,8 @@ private[spark] object GraftTableLock {
       held.get -= key
       renewer.shutdownNow()
       try {
-        val in = fs.open(lockPath)
-        val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        if (owner == token) fs.delete(lockPath, false)
+        if (readLock(fs, lockPath).exists(_._1 == token))
+          fs.delete(lockPath, false)
       } catch { case _: Exception => () } // reclaimed or already gone
     }
   }

@@ -9,21 +9,81 @@ import org.apache.spark.sql.types.StructType
 
 import scala.collection.mutable.ArrayBuffer
 
+/** How the batch commit treats pre-existing data. */
+private[spark] sealed trait GraftWriteMode
+private[spark] object GraftWriteMode {
+  /** Plain append: old files untouched. */
+  case object Append extends GraftWriteMode
+  /** Whole-table overwrite: every pre-existing file retired at commit. */
+  case object Truncate extends GraftWriteMode
+  /** Predicate overwrite (`replaceWhere` / static `INSERT OVERWRITE
+    * PARTITION`): after the new files commit, rows matching the predicate
+    * are deleted from the PRE-COMMIT snapshot through the deleteWhere
+    * rewrite scaffold (file-scoped survivor rewrites, manifest heal,
+    * optional change-feed pre-images). */
+  final case class ReplaceWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]) extends GraftWriteMode
+  /** Dynamic partition overwrite: after the new files commit, every
+    * pre-commit file in a partition directory this commit wrote to is
+    * retired whole — partitions the incoming data does not touch are left
+    * byte-identical. */
+  case object DynamicPartitions extends GraftWriteMode
+}
+
 /** DSv2 write path: per-task DataWriter buffers rows columnar, encodes one
   * chunk per file, rolls files at maxRowsPerFile (the reference's
   * one-row-group-per-file constraint, `/root/reference/src/write/writer.rs:108-112`,
   * handled by rolling — SURVEY.md §7.4).
   */
 final class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with SupportsOverwrite with SupportsDynamicOverwrite {
 
-  private var doTruncate = false
+  private var mode: GraftWriteMode = GraftWriteMode.Append
 
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def truncate(): WriteBuilder = { mode = GraftWriteMode.Truncate; this }
+
+  /** `replaceWhere`: `df.writeTo(t).overwrite(cond)` / static
+    * `INSERT OVERWRITE ... PARTITION (p = v)`. An all-true predicate is a
+    * truncate. Every filter must be translatable back to a Column (the
+    * deleteWhere scaffold executes it); untranslatable ones reject the
+    * plan loudly HERE rather than deleting a superset or subset. */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    mode =
+      if (filters.isEmpty ||
+          filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+        GraftWriteMode.Truncate
+      else {
+        filters.foreach { f =>
+          if (GraftTable.filterToColumn(f).isEmpty)
+            throw new UnsupportedOperationException(
+              s"graft: overwrite condition $f is not translatable to a " +
+                "row-level delete predicate — rewrite the condition or use " +
+                "truncate/dynamic-partition overwrite")
+        }
+        GraftWriteMode.ReplaceWhere(filters)
+      }
+    this
+  }
+
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` /
+    * `df.writeTo(t).overwritePartitions()`. Validated at build time: the
+    * write must actually partition its output (`partitionby` option or
+    * the catalog table's declared layout), or "replace the partitions I
+    * wrote" degenerates to replacing nothing. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = GraftWriteMode.DynamicPartitions
+    this
+  }
 
   override def build(): Write = {
     val opts = GraftWriteOptions.fromOptions(info.options)
-    new GraftWriteImpl(info.schema(), path, opts, doTruncate,
+    if (mode == GraftWriteMode.DynamicPartitions)
+      require(opts.partitionBy.nonEmpty,
+        "graft: dynamic partition overwrite needs a partitioned write — " +
+          "set .option(\"partitionby\", ...) or declare the layout on the " +
+          "catalog table")
+    new GraftWriteImpl(info.schema(), path, opts, mode,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
       info.queryId())
   }
@@ -55,7 +115,15 @@ final case class GraftWriteOptions(
       * staged files are dropped instead of renamed in, the same contract as
       * the streaming sink's epoch tags.
       */
-    manifestTag: Option[String] = None)
+    manifestTag: Option[String] = None,
+    /** Overwrite modes only: publish the replaced rows to the table's
+      * `_graft_changes` feed as delete pre-images (same contract as
+      * `deleteWhere(changelog = true)`), so CDC consumers of a window
+      * spanning the overwrite see it as delete+insert. Off by default —
+      * it costs a read of every replaced row, which a metadata-only
+      * partition swap otherwise avoids entirely.
+      */
+    changelog: Boolean = false)
 
 object GraftWriteOptions {
   def fromOptions(o: org.apache.spark.sql.util.CaseInsensitiveStringMap): GraftWriteOptions = {
@@ -117,7 +185,8 @@ object GraftWriteOptions {
             !GraftManifest.isReplacement(s"0-$t"),
           s"graft: manifesttag '$t' collides with a reserved tag namespace")
         t
-      })
+      },
+      changelog = Option(o.get("changelog")).exists(_.toBoolean))
   }
 }
 
@@ -150,7 +219,7 @@ object GraftWriteImpl {
 }
 
 final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOptions,
-    doTruncate: Boolean, conf: SerializableHadoopConf, queryId: String = "")
+    mode: GraftWriteMode, conf: SerializableHadoopConf, queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
 
   // validate partitionby / bloomfilter at PLAN time on the driver: a
@@ -196,7 +265,7 @@ final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOpt
   // partition counts / skip the shuffle when the data is already distributed
   override def distributionStrictlyRequired(): Boolean = false
 
-  override def toBatch: BatchWrite = new GraftBatchWrite(schema, path, opts, doTruncate, conf)
+  override def toBatch: BatchWrite = new GraftBatchWrite(schema, path, opts, mode, conf)
 
   /** Native streaming sink (`df.writeStream.format("graft")`), append mode.
     * Epoch commits are idempotent: data files carry deterministic
@@ -207,7 +276,7 @@ final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOpt
     * sink can't atomically replace a table per epoch.
     */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-    if (doTruncate) throw new UnsupportedOperationException(
+    if (mode != GraftWriteMode.Append) throw new UnsupportedOperationException(
       "graft: streaming sink supports append output mode only")
     new GraftStreamingWrite(schema, path, opts, conf, queryId)
   }
@@ -300,7 +369,9 @@ final class GraftStreamingWrite(schema: StructType, path: String, opts: GraftWri
 }
 
 final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOptions,
-    doTruncate: Boolean, conf: SerializableHadoopConf) extends BatchWrite {
+    mode: GraftWriteMode, conf: SerializableHadoopConf) extends BatchWrite {
+
+  private def doTruncate: Boolean = mode == GraftWriteMode.Truncate
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
@@ -409,6 +480,46 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     oldFiles.foreach(fs.delete(_, false))
     if (added.nonEmpty && staysSorted)
       GraftSortMarker.publish(fs, tableDir, effectiveSort)
+    // OVERWRITE delete phase, strictly after the new files and their
+    // manifest are visible: a crash anywhere in it leaves old+new visible
+    // (duplicates in the replaced slice — recoverable by re-running the
+    // overwrite, whose fresh pre-commit snapshot treats this attempt's
+    // files as old), never a window where the slice is silently empty.
+    // Both paths scope the retirement to the PRE-COMMIT snapshot, so the
+    // just-committed rows (which match the replace predicate / live in
+    // the replaced partitions by construction) are never self-deleted.
+    mode match {
+      case GraftWriteMode.ReplaceWhere(filters) =>
+        if (preExisting.nonEmpty) {
+          val spark = SparkSession.active
+          val pred = filters.flatMap(GraftTable.filterToColumn(_))
+            .reduceLeft(_ && _) // translatability validated at plan time
+          GraftMaintenance.deleteWhereScoped(spark, path, pred,
+            changelog = opts.changelog,
+            scope = preExisting.map(_.getPath.toString).toSet)
+        }
+      case GraftWriteMode.DynamicPartitions =>
+        val touched = added.map(_._1).flatMap { rel =>
+          val i = rel.lastIndexOf('/')
+          if (i < 0) None else Some(rel.substring(0, i))
+        }.toSet
+        if (touched.nonEmpty && preExisting.nonEmpty) {
+          def relDirOf(f: org.apache.hadoop.fs.FileStatus): String =
+            GraftUtil.partitionSegments(tableDir, f.getPath)
+              .map { case (k, v) => s"$k=${GraftUtil.escapePathValue(v)}" }
+              .mkString("/")
+          val victims = preExisting
+            .filter(f => touched.contains(relDirOf(f)))
+            .map(_.getPath.toString).toSet
+          if (victims.nonEmpty) {
+            val opHash = GraftManifest.md5Hex(
+              "dynov|" + touched.toSeq.sorted.mkString(","), 4)
+            GraftMaintenance.overwriteRetire(SparkSession.active, path,
+              victims, changelog = opts.changelog, opHash = opHash)
+          }
+        }
+      case _ => ()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -359,23 +359,22 @@ class DmlDifferentialSpec extends AnyFunSuite {
           s"seed=$seed step $step: derived table diverged " +
             s"(${got.size} rows vs ${want.size} expected) — got ${got.take(6)}" +
             s" want ${want.take(6)}")
-        // crash-replay / duplicate poll of the SAME window: a window that
-        // APPENDED rows is recognized by its tag and no-ops at (0,0) —
-        // including ones whose delete keys overlap their appended keys
-        // (update reconciliation). A zero-append window has no tag on
-        // record (empty commits publish nothing) and replays as
-        // CONVERGING deletes — safe because there is no appended output
-        // to lose. Either way the table must not move.
+        // crash-replay / duplicate poll of the SAME window: EVERY applied
+        // window is recognized by its tag up front and no-ops at (0,0) —
+        // row-appending ones via their tagged append manifest, zero-append
+        // ones via the zero-entry marker manifest (without the marker, an
+        // out-of-order replay of an old zero-append window would re-delete
+        // rows later windows re-appended, and those windows' own tags
+        // block the restoring re-appends). The table must not move.
         if (rnd.nextBoolean()) {
           val (ra, rd) = GraftCdc.applyChangesBetween(spark, src,
             window._1, window._2, dst, "k", derive,
             driverKeyMax = if (rnd.nextBoolean()) 3 else 1000)
           assert(ra == 0,
             s"seed=$seed step $step: replay re-appended rows ($ra, $rd)")
-          if (firstAppended > 0)
-            assert(rd == 0,
-              s"seed=$seed step $step: appended window's replay not " +
-                s"recognized up front ($ra, $rd)")
+          assert(rd == 0,
+            s"seed=$seed step $step: window's replay not " +
+              s"recognized up front ($ra, $rd, appended=$firstAppended)")
           val again = spark.read.format("graft").load(dst)
             .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
           assert(again == want,

@@ -225,7 +225,7 @@ class GraftCdcSpec extends AnyFunSuite {
     scenario("nodel", driverKeyMax = 1000, takedown = false)
   }
 
-  test("applyChangesBetween with an insert-free window appends nothing and publishes nothing") {
+  test("applyChangesBetween with an insert-free window appends nothing, publishing only the window marker") {
     val src = fresh("between-noins-src")
     val dst = fresh("between-noins-dst")
     spark.range(0, 100).selectExpr("id AS k", "id * 7 AS v")
@@ -243,17 +243,25 @@ class GraftCdcSpec extends AnyFunSuite {
     val (appended, deleted) = GraftCdc.applyChangesBetween(spark, src,
       t1, Long.MaxValue, dst, "k")
     assert(appended == 0 && deleted == 10, s"($appended, $deleted)")
-    // the delete rewrite publishes its own commits; beyond those there
-    // must be NO insert-append manifest — count the non-delete additions
+    // the delete rewrite publishes its own commits; beyond those the ONLY
+    // addition is the zero-entry window-tag MARKER (the durable replay
+    // guard for zero-append windows) — no data-file append manifest
     val after = GraftManifest.list(fs, p).toSet
     val newOnes = after -- manifestsBefore
-    // deleteWhere healing may add manifests; an empty append adds none
-    // with zero entries — every new manifest must list at least one file
-    newOnes.foreach { m =>
+    val (markers, others) = newOnes.partition(_.contains("-cdcw"))
+    assert(markers.size == 1,
+      s"a zero-append window must publish exactly one tag marker: $markers")
+    assert(GraftManifest.read(fs, p, markers.head).isEmpty,
+      "the window marker must list no files")
+    others.foreach { m =>
       assert(GraftManifest.read(fs, p, m).nonEmpty,
         s"empty manifest published by a zero-row append: $m")
     }
     assert(spark.read.format("graft").load(dst).count() == 90)
+    // and the marker makes even this insert-free window replay-recognized
+    val (ra, rd) = GraftCdc.applyChangesBetween(spark, src,
+      t1, Long.MaxValue, dst, "k")
+    assert(ra == 0 && rd == 0, s"marked window replayed its deletes: ($ra, $rd)")
   }
 
   test("graft_changes SQL table function serves the same event stream") {

@@ -145,6 +145,52 @@ class TableLockSpec extends AnyFunSuite {
     assert(ks.distinct == ks, "duplicated rows after the race")
   }
 
+  test("a fresh CONTENT heartbeat protects a holder whose mtime went stale") {
+    // object-store shape: setTimes rejected, so the holder renews by
+    // rewriting the heartbeat millis into the lock content. A waiter must
+    // take the freshest of (mtime, content heartbeat) — an old mtime with
+    // a fresh content time is a LIVE holder, not a crashed one.
+    val dir = fresh("content-hb")
+    spark.range(0, 50).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val lp = lockPath(dir)
+    val out = fs.create(lp, false)
+    try out.write(s"other:live\n${System.currentTimeMillis() + 30000}"
+      .getBytes("UTF-8")) finally out.close()
+    // mtime says "crashed an hour ago"; content says "heartbeating now"
+    fs.setTimes(lp, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong("graft.maint.lock.wait.ms", 400L)
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        GraftMaintenance.deleteWhere(spark, dir, col("k") < 5)
+      }
+      assert(e.getMessage.contains("other:live"),
+        "a content-fresh lock must be treated as live, not expropriated")
+      assert(spark.read.format("graft").load(dir).count() == 50)
+    } finally {
+      hconf.unset("graft.maint.lock.wait.ms")
+      fs.delete(lp, false)
+    }
+  }
+
+  test("a stale lock is broken when BOTH mtime and content heartbeat are old") {
+    val dir = fresh("both-stale")
+    spark.range(0, 50).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val lp = lockPath(dir)
+    val old = System.currentTimeMillis() - 60 * 60 * 1000L
+    val out = fs.create(lp, false)
+    try out.write(s"crashed:gone\n$old".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(lp, old, -1)
+    val st = GraftMaintenance.deleteWhere(spark, dir, col("k") < 10)
+    assert(st.rowsBefore - st.rowsAfter == 10,
+      "a doubly-stale lease must not block the op")
+    assert(!fs.exists(lp), "the new holder must release its own claim")
+  }
+
   test("composed ops acquire once: zorder runs through compact under one lock") {
     val dir = fresh("reentrant")
     spark.range(0, 2000)

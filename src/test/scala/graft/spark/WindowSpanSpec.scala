@@ -161,6 +161,52 @@ class WindowSpanSpec extends AnyFunSuite {
       .option("since", manifestMax(dir).toString).load(dir).count() == 0)
   }
 
+  test("heal after a crashed predecessor maps a CHAINED output to the grandparent") {
+    // op A rewrites X -> X-delA and crashes BEFORE healing (original
+    // manifest still lists X); op B then rewrites the survivor output
+    // X-delA -> X-delA-delB. B's heal holds a manifest listing X while the
+    // only live descendant carries TWO markers — the heal must walk the
+    // full ancestor chain (as inheritedT/originalCovered do) or the
+    // commit's surviving rows silently drop out of since/CDC windows.
+    val dir = fresh("chainheal")
+    spark.range(0, 100).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    val t1 = manifestMax(dir)
+    Thread.sleep(5)
+    spark.range(100, 110).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(dir)
+    val m2 = GraftManifest.list(fs, p).maxBy(GraftManifest.nameT)
+    val m2entries = GraftManifest.read(fs, p, m2)
+    GraftMaintenance.deleteWhere(spark, dir, col("k").between(100, 102))
+    // reconstruct op A's pre-heal crash state: replacement gone, the
+    // expired original manifest back, still referencing retired X
+    val repl = GraftManifest.list(fs, p).filter(GraftManifest.isReplacement)
+    assert(repl.size == 1)
+    fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(p), repl.head), false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(GraftManifest.dir(p), m2), true)
+    try out.write(m2entries.map { case (n, l) => s"$n\t$l" }
+      .mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    // drop the catch-up manifests A published: the crashed-run state we
+    // model is "originals retired, heal never reached"
+    GraftManifest.list(fs, p).filter(GraftManifest.isCatchup).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(p), n), false))
+    // op B rewrites the survivor output, leaving a survivor of its own so
+    // the live file carries two markers (delete only k=103; the -delA file
+    // holds 103,104 after A removed 100-102 from its 102..104 original)
+    GraftMaintenance.deleteWhere(spark, dir, col("k") === 103)
+    val chained = GraftUtil.listDataFiles(dir, spark.sessionState.newHadoopConf())
+      .map(_.getPath.getName).filter(_.contains("-del"))
+    assert(chained.exists(n => "-del[0-9a-f]{8}".r.findAllIn(n).size == 2),
+      s"staging assumption broken — expected a two-marker chained output: $chained")
+    assert(sinceKs(dir, t1) == (104L to 109L),
+      "B's heal must map the chained output back to the grandparent the " +
+        "expiring manifest lists; otherwise the commit's survivors are lost")
+    // batch view stays exact too
+    assert(spark.read.format("graft").load(dir).count() == 106)
+  }
+
   test("checkpoint upgrade does not redeliver a rewritten commit's survivors") {
     val dir = fresh("upgrade")
     spark.range(0, 20).selectExpr("id AS k")
@@ -391,6 +437,50 @@ class WindowSpanSpec extends AnyFunSuite {
     assert(a3 == 0 && d3 == 0,
       s"replay after compact must still be recognized: ($a3, $d3)")
     assert(spark.read.format("graft").load(dst).count() == 60)
+  }
+
+  test("out-of-order replay of an old ZERO-APPEND window is a no-op") {
+    // the replay hole the zero-entry marker manifest closes: window W1
+    // only deletes (zero appends -> no tagged append manifest), window W2
+    // re-appends the same keys. Replaying W1 AFTER W2 would re-run W1's
+    // deletes against W2's output, and W2's own tag blocks the re-append
+    // that could restore them — permanent row loss unless W1's tag was
+    // durably recorded despite publishing no files.
+    val src = fresh("zeroapp-src")
+    val dst = fresh("zeroapp-dst")
+    spark.range(0, 50).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    spark.read.format("graft").load(src)
+      .write.format("graft").mode("append").save(dst)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    GraftMaintenance.deleteWhere(spark, src, col("k") < 10, changelog = true)
+    Thread.sleep(3)
+    val t2 = System.currentTimeMillis()
+    val (a1, d1) = GraftCdc.applyChangesBetween(spark, src, t1, t2, dst, "k")
+    assert(a1 == 0 && d1 == 10, s"W1 must be a pure-delete window: ($a1, $d1)")
+    assert(spark.read.format("graft").load(dst).count() == 40)
+    // W2 re-appends the deleted keys
+    Thread.sleep(3)
+    spark.range(0, 10).selectExpr("id AS k", "-id AS v")
+      .write.format("graft").mode("append").save(src)
+    Thread.sleep(3)
+    val t3 = System.currentTimeMillis()
+    val (a2, _) = GraftCdc.applyChangesBetween(spark, src, t2, t3, dst, "k")
+    assert(a2 == 10)
+    assert(spark.read.format("graft").load(dst).count() == 50)
+    // out-of-order replay of W1: must be recognized up front, table intact
+    val (a3, d3) = GraftCdc.applyChangesBetween(spark, src, t1, t2, dst, "k")
+    assert(a3 == 0 && d3 == 0,
+      s"zero-append window replay must be recognized by its marker: ($a3, $d3)")
+    assert(spark.read.format("graft").load(dst).count() == 50,
+      "replaying the old delete window re-deleted rows a later window restored")
+    // and the recognition survives compaction of the target
+    GraftMaintenance.compact(spark, dst, targetFiles = 1)
+    val (a4, d4) = GraftCdc.applyChangesBetween(spark, src, t1, t2, dst, "k")
+    assert(a4 == 0 && d4 == 0, s"marker must survive compaction: ($a4, $d4)")
+    assert(spark.read.format("graft").load(dst).count() == 50)
   }
 
   test("mergeKeyIntervals: sound cover, bounded count, disjoint sorted output") {
