@@ -206,6 +206,70 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_dynamic_overwrite" -> { (s, dir) =>
+      // dynamic partition overwrite in the correctness gate: a lang-
+      // partitioned catalog table is built from TWO mixed-generation
+      // appends (every partition holds files of both), then the 'en'
+      // partition alone is re-ingested via writeTo(..).overwritePartitions()
+      // with re-bucketed n_chars. Partitions the re-ingest does not touch
+      // keep their exact files (byte-identity pinned in
+      // OverwriteModesSpec); the aggregate proves the replaced slice and
+      // the untouched rest both land content-exact. At 100 TB this is the
+      // idempotent daily re-ingest: retirement is O(replaced partition's
+      // files), metadata-only — no scan of the other partitions.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_dynov_stage1/$key/wh") { t =>
+        val cat = s"gdyno_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val docs = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, source STRING, " +
+          "n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+        docs.filter(col("doc_id") % 3 =!= 2).writeTo(s"$cat.docs").append()
+        docs.filter(col("doc_id") % 3 === 2).writeTo(s"$cat.docs").append()
+        docs.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") % 97)
+          .writeTo(s"$cat.docs").overwritePartitions()
+      }
+      s.read.format("graft").load(s"$stage/docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    },
+
+    "q_replace_where" -> { (s, dir) =>
+      // predicate overwrite (replaceWhere) in the correctness gate: the
+      // doc_id band [100, 299] is transactionally replaced with a
+      // recomputed slice via writeTo(..).overwrite(cond) — the new files
+      // commit first, then the band is deleted from the PRE-COMMIT
+      // snapshot through the deleteWhere rewrite scaffold (file-scoped
+      // survivor rewrites; a crash leaves old+new, never a missing
+      // slice). The aggregate proves replaced and surviving rows both
+      // land content-exact.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_replw_stage1/$key/wh") { t =>
+        val cat = s"greplw_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val docs = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+          "source STRING, n_chars BIGINT)")
+        docs.writeTo(s"$cat.docs").append()
+        docs.filter(col("doc_id").between(100, 299))
+          .withColumn("n_chars", col("n_chars") % 53)
+          .withColumn("source", lit("reingested"))
+          .writeTo(s"$cat.docs").overwrite(col("doc_id").between(100, 299))
+      }
+      s.read.format("graft").load(s"$stage/docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
     "q_schema_evolution" -> { (s, dir) =>
       // ALTER TABLE ADD COLUMN in the correctness gate: a catalog table is
       // altered MID-HISTORY — even-doc_id rows are written first, then
@@ -1103,6 +1167,18 @@ object Functions {
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN n_chars % 100 ELSE n_chars END) AS BIGINT) AS chars,
         |  count(DISTINCT CASE WHEN doc_id % 7 = 3 THEN 'redacted' ELSE source END) AS sources
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dynamic_overwrite" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars % 97 ELSE n_chars END) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_replace_where" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id BETWEEN 100 AND 299 THEN n_chars % 53 ELSE n_chars END) AS BIGINT) AS chars,
+        |  count(DISTINCT CASE WHEN doc_id BETWEEN 100 AND 299 THEN 'reingested' ELSE source END) AS sources
         |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_delete" ->

@@ -107,7 +107,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def sidecarExists(dir: Path): Boolean =
     fs.exists(sidecar(dir)) || sidecarTmp(dir).nonEmpty
 
-  private def sidecarSchema(dir: Path): StructType = {
+  /** (declared schema, declared partition columns). Two sidecar formats:
+    * legacy = a bare StructType json (unpartitioned tables keep writing
+    * it, so downgrades stay safe); v2 = an envelope
+    * `{"graftTable":2,"partitionCols":[...],"schema":<struct json>}`
+    * written when CREATE TABLE declares PARTITIONED BY.
+    */
+  private def sidecarContent(dir: Path): (StructType, Seq[String]) = {
     val p =
       if (fs.exists(sidecar(dir))) sidecar(dir)
       else sidecarTmp(dir) match {
@@ -120,7 +126,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     val in = fs.open(p)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    DataType.fromJson(json).asInstanceOf[StructType]
+    GraftCatalog.parseSidecar(json)
+  }
+
+  private def sidecarSchema(dir: Path): StructType = sidecarContent(dir)._1
+
+  /** Partition columns the table DECLARES (CREATE TABLE PARTITIONED BY),
+    * else the layout the data files actually carry — either way the
+    * transforms [[GraftTable.partitioning]] reports, which is what makes
+    * `INSERT OVERWRITE` under dynamic mode plan a partition overwrite
+    * instead of a truncate. */
+  private def partitionColsOf(dir: Path): Seq[String] = {
+    val declared =
+      if (sidecarExists(dir)) sidecarContent(dir)._2 else Seq.empty
+    if (declared.nonEmpty) declared
+    else GraftUtil.listDataFiles(dir.toString, conf).headOption
+      .map(f => GraftUtil.partitionSegments(dir, f.getPath).map(_._1))
+      .getOrElse(Seq.empty)
   }
 
   /** The table's current schema: the footer schema of the data files,
@@ -180,7 +202,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // the active session: a pure-SQL user never calls Tables.load, and the
     // first catalog table resolution is the earliest reliable hook
     GraftExtensions.ensure(org.apache.spark.sql.SparkSession.active)
-    new GraftTable(currentSchema(dir), dir.toString)
+    new GraftTable(currentSchema(dir), dir.toString,
+      partitionCols = partitionColsOf(dir))
   }
 
   /** SQL time travel: `SELECT ... FROM cat.db.t TIMESTAMP AS OF <ts>` —
@@ -243,20 +266,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(schema, dir.toString, Some(asOfMs))
   }
 
+  /** `CREATE TABLE ... PARTITIONED BY (col, ...)`: identity transforms
+    * only — each names a top-level column of boolean/integral/string type
+    * (the hive-layout rule the path writer enforces). The declaration is
+    * recorded in the sidecar; every INSERT then lays out hive-style
+    * `col=value/` subdirs automatically (the table injects `partitionby`
+    * into its writes), and `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (or
+    * `df.writeTo(t).overwritePartitions()`) replaces exactly the
+    * partitions present in the incoming data.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft: CREATE TABLE ... PARTITIONED BY is not supported — write with " +
-        ".option(\"partitionby\", ...) or re-layout via GraftMaintenance; the " +
-        "catalog reads any layout the path writer produced")
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"graft: unsupported partition transform $t — only plain column " +
+          "(identity) partitioning maps to the hive directory layout")
+      val c = t.references.head.fieldNames.head
+      require(schema.fieldNames.contains(c),
+        s"graft: partition column '$c' is not in the table schema")
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft: partition column '$c' has unsupported type $dt " +
+            "(boolean/integral/string only)")
+      }
+      c
+    }
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
     val dir = tableDir(ident)
     fs.mkdirs(dir)
     val out = fs.create(sidecar(dir), true)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    new GraftTable(schema, dir.toString)
+    try out.write(GraftCatalog.renderSidecar(schema, partCols).getBytes("UTF-8"))
+    finally out.close()
+    new GraftTable(schema, dir.toString, partitionCols = partCols)
   }
 
   /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN` / `RENAME COLUMN` /
@@ -290,8 +338,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     var mappingChanged = false
     val renamePairs = scala.collection.mutable.Map.empty[String, String] // oldLower -> new
     val droppedNow = scala.collection.mutable.Set.empty[String] // lower
-    lazy val partCols: Seq[String] = GraftUtil.listDataFiles(dir.toString, conf)
-      .flatMap(f => GraftUtil.partitionSegments(dir, f.getPath).map(_._1)).distinct
+    lazy val partCols: Seq[String] = (GraftUtil.listDataFiles(dir.toString, conf)
+      .flatMap(f => GraftUtil.partitionSegments(dir, f.getPath).map(_._1)) ++
+      // DECLARED partition columns are immovable even before any data file
+      // backs them — the declaration is the directory layout to come
+      (if (sidecarExists(dir)) sidecarContent(dir)._2 else Seq.empty)).distinct
     // does ANY data file's footer carry one of these physical names? A
     // never-backed column (ALTER ADD, never written — or every generation
     // rewritten since a rename) need not be tombed: no bytes exist to
@@ -466,8 +517,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // via tmp + rename so a crash mid-write can never leave a truncated
     // schema behind (createTable writes direct — there is nothing to lose)
     val tmp = new Path(dir, s"._graft_table.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    // a declared partition layout survives every schema ALTER (it lives
+    // only in the sidecar — losing it would silently downgrade INSERT
+    // OVERWRITE from partition replacement back to truncate)
+    val declaredParts =
+      if (sidecarExists(dir)) sidecarContent(dir)._2 else Seq.empty
+    val rendered = GraftCatalog.renderSidecar(updated, declaredParts)
     val out = fs.create(tmp, true)
-    try out.write(updated.json.getBytes("UTF-8")) finally out.close()
+    try out.write(rendered.getBytes("UTF-8")) finally out.close()
     fs.delete(sidecar(dir), false)
     // a concurrent reader's crash-recovery promotion (sidecarSchema) can
     // steal this rename out from under us; a rename that "failed" because
@@ -478,7 +535,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val in = fs.open(sidecar(dir))
         val now = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                   finally in.close()
-        now == updated.json
+        now == rendered
       }
     }
     require(renamed,
@@ -591,4 +648,34 @@ object GraftCatalog {
           }
       case (x, y) => x == y
     }
+
+  /** Sidecar body for a table declaration. Unpartitioned tables keep the
+    * legacy bare-StructType json; PARTITIONED BY tables write the v2
+    * envelope (the partition layout has no other durable home — footers
+    * describe files, not the table). */
+  private[spark] def renderSidecar(schema: StructType, partitionCols: Seq[String]): String =
+    if (partitionCols.isEmpty) schema.json
+    else {
+      import org.json4s.JsonDSL._
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        ("graftTable" -> 2) ~
+          ("partitionCols" -> partitionCols) ~
+          ("schema" -> org.json4s.jackson.JsonMethods.parse(schema.json))))
+    }
+
+  private[spark] def parseSidecar(json: String): (StructType, Seq[String]) = {
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    parsed \ "graftTable" match {
+      case org.json4s.JInt(_) =>
+        val cols = (parsed \ "partitionCols") match {
+          case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
+          case _ => Seq.empty
+        }
+        val schemaJson = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(parsed \ "schema"))
+        (DataType.fromJson(schemaJson).asInstanceOf[StructType], cols)
+      case _ => // legacy: the whole body is the StructType json
+        (DataType.fromJson(json).asInstanceOf[StructType], Seq.empty)
+    }
+  }
 }

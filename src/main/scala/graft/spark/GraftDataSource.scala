@@ -149,9 +149,20 @@ object GraftUtil {
 }
 
 final class GraftTable(private val tableSchema: StructType, private val path: String,
-    private val tableAsofMs: Option[Long] = None)
+    private val tableAsofMs: Option[Long] = None,
+    private val partitionCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft:$path"
+
+  /** The hive directory layout as identity transforms — what makes the SQL
+    * planner route `INSERT OVERWRITE` under dynamic partition-overwrite
+    * mode (and `df.writeTo(t).overwritePartitions()`) to a partition
+    * replacement instead of a truncate. Declared by CREATE TABLE
+    * PARTITIONED BY, else inferred from the files' layout by the catalog.
+    */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
   // for the SQL UPDATE rewrite (GraftUpdateRewrite), which re-reads the
   // table through the maintenance pass by path
@@ -193,6 +204,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     s.add(TableCapability.BATCH_READ)
     s.add(TableCapability.BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
+    s.add(TableCapability.OVERWRITE_BY_FILTER)
+    s.add(TableCapability.OVERWRITE_DYNAMIC)
     s.add(TableCapability.MICRO_BATCH_READ)
     s.add(TableCapability.STREAMING_WRITE)
     s
@@ -211,8 +224,10 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
         case other => throw new IllegalArgumentException(
           s"graft: startingposition must be earliest|latest, got '$other'")
       })
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(info, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(tableAsofMs.isEmpty, "graft: cannot write to a time-travel snapshot")
+    new GraftWriteBuilder(info, path, tablePartitionBy = partitionCols)
+  }
 
   // Structural equality by (path, schema): Spark's cache manager and
   // ReuseExchange compare canonicalized plans, and DataSourceV2Relation

@@ -35,7 +35,8 @@ private[spark] object GraftWriteMode {
   * one-row-group-per-file constraint, `/root/reference/src/write/writer.rs:108-112`,
   * handled by rolling — SURVEY.md §7.4).
   */
-final class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
+final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
+    tablePartitionBy: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate
     with SupportsOverwrite with SupportsDynamicOverwrite {
 
@@ -77,7 +78,20 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
   }
 
   override def build(): Write = {
-    val opts = GraftWriteOptions.fromOptions(info.options)
+    val parsed = GraftWriteOptions.fromOptions(info.options)
+    // a catalog table's declared layout partitions every write to it; an
+    // explicit per-write option may only restate it (a conflicting layout
+    // would scatter this commit's rows outside the declared directories)
+    val opts =
+      if (tablePartitionBy.isEmpty) parsed
+      else if (parsed.partitionBy.isEmpty) parsed.copy(partitionBy = tablePartitionBy)
+      else {
+        require(parsed.partitionBy == tablePartitionBy,
+          s"graft: write option partitionby=${parsed.partitionBy.mkString(",")} " +
+            s"conflicts with the table's declared layout " +
+            tablePartitionBy.mkString(","))
+        parsed
+      }
     if (mode == GraftWriteMode.DynamicPartitions)
       require(opts.partitionBy.nonEmpty,
         "graft: dynamic partition overwrite needs a partitioned write — " +

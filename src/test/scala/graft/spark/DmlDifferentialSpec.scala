@@ -20,7 +20,15 @@ class DmlDifferentialSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the overwrite ops (dynamic partitions / replaceWhere) are only
+    // reachable through a catalog table — point one at the scenario root
+    .config("spark.sql.catalog.dmlow", "graft.spark.GraftCatalog")
+    .config("spark.sql.catalog.dmlow.warehouse", "/tmp/graft-test")
     .getOrCreate()
+
+  /** writeTo target for a scenario dir under the fuzz catalog. */
+  private def identOf(dir: String): String =
+    s"dmlow.`${new java.io.File(dir).getName}`"
 
   // reference model: key -> (v, s, p)
   type Model = scala.collection.mutable.LinkedHashMap[Long, (Long, String, String)]
@@ -50,7 +58,7 @@ class DmlDifferentialSpec extends AnyFunSuite {
     (if (partitioned) w.option("partitionby", "p") else w).save(dir)
 
     for (step <- 0 until 4) {
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => // DELETE WHERE k % m = r
           val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
           GraftMaintenance.deleteWhere(spark, dir, col("k") % m === r)
@@ -94,6 +102,31 @@ class DmlDifferentialSpec extends AnyFunSuite {
                 else model.update(k, (v, s, model(k)._3))
               } else if (op != "D") model.update(k, (v, s, p))
             }
+          }
+        case 3 => // OVERWRITE: dynamic partition swap / replaceWhere band
+          if (partitioned) {
+            // replace one whole partition with fresh rows (keys keep the
+            // k % 3 == partition convention the other ops rely on)
+            val pi = rnd.nextInt(3); val pv = s"p$pi"
+            val rows = (0 until (2 + rnd.nextInt(6))).map { j =>
+              (21000L + step * 999 + pi + 3L * j,
+                rnd.nextInt(1000).toLong, s"o$step", pv)
+            }
+            spark.createDataFrame(rows).toDF("k", "v", "s", "p")
+              .writeTo(identOf(dir)).overwritePartitions()
+            model.filterInPlace((_, t) => t._3 != pv)
+            rows.foreach { case (k, v, s, p) => model.update(k, (v, s, p)) }
+          } else {
+            // replace a key band with a recomputed (possibly smaller) slice
+            val lo = rnd.nextInt(200).toLong
+            val hi = lo + 10 + rnd.nextInt(60)
+            val rows = (0 until (1 + rnd.nextInt(5))).map { j =>
+              (lo + j, rnd.nextInt(1000).toLong, s"o$step", s"p${(lo + j) % 3}")
+            }
+            spark.createDataFrame(rows).toDF("k", "v", "s", "p")
+              .writeTo(identOf(dir)).overwrite(col("k").between(lo, hi))
+            model.filterInPlace((k, _) => k < lo || k > hi)
+            rows.foreach { case (k, v, s, p) => model.update(k, (v, s, p)) }
           }
       }
       val got = snapshot(dir)
@@ -177,7 +210,7 @@ class DmlDifferentialSpec extends AnyFunSuite {
         val sinceCut = tMax
         Thread.sleep(3) // commits of this step must land strictly after the cut
         val inserted = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String)]()
-        rnd.nextInt(3) match {
+        rnd.nextInt(4) match {
           case 0 =>
             val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
             GraftMaintenance.deleteWhere(spark, dir, col("k") % m === r)
@@ -221,6 +254,24 @@ class DmlDifferentialSpec extends AnyFunSuite {
                   inserted += ((k, v, s, p))
                 }
               }
+            }
+          case 3 =>
+            // replaceWhere: the new slice commits as an ordinary manifest
+            // (streams deliver its rows), then the band is deleted from
+            // the pre-commit snapshot — survivors must behave exactly
+            // like a deleteWhere's (replacements at original commit
+            // times, no redelivery, no since-window leakage)
+            val lo = rnd.nextInt(150).toLong
+            val hi = lo + 10 + rnd.nextInt(50)
+            val rows = (0 until (1 + rnd.nextInt(5))).map { j =>
+              (lo + j, rnd.nextInt(1000).toLong, s"o$step", s"p${(lo + j) % 3}")
+            }
+            spark.createDataFrame(rows).toDF("k", "v", "s", "p")
+              .writeTo(identOf(dir)).overwrite(col("k").between(lo, hi))
+            model.filterInPlace((k, _) => k < lo || k > hi)
+            rows.foreach { case (k, v, s, p) =>
+              model.update(k, (v, s, p))
+              inserted += ((k, v, s, p))
             }
         }
         // batch view still matches the reference model (baseline sanity)

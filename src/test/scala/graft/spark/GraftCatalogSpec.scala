@@ -56,14 +56,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graftcat.ext").collect().map(_.getString(1)).contains("dropped"))
   }
 
-  test("CTAS works; PARTITIONED BY is rejected loudly") {
+  test("CTAS works; PARTITIONED BY declares the hive layout; bad transforms rejected") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db2")
     spark.sql("CREATE TABLE graftcat.db2.squares AS SELECT id, id * id AS sq FROM range(5)")
     assert(spark.sql("SELECT sum(sq) FROM graftcat.db2.squares").collect()(0).getLong(0) == 30L)
+    // identity partitioning is SUPPORTED: declared layout partitions writes
+    spark.sql("CREATE TABLE graftcat.db2.bydate (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graftcat.db2.bydate SELECT id, CASE WHEN id < 3 THEN 'a' ELSE 'b' END FROM range(6)")
+    val files = GraftUtil.listDataFiles(s"$wh/db2/bydate",
+      spark.sessionState.newHadoopConf()).map(_.getPath.toString)
+    assert(files.nonEmpty && files.forall(f => f.contains("/p=a/") || f.contains("/p=b/")),
+      s"declared layout must route rows into hive dirs: ${files.take(2)}")
+    // non-identity transforms don't map to a hive layout — rejected loudly
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE graftcat.db2.bad (id BIGINT, p STRING) PARTITIONED BY (p)")
+      spark.sql("CREATE TABLE graftcat.db2.bad (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
     }
-    assert(e.getMessage.contains("partitionby") || e.getMessage.contains("PARTITIONED BY"))
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    // unsupported partition-value type: rejected at CREATE, not at write
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.db2.bad2 (id BIGINT, d DOUBLE) PARTITIONED BY (d)")
+    }
+    assert(e2.getMessage.contains("unsupported type"), e2.getMessage)
   }
 
   test("SQL time travel: TIMESTAMP AS OF pins the manifest snapshot") {
