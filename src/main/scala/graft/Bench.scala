@@ -107,7 +107,8 @@ object Bench {
     "m_multimodal_resize", "m_multimodal_framesample", "m_multimodal_scenecut",
     // timed maintenance + snapshot operations (custom timers, not
     // SparkEntry queries — the op itself is the timed region)
-    "x_delete_where", "x_update_where", "x_zorder_relayout", "x_asof_snapshot",
+    "x_delete_where", "x_delete_dv", "x_update_where", "x_zorder_relayout",
+    "x_asof_snapshot",
     "x_incremental_scan", "x_spj_join", "x_vacuum", "x_sorted_topn",
     "x_ndv_stats", "x_compact")
   // x_cdc_apply / x_merge_upsert are NOT in the per-query headline: at

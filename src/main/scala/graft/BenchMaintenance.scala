@@ -59,6 +59,7 @@ object BenchMaintenance {
   def time(spark: SparkSession, name: String, format: String, dir: String): Double =
     name match {
       case "x_delete_where" => deleteWhereOp(spark, format, dir)
+      case "x_delete_dv" => deleteDvOp(spark, format, dir)
       case "x_update_where" => updateWhereOp(spark, format, dir)
       case "x_merge_upsert" => mergeUpsertOp(spark, format, dir)
       case "x_zorder_relayout" => zorderOp(spark, format, dir)
@@ -335,6 +336,50 @@ object BenchMaintenance {
       src.write.format("graft").mode("overwrite").save(stage)
       val t0 = System.nanoTime()
       graft.spark.GraftMaintenance.deleteWhere(spark, stage,
+        col("doc_id").between(lo, hi))
+      survivorAgg(spark.read.format("graft").load(stage))
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      src.write.mode("overwrite").parquet(stage)
+      val rw = s"${stage}_rw"
+      rm(rw)
+      val t0 = System.nanoTime()
+      spark.read.parquet(stage)
+        .filter(!col("doc_id").between(lo, hi))
+        .write.mode("overwrite").parquet(rw)
+      survivorAgg(spark.read.parquet(rw))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** MERGE-ON-READ delete via deletion vectors: same 2% takedown band as
+    * x_delete_where, but the graft side masks ordinals in per-file bitmap
+    * sidecars (GraftMaintenance.deleteWhereDv) instead of rewriting the
+    * matched files — O(matched rows) bitmap bytes vs O(matched files)
+    * rewrite bytes; at a GDPR-cadence 1-row takedown in 1 GB files the
+    * gap is the whole gigabyte. parquet comparator: the same survivor
+    * rewrite as x_delete_where (parquet has no merge-on-read deletes
+    * without a table format on top). Both sides end with the identical
+    * verifying aggregate, which for graft also prices the row-based
+    * masked-scan tax the DV trade accepts until compaction folds it.
+    */
+  private def deleteDvOp(spark: SparkSession, format: String, dir: String): Double = {
+    val (lo0, hi0) = docBounds(spark, dir)
+    val lo = lo0 + (hi0 - lo0) * 49 / 100
+    val hi = lo0 + (hi0 - lo0) * 51 / 100
+    val src = Tables.parquet(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val stage = s"/tmp/graft_bench_maint/deldv_${format}_${key(dir)}"
+    rm(stage)
+    def survivorAgg(df: DataFrame): Unit =
+      df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .write.mode("overwrite").format("noop").save()
+    if (format == "graft") {
+      src.write.format("graft").mode("overwrite").save(stage)
+      val t0 = System.nanoTime()
+      graft.spark.GraftMaintenance.deleteWhereDv(spark, stage,
         col("doc_id").between(lo, hi))
       survivorAgg(spark.read.format("graft").load(stage))
       (System.nanoTime() - t0) / 1e9

@@ -206,6 +206,59 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_type_widening" -> { (s, dir) =>
+      // metadata-only ALTER COLUMN ... TYPE in the correctness gate:
+      // generation 1 writes n_chars as INT, the column widens to BIGINT
+      // (one sidecar write, zero data rewrites), generation 2 inserts
+      // values that need 64 bits. The read serves ONE wide schema over
+      // mixed-width files (fill-time widening cast for the old ones) and
+      // the aggregate — including footer-eligible min/max — must match
+      // the oracle exactly.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_widen_stage1/$key/wh") { t =>
+        val cat = s"gwide_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val docs = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, n_chars INT)")
+        docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars").cast("int"))
+          .writeTo(s"$cat.docs").append()
+        s.sql(s"ALTER TABLE $cat.docs ALTER COLUMN n_chars TYPE BIGINT")
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("n_chars", col("n_chars") + lit(10000000000L))
+          .writeTo(s"$cat.docs").append()
+      }
+      s.read.format("graft").load(s"$stage/docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    },
+
+    "q_delete_vectors" -> { (s, dir) =>
+      // merge-on-read DELETE in the correctness gate: the staged copy
+      // masks doc_id % 11 == 5 via deletion-vector sidecars
+      // (GraftMaintenance.deleteWhereDv) — data files byte-identical, a
+      // ~100-byte bitmap per touched file instead of a rewrite. The scan
+      // must serve the masked view exactly (row-based while DVs exist;
+      // footer aggregates decline), matching the oracle's WHERE clause.
+      val stage = stagedOnce(
+          s"/tmp/graft_dv_stage1/${stageKey(s, dir, "documents")}/documents") { t =>
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.format("graft").option("maxrowsperfile", "200")
+          .mode("overwrite").save(t)
+        graft.spark.GraftMaintenance.deleteWhereDv(s, t, col("doc_id") % 11 === 5)
+      }
+      s.read.format("graft").load(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
     "q_dynamic_overwrite" -> { (s, dir) =>
       // dynamic partition overwrite in the correctness gate: a lang-
       // partitioned catalog table is built from TWO mixed-generation
@@ -1168,6 +1221,19 @@ object Functions {
         |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN n_chars % 100 ELSE n_chars END) AS BIGINT) AS chars,
         |  count(DISTINCT CASE WHEN doc_id % 7 = 3 THEN 'redacted' ELSE source END) AS sources
         |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_type_widening" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars + 10000000000 ELSE n_chars END) AS BIGINT) AS chars,
+        |  CAST(min(CASE WHEN doc_id % 2 = 1 THEN n_chars + 10000000000 ELSE n_chars END) AS BIGINT) AS min_chars,
+        |  CAST(max(CASE WHEN doc_id % 2 = 1 THEN n_chars + 10000000000 ELSE n_chars END) AS BIGINT) AS max_chars
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_delete_vectors" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS sources
+        |FROM documents WHERE doc_id % 11 <> 5
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dynamic_overwrite" ->
       """SELECT lang, count(*) AS docs,

@@ -63,10 +63,68 @@ object FieldFiller {
         new ArrayFiller(fe, fn, pe)
       case (MapType(fk, fv, fn), MapType(_, pv, _)) =>
         new MapFiller(fk, fv, fn, pv)
+      case _ if GraftSchema.widens(fileDt, projDt) =>
+        new WideningAtomicFiller(fileDt, projDt)
       case _ =>
         throw new IllegalArgumentException(
           s"graft: projected type $projDt is not a pruned subset of file type $fileDt")
     }
+}
+
+/** Widening decode for metadata-only ALTER COLUMN ... TYPE
+  * ([[GraftSchema.widens]]): reads the FILE lane's page vector and fills
+  * the TABLE type's Spark vector — int pages land in a long vector, float
+  * in double, narrow-precision decimal unscaled values in the wider
+  * decimal's backing. Off the DirectFill fast path by construction (only
+  * plain [[AtomicFiller]] columns qualify there), so widened columns pay
+  * one per-value conversion loop — and only in files older than the ALTER;
+  * files written after it carry the wide type natively.
+  */
+final class WideningAtomicFiller(fileDt: DataType, projDt: DataType) extends FieldFiller {
+  val leafCount = 1
+
+  def fill(vector: WritableColumnVector, leafPages: Array[Vec], base: Int, rows: Int): Unit = {
+    val vec = leafPages(base)
+    (fileDt, projDt) match {
+      case (ByteType | ShortType, ShortType) =>
+        val v = vec.asInstanceOf[IntVec].values
+        var i = 0
+        while (i < rows) { vector.putShort(i, v(i).toShort); i += 1 }
+      case (ByteType | ShortType, IntegerType) =>
+        vector.putInts(0, rows, vec.asInstanceOf[IntVec].values, 0)
+      case (ByteType | ShortType | IntegerType, LongType) =>
+        val v = vec.asInstanceOf[IntVec].values
+        var i = 0
+        while (i < rows) { vector.putLong(i, v(i).toLong); i += 1 }
+      case (FloatType, DoubleType) =>
+        val v = vec.asInstanceOf[FloatVec].values
+        var i = 0
+        while (i < rows) { vector.putDouble(i, v(i).toDouble); i += 1 }
+      case (a: DecimalType, b: DecimalType) if a.precision <= Decimal.MAX_LONG_DIGITS =>
+        // same scale, same long-backed lane: unscaled values are identical;
+        // only the Spark vector backing may differ (int- vs long-backed)
+        val v = vec.asInstanceOf[LongVec].values
+        if (b.precision <= Decimal.MAX_INT_DIGITS) {
+          var i = 0
+          while (i < rows) { vector.putInt(i, v(i).toInt); i += 1 }
+        } else vector.putLongs(0, rows, v, 0)
+      case (_: DecimalType, _: DecimalType) => // both 128-bit backed
+        val dv = vec.asInstanceOf[DecimalVec]
+        val buf = new Array[Byte](16)
+        var i = 0
+        while (i < rows) {
+          if (!dv.isNull(i)) {
+            Int128.writeBE(dv.hi(i), dv.lo(i), buf)
+            val len = Int128.minimalLen(buf)
+            vector.putByteArray(i, buf, 16 - len, len)
+          }
+          i += 1
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft: unsupported widening $other")
+    }
+    applyNulls(vector, vec.nulls, rows)
+  }
 }
 
 final class AtomicFiller(dt: DataType) extends FieldFiller {

@@ -168,16 +168,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               // containsNull/struct-field nullability in the footer (e.g.
               // array(id) is ARRAY<BIGINT> containsNull=false against a
               // declared containsNull=true) — that is not type drift, and
-              // a strict == here would brick every later read of the table
-              require(GraftCatalog.sameTypeIgnoreNullability(df.dataType, f.dataType),
+              // a strict == here would brick every later read of the table.
+              // A declared WIDENING of the footer type is the other legal
+              // divergence (ALTER COLUMN ... TYPE): the declared type wins,
+              // old files decode through the fill-time widening cast.
+              require(GraftCatalog.sameTypeIgnoreNullability(df.dataType, f.dataType) ||
+                  GraftSchema.widens(df.dataType, f.dataType),
                 s"graft: declared column '${f.name}' has type ${f.dataType.sql} in " +
                   s"the table sidecar but ${df.dataType.sql} in the data files — " +
-                  "ALTER TABLE cannot change the type of an existing column")
+                  "ALTER TABLE cannot change the type of an existing column " +
+                  "except by widening")
+              val widened =
+                if (GraftSchema.widens(df.dataType, f.dataType))
+                  df.copy(dataType = f.dataType)
+                else df
               // a column the sidecar declares nullable stays nullable even
               // if the newest file happened to write it non-null throughout:
               // OLDER files may predate the column entirely and the reader
               // null-fills only nullable evolution columns
-              val base = if (f.nullable && !df.nullable) df.copy(nullable = true) else df
+              val base = if (f.nullable && !widened.nullable) widened.copy(nullable = true)
+                else widened
               // sidecar metadata (CREATE/ALTER comments) survives the
               // footer taking over the TYPE — footers carry no metadata,
               // so without this every comment on a data-backed column
@@ -395,6 +405,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             else org.apache.spark.sql.types.Metadata.empty
           sch.add(org.apache.spark.sql.types.StructField(
             colName, add.dataType(), nullable = true, meta))
+        case upd: TableChange.UpdateColumnType =>
+          // metadata-only TYPE WIDENING: the sidecar declares the wider
+          // type; files stay immutable (old ones decode through a widening
+          // cast at fill time — GraftSchema.widens documents the sound
+          // set: integral up-widening, float->double, same-scale decimal
+          // precision growth within one storage lane)
+          require(upd.fieldNames().length == 1,
+            "graft: ALTER COLUMN ... TYPE supports top-level columns only — " +
+              s"'${upd.fieldNames().mkString(".")}' targets a nested field")
+          val colName = upd.fieldNames()(0)
+          val idx = sch.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+          require(idx >= 0, s"graft: column '$colName' does not exist")
+          val f = sch.fields(idx)
+          require(GraftSchema.widens(f.dataType, upd.newDataType()),
+            s"graft: cannot change column '$colName' from ${f.dataType.sql} to " +
+              s"${upd.newDataType().sql} — data files are immutable, so only " +
+              "lossless widenings whose stats domain is unchanged are " +
+              "metadata-only (byte/short/int -> wider integral, " +
+              "float -> double, decimal precision growth at the same scale " +
+              "within one storage lane); anything else migrates via " +
+              "CREATE TABLE ... AS SELECT")
+          require(!partCols.exists(_.equalsIgnoreCase(colName)),
+            s"graft: cannot widen partition column '$colName' — its values " +
+              "are rendered into the directory layout")
+          StructType(sch.fields.updated(idx, f.copy(dataType = upd.newDataType())))
         case com: TableChange.UpdateColumnComment =>
           // pure metadata, like ADD COLUMN: the comment lands in the
           // sidecar; data files are untouched (footers carry no metadata,
@@ -648,6 +683,32 @@ object GraftCatalog {
           }
       case (x, y) => x == y
     }
+
+  /** Declared TYPE WIDENINGS applied to a footer-inferred schema — the
+    * overlay that keeps PATH reads (`spark.read.format("graft")`) and the
+    * catalog seeing one schema after ALTER COLUMN ... TYPE: a directory
+    * whose sidecar declares a wider type than an old file's footer serves
+    * the wide type everywhere (fill-time cast), instead of path readers
+    * tripping the drift check on mixed-width generations.
+    */
+  private[spark] def wideningsOverlay(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path, footer: StructType): StructType = {
+    val sc = new org.apache.hadoop.fs.Path(tableDir, "_graft_table.json")
+    if (!fs.exists(sc)) return footer
+    val declared = try {
+      val in = fs.open(sc)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      parseSidecar(json)._1
+    } catch { case _: Exception => return footer } // unreadable: footer wins
+    StructType(footer.fields.map { f =>
+      declared.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(d) if GraftSchema.widens(f.dataType, d.dataType) =>
+          f.copy(dataType = d.dataType)
+        case _ => f
+      }
+    })
+  }
 
   /** Sidecar body for a table declaration. Unpartitioned tables keep the
     * legacy bare-StructType json; PARTITIONED BY tables write the v2

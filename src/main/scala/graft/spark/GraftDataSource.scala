@@ -142,17 +142,38 @@ object GraftUtil {
     // physical names surface under their logical name, dropped columns
     // disappear — files stay immutable, path and catalog readers agree
     val dirPath = new Path(dir)
-    val mapping = GraftColumnMap.forRead(dirPath.getFileSystem(conf), dirPath)
-    if (mapping.isEmpty) footerSchema
-    else mapping.applyToTableSchema(footerSchema)
+    val fs = dirPath.getFileSystem(conf)
+    val mapping = GraftColumnMap.forRead(fs, dirPath)
+    val mapped =
+      if (mapping.isEmpty) footerSchema
+      else mapping.applyToTableSchema(footerSchema)
+    // declared TYPE WIDENINGS (ALTER COLUMN ... TYPE) apply to path reads
+    // too: mixed-width generations read under one wide schema
+    GraftCatalog.wideningsOverlay(fs, dirPath, mapped)
   }
 }
 
 final class GraftTable(private val tableSchema: StructType, private val path: String,
     private val tableAsofMs: Option[Long] = None,
     private val partitionCols: Seq[String] = Seq.empty)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft:$path"
+
+  /** `_graft_ordinal`: the row's file-physical ordinal, synthesized by the
+    * reader (page-group prefix sums + in-batch index). With
+    * `input_file_name()` it names any row without content hashing — the
+    * addressing deletion vectors mask on, and what
+    * [[GraftMaintenance.deleteWhereDv]]'s probe selects. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftDv.OrdinalCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "file-physical row ordinal (deletion-vector addressing)"
+    })
 
   /** The hive directory layout as identity transforms — what makes the SQL
     * planner route `INSERT OVERWRITE` under dynamic partition-overwrite
@@ -302,6 +323,15 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty
   private var hadFilters = false
+  // deletion vectors mask rows the footers still count: footer-only
+  // aggregates, leading-page limit plans, and per-file top-N ranges are
+  // all unsound over a DV'd table — those pushdowns decline until
+  // compaction folds the DVs away. One exists() probe per plan.
+  private lazy val hasDvs: Boolean = {
+    val p = new Path(path)
+    val root = GraftDv.rootOfScanPath(p.getFileSystem(conf), p)
+    GraftDv.hasAny(root.getFileSystem(conf), root)
+  }
   private var aggPlan: Option[(Seq[GraftAggPushdown.AggSpec], StructType)] = None
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(Int, Boolean)] = None // (limit, descending)
@@ -323,7 +353,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     * filtering; zone-map preds are likewise empty here.
     */
   override def pushLimit(limit: Int): Boolean = {
-    if (limit >= 0) pushedLimit = Some(limit)
+    if (limit >= 0 && !hasDvs) pushedLimit = Some(limit)
     pushedLimit.isDefined
   }
 
@@ -353,7 +383,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
-    if (limit < 0 || orders.isEmpty) return false
+    if (limit < 0 || orders.isEmpty || hasDvs) return false
     val p = new Path(path)
     val marker = GraftSortMarker.read(p.getFileSystem(conf), p).getOrElse(return false)
     val asc = orders.head.direction == SortDirection.ASCENDING
@@ -391,10 +421,15 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     */
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val byName = requiredSchema.fields.map(f => f.name -> f).toMap
-    projected = StructType(tableSchema.fields.collect {
+    val data = tableSchema.fields.collect {
       case f if byName.contains(f.name) =>
         f.copy(dataType = GraftSchema.prunedType(f.dataType, byName(f.name).dataType))
-    })
+    }
+    // metadata columns (the synthesized _graft_ordinal) are not in the
+    // table schema but MUST survive pruning — the reader fills them
+    val meta = requiredSchema.fields.filter(f =>
+      f.name == GraftDv.OrdinalCol && !tableSchema.fieldNames.contains(f.name))
+    projected = StructType(data ++ meta)
   }
 
   /** Zone-map page pruning: accepts min/max-decidable predicates for page
@@ -426,7 +461,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     // an asof snapshot / since window restricts the file set; the
     // footer-only agg scan lists the live directory, so it must not
     // answer snapshot or incremental reads
-    if (hadFilters || asofOpt.isDefined || sinceOpt.isDefined) return false
+    if (hadFilters || asofOpt.isDefined || sinceOpt.isDefined || hasDvs) return false
     val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
       case f: org.apache.spark.sql.connector.expressions.NamedReference
           if f.fieldNames().length == 1 => f.fieldNames()(0)
@@ -870,9 +905,19 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   private var factory: GraftReaderFactory = null
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    if (factory == null)
+    if (factory == null) {
+      // deletion vectors, resolved once at plan time (one exists() probe
+      // for DV-free tables). Non-empty flips the scan row-based and masks
+      // deleted ordinals in every reader. The scan path may be a single
+      // file (the rewrite passes read one file directly) — the sidecars
+      // still live at the TABLE root.
+      val p0 = new Path(path)
+      val dvRoot = GraftDv.rootOfScanPath(p0.getFileSystem(conf), p0)
+      val dvs = GraftDv.list(dvRoot.getFileSystem(conf), dvRoot)
+        .map { case (ident, (_, p)) => ident -> p }
       factory = new GraftReaderFactory(HadoopConfBroadcast(conf), projected.json, pagePreds,
-        colAliases)
+        colAliases, dvs)
+    }
     factory
   }
 
@@ -1076,13 +1121,13 @@ object GraftScan {
     } finally in.close()
   }
 
-  /** Exact row count from footers (first leaf is row-aligned). One 64KiB
-    * tail read per file, cached by (path, len); skipped for very large file
-    * lists to keep planning cheap.
+  /** Exact row count from footers (first leaf is row-aligned), minus any
+    * deletion-vector-masked rows. One 64KiB tail read per file, cached by
+    * (path, len); skipped for very large file lists to keep planning cheap.
     */
   def rowCount(files: Seq[FileStatus], conf: org.apache.hadoop.conf.Configuration): OptionalLong = {
     if (files.isEmpty || files.length > 256) return OptionalLong.empty()
-    var total = 0L
+    var total = -GraftDv.maskedRows(files, conf)
     files.foreach { f =>
       val key = f.getPath.toString + "#" + f.getLen
       val cached = rowCountCache.get(key)
@@ -1143,10 +1188,27 @@ private[graft] object InputFileHolder {
 final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
     projectedJson: String,
     @volatile var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
-    colAliases: Map[String, String] = Map.empty)
+    colAliases: Map[String, String] = Map.empty,
+    /** ident -> qualified sidecar path of the table's deletion vectors,
+      * listed at plan time. Non-empty forces the WHOLE scan row-based
+      * (Spark rejects mixed columnar/row partitions), with masked rows
+      * dropped by file-physical ordinal. */
+    dvByIdent: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  // a table with any deletion vector scans row-based: masking inside a
+  // ColumnarBatch would need per-type vector compaction; DVs are transient
+  // (compaction folds them), so the row path is the honest trade
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    dvByIdent.isEmpty
+
+  private def dvFor(filePath: String): Option[org.roaringbitmap.RoaringBitmap] = {
+    if (dvByIdent.isEmpty) return None
+    val p = new Path(filePath)
+    val root = GraftDv.tableRootOf(p)
+    dvByIdent.get(GraftDv.identOf(root, p))
+      .map(s => GraftDv.read(p.getFileSystem(conf.value.value), s))
+  }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     partition match {
@@ -1188,18 +1250,81 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val inner = createColumnarReader(partition)
-    new PartitionReader[InternalRow] {
-      private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
-      override def next(): Boolean = {
-        while (!rows.hasNext) {
-          if (!inner.next()) return false
-          rows = inner.get().rowIterator()
+    partition match {
+      case kp: GraftKeyedPartition =>
+        new PartitionReader[InternalRow] {
+          private var i = 0
+          private var cur: PartitionReader[InternalRow] = null
+          override def next(): Boolean = {
+            while (true) {
+              if (cur != null && cur.next()) return true
+              if (cur != null) { cur.close(); cur = null }
+              if (i >= kp.files.length) return false
+              val (f, len) = kp.files(i); i += 1
+              InputFileHolder.set(f, 0L, len)
+              cur = fileRowReader(f, len, -1, -1)
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
         }
-        true
-      }
-      override def get(): InternalRow = rows.next()
-      override def close(): Unit = inner.close()
+      case _ =>
+        val p = partition.asInstanceOf[GraftInputPartition]
+        InputFileHolder.set(p.filePath, 0L, p.fileLen)
+        fileRowReader(p.filePath, p.fileLen, p.pageLo, p.pageHi)
+    }
+  }
+
+  private def fileRowReader(f: String, len: Long,
+      lo: Int, hi: Int): PartitionReader[InternalRow] = {
+    val inner = new GraftColumnarReader(f, len, conf.value.value,
+      GraftFooterCache.schemaOf(projectedJson), pagePreds, lo, hi, colAliases)
+    dvFor(f) match {
+      case None =>
+        new PartitionReader[InternalRow] {
+          private var rows: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          override def next(): Boolean = {
+            while (!rows.hasNext) {
+              if (!inner.next()) return false
+              rows = inner.get().rowIterator()
+            }
+            true
+          }
+          override def get(): InternalRow = rows.next()
+          override def close(): Unit = inner.close()
+        }
+      case Some(dv) =>
+        // drop masked rows by FILE-PHYSICAL ordinal: the batch's page start
+        // plus the row's index within the batch — split- and skip-proof
+        new PartitionReader[InternalRow] {
+          private var rows: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          private var base = 0L
+          private var idx = 0
+          private var cur: InternalRow = null
+          override def next(): Boolean = {
+            while (true) {
+              while (rows.hasNext) {
+                val r = rows.next()
+                val ord = base + idx
+                idx += 1
+                if (ord > Int.MaxValue || !dv.contains(ord.toInt)) {
+                  cur = r
+                  return true
+                }
+              }
+              if (!inner.next()) return false
+              base = inner.currentPageStartRow
+              idx = 0
+              rows = inner.get().rowIterator()
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = inner.close()
+        }
     }
   }
 }
@@ -1341,8 +1466,15 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
   // nulls (additive schema evolution: files written before the column was
   // added stay readable) — marked with fi = -1 and no filler.
   private val plan: Array[(Int, Int, FieldFiller)] = projected.fields.map { pf =>
-    val fi = fileSchema.fieldNames.indexOf(pf.name)
-    if (fi < 0) {
+    val fi =
+      // the _graft_ordinal METADATA column is synthesized (physical row
+      // ordinal within the file), unless the file genuinely carries a
+      // column of that name — data wins, matching Spark's hiding rule
+      if (pf.name == GraftDv.OrdinalCol &&
+          !fileSchema.fieldNames.contains(pf.name)) -2
+      else fileSchema.fieldNames.indexOf(pf.name)
+    if (fi == -2) (-2, -1, null: FieldFiller)
+    else if (fi < 0) {
       require(pf.nullable,
         s"graft: $filePath lacks non-nullable column '${pf.name}' (additive " +
           "schema evolution can only null-fill nullable columns)")
@@ -1350,8 +1482,11 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     } else {
       val ff = fileSchema.fields(fi)
       // schema drift across a directory (table schema inferred from the first
-      // footer) must fail loudly, not decode garbage through mismatched lanes
-      require(GraftSchema.isPrunedSubset(ff.dataType, pf.dataType),
+      // footer) must fail loudly, not decode garbage through mismatched
+      // lanes — EXCEPT a declared widening (ALTER COLUMN ... TYPE), where
+      // older narrow files decode through a widening cast at fill time
+      require(GraftSchema.isPrunedSubset(ff.dataType, pf.dataType) ||
+          GraftSchema.widens(ff.dataType, pf.dataType),
         s"graft: schema drift in $filePath: field '${pf.name}' is ${ff.dataType} " +
           s"but the table schema expects ${pf.dataType}")
       (fi, fieldOffsets(fi), FieldFiller.forProjected(ff, pf))
@@ -1456,6 +1591,19 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     }
   }
 
+  // physical row ordinal of each page group's first row — the base for
+  // the synthesized _graft_ordinal column and for deletion-vector masking
+  // (both are file-physical positions, independent of splits and skips)
+  private val pageStartRows: Array[Long] = {
+    val a = new Array[Long](rowPagesLen + 1)
+    var i = 0
+    while (i < rowPagesLen) { a(i + 1) = a(i) + rowPages(i).numValues; i += 1 }
+    a
+  }
+
+  /** File-physical ordinal of the current batch's first row. */
+  private[spark] def currentPageStartRow: Long = pageStartRows(page)
+
   private var page = rangeLo - 1
 
   @annotation.tailrec
@@ -1475,7 +1623,11 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
     var f = 0
     while (f < plan.length) {
       val (fi, base, filler) = plan(f)
-      if (fi < 0) {
+      if (fi == -2) { // synthesized _graft_ordinal: file-physical row ids
+        val start = pageStartRows(page)
+        var i = 0
+        while (i < rows) { vectors(f).putLong(i, start + i); i += 1 }
+      } else if (fi < 0) {
         vectors(f).putNulls(0, rows) // evolution column absent in this file
       } else if (direct(f) != null) {
         val lr = leafReaders(base)

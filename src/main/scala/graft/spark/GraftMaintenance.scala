@@ -141,7 +141,12 @@ object GraftMaintenance {
     GraftVersionLog.sync(fs, tableDir)
     beforeManifests.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false))
-    before.foreach(f => fs.delete(f.getPath, false))
+    before.foreach { f =>
+      fs.delete(f.getPath, false)
+      // the rewrite read THROUGH the scan (deletion vectors applied), so
+      // the output is clean — retiring a file retires its DV sidecars
+      GraftDv.dropFor(fs, tableDir, f.getPath)
+    }
     val after = GraftUtil.listDataFiles(dir, conf)
     // a compaction that imposed a sorted layout leaves the table
     // whole-file sorted — republish the sort marker (the rewrite's own
@@ -237,6 +242,120 @@ object GraftMaintenance {
       scope: Set[String]): DeleteStats =
     locked(spark, dir, "replaceWhere") {
       deleteWhereImpl(spark, dir, predicate, changelog, None, Some(scope))
+    }
+
+  /** MERGE-ON-READ delete via deletion vectors: mask every row matching
+    * `predicate` in a per-file ordinal bitmap sidecar ([[GraftDv]]) instead
+    * of rewriting the files — a 1-row takedown in a 1 GB file writes a
+    * ~100-byte sidecar, not a gigabyte. At GDPR-cadence deletes on 100 TB,
+    * rewrite amplification is the cost center this removes; compaction (or
+    * any row-level rewrite touching the file) folds the mask away and
+    * restores the columnar/pushdown fast paths.
+    *
+    * Semantics vs [[deleteWhere]]: identical batch view (scans apply the
+    * mask), original files byte-identical, manifests untouched (no expiry,
+    * no catch-up — nothing was retired), `since` windows unchanged for the
+    * file's commit. While a table carries any DV its scans run row-based
+    * and footer-only aggregate/limit/top-N pushdowns decline (a masked row
+    * could hold the min) — the documented trade until compaction.
+    *
+    * Crash contract: the changelog (optional) publishes first under a
+    * deterministic predicate-keyed name; DV sidecars publish per file via
+    * tmp+rename at a fresh generation. A re-run converges: already-masked
+    * rows no longer match (the probe reads through the mask), so bitmaps
+    * only ever grow by exactly the still-live matches.
+    */
+  def deleteWhereDv(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      changelog: Boolean = false): DeleteStats =
+    locked(spark, dir, "deleteWhereDv") {
+      val conf = spark.sessionState.newHadoopConf()
+      val tableDir = new org.apache.hadoop.fs.Path(dir)
+      val fs = tableDir.getFileSystem(conf)
+      val files = GraftUtil.listDataFiles(dir, conf)
+      require(files.nonEmpty, s"graft: nothing to delete under $dir")
+      val rowsBefore = {
+        val c = GraftScan.rowCount(files, conf)
+        if (c.isPresent) c.getAsLong
+        else spark.read.format("graft").load(dir).count()
+      }
+      val predHash = GraftManifest.md5Hex(predicate.toString, 4)
+      val table = spark.read.format("graft").load(dir)
+      // change feed FIRST (the crash order changelog -> mask): one feed
+      // file for the whole op, deterministic name so a resume never
+      // publishes pre-images twice. The -del marker types the events.
+      if (changelog) {
+        val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+        val clPath = new org.apache.hadoop.fs.Path(
+          clDir, s"dvdel-del$predHash${GraftUtil.Extension}")
+        if (!fs.exists(clPath)) {
+          val scratch = new org.apache.hadoop.fs.Path(
+            tableDir, s"_graft_tmp_delete/dv-$predHash")
+          table.filter(predicate).coalesce(1)
+            .write.format("graft").mode("overwrite").save(scratch.toString)
+          val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+          require(produced.size <= 1,
+            s"graft: DV changelog write produced ${produced.size} files")
+          if (produced.nonEmpty) {
+            fs.mkdirs(clDir)
+            require(fs.rename(produced.head.getPath, clPath),
+              s"graft: failed to publish DV change feed at $clPath")
+          }
+          fs.delete(scratch, true)
+        }
+        publishChangeFeed(conf, fs, tableDir)
+      }
+      // ONE distributed probe maps still-live matching rows to (file,
+      // file-physical ordinal) via the synthesized metadata column; each
+      // file's ordinals fold into a roaring bitmap EXECUTOR-side, so the
+      // driver collects O(matched files) small byte arrays, never rows
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      import org.apache.spark.sql.Encoders
+      val matched = table.filter(predicate)
+        .select(input_file_name().as("f"), col(GraftDv.OrdinalCol).as("o"))
+      val perFile: Array[(String, Array[Byte])] = matched
+        .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+        .groupByKey(_._1)(Encoders.STRING)
+        .mapGroups { (f, it) =>
+          val rb = new org.roaringbitmap.RoaringBitmap()
+          it.foreach { case (_, o) =>
+            require(o <= Int.MaxValue, s"graft: row ordinal $o exceeds DV range")
+            rb.add(o.toInt)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          rb.runOptimize()
+          rb.serialize(new java.io.DataOutputStream(bos))
+          (f, bos.toByteArray)
+        }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .collect()
+      if (perFile.nonEmpty) {
+        val known = files.map(_.getPath.toString).toSet
+        require(perFile.forall(p => p._1.nonEmpty && known.contains(p._1)),
+          "graft: deleteWhereDv probe returned file names outside the table " +
+            "listing (input_file_name plumbing broken?)")
+        val current = GraftDv.list(fs, tableDir)
+        perFile.foreach { case (f, bytes) =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val add = new org.roaringbitmap.RoaringBitmap()
+          add.deserialize(new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val ident = GraftDv.identOf(tableDir, p)
+          val (gen, merged) = current.get(ident) match {
+            case Some((g, path)) =>
+              val cum = GraftDv.read(fs, path).clone()
+              cum.or(add)
+              (g + 1, cum)
+            case None => (1, add)
+          }
+          GraftDv.publish(fs, tableDir, ident, gen, merged)
+        }
+      }
+      val rowsAfter = {
+        val c = GraftScan.rowCount(GraftUtil.listDataFiles(dir, conf), conf)
+        if (c.isPresent) c.getAsLong
+        else spark.read.format("graft").load(dir).count()
+      }
+      DeleteStats(perFile.length, files.size - perFile.length, rowsBefore, rowsAfter)
     }
 
   private def deleteWhereImpl(spark: SparkSession, dir: String,
@@ -375,7 +494,10 @@ object GraftMaintenance {
               allowEmpty = true, sameCount = false))
           publishChangeFeed(conf, fs, tableDir)
         } else {
-          victims.foreach(f => fs.delete(f.getPath, false))
+          victims.foreach { f =>
+            fs.delete(f.getPath, false)
+            GraftDv.dropFor(fs, tableDir, f.getPath)
+          }
         }
       }
       healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
@@ -659,6 +781,7 @@ object GraftMaintenance {
           // output and retiring the original — the output is live (and
           // was counted when this pass probed), so just retire
           fs.delete(f.getPath, false)
+          GraftDv.dropFor(fs, tableDir, f.getPath)
           rewrittenN.incrementAndGet()
         } else {
           val scratch = new org.apache.hadoop.fs.Path(
@@ -692,6 +815,9 @@ object GraftMaintenance {
           }
           fs.delete(scratch, true)
           fs.delete(f.getPath, false)
+          // the rewrite's read applied any deletion vector, so the output
+          // is clean — the retired original's sidecars go with it
+          GraftDv.dropFor(fs, tableDir, f.getPath)
           rewrittenN.incrementAndGet()
         }
       }})

@@ -30,6 +30,34 @@ object GraftSchema {
     case _ => true
   }
 
+  /** Metadata-only TYPE WIDENING (ALTER COLUMN ... TYPE): true when a file
+    * written as `from` decodes losslessly under a table schema declaring
+    * `to`, with every stats surface staying sound:
+    *
+    *   - integral up-widening (byte -> short -> int -> long): all widths
+    *     share the long zone-map/footer stats domain (statsKind 1), so
+    *     page pruning and footer MIN/MAX read unchanged;
+    *   - float -> double: shared double stats domain (statsKind 2/3);
+    *   - decimal precision growth at the SAME scale within one storage
+    *     lane (both <= 18 digits long-backed, or both 128-bit): unscaled
+    *     values and stats are identical bytes. Cross-lane growth
+    *     (18 -> 19 digits) changes the stats domain and is rejected —
+    *     that migration rewrites files (CTAS).
+    *
+    * Date/timestamp and everything nested are not widenable.
+    */
+  def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (a: DecimalType, b: DecimalType) =>
+      a.scale == b.scale && b.precision > a.precision &&
+        (a.precision <= Decimal.MAX_LONG_DIGITS) ==
+          (b.precision <= Decimal.MAX_LONG_DIGITS)
+    case _ => false
+  }
+
   /** Number of on-disk leaves a field occupies (must mirror the writer's
     * ColumnTree flattening exactly).
     */

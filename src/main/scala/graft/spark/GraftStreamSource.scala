@@ -461,7 +461,13 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
     new GraftReaderFactory(HadoopConfBroadcast(conf.value), projectedJson,
       // mixed-generation files under a RENAME need the mapping here too —
       // a stream planned before a rename keeps reading old-named files
-      colAliases = GraftColumnMap.forRead(fs, tableDir).physToLogical)
+      colAliases = GraftColumnMap.forRead(fs, tableDir).physToLogical,
+      // deletion vectors current at batch-plan time: a file delivered in
+      // THIS batch masks rows a DV already deleted (the batch view's
+      // semantics); DVs published later never redeliver or retro-mask a
+      // processed batch — same no-redelivery contract as rewrite deletes
+      dvByIdent = GraftDv.list(fs, tableDir)
+        .map { case (ident, (_, p)) => ident -> p })
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -1,0 +1,208 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read deletes via deletion vectors: a per-file ordinal bitmap
+  * sidecar masks deleted rows at scan time instead of rewriting the file.
+  * The contract under test:
+  *
+  *   - batch view identical to a copy-on-write deleteWhere;
+  *   - original data files BYTE-IDENTICAL (same name, length, mtime);
+  *   - footer row counts subtract the mask; footer-only aggregate /
+  *     limit / top-N pushdowns decline while DVs exist;
+  *   - cumulative across ops, convergent on re-run;
+  *   - compaction folds the mask away and drops the sidecars;
+  *   - fresh streams and the SQL surface see the masked view;
+  *   - the _graft_ordinal metadata column addresses rows physically.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fresh(name: String): String = {
+    val dir = s"/tmp/graft-test/dv-$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    dir
+  }
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def filesOf(dir: String): Map[String, (Long, Long)] =
+    GraftUtil.listDataFiles(dir, spark.sessionState.newHadoopConf())
+      .map(f => f.getPath.toString -> ((f.getLen, f.getModificationTime))).toMap
+
+  private def ks(dir: String): Seq[Long] =
+    spark.read.format("graft").load(dir)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("_graft_ordinal metadata column exposes file-physical row positions") {
+    val dir = fresh("ordinal")
+    spark.range(0, 100).selectExpr("id AS k")
+      .coalesce(1).write.format("graft")
+      .option("maxrowsperfile", "1000").option("pagesize", "16")
+      .mode("overwrite").save(dir)
+    val got = spark.read.format("graft").load(dir)
+      .select(col("k"), col(GraftDv.OrdinalCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // single sorted file: ordinal == position == k
+    assert(got == (0L until 100L).map(k => (k, k)),
+      s"ordinals must be file-physical positions: ${got.take(5)}")
+  }
+
+  test("DV delete matches deleteWhere semantics with byte-identical files") {
+    val dir = fresh("basic")
+    spark.range(0, 500).selectExpr("id AS k", "id * 3 AS v").repartition(4)
+      .write.format("graft").option("maxrowsperfile", "100")
+      .mode("overwrite").save(dir)
+    val before = filesOf(dir)
+    val st = GraftMaintenance.deleteWhereDv(spark, dir, col("k") % 10 === 7)
+    assert(st.rowsBefore == 500 && st.rowsAfter == 450, st)
+    assert(filesOf(dir) == before,
+      "DV delete must leave every data file byte-identical")
+    assert(ks(dir) == (0L until 500L).filterNot(_ % 10 == 7))
+    // row values intact, not just keys
+    val vBad = spark.read.format("graft").load(dir)
+      .filter(col("v") =!= col("k") * 3).count()
+    assert(vBad == 0)
+    // sidecars exist
+    assert(GraftDv.hasAny(fsOf(dir), new org.apache.hadoop.fs.Path(dir)))
+  }
+
+  test("DV deletes are cumulative and re-runs converge") {
+    val dir = fresh("cumulative")
+    spark.range(0, 300).selectExpr("id AS k").repartition(2)
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 50)
+    val st2 = GraftMaintenance.deleteWhereDv(spark, dir, col("k").between(100, 149))
+    assert(st2.rowsAfter == 200, st2)
+    assert(ks(dir) == ((50L until 100L) ++ (150L until 300L)))
+    // re-run of the first predicate: nothing still matches, nothing changes
+    val st3 = GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 50)
+    assert(st3.filesRewritten == 0 && st3.rowsAfter == 200, st3)
+    assert(ks(dir) == ((50L until 100L) ++ (150L until 300L)))
+  }
+
+  test("footer-only count and agg/limit/topN pushdowns stay correct under DVs") {
+    val dir = fresh("pushdown")
+    spark.range(0, 400).selectExpr("id AS k")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("graft").option("sortby", "k")
+      .option("pagesize", "32").mode("overwrite").save(dir)
+    // pre-DV: footer count & agg pushdown active (sanity)
+    assert(spark.read.format("graft").load(dir).count() == 400)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 10 || col("k") === 399)
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() == 389, "count must subtract the mask")
+    val mm = t.agg(min("k"), max("k")).collect()(0)
+    assert(mm.getLong(0) == 10 && mm.getLong(1) == 398,
+      s"min/max must reflect masked rows: $mm")
+    // top-N over the sort marker: the true smallest are 10..14 now
+    val top = t.orderBy("k").limit(5).collect().map(_.getLong(0)).toSeq
+    assert(top == (10L to 14L), s"topN must not serve masked leading rows: $top")
+    assert(t.limit(3).collect().length == 3)
+    // statistics numRows (plan-time) subtracts too
+    val scanRows = GraftScan.rowCount(
+      GraftUtil.listDataFiles(dir, spark.sessionState.newHadoopConf()),
+      spark.sessionState.newHadoopConf())
+    assert(scanRows.isPresent && scanRows.getAsLong == 389)
+  }
+
+  test("compaction folds DVs away and restores the sidecar-free table") {
+    val dir = fresh("compact")
+    spark.range(0, 300).selectExpr("id AS k").repartition(3)
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") % 3 === 0)
+    assert(ks(dir) == (0L until 300L).filterNot(_ % 3 == 0))
+    GraftMaintenance.compact(spark, dir, targetFiles = 1)
+    assert(ks(dir) == (0L until 300L).filterNot(_ % 3 == 0),
+      "compaction must fold the mask, not resurrect rows")
+    assert(!GraftDv.hasAny(fsOf(dir), new org.apache.hadoop.fs.Path(dir)),
+      "compaction must drop the retired files' DV sidecars")
+    // pushdowns are live again post-fold
+    assert(spark.read.format("graft").load(dir).count() == 200)
+  }
+
+  test("a row-level rewrite on a DV'd file folds the mask into its output") {
+    val dir = fresh("rewrite-fold")
+    spark.range(0, 200).selectExpr("id AS k", "id AS v").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 20)
+    // copy-on-write delete of a DIFFERENT band rewrites the file — the
+    // output must exclude both bands, and the DV sidecar must be dropped
+    GraftMaintenance.deleteWhere(spark, dir, col("k").between(50, 59))
+    assert(ks(dir) == (20L until 200L).filterNot(k => k >= 50 && k <= 59))
+    assert(!GraftDv.hasAny(fsOf(dir), new org.apache.hadoop.fs.Path(dir)),
+      "retiring a file must retire its deletion vectors")
+  }
+
+  test("DV deletes respect hive-partitioned layouts") {
+    val dir = fresh("partitioned")
+    spark.range(0, 120).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p")
+      .write.format("graft").option("partitionby", "p")
+      .mode("overwrite").save(dir)
+    val before = filesOf(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") % 4 === 1)
+    assert(filesOf(dir) == before)
+    assert(ks(dir) == (0L until 120L).filterNot(_ % 4 == 1))
+    // partition pruning still applies above the mask
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("p") === "0").count() == (0L until 120L)
+        .count(k => k % 3 == 0 && k % 4 != 1))
+  }
+
+  test("fresh streams read through the mask") {
+    val dir = fresh("stream")
+    spark.range(0, 80).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") >= 60)
+    val schema = spark.read.format("graft").load(dir).schema
+    val q = spark.readStream.format("graft").schema(schema).load(dir)
+      .writeStream.format("memory").queryName("dv_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dv_stream").select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq == (0L until 60L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS dv_stream")
+    }
+  }
+
+  test("changelog publishes DV-deleted rows to the change feed") {
+    val dir = fresh("cdc")
+    spark.range(0, 90).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 5, changelog = true)
+    Thread.sleep(3)
+    val w = GraftCdc.changes(spark, dir, t1, System.currentTimeMillis())
+      .select("k", GraftCdc.ChangeTypeCol)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(w == (0L until 5L).map((_, "delete")),
+      s"the feed must carry the masked rows as deletes: $w")
+  }
+
+  test("DV sidecar round-trip survives odd partition values (injective idents)") {
+    val dir = fresh("weird-parts")
+    spark.createDataFrame(Seq(
+      (1L, "a/b"), (2L, "a/b"), (3L, "a_b"), (4L, "a_b")
+    )).toDF("k", "p")
+      .write.format("graft").option("partitionby", "p")
+      .mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") === 1 || col("k") === 3)
+    val got = spark.read.format("graft").load(dir)
+      .select("k", "p").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((2L, "a/b"), (4L, "a_b")),
+      s"sanitization-colliding partitions must keep separate bitmaps: $got")
+  }
+}
