@@ -751,6 +751,48 @@ object Functions {
         .orderBy(col("col_name"))
     },
 
+    "q_sql_ndv" -> { (s, dir) =>
+      // the graft_ndv TABLE FUNCTION: the same footer-synopsis estimate as
+      // q_ndv_footer (shared staging), reached through pure SQL — the
+      // oracle recomputes the identical portable KMV sketch from raw rows,
+      // so the TVF's output is checked bit-for-bit, estimator math included.
+      val stage = stagedOnce(
+          s"/tmp/graft_ndv_stage2/${stageKey(s, dir, "documents")}/documents") { t =>
+        Tables.parquet(s, dir, "documents")
+          .repartition(3)
+          .write.format("graft")
+          .option("ndvsketch", "doc_id,lang,source")
+          .mode("overwrite").save(t)
+      }
+      graft.spark.GraftExtensions.ensure(s)
+      s.sql(s"SELECT * FROM graft_ndv('$stage', 'doc_id', 'lang', 'source') " +
+        "ORDER BY col_name")
+    },
+
+    "q_sql_pages" -> { (s, dir) =>
+      // the graft_pages TABLE FUNCTION: per-page physical layout
+      // introspection (GraftStat as SQL). The oracle can't know codecs,
+      // but it CAN know what the pages must add up to — per-column value
+      // slots equal the row count and per-column null_count equals the
+      // data's nulls, so aggregating the TVF against DuckDB checks that
+      // the page walk reads real layout, not plausible numbers.
+      val stage = stagedOnce(
+          s"/tmp/graft_pages_stage1/${stageKey(s, dir, "documents")}/documents") { t =>
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+              .otherwise(col("source")).as("src"))
+          .repartition(3)
+          .write.format("graft").option("pagesize", "256")
+          .mode("overwrite").save(t)
+      }
+      graft.spark.GraftExtensions.ensure(s)
+      s.sql(s"""SELECT column AS col_name,
+        CAST(sum(num_values) AS BIGINT) AS vals,
+        CAST(sum(null_count) AS BIGINT) AS nulls
+        FROM graft_pages('$stage') GROUP BY column ORDER BY col_name""")
+    },
+
     "t_inverted_index" -> { (s, dir) =>
       // inverted token->postings index MATERIALIZED INTO THE STORAGE TIER,
       // then searched through it — the corpus-search shape a 100 TB text
@@ -1152,6 +1194,17 @@ object Functions {
     "q_ndv_footer" ->
       (Seq("doc_id", "lang", "source").map(ndvOracleBlock)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    "q_sql_ndv" ->
+      (Seq("doc_id", "lang", "source").map(ndvOracleBlock)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    "q_sql_pages" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS vals, CAST(0 AS BIGINT) AS nulls
+        |FROM documents
+        |UNION ALL
+        |SELECT 'src', count(*),
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |ORDER BY col_name""".stripMargin,
     "t_inverted_index" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
         |             FROM documents),

@@ -239,5 +239,30 @@ object GraftExtensions {
             litLong(exprs(1), "graft_changes"), litLong(exprs(2), "graft_changes"))
           .queryExecution.logical
       })
+    // graft_pages(path): per-(file, leaf, page) physical layout — the
+    // GraftStat introspection surfaced to SQL (reads leaf bytes to parse
+    // codec trees; an ops/debugging tool, priced like the library call)
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_pages"),
+      new ExpressionInfo("graft.spark.GraftIntrospect", "graft_pages"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_pages takes (path STRING)")
+        val invoking = SparkSession.getActiveSession.getOrElse(s)
+        GraftIntrospect.pages(invoking, litStr(exprs.head, "graft_pages"))
+          .queryExecution.logical
+      })
+    // graft_ndv(path, col, ...): footer-synopsis distinct counts (GraftNdv
+    // as SQL) — O(files) tail reads, zero data pages
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ndv"),
+      new ExpressionInfo("graft.spark.GraftIntrospect", "graft_ndv"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 2,
+          "graft_ndv takes (path STRING, col STRING, ...)")
+        val invoking = SparkSession.getActiveSession.getOrElse(s)
+        GraftIntrospect.ndv(invoking, litStr(exprs.head, "graft_ndv"),
+            exprs.tail.map(litStr(_, "graft_ndv")))
+          .queryExecution.logical
+      })
   }
 }
