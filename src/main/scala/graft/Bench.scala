@@ -621,9 +621,18 @@ object Bench {
           math.min(deadline, System.nanoTime() + auditWallSec * 1000000000L), scaledImpl)
         val scaledSec = section(scaled)
         val skippedJson = m.skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+        // the two capped entries' FULL-COMPUTE numbers, cross-referenced
+        // from the base section (which runs them uncapped at 1x): the
+        // scaled entries measure scan+cap by design, and this keeps an
+        // honest full-operator timing in the same artifact
+        val uncappedRef = Seq("s_embedding_pca", "m_multimodal_scenecut")
+          .flatMap(n => base.find(_.name == n))
+          .map(r => f""""${r.name}":{"g":${r.bg}%.3f,"p":${r.bp}%.3f}""")
+          .mkString("{", ",", "}")
         emitDetail("detail_scaled",
           s""""factor":$scaleFactor,"runs":$scaledRuns,"nq":${scaled.size},""" +
             s""""capped":["s_embedding_pca","m_multimodal_scenecut"],""" +
+            s""""uncapped_base":$uncappedRef,""" +
             s""""skipped":$skippedJson,${scaledSec.detail}""")
         flags = baseFlags ++ scaledFlags
         // absolute streaming catch-up throughput on the amplified corpus
@@ -683,11 +692,18 @@ object Bench {
       println(f"""{"metric":"host","sf":"$sfDir","cpus":$cpus,"worst_steal":$worstSteal%.4f,"worst_load":$worstLoad%.1f}""")
       System.out.flush()
     }
-    // FINAL line: compact and FIXED-SHAPE (<600 B) — the one the driver
+    // FINAL line: compact and FIXED-SHAPE (<700 B) — the one the driver
     // must parse; flags ship above as separate lines and only their count
-    // rides here. Flush and linger briefly so sbt's stdout pump drains the
-    // line before the JVM exits (observed: final-line tail lost at exit).
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase$scaledCompact,"nflags":${flags.size}}""")
+    // rides here. `protocol` names the measurement protocol revision
+    // (bumped whenever the timed-region/staging rules change) and
+    // `staging` fingerprints the staged graft bytes, so a round-over-round
+    // total shift is attributable in-artifact: same staging hash = timing
+    // moved, changed hash = the staged data itself was rebuilt. Flush and
+    // linger briefly so sbt's stdout pump drains the line before the JVM
+    // exits (observed: final-line tail lost at exit).
+    val stagingFp = try Tables.stagingFingerprint(sfDir)
+      catch { case _: Throwable => "unknown" }
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase$scaledCompact,"protocol":"r15-interleaved-minof$runs","staging":"$stagingFp","nflags":${flags.size}}""")
     System.out.flush()
     Thread.sleep(500)
     spark.stop()

@@ -42,6 +42,14 @@ object Tables {
   private def strRoot(sfDir: String): String =
     "/tmp/graft_str_v8/" + sfDir.replaceAll("[^a-zA-Z0-9.]+", "_") + "_" + fingerprint(sfDir)
 
+  /** Fingerprint of the STAGED graft conversions for `sfDir` (name/len/
+    * mtime walk) — the bench stamps it into its final line so a
+    * round-over-round total shift is attributable: same hash = same staged
+    * bytes (timing moved for protocol/host reasons), changed hash = the
+    * staging itself was rebuilt. */
+  private[graft] def stagingFingerprint(sfDir: String): String =
+    fingerprint(strRoot(sfDir))
+
   /** Read a table as a graft-format DataFrame (converting from parquet on
     * first use). GRAFT_TABLES_FORMAT=parquet bypasses graft — used only to
     * measure the parquet baseline with identical query code.
