@@ -83,6 +83,12 @@ object GraftDv {
     }
   }
 
+  /** The ident a sidecar name encodes (None for non-sidecar entries). */
+  def identOfSidecar(name: String): Option[String] = name match {
+    case NamePat(ident, _) => Some(ident)
+    case _ => None
+  }
+
   def hasAny(fs: FileSystem, tableDir: Path): Boolean = {
     val d = dir(tableDir)
     fs.exists(d) && fs.listStatus(d).exists(_.getPath.getName.endsWith(".dv"))

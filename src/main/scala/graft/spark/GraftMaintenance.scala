@@ -1864,6 +1864,30 @@ object GraftMaintenance {
         sweepScratch(scratchDir)
       }
     }
+    // (2b) ORPHANED deletion-vector sidecars: a DV whose data file is gone
+    // (retired by a path that could not know the sidecar — e.g. an
+    // external delete) is garbage, and worse than garbage: hasAny() keeps
+    // the table on the row-based masked-scan path and declines pushdowns
+    // for a mask nothing references. Live-ident keyed, age-gated like the
+    // other sweeps (a mid-publish sidecar for an in-flight commit's file
+    // must survive its own race).
+    locally {
+      val dvDir = GraftDv.dir(tableDir)
+      if (fs.exists(dvDir)) {
+        val liveIdents = GraftUtil.listDataFiles(dir, conf)
+          .map(f => GraftDv.identOf(tableDir, f.getPath)).toSet
+        fs.listStatus(dvDir).foreach { f =>
+          val n = f.getPath.getName
+          val ident = GraftDv.identOfSidecar(n)
+          val orphanDv = ident.exists(!liveIdents.contains(_))
+          val staleTmp = n.startsWith(".") && n.endsWith(".tmp")
+          if ((orphanDv || staleTmp) && f.getModificationTime < olderThanMs) {
+            scratch += 1; doom(f)
+          }
+        }
+        if (!dryRun && fs.listStatus(dvDir).isEmpty) fs.delete(dvDir, false)
+      }
+    }
     // (3) changelog retention (opt-in)
     changelogOlderThanMs.foreach { cutoff =>
       val clDir = new Path(tableDir, GraftCdc.ChangesDir)

@@ -492,6 +492,10 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     GraftManifest.publish(fs, tableDir, added, tag = opts.manifestTag)
     oldManifests.foreach(n => fs.delete(new Path(GraftManifest.dir(tableDir), n), false))
     oldFiles.foreach(fs.delete(_, false))
+    // a truncate retires EVERY old file — its deletion-vector sidecars go
+    // with them, or the stale _graft_dv dir would pin the re-filled table
+    // on the row-based masked-scan path (and decline pushdowns) forever
+    if (doTruncate) fs.delete(GraftDv.dir(tableDir), true)
     if (added.nonEmpty && staysSorted)
       GraftSortMarker.publish(fs, tableDir, effectiveSort)
     // OVERWRITE delete phase, strictly after the new files and their

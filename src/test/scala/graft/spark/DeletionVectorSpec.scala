@@ -191,6 +191,38 @@ class DeletionVectorSpec extends AnyFunSuite {
       s"the feed must carry the masked rows as deletes: $w")
   }
 
+  test("truncating overwrite clears the DV sidecars with the files they masked") {
+    val dir = fresh("truncate")
+    spark.range(0, 60).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 10)
+    assert(GraftDv.hasAny(fsOf(dir), new org.apache.hadoop.fs.Path(dir)))
+    spark.range(100, 120).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(!GraftDv.hasAny(fsOf(dir), new org.apache.hadoop.fs.Path(dir)),
+      "stale sidecars would pin the re-filled table row-based forever")
+    assert(ks(dir) == (100L until 120L))
+  }
+
+  test("vacuum sweeps orphaned DV sidecars and stale tmps") {
+    val dir = fresh("vacuum")
+    spark.range(0, 60).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 5)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(dir)
+    // orphan the sidecar: retire its data file through a path that cannot
+    // know about DVs (an external delete), leaving the mask dangling
+    val dataFile = GraftUtil.listDataFiles(dir, spark.sessionState.newHadoopConf()).head
+    fs.delete(dataFile.getPath, false)
+    assert(GraftDv.hasAny(fs, p))
+    val st = GraftMaintenance.vacuum(spark, dir,
+      olderThanMs = System.currentTimeMillis() + 1000)
+    assert(st.scratchFiles >= 1, s"vacuum must report the swept sidecar: $st")
+    assert(!GraftDv.hasAny(fs, p),
+      "an orphaned mask must not keep declining pushdowns for nothing")
+  }
+
   test("DV sidecar round-trip survives odd partition values (injective idents)") {
     val dir = fresh("weird-parts")
     spark.createDataFrame(Seq(

@@ -59,9 +59,15 @@ class DmlDifferentialSpec extends AnyFunSuite {
 
     for (step <- 0 until 4) {
       rnd.nextInt(4) match {
-        case 0 => // DELETE WHERE k % m = r
+        case 0 => // DELETE WHERE k % m = r — half copy-on-write rewrites,
+          // half merge-on-read deletion vectors (same semantics; the DV
+          // variant also exercises the masked scan under every later op,
+          // including rewrites folding the mask into their outputs)
           val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
-          GraftMaintenance.deleteWhere(spark, dir, col("k") % m === r)
+          if (rnd.nextBoolean())
+            GraftMaintenance.deleteWhere(spark, dir, col("k") % m === r)
+          else
+            GraftMaintenance.deleteWhereDv(spark, dir, col("k") % m === r)
           model.filterInPlace((k, _) => k % m != r)
         case 1 => // UPDATE SET v = v + d, s = tag WHERE k % m = r
           val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
