@@ -217,7 +217,15 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     // purge pass would otherwise read the footer-only path schema).
     // Cache refresh is Spark's job: DeleteFromTableExec recaches the V2
     // relation through its refreshCache callback after this returns.
-    GraftMaintenance.deleteWhere(spark, path, pred, schemaOverride = Some(tableSchema))
+    // `graft.delete.mode=dv` (session conf) routes SQL DELETE through the
+    // merge-on-read deletion-vector pass instead of copy-on-write
+    // rewrites — the GDPR-cadence knob for tables where rewrite
+    // amplification is the cost center (mask now, fold at compaction).
+    val dvMode = spark.conf.getOption("graft.delete.mode").contains("dv")
+    if (dvMode) GraftMaintenance.deleteWhereDv(spark, path, pred,
+      schemaOverride = Some(tableSchema))
+    else GraftMaintenance.deleteWhere(spark, path, pred,
+      schemaOverride = Some(tableSchema))
   }
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = {

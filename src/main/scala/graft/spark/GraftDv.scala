@@ -27,6 +27,13 @@ import org.roaringbitmap.RoaringBitmap
   *
   * The existence probe is one `fs.exists` on the `_graft_dv` dir — a table
   * that never used DVs pays nothing else anywhere.
+  *
+  * Snapshot posture: scans apply the CURRENT deletion vectors regardless
+  * of `asof`/VERSION AS OF pins — the same posture as the copy-on-write
+  * deletes (whose rewrites retire the files older snapshots would need).
+  * A delete is a takedown: the row must be gone from every future read,
+  * including time-travel reads; reconstructing pre-delete snapshots is
+  * explicitly not a goal of either delete path.
   */
 object GraftDv {
   val DirName = "_graft_dv"

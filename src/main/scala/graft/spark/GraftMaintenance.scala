@@ -267,7 +267,8 @@ object GraftMaintenance {
     */
   def deleteWhereDv(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
-      changelog: Boolean = false): DeleteStats =
+      changelog: Boolean = false,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): DeleteStats =
     locked(spark, dir, "deleteWhereDv") {
       val conf = spark.sessionState.newHadoopConf()
       val tableDir = new org.apache.hadoop.fs.Path(dir)
@@ -280,7 +281,12 @@ object GraftMaintenance {
         else spark.read.format("graft").load(dir).count()
       }
       val predHash = GraftManifest.md5Hex(predicate.toString, 4)
-      val table = spark.read.format("graft").load(dir)
+      // schemaOverride: the catalog's declared schema (evolution columns),
+      // so a SQL DELETE predicate over an ALTER-added column resolves
+      val table = schemaOverride match {
+        case Some(sc) => spark.read.format("graft").schema(sc).load(dir)
+        case None => spark.read.format("graft").load(dir)
+      }
       // change feed FIRST (the crash order changelog -> mask): one feed
       // file for the whole op, deterministic name so a resume never
       // publishes pre-images twice. The -del marker types the events.

@@ -191,6 +191,27 @@ class DeletionVectorSpec extends AnyFunSuite {
       s"the feed must carry the masked rows as deletes: $w")
   }
 
+  test("SQL DELETE routes through deletion vectors under graft.delete.mode=dv") {
+    val dir = fresh("sqlmode")
+    spark.conf.set("spark.sql.catalog.gdv", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdv.warehouse", "/tmp/graft-test")
+    spark.range(0, 70).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    val before = filesOf(dir)
+    spark.conf.set("graft.delete.mode", "dv")
+    try spark.sql(s"DELETE FROM gdv.`dv-sqlmode` WHERE k < 7")
+    finally spark.conf.unset("graft.delete.mode")
+    assert(filesOf(dir) == before,
+      "dv-mode SQL DELETE must not rewrite any data file")
+    assert(GraftDv.hasAny(fsOf(dir), new org.apache.hadoop.fs.Path(dir)))
+    assert(spark.sql(s"SELECT k FROM gdv.`dv-sqlmode`")
+      .collect().map(_.getLong(0)).sorted.toSeq == (7L until 70L))
+    // default mode still rewrites
+    spark.sql(s"DELETE FROM gdv.`dv-sqlmode` WHERE k >= 65")
+    assert(spark.sql(s"SELECT count(*) FROM gdv.`dv-sqlmode`")
+      .collect()(0).getLong(0) == 58)
+  }
+
   test("truncating overwrite clears the DV sidecars with the files they masked") {
     val dir = fresh("truncate")
     spark.range(0, 60).selectExpr("id AS k")
