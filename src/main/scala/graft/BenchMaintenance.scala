@@ -939,6 +939,58 @@ object BenchMaintenance {
       sb.append(f""","x_cdc_apply":{"rows":$cdcRows,"g":$gSec%.3f,"p":$pSec%.3f,""" +
         f""""ratio":${gSec / pSec}%.3f}""")
     }
+    // ---- x_delete_dv at scale: mask vs rewrite vs parquet on 5M/64 ----
+    // the rewrite-amplification claim measured where it matters: a 2% band
+    // delete on the 64-file staging rewrites 1-2 files copy-on-write but
+    // only writes ~KB of bitmap merge-on-read. Shares the merge section's
+    // pristine stagings; each run mutates a fresh file-level copy.
+    locally {
+      val (amp, domEnd) = ampedDocs(spark, dir, targetRows, withText = false)
+      val lo = domEnd * 49 / 100
+      val hi = domEnd * 51 / 100
+      val gPristine = s"$root/mrg_graft"
+      stagePristine(amp, "graft", gPristine)
+      val pPristine = s"$root/mrg_parquet"
+      stagePristine(amp, "parquet", pPristine)
+      def agg(df: DataFrame): Unit =
+        df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+          .write.mode("overwrite").format("noop").save()
+      def dvRun(): Double = {
+        val st = mutableCopy(gPristine)
+        val t0 = System.nanoTime()
+        graft.spark.GraftMaintenance.deleteWhereDv(spark, st,
+          col("doc_id").between(lo, hi))
+        agg(spark.read.format("graft").load(st))
+        (System.nanoTime() - t0) / 1e9
+      }
+      def cowRun(): Double = {
+        val st = mutableCopy(gPristine)
+        val t0 = System.nanoTime()
+        graft.spark.GraftMaintenance.deleteWhere(spark, st,
+          col("doc_id").between(lo, hi))
+        agg(spark.read.format("graft").load(st))
+        (System.nanoTime() - t0) / 1e9
+      }
+      def pqRun(): Double = {
+        val rw = s"$pPristine.delrw"
+        rm(rw)
+        val t0 = System.nanoTime()
+        spark.read.parquet(pPristine)
+          .filter(!col("doc_id").between(lo, hi))
+          .write.mode("overwrite").parquet(rw)
+        agg(spark.read.parquet(rw))
+        (System.nanoTime() - t0) / 1e9
+      }
+      dvRun(); cowRun(); pqRun() // warmup
+      val dv = math.min(dvRun(), dvRun())
+      val cow = math.min(cowRun(), cowRun())
+      val pq = math.min(pqRun(), pqRun())
+      System.err.println(f"[bench] x_delete_dv@$targetRows dv=$dv%.2fs " +
+        f"cow=$cow%.2fs parquet=$pq%.2fs dv/p=${dv / pq}%.2f cow/p=${cow / pq}%.2f")
+      sb.append(f""","x_delete_dv":{"rows":$targetRows,"dv":$dv%.3f,""" +
+        f""""cow":$cow%.3f,"p":$pq%.3f,"ratio_dv":${dv / pq}%.3f,""" +
+        f""""ratio_cow":${cow / pq}%.3f}""")
+    }
     sb.append("}").toString
   }
 }

@@ -340,20 +340,31 @@ object GraftMaintenance {
           "graft: deleteWhereDv probe returned file names outside the table " +
             "listing (input_file_name plumbing broken?)")
         val current = GraftDv.list(fs, tableDir)
-        perFile.foreach { case (f, bytes) =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val add = new org.roaringbitmap.RoaringBitmap()
-          add.deserialize(new java.io.DataInputStream(
-            new java.io.ByteArrayInputStream(bytes)))
-          val ident = GraftDv.identOf(tableDir, p)
-          val (gen, merged) = current.get(ident) match {
-            case Some((g, path)) =>
-              val cum = GraftDv.read(fs, path).clone()
-              cum.or(add)
-              (g + 1, cum)
-            case None => (1, add)
-          }
-          GraftDv.publish(fs, tableDir, ident, gen, merged)
+        // per-file publishes are independent tiny fs ops — overlap them on
+        // a small pool so a wide takedown isn't serialized driver-side
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(8, perFile.length)))
+        try {
+          perFile.toSeq.map { case (f, bytes) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
+              val p = new org.apache.hadoop.fs.Path(f)
+              val add = new org.roaringbitmap.RoaringBitmap()
+              add.deserialize(new java.io.DataInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+              val ident = GraftDv.identOf(tableDir, p)
+              val (gen, merged) = current.get(ident) match {
+                case Some((g, path)) =>
+                  val cum = GraftDv.read(fs, path).clone()
+                  cum.or(add)
+                  (g + 1, cum)
+                case None => (1, add)
+              }
+              GraftDv.publish(fs, tableDir, ident, gen, merged)
+            }})
+          }.foreach(_.get())
+        } finally {
+          pool.shutdown()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
         }
       }
       val rowsAfter = {
