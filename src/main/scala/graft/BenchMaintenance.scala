@@ -940,17 +940,19 @@ object BenchMaintenance {
         f""""ratio":${gSec / pSec}%.3f}""")
     }
     // ---- x_delete_dv at scale: mask vs rewrite vs parquet on 5M/64 ----
-    // the rewrite-amplification claim measured where it matters: a 2% band
-    // delete on the 64-file staging rewrites 1-2 files copy-on-write but
-    // only writes ~KB of bitmap merge-on-read. Shares the merge section's
-    // pristine stagings; each run mutates a fresh file-level copy.
+    // the rewrite-amplification claim measured in its OWN shape: a
+    // SCATTERED 0.1% takedown (doc_id % 1000 = 7) over a TEXT-carrying
+    // table touches every one of the 64 files, so copy-on-write (and
+    // parquet) must rewrite the whole table's bytes while the mask writes
+    // 64 tiny bitmaps — the GDPR cadence where deletion vectors exist. A
+    // band delete on a range-partitioned table is the shape the CoW pass
+    // already wins (x_delete_where); this measures the one it loses.
     locally {
-      val (amp, domEnd) = ampedDocs(spark, dir, targetRows, withText = false)
-      val lo = domEnd * 49 / 100
-      val hi = domEnd * 51 / 100
-      val gPristine = s"$root/mrg_graft"
+      val (amp, _) = ampedDocs(spark, dir, targetRows, withText = true)
+      val pred = col("doc_id") % 1000 === 7
+      val gPristine = s"$root/dv_graft"
       stagePristine(amp, "graft", gPristine)
-      val pPristine = s"$root/mrg_parquet"
+      val pPristine = s"$root/dv_parquet"
       stagePristine(amp, "parquet", pPristine)
       def agg(df: DataFrame): Unit =
         df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
@@ -958,16 +960,14 @@ object BenchMaintenance {
       def dvRun(): Double = {
         val st = mutableCopy(gPristine)
         val t0 = System.nanoTime()
-        graft.spark.GraftMaintenance.deleteWhereDv(spark, st,
-          col("doc_id").between(lo, hi))
+        graft.spark.GraftMaintenance.deleteWhereDv(spark, st, pred)
         agg(spark.read.format("graft").load(st))
         (System.nanoTime() - t0) / 1e9
       }
       def cowRun(): Double = {
         val st = mutableCopy(gPristine)
         val t0 = System.nanoTime()
-        graft.spark.GraftMaintenance.deleteWhere(spark, st,
-          col("doc_id").between(lo, hi))
+        graft.spark.GraftMaintenance.deleteWhere(spark, st, pred)
         agg(spark.read.format("graft").load(st))
         (System.nanoTime() - t0) / 1e9
       }
@@ -976,7 +976,7 @@ object BenchMaintenance {
         rm(rw)
         val t0 = System.nanoTime()
         spark.read.parquet(pPristine)
-          .filter(!col("doc_id").between(lo, hi))
+          .filter(!pred)
           .write.mode("overwrite").parquet(rw)
         agg(spark.read.parquet(rw))
         (System.nanoTime() - t0) / 1e9
