@@ -364,11 +364,14 @@ object BenchMaintenance {
     * masked-scan tax the DV trade accepts until compaction folds it.
     */
   private def deleteDvOp(spark: SparkSession, format: String, dir: String): Double = {
-    val (lo0, hi0) = docBounds(spark, dir)
-    val lo = lo0 + (hi0 - lo0) * 49 / 100
-    val hi = lo0 + (hi0 - lo0) * 51 / 100
+    // SCATTERED 0.1% takedown over a TEXT-carrying table — every file
+    // holds victims, so any rewrite-based delete (parquet's only option)
+    // moves the whole table's bytes while the mask writes one tiny bitmap
+    // per file. The band-shaped selective delete is x_delete_where's
+    // story; this op prices the complementary GDPR shape.
+    val pred = col("doc_id") % 1000 === 7
     val src = Tables.parquet(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
       .repartitionByRange(16, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
     val stage = s"/tmp/graft_bench_maint/deldv_${format}_${key(dir)}"
@@ -379,8 +382,7 @@ object BenchMaintenance {
     if (format == "graft") {
       src.write.format("graft").mode("overwrite").save(stage)
       val t0 = System.nanoTime()
-      graft.spark.GraftMaintenance.deleteWhereDv(spark, stage,
-        col("doc_id").between(lo, hi))
+      graft.spark.GraftMaintenance.deleteWhereDv(spark, stage, pred)
       survivorAgg(spark.read.format("graft").load(stage))
       (System.nanoTime() - t0) / 1e9
     } else {
@@ -389,7 +391,7 @@ object BenchMaintenance {
       rm(rw)
       val t0 = System.nanoTime()
       spark.read.parquet(stage)
-        .filter(!col("doc_id").between(lo, hi))
+        .filter(!pred)
         .write.mode("overwrite").parquet(rw)
       survivorAgg(spark.read.parquet(rw))
       (System.nanoTime() - t0) / 1e9

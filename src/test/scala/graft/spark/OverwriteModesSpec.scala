@@ -213,6 +213,21 @@ class OverwriteModesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conflicts with the table's declared layout"))
   }
 
+  test("writeTo(...).partitionedBy(...).create() declares the layout (CTAS)") {
+    val t = freshTable("ctas1")
+    val dir = "/tmp/graft-test/owsp-wh/db/ctas1"
+    spark.range(0, 12).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS p")
+      .writeTo(t).partitionedBy(col("p")).create()
+    val files = filesOf(dir).keySet
+    assert(files.nonEmpty && files.forall(f => f.contains("/p=0/") || f.contains("/p=1/")),
+      s"CTAS partitioning must land as hive layout: ${files.take(2)}")
+    // and the declaration persists: a later dynamic overwrite works
+    spark.range(100, 103).selectExpr("id AS k", "'0' AS p")
+      .writeTo(t).overwritePartitions()
+    val got = spark.table(t).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((1L until 12L by 2) ++ (100L to 102L)).sorted, s"$got")
+  }
+
   test("mode(overwrite) on a path table still truncates (no behavior drift)") {
     val dir = fresh("truncate1")
     spark.range(0, 20).selectExpr("id AS k")
