@@ -244,6 +244,27 @@ class DeletionVectorSpec extends AnyFunSuite {
       "an orphaned mask must not keep declining pushdowns for nothing")
   }
 
+  test("a CDC consumer propagates DV deletes to a derived table") {
+    val src = fresh("cdc-consume-src")
+    val dst = fresh("cdc-consume-dst")
+    spark.range(0, 100).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("append").save(src)
+    spark.read.format("graft").load(src)
+      .write.format("graft").mode("append").save(dst)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    GraftMaintenance.deleteWhereDv(spark, src, col("k") % 9 === 2, changelog = true)
+    Thread.sleep(3)
+    val (app, del) = GraftCdc.applyChangesBetween(spark, src,
+      t1, System.currentTimeMillis(), dst, "k")
+    assert(app == 0 && del == 11, s"($app, $del)")
+    val got = spark.read.format("graft").load(dst)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 100L).filterNot(_ % 9 == 2),
+      "the derived table must follow the masked source through the feed")
+  }
+
   test("DV sidecar round-trip survives odd partition values (injective idents)") {
     val dir = fresh("weird-parts")
     spark.createDataFrame(Seq(
