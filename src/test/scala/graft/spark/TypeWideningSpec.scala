@@ -87,6 +87,28 @@ class TypeWideningSpec extends AnyFunSuite {
       mm.getLong(2) == 6000000009L, s"footer agg wrong: $mm")
   }
 
+  test("page blooms keep answering equality probes across a widening") {
+    // int-lane blooms hash the value AS A LONG at write time, so a probe
+    // compiled against the widened BIGINT schema must still hit — a domain
+    // mismatch here would silently skip pages holding real matches
+    val t = freshTable("wbloom")
+    val dir = "/tmp/graft-test/widen-wh/db/wbloom"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v INT)")
+    spark.range(0, 4000).selectExpr("id AS k", "CAST(pmod(id * 7919, 100000) AS INT) AS v")
+      .coalesce(1)
+      .writeTo(t).option("pagesize", "256").option("bloomfilter", "v").append()
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
+    val df = spark.read.format("graft").load(dir)
+    // every probed value must be FOUND (soundness); rough skip sanity via
+    // a value that cannot exist
+    val probe = (0L until 4000L by 997L).map(k => (k * 7919) % 100000)
+    probe.foreach { pv =>
+      assert(df.filter(col("v") === pv).count() >= 1,
+        s"bloom over the widened column wrongly skipped value $pv")
+    }
+    assert(df.filter(col("v") === 99999999L).count() == 0)
+  }
+
   test("float -> double and decimal precision growth widen; illegal changes reject") {
     val t = freshTable("w4")
     spark.sql(s"CREATE TABLE $t (k BIGINT, f FLOAT, d DECIMAL(10,2))")
