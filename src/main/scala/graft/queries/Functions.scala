@@ -206,6 +206,32 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_update_dv" -> { (s, dir) =>
+      // MERGE-ON-READ update in the correctness gate: the same redaction
+      // as q_update_where, but via updateWhereDv — old versions masked in
+      // deletion-vector sidecars, new versions appended in one tagged
+      // commit, matched files byte-identical (no rewrite amplification).
+      // The post-update view must match the oracle's CASE expressions
+      // exactly, proving the mask+append pair is content-equivalent to
+      // the copy-on-write rewrite.
+      val stage = stagedOnce(
+          s"/tmp/graft_updv_stage1/${stageKey(s, dir, "documents")}/documents") { t =>
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.format("graft").option("maxrowsperfile", "200")
+          .mode("overwrite").save(t)
+        graft.spark.GraftMaintenance.updateWhereDv(s, t,
+          col("doc_id") % 7 === 3,
+          Map("n_chars" -> (col("n_chars") % 100),
+            "source" -> lit("redacted")))
+      }
+      s.read.format("graft").load(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    },
+
     "q_type_widening" -> { (s, dir) =>
       // metadata-only ALTER COLUMN ... TYPE in the correctness gate:
       // generation 1 writes n_chars as INT, the column widens to BIGINT
@@ -1270,6 +1296,12 @@ object Functions {
         |FROM documents WHERE doc_id % 7 <> 3
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_update_where" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN n_chars % 100 ELSE n_chars END) AS BIGINT) AS chars,
+        |  count(DISTINCT CASE WHEN doc_id % 7 = 3 THEN 'redacted' ELSE source END) AS sources
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_update_dv" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN n_chars % 100 ELSE n_chars END) AS BIGINT) AS chars,
         |  count(DISTINCT CASE WHEN doc_id % 7 = 3 THEN 'redacted' ELSE source END) AS sources

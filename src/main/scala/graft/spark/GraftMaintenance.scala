@@ -375,6 +375,177 @@ object GraftMaintenance {
       DeleteStats(perFile.length, files.size - perFile.length, rowsBefore, rowsAfter)
     }
 
+  /** MERGE-ON-READ update: mask the matched rows' ordinals (deletion
+    * vectors) and append their transformed versions under ONE tagged
+    * commit — the redaction pass without rewrite amplification. Matched
+    * files stay byte-identical; the new versions are ordinary appended
+    * rows (they clear the sort marker like any unsorted append).
+    *
+    * Crash/replay contract (library converge-on-re-run, like
+    * [[updateWhere]]): the statement's tag is deterministic over
+    * (predicate, assignments); order is changelog -> tagged append ->
+    * masks. A crash after the append leaves old+new visible (duplicates)
+    * until a re-run; the re-run's probe EXCLUDES the tagged append's own
+    * files (a second application to the new versions would double a
+    * non-idempotent assignment), its append is recognized as a replay and
+    * publishes nothing, and its masks converge (cumulative OR over
+    * still-live matches). Caveat: an intervening re-layout (compact /
+    * z-order) between a crash and its re-run renames the appended files
+    * and invalidates the exclusion — heal by re-deriving or treat as a
+    * fresh statement, exactly like re-running a CoW update after a
+    * re-layout changed its marker names.
+    *
+    * CDC: `changelog = true` publishes pre-images under an `-upd` marker
+    * (typed `change_preimage`); the new versions enter incremental windows
+    * through the tagged append's own commit, so a feed consumer sees
+    * delete(old) + insert(new) and [[GraftCdc.applyChangesBetween]]
+    * reconciles exactly.
+    */
+  def updateWhereDv(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      changelog: Boolean = false): UpdateStats =
+    updateWhereDvImpl(spark, dir, predicate, assignments, changelog, () => ())
+
+  private[graft] def updateWhereDvImpl(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      changelog: Boolean,
+      afterAppend: () => Unit): UpdateStats =
+    locked(spark, dir, "updateWhereDv") {
+      import org.apache.spark.sql.functions.{col, input_file_name, lit, count => cnt}
+      val conf = spark.sessionState.newHadoopConf()
+      val tableDir = new org.apache.hadoop.fs.Path(dir)
+      val fs = tableDir.getFileSystem(conf)
+      val files = GraftUtil.listDataFiles(dir, conf)
+      require(files.nonEmpty, s"graft: nothing to update under $dir")
+      require(assignments.nonEmpty, "graft: updateWhereDv needs assignments")
+      val table = spark.read.format("graft").load(dir)
+      assignments.keys.foreach(c => require(table.schema.fieldNames.contains(c),
+        s"graft: update column '$c' is not in the table schema"))
+      val partCols = files.flatMap(f =>
+        GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+      assignments.keys.foreach(c => require(!partCols.exists(_.equalsIgnoreCase(c)),
+        s"graft: cannot update hive-partition path column '$c' — the row would " +
+          "contradict its directory; re-layout via compact instead"))
+      val opHash = GraftManifest.md5Hex(predicate.toString + "|" +
+        assignments.map { case (c, e) => s"$c:=$e" }.toSeq.sorted.mkString(";"), 8)
+      val opTag = s"updv$opHash"
+      val rowsBefore = {
+        val c = GraftScan.rowCount(files, conf)
+        if (c.isPresent) c.getAsLong else table.count()
+      }
+      // a crash re-run must not re-update the statement's OWN output: the
+      // tagged manifest (if it landed) lists the new-version files
+      val appendedFiles: Set[String] = GraftManifest.list(fs, tableDir)
+        .filter(_.endsWith("-" + opTag))
+        .flatMap(m => GraftManifest.read(fs, tableDir, m).map(e =>
+          fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, e._1)).toString))
+        .toSet
+      val scoped =
+        if (appendedFiles.isEmpty) table
+        else table.filter(!input_file_name()
+          .isin(appendedFiles.toSeq.map(lit(_)): _*))
+      // MATERIALIZE the matched set durably before anything mutates: the
+      // append and the mask probe must work from ONE snapshot — a lazy
+      // frame re-evaluated after the append would see the statement's own
+      // new versions (and any concurrent lock-free append's rows), masking
+      // rows it never re-appended. A cache is not a barrier (eviction
+      // recomputes); the scratch table is.
+      val srcScratch = new org.apache.hadoop.fs.Path(
+        tableDir, s"_graft_tmp_update/dvsrc-$opHash")
+      scoped.filter(predicate)
+        .withColumn("_g_f", input_file_name())
+        .withColumn("_g_o", col(GraftDv.OrdinalCol))
+        .write.format("graft").mode("overwrite").save(srcScratch.toString)
+      if (GraftUtil.listDataFiles(srcScratch.toString, conf).isEmpty) {
+        // nothing matched (or a completed run's replay): a zero-row write
+        // publishes no files, and there is nothing to append or mask
+        fs.delete(srcScratch, true)
+        UpdateStats(0, files.size, 0L, rowsBefore)
+      } else {
+      val matched = spark.read.format("graft").load(srcScratch.toString)
+      try {
+        // changelog FIRST: pre-images under the op's -upd marker (typed
+        // change_preimage by the feed reader); deterministic name, so a
+        // resume never publishes twice
+        if (changelog) {
+          val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+          val clPath = new org.apache.hadoop.fs.Path(
+            clDir, s"updv-upd$opHash${GraftUtil.Extension}")
+          if (!fs.exists(clPath)) {
+            val scratch = new org.apache.hadoop.fs.Path(
+              tableDir, s"_graft_tmp_update/dv-$opHash")
+            matched.drop("_g_f", "_g_o").coalesce(1)
+              .write.format("graft").mode("overwrite").save(scratch.toString)
+            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+            require(produced.size <= 1,
+              s"graft: MOR-update changelog produced ${produced.size} files")
+            if (produced.nonEmpty) {
+              fs.mkdirs(clDir)
+              require(fs.rename(produced.head.getPath, clPath),
+                s"graft: failed to publish MOR-update change feed at $clPath")
+            }
+            fs.delete(scratch, true)
+          }
+          publishChangeFeed(conf, fs, tableDir)
+        }
+        // tagged append of the transformed versions (a replay finds the
+        // tag and publishes nothing); observed count = rows updated
+        val obs = org.apache.spark.sql.Observation(
+          s"updv-${java.util.UUID.randomUUID().toString.take(8)}")
+        assignments.foldLeft(matched.drop("_g_f", "_g_o")) {
+          case (df, (c, e)) => df.withColumn(c, e)
+        }.observe(obs, cnt(lit(1)).as("n"))
+          .write.format("graft").mode("append")
+          .option("manifesttag", opTag).save(dir)
+        val nUpdated = obs.get("n").asInstanceOf[Long]
+        afterAppend()
+        // masks LAST: per-file ordinal bitmaps folded executor-side
+        import org.apache.spark.sql.Encoders
+        val perFile: Array[(String, Array[Byte])] = matched
+          .select(col("_g_f"), col("_g_o"))
+          .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+          .groupByKey(_._1)(Encoders.STRING)
+          .mapGroups { (f, it) =>
+            val rb = new org.roaringbitmap.RoaringBitmap()
+            it.foreach { case (_, o) =>
+              require(o <= Int.MaxValue, s"graft: row ordinal $o exceeds DV range")
+              rb.add(o.toInt)
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            rb.runOptimize()
+            rb.serialize(new java.io.DataOutputStream(bos))
+            (f, bos.toByteArray)
+          }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+          .collect()
+        val current = GraftDv.list(fs, tableDir)
+        perFile.foreach { case (f, bytes) =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val add = new org.roaringbitmap.RoaringBitmap()
+          add.deserialize(new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val ident = GraftDv.identOf(tableDir, p)
+          val (gen, merged) = current.get(ident) match {
+            case Some((g, path)) =>
+              val cum = GraftDv.read(fs, path).clone()
+              cum.or(add)
+              (g + 1, cum)
+            case None => (1, add)
+          }
+          GraftDv.publish(fs, tableDir, ident, gen, merged)
+        }
+        val rowsTotal = {
+          val c = GraftScan.rowCount(GraftUtil.listDataFiles(dir, conf), conf)
+          if (c.isPresent) c.getAsLong
+          else spark.read.format("graft").load(dir).count()
+        }
+        UpdateStats(perFile.length, files.size - perFile.length,
+          nUpdated, rowsTotal)
+      } finally fs.delete(srcScratch, true)
+      }
+    }
+
   private def deleteWhereImpl(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       changelog: Boolean,
