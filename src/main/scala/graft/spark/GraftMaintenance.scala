@@ -404,14 +404,19 @@ object GraftMaintenance {
   def updateWhereDv(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
-      changelog: Boolean = false): UpdateStats =
-    updateWhereDvImpl(spark, dir, predicate, assignments, changelog, () => ())
+      changelog: Boolean = false,
+      opNonce: Option[String] = None,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): UpdateStats =
+    updateWhereDvImpl(spark, dir, predicate, assignments, changelog,
+      () => (), opNonce, schemaOverride)
 
   private[graft] def updateWhereDvImpl(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       changelog: Boolean,
-      afterAppend: () => Unit): UpdateStats =
+      afterAppend: () => Unit,
+      opNonce: Option[String] = None,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): UpdateStats =
     locked(spark, dir, "updateWhereDv") {
       import org.apache.spark.sql.functions.{col, input_file_name, lit, count => cnt}
       val conf = spark.sessionState.newHadoopConf()
@@ -420,7 +425,10 @@ object GraftMaintenance {
       val files = GraftUtil.listDataFiles(dir, conf)
       require(files.nonEmpty, s"graft: nothing to update under $dir")
       require(assignments.nonEmpty, "graft: updateWhereDv needs assignments")
-      val table = spark.read.format("graft").load(dir)
+      val table = schemaOverride match {
+        case Some(sc) => spark.read.format("graft").schema(sc).load(dir)
+        case None => spark.read.format("graft").load(dir)
+      }
       assignments.keys.foreach(c => require(table.schema.fieldNames.contains(c),
         s"graft: update column '$c' is not in the table schema"))
       val partCols = files.flatMap(f =>
@@ -428,8 +436,13 @@ object GraftMaintenance {
       assignments.keys.foreach(c => require(!partCols.exists(_.equalsIgnoreCase(c)),
         s"graft: cannot update hive-partition path column '$c' — the row would " +
           "contradict its directory; re-layout via compact instead"))
+      // opNonce (the SQL path's per-EXECUTION nonce) folds into the tag so
+      // re-running the same UPDATE statement re-applies, while a crashed
+      // execution's resume still converges under its persisted nonce —
+      // the same split as the CoW updateWhere's re-run contract
       val opHash = GraftManifest.md5Hex(predicate.toString + "|" +
-        assignments.map { case (c, e) => s"$c:=$e" }.toSeq.sorted.mkString(";"), 8)
+        assignments.map { case (c, e) => s"$c:=$e" }.toSeq.sorted.mkString(";") +
+        opNonce.fold("")("|" + _), 8)
       val opTag = s"updv$opHash"
       val rowsBefore = {
         val c = GraftScan.rowCount(files, conf)

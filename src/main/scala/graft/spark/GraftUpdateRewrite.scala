@@ -262,7 +262,16 @@ final case class GraftUpdateCommand(
         cond.map(_.toString).getOrElse("-") + "|" +
           assigns.map { case (c, e) => s"$c:=$e" }.sorted.mkString(";"))
       val nonce = GraftOpMarker.acquire(fs, tableDir, "_graft_tmp_update", stmt)
-      GraftMaintenance.updateWhere(sparkSession, path,
+      // graft.update.mode=dv (session conf) routes SQL UPDATE through the
+      // merge-on-read pass (mask + tagged append) instead of copy-on-write
+      // rewrites — same knob family as graft.delete.mode
+      if (sparkSession.conf.getOption("graft.update.mode").contains("dv"))
+        GraftMaintenance.updateWhereDv(sparkSession, path,
+          cond.getOrElse(org.apache.spark.sql.functions.lit(true)),
+          assigns.toMap,
+          opNonce = Some(nonce),
+          schemaOverride = Some(declaredSchema))
+      else GraftMaintenance.updateWhere(sparkSession, path,
         cond.getOrElse(org.apache.spark.sql.functions.lit(true)),
         assigns.toMap,
         schemaOverride = Some(declaredSchema),

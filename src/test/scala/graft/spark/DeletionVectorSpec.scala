@@ -335,6 +335,28 @@ class DeletionVectorSpec extends AnyFunSuite {
       s"the consumer must see delete(old)+insert(new): ${got.take(10)}")
   }
 
+  test("SQL UPDATE routes through MOR under graft.update.mode=dv with re-apply semantics") {
+    val dir = fresh("morupd-sql")
+    spark.conf.set("spark.sql.catalog.gdv2", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdv2.warehouse", "/tmp/graft-test")
+    spark.range(0, 50).selectExpr("id AS k", "id AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    val before = filesOf(dir)
+    spark.conf.set("graft.update.mode", "dv")
+    try {
+      spark.sql(s"UPDATE gdv2.`dv-morupd-sql` SET v = v + 1 WHERE k < 5")
+      assert(before.forall { case (f, m) => filesOf(dir).get(f).contains(m) },
+        "dv-mode SQL UPDATE must not rewrite the matched files")
+      // SQL re-run semantics: the SAME statement applies AGAIN (fresh
+      // execution nonce), unlike the library API's converge-on-re-run
+      spark.sql(s"UPDATE gdv2.`dv-morupd-sql` SET v = v + 1 WHERE k < 5")
+      val got = spark.sql(s"SELECT k, v FROM gdv2.`dv-morupd-sql`")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == (0L until 50L).map(k => (k, if (k < 5) k + 2 else k)),
+        s"two executions must apply twice: ${got.take(8)}")
+    } finally spark.conf.unset("graft.update.mode")
+  }
+
   test("a CDC consumer propagates DV deletes to a derived table") {
     val src = fresh("cdc-consume-src")
     val dst = fresh("cdc-consume-dst")
