@@ -507,11 +507,15 @@ object GraftMaintenance {
         // tag and publishes nothing); observed count = rows updated
         val obs = org.apache.spark.sql.Observation(
           s"updv-${java.util.UUID.randomUUID().toString.take(8)}")
-        assignments.foldLeft(matched.drop("_g_f", "_g_o")) {
+        val w0 = assignments.foldLeft(matched.drop("_g_f", "_g_o")) {
           case (df, (c, e)) => df.withColumn(c, e)
         }.observe(obs, cnt(lit(1)).as("n"))
           .write.format("graft").mode("append")
-          .option("manifesttag", opTag).save(dir)
+          .option("manifesttag", opTag)
+        // preserve the hive layout: new versions land in their partition
+        // dirs, not at the table root (directory pruning keeps working)
+        (if (partCols.nonEmpty) w0.option("partitionby", partCols.mkString(","))
+         else w0).save(dir)
         val nUpdated = obs.get("n").asInstanceOf[Long]
         afterAppend()
         // masks LAST: per-file ordinal bitmaps folded executor-side

@@ -69,11 +69,17 @@ class DmlDifferentialSpec extends AnyFunSuite {
           else
             GraftMaintenance.deleteWhereDv(spark, dir, col("k") % m === r)
           model.filterInPlace((k, _) => k % m != r)
-        case 1 => // UPDATE SET v = v + d, s = tag WHERE k % m = r
+        case 1 => // UPDATE SET v = v + d, s = tag WHERE k % m = r — half
+          // copy-on-write rewrites, half merge-on-read (mask + tagged
+          // append); both must leave the identical logical table
           val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
           val d = 1 + rnd.nextInt(50); val tag = s"u$step"
-          GraftMaintenance.updateWhere(spark, dir, col("k") % m === r,
-            Map("v" -> (col("v") + d), "s" -> lit(tag)))
+          if (rnd.nextBoolean())
+            GraftMaintenance.updateWhere(spark, dir, col("k") % m === r,
+              Map("v" -> (col("v") + d), "s" -> lit(tag)))
+          else
+            GraftMaintenance.updateWhereDv(spark, dir, col("k") % m === r,
+              Map("v" -> (col("v") + d), "s" -> lit(tag)))
           model.mapValuesInPlace((k, t) =>
             if (k % m == r) (t._1 + d, tag, t._3) else t)
         case 2 => // MERGE: tombstones + updates + inserts in one batch
