@@ -87,6 +87,37 @@ class DmlRerunSpec extends AnyFunSuite {
       "after release, an identical statement must re-apply")
   }
 
+  test("SQL UPDATE crash-resume stays exactly-once in dv mode too") {
+    spark.sql("CREATE TABLE dmlcat.db.resume2 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO dmlcat.db.resume2 VALUES (1, 100), (2, 200)")
+    spark.conf.set("graft.update.mode", "dv")
+    try {
+      // execution 1 crashes AFTER the MOR pass (mask+append committed),
+      // BEFORE releasing its marker
+      GraftUpdateCommand.crashBeforeRelease = true
+      val boom = intercept[RuntimeException](
+        spark.sql("UPDATE dmlcat.db.resume2 SET v = v + 7 WHERE k = 1"))
+      GraftUpdateCommand.crashBeforeRelease = false
+      assert(boom.getMessage.contains("test seam"))
+      assert(spark.sql("SELECT v FROM dmlcat.db.resume2 WHERE k = 1")
+        .head().getLong(0) == 107L)
+      // the resume re-runs under the SAME nonce: probe excludes the
+      // tagged append's files, masks converge — v stays 107
+      spark.sql("UPDATE dmlcat.db.resume2 SET v = v + 7 WHERE k = 1")
+      assert(spark.sql("SELECT v FROM dmlcat.db.resume2 WHERE k = 1")
+        .head().getLong(0) == 107L, "dv-mode crash-resume must not double-apply")
+      // a fresh execution (marker released) re-applies — SQL semantics
+      spark.sql("UPDATE dmlcat.db.resume2 SET v = v + 7 WHERE k = 1")
+      assert(spark.sql("SELECT v FROM dmlcat.db.resume2 WHERE k = 1")
+        .head().getLong(0) == 114L)
+      assert(spark.sql("SELECT count(*) FROM dmlcat.db.resume2")
+        .head().getLong(0) == 2, "no duplicate row versions may survive")
+    } finally {
+      GraftUpdateCommand.crashBeforeRelease = false
+      spark.conf.unset("graft.update.mode")
+    }
+  }
+
   test("SQL MERGE re-run with an identical source re-applies matched updates") {
     spark.sql("CREATE TABLE dmlcat.db.merged (k BIGINT, v BIGINT)")
     spark.sql("INSERT INTO dmlcat.db.merged VALUES (1, 10), (2, 20)")
