@@ -1204,11 +1204,18 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
     dvByIdent: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
-  // a table with any deletion vector scans row-based: masking inside a
-  // ColumnarBatch would need per-type vector compaction; DVs are transient
-  // (compaction folds them), so the row path is the honest trade
+  // deletion-vector masking keeps the COLUMNAR path when every projected
+  // column is atomic (vector compaction by per-type row copy — the common
+  // analytic projection); nested projections fall back to the row path.
+  // The decision depends only on (dv presence, projected schema), so it is
+  // uniform across partitions — Spark forbids mixing.
+  private lazy val columnarMaskable: Boolean = {
+    val schema = GraftFooterCache.schemaOf(projectedJson)
+    schema.fields.forall(f => DvMask.supported(f.dataType))
+  }
+
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    dvByIdent.isEmpty
+    dvByIdent.isEmpty || columnarMaskable
 
   private def dvFor(filePath: String): Option[org.roaringbitmap.RoaringBitmap] = {
     if (dvByIdent.isEmpty) return None
@@ -1216,6 +1223,18 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
     val root = GraftDv.tableRootOf(p)
     dvByIdent.get(GraftDv.identOf(root, p))
       .map(s => GraftDv.read(p.getFileSystem(conf.value.value), s))
+  }
+
+  private def fileColumnarReader(f: String, len: Long,
+      lo: Int, hi: Int): PartitionReader[ColumnarBatch] = {
+    val inner = new GraftColumnarReader(f, len, conf.value.value,
+      GraftFooterCache.schemaOf(projectedJson), pagePreds, lo, hi, colAliases)
+    dvFor(f) match {
+      case None => inner
+      case Some(dv) =>
+        new DvMaskedColumnarReader(inner, dv,
+          GraftFooterCache.schemaOf(projectedJson))
+    }
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
@@ -1234,9 +1253,7 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
               if (i >= kp.files.length) return false
               val (f, len) = kp.files(i); i += 1
               InputFileHolder.set(f, 0L, len)
-              cur = new GraftColumnarReader(f, len, conf.value.value,
-                GraftFooterCache.schemaOf(projectedJson), pagePreds,
-                colAliases = colAliases)
+              cur = fileColumnarReader(f, len, -1, -1)
             }
             false
           }
@@ -1251,9 +1268,7 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
         // (deleteWhere's one-job match probe) depends on it to map matched
         // rows back to their files
         InputFileHolder.set(p.filePath, 0L, p.fileLen)
-        new GraftColumnarReader(p.filePath, p.fileLen, conf.value.value,
-          GraftFooterCache.schemaOf(projectedJson), pagePreds,
-          p.pageLo, p.pageHi, colAliases)
+        fileColumnarReader(p.filePath, p.fileLen, p.pageLo, p.pageHi)
     }
   }
 

@@ -212,6 +212,32 @@ class DeletionVectorSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 58)
   }
 
+  test("atomic projections stay COLUMNAR under a mask; nested fall back row-based") {
+    val dir = fresh("columnar")
+    spark.range(0, 1000)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS s", "array(id, id + 1) AS tags")
+      .coalesce(1).write.format("graft")
+      .option("pagesize", "64").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") % 7 === 3)
+    val survivors = (0L until 1000L).filterNot(_ % 7 == 3)
+    // atomic-only projection: the columnar mask path (pass-through batches
+    // for untouched pages, per-type compaction for overlapped ones)
+    val atomic = spark.read.format("graft").load(dir).select("k", "s")
+    assert(atomic.queryExecution.executedPlan.toString.contains("Columnar"),
+      "atomic projections over a DV'd table must plan columnar")
+    val got = atomic.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == survivors &&
+      got.forall { case (kk, ss) => ss == kk.toString },
+      "columnar mask must keep values row-aligned across compaction")
+    // nested projection: row-based fallback, same masked view
+    val nested = spark.read.format("graft").load(dir).select("k", "tags")
+    val gotN = nested.collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(gotN.map(_._1).toSeq == survivors &&
+      gotN.forall { case (kk, t) => t == Seq(kk, kk + 1) },
+      "row fallback must mask nested projections identically")
+  }
+
   test("truncating overwrite clears the DV sidecars with the files they masked") {
     val dir = fresh("truncate")
     spark.range(0, 60).selectExpr("id AS k")
