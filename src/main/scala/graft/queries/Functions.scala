@@ -268,7 +268,7 @@ object Functions {
       // masks doc_id % 11 == 5 via deletion-vector sidecars
       // (GraftMaintenance.deleteWhereDv) — data files byte-identical, a
       // ~100-byte bitmap per touched file instead of a rewrite. The scan
-      // must serve the masked view exactly (row-based while DVs exist;
+      // must serve the masked view exactly (columnar batch compaction;
       // footer aggregates decline), matching the oracle's WHERE clause.
       val stage = stagedOnce(
           s"/tmp/graft_dv_stage1/${stageKey(s, dir, "documents")}/documents") { t =>

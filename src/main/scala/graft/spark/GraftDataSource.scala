@@ -915,8 +915,9 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   override def createReaderFactory(): PartitionReaderFactory = {
     if (factory == null) {
       // deletion vectors, resolved once at plan time (one exists() probe
-      // for DV-free tables). Non-empty flips the scan row-based and masks
-      // deleted ordinals in every reader. The scan path may be a single
+      // for DV-free tables). Non-empty masks deleted ordinals in every
+      // reader — columnar with per-type batch compaction for atomic
+      // projections, row-based iterator skip for nested ones. The scan path may be a single
       // file (the rewrite passes read one file directly) — the sidecars
       // still live at the TABLE root.
       val p0 = new Path(path)
