@@ -104,7 +104,7 @@ object GraftAggPushdown {
     * COUNT(col) contributes 0 and MIN/MAX contribute null.
     */
   def evaluate(footer: Footer, fileSchema: StructType, specs: Seq[AggSpec],
-      row: GenericInternalRow, off: Int): Unit = {
+      row: GenericInternalRow, off: Int, dvMasked: Long = 0L): Unit = {
     def pagesOf(field: String): Array[PageMeta] =
       GraftSchema.leafIndexOfPath(fileSchema, field) match {
         case Some(li) => footer.leaves(li).pages
@@ -115,7 +115,7 @@ object GraftAggPushdown {
 
     specs.zipWithIndex.foreach { case (spec, i) =>
       spec match {
-        case CountStar => row.setLong(off + i, rowCount)
+        case CountStar => row.setLong(off + i, rowCount - dvMasked)
         case CountCol(f) =>
           var nonNull = 0L
           pagesOf(f).foreach { pm =>
@@ -195,13 +195,27 @@ final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.
       (if (groupCount > 0) s" grouped by ${aggSchema.fieldNames.take(groupCount).mkString(",")}"
        else "")
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // deletion vectors: COUNT(*) stays footer-exact by subtracting each
+    // file's masked-row cardinality (resolved once at plan time; the
+    // builder only routes CountStar-only aggregations here under DVs)
+    val tableDir = new org.apache.hadoop.fs.Path(path)
+    val fs = tableDir.getFileSystem(conf)
+    val dvs = GraftDv.list(fs, tableDir)
+    def maskedOf(filePath: String): Long =
+      if (dvs.isEmpty) 0L
+      else dvs.get(GraftDv.identOf(tableDir,
+          new org.apache.hadoop.fs.Path(filePath)))
+        .map(d => GraftDv.cardinality(fs, d._2)).getOrElse(0L)
     if (groupCount > 0)
       groupedFiles.map(f =>
-        GraftAggInputPartition(f._1, f._2, f._3.toArray): InputPartition).toArray
+        GraftAggInputPartition(f._1, f._2, f._3.toArray,
+          maskedOf(f._1)): InputPartition).toArray
     else GraftUtil.listDataFiles(path, conf)
-      .map(f => GraftAggInputPartition(f.getPath.toString, f.getLen, Array.empty): InputPartition)
+      .map(f => GraftAggInputPartition(f.getPath.toString, f.getLen, Array.empty,
+        maskedOf(f.getPath.toString)): InputPartition)
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory(HadoopConfBroadcast(conf), specs, aggSchema.json, groupCount,
@@ -219,7 +233,7 @@ final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.
 }
 
 final case class GraftAggInputPartition(filePath: String, fileLen: Long,
-    groupVals: Array[String]) extends InputPartition
+    groupVals: Array[String], dvMasked: Long = 0L) extends InputPartition
 
 final class GraftAggReaderFactory(conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
     specs: Seq[GraftAggPushdown.AggSpec], aggSchemaJson: String, groupCount: Int = 0,
@@ -246,7 +260,7 @@ final class GraftAggReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Ser
             out.update(i, GraftAggPushdown.pathValue(fullSchema(i).dataType, p.groupVals(i)))
             i += 1
           }
-          GraftAggPushdown.evaluate(footer, fileSchema, specs, out, groupCount)
+          GraftAggPushdown.evaluate(footer, fileSchema, specs, out, groupCount, p.dvMasked)
           row = out
         } finally in.close()
         done = true

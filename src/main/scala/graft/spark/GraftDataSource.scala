@@ -469,7 +469,14 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     // an asof snapshot / since window restricts the file set; the
     // footer-only agg scan lists the live directory, so it must not
     // answer snapshot or incremental reads
-    if (hadFilters || asofOpt.isDefined || sinceOpt.isDefined || hasDvs) return false
+    if (hadFilters || asofOpt.isDefined || sinceOpt.isDefined) return false
+    // deletion vectors: COUNT(*) stays footer-exact (the agg scan subtracts
+    // each file's masked cardinality at plan time); COUNT(col) and MIN/MAX
+    // cannot (a masked row's null-ness or extremum is unknowable from
+    // stats) — any non-CountStar spec declines the whole pushdown
+    if (hasDvs && agg.aggregateExpressions().exists(!_.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar]))
+      return false
     val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
       case f: org.apache.spark.sql.connector.expressions.NamedReference
           if f.fieldNames().length == 1 => f.fieldNames()(0)

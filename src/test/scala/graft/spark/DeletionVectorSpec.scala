@@ -100,6 +100,11 @@ class DeletionVectorSpec extends AnyFunSuite {
     GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 10 || col("k") === 399)
     val t = spark.read.format("graft").load(dir)
     assert(t.count() == 389, "count must subtract the mask")
+    // COUNT(*) stays a FOOTER-ONLY pushdown under DVs (cardinality
+    // subtracted at plan time) — the plan must carry the agg scan
+    assert(t.groupBy().count().queryExecution.executedPlan.toString
+      .contains("footer-only aggregate scan"),
+      "CountStar must still push down over a DV'd table")
     val mm = t.agg(min("k"), max("k")).collect()(0)
     assert(mm.getLong(0) == 10 && mm.getLong(1) == 398,
       s"min/max must reflect masked rows: $mm")
