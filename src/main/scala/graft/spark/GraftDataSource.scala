@@ -361,7 +361,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     * filtering; zone-map preds are likewise empty here.
     */
   override def pushLimit(limit: Int): Boolean = {
-    if (limit >= 0 && !hasDvs) pushedLimit = Some(limit)
+    if (limit >= 0) pushedLimit = Some(limit)
     pushedLimit.isDefined
   }
 
@@ -391,7 +391,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
-    if (limit < 0 || orders.isEmpty || hasDvs) return false
+    if (limit < 0 || orders.isEmpty) return false
     val p = new Path(path)
     val marker = GraftSortMarker.read(p.getFileSystem(conf), p).getOrElse(return false)
     val asc = orders.head.direction == SortDirection.ASCENDING
@@ -830,6 +830,23 @@ final class GraftScan(private val tableSchema: StructType, private val projected
           members.map(f => (f.getPath.toString, f.getLen)).toArray, key)
       }.toArray[InputPartition]
     }
+    // deletion vectors under a limit/top-N cover: inflate each file's
+    // target by its masked cardinality — the first (n + masked) physical
+    // rows hold at least n LIVE rows, and masking preserves order, so the
+    // superset stays sound at the cost of ~one extra page when masks exist
+    lazy val dvCards: Map[String, Long] =
+      if (topn.isEmpty && limit.isEmpty) Map.empty
+      else {
+        val p0 = new Path(path)
+        val root = GraftDv.rootOfScanPath(p0.getFileSystem(conf), p0)
+        val fsys = root.getFileSystem(conf)
+        val dvs = GraftDv.list(fsys, root)
+        if (dvs.isEmpty) Map.empty
+        else files.flatMap { f =>
+          dvs.get(GraftDv.identOf(root, f.getPath))
+            .map(d => f.getPath.toString -> GraftDv.cardinality(fsys, d._2))
+        }.toMap
+      }
     topn.foreach { case (n, desc) =>
       // per-FILE page ranges covering n rows from the relevant END: each
       // file is internally sorted on the query's ORDER BY prefix (pushTopN
@@ -841,9 +858,10 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       val parts = Array.newBuilder[InputPartition]
       files.foreach { f =>
         val pageRows = GraftScan.pageRowCounts(f, conf)
+        val masked = dvCards.getOrElse(f.getPath.toString, 0L)
         if (pageRows.isEmpty) parts += GraftInputPartition(f.getPath.toString, f.getLen)
         else {
-          var remaining = math.max(n, 1).toLong
+          var remaining = math.max(n, 1).toLong + masked
           var hi = 0
           while (hi < pageRows.length && remaining > 0) {
             remaining -= pageRows(hi); hi += 1
@@ -853,7 +871,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
           else if (!desc)
             parts += GraftInputPartition(f.getPath.toString, f.getLen, 0, hi)
           else {
-            var trailing = math.max(n, 1).toLong
+            var trailing = math.max(n, 1).toLong + masked
             var lo = pageRows.length
             while (lo > 0 && trailing > 0) { lo -= 1; trailing -= pageRows(lo) }
             if (lo <= hi) // leading + trailing overlap: whole file
@@ -869,19 +887,24 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     }
     limit.foreach { lim =>
       // plan only the leading page groups whose footer row counts cover the
-      // limit; Spark's retained Limit takes the exact first `lim` rows
+      // limit; Spark's retained Limit takes the exact first `lim` rows.
+      // Masked rows never count toward the cover (live >= covered - masked).
       val parts = Array.newBuilder[InputPartition]
       var remaining = math.max(lim, 1).toLong // limit 0: still emit one page so schema paths stay exercised
       val it = files.iterator
       while (remaining > 0 && it.hasNext) {
         val f = it.next()
         val pageRows = GraftScan.pageRowCounts(f, conf)
+        val masked = dvCards.getOrElse(f.getPath.toString, 0L)
         if (pageRows.isEmpty) parts += GraftInputPartition(f.getPath.toString, f.getLen)
         else {
+          var cover = remaining + masked
           var hi = 0
-          while (hi < pageRows.length && remaining > 0) {
-            remaining -= pageRows(hi); hi += 1
+          var covered = 0L
+          while (hi < pageRows.length && cover > 0) {
+            cover -= pageRows(hi); covered += pageRows(hi); hi += 1
           }
+          remaining -= math.max(0L, covered - masked)
           parts += (if (hi >= pageRows.length) GraftInputPartition(f.getPath.toString, f.getLen)
             else GraftInputPartition(f.getPath.toString, f.getLen, 0, hi))
         }

@@ -108,9 +108,16 @@ class DeletionVectorSpec extends AnyFunSuite {
     val mm = t.agg(min("k"), max("k")).collect()(0)
     assert(mm.getLong(0) == 10 && mm.getLong(1) == 398,
       s"min/max must reflect masked rows: $mm")
-    // top-N over the sort marker: the true smallest are 10..14 now
+    // top-N over the sort marker: the true smallest are 10..14 now, and
+    // the pushdown SURVIVES the mask — the per-file cover inflates by the
+    // mask cardinality (11 here), so the scan still reads a bounded page
+    // prefix instead of the file
+    val pagesBefore = GraftMetrics.pageGroupsRead.get()
     val top = t.orderBy("k").limit(5).collect().map(_.getLong(0)).toSeq
     assert(top == (10L to 14L), s"topN must not serve masked leading rows: $top")
+    val topPages = GraftMetrics.pageGroupsRead.get() - pagesBefore
+    assert(topPages <= 3,
+      s"masked top-N must stay page-bounded (read $topPages of ~13 pages)")
     assert(t.limit(3).collect().length == 3)
     // statistics numRows (plan-time) subtracts too
     val scanRows = GraftScan.rowCount(
