@@ -331,10 +331,11 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty
   private var hadFilters = false
-  // deletion vectors mask rows the footers still count: footer-only
-  // aggregates, leading-page limit plans, and per-file top-N ranges are
-  // all unsound over a DV'd table — those pushdowns decline until
-  // compaction folds the DVs away. One exists() probe per plan.
+  // deletion vectors mask rows the footers still count: COUNT(col) and
+  // MIN/MAX are unsound over a DV'd table and decline until compaction
+  // folds the DVs away; COUNT(*) subtracts cardinalities, and limit/top-N
+  // inflate their page covers instead (see planInputPartitions). One
+  // exists() probe per plan.
   private lazy val hasDvs: Boolean = {
     val p = new Path(path)
     val root = GraftDv.rootOfScanPath(p.getFileSystem(conf), p)

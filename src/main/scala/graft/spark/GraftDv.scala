@@ -20,10 +20,10 @@ import org.roaringbitmap.RoaringBitmap
   * Scan semantics: a table with any DV scans ROW-BASED (Spark forbids
   * mixing columnar and row partitions in one scan), masking rows by
   * physical ordinal; footer-only row counts subtract DV cardinalities;
-  * footer-only COUNT(col)/MIN/MAX and limit / top-N pushdowns decline (a
-  * masked row could hold the min, or sit inside the leading pages), while
-  * COUNT(*) stays footer-exact by subtracting the mask cardinality at
-  * plan time. Compaction and
+  * footer-only COUNT(col)/MIN/MAX pushdowns decline (a masked row could
+  * hold the min); COUNT(*) stays footer-exact by subtracting the mask
+  * cardinality at plan time, and limit/top-N pushdowns survive by
+  * inflating each file's page cover by its cardinality. Compaction and
   * the row-level rewrites fold DVs away: they read through the scan (mask
   * applied), and retiring a data file drops its sidecars.
   *
