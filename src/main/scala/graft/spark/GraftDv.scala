@@ -17,9 +17,11 @@ import org.roaringbitmap.RoaringBitmap
   *   - the bitmap is CUMULATIVE (each publish ORs into the previous), so
   *     one lookup serves a scan.
   *
-  * Scan semantics: a table with any DV scans ROW-BASED (Spark forbids
-  * mixing columnar and row partitions in one scan), masking rows by
-  * physical ordinal; footer-only row counts subtract DV cardinalities;
+  * Scan semantics: masking happens by file-physical ordinal — COLUMNAR
+  * with per-type batch compaction for atomic projections ([[DvMask]]),
+  * row-based iterator skip for nested ones (Spark forbids mixing columnar
+  * and row partitions, and the decision is projection-uniform);
+  * footer-only row counts subtract DV cardinalities;
   * footer-only COUNT(col)/MIN/MAX pushdowns decline (a masked row could
   * hold the min); COUNT(*) stays footer-exact by subtracting the mask
   * cardinality at plan time, and limit/top-N pushdowns survive by
