@@ -352,10 +352,11 @@ object BenchMaintenance {
     }
   }
 
-  /** MERGE-ON-READ delete via deletion vectors: same 2% takedown band as
-    * x_delete_where, but the graft side masks ordinals in per-file bitmap
-    * sidecars (GraftMaintenance.deleteWhereDv) instead of rewriting the
-    * matched files — O(matched rows) bitmap bytes vs O(matched files)
+  /** MERGE-ON-READ delete via deletion vectors: a SCATTERED 0.1% takedown
+    * (`doc_id % 1000 === 7` — every file holds victims, unlike
+    * x_delete_where's contiguous band), where the graft side masks
+    * ordinals in per-file bitmap sidecars (GraftMaintenance.deleteWhereDv)
+    * instead of rewriting the matched files — O(matched rows) bitmap bytes vs O(matched files)
     * rewrite bytes; at a GDPR-cadence 1-row takedown in 1 GB files the
     * gap is the whole gigabyte. parquet comparator: the same survivor
     * rewrite as x_delete_where (parquet has no merge-on-read deletes
@@ -857,7 +858,7 @@ object BenchMaintenance {
 
     // ---- x_cdc_apply at scale ----
     locally {
-      // 3x the merge staging: the apply path is O(changed) with ~1s of
+      // 4x the merge staging (20M rows): the apply path is O(changed) with ~1s of
       // fixed driver-job latency (probe, merge-delete materialize, append
       // — each a short job), while parquet's comparator re-derives the
       // WHOLE table. At 5M rows the fixed costs were the measurement

@@ -52,7 +52,10 @@ object DmlDemo {
     println(s"   d1 rows=${sql("SELECT count(*) FROM demo.events WHERE day='d1'").head.getLong(0)} (was 1000)")
 
     println("== 3. replaceWhere on an id band of d2")
-    spark.range(0, 3).selectExpr("id + 95000 AS id", "CAST(0 AS INT) AS v", "'d2' AS day")
+    // the incoming rows must SATISFY the slice predicate — the write path
+    // validates per row (a violating row would survive a re-run's delete
+    // phase, breaking idempotency) and fails the job loudly otherwise
+    spark.range(0, 3).selectExpr("id AS id", "CAST(0 AS INT) AS v", "'d2' AS day")
       .writeTo("demo.events")
       .overwrite(col("day") === "d2" && col("id") < 100)
     println(s"   total=${sql("SELECT count(*) FROM demo.events").head.getLong(0)}")

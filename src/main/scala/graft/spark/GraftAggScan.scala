@@ -198,13 +198,18 @@ final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.
   override def planInputPartitions(): Array[InputPartition] = {
     // deletion vectors: COUNT(*) stays footer-exact by subtracting each
     // file's masked-row cardinality (resolved once at plan time; the
-    // builder only routes CountStar-only aggregations here under DVs)
-    val tableDir = new org.apache.hadoop.fs.Path(path)
-    val fs = tableDir.getFileSystem(conf)
-    val dvs = GraftDv.list(fs, tableDir)
+    // builder only routes CountStar-only aggregations here under DVs).
+    // The scan path may be a PARTITION SUBDIR of a DV'd table — the
+    // sidecars (and the idents they encode) live at the TABLE root, so
+    // resolve it the same way createReaderFactory does, or a subdir count
+    // would find no sidecars and silently overcount deleted rows.
+    val scanPath = new org.apache.hadoop.fs.Path(path)
+    val fs = scanPath.getFileSystem(conf)
+    val dvRoot = GraftDv.rootOfScanPath(fs, scanPath)
+    val dvs = GraftDv.list(fs, dvRoot)
     def maskedOf(filePath: String): Long =
       if (dvs.isEmpty) 0L
-      else dvs.get(GraftDv.identOf(tableDir,
+      else dvs.get(GraftDv.identOf(dvRoot,
           new org.apache.hadoop.fs.Path(filePath)))
         .map(d => GraftDv.cardinality(fs, d._2)).getOrElse(0L)
     if (groupCount > 0)

@@ -140,9 +140,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val declared =
       if (sidecarExists(dir)) sidecarContent(dir)._2 else Seq.empty
     if (declared.nonEmpty) declared
-    else GraftUtil.listDataFiles(dir.toString, conf).headOption
-      .map(f => GraftUtil.partitionSegments(dir, f.getPath).map(_._1))
-      .getOrElse(Seq.empty)
+    else {
+      // infer from EVERY file, not the first listed: a mixed-layout dir
+      // (e.g. one path-written unpartitioned file beside k=v subdirs)
+      // would otherwise make the reported partitioning — and hence
+      // dynamic INSERT OVERWRITE routing — depend on listing order,
+      // silently downgrading a partition overwrite to truncate-like
+      // behavior. Mixed layouts fail loudly instead.
+      val layouts = GraftUtil.listDataFiles(dir.toString, conf)
+        .map(f => GraftUtil.partitionSegments(dir, f.getPath).map(_._1))
+        .distinct
+      layouts match {
+        case Seq() => Seq.empty
+        case Seq(one) => one
+        case many => throw new IllegalStateException(
+          s"graft: table at $dir carries a MIXED partition layout (" +
+            many.map(l => if (l.isEmpty) "<unpartitioned>" else l.mkString("/"))
+              .mkString(", ") +
+            ") — declare PARTITIONED BY on the catalog table or repair " +
+            "the directory before partition-aware operations")
+      }
+    }
   }
 
   /** The table's current schema: the footer schema of the data files,

@@ -137,7 +137,14 @@ final case class GraftWriteOptions(
       * it costs a read of every replaced row, which a metadata-only
       * partition swap otherwise avoids entirely.
       */
-    changelog: Boolean = false)
+    changelog: Boolean = false,
+    /** replaceWhere only: validate at write time that every incoming row
+      * satisfies the overwrite predicate, failing the job loudly on a
+      * violation (default). Off writes unchecked — the caller owns the
+      * "rows match the replaced slice" contract, and a violation makes
+      * the overwrite non-idempotent.
+      */
+    replaceWhereCheck: Boolean = true)
 
 object GraftWriteOptions {
   def fromOptions(o: org.apache.spark.sql.util.CaseInsensitiveStringMap): GraftWriteOptions = {
@@ -200,7 +207,8 @@ object GraftWriteOptions {
           s"graft: manifesttag '$t' collides with a reserved tag namespace")
         t
       },
-      changelog = Option(o.get("changelog")).exists(_.toBoolean))
+      changelog = Option(o.get("changelog")).exists(_.toBoolean),
+      replaceWhereCheck = Option(o.get("replacewherecheck")).forall(_.toBoolean))
   }
 }
 
@@ -408,7 +416,24 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
         sweep(f.getPath)
     }
     sweep(dir)
-    new GraftWriterFactory(schema.json, path, opts, HadoopConfBroadcast(conf.value))
+    // replaceWhere rows are VALIDATED against the predicate at write time
+    // (tasks fail loudly on a violating row): a mis-derived source landing
+    // rows outside the replaced slice would make the overwrite
+    // non-idempotent — a re-run's delete phase never removes them. The
+    // expression is pre-built HERE so an unresolvable filter fails the
+    // job before any task launches; tasks rebuild from the filters.
+    val replaceFilters = mode match {
+      case GraftWriteMode.ReplaceWhere(filters) if opts.replaceWhereCheck =>
+        require(GraftDataWriter.replacePredicate(schema, filters).isDefined,
+          s"graft: replaceWhere condition ${filters.mkString(" AND ")} does " +
+            "not resolve against the write schema — cannot validate " +
+            "incoming rows (set .option(\"replacewherecheck\", \"false\") " +
+            "to write unchecked)")
+        filters
+      case _ => Array.empty[org.apache.spark.sql.sources.Filter]
+    }
+    new GraftWriterFactory(schema.json, path, opts, HadoopConfBroadcast(conf.value),
+      replaceFilters)
   }
 
   /** All-or-nothing swap: tasks only stage `.tmp` files (invisible to
@@ -565,15 +590,45 @@ final class GraftStreamingWriterFactory(schemaJson: String, path: String,
 }
 
 final class GraftWriterFactory(schemaJson: String, path: String, opts: GraftWriteOptions,
-    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]) extends DataWriterFactory {
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    replaceFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(schemaJson, path, opts, conf, partitionId, taskId)
+    new GraftDataWriter(schemaJson, path, opts, conf, partitionId, taskId,
+      replaceFilters = replaceFilters)
+}
+
+object GraftDataWriter {
+  /** Row-level predicate for the replaceWhere validation: the pushed
+    * filters bound to the write schema (case-insensitive name resolution,
+    * the catalog's posture) — None when any filter fails to bind.
+    */
+  def replacePredicate(schema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      Option[org.apache.spark.sql.catalyst.expressions.BasePredicate] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, BoundReference, Predicate}
+    if (filters.isEmpty) return None
+    def toRef(name: String): Option[BoundReference] = {
+      val i = schema.fieldNames.indexWhere(_ == name) match {
+        case -1 => schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        case n => n
+      }
+      if (i < 0) None
+      else Some(BoundReference(i, schema(i).dataType, schema(i).nullable))
+    }
+    val exprs = filters.toSeq.map(
+      org.apache.spark.sql.catalyst.StructFilters.filterToExpression(_, toRef))
+    if (exprs.exists(_.isEmpty)) None
+    else Some(Predicate.create(exprs.flatten.reduce(And)))
+  }
 }
 
 final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOptions,
     conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
     partitionId: Int, taskId: Long,
-    nameToken: Option[String] = None) extends DataWriter[InternalRow] {
+    nameToken: Option[String] = None,
+    replaceFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends DataWriter[InternalRow] {
 
   import org.apache.spark.sql.types._
 
@@ -654,7 +709,20 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
   // streaming-only table no later batch sweep would ever clean it up
   private val staged = ArrayBuffer[Path]()
 
+  // replaceWhere validation (plan-time pre-checked, so .get is safe): a
+  // row the predicate rejects — including a NULL evaluation, which the
+  // delete phase's re-run would equally never match — fails the task
+  private val replacePred =
+    if (replaceFilters.isEmpty) null
+    else GraftDataWriter.replacePredicate(schema, replaceFilters).get
+
   override def write(row: InternalRow): Unit = {
+    if (replacePred != null && !replacePred.eval(row))
+      throw new IllegalArgumentException(
+        "graft: replaceWhere overwrite received a row that does not " +
+          "satisfy the replace predicate — such rows would survive a " +
+          "re-run's delete phase, making the overwrite non-idempotent " +
+          "(set .option(\"replacewherecheck\", \"false\") to write unchecked)")
     val key = if (partIdx.isEmpty) "" else partitionDirOf(row)
     val st = parts.getOrElseUpdate(key,
       new PartState(key, fileSeqs.getOrElse(key, 0)))

@@ -462,4 +462,28 @@ class GraftCatalogSpec extends AnyFunSuite {
       olderThanMs = System.currentTimeMillis() + 60000)
     assert(tmps().isEmpty, "vacuum must sweep aged sidecar tmps")
   }
+
+  test("an undeclared table with a MIXED partition layout fails loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mix")
+    val dir = s"$wh/mix/t"
+    // path-written partitioned files...
+    spark.range(0, 10).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS p")
+      .write.format("graft").option("partitionby", "p").mode("append").save(dir)
+    // consistent layout: resolvable, partitioning inferred from ALL files
+    assert(spark.sql("SELECT count(*) FROM graftcat.mix.t").collect()(0).getLong(0) == 10)
+    // ...plus one unpartitioned file at the root: the inferred layout would
+    // depend on listing order — catalog resolution must reject, not guess
+    spark.range(10, 12).selectExpr("id AS k", "CAST(id AS STRING) AS p")
+      .write.format("graft").mode("append").save(dir)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graftcat.mix.t").collect()
+    }
+    def causes(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(causes(ex).exists(_.contains("MIXED partition layout")),
+      s"expected the mixed-layout rejection, got: ${causes(ex)}")
+    // path reads stay available for repair
+    assert(spark.read.format("graft").load(dir).count() == 12)
+  }
 }

@@ -127,6 +127,31 @@ class OverwriteModesSpec extends AnyFunSuite {
     assert(got == want.sorted, s"replaceWhere slice wrong: ${got.take(8)}")
   }
 
+  test("replaceWhere rejects rows that violate the overwrite predicate") {
+    val t = freshTable("replcheck")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.range(0, 50).selectExpr("id AS k", "id AS v").writeTo(t).append()
+    // rows 40..44 land OUTSIDE the replaced slice k<10 — a re-run's delete
+    // phase would never remove them, so the write must fail loudly...
+    val ex = intercept[Exception] {
+      spark.range(40, 45).selectExpr("id AS k", "id AS v")
+        .writeTo(t).overwrite(col("k") < 10)
+    }
+    def causes(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(causes(ex).exists(_.contains("does not satisfy the replace predicate")),
+      s"expected the replaceWhere validation error, got: ${causes(ex)}")
+    // ...and a failed overwrite leaves the table intact
+    assert(spark.table(t).count() == 50)
+    // the escape hatch writes unchecked when the caller owns the contract
+    spark.range(40, 45).selectExpr("id AS k", "id * 10 AS v")
+      .writeTo(t).option("replacewherecheck", "false").overwrite(col("k") < 10)
+    val ks = spark.table(t).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == ((10L until 50L) ++ (40L until 45L)).sorted,
+      s"unchecked overwrite shape wrong: $ks")
+  }
+
   test("replaceWhere with an empty source deletes the slice (replace with nothing)") {
     val t = freshTable("repl2")
     spark.sql(s"CREATE TABLE $t (k BIGINT)")
