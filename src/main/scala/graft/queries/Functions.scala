@@ -566,6 +566,66 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_merge_dv" -> { (s, dir) =>
+      // MERGE-ON-READ MERGE in the correctness gate: the same canonical
+      // CDC shape as q_sql_merge_cdc (tombstone deletes, updates,
+      // inserts) routed through `graft.merge.mode=dv` — matched rows are
+      // MASKED via deletion-vector sidecars and their new versions
+      // appended under one tagged commit, so every pre-existing data file
+      // must stay byte-identical. That invariant folds into the result as
+      // a rewritten-file count the oracle pins to 0; the view itself must
+      // equal the copy-on-write oracle exactly.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_sqlmdv_stage1/$key/wh") { t =>
+        val cat = s"gmdvb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val docs = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        docs.write.format("graft").option("maxrowsperfile", "200")
+          .mode("overwrite").save(s"$t/docs")
+        val conf = s.sessionState.newHadoopConf()
+        def fileMap: Map[String, Long] =
+          graft.spark.GraftUtil.listDataFiles(s"$t/docs", conf)
+            .map(f => f.getPath.toString -> f.getLen).toMap
+        val before = fileMap
+        val srcDf = docs.filter(col("doc_id") % 17 === 5)
+          .select(col("doc_id"), col("lang"), lit("x").as("source"),
+            lit(0L).as("n_chars"), lit("D").as("op"))
+          .unionAll(docs.filter(col("doc_id") % 11 === 7 && col("doc_id") % 17 =!= 5)
+            .select(col("doc_id"), col("lang"), lit("merged").as("source"),
+              (col("n_chars") % 50 + 7).as("n_chars"), lit("U").as("op")))
+          .unionAll(docs.filter(col("doc_id") % 13 === 2)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+              lit("inserted").as("source"), (col("doc_id") % 31).as("n_chars"),
+              lit("U").as("op")))
+        srcDf.createOrReplaceTempView(s"mdv_src_$key")
+        s.conf.set("graft.merge.mode", "dv")
+        try s.sql(s"MERGE INTO $cat.docs AS t USING mdv_src_$key AS s " +
+          "ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars, source = s.source " +
+          "WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (doc_id, lang, source, n_chars) " +
+          "VALUES (s.doc_id, s.lang, s.source, s.n_chars)")
+        finally s.conf.unset("graft.merge.mode")
+        val after = fileMap
+        val rewritten = before.count { case (p, len) => !after.get(p).contains(len) }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_MDV_REWRITES"), rewritten.toString)
+      }
+      val rewrote = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_MDV_REWRITES")).trim.toInt
+      val readCat = s"gmdvr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .withColumn("rewritten_preexisting", lit(rewrote))
+        .orderBy(col("lang"))
+    },
+
     "q_sorted_topn" -> { (s, dir) =>
       // TOP-N pushdown in the correctness gate: orders staged sorted on
       // (o_totalprice, o_orderkey) — the write publishes the sort marker
@@ -717,6 +777,48 @@ object Functions {
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))
+    },
+
+    "q_asof_dv_snapshot" -> { (s, dir) =>
+      // SNAPSHOT-CONSISTENT DELETION VECTORS in the gate: two commits
+      // (even doc_ids at t1, then odd), then a VERSIONED merge-on-read
+      // delete (takedown = false) of doc_id % 10 = 0 — all inside the
+      // first commit. The PINNED read at t1 must reproduce the dataset as
+      // of t1 (the deleted rows still visible: the mask generation
+      // published after the pin), while the CURRENT read applies the mask.
+      // Both views ride one result under a 'view' tag so the oracle checks
+      // them in a single hash comparison.
+      val stage = stagedOnce(
+          s"/tmp/graft_asofdv_stage1/${stageKey(s, dir, "documents")}/documents") { t =>
+        val d = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        d.filter(col("doc_id") % 2 === 0)
+          .write.format("graft").mode("append").save(t)
+        val fs = new org.apache.hadoop.fs.Path(t)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val t1 = graft.spark.GraftManifest
+          .list(fs, new org.apache.hadoop.fs.Path(t))
+          .map(graft.spark.GraftManifest.nameT).max
+        Thread.sleep(5) // the second commit must be strictly after t1
+        d.filter(col("doc_id") % 2 === 1)
+          .write.format("graft").mode("append").save(t)
+        Thread.sleep(5) // ...and the mask strictly after the pin
+        graft.spark.GraftMaintenance.deleteWhereDv(s, t,
+          col("doc_id") % 10 === 0, takedown = false)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_ASOF_T1"), t1.toString)
+      }
+      val t1 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_ASOF_T1")).trim
+      def agg(df: DataFrame, view: String): DataFrame =
+        df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .select(lit(view).as("view"), col("lang"), col("docs"),
+            col("chars"), col("min_id"), col("max_id"))
+      agg(s.read.format("graft").option("asof", t1).load(stage), "pinned")
+        .union(agg(s.read.format("graft").load(stage), "current"))
+        .orderBy(col("view"), col("lang"))
     },
 
     "q_map_pruning" -> { (s, dir) =>
@@ -1388,6 +1490,21 @@ object Functions {
         |  FROM documents WHERE doc_id % 13 = 2
         |) u
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_merge_dv" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS sources,
+        |  0 AS rewritten_preexisting
+        |FROM (
+        |  SELECT lang,
+        |         CASE WHEN doc_id % 11 = 7 THEN n_chars % 50 + 7 ELSE n_chars END AS n_chars,
+        |         CASE WHEN doc_id % 11 = 7 THEN 'merged' ELSE source END AS source
+        |  FROM documents WHERE doc_id % 17 <> 5
+        |  UNION ALL
+        |  SELECT lang, doc_id % 31 AS n_chars, 'inserted' AS source
+        |  FROM documents WHERE doc_id % 13 = 2
+        |) u
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sorted_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 25""".stripMargin,
@@ -1414,6 +1531,19 @@ object Functions {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE doc_id % 2 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_asof_dv_snapshot" ->
+      """SELECT 'pinned' AS view, lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY lang
+        |UNION ALL
+        |SELECT 'current' AS view, lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 10 <> 0
+        |GROUP BY lang
+        |ORDER BY view, lang""".stripMargin,
     "q_partition_agg" ->
       """SELECT lang, count(*) AS docs, count(n_chars) AS chars_count,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,

@@ -222,8 +222,12 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     // rewrites — the GDPR-cadence knob for tables where rewrite
     // amplification is the cost center (mask now, fold at compaction).
     val dvMode = spark.conf.getOption("graft.delete.mode").contains("dv")
+    // `graft.dv.takedown=false` publishes VERSIONED masks: time-travel
+    // reads older than the delete keep seeing the rows (reproducible
+    // training sets); the default true is the compliance posture
     if (dvMode) GraftMaintenance.deleteWhereDv(spark, path, pred,
-      schemaOverride = Some(tableSchema))
+      schemaOverride = Some(tableSchema),
+      takedown = spark.conf.getOption("graft.dv.takedown").forall(_.toBoolean))
     else GraftMaintenance.deleteWhere(spark, path, pred,
       schemaOverride = Some(tableSchema))
   }
@@ -951,9 +955,12 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       // projections, row-based iterator skip for nested ones. The scan path may be a single
       // file (the rewrite passes read one file directly) — the sidecars
       // still live at the TABLE root.
+      // `asof` pins the per-file generation (the newest published at or
+      // before the pin, takedowns floored in) so time-travel reads
+      // reproduce the dataset a training run actually saw
       val p0 = new Path(path)
       val dvRoot = GraftDv.rootOfScanPath(p0.getFileSystem(conf), p0)
-      val dvs = GraftDv.list(dvRoot.getFileSystem(conf), dvRoot)
+      val dvs = GraftDv.listAt(dvRoot.getFileSystem(conf), dvRoot, asofOpt)
         .map { case (ident, (_, p)) => ident -> p }
       factory = new GraftReaderFactory(HadoopConfBroadcast(conf), projected.json, pagePreds,
         colAliases, dvs)
@@ -1249,11 +1256,16 @@ final class GraftReaderFactory(conf: org.apache.spark.broadcast.Broadcast[Serial
   override def supportColumnarReads(partition: InputPartition): Boolean =
     dvByIdent.isEmpty || columnarMaskable
 
+  // the table root, derived EXACTLY from any sidecar path (all sidecars
+  // were listed from one `<root>/_graft_dv/` at plan time) — no per-file
+  // upward walk, and immune to table dirs whose own name contains '='
+  private lazy val dvRoot: Path =
+    new Path(dvByIdent.values.head).getParent.getParent
+
   private def dvFor(filePath: String): Option[org.roaringbitmap.RoaringBitmap] = {
     if (dvByIdent.isEmpty) return None
     val p = new Path(filePath)
-    val root = GraftDv.tableRootOf(p)
-    dvByIdent.get(GraftDv.identOf(root, p))
+    dvByIdent.get(GraftDv.identOf(dvRoot, p))
       .map(s => GraftDv.read(p.getFileSystem(conf.value.value), s))
   }
 

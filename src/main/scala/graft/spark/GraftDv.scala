@@ -32,12 +32,26 @@ import org.roaringbitmap.RoaringBitmap
   * The existence probe is one `fs.exists` on the `_graft_dv` dir — a table
   * that never used DVs pays nothing else anywhere.
   *
-  * Snapshot posture: scans apply the CURRENT deletion vectors regardless
-  * of `asof`/VERSION AS OF pins — the same posture as the copy-on-write
-  * deletes (whose rewrites retire the files older snapshots would need).
-  * A delete is a takedown: the row must be gone from every future read,
-  * including time-travel reads; reconstructing pre-delete snapshots is
-  * explicitly not a goal of either delete path.
+  * Snapshot posture — TWO explicit postures, chosen per publish and
+  * encoded in the sidecar name (`T`/`V` beside the publish millis):
+  *
+  *   - TAKEDOWN (the compliance default for [[GraftMaintenance
+  *     .deleteWhereDv]]): the rows must be gone from EVERY read, including
+  *     `asof`/VERSION AS OF time-travel reads. Publishing sweeps all older
+  *     generations, so no snapshot can resurrect the rows; a pinned read
+  *     older than the takedown applies the takedown mask anyway (history
+  *     was erased — the documented collapse).
+  *   - VERSIONED (merge-on-read UPDATE, and `takedown = false` deletes):
+  *     older generations are RETAINED (vacuum sweeps them past retention),
+  *     and an `asof` read resolves, per file, the newest generation whose
+  *     publish time <= the pin — so "which dataset did this training run
+  *     see" reproduces exactly: a later versioned delete/update never
+  *     changes a pinned read's answer.
+  *
+  * Current (unpinned) reads always take the highest generation. Plan-time
+  * statistics and the limit/top-N cover inflation use the CURRENT mask
+  * even under a pin — the current cardinality bounds every older one
+  * (cumulative), so covers stay sound supersets and stats stay estimates.
   */
 object GraftDv {
   val DirName = "_graft_dv"
@@ -58,10 +72,23 @@ object GraftDv {
     s"$clean-${GraftManifest.md5Hex(rel, 6)}"
   }
 
-  /** The table root of a data file: parents above any k=v partition dirs. */
-  def tableRootOf(file: Path): Path = {
+  /** A dir carrying any table-root marker IS the table root — the upward
+    * `k=v` walks below must not climb past it. Guards tables whose own
+    * directory NAME contains '=' (e.g. `.../run=5`): the pure name
+    * heuristic would resolve their DV root one level too high, silently
+    * dropping masks at read time.
+    */
+  private def isTableRoot(fs: FileSystem, d: Path): Boolean =
+    fs.exists(new Path(d, DirName)) ||
+      fs.exists(new Path(d, GraftManifest.DirName)) ||
+      fs.exists(new Path(d, "_graft_table.json"))
+
+  /** The table root of a data file: parents above any k=v partition dirs,
+    * stopping early at the first dir that carries a table-root marker. */
+  def tableRootOf(fs: FileSystem, file: Path): Path = {
     var d = file.getParent
-    while (d.getParent != null && d.getName.contains('=')) d = d.getParent
+    while (d.getParent != null && d.getName.contains('=') && !isTableRoot(fs, d))
+      d = d.getParent
     d
   }
 
@@ -71,32 +98,75 @@ object GraftDv {
   def rootOfScanPath(fs: FileSystem, p: Path): Path = {
     val isFile = try fs.getFileStatus(p).isFile catch { case _: Exception => false }
     var root = if (isFile) p.getParent else p
-    while (root.getParent != null && root.getName.contains('=')) root = root.getParent
+    while (root.getParent != null && root.getName.contains('=') && !isTableRoot(fs, root))
+      root = root.getParent
     root
   }
 
-  private val NamePat = raw"(.+)\.g(\d{5})-[0-9a-f]{8}\.dv".r
+  // current layout: ident.g00002-<millis13><T|V>-<uuid8>.dv (T = takedown,
+  // V = versioned); the legacy r15 layout (no time/posture) parses as a
+  // takedown at time 0 — it applied to every read, which is exactly what
+  // (takedown, t=0) resolves to
+  private val NamePat = raw"(.+)\.g(\d{5})-(\d{13})([TV])-[0-9a-f]{8}\.dv".r
+  private val LegacyNamePat = raw"(.+)\.g(\d{5})-[0-9a-f]{8}\.dv".r
+
+  /** One sidecar generation as parsed from its name. */
+  final case class Entry(gen: Int, timeMs: Long, takedown: Boolean, path: String)
+
+  private def parse(fs: FileSystem, p: Path): Option[(String, Entry)] =
+    p.getName match {
+      case NamePat(ident, gen, t, post) =>
+        Some(ident -> Entry(gen.toInt, t.toLong, post == "T",
+          fs.makeQualified(p).toString))
+      case LegacyNamePat(ident, gen) =>
+        Some(ident -> Entry(gen.toInt, 0L, takedown = true,
+          fs.makeQualified(p).toString))
+      case _ => None
+    }
+
+  /** Every sidecar generation: ident -> entries sorted by generation. */
+  def listAll(fs: FileSystem, tableDir: Path): Map[String, Seq[Entry]] = {
+    val d = dir(tableDir)
+    if (!fs.exists(d)) return Map.empty
+    fs.listStatus(d).toSeq.flatMap(f => parse(fs, f.getPath))
+      .groupBy(_._1)
+      .map { case (ident, vs) => ident -> vs.map(_._2).sortBy(e => (e.gen, e.path)) }
+  }
 
   /** Current sidecars: ident -> (gen, qualified sidecar path). One listing;
     * highest generation per ident wins (name-lexicographic tiebreak). */
-  def list(fs: FileSystem, tableDir: Path): Map[String, (Int, String)] = {
-    val d = dir(tableDir)
-    if (!fs.exists(d)) return Map.empty
-    fs.listStatus(d).toSeq.flatMap { f =>
-      f.getPath.getName match {
-        case NamePat(ident, gen) =>
-          Some((ident, gen.toInt, fs.makeQualified(f.getPath).toString))
-        case _ => None
-      }
-    }.groupBy(_._1).map { case (ident, vs) =>
-      val best = vs.maxBy(v => (v._2, v._3))
-      ident -> ((best._2, best._3))
+  def list(fs: FileSystem, tableDir: Path): Map[String, (Int, String)] =
+    listAll(fs, tableDir).map { case (ident, es) =>
+      ident -> ((es.last.gen, es.last.path))
     }
+
+  /** Snapshot-pinned resolution: per ident, the generation an `asof` read
+    * at `asofMs` must apply — the newest with publish time <= the pin,
+    * overridden upward by the highest TAKEDOWN generation (its rows must
+    * stay gone in every snapshot; its publish swept the history a more
+    * precise answer would need). None pin = current (highest) generation.
+    * Idents whose pinned resolution is "no mask yet" are absent.
+    */
+  def listAt(fs: FileSystem, tableDir: Path,
+      asofMs: Option[Long]): Map[String, (Int, String)] = asofMs match {
+    case None => list(fs, tableDir)
+    case Some(a) =>
+      listAll(fs, tableDir).flatMap { case (ident, es) =>
+        val eligible = es.filter(_.timeMs <= a).lastOption
+        val takedown = es.filter(_.takedown).lastOption
+        val chosen = (eligible, takedown) match {
+          case (Some(e), Some(t)) => Some(if (t.gen > e.gen) t else e)
+          case (Some(e), None) => Some(e)
+          case (None, some) => some // takedown floor or no mask
+        }
+        chosen.map(c => ident -> ((c.gen, c.path)))
+      }
   }
 
   /** The ident a sidecar name encodes (None for non-sidecar entries). */
   def identOfSidecar(name: String): Option[String] = name match {
-    case NamePat(ident, _) => Some(ident)
+    case NamePat(ident, _, _, _) => Some(ident)
+    case LegacyNamePat(ident, _) => Some(ident)
     case _ => None
   }
 
@@ -134,13 +204,21 @@ object GraftDv {
 
   def cardinality(fs: FileSystem, path: String): Long = read(fs, path).getLongCardinality
 
-  /** Publish `bitmap` (already cumulative) as generation `gen`; sweeps
-    * lower generations of the same ident AFTER the new one is visible. */
+  /** Publish `bitmap` (already cumulative) as generation `gen`.
+    *
+    * `takedown = true` (compliance delete) sweeps every lower generation
+    * of the ident AFTER the new one is visible — no snapshot can
+    * resurrect the rows. `takedown = false` (versioned delete / MOR
+    * update) RETAINS older generations so `asof` reads stay reproducible;
+    * vacuum sweeps them past retention.
+    */
   def publish(fs: FileSystem, tableDir: Path, ident: String, gen: Int,
-      bitmap: RoaringBitmap): Unit = {
+      bitmap: RoaringBitmap, takedown: Boolean = true): Unit = {
     val d = dir(tableDir)
     fs.mkdirs(d)
-    val name = f"$ident.g$gen%05d-${java.util.UUID.randomUUID().toString.take(8)}.dv"
+    val post = if (takedown) "T" else "V"
+    val name = f"$ident.g$gen%05d-${System.currentTimeMillis()}%013d$post" +
+      s"-${java.util.UUID.randomUUID().toString.take(8)}.dv"
     val tmp = new Path(d, s".$name.tmp")
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16))
@@ -152,11 +230,12 @@ object GraftDv {
     } finally out.close()
     if (!fs.rename(tmp, new Path(d, name)))
       throw new java.io.IOException(s"graft: failed to publish deletion vector $name")
-    // retire superseded generations (best effort; readers take max gen)
-    fs.listStatus(d).foreach { f =>
-      f.getPath.getName match {
-        case NamePat(i, g) if i == ident && g.toInt < gen =>
-          fs.delete(f.getPath, false)
+    // takedown: retire every superseded generation (best effort — the
+    // read rule's takedown floor covers a crashed sweep's stragglers, and
+    // vacuum re-sweeps them)
+    if (takedown) fs.listStatus(d).foreach { f =>
+      parse(fs, f.getPath) match {
+        case Some((i, e)) if i == ident && e.gen < gen => fs.delete(f.getPath, false)
         case _ => ()
       }
     }
@@ -168,8 +247,8 @@ object GraftDv {
     if (!fs.exists(d)) return
     val ident = identOf(tableDir, file)
     fs.listStatus(d).foreach { f =>
-      f.getPath.getName match {
-        case NamePat(i, _) if i == ident => fs.delete(f.getPath, false)
+      parse(fs, f.getPath) match {
+        case Some((i, _)) if i == ident => fs.delete(f.getPath, false)
         case _ => ()
       }
     }
@@ -180,7 +259,11 @@ object GraftDv {
   def maskedRows(files: Seq[org.apache.hadoop.fs.FileStatus],
       conf: org.apache.hadoop.conf.Configuration): Long = {
     if (files.isEmpty) return 0L
-    files.groupBy(f => tableRootOf(f.getPath)).map { case (root, fsOfRoot) =>
+    // marker probes memoized by parent dir: sibling files share the walk
+    val rootOfParent = scala.collection.mutable.HashMap[Path, Path]()
+    def rootOf(p: Path): Path = rootOfParent.getOrElseUpdate(p.getParent,
+      tableRootOf(p.getFileSystem(conf), p))
+    files.groupBy(f => rootOf(f.getPath)).map { case (root, fsOfRoot) =>
       val fsys = root.getFileSystem(conf)
       if (!fsys.exists(dir(root))) 0L
       else {

@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * is ours.)
   */
 object GraftMaintenance {
+  /** Test seam: a dv-mode merge throws after its tagged append lands and
+    * BEFORE the masks publish — exactly the crash window where old and
+    * new versions are both visible and the resume must converge. */
+  @volatile private[spark] var dvMergeCrashAfterAppend: Boolean = false
+
 
   /** Result of a compaction: file counts and bytes before/after. */
   final case class CompactStats(filesBefore: Int, bytesBefore: Long,
@@ -265,10 +270,130 @@ object GraftMaintenance {
     * rows no longer match (the probe reads through the mask), so bitmaps
     * only ever grow by exactly the still-live matches.
     */
+  /** OR serialized per-file ordinal bitmaps into each file's current mask
+    * and publish the merged generation — the shared back half of every
+    * merge-on-read op (DV delete / MOR update / DV merge). Per-file
+    * publishes are independent tiny fs ops, overlapped on a small pool so
+    * a wide op isn't serialized driver-side. */
+  private def publishDvMasks(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path,
+      perFile: Array[(String, Array[Byte])], takedown: Boolean): Unit = {
+    val current = GraftDv.list(fs, tableDir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, perFile.length)))
+    try {
+      perFile.toSeq.map { case (f, bytes) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
+          val p = new org.apache.hadoop.fs.Path(f)
+          val add = new org.roaringbitmap.RoaringBitmap()
+          add.deserialize(new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val ident = GraftDv.identOf(tableDir, p)
+          val (gen, merged) = current.get(ident) match {
+            case Some((g, path)) =>
+              val cum = GraftDv.read(fs, path).clone()
+              cum.or(add)
+              (g + 1, cum)
+            case None => (1, add)
+          }
+          GraftDv.publish(fs, tableDir, ident, gen, merged, takedown)
+        }})
+      }.foreach(_.get())
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
+  }
+
+  /** Feed/scratch identity of a data file: partition segments + base name,
+    * sanitized. The segments are REQUIRED — hive layouts legally hold
+    * identically-named files in different k=v dirs, and a basename-only
+    * identity made one partition's changelog publish mask the other's. */
+  private def feedIdentOf(tableDir: org.apache.hadoop.fs.Path,
+      file: org.apache.hadoop.fs.Path): String = {
+    val base = file.getName.stripSuffix(GraftUtil.Extension)
+    val segs = GraftUtil.partitionSegments(tableDir, file)
+    (segs.map { case (k, v) => s"$k=$v" } :+ base)
+      .mkString("~").replaceAll("[^a-zA-Z0-9_.=~-]", "_")
+  }
+
+  /** Publish pre-images to the change feed as ONE feed file PER matched
+    * data file at a deterministic `<ident><marker>` name — the CoW
+    * rewrite's feed shape, shared by the merge-on-read ops (DV delete /
+    * MOR update / DV merge). Parallel across files on a small pool;
+    * idempotent per file on resume (exists-check — the op's masks land
+    * strictly after the feed, so a resume re-derives identical rows). */
+  private def publishDvChangelog(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path,
+      matchedFiles: Seq[String], marker: String, scratchBase: String,
+      preimagesOf: String => org.apache.spark.sql.DataFrame): Unit = {
+    if (matchedFiles.isEmpty) return
+    val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, matchedFiles.size)))
+    try {
+      matchedFiles.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
+          val ident = feedIdentOf(tableDir, new org.apache.hadoop.fs.Path(f))
+          val clPath = new org.apache.hadoop.fs.Path(
+            clDir, s"$ident$marker${GraftUtil.Extension}")
+          if (!fs.exists(clPath)) {
+            val scratch = new org.apache.hadoop.fs.Path(
+              tableDir, s"$scratchBase/cl/$ident$marker")
+            preimagesOf(f).coalesce(1)
+              .write.format("graft").mode("overwrite").save(scratch.toString)
+            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
+            require(produced.size <= 1,
+              s"graft: changelog write for $f produced ${produced.size} files")
+            if (produced.nonEmpty) {
+              fs.mkdirs(clDir)
+              require(fs.rename(produced.head.getPath, clPath),
+                s"graft: failed to publish change feed for $f at $clPath")
+            }
+            fs.delete(scratch, true)
+          }
+        }})
+      }.foreach(_.get())
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
+  }
+
+  /** Fold a (file, ordinal) frame into per-file serialized roaring
+    * bitmaps EXECUTOR-side — the driver collects O(matched files) small
+    * blobs, never rows. */
+  private def foldOrdinalBitmaps(
+      df: org.apache.spark.sql.DataFrame): Array[(String, Array[Byte])] = {
+    import org.apache.spark.sql.Encoders
+    df.as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (f, it) =>
+        val rb = new org.roaringbitmap.RoaringBitmap()
+        it.foreach { case (_, o) =>
+          require(o <= Int.MaxValue, s"graft: row ordinal $o exceeds DV range")
+          rb.add(o.toInt)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        rb.runOptimize()
+        rb.serialize(new java.io.DataOutputStream(bos))
+        (f, bos.toByteArray)
+      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .collect()
+  }
+
   def deleteWhereDv(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       changelog: Boolean = false,
-      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): DeleteStats =
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      /** TAKEDOWN posture (default): the rows vanish from every read
+        * including `asof` time-travel (older mask generations are swept —
+        * the GDPR contract). `false` publishes a VERSIONED generation:
+        * pinned reads older than this delete keep seeing the rows, the
+        * reproducible-training-set contract. */
+      takedown: Boolean = true): DeleteStats =
     locked(spark, dir, "deleteWhereDv") {
       val conf = spark.sessionState.newHadoopConf()
       val tableDir = new org.apache.hadoop.fs.Path(dir)
@@ -287,85 +412,34 @@ object GraftMaintenance {
         case Some(sc) => spark.read.format("graft").schema(sc).load(dir)
         case None => spark.read.format("graft").load(dir)
       }
-      // change feed FIRST (the crash order changelog -> mask): one feed
-      // file for the whole op, deterministic name so a resume never
-      // publishes pre-images twice. The -del marker types the events.
-      if (changelog) {
-        val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
-        val clPath = new org.apache.hadoop.fs.Path(
-          clDir, s"dvdel-del$predHash${GraftUtil.Extension}")
-        if (!fs.exists(clPath)) {
-          val scratch = new org.apache.hadoop.fs.Path(
-            tableDir, s"_graft_tmp_delete/dv-$predHash")
-          table.filter(predicate).coalesce(1)
-            .write.format("graft").mode("overwrite").save(scratch.toString)
-          val produced = GraftUtil.listDataFiles(scratch.toString, conf)
-          require(produced.size <= 1,
-            s"graft: DV changelog write produced ${produced.size} files")
-          if (produced.nonEmpty) {
-            fs.mkdirs(clDir)
-            require(fs.rename(produced.head.getPath, clPath),
-              s"graft: failed to publish DV change feed at $clPath")
-          }
-          fs.delete(scratch, true)
-        }
-        publishChangeFeed(conf, fs, tableDir)
-      }
       // ONE distributed probe maps still-live matching rows to (file,
       // file-physical ordinal) via the synthesized metadata column; each
       // file's ordinals fold into a roaring bitmap EXECUTOR-side, so the
       // driver collects O(matched files) small byte arrays, never rows
       import org.apache.spark.sql.functions.{col, input_file_name}
-      import org.apache.spark.sql.Encoders
       val matched = table.filter(predicate)
         .select(input_file_name().as("f"), col(GraftDv.OrdinalCol).as("o"))
-      val perFile: Array[(String, Array[Byte])] = matched
-        .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
-        .groupByKey(_._1)(Encoders.STRING)
-        .mapGroups { (f, it) =>
-          val rb = new org.roaringbitmap.RoaringBitmap()
-          it.foreach { case (_, o) =>
-            require(o <= Int.MaxValue, s"graft: row ordinal $o exceeds DV range")
-            rb.add(o.toInt)
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          rb.runOptimize()
-          rb.serialize(new java.io.DataOutputStream(bos))
-          (f, bos.toByteArray)
-        }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-        .collect()
+      val perFile = foldOrdinalBitmaps(matched)
       if (perFile.nonEmpty) {
         val known = files.map(_.getPath.toString).toSet
         require(perFile.forall(p => p._1.nonEmpty && known.contains(p._1)),
           "graft: deleteWhereDv probe returned file names outside the table " +
             "listing (input_file_name plumbing broken?)")
-        val current = GraftDv.list(fs, tableDir)
-        // per-file publishes are independent tiny fs ops — overlap them on
-        // a small pool so a wide takedown isn't serialized driver-side
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.max(1, math.min(8, perFile.length)))
-        try {
-          perFile.toSeq.map { case (f, bytes) =>
-            pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
-              val p = new org.apache.hadoop.fs.Path(f)
-              val add = new org.roaringbitmap.RoaringBitmap()
-              add.deserialize(new java.io.DataInputStream(
-                new java.io.ByteArrayInputStream(bytes)))
-              val ident = GraftDv.identOf(tableDir, p)
-              val (gen, merged) = current.get(ident) match {
-                case Some((g, path)) =>
-                  val cum = GraftDv.read(fs, path).clone()
-                  cum.or(add)
-                  (g + 1, cum)
-                case None => (1, add)
-              }
-              GraftDv.publish(fs, tableDir, ident, gen, merged)
-            }})
-          }.foreach(_.get())
-        } finally {
-          pool.shutdown()
-          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        // change feed FIRST (the crash order changelog -> mask): ONE feed
+        // file PER matched data file at a deterministic <ident>-del<hash>
+        // name (the CoW deleteWhere pattern), published in parallel — a
+        // broad predicate no longer serializes its pre-images through a
+        // single task. Idempotent per file on resume: data files are
+        // immutable and the masks land strictly after, so a re-derived
+        // per-file pre-image set is identical and exists-checked away.
+        if (changelog) {
+          publishDvChangelog(spark, conf, fs, tableDir,
+            perFile.map(_._1).toSeq, s"-del$predHash", "_graft_tmp_delete",
+            f => spark.read.format("graft").schema(table.schema).load(f)
+              .filter(predicate))
+          publishChangeFeed(conf, fs, tableDir)
         }
+        publishDvMasks(fs, tableDir, perFile, takedown)
       }
       val rowsAfter = {
         val c = GraftScan.rowCount(GraftUtil.listDataFiles(dir, conf), conf)
@@ -480,27 +554,18 @@ object GraftMaintenance {
       val matched = spark.read.format("graft").load(srcScratch.toString)
       try {
         // changelog FIRST: pre-images under the op's -upd marker (typed
-        // change_preimage by the feed reader); deterministic name, so a
-        // resume never publishes twice
+        // change_preimage by the feed reader), ONE feed file PER matched
+        // data file at deterministic <ident>-upd<hash8> names — parallel
+        // publishes, and the 8-hex marker is what the feed reader's name
+        // patterns actually match (the old op-wide updv-upd<hash16> name
+        // was invisible to them). Sharded from the materialized snapshot,
+        // so a resume re-derives identical per-file sets.
         if (changelog) {
-          val clDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
-          val clPath = new org.apache.hadoop.fs.Path(
-            clDir, s"updv-upd$opHash${GraftUtil.Extension}")
-          if (!fs.exists(clPath)) {
-            val scratch = new org.apache.hadoop.fs.Path(
-              tableDir, s"_graft_tmp_update/dv-$opHash")
-            matched.drop("_g_f", "_g_o").coalesce(1)
-              .write.format("graft").mode("overwrite").save(scratch.toString)
-            val produced = GraftUtil.listDataFiles(scratch.toString, conf)
-            require(produced.size <= 1,
-              s"graft: MOR-update changelog produced ${produced.size} files")
-            if (produced.nonEmpty) {
-              fs.mkdirs(clDir)
-              require(fs.rename(produced.head.getPath, clPath),
-                s"graft: failed to publish MOR-update change feed at $clPath")
-            }
-            fs.delete(scratch, true)
-          }
+          val matchedFiles = matched.select(col("_g_f")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          publishDvChangelog(spark, conf, fs, tableDir, matchedFiles,
+            s"-upd${opHash.take(8)}", "_graft_tmp_update",
+            f => matched.filter(col("_g_f") === f).drop("_g_f", "_g_o"))
           publishChangeFeed(conf, fs, tableDir)
         }
         // tagged append of the transformed versions (a replay finds the
@@ -518,40 +583,12 @@ object GraftMaintenance {
          else w0).save(dir)
         val nUpdated = obs.get("n").asInstanceOf[Long]
         afterAppend()
-        // masks LAST: per-file ordinal bitmaps folded executor-side
-        import org.apache.spark.sql.Encoders
-        val perFile: Array[(String, Array[Byte])] = matched
-          .select(col("_g_f"), col("_g_o"))
-          .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
-          .groupByKey(_._1)(Encoders.STRING)
-          .mapGroups { (f, it) =>
-            val rb = new org.roaringbitmap.RoaringBitmap()
-            it.foreach { case (_, o) =>
-              require(o <= Int.MaxValue, s"graft: row ordinal $o exceeds DV range")
-              rb.add(o.toInt)
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            rb.runOptimize()
-            rb.serialize(new java.io.DataOutputStream(bos))
-            (f, bos.toByteArray)
-          }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-          .collect()
-        val current = GraftDv.list(fs, tableDir)
-        perFile.foreach { case (f, bytes) =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val add = new org.roaringbitmap.RoaringBitmap()
-          add.deserialize(new java.io.DataInputStream(
-            new java.io.ByteArrayInputStream(bytes)))
-          val ident = GraftDv.identOf(tableDir, p)
-          val (gen, merged) = current.get(ident) match {
-            case Some((g, path)) =>
-              val cum = GraftDv.read(fs, path).clone()
-              cum.or(add)
-              (g + 1, cum)
-            case None => (1, add)
-          }
-          GraftDv.publish(fs, tableDir, ident, gen, merged)
-        }
+        // masks LAST: per-file ordinal bitmaps folded executor-side,
+        // published VERSIONED — an update is not a takedown, so a pinned
+        // read older than this statement must keep seeing the pre-update
+        // rows (the asof file window already hides the appended versions)
+        val perFile = foldOrdinalBitmaps(matched.select(col("_g_f"), col("_g_o")))
+        publishDvMasks(fs, tableDir, perFile, takedown = false)
         val rowsTotal = {
           val c = GraftScan.rowCount(GraftUtil.listDataFiles(dir, conf), conf)
           if (c.isPresent) c.getAsLong
@@ -1318,11 +1355,20 @@ object GraftMaintenance {
       notMatchedBySource: Seq[MergeClause] = Seq.empty,
       changelog: Boolean = false,
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
-      opNonce: Option[String] = None): MergeStats =
+      opNonce: Option[String] = None,
+      /** MERGE-ON-READ mode: matched UPDATE/DELETE clauses mask the old
+        * rows via deletion-vector sidecars and append the updated versions
+        * under one tagged commit — matched files stay byte-identical, the
+        * CDC-upsert cadence without rewrite amplification (compaction
+        * folds the masks later). NOT MATCHED inserts are unchanged.
+        * Falls back to copy-on-write when notMatchedBySource clauses are
+        * present (those rewrite arbitrary unmatched rows). */
+      dvMode: Boolean = false): MergeStats =
     locked(spark, dir, "merge") {
       mergeApplyImpl(spark, dir, source, keys, matched, notMatchedInsert,
         notMatchedBySource, changelog, schemaOverride, opNonce,
-        trustDistinctKeys = false)
+        trustDistinctKeys = false,
+        dvMode = dvMode && notMatchedBySource.isEmpty)
     }
 
   /** [[mergeApply]] for sources the CALLER guarantees carry distinct
@@ -1436,7 +1482,8 @@ object GraftMaintenance {
       changelog: Boolean,
       schemaOverride: Option[org.apache.spark.sql.types.StructType],
       opNonce: Option[String],
-      trustDistinctKeys: Boolean): MergeStats = {
+      trustDistinctKeys: Boolean,
+      dvMode: Boolean = false): MergeStats = {
     import org.apache.spark.sql.functions.{col, lit, input_file_name, hash => shash, count => scount, sum => ssum, when}
     require(keys.nonEmpty, "graft: merge needs at least one equi-key pair")
     require(matched.nonEmpty || notMatchedInsert.nonEmpty || notMatchedBySource.nonEmpty,
@@ -1716,7 +1763,9 @@ object GraftMaintenance {
       val joinCondR = keyPairs.map { case (t, s) =>
         table(t) === col(SrcPrefix + s) }.reduce(_ && _)
       val matchedCounts: Map[String, Long] =
-        if (matchedN.isEmpty || files.isEmpty) Map.empty
+        // dv mode derives its masks from the matched-row materialization
+        // below — the file-selection probe exists only for the rewrites
+        if (dvMode || matchedN.isEmpty || files.isEmpty) Map.empty
         else phase("probe-matched") {
           val condOr = matchedN.map(_.condition.getOrElse(lit(true))).reduce(_ || _)
           envScoped(tableF).join(hinted(srcRenamed), joinCondR).filter(condOr)
@@ -1804,7 +1853,107 @@ object GraftMaintenance {
       def clauseGuards(isMatched: org.apache.spark.sql.Column) =
         ordered0.map { case (onMatch, cnd, as) =>
           ((if (onMatch) isMatched else !isMatched) && cnd.getOrElse(lit(true)), as) }
-      val rewritten = phase("rewrite-files")(rewriteMatchedFiles(spark, conf, fs, tableDir,
+      // ---- MERGE-ON-READ apply: mask + tagged append instead of rewrites ----
+      // Order (the updateWhereDv crash contract): matched-row snapshot to
+      // scratch -> changelog pre-images -> tagged append of updated
+      // versions -> masks LAST. A crash after the append leaves old+new
+      // visible; the resume excludes this merge's own appended files from
+      // the matched scan (tag lookup), its append replays as a no-op, and
+      // its masks converge (cumulative OR over still-live matches). Masks
+      // publish VERSIONED: a merge is not a takedown — pinned reads older
+      // than it reproduce the pre-merge dataset.
+      val dvTag = s"mdv$mrgHash"
+      val dvApplied: Long =
+        if (!dvMode || matchedN.isEmpty || files.isEmpty) 0L
+        else phase("dv-apply") {
+          val ownDvFiles: Set[String] = GraftManifest.list(fs, tableDir)
+            .filter(_.endsWith("-" + dvTag))
+            .flatMap(m => GraftManifest.read(fs, tableDir, m).map(e =>
+              fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, e._1)).toString))
+            .toSet
+          val excluded = ownDvFiles ++ ownInsertFiles
+          val scoped =
+            if (excluded.isEmpty) table
+            else table.filter(!input_file_name()
+              .isin(excluded.toSeq.map(lit(_)): _*))
+          val ordCol = fileCol + "_ord"
+          val tF2 = envScoped(scoped
+            .withColumn(fileCol, input_file_name())
+            .withColumn(ordCol, col(GraftDv.OrdinalCol)))
+          val joined = tF2.join(hinted(srcRenamed),
+            keyPairs.map { case (t, s) => tF2(t) === col(SrcPrefix + s) }.reduce(_ && _))
+          // first-true clause per row (all matched here — inner join)
+          val guards = matchedN.map(c => (c.condition.getOrElse(lit(true)), c.assigns))
+          val applies = guards.foldRight(lit(false)) { case ((g, _), acc) =>
+            when(g, lit(true)).otherwise(acc) }
+          val drop = guards.foldRight(lit(false)) { case ((g, as), acc) =>
+            when(g, lit(as.isEmpty)).otherwise(acc) }
+          def newValueOf(fld: org.apache.spark.sql.types.StructField) =
+            guards.foldRight(col(fld.name)) { case ((g, as), acc) =>
+              when(g, as.flatMap(_.get(fld.name)).getOrElse(col(fld.name)))
+                .otherwise(acc) }
+          // ONE durable snapshot serves changelog + append + masks: old
+          // values (pre-images), new values (append), drop flag, ordinal
+          val newPfx = "__graft_new__"
+          val snap = joined.filter(applies).select(
+            (schema.fields.map(fld => col(fld.name)) ++
+              schema.fields.map(fld => newValueOf(fld).as(newPfx + fld.name)) ++
+              Seq(col(fileCol), col(ordCol), drop.as("__graft_drop__"))).toIndexedSeq: _*)
+          val dvScratch = new org.apache.hadoop.fs.Path(
+            tableDir, s"_graft_tmp_merge/dvm-$mrgHash")
+          snap.write.format("graft").mode("overwrite").save(dvScratch.toString)
+          val snapFiles = GraftUtil.listDataFiles(dvScratch.toString, conf)
+          if (snapFiles.isEmpty) 0L
+          else {
+            val matchedSnap = spark.read.format("graft").load(dvScratch.toString)
+            val applied = {
+              val c = GraftScan.rowCount(snapFiles, conf)
+              if (c.isPresent) c.getAsLong else matchedSnap.count()
+            }
+            // changelog FIRST: pre-images of every applied row under the
+            // -mrg marker (typed change_preimage), ONE feed file PER
+            // matched data file at deterministic names — parallel, resume-
+            // idempotent (sharded from the materialized snapshot)
+            if (changelog) {
+              val matchedFiles = matchedSnap.select(col(fileCol)).distinct()
+                .collect().map(_.getString(0)).toSeq
+              publishDvChangelog(spark, conf, fs, tableDir, matchedFiles,
+                s"-mrg$mrgHash", "_graft_tmp_merge",
+                f => matchedSnap.filter(col(fileCol) === f)
+                  .select(schema.fields.map(fld => col(fld.name)).toIndexedSeq: _*))
+              publishChangeFeed(conf, fs, tableDir)
+            }
+            // tagged append of the non-dropped NEW versions (replay: the
+            // tag is found in the version log / manifests and skipped)
+            val alreadyAppended =
+              GraftVersionLog.currentGeneration(GraftVersionLog.sync(fs, tableDir))
+                .exists(_.endsWith("-" + dvTag)) ||
+                GraftManifest.list(fs, tableDir).exists(_.endsWith("-" + dvTag))
+            if (!alreadyAppended) {
+              val newVersions = matchedSnap.filter(!col("__graft_drop__"))
+                .select(schema.fields.map(fld =>
+                  col(newPfx + fld.name).as(fld.name)).toIndexedSeq: _*)
+              val partCols = files.flatMap(f =>
+                GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+              val w0 = newVersions.write.format("graft").mode("append")
+                .option("manifesttag", dvTag)
+              (if (partCols.nonEmpty) w0.option("partitionby", partCols.mkString(","))
+               else w0).save(dir)
+            }
+            // test seam: crash in the append->mask window (old+new both
+            // visible) — the resume must converge to exactly-once
+            if (dvMergeCrashAfterAppend)
+              throw new RuntimeException("graft-test: dv-merge crash after append")
+            // masks LAST, versioned, folded executor-side
+            val perFile = foldOrdinalBitmaps(
+              matchedSnap.select(col(fileCol).as("f"), col(ordCol).as("o")))
+            publishDvMasks(fs, tableDir, perFile, takedown = false)
+            applied
+          }
+        }
+      val rewritten =
+        if (dvMode) RewriteResult(0, Set.empty)
+        else phase("rewrite-files")(rewriteMatchedFiles(spark, conf, fs, tableDir,
         affectedFiles, schema, RewriteSpec(
           tag = "mrg", hash = mrgHash,
           // pre-images of every row a clause APPLIES to — without this,
@@ -1842,11 +1991,12 @@ object GraftMaintenance {
               .select(schema.fields.map(fld => valueOf(fld).as(fld.name)).toIndexedSeq: _*)
           },
           allowEmpty = anyDelete, sameCount = !anyDelete)))
-      if (changelog) publishChangeFeed(conf, fs, tableDir)
+      if (changelog && !dvMode) publishChangeFeed(conf, fs, tableDir)
       // manifests heal BEFORE the insert: the rewrites' catch-up coverage
       // must never adopt the insert's files (those belong to the ordinary
-      // commit manifest the append publishes)
-      phase("heal-manifests")(
+      // commit manifest the append publishes). dv mode never expires a
+      // manifest (masks + appends only) — nothing to heal.
+      if (!dvMode) phase("heal-manifests")(
         healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot))
       // ---- inserts: the staged pre-state NOT MATCHED set, appended last ----
       // The append is IDEMPOTENT across crash re-runs: its commit manifest
@@ -1909,8 +2059,10 @@ object GraftMaintenance {
             }
           math.max(0L, rowsTotal + rowsInserted - after)
         }
-      val touchedNow = matchedEligible.collect {
-        case (f, n) if !rewritten.skippedConverged.contains(f) => n }.sum
+      val touchedNow =
+        if (dvMode) dvApplied
+        else matchedEligible.collect {
+          case (f, n) if !rewritten.skippedConverged.contains(f) => n }.sum
       val stats = MergeStats(rewritten.rewritten, files.size - rewritten.rewritten,
         touchedNow, rowsInserted, rowsTotal, rowsDeleted,
         rewritten.skippedConverged.size)
@@ -2081,12 +2233,28 @@ object GraftMaintenance {
       if (fs.exists(dvDir)) {
         val liveIdents = GraftUtil.listDataFiles(dir, conf)
           .map(f => GraftDv.identOf(tableDir, f.getPath)).toSet
+        // superseded generation retirement: a non-max generation is only
+        // reachable by `asof` reads pinned BEFORE its successor published
+        // — once the successor is older than the retention cutoff, those
+        // snapshots are no longer served and the old sidecar can go. A
+        // generation below the highest TAKEDOWN gen is unreachable at any
+        // pin (the read rule floors to the takedown) — a crashed takedown
+        // sweep's stragglers, re-swept here.
+        val doomed: Set[String] = GraftDv.listAll(fs, tableDir).values.flatMap { es =>
+          val takedownGen = es.filter(_.takedown).map(_.gen).maxOption.getOrElse(-1)
+          es.zipWithIndex.filter { case (e, i) =>
+            i < es.length - 1 && (e.gen < takedownGen ||
+              es(i + 1).timeMs < olderThanMs)
+          }.map(_._1.path)
+        }.toSet
         fs.listStatus(dvDir).foreach { f =>
           val n = f.getPath.getName
           val ident = GraftDv.identOfSidecar(n)
           val orphanDv = ident.exists(!liveIdents.contains(_))
           val staleTmp = n.startsWith(".") && n.endsWith(".tmp")
-          if ((orphanDv || staleTmp) && f.getModificationTime < olderThanMs) {
+          val superseded = doomed.contains(fs.makeQualified(f.getPath).toString)
+          if (((orphanDv || staleTmp) && f.getModificationTime < olderThanMs)
+              || superseded) {
             scratch += 1; doom(f)
           }
         }

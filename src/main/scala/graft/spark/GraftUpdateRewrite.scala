@@ -217,10 +217,16 @@ final case class GraftMergeCommand(
       "|M:" + render(matched) + "|I:" + render(notMatchedInsert) +
       "|S:" + render(notMatchedBySource))
     val nonce = GraftOpMarker.acquire(fs, tableDir, "_graft_tmp_merge", stmt)
+    // graft.merge.mode=dv (session conf) routes matched UPDATE/DELETE
+    // clauses through deletion-vector masks + one tagged append instead
+    // of copy-on-write file rewrites — the CDC-upsert knob, same family
+    // as graft.delete.mode / graft.update.mode (falls back to CoW when
+    // NOT MATCHED BY SOURCE clauses are present)
     GraftMaintenance.mergeApply(sparkSession, path, src, keys,
       matched, notMatchedInsert, notMatchedBySource,
       schemaOverride = Some(declaredSchema),
-      opNonce = Some(nonce))
+      opNonce = Some(nonce),
+      dvMode = sparkSession.conf.getOption("graft.merge.mode").contains("dv"))
     GraftOpMarker.release(fs, tableDir, "_graft_tmp_merge", stmt)
     sparkSession.sharedState.cacheManager.recacheByPlan(
       sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], relationPlan)

@@ -169,6 +169,138 @@ class DeletionVectorSpec extends AnyFunSuite {
         .count(k => k % 3 == 0 && k % 4 != 1))
   }
 
+  private def lastCommitT(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    GraftManifest.list(fsOf(dir), p).map(GraftManifest.nameT).max
+  }
+
+  private def ksAt(dir: String, asof: Long): Seq[Long] =
+    spark.read.format("graft").option("asof", asof.toString).load(dir)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("a VERSIONED DV delete keeps pinned reads reproducible; a TAKEDOWN erases history") {
+    val dir = fresh("posture")
+    spark.range(0, 100).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val t1 = lastCommitT(dir)
+    Thread.sleep(5)
+    // versioned: the pre-delete snapshot must still see the rows...
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 10, takedown = false)
+    assert(ks(dir) == (10L until 100L), "current read applies the mask")
+    assert(ksAt(dir, t1) == (0L until 100L),
+      "a pinned read older than a VERSIONED delete must see the pre-delete rows")
+    Thread.sleep(5)
+    // ...but a takedown delete is gone from EVERY read, pinned included.
+    // Its publish sweeps the touched file's mask history, so the pinned
+    // read of that file collapses to the takedown's CUMULATIVE mask — the
+    // earlier versioned delete's rows vanish from the pin too (documented:
+    // a takedown erases the history a more precise answer would need).
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") === 50, takedown = true)
+    assert(ks(dir) == (10L until 100L).filterNot(_ == 50))
+    assert(ksAt(dir, t1) == (10L until 100L).filterNot(_ == 50),
+      "a TAKEDOWN delete must mask pinned reads too (history erased)")
+  }
+
+  test("a takedown leaves OTHER files' pinned masks exactly versioned") {
+    val dir = fresh("posture2")
+    // two partitions = two files: the takedown touches only p=1
+    spark.range(0, 100).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS p")
+      .write.format("graft").option("partitionby", "p")
+      .mode("overwrite").save(dir)
+    val t1 = lastCommitT(dir)
+    Thread.sleep(5)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 10, takedown = false)
+    Thread.sleep(5)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") === 51, takedown = true)
+    assert(ks(dir) == (10L until 100L).filterNot(_ == 51))
+    // pinned: even file untouched by the takedown reproduces exactly
+    // (0,2,4,8 visible); the odd file collapsed to its takedown mask
+    val pinned = ksAt(dir, t1)
+    assert((0L until 10L by 2).forall(pinned.contains),
+      s"files a takedown never touched must keep exact pinned masks: $pinned")
+    assert(!pinned.contains(51L), "the takedown row must be gone from the pin")
+  }
+
+  test("a pinned read between two versioned deletes resolves the mid generation") {
+    val dir = fresh("midgen")
+    spark.range(0, 60).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 5, takedown = false)
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") >= 55, takedown = false)
+    assert(ks(dir) == (5L until 55L))
+    assert(ksAt(dir, mid) == (5L until 60L),
+      "the pin must resolve the generation current AT the pin, not the newest")
+  }
+
+  test("MOR update stays invisible to reads pinned before it") {
+    val dir = fresh("updpin")
+    spark.range(0, 40).selectExpr("id AS k", "id AS v").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val t1 = lastCommitT(dir)
+    Thread.sleep(5)
+    GraftMaintenance.updateWhereDv(spark, dir, col("k") < 10,
+      Map("v" -> (col("v") + 1000)))
+    // current: updated values; pinned: original values, no new versions
+    val cur = spark.read.format("graft").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(cur == (0L until 40L).map(k => (k, if (k < 10) k + 1000 else k)))
+    val pinned = spark.read.format("graft").option("asof", t1.toString).load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pinned == (0L until 40L).map(k => (k, k)),
+      "a pinned read older than a MOR update must see pre-update rows only")
+  }
+
+  test("vacuum sweeps superseded versioned generations past retention") {
+    val dir = fresh("dvvac")
+    spark.range(0, 30).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") === 1, takedown = false)
+    Thread.sleep(5)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") === 2, takedown = false)
+    val fs = fsOf(dir)
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    assert(GraftDv.listAll(fs, tableDir).head._2.length == 2,
+      "both generations retained while within retention")
+    // retention cutoff in the future: the superseded gen 1 goes, gen 2 stays
+    GraftMaintenance.vacuum(spark, dir,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    val left = GraftDv.listAll(fs, tableDir).head._2
+    assert(left.map(_.gen) == Seq(2),
+      s"vacuum must sweep the superseded generation, kept: $left")
+    assert(ks(dir) == (0L until 30L).filterNot(k => k == 1 || k == 2))
+  }
+
+  test("COUNT(*) of a partition SUBDIR of a DV'd table subtracts the masks") {
+    val dir = fresh("subdircount")
+    spark.range(0, 120).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p")
+      .write.format("graft").option("partitionby", "p")
+      .mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") % 4 === 1)
+    // loading the SUBDIR directly: the footer-only CountStar pushdown must
+    // resolve the sidecars (and file idents) at the TABLE root — finding
+    // none under the subdir would silently overcount the deleted rows
+    val expected = (0L until 120L).count(k => k % 3 == 0 && k % 4 != 1)
+    assert(spark.read.format("graft").load(s"$dir/p=0").count() == expected)
+    // and the row scan of the same subdir agrees
+    assert(spark.read.format("graft").load(s"$dir/p=0")
+      .select("k").collect().length == expected)
+  }
+
+  test("a table whose own directory name contains '=' keeps its DV root") {
+    val dir = fresh("eqname") + "/run=5"
+    spark.range(0, 100).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    val st = GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 10)
+    assert(st.rowsAfter == 90, st)
+    // the k=v walk must stop AT the table root (it carries _graft_dv /
+    // _graft_manifest), not resolve one level above and drop the masks
+    assert(ks(dir) == (10L until 100L))
+    assert(spark.read.format("graft").load(dir).count() == 90)
+  }
+
   test("fresh streams read through the mask") {
     val dir = fresh("stream")
     spark.range(0, 80).selectExpr("id AS k")
@@ -201,6 +333,57 @@ class DeletionVectorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(w == (0L until 5L).map((_, "delete")),
       s"the feed must carry the masked rows as deletes: $w")
+  }
+
+  test("DV changelog shards one feed file per matched data file") {
+    val dir = fresh("cdcshard")
+    // 4 files, every one holding victims of the scattered predicate
+    spark.range(0, 400).selectExpr("id AS k").repartition(4)
+      .write.format("graft").option("maxrowsperfile", "100")
+      .mode("overwrite").save(dir)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") % 10 === 3,
+      changelog = true)
+    val feed = GraftUtil.listDataFiles(s"$dir/${GraftCdc.ChangesDir}",
+      spark.sessionState.newHadoopConf())
+    assert(feed.size == 4,
+      s"a multi-file matched set must publish per-file feed shards, got " +
+        feed.map(_.getPath.getName).mkString(", "))
+    // the sharded feed still reads as one exact delete batch
+    val w = GraftCdc.changes(spark, dir, t1, System.currentTimeMillis())
+      .select("k", GraftCdc.ChangeTypeCol)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(w == (0L until 400L).filter(_ % 10 == 3).map((_, "delete")),
+      s"head: ${w.take(5)}")
+    // re-run converges without duplicate shards
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") % 10 === 3,
+      changelog = true)
+    assert(GraftUtil.listDataFiles(s"$dir/${GraftCdc.ChangesDir}",
+      spark.sessionState.newHadoopConf()).size == 4)
+  }
+
+  test("changes() types MOR-update feed events without raising") {
+    val dir = fresh("cdctype")
+    spark.range(0, 50).selectExpr("id AS k", "id AS v").repartition(2)
+      .write.format("graft").mode("overwrite").save(dir)
+    Thread.sleep(3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    GraftMaintenance.updateWhereDv(spark, dir, col("k") < 6,
+      Map("v" -> (col("v") + 100)), changelog = true)
+    Thread.sleep(3)
+    // the feed file names must carry a marker the reader's 8-hex pattern
+    // matches — the old op-wide updv-upd<hash16> name raised here
+    val w = GraftCdc.changes(spark, dir, t1, System.currentTimeMillis())
+      .select("k", "v", GraftCdc.ChangeTypeCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val pre = (0L until 6L).map(k => (k, k, GraftCdc.TypeChangePreimage))
+    val ins = (0L until 6L).map(k => (k, k + 100, "insert"))
+    assert(w == (pre ++ ins).sorted,
+      s"expected preimages + new-version inserts, got: $w")
   }
 
   test("SQL DELETE routes through deletion vectors under graft.delete.mode=dv") {
