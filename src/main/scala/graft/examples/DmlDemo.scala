@@ -97,6 +97,14 @@ object DmlDemo {
       .getFileSystem(spark.sessionState.newHadoopConf())
     println(s"   rows=$n1, sidecars remaining=" +
       graft.spark.GraftDv.hasAny(fs, new org.apache.hadoop.fs.Path(dir)))
+
+    println("== 9. SQL-only lifecycle (CALL-style table functions)")
+    sql(s"SELECT * FROM graft_compact('$dir', 2)").show(truncate = false)
+    sql(s"SELECT * FROM graft_vacuum('$dir', " +
+      s"${System.currentTimeMillis() + 60000})").show(truncate = false)
+    sql(s"SELECT * FROM graft_expire_manifests('$dir', 0)").show(truncate = false)
+    val n2 = sql("SELECT count(*) FROM demo.events").head.getLong(0)
+    assert(n2 == n1, s"SQL lifecycle pass changed the row count: $n1 -> $n2")
     println("DmlDemo: OK")
     spark.stop()
   }

@@ -626,6 +626,44 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_compact" -> { (s, dir) =>
+      // SQL-ONLY MAINTENANCE in the correctness gate: a fragmented orders
+      // staging is compacted through the `graft_compact` table function
+      // (the CALL-style lifecycle surface — no library API touched), and
+      // the result folds in two invariants the oracle pins: the content
+      // aggregate is unchanged bit-for-bit, and the file count actually
+      // fell (compacted = 1). graft_vacuum and graft_expire_manifests run
+      // after it through the same surface (their stat rows must be
+      // readable; retention semantics are spec-tested).
+      val stage = stagedOnce(
+          s"/tmp/graft_sqlcompact_stage1/${stageKey(s, dir, "orders")}/orders") { t =>
+        graft.spark.GraftExtensions.ensure(s)
+        Tables.parquet(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(8)
+          .write.format("graft").option("maxrowsperfile", "2000")
+          .mode("overwrite").save(t)
+        val n0 = graft.spark.GraftUtil.listDataFiles(t,
+          s.sessionState.newHadoopConf()).size
+        s.sql(s"SELECT * FROM graft_compact('$t', 2)").collect()
+        s.sql(s"SELECT * FROM graft_vacuum('$t', " +
+          s"${System.currentTimeMillis() + 60000})").collect()
+        s.sql(s"SELECT * FROM graft_expire_manifests('$t', 0)").collect()
+        val n1 = graft.spark.GraftUtil.listDataFiles(t,
+          s.sessionState.newHadoopConf()).size
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_COMPACTED"),
+          (if (n1 < n0 && n1 <= 2) 1 else 0).toString)
+      }
+      val compacted = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_COMPACTED")).trim.toInt
+      s.read.format("graft").load(stage)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("sum_ok"),
+          countDistinct(col("o_custkey")).as("custs"))
+        .withColumn("compacted", lit(compacted))
+    },
+
     "q_sorted_topn" -> { (s, dir) =>
       // TOP-N pushdown in the correctness gate: orders staged sorted on
       // (o_totalprice, o_orderkey) — the write publishes the sort marker
@@ -1505,6 +1543,12 @@ object Functions {
         |  FROM documents WHERE doc_id % 13 = 2
         |) u
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_compact" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        |  count(DISTINCT o_custkey) AS custs,
+        |  1 AS compacted
+        |FROM orders""".stripMargin,
     "q_sorted_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 25""".stripMargin,

@@ -148,6 +148,9 @@ object GraftExtensions {
     if (!s.experimental.extraOptimizations.contains(GraftMergeRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ GraftMergeRewrite
+    if (!s.experimental.extraStrategies.contains(GraftMaintenanceStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ GraftMaintenanceStrategy
     registerSqlFunctions(s)
   }
 
@@ -264,5 +267,37 @@ object GraftExtensions {
             exprs.tail.map(litStr(_, "graft_ndv")))
           .queryExecution.logical
       })
+    // CALL-style lifecycle ops (the OPTIMIZE/VACUUM audience): each
+    // expands to a GraftMaintenanceCall leaf whose side effect runs at
+    // EXECUTION time (see GraftMaintSql) and returns (op, metric, value)
+    // stat rows — a pure-SQL user can now run the whole lifecycle.
+    def registerCall(name: String, op: String,
+        build: Seq[Expression] => (Seq[String], Seq[Long]),
+        usage: String): Unit =
+      s.sessionState.tableFunctionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.spark.GraftMaintenanceCall", name),
+        (exprs: Seq[Expression]) => {
+          val (strs, longs) =
+            try build(exprs)
+            catch { case e: MatchError =>
+              throw new IllegalArgumentException(s"$name takes $usage", e) }
+          GraftMaintenanceCall(op, litStr(exprs.head, name), strs, longs)
+        })
+    registerCall("graft_compact", "compact",
+      { case Seq(_, n) => (Nil, Seq(litLong(n, "graft_compact"))) },
+      "(path STRING, targetFiles LONG)")
+    registerCall("graft_zorder", "zorder",
+      { case Seq(_, cols, n) =>
+        (litStr(cols, "graft_zorder").split(",").map(_.trim).toSeq,
+          Seq(litLong(n, "graft_zorder"))) },
+      "(path STRING, colsCsv STRING, targetFiles LONG)")
+    registerCall("graft_vacuum", "vacuum",
+      { case Seq(_, cutoff) => (Nil, Seq(litLong(cutoff, "graft_vacuum"))) },
+      "(path STRING, olderThanMs LONG)")
+    registerCall("graft_expire_manifests", "expire_manifests",
+      { case Seq(_, cutoff) =>
+        (Nil, Seq(litLong(cutoff, "graft_expire_manifests"))) },
+      "(path STRING, olderThanMs LONG)")
   }
 }

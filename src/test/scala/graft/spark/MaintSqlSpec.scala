@@ -1,0 +1,116 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CALL-style SQL lifecycle surface (`graft_compact` / `graft_zorder` /
+  * `graft_vacuum` / `graft_expire_manifests` table functions): the side
+  * effect runs at EXECUTION time (EXPLAIN never mutates), stat rows
+  * mirror the library stats, and a pure-SQL user can run the whole
+  * lifecycle — including folding deletion vectors away via compaction —
+  * without touching a library API.
+  */
+class MaintSqlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.ensure(s)
+    s
+  }
+
+  private def fresh(name: String): String = {
+    val dir = s"/tmp/graft-test/maintsql-$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    dir
+  }
+
+  private def nFiles(dir: String): Int =
+    GraftUtil.listDataFiles(dir, spark.sessionState.newHadoopConf()).size
+
+  private def contentSum(dir: String): Long =
+    spark.read.format("graft").load(dir)
+      .agg(sum(col("k"))).collect()(0).getLong(0)
+
+  test("EXPLAIN of a maintenance call mutates nothing; execution runs it once") {
+    val dir = fresh("explain")
+    spark.range(0, 500).selectExpr("id AS k").repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    spark.sql(s"EXPLAIN SELECT * FROM graft_compact('$dir', 2)").collect()
+    assert(nFiles(dir) == 8, "EXPLAIN must not compact")
+    val stats = spark.sql(s"SELECT * FROM graft_compact('$dir', 2)")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(nFiles(dir) <= 2)
+    assert(stats("files_before") == 8 && stats("rows") == 500, stats)
+    assert(contentSum(dir) == (0L until 500L).sum)
+  }
+
+  test("graft_zorder re-clusters through pure SQL") {
+    val dir = fresh("zorder")
+    spark.range(0, 2000).selectExpr("id AS k", "(id * 37) % 1000 AS v")
+      .repartition(4)
+      .write.format("graft").option("maxrowsperfile", "500")
+      .mode("overwrite").save(dir)
+    val before = contentSum(dir)
+    val stats = spark.sql(s"SELECT * FROM graft_zorder('$dir', 'k,v', 2)")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(stats("rows") == 2000, stats)
+    assert(contentSum(dir) == before, "re-clustering must preserve content")
+    assert(nFiles(dir) <= 2)
+  }
+
+  test("graft_vacuum sweeps aged junk via SQL") {
+    val dir = fresh("vacuum")
+    spark.range(0, 100).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // a crashed load's staging leftover
+    val junk = new org.apache.hadoop.fs.Path(dir,
+      s".junk${GraftUtil.Extension}.a1.tmp")
+    val out = fs.create(junk, true); out.write(1); out.close()
+    val stats = spark.sql(s"SELECT * FROM graft_vacuum('$dir', " +
+      s"${System.currentTimeMillis() + 60000})")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(stats("staging_tmps") == 1, stats)
+    assert(!fs.exists(junk))
+    assert(contentSum(dir) == (0L until 100L).sum)
+  }
+
+  test("graft_expire_manifests applies retention via SQL") {
+    val dir = fresh("expire")
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    spark.range(10, 20).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("append").save(dir)
+    val stats = spark.sql(s"SELECT * FROM graft_expire_manifests('$dir', " +
+      s"${System.currentTimeMillis() + 60000})")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(stats("manifests_removed") == 2, stats)
+    assert(contentSum(dir) == (0L until 20L).sum,
+      "expiry touches snapshot granularity, never data")
+  }
+
+  test("a SQL-only user folds deletion vectors away through graft_compact") {
+    val dir = fresh("dvfold")
+    spark.conf.set("spark.sql.catalog.gms", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gms.warehouse", "/tmp/graft-test")
+    spark.range(0, 300).selectExpr("id AS k").repartition(3)
+      .write.format("graft").mode("overwrite").save(dir)
+    spark.conf.set("graft.delete.mode", "dv")
+    try spark.sql(s"DELETE FROM gms.`maintsql-dvfold` WHERE k < 30")
+    finally spark.conf.unset("graft.delete.mode")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(GraftDv.hasAny(fs, new org.apache.hadoop.fs.Path(dir)))
+    spark.sql(s"SELECT * FROM graft_compact('$dir', 1)").collect()
+    assert(!GraftDv.hasAny(fs, new org.apache.hadoop.fs.Path(dir)),
+      "compaction must fold the masks away")
+    assert(spark.read.format("graft").load(dir)
+      .agg(sum(col("k"))).collect()(0).getLong(0) == (30L until 300L).sum)
+  }
+}
