@@ -384,6 +384,40 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_schema_default" -> { (s, dir) =>
+      // ALTER TABLE ADD COLUMN ... DEFAULT in the correctness gate: the
+      // default is pure metadata (one sidecar write) — files written
+      // BEFORE the ALTER serve the default at fill time (the evolution
+      // null-fill extended to constants), files written after carry
+      // explicit values. The oracle reconstructs both generations with a
+      // CASE; min/sum/count over the column prove the constant fill and
+      // the mixed-generation merge land exactly.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_default_stage1/$key/wh") { t =>
+        val cat = s"gdefb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        val docs = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.format("graft").mode("overwrite").save(s"$t/docs")
+        s.sql(s"ALTER TABLE $cat.docs ADD COLUMN tier BIGINT DEFAULT 3")
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("tier", col("doc_id") % 5)
+          .writeTo(s"$cat.docs").append()
+      }
+      val readCat = s"gdefr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("tier")).as("tier_sum"),
+          min(col("tier")).as("tier_min"),
+          count(col("tier")).as("tier_count"))
+        .orderBy(col("lang"))
+    },
+
     "q_column_mapping" -> { (s, dir) =>
       // metadata-only DROP/RENAME COLUMN in the correctness gate: even
       // doc_id rows are written under the ORIGINAL column names, then
@@ -1485,6 +1519,14 @@ object Functions {
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 10 END) AS BIGINT) AS q_sum,
         |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS with_quality
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_schema_default" ->
+      // pre-ALTER rows (even doc_id) serve the declared DEFAULT 3;
+      // post-ALTER rows (odd) carry doc_id % 5 explicitly
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE doc_id % 5 END) AS BIGINT) AS tier_sum,
+        |  min(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE doc_id % 5 END) AS tier_min,
+        |  count(*) AS tier_count
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_column_mapping" ->
       """SELECT lang, count(*) AS docs,

@@ -53,6 +53,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  // ADD COLUMN ... DEFAULT is accepted (metadata-only; the reader serves
+  // the default for files predating the column, Spark's own resolution
+  // fills INSERTs that omit it)
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** Path-traversal guard: catalog identifier segments become filesystem
     * path components, so a backquoted segment containing a separator or a
     * dot-link (`..`) would resolve OUTSIDE the warehouse root — and
@@ -416,13 +424,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(add.position() == null,
             "graft: ADD COLUMN ... FIRST/AFTER is not supported — new columns " +
               "append (file leaves are position-stable)")
-          val meta =
-            if (add.comment() != null)
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .putString("comment", add.comment()).build()
-            else org.apache.spark.sql.types.Metadata.empty
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          if (add.comment() != null) mb.putString("comment", add.comment())
+          // ADD COLUMN ... DEFAULT: metadata-only. The reader serves the
+          // default at fill time for files predating the column (extend of
+          // the evolution null-fill); the standard CURRENT/EXISTS_DEFAULT
+          // keys make Spark's own INSERT-side resolution work; the internal
+          // rendering (GraftSchema.DefaultKey) is what executors decode
+          // without a session. Constant literals only — the analyzer has
+          // already folded expressions like CURRENT_DATE to a value.
+          Option(add.defaultValue()).foreach { dv =>
+            val lit = dv.getValue()
+            require(lit != null,
+              s"graft: DEFAULT for column '$colName' must fold to a constant")
+            require(GraftSchema.defaultSupported(add.dataType()),
+              s"graft: DEFAULT on type ${add.dataType().sql} is not supported — " +
+                "atomic types with a lossless literal rendering only")
+            // the declared value must already be of the column's type
+            // (Spark casts at analysis); a null default is just the
+            // nullable evolution column, record nothing
+            if (lit.value() != null) {
+              val rendered = GraftSchema.defaultRender(
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .convertToCatalyst(lit.value()), add.dataType())
+              // round-trip check at DECLARE time, not first read
+              GraftSchema.defaultValueOf(rendered, add.dataType())
+              mb.putString(GraftSchema.DefaultKey, rendered)
+              val sql = Option(dv.getSql).getOrElse(
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  GraftSchema.defaultValueOf(rendered, add.dataType()),
+                  add.dataType()).sql)
+              mb.putString("CURRENT_DEFAULT", sql)
+              mb.putString("EXISTS_DEFAULT", sql)
+            }
+          }
           sch.add(org.apache.spark.sql.types.StructField(
-            colName, add.dataType(), nullable = true, meta))
+            colName, add.dataType(), nullable = true, mb.build()))
         case upd: TableChange.UpdateColumnType =>
           // metadata-only TYPE WIDENING: the sidecar declares the wider
           // type; files stay immutable (old ones decode through a widening

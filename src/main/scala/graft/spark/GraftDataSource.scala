@@ -482,6 +482,9 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     if (hasDvs && agg.aggregateExpressions().exists(!_.isInstanceOf[
         org.apache.spark.sql.connector.expressions.aggregate.CountStar]))
       return false
+    def defaulted(field: String): Boolean =
+      tableSchema.fields.find(_.name.equalsIgnoreCase(field.split('.').head))
+        .exists(_.metadata.contains(GraftSchema.DefaultKey))
     val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
       case f: org.apache.spark.sql.connector.expressions.NamedReference
           if f.fieldNames().length == 1 => f.fieldNames()(0)
@@ -489,6 +492,16 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     }
     GraftAggPushdown.compile(tableSchema, agg) match {
       case None => false
+      // a column carrying an ADD COLUMN DEFAULT may be served as the
+      // default by files that predate it — their footers know nothing of
+      // those values, so COUNT(col)/MIN/MAX must decline (COUNT(*) is
+      // row-count-only and stays)
+      case Some((specs, _)) if specs.exists {
+          case GraftAggPushdown.CountCol(f) => defaulted(f)
+          case GraftAggPushdown.MinCol(f, _) => defaulted(f)
+          case GraftAggPushdown.MaxCol(f, _) => defaulted(f)
+          case _ => false
+        } => false
       case Some((specs, aggOnlySchema)) if groupCols.isEmpty =>
         aggPlan = Some((specs, aggOnlySchema)); true
       case Some((specs, aggOnlySchema)) =>
@@ -1506,6 +1519,35 @@ object GraftMetrics {
   val leavesPrefetched = new java.util.concurrent.atomic.AtomicLong()
 }
 
+object GraftColumnarReader {
+  /** Fill `rows` entries of `vector` with one constant — the ADD COLUMN
+    * DEFAULT served for files that predate the column. */
+  def fillConstant(vector: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      dt: org.apache.spark.sql.types.DataType, value: Any, rows: Int): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => vector.putBytes(0, rows, value.asInstanceOf[Byte])
+      case ShortType => vector.putShorts(0, rows, value.asInstanceOf[Short])
+      case IntegerType | DateType => vector.putInts(0, rows, value.asInstanceOf[Int])
+      case LongType | TimestampType | TimestampNTZType =>
+        vector.putLongs(0, rows, value.asInstanceOf[Long])
+      case FloatType => vector.putFloats(0, rows, value.asInstanceOf[Float])
+      case DoubleType => vector.putDoubles(0, rows, value.asInstanceOf[Double])
+      case BooleanType => vector.putBooleans(0, rows, value.asInstanceOf[Boolean])
+      case StringType =>
+        val b = value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+        var i = 0
+        while (i < rows) { vector.putByteArray(i, b); i += 1 }
+      case d: DecimalType =>
+        val dec = value.asInstanceOf[Decimal]
+        var i = 0
+        while (i < rows) { vector.putDecimal(i, dec, d.precision); i += 1 }
+      case other => throw new IllegalArgumentException(
+        s"graft: no constant fill for default of type $other")
+    }
+  }
+}
+
 final class GraftColumnarReader(filePath: String, fileLen: Long,
     conf: org.apache.hadoop.conf.Configuration, projected: StructType,
     pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty,
@@ -1547,6 +1589,8 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
           "schema evolution can only null-fill nullable columns)")
       (-1, -1, null: FieldFiller)
     } else {
+      // (ADD COLUMN DEFAULT values for the fi < 0 case fill through
+      // evolutionDefaults below — resolved from the field metadata)
       val ff = fileSchema.fields(fi)
       // schema drift across a directory (table schema inferred from the first
       // footer) must fail loudly, not decode garbage through mismatched
@@ -1558,6 +1602,16 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
           s"but the table schema expects ${pf.dataType}")
       (fi, fieldOffsets(fi), FieldFiller.forProjected(ff, pf))
     }
+  }
+
+  // ADD COLUMN DEFAULT values for evolution columns this file predates,
+  // decoded once per reader from the field metadata's internal rendering
+  private val evolutionDefaults: Array[Any] = projected.fields.zipWithIndex.map {
+    case (pf, i) =>
+      if (plan(i)._1 == -1 && pf.metadata.contains(GraftSchema.DefaultKey))
+        GraftSchema.defaultValueOf(
+          pf.metadata.getString(GraftSchema.DefaultKey), pf.dataType)
+      else null
   }
 
   // every top-level field's first leaf is row-aligned (see ColumnTree docs),
@@ -1695,7 +1749,13 @@ final class GraftColumnarReader(filePath: String, fileLen: Long,
         var i = 0
         while (i < rows) { vectors(f).putLong(i, start + i); i += 1 }
       } else if (fi < 0) {
-        vectors(f).putNulls(0, rows) // evolution column absent in this file
+        // evolution column absent in this file: its declared DEFAULT if
+        // one exists (ADD COLUMN ... DEFAULT — old rows carry it), nulls
+        // otherwise
+        if (evolutionDefaults(f) != null)
+          GraftColumnarReader.fillConstant(vectors(f),
+            projected.fields(f).dataType, evolutionDefaults(f), rows)
+        else vectors(f).putNulls(0, rows)
       } else if (direct(f) != null) {
         val lr = leafReaders(base)
         direct(f).fill(vectors(f), lr.pageBytes, lr.pageStart(page), rows, scratch)

@@ -163,6 +163,45 @@ object GraftSchema {
     if (isAtomic(f.dataType)) Some(base) else None
   }
 
+  /** Metadata key holding an ADD COLUMN DEFAULT value in its INTERNAL
+    * string rendering (see [[defaultRender]]) — the reader serves it for
+    * files that predate the column. The standard Spark keys
+    * (CURRENT_DEFAULT / EXISTS_DEFAULT, SQL text) ride beside it so
+    * Spark's own INSERT-side default resolution works unchanged. */
+  val DefaultKey = "graft.default"
+
+  /** Types an ADD COLUMN DEFAULT may take: atomics whose internal value
+    * has a lossless, session-independent string round-trip. */
+  def defaultSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | StringType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Internal rendering of a default's CATALYST value (dates as day
+    * ordinals, timestamps as micros, strings raw). */
+  def defaultRender(value: Any, dt: DataType): String = dt match {
+    case StringType => value.toString
+    case _: DecimalType => value.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
+    case _ => value.toString // primitives render losslessly
+  }
+
+  /** Inverse of [[defaultRender]]: the catalyst value the reader fills. */
+  def defaultValueOf(s: String, dt: DataType): Any = dt match {
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType | DateType => s.toInt
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case BooleanType => s.toBoolean
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case d: DecimalType => Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+    case other => throw new IllegalArgumentException(
+      s"graft: no default-value codec for type $other")
+  }
+
   /** Depth-first (lane, nullable) specs for every leaf of a field — the
     * reader uses this to decode pages without consulting value data.
     */

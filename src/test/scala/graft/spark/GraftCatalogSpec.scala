@@ -463,6 +463,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(tmps().isEmpty, "vacuum must sweep aged sidecar tmps")
   }
 
+  test("ADD COLUMN DEFAULT: old files serve the constant, inserts resolve it, pushdowns decline") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.defs")
+    spark.sql("DROP TABLE IF EXISTS graftcat.defs.t")
+    spark.sql("CREATE TABLE graftcat.defs.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.defs.t SELECT id, id FROM range(10)")
+    spark.sql("ALTER TABLE graftcat.defs.t ADD COLUMN tier BIGINT DEFAULT 7")
+    spark.sql("ALTER TABLE graftcat.defs.t ADD COLUMN tag STRING DEFAULT 'base'")
+    // pre-ALTER rows serve the defaults...
+    val old = spark.sql("SELECT tier, tag FROM graftcat.defs.t WHERE k = 3")
+      .collect()(0)
+    assert(old.getLong(0) == 7 && old.getString(1) == "base")
+    // ...an INSERT omitting the columns resolves them through Spark's own
+    // default machinery (CURRENT_DEFAULT metadata + catalog capability)...
+    spark.sql("INSERT INTO graftcat.defs.t (k, v) VALUES (100, 100)")
+    // ...and an explicit value wins
+    spark.sql("INSERT INTO graftcat.defs.t VALUES (200, 200, 9, 'x')")
+    val got = spark.sql(
+      "SELECT k, tier, tag FROM graftcat.defs.t WHERE k >= 100 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((100L, 7L, "base"), (200L, 9L, "x")), got.toString)
+    // footer-only MIN/MAX/COUNT(col) must DECLINE on a defaulted column
+    // (old footers know nothing of the served constants); the answer stays
+    // exact through the ordinary scan
+    val agg = spark.sql(
+      "SELECT min(tier), max(tier), count(tier), count(*) FROM graftcat.defs.t")
+    assert(!agg.queryExecution.executedPlan.toString.contains("footer-only"),
+      "defaulted column must not ride the footer aggregate scan")
+    val r = agg.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((7L, 9L, 12L, 12L)))
+    // filters over mixed generations see the served defaults
+    assert(spark.sql("SELECT count(*) FROM graftcat.defs.t WHERE tier = 7")
+      .collect()(0).getLong(0) == 11)
+  }
+
   test("an undeclared table with a MIXED partition layout fails loudly") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mix")
     val dir = s"$wh/mix/t"
