@@ -854,6 +854,36 @@ object BenchMaintenance {
       sb.append(f""""x_merge_upsert":{"rows":$targetRows,"g":$gSec%.3f,"p":$pSecMin%.3f,""" +
         f""""ratio":${gSec / pSecMin}%.3f,"rewritten":${st.filesRewritten},""" +
         f""""files":${st.filesRewritten + st.filesUntouched}}""")
+
+      // ---- x_merge_dv: the SAME upsert through merge-on-read mode ----
+      // matched rows mask via DV sidecars + one tagged append instead of
+      // file rewrites; same batch, same pristine staging, same verifying
+      // aggregate (which also prices the masked-scan tax the trade
+      // accepts until compaction folds the masks)
+      var dvStats: graft.spark.GraftMaintenance.MergeStats = null
+      def dvRun(): Double = {
+        val gStage = mutableCopy(gPristine)
+        val gBatch = batch
+        val gT0 = System.nanoTime()
+        dvStats = graft.spark.GraftMaintenance.mergeApply(spark, gStage, gBatch,
+          Seq("doc_id" -> "doc_id"),
+          matched = Seq(graft.spark.GraftMaintenance.MergeClause(None,
+            Some(Map("source" -> col(graft.spark.GraftMaintenance.SrcPrefix + "source"),
+              "n_chars" -> col(graft.spark.GraftMaintenance.SrcPrefix + "n_chars"))))),
+          notMatchedInsert = Seq(graft.spark.GraftMaintenance.MergeClause(None,
+            Some(Map("doc_id" -> col("doc_id"), "lang" -> col("lang"),
+              "source" -> col("source"), "n_chars" -> col("n_chars"))))),
+          dvMode = true)
+        agg(spark.read.format("graft").load(gStage))
+        (System.nanoTime() - gT0) / 1e9
+      }
+      val dvSec = math.min(dvRun(), dvRun())
+      System.err.println(f"[bench] x_merge_dv@${targetRows} dv=$dvSec%.1fs " +
+        f"(touched ${dvStats.rowsUpdated} rows, 0 rewrites) " +
+        f"vs cow=$gSec%.1fs parquet=$pSecMin%.1fs ratio=${dvSec / pSecMin}%.2f")
+      sb.append(f""","x_merge_dv":{"rows":$targetRows,"dv":$dvSec%.3f,""" +
+        f""""cow":$gSec%.3f,"p":$pSecMin%.3f,"ratio_dv":${dvSec / pSecMin}%.3f,""" +
+        f""""ratio_cow":${gSec / pSecMin}%.3f}""")
     }
 
     // ---- x_cdc_apply at scale ----

@@ -121,7 +121,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * `{"graftTable":2,"partitionCols":[...],"schema":<struct json>}`
     * written when CREATE TABLE declares PARTITIONED BY.
     */
-  private def sidecarContent(dir: Path): (StructType, Seq[String]) = {
+  private def sidecarContent(
+      dir: Path): (StructType, Seq[String], Seq[String], Seq[String]) = {
     val p =
       if (fs.exists(sidecar(dir))) sidecar(dir)
       else sidecarTmp(dir) match {
@@ -238,8 +239,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // the active session: a pure-SQL user never calls Tables.load, and the
     // first catalog table resolution is the earliest reliable hook
     GraftExtensions.ensure(org.apache.spark.sql.SparkSession.active)
+    val (declaredSort, declaredCluster) =
+      if (sidecarExists(dir)) { val c = sidecarContent(dir); (c._3, c._4) }
+      else (Seq.empty[String], Seq.empty[String])
     new GraftTable(currentSchema(dir), dir.toString,
-      partitionCols = partitionColsOf(dir))
+      partitionCols = partitionColsOf(dir),
+      sortCols = declaredSort, clusterCols = declaredCluster)
   }
 
   /** SQL time travel: `SELECT ... FROM cat.db.t TIMESTAMP AS OF <ts>` —
@@ -335,12 +340,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
+    // DECLARED LAYOUT INTENT: TBLPROPERTIES ('graft.sortby'='a,b') /
+    // ('graft.clusterby'='x') persist in the sidecar so EVERY insert —
+    // including pure-SQL INSERT INTO, which cannot pass write options —
+    // sorts/clusters its output. Without this, one unsorted append
+    // silently cleared the whole-table sort marker and with it every
+    // top-N/ordering pushdown the layout was created for.
+    def declaredCols(prop: String): Seq[String] =
+      Option(properties.get(prop)).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty)
+    val sortCols = declaredCols("graft.sortby")
+    val clusterCols = declaredCols("graft.clusterby")
+    (sortCols ++ clusterCols).foreach(c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"graft: declared layout column '$c' is not in the table schema"))
     val dir = tableDir(ident)
     fs.mkdirs(dir)
     val out = fs.create(sidecar(dir), true)
-    try out.write(GraftCatalog.renderSidecar(schema, partCols).getBytes("UTF-8"))
+    try out.write(GraftCatalog.renderSidecar(schema, partCols, sortCols,
+      clusterCols).getBytes("UTF-8"))
     finally out.close()
-    new GraftTable(schema, dir.toString, partitionCols = partCols)
+    new GraftTable(schema, dir.toString, partitionCols = partCols,
+      sortCols = sortCols, clusterCols = clusterCols)
   }
 
   /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN` / `RENAME COLUMN` /
@@ -607,12 +628,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // via tmp + rename so a crash mid-write can never leave a truncated
     // schema behind (createTable writes direct — there is nothing to lose)
     val tmp = new Path(dir, s"._graft_table.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    // a declared partition layout survives every schema ALTER (it lives
-    // only in the sidecar — losing it would silently downgrade INSERT
-    // OVERWRITE from partition replacement back to truncate)
-    val declaredParts =
-      if (sidecarExists(dir)) sidecarContent(dir)._2 else Seq.empty
-    val rendered = GraftCatalog.renderSidecar(updated, declaredParts)
+    // declared partition/sort/cluster layouts survive every schema ALTER
+    // (they live only in the sidecar — losing the partition layout would
+    // silently downgrade INSERT OVERWRITE back to truncate; losing the
+    // sort intent would let the next insert clear the sort marker)
+    val (declaredParts, declaredSort, declaredCluster) =
+      if (sidecarExists(dir)) { val c = sidecarContent(dir); (c._2, c._3, c._4) }
+      else (Seq.empty[String], Seq.empty[String], Seq.empty[String])
+    val rendered = GraftCatalog.renderSidecar(updated, declaredParts,
+      declaredSort, declaredCluster)
     val out = fs.create(tmp, true)
     try out.write(rendered.getBytes("UTF-8")) finally out.close()
     fs.delete(sidecar(dir), false)
@@ -769,29 +793,35 @@ object GraftCatalog {
     * legacy bare-StructType json; PARTITIONED BY tables write the v2
     * envelope (the partition layout has no other durable home — footers
     * describe files, not the table). */
-  private[spark] def renderSidecar(schema: StructType, partitionCols: Seq[String]): String =
-    if (partitionCols.isEmpty) schema.json
+  private[spark] def renderSidecar(schema: StructType, partitionCols: Seq[String],
+      sortCols: Seq[String] = Seq.empty, clusterCols: Seq[String] = Seq.empty): String =
+    if (partitionCols.isEmpty && sortCols.isEmpty && clusterCols.isEmpty) schema.json
     else {
       import org.json4s.JsonDSL._
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
         ("graftTable" -> 2) ~
           ("partitionCols" -> partitionCols) ~
+          ("sortCols" -> sortCols) ~
+          ("clusterCols" -> clusterCols) ~
           ("schema" -> org.json4s.jackson.JsonMethods.parse(schema.json))))
     }
 
-  private[spark] def parseSidecar(json: String): (StructType, Seq[String]) = {
+  /** (schema, partitionCols, sortCols, clusterCols). */
+  private[spark] def parseSidecar(
+      json: String): (StructType, Seq[String], Seq[String], Seq[String]) = {
     val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    def strArr(field: String): Seq[String] = (parsed \ field) match {
+      case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
+      case _ => Seq.empty
+    }
     parsed \ "graftTable" match {
       case org.json4s.JInt(_) =>
-        val cols = (parsed \ "partitionCols") match {
-          case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
-          case _ => Seq.empty
-        }
         val schemaJson = org.json4s.jackson.JsonMethods.compact(
           org.json4s.jackson.JsonMethods.render(parsed \ "schema"))
-        (DataType.fromJson(schemaJson).asInstanceOf[StructType], cols)
+        (DataType.fromJson(schemaJson).asInstanceOf[StructType],
+          strArr("partitionCols"), strArr("sortCols"), strArr("clusterCols"))
       case _ => // legacy: the whole body is the StructType json
-        (DataType.fromJson(json).asInstanceOf[StructType], Seq.empty)
+        (DataType.fromJson(json).asInstanceOf[StructType], Seq.empty, Seq.empty, Seq.empty)
     }
   }
 }

@@ -155,7 +155,9 @@ object GraftUtil {
 
 final class GraftTable(private val tableSchema: StructType, private val path: String,
     private val tableAsofMs: Option[Long] = None,
-    private val partitionCols: Seq[String] = Seq.empty)
+    private val partitionCols: Seq[String] = Seq.empty,
+    private val sortCols: Seq[String] = Seq.empty,
+    private val clusterCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft:$path"
@@ -259,7 +261,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(tableAsofMs.isEmpty, "graft: cannot write to a time-travel snapshot")
-    new GraftWriteBuilder(info, path, tablePartitionBy = partitionCols)
+    new GraftWriteBuilder(info, path, tablePartitionBy = partitionCols,
+      tableSortBy = sortCols, tableClusterBy = clusterCols)
   }
 
   // Structural equality by (path, schema): Spark's cache manager and

@@ -36,7 +36,9 @@ private[spark] object GraftWriteMode {
   * handled by rolling — SURVEY.md §7.4).
   */
 final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
-    tablePartitionBy: Seq[String] = Seq.empty)
+    tablePartitionBy: Seq[String] = Seq.empty,
+    tableSortBy: Seq[String] = Seq.empty,
+    tableClusterBy: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate
     with SupportsOverwrite with SupportsDynamicOverwrite {
 
@@ -82,7 +84,7 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
     // a catalog table's declared layout partitions every write to it; an
     // explicit per-write option may only restate it (a conflicting layout
     // would scatter this commit's rows outside the declared directories)
-    val opts =
+    val opts0 =
       if (tablePartitionBy.isEmpty) parsed
       else if (parsed.partitionBy.isEmpty) parsed.copy(partitionBy = tablePartitionBy)
       else {
@@ -92,6 +94,25 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
             tablePartitionBy.mkString(","))
         parsed
       }
+    // declared SORT/CLUSTER intent (CREATE TABLE ... TBLPROPERTIES
+    // 'graft.sortby'/'graft.clusterby'): every insert — SQL INSERT INTO
+    // included, which cannot pass write options — sorts/clusters its
+    // output, so the whole-table sort marker (and the top-N/ordering
+    // pushdowns it enables) survives ordinary ingestion. Same restate-only
+    // rule as the partition layout: an explicit conflicting option fails
+    // loudly instead of silently invalidating the declared layout.
+    def layered(declared: Seq[String], set: Seq[String], what: String): Seq[String] =
+      if (declared.isEmpty) set
+      else if (set.isEmpty) declared
+      else {
+        require(set == declared,
+          s"graft: write option $what=${set.mkString(",")} conflicts with " +
+            s"the table's declared $what ${declared.mkString(",")}")
+        set
+      }
+    val opts = opts0.copy(
+      sortBy = layered(tableSortBy, opts0.sortBy, "sortby"),
+      clusterBy = layered(tableClusterBy, opts0.clusterBy, "clusterby"))
     if (mode == GraftWriteMode.DynamicPartitions)
       require(opts.partitionBy.nonEmpty,
         "graft: dynamic partition overwrite needs a partitioned write — " +

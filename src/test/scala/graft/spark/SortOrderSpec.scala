@@ -170,4 +170,48 @@ class SortOrderSpec extends AnyFunSuite {
     val sorted = spark.read.format("graft").load(dir).sortWithinPartitions("k")
     assert(sortNodes(sorted) == 0)
   }
+
+  test("declared sort order at CREATE TABLE survives SQL-only INSERT INTO") {
+    val wh = "/tmp/graft-test/sort-order-wh"
+    rm(wh)
+    spark.conf.set("spark.sql.catalog.gsort", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsort.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsort.db")
+    spark.sql("CREATE TABLE gsort.db.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.sortby'='k')")
+    // two pure-SQL inserts — neither can pass a write option, so without
+    // the declared intent the first would never publish the marker and
+    // the second would clear it
+    spark.sql("INSERT INTO gsort.db.t SELECT cast(hash(id) % 100000 AS BIGINT), id FROM range(20000)")
+    spark.sql("INSERT INTO gsort.db.t SELECT cast(hash(id + 7) % 100000 AS BIGINT), id FROM range(20000)")
+    val dir = s"$wh/db/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(GraftSortMarker.read(fs, new org.apache.hadoop.fs.Path(dir))
+      .contains(Seq("k")),
+      "INSERT INTO a declared-sort table must keep the whole-table marker")
+    // ...and the ORDER-BY-prefix top-N still plans page covers
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.mkString("\n")
+    val q = spark.sql("SELECT k FROM gsort.db.t ORDER BY k LIMIT 5")
+    assert(scanDesc(q).contains("topn=5"),
+      s"declared-sort table must keep the top-N prefix plan:\n${scanDesc(q)}")
+    val viaSql = q.collect().map(_.getLong(0)).toSeq
+    val exact = spark.read.format("graft").load(dir)
+      .select("k").collect().map(_.getLong(0)).sorted.take(5).toSeq
+    assert(viaSql == exact)
+    // an explicit conflicting per-write option fails loudly
+    val ex = intercept[Exception] {
+      spark.range(5).selectExpr("id AS k", "id AS v")
+        .writeTo("gsort.db.t").option("sortby", "v").append()
+    }
+    def causes(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(causes(ex).exists(_.contains("conflicts with the table's declared sortby")),
+      s"got: ${causes(ex)}")
+  }
 }
