@@ -1362,7 +1362,11 @@ object GraftMaintenance {
         * CDC-upsert cadence without rewrite amplification (compaction
         * folds the masks later). NOT MATCHED inserts are unchanged.
         * Falls back to copy-on-write when notMatchedBySource clauses are
-        * present (those rewrite arbitrary unmatched rows). */
+        * present (those rewrite arbitrary unmatched rows). Resume a
+        * CRASHED dv-mode merge in dv mode (and vice versa): the two
+        * modes' convergence markers differ (file-name -mrg stamps vs the
+        * mdv append tag + masks), so flipping the mode between a crash
+        * and its re-run forfeits the exactly-once guarantee. */
       dvMode: Boolean = false): MergeStats =
     locked(spark, dir, "merge") {
       mergeApplyImpl(spark, dir, source, keys, matched, notMatchedInsert,

@@ -82,7 +82,10 @@ class DmlDifferentialSpec extends AnyFunSuite {
               Map("v" -> (col("v") + d), "s" -> lit(tag)))
           model.mapValuesInPlace((k, t) =>
             if (k % m == r) (t._1 + d, tag, t._3) else t)
-        case 2 => // MERGE: tombstones + updates + inserts in one batch
+        case 2 => // MERGE: tombstones + updates + inserts in one batch —
+          // half copy-on-write rewrites, half merge-on-read (DV masks +
+          // tagged append); the model is mode-blind, so the fuzz pins
+          // both modes to identical semantics
           val existing = model.keys.toIndexedSeq
           val touch =
             if (existing.isEmpty) Seq.empty
@@ -103,7 +106,8 @@ class DmlDifferentialSpec extends AnyFunSuite {
               notMatchedInsert = Seq(GraftMaintenance.MergeClause(
                 Some(col("op") =!= "D"),
                 Some(Map("k" -> col("k"), "v" -> col("v"),
-                  "s" -> col("s"), "p" -> col("p"))))))
+                  "s" -> col("s"), "p" -> col("p"))))),
+              dvMode = rnd.nextBoolean())
             // reference semantics: matched -> first-true clause (tombstone
             // delete wins over update); not-matched -> insert unless D;
             // judged against the PRE-merge state
