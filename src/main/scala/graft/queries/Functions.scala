@@ -698,6 +698,70 @@ object Functions {
         .withColumn("compacted", lit(compacted))
     },
 
+    "q_sql_restore" -> { (s, dir) =>
+      // RESTORE in the correctness gate: documents staged as commit 1
+      // (even doc_ids), then a VERSIONED dv delete masks a slice, then
+      // commit 2 appends the odds — and `graft_restore(path, 1)` must
+      // physically roll all of it back: the appended files deleted, the
+      // versioned masks un-happened, version ordinals unrenumbered. The
+      // final CURRENT read (no pin) must equal the oracle's
+      // `WHERE doc_id % 2 = 0` view bit-for-bit; the restore's own stat
+      // rows fold in as a pinned `restored` invariant.
+      val stage = stagedOnce(
+          s"/tmp/graft_sqlrestore_stage1/${stageKey(s, dir, "documents")}/docs") { t =>
+        graft.spark.GraftExtensions.ensure(s)
+        val d = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        d.filter(col("doc_id") % 2 === 0)
+          .write.format("graft").mode("append").save(t)
+        Thread.sleep(5) // strictly-after commit times for the pin
+        graft.spark.GraftMaintenance.deleteWhereDv(s, t,
+          col("doc_id") % 10 === 4, takedown = false)
+        Thread.sleep(5)
+        d.filter(col("doc_id") % 2 === 1)
+          .write.format("graft").mode("append").save(t)
+        val stats = s.sql(s"SELECT * FROM graft_restore('$t', 1)")
+          .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+        val ok = stats("version") == 1 && stats("files_removed") >= 1 &&
+          stats("dv_generations_removed") >= 1
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_RESTORED"),
+          (if (ok) 1 else 0).toString)
+      }
+      val restored = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_RESTORED")).trim.toInt
+      s.read.format("graft").load(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .withColumn("restored", lit(restored))
+        .orderBy(col("lang"))
+    },
+
+    "q_sql_history" -> { (s, dir) =>
+      // COMMIT HISTORY in the correctness gate: orders staged as three
+      // single-file appends (keyed residue slices), then `graft_history`
+      // must report each version's file count and FOOTER row sum exactly
+      // — the oracle recomputes every slice's cardinality from the raw
+      // parquet, so a drifted manifest listing, a mis-ordered version
+      // log, or a wrong footer sum all hash-mismatch.
+      val stage = stagedOnce(
+          s"/tmp/graft_sqlhistory_stage1/${stageKey(s, dir, "orders")}/orders") { t =>
+        graft.spark.GraftExtensions.ensure(s)
+        val o = Tables.parquet(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        (0 until 3).foreach { r =>
+          o.filter(col("o_orderkey") % 3 === r).coalesce(1)
+            .write.format("graft").mode("append").save(t)
+          Thread.sleep(5)
+        }
+      }
+      graft.spark.GraftExtensions.ensure(s)
+      s.sql(s"SELECT version, files, `rows` AS n_rows FROM " +
+          s"graft_history('$stage') ORDER BY version")
+    },
+
     "q_sorted_topn" -> { (s, dir) =>
       // TOP-N pushdown in the correctness gate: orders staged sorted on
       // (o_totalprice, o_orderkey) — the write publishes the sort marker
@@ -1591,6 +1655,23 @@ object Functions {
         |  count(DISTINCT o_custkey) AS custs,
         |  1 AS compacted
         |FROM orders""".stripMargin,
+    "q_sql_restore" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  1 AS restored
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS files,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2)
+        |ORDER BY version""".stripMargin,
     "q_sorted_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 25""".stripMargin,

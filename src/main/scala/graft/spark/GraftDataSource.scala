@@ -629,45 +629,15 @@ final class GraftScan(private val tableSchema: StructType, private val projected
         // are NOT commits: their files stay pre-manifest history here, or
         // a delete would push its survivors into every later `since`
         // window as phantom inserts. Replacement manifests ARE commits at
-        // the replaced commit's time (shared helper — one definition of
-        // "what is in a window" for the scan and the CDC consumer).
-        val committedAt = GraftManifest.committedTimes(fs, tableDir)
-        // IN-FLIGHT rewrite substitution: a row-level rewrite renames each
-        // survivor output in BEFORE retiring its original, and publishes
-        // the replacement manifest only after the whole wave — so a window
-        // read landing mid-wave (or in the crash gap before heal) sees a
-        // manifested-but-missing original and an unmanifested output. The
-        // output INHERITS the missing original's commit time (derived from
-        // its name: original + trailing -<tag><hash> marker), which is
-        // exactly what the replacement manifest will record — without this
-        // a reader polling inside the wave lost the commit's survivors
-        // permanently. If the original is still listed (the instant
-        // between output rename and original delete), the original alone
-        // serves: inheriting too would double-count the surviving rows.
-        val listedSet = listed.map(f => f.getPath.toString).toSet
-        val markerStrip =
-          raw"-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E$$".r
-        def inheritedT(f: FileStatus): Option[Long] = {
-          var nm = f.getPath.getName
-          var found: Option[Long] = None
-          var continue = true
-          while (continue) {
-            val stripped = markerStrip.replaceAllIn(nm, GraftUtil.Extension)
-            if (stripped == nm) continue = false
-            else {
-              val orig = fs.makeQualified(
-                new Path(f.getPath.getParent, stripped)).toString
-              if (listedSet.contains(orig)) { found = None; continue = false }
-              else committedAt.get(orig) match {
-                case some @ Some(_) => found = some; continue = false
-                case None => nm = stripped // chain: try the next ancestor
-              }
-            }
-          }
-          found
-        }
+        // the replaced commit's time, and an IN-FLIGHT rewrite's survivor
+        // outputs inherit their retired original's commit time through
+        // the marker-strip ancestor chain — all of it one shared
+        // definition ([[GraftManifest.effectiveTimes]]) between this
+        // scan, the CDC consumer, and restore: two readings of "what is
+        // in a window" would eventually disagree.
+        val eff = GraftManifest.effectiveTimes(fs, tableDir, listed)
         listed.filter { f =>
-          val t = committedAt.get(f.getPath.toString).orElse(inheritedT(f))
+          val t = eff.get(f.getPath.toString)
           asofOpt.forall(a => t.forall(_ <= a)) &&
             sinceOpt.forall(s => t.exists(_ > s))
         }

@@ -241,6 +241,29 @@ object GraftDv {
     }
   }
 
+  /** RESTORE support: delete every VERSIONED generation published after
+    * `asofMs`, so the current mask becomes exactly what [[listAt]] resolves
+    * for that pin — post-restore unpinned reads reproduce the snapshot.
+    * TAKEDOWN generations are never touched regardless of publish time:
+    * a compliance delete's rows must stay gone even through a restore
+    * (and its publish already swept the older history a more faithful
+    * answer would need — the documented collapse). Returns the number of
+    * sidecar generations removed.
+    */
+  def restoreTo(fs: FileSystem, tableDir: Path, asofMs: Long): Int = {
+    val d = dir(tableDir)
+    if (!fs.exists(d)) return 0
+    var n = 0
+    fs.listStatus(d).foreach { f =>
+      parse(fs, f.getPath) match {
+        case Some((_, e)) if !e.takedown && e.timeMs > asofMs =>
+          if (fs.delete(f.getPath, false)) n += 1
+        case _ => ()
+      }
+    }
+    n
+  }
+
   /** Drop every sidecar of a retired data file (rewrites/compaction). */
   def dropFor(fs: FileSystem, tableDir: Path, file: Path): Unit = {
     val d = dir(tableDir)

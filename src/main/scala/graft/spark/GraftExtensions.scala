@@ -267,6 +267,17 @@ object GraftExtensions {
             exprs.tail.map(litStr(_, "graft_ndv")))
           .queryExecution.logical
       })
+    // graft_history(path): the commit history (DESCRIBE HISTORY analog)
+    // — version-log driven, so ordinals match VERSION AS OF exactly
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft.spark.GraftIntrospect", "graft_history"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_history takes (path STRING)")
+        val invoking = SparkSession.getActiveSession.getOrElse(s)
+        GraftIntrospect.history(invoking, litStr(exprs.head, "graft_history"))
+          .queryExecution.logical
+      })
     // CALL-style lifecycle ops (the OPTIMIZE/VACUUM audience): each
     // expands to a GraftMaintenanceCall leaf whose side effect runs at
     // EXECUTION time (see GraftMaintSql) and returns (op, metric, value)
@@ -299,5 +310,8 @@ object GraftExtensions {
       { case Seq(_, cutoff) =>
         (Nil, Seq(litLong(cutoff, "graft_expire_manifests"))) },
       "(path STRING, olderThanMs LONG)")
+    registerCall("graft_restore", "restore",
+      { case Seq(_, v) => (Nil, Seq(litLong(v, "graft_restore"))) },
+      "(path STRING, version LONG)")
   }
 }

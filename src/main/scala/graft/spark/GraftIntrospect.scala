@@ -80,6 +80,83 @@ object GraftIntrospect {
       "compressed_len", "raw_len", "num_values", "null_count")
   }
 
+  /** One row per version-log entry: the table's COMMIT HISTORY (the
+    * DESCRIBE HISTORY analog), driven by the append-only version log so
+    * ordinals match `VERSION AS OF` exactly — expired commits appear as
+    * holes with status 'expired', never silently renumbered.
+    *
+    * Columns: version (1-based ordinal; null for truncate sentinels),
+    * commit_ms (the manifest's embedded millis), manifest (the SERVING
+    * manifest: the commit's own, or its replacement after a row-level
+    * rewrite healed it), status ('live' | 'replaced' | 'expired' |
+    * 'truncate'), tag (the name suffix — stream epochs, merge tags,
+    * restore markers identify themselves here), files / bytes (the
+    * serving manifest's listing), rows (footer row-count sum of the
+    * listed files that still exist; null when any is gone or the commit
+    * expired — an honest "unknown", never a partial sum). Cost: O(files)
+    * footer tail reads, the graft_ndv price.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    val log = GraftVersionLog.sync(fs, tableDir)
+    val manifests = GraftManifest.list(fs, tableDir)
+    val manifestSet = manifests.toSet
+    val replacementBy = manifests.filter(GraftManifest.isReplacement)
+      .groupBy(m => (GraftManifest.nameT(m), GraftManifest.baseSuffix(m)))
+      .map { case (k, ms) => k -> ms.max } // newest replacement serves
+    def rowsOf(serving: String): Option[Long] = {
+      val entries = GraftManifest.read(fs, tableDir, serving)
+      if (entries.isEmpty) return Some(0L) // zero-entry marker commit
+      val statuses = entries.map { case (name, _) =>
+        try Some(fs.getFileStatus(new org.apache.hadoop.fs.Path(tableDir, name)))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      if (statuses.exists(_.isEmpty)) None
+      else {
+        // physical rows the commit's files hold (rowCount subtracts the
+        // CURRENT dv masks — add them back: history reports what was
+        // committed, not what a scan serves today)
+        val files = statuses.flatten
+        val c = GraftScan.rowCount(files, conf)
+        if (c.isPresent) Some(c.getAsLong + GraftDv.maskedRows(files, conf))
+        else None
+      }
+    }
+    var ordinal = 0L
+    val rows: Seq[(Option[Long], Option[Long], Option[String], String,
+        String, Option[Long], Option[Long], Option[Long])] =
+      log.map { entry =>
+        if (entry.startsWith(GraftVersionLog.SentinelPrefix))
+          (None, None, None, "truncate",
+            entry.stripPrefix(GraftVersionLog.SentinelPrefix),
+            None, None, None)
+        else {
+          ordinal += 1
+          val t = GraftManifest.nameT(entry)
+          val tag = entry.substring(entry.indexOf('-') + 1)
+          val serving: Option[(String, String)] =
+            if (manifestSet.contains(entry)) Some((entry, "live"))
+            else replacementBy.get((t, GraftManifest.baseSuffix(entry)))
+              .map(r => (r, "replaced"))
+          serving match {
+            case Some((m, status)) =>
+              val entries = GraftManifest.read(fs, tableDir, m)
+              (Some(ordinal), Some(t), Some(m), status, tag,
+                Some(entries.size.toLong), Some(entries.map(_._2).sum),
+                rowsOf(m))
+            case None =>
+              (Some(ordinal), Some(t), None, "expired", tag,
+                None, None, None)
+          }
+        }
+      }
+    import spark.implicits._
+    rows.toDF("version", "commit_ms", "manifest", "status", "tag",
+      "files", "bytes", "rows")
+  }
+
   /** One row per column: the footer KMV distinct-count estimate
     * ([[GraftNdv.estimate]] as a frame — col_name, k, n_hashes, kth_hash,
     * estimate). */

@@ -79,6 +79,15 @@ final case class GraftMaintenanceExec(call: GraftMaintenanceCall)
         val n = GraftMaintenance.expireManifests(spark, call.path,
           call.longArgs.head)
         Seq("manifests_removed" -> n.toLong)
+      case "restore" =>
+        val st = GraftMaintenance.restore(spark, call.path,
+          call.longArgs.head)
+        Seq("version" -> st.version,
+          "files_removed" -> st.filesRemoved.toLong,
+          "manifests_expired" -> st.manifestsExpired.toLong,
+          "dv_generations_removed" -> st.dvGenerationsRemoved.toLong,
+          "feed_files_removed" -> st.feedFilesRemoved.toLong,
+          "rows_after" -> st.rowsAfter)
       case other =>
         throw new IllegalArgumentException(s"graft: unknown maintenance op $other")
     }

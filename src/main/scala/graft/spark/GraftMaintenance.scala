@@ -2339,6 +2339,139 @@ object GraftMaintenance {
     val z = parts.reduce(_.bitwiseOR(_))
     compactImpl(spark, dir, targetFiles, Map.empty, () => (), zSort = Some(z))
   }
+
+  /** Result of a [[restore]]: what was rolled back. */
+  final case class RestoreStats(version: Long, filesRemoved: Int,
+      manifestsExpired: Int, dvGenerationsRemoved: Int,
+      feedFilesRemoved: Int, rowsAfter: Long)
+
+  /** RESTORE the table to a registered version (1-based commit ordinal,
+    * the `VERSION AS OF` numbering): after it returns, a CURRENT read of
+    * the table equals what `VERSION AS OF version` read before — and the
+    * restore is physical, so the equality holds for every future reader
+    * with no pin to carry around. The rollback a bad load / bad merge /
+    * fat-fingered delete needs, O(undone commits) filesystem ops, zero
+    * Spark jobs.
+    *
+    * What rolls back, exactly:
+    *   - data files whose effective commit time is after the target
+    *     version's are deleted (with their DV sidecars), and their commit
+    *     manifests — including zero-entry markers — expire. Version
+    *     ordinals NEVER renumber: the undone versions stay in the version
+    *     log as expired holes, and the restore registers itself as a new
+    *     marker commit (deterministic tag — a crashed restore's re-run
+    *     converges instead of double-registering).
+    *   - VERSIONED deletion-vector generations published after the target
+    *     un-happen ([[GraftDv.restoreTo]]), so merge-on-read deletes /
+    *     updates / dv-merges roll back exactly. TAKEDOWN generations are
+    *     kept wholesale: a compliance delete stays deleted through any
+    *     restore (its publish already swept the history — the documented
+    *     collapse).
+    *   - post-target CDC feed commits (`_graft_changes/`) expire with the
+    *     table commits that produced them: a feed consumer past the
+    *     target must resync (restore rewrites history — there is no
+    *     consistent incremental continuation to offer it).
+    *
+    * Copy-on-write caveat (same as any `asof` read): a post-target CoW
+    * rewrite (deleteWhere/updateWhere/compact/overwrite) physically
+    * destroyed pre-target bytes, so the restored state is the asof view —
+    * survivors, not originals. Histories that must restore exactly should
+    * mutate through the DV postures (`takedown = false`, merge/update dv
+    * modes), whose data files stay byte-identical. Restoring across a
+    * truncating overwrite is refused loudly (the files are simply gone).
+    * Metadata-only schema evolution (ADD COLUMN / widening / defaults /
+    * renames) is NOT reverted: every legal evolution keeps old files
+    * readable, and reverting a rename under restored data would re-label
+    * columns a reader already bound.
+    *
+    * Crash contract: converge-on-re-run. Order is files -> manifests ->
+    * DV generations -> feed -> marker; a crash between any two leaves
+    * manifests listing already-deleted files (batch reads plan from the
+    * listing, so they stay correct; a stream mid-backlog may error until
+    * the re-run finishes the expiry, like any rewrite).
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): RestoreStats =
+    locked(spark, dir, "restore") {
+      val conf = spark.sessionState.newHadoopConf()
+      val tableDir = new org.apache.hadoop.fs.Path(dir)
+      val fs = tableDir.getFileSystem(conf)
+      val log = GraftVersionLog.sync(fs, tableDir)
+      val commits = GraftVersionLog.commits(log)
+      require(version >= 1 && version <= commits.size,
+        s"graft: version $version is out of range — the table has " +
+          s"${commits.size} registered commits")
+      val commit = commits((version - 1).toInt)
+      val idx = log.indexOf(commit)
+      require(!log.drop(idx + 1).exists(_.startsWith(GraftVersionLog.SentinelPrefix)),
+        s"graft: cannot restore to version $version across a truncating " +
+          "overwrite — the pre-truncate data files are gone")
+      val manifests = GraftManifest.list(fs, tableDir)
+      require(manifests.contains(commit) || manifests.exists(m =>
+          GraftManifest.isReplacement(m) &&
+            GraftManifest.nameT(m) == GraftManifest.nameT(commit) &&
+            GraftManifest.baseSuffix(m) == GraftManifest.baseSuffix(commit)),
+        s"graft: version $version has been expired (its commit manifest was " +
+          "retired by retention or compaction) and is no longer restorable")
+      val t = GraftManifest.nameT(commit)
+      // 1. data files committed after the pin (pre-manifest history and
+      //    inherited-time rewrite survivors stay — the asof resolution)
+      val listed = GraftUtil.listDataFiles(dir, conf)
+      val eff = GraftManifest.effectiveTimes(fs, tableDir, listed)
+      val victims = listed.filter(f =>
+        eff.get(f.getPath.toString).exists(_ > t))
+      victims.foreach { f =>
+        fs.delete(f.getPath, false)
+        GraftDv.dropFor(fs, tableDir, f.getPath)
+      }
+      // 2. post-pin manifests: commit manifests, markers, and replacements
+      //    of post-pin commits all carry a post-pin embedded time;
+      //    catch-up re-lists are coverage of pre-manifest history, kept.
+      //    (Version log synced above — ordinals registered before expiry.)
+      val expired = manifests.filter(m =>
+        GraftManifest.nameT(m) > t && !GraftManifest.isCatchup(m))
+      expired.foreach(m => fs.delete(
+        new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), m), false))
+      // 3. versioned DV generations after the pin (takedowns stay)
+      val dvRemoved = GraftDv.restoreTo(fs, tableDir, t)
+      // 4. post-pin CDC feed commits (the feed dir is itself a graft
+      //    table: same manifest layout, same retire shape)
+      var feedRemoved = 0
+      val feedDir = new org.apache.hadoop.fs.Path(tableDir, GraftCdc.ChangesDir)
+      if (fs.exists(feedDir)) {
+        val feedManifests = GraftManifest.list(fs, feedDir)
+        val doomed = feedManifests.filter(m => GraftManifest.nameT(m) > t)
+        GraftVersionLog.sync(fs, feedDir)
+        doomed.foreach { m =>
+          GraftManifest.read(fs, feedDir, m).foreach { case (name, _) =>
+            val p = new org.apache.hadoop.fs.Path(feedDir, name)
+            if (fs.delete(p, false)) feedRemoved += 1
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(feedDir), m), false)
+        }
+      }
+      // 5. register the restore (deterministic per (version, target time):
+      //    a crashed run's re-run finds the live marker, and a deliberate
+      //    re-restore to the same version finds the first one's version-log
+      //    entry — the expiry above just retired its manifest — so neither
+      //    double-registers)
+      val tag = s"rst${version}h${GraftManifest.md5Hex(s"$version:$t", 4)}"
+      val already = GraftManifest.list(fs, tableDir).exists(_.endsWith(s"-$tag")) ||
+        log.exists(_.endsWith(s"-$tag"))
+      if (!already) GraftManifest.publishMarker(fs, tableDir, tag)
+      GraftVersionLog.sync(fs, tableDir)
+      val rowsAfter = {
+        val survivors = GraftUtil.listDataFiles(dir, conf)
+        if (survivors.isEmpty) 0L
+        else {
+          // rowCount is already mask-corrected; the scan fallback masks too
+          val c = GraftScan.rowCount(survivors, conf)
+          if (c.isPresent) c.getAsLong
+          else spark.read.format("graft").load(dir).count()
+        }
+      }
+      RestoreStats(version, victims.size, expired.size, dvRemoved,
+        feedRemoved, rowsAfter)
+    }
 }
 
 /** Per-EXECUTION nonce marker for SQL-routed DML (UPDATE / MERGE).

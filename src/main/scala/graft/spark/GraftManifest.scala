@@ -93,6 +93,52 @@ object GraftManifest {
       }
     }.toMap
 
+  /** Effective commit time of each LISTED data file: the listing COMMIT
+    * manifest's embedded millis ([[committedTimes]]), or — for an
+    * in-flight/crashed rewrite's survivor output whose original is gone —
+    * the time inherited through the marker-strip ancestor chain (exactly
+    * what the replacement manifest will record once the heal publishes
+    * it). While the original is still listed (the instant between output
+    * rename and original delete), the original alone serves — inheriting
+    * too would double-count the surviving rows. Files in no manifest with
+    * no manifested ancestor are pre-manifest history: ABSENT from the map.
+    *
+    * ONE definition shared by the snapshot/window scan ([[GraftScan]])
+    * and [[GraftMaintenance.restore]] — two readings of "when did this
+    * file commit" would let restore delete a file a window read still
+    * serves, or keep one it doesn't.
+    */
+  def effectiveTimes(fs: FileSystem, tableDir: Path,
+      listed: Seq[org.apache.hadoop.fs.FileStatus]): Map[String, Long] = {
+    val committedAt = committedTimes(fs, tableDir)
+    val listedSet = listed.map(f => f.getPath.toString).toSet
+    val markerStrip =
+      raw"-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E$$".r
+    def inheritedT(f: org.apache.hadoop.fs.FileStatus): Option[Long] = {
+      var nm = f.getPath.getName
+      var found: Option[Long] = None
+      var continue = true
+      while (continue) {
+        val stripped = markerStrip.replaceAllIn(nm, GraftUtil.Extension)
+        if (stripped == nm) continue = false
+        else {
+          val orig = fs.makeQualified(
+            new Path(f.getPath.getParent, stripped)).toString
+          if (listedSet.contains(orig)) { found = None; continue = false }
+          else committedAt.get(orig) match {
+            case some @ Some(_) => found = some; continue = false
+            case None => nm = stripped // chain: try the next ancestor
+          }
+        }
+      }
+      found
+    }
+    listed.flatMap { f =>
+      committedAt.get(f.getPath.toString).orElse(inheritedT(f))
+        .map(f.getPath.toString -> _)
+    }.toMap
+  }
+
   /** Truncated-MD5 hex fingerprint — the one definition behind the
     * deterministic tag/marker names (merge ins tags, rewrite markers, CDC
     * window tags) so the digest shape can never drift between them. */
