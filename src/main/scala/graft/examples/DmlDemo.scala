@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *   6. ALTER COLUMN TYPE widening over mixed generations
   *   7. graft_pages / graft_ndv / graft_changes table functions
   *   8. compaction folding the masks away
+  *   9. SQL-only lifecycle (graft_compact / graft_vacuum /
+  *      graft_expire_manifests CALL-style table functions)
+  *  10. graft_history + graft_restore (a bad load rolled back in place)
   *
   * Usage: `sbt "runMain graft.examples.DmlDemo [/tmp/graft_dml_demo]"`
   */
@@ -105,6 +108,19 @@ object DmlDemo {
     sql(s"SELECT * FROM graft_expire_manifests('$dir', 0)").show(truncate = false)
     val n2 = sql("SELECT count(*) FROM demo.events").head.getLong(0)
     assert(n2 == n1, s"SQL lifecycle pass changed the row count: $n1 -> $n2")
+
+    println("== 10. history + restore (a bad load rolled back)")
+    sql(s"SELECT version, status, tag, files, `rows` FROM graft_history('$dir') " +
+      "ORDER BY version").show(30, truncate = false)
+    val versions = sql(s"SELECT max(version) FROM graft_history('$dir')")
+      .head.getLong(0)
+    Thread.sleep(5)
+    sql("INSERT INTO demo.events VALUES (777777, 1, 'd1')") // the "bad load"
+    sql(s"SELECT * FROM graft_restore('$dir', $versions)").show(truncate = false)
+    val n3 = sql("SELECT count(*) FROM demo.events").head.getLong(0)
+    assert(n3 == n2, s"restore must undo the bad load exactly: $n2 -> $n3")
+    assert(sql("SELECT count(*) FROM demo.events WHERE id = 777777")
+      .head.getLong(0) == 0, "the bad row must be gone")
     println("DmlDemo: OK")
     spark.stop()
   }

@@ -739,6 +739,37 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_replace" -> { (s, dir) =>
+      // ATOMIC REPLACE in the correctness gate: a catalog table built by
+      // CTAS, then CREATE OR REPLACE TABLE AS SELECT swaps in a filtered
+      // + reshaped generation through the StagingTableCatalog path (the
+      // staged write + two-rename swap — a failed query would have left
+      // the first generation intact, spec'd in ReplaceTableSpec). The
+      // final read must equal the oracle recomputing the replacement
+      // SELECT from the raw parquet.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_sqlreplace_stage1/$key/wh") { t =>
+        val cat = s"grepb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .createOrReplaceTempView(s"rep_src_$key")
+        s.sql(s"CREATE TABLE $cat.docs AS SELECT * FROM rep_src_$key")
+        s.sql(s"CREATE OR REPLACE TABLE $cat.docs AS " +
+          s"SELECT doc_id, lang, n_chars * 2 AS n2 FROM rep_src_$key " +
+          "WHERE doc_id % 2 = 0")
+      }
+      val readCat = s"grepr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n2")).cast("long").as("n2sum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
     "q_sql_history" -> { (s, dir) =>
       // COMMIT HISTORY in the correctness gate: orders staged as three
       // single-file appends (keyed residue slices), then `graft_history`
@@ -1660,6 +1691,12 @@ object Functions {
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  1 AS restored
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_replace" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars * 2) AS BIGINT) AS n2sum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE doc_id % 2 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_history" ->

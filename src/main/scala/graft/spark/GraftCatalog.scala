@@ -30,12 +30,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scale note: metadata operations are pure filesystem ops on the table
   * dir — no central metastore round-trips; list/exists price as one
-  * directory listing. Partitioned layouts come from the data path
-  * (`.option("partitionby", ...)` writes or `GraftMaintenance` re-layouts)
-  * — CREATE TABLE PARTITIONED BY is rejected explicitly rather than
-  * silently ignored.
+  * directory listing. Partitioned layouts come from CREATE TABLE ...
+  * PARTITIONED BY (identity columns, recorded in the sidecar and applied
+  * to every INSERT) or from the data path's `.option("partitionby", ...)`
+  * writes.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -91,11 +92,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val nsDir = resolved(namespace.toSeq)
     if (!fs.exists(nsDir)) throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     fs.listStatus(nsDir).filter(_.isDirectory)
+      // dot-prefixed dirs are catalog internals (staged CTAS dirs,
+      // replaced-generation trash), never tables
+      .filter(d => !d.getPath.getName.startsWith("."))
       .filter(d => hasData(d.getPath) || sidecarExists(d.getPath))
       .map(d => Identifier.of(namespace, d.getPath.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean = {
+    healSwap(ident) // finish a crashed REPLACE swap before resolving
     val dir = tableDir(ident)
     fs.exists(dir) && (hasData(dir) || sidecarExists(dir))
   }
@@ -319,6 +324,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val dir = tableDir(ident)
+    val (partCols, sortCols, clusterCols) =
+      initTableDir(dir, schema, partitions, properties)
+    new GraftTable(schema, dir.toString, partitionCols = partCols,
+      sortCols = sortCols, clusterCols = clusterCols)
+  }
+
+  /** Validate the declared layout (partition transforms + sortby/clusterby
+    * TBLPROPERTIES) and write a fresh schema sidecar into `dir` — shared
+    * by CREATE TABLE and the staged CREATE/REPLACE paths, which differ
+    * only in WHERE the directory lives when the sidecar is written. */
+  private def initTableDir(dir: Path, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : (Seq[String], Seq[String], Seq[String]) = {
     val partCols = partitions.toSeq.map { t =>
       require(t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1,
@@ -337,9 +359,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
       c
     }
-    if (tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
-        (ident.namespace() :+ ident.name()).toSeq)
     // DECLARED LAYOUT INTENT: TBLPROPERTIES ('graft.sortby'='a,b') /
     // ('graft.clusterby'='x') persist in the sidecar so EVERY insert —
     // including pure-SQL INSERT INTO, which cannot pass write options —
@@ -354,14 +373,140 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (sortCols ++ clusterCols).foreach(c =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"graft: declared layout column '$c' is not in the table schema"))
-    val dir = tableDir(ident)
     fs.mkdirs(dir)
     val out = fs.create(sidecar(dir), true)
     try out.write(GraftCatalog.renderSidecar(schema, partCols, sortCols,
       clusterCols).getBytes("UTF-8"))
     finally out.close()
-    new GraftTable(schema, dir.toString, partitionCols = partCols,
-      sortCols = sortCols, clusterCols = clusterCols)
+    (partCols, sortCols, clusterCols)
+  }
+
+  // ---- atomic CREATE/REPLACE TABLE AS SELECT (StagingTableCatalog) ----
+  //
+  // Without this, Spark plans REPLACE TABLE AS SELECT as drop-then-create:
+  // the old table is DESTROYED before the query runs, so a failed query
+  // leaves no table at all, and readers see a hole for the whole query
+  // duration. Staged, the query writes into a hidden dot-prefixed sibling
+  // dir (`.t.staged-<uuid>`) through the ordinary write path; only
+  // commitStagedChanges swaps it in — two directory renames guarded by a
+  // SWAP-INTENT marker (`.t.swap`) that doubles as the crash log: any
+  // later catalog resolution that finds the marker FINISHES the swap
+  // (the staged content is complete by commit time, so rolling forward is
+  // always correct), making the two-rename window self-healing instead of
+  // a vanished table. A failed query calls abortStagedChanges, which just
+  // deletes the staging dir — the old table was never touched.
+  //
+  // REPLACE is a new table GENERATION: the old directory (its manifests,
+  // version log, dv sidecars) is discarded wholesale, like DROP + CREATE
+  // — version history does not carry across a replace (the old
+  // generation's ordinals die with it), which is the honest reading of
+  // "replace" on a directory store. In-flight maintenance on the replaced
+  // generation fails loudly mid-op, exactly as it would across a DROP.
+
+  private def swapIntent(ident: Identifier): Path =
+    new Path(tableDir(ident).getParent, s".${ident.name()}.swap")
+
+  /** Finish a crashed swap if `ident` has a pending intent marker. Hooked
+    * into tableExists (the funnel every resolution passes through) — one
+    * fs.exists per catalog op when no marker is present. */
+  private def healSwap(ident: Identifier): Unit = {
+    val intent = swapIntent(ident)
+    if (!fs.exists(intent)) return
+    val parent = tableDir(ident).getParent
+    GraftTableLock.withLock(fs, parent, conf, s"replace:${ident.name()}") {
+      if (!fs.exists(intent)) return // the committer finished while we waited
+      val in = fs.open(intent)
+      val Array(stagedName, trashName) =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          .split("\n")
+        finally in.close()
+      val staged = new Path(parent, stagedName)
+      val trash = new Path(parent, trashName)
+      val dst = tableDir(ident)
+      if (fs.exists(staged)) { // roll FORWARD: staged content is complete
+        if (fs.exists(dst)) require(fs.rename(dst, trash),
+          s"graft: swap heal failed to retire $dst")
+        require(fs.rename(staged, dst),
+          s"graft: swap heal failed to promote $staged")
+      }
+      fs.delete(intent, false)
+      fs.delete(trash, true)
+    }
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    stage(ident, schema, partitions, properties)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().mkString("."), ident.name())
+    stage(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties)
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val finalDir = tableDir(ident)
+    val stagingDir = new Path(finalDir.getParent,
+      s".${ident.name()}.staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    val (partCols, sortCols, clusterCols) =
+      initTableDir(stagingDir, schema, partitions, properties)
+    val inner = new GraftTable(schema, stagingDir.toString,
+      partitionCols = partCols, sortCols = sortCols, clusterCols = clusterCols)
+    new GraftStagedTable(ident, inner, stagingDir, finalDir)
+  }
+
+  private final class GraftStagedTable(ident: Identifier, inner: GraftTable,
+      stagingDir: Path, finalDir: Path)
+      extends StagedTable with SupportsWrite {
+    override def name(): String = s"graft:$finalDir (staged)"
+    override def schema(): StructType = inner.schema()
+    override def partitioning(): Array[Transform] = inner.partitioning()
+    override def capabilities(): java.util.Set[TableCapability] =
+      inner.capabilities()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      inner.newWriteBuilder(info)
+
+    override def commitStagedChanges(): Unit = {
+      val parent = finalDir.getParent
+      val trash = new Path(parent,
+        s".${ident.name()}.replaced-${java.util.UUID.randomUUID().toString.take(8)}")
+      GraftTableLock.withLock(fs, parent, conf, s"replace:${ident.name()}") {
+        val intent = swapIntent(ident)
+        val tmp = new Path(parent, s"${intent.getName}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"${stagingDir.getName}\n${trash.getName}"
+          .getBytes("UTF-8"))
+        finally out.close()
+        require(fs.rename(tmp, intent),
+          s"graft: failed to publish swap intent $intent")
+        if (fs.exists(finalDir)) require(fs.rename(finalDir, trash),
+          s"graft: replace failed to retire $finalDir")
+        require(fs.rename(stagingDir, finalDir),
+          s"graft: replace failed to promote $stagingDir")
+        fs.delete(intent, false)
+        fs.delete(trash, true)
+      }
+    }
+
+    override def abortStagedChanges(): Unit =
+      fs.delete(stagingDir, true)
   }
 
   /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN` / `RENAME COLUMN` /

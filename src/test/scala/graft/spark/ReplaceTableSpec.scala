@@ -1,0 +1,125 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Atomic CREATE/REPLACE TABLE AS SELECT through StagingTableCatalog.
+  * The point under test is the failure shape: a REPLACE whose query dies
+  * must leave the old table byte-identical (the non-staged fallback plans
+  * drop-then-create — the old table would already be gone), and the
+  * two-rename commit window must self-heal through the swap-intent
+  * marker, never strand a vanished table.
+  */
+class ReplaceTableSpec extends AnyFunSuite {
+  private val wh = "/tmp/graft-test/replace-wh"
+
+  lazy val spark: SparkSession = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.rep", "graft.spark.GraftCatalog")
+      .config("spark.sql.catalog.rep.warehouse", wh)
+      .getOrCreate()
+    s
+  }
+
+  private def fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  private def sum(table: String): Long =
+    spark.sql(s"SELECT CAST(sum(k) AS BIGINT) FROM $table").head.getLong(0)
+
+  test("CREATE OR REPLACE TABLE AS SELECT swaps content and schema atomically") {
+    spark.sql("CREATE TABLE rep.t1 AS SELECT id AS k FROM range(10)")
+    assert(sum("rep.t1") == 45)
+    spark.sql("CREATE OR REPLACE TABLE rep.t1 AS " +
+      "SELECT id AS k, CAST(id AS STRING) AS s FROM range(100, 105)")
+    assert(spark.table("rep.t1").schema.fieldNames.toSeq == Seq("k", "s"),
+      "replace must apply the NEW schema")
+    assert(sum("rep.t1") == (100L until 105L).sum)
+    // no staged/trash/intent leftovers
+    val junk = fs.listStatus(new org.apache.hadoop.fs.Path(wh))
+      .map(_.getPath.getName)
+      .filter(n => n.contains(".staged-") || n.contains(".replaced-") ||
+        n.endsWith(".swap"))
+    assert(junk.isEmpty, junk.mkString(", "))
+  }
+
+  test("a failed REPLACE query leaves the old table untouched") {
+    spark.sql("CREATE TABLE rep.t2 AS SELECT id AS k FROM range(20)")
+    val before = GraftUtil.listDataFiles(s"$wh/t2",
+      spark.sessionState.newHadoopConf())
+      .map(f => (f.getPath.toString, f.getLen)).toSet
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE rep.t2 AS " +
+        "SELECT assert_true(id < 5, 'boom') AS a, id AS k FROM range(10)")
+    }
+    val after = GraftUtil.listDataFiles(s"$wh/t2",
+      spark.sessionState.newHadoopConf())
+      .map(f => (f.getPath.toString, f.getLen)).toSet
+    assert(after == before, "old generation must stay byte-identical")
+    assert(sum("rep.t2") == (0L until 20L).sum)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(wh))
+      .forall(f => !f.getPath.getName.contains(".staged-")),
+      "the failed staging dir must be aborted away")
+  }
+
+  test("REPLACE TABLE without AS SELECT leaves an empty table with the new schema") {
+    spark.sql("CREATE TABLE rep.t3 AS SELECT id AS k FROM range(5)")
+    spark.sql("REPLACE TABLE rep.t3 (a BIGINT, b STRING)")
+    assert(spark.table("rep.t3").schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(spark.table("rep.t3").count() == 0)
+  }
+
+  test("a crashed swap heals forward on the next catalog resolution") {
+    spark.sql("CREATE TABLE rep.t4 AS SELECT id AS k FROM range(10)")
+    // fabricate the crash window: staged dir complete, intent published,
+    // old dir already renamed to trash, promotion rename never ran
+    val parent = new org.apache.hadoop.fs.Path(wh)
+    val staged = new org.apache.hadoop.fs.Path(wh, ".t4.staged-deadbeef")
+    val trash = new org.apache.hadoop.fs.Path(wh, ".t4.replaced-deadbeef")
+    spark.range(500, 510).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(staged.toString)
+    val intent = new org.apache.hadoop.fs.Path(parent, ".t4.swap")
+    val out = fs.create(intent, true)
+    out.write(s"${staged.getName}\n${trash.getName}".getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(new org.apache.hadoop.fs.Path(wh, "t4"), trash))
+    // the table dir is GONE; resolution must finish the swap, not error
+    assert(sum("rep.t4") == (500L until 510L).sum,
+      "heal must roll the staged generation forward")
+    assert(!fs.exists(intent) && !fs.exists(trash) && !fs.exists(staged))
+  }
+
+  test("staged dirs and trash are invisible to listTables") {
+    spark.sql("CREATE TABLE rep.t5 AS SELECT id AS k FROM range(3)")
+    // a plausible mid-CTAS staging sibling with a sidecar inside
+    spark.range(0, 3).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite")
+      .save(s"$wh/.t5.staged-cafebabe")
+    val names = spark.sql("SHOW TABLES IN rep").collect()
+      .map(_.getString(1)).toSet
+    assert(names.contains("t5") && !names.exists(_.contains("staged")),
+      names.mkString(", "))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$wh/.t5.staged-cafebabe"), true)
+  }
+
+  test("CTAS through stageCreate is invisible until commit") {
+    val cat = spark.sessionState.catalogManager.catalog("rep")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "t6")
+    val staged = cat.stageCreate(ident,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))),
+      Array.empty, new java.util.HashMap[String, String]())
+    assert(!cat.tableExists(ident), "staged table must be invisible")
+    staged.commitStagedChanges()
+    assert(cat.tableExists(ident), "committed table must resolve")
+    assert(spark.table("rep.t6").count() == 0)
+  }
+}
