@@ -2037,14 +2037,24 @@ object GraftMaintenance {
               GraftVersionLog.currentGeneration(GraftVersionLog.sync(fs, tableDir))
                 .exists(_.endsWith("-" + insTag)) ||
                 GraftManifest.list(fs, tableDir).exists(_.endsWith("-" + insTag))
-            if (n > 0 && !alreadyAppended) missing.select(schema.fields.map { fld =>
-              insertN.foldRight(lit(null).cast(fld.dataType)) { case (c, acc) =>
-                when(c.condition.getOrElse(lit(true)),
-                  c.assigns.get.find(_._1.equalsIgnoreCase(fld.name)).get._2)
-                  .otherwise(acc)
-              }.as(fld.name)
-            }.toIndexedSeq: _*).write.format("graft").mode("append")
-              .option("manifesttag", insTag).save(dir)
+            if (n > 0 && !alreadyAppended) {
+              val w0 = missing.select(schema.fields.map { fld =>
+                insertN.foldRight(lit(null).cast(fld.dataType)) { case (c, acc) =>
+                  when(c.condition.getOrElse(lit(true)),
+                    c.assigns.get.find(_._1.equalsIgnoreCase(fld.name)).get._2)
+                    .otherwise(acc)
+                }.as(fld.name)
+              }.toIndexedSeq: _*).write.format("graft").mode("append")
+                .option("manifesttag", insTag)
+              // preserve the hive layout (the MOR appends' rule): inserted
+              // rows land in their partition dirs, not at the table root —
+              // a root file strips directory pruning and reads as a MIXED
+              // layout to the catalog's strict partition inference
+              val partCols = files.flatMap(f =>
+                GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+              (if (partCols.nonEmpty) w0.option("partitionby", partCols.mkString(","))
+               else w0).save(dir)
+            }
             n
           }
         }

@@ -58,7 +58,7 @@ class DmlDifferentialSpec extends AnyFunSuite {
     (if (partitioned) w.option("partitionby", "p") else w).save(dir)
 
     for (step <- 0 until 4) {
-      rnd.nextInt(4) match {
+      rnd.nextInt(6) match {
         case 0 => // DELETE WHERE k % m = r — half copy-on-write rewrites,
           // half merge-on-read deletion vectors (same semantics; the DV
           // variant also exercises the masked scan under every later op,
@@ -142,6 +142,42 @@ class DmlDifferentialSpec extends AnyFunSuite {
             spark.createDataFrame(rows).toDF("k", "v", "s", "p")
               .writeTo(identOf(dir)).overwrite(col("k").between(lo, hi))
             model.filterInPlace((k, _) => k < lo || k > hi)
+            rows.foreach { case (k, v, s, p) => model.update(k, (v, s, p)) }
+          }
+        case 4 => // RESTORE: a good 1-row commit pins the version, a junk
+          // "bad load" lands strictly after it, and restore must un-happen
+          // exactly the bad load — mid-sequence, over whatever mix of dv
+          // masks / rewrites / overwrites the earlier steps left behind.
+          // (Batch scenarios only: restore REWRITES history, so the
+          // streaming fuzz's live-stream invariants don't apply to it.)
+          val kGood = 50000L + step
+          val good = Seq((kGood, 7L, s"g$step", s"p${kGood % 3}"))
+          spark.createDataFrame(good).toDF("k", "v", "s", "p")
+            .writeTo(identOf(dir)).append()
+          model.update(kGood, (7L, s"g$step", s"p${kGood % 3}"))
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val v = GraftVersionLog.commits(GraftVersionLog.sync(fs,
+            new org.apache.hadoop.fs.Path(dir))).size.toLong
+          Thread.sleep(5) // the bad load must commit strictly after v
+          val bad = (0 until (1 + rnd.nextInt(5))).map(j =>
+            (60000L + step * 100 + j, rnd.nextInt(1000).toLong,
+              "BAD", s"p${(60000L + step * 100 + j) % 3}"))
+          spark.createDataFrame(bad).toDF("k", "v", "s", "p")
+            .writeTo(identOf(dir)).append()
+          GraftMaintenance.restore(spark, dir, v)
+        case 5 => // ATOMIC REPLACE: CREATE OR REPLACE TABLE AS SELECT
+          // rebuilds the table from the model's own content, reshaped —
+          // a fresh generation (new version log, no sidecars) under the
+          // remaining ops, with the layout declaration carried across
+          val rows = model.toSeq.map { case (k, (v, s, p)) =>
+            (k, v + 7, s"r$step", p) }
+          if (rows.nonEmpty) {
+            spark.createDataFrame(rows).toDF("k", "v", "s", "p")
+              .createOrReplaceTempView(s"dml_rep_src_$seed")
+            val part = if (partitioned) "PARTITIONED BY (p) " else ""
+            spark.sql(s"CREATE OR REPLACE TABLE ${identOf(dir)} $part" +
+              s"AS SELECT * FROM dml_rep_src_$seed")
             rows.foreach { case (k, v, s, p) => model.update(k, (v, s, p)) }
           }
       }

@@ -134,6 +134,29 @@ class RestoreSpec extends AnyFunSuite {
     assert(ks(dir) == (0L until 30L))
   }
 
+  test("crash between file deletion and manifest expiry converges on re-run") {
+    val dir = fresh("crashseam")
+    append(dir, 0, 10); append(dir, 10, 20); append(dir, 20, 30)
+    // fabricate the crash window: restore's step 1 deleted a post-pin data
+    // file but died before step 2 expired its manifest — the listing-keyed
+    // re-run must finish the expiry and land on the same state
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val commits = GraftVersionLog.commits(GraftVersionLog.sync(fs, tableDir))
+    val lastEntries = GraftManifest.read(fs, tableDir, commits.last)
+    lastEntries.foreach { case (name, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir, name), false)
+    }
+    assert(GraftManifest.list(fs, tableDir).contains(commits.last),
+      "staging: the victim's manifest must still be live (the crash window)")
+    val st = GraftMaintenance.restore(spark, dir, 1)
+    assert(ks(dir) == (0L until 10L))
+    assert(!GraftManifest.list(fs, tableDir).contains(commits.last),
+      "re-run must finish the manifest expiry")
+    assert(st.manifestsExpired == 2, st) // both post-pin commits
+  }
+
   test("graft_restore: the same rollback through pure SQL, stat rows back") {
     val dir = fresh("sql")
     append(dir, 0, 10); append(dir, 10, 20)
