@@ -265,13 +265,20 @@ object GraftDv {
   }
 
   /** Drop every sidecar of a retired data file (rewrites/compaction). */
-  def dropFor(fs: FileSystem, tableDir: Path, file: Path): Unit = {
+  def dropFor(fs: FileSystem, tableDir: Path, file: Path): Unit =
+    dropForAll(fs, tableDir, Seq(file))
+
+  /** [[dropFor]] over a whole retired file set with ONE sidecar-dir
+    * listing — the per-file form lists `_graft_dv` each call, which goes
+    * quadratic when an overwrite/restore retires thousands of files. */
+  def dropForAll(fs: FileSystem, tableDir: Path, files: Seq[Path]): Unit = {
+    if (files.isEmpty) return
     val d = dir(tableDir)
     if (!fs.exists(d)) return
-    val ident = identOf(tableDir, file)
+    val idents = files.map(identOf(tableDir, _)).toSet
     fs.listStatus(d).foreach { f =>
       parse(fs, f.getPath) match {
-        case Some((i, _)) if i == ident => fs.delete(f.getPath, false)
+        case Some((i, _)) if idents.contains(i) => fs.delete(f.getPath, false)
         case _ => ()
       }
     }

@@ -146,12 +146,11 @@ object GraftMaintenance {
     GraftVersionLog.sync(fs, tableDir)
     beforeManifests.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false))
-    before.foreach { f =>
-      fs.delete(f.getPath, false)
-      // the rewrite read THROUGH the scan (deletion vectors applied), so
-      // the output is clean — retiring a file retires its DV sidecars
-      GraftDv.dropFor(fs, tableDir, f.getPath)
-    }
+    before.foreach(f => fs.delete(f.getPath, false))
+    // the rewrite read THROUGH the scan (deletion vectors applied), so
+    // the output is clean — retiring the files retires their DV sidecars
+    // (one sidecar-dir listing for the whole snapshot, not one per file)
+    GraftDv.dropForAll(fs, tableDir, before.map(_.getPath))
     val after = GraftUtil.listDataFiles(dir, conf)
     // a compaction that imposed a sorted layout leaves the table
     // whole-file sorted — republish the sort marker (the rewrite's own
@@ -736,10 +735,8 @@ object GraftMaintenance {
               allowEmpty = true, sameCount = false))
           publishChangeFeed(conf, fs, tableDir)
         } else {
-          victims.foreach { f =>
-            fs.delete(f.getPath, false)
-            GraftDv.dropFor(fs, tableDir, f.getPath)
-          }
+          victims.foreach(f => fs.delete(f.getPath, false))
+          GraftDv.dropForAll(fs, tableDir, victims.map(_.getPath))
         }
       }
       healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
@@ -976,6 +973,12 @@ object GraftMaintenance {
     val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
     if (work.isEmpty) return RewriteResult(0, skippedPaths)
     val scratchRoot = scratchRootOf(spec.tag)
+    // retired originals' DV sidecars drop in ONE batched listing after the
+    // join (per-file dropFor listed `_graft_dv` once per task — quadratic
+    // on broad matches); sidecars of an already-deleted file are inert to
+    // scans in the interim, and vacuum sweeps them if we crash first
+    val retiredForDv = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.hadoop.fs.Path]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, work.size)))
     val tasks = work.map { f =>
@@ -1023,7 +1026,7 @@ object GraftMaintenance {
           // output and retiring the original — the output is live (and
           // was counted when this pass probed), so just retire
           fs.delete(f.getPath, false)
-          GraftDv.dropFor(fs, tableDir, f.getPath)
+          retiredForDv.add(f.getPath)
           rewrittenN.incrementAndGet()
         } else {
           val scratch = new org.apache.hadoop.fs.Path(
@@ -1059,7 +1062,7 @@ object GraftMaintenance {
           fs.delete(f.getPath, false)
           // the rewrite's read applied any deletion vector, so the output
           // is clean — the retired original's sidecars go with it
-          GraftDv.dropFor(fs, tableDir, f.getPath)
+          retiredForDv.add(f.getPath)
           rewrittenN.incrementAndGet()
         }
       }})
@@ -1077,6 +1080,8 @@ object GraftMaintenance {
       pool.shutdown()
       pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
     }
+    GraftDv.dropForAll(fs, tableDir,
+      retiredForDv.toArray(Array.empty[org.apache.hadoop.fs.Path]).toSeq)
     // best-effort scratch cleanup (a crash mid-write can orphan a dir) —
     // only the rewrite subdirs: merge keeps its materialized SOURCE under
     // the same root and still needs it for the insert pass
@@ -2429,10 +2434,8 @@ object GraftMaintenance {
       val eff = GraftManifest.effectiveTimes(fs, tableDir, listed)
       val victims = listed.filter(f =>
         eff.get(f.getPath.toString).exists(_ > t))
-      victims.foreach { f =>
-        fs.delete(f.getPath, false)
-        GraftDv.dropFor(fs, tableDir, f.getPath)
-      }
+      victims.foreach(f => fs.delete(f.getPath, false))
+      GraftDv.dropForAll(fs, tableDir, victims.map(_.getPath))
       // 2. post-pin manifests: commit manifests, markers, and replacements
       //    of post-pin commits all carry a post-pin embedded time;
       //    catch-up re-lists are coverage of pre-manifest history, kept.
