@@ -793,6 +793,54 @@ object Functions {
           s"graft_history('$stage') ORDER BY version")
     },
 
+    "q_sql_cdc_apply" -> { (s, dir) =>
+      // the CDC CONSUMER as pure SQL: a source table takes a
+      // changelog-enabled takedown, and graft_apply_changes syncs a fresh
+      // keyed target from the (0, max] window — inserts from the source's
+      // own commits, deletes from the feed, one statement. The target
+      // must equal the source's current state, which the oracle expresses
+      // directly over the raw parquet.
+      val stage = stagedOnce(
+          s"/tmp/graft_sqlapply_stage1/${stageKey(s, dir, "documents")}/root") { t =>
+        graft.spark.GraftExtensions.ensure(s)
+        val src = s"$t/src"; val tgt = s"$t/tgt"
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.format("graft").option("maxrowsperfile", "5000")
+          .mode("overwrite").save(src)
+        graft.spark.GraftMaintenance.deleteWhere(s, src,
+          col("doc_id") % 7 === 3, changelog = true)
+        s.sql(s"SELECT * FROM graft_apply_changes('$src', 0, " +
+          s"${Long.MaxValue}L, '$tgt', 'doc_id')").collect()
+      }
+      s.read.format("graft").load(s"$stage/tgt")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
+    "q_sql_dv" -> { (s, dir) =>
+      // DELETION-VECTOR INTROSPECTION in the gate: a versioned dv delete
+      // masks a known slice, and graft_dv's CURRENT generations must
+      // account for exactly that slice's cardinality — the sidecar
+      // bookkeeping audited against a data-derived count.
+      val stage = stagedOnce(
+          s"/tmp/graft_sqldv_stage1/${stageKey(s, dir, "documents")}/docs") { t =>
+        graft.spark.GraftExtensions.ensure(s)
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.format("graft").option("maxrowsperfile", "5000")
+          .mode("overwrite").save(t)
+        graft.spark.GraftMaintenance.deleteWhereDv(s, t,
+          col("doc_id") % 9 === 2, takedown = false)
+      }
+      graft.spark.GraftExtensions.ensure(s)
+      s.sql(s"SELECT posture, CAST(sum(cardinality) AS BIGINT) AS masked " +
+        s"FROM graft_dv('$stage') WHERE current GROUP BY posture")
+    },
+
     "q_sorted_topn" -> { (s, dir) =>
       // TOP-N pushdown in the correctness gate: orders staged sorted on
       // (o_totalprice, o_orderkey) — the write publishes the sort marker
@@ -1709,6 +1757,15 @@ object Functions {
         |SELECT CAST(3 AS BIGINT), CAST(1 AS BIGINT),
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2)
         |ORDER BY version""".stripMargin,
+    "q_sql_cdc_apply" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 7 <> 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_dv" ->
+      """SELECT 'versioned' AS posture, count(*) AS masked
+        |FROM documents WHERE doc_id % 9 = 2""".stripMargin,
     "q_sorted_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 25""".stripMargin,

@@ -313,5 +313,29 @@ object GraftExtensions {
     registerCall("graft_restore", "restore",
       { case Seq(_, v) => (Nil, Seq(litLong(v, "graft_restore"))) },
       "(path STRING, version LONG)")
+    // the CDC CONSUMER loop as SQL (graft_changes is the producer half):
+    // sync a keyed derived table from a source's change window — the
+    // whole subscribe-to-takedowns pipeline now runs without a library
+    // call, idempotent per (source, window, target) exactly like the
+    // library form
+    registerCall("graft_apply_changes", "apply_changes",
+      { case Seq(_, since, asof, tgt, key) =>
+        (Seq(litStr(tgt, "graft_apply_changes"),
+          litStr(key, "graft_apply_changes")),
+          Seq(litLong(since, "graft_apply_changes"),
+            litLong(asof, "graft_apply_changes"))) },
+      "(srcPath STRING, sinceMillis LONG, asofMillis LONG, " +
+        "targetPath STRING, keyCol STRING)")
+    // graft_dv(path): deletion-vector sidecar introspection — one row per
+    // generation (ident, gen, publish time, posture, cardinality, current)
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_dv"),
+      new ExpressionInfo("graft.spark.GraftIntrospect", "graft_dv"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_dv takes (path STRING)")
+        val invoking = SparkSession.getActiveSession.getOrElse(s)
+        GraftIntrospect.dv(invoking, litStr(exprs.head, "graft_dv"))
+          .queryExecution.logical
+      })
   }
 }

@@ -157,6 +157,33 @@ object GraftIntrospect {
       "files", "bytes", "rows")
   }
 
+  /** One row per deletion-vector sidecar GENERATION: ident (the masked
+    * data file's injective name), gen, publish time, posture
+    * ('takedown' | 'versioned'), bitmap cardinality, and whether this
+    * generation is the CURRENT one (what an unpinned scan applies).
+    * Retained older versioned generations — the `asof` reproducibility
+    * history — appear with current = false. Cost: one sidecar-dir
+    * listing + one bitmap read per generation.
+    */
+  def dv(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    val all = GraftDv.listAll(fs, tableDir)
+    val currentPath = GraftDv.list(fs, tableDir)
+      .map { case (ident, (_, p)) => ident -> p }
+    val rows = all.toSeq.sortBy(_._1).flatMap { case (ident, es) =>
+      es.map { e =>
+        (ident, e.gen, e.timeMs,
+          if (e.takedown) "takedown" else "versioned",
+          GraftDv.cardinality(fs, e.path),
+          currentPath.get(ident).contains(e.path))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("ident", "gen", "time_ms", "posture", "cardinality", "current")
+  }
+
   /** One row per column: the footer KMV distinct-count estimate
     * ([[GraftNdv.estimate]] as a frame — col_name, k, n_hashes, kth_hash,
     * estimate). */

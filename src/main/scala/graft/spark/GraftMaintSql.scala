@@ -79,6 +79,12 @@ final case class GraftMaintenanceExec(call: GraftMaintenanceCall)
         val n = GraftMaintenance.expireManifests(spark, call.path,
           call.longArgs.head)
         Seq("manifests_removed" -> n.toLong)
+      case "apply_changes" =>
+        val (appended, deleteKeys) = GraftCdc.applyChangesBetween(spark,
+          call.path, call.longArgs.head, call.longArgs(1),
+          call.strArgs.head, call.strArgs(1))
+        Seq("rows_appended" -> appended,
+          "delete_keys_applied" -> deleteKeys)
       case "restore" =>
         val st = GraftMaintenance.restore(spark, call.path,
           call.longArgs.head)

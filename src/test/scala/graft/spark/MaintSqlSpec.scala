@@ -95,6 +95,45 @@ class MaintSqlSpec extends AnyFunSuite {
       "expiry touches snapshot granularity, never data")
   }
 
+  test("graft_apply_changes syncs a keyed derived table through pure SQL") {
+    val src = fresh("applysrc"); val tgt = fresh("applytgt")
+    spark.range(0, 200).selectExpr("id AS k", "id * 3 AS v").coalesce(2)
+      .write.format("graft").mode("overwrite").save(src)
+    GraftMaintenance.deleteWhere(spark, src, col("k") % 5 === 1,
+      changelog = true)
+    val stats = spark.sql(s"SELECT * FROM graft_apply_changes('$src', 0, " +
+      s"${Long.MaxValue}L, '$tgt', 'k')")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(stats("rows_appended") == 160, stats)
+    val got = spark.read.format("graft").load(tgt)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 200L).filterNot(_ % 5 == 1))
+    // idempotent: replaying the same window is recognized and a no-op
+    val replay = spark.sql(s"SELECT * FROM graft_apply_changes('$src', 0, " +
+      s"${Long.MaxValue}L, '$tgt', 'k')")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(replay("rows_appended") == 0 && replay("delete_keys_applied") == 0,
+      replay)
+  }
+
+  test("graft_dv lists sidecar generations with postures and currency") {
+    val dir = fresh("dvlist")
+    spark.range(0, 100).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") < 10,
+      takedown = false)
+    Thread.sleep(5)
+    GraftMaintenance.deleteWhereDv(spark, dir, col("k") >= 90,
+      takedown = false)
+    val rows = spark.sql(s"SELECT gen, posture, cardinality, current " +
+      s"FROM graft_dv('$dir') ORDER BY gen").collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    assert(rows.forall(_.getString(1) == "versioned"))
+    // cumulative: gen 1 masks 10, gen 2 masks 20; only gen 2 is current
+    assert(rows.map(r => (r.getInt(0), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1, 10L, false), (2, 20L, true)), rows.mkString("; "))
+  }
+
   test("a SQL-only user folds deletion vectors away through graft_compact") {
     val dir = fresh("dvfold")
     spark.conf.set("spark.sql.catalog.gms", "graft.spark.GraftCatalog")
