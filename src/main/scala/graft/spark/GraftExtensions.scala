@@ -313,6 +313,10 @@ object GraftExtensions {
     registerCall("graft_restore", "restore",
       { case Seq(_, v) => (Nil, Seq(litLong(v, "graft_restore"))) },
       "(path STRING, version LONG)")
+    registerCall("graft_vacuum_staged", "vacuum_staged",
+      { case Seq(_, cutoff) =>
+        (Nil, Seq(litLong(cutoff, "graft_vacuum_staged"))) },
+      "(warehousePath STRING, olderThanMs LONG)")
     // the CDC CONSUMER loop as SQL (graft_changes is the producer half):
     // sync a keyed derived table from a source's change window — the
     // whole subscribe-to-takedowns pipeline now runs without a library

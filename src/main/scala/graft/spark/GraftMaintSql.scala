@@ -9,11 +9,13 @@ import org.apache.spark.sql.types.{LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** CALL-style SQL surface for the table-lifecycle ops: `graft_compact`,
-  * `graft_zorder`, `graft_vacuum`, `graft_expire_manifests` as table
-  * functions (the Delta/Iceberg OPTIMIZE/VACUUM/CALL audience —
-  * a pure-SQL user of [[GraftCatalog]] could not run lifecycle ops at
-  * all before this). Each returns generic `(op, metric, value)` stat
-  * rows mirroring the library stats case classes.
+  * `graft_zorder`, `graft_vacuum`, `graft_vacuum_staged`,
+  * `graft_expire_manifests`, `graft_restore`, and the CDC consumer
+  * `graft_apply_changes` as table functions (the Delta/Iceberg
+  * OPTIMIZE/VACUUM/CALL audience — a pure-SQL user of [[GraftCatalog]]
+  * could not run lifecycle ops at all before this). Each returns generic
+  * `(op, metric, value)` stat rows mirroring the library stats case
+  * classes.
   *
   * The side effect runs at EXECUTION time, not analysis: the function
   * expands to a [[GraftMaintenanceCall]] leaf plan that
@@ -79,6 +81,11 @@ final case class GraftMaintenanceExec(call: GraftMaintenanceCall)
         val n = GraftMaintenance.expireManifests(spark, call.path,
           call.longArgs.head)
         Seq("manifests_removed" -> n.toLong)
+      case "vacuum_staged" =>
+        val (dirs, bytes) = GraftMaintenance.vacuumStaged(spark, call.path,
+          call.longArgs.head)
+        Seq("staged_dirs_removed" -> dirs.toLong,
+          "bytes_reclaimed" -> bytes)
       case "apply_changes" =>
         val (appended, deleteKeys) = GraftCdc.applyChangesBetween(spark,
           call.path, call.longArgs.head, call.longArgs(1),

@@ -2355,6 +2355,53 @@ object GraftMaintenance {
     compactImpl(spark, dir, targetFiles, Map.empty, () => (), zSort = Some(z))
   }
 
+  /** Garbage-collect CRASHED staged-CTAS leftovers under a warehouse/
+    * namespace dir: `.t.staged-*` dirs whose driver died before
+    * commitStagedChanges or abortStagedChanges ran (nothing else ever
+    * references them — commit renames the dir away, abort deletes it),
+    * plus `.t.replaced-*` trash a crashed commit left behind. Liveness is
+    * judged by the NEWEST modification time anywhere inside the dir (a
+    * live CTAS keeps committing task files), compared against the
+    * explicit `olderThanMs` epoch cutoff — same contract as [[vacuum]]:
+    * pick a cutoff older than any write that could still be in flight.
+    * Pending `.t.swap` intents are NOT touched (healSwap owns them — they
+    * mark a commit to roll FORWARD, not junk). Returns (dirs removed,
+    * bytes reclaimed).
+    */
+  def vacuumStaged(spark: SparkSession, warehouseDir: String,
+      olderThanMs: Long, dryRun: Boolean = false): (Int, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(warehouseDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return (0, 0L)
+    val StagedPat = raw"\..+\.(?:staged|replaced)-[0-9a-f]+".r
+    var removed = 0; var bytes = 0L
+    def newestWithin(d: org.apache.hadoop.fs.Path): Long = {
+      var newest = fs.getFileStatus(d).getModificationTime
+      fs.listStatus(d).foreach { f =>
+        newest = math.max(newest,
+          if (f.isDirectory) newestWithin(f.getPath) else f.getModificationTime)
+      }
+      newest
+    }
+    def sizeOf(d: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(d).map(f =>
+        if (f.isDirectory) sizeOf(f.getPath) else f.getLen).sum
+    def sweep(ns: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(ns).filter(_.isDirectory).foreach { d =>
+        val n = d.getPath.getName
+        if (StagedPat.matches(n)) {
+          if (newestWithin(d.getPath) < olderThanMs) {
+            bytes += sizeOf(d.getPath)
+            removed += 1
+            if (!dryRun) fs.delete(d.getPath, true)
+          }
+        } else if (!n.startsWith(".")) sweep(d.getPath) // nested namespaces
+      }
+    sweep(root)
+    (removed, bytes)
+  }
+
   /** Result of a [[restore]]: what was rolled back. */
   final case class RestoreStats(version: Long, filesRemoved: Int,
       manifestsExpired: Int, dvGenerationsRemoved: Int,

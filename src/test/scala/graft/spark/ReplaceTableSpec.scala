@@ -107,6 +107,36 @@ class ReplaceTableSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$wh/.t5.staged-cafebabe"), true)
   }
 
+  test("graft_vacuum_staged sweeps crashed CTAS staging, keeps live dirs") {
+    spark.sql("CREATE TABLE rep.t7 AS SELECT id AS k FROM range(4)")
+    GraftExtensions.ensure(spark)
+    // a crashed CTAS's staging (driver died before commit/abort) + trash
+    val dead = new org.apache.hadoop.fs.Path(wh, ".t7.staged-0ddba11")
+    spark.range(0, 5).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dead.toString)
+    val trash = new org.apache.hadoop.fs.Path(wh, ".t7.replaced-0ddba11")
+    fs.mkdirs(trash)
+    val fresh = new org.apache.hadoop.fs.Path(wh, ".t7.staged-f4e5h000")
+    spark.range(0, 5).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(fresh.toString)
+    // age the dead ones past the cutoff; the fresh one stays young
+    def ageAll(d: org.apache.hadoop.fs.Path): Unit = {
+      fs.setTimes(d, 1000L, 1000L)
+      fs.listStatus(d).foreach(f =>
+        if (f.isDirectory) ageAll(f.getPath)
+        else fs.setTimes(f.getPath, 1000L, 1000L))
+    }
+    ageAll(dead); ageAll(trash)
+    val stats = spark.sql(s"SELECT * FROM graft_vacuum_staged('$wh', " +
+      s"${System.currentTimeMillis() - 60000})")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(stats("staged_dirs_removed") == 2, stats)
+    assert(!fs.exists(dead) && !fs.exists(trash), "aged junk must go")
+    assert(fs.exists(fresh), "a live staging dir must survive")
+    assert(sum("rep.t7") == 6, "live tables untouched")
+    fs.delete(fresh, true)
+  }
+
   test("CTAS through stageCreate is invisible until commit") {
     val cat = spark.sessionState.catalogManager.catalog("rep")
       .asInstanceOf[GraftCatalog]
