@@ -821,6 +821,42 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_drop_partition" -> { (s, dir) =>
+      // PARTITION MANAGEMENT in the gate: a lang-partitioned catalog
+      // table loses one partition through ALTER TABLE DROP PARTITION —
+      // whole-partition retirement via the dynamic-overwrite scaffold,
+      // untouched partitions byte-identical (spec'd) — and the surviving
+      // content must match the oracle's lang filter exactly; the
+      // remaining SHOW PARTITIONS count folds in as a pinned invariant.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_sqldroppart_stage1/$key/wh") { t =>
+        val cat = s"gdpb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .createOrReplaceTempView(s"dp_src_$key")
+        s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, n_chars BIGINT, " +
+          "lang STRING) PARTITIONED BY (lang)")
+        s.sql(s"INSERT INTO $cat.docs SELECT * FROM dp_src_$key")
+        s.sql(s"ALTER TABLE $cat.docs DROP PARTITION (lang = 'de')")
+        val n = s.sql(s"SHOW PARTITIONS $cat.docs").count()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_PARTS"), n.toString)
+      }
+      val parts = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_PARTS")).trim.toInt
+      val readCat = s"gdpr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .withColumn("parts_left", lit(parts.toLong))
+        .orderBy(col("lang"))
+    },
+
     "q_sql_dv" -> { (s, dir) =>
       // DELETION-VECTOR INTROSPECTION in the gate: a versioned dv delete
       // masks a known slice, and graft_dv's CURRENT generations must
@@ -1762,6 +1798,13 @@ object Functions {
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE doc_id % 7 <> 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_drop_partition" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  (SELECT count(DISTINCT lang) FROM documents WHERE lang <> 'de')
+        |    AS parts_left
+        |FROM documents WHERE lang <> 'de'
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_dv" ->
       """SELECT 'versioned' AS posture, count(*) AS masked

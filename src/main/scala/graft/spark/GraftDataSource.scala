@@ -159,7 +159,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     private val sortCols: Seq[String] = Seq.empty,
     private val clusterCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   override def name(): String = s"graft:$path"
 
   /** `_graft_ordinal`: the row's file-physical ordinal, synthesized by the
@@ -233,6 +234,147 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     else GraftMaintenance.deleteWhere(spark, path, pred,
       schemaOverride = Some(tableSchema))
   }
+  // ---- SQL partition management (SHOW PARTITIONS / ADD / DROP /
+  // TRUNCATE PARTITION): the hive directory layout IS the partition
+  // store, so listing walks dirs, ADD is a mkdir, and DROP/TRUNCATE are
+  // whole-partition retirement through the dynamic-overwrite machinery —
+  // O(partition files) filesystem ops, no probe scan. At 100 TB "drop
+  // yesterday's bad load" must never be a table-wide rewrite.
+
+  override def partitionSchema(): StructType =
+    StructType(partitionCols.map(c => tableSchema(tableSchema.fieldIndex(c))))
+
+  private def partValue(dt: org.apache.spark.sql.types.DataType, raw: String): Any =
+    dt match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+      case org.apache.spark.sql.types.LongType => raw.toLong
+      case org.apache.spark.sql.types.IntegerType => raw.toInt
+      case org.apache.spark.sql.types.ShortType => raw.toShort
+      case org.apache.spark.sql.types.ByteType => raw.toByte
+      case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+      case other => throw new UnsupportedOperationException(
+        s"graft: unsupported partition value type $other")
+    }
+
+  private def partRender(dt: org.apache.spark.sql.types.DataType, v: Any): String =
+    String.valueOf(v)
+
+  /** All partition directory value-combos, walked from the layout (data-
+    * bearing AND empty — an ADD PARTITION mkdir counts, hive parity). */
+  private def partitionCombos(): Seq[Seq[String]] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (partitionCols.isEmpty || !fs.exists(root)) return Seq.empty
+    def walk(d: Path, depth: Int): Seq[Seq[String]] =
+      if (depth == partitionCols.length) Seq(Seq.empty)
+      else fs.listStatus(d).toSeq
+        .filter(f => f.isDirectory &&
+          f.getPath.getName.startsWith(partitionCols(depth) + "="))
+        .flatMap { f =>
+          val v = f.getPath.getName.substring(partitionCols(depth).length + 1)
+          walk(f.getPath, depth + 1).map(v +: _)
+        }
+    walk(root, 0)
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    require(names.length == ident.numFields,
+      s"graft: ${names.length} partition names but ${ident.numFields} values")
+    val ps = partitionSchema()
+    val wanted: Seq[(Int, String)] = names.toSeq.map { n =>
+      val i = partitionCols.indexWhere(_.equalsIgnoreCase(n))
+      require(i >= 0, s"graft: '$n' is not a partition column of $partitionCols")
+      i -> partRender(ps.fields(i).dataType,
+        ident.get(names.indexOf(n), ps.fields(i).dataType))
+    }
+    partitionCombos()
+      .filter(combo => wanted.forall { case (i, v) => combo(i) == v })
+      .map { combo =>
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          combo.zipWithIndex.map { case (raw, i) =>
+            partValue(ps.fields(i).dataType, raw) })
+      }.toArray
+  }
+
+  private def partitionDirOf(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Path = {
+    val ps = partitionSchema()
+    require(ident.numFields == ps.length,
+      s"graft: partition spec must bind all of $partitionCols")
+    partitionCols.indices.foldLeft(new Path(path)) { (d, i) =>
+      new Path(d, s"${partitionCols(i)}=" +
+        partRender(ps.fields(i).dataType, ident.get(i, ps.fields(i).dataType)))
+    }
+  }
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit = {
+    val spark = SparkSession.active
+    val d = partitionDirOf(ident)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(d))
+      throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+        name(), ident, partitionSchema())
+    fs.mkdirs(d)
+  }
+
+  /** DROP PARTITION: whole-file retirement of the partition's files
+    * (manifests healed, dv sidecars dropped — the dynamic-overwrite
+    * scaffold), then the empty dir goes. Returns false when the
+    * partition never existed. */
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val d = partitionDirOf(ident)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return false
+    retirePartitionFiles(spark, conf, d)
+    fs.delete(d, true)
+    true
+  }
+
+  /** TRUNCATE TABLE ... PARTITION (...): same retirement, dir kept. */
+  override def truncatePartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val d = partitionDirOf(ident)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        name(), ident, partitionSchema())
+    retirePartitionFiles(spark, conf, d)
+    true
+  }
+
+  private def retirePartitionFiles(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration, d: Path): Unit = {
+    val fs = d.getFileSystem(conf)
+    val prefix = fs.makeQualified(d).toString + "/"
+    val victims = GraftUtil.listDataFiles(path, conf)
+      .map(f => f.getPath.toString).filter(_.startsWith(prefix)).toSet
+    if (victims.nonEmpty)
+      GraftMaintenance.overwriteRetire(spark, path, victims,
+        changelog = false,
+        opHash = GraftManifest.md5Hex(s"droppart:$prefix", 4))
+  }
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft: partitions carry no metadata store (the directory IS the partition)")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = {
     val s = new java.util.HashSet[TableCapability]()

@@ -1,0 +1,103 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL partition management over the hive directory layout
+  * (SupportsPartitionManagement): SHOW PARTITIONS walks dirs, ADD
+  * PARTITION is a mkdir, DROP/TRUNCATE PARTITION are whole-partition
+  * retirement through the dynamic-overwrite scaffold — O(partition
+  * files), manifests healed, untouched partitions byte-identical.
+  */
+class PartitionMgmtSpec extends AnyFunSuite {
+  private val wh = "/tmp/graft-test/partmgmt-wh"
+
+  lazy val spark: SparkSession = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.pm", "graft.spark.GraftCatalog")
+      .config("spark.sql.catalog.pm.warehouse", wh)
+      .getOrCreate()
+  }
+
+  private def mkTable(name: String): Unit = {
+    spark.sql(s"CREATE TABLE pm.$name (id BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO pm.$name SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'd1' WHEN id % 3 = 1 THEN 'd2' ELSE 'd3' END " +
+      "FROM range(300)")
+  }
+
+  test("SHOW PARTITIONS lists the hive layout") {
+    mkTable("t1")
+    val parts = spark.sql("SHOW PARTITIONS pm.t1").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("day=d1", "day=d2", "day=d3"), parts)
+    val one = spark.sql("SHOW PARTITIONS pm.t1 PARTITION (day='d2')")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("day=d2"), one)
+  }
+
+  test("ALTER TABLE DROP PARTITION retires exactly that partition") {
+    mkTable("t2")
+    val untouched = GraftUtil.listDataFiles(s"$wh/t2",
+      spark.sessionState.newHadoopConf())
+      .filter(!_.getPath.toString.contains("day=d1"))
+      .map(f => (f.getPath.toString, f.getLen)).toSet
+    spark.sql("ALTER TABLE pm.t2 DROP PARTITION (day='d1')")
+    val after = GraftUtil.listDataFiles(s"$wh/t2",
+      spark.sessionState.newHadoopConf())
+      .map(f => (f.getPath.toString, f.getLen)).toSet
+    assert(after == untouched, "other partitions must stay byte-identical")
+    assert(spark.sql("SELECT count(*) FROM pm.t2 WHERE day = 'd1'")
+      .head.getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM pm.t2").head.getLong(0) == 200)
+    val parts = spark.sql("SHOW PARTITIONS pm.t2").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("day=d2", "day=d3"), parts)
+  }
+
+  test("ADD PARTITION creates an empty partition dir that lists") {
+    mkTable("t3")
+    spark.sql("ALTER TABLE pm.t3 ADD PARTITION (day='d9')")
+    val parts = spark.sql("SHOW PARTITIONS pm.t3").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(parts.contains("day=d9"), parts)
+    assert(spark.sql("SELECT count(*) FROM pm.t3").head.getLong(0) == 300,
+      "an empty partition adds no rows")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE pm.t3 ADD PARTITION (day='d9')")
+    }
+  }
+
+  test("TRUNCATE TABLE PARTITION empties the slice, keeps the dir") {
+    mkTable("t4")
+    spark.sql("TRUNCATE TABLE pm.t4 PARTITION (day='d3')")
+    assert(spark.sql("SELECT count(*) FROM pm.t4").head.getLong(0) == 200)
+    val parts = spark.sql("SHOW PARTITIONS pm.t4").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("day=d1", "day=d2", "day=d3"),
+      s"truncated partition keeps its dir: $parts")
+  }
+
+  test("a stream over the table never redelivers after a partition drop") {
+    mkTable("t5")
+    val dir = s"$wh/t5"
+    // incremental `since` window cut before the drop: the drop retires
+    // files and heals manifests — the window must not resurrect them
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val t0 = GraftManifest.list(fs, new org.apache.hadoop.fs.Path(dir))
+      .filterNot(GraftManifest.isCatchup).map(GraftManifest.nameT).max
+    Thread.sleep(3)
+    spark.sql("ALTER TABLE pm.t5 DROP PARTITION (day='d2')")
+    val windowRows = spark.read.format("graft")
+      .option("since", t0).load(dir).count()
+    assert(windowRows == 0,
+      s"a drop adds no commits — the since window must be empty, got $windowRows")
+  }
+}
