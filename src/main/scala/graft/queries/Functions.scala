@@ -857,6 +857,47 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_compact_partition" -> { (s, dir) =>
+      // PARTITION-SCOPED COMPACTION in the gate: a lang-partitioned docs
+      // table fragmented by maxrowsperfile, then ONE partition compacted
+      // through graft_compact_partition — the content aggregate must be
+      // bit-identical to the raw parquet and two invariants fold in: the
+      // target partition's file count actually fell, and every other
+      // partition's files are byte-identical (the OPTIMIZE WHERE
+      // contract).
+      val stage = stagedOnce(
+          s"/tmp/graft_sqlcpart_stage2/${stageKey(s, dir, "documents")}/docs") { t =>
+        graft.spark.GraftExtensions.ensure(s)
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.format("graft").option("partitionby", "lang")
+          .option("maxrowsperfile", "50")
+          .mode("overwrite").save(t)
+        val conf = s.sessionState.newHadoopConf()
+        def files(p: String => Boolean): Map[String, Long] =
+          graft.spark.GraftUtil.listDataFiles(t, conf)
+            .filter(f => p(f.getPath.toString))
+            .map(f => f.getPath.toString -> f.getLen).toMap
+        val othersBefore = files(!_.contains("lang=en"))
+        val enBefore = files(_.contains("lang=en")).size
+        s.sql(s"SELECT * FROM graft_compact_partition('$t', 'lang=en', 1)")
+          .collect()
+        val ok = files(!_.contains("lang=en")) == othersBefore &&
+          files(_.contains("lang=en")).size < enBefore
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_CPART"), (if (ok) 1 else 0).toString)
+      }
+      val compacted = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_CPART")).trim.toInt
+      s.read.format("graft").load(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .withColumn("scoped_ok", lit(compacted))
+        .orderBy(col("lang"))
+    },
+
     "q_sql_dv" -> { (s, dir) =>
       // DELETION-VECTOR INTROSPECTION in the gate: a versioned dv delete
       // masks a known slice, and graft_dv's CURRENT generations must
@@ -1806,6 +1847,12 @@ object Functions {
         |    AS parts_left
         |FROM documents WHERE lang <> 'de'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_compact_partition" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  1 AS scoped_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_dv" ->
       """SELECT 'versioned' AS posture, count(*) AS masked
         |FROM documents WHERE doc_id % 9 = 2""".stripMargin,

@@ -313,6 +313,11 @@ object GraftExtensions {
     registerCall("graft_restore", "restore",
       { case Seq(_, v) => (Nil, Seq(litLong(v, "graft_restore"))) },
       "(path STRING, version LONG)")
+    registerCall("graft_compact_partition", "compact_partition",
+      { case Seq(_, spec, n) =>
+        (Seq(litStr(spec, "graft_compact_partition")),
+          Seq(litLong(n, "graft_compact_partition"))) },
+      "(path STRING, partitionSpecCsv STRING, targetFiles LONG)")
     registerCall("graft_vacuum_staged", "vacuum_staged",
       { case Seq(_, cutoff) =>
         (Nil, Seq(litLong(cutoff, "graft_vacuum_staged"))) },

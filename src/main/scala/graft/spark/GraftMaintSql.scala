@@ -81,6 +81,20 @@ final case class GraftMaintenanceExec(call: GraftMaintenanceCall)
         val n = GraftMaintenance.expireManifests(spark, call.path,
           call.longArgs.head)
         Seq("manifests_removed" -> n.toLong)
+      case "compact_partition" =>
+        val spec = call.strArgs.head.split(",").map(_.trim).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"graft: malformed partition spec entry '$kv' " +
+            "(expected col=value[,col=value...])")
+          kv.substring(0, i).trim -> kv.substring(i + 1).trim
+        }.toMap
+        val st = GraftMaintenance.compactPartition(spark, call.path, spec,
+          call.longArgs.head.toInt)
+        Seq("files_before" -> st.filesBefore.toLong,
+          "bytes_before" -> st.bytesBefore,
+          "files_after" -> st.filesAfter.toLong,
+          "bytes_after" -> st.bytesAfter,
+          "rows" -> st.rows)
       case "vacuum_staged" =>
         val (dirs, bytes) = GraftMaintenance.vacuumStaged(spark, call.path,
           call.longArgs.head)

@@ -2355,6 +2355,66 @@ object GraftMaintenance {
     compactImpl(spark, dir, targetFiles, Map.empty, () => (), zSort = Some(z))
   }
 
+  /** PARTITION-SCOPED compaction: compact ONE hive partition's small
+    * files, leaving every other partition byte-identical — the OPTIMIZE
+    * WHERE shape. At 100 TB, whole-table compaction is a rewrite of the
+    * world; the steady-state maintenance loop compacts only the
+    * partitions the last ingest fragmented, each a job bounded by that
+    * partition's bytes.
+    *
+    * Mechanics: the partition's rows are read through the ordinary scan
+    * (deletion vectors applied, so masks FOLD — matching [[compact]]),
+    * appended back into the same partition dirs, and then exactly the
+    * pre-rewrite snapshot of that partition's files is retired through
+    * [[overwriteRetire]] (manifest heal, dv sidecar drops). Crash
+    * contract = [[compact]]'s: a crash mid-retire leaves old+new visible
+    * (duplicates, never loss); the retire is snapshot-scoped, so a
+    * concurrent append into the same partition is never deleted. The
+    * whole-table sort marker clears (an append cannot prove it), like
+    * any partial re-layout.
+    */
+  def compactPartition(spark: SparkSession, dir: String,
+      partition: Map[String, String], targetFiles: Int): CompactStats =
+    locked(spark, dir, "compactPartition") {
+      require(targetFiles >= 1, s"graft: targetFiles must be >= 1, got $targetFiles")
+      require(partition.nonEmpty, "graft: compactPartition needs a partition spec")
+      val conf = spark.sessionState.newHadoopConf()
+      val tableDir = new org.apache.hadoop.fs.Path(dir)
+      val fs = tableDir.getFileSystem(conf)
+      val files = GraftUtil.listDataFiles(dir, conf)
+      require(files.nonEmpty, s"graft: nothing to compact under $dir")
+      val layout = GraftUtil.partitionSegments(tableDir, files.head.getPath).map(_._1)
+      partition.keys.foreach(k => require(layout.exists(_.equalsIgnoreCase(k)),
+        s"graft: '$k' is not a partition column of layout $layout"))
+      val victims = files.filter { f =>
+        val segs = GraftUtil.partitionSegments(tableDir, f.getPath).toMap
+        partition.forall { case (k, v) => segs.get(k).contains(v) }
+      }
+      require(victims.nonEmpty,
+        s"graft: no files under partition $partition of $dir")
+      val bytesBefore = victims.map(_.getLen).sum
+      val df0 = spark.read.format("graft").load(dir)
+      val pred = partition.map { case (k, v) =>
+        org.apache.spark.sql.functions.col(k) ===
+          org.apache.spark.sql.functions.lit(v).cast(df0.schema(k).dataType)
+      }.reduce(_ && _)
+      // partition pruning scopes the scan to the victim files; the append
+      // re-lands the rows in their partition dirs
+      df0.filter(pred).repartition(targetFiles)
+        .write.format("graft").mode("append")
+        .option("partitionby", layout.mkString(",")).save(dir)
+      val st = overwriteRetire(spark, dir, victims.map(_.getPath.toString).toSet,
+        changelog = false,
+        opHash = GraftManifest.md5Hex(
+          s"cpart:${partition.toSeq.sorted.mkString(",")}", 4))
+      val after = GraftUtil.listDataFiles(dir, conf).filter { f =>
+        val segs = GraftUtil.partitionSegments(tableDir, f.getPath).toMap
+        partition.forall { case (k, v) => segs.get(k).contains(v) }
+      }
+      CompactStats(victims.size, bytesBefore, after.size,
+        after.map(_.getLen).sum, st.rowsAfter)
+    }
+
   /** Garbage-collect CRASHED staged-CTAS leftovers under a warehouse/
     * namespace dir: `.t.staged-*` dirs whose driver died before
     * commitStagedChanges or abortStagedChanges ran (nothing else ever

@@ -84,6 +84,56 @@ class PartitionMgmtSpec extends AnyFunSuite {
       s"truncated partition keeps its dir: $parts")
   }
 
+  test("compactPartition compacts one partition, others byte-identical") {
+    spark.sql("CREATE TABLE pm.t6 (id BIGINT, day STRING) PARTITIONED BY (day)")
+    // fragment each partition into many small files
+    (0 until 5).foreach { i =>
+      spark.sql(s"INSERT INTO pm.t6 SELECT id + ${i * 1000}, " +
+        "CASE WHEN id % 2 = 0 THEN 'd1' ELSE 'd2' END FROM range(100)")
+    }
+    val dir = s"$wh/t6"
+    val conf = spark.sessionState.newHadoopConf()
+    def filesIn(p: String): Set[(String, Long)] =
+      GraftUtil.listDataFiles(dir, conf)
+        .filter(_.getPath.toString.contains(s"day=$p"))
+        .map(f => (f.getPath.toString, f.getLen)).toSet
+    val d2Before = filesIn("d2")
+    val sumBefore = spark.sql("SELECT CAST(sum(id) AS BIGINT) FROM pm.t6")
+      .head.getLong(0)
+    val d1Before = filesIn("d1").size
+    assert(d1Before > 1, s"staging must fragment d1, got $d1Before files")
+    GraftExtensions.ensure(spark)
+    val stats = spark.sql(
+      s"SELECT * FROM graft_compact_partition('$dir', 'day=d1', 1)")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(stats("files_before") == d1Before && stats("files_after") == 1, stats)
+    assert(filesIn("d1").size == 1)
+    assert(filesIn("d2") == d2Before, "the other partition must not move")
+    assert(spark.sql("SELECT CAST(sum(id) AS BIGINT) FROM pm.t6")
+      .head.getLong(0) == sumBefore, "content preserved bit-for-bit")
+  }
+
+  test("compactPartition folds deletion vectors for that partition") {
+    spark.sql("CREATE TABLE pm.t8 (id BIGINT, day STRING) PARTITIONED BY (day)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO pm.t8 SELECT id + ${i * 1000}, " +
+        "CASE WHEN id % 2 = 0 THEN 'd1' ELSE 'd2' END FROM range(100)")
+    }
+    val dir = s"$wh/t8"
+    GraftMaintenance.deleteWhereDv(spark,
+      dir, col("id") % 10 === 2, takedown = false)
+    val before = spark.sql("SELECT count(*) FROM pm.t8").head.getLong(0)
+    spark.sql(s"SELECT * FROM graft_compact_partition('$dir', 'day=d1', 1)")
+      .collect()
+    assert(spark.sql("SELECT count(*) FROM pm.t8").head.getLong(0) == before,
+      "masked rows stay masked: the rewrite read through the scan")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val survivingDvIdents = GraftDv.list(fs, new org.apache.hadoop.fs.Path(dir))
+    assert(survivingDvIdents.keys.forall(_.contains("day=d2")),
+      s"d1's sidecars must fold away with its files: ${survivingDvIdents.keys}")
+  }
+
   test("a stream over the table never redelivers after a partition drop") {
     mkTable("t5")
     val dir = s"$wh/t5"
