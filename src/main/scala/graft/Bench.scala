@@ -110,7 +110,7 @@ object Bench {
     "x_delete_where", "x_delete_dv", "x_update_where", "x_zorder_relayout",
     "x_asof_snapshot",
     "x_incremental_scan", "x_spj_join", "x_vacuum", "x_sorted_topn",
-    "x_ndv_stats", "x_compact")
+    "x_ndv_stats", "x_compact", "x_compact_partition")
   // x_cdc_apply / x_merge_upsert are NOT in the per-query headline: at
   // the provided data scales (documents ~50k rows even in the x10
   // staging) their timing reports driver job-sequencing, not the

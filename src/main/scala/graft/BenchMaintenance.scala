@@ -71,6 +71,7 @@ object BenchMaintenance {
       case "x_sorted_topn" => sortedTopNOp(spark, format, dir)
       case "x_ndv_stats" => ndvStatsOp(spark, format, dir)
       case "x_compact" => compactOp(spark, format, dir)
+      case "x_compact_partition" => compactPartitionOp(spark, format, dir)
       case other => sys.error(s"unknown maintenance bench op: $other")
     }
 
@@ -109,6 +110,49 @@ object BenchMaintenance {
       spark.read.parquet(stage).repartition(4).write.mode("overwrite").parquet(tmp)
       fs.delete(new Path(stage), true)
       fs.rename(new Path(tmp), new Path(stage))
+      require(agg(spark.read.parquet(stage)) > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** PARTITION-SCOPED compaction: an 8-day hive-partitioned orders table,
+    * each day drip-fragmented into 8 files; compact ONE day to 1 file.
+    * graft: GraftMaintenance.compactPartition (scan-through rewrite +
+    * snapshot-scoped retire of just that day). parquet: the conventional
+    * per-partition route — read the day's subdir, rewrite to a tmp, swap
+    * the subdir. Both are O(one partition's bytes), so this prices the
+    * scoped machinery; the contrast with x_compact (whole table) is the
+    * 1/N win that makes steady-state maintenance affordable at 100 TB.
+    */
+  private def compactPartitionOp(spark: SparkSession, format: String, dir: String): Double = {
+    import org.apache.hadoop.fs.Path
+    val src = Tables.parquet(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (col("o_orderkey") % 8).cast("string").as("day"))
+      .repartition(8)
+    val stage = s"/tmp/graft_bench_maint/cpart_${format}_${key(dir)}_" +
+      Tables.fingerprint(s"$dir/orders.parquet")
+    rm(stage) // the op mutates the table — re-stage fresh every run
+    def agg(df: DataFrame): Long =
+      df.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    if (format == "graft") {
+      src.write.format("graft").option("partitionby", "day")
+        .mode("overwrite").save(stage)
+      val t0 = System.nanoTime()
+      val st = graft.spark.GraftMaintenance.compactPartition(spark, stage,
+        Map("day" -> "3"), targetFiles = 1)
+      require(st.filesAfter < st.filesBefore, s"x_compact_partition: $st")
+      require(agg(spark.read.format("graft").load(stage)) > 0)
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      src.write.partitionBy("day").mode("overwrite").parquet(stage)
+      val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+      val t0 = System.nanoTime()
+      val sub = s"$stage/day=3"
+      val tmp = s"$stage/.day=3.compacting"
+      spark.read.parquet(sub).repartition(1).write.mode("overwrite").parquet(tmp)
+      fs.delete(new Path(sub), true)
+      fs.rename(new Path(tmp), new Path(sub))
       require(agg(spark.read.parquet(stage)) > 0)
       (System.nanoTime() - t0) / 1e9
     }
