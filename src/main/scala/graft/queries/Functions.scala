@@ -898,6 +898,49 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_constraints" -> { (s, dir) =>
+      // CHECK CONSTRAINTS in the gate: a catalog table declares an
+      // enforced CHECK, a violating INSERT and a violating UPDATE must
+      // both abort atomically (nothing lands — Spark's write-path
+      // enforcement for the INSERT, the rewrite layer's pre-flight
+      // validation for the UPDATE), and the surviving content must match
+      // the oracle recomputing the conforming slice. The two rejections
+      // fold in as pinned invariants.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_sqlck_stage1/$key/wh") { t =>
+        val cat = s"gckb_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .createOrReplaceTempView(s"ck_src_$key")
+        s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+          "n_chars BIGINT, CONSTRAINT chars_ok CHECK (n_chars >= 0))")
+        s.sql(s"INSERT INTO $cat.docs SELECT * FROM ck_src_$key")
+        val insRejected =
+          try { s.sql(s"INSERT INTO $cat.docs VALUES (-1, 'xx', -5)"); 0 }
+          catch { case _: Exception => 1 }
+        val updRejected =
+          try { s.sql(s"UPDATE $cat.docs SET n_chars = -1 WHERE doc_id % 2 = 0"); 0 }
+          catch { case _: Exception => 1 }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_CK"),
+          s"$insRejected$updRejected")
+      }
+      val flags = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_CK")).trim
+      val readCat = s"gckr_$key"
+      s.conf.set(s"spark.sql.catalog.$readCat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$readCat.warehouse", stage)
+      s.table(s"$readCat.docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .withColumn("insert_rejected", lit(flags.substring(0, 1).toInt))
+        .withColumn("update_rejected", lit(flags.substring(1, 2).toInt))
+        .orderBy(col("lang"))
+    },
+
     "q_sql_dv" -> { (s, dir) =>
       // DELETION-VECTOR INTROSPECTION in the gate: a versioned dv delete
       // masks a known slice, and graft_dv's CURRENT generations must
@@ -1852,6 +1895,11 @@ object Functions {
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  1 AS scoped_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_constraints" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  1 AS insert_rejected, 1 AS update_rejected
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_dv" ->
       """SELECT 'versioned' AS posture, count(*) AS masked

@@ -56,11 +56,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ADD COLUMN ... DEFAULT is accepted (metadata-only; the reader serves
   // the default for files predating the column, Spark's own resolution
-  // fills INSERTs that omit it)
+  // fills INSERTs that omit it). CHECK table constraints are accepted
+  // (persisted in the sidecar; Spark's own ResolveTableConstraints
+  // enforces ENFORCED checks on every write through this connector).
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** Path-traversal guard: catalog identifier segments become filesystem
     * path components, so a backquoted segment containing a separator or a
@@ -126,8 +131,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `{"graftTable":2,"partitionCols":[...],"schema":<struct json>}`
     * written when CREATE TABLE declares PARTITIONED BY.
     */
-  private def sidecarContent(
-      dir: Path): (StructType, Seq[String], Seq[String], Seq[String]) = {
+  private def sidecarJson(dir: Path): String = {
     val p =
       if (fs.exists(sidecar(dir))) sidecar(dir)
       else sidecarTmp(dir) match {
@@ -139,9 +143,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case None => sidecar(dir) // open() raises the usual not-found
       }
     val in = fs.open(p)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    GraftCatalog.parseSidecar(json)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
+
+  private def sidecarContent(
+      dir: Path): (StructType, Seq[String], Seq[String], Seq[String]) =
+    GraftCatalog.parseSidecar(sidecarJson(dir))
+
+  /** Declared CHECK constraints (empty when no sidecar / legacy body). */
+  private def checksOf(dir: Path): Seq[GraftCatalog.CheckSpec] =
+    if (sidecarExists(dir)) GraftCatalog.parseChecks(sidecarJson(dir))
+    else Seq.empty
 
   private def sidecarSchema(dir: Path): StructType = sidecarContent(dir)._1
 
@@ -249,7 +261,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else (Seq.empty[String], Seq.empty[String])
     new GraftTable(currentSchema(dir), dir.toString,
       partitionCols = partitionColsOf(dir),
-      sortCols = declaredSort, clusterCols = declaredCluster)
+      sortCols = declaredSort, clusterCols = declaredCluster,
+      checks = checksOf(dir))
   }
 
   /** SQL time travel: `SELECT ... FROM cat.db.t TIMESTAMP AS OF <ts>` —
@@ -323,15 +336,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * partitions present in the incoming data.
     */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    createTableImpl(ident, schema, partitions, properties, Seq.empty)
+
+  /** CREATE TABLE with declared constraints arrives through the TableInfo
+    * overload — the default delegation chain would silently DROP the
+    * constraints on the way to the StructType variant. */
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTableImpl(ident,
+      columnsToSchema(info.columns()),
+      info.partitions(), info.properties(),
+      info.constraints().toSeq.map(GraftCatalog.toCheckSpec))
+
+  /** Column[] -> StructType (the conversion CatalogV2Util keeps private):
+    * name/type/nullability, comment, and DEFAULT metadata under the
+    * standard CURRENT_DEFAULT/EXISTS_DEFAULT keys — identical shape to
+    * what Spark hands the plain StructType createTable. Generated and
+    * identity columns are rejected (nothing evaluates them here). */
+  private def columnsToSchema(cols: Array[Column]): StructType =
+    StructType(cols.toSeq.map { c =>
+      require(c.generationExpression() == null,
+        s"graft: generated column '${c.name()}' is not supported")
+      require(c.identityColumnSpec() == null,
+        s"graft: identity column '${c.name()}' is not supported")
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      if (c.metadataInJSON() != null)
+        mb.withMetadata(
+          org.apache.spark.sql.types.Metadata.fromJson(c.metadataInJSON()))
+      if (c.comment() != null) mb.putString("comment", c.comment())
+      Option(c.defaultValue()).foreach { dv =>
+        Option(dv.getSql).foreach { sql =>
+          mb.putString("CURRENT_DEFAULT", sql)
+          mb.putString("EXISTS_DEFAULT", sql)
+        }
+      }
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+
+  private def createTableImpl(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String],
+      checks: Seq[GraftCatalog.CheckSpec]): Table = {
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
     val dir = tableDir(ident)
     val (partCols, sortCols, clusterCols) =
-      initTableDir(dir, schema, partitions, properties)
+      initTableDir(dir, schema, partitions, properties, checks)
     new GraftTable(schema, dir.toString, partitionCols = partCols,
-      sortCols = sortCols, clusterCols = clusterCols)
+      sortCols = sortCols, clusterCols = clusterCols, checks = checks)
   }
 
   /** Validate the declared layout (partition transforms + sortby/clusterby
@@ -339,7 +392,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * by CREATE TABLE and the staged CREATE/REPLACE paths, which differ
     * only in WHERE the directory lives when the sidecar is written. */
   private def initTableDir(dir: Path, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String])
+      partitions: Array[Transform], properties: java.util.Map[String, String],
+      checks: Seq[GraftCatalog.CheckSpec] = Seq.empty)
       : (Seq[String], Seq[String], Seq[String]) = {
     val partCols = partitions.toSeq.map { t =>
       require(t.name == "identity" && t.references.length == 1 &&
@@ -376,7 +430,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs.mkdirs(dir)
     val out = fs.create(sidecar(dir), true)
     try out.write(GraftCatalog.renderSidecar(schema, partCols, sortCols,
-      clusterCols).getBytes("UTF-8"))
+      clusterCols, checks).getBytes("UTF-8"))
     finally out.close()
     (partCols, sortCols, clusterCols)
   }
@@ -457,16 +511,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: java.util.Map[String, String]): StagedTable =
     stage(ident, schema, partitions, properties)
 
+  // the TableInfo overloads carry declared CONSTRAINTS — the default
+  // delegation chain drops them on the way to the StructType variants
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    stage(ident, columnsToSchema(info.columns()),
+      info.partitions(), info.properties(),
+      info.constraints().toSeq.map(GraftCatalog.toCheckSpec))
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().mkString("."), ident.name())
+    stage(ident, columnsToSchema(info.columns()),
+      info.partitions(), info.properties(),
+      info.constraints().toSeq.map(GraftCatalog.toCheckSpec))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, columnsToSchema(info.columns()),
+      info.partitions(), info.properties(),
+      info.constraints().toSeq.map(GraftCatalog.toCheckSpec))
+
   private def stage(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): StagedTable = {
+      properties: java.util.Map[String, String],
+      checks: Seq[GraftCatalog.CheckSpec] = Seq.empty): StagedTable = {
     val finalDir = tableDir(ident)
     val stagingDir = new Path(finalDir.getParent,
       s".${ident.name()}.staged-${java.util.UUID.randomUUID().toString.take(8)}")
     val (partCols, sortCols, clusterCols) =
-      initTableDir(stagingDir, schema, partitions, properties)
+      initTableDir(stagingDir, schema, partitions, properties, checks)
     val inner = new GraftTable(schema, stagingDir.toString,
-      partitionCols = partCols, sortCols = sortCols, clusterCols = clusterCols)
+      partitionCols = partCols, sortCols = sortCols, clusterCols = clusterCols,
+      checks = checks)
     new GraftStagedTable(ident, inner, stagingDir, finalDir)
   }
 
@@ -475,6 +556,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       extends StagedTable with SupportsWrite {
     override def name(): String = s"graft:$finalDir (staged)"
     override def schema(): StructType = inner.schema()
+    override def constraints():
+        Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      inner.constraints()
     override def partitioning(): Array[Transform] = inner.partitioning()
     override def capabilities(): java.util.Set[TableCapability] =
       inner.capabilities()
@@ -533,6 +617,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace().mkString("."), ident.name())
     val dir = tableDir(ident)
+    // ---- table constraints (ADD/DROP CONSTRAINT): sidecar metadata.
+    // ADD validates the existing rows FIRST (an enforced CHECK that the
+    // table already violates must fail the ALTER, not every later read);
+    // Spark's own ResolveTableConstraints enforces the declared checks on
+    // every subsequent write through this connector.
+    val (constraintChanges, schemaChanges) = changes.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    var checks: Seq[GraftCatalog.CheckSpec] = checksOf(dir)
+    constraintChanges.foreach {
+      case add: TableChange.AddConstraint =>
+        val spec = GraftCatalog.toCheckSpec(add.constraint())
+        require(!checks.exists(_._1.equalsIgnoreCase(spec._1)),
+          s"graft: constraint '${spec._1}' already exists")
+        if (spec._3 && hasData(dir)) {
+          val spark = SparkSession.active
+          val violations = spark.read.format("graft")
+            .schema(currentSchema(dir)).load(dir.toString)
+            .filter(s"NOT (${spec._2})").limit(1).count()
+          require(violations == 0,
+            s"graft: cannot add CHECK constraint '${spec._1}' — existing rows " +
+              s"violate (${spec._2})")
+        }
+        checks = checks :+ spec
+      case drop: TableChange.DropConstraint =>
+        val present = checks.exists(_._1.equalsIgnoreCase(drop.name()))
+        require(present || drop.ifExists(),
+          s"graft: constraint '${drop.name()}' does not exist")
+        checks = checks.filterNot(_._1.equalsIgnoreCase(drop.name()))
+      case _ => ()
+    }
     // DROP/RENAME COLUMN are metadata-only through the column-mapping
     // sidecar (GraftColumnMap): files stay immutable, the mapping re-labels
     // or tombs their physical names. Mutated through the fold below.
@@ -573,7 +689,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "previously dropped or renamed column inside immutable files, and " +
           "reusing it would resurrect those bytes. Pick a different name, or " +
           "migrate via CREATE TABLE ... AS SELECT to rewrite the files")
-    val updated = changes.foldLeft(currentSchema(dir)) { (sch, ch) =>
+    val updated = schemaChanges.foldLeft(currentSchema(dir)) { (sch, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
@@ -781,7 +897,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (sidecarExists(dir)) { val c = sidecarContent(dir); (c._2, c._3, c._4) }
       else (Seq.empty[String], Seq.empty[String], Seq.empty[String])
     val rendered = GraftCatalog.renderSidecar(updated, declaredParts,
-      declaredSort, declaredCluster)
+      declaredSort, declaredCluster, checks)
     val out = fs.create(tmp, true)
     try out.write(rendered.getBytes("UTF-8")) finally out.close()
     fs.delete(sidecar(dir), false)
@@ -815,7 +931,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           f.getModificationTime < cutoff)
         .foreach(f => fs.delete(f.getPath, false))
     }
-    new GraftTable(updated, dir.toString)
+    new GraftTable(updated, dir.toString, checks = checks)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -938,9 +1054,14 @@ object GraftCatalog {
     * legacy bare-StructType json; PARTITIONED BY tables write the v2
     * envelope (the partition layout has no other durable home — footers
     * describe files, not the table). */
+  /** One declared CHECK constraint: (name, predicate SQL, enforced). */
+  type CheckSpec = (String, String, Boolean)
+
   private[spark] def renderSidecar(schema: StructType, partitionCols: Seq[String],
-      sortCols: Seq[String] = Seq.empty, clusterCols: Seq[String] = Seq.empty): String =
-    if (partitionCols.isEmpty && sortCols.isEmpty && clusterCols.isEmpty) schema.json
+      sortCols: Seq[String] = Seq.empty, clusterCols: Seq[String] = Seq.empty,
+      checks: Seq[CheckSpec] = Seq.empty): String =
+    if (partitionCols.isEmpty && sortCols.isEmpty && clusterCols.isEmpty &&
+        checks.isEmpty) schema.json
     else {
       import org.json4s.JsonDSL._
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
@@ -948,8 +1069,43 @@ object GraftCatalog {
           ("partitionCols" -> partitionCols) ~
           ("sortCols" -> sortCols) ~
           ("clusterCols" -> clusterCols) ~
+          ("checks" -> checks.map { case (n, sql, enf) =>
+            ("name" -> n) ~ ("sql" -> sql) ~ ("enforced" -> enf) }) ~
           ("schema" -> org.json4s.jackson.JsonMethods.parse(schema.json))))
     }
+
+  /** Narrow a connector Constraint to the CHECK shape we persist. PK /
+    * FK / UNIQUE are rejected: they are unenforceable promises on a
+    * file-format store, and recording them would feed the optimizer
+    * assumptions nothing guarantees. */
+  private[spark] def toCheckSpec(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : CheckSpec = c match {
+    case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+      require(ck.predicateSql() != null && ck.predicateSql().nonEmpty,
+        s"graft: CHECK constraint '${ck.name()}' carries no predicate SQL")
+      (ck.name(), ck.predicateSql(), ck.enforced())
+    case other => throw new UnsupportedOperationException(
+      s"graft: only CHECK table constraints are supported — '${other.toDDL}' " +
+        "cannot be enforced by a file-format store, and an unenforced " +
+        "uniqueness/key promise would mislead the optimizer")
+  }
+
+  /** Declared CHECK constraints of a sidecar body (empty for legacy). */
+  private[spark] def parseChecks(json: String): Seq[CheckSpec] = {
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    (parsed \ "checks") match {
+      case org.json4s.JArray(vs) => vs.collect {
+        case o: org.json4s.JObject =>
+          val n = (o \ "name") match { case org.json4s.JString(s) => s; case _ => "" }
+          val sql = (o \ "sql") match { case org.json4s.JString(s) => s; case _ => "" }
+          val enf = (o \ "enforced") match {
+            case org.json4s.JBool(b) => b; case _ => true }
+          (n, sql, enf)
+      }.filter(c => c._1.nonEmpty && c._2.nonEmpty)
+      case _ => Seq.empty
+    }
+  }
 
   /** (schema, partitionCols, sortCols, clusterCols). */
   private[spark] def parseSidecar(

@@ -157,7 +157,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     private val tableAsofMs: Option[Long] = None,
     private val partitionCols: Seq[String] = Seq.empty,
     private val sortCols: Seq[String] = Seq.empty,
-    private val clusterCols: Seq[String] = Seq.empty)
+    private val clusterCols: Seq[String] = Seq.empty,
+    private val checks: Seq[(String, String, Boolean)] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
@@ -192,6 +193,11 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
   // table through the maintenance pass by path
   private[spark] def tablePath: String = path
   private[spark] def asofMs: Option[Long] = tableAsofMs
+  /** (name, predicateSql) of the ENFORCED checks — what the SQL DML
+    * rewrites must validate pre-flight (they bypass the v2 write path
+    * where Spark's own constraint enforcement lives). */
+  private[spark] def enforcedCheckSpecs: Seq[(String, String)] =
+    checks.filter(_._3).map(c => (c._1, c._2))
 
   /** SQL `DELETE FROM <catalog table> WHERE <pred>`, routed to
     * `GraftMaintenance.deleteWhere` — the file-scoped row-level purge pass
@@ -374,6 +380,20 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       ident: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Map[String, String] =
     java.util.Collections.emptyMap()
+
+  /** Declared CHECK constraints (sidecar-persisted). Reporting them is
+    * what makes Spark's ResolveTableConstraints enforce ENFORCED checks
+    * on every write through this connector — a violating INSERT/MERGE
+    * row fails the statement at execution. */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    checks.map { case (n, sql, enforced) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(enforced)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = {

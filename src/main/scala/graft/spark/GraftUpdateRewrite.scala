@@ -81,7 +81,7 @@ object GraftUpdateRewrite extends Rule[LogicalPlan] {
       }
       GraftUpdateCommand(t.tablePath, t.schema(), t.asofMs,
         cond.map(c => org.apache.spark.sql.GraftCatalystBridge.column(unresolve(c))),
-        assigns, relationPlan)
+        assigns, relationPlan, t.enforcedCheckSpecs)
   }
 }
 
@@ -183,7 +183,66 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
       else
         GraftMergeCommand(t.tablePath, t.schema(), t.asofMs, m.sourceTable,
           keys.flatten, matchedClauses.flatten, insertClauses.flatten,
-          nmbsClauses.flatten, relationPlan)
+          nmbsClauses.flatten, relationPlan, t.enforcedCheckSpecs)
+  }
+}
+
+/** Pre-flight CHECK-constraint validation for the SQL DML rewrites.
+  *
+  * INSERT/OVERWRITE land through the v2 write path, where Spark's own
+  * ResolveTableConstraints enforces the table's declared checks — but
+  * UPDATE and MERGE are intercepted into the library's file-scoped
+  * rewrite passes, which never pass through a v2 write. So the commands
+  * validate the rows they are ABOUT to land (the same first-true clause
+  * semantics the passes apply) BEFORE any mutation: a violation aborts
+  * the whole statement with nothing changed — atomic, like the write
+  * path's own enforcement. One extra distributed probe job, paid only
+  * when the table actually declares enforced checks.
+  *
+  * SQL CHECK semantics: a NULL predicate result PASSES; only FALSE
+  * violates — hence the `NOT (pred)` filter (NULL stays NULL, filtered).
+  */
+private[spark] object GraftCheckEnforce {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def validate(rows: DataFrame, checks: Seq[(String, String)],
+      stmt: String): Unit =
+    checks.foreach { case (name, sql) =>
+      if (rows.filter(s"NOT ($sql)").limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"graft: $stmt would violate CHECK constraint '$name' ($sql) — " +
+            "the statement was aborted before any change")
+    }
+
+  /** Rows a first-true clause list would LAND (clauses without
+    * assignments are deletes — nothing lands). Assignment maps may be
+    * partial: unassigned fields keep the row's value (`bare = false`,
+    * the UPDATE shape) or become NULL (`bare = true`, the INSERT shape,
+    * where the frame has no target side to keep).
+    */
+  def firstTrueProjection(frame: DataFrame,
+      clauses: Seq[GraftMaintenance.MergeClause],
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      bare: Boolean): DataFrame = {
+    val updIdx = clauses.zipWithIndex.collect {
+      case (c, i) if c.assigns.isDefined => i }
+    if (updIdx.isEmpty) return frame.filter(lit(false))
+      .select(fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val idx = clauses.zipWithIndex.foldRight(lit(-1)) { case ((c, i), acc) =>
+      when(c.condition.getOrElse(lit(true)), lit(i)).otherwise(acc) }
+    frame.withColumn("__g_ci", idx)
+      .filter(col("__g_ci").isin(updIdx.map(Int.box): _*))
+      .select(fields.map { f =>
+        val dflt =
+          if (bare) lit(null).cast(f.dataType) else col(f.name)
+        updIdx.foldRight(dflt) { (i, acc) =>
+          when(col("__g_ci") === i,
+            clauses(i).assigns.get.find(_._1.equalsIgnoreCase(f.name))
+              .map(_._2).getOrElse(dflt))
+            .otherwise(acc)
+        }.as(f.name)
+      }: _*)
   }
 }
 
@@ -197,11 +256,55 @@ final case class GraftMergeCommand(
     matched: Seq[GraftMaintenance.MergeClause],
     notMatchedInsert: Seq[GraftMaintenance.MergeClause],
     notMatchedBySource: Seq[GraftMaintenance.MergeClause],
-    relationPlan: LogicalPlan) extends LeafRunnableCommand {
+    relationPlan: LogicalPlan,
+    enforcedChecks: Seq[(String, String)] = Seq.empty)
+    extends LeafRunnableCommand {
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     require(asofMs.isEmpty, "graft: cannot MERGE into a time-travel snapshot")
     val src = org.apache.spark.sql.GraftCatalystBridge.ofRows(sparkSession, sourcePlan)
+    if (enforcedChecks.nonEmpty) {
+      // validate every row this merge would LAND before anything mutates
+      // (the pass bypasses the v2 write path — see GraftCheckEnforce)
+      import org.apache.spark.sql.functions.col
+      val fields = declaredSchema.fields.toSeq
+      val hasData = GraftUtil.listDataFiles(path,
+        sparkSession.sessionState.newHadoopConf()).nonEmpty
+      val tgt =
+        if (hasData)
+          sparkSession.read.format("graft").schema(declaredSchema).load(path)
+        else sparkSession.createDataFrame(
+          new java.util.ArrayList[Row](), declaredSchema)
+      val pre = GraftMaintenance.SrcPrefix
+      val srcP = src.columns.foldLeft(src)((d, c) =>
+        d.withColumnRenamed(c, pre + c))
+      if (matched.exists(_.assigns.isDefined)) {
+        val joinCond = keys.map { case (t, s) =>
+          col(t) === col(pre + s) }.reduce(_ && _)
+        GraftCheckEnforce.validate(
+          GraftCheckEnforce.firstTrueProjection(
+            tgt.join(srcP, joinCond, "inner"), matched, fields, bare = false),
+          enforcedChecks, "MERGE (matched update)")
+      }
+      if (notMatchedInsert.exists(_.assigns.isDefined)) {
+        val antiCond = keys.map { case (t, s) =>
+          tgt(t) === src(s) }.reduce(_ && _)
+        GraftCheckEnforce.validate(
+          GraftCheckEnforce.firstTrueProjection(
+            src.join(tgt, antiCond, "left_anti"),
+            notMatchedInsert, fields, bare = true),
+          enforcedChecks, "MERGE (not-matched insert)")
+      }
+      if (notMatchedBySource.exists(_.assigns.isDefined)) {
+        val antiCond = keys.map { case (t, s) =>
+          tgt(t) === src(s) }.reduce(_ && _)
+        GraftCheckEnforce.validate(
+          GraftCheckEnforce.firstTrueProjection(
+            tgt.join(src, antiCond, "left_anti"),
+            notMatchedBySource, fields, bare = false),
+          enforcedChecks, "MERGE (not-matched-by-source update)")
+      }
+    }
     // SQL re-run semantics: a per-execution nonce folded into the merge's
     // convergence hash (see GraftOpMarker and GraftUpdateCommand) — without
     // it, re-running an identical MERGE whose source content also matched
@@ -250,7 +353,9 @@ final case class GraftUpdateCommand(
     asofMs: Option[Long],
     cond: Option[org.apache.spark.sql.Column],
     assigns: Seq[(String, org.apache.spark.sql.Column)],
-    relationPlan: LogicalPlan) extends LeafRunnableCommand {
+    relationPlan: LogicalPlan,
+    enforcedChecks: Seq[(String, String)] = Seq.empty)
+    extends LeafRunnableCommand {
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     require(asofMs.isEmpty, "graft: cannot UPDATE a time-travel snapshot")
@@ -258,6 +363,21 @@ final case class GraftUpdateCommand(
     // an empty table (no files yet) likewise — both are SQL successes
     val conf = sparkSession.sessionState.newHadoopConf()
     if (assigns.nonEmpty && GraftUtil.listDataFiles(path, conf).nonEmpty) {
+      if (enforcedChecks.nonEmpty) {
+        // validate the post-update rows BEFORE any rewrite (the pass
+        // bypasses the v2 write path — see GraftCheckEnforce). All
+        // assignment RHS read the PRE-update row (SQL semantics), so the
+        // projection replaces every assigned column simultaneously.
+        import org.apache.spark.sql.functions.col
+        val df = sparkSession.read.format("graft")
+          .schema(declaredSchema).load(path)
+        val matched = cond.map(df.filter).getOrElse(df)
+        val updated = matched.select(declaredSchema.fields.map { f =>
+          assigns.find(_._1.equalsIgnoreCase(f.name)).map(_._2.as(f.name))
+            .getOrElse(col(f.name))
+        }.toIndexedSeq: _*)
+        GraftCheckEnforce.validate(updated, enforcedChecks, "UPDATE")
+      }
       // SQL re-run semantics: each EXECUTION of this statement gets its own
       // nonce (persisted pre-rewrite so a crashed execution still resumes
       // under it) — re-running `SET v = v + 1` applies it again, unlike the
