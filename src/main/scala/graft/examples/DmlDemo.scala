@@ -109,6 +109,25 @@ object DmlDemo {
     val n2 = sql("SELECT count(*) FROM demo.events").head.getLong(0)
     assert(n2 == n1, s"SQL lifecycle pass changed the row count: $n1 -> $n2")
 
+    println("== 9b. partition management + scoped compaction")
+    sql("SHOW PARTITIONS demo.events").show(5, truncate = false)
+    sql(s"SELECT * FROM graft_compact_partition('$dir', 'day=d2', 1)")
+      .show(truncate = false)
+    val nP = sql("SELECT count(*) FROM demo.events").head.getLong(0)
+    sql("ALTER TABLE demo.events DROP PARTITION (day = 'd3')")
+    val nQ = sql("SELECT count(*) FROM demo.events").head.getLong(0)
+    println(s"   rows $nP -> $nQ after dropping d3")
+    assert(sql("SELECT count(*) FROM demo.events WHERE day='d3'")
+      .head.getLong(0) == 0)
+
+    println("== 9c. CHECK constraint (violating write aborts atomically)")
+    sql("ALTER TABLE demo.events ADD CONSTRAINT id_nonneg CHECK (id >= 0)")
+    val rejected =
+      try { sql("INSERT INTO demo.events VALUES (-5, 1, 'd1')"); false }
+      catch { case _: Exception => true }
+    assert(rejected, "a violating insert must abort")
+    println(s"   violating insert rejected: $rejected")
+
     println("== 10. history + restore (a bad load rolled back)")
     sql(s"SELECT version, status, tag, files, `rows` FROM graft_history('$dir') " +
       "ORDER BY version").show(30, truncate = false)
@@ -118,7 +137,7 @@ object DmlDemo {
     sql("INSERT INTO demo.events VALUES (777777, 1, 'd1')") // the "bad load"
     sql(s"SELECT * FROM graft_restore('$dir', $versions)").show(truncate = false)
     val n3 = sql("SELECT count(*) FROM demo.events").head.getLong(0)
-    assert(n3 == n2, s"restore must undo the bad load exactly: $n2 -> $n3")
+    assert(n3 == nQ, s"restore must undo the bad load exactly: $nQ -> $n3")
     assert(sql("SELECT count(*) FROM demo.events WHERE id = 777777")
       .head.getLong(0) == 0, "the bad row must be gone")
     println("DmlDemo: OK")

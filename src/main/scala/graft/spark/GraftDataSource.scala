@@ -381,6 +381,16 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       : java.util.Map[String, String] =
     java.util.Collections.emptyMap()
 
+  /** Surface the declared layout to DESCRIBE TABLE EXTENDED / SHOW
+    * TBLPROPERTIES — read-only introspection of what the sidecar holds
+    * (the write path reads the sidecar itself, never these). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    if (sortCols.nonEmpty) m.put("graft.sortby", sortCols.mkString(","))
+    if (clusterCols.nonEmpty) m.put("graft.clusterby", clusterCols.mkString(","))
+    m
+  }
+
   /** Declared CHECK constraints (sidecar-persisted). Reporting them is
     * what makes Spark's ResolveTableConstraints enforce ENFORCED checks
     * on every write through this connector — a violating INSERT/MERGE
