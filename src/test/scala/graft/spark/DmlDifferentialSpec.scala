@@ -191,11 +191,16 @@ class DmlDifferentialSpec extends AnyFunSuite {
   }
 
   test("random DML sequences match the reference model (flat layout)") {
-    Seq(11L, 23L, 47L).foreach(runScenario(_, partitioned = false))
+    // heavier sweeps opt in via -Dgraft.fuzz.dml.seeds=N
+    val extra = sys.props.get("graft.fuzz.dml.seeds").map(_.toInt).getOrElse(0)
+    (Seq(11L, 23L, 47L) ++ (0 until extra).map(i => 2000L + 31L * i))
+      .foreach(runScenario(_, partitioned = false))
   }
 
   test("random DML sequences match the reference model (hive-partitioned)") {
-    Seq(5L, 83L).foreach(runScenario(_, partitioned = true))
+    val extra = sys.props.get("graft.fuzz.dml.seeds").map(_.toInt).getOrElse(0)
+    (Seq(5L, 83L) ++ (0 until extra).map(i => 3000L + 29L * i))
+      .foreach(runScenario(_, partitioned = true))
   }
 
   // ---- DML x streaming interleavings (round-14, VERDICT r13 #7) ----
