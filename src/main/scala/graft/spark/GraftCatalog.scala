@@ -172,20 +172,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // would otherwise make the reported partitioning — and hence
       // dynamic INSERT OVERWRITE routing — depend on listing order,
       // silently downgrading a partition overwrite to truncate-like
-      // behavior. Mixed layouts fail loudly instead.
-      val layouts = GraftUtil.listDataFiles(dir.toString, conf)
-        .map(f => GraftUtil.partitionSegments(dir, f.getPath).map(_._1))
-        .distinct
-      layouts match {
-        case Seq() => Seq.empty
-        case Seq(one) => one
-        case many => throw new IllegalStateException(
-          s"graft: table at $dir carries a MIXED partition layout (" +
-            many.map(l => if (l.isEmpty) "<unpartitioned>" else l.mkString("/"))
-              .mkString(", ") +
-            ") — declare PARTITIONED BY on the catalog table or repair " +
-            "the directory before partition-aware operations")
-      }
+      // behavior. Mixed layouts fail loudly instead (ONE shared rule:
+      // GraftUtil.layoutOf, also behind compactPartition).
+      GraftUtil.layoutOf(dir,
+        GraftUtil.listDataFiles(dir.toString, conf), strict = true)
     }
   }
 
@@ -256,13 +246,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the active session: a pure-SQL user never calls Tables.load, and the
     // first catalog table resolution is the earliest reliable hook
     GraftExtensions.ensure(org.apache.spark.sql.SparkSession.active)
-    val (declaredSort, declaredCluster) =
-      if (sidecarExists(dir)) { val c = sidecarContent(dir); (c._3, c._4) }
-      else (Seq.empty[String], Seq.empty[String])
+    // ONE sidecar read serves parts/sort/cluster/checks (loadTable runs
+    // on every SQL statement naming the table — each extra read is a
+    // remote round-trip on an object store)
+    val (declaredParts, declaredSort, declaredCluster, checks) =
+      if (sidecarExists(dir)) {
+        val json = sidecarJson(dir)
+        val c = GraftCatalog.parseSidecar(json)
+        (c._2, c._3, c._4, GraftCatalog.parseChecks(json))
+      } else (Seq.empty[String], Seq.empty[String], Seq.empty[String],
+        Seq.empty[GraftCatalog.CheckSpec])
+    val partCols =
+      if (declaredParts.nonEmpty) declaredParts
+      else GraftUtil.layoutOf(dir,
+        GraftUtil.listDataFiles(dir.toString, conf), strict = true)
     new GraftTable(currentSchema(dir), dir.toString,
-      partitionCols = partitionColsOf(dir),
+      partitionCols = partCols,
       sortCols = declaredSort, clusterCols = declaredCluster,
-      checks = checksOf(dir))
+      checks = checks)
   }
 
   /** SQL time travel: `SELECT ... FROM cat.db.t TIMESTAMP AS OF <ts>` —

@@ -99,6 +99,28 @@ object GraftUtil {
     * Values that would collide with the sentinel tokens are %-escaped so the
     * mapping stays injective.
     */
+  /** The hive layout `files` carry, inferred from EVERY file — never the
+    * first listed, whose identity depends on listing order. `strict`
+    * rejects a mixed layout loudly (the catalog rule); lenient callers
+    * (the MOR append paths, which only need "which columns partition")
+    * union the observed keys. */
+  def layoutOf(tableDir: Path, files: Seq[FileStatus],
+      strict: Boolean = false): Seq[String] = {
+    val layouts = files
+      .map(f => partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+    layouts match {
+      case Seq() => Seq.empty
+      case Seq(one) => one
+      case many if strict => throw new IllegalStateException(
+        s"graft: table at $tableDir carries a MIXED partition layout (" +
+          many.map(l => if (l.isEmpty) "<unpartitioned>" else l.mkString("/"))
+            .mkString(", ") +
+          ") — repair the directory (compact with an explicit partitionby) " +
+          "before partition-aware operations")
+      case many => many.flatten.distinct
+    }
+  }
+
   def escapePathValue(v: String): String =
     if (v == null) "__HIVE_DEFAULT_PARTITION__"
     else if (v == "__HIVE_DEFAULT_PARTITION__" || v == "__EMPTY__")
@@ -250,24 +272,32 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
   override def partitionSchema(): StructType =
     StructType(partitionCols.map(c => tableSchema(tableSchema.fieldIndex(c))))
 
-  private def partValue(dt: org.apache.spark.sql.types.DataType, raw: String): Any =
-    dt match {
+  /** LOGICAL partition value (null for the hive default partition) ->
+    * the typed InternalRow field. */
+  private def partValue(dt: org.apache.spark.sql.types.DataType,
+      logical: String): Any =
+    if (logical == null) null
+    else dt match {
       case org.apache.spark.sql.types.StringType =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(raw)
-      case org.apache.spark.sql.types.LongType => raw.toLong
-      case org.apache.spark.sql.types.IntegerType => raw.toInt
-      case org.apache.spark.sql.types.ShortType => raw.toShort
-      case org.apache.spark.sql.types.ByteType => raw.toByte
-      case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+        org.apache.spark.unsafe.types.UTF8String.fromString(logical)
+      case org.apache.spark.sql.types.LongType => logical.toLong
+      case org.apache.spark.sql.types.IntegerType => logical.toInt
+      case org.apache.spark.sql.types.ShortType => logical.toShort
+      case org.apache.spark.sql.types.ByteType => logical.toByte
+      case org.apache.spark.sql.types.BooleanType => logical.toBoolean
       case other => throw new UnsupportedOperationException(
         s"graft: unsupported partition value type $other")
     }
 
-  private def partRender(dt: org.apache.spark.sql.types.DataType, v: Any): String =
-    String.valueOf(v)
+  /** InternalRow field -> LOGICAL value string (null for a null field). */
+  private def partLogical(ident: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int, dt: org.apache.spark.sql.types.DataType): String =
+    if (ident.isNullAt(i)) null else String.valueOf(ident.get(i, dt))
 
-  /** All partition directory value-combos, walked from the layout (data-
-    * bearing AND empty — an ADD PARTITION mkdir counts, hive parity). */
+  /** All partition value-combos as LOGICAL values (dir tokens unescaped
+    * through the write path's own rendering — a value like 'a/b' or a
+    * null partition round-trips), walked from the layout (data-bearing
+    * AND empty — an ADD PARTITION mkdir counts, hive parity). */
   private def partitionCombos(): Seq[Seq[String]] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -279,7 +309,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
         .filter(f => f.isDirectory &&
           f.getPath.getName.startsWith(partitionCols(depth) + "="))
         .flatMap { f =>
-          val v = f.getPath.getName.substring(partitionCols(depth).length + 1)
+          val v = GraftUtil.unescapePathValue(
+            f.getPath.getName.substring(partitionCols(depth).length + 1))
           walk(f.getPath, depth + 1).map(v +: _)
         }
     walk(root, 0)
@@ -291,18 +322,17 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     require(names.length == ident.numFields,
       s"graft: ${names.length} partition names but ${ident.numFields} values")
     val ps = partitionSchema()
-    val wanted: Seq[(Int, String)] = names.toSeq.map { n =>
+    val wanted: Seq[(Int, String)] = names.toSeq.zipWithIndex.map { case (n, j) =>
       val i = partitionCols.indexWhere(_.equalsIgnoreCase(n))
       require(i >= 0, s"graft: '$n' is not a partition column of $partitionCols")
-      i -> partRender(ps.fields(i).dataType,
-        ident.get(names.indexOf(n), ps.fields(i).dataType))
+      i -> partLogical(ident, j, ps.fields(i).dataType)
     }
     partitionCombos()
       .filter(combo => wanted.forall { case (i, v) => combo(i) == v })
       .map { combo =>
         org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-          combo.zipWithIndex.map { case (raw, i) =>
-            partValue(ps.fields(i).dataType, raw) })
+          combo.zipWithIndex.map { case (logical, i) =>
+            partValue(ps.fields(i).dataType, logical) })
       }.toArray
   }
 
@@ -312,8 +342,10 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     require(ident.numFields == ps.length,
       s"graft: partition spec must bind all of $partitionCols")
     partitionCols.indices.foldLeft(new Path(path)) { (d, i) =>
-      new Path(d, s"${partitionCols(i)}=" +
-        partRender(ps.fields(i).dataType, ident.get(i, ps.fields(i).dataType)))
+      // the WRITE path's own escaping: 'a/b', '', and null values name
+      // the same directory the writer laid them out under
+      new Path(d, s"${partitionCols(i)}=" + GraftUtil.escapePathValue(
+        partLogical(ident, i, ps.fields(i).dataType)))
     }
   }
 
@@ -330,8 +362,13 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
 
   /** DROP PARTITION: whole-file retirement of the partition's files
     * (manifests healed, dv sidecars dropped — the dynamic-overwrite
-    * scaffold), then the empty dir goes. Returns false when the
-    * partition never existed. */
+    * scaffold), then the dir goes IF nothing new landed: the retire is
+    * snapshot-scoped, so a concurrent append committing into this
+    * partition between the listing and the cleanup must survive — we
+    * delete leftover staging junk, then remove the dir NON-recursively
+    * (a dir holding a fresh live data file refuses the delete and keeps
+    * the committed rows; never a recursive delete of files the snapshot
+    * did not cover). Returns false when the partition never existed. */
   override def dropPartition(
       ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
     val spark = SparkSession.active
@@ -340,7 +377,14 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     val fs = d.getFileSystem(conf)
     if (!fs.exists(d)) return false
     retirePartitionFiles(spark, conf, d)
-    fs.delete(d, true)
+    val leftover = fs.listStatus(d)
+    val (live, junk) = leftover.partition(f => f.isFile &&
+      f.getPath.getName.endsWith(GraftUtil.Extension) &&
+      !f.getPath.getName.startsWith("."))
+    if (live.isEmpty) {
+      junk.foreach(j => fs.delete(j.getPath, true)) // staging tmps only
+      fs.delete(d, false)
+    }
     true
   }
 

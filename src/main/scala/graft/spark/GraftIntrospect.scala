@@ -106,8 +106,7 @@ object GraftIntrospect {
     val replacementBy = manifests.filter(GraftManifest.isReplacement)
       .groupBy(m => (GraftManifest.nameT(m), GraftManifest.baseSuffix(m)))
       .map { case (k, ms) => k -> ms.max } // newest replacement serves
-    def rowsOf(serving: String): Option[Long] = {
-      val entries = GraftManifest.read(fs, tableDir, serving)
+    def rowsOf(entries: Seq[(String, Long)]): Option[Long] = {
       if (entries.isEmpty) return Some(0L) // zero-entry marker commit
       val statuses = entries.map { case (name, _) =>
         try Some(fs.getFileStatus(new org.apache.hadoop.fs.Path(tableDir, name)))
@@ -145,7 +144,7 @@ object GraftIntrospect {
               val entries = GraftManifest.read(fs, tableDir, m)
               (Some(ordinal), Some(t), Some(m), status, tag,
                 Some(entries.size.toLong), Some(entries.map(_._2).sum),
-                rowsOf(m))
+                rowsOf(entries))
             case None =>
               (Some(ordinal), Some(t), None, "expired", tag,
                 None, None, None)

@@ -504,8 +504,7 @@ object GraftMaintenance {
       }
       assignments.keys.foreach(c => require(table.schema.fieldNames.contains(c),
         s"graft: update column '$c' is not in the table schema"))
-      val partCols = files.flatMap(f =>
-        GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+      val partCols = GraftUtil.layoutOf(tableDir, files)
       assignments.keys.foreach(c => require(!partCols.exists(_.equalsIgnoreCase(c)),
         s"graft: cannot update hive-partition path column '$c' — the row would " +
           "contradict its directory; re-layout via compact instead"))
@@ -1201,8 +1200,7 @@ object GraftMaintenance {
     // partition path columns are OUT: their value lives in the directory
     // name, and an in-place rewrite stays in that directory
     locally {
-      val partCols = files.flatMap(f =>
-        GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+      val partCols = GraftUtil.layoutOf(tableDir, files)
       val hit = norm.map(_._1).filter(c => partCols.exists(_.equalsIgnoreCase(c)))
       require(hit.isEmpty,
         s"graft: updateWhere cannot assign hive-partition path column(s) " +
@@ -1538,8 +1536,7 @@ object GraftMaintenance {
     val allAssignTargets =
       (matchedN ++ nmbsN).flatMap(_.assigns).flatMap(_.keys).distinct
     locally { // partition path columns cannot be reassigned in place
-      val partCols = files.flatMap(f =>
-        GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+      val partCols = GraftUtil.layoutOf(tableDir, files)
       val hit = allAssignTargets.filter(c => partCols.exists(_.equalsIgnoreCase(c)))
       require(hit.isEmpty,
         s"graft: merge cannot assign hive-partition path column(s) ${hit.mkString(", ")}")
@@ -1942,8 +1939,7 @@ object GraftMaintenance {
               val newVersions = matchedSnap.filter(!col("__graft_drop__"))
                 .select(schema.fields.map(fld =>
                   col(newPfx + fld.name).as(fld.name)).toIndexedSeq: _*)
-              val partCols = files.flatMap(f =>
-                GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+              val partCols = GraftUtil.layoutOf(tableDir, files)
               val w0 = newVersions.write.format("graft").mode("append")
                 .option("manifesttag", dvTag)
               (if (partCols.nonEmpty) w0.option("partitionby", partCols.mkString(","))
@@ -2055,8 +2051,7 @@ object GraftMaintenance {
               // rows land in their partition dirs, not at the table root —
               // a root file strips directory pruning and reads as a MIXED
               // layout to the catalog's strict partition inference
-              val partCols = files.flatMap(f =>
-                GraftUtil.partitionSegments(tableDir, f.getPath).map(_._1)).distinct
+              val partCols = GraftUtil.layoutOf(tableDir, files)
               (if (partCols.nonEmpty) w0.option("partitionby", partCols.mkString(","))
                else w0).save(dir)
             }
@@ -2383,7 +2378,9 @@ object GraftMaintenance {
       val fs = tableDir.getFileSystem(conf)
       val files = GraftUtil.listDataFiles(dir, conf)
       require(files.nonEmpty, s"graft: nothing to compact under $dir")
-      val layout = GraftUtil.partitionSegments(tableDir, files.head.getPath).map(_._1)
+      // strict all-files inference (the catalog rule) — a mixed layout
+      // must fail loudly here, not route on whichever file listed first
+      val layout = GraftUtil.layoutOf(tableDir, files, strict = true)
       partition.keys.foreach(k => require(layout.exists(_.equalsIgnoreCase(k)),
         s"graft: '$k' is not a partition column of layout $layout"))
       val victims = files.filter { f =>
@@ -2456,7 +2453,20 @@ object GraftMaintenance {
             removed += 1
             if (!dryRun) fs.delete(d.getPath, true)
           }
-        } else if (!n.startsWith(".")) sweep(d.getPath) // nested namespaces
+        } else if (!n.startsWith(".")) {
+          // descend only into NESTED NAMESPACES: staged/trash dirs live
+          // beside tables, never inside them — recursing into every
+          // table's partition tree would turn this into a full warehouse
+          // walk (one listing per k=v dir) for nothing
+          val kids = fs.listStatus(d.getPath)
+          val isTable = kids.exists { k =>
+            val kn = k.getPath.getName
+            kn == "_graft_table.json" || kn == GraftManifest.DirName ||
+              kn.contains('=') ||
+              (k.isFile && kn.endsWith(GraftUtil.Extension))
+          }
+          if (!isTable) sweep(d.getPath)
+        }
       }
     sweep(root)
     (removed, bytes)

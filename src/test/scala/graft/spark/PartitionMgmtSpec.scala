@@ -134,6 +134,40 @@ class PartitionMgmtSpec extends AnyFunSuite {
       s"d1's sidecars must fold away with its files: ${survivingDvIdents.keys}")
   }
 
+  test("partition values round-trip the write path's escaping (a/b, null)") {
+    spark.sql("CREATE TABLE pm.t9 (id BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO pm.t9 VALUES (1, 'a/b'), (2, 'x'), (3, NULL)")
+    val fs = new org.apache.hadoop.fs.Path(s"$wh/t9").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // the writer escaped the separator and rendered null as the hive token
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wh/t9/day=a%2Fb")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$wh/t9/day=__HIVE_DEFAULT_PARTITION__")))
+    // SHOW PARTITIONS must neither crash on the null token nor leak the
+    // escaped rendering as a LOGICAL value
+    val parts = spark.sql("SHOW PARTITIONS pm.t9").collect()
+      .map(_.getString(0)).toSet
+    assert(parts.size == 3, parts.mkString(", "))
+    // DROP by the LOGICAL value resolves to the escaped directory
+    spark.sql("ALTER TABLE pm.t9 DROP PARTITION (day = 'a/b')")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/t9/day=a%2Fb")))
+    assert(spark.sql("SELECT count(*) FROM pm.t9").head.getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM pm.t9 WHERE day IS NULL")
+      .head.getLong(0) == 1, "the null partition survives unrelated drops")
+  }
+
+  test("dropPartition sweeps staging junk but never a fresh live file") {
+    spark.sql("CREATE TABLE pm.t10 (id BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO pm.t10 VALUES (1, 'd1'), (2, 'd2')")
+    val d1 = new org.apache.hadoop.fs.Path(s"$wh/t10/day=d1")
+    val fs = d1.getFileSystem(spark.sessionState.newHadoopConf())
+    val junk = new org.apache.hadoop.fs.Path(d1, ".crashed.graft.a1.tmp")
+    val out = fs.create(junk, true); out.write(7); out.close()
+    spark.sql("ALTER TABLE pm.t10 DROP PARTITION (day='d1')")
+    assert(!fs.exists(d1), "junk-only leftovers must not strand the dir")
+    assert(spark.sql("SELECT count(*) FROM pm.t10").head.getLong(0) == 1)
+  }
+
   test("a stream over the table never redelivers after a partition drop") {
     mkTable("t5")
     val dir = s"$wh/t5"
