@@ -151,12 +151,26 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
           Some(GraftMaintenance.MergeClause(cond.map(asColumn(_, resolver)), None))
         case _ => None
       }
-      // ON: every conjunct must be target-col = source-col
+      // ON: every conjunct must be target-col = source-col. Casts around
+      // either side (the analyzer's type coercion when key types differ —
+      // e.g. an INT-literal source against a BIGINT key) strip away: the
+      // maintenance join re-resolves col(t) === col(src) and Spark
+      // re-inserts the identical coercion there, so the comparison
+      // semantics are unchanged.
+      def keyAttr(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => keyAttr(c.child)
+        case _ => None
+      }
       val keys = conjuncts(m.mergeCondition).map {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if targetOut.contains(a) && sourceOut.contains(b) => Some((a.name, b.name))
-        case EqualTo(b: AttributeReference, a: AttributeReference)
-            if targetOut.contains(a) && sourceOut.contains(b) => Some((a.name, b.name))
+        case EqualTo(l, r) =>
+          (keyAttr(l), keyAttr(r)) match {
+            case (Some(a), Some(b)) if targetOut.contains(a) && sourceOut.contains(b) =>
+              Some((a.name, b.name))
+            case (Some(b), Some(a)) if targetOut.contains(a) && sourceOut.contains(b) =>
+              Some((a.name, b.name))
+            case _ => None
+          }
         case _ => None
       }
       val both = targetOut ++ sourceOut

@@ -119,9 +119,11 @@ class ConstraintSpec extends AnyFunSuite {
     }
     assert(spark.sql("SELECT count(*) FROM ck.t6").head.getLong(0) == 1,
       "a failed merge must land nothing")
-    // key columns must be cast-free for the merge rewrite's equi-key scope
-    spark.sql("MERGE INTO ck.t6 t USING " +
-      "(SELECT CAST(2 AS BIGINT) AS id, CAST(9 AS BIGINT) AS qty) s " +
+    // INT literals against BIGINT keys: the analyzer wraps the ON key in
+    // a cast, which the rewrite's key matching strips (the re-resolved
+    // join re-coerces identically) — this merge must route through the
+    // graft pass, not fall back to Spark's stock unsupported error
+    spark.sql("MERGE INTO ck.t6 t USING (SELECT 2 AS id, 9 AS qty) s " +
       "ON t.id = s.id " +
       "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)")
     assert(spark.sql("SELECT count(*) FROM ck.t6").head.getLong(0) == 2)
