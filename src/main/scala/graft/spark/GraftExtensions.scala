@@ -313,6 +313,9 @@ object GraftExtensions {
     registerCall("graft_restore", "restore",
       { case Seq(_, v) => (Nil, Seq(litLong(v, "graft_restore"))) },
       "(path STRING, version LONG)")
+    registerCall("graft_restore_ts", "restore_ts",
+      { case Seq(_, t) => (Nil, Seq(litLong(t, "graft_restore_ts"))) },
+      "(path STRING, asofMillis LONG)")
     registerCall("graft_compact_partition", "compact_partition",
       { case Seq(_, spec, n) =>
         (Seq(litStr(spec, "graft_compact_partition")),

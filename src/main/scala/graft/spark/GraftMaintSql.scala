@@ -106,6 +106,15 @@ final case class GraftMaintenanceExec(call: GraftMaintenanceCall)
           call.strArgs.head, call.strArgs(1))
         Seq("rows_appended" -> appended,
           "delete_keys_applied" -> deleteKeys)
+      case "restore_ts" =>
+        val st = GraftMaintenance.restoreAsOf(spark, call.path,
+          call.longArgs.head)
+        Seq("version" -> st.version,
+          "files_removed" -> st.filesRemoved.toLong,
+          "manifests_expired" -> st.manifestsExpired.toLong,
+          "dv_generations_removed" -> st.dvGenerationsRemoved.toLong,
+          "feed_files_removed" -> st.feedFilesRemoved.toLong,
+          "rows_after" -> st.rowsAfter)
       case "restore" =>
         val st = GraftMaintenance.restore(spark, call.path,
           call.longArgs.head)

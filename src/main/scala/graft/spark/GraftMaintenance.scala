@@ -2522,6 +2522,23 @@ object GraftMaintenance {
     * listing, so they stay correct; a stream mid-backlog may error until
     * the re-run finishes the expiry, like any rewrite).
     */
+  /** [[restore]] addressed by TIME instead of ordinal: roll back to the
+    * newest registered commit at or before `asofMillis` — restore makes
+    * the state a `TIMESTAMP AS OF` read of that moment serves into the
+    * CURRENT state. The ordinal resolution goes through the version log,
+    * so the same instant always resolves to the same commit. */
+  def restoreAsOf(spark: SparkSession, dir: String,
+      asofMillis: Long): RestoreStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    val commits = GraftVersionLog.commits(GraftVersionLog.sync(fs, tableDir))
+    val idx = commits.lastIndexWhere(n => GraftManifest.nameT(n) <= asofMillis)
+    require(idx >= 0,
+      s"graft: no registered commit at or before epoch-millis $asofMillis")
+    restore(spark, dir, idx + 1L)
+  }
+
   def restore(spark: SparkSession, dir: String, version: Long): RestoreStats =
     locked(spark, dir, "restore") {
       val conf = spark.sessionState.newHadoopConf()

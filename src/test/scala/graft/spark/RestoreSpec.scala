@@ -167,6 +167,24 @@ class RestoreSpec extends AnyFunSuite {
     assert(ks(dir) == (0L until 10L))
   }
 
+  test("restoreAsOf rolls back by time; graft_restore_ts through SQL") {
+    val dir = fresh("asofts")
+    append(dir, 0, 10)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val t1 = GraftManifest.nameT(GraftVersionLog.commits(
+      GraftVersionLog.sync(fs, new org.apache.hadoop.fs.Path(dir))).head)
+    append(dir, 10, 20); append(dir, 20, 30)
+    // any instant in [t1, v2) resolves to version 1
+    val stats = spark.sql(s"SELECT * FROM graft_restore_ts('$dir', ${t1 + 1})")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(stats("version") == 1 && stats("files_removed") == 2, stats)
+    assert(ks(dir) == (0L until 10L))
+    intercept[Exception] { // before the first commit: nothing to restore to
+      GraftMaintenance.restoreAsOf(spark, dir, t1 - 1000)
+    }
+  }
+
   test("graft_history: ordinals, status transitions, rows/files/bytes") {
     val dir = fresh("history")
     append(dir, 0, 10); append(dir, 10, 25)
