@@ -483,9 +483,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft: swap heal failed to retire $dst")
         require(fs.rename(staged, dst),
           s"graft: swap heal failed to promote $staged")
+        fs.delete(intent, false)
+        fs.delete(trash, true)
+      } else if (!fs.exists(dst) && fs.exists(trash)) {
+        // Staged dir gone (a failed promote rename followed by abort) and
+        // the table dir absent: the retired old generation in trash is the
+        // ONLY surviving copy — roll BACK by restoring it, never delete it.
+        require(fs.rename(trash, dst),
+          s"graft: swap heal failed to restore $trash")
+        fs.delete(intent, false)
+      } else {
+        // Either already promoted (dst exists) or nothing left to save;
+        // clear the marker, and only then is the trash really trash.
+        fs.delete(intent, false)
+        if (fs.exists(dst)) fs.delete(trash, true)
       }
-      fs.delete(intent, false)
-      fs.delete(trash, true)
     }
   }
 
@@ -590,8 +602,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
 
-    override def abortStagedChanges(): Unit =
-      fs.delete(stagingDir, true)
+    override def abortStagedChanges(): Unit = {
+      // Once the swap intent is published, the staged dir is OWNED by the
+      // swap protocol: its content was complete at commit time, and a
+      // crashed promote rename makes it (or the trash) the only surviving
+      // copy. Deleting it here would let a later healSwap discard the
+      // trash too — total loss. Heal instead (rolls the swap forward).
+      if (fs.exists(swapIntent(ident))) healSwap(ident)
+      else fs.delete(stagingDir, true)
+    }
   }
 
   /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN` / `RENAME COLUMN` /

@@ -438,14 +438,22 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
   /** Declared CHECK constraints (sidecar-persisted). Reporting them is
     * what makes Spark's ResolveTableConstraints enforce ENFORCED checks
     * on every write through this connector — a violating INSERT/MERGE
-    * row fails the statement at execution. */
+    * row fails the statement at execution. Status: ENFORCED checks are
+    * VALID (ADD CONSTRAINT validated existing rows and every write since
+    * was checked); NOT ENFORCED checks are UNVALIDATED — writes skip
+    * them, so the data can legally violate them, and an optimizer that
+    * trusted a VALID label for pruning could return wrong rows. */
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     checks.map { case (n, sql, enforced) =>
+      val status =
+        if (enforced) org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID
+        else org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.UNVALIDATED
       org.apache.spark.sql.connector.catalog.constraints.Constraint
         .check(n).predicateSql(sql).enforced(enforced)
-        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
-          .Constraint.ValidationStatus.VALID)
+        .validationStatus(status)
         .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
 

@@ -2421,8 +2421,9 @@ object GraftMaintenance {
     * live CTAS keeps committing task files), compared against the
     * explicit `olderThanMs` epoch cutoff — same contract as [[vacuum]]:
     * pick a cutoff older than any write that could still be in flight.
-    * Pending `.t.swap` intents are NOT touched (healSwap owns them — they
-    * mark a commit to roll FORWARD, not junk). Returns (dirs removed,
+    * Pending `.t.swap` intents are NOT touched, and neither are the
+    * staged/trash dirs an intent names (healSwap owns both — they mark a
+    * commit to roll FORWARD or BACK, not junk). Returns (dirs removed,
     * bytes reclaimed).
     */
   def vacuumStaged(spark: SparkSession, warehouseDir: String,
@@ -2444,11 +2445,24 @@ object GraftMaintenance {
     def sizeOf(d: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(d).map(f =>
         if (f.isDirectory) sizeOf(f.getPath) else f.getLen).sum
-    def sweep(ns: org.apache.hadoop.fs.Path): Unit =
-      fs.listStatus(ns).filter(_.isDirectory).foreach { d =>
+    def sweep(ns: org.apache.hadoop.fs.Path): Unit = {
+      // dirs a pending `.t.swap` intent references are OWNED by healSwap:
+      // deleting the staged dir (or its trash sibling) would defeat the
+      // roll-forward/roll-back and can destroy the only surviving copy of
+      // a mid-swap table — skip them regardless of age
+      val entries = fs.listStatus(ns)
+      val intentOwned: Set[String] = entries.filter { f =>
+        f.isFile && f.getPath.getName.matches(raw"\..+\.swap")
+      }.flatMap { f =>
+        val in = fs.open(f.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          .split("\n").toSeq
+        finally in.close()
+      }.toSet
+      entries.filter(_.isDirectory).foreach { d =>
         val n = d.getPath.getName
         if (StagedPat.matches(n)) {
-          if (newestWithin(d.getPath) < olderThanMs) {
+          if (!intentOwned.contains(n) && newestWithin(d.getPath) < olderThanMs) {
             bytes += sizeOf(d.getPath)
             removed += 1
             if (!dryRun) fs.delete(d.getPath, true)
@@ -2468,6 +2482,7 @@ object GraftMaintenance {
           if (!isTable) sweep(d.getPath)
         }
       }
+    }
     sweep(root)
     (removed, bytes)
   }

@@ -151,15 +151,21 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
           Some(GraftMaintenance.MergeClause(cond.map(asColumn(_, resolver)), None))
         case _ => None
       }
-      // ON: every conjunct must be target-col = source-col. Casts around
-      // either side (the analyzer's type coercion when key types differ —
-      // e.g. an INT-literal source against a BIGINT key) strip away: the
+      // ON: every conjunct must be target-col = source-col. ANALYZER-
+      // inserted casts (type coercion when key types differ — e.g. an
+      // INT-literal source against a BIGINT key) strip away: the
       // maintenance join re-resolves col(t) === col(src) and Spark
       // re-inserts the identical coercion there, so the comparison
-      // semantics are unchanged.
+      // semantics are unchanged. USER-written casts (tagged
+      // USER_SPECIFIED_CAST) do NOT strip — `ON CAST(t.id AS STRING) =
+      // s.code` asks for string comparison ('01' <> '1'); re-resolving
+      // bare columns would swap in numeric coercion and match different
+      // rows. Those fall back to the stock unsupported-ON error.
       def keyAttr(e: Expression): Option[AttributeReference] = e match {
         case a: AttributeReference => Some(a)
-        case c: org.apache.spark.sql.catalyst.expressions.Cast => keyAttr(c.child)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast
+            if c.getTagValue(org.apache.spark.sql.catalyst.expressions.Cast
+              .USER_SPECIFIED_CAST).isEmpty => keyAttr(c.child)
         case _ => None
       }
       val keys = conjuncts(m.mergeCondition).map {

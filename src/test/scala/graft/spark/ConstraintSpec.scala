@@ -127,5 +127,16 @@ class ConstraintSpec extends AnyFunSuite {
       "ON t.id = s.id " +
       "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)")
     assert(spark.sql("SELECT count(*) FROM ck.t6").head.getLong(0) == 2)
+    // a USER-written cast on the ON key asks for different comparison
+    // semantics (string '01' <> '1' where numeric coercion says 1 == 1) —
+    // the rewrite must NOT strip it and silently re-coerce; it falls back
+    // to Spark's stock unsupported-MERGE error instead of matching the
+    // wrong rows
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO ck.t6 t USING (SELECT '3' AS code, 7 AS qty) s " +
+        "ON CAST(t.id AS STRING) = s.code " +
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty")
+    }
+    assert(e.getMessage.toLowerCase.contains("merge"), e.getMessage)
   }
 }

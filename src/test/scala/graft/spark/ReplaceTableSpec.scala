@@ -100,6 +100,86 @@ class ReplaceTableSpec extends AnyFunSuite {
     assert(!fs.exists(intent) && !fs.exists(trash) && !fs.exists(staged))
   }
 
+  test("heal rolls BACK to trash when the staged dir was lost") {
+    // the total-loss seam: intent published, old dir retired to trash,
+    // promote never ran, and the staged dir was then deleted (an abort
+    // by an older binary, or manual cleanup). The trash is the ONLY
+    // surviving copy — heal must restore it, never delete it.
+    spark.sql("CREATE TABLE rep.t8 AS SELECT id AS k FROM range(10)")
+    val trash = new org.apache.hadoop.fs.Path(wh, ".t8.replaced-deadbeef")
+    val intent = new org.apache.hadoop.fs.Path(wh, ".t8.swap")
+    val out = fs.create(intent, true)
+    out.write(s".t8.staged-deadbeef\n${trash.getName}".getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(new org.apache.hadoop.fs.Path(wh, "t8"), trash))
+    // staged dir intentionally absent; resolution must roll back
+    assert(sum("rep.t8") == (0L until 10L).sum,
+      "heal must restore the retired old generation from trash")
+    assert(!fs.exists(intent) && !fs.exists(trash))
+  }
+
+  test("abortStagedChanges after the intent published heals, not deletes") {
+    spark.sql("CREATE TABLE rep.t9 AS SELECT id AS k FROM range(10)")
+    val cat = spark.sessionState.catalogManager.catalog("rep")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "t9")
+    val staged = cat.stageReplace(ident,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))),
+      Array.empty, new java.util.HashMap[String, String]())
+    // write one file into the staged dir through the path API
+    val stagedDir = fs.listStatus(new org.apache.hadoop.fs.Path(wh))
+      .map(_.getPath).find(_.getName.startsWith(".t9.staged-")).get
+    spark.range(100, 105).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("append").save(stagedDir.toString)
+    // fabricate the mid-commit crash: intent published, old dir retired,
+    // promote rename never ran — then Spark calls abortStagedChanges
+    val trash = new org.apache.hadoop.fs.Path(wh, ".t9.replaced-deadbeef")
+    val intent = new org.apache.hadoop.fs.Path(wh, ".t9.swap")
+    val out = fs.create(intent, true)
+    out.write(s"${stagedDir.getName}\n${trash.getName}".getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(new org.apache.hadoop.fs.Path(wh, "t9"), trash))
+    staged.abortStagedChanges()
+    // the abort must have healed (rolled the complete staged gen forward),
+    // not deleted the staging dir and stranded/destroyed the table
+    assert(sum("rep.t9") == (100L until 105L).sum,
+      "abort after intent must finish the swap")
+    assert(!fs.exists(intent) && !fs.exists(trash) && !fs.exists(stagedDir))
+  }
+
+  test("graft_vacuum_staged skips dirs a pending swap intent references") {
+    spark.sql("CREATE TABLE rep.t10 AS SELECT id AS k FROM range(6)")
+    GraftExtensions.ensure(spark)
+    val staged = new org.apache.hadoop.fs.Path(wh, ".t10.staged-00c0ffee")
+    spark.range(50, 55).selectExpr("id AS k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(staged.toString)
+    val trash = new org.apache.hadoop.fs.Path(wh, ".t10.replaced-00c0ffee")
+    val intent = new org.apache.hadoop.fs.Path(wh, ".t10.swap")
+    val out = fs.create(intent, true)
+    out.write(s"${staged.getName}\n${trash.getName}".getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(new org.apache.hadoop.fs.Path(wh, "t10"), trash))
+    def ageAll(d: org.apache.hadoop.fs.Path): Unit = {
+      fs.setTimes(d, 1000L, 1000L)
+      fs.listStatus(d).foreach(f =>
+        if (f.isDirectory) ageAll(f.getPath)
+        else fs.setTimes(f.getPath, 1000L, 1000L))
+    }
+    ageAll(staged); ageAll(trash)
+    // aged WAY past the cutoff, but the intent owns both dirs: vacuum
+    // must leave them for healSwap (deleting either defeats the swap's
+    // roll-forward/back and can destroy the only copy of the table)
+    spark.sql(s"SELECT * FROM graft_vacuum_staged('$wh', " +
+      s"${System.currentTimeMillis() - 60000})").collect()
+    assert(fs.exists(staged) && fs.exists(trash),
+      "intent-owned dirs must survive the vacuum")
+    assert(sum("rep.t10") == (50L until 55L).sum,
+      "heal still completes after the vacuum")
+  }
+
   test("staged dirs and trash are invisible to listTables") {
     spark.sql("CREATE TABLE rep.t5 AS SELECT id AS k FROM range(3)")
     // a plausible mid-CTAS staging sibling with a sidecar inside
