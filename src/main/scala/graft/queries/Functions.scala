@@ -120,6 +120,31 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_partition_transform" -> { (s, dir) =>
+      // HIDDEN partitioning: events staged `PARTITIONED BY (days(ts))` —
+      // the schema keeps `ts`, the directory layout carries derived
+      // `ts_day=YYYY-MM-DD` values, and the scan compiles the ts range
+      // below into whole-directory pruning BEFORE any footer IO
+      // (PartitionTransformSpec asserts the filesPruned metric; this gate
+      // proves end-to-end correctness vs DuckDB over the raw rows). At
+      // 100 TB this is the single most common event-table layout: nobody
+      // materializes a date column by hand or remembers to filter on it.
+      val stage = stagedOnce(
+          s"/tmp/graft_parttx_stage/${stageKey(s, dir, "events")}/events") { t =>
+        Tables.parquet(s, dir, "events")
+          .write.format("graft").option("partitionby", "days(ts)")
+          .mode("overwrite").save(t)
+      }
+      s.read.format("graft").load(stage)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,4)")).cast("double").as("total"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event_type"))
+    },
+
     "q_array_contains" -> { (s, dir) =>
       // array-ELEMENT predicate pushdown: documents staged with a tokens
       // array column; the GraftElementPushdown rule compiles
@@ -1981,6 +2006,14 @@ object Functions {
         |  count(DISTINCT source) AS sources
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_partition_transform" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_count_minmax" ->
       """SELECT count(*) AS n,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,

@@ -607,13 +607,9 @@ object TrainingData {
                   i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
              ELSE array(text) END"""))
         .withColumn("hb", expr(baseHash))
-        .withColumn("sig", expr(
-          """aggregate(hb,
-               array_repeat(cast(9223372036854775807 as bigint), 64),
-               (acc, v) -> zip_with(acc,
-                 transform(sequence(0, 63),
-                   h -> pmod((h*2+1) * pmod(v, 1000000007) + h*12345+1, 1000000007)),
-                 (a, b) -> least(a, b)))"""))
+        // native signature kernel — bit-identical to the SQL fold (see
+        // VecOps.minhashSig scaladoc + MinhashKernelSpec parity pin)
+        .withColumn("sig", graft.spark.VecOps.minhashSignature(col("hb")))
         .select(col("doc_id"), col("sig")), "minhash_sigs_incr")
       val bands = d.select(col("doc_id"),
         explode(expr(
@@ -633,7 +629,7 @@ object TrainingData {
         .join(d.select(col("doc_id").as("ida"), col("sig").as("siga")), Seq("ida"))
         .join(d.select(col("doc_id").as("idb"), col("sig").as("sigb")), Seq("idb"))
         .withColumn("est_jacc",
-          expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) / 64.0"))
+          graft.spark.VecOps.signatureAgreement(col("siga"), col("sigb")) / lit(64.0))
       conf.agg(
         count(lit(1)).as("candidate_pairs"),
         sum(when(col("est_jacc") >= 0.7, 1L).otherwise(0L)).as("confirmed_pairs"))
@@ -2585,6 +2581,11 @@ object TrainingData {
     // frame is (id, 64 longs) — a fraction of the raw text. Default is
     // cache (spills at MEMORY_AND_DISK); graft.pipeline.materialize=table
     // checkpoints it to a graft scratch table instead — the 100 TB shape.
+    // signature fold: the native 64-lane kernel (VecOps.MinhashSig) —
+    // bit-identical to the SQL aggregate/zip_with form it replaced (the
+    // expression's scaladoc carries the exact SQL; MinhashKernelSpec pins
+    // parity), at one tight loop per shingle instead of 128 lambda
+    // dispatches + two intermediate arrays
     val d = materialize(docs(s, dir)
       .withColumn("w", split(col("text"), " "))
       .withColumn("shingles", expr(
@@ -2593,13 +2594,7 @@ object TrainingData {
                 i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
            ELSE array(text) END"""))
       .withColumn("hb", expr(baseHash))
-      .withColumn("sig", expr(
-        """aggregate(hb,
-             array_repeat(cast(9223372036854775807 as bigint), 64),
-             (acc, v) -> zip_with(acc,
-               transform(sequence(0, 63),
-                 h -> pmod((h*2+1) * pmod(v, 1000000007) + h*12345+1, 1000000007)),
-               (a, b) -> least(a, b)))"""))
+      .withColumn("sig", graft.spark.VecOps.minhashSignature(col("hb")))
       .select(col("doc_id"), col("sig")),
       if (portable) "minhash_sigs_portable" else "minhash_sigs")
     // the band join carries only (band, bh, doc_id); the 64-long signatures
@@ -2620,7 +2615,7 @@ object TrainingData {
       .join(d.select(col("doc_id").as("ida"), col("sig").as("siga")), Seq("ida"))
       .join(d.select(col("doc_id").as("idb"), col("sig").as("sigb")), Seq("idb"))
       .withColumn("est_jacc",
-        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) / 64.0"))
+        graft.spark.VecOps.signatureAgreement(col("siga"), col("sigb")) / lit(64.0))
     val bucketGroups = bands.groupBy(col("band"), col("bh")).count().filter(col("count") >= 2)
     confirmed.agg(
       count(lit(1)).as("candidate_pairs"),

@@ -396,24 +396,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: java.util.Map[String, String],
       checks: Seq[GraftCatalog.CheckSpec] = Seq.empty)
       : (Seq[String], Seq[String], Seq[String]) = {
+    // PARTITIONED BY accepts identity columns AND hidden-partitioning
+    // transforms (days/months/years/hours/bucket/truncate): the sidecar
+    // persists canonical SPEC strings (`days(ts)`, `bucket(16,id)`; a
+    // bare name stays an identity column, which is what every
+    // pre-transform sidecar already holds), the writer derives the dir
+    // values, and the scan compiles source-column predicates into
+    // derived-value ranges — see [[GraftPartTransform]]
     val partCols = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1,
-        s"graft: unsupported partition transform $t — only plain column " +
-          "(identity) partitioning maps to the hive directory layout")
-      val c = t.references.head.fieldNames.head
-      require(schema.fieldNames.contains(c),
-        s"graft: partition column '$c' is not in the table schema")
-      schema(c).dataType match {
-        case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.StringType => ()
-        case dt => throw new IllegalArgumentException(
-          s"graft: partition column '$c' has unsupported type $dt " +
-            "(boolean/integral/string only)")
-      }
-      c
+      val spec = GraftPartTransform.fromV2(t)
+      val pt = GraftPartTransform.parse(spec)
+      GraftPartTransform.validate(pt, schema)
+      pt.spec
     }
+    require(partCols.map(GraftPartTransform.parse(_).dirName.toLowerCase)
+        .distinct.length == partCols.length,
+      s"graft: duplicate partition dimensions in ${partCols.mkString(", ")}")
     // DECLARED LAYOUT INTENT: TBLPROPERTIES ('graft.sortby'='a,b') /
     // ('graft.clusterby'='x') persist in the sidecar so EVERY insert —
     // including pure-SQL INSERT INTO, which cannot pass write options —
@@ -679,8 +677,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     lazy val partCols: Seq[String] = (GraftUtil.listDataFiles(dir.toString, conf)
       .flatMap(f => GraftUtil.partitionSegments(dir, f.getPath).map(_._1)) ++
       // DECLARED partition columns are immovable even before any data file
-      // backs them — the declaration is the directory layout to come
-      (if (sidecarExists(dir)) sidecarContent(dir)._2 else Seq.empty)).distinct
+      // backs them — the declaration is the directory layout to come.
+      // Transform specs protect their SOURCE column (dropping/renaming/
+      // widening `ts` under a days(ts) layout would orphan the derivation;
+      // widening a bucket source would change the hash)
+      (if (sidecarExists(dir))
+        sidecarContent(dir)._2.map(GraftPartTransform.parse(_).src)
+      else Seq.empty)).distinct
     // does ANY data file's footer carry one of these physical names? A
     // never-backed column (ALTER ADD, never written — or every generation
     // rewritten since a rename) need not be tombed: no bytes exist to
@@ -1068,6 +1071,24 @@ object GraftCatalog {
         case _ => f
       }
     })
+  }
+
+  /** The declared partition-layout SPECS of a table dir (sidecar
+    * `partitionCols`; empty when no sidecar / unpartitioned). What the
+    * writer and the scan resolve transform layouts through — the specs
+    * have no other durable home. */
+  private[spark] def declaredPartSpecsOf(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val sc = new org.apache.hadoop.fs.Path(tableDir, "_graft_table.json")
+    try {
+      if (!fs.exists(sc)) Seq.empty
+      else {
+        val in = fs.open(sc)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        parseSidecar(json)._2
+      }
+    } catch { case _: Exception => Seq.empty }
   }
 
   /** Sidecar body for a table declaration. Unpartitioned tables keep the

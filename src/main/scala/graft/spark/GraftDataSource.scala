@@ -201,15 +201,22 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
         "file-physical row ordinal (deletion-vector addressing)"
     })
 
-  /** The hive directory layout as identity transforms — what makes the SQL
+  // partitionCols carries SPEC strings (bare name = identity column,
+  // `days(ts)` / `bucket(16,id)` = hidden-partitioning transforms); the
+  // parsed form drives the directory names, the partition schema, and
+  // the v2 Transform reporting below
+  private lazy val partTransforms: Seq[PartTransform] =
+    partitionCols.map(GraftPartTransform.parse)
+  private lazy val partDirNames: Seq[String] = partTransforms.map(_.dirName)
+
+  /** The hive directory layout as v2 transforms — what makes the SQL
     * planner route `INSERT OVERWRITE` under dynamic partition-overwrite
     * mode (and `df.writeTo(t).overwritePartitions()`) to a partition
     * replacement instead of a truncate. Declared by CREATE TABLE
     * PARTITIONED BY, else inferred from the files' layout by the catalog.
     */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    partTransforms.map(GraftPartTransform.toV2).toArray
 
   // for the SQL UPDATE rewrite (GraftUpdateRewrite), which re-reads the
   // table through the maintenance pass by path
@@ -270,7 +277,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
   // yesterday's bad load" must never be a table-wide rewrite.
 
   override def partitionSchema(): StructType =
-    StructType(partitionCols.map(c => tableSchema(tableSchema.fieldIndex(c))))
+    StructType(partTransforms.map(
+      GraftPartTransform.partField(_, tableSchema)))
 
   /** LOGICAL partition value (null for the hive default partition) ->
     * the typed InternalRow field. */
@@ -285,6 +293,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       case org.apache.spark.sql.types.ShortType => logical.toShort
       case org.apache.spark.sql.types.ByteType => logical.toByte
       case org.apache.spark.sql.types.BooleanType => logical.toBoolean
+      case org.apache.spark.sql.types.DateType =>
+        java.time.LocalDate.parse(logical).toEpochDay.toInt
       case other => throw new UnsupportedOperationException(
         s"graft: unsupported partition value type $other")
     }
@@ -292,7 +302,12 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
   /** InternalRow field -> LOGICAL value string (null for a null field). */
   private def partLogical(ident: org.apache.spark.sql.catalyst.InternalRow,
       i: Int, dt: org.apache.spark.sql.types.DataType): String =
-    if (ident.isNullAt(i)) null else String.valueOf(ident.get(i, dt))
+    if (ident.isNullAt(i)) null
+    else dt match {
+      case org.apache.spark.sql.types.DateType =>
+        java.time.LocalDate.ofEpochDay(ident.getInt(i).toLong).toString
+      case _ => String.valueOf(ident.get(i, dt))
+    }
 
   /** All partition value-combos as LOGICAL values (dir tokens unescaped
     * through the write path's own rendering — a value like 'a/b' or a
@@ -304,13 +319,13 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     val fs = root.getFileSystem(conf)
     if (partitionCols.isEmpty || !fs.exists(root)) return Seq.empty
     def walk(d: Path, depth: Int): Seq[Seq[String]] =
-      if (depth == partitionCols.length) Seq(Seq.empty)
+      if (depth == partDirNames.length) Seq(Seq.empty)
       else fs.listStatus(d).toSeq
         .filter(f => f.isDirectory &&
-          f.getPath.getName.startsWith(partitionCols(depth) + "="))
+          f.getPath.getName.startsWith(partDirNames(depth) + "="))
         .flatMap { f =>
           val v = GraftUtil.unescapePathValue(
-            f.getPath.getName.substring(partitionCols(depth).length + 1))
+            f.getPath.getName.substring(partDirNames(depth).length + 1))
           walk(f.getPath, depth + 1).map(v +: _)
         }
     walk(root, 0)
@@ -323,8 +338,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       s"graft: ${names.length} partition names but ${ident.numFields} values")
     val ps = partitionSchema()
     val wanted: Seq[(Int, String)] = names.toSeq.zipWithIndex.map { case (n, j) =>
-      val i = partitionCols.indexWhere(_.equalsIgnoreCase(n))
-      require(i >= 0, s"graft: '$n' is not a partition column of $partitionCols")
+      val i = partDirNames.indexWhere(_.equalsIgnoreCase(n))
+      require(i >= 0, s"graft: '$n' is not a partition column of $partDirNames")
       i -> partLogical(ident, j, ps.fields(i).dataType)
     }
     partitionCombos()
@@ -340,11 +355,11 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
       ident: org.apache.spark.sql.catalyst.InternalRow): Path = {
     val ps = partitionSchema()
     require(ident.numFields == ps.length,
-      s"graft: partition spec must bind all of $partitionCols")
-    partitionCols.indices.foldLeft(new Path(path)) { (d, i) =>
+      s"graft: partition spec must bind all of $partDirNames")
+    partDirNames.indices.foldLeft(new Path(path)) { (d, i) =>
       // the WRITE path's own escaping: 'a/b', '', and null values name
       // the same directory the writer laid them out under
-      new Path(d, s"${partitionCols(i)}=" + GraftUtil.escapePathValue(
+      new Path(d, s"${partDirNames(i)}=" + GraftUtil.escapePathValue(
         partLogical(ident, i, ps.fields(i).dataType)))
     }
   }
@@ -560,6 +575,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
 
   private var projected: StructType = tableSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pagePreds: Array[ZoneMapFilter.PagePred] = Array.empty
   private var hadFilters = false
   // deletion vectors mask rows the footers still count: COUNT(col) and
@@ -681,6 +697,10 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     val (usable, preds) = ZoneMapFilter.compile(tableSchema, filters)
     hadFilters = filters.nonEmpty
     pushed = usable
+    // partition-DIRECTORY pruning is sound for every filter shape
+    // (PartitionPrune defaults to keep) — filters zone maps cannot use
+    // (IsNull, predicates on transform source columns) still prune dirs
+    pruneFilters = filters
     pagePreds = preds
     filters
   }
@@ -773,7 +793,8 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
       }
     case None =>
       new GraftScan(tableSchema, projected, path, conf, pagePreds, runtimeFilter, manifestOpt,
-        pushed, pushedLimit, maxFilesOpt = maxFilesOpt, asofOpt = asofOpt,
+        (pushed ++ pruneFilters.diff(pushed)), pushedLimit,
+        maxFilesOpt = maxFilesOpt, asofOpt = asofOpt,
         sinceOpt = sinceOpt, startLatest = startLatest, topn = pushedTopN,
         colAliases = colAliases)
   }
@@ -810,6 +831,22 @@ final class GraftScan(private val tableSchema: StructType, private val projected
       topn, colAliases)
 
   private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
+
+  // declared hidden-partitioning transforms (sidecar): source column
+  // (lowercased) -> (transform, source type). Predicates on the source
+  // column then prune the derived dirs — identity layouts stay on the
+  // direct name-match path and this map is empty for them
+  private lazy val partTx
+      : Map[String, (PartTransform, org.apache.spark.sql.types.DataType)] = {
+    val p = new Path(path)
+    GraftCatalog.declaredPartSpecsOf(p.getFileSystem(conf), p)
+      .map(GraftPartTransform.parse)
+      .filterNot(_.isIdentity)
+      .flatMap { pt =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(pt.src))
+          .map(f => pt.src.toLowerCase -> (pt, f.dataType))
+      }.toMap
+  }
 
   // hive-style partition-directory pruning: a file under k=v/ subdirs is
   // dropped when a pushed filter is decidably false on those values — whole
@@ -874,7 +911,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
         val segs = GraftUtil.partitionSegments(tableDir, f.getPath)
         segs.isEmpty || {
           val m = segs.toMap
-          pruneRaw.forall(PartitionPrune.mayMatch(_, m))
+          pruneRaw.forall(PartitionPrune.mayMatch(_, m, partTx))
         }
       }
       GraftMetrics.filesPruned.addAndGet(all.size - kept.size)
@@ -1619,18 +1656,72 @@ object PartitionPrune {
 
   private def render(v: Any): String = if (v == null) null else v.toString
 
-  def mayMatch(f: Filter, part: Map[String, String]): Boolean = f match {
-    case EqualTo(a, v) if part.contains(a) =>
-      val pv = part(a)
-      pv != null && pv == render(v)
-    case In(a, vs) if part.contains(a) && vs != null =>
-      val pv = part(a)
-      pv != null && vs.exists(v => render(v) == pv)
-    case IsNull(a) if part.contains(a) => part(a) == null
-    case IsNotNull(a) if part.contains(a) => part(a) != null
-    case And(l, r) => mayMatch(l, part) && mayMatch(r, part)
-    case Or(l, r) => mayMatch(l, part) || mayMatch(r, part)
-    case _ => true
+  /** Can a file in partition dir `part` contain a row matching `f`?
+    * `tx` maps a SOURCE column (lowercased) to its declared transform +
+    * source type: predicates on `ts` prune a `ts_day=...` layout by
+    * deriving the literal through the SAME function the writer used —
+    * equality/IN always, ranges for every monotonic transform (all but
+    * bucket). Null dirs hold only null source values (null derives to the
+    * hive default token), so IS [NOT] NULL prunes exactly. Everything
+    * undecidable stays conservative (keep the dir).
+    */
+  def mayMatch(f: Filter, part: Map[String, String],
+      tx: Map[String, (PartTransform, org.apache.spark.sql.types.DataType)] =
+        Map.empty): Boolean = {
+    // (dir value, transform, source type) for a filter attribute: direct
+    // hive identity (dir name == column name) or a declared transform
+    def dimOf(a: String)
+        : Option[(String, Option[(PartTransform, org.apache.spark.sql.types.DataType)])] =
+      if (part.contains(a)) Some((part(a), None))
+      else tx.get(a.toLowerCase) match {
+        case Some((pt, dt)) if part.contains(pt.dirName) =>
+          Some((part(pt.dirName), Some((pt, dt))))
+        case _ => None
+      }
+    def derived(pt: PartTransform, dt: org.apache.spark.sql.types.DataType,
+        v: Any): Option[String] =
+      GraftPartTransform.toInternal(dt, v)
+        .map(iv => GraftPartTransform.deriveLogical(pt, dt, iv))
+    def eqMay(a: String, v: Any): Boolean = dimOf(a) match {
+      case Some((pv, None)) => pv != null && pv == render(v)
+      case Some((pv, Some((pt, dt)))) =>
+        pv != null && derived(pt, dt, v).forall(_ == pv)
+      case None => true
+    }
+    def rangeMay(a: String, v: Any, keepIfCmp: Int => Boolean): Boolean =
+      dimOf(a) match {
+        case Some((pv, Some((pt, dt)))) if GraftPartTransform.monotonic(pt) =>
+          if (pv == null) false // all-null dir: no row satisfies a range
+          else derived(pt, dt, v).forall(dv =>
+            GraftPartTransform.cmpDerived(pt, pv, dv).forall(keepIfCmp))
+        case _ => true // identity dirs have no typed order here: keep
+      }
+    f match {
+      case EqualTo(a, v) => eqMay(a, v)
+      case EqualNullSafe(a, v) if v != null => eqMay(a, v)
+      case In(a, vs) if vs != null => dimOf(a) match {
+        case Some((pv, None)) => pv != null && vs.exists(v => render(v) == pv)
+        case Some((pv, Some((pt, dt)))) =>
+          pv != null && vs.exists(v => derived(pt, dt, v).forall(_ == pv))
+        case None => true
+      }
+      // row > lit needs derive(row) >= derive(lit) by monotonicity
+      case GreaterThan(a, v) => rangeMay(a, v, _ >= 0)
+      case GreaterThanOrEqual(a, v) => rangeMay(a, v, _ >= 0)
+      case LessThan(a, v) => rangeMay(a, v, _ <= 0)
+      case LessThanOrEqual(a, v) => rangeMay(a, v, _ <= 0)
+      case IsNull(a) => dimOf(a) match {
+        case Some((pv, _)) => pv == null
+        case None => true
+      }
+      case IsNotNull(a) => dimOf(a) match {
+        case Some((pv, _)) => pv != null
+        case None => true
+      }
+      case And(l, r) => mayMatch(l, part, tx) && mayMatch(r, part, tx)
+      case Or(l, r) => mayMatch(l, part, tx) || mayMatch(r, part, tx)
+      case _ => true
+    }
   }
 }
 

@@ -972,6 +972,16 @@ object GraftMaintenance {
     val rewrittenN = new java.util.concurrent.atomic.AtomicInteger(0)
     if (work.isEmpty) return RewriteResult(0, skippedPaths)
     val scratchRoot = scratchRootOf(spec.tag)
+    // the scratch write target has no sidecar, so a transform layout's
+    // derived dir names (`ts_day`) cannot resolve there — map each dir
+    // name back to its declared spec (`days(ts)`) up front; identity
+    // names pass through unchanged
+    val declaredTx: Map[String, String] =
+      GraftCatalog.declaredPartSpecsOf(fs, tableDir)
+        .map(GraftPartTransform.parse)
+        .map(pt => pt.dirName.toLowerCase -> pt.spec).toMap
+    def specOfDir(name: String): String =
+      declaredTx.getOrElse(name.toLowerCase, name)
     // retired originals' DV sidecars drop in ONE batched listing after the
     // join (per-file dropFor listed `_graft_dv` once per task — quadratic
     // on broad matches); sidecars of an already-deleted file are inert to
@@ -1032,7 +1042,8 @@ object GraftMaintenance {
             tableDir, s"$scratchRoot/sv/$ident-${spec.hash}")
           val w = spec.projectOf(one).coalesce(1)
             .write.format("graft").mode("overwrite")
-          (if (segs.nonEmpty) w.option("partitionby", segs.map(_._1).mkString(","))
+          (if (segs.nonEmpty)
+            w.option("partitionby", segs.map(s => specOfDir(s._1)).mkString(","))
            else w).save(scratch.toString)
           val produced = GraftUtil.listDataFiles(scratch.toString, conf)
           if (spec.allowEmpty)
@@ -2391,9 +2402,21 @@ object GraftMaintenance {
         s"graft: no files under partition $partition of $dir")
       val bytesBefore = victims.map(_.getLen).sum
       val df0 = spark.read.format("graft").load(dir)
+      // derived (transform) dims scope via the shared derivation — the
+      // dir name (`ts_day`) is not a data column, but deriveColumn
+      // reconstructs its value from the source column exactly as the
+      // writer laid it out
+      val declared = GraftCatalog.declaredPartSpecsOf(fs, tableDir)
+        .map(GraftPartTransform.parse)
       val pred = partition.map { case (k, v) =>
-        org.apache.spark.sql.functions.col(k) ===
-          org.apache.spark.sql.functions.lit(v).cast(df0.schema(k).dataType)
+        declared.find(pt => !pt.isIdentity && pt.dirName.equalsIgnoreCase(k)) match {
+          case Some(pt) =>
+            GraftPartTransform.deriveColumn(pt, df0.schema(pt.src).dataType) ===
+              org.apache.spark.sql.functions.lit(v)
+          case None =>
+            org.apache.spark.sql.functions.col(k) ===
+              org.apache.spark.sql.functions.lit(v).cast(df0.schema(k).dataType)
+        }
       }.reduce(_ && _)
       // partition pruning scopes the scan to the victim files; the append
       // re-lands the rows in their partition dirs

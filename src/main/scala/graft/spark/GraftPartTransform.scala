@@ -1,0 +1,364 @@
+package graft.spark
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One partition-layout dimension: either an identity column or a derived
+  * (hidden-partitioning) transform over a source column — `days(ts)`,
+  * `months(ts)`, `hours(ts)`, `years(ts)`, `bucket(16,id)`,
+  * `truncate(4,s)`. The table schema keeps the SOURCE column; the hive
+  * directory layout carries the DERIVED value under a derived dir name
+  * (`ts_day=2026-08-16/`), so queries filter on the source column and the
+  * scan prunes directories by compiling those predicates into
+  * derived-value ranges. This is what makes `PARTITIONED BY (days(ts))`
+  * usable on an event table: nobody materializes a date column by hand or
+  * remembers to filter on it.
+  *
+  * Scale note: at 100 TB the directory layout is the coarsest and
+  * cheapest pruning layer — a day-ranged query over a days(ts) layout
+  * skips whole directories before ANY footer IO, which no zone map can
+  * match (zone maps still need the footer read).
+  *
+  * Time derivations are calendar-in-UTC over the internal epoch micros
+  * (for TIMESTAMP_NTZ: over the wall-time micros, which is the same
+  * arithmetic). Both the writer and the pruner share ONE derivation
+  * function, so pruning can never disagree with the layout.
+  */
+final case class PartTransform(kind: String, src: String, arg: Int) {
+  def isIdentity: Boolean = kind == "identity"
+
+  /** The hive dir-segment name the derived value is laid out under. */
+  val dirName: String = kind match {
+    case "identity" => src
+    case "years"    => src + "_year"
+    case "months"   => src + "_month"
+    case "days"     => src + "_day"
+    case "hours"    => src + "_hour"
+    case "bucket"   => src + "_bucket"
+    case "truncate" => src + "_trunc"
+  }
+
+  /** Canonical spec string — what the sidecar persists and the
+    * `partitionby` write option accepts. Identity stays a bare column
+    * name (backward compatible with every pre-transform sidecar). */
+  def spec: String = kind match {
+    case "identity"             => src
+    case "bucket" | "truncate"  => s"$kind($arg,$src)"
+    case k                      => s"$k($src)"
+  }
+}
+
+object GraftPartTransform {
+  private val MicrosPerDay = 86400000000L
+  private val MicrosPerHour = 3600000000L
+  private val TimeKinds = Set("years", "months", "days", "hours")
+
+  private val FnPat = raw"(?i)(years|months|days|hours)\s*\(\s*([^(),\s]+)\s*\)".r
+  private val ArgPat = raw"(?i)(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)".r
+  private val ArgPatRev = raw"(?i)(bucket|truncate)\s*\(\s*([^(),\s]+)\s*,\s*(\d+)\s*\)".r
+  // Spark's parser canonicalizes days/hours/... aliases; accept the
+  // common singular forms too
+  private val Alias = Map("year" -> "years", "month" -> "months",
+    "day" -> "days", "date" -> "days", "hour" -> "hours")
+
+  /** Parse one spec string. A bare name is identity. */
+  def parse(spec: String): PartTransform = spec.trim match {
+    case FnPat(k, c) => PartTransform(normKind(k), c, 0)
+    case ArgPat(k, n, c) => PartTransform(k.toLowerCase, c, n.toInt)
+    case ArgPatRev(k, c, n) => PartTransform(k.toLowerCase, c, n.toInt)
+    case bare if bare.nonEmpty && !bare.contains('(') =>
+      PartTransform("identity", bare, 0)
+    case other => throw new IllegalArgumentException(
+      s"graft: cannot parse partition spec '$other' — expected a column " +
+        "name, days(col)/months(col)/years(col)/hours(col), " +
+        "bucket(n,col) or truncate(w,col)")
+  }
+
+  private def normKind(k: String): String = {
+    val lk = k.toLowerCase
+    Alias.getOrElse(lk, lk)
+  }
+
+  /** Split a comma-joined `partitionby` option value into specs,
+    * respecting parens (`bucket(16,id)` is ONE spec). */
+  def splitSpecs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 =>
+        if (cur.nonEmpty) { out += cur.toString.trim; cur.clear() }
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  /** Connector Transform -> canonical spec string (CREATE TABLE
+    * PARTITIONED BY arrives as v2 Transforms). */
+  def fromV2(t: org.apache.spark.sql.connector.expressions.Transform): String = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Lit}
+    def oneCol(refs: Array[NamedReference], what: String): String = {
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"graft: $what must reference exactly one top-level column, got " +
+          refs.map(_.describe()).mkString(", "))
+      refs.head.fieldNames.head
+    }
+    normKind(t.name) match {
+      case "identity" => oneCol(t.references(), "identity partitioning")
+      case k @ ("years" | "months" | "days" | "hours") =>
+        s"$k(${oneCol(t.references(), s"$k() partitioning")})"
+      case k @ ("bucket" | "truncate") =>
+        val col = oneCol(t.references(), s"$k() partitioning")
+        val lit = t.arguments().collectFirst {
+          case l: V2Lit[_] => String.valueOf(l.value).toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft: $k() partitioning needs an integer argument"))
+        require(lit > 0, s"graft: $k() argument must be positive, got $lit")
+        s"$k($lit,$col)"
+      case other => throw new IllegalArgumentException(
+        s"graft: unsupported partition transform '$other' — supported: " +
+          "identity columns, years/months/days/hours(col), bucket(n,col), " +
+          "truncate(w,col)")
+    }
+  }
+
+  /** Canonical spec -> connector Transform (what partitioning() reports —
+    * the planner routes dynamic partition overwrite and storage-
+    * partitioned decisions off this). */
+  def toV2(pt: PartTransform)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    pt.kind match {
+      case "identity" => Expressions.identity(pt.src)
+      case "years"    => Expressions.years(pt.src)
+      case "months"   => Expressions.months(pt.src)
+      case "days"     => Expressions.days(pt.src)
+      case "hours"    => Expressions.hours(pt.src)
+      case "bucket"   => Expressions.bucket(pt.arg, pt.src)
+      case "truncate" => Expressions.apply("truncate",
+        Expressions.literal(pt.arg), Expressions.column(pt.src))
+    }
+  }
+
+  /** Source-column types each transform accepts. Time transforms take
+    * TIMESTAMP / TIMESTAMP_NTZ / DATE (hours rejects DATE — a date has no
+    * hour); bucket/truncate take integral/string; identity additionally
+    * takes boolean and DATE. */
+  def validate(pt: PartTransform, schema: StructType): Unit = {
+    require(schema.fieldNames.contains(pt.src),
+      s"graft: partition source column '${pt.src}' is not in the table schema")
+    val dt = schema(pt.src).dataType
+    def bad(allowed: String): Nothing = throw new IllegalArgumentException(
+      s"graft: partition spec '${pt.spec}' cannot apply to column " +
+        s"'${pt.src}' of type ${dt.simpleString} ($allowed)")
+    pt.kind match {
+      case "identity" => dt match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             StringType | DateType => ()
+        case _ => bad("boolean/integral/string/date only")
+      }
+      case "hours" => dt match {
+        case TimestampType | TimestampNTZType => ()
+        case _ => bad("timestamp only — a date has no hour")
+      }
+      case k if TimeKinds(k) => dt match {
+        case TimestampType | TimestampNTZType | DateType => ()
+        case _ => bad("timestamp/date only")
+      }
+      case "bucket" | "truncate" => dt match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case _ => bad("integral/string only")
+      }
+    }
+    if (!pt.isIdentity)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(pt.dirName)),
+        s"graft: derived partition dir name '${pt.dirName}' collides with " +
+          "a table column — rename the column or partition differently")
+  }
+
+  /** Resolve one `partitionby` entry against the write schema and the
+    * table's declared layout specs: full transform syntax parses
+    * directly; a bare name is an identity column, OR the derived dir
+    * name of a declared transform (what the maintenance rewrites pass
+    * after inferring the layout from the directory names). */
+  def resolve(entry: String, schema: StructType,
+      declared: Seq[PartTransform]): PartTransform = {
+    val pt = parse(entry)
+    if (!pt.isIdentity) pt
+    else if (schema.fieldNames.contains(pt.src)) pt
+    else declared.find(_.dirName.equalsIgnoreCase(pt.src)).getOrElse(pt)
+  }
+
+  /** The partition-schema field a transform exposes (what SHOW PARTITIONS
+    * and ADD/DROP PARTITION bind): identity keeps the source field; time
+    * transforms are the rendered string; bucket is the bucket ordinal;
+    * truncate keeps string, widens integrals to long. */
+  def partField(pt: PartTransform, schema: StructType): StructField = {
+    val srcField = schema(pt.src)
+    pt.kind match {
+      case "identity" => srcField
+      case "bucket"   => StructField(pt.dirName, IntegerType, nullable = srcField.nullable)
+      case "truncate" => srcField.dataType match {
+        case StringType => StructField(pt.dirName, StringType, srcField.nullable)
+        case _ => StructField(pt.dirName, LongType, srcField.nullable)
+      }
+      case _ => StructField(pt.dirName, StringType, srcField.nullable)
+    }
+  }
+
+  // ---- derivation: internal value -> logical dir value (string) -------
+  // ONE function serves the writer (row values) and the pruner (filter
+  // literals converted to internal form): the layout and the pruning can
+  // never drift apart.
+
+  private def renderTime(kind: String, epochDay: Long, hour: Long): String = {
+    val d = java.time.LocalDate.ofEpochDay(epochDay)
+    kind match {
+      case "years"  => f"${d.getYear}%04d"
+      case "months" => f"${d.getYear}%04d-${d.getMonthValue}%02d"
+      case "days"   => f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+      case "hours"  => f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d-$hour%02d"
+    }
+  }
+
+  /** Bucket ordinal with EXACTLY Spark's `pmod(hash(col), n)` semantics
+    * (Murmur3 seed 42 over Spark's per-type byte rendering) — so the SQL
+    * predicate `pmod(hash(id), 16) = 3` and the layout agree, and the
+    * maintenance passes can reconstruct the dir from the data. */
+  def bucketOf(v: Any, dt: DataType, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(v, dt, 42L).toInt
+    ((h % n) + n) % n
+  }
+
+  /** Internal (catalyst) non-null value -> logical dir value. */
+  def deriveLogical(pt: PartTransform, dt: DataType, v: Any): String = pt.kind match {
+    case "identity" => dt match {
+      case StringType => v.asInstanceOf[UTF8String].toString
+      case DateType => java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong).toString
+      case _ => String.valueOf(v)
+    }
+    case k if TimeKinds(k) => dt match {
+      case DateType => renderTime(k, v.asInstanceOf[Int].toLong, 0L)
+      case _ => // TimestampType / TimestampNTZType: epoch/wall micros
+        val us = v.asInstanceOf[Long]
+        renderTime(k, Math.floorDiv(us, MicrosPerDay),
+          Math.floorDiv(Math.floorMod(us, MicrosPerDay), MicrosPerHour))
+    }
+    case "bucket" => String.valueOf(bucketOf(v, dt, pt.arg))
+    case "truncate" => dt match {
+      case StringType =>
+        v.asInstanceOf[UTF8String].substringSQL(1, pt.arg).toString
+      case _ =>
+        val l = v match {
+          case b: Byte => b.toLong; case s: Short => s.toLong
+          case i: Int => i.toLong; case l: Long => l
+        }
+        String.valueOf(Math.floorDiv(l, pt.arg.toLong) * pt.arg.toLong)
+    }
+  }
+
+  /** External (filter-literal) value -> internal form, or None when the
+    * literal's runtime type doesn't map (pruning then keeps the dir —
+    * conservative, never wrong). */
+  def toInternal(dt: DataType, v: Any): Option[Any] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    if (v == null) return None
+    dt match {
+      case StringType => v match {
+        case s: String => Some(UTF8String.fromString(s))
+        case u: UTF8String => Some(u)
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+        case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+        case _ => None
+      }
+      case TimestampNTZType => v match {
+        case l: java.time.LocalDateTime =>
+          Some(DateTimeUtils.localDateTimeToMicros(l))
+        case _ => None
+      }
+      case DateType => v match {
+        case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
+        case l: java.time.LocalDate => Some(l.toEpochDay.toInt)
+        case _ => None
+      }
+      case ByteType => v match { case b: Byte => Some(b); case _ => None }
+      case ShortType => v match { case s: Short => Some(s); case _ => None }
+      case IntegerType => v match { case i: Int => Some(i); case _ => None }
+      case LongType => v match { case l: Long => Some(l); case _ => None }
+      case BooleanType => v match { case b: Boolean => Some(b); case _ => None }
+      case _ => None
+    }
+  }
+
+  /** Monotonic transforms support range pruning: any non-decreasing
+    * source value maps to a non-decreasing derived value. bucket is the
+    * only non-monotonic one (equality/IN pruning only). */
+  def monotonic(pt: PartTransform): Boolean = pt.kind != "bucket"
+
+  /** Ordering of two derived dir values, or None when a value falls
+    * outside the fixed-width rendering the order relies on (pre-CE /
+    * five-digit years) — the caller then keeps the dir. */
+  def cmpDerived(pt: PartTransform, a: String, b: String): Option[Int] = {
+    if (a == null || b == null) return None
+    pt.kind match {
+      case k if TimeKinds(k) =>
+        // fixed-width zero-padded renderings compare lexicographically;
+        // a leading '-' (negative year) would not
+        if (a.startsWith("-") || b.startsWith("-") || a.length != b.length) None
+        else Some(a.compareTo(b))
+      case "truncate" => // string prefix: lexicographic; integral: numeric
+        try Some(java.lang.Long.compare(a.toLong, b.toLong))
+        catch { case _: NumberFormatException => Some(a.compareTo(b)) }
+      case _ => None
+    }
+  }
+
+  /** Exact-match SQL derivation of the dir value from the source column —
+    * what lets a maintenance pass (partition-scoped compaction) scope a
+    * table scan to one derived directory with a data predicate. Uses only
+    * timezone-stable constructs: epoch-micros arithmetic for TIMESTAMP,
+    * wall-time field extraction for TIMESTAMP_NTZ/DATE.
+    */
+  def deriveColumn(pt: PartTransform, dt: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val c = col(pt.src)
+    pt.kind match {
+      case "identity" => dt match {
+        case DateType => date_format(c, "yyyy-MM-dd")
+        case _ => c.cast(StringType)
+      }
+      case k if TimeKinds(k) =>
+        val (dateCol, hourCol) = dt match {
+          case DateType => (c, lit(0L))
+          case TimestampNTZType =>
+            (c.cast(DateType), hour(c).cast(LongType))
+          case _ => // TimestampType: UTC calendar over epoch micros
+            val us = unix_micros(c)
+            val day = floor(us / lit(MicrosPerDay)).cast(LongType)
+            (date_from_unix_date(day.cast(IntegerType)),
+              floor(pmod(us, lit(MicrosPerDay)) / lit(MicrosPerHour))
+                .cast(LongType))
+        }
+        k match {
+          case "years"  => date_format(dateCol, "yyyy")
+          case "months" => date_format(dateCol, "yyyy-MM")
+          case "days"   => date_format(dateCol, "yyyy-MM-dd")
+          case "hours"  => concat(date_format(dateCol, "yyyy-MM-dd"),
+            lit("-"), lpad(hourCol.cast(StringType), 2, "0"))
+        }
+      case "bucket" => pmod(hash(c), lit(pt.arg)).cast(StringType)
+      case "truncate" => dt match {
+        case StringType => substring(c, 1, pt.arg)
+        case _ => (c.cast(LongType) - pmod(c.cast(LongType), lit(pt.arg.toLong)))
+          .cast(StringType)
+      }
+    }
+  }
+}

@@ -80,18 +80,35 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
   }
 
   override def build(): Write = {
-    val parsed = GraftWriteOptions.fromOptions(info.options)
+    val parsed0 = GraftWriteOptions.fromOptions(info.options)
+    // canonicalize partition specs on the DRIVER: a bare entry that is
+    // the derived dir name of a declared transform (what the maintenance
+    // rewrites pass after inferring the layout from directory names)
+    // resolves through the sidecar to its full spec, so executors only
+    // ever parse self-contained canonical specs
+    val hadoop = SparkSession.active.sessionState.newHadoopConf()
+    lazy val sidecarSpecs: Seq[PartTransform] = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      GraftCatalog.declaredPartSpecsOf(dir.getFileSystem(hadoop), dir)
+        .map(GraftPartTransform.parse)
+    }
+    def canon(entries: Seq[String]): Seq[String] =
+      if (entries.isEmpty) entries
+      else entries.map(e =>
+        GraftPartTransform.resolve(e, info.schema(), sidecarSpecs).spec)
+    val parsed = parsed0.copy(partitionBy = canon(parsed0.partitionBy))
+    val tableSpecs = canon(tablePartitionBy)
     // a catalog table's declared layout partitions every write to it; an
     // explicit per-write option may only restate it (a conflicting layout
     // would scatter this commit's rows outside the declared directories)
     val opts0 =
-      if (tablePartitionBy.isEmpty) parsed
-      else if (parsed.partitionBy.isEmpty) parsed.copy(partitionBy = tablePartitionBy)
+      if (tableSpecs.isEmpty) parsed
+      else if (parsed.partitionBy.isEmpty) parsed.copy(partitionBy = tableSpecs)
       else {
-        require(parsed.partitionBy == tablePartitionBy,
+        require(parsed.partitionBy == tableSpecs,
           s"graft: write option partitionby=${parsed.partitionBy.mkString(",")} " +
             s"conflicts with the table's declared layout " +
-            tablePartitionBy.mkString(","))
+            tableSpecs.mkString(","))
         parsed
       }
     // declared SORT/CLUSTER intent (CREATE TABLE ... TBLPROPERTIES
@@ -118,9 +135,24 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
         "graft: dynamic partition overwrite needs a partitioned write — " +
           "set .option(\"partitionby\", ...) or declare the layout on the " +
           "catalog table")
+    // a PATH-based transform write needs the layout recorded for later
+    // readers/rewrites (catalog tables already have the sidecar): publish
+    // a minimal one so the table stays self-describing
+    if (opts.partitionBy.exists(s =>
+        !GraftPartTransform.parse(s).isIdentity)) {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(hadoop)
+      val sc = new org.apache.hadoop.fs.Path(dir, "_graft_table.json")
+      if (!fs.exists(sc)) {
+        fs.mkdirs(dir)
+        val out = fs.create(sc, false)
+        try out.write(GraftCatalog.renderSidecar(info.schema(),
+          opts.partitionBy).getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
     new GraftWriteImpl(info.schema(), path, opts, mode,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-      info.queryId())
+      new SerializableHadoopConf(hadoop), info.queryId())
   }
 }
 
@@ -208,8 +240,9 @@ object GraftWriteOptions {
         require(n > 0, s"graft: maxrowsperfile must be positive, got $n")
         n
       }.getOrElse(1 << 20),
-      partitionBy = Option(o.get("partitionby")).map(_.split(",").map(_.trim).toSeq)
-        .getOrElse(Seq.empty),
+      // paren-aware split: `bucket(16,id)` is ONE spec, not two
+      partitionBy = Option(o.get("partitionby"))
+        .map(GraftPartTransform.splitSpecs).getOrElse(Seq.empty),
       sortBy = Option(o.get("sortby")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty),
       clusterBy = Option(o.get("clusterby")).map(_.split(",").map(_.trim).toSeq)
@@ -268,17 +301,8 @@ final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOpt
   // validate partitionby / bloomfilter at PLAN time on the driver: a
   // typo'd column must fail before the job launches, not as N retried
   // task failures
-  opts.partitionBy.foreach { c =>
-    require(schema.fieldNames.contains(c),
-      s"graft: partitionby column '$c' is not in the write schema")
-    schema(c).dataType match {
-      case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.StringType => ()
-      case dt => throw new IllegalArgumentException(
-        s"graft: partitionby column '$c' has unsupported type $dt " +
-          "(boolean/integral/string only)")
-    }
+  opts.partitionBy.foreach { spec =>
+    GraftPartTransform.validate(GraftPartTransform.parse(spec), schema)
   }
   opts.bloomFilter.foreach { p =>
     require(GraftSchema.leafIndexOfPath(schema, p).isDefined,
@@ -679,35 +703,25 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
   private val uuid = nameToken.getOrElse(java.util.UUID.randomUUID().toString.take(8))
 
   // hive-style layout: .option("partitionby", "a,b") routes each row into a
-  // `a=x/b=y/` subdir (values escaped). Partition columns STAY in the data —
-  // constant per file, they cost ~nothing (OneValue/RLE pages) and keep
-  // every file self-describing; the subdirs are a directory-level zone map
-  // the scan prunes on before any footer IO.
-  private val partIdx: Array[Int] = opts.partitionBy.map { c =>
-    val i = schema.fieldIndex(c)
-    schema.fields(i).dataType match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType | StringType => i
-      case dt => throw new IllegalArgumentException(
-        s"graft: partitionby column '$c' has unsupported type $dt " +
-          "(boolean/integral/string only)")
-    }
-  }.toArray
+  // `a=x/b=y/` subdir (values escaped); transform specs (`days(ts)`,
+  // `bucket(16,id)`) route into DERIVED-value subdirs (`ts_day=.../`).
+  // Source columns STAY in the data — constant-ish per file, they cost
+  // ~nothing (OneValue/RLE pages) and keep every file self-describing;
+  // the subdirs are a directory-level zone map the scan prunes on before
+  // any footer IO.
+  private val partTx: Array[(PartTransform, Int)] =
+    opts.partitionBy.map { spec =>
+      val pt = GraftPartTransform.parse(spec)
+      (pt, schema.fieldIndex(pt.src))
+    }.toArray
 
   private def partitionDirOf(row: InternalRow): String =
-    partIdx.map { i =>
-      val f = schema.fields(i)
+    partTx.map { case (pt, i) =>
+      val dt = schema.fields(i).dataType
       val v =
         if (row.isNullAt(i)) null
-        else f.dataType match {
-          case StringType => row.getUTF8String(i).toString
-          case BooleanType => row.getBoolean(i).toString
-          case ByteType => row.getByte(i).toString
-          case ShortType => row.getShort(i).toString
-          case IntegerType => row.getInt(i).toString
-          case LongType => row.getLong(i).toString
-          case _ => throw new IllegalStateException("unreachable")
-        }
-      s"${f.name}=${GraftUtil.escapePathValue(v)}"
+        else GraftPartTransform.deriveLogical(pt, dt, row.get(i, dt))
+      s"${pt.dirName}=${GraftUtil.escapePathValue(v)}"
     }.mkString("/")
 
   /** Buffered rows + rolling state for one output directory. */
@@ -744,7 +758,7 @@ final class GraftDataWriter(schemaJson: String, path: String, opts: GraftWriteOp
           "satisfy the replace predicate — such rows would survive a " +
           "re-run's delete phase, making the overwrite non-idempotent " +
           "(set .option(\"replacewherecheck\", \"false\") to write unchecked)")
-    val key = if (partIdx.isEmpty) "" else partitionDirOf(row)
+    val key = if (partTx.isEmpty) "" else partitionDirOf(row)
     val st = parts.getOrElseUpdate(key,
       new PartState(key, fileSeqs.getOrElse(key, 0)))
     var i = 0

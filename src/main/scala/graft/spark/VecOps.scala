@@ -89,6 +89,71 @@ object VecOps extends Serializable {
     java.lang.Long.valueOf(s)
   }
 
+  /** 64-permutation MinHash signature fold — semantically identical to
+    * the SQL it replaces (the d_dedup_minhash_lsh / d_dedup_incremental
+    * hot path, every shingle × 64 lanes):
+    *
+    *   aggregate(hb, array_repeat(9223372036854775807L, 64),
+    *     (acc, v) -> zip_with(acc,
+    *       transform(sequence(0, 63),
+    *         h -> pmod((h*2+1) * pmod(v, 1000000007) + h*12345+1, 1000000007)),
+    *       (a, b) -> least(a, b)))
+    *
+    * including the null contract: null input array ⇒ NULL; a null ELEMENT
+    * contributes nothing (SQL `least` skips nulls, so the lane keeps its
+    * accumulator). Empty array ⇒ the 64 Long.MaxValue sentinels, exactly
+    * the aggregate's untouched init. The HOF form allocates two
+    * intermediate 64-arrays and dispatches 128 lambdas per shingle; this
+    * is one tight loop per shingle, inlined into whole-stage codegen —
+    * the same ~20-50x constant-factor reduction the ANN kernels bought.
+    * All lane arithmetic stays in [0, 2^37): no overflow, `%` == pmod.
+    */
+  def minhashSig(hb: ArrayData): ArrayData = {
+    val P = 1000000007L
+    val acc = Array.fill(64)(Long.MaxValue)
+    val n = hb.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hb.isNullAt(i)) {
+        val v = hb.getLong(i)
+        val m = v % P
+        val pm = if (m < 0) m + P else m
+        var h = 0
+        while (h < 64) {
+          val lane = ((h * 2 + 1) * pm + h * 12345 + 1) % P
+          if (lane < acc(h)) acc(h) = lane
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+
+  /** Count of equal lanes between two signatures — semantically
+    *   size(filter(zip_with(a, b, (x, y) -> x = y), p -> p))
+    * over equal-length non-null arrays; NULL on length mismatch, and a
+    * null lane on either side compares as not-equal (zip_with's x = y is
+    * null ⇒ filtered out), matching the SQL exactly. */
+  def sigAgree(a: ArrayData, b: ArrayData): java.lang.Integer = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+
+  def minhashSignature(hb: Column): Column =
+    GraftCatalystBridge.column(MinhashSig(GraftCatalystBridge.expression(hb)))
+
+  def signatureAgreement(a: Column, b: Column): Column =
+    GraftCatalystBridge.column(
+      SigAgree(GraftCatalystBridge.expression(a), GraftCatalystBridge.expression(b)))
+
   def longDot(a: Column, b: Column): Column =
     GraftCatalystBridge.column(
       LongDot(GraftCatalystBridge.expression(a), GraftCatalystBridge.expression(b)))
@@ -187,4 +252,49 @@ case class LongL2(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): LongL2 = copy(left = newLeft, right = newRight)
+}
+
+case class MinhashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.checkLongArrays(prettyName, Seq(child.dataType))
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.minhashSig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("vecOps", VecOps, "graft.spark.VecOps$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.minhashSig($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+case class SigAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sig_agree"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.checkLongArrays(prettyName, Seq(left.dataType, right.dataType))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("vecOps", VecOps, "graft.spark.VecOps$")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("agree")
+      s"""
+         |java.lang.Integer $boxed = $mod.sigAgree($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SigAgree = copy(left = newLeft, right = newRight)
 }

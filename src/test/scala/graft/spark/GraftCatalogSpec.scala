@@ -67,16 +67,18 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sessionState.newHadoopConf()).map(_.getPath.toString)
     assert(files.nonEmpty && files.forall(f => f.contains("/p=a/") || f.contains("/p=b/")),
       s"declared layout must route rows into hive dirs: ${files.take(2)}")
-    // non-identity transforms don't map to a hive layout — rejected loudly
+    // hidden-partitioning transforms are supported (PartitionTransformSpec
+    // covers them in depth); a transform over an incompatible source type
+    // still rejects loudly at CREATE
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE graftcat.db2.bad (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+      spark.sql("CREATE TABLE graftcat.db2.bad (id BIGINT, s STRING) PARTITIONED BY (days(s))")
     }
-    assert(e.getMessage.contains("identity"), e.getMessage)
+    assert(e.getMessage.contains("timestamp"), e.getMessage)
     // unsupported partition-value type: rejected at CREATE, not at write
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE graftcat.db2.bad2 (id BIGINT, d DOUBLE) PARTITIONED BY (d)")
     }
-    assert(e2.getMessage.contains("unsupported type"), e2.getMessage)
+    assert(e2.getMessage.contains("cannot apply to column"), e2.getMessage)
   }
 
   test("SQL time travel: TIMESTAMP AS OF pins the manifest snapshot") {

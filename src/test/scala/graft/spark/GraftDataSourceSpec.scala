@@ -577,7 +577,7 @@ class GraftDataSourceSpec extends AnyFunSuite {
         if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains(needle)), s"for $opt got: $e")
     }
-    rejected("partitionby" -> "nope", "not in the write schema")
+    rejected("partitionby" -> "nope", "not in the table schema")
     rejected("pagesize" -> "0", "must be positive")
     rejected("maxrowsperfile" -> "-5", "must be positive")
     val dfd = Seq((1L, 2.5)).toDF("k", "d")
@@ -587,7 +587,7 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
     def msgs2(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
-    assert(msgs2(e).exists(_.contains("unsupported type")))
+    assert(msgs2(e).exists(_.contains("cannot apply to column")))
   }
 
   test("high-cardinality partitionby write saturates, evicts, and round-trips") {

@@ -1,0 +1,247 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hidden-partitioning transforms (`PARTITIONED BY (days(ts))`,
+  * `bucket(n,col)`, `truncate(w,col)`, months/years/hours): the table
+  * schema keeps the source column, the directory layout carries the
+  * derived value, and the scan compiles source-column predicates into
+  * derived-dir pruning — no hand-materialized date column, no
+  * remember-to-filter-on-it. The writer and pruner share ONE derivation
+  * (GraftPartTransform.deriveLogical), asserted here by layout checks +
+  * filesPruned metrics on source-column predicates.
+  */
+class PartitionTransformSpec extends AnyFunSuite {
+  private val wh = "/tmp/graft-test/parttx-wh"
+
+  lazy val spark: SparkSession = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.tx", "graft.spark.GraftCatalog")
+      .config("spark.sql.catalog.tx.warehouse", wh)
+      .getOrCreate()
+  }
+
+  private def conf = spark.sessionState.newHadoopConf()
+  private def dirsOf(table: String): Seq[String] =
+    GraftUtil.listDataFiles(s"$wh/$table", conf)
+      .flatMap(f => GraftUtil.partitionSegments(
+        new org.apache.hadoop.fs.Path(s"$wh/$table"), f.getPath)
+        .map(s => s"${s._1}=${s._2}"))
+      .distinct.sorted
+
+  private def prunedBy(sql: String): Long = {
+    GraftMetrics.filesPruned.set(0)
+    spark.sql(sql).collect()
+    GraftMetrics.filesPruned.get()
+  }
+
+  test("days(ts) lays out derived dirs and prunes on ts predicates") {
+    spark.sql("CREATE TABLE tx.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO tx.ev SELECT id, " +
+      "timestamp'2026-01-01 06:30:00' + make_dt_interval(CAST(id % 5 AS INT), 0, 0, 0) " +
+      "FROM range(100)")
+    assert(dirsOf("ev") == (1 to 5).map(d => f"ts_day=2026-01-$d%02d"),
+      dirsOf("ev"))
+    // equality on the SOURCE column prunes to one derived dir
+    assert(spark.sql("SELECT count(*) FROM tx.ev " +
+      "WHERE ts = timestamp'2026-01-03 06:30:00'").head.getLong(0) == 20)
+    assert(prunedBy("SELECT * FROM tx.ev " +
+      "WHERE ts = timestamp'2026-01-03 06:30:00'") > 0,
+      "equality must prune derived day dirs")
+    // RANGE on the source column prunes (monotonic derivation)
+    assert(spark.sql("SELECT count(*) FROM tx.ev " +
+      "WHERE ts >= timestamp'2026-01-04 00:00:00'").head.getLong(0) == 40)
+    assert(prunedBy("SELECT * FROM tx.ev " +
+      "WHERE ts >= timestamp'2026-01-04 00:00:00'") > 0,
+      "range must prune derived day dirs")
+    // SHOW PARTITIONS surfaces the derived layout
+    val parts = spark.sql("SHOW PARTITIONS tx.ev").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(parts == (1 to 5).map(d => f"ts_day=2026-01-$d%02d"), parts)
+  }
+
+  test("null source values land in the default dir and IS NULL prunes exactly") {
+    spark.sql("CREATE TABLE tx.evn (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO tx.evn VALUES " +
+      "(1, timestamp'2026-02-01 00:00:00'), (2, NULL), (3, NULL)")
+    assert(dirsOf("evn").contains("ts_day=null"), dirsOf("evn"))
+    assert(spark.sql("SELECT count(*) FROM tx.evn WHERE ts IS NULL")
+      .head.getLong(0) == 2)
+    assert(prunedBy("SELECT * FROM tx.evn WHERE ts IS NULL") > 0)
+    assert(spark.sql("SELECT count(*) FROM tx.evn WHERE ts IS NOT NULL")
+      .head.getLong(0) == 1)
+    assert(prunedBy("SELECT * FROM tx.evn WHERE ts IS NOT NULL") > 0)
+  }
+
+  test("months(ts) prunes a month-range predicate before any footer IO") {
+    spark.sql("CREATE TABLE tx.evm (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql("INSERT INTO tx.evm SELECT id, " +
+      "timestamp'2026-01-15 12:00:00' + make_dt_interval(CAST(id % 4 AS INT) * 31, 0, 0, 0) " +
+      "FROM range(80)")
+    assert(dirsOf("evm") == Seq("ts_month=2026-01", "ts_month=2026-02",
+      "ts_month=2026-03", "ts_month=2026-04"), dirsOf("evm"))
+    assert(spark.sql("SELECT count(*) FROM tx.evm " +
+      "WHERE ts >= timestamp'2026-03-01 00:00:00' " +
+      "AND ts < timestamp'2026-05-01 00:00:00'").head.getLong(0) == 40)
+    assert(prunedBy("SELECT * FROM tx.evm " +
+      "WHERE ts >= timestamp'2026-03-01 00:00:00' " +
+      "AND ts < timestamp'2026-05-01 00:00:00'") > 0)
+  }
+
+  test("bucket(8,id) buckets with pmod(hash(id),8) semantics and prunes equality") {
+    spark.sql("CREATE TABLE tx.evb (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql("INSERT INTO tx.evb SELECT id, CONCAT('v', id) FROM range(64)")
+    // the layout must agree with SQL's own pmod(hash(id), 8)
+    val expect = spark.sql(
+      "SELECT DISTINCT CONCAT('id_bucket=', pmod(hash(id), 8)) FROM range(64)")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(dirsOf("evb") == expect, dirsOf("evb"))
+    assert(spark.sql("SELECT v FROM tx.evb WHERE id = 17").head.getString(0) == "v17")
+    assert(prunedBy("SELECT * FROM tx.evb WHERE id = 17") > 0,
+      "bucket equality must prune other buckets")
+    assert(spark.sql("SELECT count(*) FROM tx.evb WHERE id IN (3, 9)")
+      .head.getLong(0) == 2)
+  }
+
+  test("truncate(4,s) prefixes strings and prunes equality and ranges") {
+    spark.sql("CREATE TABLE tx.evt (id BIGINT, s STRING) " +
+      "PARTITIONED BY (truncate(4, s))")
+    spark.sql("INSERT INTO tx.evt SELECT id, " +
+      "CONCAT(CASE WHEN id % 2 = 0 THEN 'aaaa' ELSE 'bbbb' END, id) FROM range(40)")
+    assert(dirsOf("evt") == Seq("s_trunc=aaaa", "s_trunc=bbbb"), dirsOf("evt"))
+    assert(spark.sql("SELECT count(*) FROM tx.evt WHERE s = 'aaaa0'")
+      .head.getLong(0) == 1)
+    assert(prunedBy("SELECT * FROM tx.evt WHERE s = 'aaaa0'") > 0)
+    assert(spark.sql("SELECT count(*) FROM tx.evt WHERE s > 'b'")
+      .head.getLong(0) == 20)
+    assert(prunedBy("SELECT * FROM tx.evt WHERE s > 'b'") > 0,
+      "string-prefix truncation is monotonic: ranges prune")
+  }
+
+  test("multi-dimension days(ts) + bucket(4,id) nests and prunes conjunctions") {
+    spark.sql("CREATE TABLE tx.evdb (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts), bucket(4, id))")
+    spark.sql("INSERT INTO tx.evdb SELECT id, " +
+      "timestamp'2026-03-01 12:00:00' + make_dt_interval(CAST(id % 3 AS INT), 0, 0, 0) " +
+      "FROM range(60)")
+    val ds = dirsOf("evdb")
+    assert(ds.forall(_.startsWith("ts_day=")) || ds.exists(_.startsWith("id_bucket=")),
+      ds)
+    assert(spark.sql("SELECT count(*) FROM tx.evdb " +
+      "WHERE ts >= timestamp'2026-03-03 00:00:00' AND id = 5").head.getLong(0) == 1)
+    assert(prunedBy("SELECT * FROM tx.evdb " +
+      "WHERE ts >= timestamp'2026-03-03 00:00:00' AND id = 5") > 0)
+  }
+
+  test("DELETE and dynamic overwrite keep the derived layout") {
+    spark.sql("CREATE TABLE tx.evd (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO tx.evd SELECT id, " +
+      "timestamp'2026-04-01 01:00:00' + make_dt_interval(CAST(id % 3 AS INT), 0, 0, 0) " +
+      "FROM range(30)")
+    // copy-on-write DELETE must re-land survivors under their derived dirs
+    spark.sql("DELETE FROM tx.evd WHERE id < 15")
+    assert(spark.sql("SELECT count(*) FROM tx.evd").head.getLong(0) == 15)
+    assert(dirsOf("evd").forall(_.startsWith("ts_day=2026-04-0")), dirsOf("evd"))
+    // dynamic overwrite replaces exactly the derived days it writes
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE tx.evd SELECT id + 1000, " +
+        "timestamp'2026-04-02 09:00:00' FROM range(5)")
+      assert(spark.sql("SELECT count(*) FROM tx.evd " +
+        "WHERE ts >= timestamp'2026-04-02 00:00:00' " +
+        "AND ts < timestamp'2026-04-03 00:00:00'").head.getLong(0) == 5,
+        "the touched day must hold only the overwrite's rows")
+      assert(spark.sql("SELECT count(*) FROM tx.evd " +
+        "WHERE ts < timestamp'2026-04-02 00:00:00'").head.getLong(0) == 5,
+        "untouched days survive")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  test("DROP PARTITION by derived value retires exactly that day") {
+    spark.sql("CREATE TABLE tx.evp (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO tx.evp SELECT id, " +
+      "timestamp'2026-05-01 00:30:00' + make_dt_interval(CAST(id % 2 AS INT), 0, 0, 0) " +
+      "FROM range(20)")
+    spark.sql("ALTER TABLE tx.evp DROP PARTITION (ts_day='2026-05-01')")
+    assert(spark.sql("SELECT count(*) FROM tx.evp").head.getLong(0) == 10)
+    assert(dirsOf("evp") == Seq("ts_day=2026-05-02"), dirsOf("evp"))
+  }
+
+  test("path-based transform writes record the layout and prune on read") {
+    val p = s"$wh/.pathtx"
+    spark.range(0, 50).selectExpr("id",
+      "timestamp'2026-06-01 03:00:00' + make_dt_interval(CAST(id % 5 AS INT), 0, 0, 0) AS ts")
+      .write.format("graft").option("partitionby", "days(ts)")
+      .mode("overwrite").save(p)
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_table.json")),
+      "a path-based transform write must self-describe its layout")
+    val df = spark.read.format("graft").load(p)
+    assert(df.filter("ts >= timestamp'2026-06-04 00:00:00'").count() == 20)
+    GraftMetrics.filesPruned.set(0)
+    df.filter("ts >= timestamp'2026-06-04 00:00:00'").collect()
+    assert(GraftMetrics.filesPruned.get() > 0, "path reads prune too")
+  }
+
+  test("the transform source column is immovable and unsupported specs reject") {
+    spark.sql("CREATE TABLE tx.evg (id BIGINT, ts TIMESTAMP, x STRING) " +
+      "PARTITIONED BY (days(ts))")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE tx.evg DROP COLUMN ts") }
+    assert(e1.getMessage.contains("partition"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE tx.bad (id BIGINT, s STRING) " +
+        "PARTITIONED BY (days(s))") }
+    assert(e2.getMessage.contains("timestamp"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE tx.bad2 (id BIGINT, ts TIMESTAMP, ts_day STRING) " +
+        "PARTITIONED BY (days(ts))") }
+    assert(e3.getMessage.contains("collides"), e3.getMessage)
+  }
+
+  test("hours(ts) derives zero-padded hour dirs") {
+    spark.sql("CREATE TABLE tx.evh (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    spark.sql("INSERT INTO tx.evh VALUES " +
+      "(1, timestamp'2026-07-01 04:15:00'), (2, timestamp'2026-07-01 13:45:00')")
+    assert(dirsOf("evh") == Seq("ts_hour=2026-07-01-04", "ts_hour=2026-07-01-13"),
+      dirsOf("evh"))
+    assert(spark.sql("SELECT count(*) FROM tx.evh " +
+      "WHERE ts >= timestamp'2026-07-01 13:00:00'").head.getLong(0) == 1)
+    assert(prunedBy("SELECT * FROM tx.evh " +
+      "WHERE ts >= timestamp'2026-07-01 13:00:00'") > 0)
+  }
+
+  test("graft_compact_partition compacts one derived day") {
+    GraftExtensions.ensure(spark)
+    spark.sql("CREATE TABLE tx.evc (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO tx.evc SELECT id + ${i * 100}, " +
+        "timestamp'2026-08-01 10:00:00' + make_dt_interval(CAST(id % 2 AS INT), 0, 0, 0) " +
+        "FROM range(10)")
+    }
+    val before = GraftUtil.listDataFiles(s"$wh/evc", conf)
+      .filter(_.getPath.toString.contains("ts_day=2026-08-01"))
+    assert(before.size >= 3)
+    val stats = GraftMaintenance.compactPartition(spark, s"$wh/evc",
+      Map("ts_day" -> "2026-08-01"), targetFiles = 1)
+    val after = GraftUtil.listDataFiles(s"$wh/evc", conf)
+      .filter(_.getPath.toString.contains("ts_day=2026-08-01"))
+    assert(after.size == 1, s"expected 1 file, got ${after.size}")
+    assert(spark.sql("SELECT count(*) FROM tx.evc").head.getLong(0) == 30)
+    assert(stats.filesBefore >= 3)
+  }
+}
