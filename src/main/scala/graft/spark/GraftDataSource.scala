@@ -568,7 +568,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     sinceOpt: Option[Long] = None,
     startLatest: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
@@ -692,7 +692,10 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     * skipping, but returns every filter as residual so Spark still applies
     * them row-level (pruning is sound, not exact).
     */
-  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+  /** Shared filter-compile entry (the former v1 pushFilters, now fed by
+    * the V2 lane below and by tests): compiles zone-map page predicates
+    * and records the full set for partition-directory pruning. */
+  private[spark] def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
     val (usable, preds) = ZoneMapFilter.compile(tableSchema, filters)
     hadFilters = filters.nonEmpty
@@ -705,7 +708,40 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     filters
   }
 
-  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  private[spark] def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  // ---- V2 Predicate pushdown (SupportsPushDownV2Filters) -------------
+  //
+  // The ONLY filter lane (the v1 SupportsPushDownFilters trait is gone —
+  // Spark prefers v1 when both are present, which would leave this lane
+  // dormant): every pushed Predicate translates to its v1 Filter
+  // (PredicateUtils.toV1 — comparisons, IN, IS NULL, AND/OR/NOT,
+  // starts/ends/contains; the complete v1 vocabulary, so nothing the old
+  // lane carried is lost) and feeds the SAME compile pipeline — zone
+  // maps, partition-directory pruning and the exchange-reuse key behave
+  // exactly as before. Predicates v1 cannot express stay residual (Spark
+  // applies them row-level above the scan) — sound, and the hook where
+  // expression-shaped predicate mappings (e.g. date_trunc ranges) can
+  // land later without touching the planning contract.
+  private var pushedV2
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    val paired: Array[(org.apache.spark.sql.connector.expressions.filter.Predicate,
+        Option[org.apache.spark.sql.sources.Filter])] =
+      predicates.map(p =>
+        p -> org.apache.spark.sql.GraftCatalystBridge.predicateToV1(p))
+    pushFilters(paired.collect { case (_, Some(f)) => f })
+    val usable = pushed.toSet
+    pushedV2 = paired.collect { case (p, Some(f)) if usable.contains(f) => p }
+    predicates // pruning is advisory: every predicate re-applies row-level
+  }
+
+  override def pushedPredicates()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = pushedV2
 
   /** Footer-only COUNT/MIN/MAX (partial pushdown; Spark merges per-file
     * rows). Only when no filters exist — we never fully consume filters, so
@@ -1273,17 +1309,34 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     // v004 footer KMV synopses surfaced as DSv2 column statistics: with
     // CBO on, Catalyst's join planning sees real per-column ndv instead
     // of guessing — at no scan cost (same cached footer reads as above).
-    // Columns any file lacks a synopsis for are simply absent.
+    // Columns any file lacks a synopsis for report no ndv. Beside the
+    // ndv, the footer min/max/nullCount bounds the format already pays
+    // for flow through (numeric/date/timestamp lanes): CBO's
+    // filter-selectivity estimation then prices range predicates off
+    // real ranges, which is what flips a join build side correctly.
     override def columnStats(): java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      GraftScan.columnNdv(files, projected.fieldNames, conf).foreach { case (n, ndv) =>
+      val ndvs = GraftScan.columnNdv(files, projected.fieldNames, conf)
+      val bounds = GraftScan.columnBounds(files, projected.fieldNames, conf)
+      (ndvs.keySet ++ bounds.keySet).foreach { n =>
+        val ndv = ndvs.get(n)
+        val b = bounds.get(n)
         out.put(org.apache.spark.sql.connector.expressions.Expressions.column(n),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-            override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
+            override def distinctCount(): OptionalLong =
+              ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              b.flatMap(_._1).map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              b.flatMap(_._2).map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def nullCount(): OptionalLong =
+              b.map(x => OptionalLong.of(x._3)).getOrElse(OptionalLong.empty())
           })
       }
       out
@@ -1300,6 +1353,11 @@ object GraftScan {
   // Crudely bounded: a long-lived driver planning over many tables must
   // not accumulate one Map per file forever.
   private val fieldBytesCache = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  // per-file (rows, field -> (min, max, nullCount)) for the CBO column
+  // statistics — mtime in the key like the ndv cache (stale bounds would
+  // steer costing off a replaced file's ranges)
+  private val boundsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, (Option[Any], Option[Any], Long)])]()
   private def boundCache[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit =
     if (m.size() > 8192) m.clear()
 
@@ -1379,6 +1437,113 @@ object GraftScan {
         Some(n -> math.max(math.round(graft.format.KmvUtil.estimate(merged, k)), 1L))
       }
     }.toMap
+  }
+
+  /** Footer min/max/nullCount per TOP-LEVEL numeric/date/timestamp column
+    * across `files` — the column bounds the format already pays for,
+    * surfaced to CBO beside the ndv synopses (filter-selectivity
+    * estimation can then use real ranges instead of guessing). One cached
+    * footer read per file (same cache discipline as [[columnNdv]]).
+    * Estimates, not answers: deletion vectors make the bounds a stale
+    * SUPERSET and the null counts an overcount — fine for costing, which
+    * is all DSv2 column statistics feed. Values are boxed in the
+    * catalyst-internal representation CBO's EstimationUtils reads
+    * (Int days for DATE, Long micros for TIMESTAMP).
+    */
+  def columnBounds(files: Seq[FileStatus], fieldNames: Array[String],
+      conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, (Option[Any], Option[Any], Long)] = {
+    import org.apache.spark.sql.types._
+    if (files.isEmpty || files.length > 256 || fieldNames.isEmpty) return Map.empty
+    def boundsOf(dt: DataType, pages: Array[graft.format.PageMeta], isMin: Boolean): Option[Any] = {
+      val stats = pages.filter(_.statsKind != 0)
+      if (stats.isEmpty) return scala.None
+      dt match {
+        case FloatType | DoubleType =>
+          val vals = stats.map { pm =>
+            if (isMin) java.lang.Double.longBitsToDouble(pm.minLong)
+            else if (pm.statsKind == 3) Double.NaN
+            else java.lang.Double.longBitsToDouble(pm.maxLong)
+          }
+          val v = vals.reduce { (a, b) =>
+            val c = java.lang.Double.compare(a, b)
+            if (isMin) { if (c <= 0) a else b } else { if (c >= 0) a else b }
+          }
+          Some(if (dt == FloatType) java.lang.Float.valueOf(v.toFloat)
+            else java.lang.Double.valueOf(v))
+        case _ =>
+          val longs = stats.map(pm => if (isMin) pm.minLong else pm.maxLong)
+          val v = if (isMin) longs.min else longs.max
+          dt match {
+            case ByteType => Some(java.lang.Byte.valueOf(v.toByte))
+            case ShortType => Some(java.lang.Short.valueOf(v.toShort))
+            case IntegerType | DateType => Some(java.lang.Integer.valueOf(v.toInt))
+            case LongType | TimestampType | TimestampNTZType =>
+              Some(java.lang.Long.valueOf(v))
+            case _ => scala.None
+          }
+      }
+    }
+    def pick(a: Option[Any], b: Option[Any], isMin: Boolean): Option[Any] =
+      (a, b) match {
+        case (Some(x: Number), Some(y: Number)) =>
+          val c = (x, y) match {
+            case _ if x.isInstanceOf[java.lang.Float] || x.isInstanceOf[java.lang.Double] ||
+                y.isInstanceOf[java.lang.Float] || y.isInstanceOf[java.lang.Double] =>
+              java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+            case _ => java.lang.Long.compare(x.longValue(), y.longValue())
+          }
+          if (isMin) { if (c <= 0) Some(x) else Some(y) }
+          else { if (c >= 0) Some(x) else Some(y) }
+        case (some @ Some(_), scala.None) => some
+        case (_, o) => o
+      }
+    try {
+      val wanted = fieldNames.toSet
+      // (field -> (min, max, nulls)) folded across files
+      var acc = Map.empty[String, (Option[Any], Option[Any], Long)]
+      files.foreach { f =>
+        val key = f.getPath.toString + "#" + f.getLen + "@" + f.getModificationTime
+        var cached = boundsCache.get(key)
+        if (cached == null) {
+          val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
+          try {
+            val footer = GraftFooterCache.footerOf(in, f.getPath.toString, f.getLen)
+            val schema = GraftFooterCache.schemaOf(footer.schemaJson)
+            val (offsets, _) = GraftSchema.fieldLeafOffsets(schema)
+            val fileRows = if (footer.leaves.isEmpty) 0L else footer.leaves(0).totalValues
+            val m = schema.fields.zipWithIndex.flatMap { case (fld, i) =>
+              if (!GraftSchema.isAtomic(fld.dataType)) scala.None
+              else {
+                val pages = footer.leaves(offsets(i)).pages
+                val nonNull = pages.iterator.filter(_.statsKind != 0)
+                  .map(pm => pm.numValues.toLong - math.max(pm.nullCount, 0)).sum
+                Some(fld.name -> (boundsOf(fld.dataType, pages, isMin = true),
+                  boundsOf(fld.dataType, pages, isMin = false),
+                  fileRows - nonNull))
+              }
+            }.toMap
+            cached = (fileRows, m)
+            boundCache(boundsCache)
+            boundsCache.put(key, cached)
+          } finally in.close()
+        }
+        val (fileRows, m) = cached
+        wanted.foreach { n =>
+          val cur = acc.getOrElse(n, (scala.None, scala.None, 0L))
+          m.get(n) match {
+            case Some((mn, mx, nulls)) =>
+              acc = acc.updated(n, (pick(cur._1, mn, isMin = true),
+                pick(cur._2, mx, isMin = false), cur._3 + nulls))
+            case scala.None =>
+              // a file lacking the column (additive evolution) is
+              // all-null there: every row counts as a null
+              acc = acc.updated(n, (cur._1, cur._2, cur._3 + fileRows))
+          }
+        }
+      }
+      acc
+    } catch { case _: Exception => Map.empty }
   }
 
   /** Per-row-page-group row counts of a file (leaf 0 is row-aligned). One

@@ -411,11 +411,29 @@ object GraftMaintenance {
         case Some(sc) => spark.read.format("graft").schema(sc).load(dir)
         case None => spark.read.format("graft").load(dir)
       }
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      // BROAD-DELETE guard: the dv path stages one bitmap blob per
+      // matched file on the driver — right for the scattered-takedown
+      // shape dvs target, unbounded for a broad predicate over a huge
+      // table (millions of matched files ⇒ millions of driver-side
+      // blobs). Above `graft.dv.maxMatchedFiles` route to the
+      // copy-on-write rewrite, whose driver state is one file LIST and
+      // which the follow-up compaction would have had to pay anyway.
+      // The pre-count probe only runs when the table's total file count
+      // could exceed the bound (small tables never pay it), and the lock
+      // is thread-re-entrant, so delegating under it is safe.
+      val maxMatched = spark.conf.getOption("graft.dv.maxMatchedFiles")
+        .map(_.toInt).getOrElse(65536)
+      if (files.size > maxMatched) {
+        val matchedFiles = table.filter(predicate)
+          .select(input_file_name()).distinct().count()
+        if (matchedFiles > maxMatched)
+          return deleteWhereImpl(spark, dir, predicate, changelog, schemaOverride)
+      }
       // ONE distributed probe maps still-live matching rows to (file,
       // file-physical ordinal) via the synthesized metadata column; each
       // file's ordinals fold into a roaring bitmap EXECUTOR-side, so the
       // driver collects O(matched files) small byte arrays, never rows
-      import org.apache.spark.sql.functions.{col, input_file_name}
       val matched = table.filter(predicate)
         .select(input_file_name().as("f"), col(GraftDv.OrdinalCol).as("o"))
       val perFile = foldOrdinalBitmaps(matched)

@@ -18,4 +18,12 @@ object GraftCatalystBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** V2 Predicate -> v1 Filter (`PredicateUtils.toV1` is `private[sql]`):
+    * the SupportsPushDownV2Filters lane translates to v1 and reuses the
+    * whole zone-map / directory-pruning compile pipeline. */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 }

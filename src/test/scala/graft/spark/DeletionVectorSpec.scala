@@ -75,6 +75,33 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(GraftDv.hasAny(fsOf(dir), new org.apache.hadoop.fs.Path(dir)))
   }
 
+  test("a broad DV delete routes to copy-on-write above graft.dv.maxMatchedFiles") {
+    val dir = fresh("broadcow")
+    spark.range(0, 400).selectExpr("id AS k", "id * 2 AS v").repartition(8)
+      .write.format("graft").option("maxrowsperfile", "50")
+      .mode("overwrite").save(dir)
+    val before = filesOf(dir)
+    assert(before.size >= 8)
+    spark.conf.set("graft.dv.maxMatchedFiles", "3")
+    try {
+      // broad predicate touches every file -> matched-file count (8+)
+      // exceeds the bound -> the CoW rewrite runs instead: files REWRITE
+      // (survivor outputs), and no DV sidecar is ever published
+      val st = GraftMaintenance.deleteWhereDv(spark, dir, col("k") % 2 === 0)
+      assert(st.rowsAfter == 200, st)
+      assert(ks(dir) == (0L until 400L).filter(_ % 2 == 1))
+      assert(filesOf(dir) != before, "CoW fallback must rewrite files")
+      assert(!GraftDv.hasAny(fsOf(dir), new org.apache.hadoop.fs.Path(dir)),
+        "the fallback must not stage DV blobs")
+      // a NARROW delete under the same bound still takes the dv path
+      val before2 = filesOf(dir)
+      GraftMaintenance.deleteWhereDv(spark, dir, col("k") === 1)
+      assert(filesOf(dir) == before2, "narrow delete stays merge-on-read")
+      assert(GraftDv.hasAny(fsOf(dir), new org.apache.hadoop.fs.Path(dir)))
+      assert(ks(dir) == (0L until 400L).filter(k => k % 2 == 1 && k != 1))
+    } finally spark.conf.unset("graft.dv.maxMatchedFiles")
+  }
+
   test("DV deletes are cumulative and re-runs converge") {
     val dir = fresh("cumulative")
     spark.range(0, 300).selectExpr("id AS k").repartition(2)

@@ -144,15 +144,60 @@ class NdvSynopsisSpec extends AnyFunSuite {
       s"grp ndv ${byName("grp").distinctCount} != exact 11")
     val idNdv = byName("id").distinctCount.map(_.toLong).getOrElse(0L)
     assert(idNdv > 1100 && idNdv < 1900, s"id ndv estimate $idNdv far from 1500")
-    // a synopsis-less table must surface NO column stats (never a guess)
+    // footer min/max/nullCount flow beside the ndv (numeric lanes) —
+    // filter-selectivity estimation prices ranges off real bounds
+    assert(byName("id").min.exists(_.asInstanceOf[Number].longValue == 1L) &&
+      byName("id").max.exists(_.asInstanceOf[Number].longValue == 1500L),
+      s"id bounds ${byName("id").min}..${byName("id").max} != [1, 1500]")
+    assert(byName("id").nullCount.exists(_.toLong == 0L))
+    // a synopsis-less table surfaces NO distinctCount (never a guess),
+    // but the footer bounds are EXACT and still flow
     val plain = freshDir("stats-plain")
-    (1L to 100L).map(i => (i, "x")).toDF("id", "grp")
+    (1L to 100L).map(i =>
+        (i, "x", if (i % 4 == 0) null else java.lang.Double.valueOf(i * 0.5)))
+      .toDF("id", "grp", "d")
       .coalesce(1).write.format("graft").mode("overwrite").save(plain)
     val rel2 = spark.read.format("graft").load(plain)
       .queryExecution.optimizedPlan.collectFirst {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
       }.get
-    assert(rel2.stats.attributeStats.isEmpty)
+    val byName2 = rel2.stats.attributeStats.map { case (a, st) => a.name -> st }
+    assert(byName2.get("id").forall(_.distinctCount.isEmpty),
+      "no synopsis -> no ndv guess")
+    assert(byName2("id").min.exists(_.asInstanceOf[Number].longValue == 1L))
+    assert(byName2("id").max.exists(_.asInstanceOf[Number].longValue == 100L))
+    assert(byName2("d").nullCount.exists(_.toLong == 25L),
+      s"null count ${byName2("d").nullCount} != 25")
+    assert(byName2("d").min.exists(_.asInstanceOf[Number].doubleValue == 0.5) &&
+      byName2("d").max.exists(_.asInstanceOf[Number].doubleValue == 49.5))
+  }
+
+  test("CBO filter selectivity uses the footer bounds to flip a build side") {
+    import spark.implicits._
+    // big table: 100k rows, values 0..99999; small table: 5k rows. A
+    // filter big.v < 1000 keeps ~1% — with real bounds CBO estimates
+    // ~1000 rows and broadcasts the FILTERED big side; without bounds the
+    // filtered size falls back to a default fraction far above the small
+    // side. Pin the plan: the filtered-big-side join must broadcast.
+    val bigDir = freshDir("cbo-big"); val smallDir = freshDir("cbo-small")
+    (0L until 100000L).map(i => (i, i)).toDF("k", "v")
+      .coalesce(2).write.format("graft").mode("overwrite").save(bigDir)
+    (0L until 5000L).map(i => (i, s"s$i")).toDF("k", "s")
+      .coalesce(1).write.format("graft").mode("overwrite").save(smallDir)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+    try {
+      val big = spark.read.format("graft").load(bigDir).filter($"v" < 30)
+      val small = spark.read.format("graft").load(smallDir)
+      val joined = small.join(big, "k")
+      val planned = joined.queryExecution.sparkPlan.toString
+      assert(planned.contains("BroadcastHashJoin"),
+        s"bounded filter estimate must allow a broadcast:\n$planned")
+      assert(joined.count() == 30)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("a v004 file scans normally and composes with blooms") {

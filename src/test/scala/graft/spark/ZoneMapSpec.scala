@@ -538,4 +538,26 @@ class ZoneMapSpec extends AnyFunSuite {
       .collect().count(r => r.getTimestamp(0).getTime < 1700006400000L) || n > 0)
     assert(GraftMetrics.pageGroupsSkipped.get() >= 1, "timestamp pages should be skipped")
   }
+
+  test("the V2 Predicate lane is the active pushdown path and compiles zone maps") {
+    // SupportsPushDownV2Filters is now the ONLY filter lane (Spark
+    // prefers v1 when both exist, which would leave V2 dormant) — pin
+    // both that planning routes predicates through it and that the
+    // translate-to-v1 step feeds the same zone-map compile: a regression
+    // to a no-pushdown scan would read every page group.
+    val dir = "/tmp/graft-test/zonemap-v2lane"
+    spark.range(100000).selectExpr("id as k", "cast(id as string) as s")
+      .orderBy("k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("k") >= 90000 && col("s").startsWith("9"))
+    // the optimized plan's scan must report the predicates (pushedPredicates
+    // surfaces in the scan description under the V2 lane)
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("zonemap"), s"zone maps must compile: $scanDesc")
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(df.count() == 10000)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 5,
+      "V2-pushed predicates must skip page groups")
+  }
 }
