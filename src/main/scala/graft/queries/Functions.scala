@@ -417,17 +417,26 @@ object Functions {
       // explicit values. The oracle reconstructs both generations with a
       // CASE; min/sum/count over the column prove the constant fill and
       // the mixed-generation merge land exactly.
+      // ... and CREATE TABLE (grade BIGINT DEFAULT 7): the creation-time
+      // default flows through the same CURRENT/EXISTS_DEFAULT metadata
+      // (catalog declares SUPPORT_COLUMN_DEFAULT_VALUE), so an INSERT
+      // omitting the column lands the constant at write time.
       val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
-      val stage = stagedOnce(s"/tmp/graft_default_stage1/$key/wh") { t =>
+      val stage = stagedOnce(s"/tmp/graft_default_stage2/$key/wh") { t =>
         val cat = s"gdefb_$key"
         s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
         val docs = Tables.parquet(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
+        s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+          "n_chars BIGINT, grade BIGINT DEFAULT 7)")
         docs.filter(col("doc_id") % 2 === 0)
-          .write.format("graft").mode("overwrite").save(s"$t/docs")
+          .createOrReplaceTempView(s"gdef_src_$key")
+        s.sql(s"INSERT INTO $cat.docs (doc_id, lang, n_chars) " +
+          s"SELECT doc_id, lang, n_chars FROM gdef_src_$key")
         s.sql(s"ALTER TABLE $cat.docs ADD COLUMN tier BIGINT DEFAULT 3")
         docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("grade", col("doc_id") % 3)
           .withColumn("tier", col("doc_id") % 5)
           .writeTo(s"$cat.docs").append()
       }
@@ -437,6 +446,8 @@ object Functions {
       s.table(s"$readCat.docs")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
+          sum(col("grade")).as("grade_sum"),
+          min(col("grade")).as("grade_min"),
           sum(col("tier")).as("tier_sum"),
           min(col("tier")).as("tier_min"),
           count(col("tier")).as("tier_count"))
@@ -1809,9 +1820,12 @@ object Functions {
         |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS with_quality
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_schema_default" ->
-      // pre-ALTER rows (even doc_id) serve the declared DEFAULT 3;
-      // post-ALTER rows (odd) carry doc_id % 5 explicitly
+      // even doc_id rows: inserted omitting grade -> creation-time
+      // DEFAULT 7 landed at write; tier added later with DEFAULT 3
+      // served at fill time. Odd rows carry both explicitly.
       """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE doc_id % 3 END) AS BIGINT) AS grade_sum,
+        |  min(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE doc_id % 3 END) AS grade_min,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE doc_id % 5 END) AS BIGINT) AS tier_sum,
         |  min(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE doc_id % 5 END) AS tier_min,
         |  count(*) AS tier_count

@@ -168,6 +168,28 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
               .USER_SPECIFIED_CAST).isEmpty => keyAttr(c.child)
         case _ => None
       }
+      // USER casts on the keys — the `ON CAST(t.k AS T) = CAST(s.k AS T)`
+      // shape (the analyzer SIMPLIFIES a no-op side, so one side may
+      // arrive as the bare attr). Stripping is sound exactly when every
+      // surviving user cast's type T is the coercion Spark would
+      // re-insert for the bare column pair anyway (the re-resolved join
+      // then compares under the identical type); any other T asks for
+      // different match semantics and stays out of scope.
+      def sideAttr(e: Expression): Option[(AttributeReference,
+          Option[org.apache.spark.sql.types.DataType])] = e match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast
+            if c.getTagValue(org.apache.spark.sql.catalyst.expressions.Cast
+              .USER_SPECIFIED_CAST).isDefined =>
+          keyAttr(c.child).map(a => (a, Some(c.dataType)))
+        case other => keyAttr(other).map(a => (a, None))
+      }
+      def coercionOf(a: org.apache.spark.sql.types.DataType,
+          b: org.apache.spark.sql.types.DataType)
+          : Option[org.apache.spark.sql.types.DataType] =
+        if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+          org.apache.spark.sql.catalyst.analysis.AnsiTypeCoercion.findWiderTypeForTwo(a, b)
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCoercion.findWiderTypeForTwo(a, b)
       val keys = conjuncts(m.mergeCondition).map {
         case EqualTo(l, r) =>
           (keyAttr(l), keyAttr(r)) match {
@@ -175,7 +197,20 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
               Some((a.name, b.name))
             case (Some(b), Some(a)) if targetOut.contains(a) && sourceOut.contains(b) =>
               Some((a.name, b.name))
-            case _ => None
+            case _ =>
+              (sideAttr(l), sideAttr(r)) match {
+                case (Some((x, cx)), Some((y, cy)))
+                    if (cx.isDefined || cy.isDefined) &&
+                      (cx.toSeq ++ cy.toSeq).distinct.size == 1 &&
+                      coercionOf(x.dataType, y.dataType) ==
+                        (cx.toSeq ++ cy.toSeq).headOption =>
+                  if (targetOut.contains(x) && sourceOut.contains(y))
+                    Some((x.name, y.name))
+                  else if (targetOut.contains(y) && sourceOut.contains(x))
+                    Some((y.name, x.name))
+                  else None
+                case _ => None
+              }
           }
         case _ => None
       }
@@ -194,12 +229,33 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
       }
       // by-source clauses see the target row only
       val nmbsClauses = m.notMatchedBySourceActions.map(clauseOf(_, targetOut, unresolve))
-      if (keys.isEmpty || keys.exists(_.isEmpty) ||
-          matchedClauses.exists(_.isEmpty) || insertClauses.exists(_.isEmpty) ||
-          nmbsClauses.exists(_.isEmpty) ||
+      val outOfScope: Seq[String] = Seq(
+        (keys.isEmpty || keys.exists(_.isEmpty)) ->
+          ("the ON condition must be a conjunction of target-col = " +
+            "source-col equi-keys (non-equi conditions, expressions over " +
+            "keys, and user casts that change comparison semantics are " +
+            "out of scope)"),
+        (matchedClauses.exists(_.isEmpty) || insertClauses.exists(_.isEmpty) ||
+          nmbsClauses.exists(_.isEmpty)) ->
+          ("a WHEN clause carries a subquery or references columns " +
+            "outside its side's scope")
+      ).collect { case (true, why) => why }
+      if (outOfScope.nonEmpty ||
           (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty &&
             m.notMatchedBySourceActions.isEmpty))
-        m // out of scope: keep the stock error
+        // a SPECIFIC error beats Spark's generic unsupported-MERGE one:
+        // the table can never take the stock path (no
+        // SupportsRowLevelOperations), so declining here always ends in
+        // an error — make it say WHAT is out of scope and which library
+        // API still covers the shape
+        throw new UnsupportedOperationException(
+          "graft: MERGE INTO this table is handled by the graft rewrite, " +
+            "and this statement is outside its scope: " +
+            outOfScope.mkString("; ") + ". Restate the merge with plain " +
+            "equi-keys / side-local clause expressions, or use " +
+            "GraftMaintenance.mergeApply(spark, path, sourceDf, keys, " +
+            "clauses...) which accepts an arbitrary pre-computed source " +
+            "DataFrame.")
       else
         GraftMergeCommand(t.tablePath, t.schema(), t.asofMs, m.sourceTable,
           keys.flatten, matchedClauses.flatten, insertClauses.flatten,

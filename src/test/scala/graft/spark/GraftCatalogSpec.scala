@@ -342,17 +342,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id = s.id " +
       "WHEN NOT MATCHED THEN INSERT *")
     assert(spark.sql("SELECT count(*) FROM graftcat.mrg.t").head().getLong(0) == 7L)
-    // out-of-scope shapes fall through to Spark's stock unsupported error:
+    // user casts on BOTH key sides to exactly the type coercion would
+    // insert anyway: semantics-preserving, so the rewrite accepts them
+    spark.sql("CREATE TABLE graftcat.mrg.srci (id INT, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.mrg.srci VALUES (2, 777)")
+    spark.sql("MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.srci AS s " +
+      "ON CAST(t.id AS BIGINT) = CAST(s.id AS BIGINT) " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert(spark.sql("SELECT v FROM graftcat.mrg.t WHERE id = 2").head().getLong(0) == 777L)
+    // out-of-scope shapes get a SPECIFIC error naming what failed and the
+    // library API that still covers the shape (the stock path can never
+    // work — the table has no SupportsRowLevelOperations):
     // a non-equi ON condition ...
     val e1 = intercept[Exception](spark.sql(
       "MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id < s.id " +
         "WHEN MATCHED THEN UPDATE SET *"))
-    assert(e1.getMessage.contains("MERGE"), e1.getMessage)
+    assert(e1.getMessage.contains("MERGE") && e1.getMessage.contains("equi-keys") &&
+      e1.getMessage.contains("mergeApply"), e1.getMessage)
     // ... and a subquery inside an action expression
     val e2 = intercept[Exception](spark.sql(
       "MERGE INTO graftcat.mrg.t AS t USING graftcat.mrg.src AS s ON t.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET v = (SELECT max(id) FROM range(3))"))
-    assert(e2.getMessage.contains("MERGE"), e2.getMessage)
+    assert(e2.getMessage.contains("MERGE") && e2.getMessage.contains("subquery"),
+      e2.getMessage)
   }
 
   test("SQL MERGE full matrix: tombstone deletes, conditional inserts, by-source sync") {
