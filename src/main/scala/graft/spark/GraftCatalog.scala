@@ -881,6 +881,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           mappingChanged = true
           renamePairs(f.name.toLowerCase) = newName
           StructType(sch.fields.updated(idx, f.copy(name = newName)))
+        case sd: TableChange.UpdateColumnDefaultValue =>
+          // ALTER COLUMN ... SET/DROP DEFAULT: pure metadata. Only the
+          // CURRENT_DEFAULT (what future inserts omit-fill) changes —
+          // the SQL-standard contract: existing rows keep their values,
+          // so EXISTS_DEFAULT and the internal fill rendering
+          // (GraftSchema.DefaultKey) stay untouched; files written
+          // before an ADD COLUMN keep serving the ORIGINAL declared
+          // default, never the new one.
+          require(sd.fieldNames().length == 1,
+            "graft: SET DEFAULT supports top-level columns only")
+          val colName = sd.fieldNames()(0)
+          val idx = sch.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+          require(idx >= 0, s"graft: column '$colName' does not exist")
+          val f = sch.fields(idx)
+          val dv = sd.newCurrentDefault()
+          val dropIt = dv == null ||
+            (dv.getExpression == null &&
+              (dv.getSql == null || dv.getSql.trim.isEmpty))
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          if (dropIt) mb.remove("CURRENT_DEFAULT")
+          else {
+            val lit = Option(dv.getExpression).collect {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_] => l
+            }
+            require(lit.isDefined || Option(dv.getSql).exists(_.trim.nonEmpty),
+              s"graft: DEFAULT for column '$colName' must fold to a constant")
+            require(GraftSchema.defaultSupported(f.dataType),
+              s"graft: DEFAULT on type ${f.dataType.sql} is not supported — " +
+                "atomic types with a lossless literal rendering only")
+            val sql = Option(dv.getSql).filter(_.trim.nonEmpty).getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .convertToCatalyst(lit.get.value()), f.dataType).sql)
+            mb.putString("CURRENT_DEFAULT", sql)
+          }
+          StructType(sch.fields.updated(idx, f.copy(metadata = mb.build())))
         case other =>
           throw new UnsupportedOperationException(
             s"graft: ALTER TABLE change ${other.getClass.getSimpleName} is not " +

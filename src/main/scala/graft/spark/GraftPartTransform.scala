@@ -53,7 +53,8 @@ object GraftPartTransform {
   private val MicrosPerHour = 3600000000L
   private val TimeKinds = Set("years", "months", "days", "hours")
 
-  private val FnPat = raw"(?i)(years|months|days|hours)\s*\(\s*([^(),\s]+)\s*\)".r
+  private val FnPat =
+    raw"(?i)(years|months|days|hours|year|month|day|date|hour)\s*\(\s*([^(),\s]+)\s*\)".r
   private val ArgPat = raw"(?i)(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)".r
   private val ArgPatRev = raw"(?i)(bucket|truncate)\s*\(\s*([^(),\s]+)\s*,\s*(\d+)\s*\)".r
   // Spark's parser canonicalizes days/hours/... aliases; accept the

@@ -145,10 +145,15 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
       val sc = new org.apache.hadoop.fs.Path(dir, "_graft_table.json")
       if (!fs.exists(sc)) {
         fs.mkdirs(dir)
-        val out = fs.create(sc, false)
-        try out.write(GraftCatalog.renderSidecar(info.schema(),
-          opts.partitionBy).getBytes("UTF-8"))
-        finally out.close()
+        // overwrite=false: two concurrent first writers race the create —
+        // whoever loses reads the winner's identical layout (same
+        // canonical specs, restate-checked above), so the loss is benign
+        try {
+          val out = fs.create(sc, false)
+          try out.write(GraftCatalog.renderSidecar(info.schema(),
+            opts.partitionBy).getBytes("UTF-8"))
+          finally out.close()
+        } catch { case _: java.io.IOException if fs.exists(sc) => () }
       }
     }
     new GraftWriteImpl(info.schema(), path, opts, mode,

@@ -510,6 +510,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     // filters over mixed generations see the served defaults
     assert(spark.sql("SELECT count(*) FROM graftcat.defs.t WHERE tier = 7")
       .collect()(0).getLong(0) == 11)
+    // ALTER COLUMN SET DEFAULT governs FUTURE inserts only: old files
+    // keep serving the ORIGINAL declared default (the SQL-standard
+    // existing-rows-unchanged contract)
+    spark.sql("ALTER TABLE graftcat.defs.t ALTER COLUMN tier SET DEFAULT 42")
+    spark.sql("INSERT INTO graftcat.defs.t (k, v) VALUES (300, 300)")
+    val after = spark.sql(
+      "SELECT k, tier FROM graftcat.defs.t WHERE k IN (3, 300) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == Seq((3L, 7L), (300L, 42L)), after.toString)
+    // DROP DEFAULT: the next omitting insert lands NULL
+    spark.sql("ALTER TABLE graftcat.defs.t ALTER COLUMN tier DROP DEFAULT")
+    spark.sql("INSERT INTO graftcat.defs.t (k, v) VALUES (400, 400)")
+    assert(spark.sql("SELECT tier FROM graftcat.defs.t WHERE k = 400")
+      .collect()(0).isNullAt(0))
   }
 
   test("an undeclared table with a MIXED partition layout fails loudly") {

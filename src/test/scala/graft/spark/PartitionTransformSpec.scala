@@ -224,6 +224,21 @@ class PartitionTransformSpec extends AnyFunSuite {
       "WHERE ts >= timestamp'2026-07-01 13:00:00'") > 0)
   }
 
+  test("CTAS with PARTITIONED BY (days(ts)) stages and swaps the derived layout") {
+    spark.sql("CREATE TABLE tx.evcta PARTITIONED BY (days(ts)) AS " +
+      "SELECT id, timestamp'2026-09-01 08:00:00' + " +
+      "make_dt_interval(CAST(id % 3 AS INT), 0, 0, 0) AS ts FROM range(30)")
+    assert(dirsOf("evcta") == Seq("ts_day=2026-09-01", "ts_day=2026-09-02",
+      "ts_day=2026-09-03"), dirsOf("evcta"))
+    assert(spark.sql("SELECT count(*) FROM tx.evcta " +
+      "WHERE ts < timestamp'2026-09-02 00:00:00'").head.getLong(0) == 10)
+    // REPLACE keeps working over a transformed layout
+    spark.sql("CREATE OR REPLACE TABLE tx.evcta PARTITIONED BY (months(ts)) AS " +
+      "SELECT id, timestamp'2026-10-15 00:00:00' AS ts FROM range(5)")
+    assert(dirsOf("evcta") == Seq("ts_month=2026-10"), dirsOf("evcta"))
+    assert(spark.sql("SELECT count(*) FROM tx.evcta").head.getLong(0) == 5)
+  }
+
   test("graft_compact_partition compacts one derived day") {
     GraftExtensions.ensure(spark)
     spark.sql("CREATE TABLE tx.evc (id BIGINT, ts TIMESTAMP) " +
