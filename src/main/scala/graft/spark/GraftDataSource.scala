@@ -730,13 +730,24 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
   override def pushPredicates(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    if (sys.props.contains("graft.debug.predicates"))
+      predicates.foreach(p => System.err.println("GRAFT-PRED: " + p.describe()))
     val paired: Array[(org.apache.spark.sql.connector.expressions.filter.Predicate,
-        Option[org.apache.spark.sql.sources.Filter])] =
-      predicates.map(p =>
-        p -> org.apache.spark.sql.GraftCatalystBridge.predicateToV1(p))
-    pushFilters(paired.collect { case (_, Some(f)) => f })
+        Seq[org.apache.spark.sql.sources.Filter])] =
+      predicates.map { p =>
+        org.apache.spark.sql.GraftCatalystBridge.predicateToV1(p) match {
+          case Some(f) => p -> Seq(f)
+          // expression-shaped predicate v1 can't carry: derive SOUND
+          // implied base-column filters (a weaker condition every
+          // matching row satisfies) — they prune pages/dirs; the
+          // original predicate re-applies row-level above the scan
+          case scala.None => p -> GraftPredicateImplication.implied(p, tableSchema)
+        }
+      }
+    pushFilters(paired.flatMap(_._2))
     val usable = pushed.toSet
-    pushedV2 = paired.collect { case (p, Some(f)) if usable.contains(f) => p }
+    pushedV2 = paired.collect {
+      case (p, fs) if fs.nonEmpty && fs.exists(usable.contains) => p }
     predicates // pruning is advisory: every predicate re-applies row-level
   }
 

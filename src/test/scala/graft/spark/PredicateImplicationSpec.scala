@@ -1,0 +1,99 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Expression-shaped V2 predicates that the v1 vocabulary cannot carry
+  * compile to SOUND implied base-column filters (GraftPredicateImplication)
+  * — year(ts) ranges, substring prefixes, abs bounds — which then drive
+  * zone-map page skips and partition-directory pruning while the original
+  * predicate re-applies row-level. Pins both the pruning (metrics) and
+  * exactness (counts vs a recompute).
+  */
+class PredicateImplicationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.pi", "graft.spark.GraftCatalog")
+    .config("spark.sql.catalog.pi.warehouse", "/tmp/graft-test/predimpl-wh")
+    .getOrCreate()
+
+  test("year(ts) predicates skip page groups on a ts-sorted table") {
+    val dir = "/tmp/graft-test/predimpl-year"
+    // 3 years of hourly rows, sorted: tight ts zone maps per page
+    spark.sql("SELECT timestamp'2022-01-01 00:00:00' + " +
+      "make_dt_interval(0, CAST(id AS INT), 0, 0) AS ts, id FROM range(26280)")
+      .orderBy("ts").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    val n2023 = g.filter("year(ts) = 2023").count()
+    assert(n2023 == 365 * 24, s"2023 hours: $n2023")
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 1,
+      "year(ts)=Y must skip pages via the implied ts range")
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter("year(ts) >= 2024").count() ==
+      26280 - (365 + 365) * 24)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 1)
+  }
+
+  test("year(ts) prunes days(ts) partition directories before footer IO") {
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-test/predimpl-wh"))
+    spark.sql("CREATE TABLE pi.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql("INSERT INTO pi.ev SELECT id, " +
+      "timestamp'2022-06-15 00:00:00' + make_dt_interval(CAST(id % 3 AS INT) * 365, 0, 0, 0) " +
+      "FROM range(30)") // 2022-06, 2023-06, 2024-06
+    GraftMetrics.filesPruned.set(0)
+    assert(spark.sql("SELECT count(*) FROM pi.ev WHERE year(ts) = 2023")
+      .head.getLong(0) == 10)
+    assert(GraftMetrics.filesPruned.get() > 0,
+      "the implied ts range must prune derived month dirs")
+  }
+
+  test("substring prefix predicates imply startsWith and skip via blooms-free ranges") {
+    val dir = "/tmp/graft-test/predimpl-substr"
+    spark.range(0, 20000).selectExpr("concat(chr(97 + CAST(id % 26 AS INT)), id) AS s", "id")
+      .orderBy("s").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val expect = g.collect().count(_.getString(0).startsWith("m"))
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter("substring(s, 1, 1) = 'm'").count() == expect)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 1,
+      "substring(s,1,n)='p' must skip via the implied prefix filter")
+  }
+
+  test("abs(k) bounds imply symmetric ranges") {
+    val dir = "/tmp/graft-test/predimpl-abs"
+    spark.range(0, 20000).selectExpr("CAST(id AS BIGINT) - 10000 AS k")
+      .orderBy("k").coalesce(1)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(g.filter("abs(k) < 50").count() == 99)
+    assert(GraftMetrics.pageGroupsSkipped.get() >= 1,
+      "abs(k)<c must skip pages outside (-c, c)")
+    // the disjunctive outer bound stays exact (Or-implied filter)
+    assert(g.filter("abs(k) > 9990").count() ==
+      g.collect().count(r => math.abs(r.getLong(0)) > 9990))
+  }
+
+  test("implications never fire for shapes they cannot soundly map") {
+    val dir = "/tmp/graft-test/predimpl-neg"
+    spark.range(0, 1000).selectExpr("id AS k", "concat('v', id) AS s")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    // substring '<' is NOT implied (the tail can exceed the prefix bound);
+    // correctness must hold regardless
+    assert(g.filter("substring(s, 1, 2) < 'v2'").count() ==
+      g.collect().count(_.getString(1).take(2) < "v2"))
+    // modulo predicates: no implication, exact result
+    assert(g.filter("k % 10 = 3").count() == 100)
+  }
+}
