@@ -36,7 +36,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * writes.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ---- FunctionCatalog: the partition-transform functions -------------
+  // What lets the planner RESOLVE the bucket/days/... transforms the scan
+  // reports in KeyGroupedPartitioning — the storage-partitioned-join path
+  // for transform-bucketed tables (see GraftFunctions). Exposed under
+  // every namespace (the resolver asks with the transform's bare name).
+  override def listFunctions(namespace: Array[String])
+      : Array[org.apache.spark.sql.connector.catalog.Identifier] =
+    GraftFunctions.names.map(n =>
+      org.apache.spark.sql.connector.catalog.Identifier
+        .of(namespace, n)).toArray
+
+  override def loadFunction(ident: org.apache.spark.sql.connector.catalog.Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.unbound(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   private var catalogName: String = _
   private var warehouse: Path = _

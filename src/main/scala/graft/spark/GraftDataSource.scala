@@ -1048,7 +1048,13 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     * into by partitioning the table; with bucketing off, the normal
     * page-range splits apply unchanged.
     */
-  private def spjGroups: Option[(Seq[(String, org.apache.spark.sql.types.DataType)],
+  /** One SPJ layout dimension: the v2 transform expression the
+    * partitioning reports, plus the dir-string -> key-value parser. */
+  private case class SpjDim(
+      transform: org.apache.spark.sql.connector.expressions.Expression,
+      keyOf: String => Any)
+
+  private def spjGroups: Option[(Seq[SpjDim],
       Seq[(Seq[String], Seq[FileStatus])])] = {
     if (!org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) return None
     if (runtimeFilter || limit.isDefined || topn.isDefined) return None
@@ -1058,17 +1064,56 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     val segsPerFile = fs.map(f => GraftUtil.partitionSegments(tableDir, f.getPath))
     val layout = segsPerFile.head.map(_._1)
     if (layout.isEmpty || !segsPerFile.forall(_.map(_._1) == layout)) return None
-    val cols = layout.map { c =>
-      tableSchema.fields.find(_.name == c) match {
-        case Some(f) if GraftAggPushdown.pathParseable(f.dataType) => (c, f.dataType)
-        case _ => return None
+    def identityDim(c: String): Option[SpjDim] =
+      tableSchema.fields.find(_.name == c).collect {
+        case f if GraftAggPushdown.pathParseable(f.dataType) =>
+          SpjDim(org.apache.spark.sql.connector.expressions.Expressions.identity(c),
+            v => GraftAggPushdown.pathValue(f.dataType, v))
       }
-    }
+    val declared = spjDeclaredTx
+    val dims: Seq[SpjDim] =
+      if (declared.nonEmpty && declared.map(_.dirName) == layout)
+        // DECLARED layout, transforms included: the partitioning reports
+        // the real transform expressions (bucket(16, id), days(ts), ...)
+        // and the catalog\'s FunctionCatalog resolves them — two tables
+        // bucketed identically on the join key then join with NO shuffle
+        // on either side (the SPJ path extended past identity dims)
+        declared.map { pt =>
+          if (pt.isIdentity) identityDim(pt.src).getOrElse(return None)
+          else {
+            val srcType = tableSchema.fields
+              .find(_.name.equalsIgnoreCase(pt.src)).map(_.dataType)
+              .getOrElse(return None)
+            pt.kind match {
+              case "bucket" =>
+                SpjDim(GraftPartTransform.toV2(pt), v => v.toInt)
+              case "truncate" => srcType match {
+                case org.apache.spark.sql.types.StringType =>
+                  SpjDim(GraftPartTransform.toV2(pt),
+                    v => org.apache.spark.unsafe.types.UTF8String.fromString(v))
+                case _ =>
+                  SpjDim(GraftPartTransform.toV2(pt), v => v.toLong)
+              }
+              case _ => // years/months/days/hours render as strings
+                SpjDim(GraftPartTransform.toV2(pt),
+                  v => org.apache.spark.unsafe.types.UTF8String.fromString(v))
+            }
+          }
+        }
+      else layout.map(c => identityDim(c).getOrElse(return None))
     val grouped = fs.zip(segsPerFile)
       .groupBy(_._2.map(_._2)).toSeq
       .map { case (vals, members) => (vals, members.map(_._1)) }
       .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
-    Some((cols, grouped))
+    Some((dims, grouped))
+  }
+
+  // the declared layout specs (ordered) for SPJ transform reporting —
+  // one tiny sidecar read per plan
+  private lazy val spjDeclaredTx: Seq[PartTransform] = {
+    val p = new Path(path)
+    GraftCatalog.declaredPartSpecsOf(p.getFileSystem(conf), p)
+      .map(GraftPartTransform.parse)
   }
 
   /** Per-split ordering off the `_graft_sort` table marker: every split is
@@ -1109,21 +1154,19 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjGroups match {
-      case Some((cols, groups)) =>
+      case Some((dims, groups)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
-            .identity(c._1): org.apache.spark.sql.connector.expressions.Expression).toArray,
-          groups.size)
+          dims.map(_.transform).toArray, groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    spjGroups.foreach { case (cols, groups) =>
+    spjGroups.foreach { case (dims, groups) =>
       return groups.map { case (vals, members) =>
         val key = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          cols.zip(vals).map { case ((_, dt), v) =>
-            if (v == null) null else GraftAggPushdown.pathValue(dt, v)
+          dims.zip(vals).map { case (d, v) =>
+            if (v == null) null else d.keyOf(v)
           }.toArray[Any])
         GraftKeyedPartition(
           members.map(f => (f.getPath.toString, f.getLen)).toArray, key)

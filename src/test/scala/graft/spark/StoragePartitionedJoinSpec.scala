@@ -22,6 +22,8 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.sql.catalog.spj", "graft.spark.GraftCatalog")
+    .config("spark.sql.catalog.spj.warehouse", "/tmp/graft-test/spj-wh")
     .getOrCreate()
 
   private def rm(p: String): Unit =
@@ -152,6 +154,38 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }.size
     assert(sorts == 0, s"expected sort-free SMJ over the sorted marker:\n$plan")
     assert(joined.count() == 400L / 8 * (160L / 8) * 8)
+  }
+
+  test("bucket-transform tables join with zero shuffles (catalog SPJ)") {
+    // the TRANSFORM extension of SPJ: two catalog tables bucketed
+    // identically on the join key report bucket(8, id) in their
+    // KeyGroupedPartitioning; the catalog's FunctionCatalog resolves the
+    // transform and the join plans with NO exchange on either side — the
+    // lay-out-once, join-shuffle-free-forever shape a 100 TB fact-fact
+    // join wants
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-test/spj-wh"))
+    spark.sql("CREATE TABLE spj.ta (id BIGINT, va BIGINT) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql("INSERT INTO spj.ta SELECT id, id * 2 FROM range(400)")
+    spark.sql("CREATE TABLE spj.tb (id BIGINT, vb BIGINT) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql("INSERT INTO spj.tb SELECT id, id * 10 FROM range(0, 400, 2)")
+    val joined = spark.table("spj.ta").join(spark.table("spj.tb"), "id")
+    assert(shuffles(joined) == 0,
+      s"expected shuffle-free bucket SPJ plan:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 200)
+    // values, not just counts
+    assert(joined.filter(col("vb") =!= col("id") * 10).count() == 0)
+    // a days(ts) layout SPJ-groups too (grouping on the source column
+    // can't elide the shuffle — the transform key is coarser — but the
+    // scan still plans keyed partitions and stays correct)
+    spark.sql("CREATE TABLE spj.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO spj.ev SELECT id, " +
+      "timestamp'2026-05-01 00:00:00' + make_dt_interval(CAST(id % 4 AS INT), 0, 0, 0) " +
+      "FROM range(40)")
+    assert(spark.table("spj.ev").groupBy(col("ts")).count().count() == 4)
   }
 
   test("unpartitioned tables keep ordinary page-range planning") {
