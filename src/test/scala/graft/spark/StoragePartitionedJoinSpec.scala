@@ -188,6 +188,24 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(spark.table("spj.ev").groupBy(col("ts")).count().count() == 4)
   }
 
+  test("bucket SPJ stays exact when one side is missing buckets") {
+    // a small batch often occupies a subset of the buckets; Spark aligns
+    // the two sides' key sets (pushPartValues) — the join must stay
+    // shuffle-free AND exact, inner and outer
+    spark.sql("CREATE TABLE spj.miss_a (id BIGINT, va BIGINT) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql("INSERT INTO spj.miss_a SELECT id, id FROM range(10)")
+    spark.sql("CREATE TABLE spj.miss_b (id BIGINT, vb BIGINT) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql("INSERT INTO spj.miss_b SELECT id, id * 10 FROM range(400)")
+    val a = spark.table("spj.miss_a"); val b = spark.table("spj.miss_b")
+    val inner = a.join(b, "id")
+    assert(shuffles(inner) == 0,
+      s"mismatched key sets must still SPJ:\n${inner.queryExecution.executedPlan}")
+    assert(inner.count() == 10)
+    assert(a.join(b, Seq("id"), "full_outer").count() == 400)
+  }
+
   test("unpartitioned tables keep ordinary page-range planning") {
     val dir = "/tmp/graft-test/spj-flat"
     rm(dir)
