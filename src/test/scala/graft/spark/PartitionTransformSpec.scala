@@ -239,6 +239,36 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM tx.evcta").head.getLong(0) == 5)
   }
 
+  test("SHOW CREATE TABLE round-trips the transform layout") {
+    spark.sql("CREATE TABLE tx.evsc (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts), bucket(4, id))")
+    val ddl = spark.sql("SHOW CREATE TABLE tx.evsc").head.getString(0)
+    assert(ddl.contains("days(ts)") && ddl.contains("bucket(4, id)"), ddl)
+  }
+
+  test("a streaming write lands rows under the derived layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("CREATE TABLE tx.evst (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("id", "ts")
+      .writeStream
+      .option("checkpointLocation",
+        s"/tmp/graft-test/parttx-ckpt-${System.nanoTime()}")
+      .toTable("tx.evst")
+    try {
+      mem.addData((1L, java.sql.Timestamp.valueOf("2026-11-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2026-11-02 11:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(dirsOf("evst") == Seq("ts_day=2026-11-01", "ts_day=2026-11-02"),
+      dirsOf("evst"))
+    assert(spark.sql("SELECT count(*) FROM tx.evst " +
+      "WHERE ts >= timestamp'2026-11-02 00:00:00'").head.getLong(0) == 1)
+  }
+
   test("graft_compact_partition compacts one derived day") {
     GraftExtensions.ensure(spark)
     spark.sql("CREATE TABLE tx.evc (id BIGINT, ts TIMESTAMP) " +
