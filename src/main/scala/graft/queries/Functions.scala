@@ -120,6 +120,17 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_partitions" -> { (s, dir) =>
+      // graft_partitions TVF: per-partition live-row/file stats from
+      // footers alone (the which-partition-needs-compaction report). The
+      // oracle recomputes the per-partition row counts from the raw
+      // rows; file/byte columns are physical and stay out of the compare.
+      graft.spark.GraftExtensions.ensure(s)
+      s.sql(s"SELECT partition, rows, dv_masked FROM " +
+        s"graft_partitions('${stagedPartitionedDocs(s, dir)}') " +
+        "ORDER BY partition")
+    },
+
     "q_partition_transform" -> { (s, dir) =>
       // HIDDEN partitioning: events staged `PARTITIONED BY (days(ts))` —
       // the schema keeps `ts`, the directory layout carries derived
@@ -2020,6 +2031,10 @@ object Functions {
         |  count(DISTINCT source) AS sources
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_partitions" ->
+      """SELECT concat('lang=', lang) AS partition,
+        |  count(*) AS rows, CAST(0 AS BIGINT) AS dv_masked
+        |FROM documents GROUP BY lang ORDER BY 1""".stripMargin,
     "q_partition_transform" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total,

@@ -267,6 +267,18 @@ object GraftExtensions {
             exprs.tail.map(litStr(_, "graft_ndv")))
           .queryExecution.logical
       })
+    // graft_partitions(path): per-partition files/bytes/rows/dv_masked —
+    // the which-partition-needs-compaction report, O(files) footer reads
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_partitions"),
+      new ExpressionInfo("graft.spark.GraftIntrospect", "graft_partitions"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_partitions takes (path STRING)")
+        val invoking = SparkSession.getActiveSession.getOrElse(s)
+        GraftIntrospect.partitions(invoking,
+            litStr(exprs.head, "graft_partitions"))
+          .queryExecution.logical
+      })
     // graft_history(path): the commit history (DESCRIBE HISTORY analog)
     // — version-log driven, so ordinals match VERSION AS OF exactly
     s.sessionState.tableFunctionRegistry.registerFunction(

@@ -192,4 +192,33 @@ object GraftIntrospect {
     stats.map(st => (st.column, st.k, st.nHashes.toLong, st.kth, st.estimate))
       .toDF("col_name", "k", "n_hashes", "kth_hash", "estimate")
   }
+
+  /** `graft_partitions(path)`: per-partition operational stats — files /
+    * bytes / live rows (footer counts minus current dv masks; null when a
+    * footer is unreadable) / dv-masked rows per hive or derived-transform
+    * directory. The which-days-are-bloated / what-should-I-compact view,
+    * priced at one footer tail read per file and zero data pages — at
+    * 100 TB this is the report that decides WHERE the next
+    * graft_compact_partition runs. Unpartitioned tables report one
+    * '<all>' row; only data-bearing partitions appear (an ADD PARTITION
+    * mkdir holds no files yet).
+    */
+  def partitions(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val files = GraftUtil.listDataFiles(dir, conf)
+    val groups = files.groupBy(f =>
+      GraftUtil.partitionSegments(tableDir, f.getPath)
+        .map { case (k, v) => s"$k=${if (v == null) "null" else v}" }
+        .mkString("/"))
+    import spark.implicits._
+    groups.toSeq.sortBy(_._1).map { case (p, fsx) =>
+      val rc = GraftScan.rowCount(fsx, conf)
+      val masked = GraftDv.maskedRows(fsx, conf)
+      (if (p.isEmpty) "<all>" else p,
+        fsx.size.toLong, fsx.map(_.getLen).sum,
+        if (rc.isPresent) Some(rc.getAsLong) else scala.None,
+        masked)
+    }.toDF("partition", "files", "bytes", "rows", "dv_masked")
+  }
 }

@@ -167,6 +167,9 @@ final case class GraftWriteOptions(
     partitionBy: Seq[String] = Seq.empty,
     sortBy: Seq[String] = Seq.empty,
     clusterBy: Seq[String] = Seq.empty,
+    /** "partition" requests hash distribution on the derived partition
+      * values before the write (see requiredDistribution). */
+    distributeBy: Option[String] = None,
     /** leaf paths (`col`, `arr.element`, `m.key`, `m.value`, `s.x`) that get
       * per-page bloom filters — the equality-probe pruning layer for
       * UNSORTED data, where min/max zone maps are too wide to act; opt-in
@@ -252,6 +255,15 @@ object GraftWriteOptions {
         .getOrElse(Seq.empty),
       clusterBy = Option(o.get("clusterby")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty),
+      distributeBy = Option(o.get("distributeby")).map(_.trim.toLowerCase)
+        .orElse(try org.apache.spark.sql.SparkSession.active.conf
+          .getOption("graft.write.distributeby").map(_.trim.toLowerCase)
+        catch { case _: Exception => scala.None })
+        .map { v =>
+          require(v == "partition",
+            s"graft: distributeby must be 'partition', got '$v'")
+          v
+        },
       bloomFilter = Option(o.get("bloomfilter")).map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty),
       ndvSketch = Option(o.get("ndvsketch")).map(_.split(",").map(_.trim).toSeq)
@@ -326,6 +338,25 @@ final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOpt
       Distributions.clustered(opts.clusterBy.map(Expressions.column).toArray[
         org.apache.spark.sql.connector.expressions.Expression])
     else if (opts.sortBy.nonEmpty) Distributions.ordered(sortOrders(opts.sortBy))
+    else if (opts.distributeBy.contains("partition") && opts.partitionBy.nonEmpty)
+      // OPT-IN hash distribution on the DERIVED partition values
+      // (.option("distributeby","partition") / session conf
+      // graft.write.distributeby=partition): without it, an unsorted
+      // write scatters every partition's rows across every task and the
+      // file count explodes to tasks x partitions — the classic 100 TB
+      // days(ts) ingest foot-gun (32k tiny files from 1000 tasks x 32
+      // days). Clustered on the transform value, each partition's rows
+      // land on one task -> one file per partition per roll. Costs one
+      // shuffle, which is why it is opt-in, and AQE coalesces the
+      // partition count (distribution is not strictly required).
+      // Transform expressions resolve through the catalog's
+      // FunctionCatalog; identity columns resolve everywhere.
+      Distributions.clustered(opts.partitionBy.map { s =>
+        val pt = GraftPartTransform.parse(s)
+        (if (pt.isIdentity) Expressions.column(pt.src)
+         else GraftPartTransform.toV2(pt))
+          : org.apache.spark.sql.connector.expressions.Expression
+      }.toArray)
     else Distributions.unspecified()
 
   // within-task sort: explicit sortby, else the cluster keys (clustered

@@ -152,4 +152,32 @@ class MaintSqlSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dir)
       .agg(sum(col("k"))).collect()(0).getLong(0) == (30L until 300L).sum)
   }
+
+  test("graft_partitions reports per-partition files/rows and dv masks") {
+    val dir = "/tmp/graft-test/maintsql-parts"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(0, 200)
+      .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p")
+      .write.format("graft").option("partitionby", "p")
+      .mode("overwrite").save(dir)
+    def parts() = spark.sql(s"SELECT * FROM graft_partitions('$dir') ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val before = parts()
+    assert(before.map(x => (x._1, x._3, x._4)).toSeq ==
+      Seq(("p=a", 100L, 0L), ("p=b", 100L, 0L)), before.toSeq)
+    // a dv delete shows up as masked rows and reduced LIVE rows
+    GraftMaintenance.deleteWhereDv(spark, dir,
+      col("p") === "a" && col("k") < 50)
+    val after = parts()
+    assert(after.map(x => (x._1, x._3, x._4)).toSeq ==
+      Seq(("p=a", 75L, 25L), ("p=b", 100L, 0L)), after.toSeq)
+    // unpartitioned: one <all> row
+    val flat = "/tmp/graft-test/maintsql-parts-flat"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(flat))
+    spark.range(0, 10).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(flat)
+    val f = spark.sql(s"SELECT partition, rows FROM graft_partitions('$flat')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(f == Seq(("<all>", 10L)), f)
+  }
 }

@@ -269,6 +269,36 @@ class PartitionTransformSpec extends AnyFunSuite {
       "WHERE ts >= timestamp'2026-11-02 00:00:00'").head.getLong(0) == 1)
   }
 
+  test("distributeby=partition collapses to one file per derived partition") {
+    // without the distribution, a 4-task unsorted write puts every day's
+    // rows in every task: tasks x days files. Clustered on the derived
+    // day, each day lands whole on one task.
+    spark.conf.set("graft.write.distributeby", "partition")
+    try {
+      spark.sql("CREATE TABLE tx.evdist (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+      spark.sql("INSERT INTO tx.evdist SELECT id, " +
+        "timestamp'2026-12-01 01:00:00' + make_dt_interval(CAST(id % 3 AS INT), 0, 0, 0) " +
+        "FROM range(3000)")
+      val files = GraftUtil.listDataFiles(s"$wh/evdist", conf)
+      val perDir = files.groupBy(_.getPath.getParent.getName)
+      assert(perDir.size == 3, perDir.keys.toSeq.sorted)
+      assert(perDir.values.forall(_.size == 1),
+        s"expected ONE file per derived day, got " +
+          perDir.view.mapValues(_.size).toMap)
+      assert(spark.sql("SELECT count(*) FROM tx.evdist").head.getLong(0) == 3000)
+    } finally spark.conf.unset("graft.write.distributeby")
+    // control: the same insert WITHOUT the distribution fans out
+    spark.sql("CREATE TABLE tx.evdist2 (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO tx.evdist2 SELECT id, " +
+      "timestamp'2026-12-01 01:00:00' + make_dt_interval(CAST(id % 3 AS INT), 0, 0, 0) " +
+      "FROM range(3000)")
+    val files2 = GraftUtil.listDataFiles(s"$wh/evdist2", conf)
+    assert(files2.groupBy(_.getPath.getParent.getName).values.exists(_.size > 1),
+      "control write should fan out without the clustering")
+  }
+
   test("graft_compact_partition compacts one derived day") {
     GraftExtensions.ensure(spark)
     spark.sql("CREATE TABLE tx.evc (id BIGINT, ts TIMESTAMP) " +
