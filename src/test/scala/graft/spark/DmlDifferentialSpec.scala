@@ -44,9 +44,10 @@ class DmlDifferentialSpec extends AnyFunSuite {
   private def modelSnapshot(m: Model): Seq[(Long, Long, String, String)] =
     m.toSeq.map { case (k, (v, s, p)) => (k, v, s, p) }.sortBy(_._1)
 
-  private def runScenario(seed: Long, partitioned: Boolean): Unit = {
+  private def runScenario(seed: Long, partitioned: Boolean,
+      bucketLayout: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
-    val dir = s"/tmp/graft-test/dml-diff-$seed-$partitioned"
+    val dir = s"/tmp/graft-test/dml-diff-$seed-$partitioned-$bucketLayout"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     val n = 150 + rnd.nextInt(100)
     val init = (0L until n).map(k =>
@@ -55,7 +56,8 @@ class DmlDifferentialSpec extends AnyFunSuite {
       init.map { case (k, v, s, p) => k -> (v, s, p) }: _*)
     val df = spark.createDataFrame(init).toDF("k", "v", "s", "p")
     val w = df.repartition(3).write.format("graft").mode("overwrite")
-    (if (partitioned) w.option("partitionby", "p") else w).save(dir)
+    (if (bucketLayout) w.option("partitionby", "bucket(4,k)")
+     else if (partitioned) w.option("partitionby", "p") else w).save(dir)
 
     for (step <- 0 until 4) {
       rnd.nextInt(6) match {
@@ -120,7 +122,11 @@ class DmlDifferentialSpec extends AnyFunSuite {
             }
           }
         case 3 => // OVERWRITE: dynamic partition swap / replaceWhere band
-          if (partitioned) {
+          // (bucket layouts take the replaceWhere branch: a dynamic
+          // overwrite there replaces whole BUCKETS, which no per-key
+          // model can express — replaceWhere is predicate-scoped and
+          // layout-independent)
+          if (partitioned && !bucketLayout) {
             // replace one whole partition with fresh rows (keys keep the
             // k % 3 == partition convention the other ops rely on)
             val pi = rnd.nextInt(3); val pv = s"p$pi"
@@ -175,7 +181,9 @@ class DmlDifferentialSpec extends AnyFunSuite {
           if (rows.nonEmpty) {
             spark.createDataFrame(rows).toDF("k", "v", "s", "p")
               .createOrReplaceTempView(s"dml_rep_src_$seed")
-            val part = if (partitioned) "PARTITIONED BY (p) " else ""
+            val part =
+              if (bucketLayout) "PARTITIONED BY (bucket(4, k)) "
+              else if (partitioned) "PARTITIONED BY (p) " else ""
             spark.sql(s"CREATE OR REPLACE TABLE ${identOf(dir)} $part" +
               s"AS SELECT * FROM dml_rep_src_$seed")
             rows.foreach { case (k, v, s, p) => model.update(k, (v, s, p)) }
@@ -187,6 +195,17 @@ class DmlDifferentialSpec extends AnyFunSuite {
         s"seed=$seed partitioned=$partitioned diverged at step $step:\n" +
           s"  graft=${got.take(8)}... (${got.size} rows)\n" +
           s"  model=${want.take(8)}... (${want.size} rows)")
+      if (bucketLayout) {
+        // every generation of every op must keep the DERIVED layout: a
+        // root-level file would strip directory pruning and read as a
+        // MIXED layout to the catalog's strict inference
+        val stray = GraftUtil.listDataFiles(dir,
+          spark.sessionState.newHadoopConf())
+          .filterNot(_.getPath.getParent.getName.startsWith("k_bucket="))
+        assert(stray.isEmpty,
+          s"seed=$seed step $step left files outside the bucket layout: " +
+            stray.map(_.getPath.getName).take(3).mkString(", "))
+      }
     }
   }
 
@@ -195,6 +214,16 @@ class DmlDifferentialSpec extends AnyFunSuite {
     val extra = sys.props.get("graft.fuzz.dml.seeds").map(_.toInt).getOrElse(0)
     (Seq(11L, 23L, 47L) ++ (0 until extra).map(i => 2000L + 31L * i))
       .foreach(runScenario(_, partitioned = false))
+  }
+
+  test("random DML sequences match the reference model (bucket-transform layout)") {
+    // the derived-dir layout under the full DML mix: rewrites, dv masks,
+    // merges, replaceWhere, restore and CTAS-replace must all re-derive
+    // bucket dirs (the round-16 fuzz caught MERGE inserts flattening
+    // hive layouts; this variant guards the transform generation)
+    val extra = sys.props.get("graft.fuzz.dml.seeds").map(_.toInt).getOrElse(0)
+    (Seq(13L, 29L) ++ (0 until extra).map(i => 4000L + 37L * i))
+      .foreach(runScenario(_, partitioned = true, bucketLayout = true))
   }
 
   test("random DML sequences match the reference model (hive-partitioned)") {
