@@ -1924,6 +1924,21 @@ object PartitionPrune {
           pv != null && vs.exists(v => derived(pt, dt, v).forall(_ == pv))
         case None => true
       }
+      case StringStartsWith(a, prefix) if prefix != null => dimOf(a) match {
+        // identity dir: the dir value IS the row value
+        case Some((pv, None)) => pv != null && pv.startsWith(prefix)
+        // truncate(w, s) dir: rows starting with `prefix` live in dirs
+        // that are either an exact w-wide cut of the prefix (long
+        // prefix) or a dir the prefix itself starts with (short prefix).
+        // Surrogate pairs opt out: the dir was cut by CODE POINT and a
+        // UTF-16 substring could split a pair — keep the dir instead.
+        case Some((pv, Some((pt, _)))) if pt.kind == "truncate" &&
+            !prefix.exists(Character.isSurrogate) =>
+          pv != null && (
+            if (prefix.length >= pt.arg) pv == prefix.substring(0, pt.arg)
+            else pv.startsWith(prefix))
+        case _ => true
+      }
       // row > lit needs derive(row) >= derive(lit) by monotonicity
       case GreaterThan(a, v) => rangeMay(a, v, _ >= 0)
       case GreaterThanOrEqual(a, v) => rangeMay(a, v, _ >= 0)

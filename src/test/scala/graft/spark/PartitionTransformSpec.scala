@@ -128,6 +128,23 @@ class PartitionTransformSpec extends AnyFunSuite {
       "string-prefix truncation is monotonic: ranges prune")
   }
 
+  test("startsWith prunes identity and truncate dirs") {
+    spark.sql("CREATE TABLE tx.evsw (id BIGINT, s STRING) " +
+      "PARTITIONED BY (truncate(4, s))")
+    spark.sql("INSERT INTO tx.evsw SELECT id, " +
+      "CONCAT(CASE WHEN id % 2 = 0 THEN 'alpha' ELSE 'bravo' END, id) FROM range(40)")
+    // long prefix (>= width): exactly one dir survives
+    // even ids whose decimal rendering starts with '1': 10,12,14,16,18
+    assert(spark.sql("SELECT count(*) FROM tx.evsw WHERE s LIKE 'alpha1%'")
+      .head.getLong(0) == 5)
+    assert(prunedBy("SELECT * FROM tx.evsw WHERE s LIKE 'alpha1%'") > 0,
+      "a long prefix must prune other truncate dirs")
+    // short prefix (< width): still prunes the non-matching dir
+    assert(prunedBy("SELECT * FROM tx.evsw WHERE s LIKE 'br%'") > 0)
+    assert(spark.sql("SELECT count(*) FROM tx.evsw WHERE s LIKE 'br%'")
+      .head.getLong(0) == 20)
+  }
+
   test("multi-dimension days(ts) + bucket(4,id) nests and prunes conjunctions") {
     spark.sql("CREATE TABLE tx.evdb (id BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (days(ts), bucket(4, id))")
