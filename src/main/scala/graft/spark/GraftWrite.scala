@@ -337,7 +337,6 @@ final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOpt
     if (opts.clusterBy.nonEmpty)
       Distributions.clustered(opts.clusterBy.map(Expressions.column).toArray[
         org.apache.spark.sql.connector.expressions.Expression])
-    else if (opts.sortBy.nonEmpty) Distributions.ordered(sortOrders(opts.sortBy))
     else if (opts.distributeBy.contains("partition") && opts.partitionBy.nonEmpty)
       // OPT-IN hash distribution on the DERIVED partition values
       // (.option("distributeby","partition") / session conf
@@ -349,14 +348,23 @@ final class GraftWriteImpl(schema: StructType, path: String, opts: GraftWriteOpt
       // land on one task -> one file per partition per roll. Costs one
       // shuffle, which is why it is opt-in, and AQE coalesces the
       // partition count (distribution is not strictly required).
-      // Transform expressions resolve through the catalog's
-      // FunctionCatalog; identity columns resolve everywhere.
+      // Transform expressions resolve through the TABLE's
+      // FunctionCatalog — catalog tables only (a PATH write of a
+      // transform layout fails Spark's expression resolution with
+      // "<transform> is not currently supported"); identity layouts
+      // resolve everywhere.
+      // distributeby=partition COMPOSES with sortby: partition-clustered
+      // tasks, rows sorted within each (requiredOrdering below) — the
+      // "distribute by day, sort by user" ingest shape. A bare sortby
+      // keeps the globally-ordered distribution (disjoint per-file
+      // zone-map ranges).
       Distributions.clustered(opts.partitionBy.map { s =>
         val pt = GraftPartTransform.parse(s)
         (if (pt.isIdentity) Expressions.column(pt.src)
          else GraftPartTransform.toV2(pt))
           : org.apache.spark.sql.connector.expressions.Expression
       }.toArray)
+    else if (opts.sortBy.nonEmpty) Distributions.ordered(sortOrders(opts.sortBy))
     else Distributions.unspecified()
 
   // within-task sort: explicit sortby, else the cluster keys (clustered

@@ -316,6 +316,32 @@ class PartitionTransformSpec extends AnyFunSuite {
       "control write should fan out without the clustering")
   }
 
+  test("distributeby=partition composes with sortby: one per-day file, sorted") {
+    // transform distribution resolves through the table's FunctionCatalog
+    // — catalog tables only (a path write would fail resolution); the
+    // declared graft.sortby rides along, giving the "distribute by day,
+    // sort by user" ingest shape in pure SQL
+    spark.conf.set("graft.write.distributeby", "partition")
+    try {
+      spark.sql("CREATE TABLE tx.evds (id BIGINT, ts TIMESTAMP, u BIGINT) " +
+        "PARTITIONED BY (days(ts)) TBLPROPERTIES ('graft.sortby'='u')")
+      spark.sql("INSERT INTO tx.evds SELECT id, " +
+        "timestamp'2027-01-01 01:00:00' + make_dt_interval(CAST(id % 3 AS INT), 0, 0, 0), " +
+        "CAST(hash(id) AS BIGINT) FROM range(3000)")
+    } finally spark.conf.unset("graft.write.distributeby")
+    val files = GraftUtil.listDataFiles(s"$wh/evds", conf)
+    val perDir = files.groupBy(_.getPath.getParent.getName)
+    assert(perDir.size == 3 && perDir.values.forall(_.size == 1),
+      perDir.view.mapValues(_.size).toMap)
+    // each file internally sorted on u
+    files.foreach { f =>
+      val us = spark.read.format("graft").load(f.getPath.toString)
+        .select("u").collect().map(_.getLong(0)).toSeq
+      assert(us == us.sorted, s"${f.getPath.getName} not sorted on u")
+    }
+    assert(spark.sql("SELECT count(*) FROM tx.evds").head.getLong(0) == 3000)
+  }
+
   test("graft_compact_partition compacts one derived day") {
     GraftExtensions.ensure(spark)
     spark.sql("CREATE TABLE tx.evc (id BIGINT, ts TIMESTAMP) " +
