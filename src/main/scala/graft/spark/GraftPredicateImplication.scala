@@ -102,9 +102,16 @@ object GraftPredicateImplication {
             case _ => scala.None
           }
         } yield fs
-      // ABS(col)
+      // ABS(col) — non-finite literals opt out (Spark treats NaN = NaN as
+      // true; a NaN probe through the zone-map In/Cmp machinery is not a
+      // soundness bet worth making for a predicate nobody prunes on)
       case g: GeneralScalarExpression
-          if g.name.equalsIgnoreCase("ABS") && g.children().length == 1 =>
+          if g.name.equalsIgnoreCase("ABS") && g.children().length == 1 &&
+            (v match {
+              case d: java.lang.Double => !d.isNaN && !d.isInfinite
+              case f: java.lang.Float => !f.isNaN && !f.isInfinite
+              case _ => true
+            }) =>
         for {
           name <- colOf(g.children()(0))
           dt <- fieldType(schema, name)
