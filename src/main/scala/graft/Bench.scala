@@ -657,8 +657,12 @@ object Bench {
               .map { r =>
                 val g = timed("graft", r.name, amp, scaledImpl)
                 val p = timed("parquet", r.name, amp, scaledImpl)
-                QRes(r.name, r.g ++ Array(g).filter(_ > 0),
-                  r.p ++ Array(p).filter(_ > 0))
+                // fold PAIRED only: a one-sided success would hand that
+                // format an extra min() sample (flagAudit's
+                // like-for-like rule applies here too)
+                if (g > 0 && p > 0)
+                  QRes(r.name, r.g ++ Array(g), r.p ++ Array(p))
+                else r
               }
             val byName = fixed.map(r => r.name -> r).toMap
             m.results.map(r => byName.getOrElse(r.name, r))

@@ -723,12 +723,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the name-reuse bar that keeps name-based per-file resolution sound
     // without field-ids: a name that may still label bytes in some file
     // (dropped, or the physical source of a rename) can never come back
-    def requireUnoccupied(name: String, what: String): Unit =
+    def requireUnoccupied(name: String, what: String): Unit = {
       require(!mapping.occupiedLower.contains(name.toLowerCase),
         s"graft: cannot $what '$name' — that name still labels data of a " +
           "previously dropped or renamed column inside immutable files, and " +
           "reusing it would resurrect those bytes. Pick a different name, or " +
           "migrate via CREATE TABLE ... AS SELECT to rewrite the files")
+      // DERIVED transform dir names are reserved too: a column named
+      // `ts_day` beside a days(ts) layout would make the scan's
+      // dir-pruning misread the derived dir values as the column's own
+      // (CREATE validates this; ALTER must as well)
+      lazy val derivedDirs = (if (sidecarExists(dir))
+        sidecarContent(dir)._2.map(GraftPartTransform.parse)
+      else Seq.empty).filterNot(_.isIdentity).map(_.dirName.toLowerCase)
+      require(!derivedDirs.contains(name.toLowerCase),
+        s"graft: cannot $what '$name' — it collides with a derived " +
+          "partition directory name of the table's transform layout")
+    }
     val updated = schemaChanges.foldLeft(currentSchema(dir)) { (sch, ch) =>
       ch match {
         case add: TableChange.AddColumn =>

@@ -879,21 +879,19 @@ final class GraftScan(private val tableSchema: StructType, private val projected
 
   private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
 
-  // declared hidden-partitioning transforms (sidecar): source column
-  // (lowercased) -> (transform, source type). Predicates on the source
-  // column then prune the derived dirs — identity layouts stay on the
-  // direct name-match path and this map is empty for them
+  // declared hidden-partitioning transforms (sidecar, read ONCE per scan
+  // — spjDeclaredTx shares it): source column (lowercased) ->
+  // (transform, source type). Predicates on the source column then prune
+  // the derived dirs — identity layouts stay on the direct name-match
+  // path and this map is empty for them
   private lazy val partTx
-      : Map[String, (PartTransform, org.apache.spark.sql.types.DataType)] = {
-    val p = new Path(path)
-    GraftCatalog.declaredPartSpecsOf(p.getFileSystem(conf), p)
-      .map(GraftPartTransform.parse)
+      : Map[String, (PartTransform, org.apache.spark.sql.types.DataType)] =
+    spjDeclaredTx
       .filterNot(_.isIdentity)
       .flatMap { pt =>
         tableSchema.fields.find(_.name.equalsIgnoreCase(pt.src))
           .map(f => pt.src.toLowerCase -> (pt, f.dataType))
       }.toMap
-  }
 
   // hive-style partition-directory pruning: a file under k=v/ subdirs is
   // dropped when a pushed filter is decidably false on those values — whole
@@ -1912,7 +1910,7 @@ object PartitionPrune {
         case Some((pv, Some((pt, dt)))) if GraftPartTransform.monotonic(pt) =>
           if (pv == null) false // all-null dir: no row satisfies a range
           else derived(pt, dt, v).forall(dv =>
-            GraftPartTransform.cmpDerived(pt, pv, dv).forall(keepIfCmp))
+            GraftPartTransform.cmpDerived(pt, dt, pv, dv).forall(keepIfCmp))
         case _ => true // identity dirs have no typed order here: keep
       }
     f match {

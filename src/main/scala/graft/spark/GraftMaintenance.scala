@@ -365,9 +365,14 @@ object GraftMaintenance {
     * bitmaps EXECUTOR-side — the driver collects O(matched files) small
     * blobs, never rows. */
   private def foldOrdinalBitmaps(
-      df: org.apache.spark.sql.DataFrame): Array[(String, Array[Byte])] = {
+      df: org.apache.spark.sql.DataFrame,
+      /** cap on blobs COLLECTED to the driver (bitmaps still fold
+        * executor-side; the limit bounds driver staging, the broad-delete
+        * guard's concern) — callers treat a full result as overflow */
+      maxCollect: Option[Int] = None): Array[(String, Array[Byte])] = {
     import org.apache.spark.sql.Encoders
-    df.as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    val folded = df.as[(String, Long)](
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
       .groupByKey(_._1)(Encoders.STRING)
       .mapGroups { (f, it) =>
         val rb = new org.roaringbitmap.RoaringBitmap()
@@ -380,7 +385,7 @@ object GraftMaintenance {
         rb.serialize(new java.io.DataOutputStream(bos))
         (f, bos.toByteArray)
       }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-      .collect()
+    maxCollect.map(n => folded.limit(n + 1)).getOrElse(folded).collect()
   }
 
   def deleteWhereDv(spark: SparkSession, dir: String,
@@ -412,31 +417,28 @@ object GraftMaintenance {
         case None => spark.read.format("graft").load(dir)
       }
       import org.apache.spark.sql.functions.{col, input_file_name}
-      // BROAD-DELETE guard: the dv path stages one bitmap blob per
-      // matched file on the driver — right for the scattered-takedown
-      // shape dvs target, unbounded for a broad predicate over a huge
-      // table (millions of matched files ⇒ millions of driver-side
-      // blobs). Above `graft.dv.maxMatchedFiles` route to the
-      // copy-on-write rewrite, whose driver state is one file LIST and
-      // which the follow-up compaction would have had to pay anyway.
-      // The pre-count probe only runs when the table's total file count
-      // could exceed the bound (small tables never pay it), and the lock
-      // is thread-re-entrant, so delegating under it is safe.
-      val maxMatched = spark.conf.getOption("graft.dv.maxMatchedFiles")
-        .map(_.toInt).getOrElse(65536)
-      if (files.size > maxMatched) {
-        val matchedFiles = table.filter(predicate)
-          .select(input_file_name()).distinct().count()
-        if (matchedFiles > maxMatched)
-          return deleteWhereImpl(spark, dir, predicate, changelog, schemaOverride)
-      }
       // ONE distributed probe maps still-live matching rows to (file,
       // file-physical ordinal) via the synthesized metadata column; each
       // file's ordinals fold into a roaring bitmap EXECUTOR-side, so the
-      // driver collects O(matched files) small byte arrays, never rows
+      // driver collects O(matched files) small byte arrays, never rows.
+      //
+      // BROAD-DELETE guard: the blob-per-matched-file driver staging is
+      // right for the scattered-takedown shape dvs target, unbounded for
+      // a broad predicate over a huge table (millions of matched files ⇒
+      // millions of driver-side blobs). The collect is capped at
+      // `graft.dv.maxMatchedFiles` + 1 — same single probe scan — and an
+      // overflowing result routes to the copy-on-write rewrite instead,
+      // whose driver state is one file LIST and which the follow-up
+      // compaction would have had to pay anyway (the lock is
+      // thread-re-entrant, so delegating under it is safe).
+      val maxMatched = spark.conf.getOption("graft.dv.maxMatchedFiles")
+        .map(_.toInt).getOrElse(65536)
       val matched = table.filter(predicate)
         .select(input_file_name().as("f"), col(GraftDv.OrdinalCol).as("o"))
-      val perFile = foldOrdinalBitmaps(matched)
+      val perFile = foldOrdinalBitmaps(matched,
+        maxCollect = Some(math.min(maxMatched, files.size)))
+      if (perFile.length > maxMatched)
+        return deleteWhereImpl(spark, dir, predicate, changelog, schemaOverride)
       if (perFile.nonEmpty) {
         val known = files.map(_.getPath.toString).toSet
         require(perFile.forall(p => p._1.nonEmpty && known.contains(p._1)),

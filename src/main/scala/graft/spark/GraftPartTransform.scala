@@ -303,10 +303,15 @@ object GraftPartTransform {
     * only non-monotonic one (equality/IN pruning only). */
   def monotonic(pt: PartTransform): Boolean = pt.kind != "bucket"
 
-  /** Ordering of two derived dir values, or None when a value falls
-    * outside the fixed-width rendering the order relies on (pre-CE /
-    * five-digit years) — the caller then keeps the dir. */
-  def cmpDerived(pt: PartTransform, a: String, b: String): Option[Int] = {
+  /** Ordering of two derived dir values under the SOURCE type's order, or
+    * None when a value falls outside the fixed-width rendering the order
+    * relies on (pre-CE / five-digit years) — the caller then keeps the
+    * dir. The source type decides the truncate order: a STRING-truncate
+    * dir must compare lexicographically even when its value happens to
+    * parse as a number ('9' > '11' as strings, not 9 < 11), and an
+    * integral-truncate dir must compare numerically. */
+  def cmpDerived(pt: PartTransform, srcType: DataType,
+      a: String, b: String): Option[Int] = {
     if (a == null || b == null) return None
     pt.kind match {
       case k if TimeKinds(k) =>
@@ -314,9 +319,12 @@ object GraftPartTransform {
         // a leading '-' (negative year) would not
         if (a.startsWith("-") || b.startsWith("-") || a.length != b.length) None
         else Some(a.compareTo(b))
-      case "truncate" => // string prefix: lexicographic; integral: numeric
-        try Some(java.lang.Long.compare(a.toLong, b.toLong))
-        catch { case _: NumberFormatException => Some(a.compareTo(b)) }
+      case "truncate" => srcType match {
+        case StringType => Some(a.compareTo(b))
+        case _ =>
+          try Some(java.lang.Long.compare(a.toLong, b.toLong))
+          catch { case _: NumberFormatException => None }
+      }
       case _ => None
     }
   }

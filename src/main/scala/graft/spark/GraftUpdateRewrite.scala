@@ -183,13 +183,29 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
           keyAttr(c.child).map(a => (a, Some(c.dataType)))
         case other => keyAttr(other).map(a => (a, None))
       }
+      // the sound acceptance set is deliberately NARROW: both columns
+      // integral and T their wider integral. There the widening cast is
+      // injective and the re-resolved join's comparison coercion is the
+      // same wider integral — identical match semantics, provably. Wider
+      // families are traps: findWiderTypeForTwo(string, int) = string,
+      // but Spark's BINARY-COMPARISON coercion for string-vs-numeric is
+      // numeric, so certifying a CAST AS STRING there would flip the
+      // comparison semantics ('01' = '1' under strings, 1 = 1 under
+      // numerics) and match different rows.
       def coercionOf(a: org.apache.spark.sql.types.DataType,
           b: org.apache.spark.sql.types.DataType)
-          : Option[org.apache.spark.sql.types.DataType] =
-        if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+          : Option[org.apache.spark.sql.types.DataType] = {
+        import org.apache.spark.sql.types._
+        def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        if (!integral(a) || !integral(b)) None
+        else if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
           org.apache.spark.sql.catalyst.analysis.AnsiTypeCoercion.findWiderTypeForTwo(a, b)
         else
           org.apache.spark.sql.catalyst.analysis.TypeCoercion.findWiderTypeForTwo(a, b)
+      }
       val keys = conjuncts(m.mergeCondition).map {
         case EqualTo(l, r) =>
           (keyAttr(l), keyAttr(r)) match {

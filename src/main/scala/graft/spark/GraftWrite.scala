@@ -97,7 +97,17 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
       else entries.map(e =>
         GraftPartTransform.resolve(e, info.schema(), sidecarSpecs).spec)
     val parsed = parsed0.copy(partitionBy = canon(parsed0.partitionBy))
-    val tableSpecs = canon(tablePartitionBy)
+    // a path table that declared a TRANSFORM layout (minimal sidecar)
+    // is governed by it exactly like a catalog table: appends inherit
+    // it, and an explicit per-write option may only RESTATE it — a
+    // different transform would silently poison derived-dir pruning
+    // (reads derive filter literals through the SIDECAR's specs, not the
+    // write's). Relayouts go through a fresh directory; refreshing the
+    // sidecar at plan time would leave a crash window where a failed
+    // overwrite strands old files under a new declaration.
+    val tableSpecs = canon(
+      if (tablePartitionBy.nonEmpty) tablePartitionBy
+      else sidecarSpecs.map(_.spec))
     // a catalog table's declared layout partitions every write to it; an
     // explicit per-write option may only restate it (a conflicting layout
     // would scatter this commit's rows outside the declared directories)
@@ -108,7 +118,9 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
         require(parsed.partitionBy == tableSpecs,
           s"graft: write option partitionby=${parsed.partitionBy.mkString(",")} " +
             s"conflicts with the table's declared layout " +
-            tableSpecs.mkString(","))
+            tableSpecs.mkString(",") +
+            " — relayout via a new directory (or compact with an explicit " +
+            "partitionby)")
         parsed
       }
     // declared SORT/CLUSTER intent (CREATE TABLE ... TBLPROPERTIES
@@ -137,15 +149,16 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
           "catalog table")
     // a PATH-based transform write needs the layout recorded for later
     // readers/rewrites (catalog tables already have the sidecar): publish
-    // a minimal one so the table stays self-describing
-    if (opts.partitionBy.exists(s =>
+    // a minimal one so the table stays self-describing (first writer
+    // only; later writes restate-check against it above)
+    if (tablePartitionBy.isEmpty && opts.partitionBy.exists(s =>
         !GraftPartTransform.parse(s).isIdentity)) {
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(hadoop)
       val sc = new org.apache.hadoop.fs.Path(dir, "_graft_table.json")
       if (!fs.exists(sc)) {
         fs.mkdirs(dir)
-        // overwrite=false: two concurrent first writers race the create —
+        // create(overwrite=false): two concurrent first writers race —
         // whoever loses reads the winner's identical layout (same
         // canonical specs, restate-checked above), so the loss is benign
         try {

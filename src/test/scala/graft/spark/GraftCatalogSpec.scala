@@ -350,6 +350,15 @@ class GraftCatalogSpec extends AnyFunSuite {
       "ON CAST(t.id AS BIGINT) = CAST(s.id AS BIGINT) " +
       "WHEN MATCHED THEN UPDATE SET v = s.v")
     assert(spark.sql("SELECT v FROM graftcat.mrg.t WHERE id = 2").head().getLong(0) == 777L)
+    // ... but ONLY the integral-widening family: a string/int cast pair
+    // would certify string comparison while the re-resolved join coerces
+    // numerically ('01' vs 1 match differently) — must decline
+    spark.sql("CREATE TABLE graftcat.mrg.tstr (k STRING, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.mrg.tstr VALUES ('01', 1)")
+    val eCast = intercept[Exception](spark.sql(
+      "MERGE INTO graftcat.mrg.tstr AS t USING graftcat.mrg.srci AS s " +
+        "ON t.k = CAST(s.id AS STRING) WHEN MATCHED THEN UPDATE SET v = s.v"))
+    assert(eCast.getMessage.contains("MERGE"), eCast.getMessage)
     // out-of-scope shapes get a SPECIFIC error naming what failed and the
     // library API that still covers the shape (the stock path can never
     // work — the table has no SupportsRowLevelOperations):

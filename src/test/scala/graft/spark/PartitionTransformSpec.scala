@@ -145,6 +145,57 @@ class PartitionTransformSpec extends AnyFunSuite {
       .head.getLong(0) == 20)
   }
 
+  test("string-truncate dirs prune under LEXICOGRAPHIC order, never numeric") {
+    // dir values that happen to parse as numbers must still compare as
+    // strings: '9' > '11' lexicographically. A numeric compare would
+    // prune the dir holding matching rows (review finding, round 17).
+    spark.sql("CREATE TABLE tx.evlex (id BIGINT, s STRING) " +
+      "PARTITIONED BY (truncate(2, s))")
+    spark.sql("INSERT INTO tx.evlex VALUES (1, '9'), (2, '123'), (3, '105')")
+    // dirs: s_trunc=9, s_trunc=12, s_trunc=10
+    assert(spark.sql("SELECT count(*) FROM tx.evlex WHERE s > '11'")
+      .head.getLong(0) == 2, "rows '9' and '123' are > '11' as strings")
+    assert(spark.sql("SELECT count(*) FROM tx.evlex WHERE s < '2'")
+      .head.getLong(0) == 2, "'123' and '105' are < '2' as strings")
+  }
+
+  test("path writes inherit and restate the declared transform layout") {
+    val p = s"$wh/.pathlayout"
+    spark.range(0, 20).selectExpr("id AS k", "id * 2 AS v")
+      .write.format("graft").option("partitionby", "bucket(4,k)")
+      .mode("overwrite").save(p)
+    // a conflicting later layout must fail loudly — it would poison
+    // derived-dir pruning (reads derive literals through the sidecar)
+    val e = intercept[Exception] {
+      spark.range(20, 30).selectExpr("id AS k", "id * 2 AS v")
+        .write.format("graft").option("partitionby", "bucket(8,k)")
+        .mode("append").save(p)
+    }
+    assert(e.getMessage.contains("declared layout"), e.getMessage)
+    // an append WITHOUT the option inherits the declared layout
+    spark.range(20, 30).selectExpr("id AS k", "id * 2 AS v")
+      .write.format("graft").mode("append").save(p)
+    val fs2 = GraftUtil.listDataFiles(p, conf)
+    assert(fs2.forall(_.getPath.getParent.getName.startsWith("k_bucket=")),
+      "inherited layout must route the append into derived dirs")
+    assert(spark.read.format("graft").load(p).count() == 30)
+    // equality pruning stays sound across both generations
+    assert(spark.read.format("graft").load(p)
+      .filter("k = 25").count() == 1)
+  }
+
+  test("ALTER cannot add or rename a column onto a derived dir name") {
+    spark.sql("CREATE TABLE tx.evcol (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE tx.evcol ADD COLUMN ts_day STRING") }
+    assert(e1.getMessage.contains("derived partition directory"), e1.getMessage)
+    spark.sql("ALTER TABLE tx.evcol ADD COLUMN note STRING")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE tx.evcol RENAME COLUMN note TO ts_day") }
+    assert(e2.getMessage.contains("derived partition directory"), e2.getMessage)
+  }
+
   test("multi-dimension days(ts) + bucket(4,id) nests and prunes conjunctions") {
     spark.sql("CREATE TABLE tx.evdb (id BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (days(ts), bucket(4, id))")
