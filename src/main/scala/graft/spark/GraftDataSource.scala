@@ -126,11 +126,18 @@ object GraftUtil {
     else if (v == "__HIVE_DEFAULT_PARTITION__" || v == "__EMPTY__")
       "%5F" + v.substring(1) // literal sentinel: escape the first underscore
     else {
+      // escape at the UTF-8 BYTE level: non-ASCII stays out of directory
+      // names entirely, so a derived dir from arbitrary corpus text is
+      // portable across filesystems and JVM path encodings (a raw emoji
+      // dir fails outright when sun.jnu.encoding isn't UTF-8). All
+      // previously-escaped chars were ASCII, so old layouts round-trip
+      // byte-identically through both functions.
       val sb = new StringBuilder
-      v.foreach {
-        case c if c == '/' || c == '\\' || c == '=' || c == '%' || c == ':' ||
-          c == '#' || c < ' ' => sb.append(f"%%${c.toInt}%02X")
-        case c => sb.append(c)
+      v.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+        val c = (b & 0xff).toChar
+        if (c == '/' || c == '\\' || c == '=' || c == '%' || c == ':' ||
+            c == '#' || c < ' ' || c >= 0x7f) sb.append(f"%%${b & 0xff}%02X")
+        else sb.append(c)
       }
       if (sb.isEmpty) "__EMPTY__" else sb.toString
     }
@@ -139,15 +146,15 @@ object GraftUtil {
     if (s == "__HIVE_DEFAULT_PARTITION__") null
     else if (s == "__EMPTY__") ""
     else {
-      val sb = new StringBuilder
+      val out = new java.io.ByteArrayOutputStream(s.length)
       var i = 0
       while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        if (s.charAt(i) == '%' && i + 3 <= s.length) {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
           i += 3
-        } else { sb.append(s.charAt(i)); i += 1 }
+        } else { out.write(s.charAt(i).toByte); i += 1 }
       }
-      sb.toString
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     }
 
   def inferSchema(dir: String, conf: org.apache.hadoop.conf.Configuration): StructType = {
@@ -745,6 +752,12 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
         }
       }
     pushFilters(paired.flatMap(_._2))
+    // hadFilters guards the footer-only aggregate lane; a predicate that
+    // neither translates to v1 nor implies a base-column filter still
+    // means "this scan is filtered", so derive it from the V2 set, not
+    // from the translated subset (pushFilters keeps the filters.nonEmpty
+    // fallback for the test-only direct entry)
+    hadFilters = hadFilters || predicates.nonEmpty
     val usable = pushed.toSet
     pushedV2 = paired.collect {
       case (p, fs) if fs.nonEmpty && fs.exists(usable.contains) => p }

@@ -173,6 +173,10 @@ object GraftPartTransform {
         case _ => bad("integral/string only")
       }
     }
+    if (pt.kind == "bucket" || pt.kind == "truncate")
+      require(pt.arg > 0,
+        s"graft: ${pt.kind}() argument must be positive, got ${pt.arg} " +
+          s"in partition spec '${pt.spec}'")
     if (!pt.isIdentity)
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(pt.dirName)),
         s"graft: derived partition dir name '${pt.dirName}' collides with " +
@@ -186,7 +190,14 @@ object GraftPartTransform {
     * after inferring the layout from the directory names). */
   def resolve(entry: String, schema: StructType,
       declared: Seq[PartTransform]): PartTransform = {
-    val pt = parse(entry)
+    // canonicalize the source column to the schema's declared case:
+    // column resolution is case-insensitive everywhere else, and the
+    // restate-vs-declared-layout check compares canonical SPEC STRINGS —
+    // days(TS) must restate a declared days(ts), not conflict with it
+    def canonSrc(p: PartTransform): PartTransform =
+      schema.fieldNames.find(_.equalsIgnoreCase(p.src))
+        .filter(_ != p.src).map(n => p.copy(src = n)).getOrElse(p)
+    val pt = canonSrc(parse(entry))
     if (!pt.isIdentity) pt
     else if (schema.fieldNames.contains(pt.src)) pt
     else declared.find(_.dirName.equalsIgnoreCase(pt.src)).getOrElse(pt)
@@ -320,7 +331,12 @@ object GraftPartTransform {
         if (a.startsWith("-") || b.startsWith("-") || a.length != b.length) None
         else Some(a.compareTo(b))
       case "truncate" => srcType match {
-        case StringType => Some(a.compareTo(b))
+        // Spark orders strings by UTF-8 BINARY bytes; Java String
+        // compareTo is UTF-16 code-unit order. They diverge when a
+        // supplementary-plane char meets [U+E000,U+FFFF] — compare the
+        // way the engine does or pruning silently drops matching dirs.
+        case StringType =>
+          Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
         case _ =>
           try Some(java.lang.Long.compare(a.toLong, b.toLong))
           catch { case _: NumberFormatException => None }

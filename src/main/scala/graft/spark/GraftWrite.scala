@@ -147,6 +147,12 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
         "graft: dynamic partition overwrite needs a partitioned write — " +
           "set .option(\"partitionby\", ...) or declare the layout on the " +
           "catalog table")
+    // validate the layout BEFORE publishing a path sidecar: a bad spec
+    // (bucket(0), unknown column) must fail the write without leaving a
+    // poisoned layout declaration behind for every later writer
+    opts.partitionBy.foreach { spec =>
+      GraftPartTransform.validate(GraftPartTransform.parse(spec), info.schema())
+    }
     // a PATH-based transform write needs the layout recorded for later
     // readers/rewrites (catalog tables already have the sidecar): publish
     // a minimal one so the table stays self-describing (first writer
@@ -154,23 +160,50 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
     if (tablePartitionBy.isEmpty && opts.partitionBy.exists(s =>
         !GraftPartTransform.parse(s).isIdentity)) {
       val dir = new org.apache.hadoop.fs.Path(path)
-      val fs = dir.getFileSystem(hadoop)
-      val sc = new org.apache.hadoop.fs.Path(dir, "_graft_table.json")
-      if (!fs.exists(sc)) {
-        fs.mkdirs(dir)
-        // create(overwrite=false): two concurrent first writers race —
-        // whoever loses reads the winner's identical layout (same
-        // canonical specs, restate-checked above), so the loss is benign
-        try {
-          val out = fs.create(sc, false)
-          try out.write(GraftCatalog.renderSidecar(info.schema(),
-            opts.partitionBy).getBytes("UTF-8"))
-          finally out.close()
-        } catch { case _: java.io.IOException if fs.exists(sc) => () }
-      }
+      GraftWriteBuilder.publishPathSidecar(dir.getFileSystem(hadoop), dir,
+        info.schema(), opts.partitionBy)
     }
     new GraftWriteImpl(info.schema(), path, opts, mode,
       new SerializableHadoopConf(hadoop), info.queryId())
+  }
+}
+
+object GraftWriteBuilder {
+  /** First-writer publish of a path table's minimal layout sidecar, with
+    * commit arbitration: create(overwrite=false) means exactly ONE of any
+    * concurrent first writers lands its layout; every other writer —
+    * whether it lost the create race or saw the winner's sidecar appear
+    * after its own (empty) layout read — re-reads the winner's specs and
+    * must RESTATE them. Two first writers carrying DIFFERENT layouts would
+    * otherwise mix directory schemes under one declaration and silently
+    * poison derived-dir pruning.
+    */
+  private[spark] def publishPathSidecar(fs: FileSystem, dir: Path,
+      schema: StructType, partitionBy: Seq[String]): Unit = {
+    val sc = new Path(dir, "_graft_table.json")
+    val created =
+      if (fs.exists(sc)) false
+      else {
+        fs.mkdirs(dir)
+        try {
+          val out = fs.create(sc, false)
+          try out.write(GraftCatalog.renderSidecar(schema, partitionBy)
+            .getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException if fs.exists(sc) => false }
+      }
+    if (!created) {
+      // canonicalize the winner's specs the same way the write's were
+      // (source-column case folds to the schema's declared case)
+      val winner = GraftCatalog.declaredPartSpecsOf(fs, dir)
+        .map(e => GraftPartTransform.resolve(e, schema, Nil).spec)
+      require(winner == partitionBy,
+        s"graft: a concurrent first write declared layout " +
+          s"${winner.mkString(",")} for $dir; this write's " +
+          s"partitionby=${partitionBy.mkString(",")} conflicts — " +
+          "retry restating the declared layout or use a new directory")
+    }
   }
 }
 

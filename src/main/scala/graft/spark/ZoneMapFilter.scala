@@ -334,6 +334,7 @@ object ZoneMapFilter {
     case InSet(f, k, ls, ds) => s"inset($f,$k,${ls.mkString(",")};${ds.mkString(",")})"
     case NotEq(f, k, v) => s"noteq($f,$k,$v)"
     case AllNullSkip(f) => s"allnull($f)"
+    case NoNullSkip(f) => s"nonull($f)"
     case OnlyNanMatches(f) => s"onlynan($f)"
     case UnlessNanPage(f, inner) => s"unlessnan($f,${render(inner)})"
     case AllOf(ps) => ps.map(render).mkString("all(", ",", ")")

@@ -413,4 +413,67 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM tx.evc").head.getLong(0) == 30)
     assert(stats.filesBefore >= 3)
   }
+
+  test("string-truncate dirs prune in UTF-8 BINARY order, not UTF-16") {
+    // Spark compares strings by UTF-8 bytes; Java String.compareTo by
+    // UTF-16 code units. A supplementary-plane char (U+1F600, UTF-16
+    // surrogates D83D DE00) sorts BELOW a BMP private-use char (U+E000)
+    // in UTF-16 but ABOVE it in UTF-8 bytes (F0 9F... > EE 80 80). A
+    // UTF-16 dir compare would prune the dir holding matching rows.
+    spark.sql("CREATE TABLE tx.evutf (id BIGINT, s STRING) " +
+      "PARTITIONED BY (truncate(1, s))")
+    spark.sql("INSERT INTO tx.evutf VALUES (1, '😀x'), (2, 'a')")
+    assert(spark.sql("SELECT count(*) FROM tx.evutf WHERE s > ''")
+      .head.getLong(0) == 1, "the emoji row is > U+E000 in binary order")
+    assert(spark.sql("SELECT count(*) FROM tx.evutf WHERE s < ''")
+      .head.getLong(0) == 1, "'a' stays below U+E000 in both orders")
+  }
+
+  test("bucket(0) and truncate(0) fail at plan time, not per-task") {
+    Seq("bucket(0,id)", "truncate(0,s)").foreach { spec =>
+      val e = intercept[Exception] {
+        spark.range(0, 5).selectExpr("id", "CAST(id AS STRING) AS s")
+          .write.format("graft").option("partitionby", spec)
+          .mode("overwrite").save(s"$wh/.zeroarg")
+      }
+      assert(e.getMessage.contains("must be positive"),
+        s"$spec: ${e.getMessage}")
+    }
+  }
+
+  test("partitionby restates the declared layout case-insensitively") {
+    spark.sql("CREATE TABLE tx.evcase (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO tx.evcase VALUES (1, timestamp'2026-08-01 10:00:00')")
+    // days(TS) names the same column as the declared days(ts) — column
+    // resolution is case-insensitive everywhere else, so restating in a
+    // different case must be accepted, not rejected as a conflict
+    spark.range(2, 4).selectExpr("id",
+        "timestamp'2026-08-02 10:00:00' AS TS")
+      .write.format("graft").option("partitionby", "days(TS)")
+      .mode("append").saveAsTable("tx.evcase")
+    assert(spark.sql("SELECT count(*) FROM tx.evcase").head.getLong(0) == 3)
+    assert(dirsOf("evcase").forall(_.startsWith("ts_day=")))
+  }
+
+  test("a lost first-writer race with a DIFFERENT layout fails loudly") {
+    // Two concurrent FIRST writers to one path: the restate check runs
+    // against an empty sidecar for both, one wins create(overwrite=false),
+    // and the loser must re-read the winner's specs and refuse a
+    // conflicting layout (it would mix two directory schemes). Exercised
+    // via the arbitration helper, which is exactly the lost-race path.
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/.sidecar-race")
+    val fs = dir.getFileSystem(conf)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    GraftWriteBuilder.publishPathSidecar(fs, dir, schema, Seq("bucket(4,k)"))
+    // same layout restated: benign
+    GraftWriteBuilder.publishPathSidecar(fs, dir, schema, Seq("bucket(4,k)"))
+    // different layout: must fail, not proceed with mixed dirs
+    val e = intercept[IllegalArgumentException] {
+      GraftWriteBuilder.publishPathSidecar(fs, dir, schema, Seq("bucket(8,k)"))
+    }
+    assert(e.getMessage.contains("concurrent first write"), e.getMessage)
+  }
 }
