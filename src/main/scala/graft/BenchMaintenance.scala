@@ -181,20 +181,28 @@ object BenchMaintenance {
       else src.write.mode("overwrite").parquet(stage)
       marker.createNewFile()
     }
-    val t0 = System.nanoTime()
-    if (format == "graft") {
-      val stats = graft.spark.GraftNdv.estimate(spark, stage,
-        Seq("doc_id", "lang", "source"))
-      require(stats.length == 3 && stats.forall(_.estimate > 0), "ndv answered wrong")
-    } else {
-      val r = spark.read.parquet(stage)
-        .agg(approx_count_distinct(col("doc_id")).as("a"),
-          approx_count_distinct(col("lang")).as("b"),
-          approx_count_distinct(col("source")).as("c"))
-        .collect()(0)
-      require(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0, "ndv answered wrong")
+    // min-of-5 of the single op: this is a sub-second operation on both
+    // sides (footer read vs a 50k-row agg), where one-shot timing reports
+    // driver scheduling noise, not the capability — r17 flagged it purely
+    // on relative spread. The min is the same estimator the query
+    // sections use, applied where it's cheap.
+    def one(): Double = {
+      val t0 = System.nanoTime()
+      if (format == "graft") {
+        val stats = graft.spark.GraftNdv.estimate(spark, stage,
+          Seq("doc_id", "lang", "source"))
+        require(stats.length == 3 && stats.forall(_.estimate > 0), "ndv answered wrong")
+      } else {
+        val r = spark.read.parquet(stage)
+          .agg(approx_count_distinct(col("doc_id")).as("a"),
+            approx_count_distinct(col("lang")).as("b"),
+            approx_count_distinct(col("source")).as("c"))
+          .collect()(0)
+        require(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0, "ndv answered wrong")
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    (System.nanoTime() - t0) / 1e9
+    (0 until 5).map(_ => one()).min
   }
 
   /** "Latest 100 events" on a ts-sorted table. graft: the sort marker +
@@ -736,26 +744,40 @@ object BenchMaintenance {
     val gdir = Tables.graftDir(spark, ampDir, "documents")
     val schema = spark.read.format("graft").load(gdir).schema
     val conf = spark.sessionState.newHadoopConf()
-    val nFiles = graft.spark.GraftUtil.listDataFiles(gdir, conf).size
+    val dataFiles = graft.spark.GraftUtil.listDataFiles(gdir, conf)
+    val nFiles = dataFiles.size
+    val nBytes = dataFiles.map(_.getLen).sum
     val name = "graft_bench_stream_catchup"
-    spark.streams.active.filter(q => q.name == name).foreach(_.stop())
-    val t0 = System.nanoTime()
-    // manifest=false: the staged conversion is ONE commit, and manifest
-    // mode admits whole manifests — per-FILE admission (listing mode) is
-    // the catch-up granularity this entry tracks
-    val q = spark.readStream.format("graft").schema(schema)
-      .option("manifest", "false")
-      .option("maxfilespertrigger", "4").load(gdir)
-      .groupBy(col("lang")).agg(count(lit(1)).as("docs"))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val sec = (System.nanoTime() - t0) / 1e9
-    // recentProgress, not lastProgress: the final progress event can lag
-    // processAllAvailable, under-reporting the batch count
-    val batches =
-      if (q.recentProgress.isEmpty) -1L else q.recentProgress.map(_.batchId).max + 1
-    f"""{"files":$nFiles,"batches":$batches,"sec":$sec%.3f,"files_per_sec":${nFiles / sec}%.2f}"""
+    // min-of-2, like the query sections: a single sub-minute run showed a
+    // 2.4x spread across r17's three artifacts (2.17 / 4.45 / 5.25
+    // files/s), too noisy to regress against. Both runs ship in the
+    // artifact so the spread itself is auditable; files x batches x bytes
+    // make rounds comparable like-for-like.
+    def once(): (Double, Long) = {
+      spark.streams.active.filter(q => q.name == name).foreach(_.stop())
+      val t0 = System.nanoTime()
+      // manifest=false: the staged conversion is ONE commit, and manifest
+      // mode admits whole manifests — per-FILE admission (listing mode) is
+      // the catch-up granularity this entry tracks
+      val q = spark.readStream.format("graft").schema(schema)
+        .option("manifest", "false")
+        .option("maxfilespertrigger", "4").load(gdir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("docs"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // recentProgress, not lastProgress: the final progress event can lag
+      // processAllAvailable, under-reporting the batch count
+      val batches =
+        if (q.recentProgress.isEmpty) -1L else q.recentProgress.map(_.batchId).max + 1
+      (sec, batches)
+    }
+    val (sec1, b1) = once()
+    val (sec2, b2) = once()
+    val (sec, batches) = if (sec1 <= sec2) (sec1, b1) else (sec2, b2)
+    f"""{"files":$nFiles,"bytes":$nBytes,"batches":$batches,"sec":$sec%.3f,""" +
+      f""""runs":[$sec1%.3f,$sec2%.3f],"files_per_sec":${nFiles / sec}%.2f}"""
   }
 
   // ------------------------------------------------ at-scale CDC section

@@ -156,6 +156,27 @@ object Functions {
         .orderBy(col("event_type"))
     },
 
+    "q_partition_months" -> { (s, dir) =>
+      // months(ts) layout under a month-range predicate: the BI-tool
+      // shape (`ts >= first-of-month AND ts < first-of-next`) compiles to
+      // whole-directory pruning through the monotonic-transform range
+      // lane — at month granularity one dir is a month of data, so this
+      // is the coarsest pruning a time-partitioned corpus gets.
+      val stage = stagedOnce(
+          s"/tmp/graft_partmo_stage/${stageKey(s, dir, "events")}/events") { t =>
+        Tables.parquet(s, dir, "events")
+          .write.format("graft").option("partitionby", "months(ts)")
+          .mode("overwrite").save(t)
+      }
+      s.read.format("graft").load(stage)
+        .filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-02-01 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,4)")).cast("double").as("total"))
+        .orderBy(col("event_type"))
+    },
+
     "q_array_contains" -> { (s, dir) =>
       // array-ELEMENT predicate pushdown: documents staged with a tokens
       // array column; the GraftElementPushdown rule compiles
@@ -2042,6 +2063,13 @@ object Functions {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_partition_months" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_count_minmax" ->
       """SELECT count(*) AS n,

@@ -266,13 +266,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // ONE sidecar read serves parts/sort/cluster/checks (loadTable runs
     // on every SQL statement naming the table — each extra read is a
     // remote round-trip on an object store)
-    val (declaredParts, declaredSort, declaredCluster, checks) =
+    val (declaredParts, declaredSort, declaredCluster, checks, bloomCols, ndvCols) =
       if (sidecarExists(dir)) {
         val json = sidecarJson(dir)
         val c = GraftCatalog.parseSidecar(json)
-        (c._2, c._3, c._4, GraftCatalog.parseChecks(json))
+        val (b, n) = GraftCatalog.parseWriteProps(json)
+        (c._2, c._3, c._4, GraftCatalog.parseChecks(json), b, n)
       } else (Seq.empty[String], Seq.empty[String], Seq.empty[String],
-        Seq.empty[GraftCatalog.CheckSpec])
+        Seq.empty[GraftCatalog.CheckSpec], Seq.empty[String], Seq.empty[String])
     val partCols =
       if (declaredParts.nonEmpty) declaredParts
       else GraftUtil.layoutOf(dir,
@@ -280,7 +281,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(currentSchema(dir), dir.toString,
       partitionCols = partCols,
       sortCols = declaredSort, clusterCols = declaredCluster,
-      checks = checks)
+      checks = checks, viaCatalog = true, bloomCols = bloomCols,
+      ndvCols = ndvCols)
   }
 
   /** SQL time travel: `SELECT ... FROM cat.db.t TIMESTAMP AS OF <ts>` —
@@ -399,10 +401,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
     val dir = tableDir(ident)
-    val (partCols, sortCols, clusterCols) =
+    val (partCols, sortCols, clusterCols, bloomCols, ndvCols) =
       initTableDir(dir, schema, partitions, properties, checks)
     new GraftTable(schema, dir.toString, partitionCols = partCols,
-      sortCols = sortCols, clusterCols = clusterCols, checks = checks)
+      sortCols = sortCols, clusterCols = clusterCols, checks = checks,
+      viaCatalog = true, bloomCols = bloomCols, ndvCols = ndvCols)
   }
 
   /** Validate the declared layout (partition transforms + sortby/clusterby
@@ -412,7 +415,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def initTableDir(dir: Path, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String],
       checks: Seq[GraftCatalog.CheckSpec] = Seq.empty)
-      : (Seq[String], Seq[String], Seq[String]) = {
+      : (Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) = {
     // PARTITIONED BY accepts identity columns AND hidden-partitioning
     // transforms (days/months/years/hours/bucket/truncate): the sidecar
     // persists canonical SPEC strings (`days(ts)`, `bucket(16,id)`; a
@@ -443,12 +446,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (sortCols ++ clusterCols).foreach(c =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"graft: declared layout column '$c' is not in the table schema"))
+    // DECLARED PER-PAGE STATS: ('graft.bloomfilter'='lang,tokens.element')
+    // / ('graft.ndvsketch'='doc_id') opt the table into per-page blooms /
+    // footer KMV synopses on every insert — the SQL-only surface of the
+    // same-named write options (a SQL user has no .option() to call)
+    val bloomCols = declaredCols("graft.bloomfilter")
+    val ndvCols = declaredCols("graft.ndvsketch")
+    GraftCatalog.validateWriteProps(schema, bloomCols, ndvCols)
     fs.mkdirs(dir)
     val out = fs.create(sidecar(dir), true)
     try out.write(GraftCatalog.renderSidecar(schema, partCols, sortCols,
-      clusterCols, checks).getBytes("UTF-8"))
+      clusterCols, checks, bloomCols, ndvCols).getBytes("UTF-8"))
     finally out.close()
-    (partCols, sortCols, clusterCols)
+    (partCols, sortCols, clusterCols, bloomCols, ndvCols)
   }
 
   // ---- atomic CREATE/REPLACE TABLE AS SELECT (StagingTableCatalog) ----
@@ -571,11 +581,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val finalDir = tableDir(ident)
     val stagingDir = new Path(finalDir.getParent,
       s".${ident.name()}.staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val (partCols, sortCols, clusterCols) =
+    val (partCols, sortCols, clusterCols, bloomCols, ndvCols) =
       initTableDir(stagingDir, schema, partitions, properties, checks)
     val inner = new GraftTable(schema, stagingDir.toString,
       partitionCols = partCols, sortCols = sortCols, clusterCols = clusterCols,
-      checks = checks)
+      checks = checks, viaCatalog = true, bloomCols = bloomCols,
+      ndvCols = ndvCols)
     new GraftStagedTable(ident, inner, stagingDir, finalDir)
   }
 
@@ -657,7 +668,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // table already violates must fail the ALTER, not every later read);
     // Spark's own ResolveTableConstraints enforces the declared checks on
     // every subsequent write through this connector.
-    val (constraintChanges, schemaChanges) = changes.partition {
+    val isStatsProp: TableChange => Boolean = {
+      case sp: TableChange.SetProperty =>
+        sp.property == "graft.bloomfilter" || sp.property == "graft.ndvsketch"
+      case rp: TableChange.RemoveProperty =>
+        rp.property == "graft.bloomfilter" || rp.property == "graft.ndvsketch"
+      case _ => false
+    }
+    val (statsPropChanges, rest) = changes.partition(isStatsProp)
+    val (constraintChanges, schemaChanges) = rest.partition {
       case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
       case _ => false
     }
@@ -981,11 +1000,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // (they live only in the sidecar — losing the partition layout would
     // silently downgrade INSERT OVERWRITE back to truncate; losing the
     // sort intent would let the next insert clear the sort marker)
-    val (declaredParts, declaredSort, declaredCluster) =
-      if (sidecarExists(dir)) { val c = sidecarContent(dir); (c._2, c._3, c._4) }
-      else (Seq.empty[String], Seq.empty[String], Seq.empty[String])
+    val (declaredParts, declaredSort, declaredCluster, bloom0, ndv0) =
+      if (sidecarExists(dir)) {
+        val json = sidecarJson(dir)
+        val c = GraftCatalog.parseSidecar(json)
+        val (b, n) = GraftCatalog.parseWriteProps(json)
+        (c._2, c._3, c._4, b, n)
+      } else (Seq.empty[String], Seq.empty[String], Seq.empty[String],
+        Seq.empty[String], Seq.empty[String])
+    // ALTER TABLE SET/UNSET TBLPROPERTIES on the per-page stats intent:
+    // a SQL user's only way to opt an existing table into blooms/ndv
+    // synopses. Applies to FUTURE writes only (files are immutable) —
+    // re-encode existing files via compaction if back-filled stats are
+    // needed.
+    var bloomCols = bloom0
+    var ndvCols = ndv0
+    statsPropChanges.foreach {
+      case sp: TableChange.SetProperty =>
+        val cols = sp.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (sp.property == "graft.bloomfilter") bloomCols = cols
+        else ndvCols = cols
+      case rp: TableChange.RemoveProperty =>
+        if (rp.property == "graft.bloomfilter") bloomCols = Seq.empty
+        else ndvCols = Seq.empty
+      case _ => ()
+    }
+    GraftCatalog.validateWriteProps(updated, bloomCols, ndvCols)
     val rendered = GraftCatalog.renderSidecar(updated, declaredParts,
-      declaredSort, declaredCluster, checks)
+      declaredSort, declaredCluster, checks, bloomCols, ndvCols)
     val out = fs.create(tmp, true)
     try out.write(rendered.getBytes("UTF-8")) finally out.close()
     fs.delete(sidecar(dir), false)
@@ -1019,7 +1061,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           f.getModificationTime < cutoff)
         .foreach(f => fs.delete(f.getPath, false))
     }
-    new GraftTable(updated, dir.toString, checks = checks)
+    new GraftTable(updated, dir.toString, checks = checks, viaCatalog = true,
+      bloomCols = bloomCols, ndvCols = ndvCols)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -1165,9 +1208,11 @@ object GraftCatalog {
 
   private[spark] def renderSidecar(schema: StructType, partitionCols: Seq[String],
       sortCols: Seq[String] = Seq.empty, clusterCols: Seq[String] = Seq.empty,
-      checks: Seq[CheckSpec] = Seq.empty): String =
+      checks: Seq[CheckSpec] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      ndvCols: Seq[String] = Seq.empty): String =
     if (partitionCols.isEmpty && sortCols.isEmpty && clusterCols.isEmpty &&
-        checks.isEmpty) schema.json
+        checks.isEmpty && bloomCols.isEmpty && ndvCols.isEmpty) schema.json
     else {
       import org.json4s.JsonDSL._
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
@@ -1175,10 +1220,44 @@ object GraftCatalog {
           ("partitionCols" -> partitionCols) ~
           ("sortCols" -> sortCols) ~
           ("clusterCols" -> clusterCols) ~
+          ("bloomCols" -> bloomCols) ~
+          ("ndvCols" -> ndvCols) ~
           ("checks" -> checks.map { case (n, sql, enf) =>
             ("name" -> n) ~ ("sql" -> sql) ~ ("enforced" -> enf) }) ~
           ("schema" -> org.json4s.jackson.JsonMethods.parse(schema.json))))
     }
+
+  /** Shared CREATE/ALTER validation of the declared per-page stats
+    * properties: bloom paths must resolve to atomic leaves, ndv columns
+    * to top-level string/integer fields — same plan-time posture as the
+    * write options they mirror. */
+  private[spark] def validateWriteProps(schema: StructType,
+      bloomCols: Seq[String], ndvCols: Seq[String]): Unit = {
+    bloomCols.foreach { pth =>
+      require(GraftSchema.leafIndexOfPath(schema, pth).isDefined,
+        s"graft: graft.bloomfilter path '$pth' does not resolve to an " +
+          "atomic leaf of the table schema (use col, s.x, arr.element, " +
+          "m.key, m.value)")
+    }
+    ndvCols.foreach(GraftWriteImpl.validateNdvColumn(schema, _))
+  }
+
+  /** Declared per-page stats intent of a sidecar body: (bloom leaf paths,
+    * ndv synopsis columns) — TBLPROPERTIES ('graft.bloomfilter'=...,
+    * 'graft.ndvsketch'=...), persisted so EVERY insert (pure-SQL INSERT
+    * INTO included, which cannot pass write options) writes the stats the
+    * table was declared with. Empty for legacy/undeclared sidecars. */
+  private[spark] def parseWriteProps(json: String): (Seq[String], Seq[String]) = {
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    def strArr(field: String): Seq[String] = (parsed \ field) match {
+      case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(x) => x }
+      case _ => Seq.empty
+    }
+    parsed \ "graftTable" match {
+      case org.json4s.JInt(_) => (strArr("bloomCols"), strArr("ndvCols"))
+      case _ => (Seq.empty, Seq.empty)
+    }
+  }
 
   /** Narrow a connector Constraint to the CHECK shape we persist. PK /
     * FK / UNIQUE are rejected: they are unenforceable promises on a

@@ -187,7 +187,17 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     private val partitionCols: Seq[String] = Seq.empty,
     private val sortCols: Seq[String] = Seq.empty,
     private val clusterCols: Seq[String] = Seq.empty,
-    private val checks: Seq[(String, String, Boolean)] = Seq.empty)
+    private val checks: Seq[(String, String, Boolean)] = Seq.empty,
+    /** true when loaded through GraftCatalog: Spark can then resolve v2
+      * transform expressions (requiredDistribution) via the catalog's
+      * FunctionCatalog; path relations carry no function catalog. */
+    private val viaCatalog: Boolean = false,
+    /** declared per-page bloom leaf paths / footer ndv synopsis columns
+      * (TBLPROPERTIES 'graft.bloomfilter' / 'graft.ndvsketch'): every
+      * write through this table applies them unless the write passes its
+      * own same-named option. */
+    private val bloomCols: Seq[String] = Seq.empty,
+    private val ndvCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
@@ -454,6 +464,8 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
     val m = new java.util.HashMap[String, String]()
     if (sortCols.nonEmpty) m.put("graft.sortby", sortCols.mkString(","))
     if (clusterCols.nonEmpty) m.put("graft.clusterby", clusterCols.mkString(","))
+    if (bloomCols.nonEmpty) m.put("graft.bloomfilter", bloomCols.mkString(","))
+    if (ndvCols.nonEmpty) m.put("graft.ndvsketch", ndvCols.mkString(","))
     m
   }
 
@@ -508,7 +520,9 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(tableAsofMs.isEmpty, "graft: cannot write to a time-travel snapshot")
     new GraftWriteBuilder(info, path, tablePartitionBy = partitionCols,
-      tableSortBy = sortCols, tableClusterBy = clusterCols)
+      tableSortBy = sortCols, tableClusterBy = clusterCols,
+      viaCatalog = viaCatalog, tableBloomFilter = bloomCols,
+      tableNdvSketch = ndvCols)
   }
 
   // Structural equality by (path, schema): Spark's cache manager and

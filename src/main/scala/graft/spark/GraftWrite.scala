@@ -38,7 +38,10 @@ private[spark] object GraftWriteMode {
 final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
     tablePartitionBy: Seq[String] = Seq.empty,
     tableSortBy: Seq[String] = Seq.empty,
-    tableClusterBy: Seq[String] = Seq.empty)
+    tableClusterBy: Seq[String] = Seq.empty,
+    viaCatalog: Boolean = false,
+    tableBloomFilter: Seq[String] = Seq.empty,
+    tableNdvSketch: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate
     with SupportsOverwrite with SupportsDynamicOverwrite {
 
@@ -141,7 +144,16 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
       }
     val opts = opts0.copy(
       sortBy = layered(tableSortBy, opts0.sortBy, "sortby"),
-      clusterBy = layered(tableClusterBy, opts0.clusterBy, "clusterby"))
+      clusterBy = layered(tableClusterBy, opts0.clusterBy, "clusterby"),
+      // declared per-page stats intent (TBLPROPERTIES graft.bloomfilter /
+      // graft.ndvsketch): the default every insert gets; an explicit
+      // same-named write option WINS for that write (stats are per-file
+      // metadata — a one-off override cannot poison the declared layout
+      // the way a conflicting partitioning would)
+      bloomFilter =
+        if (opts0.bloomFilter.nonEmpty) opts0.bloomFilter else tableBloomFilter,
+      ndvSketch =
+        if (opts0.ndvSketch.nonEmpty) opts0.ndvSketch else tableNdvSketch)
     if (mode == GraftWriteMode.DynamicPartitions)
       require(opts.partitionBy.nonEmpty,
         "graft: dynamic partition overwrite needs a partitioned write — " +
@@ -153,6 +165,23 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
     opts.partitionBy.foreach { spec =>
       GraftPartTransform.validate(GraftPartTransform.parse(spec), info.schema())
     }
+    // transform write distribution needs the table's FunctionCatalog:
+    // Spark resolves the clustered-distribution transform expressions
+    // through the RELATION's catalog, which a path write doesn't carry —
+    // its generic "transform expressions are not supported" error lands
+    // mid-analysis with no hint. Fail here with the actual fix instead.
+    // Identity layouts resolve everywhere and stay allowed.
+    if (opts.distributeBy.contains("partition") && !viaCatalog &&
+        opts.partitionBy.exists(s => !GraftPartTransform.parse(s).isIdentity))
+      throw new IllegalArgumentException(
+        "graft: distributeby=partition over a transform layout (" +
+          opts.partitionBy.mkString(",") + ") requires a CATALOG table — " +
+          "Spark resolves partition-transform expressions through the " +
+          "table's FunctionCatalog, which path writes do not carry. Write " +
+          "through a graft catalog table (spark.sql.catalog.<name>=" +
+          "graft.spark.GraftCatalog), or pre-cluster the frame yourself " +
+          "(df.repartition(<derived partition expression>)) and drop the " +
+          "distributeby option")
     // a PATH-based transform write needs the layout recorded for later
     // readers/rewrites (catalog tables already have the sidecar): publish
     // a minimal one so the table stays self-describing (first writer

@@ -558,4 +558,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     // path reads stay available for repair
     assert(spark.read.format("graft").load(dir).count() == 12)
   }
+
+  test("TBLPROPERTIES graft.bloomfilter/graft.ndvsketch apply to every SQL insert") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("CREATE TABLE graftcat.db.bloomy (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.bloomfilter'='k', 'graft.ndvsketch'='s')")
+    // plain SQL INSERT — no .option() anywhere; the declared properties
+    // must opt the written files into blooms + the footer ndv synopsis
+    spark.sql("INSERT INTO graftcat.db.bloomy " +
+      "SELECT cast(hash(id) as bigint) % 100000, format_string('v%06d', id % 997) " +
+      "FROM range(60000)")
+    val dir = s"$wh/db/bloomy"
+    // blooms: an absent-value equality probe prunes page groups that
+    // min/max zone maps (hash-scrambled k spans the domain) never could
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.db.bloomy WHERE k = 999999999").head.getLong(0) == 0)
+    assert(GraftMetrics.pageGroupsSkipped.get() > 0,
+      s"declared bloom must prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+    // ndv synopsis: scan-free estimate resolves (throws if files lack it)
+    val est = GraftNdv.estimate(spark, dir, Seq("s"))
+    assert(est.length == 1 && est.head.estimate > 500 && est.head.estimate < 1500,
+      s"ndv estimate off: ${est.head.estimate}")
+    // ALTER ... SET TBLPROPERTIES re-points FUTURE writes; UNSET stops them
+    spark.sql("ALTER TABLE graftcat.db.bloomy SET TBLPROPERTIES ('graft.ndvsketch'='k')")
+    assert(spark.sql("SHOW TBLPROPERTIES graftcat.db.bloomy").collect()
+      .exists(r => r.getString(0) == "graft.ndvsketch" && r.getString(1) == "k"))
+    spark.sql("ALTER TABLE graftcat.db.bloomy UNSET TBLPROPERTIES ('graft.bloomfilter')")
+    assert(!spark.sql("SHOW TBLPROPERTIES graftcat.db.bloomy").collect()
+      .exists(_.getString(0) == "graft.bloomfilter"))
+    // a bad property value fails the DDL, not some later task
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.db.bloomy SET TBLPROPERTIES ('graft.bloomfilter'='nope')") }
+    assert(e.getMessage.contains("does not resolve"), e.getMessage)
+  }
 }

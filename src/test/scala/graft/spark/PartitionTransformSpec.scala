@@ -456,6 +456,27 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(dirsOf("evcase").forall(_.startsWith("ts_day=")))
   }
 
+  test("distributeby=partition on a PATH write: identity ok, transform errors specifically") {
+    // Spark resolves transform-distribution expressions through the
+    // relation's FunctionCatalog; a path relation has none, and Spark's
+    // own failure is a generic mid-analysis error. The builder must fail
+    // with the actual fix (use a catalog table / pre-cluster manually).
+    val p = s"$wh/.pathdist"
+    // identity layouts resolve everywhere: stays allowed
+    spark.range(0, 100).selectExpr("id % 4 AS k", "id AS v")
+      .write.format("graft").option("partitionby", "k")
+      .option("distributeby", "partition").mode("overwrite").save(p)
+    assert(spark.read.format("graft").load(p).count() == 100)
+    val e = intercept[Exception] {
+      spark.range(0, 100)
+        .selectExpr("id AS v", "timestamp'2026-08-01 10:00:00' AS ts")
+        .write.format("graft").option("partitionby", "days(ts)")
+        .option("distributeby", "partition").mode("overwrite")
+        .save(s"$wh/.pathdist2")
+    }
+    assert(e.getMessage.contains("requires a CATALOG table"), e.getMessage)
+  }
+
   test("a lost first-writer race with a DIFFERENT layout fails loudly") {
     // Two concurrent FIRST writers to one path: the restate check runs
     // against an empty sidecar for both, one wins create(overwrite=false),
