@@ -13,6 +13,8 @@ object TimeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.hadoop.graft.read.prefetch.threads",
+        sys.env.getOrElse("GRAFT_PREFETCH_THREADS", "1"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = if (factor > 1) Bench.stageAmplified(spark, sfDir, factor) else sfDir

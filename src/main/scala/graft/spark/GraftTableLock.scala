@@ -4,13 +4,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Advisory table-level mutex for the MUTATING maintenance ops
   * (deleteWhere / updateWhere / merge / compact / zorder / vacuum /
-  * expireManifests). Two such ops racing on one table can both decide to
-  * rewrite the same file from the same listing — one's output retires the
+  * expireManifests) AND every write COMMIT (batch + streaming epoch).
+  * Two maintenance ops racing on one table can both decide to rewrite
+  * the same file from the same listing — one's output retires the
   * other's input mid-flight, and the per-op convergence markers (which
-  * key on the op's OWN hash) cannot see the other op at all. Plain
-  * appends and reads stay lock-free: the tmp+rename commit protocol
-  * already makes them safe against anything, including a concurrent
-  * rewrite (compact takes a snapshot-scoped delete for exactly that).
+  * key on the op's OWN hash) cannot see the other op at all. Two
+  * unserialized write commits interleave on the shared table metadata:
+  * the sort marker's read-clear-republish window could re-publish a
+  * whole-table sort guarantee over a concurrent unsorted append's
+  * visible files (wrong top-N answers downstream). The lock is taken
+  * once per JOB on the driver around the publish sequence only — task
+  * execution stays fully parallel, and READS stay lock-free (tmp+rename
+  * keeps every read-visible state consistent).
   *
   * Mechanics — the S3A/HDFS-portable shape, not a filesystem flock:
   *

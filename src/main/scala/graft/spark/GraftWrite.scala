@@ -488,6 +488,16 @@ final class GraftStreamingWrite(schema: StructType, path: String, opts: GraftWri
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val tableDir = new Path(path)
     val fs = tableDir.getFileSystem(conf.value)
+    // same commit arbitration as the batch path: the epoch publish
+    // (marker clear, renames, manifest) linearizes against concurrent
+    // batch appends and maintenance passes on this table
+    GraftTableLock.withLock(fs, tableDir, conf.value, "stream-commit") {
+      commitLocked(epochId, messages, fs, tableDir)
+    }
+  }
+
+  private def commitLocked(epochId: Long, messages: Array[WriterCommitMessage],
+      fs: FileSystem, tableDir: Path): Unit = {
     val tag = epochTag(epochId)
     if (GraftManifest.list(fs, tableDir).exists(_.endsWith("-" + tag))) {
       // replayed epoch: the previous attempt committed fully — drop restaged tmps
@@ -610,6 +620,24 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val tableDir = new Path(path)
     val fs = tableDir.getFileSystem(conf.value)
+    // COMMIT ARBITRATION: the whole publish sequence (marker decision,
+    // renames, manifest, retire phase) runs under the table mutex. Two
+    // unserialized committers interleave observably — the proven hazard
+    // is the sort marker's read-clear-republish: writer A (unsorted)
+    // clears it, writer B (sorted, read `prior` before the clear)
+    // republishes a whole-table sort guarantee over A's unsorted visible
+    // files, and every later top-N pushdown silently returns wrong rows.
+    // The lock is driver-side, once per JOB (milliseconds of fs ops
+    // against a job's minutes) — task parallelism is untouched, so this
+    // costs nothing at 1000-executor scale while making concurrent
+    // ingest well-defined: commits linearize in lock order.
+    GraftTableLock.withLock(fs, tableDir, conf.value, "commit") {
+      commitLocked(fs, tableDir, messages)
+    }
+  }
+
+  private def commitLocked(fs: FileSystem, tableDir: Path,
+      messages: Array[WriterCommitMessage]): Unit = {
     // a tagged commit that already published is a REPLAY of an idempotent
     // append (merge's insert pass re-run after a crash): drop the staged
     // tmps instead of renaming a second copy in
