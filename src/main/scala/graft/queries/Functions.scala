@@ -177,6 +177,26 @@ object Functions {
         .orderBy(col("event_type"))
     },
 
+    "q_partition_monthfield" -> { (s, dir) =>
+      // the calendar-field lane: month(ts) = M is PERIODIC (no base-column
+      // range exists), but on a months(ts) layout each dir pins the month
+      // — GraftPredicateImplication's col#month marker filters prune
+      // directories a year apart. Oracle-checked end-to-end: the pruned
+      // scan + residual filter must match DuckDB exactly.
+      val stage = stagedOnce(
+          s"/tmp/graft_partmo_stage/${stageKey(s, dir, "events")}/events") { t =>
+        Tables.parquet(s, dir, "events")
+          .write.format("graft").option("partitionby", "months(ts)")
+          .mode("overwrite").save(t)
+      }
+      s.read.format("graft").load(stage)
+        .filter(expr("month(ts) = 1 AND year(ts) = 2024"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event_type"))
+    },
+
     "q_array_contains" -> { (s, dir) =>
       // array-ELEMENT predicate pushdown: documents staged with a tokens
       // array column; the GraftElementPushdown rule compiles
@@ -2070,6 +2090,12 @@ object Functions {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
         |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_partition_monthfield" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |WHERE EXTRACT(MONTH FROM ts) = 1 AND EXTRACT(YEAR FROM ts) = 2024
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_count_minmax" ->
       """SELECT count(*) AS n,

@@ -1061,7 +1061,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           f.getModificationTime < cutoff)
         .foreach(f => fs.delete(f.getPath, false))
     }
-    new GraftTable(updated, dir.toString, checks = checks, viaCatalog = true,
+    // the returned Table IS the post-ALTER table some callers keep using
+    // in-statement: carry the declared layout through, or a follow-on
+    // write against this object would lose the partition/sort intent
+    new GraftTable(updated, dir.toString, partitionCols = declaredParts,
+      sortCols = declaredSort, clusterCols = declaredCluster,
+      checks = checks, viaCatalog = true,
       bloomCols = bloomCols, ndvCols = ndvCols)
   }
 

@@ -1926,11 +1926,38 @@ object PartitionPrune {
         v: Any): Option[String] =
       GraftPartTransform.toInternal(dt, v)
         .map(iv => GraftPartTransform.deriveLogical(pt, dt, iv))
+    // `col#month` / `col#day` marker attrs (GraftPredicateImplication's
+    // calendar-field lane): resolve against a declared time transform and
+    // test the filter against the dir's possible field values. A REAL
+    // column/dir of that exact name wins (dimOf is consulted first).
+    def fieldMay(a: String, test: Set[Int] => Boolean): Boolean = {
+      val i = a.lastIndexOf('#')
+      if (i <= 0 || i == a.length - 1) return true
+      val (col, fld) = (a.substring(0, i), a.substring(i + 1))
+      tx.get(col.toLowerCase) match {
+        case Some((pt, dt)) if part.contains(pt.dirName) =>
+          val pv = part(pt.dirName)
+          // null dir: EXTRACT of a null source is null — no comparison
+          // against it is ever true, so the dir cannot match
+          if (pv == null) false
+          else GraftPartTransform.fieldCandidates(pt, dt, pv, fld) match {
+            case Some(cands) => test(cands)
+            case scala.None => true
+          }
+        case _ => true
+      }
+    }
+    def intLit(v: Any): Option[Int] = v match {
+      case n: java.lang.Number => Some(n.intValue)
+      case _ => scala.None
+    }
     def eqMay(a: String, v: Any): Boolean = dimOf(a) match {
       case Some((pv, None)) => pv != null && pv == render(v)
       case Some((pv, Some((pt, dt)))) =>
         pv != null && derived(pt, dt, v).forall(_ == pv)
-      case None => true
+      case None =>
+        if (!a.contains('#')) true
+        else fieldMay(a, cands => intLit(v).forall(cands.contains))
     }
     def rangeMay(a: String, v: Any, keepIfCmp: Int => Boolean): Boolean =
       dimOf(a) match {
@@ -1938,6 +1965,9 @@ object PartitionPrune {
           if (pv == null) false // all-null dir: no row satisfies a range
           else derived(pt, dt, v).forall(dv =>
             GraftPartTransform.cmpDerived(pt, dt, pv, dv).forall(keepIfCmp))
+        case None if a.contains('#') =>
+          fieldMay(a, cands => intLit(v).forall(iv =>
+            cands.exists(c => keepIfCmp(Integer.compare(c, iv)))))
         case _ => true // identity dirs have no typed order here: keep
       }
     f match {
@@ -1947,7 +1977,10 @@ object PartitionPrune {
         case Some((pv, None)) => pv != null && vs.exists(v => render(v) == pv)
         case Some((pv, Some((pt, dt)))) =>
           pv != null && vs.exists(v => derived(pt, dt, v).forall(_ == pv))
-        case None => true
+        case None =>
+          if (!a.contains('#')) true
+          else fieldMay(a, cands =>
+            vs.exists(v => intLit(v).forall(cands.contains)))
       }
       case StringStartsWith(a, prefix) if prefix != null => dimOf(a) match {
         // identity dir: the dir value IS the row value

@@ -235,6 +235,71 @@ object GraftPartTransform {
     }
   }
 
+  /** Possible values of `EXTRACT(field FROM CAST(src AS date))` (the shape
+    * Spark pushes for `month(ts)`/`day(ts)`) among rows living in a
+    * months/days/hours dir — what lets a PERIODIC calendar predicate,
+    * which no base-column range can carry, still prune whole directories.
+    * None = undecidable (caller keeps the dir).
+    *
+    * Soundness: the dir covers a contiguous instant range under the UTC
+    * derivation calendar; the residual filter evaluates the field in the
+    * PLAN-TIME session zone, so the candidates come from the dir range
+    * re-read in that zone — local dates over a contiguous instant range
+    * form the contiguous local-date span [local(start), local(end-1µs)]
+    * (DST never moves a local date backwards across the span ends). For
+    * DATE / TIMESTAMP_NTZ sources the derivation IS wall time and the
+    * candidates are exact with no zone involved.
+    */
+  def fieldCandidates(pt: PartTransform, dt: DataType, dirVal: String,
+      field: String): Option[Set[Int]] = {
+    if (!TimeKinds(pt.kind) || pt.kind == "years") return None
+    if (dirVal == null || dirVal.startsWith("-")) return None
+    val parts = dirVal.split("-")
+    val expect = pt.kind match { case "months" => 2; case "days" => 3; case _ => 4 }
+    if (parts.length != expect || parts.exists(_.isEmpty)) return None
+    val (ld1, ld2) =
+      try {
+        val y = parts(0).toInt; val mo = parts(1).toInt
+        val d0 = pt.kind match {
+          case "months" => java.time.LocalDate.of(y, mo, 1)
+          case _ => java.time.LocalDate.of(y, mo, parts(2).toInt)
+        }
+        val hr = if (pt.kind == "hours") parts(3).toLong else 0L
+        // dir's covered wall range under the derivation calendar
+        val (s, e) = pt.kind match {
+          case "months" => (d0.atStartOfDay(), d0.plusMonths(1).atStartOfDay())
+          case "days"   => (d0.atStartOfDay(), d0.plusDays(1).atStartOfDay())
+          case _ => val h0 = d0.atStartOfDay().plusHours(hr); (h0, h0.plusHours(1))
+        }
+        dt match {
+          case TimestampType =>
+            // instants (derivation is UTC) re-read in the session zone
+            val zone = java.time.ZoneId.of(
+              org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+            val si = s.toInstant(java.time.ZoneOffset.UTC)
+            val ei = e.toInstant(java.time.ZoneOffset.UTC).minusNanos(1000)
+            (si.atZone(zone).toLocalDate, ei.atZone(zone).toLocalDate)
+          case DateType | TimestampNTZType =>
+            (s.toLocalDate, e.minusNanos(1000).toLocalDate)
+          case _ => return None
+        }
+      } catch { case _: RuntimeException => return None }
+    val span = java.time.temporal.ChronoUnit.DAYS.between(ld1, ld2)
+    if (span < 0 || span > 62) return None // huge span: nothing to prune
+    val out = Set.newBuilder[Int]
+    var d = ld1
+    val f = field.toLowerCase
+    while (!d.isAfter(ld2)) {
+      f match {
+        case "month" => out += d.getMonthValue
+        case "day" => out += d.getDayOfMonth
+        case _ => return None
+      }
+      d = d.plusDays(1)
+    }
+    Some(out.result())
+  }
+
   /** Bucket ordinal with EXACTLY Spark's `pmod(hash(col), n)` semantics
     * (Murmur3 seed 42 over Spark's per-type byte rendering) — so the SQL
     * predicate `pmod(hash(id), 16) = 3` and the layout agree, and the

@@ -51,9 +51,51 @@ object GraftPredicateImplication {
   private def fieldType(schema: StructType, name: String): Option[DataType] =
     schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
 
+  /** The `col#month` / `col#day` MARKER attribute a calendar-field
+    * predicate compiles to: not a schema column — PartitionPrune resolves
+    * it against the declared time transforms (months/days/hours dirs
+    * carry the field), every other consumer fails to resolve it and
+    * conservatively ignores it. This is what carries `month(ts) = 3`
+    * (periodic — no base-column range exists) to directory pruning. */
+  private def fieldAttr(e: V2Expr, schema: StructType): Option[String] = e match {
+    case ex: Extract =>
+      val f = ex.field.toUpperCase match {
+        case "MONTH" | "MONTHS" | "MON" | "MONS" => Some("month")
+        case "DAY" | "DAYS" => Some("day")
+        case _ => scala.None
+      }
+      val srcCol = ex.source() match {
+        case c: V2Cast if c.dataType() == DateType => colOf(c.expression())
+        case other => colOf(other)
+      }
+      for {
+        fld <- f
+        name <- srcCol
+        dt <- fieldType(schema, name)
+        if dt == DateType || dt == TimestampType || dt == TimestampNTZType
+      } yield s"$name#$fld"
+    case _ => scala.None
+  }
+
+  private def intOf(v: Any): Option[Integer] = v match {
+    case i: java.lang.Integer => Some(i)
+    case l: java.lang.Long => Some(Integer.valueOf(l.toInt))
+    case s: java.lang.Short => Some(Integer.valueOf(s.toInt))
+    case b: java.lang.Byte => Some(Integer.valueOf(b.toInt))
+    case _ => scala.None
+  }
+
   private def compile(p: Predicate, schema: StructType): Option[Seq[Filter]] = {
     val op = p.name()
     val ch = p.children()
+    // EXTRACT(MONTH/DAY ...) IN (v, ...): candidates vs the dir's field set
+    if (op == "IN" && ch.length >= 2) {
+      return for {
+        attr <- fieldAttr(ch(0), schema)
+        vs <- { val lits = ch.drop(1).toSeq.map(litVal(_).flatMap(intOf))
+                if (lits.forall(_.isDefined)) Some(lits.flatten) else scala.None }
+      } yield Seq(In(attr, vs.toArray[Any]))
+    }
     if (!Set("=", ">", ">=", "<", "<=").contains(op) || ch.length != 2)
       return None
     // normalize to (expr ⋈ literal); flip the op when the literal is left
@@ -68,6 +110,17 @@ object GraftPredicateImplication {
       case _ => return None
     }
     val v = litVal(rhs).get
+    fieldAttr(lhs, schema).foreach { attr =>
+      intOf(v).foreach { iv =>
+        return Some(Seq(theOp match {
+          case "=" => EqualTo(attr, iv)
+          case ">" => GreaterThan(attr, iv)
+          case ">=" => GreaterThanOrEqual(attr, iv)
+          case "<" => LessThan(attr, iv)
+          case _ => LessThanOrEqual(attr, iv)
+        }))
+      }
+    }
     lhs match {
       // EXTRACT(YEAR FROM CAST(col AS date)) / EXTRACT(YEAR FROM dateCol)
       case ex: Extract if ex.field.equalsIgnoreCase("YEAR") ||

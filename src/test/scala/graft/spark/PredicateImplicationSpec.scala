@@ -96,4 +96,68 @@ class PredicateImplicationSpec extends AnyFunSuite {
     // modulo predicates: no implication, exact result
     assert(g.filter("k % 10 = 3").count() == 100)
   }
+
+  test("month(ts)/day(ts) prune time-transform dirs via the field lane") {
+    // month(ts) = M is PERIODIC — no base-column range can carry it — yet
+    // on a months(ts)/days(ts) layout the dir value pins the field: the
+    // calendar-field lane (col#month marker filters) prunes directories a
+    // year's worth apart. year(ts) AND month(ts) composes (two filters).
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-test/predimpl-wh2"))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.pi2", "graft.spark.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.pi2.warehouse", "/tmp/graft-test/predimpl-wh2")
+    s2.sql("CREATE TABLE pi2.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (months(ts))")
+    s2.sql("INSERT INTO pi2.ev SELECT id, " +
+      "timestamp'2023-01-15 06:00:00' + make_dt_interval(CAST(id % 8 AS INT) * 61, 0, 0, 0) " +
+      "FROM range(80)") // 8 dirs, two months apart: Jan/Mar/May/... 2023-24
+    GraftMetrics.filesPruned.set(0)
+    assert(s2.sql("SELECT count(*) FROM pi2.ev WHERE month(ts) = 3")
+      .head.getLong(0) == 20) // 2023-03 and 2024-03 dirs
+    assert(GraftMetrics.filesPruned.get() > 0,
+      "month(ts)=M must prune non-adjacent month dirs")
+    GraftMetrics.filesPruned.set(0)
+    assert(s2.sql("SELECT count(*) FROM pi2.ev " +
+      "WHERE year(ts) = 2023 AND month(ts) IN (1, 5)").head.getLong(0) == 20)
+    assert(GraftMetrics.filesPruned.get() > 0)
+    // day(ts) on a days layout
+    s2.sql("CREATE TABLE pi2.evd (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    s2.sql("INSERT INTO pi2.evd SELECT id, " +
+      "timestamp'2024-02-01 12:00:00' + make_dt_interval(CAST(id % 10 AS INT), 0, 0, 0) " +
+      "FROM range(100)")
+    GraftMetrics.filesPruned.set(0)
+    assert(s2.sql("SELECT count(*) FROM pi2.evd WHERE day(ts) = 7")
+      .head.getLong(0) == 10)
+    assert(GraftMetrics.filesPruned.get() > 0,
+      "day(ts)=D must prune other day dirs")
+  }
+
+  test("calendar-field candidates stay sound across session zones") {
+    import org.apache.spark.sql.types._
+    val pt = GraftPartTransform.parse("months(ts)")
+    def withZone[T](z: String)(f: => T): T = {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val old = conf.sessionLocalTimeZone
+      conf.setConfString("spark.sql.session.timeZone", z)
+      try f finally conf.setConfString("spark.sql.session.timeZone", old)
+    }
+    // UTC: the dir is exactly one session month
+    assert(withZone("UTC") {
+      GraftPartTransform.fieldCandidates(pt, TimestampType, "2026-03", "month")
+    }.contains(Set(3)))
+    // Asia/Kolkata (+5:30): the dir's instants spill into local April —
+    // month=4 must KEEP the dir (rows near the end match), month=2 prunes
+    assert(withZone("Asia/Kolkata") {
+      GraftPartTransform.fieldCandidates(pt, TimestampType, "2026-03", "month")
+    }.contains(Set(3, 4)))
+    // NTZ is wall time: exact regardless of zone
+    assert(withZone("Asia/Kolkata") {
+      GraftPartTransform.fieldCandidates(pt, TimestampNTZType, "2026-03", "month")
+    }.contains(Set(3)))
+    // years dirs carry no month info: undecidable, caller keeps
+    assert(GraftPartTransform.fieldCandidates(
+      GraftPartTransform.parse("years(ts)"), TimestampType, "2026", "month").isEmpty)
+  }
 }
