@@ -1191,17 +1191,29 @@ object GraftCatalog {
     * writer and the scan resolve transform layouts through — the specs
     * have no other durable home. */
   private[spark] def declaredPartSpecsOf(fs: org.apache.hadoop.fs.FileSystem,
-      tableDir: org.apache.hadoop.fs.Path): Seq[String] = {
+      tableDir: org.apache.hadoop.fs.Path): Seq[String] =
+    sidecarJsonAt(fs, tableDir).map(parseSidecar(_)._2).getOrElse(Seq.empty)
+
+  /** Declared (bloom paths, ndv columns) of a directory's sidecar — what
+    * lets PATH writes (maintenance rewrites included: compaction writes
+    * back into the table dir) inherit the table's per-page stats intent
+    * instead of silently dropping blooms from every rewritten file. */
+  private[spark] def declaredWritePropsOf(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path): (Seq[String], Seq[String]) =
+    sidecarJsonAt(fs, tableDir).map(parseWriteProps)
+      .getOrElse((Seq.empty, Seq.empty))
+
+  private def sidecarJsonAt(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path): Option[String] = {
     val sc = new org.apache.hadoop.fs.Path(tableDir, "_graft_table.json")
     try {
-      if (!fs.exists(sc)) Seq.empty
+      if (!fs.exists(sc)) scala.None
       else {
         val in = fs.open(sc)
-        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        parseSidecar(json)._2
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close())
       }
-    } catch { case _: Exception => Seq.empty }
+    } catch { case _: Exception => scala.None }
   }
 
   /** Sidecar body for a table declaration. Unpartitioned tables keep the

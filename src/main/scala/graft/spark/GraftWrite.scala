@@ -95,6 +95,13 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
       GraftCatalog.declaredPartSpecsOf(dir.getFileSystem(hadoop), dir)
         .map(GraftPartTransform.parse)
     }
+    // PATH writes inherit the declared per-page stats intent from the
+    // sidecar (a maintenance rewrite that compacts a bloomy table back
+    // into its own dir must not strip the blooms the table declared)
+    lazy val sidecarWriteProps: (Seq[String], Seq[String]) = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      GraftCatalog.declaredWritePropsOf(dir.getFileSystem(hadoop), dir)
+    }
     def canon(entries: Seq[String]): Seq[String] =
       if (entries.isEmpty) entries
       else entries.map(e =>
@@ -151,9 +158,13 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
       // metadata — a one-off override cannot poison the declared layout
       // the way a conflicting partitioning would)
       bloomFilter =
-        if (opts0.bloomFilter.nonEmpty) opts0.bloomFilter else tableBloomFilter,
+        if (opts0.bloomFilter.nonEmpty) opts0.bloomFilter
+        else if (tableBloomFilter.nonEmpty) tableBloomFilter
+        else sidecarWriteProps._1,
       ndvSketch =
-        if (opts0.ndvSketch.nonEmpty) opts0.ndvSketch else tableNdvSketch)
+        if (opts0.ndvSketch.nonEmpty) opts0.ndvSketch
+        else if (tableNdvSketch.nonEmpty) tableNdvSketch
+        else sidecarWriteProps._2)
     if (mode == GraftWriteMode.DynamicPartitions)
       require(opts.partitionBy.nonEmpty,
         "graft: dynamic partition overwrite needs a partitioned write — " +

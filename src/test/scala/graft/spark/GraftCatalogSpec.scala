@@ -593,4 +593,28 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graftcat.db.bloomy SET TBLPROPERTIES ('graft.bloomfilter'='nope')") }
     assert(e.getMessage.contains("does not resolve"), e.getMessage)
   }
+
+  test("maintenance rewrites inherit the declared per-page stats intent") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("CREATE TABLE graftcat.db.bloomc (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.bloomfilter'='k', 'graft.ndvsketch'='s')")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graftcat.db.bloomc " +
+        s"SELECT cast(hash(id + ${i * 20000}) as bigint) % 100000, " +
+        s"format_string('v%06d', id % 997) FROM range(15000)")
+    }
+    val dir = s"$wh/db/bloomc"
+    // compaction writes back into the table dir as a PATH write — the
+    // sidecar-declared blooms/ndv must survive the rewrite, or the table
+    // silently loses its equality pruning with every maintenance pass
+    val st = GraftMaintenance.compact(spark, dir, targetFiles = 1)
+    assert(st.filesAfter <= st.filesBefore)
+    GraftMetrics.pageGroupsSkipped.set(0)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.db.bloomc WHERE k = 999999999").head.getLong(0) == 0)
+    assert(GraftMetrics.pageGroupsSkipped.get() > 0,
+      s"rewritten files must still carry blooms, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
+    assert(GraftNdv.estimate(spark, dir, Seq("s")).head.estimate > 0,
+      "rewritten files must still carry the ndv synopsis")
+  }
 }
