@@ -773,6 +773,21 @@ object BenchMaintenance {
         if (q.recentProgress.isEmpty) -1L else q.recentProgress.map(_.batchId).max + 1
       (sec, batches)
     }
+    // WARMUP (untimed): one single-batch catch-up of the same pipeline —
+    // the first streaming query in a JVM pays state-store init + streaming
+    // codegen, which showed as a 1.7x run-1-vs-run-2 spread in r18's
+    // artifact. The timed runs then both measure warm admission control.
+    locally {
+      val wname = name + "_warm"
+      spark.streams.active.filter(q => q.name == wname).foreach(_.stop())
+      val w = spark.readStream.format("graft").schema(schema)
+        .option("manifest", "false")
+        .option("maxfilespertrigger", nFiles.max(1).toString).load(gdir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("docs"))
+        .writeStream.outputMode("complete").format("memory").queryName(wname)
+        .start()
+      try w.processAllAvailable() finally w.stop()
+    }
     val (sec1, b1) = once()
     val (sec2, b2) = once()
     val (sec, batches) = if (sec1 <= sec2) (sec1, b1) else (sec2, b2)

@@ -1013,8 +1013,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // synopses. Applies to FUTURE writes only (files are immutable) —
     // re-encode existing files via compaction if back-filled stats are
     // needed.
-    var bloomCols = bloom0
-    var ndvCols = ndv0
+    // RENAME COLUMN re-labels the declared stats columns the same way the
+    // sort marker re-labels (the property tracks the column, not its old
+    // name); DROP COLUMN silently retires its stats entries — rejecting
+    // the ALTER over a property the user never touched would demand an
+    // UNSET nobody can discover
+    def relabel(cols: Seq[String]): Seq[String] = cols.flatMap { p =>
+      val segs = p.split("\\.", 2)
+      val head = segs(0)
+      if (droppedNow.contains(head.toLowerCase)) scala.None
+      else {
+        val newHead = renamePairs.getOrElse(head.toLowerCase, head)
+        Some(if (segs.length == 1) newHead else s"$newHead.${segs(1)}")
+      }
+    }
+    var bloomCols = relabel(bloom0)
+    var ndvCols = relabel(ndv0)
     statsPropChanges.foreach {
       case sp: TableChange.SetProperty =>
         val cols = sp.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -146,15 +146,27 @@ object GraftUtil {
     if (s == "__HIVE_DEFAULT_PARTITION__") null
     else if (s == "__EMPTY__") ""
     else {
-      val out = new java.io.ByteArrayOutputStream(s.length)
+      // %XX runs decode as UTF-8 BYTES (the writer escapes at the byte
+      // level); every other char copies through as a CHAR — a dir written
+      // by an older writer that left non-ASCII raw must round-trip
+      // unchanged, not be crushed through toByte into U+FFFD garbage
+      // (which would silently prune the dir on every equality probe)
+      val sb = new StringBuilder(s.length)
+      val bytes = new java.io.ByteArrayOutputStream(8)
+      def flush(): Unit = if (bytes.size > 0) {
+        sb.append(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        bytes.reset()
+      }
       var i = 0
       while (i < s.length) {
         if (s.charAt(i) == '%' && i + 3 <= s.length) {
-          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
           i += 3
-        } else { out.write(s.charAt(i).toByte); i += 1 }
+        } else { flush(); sb.append(s.charAt(i)); i += 1 }
       }
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      flush()
+      sb.toString
     }
 
   def inferSchema(dir: String, conf: org.apache.hadoop.conf.Configuration): StructType = {

@@ -1002,6 +1002,22 @@ object GraftMaintenance {
         .map(pt => pt.dirName.toLowerCase -> pt.spec).toMap
     def specOfDir(name: String): String =
       declaredTx.getOrElse(name.toLowerCase, name)
+    // survivor outputs must carry the table's declared per-page stats:
+    // the scratch dir has no sidecar to inherit from, and a rewritten
+    // file missing the declared ndv synopsis makes GraftNdv.estimate
+    // THROW for the whole table (blooms would just silently stop
+    // pruning). Columns filter to the rewrite schema — a concurrent
+    // DROP COLUMN must not fail every survivor write.
+    val (declBloom0, declNdv0) = GraftCatalog.declaredWritePropsOf(fs, tableDir)
+    val declBloom = declBloom0.filter(p =>
+      GraftSchema.leafIndexOfPath(schema, p).isDefined)
+    val declNdv = declNdv0.filter(c => schema.fieldNames.contains(c))
+    def withDeclaredStats[T](w: org.apache.spark.sql.DataFrameWriter[T])
+        : org.apache.spark.sql.DataFrameWriter[T] = {
+      val w1 = if (declBloom.isEmpty) w
+        else w.option("bloomfilter", declBloom.mkString(","))
+      if (declNdv.isEmpty) w1 else w1.option("ndvsketch", declNdv.mkString(","))
+    }
     // retired originals' DV sidecars drop in ONE batched listing after the
     // join (per-file dropFor listed `_graft_dv` once per task — quadratic
     // on broad matches); sidecars of an already-deleted file are inert to
@@ -1060,8 +1076,8 @@ object GraftMaintenance {
         } else {
           val scratch = new org.apache.hadoop.fs.Path(
             tableDir, s"$scratchRoot/sv/$ident-${spec.hash}")
-          val w = spec.projectOf(one).coalesce(1)
-            .write.format("graft").mode("overwrite")
+          val w = withDeclaredStats(spec.projectOf(one).coalesce(1)
+            .write.format("graft").mode("overwrite"))
           (if (segs.nonEmpty)
             w.option("partitionby", segs.map(s => specOfDir(s._1)).mkString(","))
            else w).save(scratch.toString)

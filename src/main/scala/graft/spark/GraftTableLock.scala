@@ -66,9 +66,21 @@ private[spark] object GraftTableLock {
   private val inProcess =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
+  /** The COMMIT lock is a SEPARATE file from the maintenance lock:
+    * commits serialize against each other (seconds-long publish
+    * sections), but NOT against a long-running maintenance rewrite —
+    * compaction is drip-ingest-safe by design (snapshot-scoped deletes,
+    * manifest-diff marker guards), and an hour-long compact must not
+    * block or fail concurrent ingest. Lock ORDER is maintenance → commit
+    * (replaceWhere's commit takes maintenance first; compact's inner
+    * append takes commit while holding maintenance) — never the reverse,
+    * or two processes deadlock until the wait timeout. */
+  val CommitLockName = "_graft_commit_lock"
+
   def withLock[T](fs: FileSystem, tableDir: Path,
-      conf: org.apache.hadoop.conf.Configuration, op: String)(f: => T): T = {
-    val key = fs.makeQualified(tableDir).toString
+      conf: org.apache.hadoop.conf.Configuration, op: String,
+      lockFile: String = LockName)(f: => T): T = {
+    val key = lockFile + "@" + fs.makeQualified(tableDir).toString
     if (held.get.contains(key)) return f // nested op, same acquisition
     val lease = conf.getLong("graft.maint.lock.lease.ms", 10 * 60 * 1000L)
     val waitMs = conf.getLong("graft.maint.lock.wait.ms", 10 * 60 * 1000L)
@@ -76,9 +88,9 @@ private[spark] object GraftTableLock {
       _ => new java.util.concurrent.locks.ReentrantLock())
     if (!pl.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
       throw new java.util.ConcurrentModificationException(
-        s"graft: table $tableDir is locked by another maintenance operation " +
+        s"graft: table $tableDir is locked by another operation " +
           s"in this process — waited ${waitMs}ms (graft.maint.lock.wait.ms)")
-    try withFileLock(fs, tableDir, op, lease, waitMs, key)(f)
+    try withFileLock(fs, tableDir, op, lease, waitMs, key, lockFile)(f)
     finally pl.unlock()
   }
 
@@ -125,8 +137,8 @@ private[spark] object GraftTableLock {
   }
 
   private def withFileLock[T](fs: FileSystem, tableDir: Path, op: String,
-      lease: Long, waitMs: Long, key: String)(f: => T): T = {
-    val lockPath = new Path(tableDir, LockName)
+      lease: Long, waitMs: Long, key: String, lockFile: String)(f: => T): T = {
+    val lockPath = new Path(tableDir, lockFile)
     val token = s"$op:${java.util.UUID.randomUUID()}"
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
@@ -161,7 +173,7 @@ private[spark] object GraftTableLock {
             // plain delete here could land AFTER the winner re-created
             // the lock and destroy a live claim.
             val tomb = new Path(tableDir,
-              s"$LockName.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+              s"$lockFile.stale-${java.util.UUID.randomUUID().toString.take(8)}")
             if (fs.rename(lockPath, tomb)) fs.delete(tomb, false)
           } else if (System.currentTimeMillis() > deadline) {
             val holder = content.map(_._1).getOrElse("<unreadable>")

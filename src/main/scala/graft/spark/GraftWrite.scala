@@ -157,13 +157,17 @@ final class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
       // same-named write option WINS for that write (stats are per-file
       // metadata — a one-off override cannot poison the declared layout
       // the way a conflicting partitioning would)
+      // catalog tables pass the declared stats explicitly (loadTable
+      // already parsed the sidecar — don't re-read it per write job);
+      // PATH writes fall back to the sidecar so maintenance rewrites
+      // into the table dir inherit the declared intent
       bloomFilter =
         if (opts0.bloomFilter.nonEmpty) opts0.bloomFilter
-        else if (tableBloomFilter.nonEmpty) tableBloomFilter
+        else if (viaCatalog || tableBloomFilter.nonEmpty) tableBloomFilter
         else sidecarWriteProps._1,
       ndvSketch =
         if (opts0.ndvSketch.nonEmpty) opts0.ndvSketch
-        else if (tableNdvSketch.nonEmpty) tableNdvSketch
+        else if (viaCatalog || tableNdvSketch.nonEmpty) tableNdvSketch
         else sidecarWriteProps._2)
     if (mode == GraftWriteMode.DynamicPartitions)
       require(opts.partitionBy.nonEmpty,
@@ -221,28 +225,47 @@ object GraftWriteBuilder {
   private[spark] def publishPathSidecar(fs: FileSystem, dir: Path,
       schema: StructType, partitionBy: Seq[String]): Unit = {
     val sc = new Path(dir, "_graft_table.json")
-    val created =
+    val body = GraftCatalog.renderSidecar(schema, partitionBy)
+    val won =
       if (fs.exists(sc)) false
       else {
         fs.mkdirs(dir)
-        try {
-          val out = fs.create(sc, false)
-          try out.write(GraftCatalog.renderSidecar(schema, partitionBy)
-            .getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException if fs.exists(sc) => false }
+        // write-complete-then-rename: an observer can never read a
+        // partially-written body (a direct create(overwrite=false) makes
+        // the EMPTY file visible before its content, and a racing
+        // identical-layout writer reading that empty body would
+        // spuriously fail as a layout conflict)
+        val tmp = new Path(dir, "._graft_table.json.pub-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        val renamed = try fs.rename(tmp, sc)
+          catch { case _: java.io.IOException => false }
+        if (!renamed) fs.delete(tmp, false)
+        // READ-BACK VERIFY: POSIX rename over an existing dest succeeds
+        // silently, so two racing publishers can both "win" the rename —
+        // whoever's content the file holds NOW is the winner, the other
+        // falls into the restate check below
+        renamed && {
+          try {
+            val in = fs.open(sc)
+            val now = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            now == body
+          } catch { case _: java.io.IOException => false }
+        }
       }
-    if (!created) {
-      // canonicalize the winner's specs the same way the write's were
+    if (!won) {
+      // canonicalize the standing specs the same way the write's were
       // (source-column case folds to the schema's declared case)
       val winner = GraftCatalog.declaredPartSpecsOf(fs, dir)
         .map(e => GraftPartTransform.resolve(e, schema, Nil).spec)
       require(winner == partitionBy,
-        s"graft: a concurrent first write declared layout " +
-          s"${winner.mkString(",")} for $dir; this write's " +
-          s"partitionby=${partitionBy.mkString(",")} conflicts — " +
-          "retry restating the declared layout or use a new directory")
+        s"graft: $dir already declares partition layout " +
+          s"[${winner.mkString(",")}] (pre-existing sidecar, or a " +
+          "concurrent first write won the publish race); this write's " +
+          s"partitionby=${partitionBy.mkString(",")} conflicts — restate " +
+          "the declared layout or use a new directory")
     }
   }
 }
@@ -501,8 +524,10 @@ final class GraftStreamingWrite(schema: StructType, path: String, opts: GraftWri
     val fs = tableDir.getFileSystem(conf.value)
     // same commit arbitration as the batch path: the epoch publish
     // (marker clear, renames, manifest) linearizes against concurrent
-    // batch appends and maintenance passes on this table
-    GraftTableLock.withLock(fs, tableDir, conf.value, "stream-commit") {
+    // batch-append commits on this table (maintenance runs concurrently
+    // by design — snapshot-scoped)
+    GraftTableLock.withLock(fs, tableDir, conf.value, "stream-commit",
+      GraftTableLock.CommitLockName) {
       commitLocked(epochId, messages, fs, tableDir)
     }
   }
@@ -632,19 +657,35 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     val tableDir = new Path(path)
     val fs = tableDir.getFileSystem(conf.value)
     // COMMIT ARBITRATION: the whole publish sequence (marker decision,
-    // renames, manifest, retire phase) runs under the table mutex. Two
-    // unserialized committers interleave observably — the proven hazard
-    // is the sort marker's read-clear-republish: writer A (unsorted)
-    // clears it, writer B (sorted, read `prior` before the clear)
-    // republishes a whole-table sort guarantee over A's unsorted visible
-    // files, and every later top-N pushdown silently returns wrong rows.
-    // The lock is driver-side, once per JOB (milliseconds of fs ops
-    // against a job's minutes) — task parallelism is untouched, so this
-    // costs nothing at 1000-executor scale while making concurrent
-    // ingest well-defined: commits linearize in lock order.
-    GraftTableLock.withLock(fs, tableDir, conf.value, "commit") {
-      commitLocked(fs, tableDir, messages)
+    // renames, manifest, retire phase) runs under the COMMIT mutex —
+    // separate from the maintenance lock, so an hour-long compaction
+    // never blocks ingest. Two unserialized committers interleave
+    // observably — the proven hazard is the sort marker's
+    // read-clear-republish: writer A (unsorted) clears it, writer B
+    // (sorted, read `prior` before the clear) republishes a whole-table
+    // sort guarantee over A's unsorted visible files, and every later
+    // top-N pushdown silently returns wrong rows. The lock is
+    // driver-side, once per JOB (milliseconds of fs ops against a job's
+    // minutes) — task parallelism is untouched, so this costs nothing at
+    // 1000-executor scale while making concurrent ingest well-defined:
+    // commits linearize in lock order.
+    //
+    // LOCK ORDER is maintenance → commit, never the reverse: a
+    // replaceWhere commit runs a maintenance delete inside, so it takes
+    // the maintenance lock FIRST; compact's inner append (already
+    // holding maintenance) then takes commit — consistent order, no ABBA
+    // deadlock between an overwrite and a rewrite.
+    def locked(f: => Unit): Unit = mode match {
+      case GraftWriteMode.ReplaceWhere(_) =>
+        GraftTableLock.withLock(fs, tableDir, conf.value, "replace-where") {
+          GraftTableLock.withLock(fs, tableDir, conf.value, "commit",
+            GraftTableLock.CommitLockName)(f)
+        }
+      case _ =>
+        GraftTableLock.withLock(fs, tableDir, conf.value, "commit",
+          GraftTableLock.CommitLockName)(f)
     }
+    locked { commitLocked(fs, tableDir, messages) }
   }
 
   private def commitLocked(fs: FileSystem, tableDir: Path,

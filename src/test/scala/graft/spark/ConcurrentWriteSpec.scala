@@ -22,6 +22,9 @@ class ConcurrentWriteSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // if a lock-separation bug ever makes commits contend with the
+      // maintenance mutex, fail in seconds, not the 10-minute default
+      .config("spark.hadoop.graft.maint.lock.wait.ms", "8000")
       .getOrCreate()
   }
 
@@ -54,7 +57,7 @@ class ConcurrentWriteSpec extends AnyFunSuite {
     val manifests = GraftManifest.list(fs, new org.apache.hadoop.fs.Path(dir))
     assert(manifests.size == 8, s"expected 8 commit manifests, got $manifests")
     // the commit lock released cleanly (no stale lock file pinning the table)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, GraftTableLock.LockName)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, GraftTableLock.CommitLockName)))
   }
 
   test("racing sorted and unsorted appends can never strand a sort marker") {
@@ -83,6 +86,46 @@ class ConcurrentWriteSpec extends AnyFunSuite {
       "unsorted appends landed — a surviving whole-table sort marker would " +
         "certify wrong top-N pushdowns")
     assert(spark.read.format("graft").load(dir).count() == 1600)
+  }
+
+  test("a long-held maintenance lock does not block ingest commits") {
+    // compaction holds the MAINTENANCE mutex for its whole (possibly
+    // hour-long) run; commits take a SEPARATE commit mutex — drip ingest
+    // into a table under maintenance must proceed, not queue or fail
+    val dir = s"$base/mainthold"
+    spark.range(0, 100).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val heldL = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      GraftTableLock.withLock(fs, p, conf, "fake-compact") {
+        heldL.countDown(); release.await()
+      })
+    holder.start()
+    assert(heldL.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      spark.range(100, 200).selectExpr("id AS k")
+        .write.format("graft").mode("append").save(dir)
+      assert(spark.read.format("graft").load(dir).count() == 200)
+    } finally { release.countDown(); holder.join() }
+  }
+
+  test("dir values round-trip: escaped bytes AND legacy raw non-ASCII") {
+    // new writers escape at the UTF-8 byte level; dirs written by OLDER
+    // writers may hold raw non-ASCII chars — unescape must pass those
+    // through as chars, never crush them through toByte into U+FFFD
+    // (which would silently prune the dir on every equality probe)
+    for (v <- Seq("plain", "a=b/c%d", "café", "😀x", "")) {
+      val esc = GraftUtil.escapePathValue(v)
+      assert(esc.forall(c => c < 0x7f), s"escaped '$v' must be ASCII: $esc")
+      assert(GraftUtil.unescapePathValue(esc) == v, s"round-trip of '$v'")
+    }
+    assert(GraftUtil.unescapePathValue("café") == "café",
+      "legacy raw non-ASCII dir value must pass through unchanged")
+    assert(GraftUtil.unescapePathValue("😀") == "😀")
+    assert(GraftUtil.unescapePathValue("%2F%2F") == "//")
   }
 
   test("a concurrent append and a truncating overwrite both land whole") {

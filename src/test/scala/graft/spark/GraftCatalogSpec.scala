@@ -570,11 +570,15 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT cast(hash(id) as bigint) % 100000, format_string('v%06d', id % 997) " +
       "FROM range(60000)")
     val dir = s"$wh/db/bloomy"
-    // blooms: an absent-value equality probe prunes page groups that
-    // min/max zone maps (hash-scrambled k spans the domain) never could
+    // blooms: an IN-DOMAIN absent-value probe — every page's min/max
+    // spans ~the full hash domain, so zone maps cannot prune it and only
+    // a real bloom can (an out-of-domain probe would pass vacuously)
+    val present = spark.sql("SELECT DISTINCT k FROM graftcat.db.bloomy")
+      .collect().map(_.getLong(0)).toSet
+    val absentK = (1L to 99999L).find(!present.contains(_)).get
     GraftMetrics.pageGroupsSkipped.set(0)
     assert(spark.sql(
-      "SELECT count(*) FROM graftcat.db.bloomy WHERE k = 999999999").head.getLong(0) == 0)
+      s"SELECT count(*) FROM graftcat.db.bloomy WHERE k = $absentK").head.getLong(0) == 0)
     assert(GraftMetrics.pageGroupsSkipped.get() > 0,
       s"declared bloom must prune, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
     // ndv synopsis: scan-free estimate resolves (throws if files lack it)
@@ -609,12 +613,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     // silently loses its equality pruning with every maintenance pass
     val st = GraftMaintenance.compact(spark, dir, targetFiles = 1)
     assert(st.filesAfter <= st.filesBefore)
+    // in-domain absent probe (see the bloomy test): only blooms prune it
+    val present = spark.sql("SELECT DISTINCT k FROM graftcat.db.bloomc")
+      .collect().map(_.getLong(0)).toSet
+    val absentK = (1L to 99999L).find(!present.contains(_)).get
     GraftMetrics.pageGroupsSkipped.set(0)
     assert(spark.sql(
-      "SELECT count(*) FROM graftcat.db.bloomc WHERE k = 999999999").head.getLong(0) == 0)
+      s"SELECT count(*) FROM graftcat.db.bloomc WHERE k = $absentK").head.getLong(0) == 0)
     assert(GraftMetrics.pageGroupsSkipped.get() > 0,
       s"rewritten files must still carry blooms, skipped=${GraftMetrics.pageGroupsSkipped.get()}")
     assert(GraftNdv.estimate(spark, dir, Seq("s")).head.estimate > 0,
       "rewritten files must still carry the ndv synopsis")
+    // row-level rewrite (DELETE survivor) — the scratch write has no
+    // sidecar, so the declared stats must be injected or estimate THROWS
+    GraftExtensions.ensure(spark)
+    spark.sql(s"DELETE FROM graftcat.db.bloomc WHERE k = ${present.head}")
+    assert(GraftNdv.estimate(spark, dir, Seq("s")).head.estimate > 0,
+      "survivor-rewritten files must still carry the ndv synopsis")
+  }
+
+  test("RENAME COLUMN re-labels declared stats properties; DROP retires them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("CREATE TABLE graftcat.db.bloomr (k BIGINT, s STRING, x BIGINT) " +
+      "TBLPROPERTIES ('graft.bloomfilter'='k,x', 'graft.ndvsketch'='s')")
+    spark.sql("INSERT INTO graftcat.db.bloomr VALUES (1, 'a', 10)")
+    spark.sql("ALTER TABLE graftcat.db.bloomr RENAME COLUMN k TO key")
+    val props = spark.sql("SHOW TBLPROPERTIES graftcat.db.bloomr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.bloomfilter").contains("key,x"), props.toString)
+    spark.sql("ALTER TABLE graftcat.db.bloomr DROP COLUMN x")
+    val props2 = spark.sql("SHOW TBLPROPERTIES graftcat.db.bloomr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2.get("graft.bloomfilter").contains("key"), props2.toString)
+    // the table stays writable under the re-labeled declaration
+    spark.sql("INSERT INTO graftcat.db.bloomr VALUES (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.bloomr").head.getLong(0) == 2)
   }
 }
