@@ -675,15 +675,22 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
     // the maintenance lock FIRST; compact's inner append (already
     // holding maintenance) then takes commit — consistent order, no ABBA
     // deadlock between an overwrite and a rewrite.
+    // every non-APPEND mode retires pre-existing files, which races a
+    // live rewrite the same way two rewrites race each other (a compact
+    // racing a truncate could republish merged PRE-overwrite rows after
+    // the retire — resurrection): those modes serialize with maintenance.
+    // Plain appends — the frequent ingest path — take only the commit
+    // mutex and never wait on an hour-long rewrite (compact's
+    // snapshot-scoped delete is designed for concurrent appends).
     def locked(f: => Unit): Unit = mode match {
-      case GraftWriteMode.ReplaceWhere(_) =>
-        GraftTableLock.withLock(fs, tableDir, conf.value, "replace-where") {
+      case GraftWriteMode.Append =>
+        GraftTableLock.withLock(fs, tableDir, conf.value, "commit",
+          GraftTableLock.CommitLockName)(f)
+      case _ =>
+        GraftTableLock.withLock(fs, tableDir, conf.value, "overwrite") {
           GraftTableLock.withLock(fs, tableDir, conf.value, "commit",
             GraftTableLock.CommitLockName)(f)
         }
-      case _ =>
-        GraftTableLock.withLock(fs, tableDir, conf.value, "commit",
-          GraftTableLock.CommitLockName)(f)
     }
     locked { commitLocked(fs, tableDir, messages) }
   }
