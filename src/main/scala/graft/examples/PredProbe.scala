@@ -26,6 +26,9 @@ object PredProbe {
       "date_trunc_eq" -> "date_trunc('MONTH', ts) = timestamp'2026-03-01'",
       "to_date_eq" -> "to_date(ts) = date'2026-03-01'",
       "cast_date_eq" -> "cast(ts as date) = date'2026-03-01'",
+      "hour_eq" -> "hour(ts) = 13",
+      "extract_hour" -> "extract(hour from ts) = 13",
+      "dayofmonth" -> "dayofmonth(ts) = 2",
       "year_and_month" -> "year(ts) = 2026 AND month(ts) = 3")) {
       System.err.println(s"---- $label: $cond")
       g.filter(cond).count()

@@ -1952,9 +1952,15 @@ object PartitionPrune {
           // null dir: EXTRACT of a null source is null — no comparison
           // against it is ever true, so the dir cannot match
           if (pv == null) false
-          else GraftPartTransform.fieldCandidates(pt, dt, pv, fld) match {
-            case Some(cands) => test(cands)
-            case scala.None => true
+          else {
+            val cands =
+              if (fld.equalsIgnoreCase("hour"))
+                GraftPartTransform.hourCandidates(pt, dt, pv)
+              else GraftPartTransform.fieldCandidates(pt, dt, pv, fld)
+            cands match {
+              case Some(cs) => test(cs)
+              case scala.None => true
+            }
           }
         case _ => true
       }

@@ -300,6 +300,41 @@ object GraftPartTransform {
     Some(out.result())
   }
 
+  /** Possible `EXTRACT(HOUR FROM ts)` values among rows in an HOURS dir
+    * (coarser dirs span all 24 — undecidable). The dir covers one
+    * derivation-calendar hour; in the session zone its instants can land
+    * on two (or, across a DST fold, three) local hours — enumerated by
+    * stepping the instant range (offsets change only in >=15-min
+    * quanta). NTZ is exact wall time. */
+  def hourCandidates(pt: PartTransform, dt: DataType,
+      dirVal: String): Option[Set[Int]] = {
+    if (pt.kind != "hours") return None
+    if (dirVal == null || dirVal.startsWith("-")) return None
+    val parts = dirVal.split("-")
+    if (parts.length != 4 || parts.exists(_.isEmpty)) return None
+    try {
+      val d0 = java.time.LocalDate.of(parts(0).toInt, parts(1).toInt, parts(2).toInt)
+      val h = parts(3).toInt
+      dt match {
+        case TimestampNTZType => Some(Set(h))
+        case TimestampType =>
+          val zone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          val s0 = d0.atStartOfDay().plusHours(h.toLong)
+            .toInstant(java.time.ZoneOffset.UTC)
+          val out = Set.newBuilder[Int]
+          var m = 0
+          while (m < 60) {
+            out += s0.plusSeconds(m * 60L).atZone(zone).getHour
+            m += 15
+          }
+          out += s0.plusSeconds(3599L).atZone(zone).getHour
+          Some(out.result())
+        case _ => None
+      }
+    } catch { case _: RuntimeException => None }
+  }
+
   /** Bucket ordinal with EXACTLY Spark's `pmod(hash(col), n)` semantics
     * (Murmur3 seed 42 over Spark's per-type byte rendering) — so the SQL
     * predicate `pmod(hash(id), 16) = 3` and the layout agree, and the

@@ -62,6 +62,7 @@ object GraftPredicateImplication {
       val f = ex.field.toUpperCase match {
         case "MONTH" | "MONTHS" | "MON" | "MONS" => Some("month")
         case "DAY" | "DAYS" => Some("day")
+        case "HOUR" | "HOURS" => Some("hour") // hour(ts): no date cast
         case _ => scala.None
       }
       val srcCol = ex.source() match {

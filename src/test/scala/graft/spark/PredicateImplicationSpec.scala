@@ -160,4 +160,40 @@ class PredicateImplicationSpec extends AnyFunSuite {
     assert(GraftPartTransform.fieldCandidates(
       GraftPartTransform.parse("years(ts)"), TimestampType, "2026", "month").isEmpty)
   }
+
+  test("hour(ts) prunes hours(ts) dirs, zone-shifted candidates included") {
+    import org.apache.spark.sql.types._
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-test/predimpl-wh3"))
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.catalog.pi3", "graft.spark.GraftCatalog")
+    s3.conf.set("spark.sql.catalog.pi3.warehouse", "/tmp/graft-test/predimpl-wh3")
+    s3.sql("CREATE TABLE pi3.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    s3.sql("INSERT INTO pi3.ev SELECT id, " +
+      "timestamp'2026-08-01 00:30:00' + make_dt_interval(0, CAST(id % 6 AS INT) * 4, 0, 0) " +
+      "FROM range(60)") // hours 00,04,08,12,16,20
+    GraftMetrics.filesPruned.set(0)
+    assert(s3.sql("SELECT count(*) FROM pi3.ev WHERE hour(ts) = 12")
+      .head.getLong(0) == 10)
+    assert(GraftMetrics.filesPruned.get() > 0,
+      "hour(ts)=H must prune other hour dirs")
+    // candidate unit checks: UTC dir is one session hour; +05:30 spills
+    val pt = GraftPartTransform.parse("hours(ts)")
+    def withZone[T](z: String)(f: => T): T = {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val old = conf.sessionLocalTimeZone
+      conf.setConfString("spark.sql.session.timeZone", z)
+      try f finally conf.setConfString("spark.sql.session.timeZone", old)
+    }
+    assert(withZone("UTC") {
+      GraftPartTransform.hourCandidates(pt, TimestampType, "2026-08-01-07")
+    }.contains(Set(7)))
+    assert(withZone("Asia/Kolkata") {
+      GraftPartTransform.hourCandidates(pt, TimestampType, "2026-08-01-07")
+    }.contains(Set(12, 13)), "half-hour zone spans two local hours")
+    // coarser dirs span all 24 hours: undecidable
+    assert(GraftPartTransform.hourCandidates(
+      GraftPartTransform.parse("days(ts)"), TimestampType, "2026-08-01").isEmpty)
+  }
 }
