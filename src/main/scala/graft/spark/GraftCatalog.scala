@@ -1217,7 +1217,7 @@ object GraftCatalog {
     sidecarJsonAt(fs, tableDir).map(parseWriteProps)
       .getOrElse((Seq.empty, Seq.empty))
 
-  private def sidecarJsonAt(fs: org.apache.hadoop.fs.FileSystem,
+  private[spark] def sidecarJsonAt(fs: org.apache.hadoop.fs.FileSystem,
       tableDir: org.apache.hadoop.fs.Path): Option[String] = {
     val sc = new org.apache.hadoop.fs.Path(tableDir, "_graft_table.json")
     try {

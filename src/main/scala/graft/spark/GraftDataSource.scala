@@ -158,9 +158,15 @@ object GraftUtil {
           java.nio.charset.StandardCharsets.UTF_8))
         bytes.reset()
       }
+      def hex(c: Char): Boolean =
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
       var i = 0
       while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        // only a VALID %XX is an escape; a foreign dir's raw '%' (e.g.
+        // 'k=95%off') copies through instead of crashing the listing or
+        // silently decoding to a different value
+        if (s.charAt(i) == '%' && i + 3 <= s.length &&
+            hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
           bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
           i += 3
         } else { flush(); sb.append(s.charAt(i)); i += 1 }

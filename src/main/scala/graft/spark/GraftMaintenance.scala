@@ -54,6 +54,21 @@ object GraftMaintenance {
     GraftTableLock.withLock(tableDir.getFileSystem(conf), tableDir, conf, op)(f)
   }
 
+  /** Clear the whole-table sort marker under the COMMIT mutex: a
+    * concurrent sorted append's read-decide-republish runs entirely
+    * inside its commit section, so a clear serialized against it can
+    * never be overwritten by a republish that read the marker BEFORE the
+    * clear (the cross-lock resurrection: marker [k] re-certified over a
+    * rewrite's not-sorted-on-k files). Callers hold the maintenance lock
+    * — order maintenance → commit, same as everywhere. */
+  private def clearMarkerLocked(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    GraftTableLock.withLock(fs, tableDir, conf, "marker-clear",
+      GraftTableLock.CommitLockName) {
+      GraftSortMarker.clear(fs, tableDir)
+    }
+
   /** `afterRewrite` is a test seam: it runs after the rewrite commit and
     * before the snapshot delete — exactly the window a concurrent append
     * lands in, which the snapshot-scoped delete must leave untouched. */
@@ -996,8 +1011,11 @@ object GraftMaintenance {
     // derived dir names (`ts_day`) cannot resolve there — map each dir
     // name back to its declared spec (`days(ts)`) up front; identity
     // names pass through unchanged
+    // ONE sidecar read serves the transform map AND the stats intent
+    // (each extra read is a remote round-trip on the rewrite path)
+    val sidecarJson = GraftCatalog.sidecarJsonAt(fs, tableDir)
     val declaredTx: Map[String, String] =
-      GraftCatalog.declaredPartSpecsOf(fs, tableDir)
+      sidecarJson.map(j => GraftCatalog.parseSidecar(j)._2).getOrElse(Seq.empty)
         .map(GraftPartTransform.parse)
         .map(pt => pt.dirName.toLowerCase -> pt.spec).toMap
     def specOfDir(name: String): String =
@@ -1008,7 +1026,8 @@ object GraftMaintenance {
     // THROW for the whole table (blooms would just silently stop
     // pruning). Columns filter to the rewrite schema — a concurrent
     // DROP COLUMN must not fail every survivor write.
-    val (declBloom0, declNdv0) = GraftCatalog.declaredWritePropsOf(fs, tableDir)
+    val (declBloom0, declNdv0) =
+      sidecarJson.map(GraftCatalog.parseWriteProps).getOrElse((Seq.empty, Seq.empty))
     val declBloom = declBloom0.filter(p =>
       GraftSchema.leafIndexOfPath(schema, p).isDefined)
     val declNdv = declNdv0.filter(c => schema.fieldNames.contains(c))
@@ -1284,7 +1303,7 @@ object GraftMaintenance {
     if (matchedCounts.nonEmpty &&
         GraftSortMarker.read(fs, tableDir).exists(cols =>
           cols.exists(c => norm.exists(_._1.equalsIgnoreCase(c)))))
-      GraftSortMarker.clear(fs, tableDir)
+      clearMarkerLocked(fs, tableDir, conf)
     val matchedFiles = files.filter(f => matchedCounts.contains(f.getPath.toString))
     val assignOf = norm.toMap
     val rw = rewriteMatchedFiles(spark, conf, fs, tableDir,
@@ -1869,7 +1888,7 @@ object GraftMaintenance {
       if (affectedFiles.nonEmpty &&
           GraftSortMarker.read(fs, tableDir).exists(cols =>
             cols.exists(c => allAssignTargets.exists(_.equalsIgnoreCase(c)))))
-        GraftSortMarker.clear(fs, tableDir)
+        clearMarkerLocked(fs, tableDir, conf)
       val anyDelete = (matchedN ++ nmbsN).exists(_.assigns.isEmpty)
       // ---- stage the NOT MATCHED insert set BEFORE any rewrite ----
       // SQL semantics: "not matched" is judged against the table AS OF THE

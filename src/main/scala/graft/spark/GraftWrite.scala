@@ -226,10 +226,18 @@ object GraftWriteBuilder {
       schema: StructType, partitionBy: Seq[String]): Unit = {
     val sc = new Path(dir, "_graft_table.json")
     val body = GraftCatalog.renderSidecar(schema, partitionBy)
-    val won =
+    fs.mkdirs(dir)
+    // first-publish ARBITRATION rides the commit mutex: two racing first
+    // writers serialize here, so exactly one observes "no sidecar" and
+    // publishes — POSIX rename over an existing dest succeeds silently,
+    // which without the lock let BOTH conflicting publishers think they
+    // won (read-back verify only catches a rename landing before the
+    // read). The held section is two tiny fs ops.
+    val won = GraftTableLock.withLock(fs, dir,
+        new org.apache.hadoop.conf.Configuration(false), "sidecar-publish",
+        GraftTableLock.CommitLockName) {
       if (fs.exists(sc)) false
       else {
-        fs.mkdirs(dir)
         // write-complete-then-rename: an observer can never read a
         // partially-written body (a direct create(overwrite=false) makes
         // the EMPTY file visible before its content, and a racing
@@ -239,22 +247,18 @@ object GraftWriteBuilder {
           java.util.UUID.randomUUID().toString.take(8))
         val out = fs.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()
-        val renamed = try fs.rename(tmp, sc)
-          catch { case _: java.io.IOException => false }
-        if (!renamed) fs.delete(tmp, false)
-        // READ-BACK VERIFY: POSIX rename over an existing dest succeeds
-        // silently, so two racing publishers can both "win" the rename —
-        // whoever's content the file holds NOW is the winner, the other
-        // falls into the restate check below
-        renamed && {
-          try {
-            val in = fs.open(sc)
-            val now = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            now == body
-          } catch { case _: java.io.IOException => false }
+        val renamed = fs.rename(tmp, sc)
+        if (!renamed) {
+          fs.delete(tmp, false)
+          // under the lock a failed rename with no standing sidecar is a
+          // GENUINE fs fault — surface it, don't fabricate a "layout
+          // conflict []" (or worse, silently skip the publish)
+          if (!fs.exists(sc)) throw new java.io.IOException(
+            s"graft: failed to publish the layout sidecar at $sc")
         }
+        renamed
       }
+    }
     if (!won) {
       // canonicalize the standing specs the same way the write's were
       // (source-column case folds to the schema's declared case)

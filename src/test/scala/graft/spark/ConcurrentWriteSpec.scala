@@ -126,6 +126,10 @@ class ConcurrentWriteSpec extends AnyFunSuite {
       "legacy raw non-ASCII dir value must pass through unchanged")
     assert(GraftUtil.unescapePathValue("😀") == "😀")
     assert(GraftUtil.unescapePathValue("%2F%2F") == "//")
+    // a FOREIGN dir's raw '%' (not followed by valid hex) passes through
+    // instead of crashing the listing with NumberFormatException
+    assert(GraftUtil.unescapePathValue("95%off") == "95%off")
+    assert(GraftUtil.unescapePathValue("end%") == "end%")
   }
 
   test("a concurrent append and a truncating overwrite both land whole") {
