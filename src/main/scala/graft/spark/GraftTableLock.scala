@@ -113,8 +113,12 @@ private[spark] object GraftTableLock {
     } catch { case _: Exception => None }
 
   /** True local filesystems get java.nio O_EXCL; everything else rides the
-    * FileSystem contract (atomic-exclusive on HDFS). */
-  private def tryClaim(fs: FileSystem, lockPath: Path, token: String): Boolean = {
+    * FileSystem contract (atomic-exclusive on HDFS). Returns
+    * Some(atomic?) on a successful claim, None on a lost one — an ATOMIC
+    * claim (O_EXCL) needs no settle-and-read-back verify, which matters
+    * now that every write commit takes a lock (the 5+ms settle was pure
+    * constant overhead on sub-second maintenance ops). */
+  private def tryClaim(fs: FileSystem, lockPath: Path, token: String): Option[Boolean] = {
     fs.mkdirs(lockPath.getParent)
     if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
       val local = java.nio.file.Paths.get(
@@ -123,16 +127,16 @@ private[spark] object GraftTableLock {
         java.nio.file.Files.write(local, render(token),
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
-        true
+        Some(true)
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => None
       }
     } else {
       try {
         val out = fs.create(lockPath, false)
         try out.write(render(token)) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+        Some(false)
+      } catch { case _: java.io.IOException => None }
     }
   }
 
@@ -143,15 +147,19 @@ private[spark] object GraftTableLock {
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
-      if (tryClaim(fs, lockPath, token)) {
-        // READ-BACK VERIFY: on a filesystem where the claim was
-        // check-then-create, a racing claimer may have overwritten the
-        // file between our write and close — whichever token the file
-        // holds now is the winner, the other loops back into the wait.
-        Thread.sleep(5)
-        acquired = readLock(fs, lockPath).exists(_._1 == token)
-        if (!acquired) Thread.sleep(10)
-      } else {
+      tryClaim(fs, lockPath, token) match {
+       case Some(atomic) =>
+        if (atomic) acquired = true // O_EXCL: the claim IS the verdict
+        else {
+          // READ-BACK VERIFY: on a filesystem where the claim was
+          // check-then-create, a racing claimer may have overwritten the
+          // file between our write and close — whichever token the file
+          // holds now is the winner, the other loops back into the wait.
+          Thread.sleep(5)
+          acquired = readLock(fs, lockPath).exists(_._1 == token)
+          if (!acquired) Thread.sleep(10)
+        }
+       case scala.None =>
         val st = try Some(fs.getFileStatus(lockPath)) catch {
           case _: java.io.FileNotFoundException => None // released: retry now
         }
