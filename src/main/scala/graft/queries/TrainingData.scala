@@ -2334,29 +2334,39 @@ object TrainingData {
       // join, no corpus shuffle on text). Only the bloom-POSITIVE residue
       // (tiny) pays the exact confirm join against the real eval gram set,
       // which prices the filter's false positives explicitly per doc.
-      // Position hash = the portable md5-nibble fold % 8192, seeded 'bf<j>:'.
+      // Hashing (r19 — the r18-verdict constant-factor cut, ~3× off the
+      // dominant expression): ONE md5 per gram, the 32-nibble digest split
+      // into 3 disjoint 10-nibble (40-bit) windows, each nibble-folded to a
+      // position mod 8192 — same k=3 independence as 3 seeded digests at a
+      // third of the hash cost. And positions depend only on the GRAM, so
+      // they are computed once per distinct train gram (the 4-gram
+      // vocabulary), not once per (doc, gram) pair — the verdicts then join
+      // back to the pairs by gram.
       val m = 8192
-      def bfPos(j: Int, g: String): String =
-        s"""pmod(aggregate(transform(sequence(1, 15),
+      def bfPos(j: Int): String =
+        s"""pmod(aggregate(transform(sequence(1, 10),
               i -> cast(instr('0123456789abcdef',
-                     substr(md5(concat('bf$j:', $g)), i, 1)) - 1 as bigint)),
+                     substr(h, ${j * 10} + i, 1)) - 1 as bigint)),
             cast(0 as bigint), (a, x) -> a * 16 + x), $m)"""
+      val posArray = s"array(${bfPos(0)}, ${bfPos(1)}, ${bfPos(2)})"
       val d = docs(s, dir).withColumn("w", split(col("text"), " "))
       val grams = d.withColumn("g", explode(expr(fourGramsExpr)))
         .select(col("doc_id"), col("g"))
       val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
       val bloom = evalG
-        .select(explode(expr(s"""array(${bfPos(0, "g")}, ${bfPos(1, "g")}, ${bfPos(2, "g")})""")).as("bpos"))
+        .withColumn("h", md5(concat(lit("bf:"), col("g"))))
+        .select(explode(expr(posArray)).as("bpos"))
         .distinct()
       val trainG = grams.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id").as("train_id"), col("g")).distinct()
-      val probed = trainG
-        .withColumn("bpos", explode(expr(
-          s"""array(${bfPos(0, "g")}, ${bfPos(1, "g")}, ${bfPos(2, "g")})""")))
+      val gramVerdict = trainG.select(col("g")).distinct()
+        .withColumn("h", md5(concat(lit("bf:"), col("g"))))
+        .withColumn("bpos", explode(expr(posArray)))
         .join(broadcast(bloom.withColumn("hit", lit(1L))), Seq("bpos"), "left")
-        .groupBy(col("train_id"), col("g"))
+        .groupBy(col("g"))
         .agg((sum(coalesce(col("hit"), lit(0L))) === 3L).as("bloom_pos"))
-      val confirmed = probed.filter(col("bloom_pos"))
+      val confirmed = trainG.join(gramVerdict, Seq("g"))
+        .filter(col("bloom_pos"))
         .join(evalG.withColumn("exact", lit(1L)), Seq("g"), "left")
         .groupBy(col("train_id"))
         .agg(count(lit(1)).as("bloom_pos_grams"),
@@ -4034,29 +4044,32 @@ object TrainingData {
         |g AS (SELECT doc_id, unnest(gs) AS gr FROM g0),
         |ev AS (SELECT DISTINCT gr FROM g WHERE doc_id % 97 = 0),
         |js AS (SELECT unnest(generate_series(0, 2)) AS j),
+        |evh AS (SELECT gr, md5('bf:' || gr) AS h FROM ev),
         |evpos AS (SELECT DISTINCT
-        |    list_reduce(list_transform(generate_series(1, 15),
+        |    list_reduce(list_transform(generate_series(1, 10),
         |      i -> CAST(strpos('0123456789abcdef',
-        |             substr(md5('bf' || CAST(j AS VARCHAR) || ':' || gr), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |             substr(h, CAST(j * 10 + i AS INT), 1)) - 1 AS BIGINT)),
         |      (a, x) -> a * 16 + x) % 8192 AS bpos
-        |  FROM ev, js),
+        |  FROM evh, js),
         |tr AS (SELECT DISTINCT doc_id AS train_id, gr FROM g WHERE doc_id % 97 <> 0),
-        |trpos AS (SELECT train_id, gr, j,
-        |    list_reduce(list_transform(generate_series(1, 15),
+        |trh AS (SELECT gr, md5('bf:' || gr) AS h FROM (SELECT DISTINCT gr FROM tr)),
+        |trpos AS (SELECT gr, j,
+        |    list_reduce(list_transform(generate_series(1, 10),
         |      i -> CAST(strpos('0123456789abcdef',
-        |             substr(md5('bf' || CAST(j AS VARCHAR) || ':' || gr), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |             substr(h, CAST(j * 10 + i AS INT), 1)) - 1 AS BIGINT)),
         |      (a, x) -> a * 16 + x) % 8192 AS bpos
-        |  FROM tr, js),
-        |probed AS (SELECT p.train_id, p.gr,
+        |  FROM trh, js),
+        |gv AS (SELECT p.gr,
         |    sum(CASE WHEN e.bpos IS NOT NULL THEN 1 ELSE 0 END) = 3 AS bloom_pos
         |  FROM trpos p LEFT JOIN evpos e ON e.bpos = p.bpos
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |probed AS (SELECT t.train_id, t.gr
+        |  FROM tr t JOIN gv ON gv.gr = t.gr WHERE gv.bloom_pos)
         |SELECT p.train_id,
         |  CAST(count(*) AS BIGINT) AS bloom_pos_grams,
         |  CAST(sum(CASE WHEN ev.gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hit_grams,
         |  CAST(count(*) - sum(CASE WHEN ev.gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_grams
         |FROM probed p LEFT JOIN ev ON ev.gr = p.gr
-        |WHERE p.bloom_pos
         |GROUP BY p.train_id ORDER BY p.train_id""".stripMargin,
 
     "t_profile_columns" ->
