@@ -55,13 +55,21 @@ import org.apache.spark.sql.functions._
   * (GRAFT_BENCH_AUDIT_WALL); queries flagged past the deadline ship with
   * "remeasured":-1 instead of silently eating the scaled phase's budget.
   *
-  * BUDGET (round-12 fix): the scaled-section gate compares
-  * PRE-AUDIT base wall time against GRAFT_BENCH_SCALE_BUDGET, and a
-  * budget overrun degrades to a REDUCED scaled query set (the most
-  * expensive base queries plus the ops whose scaled behavior the round
-  * audit demands) instead of skipping wholesale — round 11's audit
-  * reruns pushed the post-audit wall past the budget and the round lost
-  * every scaled number despite a healthy 42 s measurement phase.
+  * BUDGET + COVERAGE (round-19 rewrite of the round-12/13 policy): r18's
+  * driver run proved the old degradation order wrong — a contaminated
+  * base phase tripped the budget (scaled set cut to 14 names), then two
+  * blown 250-500 s runs ate the scaled wall (5 more dropped), and the
+  * artifact shipped 9 of 60 scaled queries with 46 silently absent.
+  * Three rules replace it: (1) every (query, run) is CAPPED at a
+  * multiple of that query's base-section time (timedCapped cancels the
+  * run's job group past the cap; the event ships as a flag and the query
+  * is requeued once at reduced runs) — a single outlier can no longer
+  * consume the section; (2) measure() runs COVERAGE-FIRST passes: every
+  * query gets one interleaved pair before any query gets its second, so
+  * a wall hit costs depth (min-of-2 degrades to min-of-1 on the cheap
+  * tail, recorded in "single_run") instead of coverage; (3) a base-phase
+  * budget overrun (GRAFT_BENCH_SCALE_BUDGET) shrinks the scaled WALL,
+  * never the query set.
   *
   * OUTLIER RUNS (diagnosed round 10): isolated 10-20x wall-time spikes on
   * a single run (r9's scaled q1 hit 21.6s vs a 0.43s min) reproduce
@@ -365,62 +373,147 @@ object Bench {
       r
     }
 
+    // PER-(QUERY,RUN) COST CAP (round-19 fix): r18's driver artifact lost
+    // 51 of 60 scaled queries because individual contaminated runs ran to
+    // 246-494 s and consumed the section's wall. A watchdog cancels the
+    // run's Spark job group once past capSec — the write throws, the run
+    // records as capped (-2.0 sentinel, distinct from genuine failure),
+    // a flag documents it, and measure()'s requeue gives the query one
+    // more chance. The timer re-fires every 5 s after the cap so a
+    // multi-job query can't slip a follow-on job past a single cancel.
+    // x_ ops re-stage their tables inside the call (untimed but inside
+    // the watchdog's wall), so callers hand them a flat generous cap.
+    val capEvents = scala.collection.mutable.ArrayBuffer[String]()
+    val CAPPED = -2.0
+    def timedCapped(format: String, name: String, dir: String,
+                    impl: Map[String, (SparkSession, String) => DataFrame],
+                    capSec: Double, label: String): Double = {
+      if (!java.lang.Double.isFinite(capSec) || capSec <= 0)
+        return timed(format, name, dir, impl)
+      val sc = spark.sparkContext
+      val group = s"graftbench-$name-$format"
+      @volatile var fired = false
+      val timer = new java.util.Timer("bench-cap", true)
+      sc.setJobGroup(group, s"bench $name $format capped at ${capSec}s",
+        interruptOnCancel = true)
+      timer.scheduleAtFixedRate(new java.util.TimerTask {
+        override def run(): Unit = { fired = true; sc.cancelJobGroup(group) }
+      }, (capSec * 1000).toLong, 5000L)
+      try {
+        val r = timed(format, name, dir, impl)
+        if (fired) {
+          // even a nominally-successful result past the cap is suspect
+          // (the cancel raced completion); flag it and exclude the run
+          capEvents +=
+            f"""{"q":"$name","section":"$label","fmt":"$format","cap_sec":$capSec%.1f,"capped":true}"""
+          System.err.println(f"[bench] $name ($format) hit ${capSec}%.0fs cap — run cancelled")
+          CAPPED
+        } else r
+      } finally { timer.cancel(); sc.clearJobGroup() }
+    }
+
     // warm up one scan+agg and one join query IN BOTH FORMATS, so Spark's
     // own join/agg/codegen infrastructure is JIT-warm before either format
     // is timed (suite-then-suite ordering hands the second format a
     // systematically warmer JVM — measured as a phantom 1.8x on q10)
+    val baseCapSec = sys.env.getOrElse("GRAFT_BENCH_RUN_CAP", "300").toDouble
+    // per-query cap overrides ("q1:2,q2:60") — the induced-slow-query test
+    // hook: shrinking one query's cap exercises the same cancel + requeue +
+    // flag path a genuinely blown run takes, without patching query code
+    val capOverride: Map[String, Double] =
+      sys.env.get("GRAFT_BENCH_CAP_OVERRIDE").map(_.split(",").toSeq.flatMap { s =>
+        s.split(":") match {
+          case Array(q, v) => Some(q -> v.toDouble)
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
     Seq("q1_pricing_summary", "q3_shipping_priority").foreach { q =>
-      timed("graft", q, sfDir); timed("parquet", q, sfDir)
+      timedCapped("graft", q, sfDir, fastImpl, baseCapSec, "warmup")
+      timedCapped("parquet", q, sfDir, fastImpl, baseCapSec, "warmup")
     }
 
     // interleave formats per query (graft, parquet, graft, parquet, ...):
     // machine-load spikes and residual JIT land on both formats equally
     final case class QRes(name: String, g: Array[Double], p: Array[Double]) {
-      private def best(xs: Array[Double]) = if (xs.exists(_ < 0)) -1.0 else xs.min
-      // a query that failed in EITHER format is excluded from BOTH totals —
-      // summing different query sets would make the headline ratio compare
-      // unlike-for-unlike (the exact phantom the self-baselining bench
-      // exists to prevent)
+      // mins over PAIRED-valid runs only (round-19): a capped or failed run
+      // drops that PAIR, not the query — both formats' mins always come
+      // from the same run indices, so the totals stay like-for-like even
+      // when a cap or a transient failure took out individual runs.
+      // (Pre-r19 semantics excluded the whole query on any negative run,
+      // which let a single capped run erase an otherwise-healthy pair.)
       val (bg, bp) = {
-        val (g0, p0) = (best(g), best(p))
-        if (g0 < 0 || p0 < 0) (-1.0, -1.0) else (g0, p0)
+        val pairs = g.zip(p).filter { case (a, b) => a > 0 && b > 0 }
+        if (pairs.isEmpty) (-1.0, -1.0)
+        else (pairs.map(_._1).min, pairs.map(_._2).min)
       }
+      def validPairs: Int = g.zip(p).count { case (a, b) => a > 0 && b > 0 }
     }
     final case class Measured(results: Seq[QRes], skipped: Seq[String])
+    // COVERAGE-FIRST PASSES (round-19 fix, inverting round 13): r18's
+    // driver artifact shipped 9 of 60 scaled queries because per-query
+    // min-of-runs ran to completion query-by-query and blown runs consumed
+    // the wall before most queries ran at all. Now pass 1 gives EVERY
+    // query one interleaved pair before pass 2 adds anyone's second pair
+    // (callers still order most-expensive-first, so when the wall bites
+    // mid-pass-2 the expensive entries are the ones holding min-of-2).
+    // One pair per query beats full min-of-runs for a few: a single-pair
+    // entry is flag-audited if its ratio looks wrong, while an absent
+    // entry is unfixable silence. capOf bounds each run (see timedCapped);
+    // a query whose run capped is requeued ONCE with a single pair at the
+    // same cap instead of burning further passes.
     def measure(dir: String, nRuns: Int, deadlineNanos: Long,
                 names: Seq[String] = headline,
-                impl: Map[String, (SparkSession, String) => DataFrame] = fastImpl): Measured = {
-      val out = Seq.newBuilder[QRes]
+                impl: Map[String, (SparkSession, String) => DataFrame] = fastImpl,
+                capOf: String => Double = _ => 0.0,
+                label: String = "base"): Measured = {
+      import scala.collection.mutable.ArrayBuffer
+      val acc = scala.collection.mutable.LinkedHashMap[String, (ArrayBuffer[Double], ArrayBuffer[Double])]()
+      names.foreach(n => acc(n) = (ArrayBuffer[Double](), ArrayBuffer[Double]()))
       val skipped = Seq.newBuilder[String]
-      names.zipWithIndex.foreach { case (name, qi) =>
-        // COVERAGE degrades before RUNS (round-13 fix): callers order
-        // `names` most-expensive-first, so once past the wall the remaining
-        // (cheapest) queries are dropped WHOLE while everything measured
-        // keeps its full min-of-runs — min-of-runs is the steal defense,
-        // and r12's deadline single-runs put min==max exactly where the
-        // contamination landed. A dropped query leaves both formats'
-        // totals, so the headline stays like-for-like.
-        if (System.nanoTime() > deadlineNanos) skipped += name
-        else {
-          val g = Array.fill(nRuns)(0.0)
-          val p = Array.fill(nRuns)(0.0)
-          var i = 0
-          while (i < nRuns) {
-            // alternate which format goes FIRST per (query, run): a fixed
-            // graft-first order hands the second format a systematically
-            // warmer JVM/page cache — at single-run scale that measured as
-            // 1.2-1.7x phantom ratios that vanish under QueryAB.
-            if ((qi + i) % 2 == 0) {
-              g(i) = timed("graft", name, dir, impl); p(i) = timed("parquet", name, dir, impl)
-            } else {
-              p(i) = timed("parquet", name, dir, impl); g(i) = timed("graft", name, dir, impl)
-            }
-            i += 1
+      val capped = scala.collection.mutable.LinkedHashSet[String]()
+      def runPair(name: String, qi: Int, pass: Int): Unit = {
+        val (ga, pa) = acc(name)
+        val cap = capOf(name)
+        // alternate which format goes FIRST per (query, pass): a fixed
+        // graft-first order hands the second format a systematically
+        // warmer JVM/page cache — at single-run scale that measured as
+        // 1.2-1.7x phantom ratios that vanish under QueryAB.
+        val (g, p) =
+          if ((qi + pass) % 2 == 0) {
+            val g0 = timedCapped("graft", name, dir, impl, cap, label)
+            val p0 = timedCapped("parquet", name, dir, impl, cap, label)
+            (g0, p0)
+          } else {
+            val p0 = timedCapped("parquet", name, dir, impl, cap, label)
+            val g0 = timedCapped("graft", name, dir, impl, cap, label)
+            (g0, p0)
           }
-          out += QRes(name, g, p)
-        }
+        ga += g; pa += p
+        if (g == CAPPED || p == CAPPED) capped += name
       }
-      Measured(out.result(), skipped.result())
+      var pass = 0
+      while (pass < nRuns) {
+        names.zipWithIndex.foreach { case (name, qi) =>
+          if (pass == 0 && System.nanoTime() > deadlineNanos) skipped += name
+          else if (pass > 0 && (System.nanoTime() > deadlineNanos ||
+                   capped.contains(name) || acc(name)._1.isEmpty)) ()
+          else runPair(name, qi, pass)
+        }
+        pass += 1
+      }
+      // requeue: a query whose only data is capped/failed runs gets ONE
+      // more pair while the wall allows — "reduced runs" beats silence,
+      // and the cap bounds what the retry can cost
+      capped.foreach { name =>
+        val (ga, pa) = acc(name)
+        val hasPair = ga.zip(pa).exists { case (a, b) => a > 0 && b > 0 }
+        if (!hasPair && System.nanoTime() < deadlineNanos)
+          runPair(name, 0, 1)
+      }
+      val out = acc.collect { case (n, (ga, pa)) if ga.nonEmpty =>
+        QRes(n, ga.toArray, pa.toArray)
+      }.toSeq
+      Measured(out, skipped.result())
     }
 
     def qjson(rs: Seq[(String, Double)]): (String, Double) = {
@@ -433,8 +526,13 @@ object Bench {
       val (pq, pTotal) = qjson(results.map(r => (r.name, r.bp)))
       val ratio = if (pTotal > 0) gTotal / pTotal else -1.0
       val spread = results.map { r =>
-        def mm(xs: Array[Double]) =
-          if (xs.exists(_ < 0)) "-1,-1" else f"${xs.min}%.3f,${xs.max}%.3f"
+        // spreads over VALID runs only: a capped/failed run already ships
+        // as its own flag, and poisoning the spread would hide the healthy
+        // samples' range
+        def mm(xs: Array[Double]) = {
+          val ok = xs.filter(_ > 0)
+          if (ok.isEmpty) "-1,-1" else f"${ok.min}%.3f,${ok.max}%.3f"
+        }
         "\"" + r.name + "\":[" + mm(r.g) + "," + mm(r.p) + "]"
       }.mkString("{", ",", "}")
       Section(gTotal, pTotal, ratio,
@@ -456,7 +554,8 @@ object Bench {
     // in "flags" as the audit trail. Returns (flag jsons, repaired results).
     def flagAudit(results: Seq[QRes], dir: String, label: String,
                   deadlineNanos: Long,
-                  impl: Map[String, (SparkSession, String) => DataFrame] = fastImpl): (Seq[String], Seq[QRes]) = {
+                  impl: Map[String, (SparkSession, String) => DataFrame] = fastImpl,
+                  capOf: String => Double = _ => 0.0): (Seq[String], Seq[QRes]) = {
       val candidates = results
         .filter(r => r.bg > 0 && r.bp > 0 && math.max(r.bg, r.bp) > 0.3)
         .map(r => (r, math.max(r.bg / r.bp, r.bp / r.bg)))
@@ -506,10 +605,11 @@ object Bench {
           val telemFrom = telemetry.size
           def runPairs(n: Int): (Array[Double], Array[Double]) = {
             val g = Array.fill(n)(0.0); val p = Array.fill(n)(0.0)
+            val cap = capOf(r.name)
             var i = 0
             while (i < n) {
-              if (i % 2 == 0) { g(i) = timed("graft", r.name, dir, impl); p(i) = timed("parquet", r.name, dir, impl) }
-              else { p(i) = timed("parquet", r.name, dir, impl); g(i) = timed("graft", r.name, dir, impl) }
+              if (i % 2 == 0) { g(i) = timedCapped("graft", r.name, dir, impl, cap, label); p(i) = timedCapped("parquet", r.name, dir, impl, cap, label) }
+              else { p(i) = timedCapped("parquet", r.name, dir, impl, cap, label); g(i) = timedCapped("graft", r.name, dir, impl, cap, label) }
               i += 1
             }
             (g, p)
@@ -569,7 +669,8 @@ object Bench {
       detailSb.append("\"").append(metric).append("\":").append(s"{$body}")
     }
 
-    val base0 = measure(sfDir, runs, Long.MaxValue).results
+    val base0 = measure(sfDir, runs, Long.MaxValue,
+      capOf = n => capOverride.getOrElse(n, baseCapSec)).results
     // crash insurance FIRST: a compact pre-fold base line goes out before
     // the audit runs, because a genuine broad slowdown is exactly the
     // condition that makes the audit long — a harness timeout mid-audit
@@ -585,7 +686,8 @@ object Bench {
     // audit+fold BEFORE the repaired base artifact is emitted: the repaired
     // mins are the numbers every downstream reader sees
     val (baseFlags, base) = flagAudit(base0, sfDir, "base",
-      System.nanoTime() + auditWallSec * 1000000000L)
+      System.nanoTime() + auditWallSec * 1000000000L,
+      capOf = _ => baseCapSec)
     val baseSec = section(base)
     emitDetail("detail_base", s""""runs":$runs,${baseSec.detail}""")
     def compactBase =
@@ -594,20 +696,21 @@ object Bench {
     System.out.flush()
 
     // scaled section: best-effort; a failure must not cost the base artifact.
-    // A budget overrun shrinks the query set instead of skipping the phase:
-    // the most expensive base queries (they dominate the ratio) plus the
-    // ops whose scaled behavior the round audit explicitly tracks.
-    val mustScale = Seq("d_dedup_semantic", "d_dedup_semantic2", "s_ann_ivf",
-      "s_ann_ivfpq", "d_dedup_minhash_lsh", "q1_pricing_summary")
-    val scaledNames: Seq[String] =
-      if (baseElapsedSec <= scaleBudgetSec) headline
+    // COVERAGE IS NEVER SHRUNK (round-19 fix): r18's budget-overrun path
+    // cut the scaled set to 14 names and a blown query's wall consumption
+    // dropped 5 more — the driver artifact shipped 9 of 60 queries, and
+    // 46 had no record at all. Per-run caps (timedCapped) and the
+    // coverage-first passes in measure() now bound what contamination can
+    // cost, so a slow base phase shrinks the scaled WALL (depth: pass 2,
+    // audits) instead of the query set.
+    val scaledNames: Seq[String] = headline
+    val effScaledWallSec: Int =
+      if (baseElapsedSec <= scaleBudgetSec) scaledWallSec
       else {
-        val costly = base.filter(r => r.bg > 0)
-          .sortBy(r => -(r.bg + r.bp)).map(_.name).take(10)
-        val reduced = headline.filter(n => costly.contains(n) || mustScale.contains(n))
+        val w = math.max(600, math.min(scaledWallSec, (2100 - baseElapsedSec).toInt))
         System.err.println(f"[bench] base phase took $baseElapsedSec%.0fs > " +
-          s"budget ${scaleBudgetSec}s — reduced scaled set (${reduced.size} queries)")
-        reduced
+          s"budget ${scaleBudgetSec}s — scaled wall reduced to ${w}s (coverage kept)")
+        w
       }
     var flags = baseFlags
     val scaledCompact: String =
@@ -621,17 +724,30 @@ object Bench {
           }
         }
         val scaledImpl = fastImpl ++ capImpl(scaleFactor)
+        // scaled per-run cap: 20x the query's base-section pair max
+        // (scaled/base wall ratios run 1-8x at factor 10, so 20x separates
+        // genuine scale cost from the 10-40x contamination spikes),
+        // clamped to [30, 180] s. x_ ops re-stage inside the call at
+        // amplified size, so they get a flat generous wall instead.
+        def scaledCapOf(name: String): Double = capOverride.getOrElse(name,
+          if (name.startsWith("x_")) 300.0
+          else base.find(_.name == name).map(r => math.max(r.bg, r.bp)).filter(_ > 0)
+            .map(b => math.min(180.0, math.max(30.0, 20.0 * b)))
+            .getOrElse(180.0))
         Seq("q1_pricing_summary").foreach { q =>
-          timed("graft", q, amp, scaledImpl); timed("parquet", q, amp, scaledImpl) }
+          timedCapped("graft", q, amp, scaledImpl, 180.0, "warmup")
+          timedCapped("parquet", q, amp, scaledImpl, 180.0, "warmup") }
         // most-expensive-first (predicted from the base section's measured
-        // times): if the scaled wall bites, measure() drops the CHEAP tail
-        // whole instead of degrading the expensive entries to single runs
+        // times): if the scaled wall bites, pass 1 has already given every
+        // query one pair, and pass 2's second pairs land on the expensive
+        // entries (the ones that dominate the totals) first
         val costOf = base.map(r => r.name -> (math.max(r.bg, 0) + math.max(r.bp, 0))).toMap
         val scaledOrdered = scaledNames.sortBy(n => -costOf.getOrElse(n, Double.MaxValue))
-        val deadline = System.nanoTime() + scaledWallSec * 1000000000L
-        val m = measure(amp, scaledRuns, deadline, scaledOrdered, scaledImpl)
+        val deadline = System.nanoTime() + effScaledWallSec * 1000000000L
+        val m = measure(amp, scaledRuns, deadline, scaledOrdered, scaledImpl,
+          scaledCapOf, "scaled")
         if (m.skipped.nonEmpty)
-          System.err.println(s"[bench] scaled wall hit — dropped cheapest " +
+          System.err.println(s"[bench] scaled wall hit in pass 1 — dropped " +
             s"${m.skipped.size} queries: ${m.skipped.mkString(",")}")
         // NOISE GATE: min-of-2 under heavy contention makes both the
         // headline ratio and the flags untrustworthy in either direction
@@ -655,8 +771,8 @@ object Bench {
               noisy.map(_.name).mkString(","))
             val fixed = noisy.takeWhile(_ => System.nanoTime() < deadline)
               .map { r =>
-                val g = timed("graft", r.name, amp, scaledImpl)
-                val p = timed("parquet", r.name, amp, scaledImpl)
+                val g = timedCapped("graft", r.name, amp, scaledImpl, scaledCapOf(r.name), "scaled")
+                val p = timedCapped("parquet", r.name, amp, scaledImpl, scaledCapOf(r.name), "scaled")
                 // fold PAIRED only: a one-sided success would hand that
                 // format an extra min() sample (flagAudit's
                 // like-for-like rule applies here too)
@@ -668,9 +784,15 @@ object Bench {
             m.results.map(r => byName.getOrElse(r.name, r))
           }
         val (scaledFlags, scaled) = flagAudit(denoised, amp, "scaled",
-          math.min(deadline, System.nanoTime() + auditWallSec * 1000000000L), scaledImpl)
+          math.min(deadline, System.nanoTime() + auditWallSec * 1000000000L), scaledImpl,
+          scaledCapOf)
         val scaledSec = section(scaled)
         val skippedJson = m.skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+        // entries that hold fewer than 2 valid pairs (wall hit in pass 2,
+        // or a capped/failed run) — in-artifact so reduced-depth numbers
+        // are never mistaken for full min-of-runs
+        val singleRunJson = scaled.filter(_.validPairs < 2).map("\"" + _.name + "\"")
+          .mkString("[", ",", "]")
         // the two capped entries' FULL-COMPUTE numbers, cross-referenced
         // from the base section (which runs them uncapped at 1x): the
         // scaled entries measure scan+cap by design, and this keeps an
@@ -683,7 +805,7 @@ object Bench {
           s""""factor":$scaleFactor,"runs":$scaledRuns,"nq":${scaled.size},""" +
             s""""capped":["s_embedding_pca","m_multimodal_scenecut"],""" +
             s""""uncapped_base":$uncappedRef,""" +
-            s""""skipped":$skippedJson,${scaledSec.detail}""")
+            s""""skipped":$skippedJson,"single_run":$singleRunJson,${scaledSec.detail}""")
         flags = baseFlags ++ scaledFlags
         // absolute streaming catch-up throughput on the amplified corpus
         val stream = try BenchMaintenance.streamCatchup(spark, amp)
@@ -713,6 +835,9 @@ object Bench {
         ""
       }
 
+    // cap events ride the flag channel: every cancelled run is a first-
+    // class artifact fact, not a stderr-only note
+    flags = flags ++ capEvents
     // full details also land in the repo tree for the round's audit trail:
     // the flag array, and the per-(query,format,run) load telemetry that
     // makes host contamination an in-artifact fact
@@ -762,7 +887,7 @@ object Bench {
     println(s"""{"metric":"note","sf":"$sfDir","note":"r15#5 base-drift: DV-probe A/B at sf0.1 showed <0.1s delta in both directions (noise-level, parquet swung equally); drift attributed to staging/measurement variance, warm ratios 1.0-1.15x"}""")
     val stagingFp = try Tables.stagingFingerprint(sfDir)
       catch { case _: Throwable => "unknown" }
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase$scaledCompact,"protocol":"r15-interleaved-minof$runs","staging":"$stagingFp","nflags":${flags.size}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase$scaledCompact,"protocol":"r19-coveragefirst-minof$runs","staging":"$stagingFp","nflags":${flags.size}}""")
     System.out.flush()
     Thread.sleep(500)
     spark.stop()

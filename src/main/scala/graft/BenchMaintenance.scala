@@ -132,30 +132,39 @@ object BenchMaintenance {
       .repartition(8)
     val stage = s"/tmp/graft_bench_maint/cpart_${format}_${key(dir)}_" +
       Tables.fingerprint(s"$dir/orders.parquet")
-    rm(stage) // the op mutates the table — re-stage fresh every run
     def agg(df: DataFrame): Long =
       df.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
-    if (format == "graft") {
-      src.write.format("graft").option("partitionby", "day")
-        .mode("overwrite").save(stage)
-      val t0 = System.nanoTime()
-      val st = graft.spark.GraftMaintenance.compactPartition(spark, stage,
-        Map("day" -> "3"), targetFiles = 1)
-      require(st.filesAfter < st.filesBefore, s"x_compact_partition: $st")
-      require(agg(spark.read.format("graft").load(stage)) > 0)
-      (System.nanoTime() - t0) / 1e9
-    } else {
-      src.write.partitionBy("day").mode("overwrite").parquet(stage)
-      val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
-      val t0 = System.nanoTime()
-      val sub = s"$stage/day=3"
-      val tmp = s"$stage/.day=3.compacting"
-      spark.read.parquet(sub).repartition(1).write.mode("overwrite").parquet(tmp)
-      fs.delete(new Path(sub), true)
-      fs.rename(new Path(tmp), new Path(sub))
-      require(agg(spark.read.parquet(stage)) > 0)
-      (System.nanoTime() - t0) / 1e9
-    }
+    // min-of-5 of the single op (the x_ndv_stats treatment, applied r19):
+    // the compaction itself is sub-second on both sides, where one-shot
+    // timing reports driver scheduling noise — this entry flagged on
+    // relative spread in three consecutive rounds (1.29x r17, 1.50x one
+    // r18 run) while warm TimeOne said 1.03x. The mutated table forces a
+    // fresh (untimed) re-stage before each rep.
+    def one(): Double =
+      if (format == "graft") {
+        rm(stage)
+        src.write.format("graft").option("partitionby", "day")
+          .mode("overwrite").save(stage)
+        val t0 = System.nanoTime()
+        val st = graft.spark.GraftMaintenance.compactPartition(spark, stage,
+          Map("day" -> "3"), targetFiles = 1)
+        require(st.filesAfter < st.filesBefore, s"x_compact_partition: $st")
+        require(agg(spark.read.format("graft").load(stage)) > 0)
+        (System.nanoTime() - t0) / 1e9
+      } else {
+        rm(stage)
+        src.write.partitionBy("day").mode("overwrite").parquet(stage)
+        val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+        val t0 = System.nanoTime()
+        val sub = s"$stage/day=3"
+        val tmp = s"$stage/.day=3.compacting"
+        spark.read.parquet(sub).repartition(1).write.mode("overwrite").parquet(tmp)
+        fs.delete(new Path(sub), true)
+        fs.rename(new Path(tmp), new Path(sub))
+        require(agg(spark.read.parquet(stage)) > 0)
+        (System.nanoTime() - t0) / 1e9
+      }
+    (0 until 5).map(_ => one()).min
   }
 
   /** ANALYZE-grade distinct counts for 3 documents columns. graft: the
@@ -734,11 +743,18 @@ object BenchMaintenance {
     }
   }
 
-  /** Absolute bounded-catchup throughput of the streaming source over the
-    * amplified corpus: a fresh stream admitted `maxfilespertrigger` files
-    * per batch drains the whole directory; report files/sec and batch
-    * count. Not a vs-parquet ratio — the number tracks the source's
-    * admission-control overhead round-over-round.
+  /** Bounded-catchup throughput of the streaming source over the amplified
+    * corpus: a fresh stream admitted `maxfilespertrigger` files per batch
+    * drains the whole directory; report files/sec and batch count.
+    *
+    * SELF-BASELINED (round-19): the same drain runs over Spark's parquet
+    * file-stream source on the identical amplified corpus, interleaved
+    * g,p,g,p — the bench's designed contamination defense, applied here
+    * after two rounds where the absolute number's spread tracked host
+    * load, not the source (r18 driver runs [4.99, 14.24] WITH the warmup
+    * fix, local runs 1.08-1.21x). A noisy host now moves both sides and
+    * the fps ratio stays readable; one extra pair is spent when either
+    * side's spread is >=1.5x. Both sides' runs + load context ship.
     */
   def streamCatchup(spark: SparkSession, ampDir: String): String = {
     val gdir = Tables.graftDir(spark, ampDir, "documents")
@@ -747,21 +763,36 @@ object BenchMaintenance {
     val dataFiles = graft.spark.GraftUtil.listDataFiles(gdir, conf)
     val nFiles = dataFiles.size
     val nBytes = dataFiles.map(_.getLen).sum
-    val name = "graft_bench_stream_catchup"
-    // min-of-2, like the query sections: a single sub-minute run showed a
-    // 2.4x spread across r17's three artifacts (2.17 / 4.45 / 5.25
-    // files/s), too noisy to regress against. Both runs ship in the
-    // artifact so the spread itself is auditable; files x batches x bytes
-    // make rounds comparable like-for-like.
-    def once(): (Double, Long) = {
+    val pdir = s"$ampDir/documents.parquet"
+    val pStats = {
+      val p = new org.apache.hadoop.fs.Path(pdir)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }
+    val pFiles = pStats.length
+    val pBytes = pStats.map(_.getLen).sum
+    val pSchema = spark.read.parquet(pdir).schema
+    def loadNow(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    def once(fmt: String, name: String, perTrigger: Int): (Double, Long) = {
       spark.streams.active.filter(q => q.name == name).foreach(_.stop())
       val t0 = System.nanoTime()
-      // manifest=false: the staged conversion is ONE commit, and manifest
-      // mode admits whole manifests — per-FILE admission (listing mode) is
-      // the catch-up granularity this entry tracks
-      val q = spark.readStream.format("graft").schema(schema)
-        .option("manifest", "false")
-        .option("maxfilespertrigger", "4").load(gdir)
+      // graft manifest=false: the staged conversion is ONE commit, and
+      // manifest mode admits whole manifests — per-FILE admission (listing
+      // mode) is the catch-up granularity this entry tracks; parquet's
+      // file-stream source is per-file-admitted by construction
+      val reader =
+        if (fmt == "graft")
+          spark.readStream.format("graft").schema(schema)
+            .option("manifest", "false")
+            .option("maxfilespertrigger", perTrigger.toString).load(gdir)
+        else
+          spark.readStream.format("parquet").schema(pSchema)
+            .option("maxFilesPerTrigger", perTrigger.toString).load(pdir)
+      val q = reader
         .groupBy(col("lang")).agg(count(lit(1)).as("docs"))
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .start()
@@ -773,26 +804,35 @@ object BenchMaintenance {
         if (q.recentProgress.isEmpty) -1L else q.recentProgress.map(_.batchId).max + 1
       (sec, batches)
     }
-    // WARMUP (untimed): one single-batch catch-up of the same pipeline —
-    // the first streaming query in a JVM pays state-store init + streaming
-    // codegen, which showed as a 1.7x run-1-vs-run-2 spread in r18's
-    // artifact. The timed runs then both measure warm admission control.
-    locally {
-      val wname = name + "_warm"
-      spark.streams.active.filter(q => q.name == wname).foreach(_.stop())
-      val w = spark.readStream.format("graft").schema(schema)
-        .option("manifest", "false")
-        .option("maxfilespertrigger", nFiles.max(1).toString).load(gdir)
-        .groupBy(col("lang")).agg(count(lit(1)).as("docs"))
-        .writeStream.outputMode("complete").format("memory").queryName(wname)
-        .start()
-      try w.processAllAvailable() finally w.stop()
+    // WARMUP (untimed), once per format: the first streaming query in a
+    // JVM pays state-store init + streaming codegen — a single-batch drain
+    // of the same pipeline absorbs it for both sides
+    once("graft", "graft_stream_warm", nFiles.max(1))
+    once("parquet", "parquet_stream_warm", pFiles.max(1))
+    val g = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
+    val p = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
+    var load = -1.0
+    def pair(): Unit = {
+      g += once("graft", "graft_bench_stream_catchup", 4)
+      p += once("parquet", "parquet_bench_stream_catchup", 4)
+      load = math.max(load, loadNow())
     }
-    val (sec1, b1) = once()
-    val (sec2, b2) = once()
-    val (sec, batches) = if (sec1 <= sec2) (sec1, b1) else (sec2, b2)
-    f"""{"files":$nFiles,"bytes":$nBytes,"batches":$batches,"sec":$sec%.3f,""" +
-      f""""runs":[$sec1%.3f,$sec2%.3f],"files_per_sec":${nFiles / sec}%.2f}"""
+    pair(); pair()
+    def spread(xs: Seq[(Double, Long)]): Double = {
+      val s = xs.map(_._1); s.max / s.min
+    }
+    if (math.max(spread(g.toSeq), spread(p.toSeq)) >= 1.5) pair()
+    val (gSec, gBatches) = g.minBy(_._1)
+    val (pSec, _) = p.minBy(_._1)
+    def runsJson(xs: Seq[(Double, Long)]): String =
+      xs.map(x => f"${x._1}%.3f").mkString("[", ",", "]")
+    val gFps = nFiles / gSec
+    val pFps = pFiles / pSec
+    f"""{"files":$nFiles,"bytes":$nBytes,"batches":$gBatches,"sec":$gSec%.3f,""" +
+      f""""runs":${runsJson(g.toSeq)},"files_per_sec":$gFps%.2f,""" +
+      f""""parquet":{"files":$pFiles,"bytes":$pBytes,"sec":$pSec%.3f,""" +
+      f""""runs":${runsJson(p.toSeq)},"files_per_sec":$pFps%.2f},""" +
+      f""""fps_ratio":${pFps / gFps}%.3f,"load":$load%.1f}"""
   }
 
   // ------------------------------------------------ at-scale CDC section
