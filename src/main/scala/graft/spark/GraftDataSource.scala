@@ -534,7 +534,14 @@ final class GraftTable(private val tableSchema: StructType, private val path: St
         case "latest" => true
         case other => throw new IllegalArgumentException(
           s"graft: startingposition must be earliest|latest, got '$other'")
-      })
+      },
+      // newline-separated EXACT data-file paths: the scan plans these
+      // files and no others, and fails loudly if any is gone — the
+      // maintenance rewrites' snapshot-isolation read (a dir listing at
+      // plan time would admit files committed after the caller's
+      // snapshot; compact's retire set and its scan must be ONE set)
+      Option(options.get("snapshotfiles"))
+        .map(_.split('\n').filter(_.nonEmpty).toSet))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(tableAsofMs.isEmpty, "graft: cannot write to a time-travel snapshot")
     new GraftWriteBuilder(info, path, tablePartitionBy = partitionCols,
@@ -605,7 +612,8 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     maxFilesOpt: Option[Int] = None,
     asofOpt: Option[Long] = None,
     sinceOpt: Option[Long] = None,
-    startLatest: Boolean = false)
+    startLatest: Boolean = false,
+    snapshotFiles: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -813,7 +821,8 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
     // an asof snapshot / since window restricts the file set; the
     // footer-only agg scan lists the live directory, so it must not
     // answer snapshot or incremental reads
-    if (hadFilters || asofOpt.isDefined || sinceOpt.isDefined) return false
+    if (hadFilters || asofOpt.isDefined || sinceOpt.isDefined ||
+      snapshotFiles.isDefined) return false
     // deletion vectors: COUNT(*) stays footer-exact (the agg scan subtracts
     // each file's masked cardinality at plan time); COUNT(col) and MIN/MAX
     // cannot (a masked row's null-ness or extremum is unknowable from
@@ -888,7 +897,7 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
         (pushed ++ pruneFilters.diff(pushed)), pushedLimit,
         maxFilesOpt = maxFilesOpt, asofOpt = asofOpt,
         sinceOpt = sinceOpt, startLatest = startLatest, topn = pushedTopN,
-        colAliases = colAliases)
+        colAliases = colAliases, snapshotFiles = snapshotFiles)
   }
 }
 
@@ -906,7 +915,8 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     private val sinceOpt: Option[Long] = None,
     private val startLatest: Boolean = false,
     private val topn: Option[(Int, Boolean)] = None,
-    private val colAliases: Map[String, String] = Map.empty)
+    private val colAliases: Map[String, String] = Map.empty,
+    private val snapshotFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -920,7 +930,7 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   private[spark] def withElementPreds(ps: Array[ZoneMapFilter.PagePred]): GraftScan =
     new GraftScan(tableSchema, projected, path, conf, initialPagePreds, runtimeFilter,
       manifestOpt, pushedRaw, limit, ps, maxFilesOpt, asofOpt, sinceOpt, startLatest,
-      topn, colAliases)
+      topn, colAliases, snapshotFiles)
 
   private[spark] def hasElementPreds: Boolean = elementPreds.nonEmpty
 
@@ -958,7 +968,22 @@ final class GraftScan(private val tableSchema: StructType, private val projected
   }
 
   private def computeFiles(): Seq[FileStatus] = {
-    val listed = GraftUtil.listDataFiles(path, conf)
+    val listedAll = GraftUtil.listDataFiles(path, conf)
+    // snapshot-exact scan: plan EXACTLY the caller's pinned file set. A
+    // pinned file missing from the listing is a hard error — the callers
+    // (maintenance rewrites) retire this same set afterwards, and a scan
+    // that silently read fewer files would publish a rewrite with rows
+    // missing. Appends landing after the pin are intentionally invisible.
+    val listed = snapshotFiles match {
+      case None => listedAll
+      case Some(pin) =>
+        val kept = listedAll.filter(f => pin.contains(f.getPath.toString))
+        require(kept.size == pin.size,
+          s"graft: snapshotfiles scan pinned ${pin.size} files but only " +
+            s"${kept.size} are present under $path — a pinned file was " +
+            "retired between the snapshot and this scan")
+        kept
+    }
     // `asof` snapshot: keep only files whose publishing manifest committed
     // at or before the requested time; files NO manifest lists are
     // pre-manifest history, visible in every snapshot. Compaction retires
@@ -1369,12 +1394,12 @@ final class GraftScan(private val tableSchema: StructType, private val projected
         runtimeFilter == o.runtimeFilter && manifestOpt == o.manifestOpt &&
         limit == o.limit && topn == o.topn && pushedKey == o.pushedKey &&
         elementKey == o.elementKey && asofOpt == o.asofOpt && sinceOpt == o.sinceOpt &&
-        colAliases == o.colAliases
+        colAliases == o.colAliases && snapshotFiles == o.snapshotFiles
     case _ => false
   }
   override def hashCode(): Int =
     (path, projected, limit, topn, runtimeFilter, pushedKey, elementKey, asofOpt,
-      sinceOpt).hashCode()
+      sinceOpt, snapshotFiles).hashCode()
 
   override def estimateStatistics(): Statistics = new Statistics {
     // sizeInBytes drives the broadcast-join decision. Parquet's V1 path

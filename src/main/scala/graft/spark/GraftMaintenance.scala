@@ -44,6 +44,93 @@ object GraftMaintenance {
       extraWriteOptions: Map[String, String] = Map.empty): CompactStats =
     compactImpl(spark, dir, targetFiles, extraWriteOptions, () => ())
 
+  /** What [[analyzeTable]] did: how many files the table holds, how many
+    * lacked a declared per-page stat, and how many this run rewrote. */
+  final case class AnalyzeStats(files: Int, missing: Int, rewritten: Int,
+      bloomCols: Int, ndvCols: Int)
+
+  /** Backfill the table's DECLARED per-page stats (TBLPROPERTIES
+    * 'graft.bloomfilter' / 'graft.ndvsketch', or the matching write
+    * options recorded in the sidecar) onto files that predate the
+    * declaration. Files are immutable, so the DDL alone only reaches
+    * FUTURE writes — this is the CALL that closes the gap for existing
+    * data. Cost is the 100 TB-correct shape: one footer tail-read per
+    * file decides membership (no data pages), and only the files MISSING
+    * a declared stat are rewritten (identity, per-file, concurrent,
+    * crash-resumable via the `-anz<hash>` convergence marker — the same
+    * machinery as deleteWhere's survivors). Re-running is a footer-only
+    * no-op; changing the declaration changes the marker hash, so the new
+    * intent re-analyzes exactly the files that need it.
+    */
+  def analyzeTable(spark: SparkSession, dir: String): AnalyzeStats =
+    locked(spark, dir, "analyze") {
+      val conf = spark.sessionState.newHadoopConf()
+      val tableDir = new org.apache.hadoop.fs.Path(dir)
+      val fs = tableDir.getFileSystem(conf)
+      val files = GraftUtil.listDataFiles(dir, conf)
+      require(files.nonEmpty, s"graft: nothing to analyze under $dir")
+      val sidecarJson = GraftCatalog.sidecarJsonAt(fs, tableDir)
+      val (declBloom0, declNdv0) = sidecarJson
+        .map(GraftCatalog.parseWriteProps).getOrElse((Seq.empty, Seq.empty))
+      val schema = spark.read.format("graft").load(dir).schema
+      val declBloom = declBloom0.filter(p =>
+        GraftSchema.leafIndexOfPath(schema, p).isDefined)
+      val declNdv = declNdv0.filter(schema.fieldNames.contains)
+      require(declBloom.nonEmpty || declNdv.nonEmpty,
+        s"graft: $dir declares no per-page stats to backfill — set " +
+          "TBLPROPERTIES ('graft.bloomfilter'=..., 'graft.ndvsketch'=...) " +
+          "first (graft_analyze materializes the declaration onto old files)")
+      // footer-only membership probe: a file is missing when any declared
+      // bloom leaf has no bloom on any page, or any declared ndv column
+      // has no KMV synopsis (files that predate a declared column entirely
+      // count too — the rewrite bakes in the evolved schema's nulls AND
+      // their stats, same as every other maintenance rewrite)
+      val missing = files.filter { f =>
+        val in = new HadoopSeekableInput(fs, f.getPath, f.getLen)
+        try {
+          val footer = graft.format.GraftFileReader.readFooter(in)
+          val fileSchema = org.apache.spark.sql.types.DataType
+            .fromJson(footer.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          val bloomMissing = declBloom.exists { p =>
+            GraftSchema.leafIndexOfPath(fileSchema, p) match {
+              case Some(li) => !footer.leaves(li).pages.exists(_.bloom != null)
+              case None => true
+            }
+          }
+          bloomMissing || declNdv.exists { c =>
+            GraftSchema.leafIndexOfPath(fileSchema, c) match {
+              case Some(li) => footer.leaves(li).kmv == null
+              case None => true
+            }
+          }
+        } finally in.close()
+      }
+      if (missing.isEmpty)
+        AnalyzeStats(files.size, 0, 0, declBloom.size, declNdv.size)
+      else {
+        // marker hash fingerprints the DECLARATION: re-declaring different
+        // stats invalidates prior convergence markers
+        val anzHash = {
+          val md = java.security.MessageDigest.getInstance("MD5").digest(
+            (declBloom.mkString(",") + "|" + declNdv.mkString(","))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.take(4).map(b => f"$b%02x").mkString
+        }
+        // the identity rewrite reads THROUGH any deletion vector (the
+        // output is clean, the DV retires with the original), so the
+        // row-count guard only holds when no missing file carries one
+        val dvIdents = GraftDv.list(fs, tableDir).keySet
+        val anyDv = missing.exists(f =>
+          dvIdents.contains(GraftDv.identOf(tableDir, f.getPath)))
+        val res = rewriteMatchedFiles(spark, conf, fs, tableDir, missing, schema,
+          RewriteSpec(tag = "anz", hash = anzHash, changelogOf = None,
+            projectOf = identity, allowEmpty = false, sameCount = !anyDv))
+        AnalyzeStats(files.size, missing.size, res.rewritten,
+          declBloom.size, declNdv.size)
+      }
+    }
+
   /** Serialize the mutating maintenance ops per table: see
     * [[GraftTableLock]] for why two live rewrites must not interleave and
     * how crashed holders are expropriated. Re-entrant, so composed ops
@@ -110,7 +197,16 @@ object GraftMaintenance {
       case (k, v) if k.equalsIgnoreCase("partitionby") =>
         v.split(",").map(_.trim).toSeq
     }.getOrElse(Seq.empty)
-    val df = spark.read.format("graft").load(dir)
+    // SNAPSHOT-EXACT scan (r19): the rewrite reads exactly the file set
+    // the retire phase deletes. The previous dir-listing read planned its
+    // own listing at job time, so an append landing between the snapshot
+    // and the scan plan could be REWRITTEN but not retired — its rows
+    // then existed twice (the old "duplicates, recoverable" window, which
+    // the concurrency fuzz caught racing compact against appends). Now a
+    // concurrent append is never read, never retired, only preserved.
+    val df = spark.read.format("graft")
+      .option("snapshotfiles", before.map(_.getPath.toString).mkString("\n"))
+      .load(dir)
     // footer-direct count (same trick as deleteWhere) — no Spark job
     val rows = {
       val c = GraftScan.rowCount(before, conf)
@@ -967,6 +1063,7 @@ object GraftMaintenance {
   private def scratchRootOf(tag: String): String = tag match {
     case "del" => "_graft_tmp_delete"
     case "upd" => "_graft_tmp_update"
+    case "anz" => "_graft_tmp_analyze"
     case _ => "_graft_tmp_merge"
   }
 
@@ -2287,8 +2384,9 @@ object GraftMaintenance {
           sweepTmps(f.getPath)
       }
     sweepTmps(tableDir)
-    // (2) deleteWhere / updateWhere / mergeInto scratch
-    Seq("_graft_tmp_delete", "_graft_tmp_update", "_graft_tmp_merge").foreach { sd =>
+    // (2) deleteWhere / updateWhere / mergeInto / analyze scratch
+    Seq("_graft_tmp_delete", "_graft_tmp_update", "_graft_tmp_merge",
+      "_graft_tmp_analyze").foreach { sd =>
       val scratchDir = new Path(tableDir, sd)
       if (fs.exists(scratchDir)) {
         def sweepScratch(d: Path): Unit = {
@@ -2456,7 +2554,13 @@ object GraftMaintenance {
       require(victims.nonEmpty,
         s"graft: no files under partition $partition of $dir")
       val bytesBefore = victims.map(_.getLen).sum
-      val df0 = spark.read.format("graft").load(dir)
+      // SNAPSHOT-EXACT scan (r19, same fix as compactInner): read exactly
+      // the victim files the retire phase deletes — a dir-listing scan
+      // planned at job time would rewrite (and duplicate) a concurrent
+      // append into this same partition without retiring it
+      val df0 = spark.read.format("graft")
+        .option("snapshotfiles", victims.map(_.getPath.toString).mkString("\n"))
+        .load(dir)
       // derived (transform) dims scope via the shared derivation — the
       // dir name (`ts_day`) is not a data column, but deriveColumn
       // reconstructs its value from the source column exactly as the

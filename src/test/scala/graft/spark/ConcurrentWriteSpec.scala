@@ -132,6 +132,192 @@ class ConcurrentWriteSpec extends AnyFunSuite {
     assert(GraftUtil.unescapePathValue("end%") == "end%")
   }
 
+  test("maintenance-vs-commit fuzz: compact/replaceWhere/DML/appends race clean across 12 seeds") {
+    // the r18 lock split (commit mutex separate from maintenance mutex,
+    // UPDATE/MERGE marker clears riding the commit mutex) is new and
+    // subtle — this fuzzes the full interleaving surface with seeded
+    // random start offsets. Five actors per seed on one fresh table:
+    //   - replaceWhere on partition A (maintenance → commit lock order)
+    //   - two appends to partition B (commit lock only)
+    //   - deleteWhere / updateWhere on partition C (maintenance lock)
+    //   - compact / compactPartition(B) (maintenance lock, inner commit)
+    // Whatever order the locks hand out, the final state is fully
+    // deterministic per partition: A = exactly the replacement, B =
+    // initial + both appends, C = initial minus deletions (or with
+    // updates applied). Any resurrection, lost commit, or cross-lock
+    // marker race breaks one of these.
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = s"$base/fuzz-wh"
+    spark.conf.set("spark.sql.catalog.cwf", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cwf.warehouse", wh)
+    // 5 contending lock holders at seconds each: give waiters real room
+    // (the suite default 8000 ms is for the commits-never-wait test).
+    // BARE key, not spark.hadoop.-prefixed: newHadoopConf copies session
+    // confs under their full name, so only the bare key reaches the
+    // lock's conf.getLong at runtime (the prefixed form works at
+    // session-BUILD time only — a prefixed set here silently leaves the
+    // 8 s wait live, and a cold loaded run can time out spuriously)
+    spark.conf.set("graft.maint.lock.wait.ms", "120000")
+    try {
+      for (seed <- 0 until 12) {
+        val t = s"cwf.db.fz$seed"
+        val dir = s"$wh/db/fz$seed"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT, day STRING) PARTITIONED BY (day)")
+        spark.range(0, 50).selectExpr("id AS k", "id AS v", "'A' AS day").writeTo(t).append()
+        spark.range(100, 150).selectExpr("id AS k", "id AS v", "'B' AS day").writeTo(t).append()
+        spark.range(200, 300).selectExpr("id AS k", "id AS v", "'C' AS day").writeTo(t).append()
+        val rnd = new scala.util.Random(seed)
+        val delays = Array.fill(5)(rnd.nextInt(120))
+        val doUpdate = seed % 2 == 1
+        val doPartScope = seed % 2 == 0
+        inParallel(5) { i =>
+          Thread.sleep(delays(i))
+          i match {
+            case 0 => // replaceWhere partition A with a known 20-row set
+              spark.range(1000, 1020).selectExpr("id AS k", "id AS v", "'A' AS day")
+                .writeTo(t).overwrite(col("day") === "A")
+            case 1 =>
+              spark.range(2000, 2030).selectExpr("id AS k", "id AS v", "'B' AS day")
+                .writeTo(t).append()
+            case 2 =>
+              spark.range(5000, 5030).selectExpr("id AS k", "id AS v", "'B' AS day")
+                .writeTo(t).append()
+            case 3 =>
+              if (doUpdate)
+                GraftMaintenance.updateWhere(spark, dir,
+                  col("day") === "C" && col("k") % 7 === 0,
+                  Map("v" -> lit(-1L)))
+              else
+                GraftMaintenance.deleteWhere(spark, dir,
+                  col("day") === "C" && col("k") % 7 === 0)
+            case 4 =>
+              if (doPartScope)
+                GraftMaintenance.compactPartition(spark, dir,
+                  Map("day" -> "B"), targetFiles = 1)
+              else
+                GraftMaintenance.compact(spark, dir, targetFiles = 2)
+          }
+        }
+        val g = spark.read.format("graft").load(dir)
+        val a = g.filter(col("day") === "A").select("k")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(a == (1000L until 1020L).toSeq,
+          s"seed $seed: partition A must be exactly the replacement, got ${a.size} rows")
+        val b = g.filter(col("day") === "B").select("k")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(b == ((100L until 150L) ++ (2000L until 2030L) ++ (5000L until 5030L)).sorted,
+          s"seed $seed: partition B lost or doubled rows (${b.size})")
+        val cVictims = (200L until 300L).filter(_ % 7 == 0)
+        if (doUpdate) {
+          val cNeg = g.filter(col("day") === "C" && col("v") === -1L)
+            .select("k").collect().map(_.getLong(0)).sorted.toSeq
+          assert(cNeg == cVictims, s"seed $seed: update victims wrong: ${cNeg.size}")
+          assert(g.filter(col("day") === "C").count() == 100, s"seed $seed: C row count")
+        } else {
+          val c = g.filter(col("day") === "C").select("k")
+            .collect().map(_.getLong(0)).sorted.toSeq
+          assert(c == (200L until 300L).filterNot(_ % 7 == 0),
+            s"seed $seed: delete left wrong C rows (${c.size})")
+        }
+        // both mutexes released cleanly
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, GraftTableLock.LockName)),
+          s"seed $seed: stale maintenance lock")
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, GraftTableLock.CommitLockName)),
+          s"seed $seed: stale commit lock")
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+    } finally spark.conf.unset("graft.maint.lock.wait.ms")
+  }
+
+  test("snapshot-exact scan reads pinned files only; a missing pin fails loudly") {
+    // the compact/compactPartition duplicate window closed in r19 rests
+    // on this contract: option("snapshotfiles") plans EXACTLY the pinned
+    // set (a post-pin append is invisible), and a pinned file that
+    // vanished is a hard error, never a silent smaller read — the caller
+    // retires this same set, so reading less would publish row loss
+    val dir = s"$base/snapscan"
+    spark.range(0, 300).selectExpr("id AS k")
+      .repartition(3).write.format("graft").mode("overwrite").save(dir)
+    val pinned = GraftUtil.listDataFiles(dir, conf).map(_.getPath.toString)
+    assert(pinned.size == 3)
+    spark.range(1000, 1100).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(dir)
+    val pinnedScan = spark.read.format("graft")
+      .option("snapshotfiles", pinned.mkString("\n")).load(dir)
+    assert(pinnedScan.count() == 300, "post-pin append must be invisible")
+    assert(pinnedScan.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("k"))).head.getLong(0) == 299)
+    assert(spark.read.format("graft").load(dir).count() == 400,
+      "unpinned scan sees everything")
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .option("snapshotfiles", (pinned :+ s"$dir/gone.graft").mkString("\n"))
+        .load(dir).count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("compact never duplicates an append that lands after its snapshot") {
+    // deterministic drive of the exact race the fuzz hit: the append
+    // commits in compact's afterRewrite window (rewrite published, retire
+    // not yet run). Pre-fix, the rewrite's dir-listing scan could also
+    // have read a file landing before its job planned; the snapshot-
+    // pinned scan makes the appended rows appear EXACTLY once whatever
+    // the interleave.
+    val dir = s"$base/compactdup"
+    spark.range(0, 1000).selectExpr("id AS k")
+      .repartition(8).write.format("graft").mode("overwrite").save(dir)
+    GraftMaintenance.compactImpl(spark, dir, targetFiles = 2, Map.empty, () => {
+      spark.range(5000, 5100).selectExpr("id AS k")
+        .write.format("graft").mode("append").save(dir)
+    })
+    val ks = spark.read.format("graft").load(dir).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == ((0L until 1000L) ++ (5000L until 5100L)).sorted,
+      s"append must survive compaction exactly once (got ${ks.size} rows)")
+  }
+
+  test("compact racing a whole-table truncating overwrite never resurrects rows") {
+    // both take the maintenance mutex, so they serialize — and in EITHER
+    // order the final content is the overwrite's 30 rows: truncate-then-
+    // compact compacts the new table; compact-then-truncate retires the
+    // compactor's output whole. A surviving pre-truncate row means the
+    // rewrite republished retired content (the exact resurrection the
+    // lock order + marker guards exist to prevent).
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("graft.maint.lock.wait.ms", "120000")
+    try {
+      for (seed <- 0 until 4) {
+        val dir = s"$base/truncfuzz$seed"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        spark.range(0, 2000).selectExpr("id AS k", "id AS v")
+          .repartition(8).write.format("graft").mode("overwrite").save(dir)
+        val rnd = new scala.util.Random(42 + seed)
+        val d0 = rnd.nextInt(100); val d1 = rnd.nextInt(100)
+        inParallel(2) { i =>
+          if (i == 0) {
+            Thread.sleep(d0)
+            GraftMaintenance.compact(spark, dir, targetFiles = 2)
+          } else {
+            Thread.sleep(d1)
+            spark.range(90000, 90030).selectExpr("id AS k", "id AS v")
+              .write.format("graft").mode("overwrite").save(dir)
+          }
+        }
+        val ks = spark.read.format("graft").load(dir).select("k")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(ks == (90000L until 90030L).toSeq,
+          s"seed $seed: final table must be exactly the overwrite " +
+            s"(got ${ks.size} rows, min ${ks.headOption}, max ${ks.lastOption})")
+        assert(spark.read.format("graft").load(dir)
+          .filter(col("k") < 90000).count() == 0,
+          s"seed $seed: pre-truncate rows resurrected")
+      }
+    } finally spark.conf.unset("graft.maint.lock.wait.ms")
+  }
+
   test("a concurrent append and a truncating overwrite both land whole") {
     val dir = s"$base/trunc"
     spark.range(0, 500).selectExpr("id AS k")
