@@ -748,6 +748,54 @@ object Functions {
         .orderBy(col("lang"))
     },
 
+    "q_sql_analyze" -> { (s, dir) =>
+      // STATS BACKFILL in the correctness gate: documents lands as two
+      // commits BEFORE the table declares per-page stats (TBLPROPERTIES
+      // graft.bloomfilter/graft.ndvsketch) and one after, then
+      // `graft_analyze` materializes the declaration onto exactly the two
+      // pre-DDL files (footer-only membership, identity rewrite). Folded
+      // invariants: content identical (the oracle pins it bit-for-bit),
+      // the backfill rewrote exactly the missing files, a re-run
+      // converges to zero work, and GraftNdv resolves footer-only for
+      // the whole table afterwards.
+      val key = stageKey(s, dir, "documents").replaceAll("[^a-zA-Z0-9]", "_")
+      val stage = stagedOnce(s"/tmp/graft_sqlanalyze_stage1/$key/wh") { t =>
+        graft.spark.GraftExtensions.ensure(s)
+        val cat = s"ganz_$key"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", t)
+        s.sql(s"CREATE TABLE $cat.docs " +
+          "(doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)")
+        val d = Tables.parquet(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        // three disjoint slices whose union is the whole table: two
+        // pre-declaration commits, one post-declaration
+        d.filter(col("doc_id") % 2 === 0).coalesce(1).writeTo(s"$cat.docs").append()
+        d.filter(col("doc_id") % 4 === 1).coalesce(1).writeTo(s"$cat.docs").append()
+        s.sql(s"ALTER TABLE $cat.docs SET TBLPROPERTIES (" +
+          "'graft.bloomfilter'='lang', 'graft.ndvsketch'='doc_id')")
+        d.filter(col("doc_id") % 4 === 3).coalesce(1).writeTo(s"$cat.docs").append()
+        def stats(): Map[String, Long] =
+          s.sql(s"SELECT * FROM graft_analyze('$t/docs')").collect()
+            .map(r => r.getString(1) -> r.getLong(2)).toMap
+        val st = stats()
+        val st2 = stats() // convergence probe: second run must be a no-op
+        val ndvOk = graft.spark.GraftNdv.estimate(s, s"$t/docs", Seq("doc_id"))
+          .head.estimate > 0
+        val ok = st("files") == 3 && st("files_missing_stats") == 2 &&
+          st("files_rewritten") == 2 && st2("files_rewritten") == 0 && ndvOk
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "_GRAFT_ANALYZED"), (if (ok) 1 else 0).toString)
+      }
+      val analyzed = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(stage, "_GRAFT_ANALYZED")).trim.toInt
+      s.read.format("graft").load(s"$stage/docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .withColumn("analyzed", lit(analyzed))
+        .orderBy(col("lang"))
+    },
+
     "q_sql_compact" -> { (s, dir) =>
       // SQL-ONLY MAINTENANCE in the correctness gate: a fragmented orders
       // staging is compacted through the `graft_compact` table function
@@ -1938,6 +1986,12 @@ object Functions {
         |  SELECT lang, doc_id % 31 AS n_chars, 'inserted' AS source
         |  FROM documents WHERE doc_id % 13 = 2
         |) u
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_analyze" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  1 AS analyzed
+        |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_compact" ->
       """SELECT count(*) AS n,

@@ -328,6 +328,12 @@ object GraftExtensions {
     registerCall("graft_restore_ts", "restore_ts",
       { case Seq(_, t) => (Nil, Seq(litLong(t, "graft_restore_ts"))) },
       "(path STRING, asofMillis LONG)")
+    // backfill DECLARED per-page stats (TBLPROPERTIES graft.bloomfilter /
+    // graft.ndvsketch) onto files that predate the declaration: footers
+    // decide membership, only stat-less files rewrite (O(missing files))
+    registerCall("graft_analyze", "analyze",
+      { case Seq(_) => (Nil, Nil) },
+      "(path STRING)")
     registerCall("graft_compact_partition", "compact_partition",
       { case Seq(_, spec, n) =>
         (Seq(litStr(spec, "graft_compact_partition")),

@@ -95,6 +95,13 @@ final case class GraftMaintenanceExec(call: GraftMaintenanceCall)
           "files_after" -> st.filesAfter.toLong,
           "bytes_after" -> st.bytesAfter,
           "rows" -> st.rows)
+      case "analyze" =>
+        val st = GraftMaintenance.analyzeTable(spark, call.path)
+        Seq("files" -> st.files.toLong,
+          "files_missing_stats" -> st.missing.toLong,
+          "files_rewritten" -> st.rewritten.toLong,
+          "bloom_cols" -> st.bloomCols.toLong,
+          "ndv_cols" -> st.ndvCols.toLong)
       case "vacuum_staged" =>
         val (dirs, bytes) = GraftMaintenance.vacuumStaged(spark, call.path,
           call.longArgs.head)
