@@ -572,34 +572,44 @@ object BenchMaintenance {
     * layout exists to serve. graft: in-place zorder re-layout. parquet:
     * sort-and-rewrite on the same two columns (the lexicographic layout a
     * parquet shop would maintain).
+    *
+    * min-of-5 of the single op (the x_ndv_stats / x_compact_partition
+    * treatment, applied r19): the relayout is ~1 s on both sides, where
+    * one-shot timing reports driver scheduling noise — this entry read
+    * 0.87x (r18 base) then 1.20x/1.33x (r19 runs under load 13.9) with
+    * no code change on either path. The op mutates the staged table, so
+    * each rep re-stages fresh (untimed).
     */
   private def zorderOp(spark: SparkSession, format: String, dir: String): Double = {
     val src = Tables.parquet(spark, dir, "orders")
     val stage = s"/tmp/graft_bench_maint/z_${format}_${key(dir)}"
-    rm(stage)
     def probe(df: DataFrame): Unit =
       df.filter(col("o_custkey") <= 200 && col("o_totalprice") >= 50000.0)
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"))
         .write.mode("overwrite").format("noop").save()
-    if (format == "graft") {
-      src.write.format("graft").mode("overwrite").save(stage)
-      val t0 = System.nanoTime()
-      graft.spark.GraftMaintenance.zorder(spark, stage,
-        Seq("o_custkey", "o_totalprice"), targetFiles = 16)
-      probe(spark.read.format("graft").load(stage))
-      (System.nanoTime() - t0) / 1e9
-    } else {
-      src.write.mode("overwrite").parquet(stage)
-      val rw = s"${stage}_rw"
-      rm(rw)
-      val t0 = System.nanoTime()
-      spark.read.parquet(stage)
-        .repartitionByRange(16, col("o_custkey"), col("o_totalprice"))
-        .sortWithinPartitions(col("o_custkey"), col("o_totalprice"))
-        .write.mode("overwrite").parquet(rw)
-      probe(spark.read.parquet(rw))
-      (System.nanoTime() - t0) / 1e9
-    }
+    def one(): Double =
+      if (format == "graft") {
+        rm(stage)
+        src.write.format("graft").mode("overwrite").save(stage)
+        val t0 = System.nanoTime()
+        graft.spark.GraftMaintenance.zorder(spark, stage,
+          Seq("o_custkey", "o_totalprice"), targetFiles = 16)
+        probe(spark.read.format("graft").load(stage))
+        (System.nanoTime() - t0) / 1e9
+      } else {
+        rm(stage)
+        src.write.mode("overwrite").parquet(stage)
+        val rw = s"${stage}_rw"
+        rm(rw)
+        val t0 = System.nanoTime()
+        spark.read.parquet(stage)
+          .repartitionByRange(16, col("o_custkey"), col("o_totalprice"))
+          .sortWithinPartitions(col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(rw)
+        probe(spark.read.parquet(rw))
+        (System.nanoTime() - t0) / 1e9
+      }
+    (0 until 5).map(_ => one()).min
   }
 
   /** Snapshot (as-of) read. graft: manifest-pinned `asof` scan of the
