@@ -47,13 +47,84 @@ class StrawboatDataSource extends GraftDataSource {
 object GraftUtil {
   val Extension = ".graft"
 
+  /** The tags the CoW rewrite machinery stamps on per-file outputs
+    * (`rewriteMatchedFiles`: DELETE/UPDATE/MERGE survivors and the
+    * analyze stats backfill). ONE definition — every marker-aware
+    * consumer (the scan's twin dedup below, manifest heal + commit-time
+    * inheritance, the stream's redelivery guard) must recognize the same
+    * set, or a newly added tag silently breaks that consumer: the `anz`
+    * tag initially missed three of them, so an analyze backfill expired
+    * commit history without replacement and redelivered whole files to
+    * upgraded stream checkpoints. The CDC feed-event typer keeps its own
+    * narrower set on purpose (analyze writes no feed files). */
+  val RewriteTags = "del|upd|mrg|anz"
+
+  /** End-anchored `-<tag><hash8>.graft` suffix — strips ONE rewrite
+    * marker off a data-file name (apply repeatedly to walk an ancestor
+    * chain: `X-delA-delB` → `X-delA` → `X`). */
+  def markerStripRegex: scala.util.matching.Regex =
+    raw"-(?:$RewriteTags)[0-9a-f]{8}\Q$Extension\E$$".r
+
+  /** Full-name pattern of a rewrite output (any file carrying a trailing
+    * rewrite marker). */
+  def survivorNamePattern: java.util.regex.Pattern =
+    raw".*-(?:$RewriteTags)[0-9a-f]{8}\Q$Extension\E".r.pattern
+
+  private val TwinNameRe = raw"(.*)-(?:$RewriteTags)[0-9a-f]{8}".r
+
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null, "graft: 'path' option is required")
     p
   }
 
+  /** Originals shadowed by a published rewrite twin: for every file named
+    * `<base>-<tag><hash8>.graft` whose `<base>.graft` sibling is ALSO in
+    * the listing, the sibling. The pair state occurs only inside a CoW
+    * swap's publish window (output renamed in, original not yet deleted)
+    * or after a crash in that window — and the swap's commit point is the
+    * output's durable publish (a re-run just retires the original), so
+    * the ORIGINAL is the logically-dead file of the pair. */
+  def shadowedOriginals(files: Seq[FileStatus]): Set[Path] = {
+    if (files.size < 2) return Set.empty
+    val present = files.map(_.getPath).toSet
+    files.iterator.flatMap { f =>
+      val nm = f.getPath.getName
+      if (!nm.endsWith(Extension)) Iterator.empty
+      else nm.dropRight(Extension.length) match {
+        case TwinNameRe(base) =>
+          val orig = new Path(f.getPath.getParent, base + Extension)
+          if (present.contains(orig)) Iterator.single(orig) else Iterator.empty
+        case _ => Iterator.empty
+      }
+    }.toSet
+  }
+
+  /** TWIN-WINS dedup: drop every original a published rewrite twin
+    * shadows. This is what makes a CoW swap ATOMIC to readers at the
+    * output's rename instant — before it a lister sees the original
+    * (pre-op rows), after it the twin (post-op rows), never both files'
+    * rows at once. It also keeps a crashed swap's orphan pair (which
+    * persists until a maintenance op rolls it forward) from double-
+    * counting in every read in the interim. */
+  def dedupTwins(files: Seq[FileStatus]): Seq[FileStatus] = {
+    val sh = shadowedOriginals(files)
+    if (sh.isEmpty) files else files.filterNot(f => sh.contains(f.getPath))
+  }
+
+  /** Data-file listing as READERS should see it: twin-deduped (see
+    * [[dedupTwins]]). Metadata-rooted dirs read explicitly (a `_graft_*`
+    * root, e.g. the CDC change feed) list RAW — feed files legitimately
+    * chain markers (`F-del<a>.graft` and `F-del<a>-del<b>.graft` are two
+    * different deletes' pre-images), so the twin rule would misread one
+    * as shadowing the other. Retire/cleanup passes that must see every
+    * physical file use [[listDataFilesRaw]]. */
   def listDataFiles(dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[FileStatus] = {
+    val all = listDataFilesRaw(dir, conf)
+    if (new Path(dir).getName.startsWith("_")) all else dedupTwins(all)
+  }
+
+  def listDataFilesRaw(dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[FileStatus] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty

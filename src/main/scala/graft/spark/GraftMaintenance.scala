@@ -123,9 +123,16 @@ object GraftMaintenance {
         val dvIdents = GraftDv.list(fs, tableDir).keySet
         val anyDv = missing.exists(f =>
           dvIdents.contains(GraftDv.identOf(tableDir, f.getPath)))
+        // manifest snapshot BEFORE the rewrite: the backfill retires
+        // originals exactly like a delete does, so the same heal must
+        // re-point their commit history at the -anz outputs — without it
+        // a manifest-mode stream replay fails on the retired files and
+        // since/CDC windows spanning their commits lose the rows
+        val manifestSnapshot = GraftManifest.list(fs, tableDir)
         val res = rewriteMatchedFiles(spark, conf, fs, tableDir, missing, schema,
           RewriteSpec(tag = "anz", hash = anzHash, changelogOf = None,
             projectOf = identity, allowEmpty = false, sameCount = !anyDv))
+        healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
         AnalyzeStats(files.size, missing.size, res.rewritten,
           declBloom.size, declNdv.size)
       }
@@ -134,11 +141,43 @@ object GraftMaintenance {
   /** Serialize the mutating maintenance ops per table: see
     * [[GraftTableLock]] for why two live rewrites must not interleave and
     * how crashed holders are expropriated. Re-entrant, so composed ops
-    * (zorder through compact) acquire once. */
+    * (zorder through compact) acquire once — the crashed-swap roll-forward
+    * runs only on the OUTER acquisition. */
   private def locked[T](spark: SparkSession, dir: String, op: String)(f: => T): T = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
-    GraftTableLock.withLock(tableDir.getFileSystem(conf), tableDir, conf, op)(f)
+    val fs = tableDir.getFileSystem(conf)
+    val outer = !GraftTableLock.isHeld(fs, tableDir)
+    GraftTableLock.withLock(fs, tableDir, conf, op) {
+      if (outer) rollForwardCrashedSwaps(spark, dir, conf, fs, tableDir)
+      f
+    }
+  }
+
+  /** Complete any crashed CoW swap before this op plans its snapshot. A
+    * crash between a rewrite output's publish and its original's retire
+    * leaves the PAIR on disk; readers stay exactly-once through the twin
+    * dedup ([[GraftUtil.dedupTwins]]), but a maintenance op planning from
+    * the deduped listing would rewrite/retire the twin while the invisible
+    * original survived it — resurrecting the pre-op rows the moment the
+    * twin was gone. Rolling FORWARD (retire the original, heal the
+    * manifests — the published twin IS the committed state, identical to
+    * what the crashed op's own re-run would do) restores the one-file-one-
+    * name invariant every op below assumes. No-op (one listing, no
+    * manifest reads) when the table is clean; serialized by the
+    * maintenance lock, and live swaps also hold that lock, so any pair
+    * observed here is a crash remnant, never an in-flight publish. */
+  private def rollForwardCrashedSwaps(spark: SparkSession, dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path): Unit = {
+    val all = GraftUtil.listDataFilesRaw(dir, conf)
+    val shadowed = GraftUtil.shadowedOriginals(all)
+    if (shadowed.isEmpty) return
+    val manifestSnapshot = GraftManifest.list(fs, tableDir)
+    shadowed.foreach(p => fs.delete(p, false))
+    GraftDv.dropForAll(fs, tableDir, shadowed.toSeq)
+    healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
   }
 
   /** Clear the whole-table sort marker under the COMMIT mutex: a
@@ -907,7 +946,7 @@ object GraftMaintenance {
       def relOf(q: String): String =
         if (q.startsWith(base + "/")) q.substring(base.length + 1)
         else new org.apache.hadoop.fs.Path(q).getName
-      val survivorName = raw".*-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E".r.pattern
+      val survivorName = GraftUtil.survivorNamePattern
       // REPLACEMENT manifests: each expired COMMIT manifest whose coverage
       // partly survives (untouched files, or rewrite outputs derived from
       // its retired files — the output name is the original's plus a
@@ -919,8 +958,7 @@ object GraftMaintenance {
       // Streams never redeliver them to checkpoints that processed the
       // original (covered() ties replacement to original by time + base
       // suffix); the version log skips them (the commit is registered).
-      val markerStrip =
-        raw"-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E$$".r
+      val markerStrip = GraftUtil.markerStripRegex
       // walk the FULL ancestor chain (X-delA-delB covers X-delA AND X),
       // mirroring GraftDataSource.inheritedT / GraftStreamSource
       // .originalCovered: a crash after one rewrite retired its originals

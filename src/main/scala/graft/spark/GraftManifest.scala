@@ -98,10 +98,13 @@ object GraftManifest {
     * in-flight/crashed rewrite's survivor output whose original is gone —
     * the time inherited through the marker-strip ancestor chain (exactly
     * what the replacement manifest will record once the heal publishes
-    * it). While the original is still listed (the instant between output
-    * rename and original delete), the original alone serves — inheriting
-    * too would double-count the surviving rows. Files in no manifest with
-    * no manifested ancestor are pre-manifest history: ABSENT from the map.
+    * it). `listed` is the twin-deduped view ([[GraftUtil.dedupTwins]]):
+    * during a swap's publish window exactly ONE of (original, output) is
+    * listed — the original until the rename lands, the output after — so
+    * exactly one of them serves the commit's rows (the `listedSet` guard
+    * keeps an output from ALSO inheriting while its original is the
+    * listed one). Files in no manifest with no manifested ancestor are
+    * pre-manifest history: ABSENT from the map.
     *
     * ONE definition shared by the snapshot/window scan ([[GraftScan]])
     * and [[GraftMaintenance.restore]] — two readings of "when did this
@@ -112,8 +115,7 @@ object GraftManifest {
       listed: Seq[org.apache.hadoop.fs.FileStatus]): Map[String, Long] = {
     val committedAt = committedTimes(fs, tableDir)
     val listedSet = listed.map(f => f.getPath.toString).toSet
-    val markerStrip =
-      raw"-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E$$".r
+    val markerStrip = GraftUtil.markerStripRegex
     def inheritedT(f: org.apache.hadoop.fs.FileStatus): Option[Long] = {
       var nm = f.getPath.getName
       var found: Option[Long] = None

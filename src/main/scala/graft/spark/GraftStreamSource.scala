@@ -419,8 +419,7 @@ final class GraftMicroBatchStream(path: String, conf: SerializableHadoopConf,
                   new org.apache.hadoop.fs.Path(tableDir, name)).toString -> t
               }
             }.toMap
-          val markerStrip =
-            raw"-(?:del|upd|mrg)[0-9a-f]{8}\Q${GraftUtil.Extension}\E$$".r
+          val markerStrip = GraftUtil.markerStripRegex
           def originalCovered(q: String): Boolean = {
             val p = new org.apache.hadoop.fs.Path(q)
             var nm = p.getName

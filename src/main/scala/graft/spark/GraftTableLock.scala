@@ -77,6 +77,13 @@ private[spark] object GraftTableLock {
     * or two processes deadlock until the wait timeout. */
   val CommitLockName = "_graft_commit_lock"
 
+  /** Whether THIS thread already holds the named lock on the table — the
+    * re-entrancy probe composed ops use to run once-per-acquisition work
+    * (e.g. the crashed-swap roll-forward) only at the outer entry. */
+  def isHeld(fs: FileSystem, tableDir: Path,
+      lockFile: String = LockName): Boolean =
+    held.get.contains(lockFile + "@" + fs.makeQualified(tableDir).toString)
+
   def withLock[T](fs: FileSystem, tableDir: Path,
       conf: org.apache.hadoop.conf.Configuration, op: String,
       lockFile: String = LockName)(f: => T): T = {

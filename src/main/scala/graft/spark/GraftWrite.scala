@@ -710,7 +710,11 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
         return
       }
     }
-    val preExisting = GraftUtil.listDataFiles(path, conf.value)
+    // RAW listing: a truncating overwrite's retire set must include a
+    // crashed swap's shadowed original too (the twin-deduped view hides
+    // it; deleting only the twin would un-shadow the original and leak
+    // pre-overwrite rows into the truncated table)
+    val preExisting = GraftUtil.listDataFilesRaw(path, conf.value)
     val oldFiles = if (doTruncate) preExisting.map(_.getPath) else Seq.empty
     // manifest entries are table-relative so partition subdir files resolve
     val baseStr = tableDir.toString

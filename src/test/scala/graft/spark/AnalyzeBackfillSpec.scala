@@ -169,4 +169,50 @@ class AnalyzeBackfillSpec extends AnyFunSuite {
     assert(spark.table(t).orderBy("doc_id").collect().toSeq == before)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("analyze preserves commit history: since/asof windows survive the backfill") {
+    val t = "anz.db.hist"
+    val dir = s"$wh/db/hist"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING)")
+    spark.range(0, 100).selectExpr("id AS doc_id", "concat('l', id % 3) AS lang")
+      .coalesce(1).writeTo(t).append()
+    Thread.sleep(20)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.range(100, 150).selectExpr("id AS doc_id", "concat('l', id % 3) AS lang")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+      "'graft.bloomfilter'='lang', 'graft.ndvsketch'='doc_id')")
+    val st = GraftMaintenance.analyzeTable(spark, dir)
+    assert(st.rewritten == 2, st.toString)
+    // the backfill retired BOTH pre-declaration commits' files — exactly
+    // like a delete, the heal must re-point their commit history at the
+    // -anz outputs, or incremental readers and snapshots break:
+    // an incremental (since) reader still sees exactly commit 2's rows ...
+    assert(spark.read.format("graft").option("since", t1.toString)
+      .load(dir).count() == 50,
+      "the since window spanning commit 2 must survive the backfill")
+    // ... a snapshot at t1 still reconstructs exactly commit 1 ...
+    assert(spark.read.format("graft").option("asof", t1.toString)
+      .load(dir).count() == 100,
+      "the asof snapshot between the commits must survive the backfill")
+    // ... and no commit manifest references a retired file (a fresh
+    // manifest-mode stream replay fails loudly on missing files)
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableDir.getFileSystem(conf)
+    val live = GraftUtil.listDataFiles(dir, conf)
+      .map(f => fs.makeQualified(f.getPath).toString).toSet
+    GraftManifest.list(fs, tableDir).filterNot(GraftManifest.isCatchup)
+      .foreach { m =>
+        GraftManifest.read(fs, tableDir, m).foreach { case (rel, _) =>
+          val q = fs.makeQualified(
+            new org.apache.hadoop.fs.Path(tableDir, rel)).toString
+          assert(live.contains(q),
+            s"manifest $m references retired file $rel — analyze must heal " +
+              "manifests exactly like the delete/update rewrites do")
+        }
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

@@ -335,4 +335,101 @@ class ConcurrentWriteSpec extends AnyFunSuite {
     val n = spark.read.format("graft").load(dir).count()
     assert(n == 500 || n == 300, s"inconsistent post-race count $n")
   }
+
+  /** Fabricate the crashed-swap pair state: run a real CoW delete (which
+    * publishes `F-del<hash>.graft` and retires `F`), then copy the saved
+    * original bytes back to F's path — exactly what a crash between the
+    * output rename and the original delete leaves on disk. */
+  private def fabricateCrashedSwap(dir: String): (org.apache.hadoop.fs.Path,
+      org.apache.hadoop.fs.FileSystem) = {
+    import org.apache.spark.sql.functions.col
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+      .write.format("graft").mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val orig = GraftUtil.listDataFilesRaw(dir, conf) match {
+      case Seq(one) => one.getPath
+      case other => fail(s"expected 1 staged file, got $other")
+    }
+    val saved = new org.apache.hadoop.fs.Path(s"$dir-saved-orig")
+    org.apache.hadoop.fs.FileUtil.copy(fs, orig, fs, saved, false, conf)
+    GraftMaintenance.deleteWhere(spark, dir, col("k") < 50)
+    val twin = GraftUtil.listDataFilesRaw(dir, conf) match {
+      case Seq(one) => one.getPath
+      case other => fail(s"expected 1 survivor file, got $other")
+    }
+    assert(GraftUtil.survivorNamePattern.matcher(twin.getName).matches(),
+      s"survivor $twin should carry the -del<hash> marker")
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs, orig, true, conf)
+    assert(GraftUtil.listDataFilesRaw(dir, conf).size == 2,
+      "pair state: original + published twin both on disk")
+    (orig, fs)
+  }
+
+  test("a published rewrite twin shadows its original: no reader double-counts a crashed swap") {
+    val dir = s"$base/twinshadow"
+    fabricateCrashedSwap(dir)
+    // plain scan, footer-direct COUNT(*) (agg pushdown) and page stats all
+    // plan from the twin-deduped listing: 50 post-delete rows, never 150
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() == 50, "scan must read the published twin only")
+    assert(df.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col("k"))).head.getLong(0) ==
+      (50L until 100L).map(_ * 1L).sum,
+      "the surviving rows are the POST-delete rows (twin wins, not original)")
+  }
+
+  test("maintenance rolls a crashed swap forward before planning its own snapshot") {
+    val dir = s"$base/twinroll"
+    val (orig, fs) = fabricateCrashedSwap(dir)
+    GraftMaintenance.compact(spark, dir, 1)
+    assert(!fs.exists(orig),
+      "roll-forward must physically retire the shadowed original — a " +
+        "compact that rewrote only the twin would resurrect the original's " +
+        "pre-delete rows the moment the twin was retired")
+    assert(spark.read.format("graft").load(dir).count() == 50)
+    assert(GraftUtil.listDataFilesRaw(dir, conf).size == 1)
+  }
+
+  test("a truncating overwrite retires a shadowed original too") {
+    val dir = s"$base/twintrunc"
+    val (orig, fs) = fabricateCrashedSwap(dir)
+    spark.range(1000, 1010).selectExpr("id AS k", "id * 2 AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(!fs.exists(orig),
+      "truncate plans its retire set from the RAW listing — deleting only " +
+        "the twin would un-shadow the original and leak pre-overwrite rows")
+    assert(spark.read.format("graft").load(dir).count() == 10)
+  }
+
+  test("readers racing a row-level delete never observe duplicated rows") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$base/readrace"
+    spark.range(0, 4000).selectExpr("id AS k", "id * 2 AS v").repartition(8)
+      .write.format("graft").mode("append").save(dir)
+    val rowsBefore = 4000L
+    val rowsAfter = 4000L - 800L // k % 5 == 0 deleted
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // per-file swaps commit independently, so a racing reader may see
+          // any MIX of pre/post files — but twin dedup means never both
+          // halves of one swap, so the count stays within [after, before].
+          // (A file deleted between listing and open fails the read — the
+          // dir-listing-table behavior shared with plain parquet dirs; only
+          // successful reads assert.)
+          val c = spark.read.format("graft").load(dir).count()
+          if (c > rowsBefore || c < rowsAfter) violations.add(c)
+        } catch { case _: Throwable => () }
+      }
+    })
+    reader.start()
+    try GraftMaintenance.deleteWhere(spark, dir, col("k") % 5 === 0)
+    finally { stop.set(true); reader.join(30000) }
+    assert(violations.isEmpty,
+      s"racing reads observed out-of-range counts: $violations — a count " +
+        s"above $rowsBefore means a swap's original AND twin were read together")
+    assert(spark.read.format("graft").load(dir).count() == rowsAfter)
+  }
 }

@@ -111,8 +111,14 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.copyFile(
       new java.io.File(s"$dirB/${survivor.get}"),
       new java.io.File(s"$dirA/${survivor.get}"))
-    assert(spark.read.format("graft").load(dirA).count() > 1000,
-      "crash state should transiently show duplicate survivors")
+    // the pair state is invisible to readers: the published survivor
+    // shadows its original (twin-wins dedup), so even BEFORE the re-run a
+    // read is exactly-once at the POST-delete state for the crashed file
+    val crashed = spark.read.format("graft").load(dirA)
+    assert(crashed.count() == 900,
+      "crash state must read exactly-once: survivor shadows its original")
+    assert(crashed.filter(pred).count() == 0,
+      "the shadowed original's pre-delete rows must not resurface")
     // the re-run must recognise the published survivors and only retire
     val st = GraftMaintenance.deleteWhere(spark, dirA, pred)
     val back = spark.read.format("graft").load(dirA)
@@ -380,9 +386,15 @@ class GraftMaintenanceSpec extends AnyFunSuite {
     // residue, exactly what the docs describe)
     val resurrect = new Path(origName)
     org.apache.hadoop.fs.FileUtil.copy(fs, updFile, fs, resurrect, false, hconf)
-    assert(spark.read.format("graft").load(dir).count() == 60, "duplicates visible")
+    // the crash residue is invisible to readers: the published rewrite
+    // shadows the resurrected original (twin-wins dedup), so reads stay
+    // exactly-once even before the healing re-run
+    assert(spark.read.format("graft").load(dir).count() == 40,
+      "pair state must read exactly-once, not duplicate")
     // the re-run finds the published rewrite by name and just retires
     GraftMaintenance.updateWhere(spark, dir, col("k") < 10, Map("v" -> lit(0)))
+    assert(!fs.exists(resurrect),
+      "re-run must physically retire the shadowed original")
     assert(spark.read.format("graft").load(dir).count() == 40,
       "re-run must converge back to exactly-once contents")
   }
