@@ -78,6 +78,24 @@ object GraftUtil {
     p
   }
 
+  /** Bounded-parallel delete for the whole-table retire phases (compact,
+    * truncate, restore, partition overwrite). Serial deletes make the
+    * retire N metadata round-trips — on an object store that IS the
+    * reader-visible old+new window after a compaction commits, and dead
+    * wall time besides. Order is irrelevant (every path retires
+    * unconditionally), so a small pool divides the window by its width;
+    * failures propagate like the serial loop's did. */
+  def deleteAll(fs: org.apache.hadoop.fs.FileSystem, paths: Seq[Path]): Unit = {
+    if (paths.size <= 4) { paths.foreach(fs.delete(_, false)); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, paths.size))
+    try {
+      paths.map(p => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { fs.delete(p, false); () }
+      })).foreach(_.get())
+    } finally pool.shutdownNow()
+  }
+
   /** Originals shadowed by a published rewrite twin: for every file named
     * `<base>-<tag><hash8>.graft` whose `<base>.graft` sibling is ALSO in
     * the listing, the sibling. The pair state occurs only inside a CoW

@@ -296,7 +296,7 @@ object GraftMaintenance {
     GraftVersionLog.sync(fs, tableDir)
     beforeManifests.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false))
-    before.foreach(f => fs.delete(f.getPath, false))
+    GraftUtil.deleteAll(fs, before.map(_.getPath))
     // the rewrite read THROUGH the scan (deletion vectors applied), so
     // the output is clean — retiring the files retires their DV sidecars
     // (one sidecar-dir listing for the whole snapshot, not one per file)
@@ -904,7 +904,7 @@ object GraftMaintenance {
               allowEmpty = true, sameCount = false))
           publishChangeFeed(conf, fs, tableDir)
         } else {
-          victims.foreach(f => fs.delete(f.getPath, false))
+          GraftUtil.deleteAll(fs, victims.map(_.getPath))
           GraftDv.dropForAll(fs, tableDir, victims.map(_.getPath))
         }
       }
@@ -2803,7 +2803,7 @@ object GraftMaintenance {
       val eff = GraftManifest.effectiveTimes(fs, tableDir, listed)
       val victims = listed.filter(f =>
         eff.get(f.getPath.toString).exists(_ > t))
-      victims.foreach(f => fs.delete(f.getPath, false))
+      GraftUtil.deleteAll(fs, victims.map(_.getPath))
       GraftDv.dropForAll(fs, tableDir, victims.map(_.getPath))
       // 2. post-pin manifests: commit manifests, markers, and replacements
       //    of post-pin commits all carry a post-pin embedded time;

@@ -775,7 +775,7 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
       GraftVersionLog.appendSentinel(fs, tableDir, "truncate") // syncs first
     GraftManifest.publish(fs, tableDir, added, tag = opts.manifestTag)
     oldManifests.foreach(n => fs.delete(new Path(GraftManifest.dir(tableDir), n), false))
-    oldFiles.foreach(fs.delete(_, false))
+    GraftUtil.deleteAll(fs, oldFiles)
     // a truncate retires EVERY old file — its deletion-vector sidecars go
     // with them, or the stale _graft_dv dir would pin the re-filled table
     // on the row-based masked-scan path (and decline pushdowns) forever
