@@ -249,6 +249,10 @@ object GraftCdc {
     val tgtPath = new org.apache.hadoop.fs.Path(targetDir)
     val tgtFs = tgtPath.getFileSystem(conf0)
     GraftTableLock.withLock(tgtFs, tgtPath, conf0, "applyChanges") {
+      // direct maintenance-lock acquisition: the nested deleteWhere reads
+      // as inner and skips its roll-forward — complete any crashed swap on
+      // the TARGET before planning against its twin-deduped listing
+      GraftMaintenance.rollForwardCrashedSwaps(targetDir, conf0, tgtFs, tgtPath)
       applyWindowLocked(spark, srcDir, sinceMillis, asofMillis, targetDir,
         keyCol, transform, driverKeyMax, tgtFs, tgtPath, conf0)
     }

@@ -92,29 +92,43 @@ object GraftUtil {
     try {
       paths.map(p => pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = { fs.delete(p, false); () }
-      })).foreach(_.get())
+      })).foreach { f =>
+        // rethrow the Callable's own exception, not the Future wrapper —
+        // callers match on IOException exactly as with the serial loop
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
     } finally pool.shutdownNow()
   }
 
   /** Originals shadowed by a published rewrite twin: for every file named
-    * `<base>-<tag><hash8>.graft` whose `<base>.graft` sibling is ALSO in
-    * the listing, the sibling. The pair state occurs only inside a CoW
-    * swap's publish window (output renamed in, original not yet deleted)
-    * or after a crash in that window — and the swap's commit point is the
-    * output's durable publish (a re-run just retires the original), so
-    * the ORIGINAL is the logically-dead file of the pair. */
+    * `<base>-<tag><hash8>.graft`, its NEAREST LIVE ancestor on the
+    * marker-strip chain (`X-delA-updB` covers `X-delA`, and `X` when
+    * `X-delA` is itself gone — mirroring the heal's ancestor walk; the
+    * walk stops at the first live ancestor, which any deeper ancestor is
+    * that file's own problem to shadow). The pair state occurs only
+    * inside a CoW swap's publish window (output renamed in, original not
+    * yet deleted) or after a crash in that window — and the swap's commit
+    * point is the output's durable publish (a re-run just retires the
+    * original), so the ANCESTOR is the logically-dead file of the pair. */
   def shadowedOriginals(files: Seq[FileStatus]): Set[Path] = {
     if (files.size < 2) return Set.empty
     val present = files.map(_.getPath).toSet
     files.iterator.flatMap { f =>
-      val nm = f.getPath.getName
-      if (!nm.endsWith(Extension)) Iterator.empty
-      else nm.dropRight(Extension.length) match {
-        case TwinNameRe(base) =>
-          val orig = new Path(f.getPath.getParent, base + Extension)
-          if (present.contains(orig)) Iterator.single(orig) else Iterator.empty
-        case _ => Iterator.empty
+      val nm0 = f.getPath.getName
+      var found: Option[Path] = None
+      if (nm0.endsWith(Extension)) {
+        var nm = nm0.dropRight(Extension.length)
+        var go = true
+        while (go) nm match {
+          case TwinNameRe(base) =>
+            val anc = new Path(f.getPath.getParent, base + Extension)
+            if (present.contains(anc)) { found = Some(anc); go = false }
+            else nm = base
+          case _ => go = false
+        }
       }
+      found.iterator
     }.toSet
   }
 
@@ -131,15 +145,18 @@ object GraftUtil {
   }
 
   /** Data-file listing as READERS should see it: twin-deduped (see
-    * [[dedupTwins]]). Metadata-rooted dirs read explicitly (a `_graft_*`
-    * root, e.g. the CDC change feed) list RAW — feed files legitimately
-    * chain markers (`F-del<a>.graft` and `F-del<a>-del<b>.graft` are two
-    * different deletes' pre-images), so the twin rule would misread one
-    * as shadowing the other. Retire/cleanup passes that must see every
-    * physical file use [[listDataFilesRaw]]. */
+    * [[dedupTwins]]). The engine's own metadata dirs read explicitly as a
+    * root (`_graft_*`, e.g. the CDC change feed) list RAW — feed files
+    * legitimately chain markers (`F-del<a>.graft` and
+    * `F-del<a>-del<b>.graft` are two different deletes' pre-images), so
+    * the twin rule would misread one as shadowing the other. The check is
+    * on the RESERVED `_graft_` prefix, not any underscore: a user table
+    * legitimately rooted at `/wh/_staging` keeps reader atomicity.
+    * Retire/cleanup passes that must see every physical file use
+    * [[listDataFilesRaw]]. */
   def listDataFiles(dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[FileStatus] = {
     val all = listDataFilesRaw(dir, conf)
-    if (new Path(dir).getName.startsWith("_")) all else dedupTwins(all)
+    if (new Path(dir).getName.startsWith("_graft_")) all else dedupTwins(all)
   }
 
   def listDataFilesRaw(dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[FileStatus] = {

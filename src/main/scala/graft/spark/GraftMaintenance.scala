@@ -106,9 +106,16 @@ object GraftMaintenance {
           }
         } finally in.close()
       }
-      if (missing.isEmpty)
+      if (missing.isEmpty) {
+        // heal even when THIS pass rewrites nothing: a crash between a
+        // previous pass's rewrite and its heal leaves manifests referencing
+        // the retired originals, and that pass's -anz outputs already carry
+        // the stats — a missing-files probe alone would never converge the
+        // manifests (the same self-healing rule the delete path documents)
+        healManifestsAfterRewrite(dir, conf, fs, tableDir,
+          GraftManifest.list(fs, tableDir))
         AnalyzeStats(files.size, 0, 0, declBloom.size, declNdv.size)
-      else {
+      } else {
         // marker hash fingerprints the DECLARATION: re-declaring different
         // stats invalidates prior convergence markers
         val anzHash = {
@@ -149,7 +156,7 @@ object GraftMaintenance {
     val fs = tableDir.getFileSystem(conf)
     val outer = !GraftTableLock.isHeld(fs, tableDir)
     GraftTableLock.withLock(fs, tableDir, conf, op) {
-      if (outer) rollForwardCrashedSwaps(spark, dir, conf, fs, tableDir)
+      if (outer) rollForwardCrashedSwaps(dir, conf, fs, tableDir)
       f
     }
   }
@@ -166,8 +173,13 @@ object GraftMaintenance {
     * name invariant every op below assumes. No-op (one listing, no
     * manifest reads) when the table is clean; serialized by the
     * maintenance lock, and live swaps also hold that lock, so any pair
-    * observed here is a crash remnant, never an in-flight publish. */
-  private def rollForwardCrashedSwaps(spark: SparkSession, dir: String,
+    * observed here is a crash remnant, never an in-flight publish.
+    *
+    * Also runs at the write paths' own maintenance-lock acquisitions
+    * (replaceWhere / dynamic-partition overwrite in [[GraftWrite]], CDC
+    * apply in [[GraftCdc]]) — they pre-acquire the lock directly, so the
+    * nested `locked` calls read as inner and would skip this. */
+  private[spark] def rollForwardCrashedSwaps(dir: String,
       conf: org.apache.hadoop.conf.Configuration,
       fs: org.apache.hadoop.fs.FileSystem,
       tableDir: org.apache.hadoop.fs.Path): Unit = {
@@ -178,6 +190,12 @@ object GraftMaintenance {
     shadowed.foreach(p => fs.delete(p, false))
     GraftDv.dropForAll(fs, tableDir, shadowed.toSeq)
     healManifestsAfterRewrite(dir, conf, fs, tableDir, manifestSnapshot)
+    // a crashed CHANGELOG op wrote its feed pre-images before publishing
+    // the output (changelog -> output -> retire), so the completed-swap
+    // state this pass just restored may hold feed files no feed manifest
+    // lists — adopt them exactly like the op's own re-run would, or the
+    // delete events silently never reach a CDC window
+    publishChangeFeed(conf, fs, tableDir)
   }
 
   /** Clear the whole-table sort marker under the COMMIT mutex: a

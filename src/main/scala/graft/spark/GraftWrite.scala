@@ -692,6 +692,12 @@ final class GraftBatchWrite(schema: StructType, path: String, opts: GraftWriteOp
           GraftTableLock.CommitLockName)(f)
       case _ =>
         GraftTableLock.withLock(fs, tableDir, conf.value, "overwrite") {
+          // this is a DIRECT maintenance-lock acquisition, so the nested
+          // GraftMaintenance ops (deleteWhereScoped / overwriteRetire) read
+          // as inner and skip their own crashed-swap roll-forward — run it
+          // here, or an overwrite planning from the twin-deduped view could
+          // retire a twin and resurrect its shadowed original
+          GraftMaintenance.rollForwardCrashedSwaps(path, conf.value, fs, tableDir)
           GraftTableLock.withLock(fs, tableDir, conf.value, "commit",
             GraftTableLock.CommitLockName)(f)
         }

@@ -401,6 +401,27 @@ class ConcurrentWriteSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dir).count() == 10)
   }
 
+  test("a replaceWhere overwrite rolls a crashed swap forward before planning") {
+    import org.apache.spark.sql.functions.col
+    // the overwrite commit PRE-ACQUIRES the maintenance lock directly, so
+    // its nested deleteWhereScoped reads as an inner acquisition and skips
+    // the roll-forward — the write path must run it itself, or its rewrite
+    // of the twin leaves the shadowed original to resurrect afterwards
+    val dir = s"$base/twinreplace"
+    val (orig, fs) = fabricateCrashedSwap(dir)
+    spark.conf.set("spark.sql.catalog.cw", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cw.warehouse", base)
+    spark.range(60, 70).selectExpr("id AS k", "id * 2 AS v")
+      .writeTo("cw.twinreplace").overwrite(col("k").between(60, 69))
+    assert(!fs.exists(orig),
+      "the overwrite's lock acquisition must complete the crashed swap")
+    // survivors: twin rows 50-59 and 70-99 plus the replaced slice 60-69
+    val got = spark.read.format("graft").load(dir)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (50L until 100L).toSeq,
+      s"resurrected or lost rows: ${got.take(10).toSeq} ...")
+  }
+
   test("readers racing a row-level delete never observe duplicated rows") {
     import org.apache.spark.sql.functions.col
     val dir = s"$base/readrace"

@@ -26,13 +26,19 @@ class TwinDedupSpec extends AnyFunSuite {
         Set("/t/X.graft"), tag)
   }
 
-  test("chained markers shadow their DIRECT parent only (per-swap commit points)") {
+  test("chained markers shadow the nearest LIVE ancestor") {
     // crash of rewrite 2: its output shadows rewrite 1's output; the root
     // original is long gone in this state
     assert(shadowed("/t/X-del11111111.graft",
       "/t/X-del11111111-upd22222222.graft") == Set("/t/X-del11111111.graft"))
+    // intermediate ancestor gone (rewrite 1 completed, rewrite 2 crashed,
+    // then the root was somehow resurrected): the walk continues past the
+    // missing X-del to shadow the live root — without it the root's
+    // pre-rewrite rows would double-count against the deepest output
+    assert(shadowed("/t/X.graft",
+      "/t/X-del11111111-upd22222222.graft") == Set("/t/X.graft"))
     // degenerate double-crash state: every live parent is shadowed by its
-    // direct child, so the deepest output alone serves
+    // nearest descendant, so the deepest output alone serves
     assert(shadowed("/t/X.graft", "/t/X-del11111111.graft",
       "/t/X-del11111111-upd22222222.graft") ==
       Set("/t/X.graft", "/t/X-del11111111.graft"))
