@@ -216,7 +216,7 @@ final class GraftAggScan(private val path: String, conf: org.apache.hadoop.conf.
       groupedFiles.map(f =>
         GraftAggInputPartition(f._1, f._2, f._3.toArray,
           maskedOf(f._1)): InputPartition).toArray
-    else GraftUtil.listDataFiles(path, conf)
+    else GraftRewriteGuard.adjust(path, conf, GraftUtil.listDataFiles(path, conf))
       .map(f => GraftAggInputPartition(f.getPath.toString, f.getLen, Array.empty,
         maskedOf(f.getPath.toString)): InputPartition)
       .toArray

@@ -969,7 +969,8 @@ final class GraftScanBuilder(tableSchema: StructType, path: String,
         if (groupFields.exists(f =>
           f.isEmpty || !GraftAggPushdown.pathParseable(f.get.dataType))) return false
         val tableDir = new Path(path)
-        val files = GraftUtil.listDataFiles(path, conf)
+        val files = GraftRewriteGuard.adjust(path, conf,
+          GraftUtil.listDataFiles(path, conf))
         if (files.isEmpty) return false
         val grouped = files.map { f =>
           val m = GraftUtil.partitionSegments(tableDir, f.getPath).toMap
@@ -1081,7 +1082,10 @@ final class GraftScan(private val tableSchema: StructType, private val projected
     // that silently read fewer files would publish a rewrite with rows
     // missing. Appends landing after the pin are intentionally invisible.
     val listed = snapshotFiles match {
-      case None => listedAll
+      // an in-flight whole-table rewrite's visibility markers apply to
+      // READERS only (a pinned maintenance scan reads its exact snapshot
+      // regardless): old view before the flip, new view after, never both
+      case None => GraftRewriteGuard.adjust(path, conf, listedAll)
       case Some(pin) =>
         val kept = listedAll.filter(f => pin.contains(f.getPath.toString))
         require(kept.size == pin.size,

@@ -55,7 +55,8 @@ object GraftIntrospect {
     */
   def pages(spark: SparkSession, dir: String): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val files = GraftUtil.listDataFiles(dir, conf)
+    val files = GraftRewriteGuard.adjust(dir, conf,
+      GraftUtil.listDataFiles(dir, conf))
     require(files.nonEmpty, s"graft: no data files under $dir")
     val rows = files.flatMap { f =>
       val in = new HadoopSeekableInput(f.getPath.getFileSystem(conf), f.getPath, f.getLen)
@@ -206,7 +207,8 @@ object GraftIntrospect {
   def partitions(spark: SparkSession, dir: String): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new org.apache.hadoop.fs.Path(dir)
-    val files = GraftUtil.listDataFiles(dir, conf)
+    val files = GraftRewriteGuard.adjust(dir, conf,
+      GraftUtil.listDataFiles(dir, conf))
     val groups = files.groupBy(f =>
       GraftUtil.partitionSegments(tableDir, f.getPath)
         .map { case (k, v) => s"$k=${if (v == null) "null" else v}" }

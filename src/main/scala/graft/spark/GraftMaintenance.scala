@@ -183,6 +183,16 @@ object GraftMaintenance {
       conf: org.apache.hadoop.conf.Configuration,
       fs: org.apache.hadoop.fs.FileSystem,
       tableDir: org.apache.hadoop.fs.Path): Unit = {
+    // whole-table rewrite markers first (a crashed compact/zorder): roll
+    // an uncommitted rewrite back, finish a committed one's retire —
+    // readers held a consistent view through the crash either way
+    GraftRewriteGuard.heal(fs, tableDir, retireRel => {
+      val paths = retireRel.map(r => new org.apache.hadoop.fs.Path(tableDir, r))
+      GraftUtil.deleteAll(fs, paths)
+      GraftDv.dropForAll(fs, tableDir, paths)
+      healManifestsAfterRewrite(dir, conf, fs, tableDir,
+        GraftManifest.list(fs, tableDir))
+    })
     val all = GraftUtil.listDataFilesRaw(dir, conf)
     val shadowed = GraftUtil.shadowedOriginals(all)
     if (shadowed.isEmpty) return
@@ -291,27 +301,50 @@ object GraftMaintenance {
           .sortWithinPartitions(col("__graft_z"))
           .drop("__graft_z")
     }
-    val writer = arranged.write.format("graft").mode("append")
-    opts.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
-      .save(dir)
-    // the rewrite's own output, identified by its COMMIT MANIFEST (a
-    // directory listing here would attribute any file a concurrent
-    // append landed since save() started to the rewrite). Exactly one
-    // new manifest == the rewrite's; more means a concurrent commit got
-    // interleaved, in which case no sort marker may be republished below.
-    val newManifests =
-      GraftManifest.list(fs, tableDir).filterNot(beforeManifests.contains)
-    val rewriteSet: Set[String] =
-      if (newManifests.size != 1) Set.empty
-      else GraftManifest.read(fs, tableDir, newManifests.head).map { case (rel, _) =>
+    // READER-ATOMIC swap (GraftRewriteGuard): p1 hides the tagged output
+    // until the old snapshot is complete-and-intact behind it, p2 carries
+    // the retire list, and deleting p1 flips every reader from the old
+    // snapshot to the new one in one metadata op — a reader can no longer
+    // see old+new (duplicated rows) between the output commit and the
+    // retire below. Markers roll back if the rewrite itself fails.
+    val opTag = s"cmp${java.util.UUID.randomUUID().toString.take(8)}"
+    val beforeRel = {
+      val base = fs.makeQualified(tableDir).toString
+      before.map { f =>
+        val q = fs.makeQualified(f.getPath).toString
+        if (q.startsWith(base + "/")) q.substring(base.length + 1)
+        else f.getPath.getName
+      }
+    }
+    GraftRewriteGuard.publishP1(fs, tableDir, opTag)
+    GraftRewriteGuard.publishP2(fs, tableDir, beforeRel)
+    try {
+      val writer = arranged.write.format("graft").mode("append")
+      opts.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
+        .option("manifesttag", opTag)
+        .save(dir)
+    } catch { case t: Throwable =>
+      // p2 first: a p1-less instant with p2 standing would hide the whole
+      // old snapshot (an empty table) from readers
+      GraftRewriteGuard.clear(fs, tableDir)
+      GraftRewriteGuard.flip(fs, tableDir)
+      throw t
+    }
+    // the rewrite's own output, identified by its TAGGED commit manifest
+    // (a directory listing here would attribute any file a concurrent
+    // append landed since save() started to the rewrite)
+    val rewriteSet: Set[String] = GraftManifest.list(fs, tableDir)
+      .filter(_.endsWith("-" + opTag))
+      .flatMap(m => GraftManifest.read(fs, tableDir, m).map { case (rel, _) =>
         fs.makeQualified(new org.apache.hadoop.fs.Path(tableDir, rel)).toString
-      }.toSet
+      }).toSet
     afterRewrite()
     // retire ONLY the pre-rewrite snapshot (manifests first, so a crash
     // window never leaves a manifest referencing a deleted file): files
     // appended by another writer since the snapshot are not ours to delete.
     // Version ordinals register first — compaction expiry leaves holes.
     GraftVersionLog.sync(fs, tableDir)
+    GraftRewriteGuard.flip(fs, tableDir)
     beforeManifests.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(GraftManifest.dir(tableDir), n), false))
     GraftUtil.deleteAll(fs, before.map(_.getPath))
@@ -319,6 +352,7 @@ object GraftMaintenance {
     // the output is clean — retiring the files retires their DV sidecars
     // (one sidecar-dir listing for the whole snapshot, not one per file)
     GraftDv.dropForAll(fs, tableDir, before.map(_.getPath))
+    GraftRewriteGuard.clear(fs, tableDir)
     val after = GraftUtil.listDataFiles(dir, conf)
     // a compaction that imposed a sorted layout leaves the table
     // whole-file sorted — republish the sort marker (the rewrite's own
@@ -2633,15 +2667,41 @@ object GraftMaintenance {
               org.apache.spark.sql.functions.lit(v).cast(df0.schema(k).dataType)
         }
       }.reduce(_ && _)
-      // partition pruning scopes the scan to the victim files; the append
-      // re-lands the rows in their partition dirs
-      df0.filter(pred).repartition(targetFiles)
-        .write.format("graft").mode("append")
-        .option("partitionby", layout.mkString(",")).save(dir)
+      // READER-ATOMIC swap, same protocol as compactInner: p1 hides the
+      // tagged output while the old partition is intact, the flip switches
+      // readers to the new copy before any victim retires
+      val opTag = s"cmp${java.util.UUID.randomUUID().toString.take(8)}"
+      val victimRel = {
+        val base = fs.makeQualified(tableDir).toString
+        victims.map { f =>
+          val q = fs.makeQualified(f.getPath).toString
+          if (q.startsWith(base + "/")) q.substring(base.length + 1)
+          else f.getPath.getName
+        }
+      }
+      GraftRewriteGuard.publishP1(fs, tableDir, opTag)
+      GraftRewriteGuard.publishP2(fs, tableDir, victimRel)
+      try {
+        // partition pruning scopes the scan to the victim files; the append
+        // re-lands the rows in their partition dirs
+        df0.filter(pred).repartition(targetFiles)
+          .write.format("graft").mode("append")
+          .option("partitionby", layout.mkString(","))
+          .option("manifesttag", opTag).save(dir)
+      } catch { case t: Throwable =>
+        GraftRewriteGuard.clear(fs, tableDir)
+        GraftRewriteGuard.flip(fs, tableDir)
+        throw t
+      }
+      GraftRewriteGuard.flip(fs, tableDir)
+      // p2 clears only on a COMPLETED retire: a failure mid-delete must
+      // leave it standing (readers keep the new view over the partially
+      // retired old files; the next maintenance heal finishes the job)
       val st = overwriteRetire(spark, dir, victims.map(_.getPath.toString).toSet,
         changelog = false,
         opHash = GraftManifest.md5Hex(
           s"cpart:${partition.toSeq.sorted.mkString(",")}", 4))
+      GraftRewriteGuard.clear(fs, tableDir)
       val after = GraftUtil.listDataFiles(dir, conf).filter { f =>
         val segs = GraftUtil.partitionSegments(tableDir, f.getPath).toMap
         partition.forall { case (k, v) => segs.get(k).contains(v) }

@@ -30,7 +30,8 @@ object GraftNdv {
     */
   def estimate(spark: SparkSession, dir: String, cols: Seq[String]): Seq[NdvStat] = {
     val conf = spark.sessionState.newHadoopConf()
-    val files = GraftUtil.listDataFiles(dir, conf)
+    val files = GraftRewriteGuard.adjust(dir, conf,
+      GraftUtil.listDataFiles(dir, conf))
     require(files.nonEmpty, s"graft: no data files under $dir")
     val perFile = files.map { f =>
       val fs = f.getPath.getFileSystem(conf)

@@ -422,6 +422,86 @@ class ConcurrentWriteSpec extends AnyFunSuite {
       s"resurrected or lost rows: ${got.take(10).toSeq} ...")
   }
 
+  test("readers racing a compaction never observe duplicated rows") {
+    val dir = s"$base/compactrace"
+    spark.range(0, 4000).selectExpr("id AS k", "id * 2 AS v").repartition(8)
+      .write.format("graft").mode("append").save(dir)
+    // compaction REARRANGES rows without changing them, so with the
+    // two-phase visibility markers every read during the rewrite must see
+    // exactly 4000 rows: the old snapshot before the flip, the new one
+    // after, never old+new (pre-guard a reader listing between the output
+    // commit and the retire saw up to 8000)
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val c = spark.read.format("graft").load(dir).count()
+          if (c != 4000L) violations.add(c)
+        } catch { case _: Throwable => () }
+      }
+    })
+    reader.start()
+    try GraftMaintenance.compact(spark, dir, 2)
+    finally { stop.set(true); reader.join(30000) }
+    assert(violations.isEmpty,
+      s"racing reads observed inconsistent counts: $violations")
+    assert(spark.read.format("graft").load(dir).count() == 4000)
+    assert(GraftUtil.listDataFilesRaw(dir, conf).size == 2)
+  }
+
+  test("a compaction crash before the flip heals by roll-forward; readers consistent throughout") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$base/compactcrash"
+    spark.range(0, 1000).selectExpr("id AS k").repartition(4)
+      .write.format("graft").mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    // drive compact to the exact crash point: output committed (tagged
+    // manifest + p1 + p2 standing), retire never reached
+    val boom = intercept[RuntimeException] {
+      GraftMaintenance.compactImpl(spark, dir, 1, Map.empty,
+        () => throw new RuntimeException("injected crash before flip"))
+    }
+    assert(boom.getMessage.contains("injected"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, GraftRewriteGuard.P1)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, GraftRewriteGuard.P2)))
+    // crash state: OLD files + committed output both on disk, yet readers
+    // see the old snapshot exactly-once (p1 hides the tagged output)
+    assert(GraftUtil.listDataFilesRaw(dir, conf).size == 5,
+      "4 old files + 1 committed compacted file on disk")
+    assert(spark.read.format("graft").load(dir).count() == 1000)
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("k") >= 0).count() == 1000, "plain scan path consistent too")
+    // any maintenance op heals: committed rewrite rolls FORWARD
+    GraftMaintenance.deleteWhere(spark, dir, col("k") < 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, GraftRewriteGuard.P1)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, GraftRewriteGuard.P2)))
+    assert(GraftUtil.listDataFilesRaw(dir, conf).size == 1,
+      "heal must finish the retire: only the compacted file survives")
+    assert(spark.read.format("graft").load(dir).count() == 1000)
+  }
+
+  test("an uncommitted rewrite's markers roll back; a crashed retire completes from p2") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$base/compactroll"
+    spark.range(0, 500).selectExpr("id AS k").repartition(2)
+      .write.format("graft").mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val tableDir = new org.apache.hadoop.fs.Path(dir)
+    // markers up, but the tagged output never committed (crash mid-write):
+    // readers see the intact old table; heal rolls BACK
+    GraftRewriteGuard.publishP1(fs, tableDir, "cmpdeadbeef")
+    GraftRewriteGuard.publishP2(fs, tableDir,
+      GraftUtil.listDataFilesRaw(dir, conf).map(_.getPath.getName))
+    assert(spark.read.format("graft").load(dir).count() == 500)
+    GraftMaintenance.compact(spark, dir, 1) // heal runs at lock entry
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, GraftRewriteGuard.P1)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, GraftRewriteGuard.P2)))
+    assert(spark.read.format("graft").load(dir).count() == 500)
+    assert(GraftUtil.listDataFilesRaw(dir, conf).size == 1, "rollback then compact")
+  }
+
   test("readers racing a row-level delete never observe duplicated rows") {
     import org.apache.spark.sql.functions.col
     val dir = s"$base/readrace"
