@@ -81,25 +81,33 @@ object TrainingData {
     // (see pcaQuery); the oracle-checked path always passes 1
     val e0 = embs(s, dir)
     val e1 = if (sampleMod > 1) e0.filter(pmod(col("vec_id"), lit(sampleMod)) === 0) else e0
-    val e = e1.withColumn("q", expr(quantized))
-      .select(col("vec_id"), col("q"))
-    val sums = e.select(posexplode(col("q")).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, sx))), p -> p.sx)")
-          .as("sxarr"),
-        max(col("cnt")).as("n")) // every pos group counts all n vectors
-    e.crossJoin(broadcast(sums))
-      .withColumn("dd", expr(
-        """zip_with(q, sxarr, (x, sx) -> cast(
-             cast(x as decimal(19,0)) * cast(n as decimal(19,0)) - cast(sx as decimal(19,0))
-           as decimal(19,0)))"""))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(dd)), i ->
-             transform(sequence(i, size(dd)), j -> named_struct(
-               'i', i - 1, 'j', j - 1,
-               'p', element_at(dd, i) * element_at(dd, j)))))""")).as("c"))
-      .groupBy(col("c.i").as("pos_i"), col("c.j").as("pos_j"))
-      .agg(sum(col("c.p")).as("covn"))
+    // ONE flat-buffer aggregate pass (graft.spark.TriangleSums — its
+    // scaladoc carries the algebra and equivalence proof): n, per-position
+    // sums sx, and raw upper-triangle product sums S_ij accumulate as
+    // exact int64; the centered numerators recombine per RESULT cell as
+    //   covn(i,j) = n²·S_ij − n·sx_i·sx_j     (exact, decimal(38,0))
+    // — bit-identical to the summed zip_with form this replaces, which
+    // paid per VECTOR a decimal centering zip_with, d(d+1)/2 nested
+    // named_structs through flatten/explode, and a 2080-group decimal
+    // hash-aggregate. The explode below runs once over the single result
+    // row, not once per vector.
+    e1.withColumn("q", expr(quantized))
+      .agg(graft.spark.AggOps.triangleSums(col("q")).as("ts"))
+      .select(col("ts.n").as("n"), col("ts.sx").as("sx"), col("ts.tri").as("tri"))
+      .select(col("n"), col("sx"), col("tri"), explode(expr(
+        """flatten(transform(sequence(1, size(sx)), i ->
+             transform(sequence(i, size(sx)), j ->
+               named_struct('i', i - 1, 'j', j - 1))))""")).as("c"))
+      .select(col("c.i").as("pos_i"), col("c.j").as("pos_j"), expr(
+        """cast(
+             cast(n as decimal(19,0)) * cast(n as decimal(19,0)) *
+               cast(element_at(tri, cast(
+                 c.i * size(sx) - (c.i * (c.i - 1)) div 2 + (c.j - c.i) + 1 as int))
+                 as decimal(19,0))
+             - cast(n as decimal(19,0)) *
+               cast(element_at(sx, c.i + 1) as decimal(19,0)) *
+               cast(element_at(sx, c.j + 1) as decimal(19,0))
+           as decimal(38,0))""").as("covn"))
   }
 
   /** s_embedding_pca: PCA preparation over the embedding corpus — the
@@ -239,6 +247,41 @@ object TrainingData {
   private def bcastIfKCross(s: SparkSession, df: DataFrame, k: Long): DataFrame =
     if (k <= semBroadcastMaxK(s)) broadcast(df) else df
 
+  /** Cosine-argmax assignment of every `e` row (columns incl. vec_id,
+    * q array<bigint>, nn = longNormSq(q)) to its nearest centroid in
+    * `cents` (cid, cq, cn) — the IVF / SemDeDup / k-means assignment
+    * step. Under the broadcast cap the K centroids fold into ONE
+    * array-of-structs row and a native kernel (VecOps.NearestCentroid —
+    * bit-identical ordering semantics, see its scaladoc) picks the winner
+    * per row: no N·K row materialization, no per-vector exchange, no
+    * window sort — the assignment stays embarrassingly parallel in the
+    * scan. Past the cap the frame cannot land whole on one JVM, so the
+    * legacy partitioned-cartesian + window plan runs instead (bounded
+    * memory, same results — NearestCentroidSpec pins the two paths equal).
+    * Returns e's columns plus `out` = the winning cid.
+    */
+  private def cosAssign(s: SparkSession, e: DataFrame, cents: DataFrame,
+      k: Long, out: String): DataFrame =
+    if (k <= semBroadcastMaxK(s)) {
+      val cb = cents.agg(
+        collect_list(struct(col("cid"), col("cq"), col("cn"))).as("cb"))
+      e.crossJoin(broadcast(cb))
+        .withColumn(out, graft.spark.VecOps.nearestCentroidCol(col("q"), col("cb")))
+        // an empty codebook emits no rows from the crossJoin form; the
+        // kernel signals it as NULL
+        .filter(col(out).isNotNull)
+        .drop("cb")
+    } else {
+      e.crossJoin(cents)
+        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
+        .withColumn("ccos", col("cdot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("crk") === 1)
+        .select(e.columns.map(col) :+ col("cid").as(out): _*)
+    }
+
   /** Consecutive 4-word shingles of the word-array column `w` — ONE
     * definition shared by every containment/decontamination pass and the
     * composed pipeline, so their "same grams" contracts hold by
@@ -356,13 +399,7 @@ object TrainingData {
       else e.withColumn("th", expr(trainHashExpr))
         .orderBy(col("th"), col("vec_id")).limit(sampleCap.toInt)
         .drop("th")
-    val a0 = train.crossJoin(broadcast(seeds))
-      .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
-      .withColumn("ccos", col("cdot").cast("double") /
-        (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("crk") === 1)
+    val a0 = cosAssign(s, train, seeds, kIvf(n), "cid")
       .select(col("vec_id"), col("q"), col("cid"))
     val sums = a0.select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
@@ -563,8 +600,8 @@ object TrainingData {
     "d_dedup_exact" -> { (s, dir) =>
       docs(s, dir).agg(
         count(lit(1)).as("total_docs"),
-        countDistinct(md5(col("text"))).as("distinct_texts"),
-        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+        countDistinct(unhex(md5(col("text")))).as("distinct_texts"),
+        (count(lit(1)) - countDistinct(unhex(md5(col("text"))))).as("dup_docs"))
     },
 
     "d_dedup_canonical" -> { (s, dir) =>
@@ -576,7 +613,7 @@ object TrainingData {
         .groupBy(col("source"), col("n_chars"))
         .agg(min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("group_size"),
-          countDistinct(md5(col("text"))).as("distinct_texts"))
+          countDistinct(unhex(md5(col("text")))).as("distinct_texts"))
         .filter(col("group_size") >= 2)
         .select(col("source"), col("n_chars"), col("keep_id"),
           col("group_size"), col("distinct_texts"))
@@ -682,12 +719,14 @@ object TrainingData {
       // (deterministic held-out slice, doc_id % 97 = 0) and containment-join
       // them against the TRAIN docs' shingles, reporting per eval doc how
       // many train docs share text and how much. Scale shape: the join key
-      // is a 32-char hash, both sides distinct-reduced BEFORE the join, and
+      // is the 16-byte binary md5 (unhex halves the shuffle bytes of the
+      // hex form at identical distinctness), both sides distinct-reduced
+      // BEFORE the join, and
       // the eval side is tiny — exactly the asymmetric hash join a 100 TB
       // decontam pass runs (eval grams broadcast in practice).
       val d = docs(s, dir).withColumn("w", split(col("text"), " "))
       val grams = d.withColumn("g", explode(expr(fourGramsExpr)))
-        .select(col("doc_id"), md5(col("g")).as("gh"))
+        .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
       val evalG = grams.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("eval_id"), col("gh")).distinct()
       val trainG = grams.filter(col("doc_id") % 97 =!= 0)
@@ -708,7 +747,7 @@ object TrainingData {
       // the eval-side view). Scale shape: the eval gram set is the tiny
       // distinct side (broadcast/asymmetric probe at 100 TB); the train
       // side is one distinct-reduce + one left-semi-shaped join + one
-      // per-doc agg — all linear in corpus grams, shuffled on the 32-char
+      // per-doc agg — all linear in corpus grams, shuffled on the 16-byte
       // hash only. The natural corpus overlaps only faintly (max
       // containment ~0.03 at sf0.01), so each eval doc is also re-emitted
       // as a synthetic train doc (id + 10'000'000 ≡ 76 mod 97 — train
@@ -720,7 +759,7 @@ object TrainingData {
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val d = base.unionByName(injected).withColumn("w", split(col("text"), " "))
       val grams = d.withColumn("g", explode(expr(fourGramsExpr)))
-        .select(col("doc_id"), md5(col("g")).as("gh"))
+        .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
       val evalGrams = grams.filter(col("doc_id") % 97 === 0)
         .select(col("gh")).distinct().withColumn("hit", lit(1L))
       val trainGrams = grams.filter(col("doc_id") % 97 =!= 0)
@@ -751,7 +790,7 @@ object TrainingData {
       // footprint as segment dedup.
       val d = docs(s, dir).withColumn("w", split(col("text"), " "))
       val occ = d.withColumn("g", explode(expr(fourGramsExpr)))
-        .select(col("doc_id"), md5(col("g")).as("gh"))
+        .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
       val dupGrams = occ.select(col("doc_id"), col("gh")).distinct()
         .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
         .filter(col("ndocs") >= 2)
@@ -777,25 +816,34 @@ object TrainingData {
     "d_dedup_segments" -> { (s, dir) =>
       // segment-level (line-level analogue) boilerplate dedup, the
       // CCNet/RefinedWeb pass that strips text repeated ACROSS documents:
-      // split each doc into consecutive 4-word segments, hash them (md5 —
-      // engine-portable; the narrow join/shuffle key at scale), and flag
+      // split each doc into consecutive 4-word segments, hash them (binary
+      // md5 — engine-portable; the narrow join/shuffle key at scale), and flag
       // segments occurring in >= 2 distinct docs. Per-source report of how
       // much of the corpus is cross-document boilerplate. Scale shape:
-      // one hash-agg + one hash-join on a 32-char key, never pairwise.
+      // one hash-agg + one hash-join on a 16-byte binary key, never pairwise.
       val segs = docs(s, dir)
         .withColumn("w", split(col("text"), " "))
         .withColumn("seg", explode(expr(
           """transform(sequence(0, cast(ceil(size(w)/4.0) as int) - 1),
                i -> array_join(slice(w, i*4+1, 4), ' '))""")))
-        .select(col("doc_id"), col("source"), md5(col("seg")).as("seg_h"))
-      val counts = segs.groupBy(col("seg_h")).agg(countDistinct(col("doc_id")).as("ndocs"))
-      segs.join(counts, Seq("seg_h"))
+        .select(col("doc_id"), col("source"), unhex(md5(col("seg"))).as("seg_h"))
+      // two-level aggregate (r19): fold occurrences to (seg_h, source)
+      // grain first — the only corpus-sized shuffle — then derive the
+      // global ndocs from the per-source distinct-doc counts (a doc has
+      // exactly ONE source, so they sum exactly) and join the two
+      // vocab-sized frames on their shared key. The join-back of raw
+      // occurrences this replaces re-shuffled the whole segment stream a
+      // second time for the same counts.
+      val f1 = segs.groupBy(col("seg_h"), col("source"))
+        .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("sdocs"))
+      val f2 = f1.groupBy(col("seg_h")).agg(sum(col("sdocs")).as("ndocs"))
+      f1.join(f2, Seq("seg_h"))
         .groupBy(col("source"))
         .agg(
-          count(lit(1)).as("total_segments"),
-          countDistinct(col("seg_h")).as("distinct_segments"),
-          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("boilerplate_occurrences"),
-          (sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          sum(col("occ")).as("total_segments"),
+          count(lit(1)).as("distinct_segments"),
+          sum(when(col("ndocs") >= 2, col("occ")).otherwise(0L)).as("boilerplate_occurrences"),
+          (sum(when(col("ndocs") >= 2, col("occ")).otherwise(0L)).cast("double") / sum(col("occ")))
             .as("boilerplate_ratio"))
         .orderBy(col("source"))
     },
@@ -901,22 +949,25 @@ object TrainingData {
       // frame is a checkpointed table clustered by list_id.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
+      val n = embs(s, dir).count() // footer-only on graft scans
       val cents = ivfCodebook(s, dir)
-      val ranked = e.crossJoin(broadcast(cents))
+      // the lists frame IS the IVF index — materialized (cache locally,
+      // checkpointed graft table under graft.pipeline.scratch), since a
+      // real deployment builds it once and probes it many times. The
+      // assignment is the native argmax kernel (cosAssign): no N·K row
+      // materialization, no per-vector exchange + window sort.
+      val lists = materialize(cosAssign(s, e, cents, kIvf(n), "list_id")
+        .select(col("vec_id").as("tid"), col("list_id"), col("q").as("tv")),
+        "ivf_lists")
+      // the probes branch ranks top-nprobe lists for the 10 query vectors
+      // only — 10·K rows through the window, nothing corpus-sized
+      val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
         .withColumn("crk", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-      // the lists frame IS the IVF index — materialized (cache locally,
-      // checkpointed graft table under graft.pipeline.scratch), since a
-      // real deployment builds it once and probes it many times. The probes
-      // branch stays lazy: vec_id < 10 pushes below the window, so only the
-      // query vectors pay the assignment crossJoin there.
-      val lists = materialize(ranked.filter(col("crk") === 1)
-        .select(col("vec_id").as("tid"), col("cid").as("list_id"), col("q").as("tv")),
-        "ivf_lists")
-      val probes = ranked.filter(col("vec_id") < 10 && col("crk") <= ivfNprobe)
+        .filter(col("crk") <= ivfNprobe)
         .select(col("vec_id").as("qid"), col("cid").as("list_id"), col("q").as("qv"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("tid"))
       probes.join(lists, Seq("list_id")).filter(col("qid") =!= col("tid"))
@@ -949,14 +1000,15 @@ object TrainingData {
         graft.spark.VecOps.longL2(
           expr(s"slice($vecCol, m*$sub+1, $sub)"), expr(s"slice(cq, m*$sub+1, $sub)"))
       // the CODES table: at scale this is the materialized PQ index
-      // (M small ints per vector), everything ADC reads
-      val enc = e.crossJoin(broadcast(cents))
-        .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-        .withColumn("d2", subD2("q"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id").as("tid"), col("m"), col("cid").as("code"))
+      // (M small ints per vector), everything ADC reads. Encode is the
+      // native per-subspace argmin kernel (VecOps.PqEncode — bit-identical
+      // ordering, see its scaladoc): one row per vector through the scan
+      // instead of N·K crossJoin rows through an exchange + window sort.
+      val cbPq = cents.agg(collect_list(struct(col("cid"), col("cq"))).as("cb"))
+      val enc = e.crossJoin(broadcast(cbPq))
+        .select(col("vec_id").as("tid"),
+          posexplode(graft.spark.VecOps.pqEncodeCol(col("q"), col("cb"), M, sub))
+            .as(Seq("m", "code")))
       // per-query ADC lookup table: 10 queries x M x K = 320 rows, broadcast
       val lut = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qv"))
@@ -995,16 +1047,19 @@ object TrainingData {
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       // ---- coarse quantizer: IVF assignment (s_ann_ivf shape) ----
+      val nIvfpq = embs(s, dir).count() // footer-only on graft scans
       val coarse = ivfCodebook(s, dir)
-      val ranked = e.crossJoin(broadcast(coarse))
+      // corpus-sized assignment via the native argmax kernel (cosAssign);
+      // only the 10 query vectors pay the crossJoin + window for top-nprobe
+      val lists = cosAssign(s, e, coarse, kIvf(nIvfpq), "list_id")
+        .select(col("vec_id").as("tid"), col("list_id"))
+      val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(coarse))
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
         .withColumn("ccos", col("cdot").cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
         .withColumn("crk", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-      val lists = ranked.filter(col("crk") === 1)
-        .select(col("vec_id").as("tid"), col("cid").as("list_id"))
-      val probes = ranked.filter(col("vec_id") < 10 && col("crk") <= ivfNprobe)
+        .filter(col("crk") <= ivfNprobe)
         .select(col("vec_id").as("qid"), col("cid").as("list_id"))
       // ---- fine quantizer: PQ codes + per-query LUT (s_embedding_pq shape) ----
       val cents = e.filter(col("vec_id") < K)
@@ -1012,13 +1067,12 @@ object TrainingData {
       def subD2(vecCol: String) =
         graft.spark.VecOps.longL2(
           expr(s"slice($vecCol, m*$sub+1, $sub)"), expr(s"slice(pcq, m*$sub+1, $sub)"))
-      val enc = e.select(col("vec_id"), col("q")).crossJoin(broadcast(cents))
-        .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-        .withColumn("d2", subD2("q"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("pcid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id").as("etid"), col("m"), col("pcid").as("code"))
+      // PQ encode via the native per-subspace argmin kernel (VecOps.PqEncode)
+      val cbPq = cents.agg(collect_list(struct(col("pcid"), col("pcq"))).as("cb"))
+      val enc = e.select(col("vec_id"), col("q")).crossJoin(broadcast(cbPq))
+        .select(col("vec_id").as("etid"),
+          posexplode(graft.spark.VecOps.pqEncodeCol(col("q"), col("cb"), M, sub))
+            .as(Seq("m", "code")))
       val lut = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("lqid"), col("q").as("qv"))
         .crossJoin(broadcast(cents))
@@ -1154,7 +1208,10 @@ object TrainingData {
         .withColumn("w", split(col("text"), " "))
         .withColumn("n_words", size(col("w")))
         .withColumn("stop_hits", expr("size(filter(w, x -> x IN ('the','a')))"))
-        .withColumn("punct", expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))"))
+        // count-of-matches for a SINGLE-CHAR class == chars removed: the
+        // length diff avoids materializing a match array per document
+        .withColumn("punct", expr(
+          "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))"))
         .withColumn("mean_wlen",
           (col("chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
         .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
@@ -1394,10 +1451,13 @@ object TrainingData {
       val base = withLangId(docs(s, dir).filter(col("doc_id") % 97 =!= 0)
         .withColumn("w", split(col("text"), " "))
         .withColumn("score_milli", expr(qualityScoreMilli)))
+      // keep-first per text-hash as a groupBy(min) — one winner per th and
+      // doc_id is unique, so this is row-identical to the min-over-window +
+      // self-filter it replaces, minus the window SORT and with map-side
+      // partial aggregation before the exchange
       val keep1 = base
-        .select(col("doc_id"), md5(col("text")).as("th"))
-        .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("th"))))
-        .filter(col("doc_id") === col("mn"))
+        .select(col("doc_id"), unhex(md5(col("text"))).as("th"))
+        .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), lit(1L).as("is1"))
       // grams feeds two branches UNMATERIALIZED on purpose: the doc_id
       // filters push below the explode, so the eval branch shingles ~1/97
@@ -1406,7 +1466,7 @@ object TrainingData {
       // (the same call made for d_decontamination)
       val grams = docs(s, dir).withColumn("w", split(col("text"), " "))
         .withColumn("g", explode(expr(fourGramsExpr)))
-        .select(col("doc_id"), md5(col("g")).as("gh"))
+        .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
       val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
       // distinct-reduce the train side BEFORE the join (the
       // d_decontamination shape): repeated grams inside one doc must not
@@ -2022,14 +2082,8 @@ object TrainingData {
       val k = kSem(n)
       val cents = e.join(bcastIfK(s, seedIds(s, dir, kSem, n), k), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
-      val assigned = e.crossJoin(bcastIfKCross(s, cents, k))
-        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
-        .withColumn("ccos", col("cdot").cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("q"), col("nn"), col("cid").as("cluster_id"))
+      val assigned = cosAssign(s, e, cents, k, "cluster_id")
+        .select(col("vec_id"), col("q"), col("nn"), col("cluster_id"))
       val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
         col("q").as("qa"), col("nn").as("na"))
       val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
@@ -2081,25 +2135,23 @@ object TrainingData {
           Window.partitionBy(col("cid")).orderBy(col("gcos").desc, col("gid"))))
         .filter(col("grk") === 1)
         .select(col("gid"), col("cid"), col("cq"), col("cn"))
-      val vg = e.crossJoin(bcastIfKCross(s, coarse, k1))
-        .withColumn("gdot", graft.spark.VecOps.longDot(col("q"), col("gq")))
-        .withColumn("gcos", col("gdot").cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("gn").cast("double"))))
-        .withColumn("grk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("gcos").desc, col("gid"))))
-        .filter(col("grk") === 1)
+      // coarse argmax via the native kernel (K1-entry codebook)
+      val vg = cosAssign(s, e,
+          coarse.select(col("gid").as("cid"), col("gq").as("cq"), col("gn").as("cn")),
+          k1, "gid")
         .select(col("vec_id"), col("q"), col("nn"), col("gid"))
       // the fine level: keyed on gid, so past the broadcast cap this plans
       // as a shuffled hash join — the K-row frame is never forced whole
-      // onto one JVM (the two-level split exists exactly for large K)
-      val assigned = vg.join(bcastIfK(s, seedGrp, kSem(n)), Seq("gid"))
-        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
-        .withColumn("ccos", col("cdot").cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("q"), col("nn"), col("cid").as("cluster_id"))
+      // onto one JVM (the two-level split exists exactly for large K).
+      // Each gid's seeds fold into one array row; the native argmin kernel
+      // replaces the join-explode + per-vector window sort.
+      val grpCb = seedGrp.groupBy(col("gid")).agg(
+        collect_list(struct(col("cid"), col("cq"), col("cn"))).as("cb"))
+      val assigned = vg.join(bcastIfK(s, grpCb, kSem(n)), Seq("gid"))
+        .withColumn("cluster_id",
+          graft.spark.VecOps.nearestCentroidCol(col("q"), col("cb")))
+        .filter(col("cluster_id").isNotNull)
+        .select(col("vec_id"), col("q"), col("nn"), col("cluster_id"))
       val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
         col("q").as("qa"), col("nn").as("na"))
       val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
@@ -2132,35 +2184,25 @@ object TrainingData {
       // moved-away count, the convergence signal the loop iterates on.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
-      val cents = e.join(broadcast(seedIds(s, dir, kIvf)), Seq("vec_id"))
+      val nKr = embs(s, dir).count() // footer-only on graft scans
+      val cents = e.join(broadcast(seedIds(s, dir, kIvf, nKr)), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
-        .withColumn("ccos", col("cdot").cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("q"), col("nn"), col("cid").as("c0"))
+      // both rounds assign via the native argmax kernel (cosAssign): round
+      // 1's summed centroids rebuild into (cid, cq, cn) arrays — exactly
+      // the exact-integer dot/norm the long-form join + window computed
+      // (dot = Σ x·sx = longDot(q, cq); cnn = Σ sx² = longNormSq(cq))
+      val assigned = cosAssign(s, e, cents, kIvf(nKr), "c0")
+        .select(col("vec_id"), col("q"), col("nn"), col("c0"))
       val long = assigned.select(col("vec_id"), col("c0"),
         posexplode(col("q")).as(Seq("pos", "x")))
       val centSums = long.groupBy(col("c0").as("cid1"), col("pos"))
         .agg(sum(col("x")).as("sx"))
-      val centNorm = centSums.groupBy(col("cid1"))
-        .agg(sum(col("sx") * col("sx")).as("cnn"))
-      val dots = long.select(col("vec_id"), col("pos"), col("x"))
-        .join(broadcast(centSums), Seq("pos"))
-        .groupBy(col("vec_id"), col("cid1"))
-        .agg(sum(col("x") * col("sx")).as("dot"))
-      val r1 = dots
-        .join(assigned.select(col("vec_id"), col("nn"), col("c0")), Seq("vec_id"))
-        .join(broadcast(centNorm), Seq("cid1"))
-        .withColumn("ccos", col("dot").cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("cnn").cast("double"))))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid1"))))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("c0"), col("cid1").as("c1"))
+      val cents1 = centSums.groupBy(col("cid1").as("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> p.sx)")
+          .as("cq"))
+        .withColumn("cn", graft.spark.VecOps.longNormSq(col("cq")))
+      val r1 = cosAssign(s, assigned, cents1, kIvf(nKr), "c1")
+        .select(col("vec_id"), col("c0"), col("c1"))
       val before = assigned.groupBy(col("c0").as("cluster_id"))
         .agg(count(lit(1)).as("size_before"))
       val after = r1.groupBy(col("c1").as("cluster_id"))
@@ -2190,38 +2232,34 @@ object TrainingData {
       // retired as soon as the next one lands.
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
-      val cents = e.join(broadcast(seedIds(s, dir, kIvf)), Seq("vec_id"))
+      val nKl = embs(s, dir).count() // footer-only on graft scans
+      val cents = e.join(broadcast(seedIds(s, dir, kIvf, nKl)), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
-      val a0 = e.crossJoin(broadcast(cents))
-        .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
-        .withColumn("ccos", col("cdot").cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-        .filter(col("crk") === 1)
+      val a0 = cosAssign(s, e, cents, kIvf(nKl), "cid")
         .select(col("vec_id"), col("cid"))
-      // the long-form (vec_id, pos, x) frame is reused by every iteration's
-      // centroid update AND assignment — checkpoint it once
-      val (long, longDir) = materializeWithDir(
-        e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "x"))), "kml_long")
-      val nrm = long.groupBy(col("vec_id")).agg(sum(col("x") * col("x")).as("nn"))
+      // the (vec_id, q, nn) frame is reused by every iteration's centroid
+      // update AND assignment — checkpoint it once. Every round's
+      // assignment is the native argmax kernel over the round's summed
+      // centroids rebuilt as arrays (dot = Σ x·sx = longDot(q, cq),
+      // cnn = Σ sx² = longNormSq(cq) — the exact integers the long-form
+      // join + window computed); the long-form frame this replaces carried
+      // d× the rows through a per-pos join and a corpus-keyed window every
+      // iteration.
+      val (vecs, vecsDir) = materializeWithDir(
+        e.select(col("vec_id"), col("q"), col("nn")), "kml_vecs")
       var (assign, assignDir) = materializeWithDir(a0, "kml_a0")
       var assignCached = assignDir.isEmpty
       val stats = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
       var k = 1
       while (k <= kmeansLoopIters && (stats.isEmpty || stats.last._2 > 0)) {
-        val centSums = long.join(assign, Seq("vec_id"))
+        val centSums = vecs.join(assign, Seq("vec_id"))
+          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
-        val centNorm = centSums.groupBy(col("cid")).agg(sum(col("sx") * col("sx")).as("cnn"))
-        val next0 = long.join(broadcast(centSums.withColumnRenamed("cid", "ncid")), Seq("pos"))
-          .groupBy(col("vec_id"), col("ncid")).agg(sum(col("x") * col("sx")).as("dot"))
-          .join(nrm, Seq("vec_id"))
-          .join(broadcast(centNorm.withColumnRenamed("cid", "ncid")), Seq("ncid"))
-          .withColumn("ccos", col("dot").cast("double") /
-            (sqrt(col("nn").cast("double")) * sqrt(col("cnn").cast("double"))))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("ncid"))))
-          .filter(col("crk") === 1)
+        val centsK = centSums.groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> p.sx)")
+            .as("cq"))
+          .withColumn("cn", graft.spark.VecOps.longNormSq(col("cq")))
+        val next0 = cosAssign(s, vecs, centsK, kIvf(nKl), "ncid")
           .select(col("vec_id"), col("ncid").as("cid"))
         val (next, nextDir) = materializeWithDir(next0, s"kml_a$k")
         val moved = next.join(assign.withColumnRenamed("cid", "prev"), Seq("vec_id"))
@@ -2236,7 +2274,7 @@ object TrainingData {
       // converged early (moved=0 is a fixpoint — Lloyd is deterministic, so
       // every later iteration is identical): pad without re-running
       while (k <= kmeansLoopIters) { stats += ((k.toLong, 0L, stats.last._3)); k += 1 }
-      if (longDir.isEmpty) long.unpersist()
+      if (vecsDir.isEmpty) vecs.unpersist()
       import s.implicits._
       stats.toSeq.toDF("iter", "moved", "active_clusters").orderBy(col("iter"))
     },
@@ -2443,22 +2481,26 @@ object TrainingData {
       // Each term's −p·ln p contribution is quantized to integer micro-nats
       // BEFORE the per-doc sum (the t_tfidf_topk convention), so the
       // aggregate is an order-independent integer sum — no float fold, no
-      // engine drift. Plan: one corpus-keyed agg to (doc, term) counts, a
-      // window sum for the doc totals (same partitioning — no extra
-      // exchange), one agg back to doc grain. All corpus-linear.
+      // engine drift. Plan (r19): one corpus-keyed agg to (doc, term)
+      // counts, then ONE agg to doc grain that folds the per-term
+      // contributions from the collected count list — the window-sum +
+      // regroup this replaces paid an extra corpus-sized sort for the same
+      // integer sum (each term's floor() quantizes before the sum, so the
+      // fold order cannot change the result).
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val counts = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      val wn = Window.partitionBy(col("doc_id"))
       counts
-        .withColumn("n", sum(col("c")).over(wn))
-        .withColumn("term_micro", expr(
-          """cast(floor((cast(c as double) / cast(n as double)) *
-               ln(cast(n as double) / cast(c as double)) * 1000000) as bigint)"""))
         .groupBy(col("doc_id"))
-        .agg(max(col("n")).as("n_tokens"),
+        .agg(sum(col("c")).as("n_tokens"),
           count(lit(1)).as("distinct_tokens"),
-          sum(col("term_micro")).as("entropy_micro_nats"))
+          collect_list(col("c")).as("cs"))
+        .withColumn("entropy_micro_nats", expr(
+          """aggregate(cs, cast(0 as bigint), (acc, c) -> acc +
+               cast(floor((cast(c as double) / cast(n_tokens as double)) *
+                 ln(cast(n_tokens as double) / cast(c as double)) * 1000000) as bigint))"""))
+        .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+          col("entropy_micro_nats"))
         .orderBy(col("doc_id"))
     })
 
@@ -2647,13 +2689,14 @@ object TrainingData {
     val nbits = if (portable) 60 else 64
     val chunkBits = nbits / 4
     val chunkMask = (1 << chunkBits) - 1
+    // majority fold: the native kernel (VecOps.SimhashFold) — bit-identical
+    // to the SQL aggregate it replaced (the kernel's scaladoc carries the
+    // exact SQL; SimhashFoldSpec pins parity incl. the null/empty corners),
+    // at one pass over the word hashes instead of nbits filter() array
+    // materializations per document
     val d2 = materialize(docs(s, dir)
       .withColumn("hs", expr(wordHash))
-      .withColumn("simhash", expr(
-        s"""aggregate(sequence(0, ${nbits - 1}), cast(0 as bigint),
-             (acc, b) -> acc + CASE
-               WHEN size(filter(hs, h -> ((h >> b) & 1) = 1)) * 2 >= size(hs)
-               THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""))
+      .withColumn("simhash", graft.spark.VecOps.simhashFolded(col("hs"), nbits))
       .select(col("doc_id"), col("simhash")),
       if (portable) "simhash_portable" else "simhash")
     val chunks = d2.select(col("doc_id"), col("simhash"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.GraftCatalystBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -147,8 +148,197 @@ object VecOps extends Serializable {
     java.lang.Integer.valueOf(c)
   }
 
+  /** SimHash majority fold — semantically identical to the SQL it replaces
+    * (the d_dedup_simhash hot path):
+    *
+    *   aggregate(sequence(0, nbits-1), cast(0 as bigint),
+    *     (acc, b) -> acc + CASE
+    *       WHEN size(filter(hs, h -> ((h >> b) & 1) = 1)) * 2 >= size(hs)
+    *       THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)
+    *
+    * including the exact corner semantics: a NULL input array folds to 0
+    * (size(NULL) is NULL, the CASE falls to ELSE for every bit); an EMPTY
+    * array sets every bit (0*2 >= 0); a null ELEMENT counts in size(hs)
+    * but never in the filtered count (the filter predicate is NULL for it).
+    * The HOF form allocates one filtered array per BIT (nbits array
+    * materializations per document) and dispatches nbits*|hs| lambdas;
+    * this is one pass over the words with nbits counters.
+    */
+  def simhashFold(hs: ArrayData, nbits: Int): Long = {
+    if (hs == null) return 0L
+    val n = hs.numElements()
+    val counts = new Array[Int](nbits)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val v = hs.getLong(i)
+        var b = 0
+        while (b < nbits) {
+          counts(b) += ((v >>> b) & 1L).toInt
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < nbits) {
+      if (counts(b).toLong * 2 >= n) acc += 1L << b
+      b += 1
+    }
+    acc
+  }
+
+  /** Cosine-argmax centroid assignment — semantically identical to the
+    * crossJoin + window form it replaces (the IVF / SemDeDup / k-means
+    * assignment shape):
+    *
+    *   e.crossJoin(broadcast(cents))
+    *     .withColumn("cdot", longDot(q, cq))
+    *     .withColumn("ccos", cdot.cast(double) / (sqrt(nn) * sqrt(cn)))
+    *     .withColumn("crk", row_number().over(
+    *       Window.partitionBy(vec_id).orderBy(ccos.desc, cid)))
+    *     .filter(crk === 1)
+    *
+    * with nn = selfDot(q), including the ordering corners: a NULL ccos —
+    * a length-mismatched cq, OR a zero-norm side (Spark's non-ANSI Divide
+    * yields NULL on a 0 divisor; NaN is unreachable) — sorts LAST under
+    * desc (NULLS LAST), so a null candidate only wins when every candidate
+    * is null — then the smallest cid wins, exactly like the window's cid
+    * tie-break. -0.0 is unreachable (a long-cast numerator over
+    * non-negative sqrt denominators). One documented divergence: under
+    * ANSI mode the SQL form THROWS on a zero-norm vector (DIVIDE_BY_ZERO)
+    * where the kernel ranks it null-last — unreachable for the gated
+    * corpus (no zero-norm vectors), and strictly more robust. Returns
+    * NULL only for a null or empty codebook array — the shapes where the
+    * crossJoin would have emitted no row for the vector (callers filter
+    * the null out).
+    *
+    * cb is array<struct<cid bigint, cq array<bigint>, cn bigint>>.
+    */
+  def nearestCentroid(q: ArrayData, cb: ArrayData): java.lang.Long = {
+    if (cb == null) return null
+    val k = cb.numElements()
+    if (k == 0) return null
+    val nn: java.lang.Long = if (q == null) null else selfDot(q)
+    val nnSqrt = if (nn == null) 0.0 else math.sqrt(nn.longValue().toDouble)
+    var bestCid = 0L
+    var bestCos = 0.0
+    var bestNull = false
+    var seen = false
+    var i = 0
+    while (i < k) {
+      if (!cb.isNullAt(i)) {
+        val ent = cb.getStruct(i, 3)
+        val cid = ent.getLong(0)
+        val cq = if (ent.isNullAt(1)) null else ent.getArray(1)
+        val cdot: java.lang.Long =
+          if (q == null || cq == null || nn == null) null else dot(q, cq)
+        val denom =
+          if (cdot == null || ent.isNullAt(2)) 0.0
+          else nnSqrt * math.sqrt(ent.getLong(2).toDouble)
+        // denom 0 ⇒ Spark's non-ANSI Divide yields NULL (never NaN)
+        val isNull = cdot == null || ent.isNullAt(2) || denom == 0.0
+        val ccos = if (isNull) 0.0 else cdot.longValue().toDouble / denom
+        // desc NULLS LAST, tie asc cid: non-null beats null; among
+        // non-null, larger ccos wins (NaN largest, Double.compare); among
+        // equal (or both-null), smaller cid wins
+        val wins =
+          if (!seen) true
+          else if (isNull != bestNull) bestNull
+          else if (!isNull) {
+            val c = java.lang.Double.compare(ccos, bestCos)
+            c > 0 || (c == 0 && cid < bestCid)
+          } else cid < bestCid
+        if (wins) { bestCid = cid; bestCos = ccos; bestNull = isNull }
+        seen = true
+      }
+      i += 1
+    }
+    if (!seen) null else java.lang.Long.valueOf(bestCid)
+  }
+
+  /** PQ subspace encoder — semantically identical to the crossJoin +
+    * explode(m) + window form it replaces (the s_embedding_pq /
+    * s_ann_ivfpq encode shape):
+    *
+    *   e.crossJoin(broadcast(cents))
+    *     .withColumn("m", explode(sequence(0, M-1)))
+    *     .withColumn("d2", longL2(slice(q, m*sub+1, sub), slice(cq, m*sub+1, sub)))
+    *     .withColumn("rk", row_number().over(
+    *       Window.partitionBy(vec_id, m).orderBy(d2, cid)))
+    *     .filter(rk === 1)
+    *
+    * per subspace m: argmin d2 with asc NULLS FIRST (a NULL d2 — a slice
+    * running past either array — beats every real distance), ties by
+    * smaller cid. Returns the M winning cids as array<bigint>; NULL only
+    * for a null/empty codebook (the no-rows crossJoin shapes).
+    *
+    * cb is array<struct<cid bigint, cq array<bigint>>>. One documented
+    * divergence (same class as the VecOps overflow note): SQL slice()
+    * SHORTENS a slice that runs past its array, so longL2 over two
+    * equally-shortened slices would compute a real distance where l2Range
+    * returns NULL. That shape needs q and cq to be short by exactly the
+    * same amount — unreachable for the PQ callers, whose vectors are all
+    * the same width (the gates pin the real corpus bit-for-bit).
+    */
+  def pqEncode(q: ArrayData, cb: ArrayData, m: Int, sub: Int): ArrayData = {
+    if (cb == null) return null
+    val k = cb.numElements()
+    if (k == 0) return null
+    val out = new Array[Long](m)
+    var mi = 0
+    while (mi < m) {
+      var bestCid = 0L
+      var bestD2 = 0L
+      var bestNull = false
+      var seen = false
+      var i = 0
+      while (i < k) {
+        if (!cb.isNullAt(i)) {
+          val ent = cb.getStruct(i, 2)
+          val cid = ent.getLong(0)
+          val cq = if (ent.isNullAt(1)) null else ent.getArray(1)
+          val d2: java.lang.Long =
+            if (q == null || cq == null) null
+            else l2Range(q, cq, mi * sub, sub)
+          val isNull = d2 == null
+          val dv = if (isNull) 0L else d2.longValue()
+          // asc NULLS FIRST, tie asc cid: null beats non-null; among
+          // non-null smaller d2 wins; among equal (or both-null) smaller cid
+          val wins =
+            if (!seen) true
+            else if (isNull != bestNull) isNull
+            else if (!isNull) dv < bestD2 || (dv == bestD2 && cid < bestCid)
+            else cid < bestCid
+          if (wins) { bestCid = cid; bestD2 = dv; bestNull = isNull }
+          seen = true
+        }
+        i += 1
+      }
+      if (!seen) return null
+      out(mi) = bestCid
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def minhashSignature(hb: Column): Column =
     GraftCatalystBridge.column(MinhashSig(GraftCatalystBridge.expression(hb)))
+
+  def simhashFolded(hs: Column, nbits: Int): Column =
+    GraftCatalystBridge.column(
+      SimhashFold(GraftCatalystBridge.expression(hs), nbits))
+
+  def nearestCentroidCol(q: Column, cb: Column): Column =
+    GraftCatalystBridge.column(
+      NearestCentroid(GraftCatalystBridge.expression(q),
+        GraftCatalystBridge.expression(cb)))
+
+  def pqEncodeCol(q: Column, cb: Column, m: Int, sub: Int): Column =
+    GraftCatalystBridge.column(
+      PqEncode(GraftCatalystBridge.expression(q),
+        GraftCatalystBridge.expression(cb), m, sub))
 
   def signatureAgreement(a: Column, b: Column): Column =
     GraftCatalystBridge.column(
@@ -297,4 +487,150 @@ case class SigAgree(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SigAgree = copy(left = newLeft, right = newRight)
+}
+
+/** See [[VecOps.simhashFold]]. NOT null-intolerant: a NULL input array
+  * folds to 0L exactly like the SQL aggregate it replaces, so eval/codegen
+  * handle null explicitly instead of via the nullSafe scaffolding.
+  */
+case class SimhashFold(child: Expression, nbits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_simhash_fold"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.checkLongArrays(prettyName, Seq(child.dataType))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VecOps.simhashFold(
+      if (v == null) null else v.asInstanceOf[ArrayData], nbits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("vecOps", VecOps, "graft.spark.VecOps$")
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = false;
+        long ${ev.value} = $mod.simhashFold(${c.isNull} ? null : ${c.value}, $nbits);
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFold =
+    copy(child = newChild)
+}
+
+/** See [[VecOps.nearestCentroid]]. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType match {
+      case ArrayType(LongType, _) => right.dataType match {
+        case ArrayType(StructType(Array(a, b, c)), _) =>
+          a.dataType == LongType &&
+            (b.dataType match { case ArrayType(LongType, _) => true; case _ => false }) &&
+            c.dataType == LongType
+        case _ => false
+      }
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, ARRAY<STRUCT<BIGINT, ARRAY<BIGINT>, BIGINT>>), " +
+        s"got ${Seq(left.dataType, right.dataType).map(_.sql).mkString(", ")}")
+  }
+
+  // the q side may be NULL (the window form still emits a row for it —
+  // every candidate's ccos is null and the smallest cid wins), so only the
+  // codebook side routes through null-intolerant scaffolding
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val cb = right.eval(input)
+    if (cb == null) return null
+    val q = left.eval(input)
+    VecOps.nearestCentroid(
+      if (q == null) null else q.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("vecOps", VecOps, "graft.spark.VecOps$")
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("nc")
+    val code =
+      code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = -1L;
+        if (!${r.isNull}) {
+          java.lang.Long $boxed = $mod.nearestCentroid(
+            ${l.isNull} ? null : ${l.value}, ${r.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCentroid = copy(left = newLeft, right = newRight)
+}
+
+/** See [[VecOps.pqEncode]]. */
+case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType match {
+      case ArrayType(LongType, _) => right.dataType match {
+        case ArrayType(StructType(Array(a, b)), _) =>
+          a.dataType == LongType &&
+            (b.dataType match { case ArrayType(LongType, _) => true; case _ => false })
+        case _ => false
+      }
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, ARRAY<STRUCT<BIGINT, ARRAY<BIGINT>>>), " +
+        s"got ${Seq(left.dataType, right.dataType).map(_.sql).mkString(", ")}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val cb = right.eval(input)
+    if (cb == null) return null
+    val q = left.eval(input)
+    VecOps.pqEncode(
+      if (q == null) null else q.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData], m, sub)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("vecOps", VecOps, "graft.spark.VecOps$")
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val code =
+      code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${r.isNull}) {
+          ${ev.value} = $mod.pqEncode(
+            ${l.isNull} ? null : ${l.value}, ${r.value}, $m, $sub);
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqEncode = copy(left = newLeft, right = newRight)
 }
