@@ -131,7 +131,10 @@ object TrainingData {
     * queries entry always runs sampleMod = 1.
     */
   private[graft] def pcaQuery(s: SparkSession, dir: String, sampleMod: Long = 1L): DataFrame = {
-    val cells = covCells(s, dir, sampleMod)
+    // d²-bounded frame feeding both the diag branch and the cell output —
+    // cached so the corpus aggregate runs once per query, not once per
+    // branch (the s_embedding_power discipline)
+    val cells = covCells(s, dir, sampleMod).cache()
     val diag = cells.filter(col("pos_i") === col("pos_j"))
       .select(col("pos_i").as("dpos"), col("covn").as("varn"))
     cells
@@ -2395,16 +2398,39 @@ object TrainingData {
         .withColumn("h", md5(concat(lit("bf:"), col("g"))))
         .select(explode(expr(posArray)).as("bpos"))
         .distinct()
+      // the filter folds further, from a position TABLE to a position
+      // BITMAP (m/64 = 128 longs in ONE broadcast row — the literal Bloom
+      // filter bit array), so the probe is a pure map: 3 bit tests per
+      // gram, no explode, no per-position join, no per-gram verdict
+      // hash-agg, and no join-back of the verdicts to the pairs.
+      // "All 3 positions set" is identical to the old sum(hit)=3 over the
+      // exploded left join (duplicate positions hit or miss together).
+      val bloomBm = bloom.agg(collect_set(col("bpos")).as("ps"))
+        .select(expr(
+          s"""transform(sequence(0, ${m / 64 - 1}), w ->
+               aggregate(filter(ps, p -> p div 64 = w), cast(0 as bigint),
+                 (a, p) -> a | shiftleft(cast(1 as bigint), cast(p % 64 as int))))""")
+          .as("bm"))
+      def bitTest(j: Int): String =
+        s"""(element_at(bm, cast(p$j div 64 as int) + 1) &
+             shiftleft(cast(1 as bigint), cast(p$j % 64 as int))) != 0"""
+      // the verdict stays once per DISTINCT gram (the corpus's 4-gram
+      // vocabulary — orders smaller than the occurrence stream on
+      // template-heavy corpora; probing per occurrence was tried this
+      // round and measured 3× SLOWER at sf0.1, the md5 count swamping the
+      // shuffle saved), as a pure MAP over the distinct-gram frame. The
+      // positive gram set then semi-joins the pair frame on the gram key.
       val trainG = grams.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id").as("train_id"), col("g")).distinct()
       val gramVerdict = trainG.select(col("g")).distinct()
+        .crossJoin(broadcast(bloomBm))
         .withColumn("h", md5(concat(lit("bf:"), col("g"))))
-        .withColumn("bpos", explode(expr(posArray)))
-        .join(broadcast(bloom.withColumn("hit", lit(1L))), Seq("bpos"), "left")
-        .groupBy(col("g"))
-        .agg((sum(coalesce(col("hit"), lit(0L))) === 3L).as("bloom_pos"))
+        .withColumn("p0", expr(bfPos(0)))
+        .withColumn("p1", expr(bfPos(1)))
+        .withColumn("p2", expr(bfPos(2)))
+        .filter(expr(s"${bitTest(0)} AND ${bitTest(1)} AND ${bitTest(2)}"))
+        .select(col("g"))
       val confirmed = trainG.join(gramVerdict, Seq("g"))
-        .filter(col("bloom_pos"))
         .join(evalG.withColumn("exact", lit(1L)), Seq("g"), "left")
         .groupBy(col("train_id"))
         .agg(count(lit(1)).as("bloom_pos_grams"),
