@@ -131,10 +131,7 @@ object TrainingData {
     * queries entry always runs sampleMod = 1.
     */
   private[graft] def pcaQuery(s: SparkSession, dir: String, sampleMod: Long = 1L): DataFrame = {
-    // d²-bounded frame feeding both the diag branch and the cell output —
-    // cached so the corpus aggregate runs once per query, not once per
-    // branch (the s_embedding_power discipline)
-    val cells = covCells(s, dir, sampleMod).cache()
+    val cells = covCells(s, dir, sampleMod)
     val diag = cells.filter(col("pos_i") === col("pos_j"))
       .select(col("pos_i").as("dpos"), col("covn").as("varn"))
     cells
@@ -260,7 +257,8 @@ object TrainingData {
     * window sort — the assignment stays embarrassingly parallel in the
     * scan. Past the cap the frame cannot land whole on one JVM, so the
     * legacy partitioned-cartesian + window plan runs instead (bounded
-    * memory, same results — NearestCentroidSpec pins the two paths equal).
+    * memory, same results — KernelParitySpec pins the kernel against the
+    * window form; AnnGuardSpec pins the two cosAssign paths equal).
     * Returns e's columns plus `out` = the winning cid.
     */
   private def cosAssign(s: SparkSession, e: DataFrame, cents: DataFrame,
@@ -302,7 +300,7 @@ object TrainingData {
   private val qualityScoreMilli =
     """400L * least(length(text), 500) div 500
        + 300L * size(filter(w, x -> x IN ('the','a'))) div size(w)
-       + 300L * (length(text) - size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))) div length(text)"""
+       + 300L * length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) div length(text)"""
 
   /** Stopword-score columns + predicted language over word array `w` —
     * shared by t_language_id and the composed pipeline's language gate.
@@ -390,8 +388,8 @@ object TrainingData {
          (acc, i) -> acc * 16 + (instr('0123456789abcdef',
            substr(md5(concat('train:', cast(vec_id as string))), i, 1)) - 1))"""
 
-  private def ivfCodebook(s: SparkSession, dir: String): DataFrame = {
-    val n = embs(s, dir).count()
+  private def ivfCodebook(s: SparkSession, dir: String, nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else embs(s, dir).count()
     val sampleCap = 64L * kIvf(n)
     val e = embs(s, dir).withColumn("q", expr(quantized))
       .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
@@ -953,7 +951,7 @@ object TrainingData {
       val e = embs(s, dir).withColumn("q", expr(quantized))
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       val n = embs(s, dir).count() // footer-only on graft scans
-      val cents = ivfCodebook(s, dir)
+      val cents = ivfCodebook(s, dir, n)
       // the lists frame IS the IVF index — materialized (cache locally,
       // checkpointed graft table under graft.pipeline.scratch), since a
       // real deployment builds it once and probes it many times. The
@@ -1051,7 +1049,7 @@ object TrainingData {
         .withColumn("nn", graft.spark.VecOps.longNormSq(col("q")))
       // ---- coarse quantizer: IVF assignment (s_ann_ivf shape) ----
       val nIvfpq = embs(s, dir).count() // footer-only on graft scans
-      val coarse = ivfCodebook(s, dir)
+      val coarse = ivfCodebook(s, dir, nIvfpq)
       // corpus-sized assignment via the native argmax kernel (cosAssign);
       // only the 10 query vectors pay the crossJoin + window for top-nprobe
       val lists = cosAssign(s, e, coarse, kIvf(nIvfpq), "list_id")
@@ -2143,18 +2141,34 @@ object TrainingData {
           coarse.select(col("gid").as("cid"), col("gq").as("cq"), col("gn").as("cn")),
           k1, "gid")
         .select(col("vec_id"), col("q"), col("nn"), col("gid"))
-      // the fine level: keyed on gid, so past the broadcast cap this plans
-      // as a shuffled hash join — the K-row frame is never forced whole
-      // onto one JVM (the two-level split exists exactly for large K).
-      // Each gid's seeds fold into one array row; the native argmin kernel
-      // replaces the join-explode + per-vector window sort.
-      val grpCb = seedGrp.groupBy(col("gid")).agg(
-        collect_list(struct(col("cid"), col("cq"), col("cn"))).as("cb"))
-      val assigned = vg.join(bcastIfK(s, grpCb, kSem(n)), Seq("gid"))
-        .withColumn("cluster_id",
-          graft.spark.VecOps.nearestCentroidCol(col("q"), col("cb")))
-        .filter(col("cluster_id").isNotNull)
-        .select(col("vec_id"), col("q"), col("nn"), col("cluster_id"))
+      // the fine level. Under the broadcast cap each gid's seeds fold into
+      // one array row and the native argmax kernel replaces the
+      // join-explode + per-vector window sort. PAST the cap the grouped
+      // array would make per-ROW memory unbounded under seed-to-group
+      // skew (a hot coarse gid folds its whole seed list into one cell),
+      // so the keyed shuffled-hash join + window plan stays — row-bounded
+      // memory, the K-row frame never lands whole on one JVM (the
+      // two-level split exists exactly for large K); AnnGuardSpec pins
+      // the two paths' results equal under broadcastMaxK=0.
+      val assigned =
+        if (kSem(n) <= semBroadcastMaxK(s)) {
+          val grpCb = seedGrp.groupBy(col("gid")).agg(
+            collect_list(struct(col("cid"), col("cq"), col("cn"))).as("cb"))
+          vg.join(broadcast(grpCb), Seq("gid"))
+            .withColumn("cluster_id",
+              graft.spark.VecOps.nearestCentroidCol(col("q"), col("cb")))
+            .filter(col("cluster_id").isNotNull)
+            .select(col("vec_id"), col("q"), col("nn"), col("cluster_id"))
+        } else {
+          vg.join(seedGrp.hint("shuffle_hash"), Seq("gid"))
+            .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
+            .withColumn("ccos", col("cdot").cast("double") /
+              (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+            .withColumn("crk", row_number().over(
+              Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+            .filter(col("crk") === 1)
+            .select(col("vec_id"), col("q"), col("nn"), col("cid").as("cluster_id"))
+        }
       val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
         col("q").as("qa"), col("nn").as("na"))
       val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
@@ -2717,7 +2731,7 @@ object TrainingData {
     val chunkMask = (1 << chunkBits) - 1
     // majority fold: the native kernel (VecOps.SimhashFold) — bit-identical
     // to the SQL aggregate it replaced (the kernel's scaladoc carries the
-    // exact SQL; SimhashFoldSpec pins parity incl. the null/empty corners),
+    // exact SQL; KernelParitySpec pins parity incl. the null/empty corners),
     // at one pass over the word hashes instead of nbits filter() array
     // materializations per document
     val d2 = materialize(docs(s, dir)
