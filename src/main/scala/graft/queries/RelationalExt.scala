@@ -325,14 +325,20 @@ object RelationalExt {
       // float convergence ambiguity to hash-mismatch on.
       val e = t(s, dir, "events")
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val edges = e
+      // r20 (§2.3 aggregate-before-shuffle): ONE corpus pass — the lag
+      // window's output aggregates to (src incl. NULL, dst) grain, and both
+      // the edge list (src filtered non-null) AND the node domain (distinct
+      // dst — every event row lands in some group, so distinct dst ==
+      // distinct event_type) derive from that graph-sized cached frame; the
+      // second full events scan the node-distinct used to pay is gone.
+      val g0 = e
         .withColumn("src", lag(col("event_type"), 1).over(byUser))
-        .filter(col("src").isNotNull)
         .groupBy(col("src"), col("event_type").as("dst"))
         .agg(count(lit(1)).as("c"))
         .cache()
+      val edges = g0.filter(col("src").isNotNull)
       val outw = edges.groupBy(col("src")).agg(sum(col("c")).as("outw"))
-      val nodes = e.select(col("event_type").as("v")).distinct().cache()
+      val nodes = g0.select(col("dst").as("v")).distinct().cache()
       val nNodes = nodes.count()
       var rank = nodes.withColumn("r", lit(1000000L / nNodes))
       var iter = 0
@@ -365,7 +371,7 @@ object RelationalExt {
         .withColumn("pos", row_number().over(
           Window.orderBy(col("rank_micro").desc, col("event_type"))))
         .orderBy(col("pos"))
-      edges.unpersist(); nodes.unpersist()
+      g0.unpersist(); nodes.unpersist()
       out
     })
 

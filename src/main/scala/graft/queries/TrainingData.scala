@@ -283,34 +283,44 @@ object TrainingData {
         .select(e.columns.map(col) :+ col("cid").as(out): _*)
     }
 
-  /** Consecutive 4-word shingles of the word-array column `w` — ONE
-    * definition shared by every containment/decontamination pass and the
-    * composed pipeline, so their "same grams" contracts hold by
-    * construction.
-    */
-  private val fourGramsExpr =
-    """CASE WHEN size(w) >= 4
-         THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
-         ELSE array() END"""
+  // Consecutive 4-word shingles: every containment/decontamination pass and
+  // the composed pipeline share ONE construction — the TextOps.FourGramMd5 /
+  // FourGrams kernels (r20), whose scaladocs quote the HOF expression they
+  // replace and whose parity KernelParitySpec pins — so the "same grams"
+  // contracts hold by construction.
 
-  /** Integer milli-point quality score over `text` + word array `w` —
-    * shared by t_quality_yield and the composed pipeline (the pipeline's
-    * quality gate IS the yield curve's score by construction).
+  /** Integer milli-point quality score over `text` — shared by
+    * t_quality_yield and the composed pipeline (the pipeline's quality gate
+    * IS the yield curve's score by construction). r20: the word/stop/punct
+    * counts come from the one-pass QualityStats kernel (column `qs` must be
+    * in scope); identical integers to the expression form it replaces —
+    *
+    *   400L * least(length(text), 500) div 500
+    *   + 300L * size(filter(w, x -> x IN ('the','a'))) div size(w)
+    *   + 300L * length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) div length(text)
+    *
+    * with size(w) = qs.n_words, the filter size = qs.stop_hits, and the
+    * replaced-string length = length(text) - qs.punct (KernelParitySpec
+    * pins the whole score against the expression form).
     */
   private val qualityScoreMilli =
     """400L * least(length(text), 500) div 500
-       + 300L * size(filter(w, x -> x IN ('the','a'))) div size(w)
-       + 300L * length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) div length(text)"""
+       + 300L * qs.stop_hits div qs.n_words
+       + 300L * (length(text) - qs.punct) div length(text)"""
 
   /** Stopword-score columns + predicted language over word array `w` —
     * shared by t_language_id and the composed pipeline's language gate.
+    * r20: the 5 `size(filter(...))` passes fold into the one-pass
+    * LangScores kernel (identical ints; KernelParitySpec pins it).
     */
   private def withLangId(df: DataFrame): DataFrame = df
-    .withColumn("s_en", expr("size(filter(w, x -> x IN ('the','a','fast','slow')))"))
-    .withColumn("s_de", expr("size(filter(w, x -> x IN ('join','hash','merge','batch')))"))
-    .withColumn("s_es", expr("size(filter(w, x -> x IN ('data','table','row','scan')))"))
-    .withColumn("s_fr", expr("size(filter(w, x -> x IN ('filter','order','column','small')))"))
-    .withColumn("s_zh", expr("size(filter(w, x -> x IN ('customer','query','value','part')))"))
+    .withColumn("_ls", graft.spark.TextOps.langScoresCol(col("w")))
+    .withColumn("s_en", col("_ls.s_en"))
+    .withColumn("s_de", col("_ls.s_de"))
+    .withColumn("s_es", col("_ls.s_es"))
+    .withColumn("s_fr", col("_ls.s_fr"))
+    .withColumn("s_zh", col("_ls.s_zh"))
+    .drop("_ls")
     .withColumn("predicted", expr(
       """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
               WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
@@ -725,9 +735,13 @@ object TrainingData {
       // BEFORE the join, and
       // the eval side is tiny — exactly the asymmetric hash join a 100 TB
       // decontam pass runs (eval grams broadcast in practice).
+      // r20: the gram construction + digest is the FourGramMd5 kernel — one
+      // pass per doc emitting unhex(md5(gram)) directly from the word array
+      // (byte-identical digests; no per-gram slice array / joined string /
+      // hex round-trip — KernelParitySpec pins it against the HOF form)
       val d = docs(s, dir).withColumn("w", split(col("text"), " "))
-      val grams = d.withColumn("g", explode(expr(fourGramsExpr)))
-        .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
+      val grams = d.select(col("doc_id"),
+        explode(graft.spark.TextOps.fourGramMd5Col(col("w"))).as("gh"))
       val evalG = grams.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("eval_id"), col("gh")).distinct()
       val trainG = grams.filter(col("doc_id") % 97 =!= 0)
@@ -759,8 +773,8 @@ object TrainingData {
       val injected = base.filter(col("doc_id") % 97 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val d = base.unionByName(injected).withColumn("w", split(col("text"), " "))
-      val grams = d.withColumn("g", explode(expr(fourGramsExpr)))
-        .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
+      val grams = d.select(col("doc_id"),
+        explode(graft.spark.TextOps.fourGramMd5Col(col("w"))).as("gh"))
       val evalGrams = grams.filter(col("doc_id") % 97 === 0)
         .select(col("gh")).distinct().withColumn("hit", lit(1L))
       val trainGrams = grams.filter(col("doc_id") % 97 =!= 0)
@@ -790,8 +804,8 @@ object TrainingData {
       // pairwise terms anywhere; at 100 TB this is the same shuffle
       // footprint as segment dedup.
       val d = docs(s, dir).withColumn("w", split(col("text"), " "))
-      val occ = d.withColumn("g", explode(expr(fourGramsExpr)))
-        .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
+      val occ = d.select(col("doc_id"),
+        explode(graft.spark.TextOps.fourGramMd5Col(col("w"))).as("gh"))
       val dupGrams = occ.select(col("doc_id"), col("gh")).distinct()
         .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
         .filter(col("ndocs") >= 2)
@@ -822,12 +836,12 @@ object TrainingData {
       // segments occurring in >= 2 distinct docs. Per-source report of how
       // much of the corpus is cross-document boilerplate. Scale shape:
       // one hash-agg + one hash-join on a 16-byte binary key, never pairwise.
+      // r20: segment construction + digest fused into the SegmentMd5 kernel
+      // (byte-identical digests, no per-segment slice/join/hex round-trip)
       val segs = docs(s, dir)
         .withColumn("w", split(col("text"), " "))
-        .withColumn("seg", explode(expr(
-          """transform(sequence(0, cast(ceil(size(w)/4.0) as int) - 1),
-               i -> array_join(slice(w, i*4+1, 4), ' '))""")))
-        .select(col("doc_id"), col("source"), unhex(md5(col("seg"))).as("seg_h"))
+        .select(col("doc_id"), col("source"),
+          explode(graft.spark.TextOps.segmentMd5Col(col("w"))).as("seg_h"))
       // two-level aggregate (r19): fold occurrences to (seg_h, source)
       // grain first — the only corpus-sized shuffle — then derive the
       // global ndocs from the per-source distinct-doc counts (a doc has
@@ -1204,15 +1218,15 @@ object TrainingData {
     },
 
     "t_quality_score" -> { (s, dir) =>
+      // r20: n_words/stop_hits/punct come from the one-pass QualityStats
+      // kernel — no word array, no regex pass, no match/replaced string
+      // (KernelParitySpec pins all three against the expression forms)
       docs(s, dir)
         .withColumn("chars", length(col("text")))
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("n_words", size(col("w")))
-        .withColumn("stop_hits", expr("size(filter(w, x -> x IN ('the','a')))"))
-        // count-of-matches for a SINGLE-CHAR class == chars removed: the
-        // length diff avoids materializing a match array per document
-        .withColumn("punct", expr(
-          "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))"))
+        .withColumn("qs", graft.spark.TextOps.qualityStatsCol(col("text")))
+        .withColumn("n_words", col("qs.n_words"))
+        .withColumn("stop_hits", col("qs.stop_hits"))
+        .withColumn("punct", col("qs.punct"))
         .withColumn("mean_wlen",
           (col("chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
         .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
@@ -1419,10 +1433,10 @@ object TrainingData {
       // bucket b" reads straight off cum_docs/cum_tokens. Two
       // hash-aggs + a 10-row window — corpus-size independent output.
       val b = docs(s, dir)
-        .withColumn("w", split(col("text"), " "))
+        .withColumn("qs", graft.spark.TextOps.qualityStatsCol(col("text")))
         .withColumn("score_milli", expr(qualityScoreMilli))
         .withColumn("bucket", expr("score_milli div 100"))
-        .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("tokens", col("qs.n_words").cast("long"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("tokens"))
       val w = Window.orderBy(col("bucket").desc)
@@ -1451,7 +1465,9 @@ object TrainingData {
       // not just pass in isolation.
       val base = withLangId(docs(s, dir).filter(col("doc_id") % 97 =!= 0)
         .withColumn("w", split(col("text"), " "))
-        .withColumn("score_milli", expr(qualityScoreMilli)))
+        .withColumn("qs", graft.spark.TextOps.qualityStatsCol(col("text")))
+        .withColumn("score_milli", expr(qualityScoreMilli))
+        .drop("qs"))
       // keep-first per text-hash as a groupBy(min) — one winner per th and
       // doc_id is unique, so this is row-identical to the min-over-window +
       // self-filter it replaces, minus the window SORT and with map-side
@@ -1466,8 +1482,8 @@ object TrainingData {
       // while caching the full gram stream would cost more than recompute
       // (the same call made for d_decontamination)
       val grams = docs(s, dir).withColumn("w", split(col("text"), " "))
-        .withColumn("g", explode(expr(fourGramsExpr)))
-        .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
+        .select(col("doc_id"),
+          explode(graft.spark.TextOps.fourGramMd5Col(col("w"))).as("gh"))
       val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
       // distinct-reduce the train side BEFORE the join (the
       // d_decontamination shape): repeated grams inside one doc must not
@@ -2398,19 +2414,17 @@ object TrainingData {
       // vocabulary), not once per (doc, gram) pair — the verdicts then join
       // back to the pairs by gram.
       val m = 8192
-      def bfPos(j: Int): String =
-        s"""pmod(aggregate(transform(sequence(1, 10),
-              i -> cast(instr('0123456789abcdef',
-                     substr(h, ${j * 10} + i, 1)) - 1 as bigint)),
-            cast(0 as bigint), (a, x) -> a * 16 + x), $m)"""
-      val posArray = s"array(${bfPos(0)}, ${bfPos(1)}, ${bfPos(2)})"
+      // r20: the gram STRINGS stay the join/distinct keys (their declared
+      // collision semantics are the raw strings'), but the construction is
+      // the FourGrams kernel and the 3 positions come from the BloomPos3
+      // kernel — one digest per distinct gram, no hex string, no 30
+      // substr/instr nibble folds (KernelParitySpec pins both)
       val d = docs(s, dir).withColumn("w", split(col("text"), " "))
-      val grams = d.withColumn("g", explode(expr(fourGramsExpr)))
-        .select(col("doc_id"), col("g"))
+      val grams = d.select(col("doc_id"),
+        explode(graft.spark.TextOps.fourGramsCol(col("w"))).as("g"))
       val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
       val bloom = evalG
-        .withColumn("h", md5(concat(lit("bf:"), col("g"))))
-        .select(explode(expr(posArray)).as("bpos"))
+        .select(explode(graft.spark.TextOps.bloomPos3Col(col("g"), "bf:", m)).as("bpos"))
         .distinct()
       // the filter folds further, from a position TABLE to a position
       // BITMAP (m/64 = 128 longs in ONE broadcast row — the literal Bloom
@@ -2438,10 +2452,10 @@ object TrainingData {
         .select(col("doc_id").as("train_id"), col("g")).distinct()
       val gramVerdict = trainG.select(col("g")).distinct()
         .crossJoin(broadcast(bloomBm))
-        .withColumn("h", md5(concat(lit("bf:"), col("g"))))
-        .withColumn("p0", expr(bfPos(0)))
-        .withColumn("p1", expr(bfPos(1)))
-        .withColumn("p2", expr(bfPos(2)))
+        .withColumn("ps", graft.spark.TextOps.bloomPos3Col(col("g"), "bf:", m))
+        .withColumn("p0", expr("element_at(ps, 1)"))
+        .withColumn("p1", expr("element_at(ps, 2)"))
+        .withColumn("p2", expr("element_at(ps, 3)"))
         .filter(expr(s"${bitTest(0)} AND ${bitTest(1)} AND ${bitTest(2)}"))
         .select(col("g"))
       val confirmed = trainG.join(gramVerdict, Seq("g"))

@@ -187,4 +187,139 @@ class KernelParitySpec extends AnyFunSuite {
       "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))").as("p"))
     assert(sorted(a) == sorted(b))
   }
+
+  // ------------------------------------------------- round-20 text kernels
+
+  /** Word arrays covering the gram/segment corners: short (<4), exactly 4,
+    * longer, empty-string words, null elements, unicode, and an EMPTY array
+    * (unreachable from split() but pinned anyway).
+    */
+  private def wordRows: Seq[(Long, Option[Seq[Option[String]]])] = Seq(
+    (0L, Some(Seq("the", "quick", "brown", "fox", "jumps", "over").map(Option(_)))),
+    (1L, Some(Seq("a", "b", "c", "d").map(Option(_)))),
+    (2L, Some(Seq("too", "short").map(Option(_)))),
+    (3L, Some(Seq("", "", "", "", "").map(Option(_)))),
+    (4L, Some(Seq(Some("x"), None, Some("y"), Some("z"), Some("w")))),
+    (5L, Some(Seq("déjà", "vu", "café", "ok", "☃").map(Option(_)))),
+    (6L, Some(Seq.empty[Option[String]])),
+    (7L, Some(Seq("one", "two", "three", "four", "five", "six", "seven", "eight", "nine").map(Option(_)))),
+    (8L, None))
+
+  private val fourGramsSql =
+    """CASE WHEN size(w) >= 4
+         THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
+         ELSE array() END"""
+
+  test("FourGramMd5 / FourGrams == transform+slice+array_join (+unhex(md5)), corners included") {
+    import spark.implicits._
+    val df = wordRows.toDF("id", "w").filter(col("w").isNotNull)
+    // binary values render as object identity in Row.toString — compare hex
+    val sqlMd5 = df.select(col("id"),
+      explode(expr(fourGramsSql)).as("g"))
+      .select(col("id"), hex(unhex(md5(col("g")))).as("gh"))
+    val kernelMd5 = df.select(col("id"),
+      explode(TextOps.fourGramMd5Col(col("w"))).as("gh0"))
+      .select(col("id"), hex(col("gh0")).as("gh"))
+    assert(sorted(kernelMd5) == sorted(sqlMd5))
+    val sqlStr = df.select(col("id"), explode(expr(fourGramsSql)).as("g"))
+    val kernelStr = df.select(col("id"),
+      explode(TextOps.fourGramsCol(col("w"))).as("g"))
+    assert(sorted(kernelStr) == sorted(sqlStr))
+  }
+
+  test("SegmentMd5 == transform+slice+array_join+unhex(md5), short tail + empty array included") {
+    import spark.implicits._
+    val df = wordRows.toDF("id", "w").filter(col("w").isNotNull)
+    val sqlForm = df.select(col("id"), explode(expr(
+      """transform(sequence(0, cast(ceil(size(w)/4.0) as int) - 1),
+           i -> array_join(slice(w, i*4+1, 4), ' '))""")).as("seg"))
+      .select(col("id"), hex(unhex(md5(col("seg")))).as("seg_h"))
+    val kernelForm = df.select(col("id"),
+      explode(TextOps.segmentMd5Col(col("w"))).as("seg_h0"))
+      .select(col("id"), hex(col("seg_h0")).as("seg_h"))
+    assert(sorted(kernelForm) == sorted(sqlForm))
+  }
+
+  test("BloomPos3 == the hex-nibble-fold positions off md5(prefix||g)") {
+    import spark.implicits._
+    val m = 8192
+    def bfPos(j: Int): String =
+      s"""pmod(aggregate(transform(sequence(1, 10),
+            i -> cast(instr('0123456789abcdef',
+                   substr(h, ${j * 10} + i, 1)) - 1 as bigint)),
+          cast(0 as bigint), (a, x) -> a * 16 + x), $m)"""
+    val df = Seq("the quick brown fox", "", "déjà vu café ☃", "a b c d",
+      "x y z w", "1 2 3 4").toDF("g")
+    val sqlForm = df
+      .withColumn("h", md5(concat(lit("bf:"), col("g"))))
+      .select(col("g"), expr(s"array(${bfPos(0)}, ${bfPos(1)}, ${bfPos(2)})").as("ps"))
+    val kernelForm = df.select(col("g"), TextOps.bloomPos3Col(col("g"), "bf:", m).as("ps"))
+    assert(sorted(kernelForm) == sorted(sqlForm))
+  }
+
+  test("QualityStats == (size(split), stop filter, punct length-diff), corners included") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox", "a", "", "   ", "the the a a the",
+      "déjà vu, café ☃ !", "plain text 123", "a,b!! c?", "trailing space ",
+      " leading", "double  space", "the!a the a!", "áéíóú").toDF("text")
+    val sqlForm = df
+      .withColumn("w", split(col("text"), " "))
+      .select(col("text"),
+        expr("size(w)").as("n_words"),
+        expr("size(filter(w, x -> x IN ('the','a')))").as("stop_hits"),
+        expr("length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))").as("punct"))
+    val kernelForm = df
+      .withColumn("qs", TextOps.qualityStatsCol(col("text")))
+      .select(col("text"), col("qs.n_words").as("n_words"),
+        col("qs.stop_hits").as("stop_hits"), col("qs.punct").as("punct"))
+    assert(kernelForm.schema == sqlForm.schema,
+      s"${kernelForm.schema} != ${sqlForm.schema}")
+    assert(sorted(kernelForm) == sorted(sqlForm))
+  }
+
+  test("LangScores == the five size(filter(...)) passes, null elements included") {
+    import spark.implicits._
+    val rows: Seq[Option[Seq[Option[String]]]] = Seq(
+      Some(Seq("the", "a", "join", "data", "filter", "customer").map(Option(_))),
+      Some(Seq("fast", "slow", "hash", "merge", "batch", "batch").map(Option(_))),
+      Some(Seq("unrelated", "words", "only").map(Option(_))),
+      Some(Seq(Some("the"), None, Some("query"), Some("part"))),
+      Some(Seq.empty[Option[String]]))
+    val df = rows.toDF("w").filter(col("w").isNotNull)
+    val sqlForm = df.select(
+      expr("size(filter(w, x -> x IN ('the','a','fast','slow')))").as("s_en"),
+      expr("size(filter(w, x -> x IN ('join','hash','merge','batch')))").as("s_de"),
+      expr("size(filter(w, x -> x IN ('data','table','row','scan')))").as("s_es"),
+      expr("size(filter(w, x -> x IN ('filter','order','column','small')))").as("s_fr"),
+      expr("size(filter(w, x -> x IN ('customer','query','value','part')))").as("s_zh"))
+    val kernelForm = df.withColumn("ls", TextOps.langScoresCol(col("w")))
+      .select(col("ls.s_en").as("s_en"), col("ls.s_de").as("s_de"),
+        col("ls.s_es").as("s_es"), col("ls.s_fr").as("s_fr"), col("ls.s_zh").as("s_zh"))
+    assert(kernelForm.schema == sqlForm.schema)
+    assert(sorted(kernelForm) == sorted(sqlForm))
+  }
+
+  test("kernel qualityScoreMilli == the expression-form score, bit for bit") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e f g h", "short", "punct!!! heavy??? text...",
+      "the the the a a a", "x" * 600 + " the a end").toDF("text")
+    val legacy = df
+      .withColumn("w", split(col("text"), " "))
+      .select(col("text"), expr(
+        """400L * least(length(text), 500) div 500
+           + 300L * size(filter(w, x -> x IN ('the','a'))) div size(w)
+           + 300L * length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) div length(text)""")
+        .as("score_milli"))
+    val kernel = df
+      .withColumn("qs", TextOps.qualityStatsCol(col("text")))
+      .select(col("text"), expr(
+        """400L * least(length(text), 500) div 500
+           + 300L * qs.stop_hits div qs.n_words
+           + 300L * (length(text) - qs.punct) div length(text)""").as("score_milli"))
+    assert(kernel.schema == legacy.schema)
+    assert(sorted(kernel) == sorted(legacy))
+  }
 }
