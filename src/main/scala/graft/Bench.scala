@@ -689,6 +689,14 @@ object Bench {
       System.nanoTime() + auditWallSec * 1000000000L,
       capOf = _ => baseCapSec)
     val baseSec = section(base)
+    // per-query graft mins (2dp) ride the FINAL line so the driver's
+    // round-over-round per-query comparison can parse them — the r18 AND
+    // r19 PERF artifacts had per_query empty for lack of exactly this map
+    // (r19 verdict #3). 2dp plus the slimmed stream block below keep the
+    // final line ~1.7 KB, inside the ~2000-char stdout tail the driver
+    // captures (the r7 lesson).
+    val baseQueriesCompact: String =
+      base.map(r => "\"" + r.name + "\":" + f"${r.bg}%.2f").mkString("{", ",", "}")
     emitDetail("detail_base", s""""runs":$runs,${baseSec.detail}""")
     def compactBase =
       f""""value":${baseSec.gTotal}%.3f,"parquet_total":${baseSec.pTotal}%.3f,"ratio":${baseSec.ratio}%.3f"""
@@ -811,6 +819,13 @@ object Bench {
         val stream = try BenchMaintenance.streamCatchup(spark, amp)
           catch { case e: Throwable =>
             System.err.println(s"[bench] stream catchup failed: ${e.getMessage}"); "" }
+        // the FULL stream JSON ships on its own line; the final line only
+        // carries a slim extract (sec / files_per_sec / fps_ratio) to make
+        // room for the per-query map without risking the tail capture
+        if (stream.nonEmpty) {
+          println(s"""{"metric":"stream","sf":"$sfDir","stream":$stream}""")
+          System.out.flush()
+        }
         // one-off at-scale CDC measurement (x_merge_upsert / x_cdc_apply at
         // >=5M rows, 64 files — the size where selective rewrite can beat a
         // whole-table pass). Own stdout line + detail entry, NOT the fixed-
@@ -828,8 +843,16 @@ object Bench {
           else System.err.println(
             f"[bench] at-scale CDC section skipped (elapsed $elapsedSec%.0fs)")
         }
+        val streamSlim =
+          if (stream.isEmpty) ""
+          else {
+            def sx(key: String): String =
+              ("\"" + key + "\":(-?[0-9.]+)").r.findFirstMatchIn(stream)
+                .map(_.group(1)).getOrElse("-1")
+            s""","stream":{"sec":${sx("sec")},"files_per_sec":${sx("files_per_sec")},"fps_ratio":${sx("fps_ratio")}}"""
+          }
         f""","scaled":{"factor":$scaleFactor,"runs":$scaledRuns,"nq":${scaled.size},"nskip":${m.skipped.size},"value":${scaledSec.gTotal}%.3f,"parquet_total":${scaledSec.pTotal}%.3f,"ratio":${scaledSec.ratio}%.3f}""" +
-          (if (stream.nonEmpty) s""","stream":$stream""" else "")
+          streamSlim
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaled section failed: ${e.getMessage}")
         ""
@@ -887,7 +910,7 @@ object Bench {
     println(s"""{"metric":"note","sf":"$sfDir","note":"r15#5 base-drift: DV-probe A/B at sf0.1 showed <0.1s delta in both directions (noise-level, parquet swung equally); drift attributed to staging/measurement variance, warm ratios 1.0-1.15x"}""")
     val stagingFp = try Tables.stagingFingerprint(sfDir)
       catch { case _: Throwable => "unknown" }
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase$scaledCompact,"protocol":"r19-coveragefirst-minof$runs","staging":"$stagingFp","nflags":${flags.size}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,$compactBase,"queries":$baseQueriesCompact$scaledCompact,"protocol":"r20-perquery-minof$runs","staging":"$stagingFp","nflags":${flags.size}}""")
     System.out.flush()
     Thread.sleep(500)
     spark.stop()
