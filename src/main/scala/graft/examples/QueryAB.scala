@@ -18,6 +18,12 @@ object QueryAB {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 5
     val factor = if (args.length > 3) args(3).toInt else 1
+    // optional session confs ("k=v;k2=v2") — the A/B lever for conf-gated
+    // query variants (e.g. graft.pipeline.keepFirstWindow)
+    val confs: Seq[(String, String)] =
+      if (args.length > 4) args(4).split(";").toSeq.flatMap { kv =>
+        kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+      } else Seq.empty
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,6 +32,7 @@ object QueryAB {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val dir = if (factor > 1) graft.Bench.stageAmplified(spark, sfDir, factor) else sfDir
     graft.Tables.all.foreach(t => graft.Tables.load(spark, dir, t))
 

@@ -1468,13 +1468,19 @@ object TrainingData {
         .withColumn("qs", graft.spark.TextOps.qualityStatsCol(col("text")))
         .withColumn("score_milli", expr(qualityScoreMilli))
         .drop("qs"))
-      // keep-first per text-hash as a groupBy(min) — one winner per th and
-      // doc_id is unique, so this is row-identical to the min-over-window +
-      // self-filter it replaces, minus the window SORT and with map-side
-      // partial aggregation before the exchange
+      // keep-first per text-hash as min-over-window + self-filter
+      // (row-identical to groupBy(th).agg(min(doc_id)) — one winner per th,
+      // doc_id unique). r20 adjudication of the r19 verdict's "one rewrite
+      // that read worse": interleaved min-of-5 at x10 measured the WINDOW
+      // form 15% faster on BOTH engines (graft 1.53s vs 1.80s, parquet
+      // 1.49 vs 1.84) and a tie at 1x — on a ~unique 16-byte key the
+      // groupBy's map-side partial aggregate is a hash map that never
+      // combines, pure overhead, while the window pays only the
+      // post-shuffle sort. tools/adjudication_r20.md has the runs.
       val keep1 = base
         .select(col("doc_id"), unhex(md5(col("text"))).as("th"))
-        .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+        .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("th"))))
+        .filter(col("doc_id") === col("mn"))
         .select(col("doc_id"), lit(1L).as("is1"))
       // grams feeds two branches UNMATERIALIZED on purpose: the doc_id
       // filters push below the explode, so the eval branch shingles ~1/97
