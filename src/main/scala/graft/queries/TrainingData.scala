@@ -314,7 +314,7 @@ object TrainingData {
     * LangScores kernel (identical ints; KernelParitySpec pins it).
     */
   private def withLangId(df: DataFrame): DataFrame = df
-    .withColumn("_ls", graft.spark.TextOps.langScoresCol(col("w")))
+    .withColumn("_ls", graft.spark.TextOps.langScoresTextCol(col("text")))
     .withColumn("s_en", col("_ls.s_en"))
     .withColumn("s_de", col("_ls.s_de"))
     .withColumn("s_es", col("_ls.s_es"))
@@ -521,10 +521,9 @@ object TrainingData {
     * i -> strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1),
     * (acc, d) -> acc * 16 + d). md5 is hoisted so it runs once per element.
     */
-  private def portableHashArr(arrCol: String): String =
-    s"""transform(transform($arrCol, s0 -> substr(md5(s0), 1, 15)),
-        h -> aggregate(sequence(1, 15), cast(0 as bigint),
-          (acc, i) -> acc * 16 + (instr('0123456789abcdef', substr(h, i, 1)) - 1)))"""
+  // The portable md5-15-nibble element hash the minhash/simhash families
+  // use lives fused inside TextOps.minhashSigText / simhashText (r20);
+  // their scaladocs quote the exact HOF chain and KernelParitySpec pins it.
 
   /** Materialization point for an intermediate frame reused by several
     * downstream branches. Default is `Dataset.cache` (MEMORY_AND_DISK) —
@@ -644,21 +643,14 @@ object TrainingData {
       // ever re-hashed. Same banded-LSH machinery as d_dedup_minhash_lsh
       // (md5-fold portable hash, 64 minhashes, 8 bands), oracle-checked
       // against the identical computation in DuckDB.
-      val baseHash = portableHashArr("shingles")
       val bandHash =
         "md5(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string))))"
+      // fused signature kernel (TextOps.MinhashSigText, r20) — see
+      // minhashLsh; bit-identical to the split/shingle/hash/fold SQL chain
       val d = materialize(docs(s, dir)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("shingles", expr(
-          """CASE WHEN size(w) >= 3
-             THEN transform(sequence(0, size(w)-3),
-                  i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
-             ELSE array(text) END"""))
-        .withColumn("hb", expr(baseHash))
-        // native signature kernel — bit-identical to the SQL fold (see
-        // VecOps.minhashSig scaladoc + MinhashKernelSpec parity pin)
-        .withColumn("sig", graft.spark.VecOps.minhashSignature(col("hb")))
-        .select(col("doc_id"), col("sig")), "minhash_sigs_incr")
+        .select(col("doc_id"),
+          graft.spark.TextOps.minhashSigTextCol(col("text"), portable = true).as("sig")),
+        "minhash_sigs_incr")
       val bands = d.select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, 7), b -> named_struct(
@@ -735,13 +727,13 @@ object TrainingData {
       // BEFORE the join, and
       // the eval side is tiny — exactly the asymmetric hash join a 100 TB
       // decontam pass runs (eval grams broadcast in practice).
-      // r20: the gram construction + digest is the FourGramMd5 kernel — one
-      // pass per doc emitting unhex(md5(gram)) directly from the word array
-      // (byte-identical digests; no per-gram slice array / joined string /
-      // hex round-trip — KernelParitySpec pins it against the HOF form)
-      val d = docs(s, dir).withColumn("w", split(col("text"), " "))
-      val grams = d.select(col("doc_id"),
-        explode(graft.spark.TextOps.fourGramMd5Col(col("w"))).as("gh"))
+      // r20: gram construction + digest fused into the FourGramMd5Text
+      // kernel — one pass per doc emitting unhex(md5(gram)) straight off
+      // the text's byte spans (a 4-gram joined by ' ' IS the original byte
+      // span between its tokens), no word array, no per-gram slice/joined
+      // string/hex round-trip — KernelParitySpec pins it vs the HOF form
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(graft.spark.TextOps.fourGramMd5TextCol(col("text"))).as("gh"))
       val evalG = grams.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("eval_id"), col("gh")).distinct()
       val trainG = grams.filter(col("doc_id") % 97 =!= 0)
@@ -772,9 +764,9 @@ object TrainingData {
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val injected = base.filter(col("doc_id") % 97 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-      val d = base.unionByName(injected).withColumn("w", split(col("text"), " "))
+      val d = base.unionByName(injected)
       val grams = d.select(col("doc_id"),
-        explode(graft.spark.TextOps.fourGramMd5Col(col("w"))).as("gh"))
+        explode(graft.spark.TextOps.fourGramMd5TextCol(col("text"))).as("gh"))
       val evalGrams = grams.filter(col("doc_id") % 97 === 0)
         .select(col("gh")).distinct().withColumn("hit", lit(1L))
       val trainGrams = grams.filter(col("doc_id") % 97 =!= 0)
@@ -803,9 +795,8 @@ object TrainingData {
       // (one shuffle), and the flag joins back on the same key — no
       // pairwise terms anywhere; at 100 TB this is the same shuffle
       // footprint as segment dedup.
-      val d = docs(s, dir).withColumn("w", split(col("text"), " "))
-      val occ = d.select(col("doc_id"),
-        explode(graft.spark.TextOps.fourGramMd5Col(col("w"))).as("gh"))
+      val occ = docs(s, dir).select(col("doc_id"),
+        explode(graft.spark.TextOps.fourGramMd5TextCol(col("text"))).as("gh"))
       val dupGrams = occ.select(col("doc_id"), col("gh")).distinct()
         .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
         .filter(col("ndocs") >= 2)
@@ -836,12 +827,12 @@ object TrainingData {
       // segments occurring in >= 2 distinct docs. Per-source report of how
       // much of the corpus is cross-document boilerplate. Scale shape:
       // one hash-agg + one hash-join on a 16-byte binary key, never pairwise.
-      // r20: segment construction + digest fused into the SegmentMd5 kernel
-      // (byte-identical digests, no per-segment slice/join/hex round-trip)
+      // r20: segment construction + digest fused into the SegmentMd5Text
+      // kernel (byte-identical digests straight off the text's byte spans;
+      // no word array, per-segment slice/join, or hex round-trip)
       val segs = docs(s, dir)
-        .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"), col("source"),
-          explode(graft.spark.TextOps.segmentMd5Col(col("w"))).as("seg_h"))
+          explode(graft.spark.TextOps.segmentMd5TextCol(col("text"))).as("seg_h"))
       // two-level aggregate (r19): fold occurrences to (seg_h, source)
       // grain first — the only corpus-sized shuffle — then derive the
       // global ndocs from the per-source distinct-doc counts (a doc has
@@ -1210,7 +1201,7 @@ object TrainingData {
     // ---------------- text analysis ----------------
 
     "t_language_id" -> { (s, dir) =>
-      withLangId(docs(s, dir).withColumn("w", split(col("text"), " ")))
+      withLangId(docs(s, dir))
         .withColumn("agrees", (col("predicted") === col("lang")).cast("int"))
         .select(col("doc_id"), col("lang"), col("s_en"), col("s_de"), col("s_es"),
           col("s_fr"), col("s_zh"), col("predicted"), col("agrees"))
@@ -1463,11 +1454,13 @@ object TrainingData {
       // hash join. Every stage is integer/string-exact, so the whole
       // funnel is hash-checked against DuckDB — proving the ops COMPOSE,
       // not just pass in isolation.
+      // r20: no word array anywhere in the funnel — the quality and token
+      // counts come from the one-pass QualityStats kernel (qs.n_words ==
+      // size(split(text, ' ')) by construction), the language gate from
+      // the one-pass LangScoresText kernel, the grams from FourGramMd5Text
       val base = withLangId(docs(s, dir).filter(col("doc_id") % 97 =!= 0)
-        .withColumn("w", split(col("text"), " "))
         .withColumn("qs", graft.spark.TextOps.qualityStatsCol(col("text")))
-        .withColumn("score_milli", expr(qualityScoreMilli))
-        .drop("qs"))
+        .withColumn("score_milli", expr(qualityScoreMilli)))
       // keep-first per text-hash as min-over-window + self-filter
       // (row-identical to groupBy(th).agg(min(doc_id)) — one winner per th,
       // doc_id unique). r20 adjudication of the r19 verdict's "one rewrite
@@ -1487,9 +1480,8 @@ object TrainingData {
       // of the corpus and the train branch the rest — near one total pass,
       // while caching the full gram stream would cost more than recompute
       // (the same call made for d_decontamination)
-      val grams = docs(s, dir).withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"),
-          explode(graft.spark.TextOps.fourGramMd5Col(col("w"))).as("gh"))
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(graft.spark.TextOps.fourGramMd5TextCol(col("text"))).as("gh"))
       val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
       // distinct-reduce the train side BEFORE the join (the
       // d_decontamination shape): repeated grams inside one doc must not
@@ -1509,7 +1501,7 @@ object TrainingData {
           sum(col("q2").cast("long")).as("n_quality"),
           sum(col("q3").cast("long")).as("n_lang"),
           sum(col("q4").cast("long")).as("n_kept"),
-          sum(when(col("q4"), size(col("w")).cast("long")).otherwise(0L)).as("tokens_kept"))
+          sum(when(col("q4"), col("qs.n_words").cast("long")).otherwise(0L)).as("tokens_kept"))
         .orderBy(col("source"))
     },
 
@@ -2425,9 +2417,8 @@ object TrainingData {
       // the FourGrams kernel and the 3 positions come from the BloomPos3
       // kernel — one digest per distinct gram, no hex string, no 30
       // substr/instr nibble folds (KernelParitySpec pins both)
-      val d = docs(s, dir).withColumn("w", split(col("text"), " "))
-      val grams = d.select(col("doc_id"),
-        explode(graft.spark.TextOps.fourGramsCol(col("w"))).as("g"))
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(graft.spark.TextOps.fourGramsTextCol(col("text"))).as("g"))
       val evalG = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
       val bloom = evalG
         .select(explode(graft.spark.TextOps.bloomPos3Col(col("g"), "bf:", m)).as("bpos"))
@@ -2683,9 +2674,6 @@ object TrainingData {
     * what Bench times). Both share the identical plan shape.
     */
   def minhashLsh(s: SparkSession, dir: String, portable: Boolean): DataFrame = {
-    val baseHash =
-      if (portable) portableHashArr("shingles")
-      else "transform(shingles, sh -> pmod(xxhash64(sh), 1000000007))"
     val bandHash =
       if (portable) "md5(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string))))"
       else "cast(xxhash64(concat_ws(',', transform(slice(sig, b*8+1, 8), x -> cast(x as string)))) as string)"
@@ -2693,21 +2681,15 @@ object TrainingData {
     // frame is (id, 64 longs) — a fraction of the raw text. Default is
     // cache (spills at MEMORY_AND_DISK); graft.pipeline.materialize=table
     // checkpoints it to a graft scratch table instead — the 100 TB shape.
-    // signature fold: the native 64-lane kernel (VecOps.MinhashSig) —
-    // bit-identical to the SQL aggregate/zip_with form it replaced (the
-    // expression's scaladoc carries the exact SQL; MinhashKernelSpec pins
-    // parity), at one tight loop per shingle instead of 128 lambda
-    // dispatches + two intermediate arrays
+    // signature: the whole split -> 3-gram shingles -> per-shingle hash ->
+    // 64-lane min fold chain fused into ONE kernel (TextOps.MinhashSigText,
+    // r20) — its scaladoc quotes the exact SQL chain it replaces and
+    // KernelParitySpec pins bit parity for BOTH hash variants; no word,
+    // shingle, or hash array is ever materialized (each 3-gram is a byte
+    // span of the text)
     val d = materialize(docs(s, dir)
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(w) >= 3
-           THEN transform(sequence(0, size(w)-3),
-                i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
-           ELSE array(text) END"""))
-      .withColumn("hb", expr(baseHash))
-      .withColumn("sig", graft.spark.VecOps.minhashSignature(col("hb")))
-      .select(col("doc_id"), col("sig")),
+      .select(col("doc_id"),
+        graft.spark.TextOps.minhashSigTextCol(col("text"), portable).as("sig")),
       if (portable) "minhash_sigs_portable" else "minhash_sigs")
     // the band join carries only (band, bh, doc_id); the 64-long signatures
     // are re-joined AFTER the candidate pairs are deduped, so the widest
@@ -2743,21 +2725,16 @@ object TrainingData {
     * threshold 6 in both.
     */
   def simhashDedup(s: SparkSession, dir: String, portable: Boolean): DataFrame = {
-    val wordHash =
-      if (portable) portableHashArr("split(text, ' ')")
-      else "transform(split(text, ' '), w -> xxhash64(w))"
     val nbits = if (portable) 60 else 64
     val chunkBits = nbits / 4
     val chunkMask = (1 << chunkBits) - 1
-    // majority fold: the native kernel (VecOps.SimhashFold) — bit-identical
-    // to the SQL aggregate it replaced (the kernel's scaladoc carries the
-    // exact SQL; KernelParitySpec pins parity incl. the null/empty corners),
-    // at one pass over the word hashes instead of nbits filter() array
-    // materializations per document
+    // simhash: the whole split -> per-word hash -> majority fold chain
+    // fused into ONE kernel (TextOps.SimhashText, r20) — its scaladoc
+    // quotes the exact SQL chain and KernelParitySpec pins bit parity for
+    // both hash variants; no word or hash array is materialized
     val d2 = materialize(docs(s, dir)
-      .withColumn("hs", expr(wordHash))
-      .withColumn("simhash", graft.spark.VecOps.simhashFolded(col("hs"), nbits))
-      .select(col("doc_id"), col("simhash")),
+      .select(col("doc_id"),
+        graft.spark.TextOps.simhashTextCol(col("text"), portable).as("simhash")),
       if (portable) "simhash_portable" else "simhash")
     val chunks = d2.select(col("doc_id"), col("simhash"),
       explode(expr(s"transform(sequence(0, 3), c -> named_struct('c', c, 'ck', (simhash >> (c*$chunkBits)) & $chunkMask))")).as("cc"))

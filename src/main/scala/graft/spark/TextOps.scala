@@ -31,129 +31,6 @@ object TextOps extends Serializable {
 
   private val SPACE: Byte = ' '.toByte
 
-  /** Binary md5 digests of the consecutive 4-word shingles of `w` —
-    * semantically identical to
-    *
-    *   CASE WHEN size(w) >= 4
-    *     THEN transform(sequence(0, size(w)-4),
-    *            i -> unhex(md5(array_join(slice(w, i+1, 4), ' '))))
-    *     ELSE array() END
-    *
-    * including array_join's null-element contract (null elements are
-    * skipped, no separator emitted for them). Word bytes are fetched once
-    * per word (not once per gram) and each digest is computed straight off
-    * the UTF8 bytes — no slice array, no joined string, no hex round-trip.
-    */
-  def fourGramMd5(w: ArrayData): ArrayData = {
-    val n = w.numElements()
-    if (n < 4) return new GenericArrayData(Array.empty[Any])
-    val md = md5Local.get()
-    val words = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) {
-      words(i) = if (w.isNullAt(i)) null else w.getUTF8String(i).getBytes
-      i += 1
-    }
-    val out = new Array[Any](n - 3)
-    i = 0
-    while (i <= n - 4) {
-      md.reset()
-      var first = true
-      var j = i
-      while (j < i + 4) {
-        val b = words(j)
-        if (b != null) {
-          if (!first) md.update(SPACE)
-          md.update(b)
-          first = false
-        }
-        j += 1
-      }
-      out(i) = md.digest()
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-
-  /** The consecutive 4-word shingles of `w` as strings — semantically
-    * identical to
-    *
-    *   CASE WHEN size(w) >= 4
-    *     THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
-    *     ELSE array() END
-    *
-    * (d_decontam_bloom keeps the raw gram string as its join key — its
-    * declared distinct-counts are over the STRINGS, so only the
-    * construction is kernelized, not the key).
-    */
-  def fourGrams(w: ArrayData): ArrayData = {
-    val n = w.numElements()
-    if (n < 4) return new GenericArrayData(Array.empty[Any])
-    val sep = UTF8String.fromString(" ")
-    val words = new Array[UTF8String](n)
-    var i = 0
-    while (i < n) {
-      words(i) = if (w.isNullAt(i)) null else w.getUTF8String(i)
-      i += 1
-    }
-    val out = new Array[Any](n - 3)
-    i = 0
-    while (i <= n - 4) {
-      // concatWs skips null inputs — array_join's exact null contract
-      out(i) = UTF8String.concatWs(sep, words(i), words(i + 1), words(i + 2), words(i + 3))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-
-  /** Binary md5 digests of the consecutive non-overlapping 4-word segments
-    * of `w` (last segment may be shorter) — semantically identical to
-    *
-    *   transform(sequence(0, cast(ceil(size(w)/4.0) as int) - 1),
-    *     i -> unhex(md5(array_join(slice(w, i*4+1, 4), ' '))))
-    *
-    * including the size-0 corner: ceil(0/4.0)-1 = -1 makes sequence(0,-1)
-    * step backwards, yielding TWO empty-slice digests (md5 of "") — an
-    * unreachable shape for split()'s >= 1 element output, replicated
-    * anyway so the kernel is a drop-in for the expression.
-    */
-  def segmentMd5(w: ArrayData): ArrayData = {
-    val n = w.numElements()
-    val md = md5Local.get()
-    if (n == 0) {
-      md.reset(); val d0 = md.digest()
-      md.reset(); val d1 = md.digest()
-      return new GenericArrayData(Array[Any](d0, d1))
-    }
-    val words = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) {
-      words(i) = if (w.isNullAt(i)) null else w.getUTF8String(i).getBytes
-      i += 1
-    }
-    val nseg = (n + 3) / 4
-    val out = new Array[Any](nseg)
-    var k = 0
-    while (k < nseg) {
-      md.reset()
-      var first = true
-      var j = k * 4
-      val end = math.min(j + 4, n)
-      while (j < end) {
-        val b = words(j)
-        if (b != null) {
-          if (!first) md.update(SPACE)
-          md.update(b)
-          first = false
-        }
-        j += 1
-      }
-      out(k) = md.digest()
-      k += 1
-    }
-    new GenericArrayData(out)
-  }
-
   /** The k=3 Bloom positions of gram `g` under prefix `prefix` and modulus
     * `m` — semantically identical to (with h = md5(concat(prefix, g))):
     *
@@ -188,6 +65,229 @@ object TextOps extends Serializable {
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Token spans of `text` under split(text, ' ') semantics: token j is
+    * the byte range [starts(j), ends(j)) — every single space is a
+    * separator, empty tokens (consecutive/leading/trailing spaces) are
+    * kept, and n tokens = n spaces + 1. Because the separator is the
+    * single byte 0x20 (never part of a multi-byte UTF8 sequence), any run
+    * of k consecutive tokens joined by ' ' equals the ORIGINAL byte span
+    * [starts(j), ends(j+k-1)) verbatim — the identity every span-fused
+    * kernel below rests on.
+    */
+  private def tokenize(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == SPACE) spaces += 1; i += 1 }
+    val starts = new Array[Int](spaces + 1)
+    val ends = new Array[Int](spaces + 1)
+    var tok = 0
+    starts(0) = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == SPACE) { ends(tok) = i; tok += 1; starts(tok) = i + 1 }
+      i += 1
+    }
+    ends(tok) = n
+    (starts, ends)
+  }
+
+  /** Binary md5 digests of the consecutive 4-word shingles of
+    * split(text, ' ') — semantically identical to fourGramMd5 over the
+    * split word array (whose scaladoc quotes the SQL form), with the word
+    * array never materialized: each gram digest runs over the original
+    * byte span of its 4 tokens (see tokenize's span identity; split
+    * output has no null elements, so array_join's null-skip is
+    * unreachable).
+    */
+  def fourGramMd5Text(t: UTF8String): ArrayData = {
+    val bytes = t.getBytes
+    val (starts, ends) = tokenize(bytes)
+    val nTok = starts.length
+    if (nTok < 4) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val out = new Array[Any](nTok - 3)
+    var i = 0
+    while (i <= nTok - 4) {
+      md.reset()
+      md.update(bytes, starts(i), ends(i + 3) - starts(i))
+      out(i) = md.digest()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The consecutive 4-word shingles of split(text, ' ') as strings —
+    * fourGrams over the split array, word array never materialized (each
+    * gram IS the byte span of its 4 tokens).
+    */
+  def fourGramsText(t: UTF8String): ArrayData = {
+    val bytes = t.getBytes
+    val (starts, ends) = tokenize(bytes)
+    val nTok = starts.length
+    if (nTok < 4) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - 3)
+    var i = 0
+    while (i <= nTok - 4) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), ends(i + 3) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Binary md5 digests of the consecutive non-overlapping 4-word segments
+    * of split(text, ' ') — segmentMd5 over the split array, word array
+    * never materialized. split yields >= 1 token, so the size-0 sequence
+    * corner is unreachable here.
+    */
+  def segmentMd5Text(t: UTF8String): ArrayData = {
+    val bytes = t.getBytes
+    val (starts, ends) = tokenize(bytes)
+    val nTok = starts.length
+    val md = md5Local.get()
+    val nseg = (nTok + 3) / 4
+    val out = new Array[Any](nseg)
+    var k = 0
+    while (k < nseg) {
+      val a = k * 4
+      val b = math.min(a + 3, nTok - 1)
+      md.reset()
+      md.update(bytes, starts(a), ends(b) - starts(a))
+      out(k) = md.digest()
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** langScores over split(text, ' ') with the word array never
+    * materialized — one tokenize pass, one hash probe per token.
+    */
+  def langScoresText(t: UTF8String): InternalRow = {
+    val bytes = t.getBytes
+    val (starts, ends) = tokenize(bytes)
+    val counts = new Array[Int](5)
+    var j = 0
+    while (j < starts.length) {
+      val idx = langLookup.get(
+        UTF8String.fromBytes(bytes, starts(j), ends(j) - starts(j)))
+      if (idx != null) counts(idx.intValue()) += 1
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](counts(0), counts(1), counts(2), counts(3), counts(4)))
+  }
+
+  private val MINHASH_P = 1000000007L
+
+  /** The first-15-nibble fold of the md5 digest over bytes[off, off+len) —
+    * the portable 60-bit hash `aggregate(sequence(1,15), 0L, (acc,i) ->
+    * acc*16 + (instr('0123456789abcdef', substr(md5(s),i,1)) - 1))`, i.e.
+    * digest nibbles 0..14 big-endian.
+    */
+  private def md5Fold15(md: java.security.MessageDigest,
+      bytes: Array[Byte], off: Int, len: Int): Long = {
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var v = 0L
+    var t = 0
+    while (t < 15) {
+      val b = d(t >> 1)
+      val nib = if ((t & 1) == 0) (b >> 4) & 0xF else b & 0xF
+      v = v * 16 + nib
+      t += 1
+    }
+    v
+  }
+
+  private def xxh64(bytes: Array[Byte], off: Int, len: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, len, 42L)
+
+  /** The 64-lane MinHash signature of `text`, whole chain fused —
+    * semantically identical to (the d_dedup_minhash_lsh construction):
+    *
+    *   w        = split(text, ' ')
+    *   shingles = CASE WHEN size(w) >= 3
+    *                THEN transform(sequence(0, size(w)-3),
+    *                       i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))
+    *                ELSE array(text) END
+    *   hb       = portable: transform(shingles, s -> md5-15-nibble fold)
+    *              fast:     transform(shingles, s -> pmod(xxhash64(s), P))
+    *   sig      = VecOps.minhashSig(hb)     (64 lanes, min over shingles)
+    *
+    * with no word/shingle/hash array ever materialized: each 3-gram IS the
+    * byte span of its tokens (tokenize's identity), the hash runs over
+    * that span, and the 64 lanes fold in place. Lane arithmetic matches
+    * VecOps.minhashSig exactly (all values in [0, 2^37), `%` == pmod).
+    */
+  def minhashSigText(t: UTF8String, portable: Boolean): ArrayData = {
+    val bytes = t.getBytes
+    val (starts, ends) = tokenize(bytes)
+    val nTok = starts.length
+    val md = if (portable) md5Local.get() else null
+    val acc = Array.fill(64)(Long.MaxValue)
+    def fold(off: Int, len: Int): Unit = {
+      val v =
+        if (portable) md5Fold15(md, bytes, off, len)
+        else { val x = xxh64(bytes, off, len) % MINHASH_P
+               if (x < 0) x + MINHASH_P else x }
+      val pm = v % MINHASH_P // portable v is 60-bit positive; fast already reduced
+      var h = 0
+      while (h < 64) {
+        val lane = ((h * 2 + 1) * pm + h * 12345 + 1) % MINHASH_P
+        if (lane < acc(h)) acc(h) = lane
+        h += 1
+      }
+    }
+    if (nTok >= 3) {
+      var i = 0
+      while (i <= nTok - 3) { fold(starts(i), ends(i + 2) - starts(i)); i += 1 }
+    } else fold(0, bytes.length)
+    new GenericArrayData(acc)
+  }
+
+  /** The folded simhash of `text`, whole chain fused — semantically
+    * identical to (the d_dedup_simhash construction):
+    *
+    *   hs  = portable: transform(split(text,' '), w -> md5-15-nibble fold)   (nbits 60)
+    *         fast:     transform(split(text,' '), w -> xxhash64(w))          (nbits 64)
+    *   sim = VecOps.simhashFold(hs, nbits)
+    *
+    * with no word/hash array materialized: one tokenize pass, the hash per
+    * token byte span, the nbits majority counters folded in place. split
+    * output is never null/empty and has no null elements, so the fold's
+    * corner semantics are unreachable; the counting matches simhashFold's
+    * main path bit for bit.
+    */
+  def simhashText(t: UTF8String, portable: Boolean): Long = {
+    val bytes = t.getBytes
+    val (starts, ends) = tokenize(bytes)
+    val nTok = starts.length
+    val nbits = if (portable) 60 else 64
+    val md = if (portable) md5Local.get() else null
+    val counts = new Array[Int](nbits)
+    var j = 0
+    while (j < nTok) {
+      val v =
+        if (portable) md5Fold15(md, bytes, starts(j), ends(j) - starts(j))
+        else xxh64(bytes, starts(j), ends(j) - starts(j))
+      var b = 0
+      while (b < nbits) {
+        counts(b) += ((v >>> b) & 1L).toInt
+        b += 1
+      }
+      j += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < nbits) {
+      if (counts(b).toLong * 2 >= nTok) acc += 1L << b
+      b += 1
+    }
+    acc
   }
 
   /** One-pass quality stats over `text` — a struct of
@@ -265,45 +365,33 @@ object TextOps extends Serializable {
     m
   }
 
-  /** One-pass language-id scores over word array `w` — a struct of
-    *
-    *   s_en = size(filter(w, x -> x IN ('the','a','fast','slow')))
-    *   s_de = size(filter(w, x -> x IN ('join','hash','merge','batch')))
-    *   s_es = size(filter(w, x -> x IN ('data','table','row','scan')))
-    *   s_fr = size(filter(w, x -> x IN ('filter','order','column','small')))
-    *   s_zh = size(filter(w, x -> x IN ('customer','query','value','part')))
-    *
-    * (each int). A null ELEMENT matches no set (`x IN (...)` is NULL for
-    * it — filtered out), exactly the HOF semantics. The sets are disjoint,
-    * so one hash lookup per word is exhaustive.
-    */
-  def langScores(w: ArrayData): InternalRow = {
-    val counts = new Array[Int](5)
-    val n = w.numElements()
-    var i = 0
-    while (i < n) {
-      if (!w.isNullAt(i)) {
-        val idx = langLookup.get(w.getUTF8String(i))
-        if (idx != null) counts(idx.intValue()) += 1
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](counts(0), counts(1), counts(2), counts(3), counts(4)))
-  }
-
+  // One-pass language-id scores (struct of s_en..s_zh ints) — semantically
+  //   s_xx = size(filter(split(text,' '), x -> x IN (<set xx>)))
+  // per set; the sets are pairwise disjoint, so one hash probe per token is
+  // exhaustive. See langScoresText.
   val langScoresSchema: StructType = StructType(
     Seq("s_en", "s_de", "s_es", "s_fr", "s_zh")
       .map(f => StructField(f, IntegerType, nullable = false)))
 
-  def fourGramMd5Col(w: Column): Column =
-    GraftCatalystBridge.column(FourGramMd5(GraftCatalystBridge.expression(w)))
+  def fourGramMd5TextCol(text: Column): Column =
+    GraftCatalystBridge.column(FourGramMd5Text(GraftCatalystBridge.expression(text)))
 
-  def fourGramsCol(w: Column): Column =
-    GraftCatalystBridge.column(FourGrams(GraftCatalystBridge.expression(w)))
+  def fourGramsTextCol(text: Column): Column =
+    GraftCatalystBridge.column(FourGramsText(GraftCatalystBridge.expression(text)))
 
-  def segmentMd5Col(w: Column): Column =
-    GraftCatalystBridge.column(SegmentMd5(GraftCatalystBridge.expression(w)))
+  def segmentMd5TextCol(text: Column): Column =
+    GraftCatalystBridge.column(SegmentMd5Text(GraftCatalystBridge.expression(text)))
+
+  def langScoresTextCol(text: Column): Column =
+    GraftCatalystBridge.column(LangScoresText(GraftCatalystBridge.expression(text)))
+
+  def minhashSigTextCol(text: Column, portable: Boolean): Column =
+    GraftCatalystBridge.column(
+      MinhashSigText(GraftCatalystBridge.expression(text), portable))
+
+  def simhashTextCol(text: Column, portable: Boolean): Column =
+    GraftCatalystBridge.column(
+      SimhashText(GraftCatalystBridge.expression(text), portable))
 
   def bloomPos3Col(g: Column, prefix: String, m: Int): Column =
     GraftCatalystBridge.column(
@@ -312,75 +400,12 @@ object TextOps extends Serializable {
   def qualityStatsCol(text: Column): Column =
     GraftCatalystBridge.column(QualityStats(GraftCatalystBridge.expression(text)))
 
-  def langScoresCol(w: Column): Column =
-    GraftCatalystBridge.column(LangScores(GraftCatalystBridge.expression(w)))
-
   private[spark] def checkStringArray(name: String, dt: DataType): TypeCheckResult =
     dt match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name requires ARRAY<STRING> input, got ${other.sql}")
     }
-}
-
-/** See [[TextOps.fourGramMd5]]. */
-case class FourGramMd5(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_four_gram_md5"
-  override def checkInputDataTypes(): TypeCheckResult =
-    TextOps.checkStringArray(prettyName, child.dataType)
-
-  override protected def nullSafeEval(a: Any): Any =
-    TextOps.fourGramMd5(a.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.fourGramMd5($a);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): FourGramMd5 =
-    copy(child = newChild)
-}
-
-/** See [[TextOps.fourGrams]]. */
-case class FourGrams(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_four_grams"
-  override def checkInputDataTypes(): TypeCheckResult =
-    TextOps.checkStringArray(prettyName, child.dataType)
-
-  override protected def nullSafeEval(a: Any): Any =
-    TextOps.fourGrams(a.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.fourGrams($a);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): FourGrams =
-    copy(child = newChild)
-}
-
-/** See [[TextOps.segmentMd5]]. */
-case class SegmentMd5(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_segment_md5"
-  override def checkInputDataTypes(): TypeCheckResult =
-    TextOps.checkStringArray(prettyName, child.dataType)
-
-  override protected def nullSafeEval(a: Any): Any =
-    TextOps.segmentMd5(a.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.segmentMd5($a);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): SegmentMd5 =
-    copy(child = newChild)
 }
 
 /** See [[TextOps.bloomPos3]]. */
@@ -410,26 +435,6 @@ case class BloomPos3(child: Expression, prefix: String, m: Int)
     copy(child = newChild)
 }
 
-/** See [[TextOps.langScores]]. */
-case class LangScores(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = TextOps.langScoresSchema
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_lang_scores"
-  override def checkInputDataTypes(): TypeCheckResult =
-    TextOps.checkStringArray(prettyName, child.dataType)
-
-  override protected def nullSafeEval(a: Any): Any =
-    TextOps.langScores(a.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.langScores($a);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): LangScores =
-    copy(child = newChild)
-}
-
 /** See [[TextOps.qualityStats]]. */
 case class QualityStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = TextOps.qualityStatsSchema
@@ -449,5 +454,118 @@ case class QualityStats(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): QualityStats =
+    copy(child = newChild)
+}
+
+/** Shared scaffolding for the STRING-input text kernels. */
+abstract class GraftTextKernel extends UnaryExpression {
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+}
+
+/** See [[TextOps.fourGramMd5Text]]. */
+case class FourGramMd5Text(child: Expression) extends GraftTextKernel {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "graft_four_gram_md5"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.fourGramMd5Text(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.fourGramMd5Text($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FourGramMd5Text =
+    copy(child = newChild)
+}
+
+/** See [[TextOps.fourGramsText]]. */
+case class FourGramsText(child: Expression) extends GraftTextKernel {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_four_grams"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.fourGramsText(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.fourGramsText($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FourGramsText =
+    copy(child = newChild)
+}
+
+/** See [[TextOps.segmentMd5Text]]. */
+case class SegmentMd5Text(child: Expression) extends GraftTextKernel {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "graft_segment_md5"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.segmentMd5Text(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.segmentMd5Text($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SegmentMd5Text =
+    copy(child = newChild)
+}
+
+/** See [[TextOps.langScoresText]]. */
+case class LangScoresText(child: Expression) extends GraftTextKernel {
+  override def dataType: DataType = TextOps.langScoresSchema
+  override def prettyName: String = "graft_lang_scores"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.langScoresText(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.langScoresText($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangScoresText =
+    copy(child = newChild)
+}
+
+/** See [[TextOps.minhashSigText]]. */
+case class MinhashSigText(child: Expression, portable: Boolean)
+    extends GraftTextKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig_text"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.minhashSigText(a.asInstanceOf[UTF8String], portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.minhashSigText($a, $portable);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigText =
+    copy(child = newChild)
+}
+
+/** See [[TextOps.simhashText]]. */
+case class SimhashText(child: Expression, portable: Boolean)
+    extends GraftTextKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_text"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.simhashText(a.asInstanceOf[UTF8String], portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("textOps", TextOps, "graft.spark.TextOps$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mod.simhashText($a, $portable);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashText =
     copy(child = newChild)
 }

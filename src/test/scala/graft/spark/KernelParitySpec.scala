@@ -190,54 +190,100 @@ class KernelParitySpec extends AnyFunSuite {
 
   // ------------------------------------------------- round-20 text kernels
 
-  /** Word arrays covering the gram/segment corners: short (<4), exactly 4,
-    * longer, empty-string words, null elements, unicode, and an EMPTY array
-    * (unreachable from split() but pinned anyway).
+  /** Texts covering the span-tokenization corners: short (<4 words),
+    * exactly 4, longer, consecutive/leading/trailing spaces (empty
+    * tokens), unicode (multi-byte never splits), empty string, and the
+    * <3-word minhash fallback shapes.
     */
-  private def wordRows: Seq[(Long, Option[Seq[Option[String]]])] = Seq(
-    (0L, Some(Seq("the", "quick", "brown", "fox", "jumps", "over").map(Option(_)))),
-    (1L, Some(Seq("a", "b", "c", "d").map(Option(_)))),
-    (2L, Some(Seq("too", "short").map(Option(_)))),
-    (3L, Some(Seq("", "", "", "", "").map(Option(_)))),
-    (4L, Some(Seq(Some("x"), None, Some("y"), Some("z"), Some("w")))),
-    (5L, Some(Seq("déjà", "vu", "café", "ok", "☃").map(Option(_)))),
-    (6L, Some(Seq.empty[Option[String]])),
-    (7L, Some(Seq("one", "two", "three", "four", "five", "six", "seven", "eight", "nine").map(Option(_)))),
-    (8L, None))
+  private def textRows: Seq[(Long, String)] = Seq(
+    (0L, "the quick brown fox jumps over"),
+    (1L, "a b c d"),
+    (2L, "too short"),
+    (3L, "    "),
+    (4L, "x  y z  w q"),
+    (5L, "déjà vu café ok ☃ done"),
+    (6L, ""),
+    (7L, "one two three four five six seven eight nine"),
+    (8L, " leading and trailing "),
+    (9L, "single"))
 
   private val fourGramsSql =
     """CASE WHEN size(w) >= 4
          THEN transform(sequence(0, size(w)-4), i -> array_join(slice(w, i+1, 4), ' '))
          ELSE array() END"""
 
-  test("FourGramMd5 / FourGrams == transform+slice+array_join (+unhex(md5)), corners included") {
+  test("FourGramMd5Text / FourGramsText == split + transform+slice+array_join (+unhex(md5))") {
     import spark.implicits._
-    val df = wordRows.toDF("id", "w").filter(col("w").isNotNull)
+    val df = textRows.toDF("id", "text").withColumn("w", split(col("text"), " "))
     // binary values render as object identity in Row.toString — compare hex
     val sqlMd5 = df.select(col("id"),
       explode(expr(fourGramsSql)).as("g"))
       .select(col("id"), hex(unhex(md5(col("g")))).as("gh"))
     val kernelMd5 = df.select(col("id"),
-      explode(TextOps.fourGramMd5Col(col("w"))).as("gh0"))
+      explode(TextOps.fourGramMd5TextCol(col("text"))).as("gh0"))
       .select(col("id"), hex(col("gh0")).as("gh"))
     assert(sorted(kernelMd5) == sorted(sqlMd5))
     val sqlStr = df.select(col("id"), explode(expr(fourGramsSql)).as("g"))
     val kernelStr = df.select(col("id"),
-      explode(TextOps.fourGramsCol(col("w"))).as("g"))
+      explode(TextOps.fourGramsTextCol(col("text"))).as("g"))
     assert(sorted(kernelStr) == sorted(sqlStr))
   }
 
-  test("SegmentMd5 == transform+slice+array_join+unhex(md5), short tail + empty array included") {
+  test("SegmentMd5Text == split + transform+slice+array_join+unhex(md5), short tail included") {
     import spark.implicits._
-    val df = wordRows.toDF("id", "w").filter(col("w").isNotNull)
+    val df = textRows.toDF("id", "text").withColumn("w", split(col("text"), " "))
     val sqlForm = df.select(col("id"), explode(expr(
       """transform(sequence(0, cast(ceil(size(w)/4.0) as int) - 1),
            i -> array_join(slice(w, i*4+1, 4), ' '))""")).as("seg"))
       .select(col("id"), hex(unhex(md5(col("seg")))).as("seg_h"))
     val kernelForm = df.select(col("id"),
-      explode(TextOps.segmentMd5Col(col("w"))).as("seg_h0"))
+      explode(TextOps.segmentMd5TextCol(col("text"))).as("seg_h0"))
       .select(col("id"), hex(col("seg_h0")).as("seg_h"))
     assert(sorted(kernelForm) == sorted(sqlForm))
+  }
+
+  private val portableHashSql =
+    """transform(transform(shingles, s0 -> substr(md5(s0), 1, 15)),
+        h -> aggregate(sequence(1, 15), cast(0 as bigint),
+          (acc, i) -> acc * 16 + (instr('0123456789abcdef', substr(h, i, 1)) - 1)))"""
+
+  test("MinhashSigText == split + 3-gram shingles + hash + VecOps.minhashSig, both hash variants") {
+    import spark.implicits._
+    val df = textRows.toDF("id", "text").withColumn("w", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(w) >= 3
+           THEN transform(sequence(0, size(w)-3),
+                i -> concat(element_at(w, i+1), ' ', element_at(w, i+2), ' ', element_at(w, i+3)))
+           ELSE array(text) END"""))
+    for (portable <- Seq(true, false)) {
+      val baseHash =
+        if (portable) portableHashSql
+        else "transform(shingles, sh -> pmod(xxhash64(sh), 1000000007))"
+      val sqlForm = df
+        .withColumn("hb", expr(baseHash))
+        .select(col("id"), VecOps.minhashSignature(col("hb")).as("sig"))
+      val kernelForm = df.select(col("id"),
+        TextOps.minhashSigTextCol(col("text"), portable).as("sig"))
+      assert(sorted(kernelForm) == sorted(sqlForm), s"portable=$portable")
+    }
+  }
+
+  test("SimhashText == split + per-word hash + VecOps.simhashFold, both hash variants") {
+    import spark.implicits._
+    val df = textRows.toDF("id", "text")
+      .withColumn("shingles", split(col("text"), " ")) // word array for the SQL side
+    for (portable <- Seq(true, false)) {
+      val nbits = if (portable) 60 else 64
+      val wordHash =
+        if (portable) portableHashSql
+        else "transform(shingles, w -> xxhash64(w))"
+      val sqlForm = df
+        .withColumn("hs", expr(wordHash))
+        .select(col("id"), VecOps.simhashFolded(col("hs"), nbits).as("sim"))
+      val kernelForm = df.select(col("id"),
+        TextOps.simhashTextCol(col("text"), portable).as("sim"))
+      assert(sorted(kernelForm) == sorted(sqlForm), s"portable=$portable")
+    }
   }
 
   test("BloomPos3 == the hex-nibble-fold positions off md5(prefix||g)") {
@@ -278,22 +324,20 @@ class KernelParitySpec extends AnyFunSuite {
     assert(sorted(kernelForm) == sorted(sqlForm))
   }
 
-  test("LangScores == the five size(filter(...)) passes, null elements included") {
+  test("LangScoresText == the five size(filter(split(...))) passes") {
     import spark.implicits._
-    val rows: Seq[Option[Seq[Option[String]]]] = Seq(
-      Some(Seq("the", "a", "join", "data", "filter", "customer").map(Option(_))),
-      Some(Seq("fast", "slow", "hash", "merge", "batch", "batch").map(Option(_))),
-      Some(Seq("unrelated", "words", "only").map(Option(_))),
-      Some(Seq(Some("the"), None, Some("query"), Some("part"))),
-      Some(Seq.empty[Option[String]]))
-    val df = rows.toDF("w").filter(col("w").isNotNull)
+    val df = (textRows ++ Seq(
+      (100L, "the a join data filter customer"),
+      (101L, "fast slow hash merge batch batch"),
+      (102L, "the  query part"))).toDF("id", "text")
+      .withColumn("w", split(col("text"), " "))
     val sqlForm = df.select(
       expr("size(filter(w, x -> x IN ('the','a','fast','slow')))").as("s_en"),
       expr("size(filter(w, x -> x IN ('join','hash','merge','batch')))").as("s_de"),
       expr("size(filter(w, x -> x IN ('data','table','row','scan')))").as("s_es"),
       expr("size(filter(w, x -> x IN ('filter','order','column','small')))").as("s_fr"),
       expr("size(filter(w, x -> x IN ('customer','query','value','part')))").as("s_zh"))
-    val kernelForm = df.withColumn("ls", TextOps.langScoresCol(col("w")))
+    val kernelForm = df.withColumn("ls", TextOps.langScoresTextCol(col("text")))
       .select(col("ls.s_en").as("s_en"), col("ls.s_de").as("s_de"),
         col("ls.s_es").as("s_es"), col("ls.s_fr").as("s_fr"), col("ls.s_zh").as("s_zh"))
     assert(kernelForm.schema == sqlForm.schema)
