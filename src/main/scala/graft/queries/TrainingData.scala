@@ -275,8 +275,12 @@ object TrainingData {
     } else {
       e.crossJoin(cents)
         .withColumn("cdot", graft.spark.VecOps.longDot(col("q"), col("cq")))
-        .withColumn("ccos", col("cdot").cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("cn").cast("double"))))
+        // try_divide: NULL on a 0 divisor under BOTH ANSI settings, so this
+        // fallback shares the kernel's zero-norm-ranks-null-last semantics
+        // regardless of spark.sql.ansi.enabled (r19 advice; non-ANSI divide
+        // already yielded NULL, so values are unchanged)
+        .withColumn("ccos", expr(
+          "try_divide(cast(cdot as double), sqrt(cast(nn as double)) * sqrt(cast(cn as double)))"))
         .withColumn("crk", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
         .filter(col("crk") === 1)

@@ -286,6 +286,14 @@ object VecOps extends Serializable {
     if (cb == null) return null
     val k = cb.numElements()
     if (k == 0) return null
+    // fail-loud on the documented divergence (r19 advice): SQL slice()
+    // would SHORTEN a q narrower than m*sub and compute a real distance
+    // where l2Range returns NULL — silently changing which centroid wins.
+    // The PQ callers' vectors are all exactly m*sub wide; anything else is
+    // a contract breach, not a shape to guess at (TriangleSums convention).
+    if (q != null && q.numElements() != m * sub)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: vector width ${q.numElements()} != m*sub = ${m * sub}")
     val out = new Array[Long](m)
     var mi = 0
     while (mi < m) {
