@@ -2740,13 +2740,20 @@ object TrainingData {
       .select(col("doc_id"),
         graft.spark.TextOps.simhashTextCol(col("text"), portable).as("simhash")),
       if (portable) "simhash_portable" else "simhash")
-    val chunks = d2.select(col("doc_id"), col("simhash"),
+    // the chunk join carries only (c, ck, doc_id); the simhashes are
+    // re-joined AFTER the candidate pairs are deduped (r20, the same
+    // move d_dedup_minhash_lsh already makes) — a pair matching in
+    // several chunks used to push both 8-byte signatures through the
+    // join output AND the pair-distinct exchange for every match
+    val chunks = d2.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, 3), c -> named_struct('c', c, 'ck', (simhash >> (c*$chunkBits)) & $chunkMask))")).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
-    val a = chunks.select(col("c"), col("ck"), col("doc_id").as("ida"), col("simhash").as("sa"))
-    val b = chunks.select(col("c"), col("ck"), col("doc_id").as("idb"), col("simhash").as("sb"))
+      .select(col("doc_id"), col("cc.c").as("c"), col("cc.ck").as("ck"))
+    val a = chunks.select(col("c"), col("ck"), col("doc_id").as("ida"))
+    val b = chunks.select(col("c"), col("ck"), col("doc_id").as("idb"))
     val cand = a.join(b, Seq("c", "ck")).filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("sa"), col("sb")).distinct()
+      .select(col("ida"), col("idb")).distinct()
+      .join(d2.select(col("doc_id").as("ida"), col("simhash").as("sa")), Seq("ida"))
+      .join(d2.select(col("doc_id").as("idb"), col("simhash").as("sb")), Seq("idb"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
     cand.agg(count(lit(1)).as("candidate_pairs"),
         sum(when(col("hamming") <= 6, 1L).otherwise(0L)).as("near_dup_pairs"))
