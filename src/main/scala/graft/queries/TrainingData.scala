@@ -2451,15 +2451,24 @@ object TrainingData {
       // positive gram set then semi-joins the pair frame on the gram key.
       val trainG = grams.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id").as("train_id"), col("g")).distinct()
-      val gramVerdict = trainG.select(col("g")).distinct()
+      // verdict as a pure FILTER on the distinct (train_id, gram) pairs
+      // (r20): the per-vocab verdict + join-back this replaces re-shuffled
+      // the whole pair frame BY GRAM just to attach a predicate that is a
+      // function of the gram — probing per pair costs one extra digest per
+      // duplicated gram (pairs/vocab ~ small on this corpus) and removes a
+      // pairs-sized string exchange outright. (Probing per OCCURRENCE —
+      // before the distinct — stays 3x slower, the r19 negative result;
+      // the distinct is what makes the md5 count affordable.) Verdict
+      // values are unchanged: the bloom bits depend only on the gram.
+      val trainPos = trainG
         .crossJoin(broadcast(bloomBm))
         .withColumn("ps", graft.spark.TextOps.bloomPos3Col(col("g"), "bf:", m))
         .withColumn("p0", expr("element_at(ps, 1)"))
         .withColumn("p1", expr("element_at(ps, 2)"))
         .withColumn("p2", expr("element_at(ps, 3)"))
         .filter(expr(s"${bitTest(0)} AND ${bitTest(1)} AND ${bitTest(2)}"))
-        .select(col("g"))
-      val confirmed = trainG.join(gramVerdict, Seq("g"))
+        .select(col("train_id"), col("g"))
+      val confirmed = trainPos
         .join(evalG.withColumn("exact", lit(1L)), Seq("g"), "left")
         .groupBy(col("train_id"))
         .agg(count(lit(1)).as("bloom_pos_grams"),
